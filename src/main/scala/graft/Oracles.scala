@@ -1,0 +1,193 @@
+package graft
+
+/** DuckDB oracle SQL for every SQL-expressible query in SparkEntry.
+  *
+  * Discipline (SURVEY.md §5): identical column names and integer widths as
+  * the Spark side, RE2-safe regexes only, every float rounded identically,
+  * sequential folds (list_reduce mirrors functions.aggregate) so doubles
+  * are bit-identical, ties broken by deterministic keys.
+  */
+object Oracles {
+
+  /** Mirrors operators.TextOps.cleanText. */
+  val clean: String =
+    "trim(regexp_replace(lower(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "text, '(?i)(https?://\\S+|www\\.\\S+)', '', 'g'), '[@#&]\\w+', '', 'g'), " +
+      "'\\d+', '', 'g'), '[^a-zA-Z ]', ' ', 'g')), '\\s+', ' ', 'g'))"
+
+  val toks: String = s"list_filter(string_split($clean, ' '), t -> t <> '')"
+
+  /** (doc_id, token) exploded tokens. */
+  val tokTable: String = s"(SELECT doc_id, unnest($toks) AS token FROM documents)"
+
+  val termFreq: String =
+    s"SELECT doc_id, token, count(*) AS tf FROM $tokTable GROUP BY doc_id, token"
+
+  val docFreq: String =
+    "SELECT token, count(*) AS df FROM " +
+      s"(SELECT DISTINCT doc_id, token FROM $tokTable) GROUP BY token"
+
+  def idfSql(minDf: Int): String =
+    s"SELECT token, df, round(ln(CAST((SELECT count(*) FROM documents) + 1 AS DOUBLE) / (df + 1)), 6) AS idf " +
+      s"FROM ($docFreq) WHERE df >= $minDf"
+
+  val tfidf: String =
+    s"SELECT tf.doc_id, tf.token, tf.tf, round(tf.tf * i.idf, 6) AS tfidf " +
+      s"FROM ($termFreq) tf JOIN (${idfSql(0)}) i USING (token)"
+
+  /** Marker sets mirror TextOps.langId. */
+  private val rawToks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+  private def markerScore(ms: Seq[String]): String =
+    s"len(list_filter($rawToks, t -> t IN (${ms.map("'" + _ + "'").mkString(",")})))"
+  val langPred: String = {
+    val en = markerScore(Seq("the", "a", "of", "and", "is", "query", "join"))
+    val fr = markerScore(Seq("le", "la", "et", "est", "de", "scan", "batch"))
+    val de = markerScore(Seq("der", "die", "das", "und", "ist", "merge", "sort"))
+    s"CASE WHEN $en >= $fr AND $en >= $de AND $en > 0 THEN 'en' " +
+      s"WHEN $fr >= $de AND $fr > 0 THEN 'fr' WHEN $de > 0 THEN 'de' ELSE 'und' END"
+  }
+
+  val sql: Map[String, String] = Map(
+    "clean_text" ->
+      s"SELECT doc_id, $clean AS clean FROM documents",
+
+    "token_counts" ->
+      s"SELECT doc_id, len($toks)::BIGINT AS n_tokens FROM documents",
+
+    "term_freq" -> termFreq,
+    "doc_freq" -> docFreq,
+    "idf" -> idfSql(0),
+    "idf_min_df5" -> idfSql(5),
+    "tfidf" -> tfidf,
+
+    "feature_select_top75" ->
+      s"""WITH t AS ($tfidf),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk,
+         |             count(*) OVER (PARTITION BY doc_id) AS n_tok FROM t)
+         |SELECT doc_id, token, tf, tfidf FROM r WHERE rk <= ceil(n_tok * 0.75)""".stripMargin,
+
+    "train_test_split" ->
+      ("SELECT CASE WHEN doc_id % 4 < 3 THEN 'train' ELSE 'test' END AS split, " +
+        "count(*) AS n_rows FROM documents GROUP BY 1"),
+
+    "lang_id" ->
+      s"SELECT doc_id, $langPred AS pred_lang FROM documents",
+
+    "confusion_matrix" ->
+      (s"SELECT lang AS label, $langPred AS prediction, count(*) AS n " +
+        "FROM documents GROUP BY 1, 2"),
+
+    "eval_metrics" ->
+      s"""WITH pred AS (SELECT lang AS label, $langPred AS prediction FROM documents),
+         |cm AS (SELECT label, prediction, count(*) AS n FROM pred GROUP BY 1, 2),
+         |tot AS (SELECT sum(n) AS total, sum(CASE WHEN label = prediction THEN n ELSE 0 END) AS correct FROM cm),
+         |bylab AS (SELECT label, sum(n) AS support FROM cm GROUP BY 1),
+         |bypred AS (SELECT prediction, sum(n) AS predicted FROM cm GROUP BY 1),
+         |tp AS (SELECT label, n AS tp FROM cm WHERE label = prediction),
+         |per AS (SELECT b.label, b.support, coalesce(tp.tp, 0) AS tp, coalesce(p.predicted, 0) AS predicted
+         |        FROM bylab b LEFT JOIN tp ON b.label = tp.label LEFT JOIN bypred p ON b.label = p.prediction),
+         |per2 AS (SELECT support,
+         |  CASE WHEN predicted > 0 THEN CAST(tp AS DOUBLE) / predicted ELSE 0.0 END AS prec,
+         |  CASE WHEN support > 0 THEN CAST(tp AS DOUBLE) / support ELSE 0.0 END AS rec FROM per),
+         |per3 AS (SELECT support, prec, rec,
+         |  CASE WHEN prec + rec > 0 THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END AS f1 FROM per2)
+         |SELECT round(CAST(correct AS DOUBLE) / total, 6) AS accuracy,
+         |  round((SELECT sum(prec * support / total) FROM per3), 6) AS weighted_precision,
+         |  round((SELECT sum(rec * support / total) FROM per3), 6) AS weighted_recall,
+         |  round((SELECT sum(f1 * support / total) FROM per3), 6) AS weighted_f1
+         |FROM tot""".stripMargin,
+
+    "quality_score" ->
+      """SELECT doc_id,
+        |  length(text)::BIGINT AS n_chars_text,
+        |  len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))::BIGINT AS n_tokens,
+        |  round(CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / length(text) ELSE 0.0 END, 6) AS punct_ratio,
+        |  round(CASE WHEN len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) > 0
+        |    THEN CAST(len(list_filter(list_filter(string_split_regex(text, '\s+'), t -> t <> ''), t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |         / len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) ELSE 0.0 END, 6) AS stop_ratio,
+        |  round((CASE WHEN length(text) >= 20 THEN 1.0 ELSE CAST(length(text) AS DOUBLE) / 20.0 END)
+        |    * (1.0 - CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / length(text) ELSE 0.0 END)
+        |    * (CASE WHEN len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) > 0
+        |       THEN least(1.0, CAST(len(list_filter(list_filter(string_split_regex(text, '\s+'), t -> t <> ''), t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |            / len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) * 5.0 + 0.5) ELSE 0.0 END), 6) AS quality
+        |FROM documents""".stripMargin,
+
+    "token_stats" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))::BIGINT AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS bpe_tokens,
+        |  length(text)::BIGINT AS n_chars_text
+        |FROM documents""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""SELECT doc_id,
+         |  CAST(coalesce(list_sum(list_transform($toks, (t, i) -> CAST(i AS BIGINT) * ('0x' || substr(md5(t), 1, 8))::BIGINT)), 0) AS BIGINT) AS fingerprint,
+         |  substr(md5($clean), 1, 16) AS content_hash16
+         |FROM documents""".stripMargin,
+
+    "text_stats" ->
+      """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY lang, source""".stripMargin,
+
+    "dedup_exact" ->
+      (s"SELECT md5($clean) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies " +
+        "FROM documents GROUP BY 1"),
+
+    "mm_extract" ->
+      """SELECT doc_id, strlen(text)::BIGINT AS n_bytes, md5(text) AS content_hash,
+        |  ('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 AS fake_width,
+        |  ('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 AS fake_height
+        |FROM documents""".stripMargin,
+
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS n_id, embedding AS n_emb FROM embeddings),
+        |scored AS (SELECT q_id, n_id,
+        |  round(list_reduce(list_transform(q_emb, (x, i) -> CAST(x AS DOUBLE) * CAST(n_emb[i] AS DOUBLE)), (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_transform(n_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))), 6) AS cos
+        |  FROM q JOIN c ON q_id <> n_id),
+        |ranked AS (SELECT q_id, n_id, cos,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM scored)
+        |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    "embed_near_dup" ->
+      """WITH b AS (SELECT vec_id, embedding,
+        |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+        |  FROM embeddings),
+        |pairs AS (SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
+        |  round(list_reduce(list_transform(a.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)), (p, q) -> p + q)
+        |    / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))
+        |       * sqrt(list_reduce(list_transform(b2.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))), 6) AS cos
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+        |SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.3""".stripMargin,
+
+    "lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |  count(*) AS n_rows,
+        |  round(avg(l_quantity), 6) AS avg_qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "orders_join" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -1,13 +1,98 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ml.Sentiment
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
+  * entry implements. Every query takes (spark, sfDir) and reads only the
+  * driver-generated parquet tables in sfDir.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Deterministic numeric label for classification demos: lang index. */
+  private def langLabel = when(col("lang") === "en", 0.0)
+    .when(col("lang") === "fr", 1.0).when(col("lang") === "es", 2.0)
+    .when(col("lang") === "zh", 3.0).when(col("lang") === "de", 4.0)
+    .otherwise(5.0)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    TfIdf.tfidf(t(spark, "/root/testdata/sf0.001", "documents"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. reference-derived text/TF-IDF surface
+    "clean_text" -> ((s, d) => TextOps.cleanDocs(t(s, d, "documents"))),
+    "token_counts" -> ((s, d) => TextOps.tokenCounts(t(s, d, "documents"))),
+    "term_freq" -> ((s, d) => TfIdf.termFreq(t(s, d, "documents"))),
+    "doc_freq" -> ((s, d) => TfIdf.docFreq(t(s, d, "documents"))),
+    "idf" -> ((s, d) => TfIdf.idf(t(s, d, "documents"))),
+    "idf_min_df5" -> ((s, d) => TfIdf.idf(t(s, d, "documents"), minDocFreq = 5)),
+    "tfidf" -> ((s, d) => TfIdf.tfidf(t(s, d, "documents"))),
+    "feature_select_top75" -> ((s, d) => TfIdf.featureSelectTop(t(s, d, "documents"))),
+    "hashing_tf" -> ((s, d) => TfIdf.hashingTf(t(s, d, "documents"))),
+    "train_test_split" -> ((s, d) => Sentiment.trainTestSplit(t(s, d, "documents"))),
+
+    // ML pipelines (model outputs: rows-only check + ScalaTest)
+    "nb_predictions" -> ((s, d) =>
+      Sentiment.nbPredictions(
+        t(s, d, "documents").select(col("doc_id").as("id"), col("text"), langLabel.as("label")))
+        .groupBy("prediction").agg(count(lit(1)).as("n"))),
+    "svm_predictions" -> ((s, d) =>
+      Sentiment.svmPredictions(
+        t(s, d, "documents").select(col("doc_id").as("id"), col("text"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("label")))
+        .groupBy("prediction").agg(count(lit(1)).as("n"))),
+
+    // deterministic rule-based classifier → oracle-checkable metrics
+    "lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
+    "confusion_matrix" -> ((s, d) =>
+      Sentiment.confusionMatrix(
+        TextOps.langId(t(s, d, "documents"))
+          .join(t(s, d, "documents").select("doc_id", "lang"), "doc_id")
+          .select(col("lang").as("label"), col("pred_lang").as("prediction")))),
+    "eval_metrics" -> ((s, d) =>
+      Sentiment.evalMetrics(
+        TextOps.langId(t(s, d, "documents"))
+          .join(t(s, d, "documents").select("doc_id", "lang"), "doc_id")
+          .select(col("lang").as("label"), col("pred_lang").as("prediction")))),
+
+    // B. LLM-training-data pipeline
+    "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(t(s, d, "documents"))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 10)),
+    "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(t(s, d, "documents"))),
+    "embed_near_dup" -> ((s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"), cosMin = 0.3)),
+    "ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
+    "ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
+    "quality_score" -> ((s, d) => TextOps.qualityScore(t(s, d, "documents"))),
+    "token_stats" -> ((s, d) => TextOps.tokenStats(t(s, d, "documents"))),
+    "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),
+    "text_stats" -> ((s, d) => TextOps.textStats(t(s, d, "documents"))),
+    "mm_extract" -> ((s, d) => Multimodal.extract(t(s, d, "documents"))),
+
+    // C. engine breadth
+    "lineitem_agg" -> ((s, d) => Relational.lineitemAgg(t(s, d, "lineitem"))),
+    "orders_join" -> ((s, d) =>
+      Relational.ordersJoin(t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
+    "events_window" -> ((s, d) => {
+      // events.parquet carries TIMESTAMP(NANOS), which the vectorized
+      // reader rejects — read as long nanos and convert to micros.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Relational.eventsWindow(
+        t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    }),
+    "csv_ingest" -> ((s, _) =>
+      s.read.option("header", "true").option("quote", "\"").option("escape", "\"")
+        .option("inferSchema", "false")
+        .csv("/root/repo/src/test/resources/tweets_sample.csv"))
+  )
+
+  /** DuckDB twins for the SQL-expressible queries (SURVEY.md §5). */
+  def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -1,0 +1,116 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.{LinearSVC, NaiveBayes}
+import org.apache.spark.ml.feature.{HashingTF, IDF, RegexTokenizer, SQLTransformer}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+/** The reference's classification surface, Spark-first (A12-A16).
+  *
+  * Reference shape (Spark/NB/src/main/scala/NB.scala:71-99 and
+  * SVM.scala:84-97): Tokenizer → HashingTF → IDF → randomSplit(0.75/0.25,
+  * seed) → NaiveBayes / LinearSVC(maxIter=10, regParam=0.1) →
+  * MulticlassMetrics via an RDD round-trip.
+  *
+  * Differences, deliberately:
+  *  - the split is `id % 4 < 3` — deterministic, partition-independent,
+  *    and reproducible by the DuckDB oracle (randomSplit is neither
+  *    partition-stable nor reproducible outside Spark);
+  *  - cleaning is the shared [[TextOps.cleanText]] chain;
+  *  - metrics stay DataFrames end-to-end (NB.scala:94's
+  *    `.rdd.map(...)` round-trip is exactly what loses codegen).
+  */
+object Sentiment {
+
+  /** Deterministic 75/25 split indicator (A12). */
+  def splitCol(idCol: String) = when(pmod(col(idCol), lit(4)) < 3, "train").otherwise("test")
+
+  /** Split summary: (split, n_rows) — oracle-checkable. */
+  def trainTestSplit(docs: DataFrame): DataFrame =
+    docs.groupBy(splitCol("doc_id").as("split")).agg(count(lit(1)).as("n_rows"))
+
+  /** Featurize: clean → tokenize → HashingTF → IDF(minDocFreq), the
+    * NB.scala:71-80 pipeline on a `label`/`text` frame. */
+  def featurizer(numFeatures: Int = 1 << 16, minDocFreq: Int = 0): Pipeline = {
+    val clean = new SQLTransformer().setStatement(
+      "SELECT *, trim(regexp_replace(lower(regexp_replace(regexp_replace(regexp_replace(" +
+        "regexp_replace(text, '(?i)(https?://\\\\S+|www\\\\.\\\\S+)', ''), " +
+        "'[@#&]\\\\w+', ''), '\\\\d+', ''), '[^a-zA-Z ]', ' ')), '\\\\s+', ' ')) AS clean FROM __THIS__")
+    val tok = new RegexTokenizer().setInputCol("clean").setOutputCol("words")
+      .setPattern("\\s+")
+    val tf = new HashingTF().setInputCol("words").setOutputCol("rawFeatures")
+      .setNumFeatures(numFeatures)
+    val idf = new IDF().setInputCol("rawFeatures").setOutputCol("features")
+      .setMinDocFreq(minDocFreq)
+    new Pipeline().setStages(Array(clean, tok, tf, idf))
+  }
+
+  /** Train NaiveBayes (NB.scala:86) on the train split, predict the test
+    * split. Expects (id, text, label). */
+  def nbPredictions(data: DataFrame, minDocFreq: Int = 0): DataFrame =
+    fitPredict(data, new NaiveBayes().setFeaturesCol("features"), minDocFreq)
+
+  /** Train LinearSVC(maxIter=10, regParam=0.1) (SVM.scala:89-91); label
+    * must be binary. */
+  def svmPredictions(data: DataFrame, minDocFreq: Int = 0): DataFrame =
+    fitPredict(data, new LinearSVC().setMaxIter(10).setRegParam(0.1), minDocFreq)
+
+  private def fitPredict(data: DataFrame,
+                         clf: org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Model[_]],
+                         minDocFreq: Int): DataFrame = {
+    val feats = featurizer(minDocFreq = minDocFreq).fit(data).transform(data)
+      .withColumn("split", splitCol("id"))
+    val train = feats.filter(col("split") === "train")
+    val test = feats.filter(col("split") === "test")
+    val model = clf.fit(train).asInstanceOf[org.apache.spark.ml.Model[_]]
+    model.transform(test).select(col("id"), col("label"), col("prediction"))
+  }
+
+  /** Confusion matrix as a plain aggregation (A15; NB.scala:96-97 without
+    * the RDD round-trip). */
+  def confusionMatrix(predictions: DataFrame): DataFrame =
+    predictions.groupBy(col("label"), col("prediction")).agg(count(lit(1)).as("n"))
+
+  /** Accuracy + weighted precision/recall/F1 from (label, prediction)
+    * (A16; NB.scala:98-99), entirely as DataFrame aggregation. */
+  def evalMetrics(predictions: DataFrame): DataFrame = {
+    val cm = confusionMatrix(predictions).cache()
+    val total = cm.agg(sum("n").as("total"))
+    val correct = cm.filter(col("label") === col("prediction")).agg(
+      coalesce(sum("n"), lit(0L)).as("correct"))
+    val byLabel = cm.groupBy("label").agg(sum("n").as("support"))
+    val byPred = cm.groupBy("prediction").agg(sum("n").as("predicted"))
+    val tp = cm.filter(col("label") === col("prediction"))
+      .select(col("label"), col("n").as("tp"))
+    val perClass = byLabel
+      .join(tp, Seq("label"), "left")
+      .join(byPred, byLabel("label") === byPred("prediction"), "left")
+      .select(col("label"), col("support"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("predicted"), lit(0L)).as("predicted"))
+      .withColumn("precision",
+        when(col("predicted") > 0, col("tp").cast("double") / col("predicted")).otherwise(0.0))
+      .withColumn("recall",
+        when(col("support") > 0, col("tp").cast("double") / col("support")).otherwise(0.0))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
+          .otherwise(0.0))
+    perClass
+      .crossJoin(broadcast(total))
+      .select(
+        (col("f1") * col("support") / col("total")).as("wf1_part"),
+        (col("precision") * col("support") / col("total")).as("wp_part"),
+        (col("recall") * col("support") / col("total")).as("wr_part"))
+      .agg(
+        round(sum("wf1_part"), 6).as("weighted_f1"),
+        round(sum("wp_part"), 6).as("weighted_precision"),
+        round(sum("wr_part"), 6).as("weighted_recall"))
+      .crossJoin(broadcast(correct.crossJoin(total)
+        .select(round(col("correct").cast("double") / col("total"), 6).as("accuracy"))))
+      .select("accuracy", "weighted_precision", "weighted_recall", "weighted_f1")
+  }
+}

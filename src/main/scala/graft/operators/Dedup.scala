@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family (B1-B4): exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard. None of these exists in the reference (its corpus is assumed
+  * pre-deduped); they are the LLM-training-data operators mandated on top.
+  *
+  * Scale posture: every variant is a hash-partitioned groupBy/join on a
+  * bounded key — no all-pairs comparison, no driver-side state. The LSH
+  * band join touches only same-bucket candidates, the classic
+  * sqrt-shrinking of the pair space.
+  */
+object Dedup {
+
+  /** B1: exact dedup on md5 of the cleaned text. One shuffle on the hash;
+    * keeper is min(doc_id) for determinism. */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(TextOps.cleanText(col("text"))).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Token 3-gram shingles of the cleaned text, distinct, as stable
+    * 32-bit-ish longs (first 8 md5 hex digits). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextOps.tokens(text)
+    val grams = transform(
+      slice(toks, lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      (_, i) => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    array_distinct(transform(grams, g => conv(substring(md5(g), 1, 8), 16, 10).cast("long")))
+  }
+
+  /** Universal-hash minhash signature: for hash j, min over shingles s of
+    * (a_j * s + b_j) mod p. Seeds fixed => deterministic. */
+  def minhashSignature(sh: Column, numHashes: Int): Column = {
+    val p = 4294967311L // first prime > 2^32
+    val cols = (0 until numHashes).map { j =>
+      // a stays < 2^24 so a * s (< 2^32) cannot overflow a long
+      val a = 976369L + 2 * j // odd, fixed per j
+      val b = 179426549L * (j + 1) % p
+      array_min(transform(sh, s => (s * a + b) % p))
+    }
+    array(cols: _*)
+  }
+
+  /** B2: MinHash + banded LSH near-dup candidate pairs, verified by true
+    * shingle-set Jaccard. numHashes = bands * rowsPerBand. The join key is
+    * (band, band-signature-hash): only same-bucket pairs are compared. */
+  def minhashPairs(docs: DataFrame, bands: Int = 8, rowsPerBand: Int = 2,
+                   jaccardMin: Double = 0.5): DataFrame = {
+    val sig = docs
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"),
+        minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
+
+    val banded = sig.select(
+      col("doc_id"), col("sh"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bucket"))
+
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("b_id"), col("sh").as("b_sh"))
+
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))), 6).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= jaccardMin)
+  }
+
+  /** B3: 64-bit SimHash fingerprint. Per token hash = xxhash64; each bit
+    * contributes +1/-1; fingerprint bit k set iff the sum is positive.
+    * Computed as 64 conditional sums in one aggregation — one shuffle. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val perTok = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .select(col("doc_id"), xxhash64(col("token")).as("h"))
+    val bitSums = (0 until 64).map { k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k")
+    }
+    val fp = (0 until 64).map { k =>
+      when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L)
+    }.reduce(_ + _)
+    perTok.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on the 4 16-bit quarters of the
+    * fingerprint (any pair within hamming distance <= maxHamming shares at
+    * least one identical quarter when maxHamming <= 3 — pigeonhole), then
+    * verify true hamming distance. Never all-pairs. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = simhash(docs)
+    val blocked = fp.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { q =>
+        struct(lit(q).as("q"),
+          shiftright(col("simhash"), q * 16).bitwiseAND(0xFFFFL).as("key"))
+      }: _*)).as("blk"))
+      .select(col("doc_id"), col("simhash"), col("blk.q"), col("blk.key"))
+    val a = blocked.select(col("q"), col("key"), col("doc_id").as("a_id"), col("simhash").as("a_fp"))
+    val b = blocked.select(col("q"), col("key"), col("doc_id").as("b_id"), col("simhash").as("b_fp"))
+    a.join(b, Seq("q", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** B4: n-gram Jaccard similarity over blocked candidate pairs. Blocking
+    * key defaults to `source` here (demo corpus); at 100 TB the blocking
+    * key is an LSH band as in [[minhashPairs]] — this operator is the
+    * verify stage run on any candidate set. */
+  def ngramJaccard(docs: DataFrame, blockCol: String = "source",
+                   simMin: Double = 0.3): DataFrame = {
+    val sh = docs.select(col("doc_id"), col(blockCol).as("blk"),
+      shingles(col("text")).as("sh")).filter(size(col("sh")) > 0)
+    val a = sh.select(col("blk"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = sh.select(col("blk"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, Seq("blk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= simMin)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (B13): media as opaque `binary` columns with
+  * typed metadata, decoded/feature-extracted per partition.
+  *
+  * The container has no image/audio codecs, so `decodeStub` derives
+  * deterministic fake features from the bytes (md5-seeded), clearly marked
+  * as the stub seam; the Spark-side plumbing — binary schema, batched
+  * per-partition mapping, metadata struct shape — is real and tested.
+  */
+object Multimodal {
+
+  /** Wrap a text corpus as a media table: (doc_id, media: binary, meta). */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(lit("text/plain").as("mime"), col("source").as("origin")).as("meta"))
+
+  /** Pure-expression metadata extraction: byte length, content hash, and
+    * md5-seeded stand-ins for decoded dimensions (the decode itself is the
+    * stub — a real deployment swaps the two fake_* expressions for a codec
+    * call inside mapPartitions, see [[decodeStub]]). Fully codegen'd, and
+    * reproducible by the DuckDB oracle. */
+  def extract(docs: DataFrame): DataFrame = {
+    val media = asMedia(docs)
+    val h = md5(col("media"))
+    media.select(
+      col("doc_id"),
+      octet_length(col("media")).cast("long").as("n_bytes"),
+      h.as("content_hash"),
+      (conv(substring(h, 1, 4), 16, 10).cast("long") % 1920).as("fake_width"),
+      (conv(substring(h, 5, 4), 16, 10).cast("long") % 1080).as("fake_height"))
+  }
+
+  private val decodedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** Partition-batched decode seam: the shape a real codec integration
+    * uses (one in-flight batch per partition, no driver collection). The
+    * body is the STUB — deterministic fake 4-dim "features" from byte
+    * stats instead of an actual image/audio decode. */
+  def decodeStub(media: DataFrame): DataFrame =
+    media.select("doc_id", "media").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        // STUB: stands in for codec.decode(bytes) — deterministic fake.
+        val s = bytes.foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
+        Row(id, bytes.length,
+          Array((s % 255).toFloat, (s / 255 % 255).toFloat,
+            bytes.length.toFloat, (if (bytes.isEmpty) 0f else bytes.head.toFloat)))
+      }
+    }(org.apache.spark.sql.Encoders.row(decodedSchema))
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (B5-B7): exact cosine top-k
+  * with a broadcast query side, a sign-LSH bucketed ANN, and sign-LSH
+  * bucketed near-duplicate pairs.
+  *
+  * Cosine is computed with element-wise double casts and a sequential
+  * fold (functions.transform + functions.aggregate) so the DuckDB oracle
+  * (list_transform/list_sum over DOUBLE) produces bit-identical values.
+  *
+  * Scale posture: the exact variant is a broadcast nested-loop with a
+  * deliberately tiny query side — corpus streams, never shuffles. The
+  * bucketed variants shuffle once on the bucket key; no crossJoin exists
+  * in any plan here.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product over double-cast elements. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-LSH bucket over the first `bits` dimensions (axis-aligned
+    * hyperplanes): deterministic, SQL-reproducible, bounded key space. */
+  def signBucket(emb: Column, bits: Int): Column =
+    concat((1 to bits).map(i =>
+      when(element_at(emb, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** B6: exact cosine top-k for a small query set (broadcast) against the
+    * full corpus. Rank, not raw similarity, is the deliverable; cosine is
+    * rounded to 6 dp for the oracle. */
+  def annTopK(emb: DataFrame, maxQueryId: Long = 10, k: Int = 5): DataFrame = {
+    val q = broadcast(
+      emb.filter(col("vec_id") < maxQueryId)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    val scored = q.join(emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_emb"), col("n_emb")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "n_id", "rnk", "cos")
+  }
+
+  /** B7: IVF-ish ANN — corpus pre-bucketed by sign-LSH; each query probes
+    * only its own bucket. Trades recall for a bucket-local scan. */
+  def annIvf(emb: DataFrame, maxQueryId: Long = 10, k: Int = 5, bits: Int = 4): DataFrame = {
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    val q = broadcast(
+      bucketed.filter(col("vec_id") < maxQueryId)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket")))
+    val scored = q.join(
+        bucketed.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("bucket")),
+        Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_emb"), col("n_emb")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "n_id", "rnk", "cos")
+  }
+
+  /** B5: embedding-cosine near-duplicate pairs, sign-LSH blocked (same
+    * bucket only — never all-pairs). */
+  def nearDupPairs(emb: DataFrame, cosMin: Double = 0.8, bits: Int = 8): DataFrame = {
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("a_emb"), col("b_emb")), 6).as("cos"))
+      .filter(col("cos") >= cosMin)
+  }
+}

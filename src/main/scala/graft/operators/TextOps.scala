@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text cleaning + tokenization + per-document text analysis, all as
+  * whole-stage-codegen'd Column expressions (no UDFs, no RDDs).
+  *
+  * Semantics derived from the reference cleanup chain
+  * (reference Spark/NB/src/main/scala/NB.scala:53-59): strip URLs, strip
+  * mention/hashtag/entity tokens, strip digits, non-letters to space,
+  * lowercase, trim, collapse whitespace. Regexes are deliberately
+  * RE2-compatible (no lookahead, unlike NB.scala:53) so the same pattern
+  * runs identically in Java regex and in DuckDB/RE2 for the oracle.
+  *
+  * Scale: every op here is narrow (per-row) — zero shuffle, scales
+  * linearly to any number of executors.
+  */
+object TextOps {
+
+  val UrlRe = "(?i)(https?://\\S+|www\\.\\S+)"
+  val TagRe = "[@#&]\\w+"
+  val DigitRe = "\\d+"
+  val NonLetterRe = "[^a-zA-Z ]"
+  val WsRe = "\\s+"
+
+  /** Full cleanup chain (NB.scala:53-59 semantics, RE2-safe regexes). */
+  def cleanText(c: Column): Column =
+    trim(
+      regexp_replace(
+        lower(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(regexp_replace(c, UrlRe, ""), TagRe, ""),
+              DigitRe, ""),
+            NonLetterRe, " ")),
+        WsRe, " "))
+
+  /** Whitespace tokenization of cleaned text, empty tokens dropped
+    * (reference ml.Tokenizer, NB.scala:71). */
+  def tokens(c: Column): Column =
+    filter(split(cleanText(c), " "), t => t =!= "")
+
+  /** doc_id, clean — the cleaned corpus. */
+  def cleanDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), cleanText(col("text")).as("clean"))
+
+  /** Per-document token count (A6). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+
+  /** Whitespace + BPE-ish token statistics per document (B10).
+    * bpe-ish = letter runs / digit runs / single other-chars, the classic
+    * pre-tokenizer shape. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+        .cast("long").as("bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars_text"))
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, composite
+    * (B9). Ratios rounded to 6 dp so the DuckDB oracle hash-matches. */
+  private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+    val nToks = size(toks)
+    val nStop = size(filter(toks, t => lower(t).isInCollection(Stopwords)))
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+    val len = length(col("text"))
+    docs.select(
+      col("doc_id"),
+      len.cast("long").as("n_chars_text"),
+      nToks.cast("long").as("n_tokens"),
+      round(when(len > 0, nPunct.cast("double") / len).otherwise(lit(0.0)), 6)
+        .as("punct_ratio"),
+      round(when(nToks > 0, nStop.cast("double") / nToks).otherwise(lit(0.0)), 6)
+        .as("stop_ratio"),
+      // composite: long enough, not punctuation-soup, some stopwords
+      round(
+        when(len >= 20, lit(1.0)).otherwise(len.cast("double") / 20.0) *
+          (lit(1.0) - when(len > 0, nPunct.cast("double") / len).otherwise(lit(0.0))) *
+          when(nToks > 0, least(lit(1.0), nStop.cast("double") / nToks * 5.0 + lit(0.5)))
+            .otherwise(lit(0.0)),
+        6).as("quality"))
+  }
+
+  /** Marker-token language-ID heuristic (B8): count hits against small
+    * per-language marker sets over lowercase whitespace tokens; argmax with
+    * a deterministic tie-break (en > fr > de), 'und' when no marker hits. */
+  private val EnMarkers = Seq("the", "a", "of", "and", "is", "query", "join")
+  private val FrMarkers = Seq("le", "la", "et", "est", "de", "scan", "batch")
+  private val DeMarkers = Seq("der", "die", "das", "und", "ist", "merge", "sort")
+
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    def score(markers: Seq[String]) = size(filter(toks, t => t.isInCollection(markers)))
+    val sEn = score(EnMarkers); val sFr = score(FrMarkers); val sDe = score(DeMarkers)
+    docs.select(
+      col("doc_id"),
+      when(sEn >= sFr && sEn >= sDe && sEn > 0, "en")
+        .when(sFr >= sDe && sFr > 0, "fr")
+        .when(sDe > 0, "de")
+        .otherwise("und").as("pred_lang"))
+  }
+
+  /** Position-weighted polynomial fingerprint over token md5s (B11): a
+    * rolling-hash-style content fingerprint that is order-sensitive yet
+    * exactly reproducible in SQL. Each token contributes
+    * (1-based position) * first-8-hex-digits-of-md5, summed as bigint. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    // Spark transform index is 0-based; DuckDB list_transform's is 1-based —
+    // the (i+1) here and bare i in the oracle SQL line up.
+    val weighted = transform(
+      toks,
+      (t, i) => (i + 1).cast("long") * conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    docs.select(
+      col("doc_id"),
+      coalesce(aggregate(weighted, lit(0L), (acc, x) => acc + x), lit(0L))
+        .as("fingerprint"),
+      substring(md5(cleanText(col("text"))), 1, 16).as("content_hash16"))
+  }
+
+  /** Per-(lang, source) corpus aggregates (B12). */
+  def textStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF / DF / IDF / TF-IDF statistics and feature selection as declarative
+  * DataFrame aggregations.
+  *
+  * The reference computes these through ml.HashingTF + ml.IDF
+  * (reference Spark/NB/src/main/scala/NB.scala:74-80, minDocFreq variant
+  * Modified_NB.scala:76) and, Hadoop-side, through four chained MapReduce
+  * jobs (reference Hadoop/Modified_NB.java:49-327). Here they are plain
+  * groupBy aggregations: Catalyst gives map-side partial aggregation for
+  * free, so DF/IDF is one shuffle on the token key — the same
+  * communication pattern the Hadoop jobs hand-roll, minus the
+  * intermediate HDFS materializations.
+  *
+  * IDF uses Spark ml's smoothed formula ln((N+1)/(df+1)) (public ml.IDF
+  * doc), rounded to 6 dp so the DuckDB oracle hash-matches.
+  */
+object TfIdf {
+
+  /** (doc_id, token, tf) — term frequency (A7). */
+  def termFreq(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+
+  /** (token, df) — document frequency (A8). */
+  def docFreq(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
+
+  /** (token, df, idf) with Spark's smoothed IDF; minDocFreq filters tokens
+    * appearing in fewer documents (A9, A10; Modified_NB.scala:76 uses 5). */
+  def idf(docs: DataFrame, minDocFreq: Int = 0): DataFrame = {
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    docFreq(docs)
+      .filter(col("df") >= minDocFreq)
+      .crossJoin(broadcast(n))
+      .select(
+        col("token"), col("df"),
+        round(log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6).as("idf"))
+  }
+
+  /** (doc_id, token, tf, tfidf) (A11). Join on token: the IDF side is tiny
+    * (bounded vocabulary) so it is broadcast — no shuffle of the corpus. */
+  def tfidf(docs: DataFrame, minDocFreq: Int = 0): DataFrame =
+    termFreq(docs)
+      .join(broadcast(idf(docs, minDocFreq)), "token")
+      .select(
+        col("doc_id"), col("token"), col("tf"),
+        round(col("tf") * col("idf"), 6).as("tfidf"))
+
+  /** Per-document top-75%-by-TF-IDF feature selection (A17), the Spark-first
+    * restatement of the Hadoop job chain in reference
+    * Hadoop/Modified_NB.java:257-310 (keeps each doc's highest-scoring 75%
+    * of tokens). Deterministic tie-break on token name. */
+  def featureSelectTop(docs: DataFrame, keep: Double = 0.75): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+    tfidf(docs)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_tok", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("rk") <= ceil(col("n_tok") * keep))
+      .select("doc_id", "token", "tf", "tfidf")
+  }
+
+  /** HashingTF-equivalent bucketed term frequency (A7b): murmur3-hashed
+    * token -> fixed-width bucket, like ml.HashingTF (NB.scala:74). The
+    * fixed width bounds state at any corpus size. Not DuckDB-expressible
+    * (murmur3 seed differs) — covered by ScalaTest instead. */
+  def hashingTf(docs: DataFrame, numFeatures: Int = 1 << 18): DataFrame =
+    docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .select(col("doc_id"), pmod(hash(col("token")), lit(numFeatures)).as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("tf"))
+}
