@@ -60,14 +60,26 @@ object Sentiment {
 
   private def fitPredict(data: DataFrame,
                          clf: org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Model[_]],
-                         minDocFreq: Int): DataFrame = {
-    val feats = featurizer(minDocFreq = minDocFreq).fit(data).transform(data)
-      .withColumn("split", splitCol("id"))
-    val train = feats.filter(col("split") === "train")
-    val test = feats.filter(col("split") === "test")
+                         minDocFreq: Int): DataFrame =
+    fitPredictFeaturized(
+      featurizer(minDocFreq = minDocFreq).fit(data).transform(data), clf)
+
+  /** Train on the `id % 4 < 3` split of an (id, features, label) frame,
+    * predict the rest. Also the entry point for precomputed embeddings:
+    * pass an array column through [[vectorize]] first. */
+  def fitPredictFeaturized(feats: DataFrame,
+                           clf: org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Model[_]]): DataFrame = {
+    val withSplit = feats.withColumn("split", splitCol("id"))
+    val train = withSplit.filter(col("split") === "train")
+    val test = withSplit.filter(col("split") === "test")
     val model = clf.fit(train).asInstanceOf[org.apache.spark.ml.Model[_]]
     model.transform(test).select(col("id"), col("label"), col("prediction"))
   }
+
+  /** array<float|double> embedding column → ml Vector `features`. */
+  def vectorize(data: DataFrame, arrayCol: String): DataFrame =
+    data.withColumn("features",
+      org.apache.spark.ml.functions.array_to_vector(col(arrayCol)))
 
   /** Confusion matrix as a plain aggregation (A15; NB.scala:96-97 without
     * the RDD round-trip). */

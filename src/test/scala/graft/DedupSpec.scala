@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base + "!!!"), // same after cleaning -> exact dup
+    (3L, base.replace("lazy", "sleepy")), // near dup
+    (4L, "completely different text about query engines and distributed shuffles here"),
+    (5L, "another unrelated document speaking of parquet columns and vectorized reads"))
+    .map { case (id, t) => (id, t, "s1") }
+    .toDF("doc_id", "text", "source")
+
+  test("exact dedup groups identical normalized text") {
+    val out = Dedup.exact(docs).filter(col("n_copies") > 1).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("keeper_id") === 1L)
+    assert(out.head.getAs[Long]("n_copies") === 2L)
+  }
+
+  test("minhash LSH surfaces near-dup pairs, skips unrelated ones") {
+    val pairs = Dedup.minhashPairs(docs, jaccardMin = 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical after clean
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs have identical fingerprints; distinct docs differ") {
+    val fp = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(4L))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard is 1.0 for identical, high for near-dup, absent for unrelated") {
+    val out = Dedup.ngramJaccard(docs, simMin = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) === 1.0)
+    assert(out.contains((1L, 3L)))
+    assert(out((1L, 3L)) < 1.0)
+    assert(!out.contains((1L, 4L)))
+  }
+
+  test("no crossJoin in any dedup plan") {
+    for (df <- Seq(Dedup.minhashPairs(docs), Dedup.simhashPairs(docs),
+      Dedup.ngramJaccard(docs))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan.take(500))
+    }
+  }
+}

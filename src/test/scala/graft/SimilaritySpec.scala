@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic pseudo-random embeddings; vec 100 duplicates vec 1
+  private lazy val emb = {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 100L).map { id =>
+      val v = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+      (id, v.toSeq)
+    } :+ (100L, {
+      val rnd2 = new scala.util.Random(7)
+      val first = Array.fill(16)(rnd2.nextFloat() * 2 - 1)
+      first.toSeq
+    })
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val c = emb.filter(col("vec_id") === 0)
+      .select(round(Similarity.cosine(col("embedding"), col("embedding")), 9))
+      .as[Double].head()
+    assert(c === 1.0)
+  }
+
+  test("annTopK ranks the duplicated vector first") {
+    val top = Similarity.annTopK(emb, maxQueryId = 1, k = 3)
+      .filter(col("rnk") === 1).select("n_id", "cos").as[(Long, Double)].head()
+    assert(top._1 === 100L)
+    assert(top._2 === 1.0)
+  }
+
+  test("annIvf returns same-bucket neighbors in cosine order") {
+    val out = Similarity.annIvf(emb, maxQueryId = 3, k = 5, bits = 2).collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(2))
+      assert(sorted.map(_.getDouble(3)).toSeq === sorted.map(_.getDouble(3)).toSeq.sorted.reverse)
+    }
+  }
+
+  test("nearDupPairs finds the planted duplicate, bucketed not all-pairs") {
+    val pairs = Similarity.nearDupPairs(emb, cosMin = 0.99, bits = 8)
+    assert(pairs.select("a_id", "b_id").as[(Long, Long)].collect().toSet === Set((0L, 100L)))
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(500))
+  }
+}
