@@ -15,6 +15,13 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Re-spread a coarse scan to cluster width before CPU-heavy per-row
+    * stages. A single small parquet file scans as one partition, which
+    * would serialize regex/hash-heavy text work; the narrow shuffle is
+    * trivial relative to the compute it parallelizes. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Deterministic numeric label for classification demos: lang index. */
   private def langLabel = when(col("lang") === "en", 0.0)
     .when(col("lang") === "fr", 1.0).when(col("lang") === "es", 2.0)
@@ -29,13 +36,13 @@ object SparkEntry {
     // A. reference-derived text/TF-IDF surface
     "clean_text" -> ((s, d) => TextOps.cleanDocs(t(s, d, "documents"))),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(t(s, d, "documents"))),
-    "term_freq" -> ((s, d) => TfIdf.termFreq(t(s, d, "documents"))),
-    "doc_freq" -> ((s, d) => TfIdf.docFreq(t(s, d, "documents"))),
+    "term_freq" -> ((s, d) => TfIdf.termFreq(spread(t(s, d, "documents")))),
+    "doc_freq" -> ((s, d) => TfIdf.docFreq(spread(t(s, d, "documents")))),
     "idf" -> ((s, d) => TfIdf.idf(t(s, d, "documents"))),
     "idf_min_df5" -> ((s, d) => TfIdf.idf(t(s, d, "documents"), minDocFreq = 5)),
-    "tfidf" -> ((s, d) => TfIdf.tfidf(t(s, d, "documents"))),
-    "feature_select_top75" -> ((s, d) => TfIdf.featureSelectTop(t(s, d, "documents"))),
-    "hashing_tf" -> ((s, d) => TfIdf.hashingTf(t(s, d, "documents"))),
+    "tfidf" -> ((s, d) => TfIdf.tfidf(spread(t(s, d, "documents")))),
+    "feature_select_top75" -> ((s, d) => TfIdf.featureSelectTop(spread(t(s, d, "documents")))),
+    "hashing_tf" -> ((s, d) => TfIdf.hashingTf(spread(t(s, d, "documents")))),
     "train_test_split" -> ((s, d) => Sentiment.trainTestSplit(t(s, d, "documents"))),
 
     // ML pipelines (model outputs: rows-only check + ScalaTest)
@@ -64,9 +71,9 @@ object SparkEntry {
 
     // B. LLM-training-data pipeline
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
-    "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(t(s, d, "documents"))),
-    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 10)),
-    "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(t(s, d, "documents"))),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(spread(t(s, d, "documents")))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(spread(t(s, d, "documents")), maxHamming = 10)),
+    "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(spread(t(s, d, "documents")))),
     "embed_near_dup" -> ((s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"), cosMin = 0.3)),
     "ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),

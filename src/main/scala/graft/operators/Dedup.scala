@@ -22,14 +22,22 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** Token 3-gram shingles of the cleaned text, distinct, as stable
-    * 32-bit-ish longs (first 8 md5 hex digits). */
+  /** Token n-gram shingles of the cleaned text, distinct, as stable longs.
+    *
+    * Shape matters: each token is hashed once (md5 -> long), then the
+    * n-gram combine zips n shifted slices of that hash array. A lambda must
+    * never reference the token array itself — a non-lambda-bound expression
+    * inside a higher-order function is re-evaluated per element, turning
+    * the whole clean+tokenize chain quadratic per row. */
   def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextOps.tokens(text)
-    val grams = transform(
-      slice(toks, lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      (_, i) => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    array_distinct(transform(grams, g => conv(substring(md5(g), 1, 8), 16, 10).cast("long")))
+    val hashes = transform(TextOps.tokens(text), t => xxhash64(t))
+    // unbounded-length slices: zip_with null-pads the shorter side, and the
+    // padded tail (xor with null = null) is filtered off afterwards; this
+    // evaluates `hashes` n times per row instead of 2n
+    val parts = (1 to n).map(i => slice(hashes, lit(i), lit(1 << 30)))
+    val combined = parts.reduce((acc, nxt) => zip_with(acc, nxt,
+      (a, b) => shiftleft(a, 13).bitwiseXOR(shiftright(a, 7)).bitwiseXOR(b)))
+    array_distinct(filter(combined, c => c.isNotNull))
   }
 
   /** Universal-hash minhash signature: for hash j, min over shingles s of
@@ -40,7 +48,8 @@ object Dedup {
       // a stays < 2^24 so a * s (< 2^32) cannot overflow a long
       val a = 976369L + 2 * j // odd, fixed per j
       val b = 179426549L * (j + 1) % p
-      array_min(transform(sh, s => (s * a + b) % p))
+      // mask shingle hashes to 32 bits so a * s stays within a long
+      array_min(transform(sh, s => (s.bitwiseAND(0xFFFFFFFFL) * a + b) % p))
     }
     array(cols: _*)
   }
@@ -65,17 +74,21 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bucket"))
 
-    val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("b_id"), col("sh").as("b_sh"))
-
-    a.join(b, Seq("band", "bucket"))
+    // distinct candidate pairs FIRST — a pair colliding in several bands
+    // must be verified once, not once per band
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
+    val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+
+    val shOnly = sig.select(col("doc_id"), col("sh"))
+    cand
+      .join(shOnly.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(shOnly.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .select(col("a_id"), col("b_id"),
         round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
           size(array_union(col("a_sh"), col("b_sh"))), 6).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= jaccardMin)
   }
 
@@ -127,13 +140,23 @@ object Dedup {
                    simMin: Double = 0.3): DataFrame = {
     val sh = docs.select(col("doc_id"), col(blockCol).as("blk"),
       shingles(col("text")).as("sh")).filter(size(col("sh")) > 0)
-    val a = sh.select(col("blk"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val b = sh.select(col("blk"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    a.join(b, Seq("blk"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    // explode + equi-join on the shingle itself: pairs sharing no shingle
+    // never materialize, unlike an all-pairs-within-block array compare.
+    // |A∩B| arrives as a join-count; |A∪B| = |A| + |B| - |A∩B|.
+    // Skewed ultra-frequent shingles would be capped/salted at 100 TB.
+    val ex = sh.select(col("blk"), col("doc_id"), explode(col("sh")).as("s"))
+    val common = ex.select(col("blk"), col("s"), col("doc_id").as("a_id"))
+      .join(ex.select(col("blk"), col("s"), col("doc_id").as("b_id")), Seq("blk", "s"))
       .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("a_n")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("b_n")), "b_id")
       .select(col("a_id"), col("b_id"),
-        round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh"))), 6).as("jaccard"))
+        round(col("common").cast("double") /
+          (col("a_n") + col("b_n") - col("common")), 6).as("jaccard"))
       .filter(col("jaccard") >= simMin)
   }
 }
