@@ -69,7 +69,10 @@ object Sentiment {
     * pass an array column through [[vectorize]] first. */
   def fitPredictFeaturized(feats: DataFrame,
                            clf: org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Model[_]]): DataFrame = {
+    // persist: iterative estimators (LinearSVC does maxIter passes) and the
+    // test-side transform must not re-run the featurize chain per pass
     val withSplit = feats.withColumn("split", splitCol("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val train = withSplit.filter(col("split") === "train")
     val test = withSplit.filter(col("split") === "test")
     val model = clf.fit(train).asInstanceOf[org.apache.spark.ml.Model[_]]
