@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftshim.{ColumnShim => ExpressionUtils}
+
+/** Column-API and SQL registration for graft's native expressions. */
+object GraftFunctions {
+
+  /** cosine similarity as a typed Column (no registry needed). */
+  def cosine(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  private val cosineInfo = new ExpressionInfo(
+    classOf[CosineSimilarity].getCanonicalName, "graft_cosine")
+
+  private def builder(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "graft_cosine expects exactly 2 arguments")
+    CosineSimilarity(children.head, children(1))
+  }
+
+  /** Imperative registration so `spark.sql("SELECT graft_cosine(a, b)")`
+    * works on an existing session (e.g. the driver-created one). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_cosine"), cosineInfo, builder _)
+}
+
+/** Config-time injection: `.config("spark.sql.extensions",
+  * "graft.functions.GraftExtensions")` — the (c) extension path from
+  * SURVEY.md §3 for deployments that can't call register() imperatively. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+}

@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product over double-cast elements. */
+  /** Sequential-fold dot product over double-cast elements (declarative
+    * twin of the native expression; kept for cross-checking). */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -27,7 +28,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Declarative composition — bit-identical to [[cosine]]. */
+  def cosineDeclarative(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Native codegen'd cosine (graft.functions.CosineSimilarity): one
+    * primitive double loop inside whole-stage codegen instead of three
+    * interpreted higher-order folds. Same bits, ~n× fewer allocations. */
+  def cosine(a: Column, b: Column): Column = graft.functions.GraftFunctions.cosine(a, b)
 
   /** Sign-LSH bucket over the first `bits` dimensions (axis-aligned
     * hyperplanes): deterministic, SQL-reproducible, bounded key space. */
