@@ -184,6 +184,18 @@ object Oracles {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
 
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |w AS (SELECT user_id, event_id, us,
+        |      lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+        |f AS (SELECT user_id, event_id, us,
+        |      CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS nsf FROM w),
+        |s AS (SELECT user_id, us,
+        |      CAST(sum(nsf) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f)
+        |SELECT user_id, session_id, min(us) AS session_start_us, max(us) AS session_end_us,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
     "events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n_events,

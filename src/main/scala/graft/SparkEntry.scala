@@ -94,6 +94,11 @@ object SparkEntry {
       Relational.eventsWindow(
         t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000"))))
     }),
+    "events_sessionize" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Sessionize.byLag(
+        t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    }),
     "csv_ingest" -> ((s, _) =>
       s.read.option("header", "true").option("quote", "\"").option("escape", "\"")
         .option("inferSchema", "false")

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization of the events stream (C5): a new session
+  * starts when a user's inter-event gap exceeds `gapMinutes`.
+  *
+  * Two equivalent implementations:
+  *  - [[byLag]]: lag + running conditional sum — classic window-function
+  *    form, exactly reproducible in the DuckDB oracle;
+  *  - [[bySessionWindow]]: Spark's native session_window, which also runs
+  *    under Structured Streaming with watermark-bounded state.
+  *
+  * Scale: one shuffle on user_id; windows sort within partition. Skewed
+  * power-users are bounded by per-user event counts, and AQE handles
+  * stragglers.
+  */
+object Sessionize {
+
+  /** (user_id, session_id, session_start_us, session_end_us, n_events). */
+  def byLag(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val order = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(order))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min(col("us")).as("session_start_us"),
+        max(col("us")).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Same sessions via the built-in session_window (streaming-capable). */
+  def bySessionWindow(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+}
