@@ -131,6 +131,14 @@ object Oracles {
         |  round(avg(n_chars), 4) AS avg_chars
         |FROM documents GROUP BY lang, source""".stripMargin,
 
+    "char_percentiles" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(quantile_cont(n_chars, 0.25), 4) AS p25,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.75), 4) AS p75,
+        |  round(quantile_cont(n_chars, 0.95), 4) AS p95
+        |FROM documents GROUP BY lang""".stripMargin,
+
     "dedup_exact" ->
       (s"SELECT md5($clean) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1"),

@@ -81,6 +81,8 @@ object SparkEntry {
     "token_stats" -> ((s, d) => TextOps.tokenStats(t(s, d, "documents"))),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),
     "text_stats" -> ((s, d) => TextOps.textStats(t(s, d, "documents"))),
+    "char_percentiles" -> ((s, d) => TextOps.charPercentiles(t(s, d, "documents"))),
+    "approx_distinct_tokens" -> ((s, d) => TextOps.approxDistinctTokens(t(s, d, "documents"))),
     "mm_extract" -> ((s, d) => Multimodal.extract(t(s, d, "documents"))),
 
     // C. engine breadth

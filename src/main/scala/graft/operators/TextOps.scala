@@ -124,6 +124,26 @@ object TextOps {
       substring(md5(cleanText(col("text"))), 1, 16).as("content_hash16"))
   }
 
+  /** Per-lang char-length percentiles (B12b): exact linear-interpolation
+    * percentiles, the distribution profile a corpus curation pass reads. */
+  def charPercentiles(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(percentile(col("n_chars"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("n_chars"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("n_chars"), lit(0.75)), 4).as("p75"),
+        round(percentile(col("n_chars"), lit(0.95)), 4).as("p95"))
+
+  /** Approximate distinct tokens per lang via HLL++ (B12c): the sketch
+    * path for cardinality at 100 TB (bounded state, mergeable). Not
+    * DuckDB-reproducible (different sketch); ScalaTest checks the estimate
+    * against the exact count. */
+  def approxDistinctTokens(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy("lang")
+      .agg(approx_count_distinct(col("token")).as("approx_tokens"))
+
   /** Per-(lang, source) corpus aggregates (B12). */
   def textStats(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang"), col("source"))

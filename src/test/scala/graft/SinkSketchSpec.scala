@@ -1,0 +1,37 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+import graft.sources.ParquetSink
+
+class SinkSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned parquet sink round-trips and prunes partitions") {
+    val dir = Files.createTempDirectory("graft_sink").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ParquetSink.write(docs, dir, Seq("lang"))
+    val back = ParquetSink.read(spark, dir)
+    assert(back.count() === docs.count())
+    // partition pruning visible in the plan: only lang=en directory scanned
+    val pruned = back.filter(col("lang") === "en")
+    assert(pruned.count() ===
+      docs.filter(col("lang") === "en").count())
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(!scan.contains("PartitionFilters: []"), scan.take(800))
+  }
+
+  test("HLL approx distinct tokens is within 10% of exact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val approx = TextOps.approxDistinctTokens(docs)
+      .as[(String, Long)].collect().toMap
+    val exact = docs.select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("lang").agg(countDistinct("token").as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (lang, n) =>
+      assert(math.abs(approx(lang) - n) <= math.max(1L, (n * 0.1).toLong),
+        s"$lang approx ${approx(lang)} vs exact $n")
+    }
+  }
+}
