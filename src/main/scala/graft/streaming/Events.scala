@@ -10,6 +10,29 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  case class UserActivity(userId: Long, nEvents: Long, sumValueCents: Long)
+
+  /** Custom accumulating state per user via mapGroupsWithState (the
+    * KeyValueGroupedDataset path for logic window aggregates can't
+    * express). Emits the running total after every micro-batch; state is
+    * one fixed-size record per active user — bounded, checkpointable. */
+  def runningUserActivity(events: org.apache.spark.sql.Dataset[(Long, Double)])
+  : org.apache.spark.sql.Dataset[UserActivity] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.groupByKey(_._1)
+      .mapGroupsWithState[UserActivity, UserActivity](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          val prev = state.getOption.getOrElse(UserActivity(user, 0L, 0L))
+          var n = prev.nEvents
+          var cents = prev.sumValueCents
+          rows.foreach { case (_, v) => n += 1; cents += math.round(v * 100) }
+          val next = UserActivity(user, n, cents)
+          state.update(next)
+          next
+      }
+  }
+
   /** Windowed aggregation usable on a streaming or batch events frame. */
   def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
     val withWm =

@@ -8,6 +8,26 @@ import graft.streaming.Events
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("mapGroupsWithState accumulates per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Double)]
+    val q = Events.runningUserActivity(stream.toDS())
+      .writeStream.format("memory").queryName("user_state")
+      .outputMode("update").start()
+
+    stream.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+    q.processAllAvailable()
+    stream.addData((1L, 3.0))
+    q.processAllAvailable()
+    q.stop()
+
+    // last update per user wins
+    val last = spark.table("user_state")
+      .groupBy("userId").agg(max("nEvents").as("n"), max("sumValueCents").as("cents"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(last === Set((1L, 3L, 600L), (2L, 1L, 500L)))
+  }
+
   test("streaming windowed counts equal the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq(
