@@ -33,9 +33,11 @@ object GraftFunctions {
   * "graft.functions.GraftExtensions")` — the (c) extension path from
   * SURVEY.md §3 for deployments that can't call register() imperatively. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }

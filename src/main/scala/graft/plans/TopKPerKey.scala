@@ -1,0 +1,109 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.graftshim.{ColumnShim, PlanShim}
+
+/** Whole-operator extension (SURVEY.md §3 path (c)): top-k rows per key.
+  *
+  * The declarative alternative — `row_number().over(Window.partitionBy(keys)
+  * .orderBy(...)) <= k` — sorts EVERY row of every key group. This operator
+  * keeps a bounded heap of k rows per key instead, in two phases mirroring
+  * partial aggregation: a map-side pass caps each partition's contribution
+  * at k rows per key, the shuffle moves only those survivors, and the
+  * reduce-side pass merges heaps. At 100 TB with millions of rows per key
+  * the shuffle shrinks by orders of magnitude and nothing is globally
+  * sorted.
+  *
+  * Registered as a planner strategy via GraftExtensions or
+  * `spark.experimental.extraStrategies`.
+  */
+case class TopKPerKeyPlan(k: Int, partitionExprs: Seq[Expression],
+                          order: Seq[SortOrder], child: LogicalPlan)
+    extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(k: Int, partitionExprs: Seq[Expression],
+                          order: Seq[SortOrder], child: SparkPlan,
+                          partial: Boolean)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(partitionExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val partExprs = partitionExprs
+    val sortOrder = order
+    val childOutput = child.output
+    child.execute().mapPartitions { rows =>
+      val keyProj = UnsafeProjection.create(partExprs, childOutput)
+      val rowOrd = PlanShim.ordering(sortOrder, childOutput)
+      // per key: bounded max-heap holding the current best k (heap head =
+      // worst of the kept rows, evicted when a better row arrives)
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      rows.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, rowOrd.reverse)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size() < kLocal) heap.add(row.copy())
+        else if (rowOrd.compare(row, heap.peek()) < 0) {
+          heap.poll(); heap.add(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyPlan(k, part, order, child) =>
+      val partialExec = TopKPerKeyExec(k, part, order, planLater(child), partial = true)
+      TopKPerKeyExec(k, part, order, partialExec, partial = false) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopK {
+  /** Keep the best `k` rows per key, "best" = first under `orderBy`
+    * ((column, ascending) pairs; give a total order — add a tiebreaker
+    * column — for deterministic results). Requires TopKStrategy to be
+    * registered (GraftExtensions or experimental.extraStrategies). */
+  def topKPerKey(df: DataFrame, keys: Seq[String],
+                 orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
+    val sortOrders = orderBy.map { case (name, asc) =>
+      SortOrder(UnresolvedAttribute.quoted(name), if (asc) Ascending else Descending)
+    }
+    PlanShim.ofRows(df.sparkSession,
+      TopKPerKeyPlan(k, keys.map(UnresolvedAttribute.quoted), sortOrders,
+        PlanShim.logicalPlan(df)))
+  }
+
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+}
