@@ -53,8 +53,19 @@ object Similarity {
         col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(cosine(col("q_emb"), col("n_emb")), 6).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** Top-k prune with the custom heap operator (graft.plans.TopK), then
+    * rank only the <=k survivors per key with a (now trivially small)
+    * window. Identical output to ranking everything; the full corpus is
+    * never sorted. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    graft.plans.TopK.register(scored.sparkSession)
+    val pruned = graft.plans.TopK.topKPerKey(
+      scored, Seq("q_id"), Seq("cos" -> false, "n_id" -> true), k)
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
+    pruned.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select("q_id", "n_id", "rnk", "cos")
   }
@@ -73,10 +84,7 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(cosine(col("q_emb"), col("n_emb")), 6).as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("q_id", "n_id", "rnk", "cos")
+    rankTopK(scored, k)
   }
 
   /** B5: embedding-cosine near-duplicate pairs, sign-LSH blocked (same
