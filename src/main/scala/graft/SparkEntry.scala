@@ -56,6 +56,20 @@ object SparkEntry {
           when(col("lang") === "en", 1.0).otherwise(0.0).as("label")))
         .groupBy("prediction").agg(count(lit(1)).as("n"))),
 
+    // "Modified" variants (Modified_NB.scala:76, Modified_SVM.scala:76):
+    // IDF with minDocFreq=5 before the classifier
+    "nb_predictions_mindf5" -> ((s, d) =>
+      Sentiment.nbPredictions(
+        t(s, d, "documents").select(col("doc_id").as("id"), col("text"), langLabel.as("label")),
+        minDocFreq = 5)
+        .groupBy("prediction").agg(count(lit(1)).as("n"))),
+    "svm_predictions_mindf5" -> ((s, d) =>
+      Sentiment.svmPredictions(
+        t(s, d, "documents").select(col("doc_id").as("id"), col("text"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("label")),
+        minDocFreq = 5)
+        .groupBy("prediction").agg(count(lit(1)).as("n"))),
+
     // deterministic rule-based classifier → oracle-checkable metrics
     "lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
     "confusion_matrix" -> ((s, d) =>
@@ -77,6 +91,7 @@ object SparkEntry {
     "embed_near_dup" -> ((s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"), cosMin = 0.3)),
     "ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
+    "ann_ivf_kmeans" -> ((s, d) => Similarity.annIvfKmeans(t(s, d, "embeddings"))),
     "quality_score" -> ((s, d) => TextOps.qualityScore(t(s, d, "documents"))),
     "token_stats" -> ((s, d) => TextOps.tokenStats(t(s, d, "documents"))),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),

@@ -87,6 +87,48 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** True IVF ANN: coarse quantizer = KMeans centroids fit on a sample,
+    * corpus assigned to nearest-centroid cells once, queries probe
+    * `nProbe` nearest cells. The inverted-file structure proper — at
+    * 100 TB the cell assignment is a write-once partitioning column and
+    * probing prunes the scan to nProbe/nCells of the corpus. Model-based
+    * (rows-only check + recall ScalaTest). */
+  def annIvfKmeans(emb: DataFrame, maxQueryId: Long = 10, k: Int = 5,
+                   nCells: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = emb.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+    val model = km.fit(vecs.select("features"))
+    val assigned = model.transform(vecs)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // queries probe their nProbe nearest centroids
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat).toSeq)
+    }.toSeq
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(centroids.toDF("cell", "centroid"))
+    val q = assigned.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = q.join(centDf, cosine(col("q_emb"), col("centroid")).isNotNull)
+      .select(col("q_id"), col("q_emb"), col("cell"),
+        cosine(col("q_emb"), col("centroid")).as("csim"))
+    graft.plans.TopK.register(spark)
+    val probed = graft.plans.TopK.topKPerKey(
+      probes, Seq("q_id"), Seq("csim" -> false, "cell" -> true), nProbe)
+      .select("q_id", "q_emb", "cell")
+    val scored = broadcast(probed)
+      .join(assigned.select(col("cell"), col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_emb"), col("n_emb")), 6).as("cos"))
+    rankTopK(scored, k)
+  }
+
   /** B5: embedding-cosine near-duplicate pairs, sign-LSH blocked (same
     * bucket only — never all-pairs). */
   def nearDupPairs(emb: DataFrame, cosMin: Double = 0.8, bits: Int = 8): DataFrame = {

@@ -44,6 +44,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annIvfKmeans: wellformed, deterministic, probes only its cells") {
+    val emb2 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.annIvfKmeans(emb2, maxQueryId = 5, k = 3).collect()
+    val b = Similarity.annIvfKmeans(emb2, maxQueryId = 5, k = 3).collect()
+    assert(a.map(_.toString).sorted.toSeq === b.map(_.toString).sorted.toSeq)
+    val byQ = a.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.values.foreach { rows =>
+      assert(rows.length <= 3)
+      val sorted = rows.sortBy(_.getLong(2))
+      assert(sorted.map(_.getDouble(3)).toSeq ===
+        sorted.map(_.getDouble(3)).toSeq.sorted.reverse)
+    }
+  }
+
   test("nearDupPairs finds the planted duplicate, bucketed not all-pairs") {
     val pairs = Similarity.nearDupPairs(emb, cosMin = 0.99, bits = 8)
     assert(pairs.select("a_id", "b_id").as[(Long, Long)].collect().toSet === Set((0L, 100L)))
