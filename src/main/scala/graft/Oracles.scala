@@ -92,9 +92,9 @@ object Oracles {
          |per3 AS (SELECT support, prec, rec,
          |  CASE WHEN prec + rec > 0 THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END AS f1 FROM per2)
          |SELECT round(CAST(correct AS DOUBLE) / total, 6) AS accuracy,
-         |  round((SELECT sum(prec * support / total) FROM per3), 6) AS weighted_precision,
-         |  round((SELECT sum(rec * support / total) FROM per3), 6) AS weighted_recall,
-         |  round((SELECT sum(f1 * support / total) FROM per3), 6) AS weighted_f1
+         |  round((SELECT list_reduce(list_sort(list(prec * support / total)), (a, b) -> a + b) FROM per3), 6) AS weighted_precision,
+         |  round((SELECT list_reduce(list_sort(list(rec * support / total)), (a, b) -> a + b) FROM per3), 6) AS weighted_recall,
+         |  round((SELECT list_reduce(list_sort(list(f1 * support / total)), (a, b) -> a + b) FROM per3), 6) AS weighted_f1
          |FROM tot""".stripMargin,
 
     "quality_score" ->
@@ -138,6 +138,13 @@ object Oracles {
         |  round(quantile_cont(n_chars, 0.75), 4) AS p75,
         |  round(quantile_cont(n_chars, 0.95), 4) AS p95
         |FROM documents GROUP BY lang""".stripMargin,
+
+    "curation_pipeline" ->
+      s"""WITH c AS (SELECT doc_id, $clean AS clean, len($toks)::BIGINT AS n_tokens FROM documents),
+         |f AS (SELECT * FROM c WHERE n_tokens >= 5)
+         |SELECT doc_id, clean, n_tokens FROM
+         |  (SELECT *, min(doc_id) OVER (PARTITION BY md5(clean)) AS kid FROM f)
+         |WHERE doc_id = kid""".stripMargin,
 
     "dedup_exact" ->
       (s"SELECT md5($clean) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies " +

@@ -99,6 +99,7 @@ object SparkEntry {
     "char_percentiles" -> ((s, d) => TextOps.charPercentiles(t(s, d, "documents"))),
     "approx_distinct_tokens" -> ((s, d) => TextOps.approxDistinctTokens(t(s, d, "documents"))),
     "mm_extract" -> ((s, d) => Multimodal.extract(t(s, d, "documents"))),
+    "curation_pipeline" -> ((s, d) => TextOps.curate(spread(t(s, d, "documents")))),
 
     // C. engine breadth
     "lineitem_agg" -> ((s, d) => Relational.lineitemAgg(t(s, d, "lineitem"))),

@@ -114,6 +114,12 @@ object Sentiment {
         when(col("precision") + col("recall") > 0,
           lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
           .otherwise(0.0))
+    // double sums are order-sensitive in the last bits and aggregation
+    // order is nondeterministic — sort the handful of per-class terms and
+    // fold sequentially so the result is bit-stable (the oracle does the
+    // same with list_sort + list_reduce)
+    def stableSum(c: org.apache.spark.sql.Column) =
+      aggregate(sort_array(collect_list(c)), lit(0.0), (acc, x) => acc + x)
     perClass
       .crossJoin(broadcast(total))
       .select(
@@ -121,9 +127,9 @@ object Sentiment {
         (col("precision") * col("support") / col("total")).as("wp_part"),
         (col("recall") * col("support") / col("total")).as("wr_part"))
       .agg(
-        round(sum("wf1_part"), 6).as("weighted_f1"),
-        round(sum("wp_part"), 6).as("weighted_precision"),
-        round(sum("wr_part"), 6).as("weighted_recall"))
+        round(stableSum(col("wf1_part")), 6).as("weighted_f1"),
+        round(stableSum(col("wp_part")), 6).as("weighted_precision"),
+        round(stableSum(col("wr_part")), 6).as("weighted_recall"))
       .crossJoin(broadcast(correct.crossJoin(total)
         .select(round(col("correct").cast("double") / col("total"), 6).as("accuracy"))))
       .select("accuracy", "weighted_precision", "weighted_recall", "weighted_f1")

@@ -144,6 +144,23 @@ object TextOps {
       .groupBy("lang")
       .agg(approx_count_distinct(col("token")).as("approx_tokens"))
 
+  /** End-to-end curation pipeline (B14): length-filter → clean →
+    * exact-dedup keep-first — the composed flow a training-data pass runs,
+    * as one declarative plan (filter pushes down, dedup is one shuffle on
+    * the content hash). */
+  def curate(docs: DataFrame, minTokens: Int = 5): DataFrame = {
+    val cleaned = docs.select(
+      col("doc_id"),
+      cleanText(col("text")).as("clean"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= minTokens)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("clean")))
+    cleaned
+      .withColumn("kid", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("kid"))
+      .select("doc_id", "clean", "n_tokens")
+  }
+
   /** Per-(lang, source) corpus aggregates (B12). */
   def textStats(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang"), col("source"))

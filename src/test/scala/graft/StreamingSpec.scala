@@ -28,6 +28,29 @@ class StreamingSpec extends SparkSpec {
     assert(last === Set((1L, 3L, 600L), (2L, 1L, 500L)))
   }
 
+  test("file-source readStream over parquet equals batch on the same files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val batchDf = Seq(
+      (Timestamp.valueOf("2024-02-01 08:10:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-02-01 08:40:00"), "view", 2.0),
+      (Timestamp.valueOf("2024-02-01 09:05:00"), "click", 3.0))
+      .toDF("ts", "event_type", "value")
+    batchDf.write.mode("overwrite").parquet(dir)
+
+    val streamDf = spark.readStream.schema(batchDf.schema).parquet(dir)
+    val q = Events.windowedCounts(streamDf).writeStream
+      .format("memory").queryName("file_win").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("file_win")
+      .as[(String, String, Long, Long)].collect().toSet
+    val batch = Events.windowedCounts(batchDf)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming windowed counts equal the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq(
