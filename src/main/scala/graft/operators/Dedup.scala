@@ -29,7 +29,16 @@ object Dedup {
     * never reference the token array itself — a non-lambda-bound expression
     * inside a higher-order function is re-evaluated per element, turning
     * the whole clean+tokenize chain quadratic per row. */
-  def shingles(text: Column, n: Int = 3): Column = {
+  def shingles(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.functions.NGramShingleHash(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(TextOps.cleanText(text)), n))
+
+  /** Declarative twin of [[shingles]] (bit-identical; kept for the parity
+    * spec). Note the shape: each lambda only touches bound variables —
+    * referencing `hashes` inside one would re-evaluate the whole
+    * clean+tokenize chain per element. */
+  def shinglesDeclarative(text: Column, n: Int = 3): Column = {
     val hashes = transform(TextOps.tokens(text), t => xxhash64(t))
     // unbounded-length slices: zip_with null-pads the shorter side, and the
     // padded tail (xor with null = null) is filtered off afterwards; this

@@ -66,6 +66,23 @@ class SentimentSpec extends SparkSpec {
     assert(m.getAs[Double]("weighted_f1") === math.rint(2.0 / 3 * 1e6) / 1e6)
   }
 
+  test("fitted pipeline persists and reloads with identical predictions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString
+    val feats = Sentiment.featurizer().fit(corpus)
+    val transformed = feats.transform(corpus)
+    val model = new org.apache.spark.ml.classification.NaiveBayes()
+      .setFeaturesCol("features").fit(transformed)
+    model.write.overwrite().save(s"$dir/nb")
+    feats.write.overwrite().save(s"$dir/featurizer")
+    val reFeats = org.apache.spark.ml.PipelineModel.load(s"$dir/featurizer")
+    val reModel = org.apache.spark.ml.classification.NaiveBayesModel.load(s"$dir/nb")
+    val a = model.transform(transformed).select("id", "prediction")
+      .as[(Long, Double)].collect().toMap
+    val b = reModel.transform(reFeats.transform(corpus)).select("id", "prediction")
+      .as[(Long, Double)].collect().toMap
+    assert(a === b)
+  }
+
   test("confusion matrix totals preserve row count") {
     val preds = Sentiment.nbPredictions(corpus)
     val cmTotal = Sentiment.confusionMatrix(preds).agg(sum("n")).as[Long].head()
