@@ -39,5 +39,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
   }
 }

@@ -13,13 +13,13 @@ import org.apache.spark.sql.graftshim.{ColumnShim, PlanShim}
 /** Whole-operator extension (SURVEY.md §3 path (c)): top-k rows per key.
   *
   * The declarative alternative — `row_number().over(Window.partitionBy(keys)
-  * .orderBy(...)) <= k` — sorts EVERY row of every key group. This operator
+  * .orderBy(...)) <= k` — sorts each partition (Spark's
+  * InferWindowGroupLimit bounds rows per group first, but both its phases
+  * still sort, and the Window still evaluates afterwards). This operator
   * keeps a bounded heap of k rows per key instead, in two phases mirroring
   * partial aggregation: a map-side pass caps each partition's contribution
   * at k rows per key, the shuffle moves only those survivors, and the
-  * reduce-side pass merges heaps. At 100 TB with millions of rows per key
-  * the shuffle shrinks by orders of magnitude and nothing is globally
-  * sorted.
+  * reduce-side pass merges heaps — no sort anywhere.
   *
   * Registered as a planner strategy via GraftExtensions or
   * `spark.experimental.extraStrategies`.
