@@ -146,6 +146,29 @@ object Oracles {
          |  (SELECT *, min(doc_id) OVER (PARTITION BY md5(clean)) AS kid FROM f)
          |WHERE doc_id = kid""".stripMargin,
 
+    "dedup_filtered" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM
+         |  (SELECT doc_id, lang, source, n_chars,
+         |          min(doc_id) OVER (PARTITION BY md5($clean)) AS kid FROM documents)
+         |WHERE doc_id = kid""".stripMargin,
+
+    "top_orders" ->
+      """WITH j AS (SELECT n_name, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |r AS (SELECT n_name, o_orderkey, price_cents,
+        |  row_number() OVER (PARTITION BY n_name ORDER BY price_cents DESC, o_orderkey) AS rnk FROM j)
+        |SELECT n_name, o_orderkey, rnk, price_cents FROM r WHERE rnk <= 3""".stripMargin,
+
+    "events_cumulative" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS v_cents FROM events)
+        |SELECT event_id, user_id, us,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS cum_events,
+        |  CAST(sum(v_cents) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        |FROM e""".stripMargin,
+
     "dedup_exact" ->
       (s"SELECT md5($clean) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1"),

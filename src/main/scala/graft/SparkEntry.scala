@@ -100,6 +100,7 @@ object SparkEntry {
     "approx_distinct_tokens" -> ((s, d) => TextOps.approxDistinctTokens(t(s, d, "documents"))),
     "mm_extract" -> ((s, d) => Multimodal.extract(t(s, d, "documents"))),
     "curation_pipeline" -> ((s, d) => TextOps.curate(spread(t(s, d, "documents")))),
+    "dedup_filtered" -> ((s, d) => TextOps.dedupFiltered(t(s, d, "documents"))),
 
     // C. engine breadth
     "lineitem_agg" -> ((s, d) => Relational.lineitemAgg(t(s, d, "lineitem"))),
@@ -110,6 +111,13 @@ object SparkEntry {
       // reader rejects — read as long nanos and convert to micros.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Relational.eventsWindow(
+        t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    }),
+    "top_orders" -> ((s, d) =>
+      Relational.topOrdersPerNation(t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
+    "events_cumulative" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Relational.eventsCumulative(
         t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000"))))
     }),
     "events_sessionize" -> ((s, d) => {

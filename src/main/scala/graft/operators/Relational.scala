@@ -40,6 +40,40 @@ object Relational {
         count(lit(1)).as("n_orders"),
         sum(cents(col("o_totalprice"))).as("revenue_cents"))
 
+  /** Per-user running totals over the event stream (C13): cumulative
+    * count and exact integer-cents sum, ordered by (ts, event_id). One
+    * shuffle on user_id; windows sort within partition. */
+  def eventsCumulative(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    events
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), cents(col("value")).as("v_cents"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        count(lit(1)).over(w).as("cum_events"),
+        sum(col("v_cents")).over(w).as("cum_cents"))
+  }
+
+  /** Top-N orders by price per nation (C14) — an oracle-checked query
+    * that runs through the custom TopKPerKey heap operator
+    * (graft.plans.TopK) with the final ranking done on the <=N survivors. */
+  def topOrdersPerNation(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+                         n: Int = 3): DataFrame = {
+    graft.plans.TopK.register(orders.sparkSession)
+    val joined = orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .select(col("n_name"), col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+    val pruned = graft.plans.TopK.topKPerKey(
+      joined, Seq("n_name"), Seq("price_cents" -> false, "o_orderkey" -> true), n)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n_name").orderBy(col("price_cents").desc, col("o_orderkey"))
+    pruned.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= n)
+      .select("n_name", "o_orderkey", "rnk", "price_cents")
+  }
+
   /** Tumbling 1-hour window aggregation over events (C3) — the batch twin
     * of the Structured Streaming query in graft.streaming.Events. */
   def eventsWindow(events: DataFrame): DataFrame =

@@ -161,6 +161,18 @@ object TextOps {
       .select("doc_id", "clean", "n_tokens")
   }
 
+  /** The deduplicated corpus itself (B1b): keep-first on the content
+    * hash, original metadata columns preserved — what a curation pass
+    * actually writes back out. */
+  def dedupFiltered(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(cleanText(col("text"))))
+    docs
+      .withColumn("kid", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("kid"))
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   /** Per-(lang, source) corpus aggregates (B12). */
   def textStats(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang"), col("source"))
