@@ -121,7 +121,7 @@ object Oracles {
 
     "doc_fingerprint" ->
       s"""SELECT doc_id,
-         |  CAST(coalesce(list_sum(list_transform($toks, (t, i) -> CAST(i AS BIGINT) * ('0x' || substr(md5(t), 1, 8))::BIGINT)), 0) AS BIGINT) AS fingerprint,
+         |  CAST(coalesce(list_sum(list_transform($toks, (t, i) -> (CAST(i AS BIGINT) * ('0x' || substr(md5(t), 1, 8))::BIGINT) % 2147483647)), 0) AS BIGINT) AS fingerprint,
          |  substr(md5($clean), 1, 16) AS content_hash16
          |FROM documents""".stripMargin,
 

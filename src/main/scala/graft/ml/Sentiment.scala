@@ -76,7 +76,13 @@ object Sentiment {
     val train = withSplit.filter(col("split") === "train")
     val test = withSplit.filter(col("split") === "test")
     val model = clf.fit(train).asInstanceOf[org.apache.spark.ml.Model[_]]
-    model.transform(test).select(col("id"), col("label"), col("prediction"))
+    // materialize the small prediction frame so the big featurized cache
+    // can be released instead of pinning executor memory for the session
+    val preds = model.transform(test).select(col("id"), col("label"), col("prediction"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    preds.count()
+    withSplit.unpersist()
+    preds
   }
 
   /** array<float|double> embedding column → ml Vector `features`. */
@@ -120,7 +126,7 @@ object Sentiment {
     // same with list_sort + list_reduce)
     def stableSum(c: org.apache.spark.sql.Column) =
       aggregate(sort_array(collect_list(c)), lit(0.0), (acc, x) => acc + x)
-    perClass
+    val out = perClass
       .crossJoin(broadcast(total))
       .select(
         (col("f1") * col("support") / col("total")).as("wf1_part"),
@@ -133,5 +139,9 @@ object Sentiment {
       .crossJoin(broadcast(correct.crossJoin(total)
         .select(round(col("correct").cast("double") / col("total"), 6).as("accuracy"))))
       .select("accuracy", "weighted_precision", "weighted_recall", "weighted_f1")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    cm.unpersist() // one-row result is cached; drop the confusion cache
+    out
   }
 }

@@ -119,16 +119,22 @@ object Dedup {
       .select(col("doc_id"), fp.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: block on the 4 16-bit quarters of the
-    * fingerprint (any pair within hamming distance <= maxHamming shares at
-    * least one identical quarter when maxHamming <= 3 — pigeonhole), then
-    * verify true hamming distance. Never all-pairs. */
+  /** SimHash near-dup pairs: block on (maxHamming + 1) contiguous bit
+    * chunks of the fingerprint — by pigeonhole, any pair within hamming
+    * distance <= maxHamming has at least one chunk with zero differing
+    * bits, so blocking is recall-lossless for the requested radius. True
+    * hamming distance verifies candidates. Never all-pairs. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
+    val nChunks = maxHamming + 1
+    val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
     val fp = simhash(docs)
     val blocked = fp.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map { q =>
+      explode(array((0 until nChunks).map { q =>
+        val lo = bounds(q); val width = bounds(q + 1) - lo
+        val mask = if (width == 64) -1L else (1L << width) - 1
         struct(lit(q).as("q"),
-          shiftright(col("simhash"), q * 16).bitwiseAND(0xFFFFL).as("key"))
+          shiftright(col("simhash"), lo).bitwiseAND(mask).as("key"))
       }: _*)).as("blk"))
       .select(col("doc_id"), col("simhash"), col("blk.q"), col("blk.key"))
     val a = blocked.select(col("q"), col("key"), col("doc_id").as("a_id"), col("simhash").as("a_fp"))

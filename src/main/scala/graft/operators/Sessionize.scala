@@ -27,6 +27,9 @@ object Sessionize {
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
       .withColumn("prev_us", lag(col("us"), 1).over(order))
       .withColumn("new_session",
+        // strict > : an event at exactly prev + gap stays in the session.
+        // Verified against session_window, which also merges at the exact
+        // boundary (its session end is inclusive for the merge test).
         when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
       .withColumn("session_id",
         sum(col("new_session")).over(order.rowsBetween(Window.unboundedPreceding, 0)))

@@ -87,8 +87,9 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** True IVF ANN: coarse quantizer = KMeans centroids fit on a sample,
-    * corpus assigned to nearest-centroid cells once, queries probe
+  /** True IVF ANN: coarse quantizer = KMeans centroids (fit over the full
+    * corpus here; at 100 TB the fit runs on a sample), corpus assigned to
+    * nearest-centroid cells once, queries probe
     * `nProbe` nearest cells. The inverted-file structure proper — at
     * 100 TB the cell assignment is a write-once partitioning column and
     * probing prunes the scan to nProbe/nCells of the corpus. Model-based
@@ -113,7 +114,7 @@ object Similarity {
     val centDf = broadcast(centroids.toDF("cell", "centroid"))
     val q = assigned.filter(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val probes = q.join(centDf, cosine(col("q_emb"), col("centroid")).isNotNull)
+    val probes = q.crossJoin(centDf) // queries x centroids: bounded, broadcast
       .select(col("q_id"), col("q_emb"), col("cell"),
         cosine(col("q_emb"), col("centroid")).as("csim"))
     graft.plans.TopK.register(spark)
@@ -126,7 +127,11 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(cosine(col("q_emb"), col("n_emb")), 6).as("cos"))
-    rankTopK(scored, k)
+    val out = rankTopK(scored, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    assigned.unpersist() // release the cell-assignment cache once probed
+    out
   }
 
   /** B5: embedding-cosine near-duplicate pairs, sign-LSH blocked (same

@@ -113,10 +113,13 @@ object TextOps {
   def fingerprint(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     // Spark transform index is 0-based; DuckDB list_transform's is 1-based —
-    // the (i+1) here and bare i in the oracle SQL line up.
+    // the (i+1) here and bare i in the oracle SQL line up. Each term is
+    // reduced mod 2^31-1 so the sum stays far from Long overflow (which
+    // would throw under Spark 4's default ANSI mode) at any doc length.
+    val p = 2147483647L
     val weighted = transform(
       toks,
-      (t, i) => (i + 1).cast("long") * conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+      (t, i) => ((i + 1).cast("long") * conv(substring(md5(t), 1, 8), 16, 10).cast("long")) % p)
     docs.select(
       col("doc_id"),
       coalesce(aggregate(weighted, lit(0L), (acc, x) => acc + x), lit(0L))

@@ -49,26 +49,49 @@ case class TopKPerKeyExec(k: Int, partitionExprs: Seq[Expression],
     val partExprs = partitionExprs
     val sortOrder = order
     val childOutput = child.output
+    val isPartial = partial
     child.execute().mapPartitions { rows =>
+      import scala.jdk.CollectionConverters._
       val keyProj = UnsafeProjection.create(partExprs, childOutput)
       val rowOrd = PlanShim.ordering(sortOrder, childOutput)
       // per key: bounded max-heap holding the current best k (heap head =
-      // worst of the kept rows, evicted when a better row arrives)
+      // worst of the kept rows, evicted when a better row arrives).
+      // State is (distinct keys) x k rows; the partial phase flushes when
+      // the key count exceeds a cap — early emission is always correct
+      // there (the final phase re-merges), bounding memory like a
+      // spilling partial aggregate. The final phase sees clustered keys.
+      val FlushKeys = 1 << 17
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      rows.foreach { row =>
+      def drain(): Iterator[InternalRow] = {
+        val out = heaps.values().asScala.toArray.iterator.flatMap(_.iterator().asScala)
+        out
+      }
+      val main = rows.flatMap { row =>
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, rowOrd.reverse)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size() < kLocal) heap.add(row.copy())
-        else if (rowOrd.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
+          if (isPartial && heaps.size() >= FlushKeys) {
+            val flushed = heaps.values().asScala.toArray.flatMap(_.iterator().asScala)
+            heaps.clear()
+            heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, rowOrd.reverse)
+            heaps.put(key.copy(), heap)
+            heap.add(row.copy())
+            flushed.iterator
+          } else {
+            heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, rowOrd.reverse)
+            heaps.put(key.copy(), heap)
+            heap.add(row.copy())
+            Iterator.empty
+          }
+        } else {
+          if (heap.size() < kLocal) heap.add(row.copy())
+          else if (rowOrd.compare(row, heap.peek()) < 0) {
+            heap.poll(); heap.add(row.copy())
+          }
+          Iterator.empty
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      main ++ drain()
     }
   }
 

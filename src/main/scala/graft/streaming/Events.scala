@@ -26,7 +26,13 @@ object Events {
           val prev = state.getOption.getOrElse(UserActivity(user, 0L, 0L))
           var n = prev.nEvents
           var cents = prev.sumValueCents
-          rows.foreach { case (_, v) => n += 1; cents += math.round(v * 100) }
+          rows.foreach { case (_, v) =>
+            n += 1
+            // HALF_UP away from zero, matching the batch side's
+            // functions.round (java Math.round would differ at -x.5)
+            cents += BigDecimal(v * 100)
+              .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+          }
           val next = UserActivity(user, n, cents)
           state.update(next)
           next

@@ -25,6 +25,14 @@ class SessionizeSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 1L, 2L), (1L, 2L, 2L), (2L, 1L, 2L)))
   }
 
+  test("exact-gap boundary: both implementations keep the event in-session") {
+    val ev = Seq((1L, 1L, "2024-01-01 10:00:00"), (2L, 1L, "2024-01-01 10:30:00"))
+      .map { case (e, u, ts) => (e, u, Timestamp.valueOf(ts)) }
+      .toDF("event_id", "user_id", "ts")
+    assert(Sessionize.byLag(ev).count() === 1)
+    assert(Sessionize.bySessionWindow(ev).count() === 1)
+  }
+
   test("byLag and bySessionWindow agree on session structure") {
     val lag = Sessionize.byLag(events)
       .select(col("user_id"), col("session_start_us"), col("n_events"))
