@@ -50,17 +50,18 @@ case class TopKPerKeyExec(k: Int, partitionExprs: Seq[Expression],
     val sortOrder = order
     val childOutput = child.output
     val isPartial = partial
+    // per key: bounded max-heap holding the current best k (heap head =
+    // worst of the kept rows, evicted when a better row arrives).
+    // State is (distinct keys) x k rows; the partial phase flushes when
+    // the key count exceeds a cap — early emission is always correct
+    // there (the final phase re-merges), bounding memory like a
+    // spilling partial aggregate. The final phase sees clustered keys.
+    val flushKeys = conf.getConfString("graft.topk.flushKeys", (1 << 17).toString).toInt
     child.execute().mapPartitions { rows =>
       import scala.jdk.CollectionConverters._
       val keyProj = UnsafeProjection.create(partExprs, childOutput)
       val rowOrd = PlanShim.ordering(sortOrder, childOutput)
-      // per key: bounded max-heap holding the current best k (heap head =
-      // worst of the kept rows, evicted when a better row arrives).
-      // State is (distinct keys) x k rows; the partial phase flushes when
-      // the key count exceeds a cap — early emission is always correct
-      // there (the final phase re-merges), bounding memory like a
-      // spilling partial aggregate. The final phase sees clustered keys.
-      val FlushKeys = 1 << 17
+      val FlushKeys = flushKeys
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
       def drain(): Iterator[InternalRow] = {
         val out = heaps.values().asScala.toArray.iterator.flatMap(_.iterator().asScala)

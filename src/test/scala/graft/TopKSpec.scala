@@ -36,6 +36,22 @@ class TopKSpec extends SparkSpec {
     assert(!planStr.contains("Sort"), planStr.take(800))
   }
 
+  test("partial-phase flush preserves correctness under a tiny key cap") {
+    TopK.register(spark)
+    spark.conf.set("graft.topk.flushKeys", "4")
+    try {
+      val rnd = new scala.util.Random(23)
+      val wide = (1 to 3000).map(i => (rnd.nextInt(500).toLong, i.toLong, rnd.nextDouble()))
+        .toDF("k", "id", "score").repartition(3)
+      val viaTopK = TopK.topKPerKey(wide, Seq("k"), Seq("score" -> false, "id" -> true), 2)
+        .select("k", "id").as[(Long, Long)].collect().toSet
+      val w = Window.partitionBy("k").orderBy(col("score").desc, col("id"))
+      val viaWindow = wide.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).select("k", "id").as[(Long, Long)].collect().toSet
+      assert(viaTopK === viaWindow)
+    } finally spark.conf.unset("graft.topk.flushKeys")
+  }
+
   test("ascending order and k larger than group size") {
     TopK.register(spark)
     val small = Seq((1L, 1L, 0.3), (1L, 2L, 0.1), (2L, 3L, 0.9))
