@@ -86,7 +86,7 @@ object SparkEntry {
     // B. LLM-training-data pipeline
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(spread(t(s, d, "documents")))),
-    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(spread(t(s, d, "documents")), maxHamming = 10)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(spread(t(s, d, "documents")), maxHamming = 6)),
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(spread(t(s, d, "documents")))),
     "embed_near_dup" -> ((s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"), cosMin = 0.3)),
     "ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
