@@ -97,6 +97,34 @@ object Oracles {
          |  round((SELECT list_reduce(list_sort(list(f1 * support / total)), (a, b) -> a + b) FROM per3), 6) AS weighted_f1
          |FROM tot""".stripMargin,
 
+    "nb_scratch" ->
+      s"""WITH toks AS (SELECT doc_id, lang AS label, unnest($toks) AS token FROM documents),
+         |tr AS (SELECT * FROM toks WHERE doc_id % 4 < 3),
+         |te AS (SELECT * FROM toks WHERE NOT (doc_id % 4 < 3)),
+         |cnt AS (SELECT label, token, count(*) AS cnt FROM tr GROUP BY 1, 2),
+         |ct AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS ct FROM cnt GROUP BY 1),
+         |voc AS (SELECT count(DISTINCT token) AS v FROM cnt),
+         |pri AS (SELECT lang AS label, count(*) AS n_docs,
+         |        (SELECT count(*) FROM documents WHERE doc_id % 4 < 3) AS n_train
+         |        FROM documents WHERE doc_id % 4 < 3 GROUP BY 1),
+         |ttf AS (SELECT doc_id, token, count(*) AS tf FROM te GROUP BY 1, 2),
+         |dlen AS (SELECT doc_id, count(*) AS n_d FROM te GROUP BY 1),
+         |sc AS (SELECT t.doc_id, l.label AS cand,
+         |       sum(t.tf * ln(CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE))) AS s
+         |       FROM ttf t CROSS JOIN (SELECT label FROM pri) l
+         |       LEFT JOIN cnt c ON c.label = l.label AND c.token = t.token
+         |       GROUP BY 1, 2),
+         |scored AS (SELECT sc.doc_id, sc.cand,
+         |       round(sc.s - d.n_d * ln(CAST(ct.ct + voc.v AS DOUBLE))
+         |             + ln(CAST(p.n_docs AS DOUBLE) / p.n_train), 6) AS score
+         |       FROM sc JOIN dlen d USING (doc_id) JOIN ct ON ct.label = sc.cand
+         |       CROSS JOIN voc JOIN pri p ON p.label = sc.cand),
+         |pred AS (SELECT doc_id, cand AS predicted FROM
+         |       (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rk
+         |        FROM scored) WHERE rk = 1)
+         |SELECT d.doc_id, d.lang AS label, p.predicted
+         |FROM documents d JOIN pred p USING (doc_id) WHERE NOT (d.doc_id % 4 < 3)""".stripMargin,
+
     "quality_score" ->
       """SELECT doc_id,
         |  length(text)::BIGINT AS n_chars_text,

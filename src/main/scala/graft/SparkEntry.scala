@@ -70,6 +70,12 @@ object SparkEntry {
         minDocFreq = 5)
         .groupBy("prediction").agg(count(lit(1)).as("n"))),
 
+    // hand-rolled multinomial NB (Hadoop/NB.java shape) — SQL-expressible,
+    // so the oracle checks PREDICTIONS document by document
+    "nb_scratch" -> ((s, d) =>
+      graft.ml.NaiveBayesSql.predictions(
+        t(s, d, "documents").select(col("doc_id"), col("text"), col("lang").as("label")))),
+
     // deterministic rule-based classifier → oracle-checkable metrics
     "lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
     "confusion_matrix" -> ((s, d) =>

@@ -1,0 +1,73 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+/** Multinomial Naive Bayes as pure DataFrame algebra — the Spark-first
+  * restatement of the reference's hand-rolled Hadoop classifier
+  * (reference Hadoop/NB.java:385-520: per-class word counts with Laplace
+  * smoothing, class priors, probability product per document, argmax).
+  *
+  * Unlike the ml.NaiveBayes pipeline (Sentiment.scala), every step here is
+  * SQL-expressible, so the driver's DuckDB oracle checks the classifier's
+  * *predictions document by document* — classifier-level correctness, not
+  * just plumbing.
+  *
+  * Score in log space (NB.java:481-501 multiplies raw probabilities, which
+  * underflows at scale; the log form is the standard fix):
+  *   score(d, l) = ln(prior_l)
+  *               + Σ_t tf(d,t) · ln(cnt(l,t) + 1)
+  *               - n_d · ln(classTotal_l + V)
+  * Train/test split is the deterministic doc_id % 4 (Sentiment.splitCol).
+  * Deterministic argmax: rounded score desc, then label.
+  *
+  * Scale: token-count aggregation is one partial-aggregated shuffle; the
+  * per-class model (counts, totals, priors, V) is tiny and broadcast; the
+  * scoring join fans each test token row out over |classes| rows only.
+  */
+object NaiveBayesSql {
+
+  /** (doc_id, label, predicted) for the test split of (doc_id, text, label). */
+  def predictions(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("label"),
+      explode(TextOps.tokens(col("text"))).as("token"))
+    val isTrain = Sentiment.splitCol("doc_id") === "train"
+
+    val trainToks = toks.filter(isTrain)
+    val cnt = trainToks.groupBy("label", "token").agg(count(lit(1)).as("cnt"))
+    val classTot = cnt.groupBy("label").agg(sum("cnt").as("ct"))
+    val vocab = cnt.agg(countDistinct(col("token")).as("v"))
+    val priors = docs.filter(isTrain).groupBy("label").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(docs.filter(isTrain).agg(count(lit(1)).as("n_train"))))
+
+    val testTf = toks.filter(!isTrain)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val docLen = toks.filter(!isTrain).groupBy("doc_id").agg(count(lit(1)).as("n_d"))
+
+    val labels = priors.select(col("label").as("cand"))
+    val scored = testTf
+      .crossJoin(broadcast(labels))
+      .join(broadcast(cnt.withColumnRenamed("label", "cand")), Seq("cand", "token"), "left")
+      .withColumn("part",
+        col("tf") * log((coalesce(col("cnt"), lit(0L)) + 1).cast("double")))
+      .groupBy("doc_id", "cand")
+      .agg(sum(col("part")).as("s"))
+      .join(docLen, "doc_id")
+      .join(broadcast(classTot.withColumnRenamed("label", "cand")), "cand")
+      .crossJoin(broadcast(vocab))
+      .join(broadcast(priors.withColumnRenamed("label", "cand")), "cand")
+      .withColumn("score", round(
+        col("s") - col("n_d") * log((col("ct") + col("v")).cast("double"))
+          + log(col("n_docs").cast("double") / col("n_train")), 6))
+
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand"))
+    val pred = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("cand").as("predicted"))
+
+    docs.filter(!isTrain).select(col("doc_id"), col("label")).join(pred, "doc_id")
+  }
+}

@@ -83,6 +83,16 @@ class SentimentSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("hand-rolled SQL NaiveBayes separates the separable corpus") {
+    val labeled = corpus.select(col("id").as("doc_id"), col("text"),
+      when(col("label") === 1.0, "cat").otherwise("eng").as("label"))
+    val preds = graft.ml.NaiveBayesSql.predictions(labeled)
+    val n = preds.count()
+    assert(n === 50) // the 25% test split
+    val correct = preds.filter(col("label") === col("predicted")).count()
+    assert(correct === n, s"expected perfect separation, got $correct/$n")
+  }
+
   test("confusion matrix totals preserve row count") {
     val preds = Sentiment.nbPredictions(corpus)
     val cmTotal = Sentiment.confusionMatrix(preds).agg(sum("n")).as[Long].head()
