@@ -1,10 +1,19 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: one warmup pass (JIT + codegen + catalog caches), one
   * measured pass over every SparkEntry query. Prints one JSON line. */
 object Bench {
+
+  /** Force FULL evaluation. A bare .count() lets Catalyst prune every
+    * unused column, so narrow per-row queries (clean_text, quality_score,
+    * ...) would benchmark as parquet row counts with the regex/hash work
+    * optimized away. The noop sink consumes every output column without
+    * writing anywhere. */
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,13 +26,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+      CacheTracker.releaseAll()
     }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val ok = try { force(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       // a crashed query reports -1, never a fake timing
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      CacheTracker.releaseAll() // release AFTER the timing: unpersist is bookkeeping, not query work
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

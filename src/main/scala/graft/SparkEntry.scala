@@ -15,6 +15,17 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events.parquet carries TIMESTAMP(NANOS), which the vectorized reader
+    * rejects — read as long nanos and convert to micros. The legacy conf
+    * is scoped to a cloned session (own SQLConf, shared SparkContext) so
+    * the caller's session is never mutated as a side effect. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    iso.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Re-spread a coarse scan to cluster width before CPU-heavy per-row
     * stages. A single small parquet file scans as one partition, which
     * would serialize regex/hash-heavy text work; the narrow shuffle is
@@ -112,25 +123,11 @@ object SparkEntry {
     "lineitem_agg" -> ((s, d) => Relational.lineitemAgg(t(s, d, "lineitem"))),
     "orders_join" -> ((s, d) =>
       Relational.ordersJoin(t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
-    "events_window" -> ((s, d) => {
-      // events.parquet carries TIMESTAMP(NANOS), which the vectorized
-      // reader rejects — read as long nanos and convert to micros.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      Relational.eventsWindow(
-        t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000"))))
-    }),
+    "events_window" -> ((s, d) => Relational.eventsWindow(events(s, d))),
     "top_orders" -> ((s, d) =>
       Relational.topOrdersPerNation(t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
-    "events_cumulative" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      Relational.eventsCumulative(
-        t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000"))))
-    }),
-    "events_sessionize" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      Sessionize.byLag(
-        t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000"))))
-    }),
+    "events_cumulative" -> ((s, d) => Relational.eventsCumulative(events(s, d))),
+    "events_sessionize" -> ((s, d) => Sessionize.byLag(events(s, d))),
     "csv_ingest" -> ((s, _) =>
       s.read.option("header", "true").option("quote", "\"").option("escape", "\"")
         .option("inferSchema", "false")

@@ -77,9 +77,11 @@ object Sentiment {
     val test = withSplit.filter(col("split") === "test")
     val model = clf.fit(train).asInstanceOf[org.apache.spark.ml.Model[_]]
     // materialize the small prediction frame so the big featurized cache
-    // can be released instead of pinning executor memory for the session
-    val preds = model.transform(test).select(col("id"), col("label"), col("prediction"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // can be released instead of pinning executor memory for the session;
+    // the result cache itself is CacheTracker-scoped (harness releases it)
+    val preds = graft.CacheTracker.track(
+      model.transform(test).select(col("id"), col("label"), col("prediction"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     preds.count()
     withSplit.unpersist()
     preds
@@ -139,7 +141,8 @@ object Sentiment {
       .crossJoin(broadcast(correct.crossJoin(total)
         .select(round(col("correct").cast("double") / col("total"), 6).as("accuracy"))))
       .select("accuracy", "weighted_precision", "weighted_recall", "weighted_f1")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheTracker.track(
+      out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     out.count()
     cm.unpersist() // one-row result is cached; drop the confusion cache
     out

@@ -24,7 +24,7 @@ object Dedup {
 
   /** Token n-gram shingles of the cleaned text, distinct, as stable longs.
     *
-    * Shape matters: each token is hashed once (md5 -> long), then the
+    * Shape matters: each token is hashed once (xxhash64, seed 42), then the
     * n-gram combine zips n shifted slices of that hash array. A lambda must
     * never reference the token array itself — a non-lambda-bound expression
     * inside a higher-order function is re-evaluated per element, turning

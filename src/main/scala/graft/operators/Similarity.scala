@@ -127,8 +127,10 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(cosine(col("q_emb"), col("n_emb")), 6).as("cos"))
-    val out = rankTopK(scored, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // result cache is CacheTracker-scoped: harness releases it after use
+    val out = graft.CacheTracker.track(
+      rankTopK(scored, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     out.count()
     assigned.unpersist() // release the cell-assignment cache once probed
     out

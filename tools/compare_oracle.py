@@ -20,9 +20,10 @@ oracle = json.load(open(f'{out}/oracle_sql.json'))
 bad = 0
 for name in sorted(oracle):
     path = f'{out}/{name}'
-    if not os.path.isdir(path):
+    parts = glob.glob(f'{path}/*.parquet')
+    if not os.path.isdir(path) or not parts:
         print(f'{name}: MISSING spark output'); bad += 1; continue
-    spark_df = pd.concat([pd.read_parquet(p) for p in glob.glob(f'{path}/*.parquet')])
+    spark_df = pd.concat([pd.read_parquet(p) for p in parts])
     try:
         duck_df = con.sql(oracle[name]).df()
     except Exception as e:
@@ -34,7 +35,9 @@ for name in sorted(oracle):
     if len(s) != len(d):
         print(f'{name}: ROWS {len(s)} vs {len(d)}'); bad += 1; continue
     if list(s.dtypes) != list(d.dtypes):
-        print(f'{name}: DTYPES {dict(s.dtypes)} vs {dict(d.dtypes)}'); bad += 1
+        # count the dtype failure once; value comparison on mismatched
+        # dtypes would just double-count the same defect
+        print(f'{name}: DTYPES {dict(s.dtypes)} vs {dict(d.dtypes)}'); bad += 1; continue
     s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
     d = d.sort_values(by=list(d.columns)).reset_index(drop=True)
     if s.equals(d):
