@@ -262,6 +262,109 @@ object Oracles {
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, session_id""".stripMargin,
 
+    "rollup_stats" ->
+      """SELECT lang, source, grouping_id(lang, source) AS gid, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+
+    "pivot_events" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      "SELECT user_id, " + types.map { t =>
+        s"CAST(count(*) FILTER (event_type = '$t') AS BIGINT) AS ${t}_n, " +
+          s"CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)) FILTER (event_type = '$t'), 0) AS BIGINT) AS ${t}_cents"
+      }.mkString(", ") + " FROM events GROUP BY user_id"
+    },
+
+    // DuckDB's native ASOF JOIN — an independent implementation of the
+    // same point-in-time semantics as operators.AsOf's union+window shape
+    "asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_event_id, user_id, epoch_ns(ts) // 1000 AS click_us
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id, p.us, c.click_event_id, c.click_us,
+        |       p.us - c.click_us AS gap_us
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us >= c.click_us""".stripMargin,
+
+    "stratified_sample" ->
+      """SELECT doc_id, lang, source, n_chars, bucket FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |WHERE bucket < 25""".stripMargin,
+
+    "inverted_index" ->
+      ("SELECT token, count(*) AS df, " +
+        "array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings " +
+        s"FROM (SELECT DISTINCT doc_id, token FROM $tokTable) GROUP BY token"),
+
+    "repetition_stats" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |base AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |  len(list_distinct(toks))::BIGINT AS n_distinct,
+         |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bigrams FROM t),
+         |e AS (SELECT doc_id, unnest(bigrams) AS bg FROM base),
+         |c AS (SELECT doc_id, bg, count(*) AS c FROM e GROUP BY 1, 2),
+         |m AS (SELECT doc_id, max(c) AS top_bigram_n FROM c GROUP BY 1)
+         |SELECT b.doc_id, b.n_tokens, b.n_distinct,
+         |  round(CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS distinct_ratio,
+         |  CAST(coalesce(m.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+         |  round(CASE WHEN n_tokens > 1 THEN CAST(coalesce(m.top_bigram_n, 0) AS DOUBLE) / (n_tokens - 1) ELSE 0.0 END, 6) AS top_bigram_frac
+         |FROM base b LEFT JOIN m USING (doc_id)""".stripMargin,
+
+    "gopher_filter" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |b AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |  round(CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0.0 END, 6) AS mean_tok_len,
+         |  len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it')))::BIGINT AS stop_count
+         |FROM t)
+         |SELECT doc_id, n_tokens, mean_tok_len, stop_count,
+         |  n_tokens >= 5 AND n_tokens <= 1000 AS ok_len,
+         |  mean_tok_len >= 2.0 AND mean_tok_len <= 12.0 AS ok_mean_len,
+         |  stop_count >= 1 AS ok_stop,
+         |  (n_tokens >= 5 AND n_tokens <= 1000) AND (mean_tok_len >= 2.0 AND mean_tok_len <= 12.0) AND stop_count >= 1 AS kept
+         |FROM b""".stripMargin,
+
+    "embed_centroids" ->
+      """SELECT label, i AS dim, count(*) AS n_vecs,
+        |  round(list_reduce(list_sort(list(CAST(x AS DOUBLE))), (a, b) -> a + b) / count(*), 6) AS centroid
+        |FROM (SELECT label, unnest(embedding) AS x,
+        |      unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
+        |GROUP BY label, i""".stripMargin,
+
+    "ann_ivf" ->
+      """WITH b AS (SELECT vec_id, embedding,
+        |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b WHERE vec_id < 10),
+        |scored AS (SELECT q_id, b.vec_id AS n_id,
+        |  round(list_reduce(list_transform(q_emb, (x, i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (p2, q2) -> p2 + q2)
+        |    / (sqrt(list_reduce(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p2, q2) -> p2 + q2))
+        |       * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p2, q2) -> p2 + q2))), 6) AS cos
+        |  FROM q JOIN b ON q.bucket = b.bucket AND q.q_id <> b.vec_id),
+        |ranked AS (SELECT q_id, n_id, cos,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM scored)
+        |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    // string-shingle twin of the hashed-shingle Spark implementation:
+    // identical jaccard values as long as xxhash64 is collision-free over
+    // the per-document shingle sets (astronomically likely)
+    "ngram_jaccard" ->
+      s"""WITH s AS (SELECT doc_id, source,
+         |  list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM (SELECT doc_id, source, $toks AS toks FROM documents)),
+         |f AS (SELECT * FROM s WHERE len(sh) > 0),
+         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+         |  FROM f a JOIN f b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, jaccard FROM pairs WHERE jaccard >= 0.3""".stripMargin,
+
+    "csv_ingest" ->
+      ("SELECT * FROM read_csv('/root/repo/src/test/resources/tweets_sample.csv', " +
+        "header = true, all_varchar = true)"),
+
     "events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n_events,

@@ -110,6 +110,11 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
     "ann_ivf_kmeans" -> ((s, d) => Similarity.annIvfKmeans(t(s, d, "embeddings"))),
     "quality_score" -> ((s, d) => TextOps.qualityScore(t(s, d, "documents"))),
+    "stratified_sample" -> ((s, d) => TextOps.stratifiedSample(t(s, d, "documents"))),
+    "inverted_index" -> ((s, d) => TextOps.invertedIndex(spread(t(s, d, "documents")))),
+    "repetition_stats" -> ((s, d) => TextOps.repetitionStats(spread(t(s, d, "documents")))),
+    "gopher_filter" -> ((s, d) => TextOps.gopherFilter(t(s, d, "documents"))),
+    "embed_centroids" -> ((s, d) => Similarity.embedCentroids(t(s, d, "embeddings"))),
     "token_stats" -> ((s, d) => TextOps.tokenStats(t(s, d, "documents"))),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),
     "text_stats" -> ((s, d) => TextOps.textStats(t(s, d, "documents"))),
@@ -128,6 +133,20 @@ object SparkEntry {
       Relational.topOrdersPerNation(t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
     "events_cumulative" -> ((s, d) => Relational.eventsCumulative(events(s, d))),
     "events_sessionize" -> ((s, d) => Sessionize.byLag(events(s, d))),
+    "rollup_stats" -> ((s, d) => Relational.rollupStats(t(s, d, "documents"))),
+    "pivot_events" -> ((s, d) => Relational.pivotEvents(events(s, d))),
+    "asof_join" -> ((s, d) => {
+      val e = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "us")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_event_id"), col("user_id"),
+          col("us").as("click_us"))
+      AsOf.asofJoin(purchases, clicks, "user_id", "us", "click_us")
+        .filter(col("click_event_id").isNotNull) // inner as-of: dtype-stable for the oracle
+        .withColumn("gap_us", col("us") - col("click_us"))
+    }),
     "csv_ingest" -> ((s, _) =>
       s.read.option("header", "true").option("quote", "\"").option("escape", "\"")
         .option("inferSchema", "false")

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for every left row, the single most recent
+  * right row with `right.ts <= left.ts` on the same key — the
+  * market-data / feature-store join. DuckDB spells it `ASOF JOIN`, which
+  * is exactly what the oracle uses: a genuinely independent second
+  * implementation of the same semantics.
+  *
+  * Spark-first shape: NOT a non-equi range join (Spark would plan that as
+  * a broadcast nested loop, and an unbounded `>=` pairs every left row
+  * with every earlier right row before picking one). Instead both sides
+  * are unioned, shuffled ONCE on the key, and a single ordered window
+  * pass carries the latest right payload forward into each left row
+  * (`last(_, ignoreNulls)` over unbounded-preceding). Cost: one shuffle +
+  * one per-partition sort, the same plan shape at any scale — no
+  * intermediate pair blow-up is possible.
+  */
+object AsOf {
+
+  /** Left columns are preserved; right columns (minus the key) arrive
+    * nullable, taken from the latest right row with rightTs <= leftTs for
+    * the same key (null when no such row). Right column names must not
+    * collide with left's. At the exact same timestamp the right row IS
+    * visible to the left row; ties between right rows at the same
+    * (key, ts) break deterministically on the right payload. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rCols = right.columns.toSeq.filterNot(_ == key)
+    val lStruct = struct(lCols.map(col): _*)
+    val rStruct = struct(rCols.map(col): _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val rType = right.select(rStruct).schema.head.dataType
+    val l = left.select(col(key).as("_k"), col(leftTs).as("_ts"),
+      lit(1).as("_side"), lit(null).cast(rType).as("_r"), lStruct.as("_l"))
+    val r = right.select(col(key).as("_k"), col(rightTs).as("_ts"),
+      lit(0).as("_side"), rStruct.as("_r"), lit(null).cast(lType).as("_l"))
+    // right (_side 0) sorts before left (_side 1) at equal ts, so a right
+    // row at the same instant is visible; _r orders equal-ts right rows
+    val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_side"), col("_r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(col("_k").as(key) +:
+        (lCols.filterNot(_ == key).map(c => col(s"_l.$c").as(c)) ++
+          rCols.map(c => col(s"_m.$c").as(c))): _*)
+  }
+}

@@ -74,6 +74,38 @@ object Relational {
       .select("n_name", "o_orderkey", "rnk", "price_cents")
   }
 
+  /** Hierarchical aggregates via ROLLUP (C15): (lang, source) → per-lang →
+    * grand total in ONE pass. Spark expands the grouping sets inside the
+    * partial aggregate, so all three levels cost a single shuffle instead
+    * of three queries; `grouping_id` disambiguates the NULL-keyed
+    * subtotal rows from genuine NULL group values. */
+  def rollupStats(docs: DataFrame): DataFrame =
+    docs.rollup(col("lang"), col("source"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .select("lang", "source", "gid", "n_docs", "sum_chars", "avg_chars")
+
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Wide per-user activity matrix via pivot with a FIXED value list
+    * (C16): passing the values avoids the driver-side distinct scan
+    * Spark otherwise runs on the pivot column — at 100 TB that scan is a
+    * full pass before planning even starts. One shuffle on user_id;
+    * counts and exact integer-cents sums per event type, absent
+    * combinations as 0 rather than null. */
+  def pivotEvents(events: DataFrame): DataFrame = {
+    val p = events
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("cents"))
+    p.select(col("user_id") +: EventTypes.flatMap(t => Seq(
+      coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n"),
+      coalesce(col(s"${t}_cents"), lit(0L)).as(s"${t}_cents"))): _*)
+  }
+
   /** Tumbling 1-hour window aggregation over events (C3) — the batch twin
     * of the Structured Streaming query in graft.streaming.Events. */
   def eventsWindow(events: DataFrame): DataFrame =

@@ -136,6 +136,24 @@ object Similarity {
     out
   }
 
+  /** Per-label embedding centroids (B17): posexplode to (label, dim, x),
+    * one partial-aggregated shuffle on the (label, dim) pair — the
+    * dimension-wise mean a clustering / class-profile pass needs. The
+    * double sum folds over a SORTED per-group list so the value is
+    * bit-stable under any partitioning and exactly oracle-reproducible;
+    * a corpus too large to collect per-group lists would switch to a
+    * plain `sum` and a tolerance check instead. */
+  def embedCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        col("x").cast("double").as("x"))
+      .groupBy("label", "dim")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(
+          aggregate(sort_array(collect_list(col("x"))), lit(0.0), (a, b) => a + b)
+            / count(lit(1)), 6).as("centroid"))
+
   /** B5: embedding-cosine near-duplicate pairs, sign-LSH blocked (same
     * bucket only — never all-pairs). */
   def nearDupPairs(emb: DataFrame, cosMin: Double = 0.8, bits: Int = 8): DataFrame = {

@@ -176,6 +176,83 @@ object TextOps {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** Deterministic stratified sample (B15): hash-mod bucketing on doc_id.
+    * No RNG state, no per-stratum driver pass, exactly reproducible
+    * anywhere (including the DuckDB oracle) — the property `randomSplit`
+    * lacks. The bucket hash is independent of the stratum column, so the
+    * rate applies uniformly within every lang stratum; purely narrow, zero
+    * shuffle. */
+  def stratifiedSample(docs: DataFrame, pct: Int = 25): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .filter(col("bucket") < pct)
+
+  /** Inverted index (B16): token → document frequency + first `maxPostings`
+    * doc_ids as a deterministic sorted list. One hash-partitioned shuffle
+    * on token with map-side partial aggregation. The posting cap is
+    * applied after the per-token collect; a corpus where single tokens
+    * span billions of docs would cap partial-side instead (the
+    * graft.plans.TopK two-phase heap is exactly that shape). */
+  def invertedIndex(docs: DataFrame, maxPostings: Int = 10): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .distinct()
+      .groupBy("token")
+      .agg(
+        count(lit(1)).as("df"),
+        concat_ws(",", slice(sort_array(collect_list(col("doc_id"))), 1, maxPostings))
+          .as("postings"))
+
+  /** Repetition profile per document (B18): distinct-token ratio and the
+    * most-frequent-bigram share — the C4/Gopher-style signals that flag
+    * boilerplate and degenerate repetition in a training corpus. Narrow
+    * except one (doc_id, bigram) partial-agg shuffle. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+    // `toks` is a bound attribute here, so the per-element lambdas do not
+    // re-evaluate the clean+tokenize chain (see Dedup.shingles scaladoc)
+    val bigrams = base.select(col("doc_id"),
+      explode(when(size(col("toks")) > 1,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+    val top = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_bigram_n"))
+    base.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(when(col("n_tokens") > 0,
+          col("n_distinct").cast("double") / col("n_tokens")).otherwise(0.0), 6)
+          .as("distinct_ratio"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        round(when(col("n_tokens") > 1,
+          coalesce(col("top_bigram_n"), lit(0L)).cast("double") / (col("n_tokens") - 1))
+          .otherwise(0.0), 6).as("top_bigram_frac"))
+  }
+
+  /** Gopher-style rule filter (B19): token-count bounds, mean-token-length
+    * bounds, and a stopword-presence floor, each reported as its own flag
+    * plus the composite `kept`. All narrow per-row expressions — the
+    * filter itself would push straight into a scan at scale. */
+  def gopherFilter(docs: DataFrame, minTokens: Int = 5, maxTokens: Int = 1000,
+                   minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        round(when(size(col("toks")) > 0,
+          aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t).cast("long"))
+            .cast("double") / size(col("toks"))).otherwise(0.0), 6).as("mean_tok_len"),
+        size(filter(col("toks"), t => t.isInCollection(Stopwords))).cast("long")
+          .as("stop_count"))
+      .select(col("doc_id"), col("n_tokens"), col("mean_tok_len"), col("stop_count"),
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens).as("ok_len"),
+        (col("mean_tok_len") >= minMeanLen && col("mean_tok_len") <= maxMeanLen)
+          .as("ok_mean_len"),
+        (col("stop_count") >= 1).as("ok_stop"))
+      .withColumn("kept", col("ok_len") && col("ok_mean_len") && col("ok_stop"))
+
   /** Per-(lang, source) corpus aggregates (B12). */
   def textStats(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang"), col("source"))

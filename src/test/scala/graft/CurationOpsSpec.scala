@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Relational, Similarity, TextOps}
+
+/** Edge-case coverage for the round-3 curation/analytics operators; the
+  * value-exact path is the DuckDB oracle in graft.Oracles. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat the cat sat", "en", "a", 34),
+    (2L, "word", "en", "a", 4),                  // single token: no bigrams
+    (3L, "", "fr", "b", 0),                      // empty: zero tokens
+    (4L, "x y x y x y x y x y", "fr", "b", 19)   // degenerate repetition
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("repetitionStats: every doc appears; empty/singleton docs get zeros") {
+    val m = TextOps.repetitionStats(docs)
+      .select("doc_id", "n_tokens", "top_bigram_n", "top_bigram_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(m.size === 4)
+    assert(m(2L) === ((2L, 1L, 0L, 0.0)))
+    assert(m(3L) === ((3L, 0L, 0L, 0.0)))
+    // "x y" appears 5 times out of 9 bigrams
+    assert(m(4L)._3 === 5L)
+    assert(math.abs(m(4L)._4 - 5.0 / 9.0) < 1e-6)
+  }
+
+  test("repetitionStats: distinct ratio reflects vocabulary collapse") {
+    val m = TextOps.repetitionStats(docs)
+      .select("doc_id", "n_distinct").as[(Long, Long)].collect().toMap
+    assert(m(4L) === 2L)  // only {x, y}
+    assert(m(1L) === 5L)  // {the, cat, sat, on, mat}
+  }
+
+  test("gopherFilter: each rule fails independently") {
+    val out = TextOps.gopherFilter(docs)
+      .select("doc_id", "ok_len", "ok_stop", "kept")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, true, true, true)))   // passes everything
+    assert(out(2L)._2 === false)                   // too short
+    assert(out(3L)._4 === false)                   // empty never kept
+    assert(out(4L)._3 === false)                   // no stopwords
+  }
+
+  test("stratifiedSample: deterministic and rate-monotone") {
+    val s25 = TextOps.stratifiedSample(docs, 25).select("doc_id").as[Long].collect().toSet
+    assert(TextOps.stratifiedSample(docs, 25).select("doc_id").as[Long].collect().toSet === s25)
+    val s80 = TextOps.stratifiedSample(docs, 80).select("doc_id").as[Long].collect().toSet
+    assert(s25.subsetOf(s80)) // same hash, larger cut
+    assert(TextOps.stratifiedSample(docs, 100).count() === 4)
+  }
+
+  test("invertedIndex: df counts docs once, postings sorted and capped") {
+    val m = TextOps.invertedIndex(docs, maxPostings = 1)
+      .select("token", "df", "postings").as[(String, Long, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m("the") === ((1L, "1")))  // repeated within doc 1: df = 1
+    assert(m("x") === ((1L, "4")))
+    val full = TextOps.invertedIndex(docs, maxPostings = 10)
+      .filter($"token" === "cat").select("postings").as[String].head()
+    assert(full === "1")
+  }
+
+  test("rollupStats: subtotal levels are consistent") {
+    val out = Relational.rollupStats(docs)
+      .select("gid", "n_docs").as[(Long, Long)].collect()
+    assert(out.count(_._1 === 0L) === 2)              // (lang, source) leaves
+    assert(out.filter(_._1 === 1L).map(_._2).sorted === Seq(2L, 2L)) // per-lang
+    assert(out.filter(_._1 === 3L).map(_._2).toSeq === Seq(4L))      // grand total
+  }
+
+  test("pivotEvents: absent combinations are 0, not null") {
+    val ev = Seq((1L, "click", 1.0), (1L, "click", 2.0), (2L, "view", 3.0))
+      .toDF("user_id", "event_type", "value")
+    val m = Relational.pivotEvents(ev)
+      .select("user_id", "click_n", "view_n", "click_cents")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(m(1L) === ((1L, 2L, 0L, 300L)))
+    assert(m(2L) === ((2L, 0L, 1L, 0L)))
+  }
+
+  test("embedCentroids: sorted-fold mean equals the plain mean") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 2.0f), 0),
+      (2L, Seq(3.0f, 4.0f), 0),
+      (3L, Seq(10.0f, 20.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val m = Similarity.embedCentroids(emb)
+      .select("label", "dim", "centroid").as[(Int, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(m((0, 1L)) === 2.0)
+    assert(m((0, 2L)) === 3.0)
+    assert(m((1, 2L)) === 20.0)
+  }
+}
