@@ -262,6 +262,22 @@ object Oracles {
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, session_id""".stripMargin,
 
+    "customers_no_orders" ->
+      """SELECT n_name, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY n_name""".stripMargin,
+
+    "user_spend_rank" ->
+      """WITH t AS (SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events, total_cents,
+        |  row_number() OVER (ORDER BY total_cents DESC, user_id) AS rnk,
+        |  round(percent_rank() OVER (ORDER BY total_cents DESC, user_id), 6) AS pct_rank,
+        |  CAST(ntile(4) OVER (ORDER BY total_cents DESC, user_id) AS BIGINT) AS quartile
+        |FROM t""".stripMargin,
+
     "rollup_stats" ->
       """SELECT lang, source, grouping_id(lang, source) AS gid, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, round(avg(n_chars), 4) AS avg_chars

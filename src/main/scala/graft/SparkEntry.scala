@@ -134,6 +134,9 @@ object SparkEntry {
     "events_cumulative" -> ((s, d) => Relational.eventsCumulative(events(s, d))),
     "events_sessionize" -> ((s, d) => Sessionize.byLag(events(s, d))),
     "rollup_stats" -> ((s, d) => Relational.rollupStats(t(s, d, "documents"))),
+    "customers_no_orders" -> ((s, d) =>
+      Relational.customersWithoutOrders(t(s, d, "customer"), t(s, d, "orders"), t(s, d, "nation"))),
+    "user_spend_rank" -> ((s, d) => Relational.userSpendRank(events(s, d))),
     "pivot_events" -> ((s, d) => Relational.pivotEvents(events(s, d))),
     "asof_join" -> ((s, d) => {
       val e = events(s, d).select(col("event_id"), col("user_id"),

@@ -88,6 +88,35 @@ object Relational {
         round(avg(col("n_chars")), 4).as("avg_chars"))
       .select("lang", "source", "gid", "n_docs", "sum_chars", "avg_chars")
 
+  /** Anti-join breadth (C20): customers that never ordered, counted per
+    * nation. The left-anti join shuffles both sides on custkey once and
+    * emits only non-matching build-side rows — the relational NOT EXISTS,
+    * with no row blow-up possible; nation stays broadcast. */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame,
+                             nation: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"))
+
+  /** Global ranking breadth (C21): per-user totals, then dense global
+    * rank / percent_rank / quartile. The unpartitioned window runs AFTER
+    * the aggregation has already reduced the frame to |users| rows; at
+    * cluster scale the same query range-partitions the sort (rank is then
+    * partition-offset + local rank) — the input to the window is never
+    * the raw event stream. */
+  def userSpendRank(events: DataFrame): DataFrame = {
+    val totals = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("total_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("total_cents").desc, col("user_id"))
+    totals.select(col("user_id"), col("n_events"), col("total_cents"),
+      row_number().over(w).cast("long").as("rnk"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      ntile(4).over(w).cast("long").as("quartile"))
+  }
+
   val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
 
   /** Wide per-user activity matrix via pivot with a FIXED value list

@@ -39,6 +39,28 @@ object Events {
       }
   }
 
+  /** Streaming exact-dedup twin of operators.Dedup.exact (C18): drop rows
+    * whose content hash was already seen, with state bounded by the
+    * watermark horizon (`dropDuplicatesWithinWatermark` evicts hashes
+    * older than the watermark — the only way dedup state stays finite on
+    * an unbounded stream). Batch frames take the plain dropDuplicates
+    * path so the same call serves both sides. */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val hashed = docs.withColumn("content_hash",
+      md5(graft.operators.TextOps.cleanText(col("text"))))
+    if (hashed.isStreaming)
+      hashed.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("content_hash")
+    else hashed.dropDuplicates("content_hash")
+  }
+
+  /** Stream-static enrichment join (C19): the static dimension is
+    * broadcast to every task, so the stream side never shuffles and no
+    * streaming-state is needed — the right shape for joining a firehose
+    * against a small slowly-changing dimension. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Windowed aggregation usable on a streaming or batch events frame. */
   def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
     val withWm =

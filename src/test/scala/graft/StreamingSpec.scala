@@ -51,6 +51,51 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming dedup drops repeated content across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val df = stream.toDF().toDF("ts", "doc_id", "text")
+    val q = Events.dedupStream(df).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+
+    stream.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "Hello WORLD!"),
+      (Timestamp.valueOf("2024-01-01 10:00:10"), 2L, "hello world"), // same cleaned content
+      (Timestamp.valueOf("2024-01-01 10:00:20"), 3L, "something else"))
+    q.processAllAvailable()
+    stream.addData(
+      (Timestamp.valueOf("2024-01-01 10:10:00"), 4L, "hello   world")) // still within watermark
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("dedup_out").select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L))
+  }
+
+  test("batch frames run the same dedup call through plain dropDuplicates") {
+    val docs = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "same text"),
+      (Timestamp.valueOf("2024-01-01 11:00:00"), 2L, "SAME text"))
+      .toDF("ts", "doc_id", "text")
+    assert(Events.dedupStream(docs).count() === 1)
+  }
+
+  test("stream-static broadcast enrich joins without shuffling the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val stream = MemoryStream[(Long, Double)]
+    val df = stream.toDF().toDF("user_id", "value")
+    val q = Events.enrich(df, dim, "user_id").writeStream
+      .format("memory").queryName("enrich_out").outputMode("append").start()
+    stream.addData((1L, 5.0), (3L, 7.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("enrich_out")
+      .select("user_id", "tier").as[(Long, Option[String])].collect().toSet
+    assert(out === Set((1L, Some("gold")), (3L, None)))
+  }
+
   test("streaming windowed counts equal the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq(
