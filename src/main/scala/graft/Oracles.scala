@@ -47,6 +47,22 @@ object Oracles {
       s"WHEN $fr >= $de AND $fr > 0 THEN 'fr' WHEN $de > 0 THEN 'de' ELSE 'und' END"
   }
 
+  /** Mirrors Similarity.nearDupPairs (sign-LSH 8-bit blocking, cos >= 0.3);
+    * shared by the embed_near_dup check and the dedup_components CTE. */
+  val embedNearDup: String =
+    """WITH b AS (SELECT vec_id, embedding,
+      |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+      |  FROM embeddings),
+      |pairs AS (SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
+      |  round(list_reduce(list_transform(a.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)), (p, q) -> p + q)
+      |    / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))
+      |       * sqrt(list_reduce(list_transform(b2.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))), 6) AS cos
+      |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+      |SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.3""".stripMargin
+
   val sql: Map[String, String] = Map(
     "clean_text" ->
       s"SELECT doc_id, $clean AS clean FROM documents",
@@ -219,19 +235,19 @@ object Oracles {
         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM scored)
         |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= 5""".stripMargin,
 
-    "embed_near_dup" ->
-      """WITH b AS (SELECT vec_id, embedding,
-        |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
-        |  FROM embeddings),
-        |pairs AS (SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
-        |  round(list_reduce(list_transform(a.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)), (p, q) -> p + q)
-        |    / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))
-        |       * sqrt(list_reduce(list_transform(b2.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))), 6) AS cos
-        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
-        |SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.3""".stripMargin,
+    "embed_near_dup" -> embedNearDup,
+
+    // transitive closure of the near-dup pair graph by recursive CTE — an
+    // independent fixpoint computation checking the Spark label-propagation
+    "dedup_components" ->
+      s"""WITH RECURSIVE p AS ($embedNearDup),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM p UNION ALL SELECT b_id, a_id FROM p),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS id, least(src, min(dst)) AS component
+         |FROM reach GROUP BY src""".stripMargin,
 
     "lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -106,6 +106,8 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(spread(t(s, d, "documents")), maxHamming = 6)),
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(spread(t(s, d, "documents")))),
     "embed_near_dup" -> ((s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"), cosMin = 0.3)),
+    "dedup_components" -> ((s, d) =>
+      Dedup.components(Similarity.nearDupPairs(t(s, d, "embeddings"), cosMin = 0.3))),
     "ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
     "ann_ivf_kmeans" -> ((s, d) => Similarity.annIvfKmeans(t(s, d, "embeddings"))),

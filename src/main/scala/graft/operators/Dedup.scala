@@ -147,6 +147,57 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-duplicate clustering (B20): connected components over a
+    * candidate-pair graph, as iterative min-label propagation — every
+    * round each node takes the min component id among itself and its
+    * neighbors; fixpoint when the label sum stops falling (labels only
+    * ever decrease, so equal sum == converged). Each round is one hash
+    * join + one partial-aggregated shuffle, fully distributed; rounds
+    * needed = component diameter, which for near-dup graphs (dense small
+    * clusters) is small. A corpus with adversarially long chains would
+    * switch to the large-star/small-star contraction, which squares
+    * distances per round.
+    *
+    * Labels are persisted per round and released as soon as the next
+    * round is materialized — without that, round N would recompute the
+    * entire lineage N times.
+    *
+    * Output: (id, component) for every node that appears in a pair;
+    * component = min node id reachable. */
+  def components(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+                 maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component")).persist(lvl)
+    def labelSum(df: DataFrame): Long = // coalesce: an empty pair set must not NPE
+      df.agg(coalesce(sum(col("component")), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("component").as("dst_comp")), "dst")
+        .groupBy("src").agg(min("dst_comp").as("nbr_comp"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("id"), col("nbr_comp")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_comp"), col("component")))
+            .as("component"))
+        .persist(lvl)
+      val nextSum = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      i += 1
+    }
+    edges.unpersist()
+    graft.CacheTracker.track(labels)
+  }
+
   /** B4: n-gram Jaccard similarity over blocked candidate pairs. Blocking
     * key defaults to `source` here (demo corpus); at 100 TB the blocking
     * key is an LSH band as in [[minhashPairs]] — this operator is the

@@ -48,6 +48,22 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((1L, 4L)))
   }
 
+  test("components: chains collapse to min id, islands stay separate") {
+    // 1-2-3-4-5 is a diameter-4 chain (several propagation rounds); 8-9 island
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("a_id", "b_id")
+    val comp = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      8L -> 8L, 9L -> 8L))
+    graft.CacheTracker.releaseAll()
+  }
+
+  test("components: empty pair set yields empty result, no NPE") {
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.components(empty).count() === 0)
+    graft.CacheTracker.releaseAll()
+  }
+
   test("no crossJoin in any dedup plan") {
     for (df <- Seq(Dedup.minhashPairs(docs), Dedup.simhashPairs(docs),
       Dedup.ngramJaccard(docs))) {
