@@ -98,22 +98,29 @@ object Sentiment {
     predictions.groupBy(col("label"), col("prediction")).agg(count(lit(1)).as("n"))
 
   /** Accuracy + weighted precision/recall/F1 from (label, prediction)
-    * (A16; NB.scala:98-99), entirely as DataFrame aggregation. */
+    * (A16; NB.scala:98-99), entirely as DataFrame aggregation.
+    *
+    * Shape: per-class support / predicted / tp come from ONE union +
+    * groupBy over the confusion matrix (each cm row feeds its label's
+    * support+tp and its prediction's predicted count) instead of a
+    * five-way join fan-out — the earlier formulation planned 37 exchanges
+    * of sub-kilobyte frames; this one plans 4. */
   def evalMetrics(predictions: DataFrame): DataFrame = {
     val cm = confusionMatrix(predictions).cache()
-    val total = cm.agg(sum("n").as("total"))
-    val correct = cm.filter(col("label") === col("prediction")).agg(
-      coalesce(sum("n"), lit(0L)).as("correct"))
-    val byLabel = cm.groupBy("label").agg(sum("n").as("support"))
-    val byPred = cm.groupBy("prediction").agg(sum("n").as("predicted"))
-    val tp = cm.filter(col("label") === col("prediction"))
-      .select(col("label"), col("n").as("tp"))
-    val perClass = byLabel
-      .join(tp, Seq("label"), "left")
-      .join(byPred, byLabel("label") === byPred("prediction"), "left")
-      .select(col("label"), col("support"),
-        coalesce(col("tp"), lit(0L)).as("tp"),
-        coalesce(col("predicted"), lit(0L)).as("predicted"))
+    val byLabel = cm.select(col("label").as("cls"), col("n"),
+      when(col("label") === col("prediction"), col("n")).otherwise(lit(0L)).as("tpn"),
+      lit(true).as("is_support"))
+    val byPred = cm.select(col("prediction").as("cls"), col("n"),
+      lit(0L).as("tpn"), lit(false).as("is_support"))
+    val perClass = byLabel.unionByName(byPred)
+      .groupBy("cls")
+      .agg(
+        sum(when(col("is_support"), col("n")).otherwise(lit(0L))).as("support"),
+        sum(when(!col("is_support"), col("n")).otherwise(lit(0L))).as("predicted"),
+        sum(col("tpn")).as("tp"))
+      // classes that are predicted but never a true label carry no weight
+      // (support 0) — excluded, matching the label-driven formulation
+      .filter(col("support") > 0)
       .withColumn("precision",
         when(col("predicted") > 0, col("tp").cast("double") / col("predicted")).otherwise(0.0))
       .withColumn("recall",
@@ -122,6 +129,7 @@ object Sentiment {
         when(col("precision") + col("recall") > 0,
           lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
           .otherwise(0.0))
+    val tot = perClass.agg(sum("support").as("total"), sum("tp").as("correct"))
     // double sums are order-sensitive in the last bits and aggregation
     // order is nondeterministic — sort the handful of per-class terms and
     // fold sequentially so the result is bit-stable (the oracle does the
@@ -129,17 +137,16 @@ object Sentiment {
     def stableSum(c: org.apache.spark.sql.Column) =
       aggregate(sort_array(collect_list(c)), lit(0.0), (acc, x) => acc + x)
     val out = perClass
-      .crossJoin(broadcast(total))
-      .select(
+      .crossJoin(broadcast(tot))
+      .select(col("total"), col("correct"),
         (col("f1") * col("support") / col("total")).as("wf1_part"),
         (col("precision") * col("support") / col("total")).as("wp_part"),
         (col("recall") * col("support") / col("total")).as("wr_part"))
       .agg(
-        round(stableSum(col("wf1_part")), 6).as("weighted_f1"),
+        round(max(col("correct")).cast("double") / max(col("total")), 6).as("accuracy"),
         round(stableSum(col("wp_part")), 6).as("weighted_precision"),
-        round(stableSum(col("wr_part")), 6).as("weighted_recall"))
-      .crossJoin(broadcast(correct.crossJoin(total)
-        .select(round(col("correct").cast("double") / col("total"), 6).as("accuracy"))))
+        round(stableSum(col("wr_part")), 6).as("weighted_recall"),
+        round(stableSum(col("wf1_part")), 6).as("weighted_f1"))
       .select("accuracy", "weighted_precision", "weighted_recall", "weighted_f1")
     graft.CacheTracker.track(
       out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
