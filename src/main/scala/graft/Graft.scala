@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The library's front door: one call to get a correctly-configured
+  * session (GraftExtensions wired in — native functions, the TopKPerKey
+  * strategy and its optimizer rewrite), one call to mount a dataset
+  * directory as SQL-addressable tables, and the whole operator surface
+  * reachable either as `graft.operators.*` combinators or as plain
+  * `spark.sql(...)` over the registered views.
+  */
+object Graft {
+
+  val Tables: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Session builder with the graft extensions and scale-appropriate
+    * defaults. `shufflePartitions` should track cluster parallelism
+    * (cores × executors at scale; cores here). */
+  def session(master: String = "local[*]",
+              shufflePartitions: Option[Int] = None): SparkSession = {
+    val b = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+    shufflePartitions.foreach(n => b.config("spark.sql.shuffle.partitions", n))
+    b.getOrCreate()
+  }
+
+  /** Wire graft's extension points into an ALREADY-RUNNING session (one
+    * the caller built without `spark.sql.extensions`): the native SQL
+    * functions and the TopKPerKey strategy + rewrite rule. Idempotent. */
+  def install(spark: SparkSession): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    graft.plans.TopK.register(spark)
+  }
+
+  /** Mount every parquet table under `dir` as a temp view, so the full
+    * engine surface is reachable from SQL. events gets its nanos
+    * timestamp normalized to micros on the way in (the one driver-data
+    * quirk callers should never see). Because the view must live — and
+    * execute — in THIS session's catalog, mounting events sets
+    * `spark.sql.legacy.parquet.nanosAsLong` on this session and leaves
+    * it set: that is part of what mounting this dataset means. Query
+    * lambdas that must not mutate the shared session read through a
+    * cloned session instead (SparkEntry.events). */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    install(spark)
+    Tables.foreach { name =>
+      val path = s"$dir/$name.parquet"
+      if (new java.io.File(path).exists()) {
+        val df =
+          if (name == "events") {
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.read.parquet(path).withColumn("ts",
+              org.apache.spark.sql.functions.timestamp_micros(
+                org.apache.spark.sql.functions.expr("ts div 1000")))
+          } else spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+      }
+    }
+  }
+
+  /** Run a registered query by SURVEY.md §2 key. */
+  def query(spark: SparkSession, name: String, dir: String): DataFrame =
+    SparkEntry.queries(name)(spark, dir)
+
+  /** All registered query keys (the library's coverage inventory). */
+  def queryNames: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
+}
