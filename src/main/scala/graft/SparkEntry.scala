@@ -45,8 +45,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A. reference-derived text/TF-IDF surface
-    "clean_text" -> ((s, d) => TextOps.cleanDocs(t(s, d, "documents"))),
-    "token_counts" -> ((s, d) => TextOps.tokenCounts(t(s, d, "documents"))),
+    "clean_text" -> ((s, d) => TextOps.cleanDocs(spread(t(s, d, "documents")))),
+    "token_counts" -> ((s, d) => TextOps.tokenCounts(spread(t(s, d, "documents")))),
     "term_freq" -> ((s, d) => TfIdf.termFreq(spread(t(s, d, "documents")))),
     "doc_freq" -> ((s, d) => TfIdf.docFreq(spread(t(s, d, "documents")))),
     "idf" -> ((s, d) => TfIdf.idf(t(s, d, "documents"))),
@@ -88,7 +88,7 @@ object SparkEntry {
         t(s, d, "documents").select(col("doc_id"), col("text"), col("lang").as("label")))),
 
     // deterministic rule-based classifier → oracle-checkable metrics
-    "lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
+    "lang_id" -> ((s, d) => TextOps.langId(spread(t(s, d, "documents")))),
     "confusion_matrix" -> ((s, d) =>
       Sentiment.confusionMatrix(
         TextOps.langId(t(s, d, "documents"))
@@ -111,18 +111,18 @@ object SparkEntry {
     "ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
     "ann_ivf_kmeans" -> ((s, d) => Similarity.annIvfKmeans(t(s, d, "embeddings"))),
-    "quality_score" -> ((s, d) => TextOps.qualityScore(t(s, d, "documents"))),
+    "quality_score" -> ((s, d) => TextOps.qualityScore(spread(t(s, d, "documents")))),
     "stratified_sample" -> ((s, d) => TextOps.stratifiedSample(t(s, d, "documents"))),
     "inverted_index" -> ((s, d) => TextOps.invertedIndex(spread(t(s, d, "documents")))),
     "repetition_stats" -> ((s, d) => TextOps.repetitionStats(spread(t(s, d, "documents")))),
-    "gopher_filter" -> ((s, d) => TextOps.gopherFilter(t(s, d, "documents"))),
+    "gopher_filter" -> ((s, d) => TextOps.gopherFilter(spread(t(s, d, "documents")))),
     "embed_centroids" -> ((s, d) => Similarity.embedCentroids(t(s, d, "embeddings"))),
-    "token_stats" -> ((s, d) => TextOps.tokenStats(t(s, d, "documents"))),
-    "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),
+    "token_stats" -> ((s, d) => TextOps.tokenStats(spread(t(s, d, "documents")))),
+    "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(spread(t(s, d, "documents")))),
     "text_stats" -> ((s, d) => TextOps.textStats(t(s, d, "documents"))),
     "char_percentiles" -> ((s, d) => TextOps.charPercentiles(t(s, d, "documents"))),
-    "approx_distinct_tokens" -> ((s, d) => TextOps.approxDistinctTokens(t(s, d, "documents"))),
-    "mm_extract" -> ((s, d) => Multimodal.extract(t(s, d, "documents"))),
+    "approx_distinct_tokens" -> ((s, d) => TextOps.approxDistinctTokens(spread(t(s, d, "documents")))),
+    "mm_extract" -> ((s, d) => Multimodal.extract(spread(t(s, d, "documents")))),
     "curation_pipeline" -> ((s, d) => TextOps.curate(spread(t(s, d, "documents")))),
     "dedup_filtered" -> ((s, d) => TextOps.dedupFiltered(t(s, d, "documents"))),
 

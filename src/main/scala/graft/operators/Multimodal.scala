@@ -58,4 +58,54 @@ object Multimodal {
             bytes.length.toFloat, (if (bytes.isEmpty) 0f else bytes.head.toFloat)))
       }
     }(org.apache.spark.sql.Encoders.row(decodedSchema))
+
+  private val resizedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("pixels", ArrayType(FloatType))))
+
+  /** Resize seam: fixed (w × h) feature grid per media row — the batch
+    * shape an image-model preprocessor needs (constant-size tensors per
+    * row, schema known up front). The body is the STUB: a deterministic
+    * byte-fold stands in for decode+bilinear-resample; the partitioning,
+    * signature and output schema are the real contract. */
+  def resizeStub(media: DataFrame, w: Int = 4, h: Int = 4): DataFrame =
+    media.select("doc_id", "media").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        // STUB: stands in for decode(bytes).resize(w, h)
+        val px = Array.tabulate(w * h) { i =>
+          if (bytes.isEmpty) 0f
+          else (bytes(i % bytes.length) & 0xff).toFloat / 255f
+        }
+        Row(id, w, h, px)
+      }
+    }(org.apache.spark.sql.Encoders.row(resizedSchema))
+
+  private val framesSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame", BinaryType)))
+
+  /** Frame-sample seam: one row per sampled "frame" — media rows EXPAND
+    * (1 → n_frames), the shape that matters for partition sizing: at
+    * 100 TB the sampled-frame table is planned around frames-per-byte,
+    * not rows-in. The STUB slices the payload at a fixed stride instead
+    * of decoding a container; flatMap-per-partition, no driver state. */
+  def frameSampleStub(media: DataFrame, everyNth: Int = 2, maxFrames: Int = 4): DataFrame =
+    media.select("doc_id", "media").mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        // STUB: stands in for container.frames.zipWithIndex.filter(_._2 % n == 0)
+        val frameSize = math.max(1, bytes.length / math.max(1, maxFrames * everyNth))
+        val frames = bytes.grouped(frameSize).toSeq
+        frames.zipWithIndex.collect {
+          case (f, i) if i % everyNth == 0 && i / everyNth < maxFrames =>
+            Row(id, i, f)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(framesSchema))
 }

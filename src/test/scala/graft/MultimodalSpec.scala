@@ -37,4 +37,27 @@ class MultimodalSpec extends SparkSpec {
     assert(d1.map(_.toString).toSeq === d2.map(_.toString).toSeq)
     assert(d1.head.getAs[Seq[Float]]("feature").length === 4)
   }
+
+  test("resizeStub emits a constant-size grid per row, [0,1] valued") {
+    val out = Multimodal.resizeStub(Multimodal.asMedia(docs), w = 4, h = 4)
+      .orderBy("doc_id").collect()
+    assert(out.length === 3)
+    assert(out.forall(_.getAs[Seq[Float]]("pixels").length === 16))
+    assert(out.forall(_.getAs[Seq[Float]]("pixels").forall(p => p >= 0f && p <= 1f)))
+    // empty payload still yields the full (zeroed) grid, not a crash
+    assert(out(1).getAs[Seq[Float]]("pixels").forall(_ === 0f))
+  }
+
+  test("frameSampleStub expands rows at the stride, capped, partition-stable") {
+    val media = Multimodal.asMedia(docs)
+    val f1 = Multimodal.frameSampleStub(media, everyNth = 2, maxFrames = 2)
+      .orderBy("doc_id", "frame_idx").collect()
+    assert(f1.forall(_.getAs[Int]("frame_idx") % 2 === 0))
+    assert(f1.count(_.getAs[Long]("doc_id") === 1L) <= 2)
+    val f2 = Multimodal.frameSampleStub(Multimodal.asMedia(docs.repartition(3)),
+      everyNth = 2, maxFrames = 2).orderBy("doc_id", "frame_idx").collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq)
+    assert(f1.map(key).toSeq === f2.map(key).toSeq)
+  }
 }
