@@ -364,6 +364,20 @@ object Oracles {
         |      unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
         |GROUP BY label, i""".stripMargin,
 
+    // sparse TF-IDF cosine join: same sorted-fold arithmetic as the Spark
+    // side, pairs only through shared tokens within a source block
+    "doc_similarity" ->
+      s"""WITH t AS ($tfidf),
+         |w AS (SELECT t.doc_id, d.source AS blk, t.token, t.tfidf FROM t JOIN documents d USING (doc_id)),
+         |n AS (SELECT doc_id, sqrt(list_reduce(list_sort(list(tfidf * tfidf)), (a, b) -> a + b)) AS nrm FROM w GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |      list_reduce(list_sort(list(a.tfidf * b.tfidf)), (x, y) -> x + y) AS dot
+         |      FROM w a JOIN w b ON a.blk = b.blk AND a.token = b.token AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT a_id, b_id, round(dot / (na.nrm * nb.nrm), 6) AS cos
+         |FROM p JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+         |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.8""".stripMargin,
+
     "ann_ivf" ->
       """WITH b AS (SELECT vec_id, embedding,
         |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||

@@ -154,6 +154,37 @@ object Similarity {
           aggregate(sort_array(collect_list(col("x"))), lit(0.0), (a, b) => a + b)
             / count(lit(1)), 6).as("centroid"))
 
+  /** Sparse TF-IDF cosine document-similarity join (B21): the text-side
+    * similarity search, dual of the dense-embedding ANN. Pairs
+    * materialize ONLY through the shared-token inverted join within a
+    * block — documents sharing no token never meet; at 100 TB the block
+    * key is an LSH band and ultra-frequent tokens are df-pruned before
+    * the join (prefix filtering), both of which bound the pair space.
+    * Per-doc norms and per-pair dots fold over SORTED weight lists so
+    * every double is bit-identical to the DuckDB oracle. */
+  def docSimilarity(docs: DataFrame, blockCol: String = "source",
+                    simMin: Double = 0.8): DataFrame = {
+    def stableSum(c: Column) =
+      aggregate(sort_array(collect_list(c)), lit(0.0), (a, b) => a + b)
+    val w = TfIdf.tfidf(docs)
+      .join(docs.select(col("doc_id"), col(blockCol).as("blk")), "doc_id")
+      .select(col("doc_id"), col("blk"), col("token"), col("tfidf"))
+    val norms = w.groupBy("doc_id")
+      .agg(sqrt(stableSum(col("tfidf") * col("tfidf"))).as("nrm"))
+    val dots = w.select(col("blk"), col("token"), col("doc_id").as("a_id"), col("tfidf").as("a_w"))
+      .join(w.select(col("blk"), col("token"), col("doc_id").as("b_id"), col("tfidf").as("b_w")),
+        Seq("blk", "token"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(stableSum(col("a_w") * col("b_w")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("a_id"), col("nrm").as("a_nrm")), "a_id")
+      .join(norms.select(col("doc_id").as("b_id"), col("nrm").as("b_nrm")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("dot") / (col("a_nrm") * col("b_nrm")), 6).as("cos"))
+      .filter(col("cos") >= simMin)
+  }
+
   /** B5: embedding-cosine near-duplicate pairs, sign-LSH blocked (same
     * bucket only — never all-pairs). */
   def nearDupPairs(emb: DataFrame, cosMin: Double = 0.8, bits: Int = 8): DataFrame = {

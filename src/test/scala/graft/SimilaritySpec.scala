@@ -65,4 +65,20 @@ class SimilaritySpec extends SparkSpec {
     val plan = pairs.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(500))
   }
+
+  test("docSimilarity: identical docs hit cos 1.0; cross-block pairs never meet") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "s1"),
+      (2L, "alpha beta gamma delta", "s1"), // identical, same block
+      (3L, "alpha beta gamma delta", "s2"), // identical but different block
+      (4L, "zeta eta theta iota", "s1")     // disjoint vocabulary
+    ).toDF("doc_id", "text", "source")
+    val out = Similarity.docSimilarity(docs, simMin = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) === 1.0)
+    assert(!out.contains((1L, 3L))) // blocked apart
+    assert(!out.contains((1L, 4L))) // no shared token -> pair never materializes
+    val plan = Similarity.docSimilarity(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
