@@ -1,0 +1,92 @@
+package graft.bench
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOf, Dedup}
+
+/** Output-sensitivity scaling check (BASELINE.md "Scaling check" table):
+  * the corpus is multiplied m-way IN MEMORY with shifted ids, so every
+  * document becomes an m-way duplicate — a worst case that inflates the
+  * TRUE pair count quadratically while input only grows linearly. An
+  * operator whose cost tracks output (pairs found), not input², survives
+  * this; an all-pairs shape does not.
+  *
+  * Usage: runMain graft.bench.ScaleCheck [sfDir] [m ...]
+  * Prints one JSON line per m.
+  */
+object ScaleCheck {
+
+  private def timed(f: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val rows = f
+    ((System.nanoTime() - t0) / 1e9, rows)
+  }
+
+  private def force(df: DataFrame): Long = {
+    df.write.format("noop").mode("overwrite").save()
+    df.count()
+  }
+
+  def multiplyDocs(docs: DataFrame, m: Int): DataFrame =
+    (0 until m).map(i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * 10_000_000L)))
+      .reduce(_ unionByName _)
+
+  def multiplyEvents(events: DataFrame, m: Int): DataFrame =
+    (0 until m).map(i =>
+      events.withColumn("event_id", col("event_id") + lit(i * 10_000_000L))
+        .withColumn("user_id", col("user_id") + lit(i * 10_000_000L)))
+      .reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val ms = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 16)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val width = spark.sparkContext.defaultParallelism
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet").repartition(width)
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events0 = iso.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))).repartition(width)
+
+    for (m <- ms) {
+      val docs = multiplyDocs(docs0, m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      val events = multiplyEvents(events0, m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      events.count()
+
+      val (tExact, nExact) = timed(force(Dedup.exact(docs)))
+      val (tMinhash, nMinhash) = timed(force(Dedup.minhashPairs(docs)))
+      val (tNgram, nNgram) = timed(force(Dedup.ngramJaccard(docs)))
+      val (tComp, nComp) = timed(force(Dedup.components(Dedup.minhashPairs(docs))))
+      graft.CacheTracker.releaseAll()
+      val (tAsof, nAsof) = timed {
+        val e = events.select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        val p = e.filter(col("event_type") === "purchase").select("event_id", "user_id", "us")
+        val c = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_event_id"), col("user_id"), col("us").as("click_us"))
+        force(AsOf.asofJoin(p, c, "user_id", "us", "click_us"))
+      }
+
+      println(s"""{"m":$m,"docs":${docs.count()},"events":${events.count()},""" +
+        s""""dedup_exact":{"sec":$tExact,"rows":$nExact},""" +
+        s""""dedup_minhash":{"sec":$tMinhash,"pairs":$nMinhash},""" +
+        s""""ngram_jaccard":{"sec":$tNgram,"pairs":$nNgram},""" +
+        s""""components":{"sec":$tComp,"nodes":$nComp},""" +
+        s""""asof_join":{"sec":$tAsof,"rows":$nAsof}}""")
+      docs.unpersist(); events.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -166,9 +166,14 @@ object Similarity {
                     simMin: Double = 0.8): DataFrame = {
     def stableSum(c: Column) =
       aggregate(sort_array(collect_list(c)), lit(0.0), (a, b) => a + b)
-    val w = TfIdf.tfidf(docs)
-      .join(docs.select(col("doc_id"), col(blockCol).as("blk")), "doc_id")
-      .select(col("doc_id"), col("blk"), col("token"), col("tfidf"))
+    // the weighted frame feeds three subtrees (norms + both join sides):
+    // cache it so the TF-IDF pipeline runs once, not three times — the
+    // cache is CacheTracker-scoped, released by the harness after use
+    val w = graft.CacheTracker.track(
+      TfIdf.tfidf(docs)
+        .join(docs.select(col("doc_id"), col(blockCol).as("blk")), "doc_id")
+        .select(col("doc_id"), col("blk"), col("token"), col("tfidf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val norms = w.groupBy("doc_id")
       .agg(sqrt(stableSum(col("tfidf") * col("tfidf"))).as("nrm"))
     val dots = w.select(col("blk"), col("token"), col("doc_id").as("a_id"), col("tfidf").as("a_w"))
