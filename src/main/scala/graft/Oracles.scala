@@ -364,6 +364,13 @@ object Oracles {
         |      unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
         |GROUP BY label, i""".stripMargin,
 
+    "top_tokens_per_lang" ->
+      s"""WITH c AS (SELECT lang, token, count(*) AS cnt
+         |  FROM (SELECT lang, unnest($toks) AS token FROM documents) GROUP BY 1, 2),
+         |r AS (SELECT lang, token, cnt,
+         |  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rnk FROM c)
+         |SELECT lang, token, rnk, cnt FROM r WHERE rnk <= 5""".stripMargin,
+
     // sparse TF-IDF cosine join: same sorted-fold arithmetic as the Spark
     // side, pairs only through shared tokens within a source block
     "doc_similarity" ->

@@ -118,6 +118,7 @@ object SparkEntry {
     "gopher_filter" -> ((s, d) => TextOps.gopherFilter(spread(t(s, d, "documents")))),
     "embed_centroids" -> ((s, d) => Similarity.embedCentroids(t(s, d, "embeddings"))),
     "doc_similarity" -> ((s, d) => Similarity.docSimilarity(spread(t(s, d, "documents")))),
+    "top_tokens_per_lang" -> ((s, d) => TextOps.topTokensPerLang(spread(t(s, d, "documents")))),
     "token_stats" -> ((s, d) => TextOps.tokenStats(spread(t(s, d, "documents")))),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(spread(t(s, d, "documents")))),
     "text_stats" -> ((s, d) => TextOps.textStats(t(s, d, "documents"))),

@@ -253,6 +253,24 @@ object TextOps {
         (col("stop_count") >= 1).as("ok_stop"))
       .withColumn("kept", col("ok_len") && col("ok_mean_len") && col("ok_stop"))
 
+  /** Top-k tokens per language (B22): vocabulary profile through the
+    * custom TopKPerKey heap operator — the two-phase partial heap prunes
+    * to <=k rows per lang BEFORE the final shuffle, so the full
+    * (lang, token) count table is never sorted; the trivial <=k window
+    * afterward only assigns ranks. */
+  def topTokensPerLang(docs: DataFrame, k: Int = 5): DataFrame = {
+    graft.plans.TopK.register(docs.sparkSession)
+    val counts = docs.select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val pruned = graft.plans.TopK.topKPerKey(
+      counts, Seq("lang"), Seq("cnt" -> false, "token" -> true), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("cnt").desc, col("token"))
+    pruned.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("lang", "token", "rnk", "cnt")
+  }
+
   /** Per-(lang, source) corpus aggregates (B12). */
   def textStats(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang"), col("source"))
