@@ -22,6 +22,29 @@ class SinkSketchSpec extends SparkSpec {
     assert(!scan.contains("PartitionFilters: []"), scan.take(800))
   }
 
+  test("csv and json-lines sinks round-trip the corpus losslessly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "text", "lang", "source", "n_chars")
+        .as[(Long, String, String, String, Long)].collect().toSet
+
+    val jsonDir = Files.createTempDirectory("graft_json").toString
+    docs.write.mode("overwrite").json(jsonDir)
+    assert(rows(spark.read.schema(docs.schema).json(jsonDir)) === rows(docs))
+
+    // quoted CSV survives embedded commas/quotes — the reference's
+    // hand-rolled splitter (NB.scala:21-34) corrupts exactly this case
+    val csvDir = Files.createTempDirectory("graft_csv").toString
+    val tricky = docs.limit(10).withColumn("text",
+      concat(col("text"), lit(""" with, "commas" and quotes""")))
+    tricky.write.mode("overwrite").option("header", "true")
+      .option("quote", "\"").option("escape", "\"").csv(csvDir)
+    val back = spark.read.schema(docs.schema)
+      .option("header", "true").option("quote", "\"").option("escape", "\"").csv(csvDir)
+    assert(rows(back) === rows(tricky))
+  }
+
   test("HLL approx distinct tokens is within 10% of exact") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val approx = TextOps.approxDistinctTokens(docs)
