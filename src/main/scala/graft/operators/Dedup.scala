@@ -148,19 +148,22 @@ object Dedup {
   }
 
   /** Near-duplicate clustering (B20): connected components over a
-    * candidate-pair graph, as iterative min-label propagation — every
-    * round each node takes the min component id among itself and its
-    * neighbors; fixpoint when the label sum stops falling (labels only
-    * ever decrease, so equal sum == converged). Each round is one hash
-    * join + one partial-aggregated shuffle, fully distributed; rounds
-    * needed = component diameter, which for near-dup graphs (dense small
-    * clusters) is small. A corpus with adversarially long chains would
-    * switch to the large-star/small-star contraction, which squares
-    * distances per round.
+    * candidate-pair graph, as iterative min-label propagation with
+    * pointer jumping — every round each node takes the min component id
+    * among itself and its neighbors, then labels shortcut through their
+    * own label's label (path halving), so a diameter-d chain converges
+    * in O(log d) rounds, not d. Fixpoint when the label sum stops
+    * falling (labels only ever decrease, so equal sum == converged);
+    * a graph that has not converged within maxIter fails LOUDLY instead
+    * of returning partial clusters. Each round is two hash joins + one
+    * partial-aggregated shuffle, fully distributed, no driver state.
     *
-    * Labels are persisted per round and released as soon as the next
-    * round is materialized — without that, round N would recompute the
-    * entire lineage N times.
+    * Each round references the previous labels twice (neighbor join +
+    * self jump), so carrying lineage would DOUBLE the logical plan per
+    * round — labels are localCheckpoint'ed every round instead, which
+    * truncates the plan to the materialized blocks (a cluster deployment
+    * would use a reliable checkpoint dir for executor-loss tolerance;
+    * superseded round blocks are reclaimed by the ContextCleaner).
     *
     * Output: (id, component) for every node that appears in a pair;
     * component = min node id reachable. */
@@ -171,7 +174,8 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist(lvl)
     var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component")).persist(lvl)
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
     def labelSum(df: DataFrame): Long = // coalesce: an empty pair set must not NPE
       df.agg(coalesce(sum(col("component")), lit(0L))).head.getLong(0)
     var prevSum = labelSum(labels)
@@ -181,21 +185,31 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("component").as("dst_comp")), "dst")
         .groupBy("src").agg(min("dst_comp").as("nbr_comp"))
-      val next = labels
+      val prop = labels
         .join(nbrMin.select(col("src").as("id"), col("nbr_comp")), Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_comp"), col("component")))
             .as("component"))
-        .persist(lvl)
+      // pointer jump: component <- component's own component. Every label
+      // is a node id present in `prop` (it is a min over node ids), so
+      // the self-join always matches and each round halves path lengths.
+      val next = prop
+        .join(prop.select(col("id").as("component"), col("component").as("jump")),
+          Seq("component"))
+        .select(col("id"), least(col("component"), col("jump")).as("component"))
+        .localCheckpoint(true)
       val nextSum = labelSum(next)
-      labels.unpersist()
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
       i += 1
     }
     edges.unpersist()
-    graft.CacheTracker.track(labels)
+    if (!converged)
+      throw new IllegalStateException(
+        s"components: no fixpoint after $maxIter rounds — raise maxIter " +
+          "(with pointer jumping this needs an adversarial diameter > 2^maxIter)")
+    labels
   }
 
   /** B4: n-gram Jaccard similarity over blocked candidate pairs. Blocking

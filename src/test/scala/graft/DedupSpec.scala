@@ -58,6 +58,15 @@ class DedupSpec extends SparkSpec {
     graft.CacheTracker.releaseAll()
   }
 
+  test("components: a 200-link chain converges via pointer jumping") {
+    // plain propagation would need ~200 rounds; jumping needs ~log2(200)
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comp = Dedup.components(chain, maxIter = 12).as[(Long, Long)].collect()
+    assert(comp.length === 200)
+    assert(comp.forall(_._2 === 1L))
+    graft.CacheTracker.releaseAll()
+  }
+
   test("components: empty pair set yields empty result, no NPE") {
     val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
     assert(Dedup.components(empty).count() === 0)
