@@ -364,6 +364,19 @@ object Oracles {
         |      unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
         |GROUP BY label, i""".stripMargin,
 
+    "sequence_pack" ->
+      s"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard, len($toks)::BIGINT AS n_tokens FROM documents),
+         |p AS (SELECT doc_id, shard, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix_tokens
+         |  FROM t)
+         |SELECT doc_id, shard, n_tokens, prefix_tokens,
+         |  CAST(floor(prefix_tokens / 256) AS BIGINT) AS bin FROM p""".stripMargin,
+
+    "vocab_build" ->
+      (s"WITH d AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM $tokTable) GROUP BY token) " +
+        "SELECT token, df, CASE WHEN df >= 2 THEN row_number() OVER (ORDER BY df DESC, token) ELSE 0 END AS vocab_id FROM d"),
+
     "top_tokens_per_lang" ->
       s"""WITH c AS (SELECT lang, token, count(*) AS cnt
          |  FROM (SELECT lang, unnest($toks) AS token FROM documents) GROUP BY 1, 2),

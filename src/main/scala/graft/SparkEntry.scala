@@ -119,6 +119,8 @@ object SparkEntry {
     "embed_centroids" -> ((s, d) => Similarity.embedCentroids(t(s, d, "embeddings"))),
     "doc_similarity" -> ((s, d) => Similarity.docSimilarity(spread(t(s, d, "documents")))),
     "top_tokens_per_lang" -> ((s, d) => TextOps.topTokensPerLang(spread(t(s, d, "documents")))),
+    "sequence_pack" -> ((s, d) => TextOps.sequencePack(spread(t(s, d, "documents")))),
+    "vocab_build" -> ((s, d) => TextOps.vocabBuild(spread(t(s, d, "documents")))),
     "token_stats" -> ((s, d) => TextOps.tokenStats(spread(t(s, d, "documents")))),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(spread(t(s, d, "documents")))),
     "text_stats" -> ((s, d) => TextOps.textStats(t(s, d, "documents"))),

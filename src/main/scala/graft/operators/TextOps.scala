@@ -271,6 +271,38 @@ object TextOps {
       .select("lang", "token", "rnk", "cnt")
   }
 
+  /** Token-budget sequence packing (B23): assign documents to
+    * fixed-token-budget bins, the sharding step before a tokenizer /
+    * training job. Deterministic: shard = doc_id mod `shards`, docs
+    * ordered by doc_id within shard, bin = floor(prefix-tokens/budget).
+    * One shuffle on shard; per-shard sort. Shard count tracks cluster
+    * width at scale — parallelism is `shards`, not |docs|. */
+  def sequencePack(docs: DataFrame, budget: Long = 256, shards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"),
+        (col("doc_id") % shards).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("prefix_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("prefix_tokens") / budget))
+  }
+
+  /** Frequency-bounded vocabulary builder (B24): tokens with
+    * df >= minDf keep a dense id ordered by (df desc, token); the long
+    * tail maps to the OOV bucket (id 0). The id-assigning global window
+    * runs on the VOCAB-sized frame (already aggregated), not the corpus;
+    * HashingTF is the alternative when even the vocab is unbounded. */
+  def vocabBuild(docs: DataFrame, minDf: Int = 2): DataFrame = {
+    val df_ = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df").desc, col("token"))
+    df_.withColumn("vocab_id",
+      when(col("df") >= minDf, row_number().over(w).cast("long")).otherwise(0L))
+  }
+
   /** Per-(lang, source) corpus aggregates (B12). */
   def textStats(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang"), col("source"))

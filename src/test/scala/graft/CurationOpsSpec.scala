@@ -81,6 +81,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(m(2L) === ((2L, 0L, 1L, 0L)))
   }
 
+  test("sequencePack: bins never start past the budget, prefix sums are per-shard") {
+    val many = (0L until 40L).map(i => (i, "a b c d e f g h", "en", "a", 15))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.sequencePack(many, budget = 16, shards = 4)
+      .select("doc_id", "shard", "prefix_tokens", "bin")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length === 40)
+    // 8 tokens per doc, budget 16 -> two docs per bin within each shard
+    out.foreach { case (id, shard, prefix, bin) =>
+      assert(shard === id % 4)
+      assert(bin === prefix / 16)
+    }
+    val binSizes = out.groupBy(r => (r._2, r._4)).values.map(_.length)
+    assert(binSizes.forall(_ === 2))
+  }
+
+  test("vocabBuild: dense ids by frequency, tail maps to OOV 0") {
+    val out = TextOps.vocabBuild(docs, minDf = 2)
+      .select("token", "df", "vocab_id").as[(String, Long, Long)].collect()
+    val vocab = out.filter(_._3 > 0)
+    assert(vocab.map(_._3).sorted.toSeq === (1L to vocab.length).toSeq) // dense
+    assert(out.filter(_._2 < 2).forall(_._3 === 0L))                    // OOV
+    // highest-df token gets id 1
+    assert(out.maxBy(r => (r._2, r._1))._3 <= vocab.length)
+  }
+
   test("embedCentroids: sorted-fold mean equals the plain mean") {
     val emb = Seq(
       (1L, Seq(1.0f, 2.0f), 0),
