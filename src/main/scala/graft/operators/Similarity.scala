@@ -168,12 +168,15 @@ object Similarity {
       aggregate(sort_array(collect_list(c)), lit(0.0), (a, b) => a + b)
     // the weighted frame feeds three subtrees (norms + both join sides):
     // cache it so the TF-IDF pipeline runs once, not three times — the
-    // cache is CacheTracker-scoped, released by the harness after use
+    // cache is CacheTracker-scoped, released by the harness after use.
+    // Materialize eagerly: concurrently-scheduled stages over a
+    // not-yet-populated cache would each recompute the pipeline.
     val w = graft.CacheTracker.track(
       TfIdf.tfidf(docs)
         .join(docs.select(col("doc_id"), col(blockCol).as("blk")), "doc_id")
         .select(col("doc_id"), col("blk"), col("token"), col("tfidf"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    w.count()
     val norms = w.groupBy("doc_id")
       .agg(sqrt(stableSum(col("tfidf") * col("tfidf"))).as("nrm"))
     val dots = w.select(col("blk"), col("token"), col("doc_id").as("a_id"), col("tfidf").as("a_w"))
