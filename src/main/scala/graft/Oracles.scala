@@ -308,12 +308,16 @@ object Oracles {
     },
 
     // DuckDB's native ASOF JOIN — an independent implementation of the
-    // same point-in-time semantics as operators.AsOf's union+window shape
+    // same point-in-time semantics as operators.AsOf's union+window shape.
+    // Clicks are pre-deduped to ONE row per (user_id, click_us) on both
+    // sides: DuckDB's pick among equal-timestamp right rows is otherwise
+    // unspecified, which would make the hash comparison data-dependent.
     "asof_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
         |           FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT event_id AS click_event_id, user_id, epoch_ns(ts) // 1000 AS click_us
-        |      FROM events WHERE event_type = 'click')
+        |c AS (SELECT user_id, epoch_ns(ts) // 1000 AS click_us,
+        |             min(event_id) AS click_event_id
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
         |SELECT p.user_id, p.event_id, p.us, c.click_event_id, c.click_us,
         |       p.us - c.click_us AS gap_us
         |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us >= c.click_us""".stripMargin,

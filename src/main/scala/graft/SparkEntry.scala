@@ -149,9 +149,12 @@ object SparkEntry {
         col("event_type"), unix_micros(col("ts")).as("us"))
       val purchases = e.filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "us")
+      // one click per (user_id, ts): right-side ties at equal timestamps are
+      // unspecified in DuckDB's ASOF JOIN, so the oracle is only
+      // deterministic when right rows are unique per (key, ts)
       val clicks = e.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_event_id"), col("user_id"),
-          col("us").as("click_us"))
+        .groupBy(col("user_id"), col("us").as("click_us"))
+        .agg(min("event_id").as("click_event_id"))
       AsOf.asofJoin(purchases, clicks, "user_id", "us", "click_us")
         .filter(col("click_event_id").isNotNull) // inner as-of: dtype-stable for the oracle
         .withColumn("gap_us", col("us") - col("click_us"))

@@ -107,6 +107,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.maxBy(r => (r._2, r._1))._3 <= vocab.length)
   }
 
+  // The sf0.01 oracle run sees 0 customers without orders (0 rows == 0
+  // rows is vacuous), so the left-anti semantics are value-checked here.
+  test("customersWithoutOrders: counts only customers lacking any order") {
+    val customer = Seq(
+      (1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L), (5L, 20L)
+    ).toDF("c_custkey", "c_nationkey")
+    val orders = Seq((100L, 1L), (101L, 1L), (102L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+    val nation = Seq((10L, "ALPHA"), (20L, "BETA")).toDF("n_nationkey", "n_name")
+    val m = Relational.customersWithoutOrders(customer, orders, nation)
+      .as[(String, Long)].collect().toMap
+    assert(m === Map("ALPHA" -> 1L, "BETA" -> 2L)) // custkeys 2, 4, 5
+  }
+
   test("embedCentroids: sorted-fold mean equals the plain mean") {
     val emb = Seq(
       (1L, Seq(1.0f, 2.0f), 0),

@@ -32,8 +32,9 @@ print(HEADER)
 cartesians = []
 for name in sorted(queries):
     plan = queries[name]
-    shuf = len(re.findall(r'\(\d+\) Exchange', plan)) \
-        + len(re.findall(r'\(\d+\) AQEShuffleRead', plan)) * 0
+    # AQEShuffleRead nodes re-read an Exchange's output (coalesced); they
+    # are not additional shuffles, so only Exchange nodes are counted.
+    shuf = len(re.findall(r'\(\d+\) Exchange', plan))
     bcast = len(re.findall(r'\(\d+\) BroadcastExchange', plan))
     pushed = 'yes' if re.search(r'PushedFilters: \[[^\]]', plan) else '-'
     notes = []
