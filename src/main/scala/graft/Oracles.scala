@@ -17,6 +17,15 @@ object Oracles {
 
   val toks: String = s"list_filter(string_split($clean, ' '), t -> t <> '')"
 
+  /** Mirrors operators.TextOps.qualityComposite (shared by quality_score
+    * and quality_filter so the two entries can never drift apart). */
+  val qualitySql: String =
+    """round((CASE WHEN length(text) >= 20 THEN 1.0 ELSE CAST(length(text) AS DOUBLE) / 20.0 END)
+      |    * (1.0 - CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / length(text) ELSE 0.0 END)
+      |    * (CASE WHEN len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) > 0
+      |       THEN least(1.0, CAST(len(list_filter(list_filter(string_split_regex(text, '\s+'), t -> t <> ''), t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+      |            / len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) * 5.0 + 0.5) ELSE 0.0 END), 6)""".stripMargin
+
   /** (doc_id, token) exploded tokens. */
   val tokTable: String = s"(SELECT doc_id, unnest($toks) AS token FROM documents)"
 
@@ -142,18 +151,14 @@ object Oracles {
          |FROM documents d JOIN pred p USING (doc_id) WHERE NOT (d.doc_id % 4 < 3)""".stripMargin,
 
     "quality_score" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  length(text)::BIGINT AS n_chars_text,
-        |  len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))::BIGINT AS n_tokens,
-        |  round(CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / length(text) ELSE 0.0 END, 6) AS punct_ratio,
-        |  round(CASE WHEN len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) > 0
-        |    THEN CAST(len(list_filter(list_filter(string_split_regex(text, '\s+'), t -> t <> ''), t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
-        |         / len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) ELSE 0.0 END, 6) AS stop_ratio,
-        |  round((CASE WHEN length(text) >= 20 THEN 1.0 ELSE CAST(length(text) AS DOUBLE) / 20.0 END)
-        |    * (1.0 - CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / length(text) ELSE 0.0 END)
-        |    * (CASE WHEN len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) > 0
-        |       THEN least(1.0, CAST(len(list_filter(list_filter(string_split_regex(text, '\s+'), t -> t <> ''), t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
-        |            / len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) * 5.0 + 0.5) ELSE 0.0 END), 6) AS quality
+        |  len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))::BIGINT AS n_tokens,
+        |  round(CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text) ELSE 0.0 END, 6) AS punct_ratio,
+        |  round(CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) > 0
+        |    THEN CAST(len(list_filter(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |         / len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) ELSE 0.0 END, 6) AS stop_ratio,
+        |  $qualitySql AS quality
         |FROM documents""".stripMargin,
 
     "token_stats" ->
@@ -439,6 +444,96 @@ object Oracles {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "customers_with_orders" ->
+      """SELECT n_name, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY n_name""".stripMargin,
+
+    "cube_stats" ->
+      """SELECT lang, source, grouping_id(lang, source) AS gid, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY CUBE(lang, source)""".stripMargin,
+
+    "events_rolling" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+        |                  CAST(round(value * 100) AS BIGINT) AS v_cents FROM events)
+        |SELECT event_id, user_id, us,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(v_cents) OVER w AS BIGINT) AS cents_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "props_extract" -> {
+      val k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+      s"""SELECT event_type, count(*) AS n_events,
+         |  CAST(sum($k) AS BIGINT) AS sum_k, min($k) AS min_k, max($k) AS max_k,
+         |  round(avg($k), 6) AS avg_k
+         |FROM events GROUP BY event_type""".stripMargin
+    },
+
+    // plain BETWEEN join — the declarative twin of Relational.rangeJoin's
+    // two-bin bucketed shape; same pairs by construction
+    "range_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_event_id, user_id, epoch_ns(ts) // 1000 AS click_us
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id, p.us, c.click_event_id, c.click_us,
+        |       p.us - c.click_us AS gap_us
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.click_us >= p.us - 1800000000 AND c.click_us <= p.us""".stripMargin,
+
+    "quality_filter" ->
+      s"""WITH q AS (SELECT doc_id, lang, $qualitySql AS quality FROM documents),
+         |r AS (SELECT doc_id, lang, quality,
+         |      round(percent_rank() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id), 6) AS pct_rank
+         |      FROM q)
+         |SELECT doc_id, lang, quality, pct_rank FROM r WHERE pct_rank <= 0.5""".stripMargin,
+
+    "mixture_sample" ->
+      """SELECT doc_id, source, bucket, rate FROM (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 8))::BIGINT % 100 AS bucket,
+        |    CAST(CASE WHEN CAST(regexp_extract(source, '\d+', 0) AS BIGINT) % 2 = 0
+        |         THEN 75 ELSE 25 END AS BIGINT) AS rate
+        |  FROM documents)
+        |WHERE bucket < rate""".stripMargin,
+
+    // integer log2 via binary-digit count, immune to float rounding at
+    // exact powers of two (mirrors TextOps.tokenHistogram)
+    "token_histogram" ->
+      (s"WITH c AS (SELECT token, count(*) AS cnt FROM $tokTable GROUP BY token) " +
+        "SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS bucket, " +
+        "count(*) AS n_tokens, CAST(sum(cnt) AS BIGINT) AS n_occurrences " +
+        "FROM c GROUP BY 1"),
+
+    "pii_redact" -> {
+      import graft.operators.TextOps.{EmailRe, Ipv4Re, PhoneRe}
+      s"""WITH s1 AS (SELECT doc_id,
+         |  len(regexp_extract_all(text, '$EmailRe'))::BIGINT AS n_emails,
+         |  regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS t1 FROM documents),
+         |s2 AS (SELECT doc_id, n_emails,
+         |  len(regexp_extract_all(t1, '$Ipv4Re'))::BIGINT AS n_ips,
+         |  regexp_replace(t1, '$Ipv4Re', '<IP>', 'g') AS t2 FROM s1)
+         |SELECT doc_id, regexp_replace(t2, '$PhoneRe', '<PHONE>', 'g') AS redacted,
+         |  n_emails, n_ips,
+         |  len(regexp_extract_all(t2, '$PhoneRe'))::BIGINT AS n_phones
+         |FROM s2""".stripMargin
+    },
+
+    // string-shingle contamination twin (4-grams); benchmark = doc_id%50==0
+    "contamination_check" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+         |       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS g
+         |       FROM t WHERE len(toks) >= 4),
+         |b AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % 50 = 0),
+         |c AS (SELECT doc_id, g FROM sh WHERE doc_id % 50 <> 0)
+         |SELECT doc_id, count(DISTINCT g) AS n_shared, count(DISTINCT bench_id) AS n_bench_docs
+         |FROM c JOIN b USING (g) GROUP BY doc_id""".stripMargin
   )
 }

@@ -129,6 +129,11 @@ object SparkEntry {
     "mm_extract" -> ((s, d) => Multimodal.extract(spread(t(s, d, "documents")))),
     "curation_pipeline" -> ((s, d) => TextOps.curate(spread(t(s, d, "documents")))),
     "dedup_filtered" -> ((s, d) => TextOps.dedupFiltered(t(s, d, "documents"))),
+    "quality_filter" -> ((s, d) => TextOps.qualityFilter(spread(t(s, d, "documents")))),
+    "mixture_sample" -> ((s, d) => TextOps.mixtureSample(t(s, d, "documents"))),
+    "token_histogram" -> ((s, d) => TextOps.tokenHistogram(spread(t(s, d, "documents")))),
+    "pii_redact" -> ((s, d) => TextOps.piiRedact(spread(t(s, d, "documents")))),
+    "contamination_check" -> ((s, d) => TextOps.contamination(spread(t(s, d, "documents")))),
 
     // C. engine breadth
     "lineitem_agg" -> ((s, d) => Relational.lineitemAgg(t(s, d, "lineitem"))),
@@ -142,6 +147,23 @@ object SparkEntry {
     "rollup_stats" -> ((s, d) => Relational.rollupStats(t(s, d, "documents"))),
     "customers_no_orders" -> ((s, d) =>
       Relational.customersWithoutOrders(t(s, d, "customer"), t(s, d, "orders"), t(s, d, "nation"))),
+    "customers_with_orders" -> ((s, d) =>
+      Relational.customersWithOrders(t(s, d, "customer"), t(s, d, "orders"), t(s, d, "nation"))),
+    "cube_stats" -> ((s, d) => Relational.cubeStats(t(s, d, "documents"))),
+    "events_rolling" -> ((s, d) => Relational.eventsRolling(events(s, d))),
+    "props_extract" -> ((s, d) => Relational.propsExtract(events(s, d))),
+    "range_join" -> ((s, d) => {
+      val e = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "us")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_event_id"), col("user_id"),
+          col("us").as("click_us"))
+      Relational.rangeJoin(purchases, clicks, "user_id", "us", "click_us",
+          windowUs = 1800000000L)
+        .withColumn("gap_us", col("us") - col("click_us"))
+    }),
     "user_spend_rank" -> ((s, d) => Relational.userSpendRank(events(s, d))),
     "pivot_events" -> ((s, d) => Relational.pivotEvents(events(s, d))),
     "asof_join" -> ((s, d) => {

@@ -145,4 +145,81 @@ object Relational {
       .agg(
         count(lit(1)).as("n_events"),
         sum(cents(col("value"))).as("sum_value_cents"))
+
+  /** Semi-join breadth (C23): customers that DID order, per nation — the
+    * relational EXISTS. Like the anti-join, left_semi emits each build
+    * row at most once, so no row blow-up regardless of order count per
+    * customer; one shuffle on custkey, nation broadcast. */
+  def customersWithOrders(customer: DataFrame, orders: DataFrame,
+                          nation: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"))
+
+  /** Full CUBE over (lang, source) (C24): all four grouping sets —
+    * (lang,source), (lang), (source), () — expanded inside ONE partial
+    * aggregate, one shuffle total, vs four separate queries re-scanning
+    * the corpus. grouping_id disambiguates subtotal NULLs. */
+  def cubeStats(docs: DataFrame): DataFrame =
+    docs.cube(col("lang"), col("source"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .select("lang", "source", "gid", "n_docs", "sum_chars", "avg_chars")
+
+  /** Sliding 1-hour LOOK-BACK per event (C25): for every event, the count
+    * and exact cents sum of the same user's events in [ts-1h, ts] — a
+    * RANGE frame over the microsecond timestamp, the feature-engineering
+    * "activity in the last hour" signal. One shuffle on user_id, one
+    * per-partition sort; the frame is computed in a single ordered pass
+    * (no self-join, no per-event re-scan). */
+  def eventsRolling(events: DataFrame, windowUs: Long = 3600000000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us").rangeBetween(-windowUs, 0)
+    events
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), cents(col("value")).as("v_cents"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("v_cents")).over(w).as("cents_1h"))
+  }
+
+  /** Binned interval join (C26): every left row pairs with the right rows
+    * of the same key whose timestamp falls in [leftTs - window, leftTs].
+    * Spark plans a raw range predicate as a broadcast-nested-loop over
+    * every same-key pair; instead both sides are bucketed into
+    * window-sized time bins and equi-joined on (key, bin) — each left row
+    * probes exactly two bins (its own and the previous), so matching cost
+    * tracks TRUE matches, and the shuffle is a plain hash partition. */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String,
+                leftTs: String, rightTs: String, windowUs: Long): DataFrame = {
+    def binOf(c: String) = expr(s"$c div CAST($windowUs AS BIGINT)")
+    val probe = left.withColumn("_bin",
+      explode(array(binOf(leftTs) - 1, binOf(leftTs))))
+    val build = right.withColumn("_bin", binOf(rightTs))
+    probe.join(build, Seq(key, "_bin"))
+      .filter(col(rightTs) >= col(leftTs) - windowUs && col(rightTs) <= col(leftTs))
+      .drop("_bin")
+  }
+
+  /** Typed JSON payload extraction + aggregate (C27): from_json with an
+    * explicit schema (no sampling pass, unlike schema inference) parses
+    * the props column inside codegen; the aggregate is then a plain
+    * one-shuffle groupBy. */
+  def propsExtract(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        from_json(col("props"), "k BIGINT", Map.empty[String, String])
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        round(avg(col("k")), 6).as("avg_k"))
 }

@@ -64,6 +64,23 @@ object TextOps {
     * (B9). Ratios rounded to 6 dp so the DuckDB oracle hash-matches. */
   private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
+  /** The composite quality score alone — shared by qualityScore and
+    * qualityFilter so the two can never drift apart. */
+  private def qualityComposite: Column = {
+    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+    val nToks = size(toks)
+    val nStop = size(filter(toks, t => lower(t).isInCollection(Stopwords)))
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+    val len = length(col("text"))
+    // composite: long enough, not punctuation-soup, some stopwords
+    round(
+      when(len >= 20, lit(1.0)).otherwise(len.cast("double") / 20.0) *
+        (lit(1.0) - when(len > 0, nPunct.cast("double") / len).otherwise(lit(0.0))) *
+        when(nToks > 0, least(lit(1.0), nStop.cast("double") / nToks * 5.0 + lit(0.5)))
+          .otherwise(lit(0.0)),
+      6)
+  }
+
   def qualityScore(docs: DataFrame): DataFrame = {
     val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
     val nToks = size(toks)
@@ -78,14 +95,97 @@ object TextOps {
         .as("punct_ratio"),
       round(when(nToks > 0, nStop.cast("double") / nToks).otherwise(lit(0.0)), 6)
         .as("stop_ratio"),
-      // composite: long enough, not punctuation-soup, some stopwords
-      round(
-        when(len >= 20, lit(1.0)).otherwise(len.cast("double") / 20.0) *
-          (lit(1.0) - when(len > 0, nPunct.cast("double") / len).otherwise(lit(0.0))) *
-          when(nToks > 0, least(lit(1.0), nStop.cast("double") / nToks * 5.0 + lit(0.5)))
-            .otherwise(lit(0.0)),
-        6).as("quality"))
+      qualityComposite.as("quality"))
   }
+
+  /** Percentile-gated quality filter (B25): keep each language's top
+    * `keepFrac` of documents by composite quality — the curation pass that
+    * trims per-stratum rather than by a global threshold (which would
+    * starve low-scoring languages entirely). The narrow score is computed
+    * per row; the window ranks WITHIN lang after one shuffle on lang. At
+    * 100 TB the same plan holds: the rank input is the scored corpus, and
+    * per-lang partitions sort independently. pct_rank is rounded to 6 dp
+    * BEFORE the gate so the oracle applies the identical boundary. */
+  def qualityFilter(docs: DataFrame, keepFrac: Double = 0.5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), qualityComposite.as("quality"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .filter(col("pct_rank") <= keepFrac)
+  }
+
+  /** Mixture / temperature sampling (B26): per-source sampling rates
+    * (even-numbered sources keep 75%, odd 25% — standing in for the
+    * per-domain mixture weights of a training recipe), applied via
+    * deterministic md5 bucketing on (doc_id, source). No RNG state, no
+    * per-source driver pass; exactly reproducible anywhere, purely
+    * narrow — zero shuffle at any scale. */
+  def mixtureSample(docs: DataFrame): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "\\d+", 0).cast("long")
+    val rate = when(srcNum % 2 === 0, lit(75L)).otherwise(lit(25L))
+    docs.select(col("doc_id"), col("source"),
+        (conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("source"))), 1, 8), 16, 10)
+          .cast("long") % 100).as("bucket"),
+        rate.as("rate"))
+      .filter(col("bucket") < col("rate"))
+  }
+
+  /** Zipf profile (B27): corpus token counts bucketed by floor(log2(count)).
+    * The log2 is taken as binary-digit count minus one — pure integer
+    * arithmetic, immune to the float rounding that floor(log2(x)) suffers
+    * at exact powers of two. Two shuffles, both on frames already reduced
+    * by partial aggregation (token counts, then ~60 buckets). */
+  def tokenHistogram(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", (length(bin(col("cnt"))) - 1).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("n_occurrences"))
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d[\\d() -]{6,}\\d"
+
+  /** PII redaction (B28): emails, then IPv4s, then phone-shaped digit runs
+    * replaced by typed placeholders, with per-type match counts. Each
+    * stage counts and redacts on the PREVIOUS stage's output, so an IP is
+    * never double-counted as a phone. Regexes are RE2-safe (no lookahead)
+    * so Java and the DuckDB oracle agree; purely narrow per-row work. */
+  def piiRedact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("_t1", regexp_replace(col("text"), EmailRe, "<EMAIL>"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col("_t1"), lit(Ipv4Re), lit(0))).cast("long"))
+      .withColumn("_t2", regexp_replace(col("_t1"), Ipv4Re, "<IP>"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("_t2"), lit(PhoneRe), lit(0))).cast("long"))
+      .withColumn("redacted", regexp_replace(col("_t2"), PhoneRe, "<PHONE>"))
+      .select("doc_id", "redacted", "n_emails", "n_ips", "n_phones")
+
+  /** Benchmark-contamination check (B29): documents sharing any distinct
+    * token 4-gram with a benchmark set (here: doc_id % 50 == 0 stands in
+    * for the eval set), with shared-shingle and benchmark-doc counts.
+    * Shape: inverted equi-join on the shingle STRING — non-overlapping
+    * pairs never materialize. The benchmark side is broadcast: eval sets
+    * are tiny next to a 100 TB corpus, so the probe side never shuffles. */
+  def contamination(docs: DataFrame, n: Int = 4, benchMod: Long = 50): DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val sh = t.select(col("doc_id"),
+      explode(when(size(col("toks")) >= n,
+        array_distinct(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j)): _*))))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    val bench = sh.filter(col("doc_id") % benchMod === 0)
+      .select(col("doc_id").as("bench_id"), col("g"))
+    sh.filter(col("doc_id") % benchMod =!= 0)
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
 
   /** Marker-token language-ID heuristic (B8): count hits against small
     * per-language marker sets over lowercase whitespace tokens; argmax with

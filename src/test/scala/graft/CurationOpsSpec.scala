@@ -121,6 +121,73 @@ class CurationOpsSpec extends SparkSpec {
     assert(m === Map("ALPHA" -> 1L, "BETA" -> 2L)) // custkeys 2, 4, 5
   }
 
+  // The synthetic corpus contains no PII, so the oracle only proves the
+  // regexes don't false-positive; true positives are value-checked here.
+  test("piiRedact: redacts emails, IPs, phones in order, with counts") {
+    val docs = Seq(
+      (1L, "mail bob@example.com and alice.smith@sub.domain.org today"),
+      (2L, "server at 10.0.0.1 and 192.168.1.255 responded"),
+      (3L, "call +1 555 123-4567 maybe"),
+      (4L, "ip 10.0.0.1 then phone 555-123-4567"),
+      (5L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val m = TextOps.piiRedact(docs)
+      .select("doc_id", "redacted", "n_emails", "n_ips", "n_phones")
+      .as[(Long, String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(m(1L)._2 === "mail <EMAIL> and <EMAIL> today")
+    assert((m(1L)._3, m(1L)._4, m(1L)._5) === ((2L, 0L, 0L)))
+    assert(m(2L)._2 === "server at <IP> and <IP> responded")
+    assert((m(2L)._3, m(2L)._4, m(2L)._5) === ((0L, 2L, 0L)))
+    assert(m(3L)._2 === "call <PHONE> maybe")
+    assert((m(3L)._3, m(3L)._4, m(3L)._5) === ((0L, 0L, 1L)))
+    // the IP is consumed by the IP stage and NOT recounted as a phone
+    assert(m(4L)._2 === "ip <IP> then phone <PHONE>")
+    assert((m(4L)._3, m(4L)._4, m(4L)._5) === ((0L, 1L, 1L)))
+    assert(m(5L)._2 === "nothing sensitive here")
+    assert((m(5L)._3, m(5L)._4, m(5L)._5) === ((0L, 0L, 0L)))
+  }
+
+  test("rangeJoin: binned join matches the naive range predicate exactly") {
+    val left = Seq((1L, 10L, 1000L), (2L, 10L, 5000L), (3L, 20L, 900L))
+      .toDF("event_id", "user_id", "us")
+    val right = Seq(
+      (101L, 10L, 0L), (102L, 10L, 999L), (103L, 10L, 1000L),
+      (104L, 10L, 4500L), (105L, 20L, 899L), (106L, 20L, 901L), (107L, 30L, 900L)
+    ).toDF("r_id", "user_id", "r_us")
+    val got = Relational.rangeJoin(left, right, "user_id", "us", "r_us", windowUs = 1000L)
+      .select("event_id", "r_id").as[(Long, Long)].collect().toSet
+    val want = left.as("l").join(right.as("r"),
+        col("l.user_id") === col("r.user_id") &&
+          col("r_us") >= col("us") - 1000L && col("r_us") <= col("us"))
+      .select("event_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got === Set((1L, 101L), (1L, 102L), (1L, 103L), (2L, 104L), (3L, 105L)))
+  }
+
+  test("contamination: counts distinct shared 4-grams against the benchmark slice") {
+    val docs2 = Seq(
+      (50L, "alpha beta gamma delta epsilon", "en", "a", 0),  // benchmark (id%50==0)
+      (1L, "alpha beta gamma delta zeta", "en", "a", 0),       // shares 1 shingle
+      (2L, "alpha beta gamma delta epsilon tail", "en", "a", 0), // shares 2
+      (3L, "unrelated words only here now", "en", "a", 0)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = TextOps.contamination(docs2)
+      .select("doc_id", "n_shared", "n_bench_docs")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m === Map(1L -> ((1L, 1L)), 2L -> ((2L, 1L))))
+  }
+
+  test("tokenHistogram: integer log2 bucketing at exact powers of two") {
+    val docs2 = (1 to 8).map(i => (i.toLong, "eight", "en", "a", 5)) ++
+      Seq((9L, "once", "en", "a", 4), (10L, "three three three", "en", "a", 17))
+    val out = TextOps.tokenHistogram(
+        docs2.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select("bucket", "n_tokens", "n_occurrences")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // "eight" x8 -> bucket 3; "once" x1 -> bucket 0; "three" x3 -> bucket 1
+    assert(out === Map(3L -> ((1L, 8L)), 0L -> ((1L, 1L)), 1L -> ((1L, 3L))))
+  }
+
   test("embedCentroids: sorted-fold mean equals the plain mean") {
     val emb = Seq(
       (1L, Seq(1.0f, 2.0f), 0),
