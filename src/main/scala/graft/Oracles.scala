@@ -440,6 +440,14 @@ object Oracles {
       ("SELECT * FROM read_csv('/root/repo/src/test/resources/tweets_sample.csv', " +
         "header = true, all_varchar = true)"),
 
+    "json_ingest" ->
+      """SELECT doc_id, lang, text, meta.author AS author, meta.year AS year,
+        |  coalesce(array_to_string(tags, ','), '') AS tags_csv, len(tags)::BIGINT AS n_tags
+        |FROM read_json('/root/repo/src/test/resources/docs_sample.jsonl',
+        |  format = 'newline_delimited',
+        |  columns = {doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
+        |             meta: 'STRUCT(author VARCHAR, year BIGINT)', tags: 'VARCHAR[]'})""".stripMargin,
+
     "events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n_events,

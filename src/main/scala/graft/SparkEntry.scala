@@ -184,7 +184,20 @@ object SparkEntry {
     "csv_ingest" -> ((s, _) =>
       s.read.option("header", "true").option("quote", "\"").option("escape", "\"")
         .option("inferSchema", "false")
-        .csv("/root/repo/src/test/resources/tweets_sample.csv"))
+        .csv("/root/repo/src/test/resources/tweets_sample.csv")),
+    // JSONL ingest with an EXPLICIT schema (no sampling/inference pass —
+    // at 100 TB, inference is a full extra scan before planning) including
+    // nested struct + array extraction; list output flattened to csv so
+    // the comparison stays scalar-typed
+    "json_ingest" -> ((s, _) =>
+      s.read
+        .schema("doc_id BIGINT, text STRING, lang STRING, " +
+          "meta STRUCT<author: STRING, year: BIGINT>, tags ARRAY<STRING>")
+        .json("/root/repo/src/test/resources/docs_sample.jsonl")
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("meta.author").as("author"), col("meta.year").as("year"),
+          concat_ws(",", col("tags")).as("tags_csv"),
+          size(col("tags")).cast("long").as("n_tags")))
   )
 
   /** DuckDB twins for the SQL-expressible queries (SURVEY.md §5). */

@@ -61,6 +61,25 @@ object Events {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join (C28): purchases joined to the same
+    * user's clicks from the preceding `lookback` — both sides streaming,
+    * which Spark only admits with watermarks on BOTH event times plus a
+    * bounded time-range join condition; together they let the engine
+    * evict buffered rows once no future match is possible, keeping join
+    * state finite on unbounded inputs. The same call serves batch frames
+    * (watermarks are then no-ops). Expects `p_ts`/`c_ts` event-time
+    * columns and `user_id`/`c_user_id` keys (pre-renamed: stream-stream
+    * joins reject ambiguous columns). */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
+                        lookback: String = "30 minutes"): DataFrame = {
+    val p = if (purchases.isStreaming) purchases.withWatermark("p_ts", "1 hour")
+            else purchases
+    val c = if (clicks.isStreaming) clicks.withWatermark("c_ts", "2 hours")
+            else clicks
+    p.join(c, expr(
+      s"user_id = c_user_id AND c_ts >= p_ts - interval $lookback AND c_ts <= p_ts"))
+  }
+
   /** Windowed aggregation usable on a streaming or batch events frame. */
   def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
     val withWm =

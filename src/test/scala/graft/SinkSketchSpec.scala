@@ -45,6 +45,21 @@ class SinkSketchSpec extends SparkSpec {
     assert(rows(back) === rows(tricky))
   }
 
+  test("orc sink round-trips losslessly and pushes filters into the scan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val orcDir = Files.createTempDirectory("graft_orc").toString
+    docs.write.mode("overwrite").orc(orcDir)
+    val back = spark.read.orc(orcDir)
+    assert(back.as[(Long, String, String, String, Long)].collect().toSet ===
+      docs.as[(Long, String, String, String, Long)].collect().toSet)
+    // predicate pushdown reaches the ORC reader, same as parquet
+    val plan = back.filter(col("n_chars") > 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]"),
+      plan.take(800))
+  }
+
   test("HLL approx distinct tokens is within 10% of exact") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val approx = TextOps.approxDistinctTokens(docs)

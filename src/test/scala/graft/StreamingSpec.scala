@@ -127,4 +127,37 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:00:00", "view", 1L, 75L),
       ("2024-01-01 11:00:00", "click", 1L, 400L)))
   }
+
+  test("stream-stream interval join matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = Seq(
+      (Timestamp.valueOf("2024-01-01 10:30:00"), 1L, 900L),
+      (Timestamp.valueOf("2024-01-01 12:00:00"), 1L, 901L),
+      (Timestamp.valueOf("2024-01-01 10:30:00"), 2L, 902L))
+    val clicks = Seq(
+      (Timestamp.valueOf("2024-01-01 10:10:00"), 1L, 100L), // within 30m of 900
+      (Timestamp.valueOf("2024-01-01 10:29:00"), 1L, 101L), // within 30m of 900
+      (Timestamp.valueOf("2024-01-01 11:00:00"), 1L, 102L), // matches nothing
+      (Timestamp.valueOf("2024-01-01 10:31:00"), 2L, 103L)) // AFTER purchase 902
+
+    val pStream = MemoryStream[(Timestamp, Long, Long)]
+    val cStream = MemoryStream[(Timestamp, Long, Long)]
+    pStream.addData(purchases: _*)
+    cStream.addData(clicks: _*)
+    val q = Events.purchaseClickJoin(
+        pStream.toDF().toDF("p_ts", "user_id", "purchase_id"),
+        cStream.toDF().toDF("c_ts", "c_user_id", "click_id"))
+      .select("purchase_id", "click_id")
+      .writeStream.format("memory").queryName("ss_join").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("ss_join").as[(Long, Long)].collect().toSet
+    val batch = Events.purchaseClickJoin(
+        purchases.toDF("p_ts", "user_id", "purchase_id"),
+        clicks.toDF("c_ts", "c_user_id", "click_id"))
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(batch === Set((900L, 100L), (900L, 101L)))
+  }
 }
