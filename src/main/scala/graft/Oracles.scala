@@ -533,6 +533,131 @@ object Oracles {
          |FROM s2""".stripMargin
     },
 
+    // BM25 with k1=1.5, b=0.75 — both constants exactly representable in
+    // binary AND decimal, so DuckDB's decimal literals convert to the
+    // identical doubles Scala uses; explicit DOUBLE casts force float
+    // division where DuckDB would otherwise do decimal arithmetic
+    "bm25" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+         |dfr AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM t) GROUP BY 1),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |st AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl)
+         |SELECT tf.doc_id, tf.token, tf.tf,
+         |  round(ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+         |    * (CAST(tf.tf AS DOUBLE) * (1.5 + 1.0))
+         |    / (CAST(tf.tf AS DOUBLE) + 1.5 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl)), 6) AS bm25
+         |FROM tf JOIN dl USING (doc_id) JOIN dfr USING (token) CROSS JOIN nd CROSS JOIN st""".stripMargin,
+
+    // per-term contributions rounded to 6 dp BEFORE the sorted-list fold,
+    // so the sum is partition-independent and bit-identical to Spark's
+    // aggregate(sort_array(...)) (init 0.0 + x == x exactly)
+    "unigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+         |c AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+         |x AS (SELECT doc_id, tf, round(tf * ln(CAST(cnt AS DOUBLE) / total), 6) AS contrib
+         |      FROM tf JOIN c USING (token) CROSS JOIN tot),
+         |g AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |      list_reduce(list_sort(list(contrib)), (a, b) -> a + b) AS s FROM x GROUP BY 1)
+         |SELECT doc_id, n_tokens, round(s, 6) AS sum_logprob,
+         |  round(s / n_tokens, 6) AS avg_logprob FROM g""".stripMargin,
+
+    // entropy terms written p*ln(n/tf) (all non-negative — never -0.0)
+    "token_entropy" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+         |tf2 AS (SELECT doc_id, tf, CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM tf),
+         |x AS (SELECT doc_id, n, round((CAST(tf AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / tf), 6) AS contrib FROM tf2)
+         |SELECT doc_id, min(n) AS n_tokens, count(*) AS n_distinct,
+         |  round(list_reduce(list_sort(list(contrib)), (a, b) -> a + b), 6) AS entropy
+         |FROM x GROUP BY doc_id""".stripMargin,
+
+    "lang_kl" ->
+      s"""WITH t AS (SELECT lang, unnest($toks) AS token FROM documents),
+         |cl AS (SELECT lang, token, count(*) AS cnt_l FROM t GROUP BY 1, 2),
+         |tl AS (SELECT lang, CAST(sum(cnt_l) AS BIGINT) AS tot_l FROM cl GROUP BY 1),
+         |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+         |x AS (SELECT lang, tot_l,
+         |      round((CAST(cnt_l AS DOUBLE) / tot_l)
+         |        * ln((CAST(cnt_l AS DOUBLE) / tot_l) / (CAST(cnt AS DOUBLE) / total)), 6) AS contrib
+         |      FROM cl JOIN tl USING (lang) JOIN c USING (token) CROSS JOIN tot)
+         |SELECT lang, min(tot_l) AS n_tokens, count(*) AS n_distinct,
+         |  round(list_reduce(list_sort(list(contrib)), (a, b) -> a + b), 6) AS kl
+         |FROM x GROUP BY lang""".stripMargin,
+
+    "token_pmi" ->
+      s"""WITH t AS (SELECT DISTINCT doc_id, token FROM $tokTable),
+         |dfr AS (SELECT token, count(*) AS df FROM t GROUP BY 1),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |p AS (SELECT a.token AS token_a, b.token AS token_b, count(*) AS n_ab
+         |      FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.token < b.token
+         |      GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT token_a, token_b, n_ab,
+         |  round(ln(CAST(n_ab * n_docs AS DOUBLE) / CAST(da.df * db.df AS DOUBLE)), 6) AS pmi
+         |FROM p JOIN dfr da ON da.token = p.token_a
+         |JOIN dfr db ON db.token = p.token_b CROSS JOIN nd""".stripMargin,
+
+    // win=64, stride=48: chunk count = ceil((n-64)/48)+1, >=1 per doc
+    "doc_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, toks, n,
+         |      unnest(range(0, CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END)) AS chunk_id
+         |      FROM f)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(chunk_id * 48 AS BIGINT) AS start_tok,
+         |  CAST(len(toks[(chunk_id * 48 + 1):(chunk_id * 48 + 64)]) AS BIGINT) AS chunk_len,
+         |  array_to_string(toks[(chunk_id * 48 + 1):(chunk_id * 48 + 64)], ' ') AS chunk_text
+         |FROM c""".stripMargin,
+
+    "tpch_q3" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    // correlated scalar subquery: prices in exact integer cents, so the
+    // per-customer average divides an exact long sum on both engines
+    "orders_above_avg" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders)
+        |SELECT o_orderkey, o_custkey, price_cents FROM o AS outer_o
+        |WHERE price_cents > (SELECT avg(price_cents) FROM o AS i
+        |                     WHERE i.o_custkey = outer_o.o_custkey)""".stripMargin,
+
+    // floor(x*scale + 0.5) instead of round() so .5 boundaries resolve
+    // identically; 127.0 is exact in binary and decimal
+    "embed_quantize" ->
+      """WITH b AS (SELECT vec_id, label, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx FROM embeddings),
+        |s AS (SELECT vec_id, label, embedding,
+        |  CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale FROM b)
+        |SELECT vec_id, label, len(embedding)::BIGINT AS n_dims, round(scale, 6) AS scale,
+        |  array_to_string(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)), ',') AS q_csv
+        |FROM s""".stripMargin,
+
+    // write-back of near-dedup: drop every non-canonical cluster member
+    // (component label = min reachable id, from the recursive closure)
+    "near_dedup_filtered" ->
+      s"""WITH RECURSIVE p AS ($embedNearDup),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM p UNION ALL SELECT b_id, a_id FROM p),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT id FROM comp WHERE component < id)""".stripMargin,
+
     // string-shingle contamination twin (4-grams); benchmark = doc_id%50==0
     "contamination_check" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

@@ -135,6 +135,16 @@ object SparkEntry {
     "pii_redact" -> ((s, d) => TextOps.piiRedact(spread(t(s, d, "documents")))),
     "contamination_check" -> ((s, d) => TextOps.contamination(spread(t(s, d, "documents")))),
 
+    // corpus language-model statistics (LangModel)
+    "bm25" -> ((s, d) => LangModel.bm25(spread(t(s, d, "documents")))),
+    "unigram_logprob" -> ((s, d) => LangModel.unigramLogprob(spread(t(s, d, "documents")))),
+    "token_entropy" -> ((s, d) => LangModel.tokenEntropy(spread(t(s, d, "documents")))),
+    "lang_kl" -> ((s, d) => LangModel.langKl(spread(t(s, d, "documents")))),
+    "token_pmi" -> ((s, d) => LangModel.tokenPmi(spread(t(s, d, "documents")))),
+    "doc_chunk" -> ((s, d) => TextOps.docChunk(spread(t(s, d, "documents")))),
+    "embed_quantize" -> ((s, d) => Similarity.quantizeInt8(t(s, d, "embeddings"))),
+    "near_dedup_filtered" -> ((s, d) => Dedup.nearDupFiltered(t(s, d, "embeddings"))),
+
     // C. engine breadth
     "lineitem_agg" -> ((s, d) => Relational.lineitemAgg(t(s, d, "lineitem"))),
     "orders_join" -> ((s, d) =>
@@ -165,6 +175,9 @@ object SparkEntry {
         .withColumn("gap_us", col("us") - col("click_us"))
     }),
     "user_spend_rank" -> ((s, d) => Relational.userSpendRank(events(s, d))),
+    "tpch_q3" -> ((s, d) =>
+      Relational.tpchQ3(t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem"))),
+    "orders_above_avg" -> ((s, d) => Relational.ordersAboveCustomerAvg(t(s, d, "orders"))),
     "pivot_events" -> ((s, d) => Relational.pivotEvents(events(s, d))),
     "asof_join" -> ((s, d) => {
       val e = events(s, d).select(col("event_id"), col("user_id"),

@@ -212,6 +212,20 @@ object Dedup {
     labels
   }
 
+  /** Near-dup-filtered corpus (B32): the write-back step of near-dedup —
+    * keep one canonical row per near-duplicate cluster (the min-id
+    * member, which IS the component label from [[components]]) plus every
+    * row that matched no pair. Implemented as a left-anti join against
+    * the non-canonical ids: rows in no cluster never enter the join's
+    * build side, so its size is bounded by the number of DUPLICATES, not
+    * the corpus. */
+  def nearDupFiltered(emb: DataFrame, cosMin: Double = 0.3): DataFrame = {
+    val comp = components(Similarity.nearDupPairs(emb, cosMin = cosMin))
+    val drop = comp.filter(col("id") =!= col("component")).select(col("id"))
+    emb.join(drop, emb("vec_id") === drop("id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
+
   /** B4: n-gram Jaccard similarity over blocked candidate pairs. Blocking
     * key defaults to `source` here (demo corpus); at 100 TB the blocking
     * key is an LSH band as in [[minhashPairs]] — this operator is the

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus language-model statistics: BM25 term weighting, unigram
+  * log-probability document scoring, per-document token entropy,
+  * per-language KL divergence, and token-pair PMI — the statistical
+  * quality / relevance signals a training-data curation pass computes
+  * after TF-IDF (reference Spark/NB/src/main/scala/NB.scala:74-80 stops
+  * at TF-IDF; these extend the same exploded-token frames).
+  *
+  * Float discipline (SURVEY.md §5): every transcendental term is rounded
+  * to 6 dp BEFORE summation and sums fold over SORTED lists, so the
+  * result is independent of partitioning and bit-identical to the DuckDB
+  * oracle's `list_reduce(list_sort(...))`. Integer counts stay exact at
+  * any scale; ratios divide exact longs inside double range (< 2^53).
+  *
+  * Scale: all inputs are the (doc_id, token) exploded frame — one
+  * hash-partitioned shuffle with map-side partial aggregation each; the
+  * corpus-level scalars (N, total tokens, avgdl) reduce to a single row
+  * that broadcasts. Nothing here holds driver-side state.
+  */
+object LangModel {
+
+  /** BM25 scores per (doc_id, token) — k1/b are the standard Robertson
+    * defaults. idf uses the +1 form (ln(1 + (N-df+.5)/(df+.5))) so scores
+    * stay positive even for tokens in most documents.
+    *
+    * Shape: tf and dl aggregate from one exploded-token shuffle; df is
+    * vocab-sized; the one-row corpus stats frame crossJoin-broadcasts.
+    * The df join is a plain equi-join on token — AQE broadcasts it when
+    * the vocabulary is small and shuffles when it is not.
+    */
+  def bm25(docs: DataFrame, k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    val t = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    val tf = t.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // dl and df re-aggregate the (doc, token) frame, not the raw exploded
+    // stream — tf rows are unique per (doc, token), so df is a plain count
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // avgdl over documents that HAVE tokens: exact long sum / exact count
+    val stats = dl.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    tf.join(dl, "doc_id")
+      .join(df_, "token")
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("doc_id"), col("token"), col("tf"),
+        round(
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+            (col("tf") * (k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
+          6).as("bm25"))
+  }
+
+  /** Per-document mean unigram log-probability — the classic cheap
+    * "perplexity" quality proxy: documents of rare tokens score low,
+    * boilerplate of frequent tokens scores high. p(t) is the corpus MLE
+    * (exact long counts); each tf·ln p term is rounded to 6 dp, then the
+    * per-doc terms fold over a sorted list.
+    */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy("token").agg(sum(col("tf")).as("cnt"))
+    val tot = cnt.agg(sum(col("cnt")).as("total"))
+    tf.join(cnt, "token")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("tf"),
+        round(col("tf") * log(col("cnt").cast("double") / col("total")), 6).as("contrib"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        aggregate(sort_array(collect_list(col("contrib"))), lit(0.0),
+          (acc, x) => acc + x).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s"), 6).as("sum_logprob"),
+        round(col("s") / col("n_tokens"), 6).as("avg_logprob"))
+  }
+
+  /** Per-document Shannon entropy of the within-doc token distribution
+    * (nats). Low entropy = degenerate repetition (the signal C4-style
+    * filters act on); max is ln(n_distinct). Each term is written
+    * p·ln(n/tf) rather than -p·ln(p): mathematically equal, but the
+    * all-non-negative form can never produce IEEE -0.0 (a single-token
+    * doc under -p·ln(p) yields -(1.0)·0.0 = -0.0, which engines round
+    * and hash inconsistently).
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("n", sum(col("tf")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .select(col("doc_id"), col("n"), col("tf"),
+        round((col("tf").cast("double") / col("n")) *
+          log(col("n").cast("double") / col("tf")), 6).as("contrib"))
+      .groupBy("doc_id")
+      .agg(first(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(aggregate(sort_array(collect_list(col("contrib"))), lit(0.0),
+          (acc, x) => acc + x), 6).as("entropy"))
+
+  /** KL divergence of each language's token distribution from the corpus
+    * distribution — the drift/mixture diagnostic for a multi-language
+    * corpus. Both distributions are exact-count MLEs; per-token terms are
+    * rounded then sorted-folded per lang. The corpus-level frame is
+    * vocab-sized; the final aggregation is |langs| rows.
+    */
+  def langKl(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+    val cl = t.groupBy("lang", "token").agg(count(lit(1)).as("cnt_l"))
+    val totL = cl.groupBy("lang").agg(sum(col("cnt_l")).as("tot_l"))
+    // corpus counts roll up from the per-lang counts — a |langs|·|vocab|
+    // shuffle instead of re-aggregating the full exploded stream
+    val c = cl.groupBy("token").agg(sum(col("cnt_l")).as("cnt"))
+    val tot = c.agg(sum(col("cnt")).as("total"))
+    cl.join(totL, "lang")
+      .join(c, "token")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("tot_l"),
+        round((col("cnt_l").cast("double") / col("tot_l")) *
+          log((col("cnt_l").cast("double") / col("tot_l")) /
+            (col("cnt").cast("double") / col("total"))), 6).as("contrib"))
+      .groupBy("lang")
+      .agg(first(col("tot_l")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(aggregate(sort_array(collect_list(col("contrib"))), lit(0.0),
+          (acc, x) => acc + x), 6).as("kl"))
+  }
+
+  /** Pointwise mutual information over within-document token
+    * co-occurrence: pmi(a,b) = ln(n_ab·N / (df_a·df_b)) for unordered
+    * distinct-token pairs co-occurring in >= minPairDocs documents.
+    *
+    * Shape: the distinct (doc, token) frame self-joins on doc_id with
+    * token_a < token_b — per-doc work is O(u²) in the doc's distinct
+    * tokens, bounded by document length, never corpus-quadratic; the
+    * pair counts shuffle on the pair key with map-side partial agg. The
+    * df join is vocab-sized. All counts exact longs; one ln at the end.
+    */
+  def tokenPmi(docs: DataFrame, minPairDocs: Int = 5): DataFrame = {
+    val d = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .distinct()
+    val df_ = d.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val pairs = d.select(col("doc_id"), col("token").as("token_a"))
+      .join(d.select(col("doc_id"), col("token").as("token_b")), "doc_id")
+      .filter(col("token_a") < col("token_b"))
+      .groupBy("token_a", "token_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairDocs)
+    pairs
+      .join(df_.select(col("token").as("token_a"), col("df").as("df_a")), "token_a")
+      .join(df_.select(col("token").as("token_b"), col("df").as("df_b")), "token_b")
+      .crossJoin(broadcast(nDocs))
+      .select(col("token_a"), col("token_b"), col("n_ab"),
+        round(log((col("n_ab") * col("n_docs")).cast("double") /
+          (col("df_a") * col("df_b")).cast("double")), 6).as("pmi"))
+  }
+}

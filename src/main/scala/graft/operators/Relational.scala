@@ -206,6 +206,46 @@ object Relational {
       .drop("_bin")
   }
 
+  /** TPC-H Q3 shape (C29): shipping-priority revenue — customer ⋈ orders
+    * ⋈ lineitem with selective filters on all three tables, grouped by
+    * order, top 10 by revenue. The segment filter prunes customer BEFORE
+    * the join (pushed into its scan) and the date filters push into the
+    * orders/lineitem scans; the filtered customer side is small, so AQE
+    * broadcasts it into the orders join and only the orders⋈lineitem join
+    * shuffles (on orderkey — the join both tables would be bucketed on at
+    * cluster scale). The top-10 sorts the POST-aggregation frame. */
+  def tpchQ3(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+             segment: String = "BUILDING", cutoff: String = "1998-01-01"): DataFrame =
+    customer.filter(col("c_mktsegment") === segment)
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Correlated scalar subquery (C30): orders priced above their own
+    * customer's average order price — expressed as SQL so Catalyst's
+    * decorrelation rewrites the per-row subquery into ONE aggregate of
+    * orders plus an equi-join (verify with explain: no per-row re-scan
+    * survives). Prices compare in exact integer cents; the average
+    * divides an exact long sum, so both engines agree bit-for-bit. */
+  def ordersAboveCustomerAvg(orders: DataFrame): DataFrame = {
+    val view = "graft_orders_cents"
+    orders.select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .createOrReplaceTempView(view)
+    orders.sparkSession.sql(
+      s"""SELECT o_orderkey, o_custkey, price_cents FROM $view o
+         |WHERE price_cents > (SELECT avg(price_cents) FROM $view i
+         |                     WHERE i.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
   /** Typed JSON payload extraction + aggregate (C27): from_json with an
     * explicit schema (no sampling pass, unlike schema inference) parses
     * the props column inside codegen; the aggregate is then a plain

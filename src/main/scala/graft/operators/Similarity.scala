@@ -193,6 +193,29 @@ object Similarity {
       .filter(col("cos") >= simMin)
   }
 
+  /** Int8 scalar quantization (B30): per-vector symmetric quantization to
+    * [-127, 127] — the 4× memory/bandwidth reduction an ANN index applies
+    * before distance computation at scale. scale = 127/max|x|;
+    * q = floor(x·scale + 0.5) (explicit floor-of-shifted instead of
+    * round() so Spark and DuckDB resolve .5 boundaries identically).
+    * Purely narrow per-row work; the quantized list is emitted as a csv
+    * string to keep the comparison scalar-typed. */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val mx = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    // _scale is projected FIRST so the quantizing lambda references a
+    // bound attribute — an unbound expression inside a HOF lambda
+    // re-evaluates the whole array_max per element
+    emb.select(col("vec_id"), col("label"), col("embedding"),
+        when(mx > 0, lit(127.0) / mx).otherwise(lit(0.0)).as("_scale"))
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        round(col("_scale"), 6).as("scale"),
+        concat_ws(",",
+          transform(col("embedding"),
+            x => floor(x.cast("double") * col("_scale") + 0.5).cast("long").cast("string")))
+          .as("q_csv"))
+  }
+
   /** B5: embedding-cosine near-duplicate pairs, sign-LSH blocked (same
     * bucket only — never all-pairs). */
   def nearDupPairs(emb: DataFrame, cosMin: Double = 0.8, bits: Int = 8): DataFrame = {

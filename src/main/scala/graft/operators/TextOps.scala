@@ -403,6 +403,32 @@ object TextOps {
       when(col("df") >= minDf, row_number().over(w).cast("long")).otherwise(0L))
   }
 
+  /** Sliding-window document chunking (B31): split each document's token
+    * stream into fixed-size windows with overlap — the packing step that
+    * turns variable-length documents into model-context-sized training
+    * chunks while the overlap preserves cross-boundary context. Chunk
+    * count is ceil((n-win)/stride)+1 (always >=1 for non-empty docs), so
+    * every token is covered and consecutive chunks share win-stride
+    * tokens. Purely narrow: tokens, starts, and slices are per-row
+    * expressions — zero shuffle at any corpus size; output rows scale
+    * as n_tokens/stride per document. */
+  def docChunk(docs: DataFrame, win: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && win >= stride, "need 0 < stride <= win")
+    val n = size(col("toks"))
+    val nChunks = when(n <= win, lit(1L))
+      .otherwise(floor((n - win + (stride - 1)).cast("double") / stride).cast("long") + 1L)
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"), lit(win)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("chunk")).cast("long").as("chunk_len"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
+
   /** Per-(lang, source) corpus aggregates (B12). */
   def textStats(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang"), col("source"))

@@ -80,6 +80,28 @@ object Events {
       s"user_id = c_user_id AND c_ts >= p_ts - interval $lookback AND c_ts <= p_ts"))
   }
 
+  /** Idempotent micro-batch parquet sink (C33): foreachBatch tags every
+    * row with its batchId and dynamically overwrites ONLY that batch's
+    * partition. Structured Streaming re-runs a micro-batch after failure
+    * (at-least-once execution); because the retry rewrites the same
+    * batch_id partition instead of appending, the FILES are exactly-once
+    * — the standard idempotent-sink recipe for stores without
+    * transactional streaming writers. */
+  def idempotentParquetSink(df: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(batch, batchId, outDir)
+    }.start()
+
+  /** The per-batch write — factored out so a test can replay a batch and
+    * assert the retry replaces rather than duplicates. */
+  def writeBatch(batch: DataFrame, batchId: Long, outDir: String): Unit = {
+    batch.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
+  }
+
   /** Windowed aggregation usable on a streaming or batch events frame. */
   def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
     val withWm =

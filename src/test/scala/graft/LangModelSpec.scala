@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, LangModel, Relational, Similarity, TextOps}
+
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("bm25 ranks a rare token above a common token at equal tf and doc length") {
+    val d = docs(
+      (1L, "alpha common"), (2L, "beta common"), (3L, "gamma common"), (4L, "delta common"))
+    val scores = LangModel.bm25(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3))).toSeq
+    // 'common' appears in every doc (df=4), each rare token in one (df=1)
+    val common = scores.filter(_._2 == "common").map(_._3)
+    val rare = scores.filter(_._2 != "common").map(_._3)
+    assert(rare.min > common.max)
+    assert(scores.forall(_._3 > 0), "the +1 idf form keeps every score positive")
+  }
+
+  test("unigram logprob scores a doc of frequent tokens above a doc of rare ones") {
+    val d = docs(
+      (1L, "the the the the"), (2L, "the the the the"), (3L, "the the the the"),
+      (4L, "zzz yyy xxx www"))
+    val out = LangModel.unigramLogprob(d).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(out(1L) > out(4L))
+    assert(out.values.forall(_ <= 0.0), "MLE log-probs are never positive")
+  }
+
+  test("token entropy: repeated token is 0, uniform distinct doc is ln(n)") {
+    val d = docs((1L, "aaa aaa aaa aaa"), (2L, "aaa bbb ccc ddd"))
+    val out = LangModel.tokenEntropy(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(t => t._1 -> t).toMap
+    assert(out(1L)._4 === 0.0)
+    assert(out(1L)._3 === 1L)
+    assert(math.abs(out(2L)._4 - math.log(4.0)) < 1e-5)
+  }
+
+  test("lang KL is zero for identical distributions and positive for skewed ones") {
+    val same = Seq((1L, "aa bb", "en"), (2L, "aa bb", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val klSame = LangModel.langKl(same).collect().map(_.getDouble(3))
+    assert(klSame.forall(k => math.abs(k) < 1e-9))
+    val skewed = Seq((1L, "aa aa aa bb", "en"), (2L, "bb bb bb aa", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val klSkew = LangModel.langKl(skewed).collect().map(_.getDouble(3))
+    assert(klSkew.forall(_ > 0.0), "diverging language mixes have strictly positive KL")
+  }
+
+  test("token PMI: perfectly co-occurring rare pair scores ln(N/df)") {
+    // 'left'/'right' co-occur in 5 of 10 docs and never apart
+    val d = docs((0L to 9L).map(i =>
+      (i, if (i < 5) "left right filler" + i else "filler" + i + " other" + i)): _*)
+    val out = LangModel.tokenPmi(d, minPairDocs = 5).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    val (nAb, pmi) = out(("left", "right"))
+    assert(nAb === 5L)
+    // pmi = ln(n_ab * N / (df_a * df_b)) = ln(5*10/(5*5)) = ln 2
+    assert(math.abs(pmi - math.log(2.0)) < 1e-5)
+  }
+
+  test("doc chunking covers every token with win-stride overlap") {
+    val n = 150
+    // letter-only tokens: the tokenizer's cleanup pass strips digits
+    def tok(i: Int) = s"w${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val text = (0 until n).map(tok).mkString(" ")
+    val out = TextOps.docChunk(docs((1L, text)), win = 64, stride = 48)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // ceil((150-64)/48)+1 = 3 chunks
+    assert(out.length === 3)
+    assert(out.map(_._2) === Array(0L, 48L, 96L))
+    assert(out.map(_._3) === Array(64L, 64L, 54L), "last chunk truncates at doc end")
+    // reconstruction: chunk i restarts stride tokens in, so dropping the
+    // first win-stride tokens of every later chunk rebuilds the doc
+    val rebuilt = out.head._4.split(" ") ++
+      out.tail.flatMap(_._4.split(" ").drop(64 - 48))
+    assert(rebuilt.toSeq === (0 until n).map(tok))
+    // a short doc still yields exactly one chunk
+    val one = TextOps.docChunk(docs((2L, "a b c")), win = 64, stride = 48).collect()
+    assert(one.length === 1 && one.head.getLong(3) === 3L)
+  }
+
+  test("int8 quantization scales the max-magnitude dim to ±127 exactly") {
+    val emb = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f), 0),
+      (2L, Seq(0.0f, 0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.quantizeInt8(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getString(4)))).toMap
+    val s1 = out(1L)._1
+    val q1 = out(1L)._2.split(",").map(_.toLong).toSeq
+    assert(s1 === 127.0)
+    assert(q1 === Seq(64L, -127L, 32L))
+    assert(q1.map(v => math.abs(v)).max === 127L)
+    val s2 = out(2L)._1
+    val q2 = out(2L)._2.split(",").map(_.toLong).toSeq
+    assert(s2 === 0.0 && q2.forall(_ == 0L), "zero vector quantizes to zeros")
+  }
+
+  test("near-dup filtered corpus keeps one canonical row per cluster") {
+    // vec 1 and 2 are near-identical (same bucket, cos≈1); vec 3 is alone
+    val base = Seq(0.9f, 0.8f, 0.7f, 0.6f, 0.5f, 0.4f, 0.3f, 0.2f)
+    val emb = Seq(
+      (1L, base, 0),
+      (2L, base.map(x => x * 1.001f), 0),
+      (3L, base.map(x => -x), 1))
+      .toDF("vec_id", "embedding", "label")
+    val kept = Dedup.nearDupFiltered(emb, cosMin = 0.9).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L), "min-id member survives, duplicate dropped, singleton kept")
+  }
+
+  test("tpch q3 aggregates revenue in exact cents and keeps the top 10") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Relational.tpchQ3(
+      spark.read.parquet(s"$sf/customer.parquet"),
+      spark.read.parquet(s"$sf/orders.parquet"),
+      spark.read.parquet(s"$sf/lineitem.parquet")).collect()
+    assert(out.length <= 10 && out.nonEmpty)
+    val revs = out.map(r => r.getLong(3))
+    assert(revs.toSeq === revs.sortBy(-_).toSeq, "rows arrive revenue-descending")
+  }
+
+  test("orders above customer average decorrelates and matches a window twin") {
+    val sf = "/root/testdata/sf0.001"
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val out = Relational.ordersAboveCustomerAvg(orders)
+    // no per-row re-scan survives decorrelation: the plan contains no
+    // nested subquery expression, only joins/aggregates
+    assert(!out.queryExecution.executedPlan.toString.contains("Subquery"),
+      "correlated subquery should decorrelate into a join")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+    val twin = orders.select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      .withColumn("a", avg(col("price_cents")).over(w))
+      .filter(col("price_cents") > col("a"))
+      .select("o_orderkey")
+      .as[Long].collect().toSet
+    assert(out.select("o_orderkey").as[Long].collect().toSet === twin)
+  }
+}

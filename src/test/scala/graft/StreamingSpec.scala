@@ -128,6 +128,25 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00", "click", 1L, 400L)))
   }
 
+  test("foreachBatch sink: a retried micro-batch replaces its partition, not appends") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_fb_sink").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = Events.idempotentParquetSink(stream.toDF().toDF("id", "payload"), dir)
+    stream.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    stream.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val afterRun = spark.read.parquet(dir)
+    assert(afterRun.count() === 3)
+    // simulate the at-least-once retry of batch 0: same data, same id
+    Events.writeBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), 0L, dir)
+    val afterRetry = spark.read.parquet(dir)
+    assert(afterRetry.count() === 3, "retry must overwrite its own partition")
+    assert(afterRetry.select("id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+  }
+
   test("stream-stream interval join matches the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = Seq(
