@@ -658,6 +658,39 @@ object Oracles {
          |SELECT vec_id, label FROM embeddings
          |WHERE vec_id NOT IN (SELECT id FROM comp WHERE component < id)""".stripMargin,
 
+    "purchase_click_full" ->
+      """WITH p AS (SELECT user_id, count(*) AS purchase_n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |c AS (SELECT user_id, count(*) AS click_n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS click_cents
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id)
+        |SELECT coalesce(p.user_id, c.user_id) AS user_id,
+        |  coalesce(purchase_n, 0) AS purchase_n, coalesce(purchase_cents, 0) AS purchase_cents,
+        |  coalesce(click_n, 0) AS click_n, coalesce(click_cents, 0) AS click_cents
+        |FROM p FULL OUTER JOIN c ON p.user_id = c.user_id""".stripMargin,
+
+    "audience_set_ops" ->
+      """WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+        |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT 'view_and_buy' AS segment, user_id FROM (SELECT user_id FROM v INTERSECT SELECT user_id FROM b)
+        |UNION ALL
+        |SELECT 'view_only' AS segment, user_id FROM (SELECT user_id FROM v EXCEPT SELECT user_id FROM b)
+        |UNION ALL
+        |SELECT 'buy_only' AS segment, user_id FROM (SELECT user_id FROM b EXCEPT SELECT user_id FROM v)""".stripMargin,
+
+    "events_lead_lag" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events)
+        |SELECT event_id, user_id, us,
+        |  CAST(coalesce(us - lag(us, 1) OVER w, -1) AS BIGINT) AS gap_prev_us,
+        |  CAST(coalesce(lead(us, 1) OVER w - us, -1) AS BIGINT) AS gap_next_us,
+        |  CAST(us - first_value(us) OVER w2 AS BIGINT) AS since_first_us,
+        |  CAST(last_value(us) OVER w2 - us AS BIGINT) AS until_last_us
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id),
+        |  w2 AS (PARTITION BY user_id ORDER BY us, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
     // string-shingle contamination twin (4-grams); benchmark = doc_id%50==0
     "contamination_check" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

@@ -178,6 +178,9 @@ object SparkEntry {
     "tpch_q3" -> ((s, d) =>
       Relational.tpchQ3(t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem"))),
     "orders_above_avg" -> ((s, d) => Relational.ordersAboveCustomerAvg(t(s, d, "orders"))),
+    "purchase_click_full" -> ((s, d) => Relational.purchaseClickFull(events(s, d))),
+    "audience_set_ops" -> ((s, d) => Relational.audienceSetOps(events(s, d))),
+    "events_lead_lag" -> ((s, d) => Relational.eventsLeadLag(events(s, d))),
     "pivot_events" -> ((s, d) => Relational.pivotEvents(events(s, d))),
     "asof_join" -> ((s, d) => {
       val e = events(s, d).select(col("event_id"), col("user_id"),

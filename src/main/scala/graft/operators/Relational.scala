@@ -246,6 +246,60 @@ object Relational {
          |                     WHERE i.o_custkey = o.o_custkey)""".stripMargin)
   }
 
+  /** Full outer join (C35): per-user purchase totals ⟗ click totals —
+    * users who purchase without clicking AND users who click without
+    * purchasing both survive, with absent sides coalesced to zero. Both
+    * inputs are pre-aggregated (|users| rows), so the full-outer shuffle
+    * joins two already-reduced frames — the raw event stream is never
+    * full-outer-joined at any scale. */
+  def purchaseClickFull(events: DataFrame): DataFrame = {
+    def side(kind: String, pfx: String) =
+      events.filter(col("event_type") === kind)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as(s"${pfx}_n"), sum(cents(col("value"))).as(s"${pfx}_cents"))
+    side("purchase", "purchase")
+      .join(side("click", "click"), Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("purchase_n"), lit(0L)).as("purchase_n"),
+        coalesce(col("purchase_cents"), lit(0L)).as("purchase_cents"),
+        coalesce(col("click_n"), lit(0L)).as("click_n"),
+        coalesce(col("click_cents"), lit(0L)).as("click_cents"))
+  }
+
+  /** Set operations (C36): event-type audience overlap via INTERSECT and
+    * EXCEPT — viewers who purchased, viewers who never purchased, and
+    * purchasers who never viewed, labeled and unioned. Spark plans both
+    * as (semi/anti) hash joins over the distinct user sets, which are
+    * pre-reduced by the distinct before any join. */
+  def audienceSetOps(events: DataFrame): DataFrame = {
+    def users(kind: String) =
+      events.filter(col("event_type") === kind).select("user_id").distinct()
+    val viewers = users("view"); val buyers = users("purchase")
+    viewers.intersect(buyers).withColumn("segment", lit("view_and_buy"))
+      .unionByName(viewers.except(buyers).withColumn("segment", lit("view_only")))
+      .unionByName(buyers.except(viewers).withColumn("segment", lit("buy_only")))
+      .select("segment", "user_id")
+  }
+
+  /** Window-function breadth (C37): lead/lag/first/last navigation over
+    * each user's event sequence — previous/next event gap and each
+    * event's offset from the session-leading event. One shuffle on
+    * user_id, one per-partition sort, all four functions in the same
+    * window pass. */
+  def eventsLeadLag(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val wAll = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        coalesce(col("us") - lag(col("us"), 1).over(w), lit(-1L)).as("gap_prev_us"),
+        coalesce(lead(col("us"), 1).over(w) - col("us"), lit(-1L)).as("gap_next_us"),
+        (col("us") - first(col("us")).over(wAll)).as("since_first_us"),
+        (last(col("us")).over(wAll) - col("us")).as("until_last_us"))
+  }
+
   /** Typed JSON payload extraction + aggregate (C27): from_json with an
     * explicit schema (no sampling pass, unlike schema inference) parses
     * the props column inside codegen; the aggregate is then a plain

@@ -1,5 +1,6 @@
 package graft
 
+import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, LangModel, Relational, Similarity, TextOps}
 
@@ -125,6 +126,42 @@ class LangModelSpec extends SparkSpec {
     assert(out.length <= 10 && out.nonEmpty)
     val revs = out.map(r => r.getLong(3))
     assert(revs.toSeq === revs.sortBy(-_).toSeq, "rows arrive revenue-descending")
+  }
+
+  test("full outer join keeps one-sided users with zeroed other side") {
+    val events = Seq(
+      (1L, 10L, "purchase", 5.0), (2L, 10L, "click", 0.0),
+      (3L, 11L, "purchase", 7.0),                      // purchases, never clicks
+      (4L, 12L, "click", 0.0), (5L, 12L, "click", 0.0) // clicks, never buys
+    ).toDF("event_id", "user_id", "event_type", "value")
+    val out = Relational.purchaseClickFull(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out === Set((10L, 1L, 500L, 1L), (11L, 1L, 700L, 0L), (12L, 0L, 0L, 2L)))
+  }
+
+  test("set ops segment audiences into intersect/except buckets") {
+    val events = Seq(
+      (1L, 10L, "view"), (2L, 10L, "purchase"),  // both
+      (3L, 11L, "view"),                         // view only
+      (4L, 12L, "purchase")                      // buy only
+    ).toDF("event_id", "user_id", "event_type")
+    val out = Relational.audienceSetOps(events).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out === Set(("view_and_buy", 10L), ("view_only", 11L), ("buy_only", 12L)))
+  }
+
+  test("lead/lag navigation computes gaps and sequence offsets") {
+    val events = Seq(
+      (1L, 10L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, 10L, Timestamp.valueOf("2024-01-01 10:00:01")),
+      (3L, 10L, Timestamp.valueOf("2024-01-01 10:00:03")))
+      .toDF("event_id", "user_id", "ts")
+    val out = Relational.eventsLeadLag(events).orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq === Seq(
+      (1L, -1L, 1000000L, 0L, 3000000L),
+      (2L, 1000000L, 2000000L, 1000000L, 2000000L),
+      (3L, 2000000L, -1L, 3000000L, 0L)))
   }
 
   test("orders above customer average decorrelates and matches a window twin") {
