@@ -658,6 +658,30 @@ object Oracles {
          |SELECT vec_id, label FROM embeddings
          |WHERE vec_id NOT IN (SELECT id FROM comp WHERE component < id)""".stripMargin,
 
+    // keep-BEST dedup: same hash partition as keep-first, policy is the
+    // window order (quality desc, doc_id) over the shared 6dp composite
+    "dedup_keep_best" ->
+      s"""SELECT doc_id, lang, source, n_chars, quality FROM (
+         |  SELECT doc_id, lang, source, n_chars, $qualitySql AS quality,
+         |    row_number() OVER (PARTITION BY md5($clean)
+         |                       ORDER BY $qualitySql DESC, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn = 1""".stripMargin,
+
+    // one BPE merge: global argmax bigram, then leftmost non-overlapping
+    // global replace — identical semantics in Java regex and RE2
+    "bpe_merge_step" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |       i -> toks[i] || ' ' || toks[i+1])) AS pair FROM t WHERE len(toks) > 1),
+         |top AS (SELECT pair, count(*) AS cnt FROM bg GROUP BY 1
+         |        ORDER BY cnt DESC, pair LIMIT 1)
+         |SELECT d.doc_id, top.pair, top.cnt,
+         |  regexp_replace($clean,
+         |    '\\b' || split_part(pair, ' ', 1) || ' ' || split_part(pair, ' ', 2) || '\\b',
+         |    split_part(pair, ' ', 1) || '_' || split_part(pair, ' ', 2), 'g') AS merged
+         |FROM documents d CROSS JOIN top""".stripMargin,
+
     "purchase_click_full" ->
       """WITH p AS (SELECT user_id, count(*) AS purchase_n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents

@@ -135,6 +135,10 @@ object SparkEntry {
     "pii_redact" -> ((s, d) => TextOps.piiRedact(spread(t(s, d, "documents")))),
     "contamination_check" -> ((s, d) => TextOps.contamination(spread(t(s, d, "documents")))),
 
+    "dedup_keep_best" -> ((s, d) => TextOps.dedupKeepBest(spread(t(s, d, "documents")))),
+    "bpe_merge_step" -> ((s, d) => TextOps.bpeMergeStep(spread(t(s, d, "documents")))),
+    "approx_char_percentiles" -> ((s, d) => TextOps.approxCharPercentiles(t(s, d, "documents"))),
+
     // corpus language-model statistics (LangModel)
     "bm25" -> ((s, d) => LangModel.bm25(spread(t(s, d, "documents")))),
     "unigram_logprob" -> ((s, d) => LangModel.unigramLogprob(spread(t(s, d, "documents")))),

@@ -429,6 +429,65 @@ object TextOps {
         concat_ws(" ", col("chunk")).as("chunk_text"))
   }
 
+  /** Keep-best dedup (B38): one row per content hash, keeping the
+    * HIGHEST-quality duplicate (ties by doc_id) instead of keep-first —
+    * the curation policy when duplicates differ in extraction quality.
+    * Same single hash-partitioned shuffle as keep-first; the policy is
+    * only the window's ORDER BY. Quality is the shared composite
+    * (rounded to 6 dp), so the oracle applies the identical ordering. */
+  def dedupKeepBest(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(cleanText(col("text"))))
+      .orderBy(col("quality").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"), qualityComposite.as("quality"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "source", "n_chars", "quality")
+  }
+
+  /** One BPE merge step (B39): find the corpus's most frequent adjacent
+    * token pair and merge every occurrence into a single token — the
+    * inner loop of byte-pair-encoding tokenizer training, expressed
+    * declaratively. The argmax reduces the vocab²-bounded bigram-count
+    * frame to ONE row that broadcasts; the merge itself is a narrow
+    * per-row regexp_replace with a column pattern (no driver round-trip
+    * anywhere). Both engines share leftmost non-overlapping global
+    * replace semantics, so "a a a" merges identically. */
+  def bpeMergeStep(docs: DataFrame): DataFrame = {
+    val bigrams = docs.select(tokens(col("text")).as("toks"))
+      .select(explode(when(size(col("toks")) > 1,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+    val top = bigrams.groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(1)
+      .select(col("pair"), col("cnt"),
+        split(col("pair"), " ").getItem(0).as("_a"),
+        split(col("pair"), " ").getItem(1).as("_b"))
+    docs.select(col("doc_id"), cleanText(col("text")).as("clean"))
+      .crossJoin(broadcast(top))
+      .select(col("doc_id"), col("pair"), col("cnt"),
+        regexp_replace(col("clean"),
+          concat(lit("\\b"), col("_a"), lit(" "), col("_b"), lit("\\b")),
+          concat(col("_a"), lit("_"), col("_b"))).as("merged"))
+  }
+
+  /** Approximate char-length percentiles via the KLL-style sketch (B40):
+    * the mergeable bounded-memory path for quantiles at 100 TB, where the
+    * exact interpolated percentile ([[charPercentiles]]) would need a
+    * full sort per group. accuracy=10000 bounds rank error to ~0.01%.
+    * Sketch internals differ across engines — rows-only check plus a
+    * ScalaTest tolerance comparison against the exact variant. */
+  def approxCharPercentiles(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        percentile_approx(col("n_chars"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(10000)).as("q"))
+      .select(col("lang"), col("n_docs"),
+        col("q").getItem(0).as("p25"), col("q").getItem(1).as("p50"),
+        col("q").getItem(2).as("p75"), col("q").getItem(3).as("p95"))
+
   /** Per-(lang, source) corpus aggregates (B12). */
   def textStats(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang"), col("source"))

@@ -102,6 +102,59 @@ object Events {
       .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
   }
 
+  case class SessionSummary(userId: Long, startUs: Long, endUs: Long, nEvents: Long)
+  // public: the state encoder's generated code constructs it reflectively
+  case class OpenSession(startUs: Long, endUs: Long, n: Long)
+
+  /** Completed-session emitter via flatMapGroupsWithState (C38): buffers
+    * each user's open session in typed state and emits a session ONLY
+    * once it is closed — either by a later event arriving past the gap,
+    * or by event-time timeout once the watermark passes the gap horizon.
+    * This is the flatMap variant's use case: zero-or-many outputs per
+    * invocation (mapGroupsWithState must emit exactly one). State is one
+    * fixed-size record per ACTIVE user and the timeout reaps idle users,
+    * so state is bounded regardless of stream length. Input: (user_id,
+    * event-time timestamp) with a watermark already applied upstream. */
+  def completedSessions(events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
+                        gapMinutes: Int = 30)
+  : org.apache.spark.sql.Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    def fn(user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+           state: GroupState[OpenSession]): Iterator[SessionSummary] = {
+      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
+      if (state.hasTimedOut) {
+        // watermark passed the gap horizon: the open session can never
+        // be extended again — emit and clear
+        state.getOption.foreach(s =>
+          closed += SessionSummary(user, s.startUs, s.endUs, s.n))
+        state.remove()
+      } else {
+        var cur = state.getOption
+        rows.map { case (_, ts) => ts.getTime * 1000L }.toSeq.sorted.foreach { us =>
+          cur match {
+            case Some(s) if us - s.endUs <= gapUs =>
+              cur = Some(OpenSession(s.startUs, math.max(s.endUs, us), s.n + 1))
+            case Some(s) =>
+              closed += SessionSummary(user, s.startUs, s.endUs, s.n)
+              cur = Some(OpenSession(us, us, 1L))
+            case None =>
+              cur = Some(OpenSession(us, us, 1L))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.endUs / 1000L + gapMinutes.toLong * 60L * 1000L)
+        }
+      }
+      closed.iterator
+    }
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Windowed aggregation usable on a streaming or batch events frame. */
   def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
     val withWm =

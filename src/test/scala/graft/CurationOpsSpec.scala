@@ -201,4 +201,66 @@ class CurationOpsSpec extends SparkSpec {
     assert(m((0, 2L)) === 3.0)
     assert(m((1, 2L)) === 20.0)
   }
+
+  test("dedup keep-best retains the highest-quality duplicate, not the first") {
+    // docs 10 and 11 clean to the same text; 11 is longer raw (higher
+    // quality composite via the length term), so 11 must win despite 10's
+    // smaller id. doc 12 is unique and survives untouched.
+    val d = Seq(
+      (10L, "same words here", "en", "a", 15),
+      (11L, "same words here and padding to pass the length gate", "en", "a", 51),
+      (12L, "completely different", "fr", "b", 20))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // make 10 and 11 collide: same cleaned content requires same text, so
+    // instead verify the policy on true duplicates with differing quality
+    // via punctuation (stripped by cleaning, but penalized by the score)
+    val dd = Seq(
+      (10L, "!!!! same words here once more ok", "en", "a", 33),
+      (11L, "same words here once more ok", "en", "a", 28),
+      (12L, "completely different", "fr", "b", 20))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = TextOps.dedupKeepBest(dd).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(11L, 12L),
+      "punctuation-free duplicate outscores the earlier noisy one")
+  }
+
+  test("bpe merge step merges exactly the most frequent adjacent pair") {
+    val d = Seq(
+      (1L, "big data big data big data", "en", "a", 26),
+      (2L, "big data pipelines", "en", "a", 18),
+      (3L, "small data", "en", "a", 10))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.bpeMergeStep(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSeq
+    assert(out.forall(_._2 == "big data"), "argmax pair is (big, data): 4 occurrences")
+    assert(out.forall(_._3 == 4L))
+    val merged = out.map(t => t._1 -> t._4).toMap
+    assert(merged(1L) === "big_data big_data big_data")
+    assert(merged(2L) === "big_data pipelines")
+    assert(merged(3L) === "small data", "non-matching docs pass through")
+    // overlap semantics: leftmost non-overlapping
+    val tricky = Seq((1L, "a a a", "en", "a", 5)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextOps.bpeMergeStep(tricky).collect().head.getString(3) === "a_a a")
+  }
+
+  test("approx percentile sketch is rank-accurate within 2% of the group size") {
+    // the sketch returns an actual element with bounded RANK error (value
+    // error is unbounded when neighboring order statistics are far apart)
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val approx = TextOps.approxCharPercentiles(docs).collect()
+      .map(r => r.getString(0) -> Seq(
+        0.25 -> r.getLong(2), 0.5 -> r.getLong(3),
+        0.75 -> r.getLong(4), 0.95 -> r.getLong(5))).toMap
+    val byLang = docs.select("lang", "n_chars")
+      .as[(String, Long)].collect().groupBy(_._1)
+      .map { case (l, vs) => l -> vs.map(_._2).sorted }
+    assert(approx.keySet === byLang.keySet)
+    for (lang <- approx.keySet; (q, a) <- approx(lang)) {
+      val vs = byLang(lang)
+      val rank = vs.count(_ <= a).toDouble / vs.length
+      val rankBelow = vs.count(_ < a).toDouble / vs.length
+      assert(rankBelow - 0.02 <= q && q <= rank + 0.02,
+        s"$lang p$q: sketch value $a spans ranks [$rankBelow, $rank]")
+    }
+  }
 }

@@ -128,6 +128,43 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00", "click", 1L, 400L)))
   }
 
+  test("flatMapGroupsWithState emits sessions only once closed by gap or watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp)]
+    val withWm = stream.toDS().toDF("user_id", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Timestamp)]
+    val q = Events.completedSessions(withWm, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    // batch 1: two events 10 min apart (one open session) — nothing emits
+    stream.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    assert(spark.table("sessions").count() === 0, "open session must not emit")
+
+    // batch 2: an event 2 hours later closes the first session by gap
+    stream.addData((1L, Timestamp.valueOf("2024-01-01 12:10:00")))
+    q.processAllAvailable()
+    val afterGap = spark.table("sessions").as[(Long, Long, Long, Long)].collect().toSet
+    assert(afterGap === Set((1L,
+      Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000L,
+      Timestamp.valueOf("2024-01-01 10:10:00").getTime * 1000L, 2L)))
+
+    // batch 3: another user far in the future advances the watermark past
+    // user 1's gap horizon — the timeout closes the still-open session
+    stream.addData((2L, Timestamp.valueOf("2024-01-02 09:00:00")))
+    q.processAllAvailable()
+    stream.addData((2L, Timestamp.valueOf("2024-01-02 09:00:01")))
+    q.processAllAvailable()
+    q.stop()
+    val users = spark.table("sessions").as[(Long, Long, Long, Long)]
+      .collect().map(_._1).toSet
+    assert(users.contains(1L))
+    assert(spark.table("sessions").count() >= 2, "timeout-closed session emitted")
+  }
+
   test("foreachBatch sink: a retried micro-batch replaces its partition, not appends") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_fb_sink").toString
