@@ -228,6 +228,21 @@ object Oracles {
         |  ('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 AS fake_height
         |FROM documents""".stripMargin,
 
+    // 16-byte patch grid capped at 8 patches; hex lowercased on both
+    // engines (bytes agree, hex case conventions do not)
+    // DuckDB substring rejects BLOB — slice the hex STRING instead: hex is
+    // per-byte, so chars [2p, 2p+32) equal hex(bytes [p, p+16))
+    "mm_patches" ->
+      """WITH m AS (SELECT doc_id, lower(hex(encode(text))) AS mhex FROM documents
+        |           WHERE octet_length(encode(text)) > 0),
+        |n AS (SELECT doc_id, mhex,
+        |      least(CAST(ceil((length(mhex) / 2) / 16.0) AS BIGINT), 8) AS np FROM m),
+        |e AS (SELECT doc_id, mhex, unnest(range(0, np)) AS patch_idx FROM n)
+        |SELECT doc_id, CAST(patch_idx AS BIGINT) AS patch_idx,
+        |  substring(mhex, CAST(patch_idx * 32 + 1 AS BIGINT), 32) AS patch_hex,
+        |  (length(substring(mhex, CAST(patch_idx * 32 + 1 AS BIGINT), 32)) / 2)::BIGINT AS patch_bytes
+        |FROM e""".stripMargin,
+
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS n_id, embedding AS n_emb FROM embeddings),

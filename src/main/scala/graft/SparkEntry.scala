@@ -127,6 +127,7 @@ object SparkEntry {
     "char_percentiles" -> ((s, d) => TextOps.charPercentiles(t(s, d, "documents"))),
     "approx_distinct_tokens" -> ((s, d) => TextOps.approxDistinctTokens(spread(t(s, d, "documents")))),
     "mm_extract" -> ((s, d) => Multimodal.extract(spread(t(s, d, "documents")))),
+    "mm_patches" -> ((s, d) => Multimodal.patches(spread(t(s, d, "documents")))),
     "curation_pipeline" -> ((s, d) => TextOps.curate(spread(t(s, d, "documents")))),
     "dedup_filtered" -> ((s, d) => TextOps.dedupFiltered(t(s, d, "documents"))),
     "quality_filter" -> ((s, d) => TextOps.qualityFilter(spread(t(s, d, "documents")))),

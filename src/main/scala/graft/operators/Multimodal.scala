@@ -37,6 +37,30 @@ object Multimodal {
       (conv(substring(h, 5, 4), 16, 10).cast("long") % 1080).as("fake_height"))
   }
 
+  /** ViT-style patch grid over the media payload (B41): fixed-size byte
+    * patches (the binary analogue of image patches), capped at
+    * `maxPatches` per row — pure codegen'd expressions (substr on binary,
+    * hex), no UDF, so a 100 TB patch table is a narrow projection of the
+    * media scan. Row expansion is bounded by maxPatches, which is what
+    * partition sizing plans around. Hex is lowercased: engines disagree
+    * on hex case, not on bytes. */
+  def patches(docs: DataFrame, patchBytes: Int = 16, maxPatches: Int = 8): DataFrame = {
+    val media = asMedia(docs).filter(octet_length(col("media")) > 0)
+    val nPatches = least(
+      ceil(octet_length(col("media")) / lit(patchBytes.toDouble)).cast("long"),
+      lit(maxPatches.toLong))
+    media
+      .select(col("doc_id"), col("media"),
+        explode(sequence(lit(0L), nPatches - 1)).as("patch_idx"))
+      .select(col("doc_id"), col("patch_idx"),
+        lower(hex(col("media").substr(
+          (col("patch_idx") * patchBytes + 1).cast("int"), lit(patchBytes))))
+          .as("patch_hex"),
+        octet_length(col("media").substr(
+          (col("patch_idx") * patchBytes + 1).cast("int"), lit(patchBytes)))
+          .cast("long").as("patch_bytes"))
+  }
+
   private val decodedSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("n_bytes", IntegerType),

@@ -87,11 +87,17 @@ object Events {
     * batch_id partition instead of appending, the FILES are exactly-once
     * — the standard idempotent-sink recipe for stores without
     * transactional streaming writers. */
-  def idempotentParquetSink(df: DataFrame, outDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+  def idempotentParquetSink(df: DataFrame, outDir: String,
+                            checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       writeBatch(batch, batchId, outDir)
-    }.start()
+    }
+    // with a checkpoint, a RESTARTED query resumes from committed offsets
+    // — together with the per-batch partition overwrite this closes the
+    // exactly-once loop across process restarts, not just task retries
+    checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 
   /** The per-batch write — factored out so a test can replay a batch and
     * assert the retry replaces rather than duplicates. */
