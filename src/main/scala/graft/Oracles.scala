@@ -697,6 +697,26 @@ object Oracles {
          |    split_part(pair, ' ', 1) || '_' || split_part(pair, ' ', 2), 'g') AS merged
          |FROM documents d CROSS JOIN top""".stripMargin,
 
+    "tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_items
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "part_type_revenue" ->
+      """SELECT p_type, p_brand, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_type, p_brand""".stripMargin,
+
     "purchase_click_full" ->
       """WITH p AS (SELECT user_id, count(*) AS purchase_n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents

@@ -183,6 +183,11 @@ object SparkEntry {
     "tpch_q3" -> ((s, d) =>
       Relational.tpchQ3(t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem"))),
     "orders_above_avg" -> ((s, d) => Relational.ordersAboveCustomerAvg(t(s, d, "orders"))),
+    "tpch_q5" -> ((s, d) =>
+      Relational.tpchQ5(t(s, d, "region"), t(s, d, "nation"), t(s, d, "supplier"),
+        t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem"))),
+    "part_type_revenue" -> ((s, d) =>
+      Relational.partTypeRevenue(t(s, d, "part"), t(s, d, "lineitem"))),
     "purchase_click_full" -> ((s, d) => Relational.purchaseClickFull(events(s, d))),
     "audience_set_ops" -> ((s, d) => Relational.audienceSetOps(events(s, d))),
     "events_lead_lag" -> ((s, d) => Relational.eventsLeadLag(events(s, d))),

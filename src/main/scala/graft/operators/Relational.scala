@@ -246,6 +246,48 @@ object Relational {
          |                     WHERE i.o_custkey = o.o_custkey)""".stripMargin)
   }
 
+  /** TPC-H Q5 shape (C41): local-supplier volume — six tables, with the
+    * whole dimension chain (region → nation → supplier, and customer)
+    * broadcast so ONLY the orders⋈lineitem join shuffles; the
+    * same-nation condition (customer's nation = supplier's nation) is a
+    * post-join filter on two broadcast columns, not another shuffle. The
+    * region filter prunes the chain at its root before anything moves. */
+  def tpchQ5(region: DataFrame, nation: DataFrame, supplier: DataFrame,
+             customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+             regionName: String = "ASIA"): DataFrame = {
+    val natInRegion = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = supplier.join(broadcast(natInRegion),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Part-type pricing profile (C42): lineitem ⋈ part with the part
+    * dimension broadcast — revenue and quantity by part type and brand,
+    * the classic star-schema rollup over the one big fact table. */
+  def partTypeRevenue(part: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+
   /** Full outer join (C35): per-user purchase totals ⟗ click totals —
     * users who purchase without clicking AND users who click without
     * purchasing both survive, with absent sides coalesced to zero. Both

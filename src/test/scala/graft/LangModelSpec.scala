@@ -164,6 +164,20 @@ class LangModelSpec extends SparkSpec {
       (3L, 2000000L, -1L, 3000000L, 0L)))
   }
 
+  test("tpch q5 broadcasts the whole dimension chain; at most one shuffle join") {
+    val sf = "/root/testdata/sf0.001"
+    def t(n: String) = spark.read.parquet(s"$sf/$n.parquet")
+    val q = Relational.tpchQ5(t("region"), t("nation"), t("supplier"),
+      t("customer"), t("orders"), t("lineitem"))
+    assert(q.collect().nonEmpty)
+    val plan = q.queryExecution.executedPlan.toString
+    val broadcastJoins = "BroadcastHashJoin".r.findAllIn(plan).size
+    val shuffleJoins = ("SortMergeJoin".r.findAllIn(plan).size
+      + "ShuffledHashJoin".r.findAllIn(plan).size)
+    assert(broadcastJoins >= 3, s"dimension chain must broadcast:\n${plan.take(1200)}")
+    assert(shuffleJoins <= 1, s"only orders⋈lineitem may shuffle:\n${plan.take(1200)}")
+  }
+
   test("orders above customer average decorrelates and matches a window twin") {
     val sf = "/root/testdata/sf0.001"
     val orders = spark.read.parquet(s"$sf/orders.parquet")
