@@ -697,6 +697,30 @@ object Oracles {
          |    split_part(pair, ' ', 1) || '_' || split_part(pair, ' ', 2), 'g') AS merged
          |FROM documents d CROSS JOIN top""".stripMargin,
 
+    // derives mean/variance from EXACT integer power sums — replicates
+    // the Spark-side expression order so doubles agree bitwise
+    "lang_char_moments" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_chars * n_chars) AS BIGINT) AS sumsq_chars,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars,
+        |  round((CAST(sum(n_chars * n_chars) AS DOUBLE)
+        |         - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS BIGINT) / count(*))
+        |        / count(*), 6) AS var_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "grouping_sets_stats" ->
+      """SELECT lang, source, grouping_id(lang, source) AS gid,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY GROUPING SETS ((lang), (source))""".stripMargin,
+
+    "order_seasonality" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
     "tpch_q5" ->
       """SELECT n_name,
         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,

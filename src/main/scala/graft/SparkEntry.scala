@@ -183,6 +183,9 @@ object SparkEntry {
     "tpch_q3" -> ((s, d) =>
       Relational.tpchQ3(t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem"))),
     "orders_above_avg" -> ((s, d) => Relational.ordersAboveCustomerAvg(t(s, d, "orders"))),
+    "lang_char_moments" -> ((s, d) => Relational.langCharMoments(t(s, d, "documents"))),
+    "grouping_sets_stats" -> ((s, d) => Relational.groupingSetsStats(t(s, d, "documents"))),
+    "order_seasonality" -> ((s, d) => Relational.orderSeasonality(t(s, d, "orders"))),
     "tpch_q5" -> ((s, d) =>
       Relational.tpchQ5(t(s, d, "region"), t(s, d, "nation"), t(s, d, "supplier"),
         t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem"))),

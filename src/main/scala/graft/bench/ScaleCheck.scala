@@ -3,7 +3,7 @@ package graft.bench
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Dedup}
+import graft.operators.{AsOf, Dedup, LangModel}
 
 /** Output-sensitivity scaling check (BASELINE.md "Scaling check" table):
   * the corpus is multiplied m-way IN MEMORY with shifted ids, so every
@@ -17,11 +17,16 @@ import graft.operators.{AsOf, Dedup}
   */
 object ScaleCheck {
 
-  /** Times ONLY the noop-sink write (full materialization of every output
-    * column); the row count runs afterwards, outside the timed region, so
-    * reported seconds reflect one execution of the query, not two. */
-  private def timedForce(df: DataFrame): (Double, Long) = {
+  /** Times plan construction PLUS the noop-sink write (full
+    * materialization of every output column); the row count runs
+    * afterwards, outside the timed region, so reported seconds reflect
+    * one execution of the query, not two. Construction is inside the
+    * timer because iterative operators (components) do their rounds
+    * EAGERLY while building the frame — timing only the final write
+    * would miss all of their work. */
+  private def timedForce(mkDf: => DataFrame): (Double, Long) = {
     val t0 = System.nanoTime()
+    val df = mkDf
     df.write.format("noop").mode("overwrite").save()
     val sec = (System.nanoTime() - t0) / 1e9
     (sec, df.count())
@@ -69,6 +74,10 @@ object ScaleCheck {
       val (tNgram, nNgram) = timedForce(Dedup.ngramJaccard(docs))
       val (tComp, nComp) = timedForce(Dedup.components(Dedup.minhashPairs(docs)))
       graft.CacheTracker.releaseAll()
+      // aggregation-shaped contrast to the join-shaped rows: BM25 is
+      // bounded by partial-agg shuffles over the exploded token stream,
+      // so it must scale LINEARLY even as true duplicate pairs explode
+      val (tBm25, nBm25) = timedForce(LangModel.bm25(docs))
       val e = events.select(col("event_id"), col("user_id"),
         col("event_type"), unix_micros(col("ts")).as("us"))
       val p = e.filter(col("event_type") === "purchase").select("event_id", "user_id", "us")
@@ -81,6 +90,7 @@ object ScaleCheck {
         s""""dedup_minhash":{"sec":$tMinhash,"pairs":$nMinhash},""" +
         s""""ngram_jaccard":{"sec":$tNgram,"pairs":$nNgram},""" +
         s""""components":{"sec":$tComp,"nodes":$nComp},""" +
+        s""""bm25":{"sec":$tBm25,"rows":$nBm25},""" +
         s""""asof_join":{"sec":$tAsof,"rows":$nAsof}}""")
       docs.unpersist(); events.unpersist()
     }

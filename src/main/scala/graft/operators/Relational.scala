@@ -246,6 +246,47 @@ object Relational {
          |                     WHERE i.o_custkey = o.o_custkey)""".stripMargin)
   }
 
+  /** Per-language char moments via the ExactMoments typed UDAF (C43):
+    * count / sum / sum-of-squares accumulate as exact longs inside the
+    * custom Aggregator (merge-order-free), mean and variance derive from
+    * the finished buffer as one deterministic double expression each. */
+  def langCharMoments(docs: DataFrame): DataFrame = {
+    val m = udaf(graft.functions.ExactMoments)
+    docs.groupBy(col("lang"))
+      .agg(m(col("n_chars")).as("mom"))
+      .select(col("lang"),
+        col("mom.n").as("n_docs"), col("mom.sum").as("sum_chars"),
+        col("mom.sumSq").as("sumsq_chars"),
+        round(col("mom.sum").cast("double") / col("mom.n"), 6).as("mean_chars"),
+        round((col("mom.sumSq").cast("double") -
+          col("mom.sum").cast("double") * col("mom.sum") / col("mom.n"))
+          / col("mom.n"), 6).as("var_chars"))
+  }
+
+  /** Explicit GROUPING SETS (C44): exactly the (lang) and (source)
+    * subtotal rows — neither the (lang, source) detail nor the grand
+    * total that ROLLUP/CUBE would force — still ONE pass / one shuffle.
+    * SQL-expressed: the DataFrame API exposes only rollup/cube. */
+  def groupingSetsStats(docs: DataFrame): DataFrame = {
+    val view = "graft_docs_gs"
+    docs.createOrReplaceTempView(view)
+    docs.sparkSession.sql(
+      s"""SELECT lang, source, grouping_id(lang, source) AS gid,
+         |  count(*) AS n_docs, sum(n_chars) AS sum_chars
+         |FROM $view GROUP BY GROUPING SETS ((lang), (source))""".stripMargin)
+  }
+
+  /** Order seasonality (C45): revenue by calendar year and month — the
+    * date-dimension rollup every BI layer runs; year/month extraction is
+    * codegen'd and the aggregate is one partial-agg shuffle over at most
+    * years×12 groups. */
+  def orderSeasonality(orders: DataFrame): DataFrame =
+    orders.groupBy(
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("revenue_cents"))
+
   /** TPC-H Q5 shape (C41): local-supplier volume — six tables, with the
     * whole dimension chain (region → nation → supplier, and customer)
     * broadcast so ONLY the orders⋈lineitem join shuffles; the

@@ -164,6 +164,33 @@ class LangModelSpec extends SparkSpec {
       (3L, 2000000L, -1L, 3000000L, 0L)))
   }
 
+  test("ExactMoments UDAF matches hand-computed moments and variance") {
+    val d = Seq((1L, 10L, "en"), (2L, 20L, "en"), (3L, 30L, "en"), (4L, 7L, "fr"))
+      .toDF("doc_id", "n_chars", "lang")
+    val out = Relational.langCharMoments(d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out("en")._1 === 3L)
+    assert(out("en")._2 === 60L)
+    assert(out("en")._3 === 1400L) // 100 + 400 + 900
+    assert(out("en")._4 === 20.0)
+    assert(math.abs(out("en")._5 - 200.0 / 3.0) < 1e-6) // E[x²]-E[x]², 6dp-rounded
+    assert(out("fr") === ((1L, 7L, 49L, 7.0, 0.0)))
+  }
+
+  test("grouping sets emits exactly the (lang) and (source) subtotal rows") {
+    val d = Seq((1L, 10L, "en", "a"), (2L, 20L, "en", "b"), (3L, 5L, "fr", "a"))
+      .toDF("doc_id", "n_chars", "lang", "source")
+    val rows = Relational.groupingSetsStats(d).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2).toInt, r.getLong(3))).toSet
+    // gid 1 = source aggregated away; gid 2 = lang aggregated away;
+    // no (lang, source) detail rows and no grand total
+    assert(rows === Set(
+      (Some("en"), None, 1, 2L), (Some("fr"), None, 1, 1L),
+      (None, Some("a"), 2, 2L), (None, Some("b"), 2, 1L)))
+  }
+
   test("tpch q5 broadcasts the whole dimension chain; at most one shuffle join") {
     val sf = "/root/testdata/sf0.001"
     def t(n: String) = spark.read.parquet(s"$sf/$n.parquet")
