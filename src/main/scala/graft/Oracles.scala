@@ -422,6 +422,26 @@ object Oracles {
          |FROM p JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
          |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.8""".stripMargin,
 
+    // prefix-filtered twin: candidates via rare tokens (df <= N/2), exact
+    // rescore over FULL vectors — same arithmetic as doc_similarity
+    "doc_similarity_pruned" ->
+      s"""WITH t AS ($tfidf),
+         |w AS (SELECT t.doc_id, d.source AS blk, t.token, t.tfidf FROM t JOIN documents d USING (doc_id)),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |rare AS (SELECT token FROM (SELECT token, count(DISTINCT doc_id) AS df FROM w GROUP BY 1)
+         |         CROSS JOIN nd WHERE df <= n_docs * 0.5),
+         |rw AS (SELECT w.* FROM w JOIN rare USING (token)),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |         FROM rw a JOIN rw b ON a.blk = b.blk AND a.token = b.token AND a.doc_id < b.doc_id),
+         |n AS (SELECT doc_id, sqrt(list_reduce(list_sort(list(tfidf * tfidf)), (a, b) -> a + b)) AS nrm FROM w GROUP BY doc_id),
+         |p AS (SELECT c.a_id, c.b_id, list_reduce(list_sort(list(wa.tfidf * wb.tfidf)), (x, y) -> x + y) AS dot
+         |      FROM cand c JOIN w wa ON wa.doc_id = c.a_id
+         |      JOIN w wb ON wb.doc_id = c.b_id AND wb.token = wa.token
+         |      GROUP BY 1, 2)
+         |SELECT a_id, b_id, round(dot / (na.nrm * nb.nrm), 6) AS cos
+         |FROM p JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+         |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.8""".stripMargin,
+
     "ann_ivf" ->
       """WITH b AS (SELECT vec_id, embedding,
         |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
@@ -672,6 +692,14 @@ object Oracles {
          |comp AS (SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src)
          |SELECT vec_id, label FROM embeddings
          |WHERE vec_id NOT IN (SELECT id FROM comp WHERE component < id)""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH h AS (SELECT doc_id, lang, source, n_chars, md5($clean) AS content_hash FROM documents),
+         |corpus AS (SELECT DISTINCT content_hash FROM h WHERE doc_id % 10 < 8),
+         |nb AS (SELECT * FROM h WHERE doc_id % 10 >= 8),
+         |fresh AS (SELECT * FROM nb WHERE content_hash NOT IN (SELECT content_hash FROM corpus)),
+         |k AS (SELECT *, min(doc_id) OVER (PARTITION BY content_hash) AS kid FROM fresh)
+         |SELECT doc_id, content_hash, lang, source, n_chars FROM k WHERE doc_id = kid""".stripMargin,
 
     // keep-BEST dedup: same hash partition as keep-first, policy is the
     // window order (quality desc, doc_id) over the shared 6dp composite

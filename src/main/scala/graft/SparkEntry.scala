@@ -118,6 +118,7 @@ object SparkEntry {
     "gopher_filter" -> ((s, d) => TextOps.gopherFilter(spread(t(s, d, "documents")))),
     "embed_centroids" -> ((s, d) => Similarity.embedCentroids(t(s, d, "embeddings"))),
     "doc_similarity" -> ((s, d) => Similarity.docSimilarity(spread(t(s, d, "documents")))),
+    "doc_similarity_pruned" -> ((s, d) => Similarity.docSimilarityPruned(spread(t(s, d, "documents")))),
     "top_tokens_per_lang" -> ((s, d) => TextOps.topTokensPerLang(spread(t(s, d, "documents")))),
     "sequence_pack" -> ((s, d) => TextOps.sequencePack(spread(t(s, d, "documents")))),
     "vocab_build" -> ((s, d) => TextOps.vocabBuild(spread(t(s, d, "documents")))),
@@ -137,6 +138,14 @@ object SparkEntry {
     "contamination_check" -> ((s, d) => TextOps.contamination(spread(t(s, d, "documents")))),
 
     "dedup_keep_best" -> ((s, d) => TextOps.dedupKeepBest(spread(t(s, d, "documents")))),
+    // incremental ingest: docs with id%10>=8 arrive as the "new batch"
+    // against the standing corpus of the rest
+    "dedup_incremental" -> ((s, d) => {
+      val docs = spread(t(s, d, "documents"))
+      Dedup.incremental(
+        docs.filter(col("doc_id") % 10 >= 8),
+        docs.filter(col("doc_id") % 10 < 8))
+    }),
     "bpe_merge_step" -> ((s, d) => TextOps.bpeMergeStep(spread(t(s, d, "documents")))),
     "approx_char_percentiles" -> ((s, d) => TextOps.approxCharPercentiles(t(s, d, "documents"))),
 

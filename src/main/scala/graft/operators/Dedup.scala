@@ -212,6 +212,25 @@ object Dedup {
     labels
   }
 
+  /** Incremental dedup (B42): the daily-ingest shape — admit only
+    * new-batch documents whose content hash is absent from the existing
+    * corpus, then keep-first WITHIN the batch. The corpus side reduces to
+    * distinct hashes before the left-anti join (at 100 TB that hash set
+    * is the standing dedup index, stored hash-bucketed so the anti-join
+    * is a co-located probe, not a corpus rescan); the window dedup then
+    * touches only admitted rows. */
+  def incremental(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
+    val hashed = newDocs.withColumn("content_hash",
+      md5(TextOps.cleanText(col("text"))))
+    val seen = corpus
+      .select(md5(TextOps.cleanText(col("text"))).as("content_hash")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("content_hash")
+    hashed.join(seen, Seq("content_hash"), "left_anti")
+      .withColumn("kid", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("kid"))
+      .select("doc_id", "content_hash", "lang", "source", "n_chars")
+  }
+
   /** Near-dup-filtered corpus (B32): the write-back step of near-dedup —
     * keep one canonical row per near-duplicate cluster (the min-id
     * member, which IS the component label from [[components]]) plus every

@@ -216,6 +216,54 @@ object Similarity {
           .as("q_csv"))
   }
 
+  /** Prefix-filtered similarity join (B43): the df-pruned candidate path
+    * [[docSimilarity]]'s scaladoc promises for 100 TB. Candidate pairs
+    * materialize ONLY through shared RARE tokens (df <= maxDfFrac·N) —
+    * ultra-frequent tokens, whose dense posting lists drive the
+    * quadratic-in-block cost of the exact join, generate no candidates —
+    * then each candidate pair is rescored EXACTLY over its full weight
+    * vectors. Recall trade, stated: a pair sharing only frequent tokens
+    * is missed; with Zipfian vocabularies such pairs have near-floor
+    * cosine anyway. Cost: candidate generation is bounded by rare-token
+    * posting lists; rescoring is bounded by candidates found. */
+  def docSimilarityPruned(docs: DataFrame, blockCol: String = "source",
+                          simMin: Double = 0.8, maxDfFrac: Double = 0.5): DataFrame = {
+    def stableSum(c: Column) =
+      aggregate(sort_array(collect_list(c)), lit(0.0), (a, b) => a + b)
+    val w = graft.CacheTracker.track(
+      TfIdf.tfidf(docs)
+        .join(docs.select(col("doc_id"), col(blockCol).as("blk")), "doc_id")
+        .select(col("doc_id"), col("blk"), col("token"), col("tfidf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    w.count()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val rare = w.select(col("token"), col("doc_id")).distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= col("n_docs") * maxDfFrac)
+      .select("token")
+    val rareW = w.join(rare, "token")
+    val cand = rareW.select(col("blk"), col("token"), col("doc_id").as("a_id"))
+      .join(rareW.select(col("blk"), col("token"), col("doc_id").as("b_id")),
+        Seq("blk", "token"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val norms = w.groupBy("doc_id")
+      .agg(sqrt(stableSum(col("tfidf") * col("tfidf"))).as("nrm"))
+    val dots = cand
+      .join(w.select(col("doc_id").as("a_id"), col("token"), col("tfidf").as("a_w")), "a_id")
+      .join(w.select(col("doc_id").as("b_id"), col("token"), col("tfidf").as("b_w")),
+        Seq("b_id", "token"))
+      .groupBy("a_id", "b_id")
+      .agg(stableSum(col("a_w") * col("b_w")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("a_id"), col("nrm").as("a_nrm")), "a_id")
+      .join(norms.select(col("doc_id").as("b_id"), col("nrm").as("b_nrm")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("dot") / (col("a_nrm") * col("b_nrm")), 6).as("cos"))
+      .filter(col("cos") >= simMin)
+  }
+
   /** B5: embedding-cosine near-duplicate pairs, sign-LSH blocked (same
     * bucket only — never all-pairs). */
   def nearDupPairs(emb: DataFrame, cosMin: Double = 0.8, bits: Int = 8): DataFrame = {

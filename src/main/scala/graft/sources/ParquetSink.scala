@@ -22,4 +22,30 @@ object ParquetSink {
   }
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** Small-file compaction (C46): rewrite a directory into
+    * ceil(bytes / targetBytes) files. The small-files problem is a
+    * first-order cost at 100 TB — a table written by thousands of tasks
+    * accumulates files whose per-file open/footer overhead dominates
+    * scans; periodic compaction to ~128 MB files restores scan
+    * efficiency. Uses repartition (not coalesce): coalesce would chain
+    * upstream and skew file sizes; a narrow shuffle is the price of
+    * even output files. Writes to a temp dir then swaps, so a reader
+    * never sees a half-compacted directory. */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val dir = new java.io.File(path)
+    val bytes = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    val tmp = path + "_compacting"
+    spark.read.parquet(path)
+      .repartition(nFiles.toInt)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val old = path + "_old"
+    new java.io.File(path).renameTo(new java.io.File(old))
+    new java.io.File(tmp).renameTo(new java.io.File(path))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(old))
+    nFiles
+  }
 }

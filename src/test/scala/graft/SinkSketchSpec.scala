@@ -60,6 +60,20 @@ class SinkSketchSpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("compaction rewrites a many-file directory into few even files, rows intact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    docs.repartition(32).write.parquet(dir) // the small-files problem
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles === 32)
+    val before = spark.read.parquet(dir).orderBy("doc_id").collect()
+    graft.sources.ParquetSink.compact(spark, dir, targetBytes = 512L * 1024)
+    assert(parquetFiles < 32, "fewer, larger files after compaction")
+    val after = spark.read.parquet(dir).orderBy("doc_id").collect()
+    assert(after === before, "compaction must be a pure rewrite")
+  }
+
   test("HLL approx distinct tokens is within 10% of exact") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val approx = TextOps.approxDistinctTokens(docs)
