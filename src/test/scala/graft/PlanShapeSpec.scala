@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression guards: pins the structural properties that make
+  * key queries scale — shuffle counts, broadcast usage, pushdown — so a
+  * future refactor that silently degrades a plan (extra exchange, lost
+  * broadcast, lost pushdown) fails a test instead of a benchmark round.
+  * Counts are upper bounds read off the CURRENT plans at sf0.001.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(key: String): String = {
+    val df = SparkEntry.queries(key)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def exchanges(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).size +
+      "Exchange rangepartitioning".r.findAllIn(p).size
+
+  test("narrow per-row queries plan ZERO shuffles") {
+    // clean_text/token_stats/quality_score are pure projections — any
+    // exchange beyond the deliberate spread() repartition is a regression
+    for (key <- Seq("clean_text", "token_stats", "quality_score", "mm_extract")) {
+      val p = plan(key)
+      val n = "Exchange".r.findAllIn(p).size
+      assert(n <= 1, s"$key: expected only the spread() round-robin, got $n exchanges")
+    }
+  }
+
+  test("dedup_exact is one hash-partitioned shuffle") {
+    assert(exchanges(plan("dedup_exact")) <= 1)
+  }
+
+  test("orders_join broadcasts nation and shuffles at most once per side") {
+    val p = plan("orders_join")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "nation must broadcast")
+  }
+
+  test("lineitem_agg pushes the shipdate filter into the parquet scan") {
+    val p = plan("lineitem_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("tpch_q3 pushes segment and date filters into all three scans") {
+    val p = plan("tpch_q3")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter must push")
+    assert(p.contains("LessThan(o_orderdate"), "order-date filter must push")
+    assert(p.contains("GreaterThan(l_shipdate"), "ship-date filter must push")
+  }
+
+  test("no query plans a CartesianProduct") {
+    // plan_audit.py enforces this per round; the spec makes it per-commit.
+    // Model-fitting queries execute during planning, so guard the cheap
+    // declarative surface here (the audit still covers everything).
+    val declarative = SparkEntry.queries.keys.filterNot(k =>
+      k.startsWith("nb_") || k.startsWith("svm_") || k.startsWith("ann_ivf_kmeans")
+        || k.startsWith("dedup_components") || k.startsWith("near_dedup"))
+    for (key <- declarative) {
+      val p = plan(key)
+      assert(!p.contains("CartesianProduct"), s"$key plans a CartesianProduct")
+    }
+  }
+
+  test("join hints are honored: broadcast vs merge on the same join") {
+    val a = spark.read.parquet(s"$sf/orders.parquet")
+    val b = spark.read.parquet(s"$sf/customer.parquet")
+    val broadcastPlan = a.join(b.hint("broadcast"), col("o_custkey") === col("c_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(broadcastPlan.contains("BroadcastHashJoin"))
+    val mergePlan = a.join(b.hint("merge"), col("o_custkey") === col("c_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(mergePlan.contains("SortMergeJoin"),
+      s"merge hint must force SMJ:\n${mergePlan.take(600)}")
+  }
+}
