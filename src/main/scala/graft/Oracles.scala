@@ -483,6 +483,17 @@ object Oracles {
         |  columns = {doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
         |             meta: 'STRUCT(author VARCHAR, year BIGINT)', tags: 'VARCHAR[]'})""".stripMargin,
 
+    // each event belongs to exactly 2 of the 30-min-sliding 1h windows:
+    // the one starting at its own 30-min slot and the previous slot
+    "events_sliding" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_type,
+        |                  CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |s AS (SELECT us, event_type, v,
+        |      unnest([us - us % 1800000000 - 1800000000, us - us % 1800000000]) AS ws FROM e)
+        |SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+        |  count(*) AS n_events, CAST(sum(v) AS BIGINT) AS sum_value_cents
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
     "events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n_events,

@@ -164,6 +164,7 @@ object SparkEntry {
     "orders_join" -> ((s, d) =>
       Relational.ordersJoin(t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
     "events_window" -> ((s, d) => Relational.eventsWindow(events(s, d))),
+    "events_sliding" -> ((s, d) => Relational.eventsSliding(events(s, d))),
     "top_orders" -> ((s, d) =>
       Relational.topOrdersPerNation(t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
     "events_cumulative" -> ((s, d) => Relational.eventsCumulative(events(s, d))),

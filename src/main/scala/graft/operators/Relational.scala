@@ -146,6 +146,22 @@ object Relational {
         count(lit(1)).as("n_events"),
         sum(cents(col("value"))).as("sum_value_cents"))
 
+  /** Sliding-window aggregation (C47): 1-hour windows advancing every 30
+    * minutes — each event lands in exactly window/slide = 2 windows, so
+    * the expansion factor is a planned constant (what distinguishes
+    * sliding from the unbounded row growth of a naive self-join
+    * formulation). Spark's native `window(slide)` generates the slots
+    * inside codegen; one partial-agg shuffle on (window, type). The same
+    * expression runs under Structured Streaming with a watermark. */
+  def eventsSliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("sum_value_cents"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n_events"), col("sum_value_cents"))
+
   /** Semi-join breadth (C23): customers that DID order, per nation — the
     * relational EXISTS. Like the anti-join, left_semi emits each build
     * row at most once, so no row blow-up regardless of order count per
