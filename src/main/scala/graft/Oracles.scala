@@ -822,6 +822,112 @@ object Oracles {
          |b AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % 50 = 0),
          |c AS (SELECT doc_id, g FROM sh WHERE doc_id % 50 <> 0)
          |SELECT doc_id, count(DISTINCT g) AS n_shared, count(DISTINCT bench_id) AS n_bench_docs
-         |FROM c JOIN b USING (g) GROUP BY doc_id""".stripMargin
+         |FROM c JOIN b USING (g) GROUP BY doc_id""".stripMargin,
+
+    // fixed 8-token windows, global keep-first, ordered reassembly
+    "paragraph_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) > 0),
+         |c AS (SELECT doc_id, chunk_id,
+         |      array_to_string(list_slice(toks, chunk_id * 8 + 1, chunk_id * 8 + 8), ' ') AS chunk_text
+         |      FROM (SELECT doc_id, toks,
+         |            unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS chunk_id FROM t)),
+         |k AS (SELECT doc_id, chunk_id, chunk_text,
+         |      row_number() OVER (PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_id) = 1 AS first_seen
+         |      FROM c)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN first_seen THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(CASE WHEN first_seen THEN chunk_text END, ' ' ORDER BY chunk_id), '') AS dedup_text
+         |FROM k GROUP BY doc_id""".stripMargin,
+
+    // temperature-weighted source mixing: alpha=0.7, budget=1M tokens
+    "mixture_weights" ->
+      s"""WITH ps AS (SELECT source, count(*) AS n_docs,
+         |      CAST(sum(len($toks)) AS BIGINT) AS n_tokens FROM documents GROUP BY source),
+         |w AS (SELECT *, round(pow(CAST(n_tokens AS DOUBLE), 0.7), 6) AS w_raw FROM ps),
+         |t AS (SELECT list_reduce(list_sort(list(w_raw)), (a, b) -> a + b) AS w_total FROM w)
+         |SELECT source, n_docs, n_tokens, round(w_raw / w_total, 6) AS weight,
+         |  CAST(floor(w_raw / w_total * 1000000) AS BIGINT) AS alloc_tokens
+         |FROM w, t""".stripMargin,
+
+    // upper-triangle covariance over dims 1..8; sums fold over sorted lists
+    "embed_covariance" ->
+      """WITH p AS (SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
+        |      CAST(embedding[i] AS DOUBLE) AS x, CAST(embedding[j] AS DOUBLE) AS y
+        |      FROM embeddings, range(1, 9) r1(i), range(1, 9) r2(j) WHERE j >= i)
+        |SELECT dim_i, dim_j, count(*) AS n_vecs,
+        |  round(list_reduce(list_sort(list(x * y)), (a, b) -> a + b) / count(*)
+        |    - (list_reduce(list_sort(list(x)), (a, b) -> a + b) / count(*))
+        |    * (list_reduce(list_sort(list(y)), (a, b) -> a + b) / count(*)), 6) AS cov
+        |FROM p GROUP BY dim_i, dim_j""".stripMargin,
+
+    // top-5 cross-label neighbours per query vector (vec_id < 10)
+    "hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+        |      FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS n_id, label AS n_label, embedding AS n_emb FROM embeddings),
+        |scored AS (SELECT q_id, q_label, n_id, n_label,
+        |  round(list_reduce(list_transform(q_emb, (x, i) -> CAST(x AS DOUBLE) * CAST(n_emb[i] AS DOUBLE)), (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_transform(n_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))), 6) AS cos
+        |  FROM q JOIN c ON q_label <> n_label),
+        |ranked AS (SELECT q_id, q_label, n_id, n_label, cos,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM scored)
+        |SELECT q_id, q_label, n_id, n_label, rnk, cos FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    // bottom-decile-per-label cosine-to-own-centroid gate
+    "embed_outliers" ->
+      """WITH cd AS (SELECT label, i AS dim,
+        |      round(list_reduce(list_sort(list(CAST(x AS DOUBLE))), (a, b) -> a + b) / count(*), 6) AS centroid
+        |      FROM (SELECT label, unnest(embedding) AS x,
+        |            unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
+        |      GROUP BY label, i),
+        |cl AS (SELECT label, list(centroid ORDER BY dim) AS c_emb FROM cd GROUP BY label),
+        |s AS (SELECT vec_id, e.label AS label,
+        |  round(list_reduce(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * c_emb[i]), (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_transform(c_emb, x -> x * x), (a, b) -> a + b))), 6) AS cos_centroid
+        |  FROM embeddings e JOIN cl USING (label))
+        |SELECT vec_id, label, cos_centroid,
+        |  row_number() OVER (PARTITION BY label ORDER BY cos_centroid, vec_id)
+        |    <= greatest(1, CAST(floor(count(*) OVER (PARTITION BY label) * 0.1) AS BIGINT)) AS is_outlier
+        |FROM s""".stripMargin,
+
+    // 30-min (user, event_type) repeat suppression via lag
+    "event_dedup" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id, event_type ORDER BY us, event_id) AS prev_us FROM e)
+        |SELECT event_id, user_id, event_type, us,
+        |  CAST(coalesce(us - prev_us, -1) AS BIGINT) AS gap_us
+        |FROM l WHERE prev_us IS NULL OR us - prev_us > 1800000000""".stripMargin,
+
+    // Q18 shape: pre-aggregated big orders (sum qty > 300), top 100
+    "tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING CAST(sum(l_quantity) AS BIGINT) > 300)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_cents DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    // CDC apply twin: rebuild the derived change batch, full-outer resolve
+    "merge_upsert" ->
+      """WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
+        |ch AS (
+        |  SELECT doc_id, 'delete' AS op, n_chars, lang, source FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'upsert', n_chars + 1000, lang, source FROM documents
+        |    WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'upsert', n_chars, 'new', source FROM documents WHERE doc_id % 11 = 0)
+        |SELECT doc_id,
+        |  coalesce(c.lang, b.lang) AS lang,
+        |  coalesce(c.source, b.source) AS source,
+        |  CAST(coalesce(c.n_chars, b.n_chars) AS BIGINT) AS n_chars,
+        |  CASE WHEN c.op IS NULL THEN 'base'
+        |       WHEN b.lang IS NULL THEN 'inserted' ELSE 'updated' END AS row_origin
+        |FROM base b FULL OUTER JOIN ch c USING (doc_id)
+        |WHERE c.op IS NULL OR c.op <> 'delete'""".stripMargin
   )
 }

@@ -158,6 +158,11 @@ object SparkEntry {
     "doc_chunk" -> ((s, d) => TextOps.docChunk(spread(t(s, d, "documents")))),
     "embed_quantize" -> ((s, d) => Similarity.quantizeInt8(t(s, d, "embeddings"))),
     "near_dedup_filtered" -> ((s, d) => Dedup.nearDupFiltered(t(s, d, "embeddings"))),
+    "paragraph_dedup" -> ((s, d) => TextOps.paragraphDedup(spread(t(s, d, "documents")))),
+    "mixture_weights" -> ((s, d) => TextOps.mixtureWeights(spread(t(s, d, "documents")))),
+    "embed_covariance" -> ((s, d) => Similarity.embedCovariance(t(s, d, "embeddings"))),
+    "hard_negatives" -> ((s, d) => Similarity.hardNegatives(t(s, d, "embeddings"))),
+    "embed_outliers" -> ((s, d) => Similarity.embedOutliers(t(s, d, "embeddings"))),
 
     // C. engine breadth
     "lineitem_agg" -> ((s, d) => Relational.lineitemAgg(t(s, d, "lineitem"))),
@@ -169,6 +174,25 @@ object SparkEntry {
       Relational.topOrdersPerNation(t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
     "events_cumulative" -> ((s, d) => Relational.eventsCumulative(events(s, d))),
     "events_sessionize" -> ((s, d) => Sessionize.byLag(events(s, d))),
+    "event_dedup" -> ((s, d) => Sessionize.dedupEvents(events(s, d))),
+    "tpch_q18" -> ((s, d) =>
+      Relational.tpchQ18(t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem"))),
+    // CDC apply: deletes doc_id%7==0, in-place upserts doc_id%5==0 (n_chars
+    // +1000), inserts doc_id%11==0 re-keyed to doc_id+100000 — the change
+    // batch is derived deterministically so the oracle can rebuild it
+    "merge_upsert" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "lang", "source", "n_chars")
+      val deletes = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit("delete").as("op"), col("n_chars"),
+          col("lang"), col("source"))
+      val updates = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), lit("upsert").as("op"),
+          (col("n_chars") + 1000L).as("n_chars"), col("lang"), col("source"))
+      val inserts = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), lit("upsert").as("op"),
+          col("n_chars"), lit("new").as("lang"), col("source"))
+      Relational.mergeUpsert(docs, deletes.union(updates).union(inserts))
+    }),
     "rollup_stats" -> ((s, d) => Relational.rollupStats(t(s, d, "documents"))),
     "customers_no_orders" -> ((s, d) =>
       Relational.customersWithoutOrders(t(s, d, "customer"), t(s, d, "orders"), t(s, d, "nation"))),

@@ -345,6 +345,51 @@ object Relational {
         sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
           .as("revenue_cents"))
 
+  /** TPC-H Q18 shape (C49): customers with large-quantity orders. The
+    * fact table is PRE-AGGREGATED to per-order quantity and filtered to
+    * the rare big orders BEFORE any join — the surviving key set is tiny,
+    * so both the orders probe and the customer lookup join against a
+    * broadcast, and the big lineitem table is touched exactly once. A
+    * join-then-aggregate phrasing would shuffle the full fact table
+    * twice. Top 100 by (o_totalprice desc, o_orderkey) via TakeOrdered —
+    * no global sort materializes. */
+  def tpchQ18(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+              qtyMin: Double = 300.0): DataFrame = {
+    val big = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .filter(col("sum_qty") > qtyMin)
+    orders
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("total_cents"), col("sum_qty"))
+      .orderBy(col("total_cents").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Declarative MERGE / CDC apply (C50): base ⟗ changes on the key, then
+    * per-row resolution — delete wins, upsert takes the change payload,
+    * untouched base rows pass through. One full-outer shuffle on the key;
+    * at 100 TB the base side is bucketed on the key so only the (small)
+    * change batch moves — the Delta/Iceberg MERGE INTO shape expressed as
+    * a plain join. `changes` carries (doc_id, op, n_chars). */
+  def mergeUpsert(base: DataFrame, changes: DataFrame): DataFrame =
+    base
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .join(changes.select(col("doc_id"), col("op"),
+        col("n_chars").as("new_n_chars"), col("lang").as("new_lang"),
+        col("source").as("new_source")), Seq("doc_id"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(col("doc_id"),
+        coalesce(col("new_lang"), col("lang")).as("lang"),
+        coalesce(col("new_source"), col("source")).as("source"),
+        coalesce(col("new_n_chars"), col("n_chars")).as("n_chars"),
+        when(col("op").isNull, "base")
+          .when(col("lang").isNull, "inserted").otherwise("updated")
+          .as("row_origin"))
+
   /** Full outer join (C35): per-user purchase totals ⟗ click totals —
     * users who purchase without clicking AND users who click without
     * purchasing both survive, with absent sides coalesced to zero. Both

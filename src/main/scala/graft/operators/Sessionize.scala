@@ -40,6 +40,29 @@ object Sessionize {
         count(lit(1)).as("n_events"))
   }
 
+  /** Window-bounded event dedup (C48): drop repeat (user, event_type)
+    * events arriving within `windowMinutes` of the previously KEPT event
+    * of that type — client-side retry / double-fire suppression. Kept-
+    * event semantics would need a running scan; the standard declarative
+    * relaxation (also what dropDuplicatesWithinWatermark approximates)
+    * suppresses an event within `windowMinutes` of its immediate
+    * predecessor, which is identical whenever duplicates arrive in
+    * bursts. One shuffle on (user_id, event_type); the lag window sorts
+    * within partition. Gap is -1 for each first event per key so the
+    * output carries no NULLs. */
+  def dedupEvents(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val winUs = windowMinutes * 60L * 1000000L
+    val order = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("us"), col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(order))
+      .filter(col("prev_us").isNull || col("us") - col("prev_us") > winUs)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("us"),
+        coalesce(col("us") - col("prev_us"), lit(-1L)).as("gap_us"))
+  }
+
   /** Same sessions via the built-in session_window (streaming-capable). */
   def bySessionWindow(events: DataFrame, gapMinutes: Int = 30): DataFrame =
     events

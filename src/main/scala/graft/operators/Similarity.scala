@@ -277,4 +277,86 @@ object Similarity {
         round(cosine(col("a_emb"), col("b_emb")), 6).as("cos"))
       .filter(col("cos") >= cosMin)
   }
+
+  /** Embedding covariance matrix over the first `dims` dimensions (upper
+    * triangle): the second-moment statistics a whitening / PCA pass over
+    * an embedding corpus needs. Each row expands to its dims·(dims+1)/2
+    * pair products NARROWLY (no self-join — the classic one-pass outer
+    * product accumulation), then one partial-aggregated shuffle onto the
+    * bounded (dim_i, dim_j) key space. Products of two float32 values are
+    * exact in double (24+24 < 53 mantissa bits); the sums fold over
+    * SORTED per-cell lists so they are bit-stable under any partitioning
+    * — a corpus too large to collect per-cell lists would switch to
+    * plain `sum` + tolerance. cov = E[xy] − E[x]E[y], rounded last. */
+  def embedCovariance(emb: DataFrame, dims: Int = 8): DataFrame = {
+    def stableSum(c: Column) =
+      aggregate(sort_array(collect_list(c)), lit(0.0), (a, b) => a + b)
+    val cells = for (i <- 1 to dims; j <- i to dims) yield
+      struct(lit(i.toLong).as("dim_i"), lit(j.toLong).as("dim_j"),
+        element_at(col("embedding"), i).cast("double").as("x"),
+        element_at(col("embedding"), j).cast("double").as("y"))
+    emb
+      .select(col("vec_id"), explode(array(cells: _*)).as("c"))
+      .select(col("c.dim_i"), col("c.dim_j"), col("c.x"), col("c.y"))
+      .groupBy("dim_i", "dim_j")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(
+          stableSum(col("x") * col("y")) / count(lit(1))
+            - (stableSum(col("x")) / count(lit(1)))
+            * (stableSum(col("y")) / count(lit(1))), 6).as("cov"))
+  }
+
+  /** Hard-negative mining for contrastive training (B45): for each query
+    * vector, the top-k most-similar corpus vectors with a DIFFERENT
+    * label — the near-miss negatives that make a contrastive batch
+    * informative. Same broadcast nested-loop shape as [[annTopK]] (tiny
+    * query side, corpus streams); at 100 TB the corpus side would be the
+    * IVF-pruned candidate set instead of the full scan. */
+  def hardNegatives(emb: DataFrame, maxQueryId: Long = 10, k: Int = 5): DataFrame = {
+    val q = broadcast(
+      emb.filter(col("vec_id") < maxQueryId)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb")))
+    val scored = q.join(
+        emb.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+          col("embedding").as("n_emb")),
+        col("q_label") =!= col("n_label"))
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+        round(cosine(col("q_emb"), col("n_emb")), 6).as("cos"))
+    graft.plans.TopK.register(emb.sparkSession)
+    val pruned = graft.plans.TopK.topKPerKey(
+      scored, Seq("q_id"), Seq("cos" -> false, "n_id" -> true), k)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    pruned.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "q_label", "n_id", "n_label", "rnk", "cos")
+  }
+
+  /** Semantic outlier filter (B46): score every vector by cosine to its
+    * own label's centroid and flag the bottom `outFrac` per label — the
+    * embedding-space analogue of the quality percentile gate, catching
+    * mislabeled or off-distribution examples before training. Centroids
+    * (labels × dims, tiny) are built from the bit-stable
+    * [[embedCentroids]] means and broadcast; scoring is then narrow.
+    * The per-label rank is a window sort — at 100 TB the gate would use
+    * the mergeable quantile sketch on the score instead. */
+  def embedOutliers(emb: DataFrame, outFrac: Double = 0.1): DataFrame = {
+    val centroids = embedCentroids(emb)
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("dc"))
+      .select(col("label"), transform(col("dc"), x => x.getField("centroid")).as("c_emb"))
+    val scored = emb
+      .join(broadcast(centroids), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("c_emb")), 6).as("cos_centroid"))
+    val w = Window.partitionBy("label").orderBy(col("cos_centroid"), col("vec_id"))
+    val n = Window.partitionBy("label")
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_label", count(lit(1)).over(n))
+      .select(col("vec_id"), col("label"), col("cos_centroid"),
+        (col("rnk") <= greatest(lit(1), floor(col("n_label") * outFrac)))
+          .as("is_outlier"))
+  }
 }

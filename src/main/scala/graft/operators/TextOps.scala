@@ -488,6 +488,65 @@ object TextOps {
         col("q").getItem(0).as("p25"), col("q").getItem(1).as("p50"),
         col("q").getItem(2).as("p75"), col("q").getItem(3).as("p95"))
 
+  /** Cross-document paragraph-level exact dedup (B44): segment each doc
+    * into fixed `win`-token windows (the corpus carries no natural
+    * paragraph breaks), keep the globally FIRST occurrence of every
+    * distinct window (min (doc_id, chunk_id)), and reassemble each doc
+    * from its surviving windows in order — the CCNet-style pass that
+    * removes boilerplate repeated across documents, which doc-level
+    * dedup can never catch. One shuffle keyed on md5(chunk) for the
+    * keep-first window, one shuffle back on doc_id for reassembly; no
+    * all-pairs comparison anywhere. */
+  def paragraphDedup(docs: DataFrame, win: Int = 8): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L),
+          ceil(size(col("toks")).cast("double") / win).cast("long") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ", slice(col("toks"), (col("chunk_id") * win + 1).cast("int"), lit(win)))
+          .as("chunk_text"))
+    val keep = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("chunk_text")))
+      .orderBy(col("doc_id"), col("chunk_id"))
+    chunks
+      .withColumn("first_seen", row_number().over(keep) === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("first_seen"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("first_seen"), struct(col("chunk_id"), col("chunk_text"))))),
+            c => c.getField("chunk_text"))).as("dedup_text"))
+  }
+
+  /** Mixture weights for temperature-based source sampling (B47): the
+    * per-source token masses raised to `alpha` < 1 (upweighting small
+    * high-quality sources, the standard LLM data-mixing move), normalized
+    * into sampling weights and an allocation of `budgetTokens`. One
+    * partial-aggregated shuffle onto |sources| rows; the normalizing
+    * total folds over a SORTED list of 6-dp-rounded terms so the double
+    * is bit-identical to the oracle. */
+  def mixtureWeights(docs: DataFrame, alpha: Double = 0.7,
+                     budgetTokens: Long = 1000000L): DataFrame = {
+    val perSource = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .withColumn("w_raw", round(pow(col("n_tokens").cast("double"), alpha), 6))
+    val total = perSource.agg(
+      aggregate(sort_array(collect_list(col("w_raw"))), lit(0.0), (a, b) => a + b)
+        .as("w_total"))
+    perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("w_raw") / col("w_total"), 6).as("weight"),
+        floor(col("w_raw") / col("w_total") * budgetTokens).cast("long")
+          .as("alloc_tokens"))
+  }
+
   /** Per-(lang, source) corpus aggregates (B12). */
   def textStats(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang"), col("source"))
