@@ -158,4 +158,44 @@ object LangModel {
         round(log((col("n_ab") * col("n_docs")).cast("double") /
           (col("df_a") * col("df_b")).cast("double")), 6).as("pmi"))
   }
+
+  /** Per-document mean bigram log-probability under an add-1-smoothed
+    * corpus bigram model — the next step up from [[unigramLogprob]] as a
+    * perplexity-style quality proxy (catches shuffled-token gibberish
+    * that unigram statistics score as fluent).
+    * p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), where c(w1 ·) is w1's
+    * count as a bigram left context and V the corpus vocabulary size.
+    * All counts exact longs; each tf·ln p term rounds to 6 dp and the
+    * per-doc sum folds over a sorted list. Docs with fewer than two
+    * tokens have no bigrams and are excluded (stated, not NULL-padded).
+    * Shape: bigram counts shuffle on the pair string with map-side
+    * partial agg; the context and vocab frames are vocab-bounded. */
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    val toked = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bg = toked.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+          .as("pair"))
+      .groupBy("doc_id", "pair").agg(count(lit(1)).as("tf"))
+    val cPair = bg.groupBy("pair").agg(sum(col("tf")).as("c_pair"))
+      .withColumn("w1", split(col("pair"), " ").getItem(0))
+    val cFirst = cPair.groupBy("w1").agg(sum(col("c_pair")).as("c_first"))
+    val vocab = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+      .agg(count_distinct(col("token")).as("v"))
+    bg
+      .join(cPair.select(col("pair"), col("c_pair"), col("w1")), "pair")
+      .join(cFirst, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("tf"),
+        round(col("tf") * log((col("c_pair") + 1.0) / (col("c_first") + col("v"))), 6)
+          .as("contrib"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        aggregate(sort_array(collect_list(col("contrib"))), lit(0.0),
+          (acc, x) => acc + x).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s"), 6).as("sum_logprob"),
+        round(col("s") / col("n_bigrams"), 6).as("avg_logprob"))
+  }
 }
