@@ -25,11 +25,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    ordered.foreach { case (_, fn) =>
+    // Warm immediately before timing, per query: a single warm-all pass
+    // followed by a time-all pass lets 80+ intervening queries churn the
+    // JIT/codegen caches, so the timed run re-pays compilation (round-4
+    // numbers showed 2-5x inflation on exactly the queries farthest from
+    // their warmup). Steady-state is warm-then-time back to back.
+    val results = ordered.map { case (name, fn) =>
       try force(fn(spark, sfDir)) catch { case _: Throwable => () }
       CacheTracker.releaseAll()
-    }
-    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { force(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       // a crashed query reports -1, never a fake timing

@@ -415,7 +415,7 @@ object Oracles {
          |w AS (SELECT t.doc_id, d.source AS blk, t.token, t.tfidf FROM t JOIN documents d USING (doc_id)),
          |n AS (SELECT doc_id, sqrt(list_reduce(list_sort(list(tfidf * tfidf)), (a, b) -> a + b)) AS nrm FROM w GROUP BY doc_id),
          |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |      list_reduce(list_sort(list(a.tfidf * b.tfidf)), (x, y) -> x + y) AS dot
+         |      list_reduce(list(a.tfidf * b.tfidf ORDER BY a.token), (x, y) -> x + y) AS dot
          |      FROM w a JOIN w b ON a.blk = b.blk AND a.token = b.token AND a.doc_id < b.doc_id
          |      GROUP BY 1, 2)
          |SELECT a_id, b_id, round(dot / (na.nrm * nb.nrm), 6) AS cos
@@ -434,7 +434,7 @@ object Oracles {
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |         FROM rw a JOIN rw b ON a.blk = b.blk AND a.token = b.token AND a.doc_id < b.doc_id),
          |n AS (SELECT doc_id, sqrt(list_reduce(list_sort(list(tfidf * tfidf)), (a, b) -> a + b)) AS nrm FROM w GROUP BY doc_id),
-         |p AS (SELECT c.a_id, c.b_id, list_reduce(list_sort(list(wa.tfidf * wb.tfidf)), (x, y) -> x + y) AS dot
+         |p AS (SELECT c.a_id, c.b_id, list_reduce(list(wa.tfidf * wb.tfidf ORDER BY wa.token), (x, y) -> x + y) AS dot
          |      FROM cand c JOIN w wa ON wa.doc_id = c.a_id
          |      JOIN w wb ON wb.doc_id = c.b_id AND wb.token = wa.token
          |      GROUP BY 1, 2)

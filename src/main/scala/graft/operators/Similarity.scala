@@ -179,12 +179,38 @@ object Similarity {
     w.count()
     val norms = w.groupBy("doc_id")
       .agg(sqrt(stableSum(col("tfidf") * col("tfidf"))).as("nrm"))
-    val dots = w.select(col("blk"), col("token"), col("doc_id").as("a_id"), col("tfidf").as("a_w"))
-      .join(w.select(col("blk"), col("token"), col("doc_id").as("b_id"), col("tfidf").as("b_w")),
+    val ids = w.select(col("blk"), col("token"), col("doc_id"))
+    val cands = ids.select(col("blk"), col("token"), col("doc_id").as("a_id"))
+      .join(ids.select(col("blk"), col("token"), col("doc_id").as("b_id")),
         Seq("blk", "token"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id")
-      .agg(stableSum(col("a_w") * col("b_w")).as("dot"))
+      .select("a_id", "b_id").distinct()
+    scorePairs(cands, w, norms, simMin)
+  }
+
+  /** Exact cosine rescore of candidate (a_id, b_id) pairs against the
+    * (doc_id, token, tfidf) weight frame. Each doc's weights collapse to
+    * one token-sorted map; the dot is a left fold over a's entries in
+    * token order with b looked up per entry (an absent token contributes
+    * an exact +0.0, which never perturbs the sum — so the fold equals the
+    * oracle's shared-token fold in the same token order, bit for bit).
+    * The shuffle carries only narrow pair keys plus one bounded map per
+    * doc — never the exploded per-(pair, token) product stream, whose
+    * ObjectHashAggregate was the dominant cost of the previous shape. */
+  private def scorePairs(cands: DataFrame, w: DataFrame, norms: DataFrame,
+                         simMin: Double): DataFrame = {
+    val docMap = w.groupBy("doc_id")
+      .agg(map_from_entries(sort_array(collect_list(struct(col("token"), col("tfidf")))))
+        .as("wmap"))
+    val dots = cands
+      .join(docMap.select(col("doc_id").as("a_id"), col("wmap").as("a_map")), "a_id")
+      .join(docMap.select(col("doc_id").as("b_id"), col("wmap").as("b_map")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        aggregate(
+          transform(map_entries(col("a_map")),
+            e => e.getField("value") *
+              coalesce(element_at(col("b_map"), e.getField("key")), lit(0.0))),
+          lit(0.0), (acc, x) => acc + x).as("dot"))
     dots
       .join(norms.select(col("doc_id").as("a_id"), col("nrm").as("a_nrm")), "a_id")
       .join(norms.select(col("doc_id").as("b_id"), col("nrm").as("b_nrm")), "b_id")
@@ -250,18 +276,7 @@ object Similarity {
       .select("a_id", "b_id").distinct()
     val norms = w.groupBy("doc_id")
       .agg(sqrt(stableSum(col("tfidf") * col("tfidf"))).as("nrm"))
-    val dots = cand
-      .join(w.select(col("doc_id").as("a_id"), col("token"), col("tfidf").as("a_w")), "a_id")
-      .join(w.select(col("doc_id").as("b_id"), col("token"), col("tfidf").as("b_w")),
-        Seq("b_id", "token"))
-      .groupBy("a_id", "b_id")
-      .agg(stableSum(col("a_w") * col("b_w")).as("dot"))
-    dots
-      .join(norms.select(col("doc_id").as("a_id"), col("nrm").as("a_nrm")), "a_id")
-      .join(norms.select(col("doc_id").as("b_id"), col("nrm").as("b_nrm")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        round(col("dot") / (col("a_nrm") * col("b_nrm")), 6).as("cos"))
-      .filter(col("cos") >= simMin)
+    scorePairs(cand, w, norms, simMin)
   }
 
   /** B5: embedding-cosine near-duplicate pairs, sign-LSH blocked (same
