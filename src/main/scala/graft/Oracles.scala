@@ -825,6 +825,63 @@ object Oracles {
          |FROM c JOIN b USING (g) GROUP BY doc_id""".stripMargin,
 
     // fixed 8-token windows, global keep-first, ordered reassembly
+    // line-frequency boilerplate removal: 8-token windows, drop every
+    // occurrence of a window present in >= 3 distinct docs
+    "line_freq_filter" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) > 0),
+         |c AS (SELECT doc_id, chunk_id,
+         |      array_to_string(list_slice(toks, chunk_id * 8 + 1, chunk_id * 8 + 8), ' ') AS chunk_text
+         |      FROM (SELECT doc_id, toks,
+         |            unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS chunk_id FROM t)),
+         |f AS (SELECT md5(chunk_text) AS h, count(DISTINCT doc_id) AS df_docs FROM c GROUP BY 1),
+         |k AS (SELECT c.doc_id, c.chunk_id, c.chunk_text, f.df_docs >= 3 AS drp
+         |      FROM c JOIN f ON md5(c.chunk_text) = f.h)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN drp THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  coalesce(string_agg(CASE WHEN NOT drp THEN chunk_text END, ' ' ORDER BY chunk_id), '') AS filtered_text
+         |FROM k GROUP BY doc_id""".stripMargin,
+
+    "domain_cap" ->
+      """SELECT source, doc_id, n_chars, rnk FROM (
+        |  SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk
+        |  FROM documents) WHERE rnk <= 20""".stripMargin,
+
+    "compression_ratio" ->
+      s"""WITH p AS (SELECT source, CAST(length(text) AS DOUBLE) AS len,
+         |      CAST(len($toks) AS DOUBLE) AS n_toks,
+         |      CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) AS n_ws
+         |      FROM documents),
+         |r AS (SELECT source, round(len / n_toks, 6) AS cpt, round(n_ws / len, 6) AS wsr
+         |      FROM p WHERE n_toks > 0)
+         |SELECT source, count(*) AS n_docs,
+         |  round(list_reduce(list_sort(list(cpt)), (a, b) -> a + b) / count(*), 6) AS chars_per_token,
+         |  round(list_reduce(list_sort(list(wsr)), (a, b) -> a + b) / count(*), 6) AS ws_ratio
+         |FROM r GROUP BY source""".stripMargin,
+
+    "length_mad" ->
+      """WITH m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med_chars,
+        |           count(*) AS n_docs FROM documents GROUP BY lang)
+        |SELECT d.lang, m.n_docs, m.med_chars,
+        |       quantile_cont(abs(d.n_chars - m.med_chars), 0.5) AS mad_chars
+        |FROM documents d JOIN m USING (lang)
+        |GROUP BY d.lang, m.n_docs, m.med_chars""".stripMargin,
+
+    // OLS from exact integer moment sums; floats only in the final division
+    "char_token_regression" ->
+      s"""WITH s AS (SELECT lang, count(*) AS n,
+         |      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |      CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+         |      FROM (SELECT lang, CAST(len($toks) AS BIGINT) AS x,
+         |            CAST(n_chars AS BIGINT) AS y FROM documents) GROUP BY lang)
+         |SELECT lang, n AS n_docs,
+         |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+         |  round(CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept
+         |FROM s""".stripMargin,
+
+    "text_normalize" ->
+      "SELECT doc_id, strip_accents(nfc_normalize(lower(text))) AS norm_text FROM documents",
+
     "paragraph_dedup" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) > 0),
          |c AS (SELECT doc_id, chunk_id,

@@ -127,6 +127,12 @@ object SparkEntry {
     "text_stats" -> ((s, d) => TextOps.textStats(t(s, d, "documents"))),
     "char_percentiles" -> ((s, d) => TextOps.charPercentiles(t(s, d, "documents"))),
     "approx_distinct_tokens" -> ((s, d) => TextOps.approxDistinctTokens(spread(t(s, d, "documents")))),
+    "line_freq_filter" -> ((s, d) => TextOps.lineFreqFilter(spread(t(s, d, "documents")))),
+    "domain_cap" -> ((s, d) => TextOps.domainCap(t(s, d, "documents"))),
+    "compression_ratio" -> ((s, d) => TextOps.compressionRatio(spread(t(s, d, "documents")))),
+    "length_mad" -> ((s, d) => TextOps.lengthMad(t(s, d, "documents"))),
+    "char_token_regression" -> ((s, d) => TextOps.charTokenRegression(spread(t(s, d, "documents")))),
+    "text_normalize" -> ((s, d) => TextOps.normalizeDocs(spread(t(s, d, "documents")))),
     "mm_extract" -> ((s, d) => Multimodal.extract(spread(t(s, d, "documents")))),
     "mm_patches" -> ((s, d) => Multimodal.patches(spread(t(s, d, "documents")))),
     "curation_pipeline" -> ((s, d) => TextOps.curate(spread(t(s, d, "documents")))),

@@ -22,11 +22,25 @@ object GraftFunctions {
     CosineSimilarity(children.head, children(1))
   }
 
+  /** Unicode accent-strip normalization as a typed Column. */
+  def normalize(c: Column): Column =
+    ExpressionUtils.column(UnicodeNormalize(ExpressionUtils.expression(c)))
+
+  private val normalizeInfo = new ExpressionInfo(
+    classOf[UnicodeNormalize].getCanonicalName, "graft_normalize")
+
   /** Imperative registration so `spark.sql("SELECT graft_cosine(a, b)")`
     * works on an existing session (e.g. the driver-created one). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_cosine"), cosineInfo, builder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_normalize"), normalizeInfo,
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_normalize expects exactly 1 argument")
+        UnicodeNormalize(children.head)
+      })
+  }
 }
 
 /** Config-time injection: `.config("spark.sql.extensions",
@@ -40,6 +54,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_cosine expects exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getCanonicalName, "graft_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_normalize expects exactly 1 argument")
+        UnicodeNormalize(children.head)
       }))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)

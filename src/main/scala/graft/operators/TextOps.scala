@@ -556,4 +556,146 @@ object TextOps {
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"),
         round(avg(col("n_chars")), 4).as("avg_chars"))
+
+  /** CCNet-style line-frequency boilerplate removal (B49): segment each
+    * doc into fixed `win`-token windows (the corpus has no natural line
+    * breaks), count how many DISTINCT documents each window occurs in,
+    * and drop every occurrence of any window found in >= `minDocs` docs
+    * — nav bars, footers, license blurbs. Differs from [[paragraphDedup]]
+    * (keep-first) in that boilerplate loses ALL copies, including the
+    * first. Two hash-partitioned shuffles (window-hash frequency, doc_id
+    * reassembly); frequency counting is partial-aggregated map-side, so
+    * the shuffle carries one row per distinct (window, doc), never the
+    * raw occurrence stream. */
+  def lineFreqFilter(docs: DataFrame, win: Int = 8, minDocs: Int = 3): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L),
+          ceil(size(col("toks")).cast("double") / win).cast("long") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ", slice(col("toks"), (col("chunk_id") * win + 1).cast("int"), lit(win)))
+          .as("chunk_text"))
+      .withColumn("h", md5(col("chunk_text")))
+    val common = chunks.select(col("h"), col("doc_id")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") >= minDocs)
+      .select(col("h"), lit(true).as("is_common"))
+    chunks
+      .join(common, Seq("h"), "left")
+      .withColumn("drop", coalesce(col("is_common"), lit(false)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("drop"), 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(!col("drop"), struct(col("chunk_id"), col("chunk_text"))))),
+            c => c.getField("chunk_text"))).as("filtered_text"))
+  }
+
+  /** Per-source document cap (B50): keep each source's top `k` documents
+    * by (n_chars desc, doc_id) — the per-domain budget cap a crawl
+    * curation applies so no single site dominates the mixture. Ranking
+    * runs through the custom TopKPerKey two-phase heap operator: each
+    * partition keeps at most k rows per source before the shuffle, so
+    * the exchange carries O(sources * k), not the corpus. */
+  def domainCap(docs: DataFrame, k: Int = 20): DataFrame = {
+    graft.plans.TopK.register(docs.sparkSession)
+    val pruned = graft.plans.TopK.topKPerKey(
+      docs.select(col("source"), col("doc_id"), col("n_chars")),
+      Seq("source"), Seq("n_chars" -> false, "doc_id" -> true), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    pruned.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("source", "doc_id", "n_chars", "rnk")
+  }
+
+  /** Tokenizer-fertility proxy (B51): per-source mean chars-per-token
+    * and whitespace fraction — the cheap signals that flag
+    * under-segmenting corpora (CJK without spacing, minified HTML)
+    * before a tokenizer run. Per-doc ratios round to 6 dp, the
+    * per-source mean folds over the SORTED ratio list so the double is
+    * bit-identical to the oracle. Narrow scan + one partial-agg shuffle
+    * onto |sources| rows. */
+  def compressionRatio(docs: DataFrame): DataFrame = {
+    def stableMean(c: Column) =
+      round(aggregate(sort_array(collect_list(c)), lit(0.0), (a, b) => a + b)
+        / count(lit(1)), 6)
+    docs
+      .select(col("source"),
+        length(col("text")).cast("double").as("len"),
+        size(tokens(col("text"))).cast("double").as("n_toks"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+          .cast("double").as("n_ws"))
+      .filter(col("n_toks") > 0)
+      .select(col("source"),
+        round(col("len") / col("n_toks"), 6).as("cpt"),
+        round(col("n_ws") / col("len"), 6).as("wsr"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        stableMean(col("cpt")).as("chars_per_token"),
+        stableMean(col("wsr")).as("ws_ratio"))
+  }
+
+  /** Robust per-language length profile (B52): exact interpolated median
+    * of n_chars and the median absolute deviation around it — the
+    * outlier-resistant spread statistic a truncation policy reads.
+    * Median via exact `percentile` (integer inputs, so the interpolated
+    * value is a .0/.5 double — exactly representable, bit-stable across
+    * engines); deviations join the 5-row median frame back by broadcast,
+    * so the second pass is narrow. */
+  def lengthMad(docs: DataFrame): DataFrame = {
+    val med = docs.groupBy("lang")
+      .agg(expr("percentile(n_chars, 0.5)").as("med_chars"),
+        count(lit(1)).as("n_docs"))
+    docs.join(broadcast(med), "lang")
+      .select(col("lang"), col("n_docs"), col("med_chars"),
+        abs(col("n_chars") - col("med_chars")).as("dev"))
+      .groupBy("lang", "n_docs", "med_chars")
+      .agg(expr("percentile(dev, 0.5)").as("mad_chars"))
+      .select(col("lang"), col("n_docs"), col("med_chars"), col("mad_chars"))
+  }
+
+  /** Per-language OLS of n_chars on token count (B53): the scaling-law
+    * fit between two corpus measures, computed from exact integer
+    * moment sums (n, Σx, Σy, Σxy, Σx²) so both engines do the identical
+    * float arithmetic only in the final closed-form division —
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept from the same
+    * denominator. One partial-agg shuffle onto |langs| rows; moments
+    * merge associatively at any cluster width. */
+  def charTokenRegression(docs: DataFrame): DataFrame = {
+    val x = size(tokens(col("text"))).cast("long")
+    val y = col("n_chars").cast("long")
+    docs
+      .select(col("lang"), x.as("x"), y.as("y"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("lang"), col("n_docs"),
+        round((col("n_docs") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n_docs") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+          / (col("n_docs") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("intercept"))
+  }
+
+  /** Unicode canonicalization pass (B54): lowercase, then NFD → strip
+    * combining marks → NFC via the native codegen'd
+    * [[graft.functions.UnicodeNormalize]] expression (ASCII rows
+    * short-circuit with zero allocation). Narrow per-row work; the
+    * oracle twin is DuckDB's independent
+    * `strip_accents(nfc_normalize(lower(text)))`. */
+  def normalizeDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.normalize(lower(col("text"))).as("norm_text"))
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.operators.TextOps
+
+/** Round-5 corpus-analysis operators: unicode normalization,
+  * line-frequency boilerplate removal, per-source caps, fertility /
+  * robust-length / regression statistics. */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(s: String): String =
+    Seq(s).toDF("text")
+      .select(GraftFunctions.normalize(col("text")).as[String]).head()
+
+  test("graft_normalize strips Latin accents and recomposes") {
+    assert(norm("café ångström naïve") === "cafe angstrom naive")
+    assert(norm("tschüß señor fiancée") === "tschuß senor fiancee")
+  }
+
+  test("graft_normalize is identity on pure ASCII") {
+    assert(norm("plain ascii text 123 !?") === "plain ascii text 123 !?")
+  }
+
+  test("graft_normalize handles empty and combining-mark-only input") {
+    assert(norm("") === "")
+    // e + combining acute (decomposed input) -> accent stripped
+    assert(norm("é") === "e")
+  }
+
+  test("graft_normalize registered as SQL function") {
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT graft_normalize('über') AS n").as[String].head() === "uber")
+  }
+
+  test("lineFreqFilter drops windows shared by >= minDocs docs, keeps rarer ones") {
+    val boiler = (1 to 8).map(i => s"common$i").mkString(" ")   // one full window
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$boiler iota kappa lambda mu nu xi omicron pi"),
+      (3L, s"$boiler rho sigma tau upsilon phi chi psi omega"),
+      (4L, "solo text that nobody repeats anywhere at all ok")
+    ).toDF("doc_id", "text")
+    val out = TextOps.lineFreqFilter(docs, win = 8, minDocs = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_chunks", "n_dropped", "filtered_text")
+      .as[(Long, Long, Long, String)].collect()
+    // the boilerplate window appears in docs 1-3 -> dropped from ALL of them
+    assert(out(0) === ((1L, 2L, 1L, "alpha beta gamma delta epsilon zeta eta theta")))
+    assert(out(1)._3 === 1L && out(1)._4.startsWith("iota"))
+    assert(out(2)._3 === 1L && out(2)._4.startsWith("rho"))
+    // doc 4's windows (8 tokens + the 1-token tail) are unique -> fully kept
+    assert(out(3) === ((4L, 2L, 0L, "solo text that nobody repeats anywhere at all ok")))
+  }
+
+  test("domainCap keeps exactly k docs per source, longest first") {
+    val docs = (1L to 30L).map(i => (i, if (i <= 25) "a" else "b", 1000 - i.toInt))
+      .toDF("doc_id", "source", "n_chars")
+    val out = TextOps.domainCap(docs, k = 5)
+    assert(out.count() === 10) // 5 from "a" (25 candidates), 5 from "b"
+    val aTop = out.filter($"source" === "a").orderBy($"rnk")
+      .select($"doc_id").as[Long].collect()
+    assert(aTop === Array(1L, 2L, 3L, 4L, 5L)) // largest n_chars first
+  }
+
+  test("compressionRatio: hand-computed single source") {
+    // "ab cd" -> len 5, 2 tokens, 1 space: cpt 2.5, wsr 0.2
+    val docs = Seq((1L, "s1", "ab cd")).toDF("doc_id", "source", "text")
+    val r = TextOps.compressionRatio(docs)
+      .select("n_docs", "chars_per_token", "ws_ratio")
+      .as[(Long, Double, Double)].head()
+    assert(r === ((1L, 2.5, 0.2)))
+  }
+
+  test("lengthMad: interpolated median and MAD") {
+    // n_chars 10,20,40,100 -> median 30.0; devs 20,10,10,70 -> MAD 15.0
+    val docs = Seq((1L, "en", 10), (2L, "en", 20), (3L, "en", 40), (4L, "en", 100))
+      .toDF("doc_id", "lang", "n_chars")
+    val r = TextOps.lengthMad(docs)
+      .select("n_docs", "med_chars", "mad_chars").as[(Long, Double, Double)].head()
+    assert(r === ((4L, 30.0, 15.0)))
+  }
+
+  test("charTokenRegression recovers an exact linear relation") {
+    // y = 10x + 7 exactly, over x = token counts 1..4
+    val docs = Seq(
+      (1L, "en", "one", 17), (2L, "en", "one two", 27),
+      (3L, "en", "one two three", 37), (4L, "en", "one two three four", 47)
+    ).toDF("doc_id", "lang", "text", "n_chars")
+    val r = TextOps.charTokenRegression(docs)
+      .select("slope", "intercept").as[(Double, Double)].head()
+    assert(r === ((10.0, 7.0)))
+  }
+}
