@@ -583,6 +583,67 @@ object Oracles {
     // binary AND decimal, so DuckDB's decimal literals convert to the
     // identical doubles Scala uses; explicit DOUBLE casts force float
     // division where DuckDB would otherwise do decimal arithmetic
+    // md5-derived MinHash permutations: sig_i = min md5('i:'||token); 4
+    // bands of 4 sigs; candidates share a whole band; exact Jaccard gate
+    "minhash_lsh" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) >= 3),
+         |dt AS (SELECT DISTINCT doc_id,
+         |       toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS token
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tk)),
+         |sig AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || token)) AS sig
+         |        FROM dt CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+         |band AS (SELECT doc_id, i // 8 AS band, md5(string_agg(sig, '|' ORDER BY i)) AS bh
+         |         FROM sig GROUP BY doc_id, i // 8),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM band a
+         |         JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |da AS (SELECT doc_id, list_sort(list(token)) AS arr, count(*) AS n FROM dt GROUP BY 1)
+         |SELECT a_id, b_id, jac FROM (
+         |  SELECT c.a_id, c.b_id,
+         |    round(CAST(len(list_intersect(sa.arr, sb.arr)) AS DOUBLE)
+         |      / CAST(sa.n + sb.n - len(list_intersect(sa.arr, sb.arr)) AS DOUBLE), 6) AS jac
+         |  FROM cand c JOIN da sa ON sa.doc_id = c.a_id JOIN da sb ON sb.doc_id = c.b_id)
+         |WHERE jac >= 0.9""".stripMargin,
+
+    // add-0.5 smoothed bigram conditional log-probs; one ln per row,
+    // rounded 6 dp, never summed
+    "bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) >= 2),
+         |b AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+         |      FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)),
+         |cb AS (SELECT w1, w2, count(*) AS c_bigram FROM b GROUP BY 1, 2),
+         |cw AS (SELECT w1, count(*) AS c_w1 FROM b GROUP BY 1),
+         |v AS (SELECT count(DISTINCT token) AS v FROM $tokTable)
+         |SELECT cb.w1, cb.w2, cb.c_bigram, cw.c_w1,
+         |  round(ln((CAST(c_bigram AS DOUBLE) + 0.5) / (CAST(c_w1 AS DOUBLE) + 0.5 * v)), 6) AS logp
+         |FROM cb JOIN cw USING (w1) CROSS JOIN v""".stripMargin,
+
+    // reciprocal-rank fusion: BM25 ranking for query ('data','table')
+    // fused with the quality ranking; <= 2 pre-rounded BM25 terms sum
+    // per doc (FP addition of two terms is commutative -> bit-stable)
+    "rrf_fusion" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+         |dfr AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM t) GROUP BY 1),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |st AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |bm AS (SELECT tf.doc_id, tf.token,
+         |  round(ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+         |    * (CAST(tf.tf AS DOUBLE) * (1.5 + 1.0))
+         |    / (CAST(tf.tf AS DOUBLE) + 1.5 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl)), 6) AS bm25
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfr USING (token) CROSS JOIN nd CROSS JOIN st),
+         |bscore AS (SELECT doc_id, sum(bm25) AS bm_score FROM bm
+         |           WHERE token IN ('data', 'table') GROUP BY 1),
+         |q AS (SELECT doc_id, $qualitySql AS quality FROM documents),
+         |s AS (SELECT q.doc_id, q.quality, coalesce(b.bm_score, 0.0) AS bm_score
+         |      FROM q LEFT JOIN bscore b USING (doc_id)),
+         |r AS (SELECT doc_id,
+         |      row_number() OVER (ORDER BY bm_score DESC, doc_id) AS r_bm25,
+         |      row_number() OVER (ORDER BY quality DESC, doc_id) AS r_quality FROM s)
+         |SELECT doc_id, r_bm25, r_quality,
+         |  round(1.0 / (60 + r_bm25) + 1.0 / (60 + r_quality), 6) AS rrf
+         |FROM r ORDER BY rrf DESC, doc_id LIMIT 50""".stripMargin,
+
     "bm25" ->
       s"""WITH t AS (SELECT doc_id, unnest($toks) AS token FROM documents),
          |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
@@ -772,6 +833,36 @@ object Oracles {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    "tpch_q7" ->
+      """WITH pair AS (SELECT n_nationkey, n_name FROM nation
+        |              WHERE n_name IN ('NATION_18', 'NATION_19'))
+        |SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN pair sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN pair cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        |  AND ((sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+        |    OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name, n_items, revenue_cents FROM (
+        |  SELECT c_custkey, c_name, n_name, count(*) AS n_items,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM orders
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |    AND l_returnflag = 'R'
+        |  GROUP BY 1, 2, 3)
+        |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
 
     "part_type_revenue" ->
       """SELECT p_type, p_brand, count(*) AS n_items,

@@ -155,8 +155,12 @@ object SparkEntry {
     "bpe_merge_step" -> ((s, d) => TextOps.bpeMergeStep(spread(t(s, d, "documents")))),
     "approx_char_percentiles" -> ((s, d) => TextOps.approxCharPercentiles(t(s, d, "documents"))),
 
+    "minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(spread(t(s, d, "documents")))),
+
     // corpus language-model statistics (LangModel)
     "bm25" -> ((s, d) => LangModel.bm25(spread(t(s, d, "documents")))),
+    "bigram_lm" -> ((s, d) => LangModel.bigramLm(spread(t(s, d, "documents")))),
+    "rrf_fusion" -> ((s, d) => LangModel.rrfFusion(spread(t(s, d, "documents")))),
     "unigram_logprob" -> ((s, d) => LangModel.unigramLogprob(spread(t(s, d, "documents")))),
     "token_entropy" -> ((s, d) => LangModel.tokenEntropy(spread(t(s, d, "documents")))),
     "lang_kl" -> ((s, d) => LangModel.langKl(spread(t(s, d, "documents")))),
@@ -229,6 +233,12 @@ object SparkEntry {
     "tpch_q5" -> ((s, d) =>
       Relational.tpchQ5(t(s, d, "region"), t(s, d, "nation"), t(s, d, "supplier"),
         t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem"))),
+    "tpch_q7" -> ((s, d) =>
+      Relational.tpchQ7(t(s, d, "supplier"), t(s, d, "lineitem"), t(s, d, "orders"),
+        t(s, d, "customer"), t(s, d, "nation"))),
+    "tpch_q10" -> ((s, d) =>
+      Relational.tpchQ10(t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem"),
+        t(s, d, "nation"))),
     "part_type_revenue" -> ((s, d) =>
       Relational.partTypeRevenue(t(s, d, "part"), t(s, d, "lineitem"))),
     "purchase_click_full" -> ((s, d) => Relational.purchaseClickFull(events(s, d))),

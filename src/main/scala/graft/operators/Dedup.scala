@@ -22,6 +22,77 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Oracle-reproducible MinHash + banded LSH near-dup pairs (B2o).
+    * Where [[minhashPairs]] rides MLlib's MinHashLSH (seeded random
+    * permutations — rows-only checkable), this twin derives every
+    * permutation from md5 so an independent engine reproduces it
+    * bit-for-bit: the doc's set is its distinct 3-token SHINGLES (order-
+    * sensitive — unigram sets collapse on a small vocabulary, where
+    * every doc's token set converges to the whole vocab and the corpus
+    * becomes one giant set-level near-dup cluster),
+    * sig_i(doc) = lexicographic min over shingles of md5("i:" ++ s),
+    * signatures band `bandSize` rows per band, candidates share a whole
+    * band, and each candidate pair is verified with its EXACT shingle
+    * Jaccard — false band collisions are filtered, so the jacMin gate
+    * is exact.
+    *
+    * Parameters follow the LSH S-curve: b bands of r rows target
+    * threshold (1/b)^(1/r); the 2×8 default sits at ≈0.92, matching the
+    * 0.9 gate a near-duplicate pass wants (recall above the gate is
+    * probabilistic — the price of never materializing the pair space).
+    *
+    * Scale: signature build is one partial-agg shuffle (16 mins at
+    * once); the band join shuffles on (band, band_hash) — the bounded
+    * LSH key. Verification joins each surviving pair's two SORTED token
+    * arrays and intersects them inside codegen — narrow per-pair work,
+    * never an exploded (pair × token) join stream. No all-pairs path
+    * exists. */
+  def minhashLshPairs(docs: DataFrame, numHashes: Int = 16, bandSize: Int = 8,
+                      jacMin: Double = 0.9): DataFrame = {
+    val toked = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val a1 = slice(col("toks"), lit(1), size(col("toks")) - 2)
+    val a2 = slice(col("toks"), lit(2), size(col("toks")) - 2)
+    val a3 = slice(col("toks"), lit(3), size(col("toks")) - 2)
+    val dt = graft.CacheTracker.track(
+      toked.select(col("doc_id"),
+          explode(array_distinct(zip_with(
+            zip_with(a1, a2, (x, y) => concat(x, lit(" "), y)),
+            a3, (xy, z) => concat(xy, lit(" "), z)))).as("token"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    dt.count()
+    val sigCols = (0 until numHashes)
+      .map(i => min(md5(concat(lit(s"$i:"), col("token")))).as(s"sig$i"))
+    val sigs = dt.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val nBands = numHashes / bandSize
+    val bands = sigs.select(col("doc_id"), explode(array((0 until nBands).map { b =>
+        struct(lit(b.toLong).as("band"),
+          md5(concat_ws("|", (0 until bandSize).map(r => col(s"sig${b * bandSize + r}")): _*))
+            .as("bh"))
+      }: _*)).as("p"))
+      .select(col("doc_id"), col("p.band").as("band"), col("p.bh").as("bh"))
+    val cand = bands.select(col("band"), col("bh"), col("doc_id").as("a_id"))
+      .join(bands.select(col("band"), col("bh"), col("doc_id").as("b_id")),
+        Seq("band", "bh"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val docArr = dt.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("token"))).as("arr"),
+        count(lit(1)).as("n"))
+    cand
+      .join(docArr.select(col("doc_id").as("a_id"), col("arr").as("a_arr"),
+        col("n").as("a_n")), "a_id")
+      .join(docArr.select(col("doc_id").as("b_id"), col("arr").as("b_arr"),
+        col("n").as("b_n")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_arr"), col("b_arr"))).cast("long").as("i_n"),
+        col("a_n"), col("b_n"))
+      .select(col("a_id"), col("b_id"),
+        round(col("i_n").cast("double")
+          / (col("a_n") + col("b_n") - col("i_n")).cast("double"), 6).as("jac"))
+      .filter(col("jac") >= jacMin)
+  }
+
   /** Token n-gram shingles of the cleaned text, distinct, as stable longs.
     *
     * Shape matters: each token is hashed once (xxhash64, seed 42), then the

@@ -198,4 +198,65 @@ object LangModel {
         round(col("s"), 6).as("sum_logprob"),
         round(col("s") / col("n_bigrams"), 6).as("avg_logprob"))
   }
+
+  /** Add-k smoothed bigram language model (B55): conditional
+    * log-probabilities ln((c(w1,w2)+k)/(c(w1)+k·V)) over within-doc
+    * adjacent token pairs — the table a cheap perplexity scorer or
+    * next-token baseline reads. Bigram extraction is narrow (zip of two
+    * shifted slices, no self-join); counts partial-aggregate onto the
+    * bigram vocabulary; V is a one-row broadcast. One ln per output row,
+    * rounded to 6 dp, never summed — no float accumulation anywhere. */
+  def bigramLm(docs: DataFrame, k: Double = 0.5): DataFrame = {
+    val toked = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bi = toked.select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cBig = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_bigram"))
+    val cW1 = bi.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    val vocab = docs.select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    cBig.join(cW1, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"), col("c_bigram"), col("c_w1"),
+        round(log((col("c_bigram") + lit(k)) / (col("c_w1") + lit(k) * col("v"))), 6)
+          .as("logp"))
+  }
+
+  /** Reciprocal-rank fusion of two retrieval signals (B56): a BM25
+    * ranking for a fixed query against a lexicon-free quality ranking,
+    * fused as Σ 1/(60+rank) — the standard zero-tuning hybrid-retrieval
+    * combiner. Each ranking is a row_number over (score desc, doc_id),
+    * so ties are deterministic; the BM25 query score sums at most
+    * |queryTokens| pre-rounded terms per doc (two here — FP addition of
+    * two terms is commutative, so the hash-exact oracle needs no sorted
+    * fold). The global row_number windows are single-partition: at
+    * cluster scale this operator runs per query over an ANN/inverted
+    * candidate set (bounded), not the whole corpus — the corpus-wide
+    * form here is the verification surface. */
+  def rrfFusion(docs: DataFrame, queryTokens: Seq[String] = Seq("data", "table"),
+                kRrf: Int = 60, topK: Int = 50): DataFrame = {
+    val bm = bm25(docs)
+      .filter(col("token").isin(queryTokens: _*))
+      .groupBy("doc_id").agg(sum(col("bm25")).as("bm_score"))
+    val scored = TextOps.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+      .join(bm, Seq("doc_id"), "left")
+      .withColumn("bm_score", coalesce(col("bm_score"), lit(0.0)))
+    val byBm = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm_score").desc, col("doc_id"))
+    val byQ = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality").desc, col("doc_id"))
+    scored
+      .select(col("doc_id"),
+        row_number().over(byBm).cast("long").as("r_bm25"),
+        row_number().over(byQ).cast("long").as("r_quality"))
+      .select(col("doc_id"), col("r_bm25"), col("r_quality"),
+        round(lit(1.0) / (lit(kRrf) + col("r_bm25"))
+          + lit(1.0) / (lit(kRrf) + col("r_quality")), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(topK)
+  }
 }

@@ -444,6 +444,61 @@ object Relational {
         (last(col("us")).over(wAll) - col("us")).as("until_last_us"))
   }
 
+  /** TPC-H Q7 shape (C51): bilateral shipping volume between two nations
+    * by year. Both nation-tagged key maps (supplier→nation,
+    * customer→nation) are broadcast — they are dimension-sized — so the
+    * only shuffle is the lineitem⋈orders fact-fact join on orderkey; the
+    * nation-pair predicate then prunes before the 3-key aggregate.
+    * Revenue in exact integer cents. */
+  def tpchQ7(supplier: DataFrame, lineitem: DataFrame, orders: DataFrame,
+             customer: DataFrame, nation: DataFrame,
+             n1: String = "NATION_18", n2: String = "NATION_19"): DataFrame = {
+    val pair = nation.filter(col("n_name").isin(n1, n2))
+    val sn = supplier.join(broadcast(pair.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cn = customer.join(broadcast(pair.select(col("n_nationkey"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate").between(
+        lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+        (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+  }
+
+  /** TPC-H Q10 shape (C52): returned-item revenue per customer for one
+    * quarter, top 20. The order-date filter pushes into the parquet
+    * scan; the returnflag filter prunes lineitem before its only
+    * shuffle (join on orderkey); nation broadcasts. Top-20 is
+    * deterministic on exact cents with custkey tiebreak. */
+  def tpchQ10(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+              nation: DataFrame, qStart: String = "1996-01-01",
+              qEnd: String = "1996-04-01"): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(qStart).cast("timestamp") &&
+        col("o_orderdate") < lit(qEnd).cast("timestamp"))
+      .join(lineitem.filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(20)
+
   /** Typed JSON payload extraction + aggregate (C27): from_json with an
     * explicit schema (no sampling pass, unlike schema inference) parses
     * the props column inside codegen; the aggregate is then a plain

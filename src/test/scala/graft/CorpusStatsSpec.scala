@@ -82,6 +82,60 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r === ((4L, 30.0, 15.0)))
   }
 
+  test("minhashLshPairs finds exact duplicates at jac 1.0, skips dissimilar docs") {
+    val shared = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared), (2L, shared),                       // exact dup pair
+      (3L, (21 to 40).map(i => s"other$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.minhashLshPairs(docs)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs === Set((1L, 2L, 1.0)))
+  }
+
+  test("minhashLshPairs gates on exact shingle jaccard, not just band collision") {
+    // one token changed out of 20 kills 3 of 18 shingles: jac ~= 0.71 < 0.9
+    val base = (1 to 20).map(i => s"tok$i")
+    val perturbed = base.updated(10, "changed")
+    val docs = Seq((1L, base.mkString(" ")), (2L, perturbed.mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(graft.operators.Dedup.minhashLshPairs(docs).count() === 0)
+  }
+
+  test("bigramLm: hand-computed smoothed conditionals") {
+    // corpus "a b a b" + "b a": bigrams (a,b)x2, (b,a)x2; V = 2
+    val docs = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val r = graft.operators.LangModel.bigramLm(docs)
+      .orderBy("w1", "w2")
+      .select("w1", "w2", "c_bigram", "c_w1", "logp")
+      .as[(String, String, Long, Long, Double)].collect()
+    val exp = BigDecimal(math.log(2.5 / 3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.toSeq === Seq(("a", "b", 2L, 2L, exp), ("b", "a", 2L, 2L, exp)))
+  }
+
+  test("rrfFusion fuses two rankings deterministically") {
+    val docs = Seq(
+      (1L, "data table data table and the of to in is"),  // query hits + stopwords
+      (2L, "scan row merge batch window filter and the"),
+      (3L, "data data data table table and of the is it")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val out = graft.operators.LangModel.rrfFusion(docs)
+      .select("doc_id", "r_bm25", "r_quality", "rrf")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length === 3)
+    // every rank appears exactly once per signal
+    assert(out.map(_._2).sorted === Array(1L, 2L, 3L))
+    assert(out.map(_._3).sorted === Array(1L, 2L, 3L))
+    // rrf is exactly the closed form of the two ranks
+    out.foreach { case (_, r1, r2, rrf) =>
+      val exp = BigDecimal(1.0 / (60 + r1) + 1.0 / (60 + r2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rrf === exp)
+    }
+    // doc 2 has no query tokens -> must rank last on bm25
+    assert(out.find(_._1 == 2L).get._2 === 3L)
+  }
+
   test("charTokenRegression recovers an exact linear relation") {
     // y = 10x + 7 exactly, over x = token counts 1..4
     val docs = Seq(

@@ -54,6 +54,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("GreaterThan(l_shipdate"), "ship-date filter must push")
   }
 
+  /** Formatted explain keeps per-scan detail that the deep-tree toString
+    * truncates past its maxFields limit. */
+  private def planFmt(key: String): String = {
+    val df = SparkEntry.queries(key)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("tpch_q7 pushes the shipdate range and broadcasts both nation maps") {
+    val p = planFmt("tpch_q7")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "ship-date lower bound must push")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), "ship-date upper bound must push")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      "supplier->nation and customer->nation maps must broadcast")
+  }
+
+  test("tpch_q10 pushes returnflag + order-date filters into the scans") {
+    val p = planFmt("tpch_q10")
+    assert(p.contains("EqualTo(l_returnflag,R)"), "returnflag filter must push")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), "order-date filter must push")
+  }
+
   test("no query plans a CartesianProduct") {
     // plan_audit.py enforces this per round; the spec makes it per-commit.
     // Model-fitting queries execute during planning, so guard the cheap
