@@ -604,6 +604,66 @@ object Oracles {
          |  FROM cand c JOIN da sa ON sa.doc_id = c.a_id JOIN da sb ON sb.doc_id = c.b_id)
          |WHERE jac >= 0.9""".stripMargin,
 
+    // sign-LSH buckets as deterministic clusters; keeper = max cosine to
+    // the bucket's dim-wise mean centroid (sorted-fold means, index-order
+    // dots), ties on vec_id
+    "semantic_dedup" ->
+      """WITH b AS (SELECT vec_id, embedding,
+        |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+        |  FROM embeddings),
+        |cd AS (SELECT bucket, i,
+        |       round(list_reduce(list_sort(list(CAST(x AS DOUBLE))), (p, q) -> p + q) / count(*), 6) AS c
+        |       FROM (SELECT bucket, unnest(embedding) AS x,
+        |             unnest(range(1, len(embedding) + 1)) AS i FROM b)
+        |       GROUP BY bucket, i),
+        |cent AS (SELECT bucket, list(c ORDER BY i) AS centroid FROM cd GROUP BY bucket),
+        |sc AS (SELECT b.bucket, b.vec_id,
+        |  round(list_reduce(list_transform(b.embedding, (x, i) -> CAST(x AS DOUBLE) * centroid[i]), (p, q) -> p + q)
+        |    / (sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))
+        |       * sqrt(list_reduce(list_transform(centroid, x -> x * x), (p, q) -> p + q))), 6) AS cos_centroid
+        |  FROM b JOIN cent USING (bucket)),
+        |n AS (SELECT bucket, count(*) AS n_vecs FROM b GROUP BY 1)
+        |SELECT s.bucket, s.vec_id AS keeper_id, n.n_vecs, s.cos_centroid
+        |FROM (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY cos_centroid DESC, vec_id) AS rn FROM sc) s
+        |JOIN n USING (bucket) WHERE s.rn = 1""".stripMargin,
+
+    // DSIR log-likelihood ratio: add-1-smoothed target (lang='en') vs
+    // corpus unigram LMs; tf*ln(ratio) rounded 6 dp, sorted-fold per doc
+    "importance_weights" ->
+      s"""WITH t AS (SELECT doc_id, lang, unnest($toks) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+         |g AS (SELECT token, count(*) AS c_g FROM t GROUP BY 1),
+         |tg AS (SELECT token, count(*) AS c_t FROM t WHERE lang = 'en' GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c_g) AS BIGINT) AS tot_g, count(*) AS v FROM g),
+         |tt AS (SELECT CAST(coalesce(sum(c_t), 0) AS BIGINT) AS tot_t FROM tg),
+         |lm AS (SELECT g.token, g.c_g, coalesce(tg.c_t, 0) AS c_t, tot_g, v, tot_t
+         |       FROM g LEFT JOIN tg USING (token) CROSS JOIN tot CROSS JOIN tt),
+         |x AS (SELECT tf.doc_id, tf.tf,
+         |      round(tf.tf * ln(((CAST(c_t AS DOUBLE) + 1) / CAST(tot_t + v AS DOUBLE))
+         |        / ((CAST(c_g AS DOUBLE) + 1) / CAST(tot_g + v AS DOUBLE))), 6) AS contrib
+         |      FROM tf JOIN lm USING (token))
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  round(list_reduce(list_sort(list(contrib)), (p, q) -> p + q), 6) AS log_ratio
+         |FROM x GROUP BY doc_id""".stripMargin,
+
+    // winnowing: md5 3-token shingles in order, window-4 minima, distinct
+    "winnow_fingerprint" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) >= 6),
+         |sh AS (SELECT doc_id, CAST(len(toks) - 2 AS BIGINT) AS n_sh, i AS pos,
+         |       md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS h
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tk)),
+         |wm AS (SELECT doc_id, n_sh, pos,
+         |       min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+         |       FROM sh),
+         |f AS (SELECT doc_id, n_sh, m FROM wm WHERE pos <= n_sh - 4 + 1)
+         |SELECT doc_id, CAST(max(n_sh) AS BIGINT) AS n_shingles,
+         |  CAST(count(DISTINCT m) AS BIGINT) AS n_fingerprints,
+         |  md5(array_to_string(list_sort(list(DISTINCT m)), '|')) AS digest
+         |FROM f GROUP BY doc_id""".stripMargin,
+
     // add-0.5 smoothed bigram conditional log-probs; one ln per row,
     // rounded 6 dp, never summed
     "bigram_lm" ->
@@ -863,6 +923,22 @@ object Oracles {
         |    AND l_returnflag = 'R'
         |  GROUP BY 1, 2, 3)
         |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "tpch_q6" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "tpch_q19" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity BETWEEN 1 AND 30
+        |  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+        |    OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
 
     "part_type_revenue" ->
       """SELECT p_type, p_brand, count(*) AS n_items,

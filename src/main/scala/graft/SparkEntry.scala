@@ -156,6 +156,9 @@ object SparkEntry {
     "approx_char_percentiles" -> ((s, d) => TextOps.approxCharPercentiles(t(s, d, "documents"))),
 
     "minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(spread(t(s, d, "documents")))),
+    "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(t(s, d, "embeddings"))),
+    "importance_weights" -> ((s, d) => LangModel.importanceWeights(spread(t(s, d, "documents")))),
+    "winnow_fingerprint" -> ((s, d) => TextOps.winnowFingerprint(spread(t(s, d, "documents")))),
 
     // corpus language-model statistics (LangModel)
     "bm25" -> ((s, d) => LangModel.bm25(spread(t(s, d, "documents")))),
@@ -239,6 +242,8 @@ object SparkEntry {
     "tpch_q10" -> ((s, d) =>
       Relational.tpchQ10(t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem"),
         t(s, d, "nation"))),
+    "tpch_q6" -> ((s, d) => Relational.tpchQ6(t(s, d, "lineitem"))),
+    "tpch_q19" -> ((s, d) => Relational.tpchQ19(t(s, d, "lineitem"), t(s, d, "part"))),
     "part_type_revenue" -> ((s, d) =>
       Relational.partTypeRevenue(t(s, d, "part"), t(s, d, "lineitem"))),
     "purchase_click_full" -> ((s, d) => Relational.purchaseClickFull(events(s, d))),

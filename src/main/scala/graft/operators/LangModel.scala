@@ -225,6 +225,47 @@ object LangModel {
           .as("logp"))
   }
 
+  /** DSIR-style importance-resampling weights (B58): per-document
+    * log-likelihood ratio between a TARGET unigram LM (here: the
+    * `lang = targetLang` slice — in production, the high-quality domain
+    * you want more of) and the general corpus LM, with add-1 smoothing
+    * over the corpus vocabulary. Documents that look like the target
+    * score high; sampling proportional to exp(weight) shifts the
+    * mixture toward the target domain without a trained classifier.
+    *
+    * Float discipline: each token's tf·ln(ratio) contribution is rounded
+    * to 6 dp, per-doc sums fold over sorted lists. Count frames are
+    * exact longs; the two LM tables are vocabulary-sized and broadcast
+    * via AQE. */
+  def importanceWeights(docs: DataFrame, targetLang: String = "en"): DataFrame = {
+    val t = docs.select(col("doc_id"), col("lang"),
+      explode(TextOps.tokens(col("text"))).as("token"))
+    val tf = t.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val general = t.groupBy("token").agg(count(lit(1)).as("c_g"))
+    val target = t.filter(col("lang") === targetLang)
+      .groupBy("token").agg(count(lit(1)).as("c_t"))
+    val totals = general.agg(
+      sum(col("c_g")).as("tot_g"),
+      count(lit(1)).as("v"))
+    val totalT = target.agg(sum(col("c_t")).as("tot_t"))
+    val lm = general
+      .join(target, Seq("token"), "left")
+      .withColumn("c_t", coalesce(col("c_t"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(totalT))
+    val contrib = tf.join(lm, "token")
+      .select(col("doc_id"), col("tf"),
+        round(col("tf") * log(
+          ((col("c_t") + lit(1)).cast("double") / (col("tot_t") + col("v")).cast("double"))
+            / ((col("c_g") + lit(1)).cast("double") / (col("tot_g") + col("v")).cast("double"))),
+          6).as("contrib"))
+    contrib.groupBy("doc_id")
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        round(aggregate(sort_array(collect_list(col("contrib"))), lit(0.0),
+          (acc, v) => acc + v), 6).as("log_ratio"))
+  }
+
   /** Reciprocal-rank fusion of two retrieval signals (B56): a BM25
     * ranking for a fixed query against a lexicon-free quality ranking,
     * fused as Σ 1/(60+rank) — the standard zero-tuning hybrid-retrieval

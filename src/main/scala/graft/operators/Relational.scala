@@ -476,6 +476,44 @@ object Relational {
           .as("revenue_cents"))
   }
 
+  /** TPC-H Q6 shape (C53): the pure scan-filter-aggregate forecast query
+    * — no join at all. Every predicate (shipdate year, discount band,
+    * quantity cap) pushes into the parquet scan, so the executed plan is
+    * scan → partial agg → single-row exchange; at 100 TB this is the
+    * query that proves pushdown works, because a scan that reads even
+    * one extra column or row group shows up directly. */
+  def tpchQ6(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_cents"))
+
+  /** TPC-H Q19 shape (C54): disjunctive brand/size/quantity predicate
+    * groups across the part join. part is dimension-sized → broadcast;
+    * the quantity bounds (the union of all branches) still push into the
+    * lineitem scan, and each branch's full predicate applies post-join —
+    * the OR-of-ANDs shape optimizers historically mishandled. */
+  def tpchQ19(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val branch1 = col("p_brand") === "Brand#1" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 11)
+    val branch2 = col("p_brand") === "Brand#2" &&
+      col("p_size").between(10, 30) && col("l_quantity").between(10, 20)
+    val branch3 = col("p_brand") === "Brand#3" &&
+      col("p_size").between(20, 50) && col("l_quantity").between(20, 30)
+    lineitem
+      .filter(col("l_quantity").between(1, 30))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(branch1 || branch2 || branch3)
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+  }
+
   /** TPC-H Q10 shape (C52): returned-item revenue per customer for one
     * quarter, top 20. The order-date filter pushes into the parquet
     * scan; the returnflag filter prunes lineitem before its only

@@ -154,6 +154,47 @@ object Similarity {
           aggregate(sort_array(collect_list(col("x"))), lit(0.0), (a, b) => a + b)
             / count(lit(1)), 6).as("centroid"))
 
+  /** SemDeDup-style semantic deduplication (B57): sign-LSH buckets stand
+    * in for the k-means clusters of the paper (deterministic and
+    * oracle-reproducible where k-means is seed-bound), each bucket keeps
+    * its most central member — the vector with max cosine to the
+    * bucket's dim-wise mean centroid — and reports how many semantic
+    * duplicates it represents. Centroid means fold over SORTED per-dim
+    * lists (6 dp), cosines fold in index order, ties break on vec_id, so
+    * the keeper choice is bit-deterministic at any partitioning.
+    *
+    * Scale: one shuffle to the bounded bucket key for centroids, one
+    * broadcast-sized centroid join back, one TopK-style rank per bucket.
+    * Nothing touches a pair space. */
+  def semanticDedup(emb: DataFrame, bits: Int = 8): DataFrame = {
+    val b = graft.CacheTracker.track(
+      emb.select(col("vec_id"), col("embedding"),
+          signBucket(col("embedding"), bits).as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    b.count()
+    val cent = b
+      .select(col("bucket"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("bucket", "pos")
+      .agg(round(
+        aggregate(sort_array(collect_list(col("x").cast("double"))), lit(0.0),
+          (acc, v) => acc + v) / count(lit(1)), 6).as("c"))
+      .groupBy("bucket")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("centroid"))
+    val scored = b.join(cent, "bucket")
+      .select(col("bucket"), col("vec_id"),
+        round(cosineDeclarative(col("embedding"), col("centroid")), 6)
+          .as("cos_centroid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("cos_centroid").desc, col("vec_id"))
+    val n = b.groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(n, "bucket")
+      .select(col("bucket"), col("vec_id").as("keeper_id"), col("n_vecs"),
+        col("cos_centroid"))
+  }
+
   /** Sparse TF-IDF cosine document-similarity join (B21): the text-side
     * similarity search, dual of the dense-embedding ANN. Pairs
     * materialize ONLY through the shared-token inverted join within a

@@ -689,6 +689,42 @@ object TextOps {
           .as("intercept"))
   }
 
+  /** MOSS-style winnowing fingerprint (B59): md5 each 3-token shingle in
+    * sequence order, slide a `win`-wide window over the shingle-hash
+    * stream, keep each window's minimum, and emit the distinct minima —
+    * the document's winnowed fingerprint set. Guarantees any shared run
+    * of win+k-1 tokens between two documents shares a fingerprint
+    * (detection floor), while storing ~1/win of the shingles. Output per
+    * doc: shingle count, fingerprint count, and an order-independent
+    * digest over the sorted fingerprint set.
+    *
+    * Scale: narrow until the per-doc aggregate; the window min runs
+    * inside each doc's partition slice (keyed shuffle on doc_id, the
+    * same one the aggregate needs). */
+  def winnowFingerprint(docs: DataFrame, win: Int = 4): DataFrame = {
+    val k = 3
+    val toked = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k + win - 1)
+    val a1 = slice(col("toks"), lit(1), size(col("toks")) - (k - 1))
+    val a2 = slice(col("toks"), lit(2), size(col("toks")) - (k - 1))
+    val a3 = slice(col("toks"), lit(3), size(col("toks")) - (k - 1))
+    val sh = toked.select(col("doc_id"),
+        (size(col("toks")) - (k - 1)).cast("long").as("n_sh"),
+        posexplode(transform(
+          zip_with(zip_with(a1, a2, (x, y) => concat(x, lit(" "), y)),
+            a3, (xy, z) => concat(xy, lit(" "), z)),
+          s => md5(s))).as(Seq("pos", "h")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(0, win - 1)
+    sh.withColumn("m", min(col("h")).over(w))
+      .filter(col("pos") <= col("n_sh") - win) // pos is 0-based: starts 0 .. n_sh-win
+      .groupBy("doc_id")
+      .agg(
+        max(col("n_sh")).cast("long").as("n_shingles"),
+        countDistinct(col("m")).as("n_fingerprints"),
+        md5(concat_ws("|", sort_array(collect_set(col("m"))))).as("digest"))
+  }
+
   /** Unicode canonicalization pass (B54): lowercase, then NFD → strip
     * combining marks → NFC via the native codegen'd
     * [[graft.functions.UnicodeNormalize]] expression (ASCII rows

@@ -136,6 +136,51 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.find(_._1 == 2L).get._2 === 3L)
   }
 
+  test("semanticDedup keeps the most central vector per sign bucket") {
+    // bucket "11": v1 = (1,1), v2 = (1,0.9), v3 = (0.2, 1) — centroid
+    // leans toward the diagonal; v1 (exactly diagonal) is most central.
+    // bucket "01": single member keeps itself at cos 1.0.
+    val emb = Seq(
+      (1L, Array(1.0f, 1.0f)), (2L, Array(1.0f, 0.9f)), (3L, Array(0.2f, 1.0f)),
+      (4L, Array(-1.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.semanticDedup(emb, bits = 2)
+      .orderBy("bucket")
+      .select("bucket", "keeper_id", "n_vecs").as[(String, Long, Long)].collect()
+    assert(out.toSeq === Seq(("01", 4L, 1L), ("11", 1L, 3L)))
+  }
+
+  test("importanceWeights: target-like docs score higher than off-target docs") {
+    val docs = Seq(
+      (1L, "en", "alpha beta alpha beta gamma"),
+      (2L, "en", "alpha beta gamma alpha beta"),
+      (3L, "fr", "delta epsilon delta epsilon zeta"),
+      (4L, "fr", "delta zeta epsilon delta epsilon")
+    ).toDF("doc_id", "lang", "text")
+    val w = graft.operators.LangModel.importanceWeights(docs, targetLang = "en")
+      .select("doc_id", "log_ratio").as[(Long, Double)].collect().toMap
+    assert(w(1L) > w(3L) && w(2L) > w(4L),
+      s"en docs must out-score fr docs under the en-target LM: $w")
+    assert(w.values.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
+  test("winnowFingerprint: identical text -> identical digest; window cuts count") {
+    val text = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, text), (2L, text),
+      (3L, "completely different content with many unrelated words inside"),
+      (4L, "too short")  // below the k+win-1 floor -> excluded
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.winnowFingerprint(docs)
+      .select("doc_id", "n_shingles", "n_fingerprints", "digest")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(out(0)._4 === out(1)._4, "identical docs must share the digest")
+    assert(out(0)._4 !== out(2)._4)
+    // winnowing keeps at most one fingerprint per window start
+    out.foreach { case (_, nSh, nFp, _) => assert(nFp <= nSh - 4 + 1 && nFp > 0) }
+  }
+
   test("charTokenRegression recovers an exact linear relation") {
     // y = 10x + 7 exactly, over x = token counts 1..4
     val docs = Seq(
