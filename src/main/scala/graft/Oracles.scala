@@ -583,8 +583,9 @@ object Oracles {
     // binary AND decimal, so DuckDB's decimal literals convert to the
     // identical doubles Scala uses; explicit DOUBLE casts force float
     // division where DuckDB would otherwise do decimal arithmetic
-    // md5-derived MinHash permutations: sig_i = min md5('i:'||token); 4
-    // bands of 4 sigs; candidates share a whole band; exact Jaccard gate
+    // md5-derived MinHash permutations: sig_i = min md5('i:'||token); 2
+    // bands of 8 sigs (S-curve threshold (1/2)^(1/8) ≈ 0.92); candidates
+    // share a whole band; exact Jaccard gate
     "minhash_lsh" ->
       s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) >= 3),
          |dt AS (SELECT DISTINCT doc_id,
@@ -930,6 +931,87 @@ object Oracles {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY 1""".stripMargin,
+
+    "tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+
+    // both revenue legs are exact cent sums; only the final percentage
+    // divides, as DOUBLE on both engines, rounded to 6 dp
+    "tpch_q14" ->
+      """WITH j AS (SELECT p_type,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS disc_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01')
+        |SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN disc_cents ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(sum(disc_cents) AS BIGINT) AS total_cents,
+        |  round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN disc_cents ELSE 0 END) AS DOUBLE)
+        |        / CAST(sum(disc_cents) AS DOUBLE), 6) AS promo_pct
+        |FROM j""".stripMargin,
+
+    "tpch_q15" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_revenue_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)""".stripMargin,
+
+    // (part, supplier) association = DISTINCT lineitem pairs (no partsupp
+    // in the slim schema); negative balance is the complaint proxy
+    "tpch_q16" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // quantities are integral doubles → avg is exact, so the 0.2×avg
+    // threshold compares identically in both engines
+    "tpch_q17" ->
+      """WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#4'),
+        |thr AS (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thr FROM li GROUP BY l_partkey)
+        |SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 700.0, 6) AS avg_yearly
+        |FROM li JOIN thr USING (l_partkey)
+        |WHERE l_quantity < qty_thr""".stripMargin,
+
+    // threshold = exact cent sum / count, divided ONCE as doubles — the
+    // only float in the query, computed identically by both engines
+    "tpch_q22" ->
+      """WITH thr AS (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+        |    / count(*) AS avg_bal_cents
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS n_custs,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_cents
+        |FROM customer, thr
+        |WHERE CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE) > avg_bal_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1""".stripMargin,
 
     "tpch_q19" ->
       """SELECT count(*) AS n_items,

@@ -244,6 +244,15 @@ object SparkEntry {
         t(s, d, "nation"))),
     "tpch_q6" -> ((s, d) => Relational.tpchQ6(t(s, d, "lineitem"))),
     "tpch_q19" -> ((s, d) => Relational.tpchQ19(t(s, d, "lineitem"), t(s, d, "part"))),
+    "tpch_q4" -> ((s, d) => Relational.tpchQ4(t(s, d, "orders"), t(s, d, "lineitem"))),
+    "tpch_q12" -> ((s, d) => Relational.tpchQ12(t(s, d, "orders"), t(s, d, "lineitem"))),
+    "tpch_q13" -> ((s, d) => Relational.tpchQ13(t(s, d, "customer"), t(s, d, "orders"))),
+    "tpch_q14" -> ((s, d) => Relational.tpchQ14(t(s, d, "lineitem"), t(s, d, "part"))),
+    "tpch_q15" -> ((s, d) => Relational.tpchQ15(t(s, d, "supplier"), t(s, d, "lineitem"))),
+    "tpch_q16" -> ((s, d) =>
+      Relational.tpchQ16(t(s, d, "supplier"), t(s, d, "part"), t(s, d, "lineitem"))),
+    "tpch_q17" -> ((s, d) => Relational.tpchQ17(t(s, d, "lineitem"), t(s, d, "part"))),
+    "tpch_q22" -> ((s, d) => Relational.tpchQ22(t(s, d, "customer"), t(s, d, "orders"))),
     "part_type_revenue" -> ((s, d) =>
       Relational.partTypeRevenue(t(s, d, "part"), t(s, d, "lineitem"))),
     "purchase_click_full" -> ((s, d) => Relational.purchaseClickFull(events(s, d))),

@@ -247,7 +247,9 @@ object LangModel {
     val totals = general.agg(
       sum(col("c_g")).as("tot_g"),
       count(lit(1)).as("v"))
-    val totalT = target.agg(sum(col("c_t")).as("tot_t"))
+    // coalesce: a corpus with no targetLang docs must yield tot_t = 0, not
+    // NULL (the DuckDB oracle coalesces the same way)
+    val totalT = target.agg(coalesce(sum(col("c_t")), lit(0L)).as("tot_t"))
     val lm = general
       .join(target, Seq("token"), "left")
       .withColumn("c_t", coalesce(col("c_t"), lit(0L)))

@@ -537,6 +537,162 @@ object Relational {
       .orderBy(col("revenue_cents").desc, col("c_custkey"))
       .limit(20)
 
+  /** TPC-H Q4 shape (C55): order-priority checking. The slim schema has
+    * no commit/receipt dates, so "late" = EXISTS a line shipped after the
+    * order date. The EXISTS is a left-semi join — each order emits at most
+    * once no matter how many late lines it has, so there is no row blow-up
+    * and no post-join distinct; the quarter filter pushes into the orders
+    * scan and prunes the probe side before its one shuffle on orderkey. */
+  def tpchQ4(orders: DataFrame, lineitem: DataFrame,
+             qStart: String = "1996-07-01", qEnd: String = "1996-10-01"): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(qStart).cast("timestamp") &&
+        col("o_orderdate") < lit(qEnd).cast("timestamp"))
+      .join(lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  /** TPC-H Q12 shape (C56): priority mix per category — conditional
+    * aggregation (SUM of CASE) after the fact-fact join, the "one scan,
+    * many conditional counts" idiom that replaces N filtered queries.
+    * The slim schema has no shipmode; l_returnflag is the category. The
+    * ship-year filter prunes lineitem before its single shuffle. */
+  def tpchQ12(orders: DataFrame, lineitem: DataFrame, year: Int = 1996): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .filter(col("l_shipdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q13 shape (C57): customer order-count distribution — a LEFT
+    * join (zero-order customers must survive with count 0) into a
+    * two-level aggregate. The first groupBy reduces to |customers| rows
+    * on the join shuffle's own partitioning; the second aggregates that
+    * already-reduced frame, so the fact table shuffles exactly once. */
+  def tpchQ13(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q14 shape (C58): promo revenue share for one month. part is
+    * dimension-sized → broadcast; the month filter pushes into the
+    * lineitem scan, so the plan is scan → broadcast-probe → single-row
+    * agg with NO shuffle join at all. Both revenue legs are exact cent
+    * sums; only the final percentage divides (rounded to 6 dp). */
+  def tpchQ14(lineitem: DataFrame, part: DataFrame,
+              mStart: String = "1996-03-01", mEnd: String = "1996-04-01"): DataFrame = {
+    val disc = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    lineitem
+      .filter(col("l_shipdate") >= lit(mStart).cast("timestamp") &&
+        col("l_shipdate") < lit(mEnd).cast("timestamp"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", disc).otherwise(0L)).as("promo_cents"),
+        sum(disc).as("total_cents"))
+      .select(col("promo_cents"), col("total_cents"),
+        round(lit(100.0) * col("promo_cents").cast("double")
+          / col("total_cents").cast("double"), 6).as("promo_pct"))
+  }
+
+  /** TPC-H Q15 shape (C59): top supplier(s) by quarterly revenue. The
+    * fact table pre-aggregates to per-supplier cents (one shuffle), the
+    * global max of that tiny frame broadcasts back as a scalar filter,
+    * and the supplier name lookup is a broadcast probe — the classic
+    * "view + max" query with no second pass over lineitem and exact-cents
+    * ties kept (both engines agree on long equality, unlike doubles). */
+  def tpchQ15(supplier: DataFrame, lineitem: DataFrame,
+              qStart: String = "1996-01-01", qEnd: String = "1996-04-01"): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(qStart).cast("timestamp") &&
+        col("l_shipdate") < lit(qEnd).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("total_revenue_cents"))
+    val mx = rev.agg(max(col("total_revenue_cents")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue_cents") === col("mx"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue_cents"))
+  }
+
+  /** TPC-H Q16 shape (C60): how many distinct suppliers can deliver each
+    * part profile. No partsupp table — the (part, supplier) association
+    * is DISTINCT over lineitem's (l_partkey, l_suppkey), which reduces the
+    * fact table to bounded pairs in its one shuffle. Suppliers in bad
+    * standing (negative balance — the comment-complaint proxy) leave via
+    * a broadcast anti-join; the part filter broadcasts. countDistinct
+    * runs on the already-distinct pairs, so the final agg is cheap. */
+  def tpchQ16(supplier: DataFrame, part: DataFrame, lineitem: DataFrame,
+              excludeBrand: String = "Brand#5"): DataFrame =
+    lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(part
+          .filter(col("p_brand") =!= excludeBrand && col("p_type") =!= "PROMO")
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier.filter(col("s_acctbal") < 0).select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+
+  /** TPC-H Q17 shape (C61): revenue lost to small-quantity orders — the
+    * correlated "below 20% of this part's average quantity" predicate,
+    * decorrelated by hand into a per-part aggregate joined back. The
+    * brand filter broadcasts into BOTH passes, so lineitem is pruned to
+    * one brand before either shuffle; quantities are integral doubles, so
+    * avg is exact and the 0.2× threshold compares identically in both
+    * engines. */
+  def tpchQ17(lineitem: DataFrame, part: DataFrame,
+              brand: String = "Brand#4"): DataFrame = {
+    val keys = broadcast(part.filter(col("p_brand") === brand).select(col("p_partkey")))
+    val li = lineitem.join(keys, col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val thr = li.groupBy(col("l_partkey"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qty_thr"))
+    li.join(broadcast(thr), Seq("l_partkey"))
+      .filter(col("l_quantity") < col("qty_thr"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice"))).as("price_cents"))
+      .select(col("n_items"), col("price_cents"),
+        round(col("price_cents").cast("double") / 700.0, 6).as("avg_yearly"))
+  }
+
+  /** TPC-H Q22 shape (C62): dormant high-balance customers. The global
+    * positive-balance average computes on exact cents (sum/count longs,
+    * divided once as doubles — identical on both engines), broadcasts as
+    * a scalar, and "dormant" (no order since the cutoff — the corpus is
+    * dense, so Q22's literal "never ordered" would be empty) is an
+    * anti-join against the date-pruned orders scan. Grouped by market
+    * segment (the phone-prefix stand-in). */
+  def tpchQ22(customer: DataFrame, orders: DataFrame,
+              cutoff: String = "1999-01-01"): DataFrame = {
+    val bal = cents(col("c_acctbal"))
+    val thr = customer.filter(col("c_acctbal") > 0)
+      .agg((sum(bal).cast("double") / count(lit(1))).as("avg_bal_cents"))
+    customer
+      .crossJoin(broadcast(thr))
+      .filter(bal.cast("double") > col("avg_bal_cents"))
+      .join(orders.filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"), sum(bal).as("sum_bal_cents"))
+  }
+
   /** Typed JSON payload extraction + aggregate (C27): from_json with an
     * explicit schema (no sampling pass, unlike schema inference) parses
     * the props column inside codegen; the aggregate is then a plain

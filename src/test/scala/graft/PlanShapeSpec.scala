@@ -76,6 +76,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), "order-date filter must push")
   }
 
+  test("tpch_q14 is broadcast-only: no shuffle join anywhere in the plan") {
+    val p = planFmt("tpch_q14")
+    assert(p.contains("BroadcastHashJoin"), "part must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "promo-share plan must not shuffle a join side")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "month filter must push")
+  }
+
+  test("tpch_q4 plans the EXISTS as a semi join, not a blow-up join") {
+    val p = plan("tpch_q4")
+    assert(p.contains("LeftSemi"), "EXISTS must plan as left-semi")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), "quarter filter must push")
+  }
+
+  test("tpch_q16 broadcasts part and plans the exclusion as anti join") {
+    val p = planFmt("tpch_q16")
+    assert(p.contains("LeftAnti"), "bad-standing suppliers must leave via anti join")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      "part filter and supplier exclusion must both broadcast")
+  }
+
   test("no query plans a CartesianProduct") {
     // plan_audit.py enforces this per round; the spec makes it per-commit.
     // Model-fitting queries execute during planning, so guard the cheap
