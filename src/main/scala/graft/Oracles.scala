@@ -678,6 +678,96 @@ object Oracles {
          |  round(ln((CAST(c_bigram AS DOUBLE) + 0.5) / (CAST(c_w1 AS DOUBLE) + 0.5 * v)), 6) AS logp
          |FROM cb JOIN cw USING (w1) CROSS JOIN v""".stripMargin,
 
+    // per-doc NLL under the self-trained bigram LM — every observed
+    // bigram has an LM row, so the inner join loses nothing; logp terms
+    // pre-rounded in the LM, per-doc sums fold over sorted lists
+    "doc_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) >= 2),
+         |b AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+         |cb AS (SELECT w1, w2, count(*) AS c_bigram FROM b GROUP BY 1, 2),
+         |cw AS (SELECT w1, count(*) AS c_w1 FROM b GROUP BY 1),
+         |v AS (SELECT count(DISTINCT token) AS v FROM $tokTable),
+         |lm AS (SELECT cb.w1, cb.w2,
+         |       round(ln((CAST(c_bigram AS DOUBLE) + 0.5) / (CAST(c_w1 AS DOUBLE) + 0.5 * v)), 6) AS logp
+         |       FROM cb JOIN cw USING (w1) CROSS JOIN v),
+         |x AS (SELECT doc_id, logp FROM b JOIN lm USING (w1, w2)),
+         |g AS (SELECT doc_id, count(*) AS n_bigrams,
+         |      round(list_reduce(list_sort(list(logp)), (a, b) -> a + b), 6) AS sum_logp
+         |      FROM x GROUP BY 1)
+         |SELECT doc_id, n_bigrams, sum_logp, round(-sum_logp / n_bigrams, 6) AS nll FROM g""".stripMargin,
+
+    // 5 unrolled PageRank iterations over the undirected token
+    // co-occurrence graph; per-edge contributions round to 9 dp, per-node
+    // sums fold over sorted lists, damping arithmetic forced to DOUBLE
+    // (DuckDB would otherwise compute 1.0 - 0.85 in exact decimal — Spark
+    // computes it in binary doubles)
+    "token_pagerank" -> {
+      val iters = (1 to 5).map { k =>
+        s"""r$k AS (SELECT dst AS token,
+           |  round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+           |    + round(list_reduce(list_sort(list(round(CAST(0.85 AS DOUBLE) * r * w / outw, 9))), (a, b) -> a + b), 9), 9) AS r
+           |  FROM ew JOIN r${k - 1} ON ew.src = r${k - 1}.token CROSS JOIN nn GROUP BY dst, n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT $toks AS toks FROM documents WHERE len($toks) >= 2),
+         |b AS (SELECT toks[i] AS src, toks[i + 1] AS dst
+         |      FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)),
+         |u AS (SELECT src, dst FROM b UNION ALL SELECT dst AS src, src AS dst FROM b),
+         |e AS (SELECT src, dst, count(*) AS w FROM u GROUP BY 1, 2),
+         |o AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1),
+         |ew AS (SELECT e.src, e.dst, e.w, o.outw FROM e JOIN o USING (src)),
+         |nn AS (SELECT count(DISTINCT src) AS n FROM e),
+         |r0 AS (SELECT src AS token, CAST(1.0 AS DOUBLE) / n AS r
+         |       FROM (SELECT DISTINCT src FROM e) CROSS JOIN nn),
+         |$iters
+         |SELECT token, r AS rank FROM r5""".stripMargin
+    },
+
+    // MinHash band candidates (same construction as minhash_lsh) gated by
+    // exact Levenshtein over the cleaned (ASCII-only) text
+    "edit_distance_pairs" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) >= 3),
+         |dt AS (SELECT DISTINCT doc_id,
+         |       toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS token
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tk)),
+         |sig AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || token)) AS sig
+         |        FROM dt CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+         |band AS (SELECT doc_id, i // 8 AS band, md5(string_agg(sig, '|' ORDER BY i)) AS bh
+         |         FROM sig GROUP BY doc_id, i // 8),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM band a
+         |         JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |c AS (SELECT doc_id, $clean AS clean FROM documents)
+         |SELECT a_id, b_id, lev, max_len, norm_lev FROM (
+         |  SELECT a_id, b_id, lev, max_len,
+         |    round(CAST(lev AS DOUBLE) / max_len, 6) AS norm_lev
+         |  FROM (SELECT a_id, b_id,
+         |      CAST(levenshtein(ca.clean, cb.clean) AS BIGINT) AS lev,
+         |      CAST(greatest(length(ca.clean), length(cb.clean)) AS BIGINT) AS max_len
+         |    FROM cand JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id))
+         |WHERE norm_lev <= 0.3""".stripMargin,
+
+    // trailing-20 z-score: count/sum/sum-of-squares as exact longs in one
+    // ROWS frame; mean/variance derive with the same expression order on
+    // both engines, so the doubles agree bitwise
+    "events_anomaly" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS v_cents FROM events),
+        |w AS (SELECT event_id, user_id, us, v_cents,
+        |  count(*) OVER win AS n_prev,
+        |  CAST(sum(v_cents) OVER win AS BIGINT) AS s,
+        |  CAST(sum(v_cents * v_cents) OVER win AS BIGINT) AS ss
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+        |                        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |f AS (SELECT event_id, user_id, us, v_cents, n_prev,
+        |      CAST(s AS DOUBLE) / n_prev AS mean_c,
+        |      (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_prev) / n_prev AS var_c
+        |      FROM w WHERE n_prev >= 5),
+        |z AS (SELECT event_id, user_id, us, v_cents, n_prev,
+        |      round((CAST(v_cents AS DOUBLE) - mean_c) / sqrt(var_c), 6) AS z
+        |      FROM f WHERE var_c > 0)
+        |SELECT event_id, user_id, us, v_cents, n_prev, z FROM z
+        |WHERE abs(z) >= 3.0""".stripMargin,
+
     // reciprocal-rank fusion: BM25 ranking for query ('data','table')
     // fused with the quality ranking; <= 2 pre-rounded BM25 terms sum
     // per doc (FP addition of two terms is commutative -> bit-stable)

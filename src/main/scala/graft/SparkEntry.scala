@@ -164,6 +164,10 @@ object SparkEntry {
     "bm25" -> ((s, d) => LangModel.bm25(spread(t(s, d, "documents")))),
     "bigram_lm" -> ((s, d) => LangModel.bigramLm(spread(t(s, d, "documents")))),
     "rrf_fusion" -> ((s, d) => LangModel.rrfFusion(spread(t(s, d, "documents")))),
+    "doc_perplexity" -> ((s, d) => LangModel.docPerplexity(spread(t(s, d, "documents")))),
+    "token_pagerank" -> ((s, d) => Graph.tokenPagerank(spread(t(s, d, "documents")))),
+    "edit_distance_pairs" -> ((s, d) => Dedup.editDistancePairs(spread(t(s, d, "documents")))),
+    "events_anomaly" -> ((s, d) => Relational.eventsAnomaly(events(s, d))),
     "unigram_logprob" -> ((s, d) => LangModel.unigramLogprob(spread(t(s, d, "documents")))),
     "token_entropy" -> ((s, d) => LangModel.tokenEntropy(spread(t(s, d, "documents")))),
     "lang_kl" -> ((s, d) => LangModel.langKl(spread(t(s, d, "documents")))),

@@ -93,6 +93,26 @@ object Dedup {
       .filter(col("jac") >= jacMin)
   }
 
+  /** MinHash-banded candidates verified by exact edit distance (B63):
+    * the LSH band join proposes pairs (bounded by band-bucket sizes,
+    * never all-pairs — jacMin=0 keeps every band collision so the edit
+    * distance is the only gate), then Levenshtein runs ONLY on the
+    * candidates — the standard "cheap sketch prefilter, exact verify"
+    * split, with the O(len²) distance confined to the handful of
+    * survivors. Normalized distance = lev / max(len) over cleaned text. */
+  def editDistancePairs(docs: DataFrame, maxNorm: Double = 0.3): DataFrame = {
+    val cand = minhashLshPairs(docs, jacMin = 0.0).select("a_id", "b_id")
+    val clean = docs.select(col("doc_id"), TextOps.cleanText(col("text")).as("clean"))
+    cand
+      .join(clean.select(col("doc_id").as("a_id"), col("clean").as("a_txt")), "a_id")
+      .join(clean.select(col("doc_id").as("b_id"), col("clean").as("b_txt")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_txt"), col("b_txt")).cast("long").as("lev"),
+        greatest(length(col("a_txt")), length(col("b_txt"))).cast("long").as("max_len"))
+      .withColumn("norm_lev", round(col("lev").cast("double") / col("max_len"), 6))
+      .filter(col("norm_lev") <= maxNorm)
+  }
+
   /** Token n-gram shingles of the cleaned text, distinct, as stable longs.
     *
     * Shape matters: each token is hashed once (xxhash64, seed 42), then the

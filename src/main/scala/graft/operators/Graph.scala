@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computation expressed as declarative joins — the shape
+  * Pregel/GraphX jobs reduce to when the per-step logic is algebraic.
+  * Reference analogue: the thesis corpus has no graph op; this covers the
+  * "token graph" analyses (TextRank-style keyword weighting) a training-
+  * data pipeline runs over its vocabulary.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank over the token co-occurrence graph (B62):
+    * nodes are tokens, edges are adjacent-token pairs (both directions,
+    * weight = co-occurrence count), rank iterates
+    * r'(v) = (1-d)/N + d·Σ_u r(u)·w(u,v)/outw(u) for `iters` rounds from
+    * the uniform vector — TextRank's keyword-importance scores.
+    *
+    * Scale posture: the edge frame is vocabulary²-bounded (far smaller
+    * than the corpus after the first aggregation) and is computed ONCE,
+    * cached, and re-joined per iteration; each iteration is one
+    * hash-shuffle on dst. Nothing driver-side — N broadcasts as a
+    * one-row frame. Float discipline: per-edge contributions round to
+    * 9 dp and per-node sums fold over sorted lists, so results are
+    * partition-count independent and mirror the DuckDB twin exactly. */
+  def tokenPagerank(docs: DataFrame, iters: Int = 5, d: Double = 0.85): DataFrame = {
+    val toked = docs.select(TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bi = toked.select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("src"), b.as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+    val und = bi.unionAll(bi.select(col("dst").as("src"), col("src").as("dst")))
+    val edges = und.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val outw = edges.groupBy("src").agg(sum(col("w")).as("outw"))
+    val ew = graft.CacheTracker.track(
+      edges.join(outw, "src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    ew.count() // materialize once; every iteration re-joins this frame
+    val nN = ew.agg(countDistinct(col("src")).as("n"))
+    var ranks = ew.select(col("src").as("token")).distinct()
+      .crossJoin(broadcast(nN))
+      .select(col("token"), (lit(1.0) / col("n")).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ew.join(ranks, ew("src") === ranks("token"))
+        .select(col("dst"),
+          round(lit(d) * col("r") * col("w") / col("outw"), 9).as("c"))
+      ranks = contrib.groupBy(col("dst"))
+        .agg(round(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
+          (acc, v) => acc + v), 9).as("sum_c"))
+        .crossJoin(broadcast(nN))
+        .select(col("dst").as("token"),
+          round((lit(1.0) - lit(d)) / col("n") + col("sum_c"), 9).as("r"))
+    }
+    ranks.select(col("token"), col("r").as("rank"))
+  }
+}

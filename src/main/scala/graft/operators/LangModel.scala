@@ -225,6 +225,34 @@ object LangModel {
           .as("logp"))
   }
 
+  /** Per-document negative log-likelihood under the corpus bigram LM
+    * (B61) — the perplexity-proxy quality signal: documents whose token
+    * transitions surprise the corpus LM (high NLL) are repetitive-noise
+    * or off-distribution candidates for down-weighting. Reuses
+    * [[bigramLm]] (trained on the same corpus, so every observed bigram
+    * has an LM row — self-scoring needs no OOV backoff); the join is
+    * vocabulary²-bounded on (w1, w2). Float discipline: logp terms are
+    * 6 dp-rounded in the LM, per-doc sums fold over sorted lists, and
+    * the final mean divides the rounded sum once. */
+  def docPerplexity(docs: DataFrame, k: Double = 0.5): DataFrame = {
+    val lm = bigramLm(docs, k).select(col("w1"), col("w2"), col("logp"))
+    val toked = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bi = toked.select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    bi.join(lm, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(aggregate(sort_array(collect_list(col("logp"))), lit(0.0),
+          (acc, v) => acc + v), 6).as("sum_logp"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_logp"),
+        round(-col("sum_logp") / col("n_bigrams"), 6).as("nll"))
+  }
+
   /** DSIR-style importance-resampling weights (B58): per-document
     * log-likelihood ratio between a TARGET unigram LM (here: the
     * `lang = targetLang` slice — in production, the high-quality domain

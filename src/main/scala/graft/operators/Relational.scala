@@ -693,6 +693,39 @@ object Relational {
       .agg(count(lit(1)).as("n_custs"), sum(bal).as("sum_bal_cents"))
   }
 
+  /** Rolling z-score anomaly detection (C63): each event scored against
+    * the same user's trailing 20 events (exclusive of itself) — the
+    * streaming-adjacent "is this spend unusual for this user" monitor as
+    * one window pass: count/sum/sum-of-squares accumulate as exact longs
+    * in a single ROWS frame, mean and variance derive from the finished
+    * longs with the same expression order as the DuckDB twin, and only
+    * events with ≥5 priors and non-degenerate variance are scored. One
+    * shuffle on user_id, one per-partition sort, no self-join. */
+  def eventsAnomaly(events: DataFrame, lookback: Int = 20, minPrev: Int = 5,
+                    zMin: Double = 3.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(-lookback, -1)
+    val scored = events
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), cents(col("value")).as("v_cents"))
+      .select(col("event_id"), col("user_id"), col("us"), col("v_cents"),
+        count(lit(1)).over(w).as("n_prev"),
+        sum(col("v_cents")).over(w).as("s"),
+        sum(col("v_cents") * col("v_cents")).over(w).as("ss"))
+      .filter(col("n_prev") >= minPrev)
+      .withColumn("mean_c", col("s").cast("double") / col("n_prev"))
+      .withColumn("var_c",
+        (col("ss").cast("double") - col("s").cast("double") * col("s") / col("n_prev"))
+          / col("n_prev"))
+      .filter(col("var_c") > 0)
+      .withColumn("z",
+        round((col("v_cents").cast("double") - col("mean_c")) / sqrt(col("var_c")), 6))
+    scored.filter(abs(col("z")) >= zMin)
+      .select(col("event_id"), col("user_id"), col("us"), col("v_cents"),
+        col("n_prev"), col("z"))
+  }
+
   /** Typed JSON payload extraction + aggregate (C27): from_json with an
     * explicit schema (no sampling pass, unlike schema inference) parses
     * the props column inside codegen; the aggregate is then a plain
