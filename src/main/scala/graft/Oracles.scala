@@ -768,6 +768,74 @@ object Oracles {
         |SELECT event_id, user_id, us, v_cents, n_prev, z FROM z
         |WHERE abs(z) >= 3.0""".stripMargin,
 
+    // strictly-sequenced funnel: each stage's min is conditional on the
+    // previous stage's timestamp; missing stages coalesce to -1
+    "funnel_conversion" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS view_us FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(us) AS click_us FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND us >= view_us GROUP BY 1),
+        |p AS (SELECT e.user_id, min(us) AS purchase_us FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND us >= click_us GROUP BY 1)
+        |SELECT v.user_id, view_us,
+        |  coalesce(click_us, -1) AS click_us,
+        |  coalesce(purchase_us, -1) AS purchase_us,
+        |  CAST(CASE WHEN purchase_us IS NOT NULL THEN 3
+        |            WHEN click_us IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+
+    // Monday-truncated weeks; offsets are exact integer day arithmetic
+    "cohort_retention" ->
+      """WITH ew AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
+        |f AS (SELECT user_id, min(w) AS cw FROM ew GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, w FROM ew)
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+        |  CAST(datediff('day', cw, w) // 7 AS BIGINT) AS week_offset,
+        |  count(*) AS n_users
+        |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    // per-source ECDF over (quality, doc_id) — every row a distinct frame
+    // position, so cume_dist ties are deterministic
+    "quality_calibration" ->
+      s"""WITH q AS (SELECT doc_id, source, $qualitySql AS quality FROM documents)
+         |SELECT doc_id, source, quality,
+         |  round(cume_dist() OVER (PARTITION BY source ORDER BY quality, doc_id), 6) AS quality_pct
+         |FROM q""".stripMargin,
+
+    // winnowed-fingerprint inverted index (same construction as
+    // winnow_fingerprint), df-capped, pairs sharing >= 2 minima
+    "winnow_pairs" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) >= 6),
+         |sh AS (SELECT doc_id, CAST(len(toks) - 2 AS BIGINT) AS n_sh, i AS pos,
+         |       md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS h
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tk)),
+         |wm AS (SELECT doc_id, n_sh, pos,
+         |       min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+         |       FROM sh),
+         |fp AS (SELECT DISTINCT doc_id, m FROM wm WHERE pos <= n_sh - 4 + 1),
+         |rare AS (SELECT m FROM (SELECT m, count(*) AS df FROM fp GROUP BY 1) WHERE df <= 50),
+         |keep AS (SELECT doc_id, m FROM fp JOIN rare USING (m))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+         |FROM keep a JOIN keep b ON a.m = b.m AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // dim-wise mean/std from sorted folds; per-vec summary over the
+    // 6 dp-rounded z values keeps the verified output vector-sized
+    "embed_standardize" ->
+      """WITH xd AS (SELECT vec_id, CAST(dim AS BIGINT) AS dim, CAST(xf AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
+        |        unnest(embedding) AS xf FROM embeddings)),
+        |st AS (SELECT dim, count(*) AS n,
+        |       list_reduce(list_sort(list(x)), (a, b) -> a + b) AS s,
+        |       list_reduce(list_sort(list(x * x)), (a, b) -> a + b) AS ss
+        |       FROM xd GROUP BY 1),
+        |sd AS (SELECT dim, s / n AS mean, sqrt(ss / n - (s / n) * (s / n)) AS std FROM st),
+        |z AS (SELECT vec_id, round((x - mean) / std, 6) AS z FROM xd JOIN sd USING (dim))
+        |SELECT vec_id, count(*) AS n_dims,
+        |  round(list_reduce(list_sort(list(z)), (a, b) -> a + b), 6) AS z_sum,
+        |  round(sqrt(list_reduce(list_sort(list(z * z)), (a, b) -> a + b)), 6) AS z_norm
+        |FROM z GROUP BY 1""".stripMargin,
+
     // reciprocal-rank fusion: BM25 ranking for query ('data','table')
     // fused with the quality ranking; <= 2 pre-rounded BM25 terms sum
     // per doc (FP addition of two terms is commutative -> bit-stable)

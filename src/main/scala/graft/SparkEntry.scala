@@ -168,6 +168,11 @@ object SparkEntry {
     "token_pagerank" -> ((s, d) => Graph.tokenPagerank(spread(t(s, d, "documents")))),
     "edit_distance_pairs" -> ((s, d) => Dedup.editDistancePairs(spread(t(s, d, "documents")))),
     "events_anomaly" -> ((s, d) => Relational.eventsAnomaly(events(s, d))),
+    "funnel_conversion" -> ((s, d) => Sessionize.funnel(events(s, d))),
+    "cohort_retention" -> ((s, d) => Relational.cohortRetention(events(s, d))),
+    "quality_calibration" -> ((s, d) => TextOps.qualityCalibration(spread(t(s, d, "documents")))),
+    "winnow_pairs" -> ((s, d) => TextOps.winnowPairs(spread(t(s, d, "documents")))),
+    "embed_standardize" -> ((s, d) => Similarity.embedStandardize(t(s, d, "embeddings"))),
     "unigram_logprob" -> ((s, d) => LangModel.unigramLogprob(spread(t(s, d, "documents")))),
     "token_entropy" -> ((s, d) => LangModel.tokenEntropy(spread(t(s, d, "documents")))),
     "lang_kl" -> ((s, d) => LangModel.langKl(spread(t(s, d, "documents")))),

@@ -726,6 +726,23 @@ object Relational {
         col("n_prev"), col("z"))
   }
 
+  /** Weekly cohort retention (C65): users grouped by first-active week,
+    * counted in each subsequent week they return — the product-analytics
+    * retention triangle. Both frames are per-user-reduced before the
+    * join (first-week aggregate; distinct active weeks), and week offsets
+    * are exact integer day arithmetic on Monday-truncated weeks, so no
+    * float or timezone drift exists between engines. Two shuffles on
+    * user_id plus the final small-key aggregate. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val ew = events.select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+    val first = ew.groupBy("user_id").agg(min(col("w")).as("cw"))
+    ew.distinct()
+      .join(first, "user_id")
+      .select(col("cw"), (datediff(col("w"), col("cw")) / 7).cast("long").as("week_offset"))
+      .groupBy(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Typed JSON payload extraction + aggregate (C27): from_json with an
     * explicit schema (no sampling pass, unlike schema inference) parses
     * the props column inside codegen; the aggregate is then a plain

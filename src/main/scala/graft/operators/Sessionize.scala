@@ -70,4 +70,33 @@ object Sessionize {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
+
+  /** Ordered funnel analysis (C64): per user, the first view, the first
+    * click AT OR AFTER that view, and the first purchase at or after
+    * that click — the strictly-sequenced conversion funnel (a click
+    * before any view does not count). Each stage is one conditional-min
+    * aggregate over the type-filtered stream joined against the previous
+    * stage's (already per-user-reduced) frame, so the fan-out is three
+    * filtered passes and three per-user-key shuffles — never a self-join
+    * of the raw stream against itself. Missing stages surface as -1
+    * (stage column gives the funnel depth reached). */
+  def funnel(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("view_us"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("us") >= col("view_us"))
+      .groupBy("user_id").agg(min(col("us")).as("click_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("us") >= col("click_us"))
+      .groupBy("user_id").agg(min(col("us")).as("purchase_us"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_us"),
+        coalesce(col("click_us"), lit(-1L)).as("click_us"),
+        coalesce(col("purchase_us"), lit(-1L)).as("purchase_us"),
+        when(col("purchase_us").isNotNull, 3L)
+          .when(col("click_us").isNotNull, 2L).otherwise(1L).as("stage"))
+  }
 }

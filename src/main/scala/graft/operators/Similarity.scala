@@ -415,4 +415,37 @@ object Similarity {
         (col("rnk") <= greatest(lit(1), floor(col("n_label") * outFrac)))
           .as("is_outlier"))
   }
+
+  /** Per-dimension z-standardization of the embedding matrix (B66) —
+    * the feature-scaling pass before distance-based ops (k-means, PQ
+    * codebooks) so no dimension dominates by raw variance. Dim-wise
+    * mean/std fold over SORTED value lists (order-independent at any
+    * partitioning); the per-vector summary (z sum and z norm over the
+    * 6 dp-rounded z values, folded in sorted order) keeps the verified
+    * output vector-sized rather than |vecs|×dims. Two shuffles: one to
+    * the dims-bounded stats key, one back per vec_id. */
+  def embedStandardize(emb: DataFrame): DataFrame = {
+    val x = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        col("x").cast("double").as("x"))
+    val stats = x.groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        aggregate(sort_array(collect_list(col("x"))), lit(0.0),
+          (a, b) => a + b).as("s"),
+        aggregate(sort_array(collect_list(col("x") * col("x"))), lit(0.0),
+          (a, b) => a + b).as("ss"))
+      .select(col("dim"), (col("s") / col("n")).as("mean"),
+        sqrt(col("ss") / col("n")
+          - (col("s") / col("n")) * (col("s") / col("n"))).as("std"))
+    x.join(broadcast(stats), "dim")
+      .select(col("vec_id"),
+        round((col("x") - col("mean")) / col("std"), 6).as("z"))
+      .groupBy("vec_id")
+      .agg(
+        count(lit(1)).as("n_dims"),
+        round(aggregate(sort_array(collect_list(col("z"))), lit(0.0),
+          (a, b) => a + b), 6).as("z_sum"),
+        round(sqrt(aggregate(sort_array(collect_list(col("z") * col("z"))), lit(0.0),
+          (a, b) => a + b)), 6).as("z_norm"))
+  }
 }

@@ -725,6 +725,61 @@ object TextOps {
         md5(concat_ws("|", sort_array(collect_set(col("m"))))).as("digest"))
   }
 
+  /** Per-source quality-ECDF calibration (B64): each document's quality
+    * score mapped to its empirical percentile WITHIN its source — the
+    * cross-source-comparable rank a mixture sampler actually thresholds
+    * on (raw quality scores are not comparable across sources with
+    * different score distributions). cume_dist over (quality, doc_id)
+    * gives every row a distinct frame position, so ties are
+    * deterministic. One shuffle on source; at 100 TB the per-source sort
+    * range-partitions inside each source key. */
+  def qualityCalibration(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("quality"), col("doc_id"))
+    qualityScore(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("quality"),
+        round(cume_dist().over(w), 6).as("quality_pct"))
+  }
+
+  /** Winnowing near-dup pairs (B65): documents sharing >= `minShared`
+    * winnowed fingerprints — the substring-level near-dup complement to
+    * MinHash (which sees bag-of-shingles, not runs). Candidates come from
+    * the inverted fingerprint index (shuffle on the fingerprint key);
+    * fingerprints appearing in more than `maxDf` documents are dropped
+    * first — boilerplate minima pair everything with everything and
+    * carry no dedup signal, and the cap bounds every bucket's pair
+    * expansion (the same guarantee the LSH band join relies on). */
+  def winnowPairs(docs: DataFrame, win: Int = 4, minShared: Long = 2,
+                  maxDf: Long = 50): DataFrame = {
+    val k = 3
+    val toked = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k + win - 1)
+    val a1 = slice(col("toks"), lit(1), size(col("toks")) - (k - 1))
+    val a2 = slice(col("toks"), lit(2), size(col("toks")) - (k - 1))
+    val a3 = slice(col("toks"), lit(3), size(col("toks")) - (k - 1))
+    val sh = toked.select(col("doc_id"),
+        (size(col("toks")) - (k - 1)).cast("long").as("n_sh"),
+        posexplode(transform(
+          zip_with(zip_with(a1, a2, (x, y) => concat(x, lit(" "), y)),
+            a3, (xy, z) => concat(xy, lit(" "), z)),
+          s => md5(s))).as(Seq("pos", "h")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(0, win - 1)
+    val fps = sh.withColumn("m", min(col("h")).over(w))
+      .filter(col("pos") <= col("n_sh") - win)
+      .select(col("doc_id"), col("m")).distinct()
+    val rare = fps.groupBy("m").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("m")
+    val keep = fps.join(rare, "m")
+    keep.select(col("m"), col("doc_id").as("a_id"))
+      .join(keep.select(col("m"), col("doc_id").as("b_id")), Seq("m"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Unicode canonicalization pass (B54): lowercase, then NFD → strip
     * combining marks → NFC via the native codegen'd
     * [[graft.functions.UnicodeNormalize]] expression (ASCII rows
