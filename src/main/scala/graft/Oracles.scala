@@ -836,6 +836,24 @@ object Oracles {
         |  round(sqrt(list_reduce(list_sort(list(z * z)), (a, b) -> a + b)), 6) AS z_norm
         |FROM z GROUP BY 1""".stripMargin,
 
+    // independent Morton interleave: the same 5 magic-mask spread steps
+    // as the native expression, unrolled as CTE stages over BIGINT bit ops
+    "zorder_key" ->
+      s"""WITH b AS (SELECT doc_id, n_chars AS x, CAST(len($toks) AS BIGINT) AS y,
+         |           n_chars & 4294967295 AS xs, CAST(len($toks) AS BIGINT) & 4294967295 AS ys
+         |           FROM documents),
+         |s1 AS (SELECT doc_id, x, y, (xs | (xs << 16)) & 281470681808895 AS xs,
+         |       (ys | (ys << 16)) & 281470681808895 AS ys FROM b),
+         |s2 AS (SELECT doc_id, x, y, (xs | (xs << 8)) & 71777214294589695 AS xs,
+         |       (ys | (ys << 8)) & 71777214294589695 AS ys FROM s1),
+         |s3 AS (SELECT doc_id, x, y, (xs | (xs << 4)) & 1085102592571150095 AS xs,
+         |       (ys | (ys << 4)) & 1085102592571150095 AS ys FROM s2),
+         |s4 AS (SELECT doc_id, x, y, (xs | (xs << 2)) & 3689348814741910323 AS xs,
+         |       (ys | (ys << 2)) & 3689348814741910323 AS ys FROM s3),
+         |s5 AS (SELECT doc_id, x, y, (xs | (xs << 1)) & 6148914691236517205 AS xs,
+         |       (ys | (ys << 1)) & 6148914691236517205 AS ys FROM s4)
+         |SELECT doc_id, x, y, xs | (ys << 1) AS zkey FROM s5""".stripMargin,
+
     // reciprocal-rank fusion: BM25 ranking for query ('data','table')
     // fused with the quality ranking; <= 2 pre-rounded BM25 terms sum
     // per doc (FP addition of two terms is commutative -> bit-stable)

@@ -173,6 +173,7 @@ object SparkEntry {
     "quality_calibration" -> ((s, d) => TextOps.qualityCalibration(spread(t(s, d, "documents")))),
     "winnow_pairs" -> ((s, d) => TextOps.winnowPairs(spread(t(s, d, "documents")))),
     "embed_standardize" -> ((s, d) => Similarity.embedStandardize(t(s, d, "embeddings"))),
+    "zorder_key" -> ((s, d) => TextOps.zorderKey(spread(t(s, d, "documents")))),
     "unigram_logprob" -> ((s, d) => LangModel.unigramLogprob(spread(t(s, d, "documents")))),
     "token_entropy" -> ((s, d) => LangModel.tokenEntropy(spread(t(s, d, "documents")))),
     "lang_kl" -> ((s, d) => LangModel.langKl(spread(t(s, d, "documents")))),

@@ -29,6 +29,14 @@ object GraftFunctions {
   private val normalizeInfo = new ExpressionInfo(
     classOf[UnicodeNormalize].getCanonicalName, "graft_normalize")
 
+  /** Morton (z-order) interleave as a typed Column. */
+  def morton(x: Column, y: Column): Column =
+    ExpressionUtils.column(
+      MortonInterleave(ExpressionUtils.expression(x), ExpressionUtils.expression(y)))
+
+  private val mortonInfo = new ExpressionInfo(
+    classOf[MortonInterleave].getCanonicalName, "graft_morton")
+
   /** Imperative registration so `spark.sql("SELECT graft_cosine(a, b)")`
     * works on an existing session (e.g. the driver-created one). */
   def register(spark: SparkSession): Unit = {
@@ -39,6 +47,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_normalize expects exactly 1 argument")
         UnicodeNormalize(children.head)
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_morton"), mortonInfo,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_morton expects exactly 2 arguments")
+        MortonInterleave(children.head, children(1))
       })
   }
 }
@@ -61,6 +75,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_normalize expects exactly 1 argument")
         UnicodeNormalize(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_morton"),
+      new ExpressionInfo(classOf[MortonInterleave].getCanonicalName, "graft_morton"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_morton expects exactly 2 arguments")
+        MortonInterleave(children.head, children(1))
       }))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)

@@ -780,6 +780,18 @@ object TextOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Z-order layout key (C66): Morton interleave of (n_chars, n_tokens)
+    * via the native codegen'd [[graft.functions.MortonInterleave]]
+    * expression. Sorting/range-partitioning the corpus by this key before
+    * writing clusters rows close in BOTH dimensions, so parquet min/max
+    * stats prune scans filtered on either column — the Delta/Iceberg
+    * Z-ORDER layout pass as a plain column. Narrow per-row work. */
+  def zorderKey(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("n_chars").cast("long").as("x"),
+        size(tokens(col("text"))).cast("long").as("y"))
+      .select(col("doc_id"), col("x"), col("y"),
+        graft.functions.GraftFunctions.morton(col("x"), col("y")).as("zkey"))
+
   /** Unicode canonicalization pass (B54): lowercase, then NFD → strip
     * combining marks → NFC via the native codegen'd
     * [[graft.functions.UnicodeNormalize]] expression (ASCII rows
