@@ -1189,6 +1189,44 @@ object Oracles {
         |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY 1""".stripMargin,
 
+    // market share: exact cent sums per year, single double division
+    "tpch_q8" ->
+      """WITH natr AS (SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+        |              WHERE r_name = 'ASIA'),
+        |j AS (SELECT year(o_orderdate) AS o_year, sn.n_name AS supp_nation,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS disc_cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN natr ON c_nationkey = natr.n_nationkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND p_type = 'PROMO')
+        |SELECT CAST(o_year AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_18' THEN disc_cents ELSE 0 END) AS BIGINT) AS nation_cents,
+        |  CAST(sum(disc_cents) AS BIGINT) AS total_cents,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_18' THEN disc_cents ELSE 0 END) AS DOUBLE)
+        |        / CAST(sum(disc_cents) AS DOUBLE), 6) AS mkt_share
+        |FROM j GROUP BY 1""".stripMargin,
+
+    // EXISTS + NOT EXISTS collapsed into one per-order conditional
+    // aggregate: >= 2 suppliers, exactly 1 of them late
+    "tpch_q21" ->
+      """WITH lo AS (SELECT l_orderkey, l_suppkey,
+        |    (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |per AS (SELECT l_orderkey FROM (
+        |    SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+        |      count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+        |    FROM lo GROUP BY 1)
+        |  WHERE n_supp >= 2 AND n_late = 1),
+        |ls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE late)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM ls JOIN per USING (l_orderkey) JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2""".stripMargin,
+
     "tpch_q19" ->
       """SELECT count(*) AS n_items,
         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

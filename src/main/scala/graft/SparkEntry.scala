@@ -263,6 +263,11 @@ object SparkEntry {
       Relational.tpchQ16(t(s, d, "supplier"), t(s, d, "part"), t(s, d, "lineitem"))),
     "tpch_q17" -> ((s, d) => Relational.tpchQ17(t(s, d, "lineitem"), t(s, d, "part"))),
     "tpch_q22" -> ((s, d) => Relational.tpchQ22(t(s, d, "customer"), t(s, d, "orders"))),
+    "tpch_q8" -> ((s, d) =>
+      Relational.tpchQ8(t(s, d, "region"), t(s, d, "nation"), t(s, d, "customer"),
+        t(s, d, "supplier"), t(s, d, "orders"), t(s, d, "lineitem"), t(s, d, "part"))),
+    "tpch_q21" -> ((s, d) =>
+      Relational.tpchQ21(t(s, d, "supplier"), t(s, d, "orders"), t(s, d, "lineitem"))),
     "part_type_revenue" -> ((s, d) =>
       Relational.partTypeRevenue(t(s, d, "part"), t(s, d, "lineitem"))),
     "purchase_click_full" -> ((s, d) => Relational.purchaseClickFull(events(s, d))),

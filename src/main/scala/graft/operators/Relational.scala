@@ -726,6 +726,75 @@ object Relational {
         col("n_prev"), col("z"))
   }
 
+  /** TPC-H Q8 shape (C67): national market share — the target nation's
+    * slice of a region's revenue in one part segment, by year. Every
+    * dimension input (region-filtered customers, part filter, nation-
+    * tagged suppliers) broadcasts; the only shuffle is orders⋈lineitem
+    * on orderkey. Both revenue legs are exact cent sums per year; the
+    * share divides once as doubles. */
+  def tpchQ8(region: DataFrame, nation: DataFrame, customer: DataFrame,
+             supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+             part: DataFrame, regionName: String = "ASIA",
+             targetNation: String = "NATION_18", pType: String = "PROMO"): DataFrame = {
+    val disc = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    val natR = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = customer.join(broadcast(natR), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val sup = supplier
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(part.filter(col("p_type") === pType).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === targetNation, disc).otherwise(0L))
+          .as("nation_cents"),
+        sum(disc).as("total_cents"))
+      .select(col("o_year"), col("nation_cents"), col("total_cents"),
+        round(col("nation_cents").cast("double") / col("total_cents").cast("double"), 6)
+          .as("mkt_share"))
+  }
+
+  /** TPC-H Q21 shape (C68): suppliers who kept a multi-supplier order
+    * waiting — the only supplier late on an order others fulfilled on
+    * time. The classic phrasing is EXISTS + NOT EXISTS re-scans of
+    * lineitem; here both collapse into ONE per-order conditional
+    * aggregate (distinct suppliers vs distinct late suppliers), so the
+    * fact table shuffles once for the flag join and once for the
+    * per-order reduce — no correlated re-scan at any scale. "Late" =
+    * shipped more than `lateDays` after the order date (the slim schema
+    * has no commit/receipt dates). */
+  def tpchQ21(supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+              lateDays: Int = 60): DataFrame = {
+    val lo = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+          .as("late"))
+    val per = lo.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .select(col("l_orderkey"))
+    lo.filter(col("late")).select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .join(per, "l_orderkey")
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
   /** Weekly cohort retention (C65): users grouped by first-active week,
     * counted in each subsequent week they return — the product-analytics
     * retention triangle. Both frames are per-user-reduced before the
