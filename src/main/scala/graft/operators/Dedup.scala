@@ -47,8 +47,12 @@ object Dedup {
     * arrays and intersects them inside codegen — narrow per-pair work,
     * never an exploded (pair × token) join stream. No all-pairs path
     * exists. */
-  def minhashLshPairs(docs: DataFrame, numHashes: Int = 16, bandSize: Int = 8,
-                      jacMin: Double = 0.9): DataFrame = {
+  /** Shared LSH front half: the cached distinct-shingle frame and the
+    * banded candidate pairs. Both verifying operators (exact Jaccard in
+    * [[minhashLshPairs]], Levenshtein in [[editDistancePairs]]) reuse
+    * this so candidate generation is built — and paid for — once. */
+  private def lshCandidates(docs: DataFrame, numHashes: Int,
+                            bandSize: Int): (DataFrame, DataFrame) = {
     val toked = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
     val a1 = slice(col("toks"), lit(1), size(col("toks")) - 2)
@@ -76,6 +80,12 @@ object Dedup {
         Seq("band", "bh"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
+    (cand, dt)
+  }
+
+  def minhashLshPairs(docs: DataFrame, numHashes: Int = 16, bandSize: Int = 8,
+                      jacMin: Double = 0.9): DataFrame = {
+    val (cand, dt) = lshCandidates(docs, numHashes, bandSize)
     val docArr = dt.groupBy("doc_id")
       .agg(sort_array(collect_list(col("token"))).as("arr"),
         count(lit(1)).as("n"))
@@ -95,13 +105,13 @@ object Dedup {
 
   /** MinHash-banded candidates verified by exact edit distance (B63):
     * the LSH band join proposes pairs (bounded by band-bucket sizes,
-    * never all-pairs — jacMin=0 keeps every band collision so the edit
-    * distance is the only gate), then Levenshtein runs ONLY on the
-    * candidates — the standard "cheap sketch prefilter, exact verify"
-    * split, with the O(len²) distance confined to the handful of
-    * survivors. Normalized distance = lev / max(len) over cleaned text. */
+    * never all-pairs; the edit distance is the only gate), then
+    * Levenshtein runs ONLY on the candidates — the standard "cheap
+    * sketch prefilter, exact verify" split, with the O(len²) distance
+    * confined to the handful of survivors. Normalized distance =
+    * lev / max(len) over cleaned text. */
   def editDistancePairs(docs: DataFrame, maxNorm: Double = 0.3): DataFrame = {
-    val cand = minhashLshPairs(docs, jacMin = 0.0).select("a_id", "b_id")
+    val (cand, _) = lshCandidates(docs, numHashes = 16, bandSize = 8)
     val clean = docs.select(col("doc_id"), TextOps.cleanText(col("text")).as("clean"))
     cand
       .join(clean.select(col("doc_id").as("a_id"), col("clean").as("a_txt")), "a_id")

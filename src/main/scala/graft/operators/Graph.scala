@@ -32,8 +32,13 @@ object Graph {
         slice(col("toks"), lit(2), size(col("toks")) - 1),
         (a, b) => struct(a.as("src"), b.as("dst")))).as("p"))
       .select(col("p.src").as("src"), col("p.dst").as("dst"))
-    val und = bi.unionAll(bi.select(col("dst").as("src"), col("src").as("dst")))
-    val edges = und.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    // aggregate the DIRECTED pairs first (one corpus pass), then
+    // symmetrize the vocabulary²-bounded frame — c(u,v)+c(v,u) — instead
+    // of unioning two full corpus scans
+    val dir = bi.groupBy("src", "dst").agg(count(lit(1)).as("w0"))
+    val edges = dir
+      .unionByName(dir.select(col("dst").as("src"), col("src").as("dst"), col("w0")))
+      .groupBy("src", "dst").agg(sum(col("w0")).as("w"))
     val outw = edges.groupBy("src").agg(sum(col("w")).as("outw"))
     val ew = graft.CacheTracker.track(
       edges.join(outw, "src")
