@@ -836,6 +836,61 @@ object Oracles {
         |  round(sqrt(list_reduce(list_sort(list(z * z)), (a, b) -> a + b)), 6) AS z_norm
         |FROM z GROUP BY 1""".stripMargin,
 
+    // per-doc share of distinct 8-grams with corpus df = 1
+    "ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |g AS (SELECT DISTINCT doc_id, g FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+         |         i -> array_to_string(toks[i:i+7], ' '))) AS g
+         |  FROM t WHERE len(toks) >= 8)),
+         |df AS (SELECT g, count(*) AS df FROM g GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
+         |FROM g JOIN df USING (g) GROUP BY 1""".stripMargin,
+
+    // 3-shingle Jaccard between source pairs via the inverted join
+    "source_overlap" ->
+      s"""WITH t AS (SELECT source, $toks AS toks FROM documents),
+         |ss AS (SELECT DISTINCT source, g FROM (
+         |  SELECT source, unnest(list_transform(range(1, len(toks) - 1),
+         |         i -> array_to_string(toks[i:i+2], ' '))) AS g
+         |  FROM t WHERE len(toks) >= 3)),
+         |sz AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+         |sh AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+         |  FROM ss a JOIN ss b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_shared, na.n AS n_a, nb.n AS n_b,
+         |  round(CAST(n_shared AS DOUBLE) / CAST(na.n + nb.n - n_shared AS DOUBLE), 6) AS jaccard
+         |FROM sh JOIN sz na ON na.source = src_a JOIN sz nb ON nb.source = src_b""".stripMargin,
+
+    // 5 unrolled power-iteration rounds over the (mirrored) 8x8
+    // covariance matrix; products round 9 dp, sums fold sorted, one
+    // norm division per round — mirrors Similarity.pcaPower exactly
+    "pca_power" -> {
+      val rounds = (1 to 5).map { k =>
+        s"""w$k AS (SELECT dim_i AS dim,
+           |  round(list_reduce(list_sort(list(round(cov * v, 9))), (a, b) -> a + b), 9) AS w
+           |  FROM cf JOIN v${k - 1} ON cf.dim_j = v${k - 1}.dim GROUP BY dim_i),
+           |n$k AS (SELECT round(sqrt(list_reduce(list_sort(list(w * w)), (a, b) -> a + b)), 9) AS nrm FROM w$k),
+           |v$k AS (SELECT dim, round(w / nrm, 9) AS v, nrm AS eig FROM w$k CROSS JOIN n$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS (SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
+         |      CAST(embedding[i] AS DOUBLE) AS x, CAST(embedding[j] AS DOUBLE) AS y
+         |      FROM embeddings, range(1, 9) r1(i), range(1, 9) r2(j) WHERE j >= i),
+         |cu AS (SELECT dim_i, dim_j,
+         |  round(list_reduce(list_sort(list(x * y)), (a, b) -> a + b) / count(*)
+         |    - (list_reduce(list_sort(list(x)), (a, b) -> a + b) / count(*))
+         |    * (list_reduce(list_sort(list(y)), (a, b) -> a + b) / count(*)), 6) AS cov
+         |  FROM p GROUP BY dim_i, dim_j),
+         |cf AS (SELECT dim_i, dim_j, cov FROM cu
+         |       UNION ALL
+         |       SELECT dim_j AS dim_i, dim_i AS dim_j, cov FROM cu WHERE dim_i <> dim_j),
+         |v0 AS (SELECT CAST(i AS BIGINT) AS dim,
+         |       CAST(1.0 AS DOUBLE) / sqrt(CAST(8.0 AS DOUBLE)) AS v FROM range(1, 9) r(i)),
+         |$rounds
+         |SELECT dim, v AS loading, eig FROM v5""".stripMargin
+    },
+
     // independent Morton interleave: the same 5 magic-mask spread steps
     // as the native expression, unrolled as CTE stages over BIGINT bit ops
     "zorder_key" ->

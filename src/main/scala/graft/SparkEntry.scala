@@ -174,6 +174,9 @@ object SparkEntry {
     "winnow_pairs" -> ((s, d) => TextOps.winnowPairs(spread(t(s, d, "documents")))),
     "embed_standardize" -> ((s, d) => Similarity.embedStandardize(t(s, d, "embeddings"))),
     "zorder_key" -> ((s, d) => TextOps.zorderKey(spread(t(s, d, "documents")))),
+    "ngram_novelty" -> ((s, d) => TextOps.ngramNovelty(spread(t(s, d, "documents")))),
+    "source_overlap" -> ((s, d) => TextOps.sourceOverlap(spread(t(s, d, "documents")))),
+    "pca_power" -> ((s, d) => Similarity.pcaPower(t(s, d, "embeddings"))),
     "unigram_logprob" -> ((s, d) => LangModel.unigramLogprob(spread(t(s, d, "documents")))),
     "token_entropy" -> ((s, d) => LangModel.tokenEntropy(spread(t(s, d, "documents")))),
     "lang_kl" -> ((s, d) => LangModel.langKl(spread(t(s, d, "documents")))),

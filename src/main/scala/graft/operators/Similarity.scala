@@ -416,6 +416,42 @@ object Similarity {
           .as("is_outlier"))
   }
 
+  /** Top principal component by power iteration (B69): 5 rounds of
+    * v ← normalize(C·v) over the [[embedCovariance]] matrix — the
+    * distributed-PCA building block (the covariance is the only pass
+    * over the data; the iteration runs on the dims²-bounded matrix).
+    * The mirrored full matrix is cached once; each round is one
+    * matrix-vector join + one dim-keyed aggregate. Float discipline:
+    * per-cell products round to 9 dp, per-dim sums fold over sorted
+    * lists, and the norm divides once per round — bit-identical to the
+    * unrolled DuckDB twin. Output: per-dim loading of the dominant
+    * eigenvector plus the final Rayleigh-norm eigenvalue estimate. */
+  def pcaPower(emb: DataFrame, dims: Int = 8, iters: Int = 5): DataFrame = {
+    val cu = embedCovariance(emb, dims).select("dim_i", "dim_j", "cov")
+    val full = cu.unionByName(cu.filter(col("dim_i") =!= col("dim_j"))
+      .select(col("dim_j").as("dim_i"), col("dim_i").as("dim_j"), col("cov")))
+    val C = graft.CacheTracker.track(
+      full.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    C.count()
+    val spark = emb.sparkSession
+    var v: DataFrame = spark.range(1, dims + 1)
+      .select(col("id").as("dim"), (lit(1.0) / sqrt(lit(dims.toDouble))).as("v"),
+        lit(0.0).as("eig"))
+    for (_ <- 1 to iters) {
+      val w = C.join(v.select(col("dim"), col("v")), C("dim_j") === col("dim"))
+        .select(col("dim_i"), round(col("cov") * col("v"), 9).as("c"))
+        .groupBy(col("dim_i"))
+        .agg(round(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
+          (a, b) => a + b), 9).as("w"))
+      val nrm = w.agg(round(sqrt(aggregate(sort_array(collect_list(col("w") * col("w"))),
+        lit(0.0), (a, b) => a + b)), 9).as("nrm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("dim_i").as("dim"), round(col("w") / col("nrm"), 9).as("v"),
+          col("nrm").as("eig"))
+    }
+    v.select(col("dim"), col("v").as("loading"), col("eig"))
+  }
+
   /** Per-dimension z-standardization of the embedding matrix (B66) —
     * the feature-scaling pass before distance-based ops (k-means, PQ
     * codebooks) so no dimension dominates by raw variance. Dim-wise

@@ -792,6 +792,59 @@ object TextOps {
       .select(col("doc_id"), col("x"), col("y"),
         graft.functions.GraftFunctions.morton(col("x"), col("y")).as("zkey"))
 
+  /** N-gram novelty (B67): the share of each document's distinct
+    * 8-grams that occur in NO other document — the memorization /
+    * boilerplate signal (low novelty = the doc is stitched from
+    * corpus-common runs). One inverted aggregate on the 8-gram key
+    * (df), re-joined to the per-doc gram list; both frames shuffle on
+    * the gram hash, never a doc×doc pair space. The gram array is
+    * materialized as a column BEFORE the lambda so the tokenize chain
+    * is not re-evaluated per element. */
+  def ngramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode_outer(array_distinct(
+        expr(s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))")))
+        .as("g"))
+    val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(df, "g")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+  }
+
+  /** Cross-source content overlap (B68): 3-token-shingle Jaccard between
+    * every source pair — the provenance-dedup question ("how much of
+    * source A is already in source B") answered WITHOUT a doc×doc join:
+    * distinct (source, shingle) is one shuffle, the shingle-keyed
+    * self-join expands to at most C(|sources|, 2) rows per shingle, and
+    * per-source set sizes broadcast back onto the pair frame. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val ss = docs
+      .select(col("source"), col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+        .as("g"))
+      .distinct()
+    val sizes = ss.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = ss.select(col("g"), col("source").as("src_a"))
+      .join(ss.select(col("g"), col("source").as("src_b")), Seq("g"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"), col("n_b"),
+        round(col("n_shared").cast("double")
+          / (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6).as("jaccard"))
+  }
+
   /** Unicode canonicalization pass (B54): lowercase, then NFD → strip
     * combining marks → NFC via the native codegen'd
     * [[graft.functions.UnicodeNormalize]] expression (ASCII rows
