@@ -891,6 +891,37 @@ object Oracles {
          |SELECT dim, v AS loading, eig FROM v5""".stripMargin
     },
 
+    // deterministic Lloyd's k-means: init = vec_id < 4, three unrolled
+    // rounds; distances fold the dim axis in index order (9 dp), ties
+    // break on cluster id, centroid means fold sorted lists
+    "kmeans_lloyd" -> {
+      def assign(c: String, a: String) =
+        s"""$a AS (SELECT vec_id, e, cluster, dist FROM (
+           |  SELECT vec_id, e, cluster, dist,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+           |  FROM (SELECT v.vec_id, v.e, $c.cluster,
+           |      round(list_reduce(list_transform(range(1, 9),
+           |        i -> (e[i] - c[i]) * (e[i] - c[i])), (p, q) -> p + q), 9) AS dist
+           |    FROM v CROSS JOIN $c)) WHERE rn = 1)""".stripMargin
+      def recenter(a: String, m: String, c: String) =
+        s"""$m AS (SELECT cluster, pos,
+           |  round(list_reduce(list_sort(list(x)), (p, q) -> p + q) / count(*), 9) AS cm
+           |  FROM (SELECT cluster, unnest(range(1, 9)) AS pos, unnest(e) AS x FROM $a)
+           |  GROUP BY cluster, pos),
+           |$c AS (SELECT cluster, list(cm ORDER BY pos) AS c FROM $m GROUP BY cluster)""".stripMargin
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, e AS c FROM v WHERE vec_id < 4),
+         |${assign("c0", "a1")},
+         |${recenter("a1", "m1", "c1")},
+         |${assign("c1", "a2")},
+         |${recenter("a2", "m2", "c2")},
+         |${assign("c2", "a3")},
+         |${recenter("a3", "m3", "c3")},
+         |${assign("c3", "a4")}
+         |SELECT vec_id, cluster, round(dist, 6) AS dist FROM a4""".stripMargin
+    },
+
     // independent Morton interleave: the same 5 magic-mask spread steps
     // as the native expression, unrolled as CTE stages over BIGINT bit ops
     "zorder_key" ->

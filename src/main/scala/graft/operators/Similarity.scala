@@ -452,6 +452,51 @@ object Similarity {
     v.select(col("dim"), col("v").as("loading"), col("eig"))
   }
 
+  /** Oracle-checkable Lloyd's k-means (B70): deterministic where MLlib's
+    * KMeans is seed-bound — init is the k lowest vec_ids, every
+    * squared-L2 distance folds the dimension axis in INDEX order (9 dp),
+    * assignment ties break on cluster id via row_number, and centroid
+    * means fold sorted per-dim lists. Three unrolled iterations plus the
+    * final assignment mirror the DuckDB twin bit-for-bit.
+    *
+    * Scale: the vector frame is cached once; each round is one broadcast
+    * of the k×dims centroid table against it (no shuffle of the data),
+    * plus one (k·dims)-bounded aggregate. Exactly the distributed Lloyd
+    * step — what changes at 100 TB is only the number of partitions the
+    * broadcast probes. */
+  def kmeansLloyd(emb: DataFrame, k: Int = 4, dims: Int = 8,
+                  iters: Int = 3): DataFrame = {
+    val vecs = graft.CacheTracker.track(
+      emb.select(col("vec_id"),
+          expr(s"transform(slice(embedding, 1, $dims), x -> CAST(x AS DOUBLE))").as("e"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    vecs.count()
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cluster"))
+      vecs.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("e"), col("cluster"),
+          round(aggregate(zip_with(col("e"), col("c"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x), 9).as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn")
+    }
+    var cent = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long").as("cluster"), col("e").as("c"))
+    for (_ <- 1 to iters) {
+      cent = assign(cent)
+        .select(col("cluster"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(round(aggregate(sort_array(collect_list(col("x"))), lit(0.0),
+          (a, b) => a + b) / count(lit(1)), 9).as("cm"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cm")))).as("pc"))
+        .select(col("cluster"), transform(col("pc"), x => x.getField("cm")).as("c"))
+    }
+    assign(cent)
+      .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
+  }
+
   /** Per-dimension z-standardization of the embedding matrix (B66) —
     * the feature-scaling pass before distance-based ops (k-means, PQ
     * codebooks) so no dimension dominates by raw variance. Dim-wise
