@@ -44,10 +44,16 @@ object Graph {
       edges.join(outw, "src")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     ew.count() // materialize once; every iteration re-joins this frame
-    val nN = ew.agg(countDistinct(col("src")).as("n"))
+    // N = node count via a full-frame window over the vocabulary-sized
+    // rank frame (src and dst sets coincide on an undirected graph) —
+    // no per-iteration scalar broadcast job, and the lineage stays
+    // linear in iters
+    val wFull = org.apache.spark.sql.expressions.Window.orderBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     var ranks = ew.select(col("src").as("token")).distinct()
-      .crossJoin(broadcast(nN))
-      .select(col("token"), (lit(1.0) / col("n")).as("r"))
+      .select(col("token"),
+        (lit(1.0) / count(lit(1)).over(wFull)).as("r"))
     for (_ <- 1 to iters) {
       val contrib = ew.join(ranks, ew("src") === ranks("token"))
         .select(col("dst"),
@@ -55,9 +61,9 @@ object Graph {
       ranks = contrib.groupBy(col("dst"))
         .agg(round(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
           (acc, v) => acc + v), 9).as("sum_c"))
-        .crossJoin(broadcast(nN))
         .select(col("dst").as("token"),
-          round((lit(1.0) - lit(d)) / col("n") + col("sum_c"), 9).as("r"))
+          round((lit(1.0) - lit(d)) / count(lit(1)).over(wFull) + col("sum_c"), 9)
+            .as("r"))
     }
     ranks.select(col("token"), col("r").as("rank"))
   }

@@ -434,6 +434,12 @@ object Similarity {
       full.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     C.count()
     val spark = emb.sparkSession
+    // the norm is a full-frame window fold over the dims-sized vector —
+    // one stage per round and a single reference to w, so the lineage
+    // stays LINEAR in iters (a w-agg-crossJoin-w phrasing doubles the
+    // plan per round); the single-partition window is dims-bounded
+    val wFull = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     var v: DataFrame = spark.range(1, dims + 1)
       .select(col("id").as("dim"), (lit(1.0) / sqrt(lit(dims.toDouble))).as("v"),
         lit(0.0).as("eig"))
@@ -443,11 +449,11 @@ object Similarity {
         .groupBy(col("dim_i"))
         .agg(round(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
           (a, b) => a + b), 9).as("w"))
-      val nrm = w.agg(round(sqrt(aggregate(sort_array(collect_list(col("w") * col("w"))),
-        lit(0.0), (a, b) => a + b)), 9).as("nrm"))
-      v = w.crossJoin(broadcast(nrm))
-        .select(col("dim_i").as("dim"), round(col("w") / col("nrm"), 9).as("v"),
-          col("nrm").as("eig"))
+      val nrm = round(sqrt(aggregate(
+        sort_array(collect_list(col("w") * col("w")).over(wFull)), lit(0.0),
+        (a, b) => a + b)), 9)
+      v = w.select(col("dim_i").as("dim"), round(col("w") / nrm, 9).as("v"),
+        nrm.as("eig"))
     }
     v.select(col("dim"), col("v").as("loading"), col("eig"))
   }
