@@ -891,6 +891,20 @@ object Oracles {
          |SELECT dim, v AS loading, eig FROM v5""".stripMargin
     },
 
+    // JL sign projection: s_ij from md5("j:i") first hex digit; 9 dp
+    // contributions fold sorted per output dim, one √k division
+    "random_projection" ->
+      """WITH x AS (SELECT vec_id, CAST(i AS BIGINT) AS i, CAST(xf AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+        |        unnest(embedding) AS xf FROM embeddings)),
+        |c AS (SELECT vec_id, CAST(j AS BIGINT) AS j,
+        |  (CASE WHEN substring(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) < '8'
+        |   THEN 1.0 ELSE -1.0 END) * x AS c
+        |  FROM x CROSS JOIN range(1, 17) r(j))
+        |SELECT vec_id, j,
+        |  round(list_reduce(list_sort(list(c)), (a, b) -> a + b) / sqrt(CAST(16.0 AS DOUBLE)), 9) AS y
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
     // deterministic Lloyd's k-means: init = vec_id < 4, three unrolled
     // rounds; distances fold the dim axis in index order (9 dp), ties
     // break on cluster id, centroid means fold sorted lists

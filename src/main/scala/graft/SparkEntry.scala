@@ -178,6 +178,7 @@ object SparkEntry {
     "source_overlap" -> ((s, d) => TextOps.sourceOverlap(spread(t(s, d, "documents")))),
     "pca_power" -> ((s, d) => Similarity.pcaPower(t(s, d, "embeddings"))),
     "kmeans_lloyd" -> ((s, d) => Similarity.kmeansLloyd(t(s, d, "embeddings"))),
+    "random_projection" -> ((s, d) => Similarity.randomProjection(t(s, d, "embeddings"))),
     "unigram_logprob" -> ((s, d) => LangModel.unigramLogprob(spread(t(s, d, "documents")))),
     "token_entropy" -> ((s, d) => LangModel.tokenEntropy(spread(t(s, d, "documents")))),
     "lang_kl" -> ((s, d) => LangModel.langKl(spread(t(s, d, "documents")))),

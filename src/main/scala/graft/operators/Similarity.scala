@@ -503,6 +503,31 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
   }
 
+  /** Deterministic sign random projection (B71): Johnson-Lindenstrauss
+    * dimensionality reduction y_j = Σ_i s_ij·x_i / √k with the ±1 signs
+    * derived from md5("j:i") — reproducible by any engine, where a
+    * seeded RNG matrix is not. The projection matrix never materializes
+    * driver-side: the sign is a per-(i,j) expression over the exploded
+    * (vec, dim) frame crossed with the broadcast k-row output-dim frame.
+    * Contributions round 9 dp and fold sorted per output dim. */
+  def randomProjection(emb: DataFrame, outDims: Int = 16): DataFrame = {
+    val x = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("i"),
+        col("xf").cast("double").as("x"))
+    val jDim = broadcast(emb.sparkSession.range(1, outDims + 1)
+      .select(col("id").as("j")))
+    val sign = when(
+      substring(md5(concat(col("j").cast("string"), lit(":"), col("i").cast("string"))), 1, 1)
+        < "8", 1.0).otherwise(-1.0)
+    // sign·x is EXACT (±1 multiply) — no per-element rounding, so the
+    // folded multiset is bit-identical on any engine by construction
+    x.crossJoin(jDim)
+      .select(col("vec_id"), col("j"), (sign * col("x")).as("c"))
+      .groupBy("vec_id", "j")
+      .agg(round(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
+        (a, b) => a + b) / sqrt(lit(outDims.toDouble)), 9).as("y"))
+  }
+
   /** Per-dimension z-standardization of the embedding matrix (B66) —
     * the feature-scaling pass before distance-based ops (k-means, PQ
     * codebooks) so no dimension dominates by raw variance. Dim-wise

@@ -102,4 +102,19 @@ class SimilaritySpec extends SparkSpec {
     graft.CacheTracker.releaseAll()
     assert(unpruned === full, "maxDfFrac=1.0 must equal the exact join exactly")
   }
+
+  test("randomProjection roughly preserves norms (JL property)") {
+    import org.apache.spark.sql.functions._
+    val before = emb.select(col("vec_id"),
+        aggregate(col("embedding"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double")).as("n2"))
+    val after = Similarity.randomProjection(emb, outDims = 16)
+      .groupBy("vec_id").agg(sum(col("y") * col("y")).as("p2"))
+    val ratios = before.join(after, "vec_id")
+      .select((col("p2") / col("n2")).as("r")).as[Double].collect()
+    // chi²_16/16 concentration: every ratio in a loose band, mean near 1
+    assert(ratios.forall(r => r > 0.2 && r < 3.0), s"worst=${ratios.min}/${ratios.max}")
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.8 && mean < 1.2, s"mean ratio $mean")
+  }
 }
