@@ -891,6 +891,38 @@ object Oracles {
          |SELECT dim, v AS loading, eig FROM v5""".stripMargin
     },
 
+    "balanced_sample" ->
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5('bs:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20""".stripMargin,
+
+    // text profiles its LENGTH (raw unicode min/max would hang on
+    // collation differences between engines)
+    "table_profile" ->
+      """WITH a AS (SELECT count(*) AS n_rows FROM documents)
+        |SELECT 'doc_id' AS "column", n_rows, count(doc_id) AS n_nonnull,
+        |  count(DISTINCT doc_id) AS n_distinct,
+        |  CAST(min(doc_id) AS VARCHAR) AS min_val, CAST(max(doc_id) AS VARCHAR) AS max_val
+        |FROM documents, a GROUP BY n_rows
+        |UNION ALL
+        |SELECT 'lang', n_rows, count(lang), count(DISTINCT lang),
+        |  CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+        |FROM documents, a GROUP BY n_rows
+        |UNION ALL
+        |SELECT 'source', n_rows, count(source), count(DISTINCT source),
+        |  CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        |FROM documents, a GROUP BY n_rows
+        |UNION ALL
+        |SELECT 'n_chars', n_rows, count(n_chars), count(DISTINCT n_chars),
+        |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |FROM documents, a GROUP BY n_rows
+        |UNION ALL
+        |SELECT 'text', n_rows, count(text), count(DISTINCT length(text)),
+        |  CAST(min(length(text)) AS VARCHAR), CAST(max(length(text)) AS VARCHAR)
+        |FROM documents, a GROUP BY n_rows""".stripMargin,
+
     // JL sign projection: s_ij from md5("j:i") first hex digit; 9 dp
     // contributions fold sorted per output dim, one √k division
     "random_projection" ->

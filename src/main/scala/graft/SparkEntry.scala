@@ -179,6 +179,8 @@ object SparkEntry {
     "pca_power" -> ((s, d) => Similarity.pcaPower(t(s, d, "embeddings"))),
     "kmeans_lloyd" -> ((s, d) => Similarity.kmeansLloyd(t(s, d, "embeddings"))),
     "random_projection" -> ((s, d) => Similarity.randomProjection(t(s, d, "embeddings"))),
+    "balanced_sample" -> ((s, d) => TextOps.balancedSample(t(s, d, "documents"))),
+    "table_profile" -> ((s, d) => TextOps.tableProfile(t(s, d, "documents"))),
     "unigram_logprob" -> ((s, d) => LangModel.unigramLogprob(spread(t(s, d, "documents")))),
     "token_entropy" -> ((s, d) => LangModel.tokenEntropy(spread(t(s, d, "documents")))),
     "lang_kl" -> ((s, d) => LangModel.langKl(spread(t(s, d, "documents")))),

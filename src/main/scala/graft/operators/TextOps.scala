@@ -845,6 +845,49 @@ object TextOps {
           / (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6).as("jaccard"))
   }
 
+  /** Exact-quota balanced sampling (B72): exactly `perGroup` documents
+    * per language, chosen by md5 rank — the class-balancing sampler for
+    * eval-set construction, where fractional (hash-mod) sampling gives
+    * only approximate counts. One shuffle on lang; the per-group sort
+    * ranks by a salted hash so the draw is unbiased w.r.t. doc order
+    * yet fully deterministic. */
+  def balancedSample(docs: DataFrame, perGroup: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(md5(concat(lit("bs:"), col("doc_id").cast("string"))), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= perGroup)
+  }
+
+  /** One-pass table profiler (B73): per-column row/non-null/distinct
+    * counts and min/max (text profiles its LENGTH — raw unicode min/max
+    * would hang on collation differences between engines) — the
+    * data-quality summary every ingestion pipeline runs first. All five
+    * columns profile in a single aggregate (Spark plans the multiple
+    * exact distincts as one Expand pass), then unpivot to long form. */
+  def tableProfile(docs: DataFrame): DataFrame = {
+    def s(c: org.apache.spark.sql.Column) = c.cast("string")
+    val a = docs.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("doc_id")).as("nn_doc_id"), countDistinct(col("doc_id")).as("nd_doc_id"),
+      s(min(col("doc_id"))).as("mn_doc_id"), s(max(col("doc_id"))).as("mx_doc_id"),
+      count(col("lang")).as("nn_lang"), countDistinct(col("lang")).as("nd_lang"),
+      s(min(col("lang"))).as("mn_lang"), s(max(col("lang"))).as("mx_lang"),
+      count(col("source")).as("nn_source"), countDistinct(col("source")).as("nd_source"),
+      s(min(col("source"))).as("mn_source"), s(max(col("source"))).as("mx_source"),
+      count(col("n_chars")).as("nn_n_chars"), countDistinct(col("n_chars")).as("nd_n_chars"),
+      s(min(col("n_chars"))).as("mn_n_chars"), s(max(col("n_chars"))).as("mx_n_chars"),
+      count(col("text")).as("nn_text"), countDistinct(length(col("text"))).as("nd_text"),
+      s(min(length(col("text")))).as("mn_text"), s(max(length(col("text")))).as("mx_text"))
+    val cols = Seq("doc_id", "lang", "source", "n_chars", "text")
+    a.select(col("n_rows"), explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(s"nn_$c").as("n_nonnull"),
+          col(s"nd_$c").as("n_distinct"), col(s"mn_$c").as("min_val"),
+          col(s"mx_$c").as("max_val"))): _*)).as("p"))
+      .select(col("p.column").as("column"), col("n_rows"), col("p.n_nonnull"),
+        col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
+  }
+
   /** Unicode canonicalization pass (B54): lowercase, then NFD → strip
     * combining marks → NFC via the native codegen'd
     * [[graft.functions.UnicodeNormalize]] expression (ASCII rows
