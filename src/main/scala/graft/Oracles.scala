@@ -891,6 +891,27 @@ object Oracles {
          |SELECT dim, v AS loading, eig FROM v5""".stripMargin
     },
 
+    "context_target_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) >= 2)
+         |SELECT doc_id, CAST(p AS BIGINT) AS p,
+         |  array_to_string(toks[greatest(1, p - 8) : p - 1], ' ') AS context,
+         |  toks[p] AS target
+         |FROM (SELECT doc_id, toks, unnest(range(2, len(toks) + 1)) AS p FROM t)""".stripMargin,
+
+    // md5 coin on (doc_id, 1-based position) < '4' => 25% mask rate
+    "span_corruption" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(toks, (tk, i) ->
+         |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) < '4'
+         |         THEN '<X>' ELSE tk END), ' ') AS corrupted,
+         |  coalesce(array_to_string(list_filter(list_transform(toks, (tk, i) ->
+         |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) < '4'
+         |         THEN CAST(i AS VARCHAR) || ':' || tk END), x -> x IS NOT NULL), ' '), '') AS targets,
+         |  CAST(len(list_filter(toks, (tk, i) ->
+         |    substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) < '4')) AS BIGINT) AS n_masked
+         |FROM t""".stripMargin,
+
     "balanced_sample" ->
       """SELECT doc_id, lang, rn FROM (
         |  SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang

@@ -181,6 +181,8 @@ object SparkEntry {
     "random_projection" -> ((s, d) => Similarity.randomProjection(t(s, d, "embeddings"))),
     "balanced_sample" -> ((s, d) => TextOps.balancedSample(t(s, d, "documents"))),
     "table_profile" -> ((s, d) => TextOps.tableProfile(t(s, d, "documents"))),
+    "context_target_pairs" -> ((s, d) => TextOps.contextTargetPairs(spread(t(s, d, "documents")))),
+    "span_corruption" -> ((s, d) => TextOps.spanCorruption(spread(t(s, d, "documents")))),
     "unigram_logprob" -> ((s, d) => LangModel.unigramLogprob(spread(t(s, d, "documents")))),
     "token_entropy" -> ((s, d) => LangModel.tokenEntropy(spread(t(s, d, "documents")))),
     "lang_kl" -> ((s, d) => LangModel.langKl(spread(t(s, d, "documents")))),

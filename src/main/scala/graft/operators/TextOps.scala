@@ -888,6 +888,46 @@ object TextOps {
         col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
   }
 
+  /** Next-token training examples (B74): every position becomes a
+    * (context window, target token) pair — the LM-training example
+    * generator. Bounded row expansion (one row per token), all narrow
+    * per-row array work; the token array is a bound column before any
+    * lambda touches it. */
+  def contextTargetPairs(docs: DataFrame, ctx: Int = 8): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos0", "target")))
+      .filter(col("pos0") >= 1)
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("p"),
+        concat_ws(" ", slice(col("toks"),
+          greatest(lit(1), col("pos0") + 1 - ctx),
+          least(col("pos0"), lit(ctx)))).as("context"),
+        col("target"))
+
+  /** Deterministic masked-LM example generation (B75): each token masks
+    * with probability 1/4 under an md5 coin on (doc_id, position) — the
+    * span-corruption pass of T5/BERT-style data pipelines, reproducible
+    * by any engine where an RNG mask is not. Emits the corrupted text,
+    * the (position:token) targets, and the mask count. Narrow per-row
+    * work; Spark lambda indexes are 0-based vs DuckDB's 1-based, so the
+    * coin hashes (i+1) here and bare i in the oracle. */
+  def spanCorruption(docs: DataFrame): DataFrame = {
+    def coin(i: org.apache.spark.sql.Column) =
+      substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        i.cast("string"))), 1, 1) < "4"
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("toks"),
+          (t, i) => when(coin(i + 1), "<X>").otherwise(t))).as("corrupted"),
+        concat_ws(" ", filter(transform(col("toks"),
+          (t, i) => when(coin(i + 1),
+            concat((i + 1).cast("string"), lit(":"), t))),
+          x => x.isNotNull)).as("targets"),
+        size(filter(transform(col("toks"), (_, i) => coin(i + 1)), x => x))
+          .cast("long").as("n_masked"))
+  }
+
   /** Unicode canonicalization pass (B54): lowercase, then NFD → strip
     * combining marks → NFC via the native codegen'd
     * [[graft.functions.UnicodeNormalize]] expression (ASCII rows
