@@ -298,6 +298,20 @@ object Oracles {
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, session_id""".stripMargin,
 
+    "session_histogram" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |w AS (SELECT user_id, event_id, us,
+        |      lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+        |f AS (SELECT user_id, event_id, us,
+        |      CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS nsf FROM w),
+        |s AS (SELECT user_id, us,
+        |      CAST(sum(nsf) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f),
+        |g AS (SELECT user_id, session_id, min(us) AS a, max(us) AS b, count(*) AS n_events
+        |      FROM s GROUP BY 1, 2)
+        |SELECT n_events, CAST((b - a) // 60000000 AS BIGINT) AS duration_min,
+        |  count(*) AS n_sessions
+        |FROM g GROUP BY 1, 2""".stripMargin,
+
     "customers_no_orders" ->
       """SELECT n_name, count(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

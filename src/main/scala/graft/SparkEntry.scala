@@ -169,6 +169,7 @@ object SparkEntry {
     "edit_distance_pairs" -> ((s, d) => Dedup.editDistancePairs(spread(t(s, d, "documents")))),
     "events_anomaly" -> ((s, d) => Relational.eventsAnomaly(events(s, d))),
     "funnel_conversion" -> ((s, d) => Sessionize.funnel(events(s, d))),
+    "session_histogram" -> ((s, d) => Sessionize.sessionHistogram(events(s, d))),
     "cohort_retention" -> ((s, d) => Relational.cohortRetention(events(s, d))),
     "quality_calibration" -> ((s, d) => TextOps.qualityCalibration(spread(t(s, d, "documents")))),
     "winnow_pairs" -> ((s, d) => TextOps.winnowPairs(spread(t(s, d, "documents")))),

@@ -71,6 +71,19 @@ object Sessionize {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Session-size and session-duration histogram (C69): the engagement
+    * distribution ("how long are sessions") computed ON TOP of [[byLag]]
+    * — sessions reduce to one row each before this aggregate, so the
+    * histogram is a trivial second shuffle over already-reduced keys.
+    * Duration buckets are integer minutes (exact microsecond division). */
+  def sessionHistogram(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    byLag(events, gapMinutes)
+      .select(col("n_events"),
+        ((col("session_end_us") - col("session_start_us")) / lit(60000000L))
+          .cast("long").as("duration_min"))
+      .groupBy("n_events", "duration_min")
+      .agg(count(lit(1)).as("n_sessions"))
+
   /** Ordered funnel analysis (C64): per user, the first view, the first
     * click AT OR AFTER that view, and the first purchase at or after
     * that click — the strictly-sequenced conversion funnel (a click
