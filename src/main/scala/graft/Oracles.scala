@@ -29,6 +29,35 @@ object Oracles {
   /** (doc_id, token) exploded tokens. */
   val tokTable: String = s"(SELECT doc_id, unnest($toks) AS token FROM documents)"
 
+  /** Exact brute-force cosine top-5 (shared by ann_topk and ann_recall). */
+  private val annTopkSql: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS n_id, embedding AS n_emb FROM embeddings),
+      |scored AS (SELECT q_id, n_id,
+      |  round(list_reduce(list_transform(q_emb, (x, i) -> CAST(x AS DOUBLE) * CAST(n_emb[i] AS DOUBLE)), (a, b) -> a + b)
+      |    / (sqrt(list_reduce(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+      |       * sqrt(list_reduce(list_transform(n_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))), 6) AS cos
+      |  FROM q JOIN c ON q_id <> n_id),
+      |ranked AS (SELECT q_id, n_id, cos,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM scored)
+      |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= 5""".stripMargin
+
+  /** Sign-LSH bucketed ANN top-5 (shared by ann_ivf and ann_recall). */
+  private val annIvfSql: String =
+    """WITH b AS (SELECT vec_id, embedding,
+      |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b WHERE vec_id < 10),
+      |scored AS (SELECT q_id, b.vec_id AS n_id,
+      |  round(list_reduce(list_transform(q_emb, (x, i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (p2, q2) -> p2 + q2)
+      |    / (sqrt(list_reduce(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p2, q2) -> p2 + q2))
+      |       * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p2, q2) -> p2 + q2))), 6) AS cos
+      |  FROM q JOIN b ON q.bucket = b.bucket AND q.q_id <> b.vec_id),
+      |ranked AS (SELECT q_id, n_id, cos,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM scored)
+      |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= 5""".stripMargin
+
   val termFreq: String =
     s"SELECT doc_id, token, count(*) AS tf FROM $tokTable GROUP BY doc_id, token"
 
@@ -243,17 +272,7 @@ object Oracles {
         |  (length(substring(mhex, CAST(patch_idx * 32 + 1 AS BIGINT), 32)) / 2)::BIGINT AS patch_bytes
         |FROM e""".stripMargin,
 
-    "ann_topk" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS n_id, embedding AS n_emb FROM embeddings),
-        |scored AS (SELECT q_id, n_id,
-        |  round(list_reduce(list_transform(q_emb, (x, i) -> CAST(x AS DOUBLE) * CAST(n_emb[i] AS DOUBLE)), (a, b) -> a + b)
-        |    / (sqrt(list_reduce(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
-        |       * sqrt(list_reduce(list_transform(n_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))), 6) AS cos
-        |  FROM q JOIN c ON q_id <> n_id),
-        |ranked AS (SELECT q_id, n_id, cos,
-        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM scored)
-        |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= 5""".stripMargin,
+    "ann_topk" -> annTopkSql,
 
     "embed_near_dup" -> embedNearDup,
 
@@ -456,20 +475,19 @@ object Oracles {
          |FROM p JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
          |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.8""".stripMargin,
 
-    "ann_ivf" ->
-      """WITH b AS (SELECT vec_id, embedding,
-        |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
-        |  FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b WHERE vec_id < 10),
-        |scored AS (SELECT q_id, b.vec_id AS n_id,
-        |  round(list_reduce(list_transform(q_emb, (x, i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (p2, q2) -> p2 + q2)
-        |    / (sqrt(list_reduce(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p2, q2) -> p2 + q2))
-        |       * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p2, q2) -> p2 + q2))), 6) AS cos
-        |  FROM q JOIN b ON q.bucket = b.bucket AND q.q_id <> b.vec_id),
-        |ranked AS (SELECT q_id, n_id, cos,
-        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM scored)
-        |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= 5""".stripMargin,
+    "ann_ivf" -> annIvfSql,
+
+    // recall@5 of the bucketed ANN against the exact top-k — both sides
+    // re-derived from the same oracle CTEs, so the recall is exact
+    "ann_recall" ->
+      s"""WITH bf AS ($annTopkSql),
+         |iv AS ($annIvfSql),
+         |hits AS (SELECT bf.q_id, count(*) AS n_hits FROM bf
+         |         JOIN iv ON bf.q_id = iv.q_id AND bf.n_id = iv.n_id GROUP BY 1),
+         |qs AS (SELECT DISTINCT q_id FROM bf)
+         |SELECT q_id, coalesce(n_hits, 0) AS n_hits,
+         |  round(CAST(coalesce(n_hits, 0) AS DOUBLE) / 5, 6) AS recall
+         |FROM qs LEFT JOIN hits USING (q_id)""".stripMargin,
 
     // string-shingle twin of the hashed-shingle Spark implementation:
     // identical jaccard values as long as xxhash64 is collision-free over

@@ -180,6 +180,7 @@ object SparkEntry {
     "pca_power" -> ((s, d) => Similarity.pcaPower(t(s, d, "embeddings"))),
     "kmeans_lloyd" -> ((s, d) => Similarity.kmeansLloyd(t(s, d, "embeddings"))),
     "random_projection" -> ((s, d) => Similarity.randomProjection(t(s, d, "embeddings"))),
+    "ann_recall" -> ((s, d) => Similarity.annRecall(t(s, d, "embeddings"))),
     "balanced_sample" -> ((s, d) => TextOps.balancedSample(t(s, d, "documents"))),
     "table_profile" -> ((s, d) => TextOps.tableProfile(t(s, d, "documents"))),
     "context_target_pairs" -> ((s, d) => TextOps.contextTargetPairs(spread(t(s, d, "documents")))),

@@ -503,6 +503,25 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
   }
 
+  /** ANN recall evaluation (B76): recall@k of the sign-LSH bucketed ANN
+    * ([[annIvf]]) against the exact brute-force top-k ([[annTopK]]) —
+    * the quality gate every approximate index needs before it replaces
+    * the exact path. Both result sets are query-bounded (maxQueryId·k
+    * rows), so the comparison join is trivial; queries the bucketed
+    * index missed entirely still appear with recall 0. */
+  def annRecall(emb: DataFrame, maxQueryId: Long = 10, k: Int = 5): DataFrame = {
+    val bf = annTopK(emb, maxQueryId, k).select(col("q_id"), col("n_id"))
+    val iv = annIvf(emb, maxQueryId, k)
+      .select(col("q_id").as("iq_id"), col("n_id").as("in_id"))
+    val hits = bf.join(iv,
+        bf("q_id") === iv("iq_id") && bf("n_id") === iv("in_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    bf.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 6).as("recall"))
+  }
+
   /** Deterministic sign random projection (B71): Johnson-Lindenstrauss
     * dimensionality reduction y_j = Σ_i s_ij·x_i / √k with the ±1 signs
     * derived from md5("j:i") — reproducible by any engine, where a
