@@ -222,4 +222,14 @@ class LangModelSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(out.select("o_orderkey").as[Long].collect().toSet === twin)
   }
+
+  test("importanceWeights: a corpus with NO target-language docs yields finite ratios, not nulls") {
+    val d = Seq((1L, "alpha beta", "fr"), (2L, "beta gamma", "de"))
+      .toDF("doc_id", "text", "lang")
+    val rows = LangModel.importanceWeights(d, targetLang = "en").collect()
+    assert(rows.length == 2)
+    // tot_t coalesces to 0 → every ratio is ln((0+1)/(0+v) / ...), finite
+    assert(rows.forall(r => !r.isNullAt(2) && !r.getDouble(2).isNaN),
+      rows.mkString(","))
+  }
 }
