@@ -1374,6 +1374,43 @@ object Oracles {
         |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY 1""".stripMargin,
 
+    // partsupp stand-in: min observed price cents per (part, supplier)
+    "tpch_q2" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |    CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cost_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |natr AS (SELECT n_nationkey, n_name FROM nation JOIN region ON n_regionkey = r_regionkey
+        |         WHERE r_name = 'EUROPE'),
+        |sup AS (SELECT s_suppkey, s_name, CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents, n_name
+        |        FROM supplier JOIN natr ON s_nationkey = n_nationkey),
+        |cand AS (SELECT p_partkey, s_suppkey, s_name, n_name, bal_cents, cost_cents
+        |  FROM ps
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN sup ON l_suppkey = s_suppkey
+        |  WHERE p_size = 15 AND p_type = 'SMALL'),
+        |mc AS (SELECT p_partkey AS mk, min(cost_cents) AS min_cost FROM cand GROUP BY 1)
+        |SELECT p_partkey, s_suppkey, s_name, n_name, bal_cents, cost_cents
+        |FROM cand JOIN mc ON p_partkey = mk AND cost_cents = min_cost
+        |ORDER BY bal_cents DESC, s_suppkey, p_partkey LIMIT 20""".stripMargin,
+
+    // unit cost = min per-unit price cents per (part, supplier); profit
+    // stays in exact integer cents end to end
+    "tpch_q9" ->
+      """WITH uc AS (SELECT l_partkey AS uc_pk, l_suppkey AS uc_sk,
+        |    CAST(min(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)) AS BIGINT) AS unit_cost_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |sup AS (SELECT s_suppkey, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |           - CAST(l_quantity AS BIGINT) * unit_cost_cents) AS BIGINT) AS profit_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN sup ON l_suppkey = s_suppkey
+        |JOIN uc ON l_partkey = uc_pk AND l_suppkey = uc_sk
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_type = 'STANDARD'
+        |GROUP BY 1, 2""".stripMargin,
+
     // market share: exact cent sums per year, single double division
     "tpch_q8" ->
       """WITH natr AS (SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey

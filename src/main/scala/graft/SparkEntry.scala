@@ -279,6 +279,12 @@ object SparkEntry {
         t(s, d, "supplier"), t(s, d, "orders"), t(s, d, "lineitem"), t(s, d, "part"))),
     "tpch_q21" -> ((s, d) =>
       Relational.tpchQ21(t(s, d, "supplier"), t(s, d, "orders"), t(s, d, "lineitem"))),
+    "tpch_q2" -> ((s, d) =>
+      Relational.tpchQ2(t(s, d, "region"), t(s, d, "nation"), t(s, d, "supplier"),
+        t(s, d, "part"), t(s, d, "lineitem"))),
+    "tpch_q9" -> ((s, d) =>
+      Relational.tpchQ9(t(s, d, "nation"), t(s, d, "supplier"), t(s, d, "part"),
+        t(s, d, "orders"), t(s, d, "lineitem"))),
     "part_type_revenue" -> ((s, d) =>
       Relational.partTypeRevenue(t(s, d, "part"), t(s, d, "lineitem"))),
     "purchase_click_full" -> ((s, d) => Relational.purchaseClickFull(events(s, d))),

@@ -795,6 +795,72 @@ object Relational {
       .agg(count(lit(1)).as("numwait"))
   }
 
+  /** TPC-H Q2 shape (C70): minimum-cost supplier per part — the
+    * correlated-min over a multi-table dimension chain. The slim schema
+    * has no partsupp, so the (part, supplier) cost table DERIVES from
+    * lineitem (min observed price cents per pair) — one fact shuffle
+    * that every later step probes via broadcast. The per-part min is a
+    * dims-bounded aggregate broadcast back (hand-decorrelated, like
+    * Q17); region-filtered suppliers broadcast. Exact-cents ties keep
+    * every minimal supplier, top 20 by balance with full tiebreak. */
+  def tpchQ2(region: DataFrame, nation: DataFrame, supplier: DataFrame,
+             part: DataFrame, lineitem: DataFrame, regionName: String = "EUROPE",
+             size: Int = 15, pType: String = "SMALL"): DataFrame = {
+    val ps = lineitem.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(cents(col("l_extendedprice"))).as("cost_cents"))
+    val natR = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = supplier.join(broadcast(natR), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), cents(col("s_acctbal")).as("bal_cents"),
+        col("n_name"))
+    val cand = ps
+      .join(broadcast(part
+          .filter(col("p_size") === size && col("p_type") === pType)
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    val minCost = cand.groupBy(col("p_partkey").as("mk"))
+      .agg(min(col("cost_cents")).as("min_cost"))
+    cand.join(broadcast(minCost),
+        col("p_partkey") === col("mk") && col("cost_cents") === col("min_cost"))
+      .select(col("p_partkey"), col("s_suppkey"), col("s_name"), col("n_name"),
+        col("bal_cents"), col("cost_cents"))
+      .orderBy(col("bal_cents").desc, col("s_suppkey"), col("p_partkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q9 shape (C71): product-line profit by supplier nation and
+    * year. Unit cost derives from lineitem (min observed per-unit price
+    * cents per (part, supplier) — the partsupp stand-in), built once and
+    * broadcast; profit = revenue cents − qty·unit-cost cents stays in
+    * exact integer arithmetic all the way to the aggregate. The only
+    * shuffles are the cost derivation and the lineitem⋈orders join. */
+  def tpchQ9(nation: DataFrame, supplier: DataFrame, part: DataFrame,
+             orders: DataFrame, lineitem: DataFrame,
+             pType: String = "STANDARD"): DataFrame = {
+    val unitCost = lineitem.groupBy(col("l_partkey").as("uc_pk"), col("l_suppkey").as("uc_sk"))
+      .agg(min(cents(col("l_extendedprice") / col("l_quantity"))).as("unit_cost_cents"))
+    val sup = supplier
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    lineitem
+      .join(broadcast(part.filter(col("p_type") === pType).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(unitCost),
+        col("l_partkey") === col("uc_pk") && col("l_suppkey") === col("uc_sk"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          - col("l_quantity").cast("long") * col("unit_cost_cents")).as("profit_cents"))
+  }
+
   /** Weekly cohort retention (C65): users grouped by first-active week,
     * counted in each subsequent week they return — the product-analytics
     * retention triangle. Both frames are per-user-reduced before the
