@@ -1374,6 +1374,37 @@ object Oracles {
         |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY 1""".stripMargin,
 
+    // per-part value within one nation vs the nation total; the fraction
+    // gate is exact integer arithmetic (value*10000 > total)
+    "tpch_q11" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |    CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cost_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |supn AS (SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |         WHERE n_name = 'NATION_12'),
+        |v AS (SELECT l_partkey, CAST(sum(cost_cents) AS BIGINT) AS value_cents
+        |      FROM ps JOIN supn ON l_suppkey = s_suppkey GROUP BY 1),
+        |t AS (SELECT l_partkey, value_cents,
+        |      CAST(sum(value_cents) OVER () AS BIGINT) AS total_cents FROM v)
+        |SELECT l_partkey, value_cents, total_cents FROM t
+        |WHERE value_cents * 10000 > total_cents""".stripMargin,
+
+    // primary supplier per part (max volume, suppkey tiebreak), rolled
+    // up per nation — exact-long volumes throughout
+    "tpch_q20" ->
+      """WITH pq AS (SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS pair_qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |pr AS (SELECT l_partkey, l_suppkey, pair_qty FROM (
+        |  SELECT l_partkey, l_suppkey, pair_qty,
+        |    row_number() OVER (PARTITION BY l_partkey ORDER BY pair_qty DESC, l_suppkey) AS rn
+        |  FROM pq) WHERE rn = 1),
+        |supn AS (SELECT s_suppkey, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT n_name, count(*) AS n_primary_parts,
+        |  CAST(sum(pair_qty) AS BIGINT) AS sum_primary_qty
+        |FROM pr JOIN supn ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
+
     // partsupp stand-in: min observed price cents per (part, supplier)
     "tpch_q2" ->
       """WITH ps AS (SELECT l_partkey, l_suppkey,

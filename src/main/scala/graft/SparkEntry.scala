@@ -285,6 +285,10 @@ object SparkEntry {
     "tpch_q9" -> ((s, d) =>
       Relational.tpchQ9(t(s, d, "nation"), t(s, d, "supplier"), t(s, d, "part"),
         t(s, d, "orders"), t(s, d, "lineitem"))),
+    "tpch_q11" -> ((s, d) =>
+      Relational.tpchQ11(t(s, d, "nation"), t(s, d, "supplier"), t(s, d, "lineitem"))),
+    "tpch_q20" -> ((s, d) =>
+      Relational.tpchQ20(t(s, d, "nation"), t(s, d, "supplier"), t(s, d, "lineitem"))),
     "part_type_revenue" -> ((s, d) =>
       Relational.partTypeRevenue(t(s, d, "part"), t(s, d, "lineitem"))),
     "purchase_click_full" -> ((s, d) => Relational.purchaseClickFull(events(s, d))),

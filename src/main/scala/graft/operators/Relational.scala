@@ -861,6 +861,56 @@ object Relational {
           - col("l_quantity").cast("long") * col("unit_cost_cents")).as("profit_cents"))
   }
 
+  /** TPC-H Q11 shape (C72): important-stock identification — per-part
+    * value within one nation's suppliers, kept only where it exceeds a
+    * fraction of the nation's total. Value derives from the lineitem
+    * cost table (no availqty in the slim schema); the global total is a
+    * full-frame window SUM of exact longs (order-independent), and the
+    * fraction gate is pure integer arithmetic (value·10000 > total) —
+    * no float anywhere. */
+  def tpchQ11(nation: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+              nationName: String = "NATION_12"): DataFrame = {
+    val ps = lineitem.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(cents(col("l_extendedprice"))).as("cost_cents"))
+    val supN = supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)
+        .select(col("n_nationkey"))), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val wFull = org.apache.spark.sql.expressions.Window.orderBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    ps.join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("cost_cents")).as("value_cents"))
+      .withColumn("total_cents", sum(col("value_cents")).over(wFull))
+      .filter(col("value_cents") * 10000L > col("total_cents"))
+      .select(col("l_partkey"), col("value_cents"), col("total_cents"))
+  }
+
+  /** TPC-H Q20 shape (C73): primary-supplier identification — for every
+    * part, the supplier shipping its largest volume (shipped volume
+    * standing in for availqty; a fixed >50% dominance gate is empty on
+    * this uniform corpus, so the rank-based phrasing keeps the shape
+    * verifiable), rolled up to primary-part counts per nation. The fact
+    * table reduces to (part, supplier) volumes before the per-part rank;
+    * exact-long volumes tie-break on suppkey; the nation map broadcasts. */
+  def tpchQ20(nation: DataFrame, supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    val pairQty = lineitem.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("pair_qty"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_partkey").orderBy(col("pair_qty").desc, col("l_suppkey"))
+    val primary = pairQty.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val supN = supplier
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    primary.join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_primary_parts"),
+        sum(col("pair_qty")).as("sum_primary_qty"))
+  }
+
   /** Weekly cohort retention (C65): users grouped by first-active week,
     * counted in each subsequent week they return — the product-analytics
     * retention triangle. Both frames are per-user-reduced before the
