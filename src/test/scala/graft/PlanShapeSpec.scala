@@ -97,6 +97,21 @@ class PlanShapeSpec extends SparkSpec {
       "part filter and supplier exclusion must both broadcast")
   }
 
+  test("tpch_q9 broadcasts every dimension input; only fact frames shuffle") {
+    val p = planFmt("tpch_q9")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3,
+      "part filter, nation-tagged suppliers, and the derived cost table must broadcast")
+    assert(p.contains("EqualTo(p_type,STANDARD)"), "part-type filter must push")
+  }
+
+  test("tpch_q2 decorrelates the per-part min into a broadcast join") {
+    val p = planFmt("tpch_q2")
+    assert(p.contains("EqualTo(p_size,15)"), "part-size filter must push")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3,
+      "part filter, region suppliers, and per-part min must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no query plans a CartesianProduct") {
     // plan_audit.py enforces this per round; the spec makes it per-commit.
     // Model-fitting queries execute during planning, so guard the cheap
