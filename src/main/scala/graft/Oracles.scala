@@ -862,7 +862,8 @@ object Oracles {
         |       list_reduce(list_sort(list(x * x)), (a, b) -> a + b) AS ss
         |       FROM xd GROUP BY 1),
         |sd AS (SELECT dim, s / n AS mean, sqrt(ss / n - (s / n) * (s / n)) AS std FROM st),
-        |z AS (SELECT vec_id, round((x - mean) / std, 6) AS z FROM xd JOIN sd USING (dim))
+        |z AS (SELECT vec_id, round((x - mean) / std, 6) AS z
+        |      FROM xd JOIN sd USING (dim) WHERE std > 0)
         |SELECT vec_id, count(*) AS n_dims,
         |  round(list_reduce(list_sort(list(z)), (a, b) -> a + b), 6) AS z_sum,
         |  round(sqrt(list_reduce(list_sort(list(z * z)), (a, b) -> a + b)), 6) AS z_norm

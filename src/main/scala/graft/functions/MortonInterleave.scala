@@ -5,12 +5,18 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
-/** Morton (z-order) bit interleave of two non-negative 32-bit keys into
-  * one 64-bit sort key: bit i of `left` lands at position 2i, bit i of
+/** Morton (z-order) bit interleave of two keys in [0, 2^31) into one
+  * 62-bit sort key: bit i of `left` lands at position 2i, bit i of
   * `right` at 2i+1. Sorting (or range-partitioning) a table by this key
   * clusters rows that are close in BOTH dimensions, so min/max file
   * statistics prune scans filtered on either column — the data-layout
   * trick behind Delta/Iceberg Z-ORDER, here as a first-class expression.
+  *
+  * The domain is enforced, not assumed: an operand outside [0, 2^31)
+  * raises at eval time. (Bit 31 of `right` would land on the sign bit
+  * of the signed long key, silently sorting the upper half of a 32-bit
+  * domain BEFORE the lower half — failing loudly beats a silently
+  * broken layout.)
   *
   * The magic-mask spread runs in 5 shift-and-mask steps per operand
   * (no loop, no branch); codegen emits a single static call so the
@@ -55,5 +61,10 @@ object MortonInterleave {
     v
   }
 
-  def compute(x: Long, y: Long): Long = spread(x) | (spread(y) << 1)
+  def compute(x: Long, y: Long): Long = {
+    if (x < 0L || x >= 0x80000000L || y < 0L || y >= 0x80000000L)
+      throw new IllegalArgumentException(
+        s"graft_morton operands must be in [0, 2^31), got ($x, $y)")
+    spread(x) | (spread(y) << 1)
+  }
 }

@@ -22,35 +22,21 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** Oracle-reproducible MinHash + banded LSH near-dup pairs (B2o).
-    * Where [[minhashPairs]] rides MLlib's MinHashLSH (seeded random
-    * permutations — rows-only checkable), this twin derives every
-    * permutation from md5 so an independent engine reproduces it
-    * bit-for-bit: the doc's set is its distinct 3-token SHINGLES (order-
-    * sensitive — unigram sets collapse on a small vocabulary, where
-    * every doc's token set converges to the whole vocab and the corpus
-    * becomes one giant set-level near-dup cluster),
-    * sig_i(doc) = lexicographic min over shingles of md5("i:" ++ s),
-    * signatures band `bandSize` rows per band, candidates share a whole
-    * band, and each candidate pair is verified with its EXACT shingle
-    * Jaccard — false band collisions are filtered, so the jacMin gate
-    * is exact.
-    *
-    * Parameters follow the LSH S-curve: b bands of r rows target
-    * threshold (1/b)^(1/r); the 2×8 default sits at ≈0.92, matching the
-    * 0.9 gate a near-duplicate pass wants (recall above the gate is
-    * probabilistic — the price of never materializing the pair space).
-    *
-    * Scale: signature build is one partial-agg shuffle (16 mins at
-    * once); the band join shuffles on (band, band_hash) — the bounded
-    * LSH key. Verification joins each surviving pair's two SORTED token
-    * arrays and intersects them inside codegen — narrow per-pair work,
-    * never an exploded (pair × token) join stream. No all-pairs path
-    * exists. */
   /** Shared LSH front half: the cached distinct-shingle frame and the
     * banded candidate pairs. Both verifying operators (exact Jaccard in
     * [[minhashLshPairs]], Levenshtein in [[editDistancePairs]]) reuse
-    * this so candidate generation is built — and paid for — once. */
+    * this so candidate generation is built — and paid for — once.
+    *
+    * The doc's set is its distinct 3-token SHINGLES (order-sensitive —
+    * unigram sets collapse on a small vocabulary, where every doc's
+    * token set converges to the whole vocab and the corpus becomes one
+    * giant set-level near-dup cluster); sig_i(doc) = lexicographic min
+    * over shingles of md5("i:" ++ s); signatures band `bandSize` rows
+    * per band and candidates share a whole band.
+    *
+    * Scale: signature build is one partial-agg shuffle (all mins at
+    * once); the band join shuffles on (band, band_hash) — the bounded
+    * LSH key. No all-pairs path exists. */
   private def lshCandidates(docs: DataFrame, numHashes: Int,
                             bandSize: Int): (DataFrame, DataFrame) = {
     val toked = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
@@ -83,6 +69,22 @@ object Dedup {
     (cand, dt)
   }
 
+  /** Oracle-reproducible MinHash + banded LSH near-dup pairs (B2o/B55).
+    * Where [[minhashPairs]] rides MLlib's MinHashLSH (seeded random
+    * permutations — rows-only checkable), this twin derives every
+    * permutation from md5 (see [[lshCandidates]]) so an independent
+    * engine reproduces it bit-for-bit, and each candidate pair is
+    * verified with its EXACT shingle Jaccard — false band collisions
+    * are filtered, so the jacMin gate is exact.
+    *
+    * Parameters follow the LSH S-curve: b bands of r rows target
+    * threshold (1/b)^(1/r); the 2×8 default sits at ≈0.92, matching the
+    * 0.9 gate a near-duplicate pass wants (recall above the gate is
+    * probabilistic — the price of never materializing the pair space).
+    *
+    * Verification joins each surviving pair's two SORTED token arrays
+    * and intersects them inside codegen — narrow per-pair work, never
+    * an exploded (pair × token) join stream. */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 16, bandSize: Int = 8,
                       jacMin: Double = 0.9): DataFrame = {
     val (cand, dt) = lshCandidates(docs, numHashes, bandSize)

@@ -700,15 +700,29 @@ object Relational {
     * in a single ROWS frame, mean and variance derive from the finished
     * longs with the same expression order as the DuckDB twin, and only
     * events with ≥5 priors and non-degenerate variance are scored. One
-    * shuffle on user_id, one per-partition sort, no self-join. */
+    * shuffle on user_id, one per-partition sort, no self-join.
+    *
+    * Exact-long sum-of-squares bounds the per-event magnitude: a
+    * `lookback`-row frame stays below Long.MaxValue only while
+    * |v_cents| <= sqrt(Long.MaxValue / lookback) (~6.79e8 cents, ~$6.8M,
+    * at the default 20). DuckDB raises on BIGINT overflow; rather than
+    * silently wrapping where the oracle errors, any out-of-range event
+    * raises here too (raise_error inside the projection — a branch per
+    * row, never taken on valid data). */
   def eventsAnomaly(events: DataFrame, lookback: Int = 20, minPrev: Int = 5,
                     zMin: Double = 3.0): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("us"), col("event_id"))
       .rowsBetween(-lookback, -1)
+    val maxAbs = math.sqrt(Long.MaxValue.toDouble / lookback).toLong - 1
+    val guarded = when(abs(cents(col("value"))) > maxAbs,
+      raise_error(concat(lit(s"events_anomaly: |value_cents| exceeds $maxAbs " +
+        s"(exact sum-of-squares would overflow a ${lookback}-row frame): "),
+        col("value").cast("string"))).cast("long"))
+      .otherwise(cents(col("value")))
     val scored = events
       .select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("us"), cents(col("value")).as("v_cents"))
+        unix_micros(col("ts")).as("us"), guarded.as("v_cents"))
       .select(col("event_id"), col("user_id"), col("us"), col("v_cents"),
         count(lit(1)).over(w).as("n_prev"),
         sum(col("v_cents")).over(w).as("s"),

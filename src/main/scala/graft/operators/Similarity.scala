@@ -554,7 +554,11 @@ object Similarity {
     * partitioning); the per-vector summary (z sum and z norm over the
     * 6 dp-rounded z values, folded in sorted order) keeps the verified
     * output vector-sized rather than |vecs|×dims. Two shuffles: one to
-    * the dims-bounded stats key, one back per vec_id. */
+    * the dims-bounded stats key, one back per vec_id. Constant
+    * dimensions (std = 0) are dropped before scoring — z would be
+    * Inf/NaN there, and Inf/NaN propagation is exactly where engines
+    * disagree; skipping the degenerate dimension (n_dims reflects the
+    * kept ones) mirrors eventsAnomaly's var_c > 0 gate. */
   def embedStandardize(emb: DataFrame): DataFrame = {
     val x = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
@@ -568,6 +572,7 @@ object Similarity {
       .select(col("dim"), (col("s") / col("n")).as("mean"),
         sqrt(col("ss") / col("n")
           - (col("s") / col("n")) * (col("s") / col("n"))).as("std"))
+      .filter(col("std") > 0)
     x.join(broadcast(stats), "dim")
       .select(col("vec_id"),
         round((col("x") - col("mean")) / col("std"), 6).as("z"))

@@ -12,8 +12,17 @@ class MortonSpec extends SparkSpec {
     assert(MortonInterleave.compute(1L, 0L) == 1L)
     assert(MortonInterleave.compute(0L, 1L) == 2L)
     assert(MortonInterleave.compute(3L, 3L) == 15L)
-    assert(MortonInterleave.compute(0xFFFFFFFFL, 0L) == 0x5555555555555555L)
-    assert(MortonInterleave.compute(0L, 0xFFFFFFFFL) == 0xAAAAAAAAAAAAAAAAL)
+    assert(MortonInterleave.compute(0x7FFFFFFFL, 0L) == 0x1555555555555555L)
+    assert(MortonInterleave.compute(0L, 0x7FFFFFFFL) == 0x2AAAAAAAAAAAAAAAL)
+    // the full key range is non-negative, so signed long order == z-order
+    assert(MortonInterleave.compute(0x7FFFFFFFL, 0x7FFFFFFFL) > 0L)
+  }
+
+  test("morton rejects operands outside [0, 2^31) instead of corrupting the layout") {
+    // bit 31 of y would land on the sign bit: sorting would put the upper
+    // half of a 32-bit domain first — fail loudly rather than mis-cluster
+    for ((x, y) <- Seq(0x80000000L -> 0L, 0L -> 0x80000000L, -1L -> 0L, 0L -> -1L))
+      intercept[IllegalArgumentException](MortonInterleave.compute(x, y))
   }
 
   test("native expression matches the declarative shift-mask twin over 100k keys") {
@@ -25,8 +34,8 @@ class MortonSpec extends SparkSpec {
       v
     }
     val df = spark.range(100000).select(
-      pmod(xxhash64(col("id")), lit(1L << 32)).as("x"),
-      pmod(xxhash64(col("id"), lit(1)), lit(1L << 32)).as("y"))
+      pmod(xxhash64(col("id")), lit(1L << 31)).as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(1L << 31)).as("y"))
     val mismatches = df.select(
         GraftFunctions.morton(col("x"), col("y")).as("native"),
         spreadDecl(col("x")).bitwiseOR(shiftleft(spreadDecl(col("y")), 1)).as("decl"))
