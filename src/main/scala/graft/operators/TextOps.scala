@@ -937,4 +937,73 @@ object TextOps {
   def normalizeDocs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       graft.functions.GraftFunctions.normalize(lower(col("text"))).as("norm_text"))
+
+  /** Per-document sentence segmentation statistics (B78): split on
+    * terminal-punctuation runs ([.!?]+), trim, drop empties; report
+    * sentence count, longest sentence, and mean chars/words per
+    * sentence. The integer sums are exact, so the single divide is
+    * bit-identical on any engine. Purely narrow — zero shuffle. */
+  def sentenceStats(docs: DataFrame): DataFrame = {
+    val sents = filter(transform(split(col("text"), "[.!?]+"), s => trim(s)),
+      s => s =!= "")
+    docs
+      .select(col("doc_id"), sents.as("sents"))
+      .filter(size(col("sents")) > 0)
+      .select(col("doc_id"),
+        size(col("sents")).cast("long").as("n_sentences"),
+        array_max(transform(col("sents"), s => length(s))).cast("long")
+          .as("max_sent_chars"),
+        aggregate(transform(col("sents"), s => length(s).cast("long")),
+          lit(0L), (a, x) => a + x).as("sum_chars"),
+        aggregate(transform(col("sents"),
+            s => size(filter(split(s, "\\s+"), t => t =!= "")).cast("long")),
+          lit(0L), (a, x) => a + x).as("sum_words"))
+      .select(col("doc_id"), col("n_sentences"), col("max_sent_chars"),
+        round(col("sum_chars").cast("double") / col("n_sentences"), 6)
+          .as("avg_sent_chars"),
+        round(col("sum_words").cast("double") / col("n_sentences"), 6)
+          .as("avg_sent_words"))
+  }
+
+  /** Flesch-style readability score (B79) with the standard no-dictionary
+    * syllable proxy: vowel GROUPS ([aeiouy]+ runs in the lowercased
+    * text) stand in for syllables — the classic heuristic every
+    * readability library uses when no hyphenation dictionary ships.
+    * score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+    * Counts are exact integers; the two divides and the final linear
+    * combination run in fixed order and round once at the end. Narrow
+    * per-row work — zero shuffle at any corpus size. */
+  def readability(docs: DataFrame): DataFrame = {
+    val nWords = size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long")
+    val nSents = size(filter(transform(split(col("text"), "[.!?]+"), s => trim(s)),
+      s => s =!= "")).cast("long")
+    val nSyll = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    docs.select(col("doc_id"), nWords.as("n_words"), nSents.as("n_sents"),
+        nSyll.as("n_syllables"))
+      .filter(col("n_words") > 0 && col("n_sents") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syllables"),
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sents"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 6)
+          .as("flesch"))
+  }
+
+  /** Tokenizer application (B80): map the corpus through the
+    * [[vocabBuild]] vocabulary to dense ids, long tail to the OOV bucket
+    * (id 0) — the step that turns curated text into model-ready id
+    * sequences, exploded as (doc_id, pos, token, token_id) so the
+    * output stays scalar-typed. The vocabulary is df-thresholded and
+    * therefore bounded, so it broadcasts; the corpus side never
+    * shuffles. The left join + OOV coalesce also covers tokens absent
+    * from the vocabulary frame entirely (a later batch tokenized
+    * against a frozen vocab). */
+  def tokenizeIds(docs: DataFrame, minDf: Int = 2): DataFrame = {
+    val vocab = vocabBuild(docs, minDf).select(col("token"), col("vocab_id"))
+    docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos0", "token")))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("token"), coalesce(col("vocab_id"), lit(0L)).as("token_id"))
+  }
 }

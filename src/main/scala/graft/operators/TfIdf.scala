@@ -67,6 +67,23 @@ object TfIdf {
       .select("doc_id", "token", "tf", "tfidf")
   }
 
+  /** Top-k keyword extraction per document by TF-IDF (B77): the
+    * classic "what is this document about" summarizer. Runs through the
+    * custom TopKPerKey heap operator — per-doc candidate pruning in the
+    * partial phase, so no full per-document sort materializes — then an
+    * exact row_number over the pruned (≤k per doc) frame assigns ranks.
+    * Ties break on token name, so ranks are deterministic. */
+  def keywordExtract(docs: DataFrame, k: Int = 5): DataFrame = {
+    graft.plans.TopK.register(docs.sparkSession)
+    val scored = tfidf(docs)
+    val pruned = graft.plans.TopK.topKPerKey(
+      scored, Seq("doc_id"), Seq("tfidf" -> false, "token" -> true), k)
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+    pruned.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "rnk", "token", "tfidf")
+  }
+
   /** HashingTF-equivalent bucketed term frequency (A7b): murmur3-hashed
     * token -> fixed-width bucket, like ml.HashingTF (NB.scala:74). The
     * fixed width bounds state at any corpus size. Not DuckDB-expressible
