@@ -1702,6 +1702,111 @@ object Oracles {
         |  CASE WHEN c.op IS NULL THEN 'base'
         |       WHEN b.lang IS NULL THEN 'inserted' ELSE 'updated' END AS row_origin
         |FROM base b FULL OUTER JOIN ch c USING (doc_id)
-        |WHERE c.op IS NULL OR c.op <> 'delete'""".stripMargin
+        |WHERE c.op IS NULL OR c.op <> 'delete'""".stripMargin,
+
+    // top-5 TF-IDF keywords per doc, ties broken on token
+    "keyword_extract" ->
+      s"""WITH t AS ($tfidf),
+         |r AS (SELECT doc_id, token, tfidf,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+         |  FROM t)
+         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token, tfidf FROM r
+         |WHERE rnk <= 5""".stripMargin,
+
+    // sentence segmentation stats: split on [.!?]+ runs, trim, drop empties
+    "sentence_stats" ->
+      """WITH s AS (SELECT doc_id,
+        |  list_filter(list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)),
+        |              x -> x <> '') AS sents FROM documents),
+        |f AS (SELECT doc_id,
+        |  CAST(len(sents) AS BIGINT) AS n_sentences,
+        |  CAST(list_max(list_transform(sents, x -> length(x))) AS BIGINT) AS max_sent_chars,
+        |  list_reduce(list_transform(sents, x -> CAST(length(x) AS BIGINT)), (a, b) -> a + b) AS sum_chars,
+        |  list_reduce(list_transform(sents,
+        |    x -> CAST(len(list_filter(string_split_regex(x, '\s+'), t -> t <> '')) AS BIGINT)),
+        |    (a, b) -> a + b) AS sum_words
+        |  FROM s WHERE len(sents) > 0)
+        |SELECT doc_id, n_sentences, max_sent_chars,
+        |  round(CAST(sum_chars AS DOUBLE) / n_sentences, 6) AS avg_sent_chars,
+        |  round(CAST(sum_words AS DOUBLE) / n_sentences, 6) AS avg_sent_words
+        |FROM f""".stripMargin,
+
+    // Flesch reading ease with the vowel-group syllable proxy
+    "readability" ->
+      """WITH c AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_words,
+        |  CAST(len(list_filter(list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)),
+        |           x -> x <> '')) AS BIGINT) AS n_sents,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sents, n_syllables,
+        |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+        |        - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch
+        |FROM c WHERE n_words > 0 AND n_sents > 0""".stripMargin,
+
+    // vocab application: dense ids, OOV bucket 0, 1-based positions
+    "tokenize_ids" ->
+      (s"WITH d AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM $tokTable) GROUP BY token), " +
+        "v AS (SELECT token, CASE WHEN df >= 2 THEN row_number() OVER (ORDER BY df DESC, token) ELSE 0 END AS vocab_id FROM d), " +
+        s"x AS (SELECT doc_id, unnest($toks) AS token, unnest(range(1, len($toks) + 1)) AS pos FROM documents) " +
+        "SELECT doc_id, CAST(pos AS BIGINT) AS pos, token, " +
+        "CAST(coalesce(vocab_id, 0) AS BIGINT) AS token_id " +
+        "FROM x LEFT JOIN v USING (token)"),
+
+    // triangle participation per token over the df-thresholded
+    // co-occurrence graph (a<b<c oriented enumeration)
+    "token_triangles" ->
+      s"""WITH d AS (SELECT DISTINCT doc_id, token FROM $tokTable),
+         |e AS (SELECT a.token AS a, b.token AS b FROM d a JOIN d b USING (doc_id)
+         |      WHERE a.token < b.token GROUP BY 1, 2 HAVING count(*) >= 5),
+         |tri AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1
+         |        JOIN e e2 ON e1.b = e2.a
+         |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT token, count(*) AS n_triangles FROM (
+         |  SELECT a AS token FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+         |GROUP BY 1""".stripMargin,
+
+    // trailing EWMA, alpha = 1/2: dyadic weights are bit-exact doubles,
+    // fold runs in frame order on both engines (DuckDB lambda index is
+    // 1-based, same as the Spark zip_with sequence)
+    "events_ewma" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS v_cents FROM events),
+        |w AS (SELECT event_id, user_id, us, v_cents,
+        |  list(v_cents) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vs
+        |  FROM e)
+        |SELECT event_id, user_id, us, v_cents,
+        |  CAST(len(vs) AS BIGINT) AS n_win,
+        |  round(list_reduce(list_transform(vs,
+        |          (x, i) -> CAST(x AS DOUBLE) * pow(0.5, len(vs) - i)),
+        |        (a, b) -> a + b)
+        |    / (2.0 - pow(0.5, len(vs) - 1)), 6) AS ewma
+        |FROM w""".stripMargin,
+
+    // session entry paths: first 3 event types per lag-session
+    "session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_ns(ts) // 1000 AS us FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+        |n AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session FROM l),
+        |s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_id ORDER BY us, event_id) AS rn FROM s),
+        |p AS (SELECT user_id, session_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 3 GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1""".stripMargin,
+
+    // wide->long unpivot of exact-sum per-language aggregates
+    "lang_unpivot" ->
+      """WITH a AS (SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(n_chars) AS max_chars
+        |  FROM documents GROUP BY 1)
+        |SELECT lang, metric, value FROM (
+        |  SELECT lang, 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM a
+        |  UNION ALL
+        |  SELECT lang, 'avg_chars', round(CAST(sum_chars AS DOUBLE) / n_docs, 6) FROM a
+        |  UNION ALL
+        |  SELECT lang, 'max_chars', CAST(max_chars AS DOUBLE) FROM a)""".stripMargin
   )
 }

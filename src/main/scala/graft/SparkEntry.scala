@@ -168,6 +168,9 @@ object SparkEntry {
     "token_pagerank" -> ((s, d) => Graph.tokenPagerank(spread(t(s, d, "documents")))),
     "edit_distance_pairs" -> ((s, d) => Dedup.editDistancePairs(spread(t(s, d, "documents")))),
     "events_anomaly" -> ((s, d) => Relational.eventsAnomaly(events(s, d))),
+    "events_ewma" -> ((s, d) => Relational.eventsEwma(events(s, d))),
+    "session_paths" -> ((s, d) => Sessionize.sessionPaths(events(s, d))),
+    "lang_unpivot" -> ((s, d) => Relational.langUnpivot(t(s, d, "documents"))),
     "funnel_conversion" -> ((s, d) => Sessionize.funnel(events(s, d))),
     "session_histogram" -> ((s, d) => Sessionize.sessionHistogram(events(s, d))),
     "cohort_retention" -> ((s, d) => Relational.cohortRetention(events(s, d))),
@@ -197,6 +200,11 @@ object SparkEntry {
     "embed_covariance" -> ((s, d) => Similarity.embedCovariance(t(s, d, "embeddings"))),
     "hard_negatives" -> ((s, d) => Similarity.hardNegatives(t(s, d, "embeddings"))),
     "embed_outliers" -> ((s, d) => Similarity.embedOutliers(t(s, d, "embeddings"))),
+    "keyword_extract" -> ((s, d) => TfIdf.keywordExtract(spread(t(s, d, "documents")))),
+    "sentence_stats" -> ((s, d) => TextOps.sentenceStats(spread(t(s, d, "documents")))),
+    "readability" -> ((s, d) => TextOps.readability(spread(t(s, d, "documents")))),
+    "tokenize_ids" -> ((s, d) => TextOps.tokenizeIds(spread(t(s, d, "documents")))),
+    "token_triangles" -> ((s, d) => Graph.tokenTriangles(spread(t(s, d, "documents")))),
 
     // C. engine breadth
     "lineitem_agg" -> ((s, d) => Relational.lineitemAgg(t(s, d, "lineitem"))),

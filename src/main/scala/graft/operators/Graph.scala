@@ -67,4 +67,36 @@ object Graph {
     }
     ranks.select(col("token"), col("r").as("rank"))
   }
+
+  /** Per-token triangle participation count (B81) over the token
+    * co-occurrence graph — the clustering-structure signal on top of
+    * [[tokenPagerank]]'s centrality: tokens in many triangles sit in
+    * tight topical clusters; bridge tokens do not.
+    *
+    * Edges are unordered token pairs co-occurring in >= minPairDocs
+    * documents (same df-thresholded, vocab²-bounded frame as tokenPmi).
+    * Triangles enumerate via the standard a<b<c two-hop join on the
+    * ORIENTED edge list — each triangle counted exactly once, no
+    * direction double-count — and each corner credits its token. The
+    * per-doc pair build is O(u²) in the doc's distinct tokens (bounded
+    * by doc length); the triangle joins run on the thresholded edge
+    * frame, which the pair-df gate keeps far smaller than the corpus. */
+  def tokenTriangles(docs: DataFrame, minPairDocs: Int = 5): DataFrame = {
+    val d = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .distinct()
+    val edges = graft.CacheTracker.track(
+      d.select(col("doc_id"), col("token").as("a"))
+        .join(d.select(col("doc_id"), col("token").as("b")), "doc_id")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= minPairDocs)
+        .select("a", "b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tri = edges
+      .join(edges.select(col("a").as("b"), col("b").as("c")), "b")
+      .join(edges.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_triangles"))
+  }
 }

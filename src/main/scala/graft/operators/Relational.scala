@@ -958,4 +958,52 @@ object Relational {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"),
         round(avg(col("k")), 6).as("avg_k"))
+
+  /** Trailing exponentially-weighted moving average per user (C74) —
+    * the smoothed-spend baseline next to [[eventsAnomaly]]'s z-score:
+    * each event's EWMA over the user's last `lookback` events with
+    * decay 1/2 per step back.
+    *
+    * alpha is deliberately 0.5: every weight 0.5^k is a dyadic rational,
+    * exactly representable in a double, so weighted terms and their
+    * ordered sum are BIT-EXACT on any engine — no transcendental, no
+    * rounding discipline needed until the final divide. The frame list
+    * collects in window order (oldest→newest), the fold runs in that
+    * same order on both engines, and the weight sum telescopes to
+    * 2 − 0.5^(n−1), also exact. One shuffle on user_id, one
+    * per-partition sort — same shape as every other window pass. */
+  def eventsEwma(events: DataFrame, lookback: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(-(lookback - 1), 0)
+    events
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), cents(col("value")).as("v_cents"))
+      .withColumn("vs", collect_list(col("v_cents")).over(w))
+      .withColumn("n_win", size(col("vs")).cast("long"))
+      .select(col("event_id"), col("user_id"), col("us"), col("v_cents"),
+        col("n_win"),
+        round(
+          aggregate(
+            zip_with(col("vs"), sequence(lit(1L), col("n_win")),
+              (v, i) => v.cast("double") * pow(lit(0.5), col("n_win") - i)),
+            lit(0.0), (a, x) => a + x)
+            / (lit(2.0) - pow(lit(0.5), (col("n_win") - 1).cast("double"))), 6)
+          .as("ewma"))
+  }
+
+  /** Wide→long UNPIVOT of per-language aggregates (C75): the stack()
+    * reshape that feeds metric-per-row sinks (dashboards, timeseries
+    * stores) without one query per metric. One shuffle for the
+    * aggregate; stack is a narrow constant-fold expansion — Spark's
+    * UNPIVOT clause plans to exactly this. Sums stay exact longs and
+    * divide once, so the doubles match any engine's. */
+  def langUnpivot(docs: DataFrame): DataFrame =
+    docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .select(col("lang"),
+        expr("stack(3, 'n_docs', CAST(n_docs AS DOUBLE), " +
+          "'avg_chars', ROUND(CAST(sum_chars AS DOUBLE) / n_docs, 6), " +
+          "'max_chars', CAST(max_chars AS DOUBLE)) AS (metric, value)"))
 }

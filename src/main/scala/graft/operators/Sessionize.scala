@@ -112,4 +112,36 @@ object Sessionize {
         when(col("purchase_us").isNotNull, 3L)
           .when(col("click_us").isNotNull, 2L).otherwise(1L).as("stage"))
   }
+
+  /** Session entry-path distribution (C76): how sessions BEGIN — the
+    * ordered first-k event types per [[byLag]] session joined into a
+    * path string ("view>click>purchase"), counted across the corpus.
+    * The product-analytics "top paths" report, without a sequence
+    * self-join: the same lag-sessionization pass (one shuffle on
+    * user_id), a row_number gate to the first k events, and a
+    * sorted-struct fold so the path string is deterministic at any
+    * partitioning. The final count shuffles path-distinct rows only. */
+  def sessionPaths(events: DataFrame, gapMinutes: Int = 30, k: Int = 3): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val order = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val sessioned = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(order))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+    val so = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("us"), col("event_id"))
+    sessioned
+      .withColumn("rn", row_number().over(so))
+      .filter(col("rn") <= k)
+      .groupBy("user_id", "session_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          p => p.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+  }
 }
