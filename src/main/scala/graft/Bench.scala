@@ -24,7 +24,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // optional args subset the benched queries (dev loop, same as Verify)
+    val subset = args.toSet
+    val unknown = subset.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (name, _) => subset.isEmpty || subset(name) }
+      .sortBy(_._1)
     // Warm immediately before timing, per query: a single warm-all pass
     // followed by a time-all pass lets 80+ intervening queries churn the
     // JIT/codegen caches, so the timed run re-pays compilation (round-4

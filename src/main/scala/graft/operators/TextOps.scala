@@ -801,20 +801,28 @@ object TextOps {
     * materialized as a column BEFORE the lambda so the tokenize chain
     * is not re-evaluated per element. */
   def ngramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
-    val grams = docs
+    // A df=1 gram belongs to exactly ONE document, so min(doc_id) on the
+    // gram aggregate IS that document — novel counts come straight off
+    // the df frame, and the expensive join of the full gram stream back
+    // to its df (a second shuffle of long string keys) disappears.
+    // n_grams is size(distinct grams), computed narrow per row.
+    val base = graft.CacheTracker.track(docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode_outer(array_distinct(
-        expr(s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))")))
-        .as("g"))
-    val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
-    grams.join(df, "g")
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_grams"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
-      .select(col("doc_id"), col("n_grams"), col("n_novel"),
-        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+      .select(col("doc_id"), array_distinct(
+        expr(s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))"))
+        .as("gs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val novel = base.select(col("doc_id"), explode(col("gs")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+      .filter(col("df") === 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    base.select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_grams"), 6)
+          .as("novelty"))
   }
 
   /** Cross-source content overlap (B68): 3-token-shingle Jaccard between
@@ -822,7 +830,13 @@ object TextOps {
     * source A is already in source B") answered WITHOUT a doc×doc join:
     * distinct (source, shingle) is one shuffle, the shingle-keyed
     * self-join expands to at most C(|sources|, 2) rows per shingle, and
-    * per-source set sizes broadcast back onto the pair frame. */
+    * per-source set sizes broadcast back onto the pair frame. All three
+    * consumers read the SAME distinct aggregate, so exchange reuse
+    * serves them from one shuffle write. (A/B note: a
+    * groupBy(g).collect_set(source) reshape that pairs sources narrowly
+    * per shingle measured ~50% SLOWER at sf0.1/32 threads — millions of
+    * per-gram array allocations beat the reused exchange reads it
+    * saved.) */
   def sourceOverlap(docs: DataFrame): DataFrame = {
     val ss = docs
       .select(col("source"), col("doc_id"), tokens(col("text")).as("toks"))
