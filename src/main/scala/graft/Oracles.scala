@@ -29,6 +29,44 @@ object Oracles {
   /** (doc_id, token) exploded tokens. */
   val tokTable: String = s"(SELECT doc_id, unnest($toks) AS token FROM documents)"
 
+  /** Mirrors LangModel.bm25 (k1=1.5, b=0.75) — shared by bm25 and
+    * bm25_search so the weighting can never drift between them. */
+  val bm25Sql: String =
+    s"""WITH t AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+       |dfr AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM t) GROUP BY 1),
+       |nd AS (SELECT count(*) AS n_docs FROM documents),
+       |st AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl)
+       |SELECT tf.doc_id, tf.token, tf.tf,
+       |  round(ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+       |    * (CAST(tf.tf AS DOUBLE) * (1.5 + 1.0))
+       |    / (CAST(tf.tf AS DOUBLE) + 1.5 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl)), 6) AS bm25
+       |FROM tf JOIN dl USING (doc_id) JOIN dfr USING (token) CROSS JOIN nd CROSS JOIN st""".stripMargin
+
+  /** Mirrors ml.LogRegSql.weights (3 unrolled GD rounds, lr=1.0,
+    * y = label < 5): per-round CTEs z{k}/e{k}/g{k}/w{k}, built by the
+    * same loop shape as the Spark side so the rounding chain (9 dp
+    * products, sorted folds, 6 dp sigmoid, 9 dp weights) is identical. */
+  val logregWeightCtes: String = {
+    val rounds = (1 to 3).map { k =>
+      val prev = if (k == 1) "w0" else s"w${k - 1}"
+      s"""z$k AS (SELECT vec_id, y, list_reduce(list_sort(list(round(w * x, 9))), (a, b) -> a + b) AS z
+         |       FROM x JOIN $prev USING (i) GROUP BY 1, 2),
+         |e$k AS (SELECT vec_id, round(1.0 / (1.0 + exp(-z)), 6) - y AS e FROM z$k),
+         |g$k AS (SELECT i, round(list_reduce(list_sort(list(round(e * x, 9))), (a, b) -> a + b) / n_vecs, 9) AS g
+         |       FROM x JOIN e$k USING (vec_id) CROSS JOIN nd GROUP BY i, n_vecs),
+         |w$k AS (SELECT i, round(w - 1.0 * coalesce(g, 0.0), 9) AS w FROM $prev LEFT JOIN g$k USING (i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS (SELECT vec_id, CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y,
+       |    CAST(i AS BIGINT) AS i, CAST(e AS DOUBLE) AS x
+       |  FROM (SELECT vec_id, label, unnest(embedding) AS e,
+       |        unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+       |nd AS (SELECT count(*) AS n_vecs FROM embeddings),
+       |w0 AS (SELECT DISTINCT i, 0.0 AS w FROM x),
+       |$rounds""".stripMargin
+  }
+
   /** Exact brute-force cosine top-5 (shared by ann_topk and ann_recall). */
   private val annTopkSql: String =
     """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
@@ -1067,18 +1105,82 @@ object Oracles {
          |  round(1.0 / (60 + r_bm25) + 1.0 / (60 + r_quality), 6) AS rrf
          |FROM r ORDER BY rrf DESC, doc_id LIMIT 50""".stripMargin,
 
-    "bm25" ->
-      s"""WITH t AS (SELECT doc_id, unnest($toks) AS token FROM documents),
-         |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
-         |dfr AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM t) GROUP BY 1),
-         |nd AS (SELECT count(*) AS n_docs FROM documents),
-         |st AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl)
-         |SELECT tf.doc_id, tf.token, tf.tf,
-         |  round(ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
-         |    * (CAST(tf.tf AS DOUBLE) * (1.5 + 1.0))
-         |    / (CAST(tf.tf AS DOUBLE) + 1.5 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl)), 6) AS bm25
-         |FROM tf JOIN dl USING (doc_id) JOIN dfr USING (token) CROSS JOIN nd CROSS JOIN st""".stripMargin,
+    "bm25" -> bm25Sql,
+
+    // BM25 retrieval: per-doc sum of the query terms' weights, global
+    // top-10 with doc_id ties
+    "bm25_search" ->
+      s"""WITH b AS ($bm25Sql)
+         |SELECT doc_id, count(*) AS n_matched,
+         |  round(list_reduce(list_sort(list(bm25)), (a, b) -> a + b), 6) AS score
+         |FROM b WHERE token IN ('query', 'join', 'scan')
+         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // index of dispersion of per-doc tf over containing docs
+    "token_burstiness" ->
+      s"""WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM $tokTable GROUP BY 1, 2),
+         |s AS (SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS s,
+         |      CAST(sum(tf * tf) AS BIGINT) AS ss FROM tf GROUP BY 1)
+         |SELECT token, df, round(CAST(s AS DOUBLE) / df, 6) AS mean_tf,
+         |  round(((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / df) / df)
+         |        / (CAST(s AS DOUBLE) / df), 6) AS burstiness
+         |FROM s WHERE df >= 5""".stripMargin,
+
+    // 2x2 presence-contingency chi-square per (token, lang)
+    "chi2_features" ->
+      s"""WITH d AS (SELECT DISTINCT doc_id, lang, token
+         |    FROM (SELECT doc_id, lang, unnest($toks) AS token FROM documents)),
+         |a AS (SELECT token, lang, count(*) AS a FROM d GROUP BY 1, 2),
+         |dfr AS (SELECT token, count(*) AS df FROM d GROUP BY 1
+         |        HAVING count(*) >= 5 AND count(*) < (SELECT count(*) FROM documents)),
+         |ln_ AS (SELECT lang, count(*) AS lang_n FROM documents GROUP BY 1),
+         |nd AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT token, lang, a, df,
+         |  round(CAST(n_docs AS DOUBLE)
+         |    * pow(CAST(a * (n_docs - df - lang_n + a) - (df - a) * (lang_n - a) AS DOUBLE), 2.0)
+         |    / (CAST(df AS DOUBLE) * (n_docs - df) * lang_n * (n_docs - lang_n)), 6) AS chi2
+         |FROM a JOIN dfr USING (token) JOIN ln_ USING (lang) CROSS JOIN nd""".stripMargin,
+
+    // same-type inter-event gaps per user, percentile summary per type
+    "interarrival_stats" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |  epoch_ns(ts) // 1000 AS us FROM events),
+        |g AS (SELECT event_type, us - lag(us) OVER (PARTITION BY user_id, event_type
+        |        ORDER BY us, event_id) AS gap_us FROM e)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  round(CAST(sum(gap_us) AS DOUBLE) / count(*), 4) AS mean_us,
+        |  round(quantile_cont(gap_us, 0.5), 4) AS p50_us,
+        |  round(quantile_cont(gap_us, 0.9), 4) AS p90_us,
+        |  CAST(max(gap_us) AS BIGINT) AS max_us
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // RFM quartile codes over the per-customer reduced frame
+    "rfm_segments" ->
+      """WITH pc AS (SELECT o_custkey, max(o_orderdate) AS lo, count(*) AS frequency,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT o_custkey, strftime(lo, '%Y-%m-%d') AS last_order,
+        |  frequency, monetary_cents,
+        |  ntile(4) OVER (ORDER BY lo ASC, o_custkey) AS r,
+        |  ntile(4) OVER (ORDER BY frequency ASC, o_custkey) AS f,
+        |  ntile(4) OVER (ORDER BY monetary_cents ASC, o_custkey) AS m
+        |  FROM pc)
+        |SELECT o_custkey, last_order, frequency, monetary_cents,
+        |  CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f, CAST(m AS BIGINT) AS m,
+        |  CAST(r * 100 + f * 10 + m AS BIGINT) AS segment FROM t""".stripMargin,
+
+    "logreg_weights" ->
+      s"""$logregWeightCtes
+         |SELECT i, round(w, 6) AS w FROM w3""".stripMargin,
+
+    "logreg_predictions" ->
+      s"""$logregWeightCtes,
+         |wf AS (SELECT i, round(w, 6) AS w FROM w3),
+         |zf AS (SELECT vec_id, y, list_reduce(list_sort(list(round(w * x, 9))), (a, b) -> a + b) AS z
+         |       FROM x JOIN wf USING (i) GROUP BY 1, 2)
+         |SELECT vec_id, y, round(1.0 / (1.0 + exp(-z)), 6) AS p,
+         |  CASE WHEN round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 THEN 1.0 ELSE 0.0 END AS pred
+         |FROM zf""".stripMargin,
 
     // per-term contributions rounded to 6 dp BEFORE the sorted-list fold,
     // so the sum is partition-independent and bit-identical to Spark's

@@ -169,6 +169,8 @@ object SparkEntry {
     "edit_distance_pairs" -> ((s, d) => Dedup.editDistancePairs(spread(t(s, d, "documents")))),
     "events_anomaly" -> ((s, d) => Relational.eventsAnomaly(events(s, d))),
     "events_ewma" -> ((s, d) => Relational.eventsEwma(events(s, d))),
+    "interarrival_stats" -> ((s, d) => Relational.interarrivalStats(events(s, d))),
+    "rfm_segments" -> ((s, d) => Relational.rfmSegments(t(s, d, "orders"))),
     "session_paths" -> ((s, d) => Sessionize.sessionPaths(events(s, d))),
     "lang_unpivot" -> ((s, d) => Relational.langUnpivot(t(s, d, "documents"))),
     "funnel_conversion" -> ((s, d) => Sessionize.funnel(events(s, d))),
@@ -201,6 +203,11 @@ object SparkEntry {
     "hard_negatives" -> ((s, d) => Similarity.hardNegatives(t(s, d, "embeddings"))),
     "embed_outliers" -> ((s, d) => Similarity.embedOutliers(t(s, d, "embeddings"))),
     "keyword_extract" -> ((s, d) => TfIdf.keywordExtract(spread(t(s, d, "documents")))),
+    "chi2_features" -> ((s, d) => TfIdf.chi2Features(spread(t(s, d, "documents")))),
+    "bm25_search" -> ((s, d) => LangModel.bm25Search(spread(t(s, d, "documents")))),
+    "token_burstiness" -> ((s, d) => LangModel.tokenBurstiness(spread(t(s, d, "documents")))),
+    "logreg_weights" -> ((s, d) => graft.ml.LogRegSql.weights(t(s, d, "embeddings"))),
+    "logreg_predictions" -> ((s, d) => graft.ml.LogRegSql.predictions(t(s, d, "embeddings"))),
     "sentence_stats" -> ((s, d) => TextOps.sentenceStats(spread(t(s, d, "documents")))),
     "readability" -> ((s, d) => TextOps.readability(spread(t(s, d, "documents")))),
     "tokenize_ids" -> ((s, d) => TextOps.tokenizeIds(spread(t(s, d, "documents")))),

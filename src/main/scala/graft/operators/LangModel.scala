@@ -330,4 +330,46 @@ object LangModel {
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** BM25 keyword search (B82): score every document against a literal
+    * query (sum of its [[bm25]] weights for the query terms it
+    * contains), return the global top-k — the retrieval API over the
+    * same weighting the ranking ops use. The per-doc sum folds the ≤
+    * |query| rounded terms in sorted order; the global top-k plans as
+    * TakeOrderedAndProject (per-partition heads, single tiny merge —
+    * never a full sort) with ties broken on doc_id. */
+  def bm25Search(docs: DataFrame, query: Seq[String] = Seq("query", "join", "scan"),
+                 topK: Int = 10): DataFrame =
+    bm25(docs)
+      .filter(col("token").isInCollection(query))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_matched"),
+        round(aggregate(sort_array(collect_list(col("bm25"))), lit(0.0),
+          (a, b) => a + b), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+
+  /** Token burstiness (B83): the index of dispersion (variance/mean) of
+    * a token's per-document term frequency over the documents that
+    * CONTAIN it. Burstiness separates topical tokens (arrive in bursts
+    * — high dispersion) from function words (sprinkled evenly — low),
+    * the signal df alone cannot see. Count/sum/sum-of-squares are exact
+    * longs off one partial-aggregated shuffle; mean and variance derive
+    * with the same expression order as the oracle. tf² stays far below
+    * long range (tf is bounded by document length). */
+  def tokenBurstiness(docs: DataFrame, minDf: Int = 5): DataFrame =
+    docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("token").agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("s"),
+        sum(col("tf") * col("tf")).as("ss"))
+      .filter(col("df") >= minDf)
+      .withColumn("mean_tf", col("s").cast("double") / col("df"))
+      .select(col("token"), col("df"),
+        round(col("mean_tf"), 6).as("mean_tf"),
+        round(
+          ((col("ss").cast("double") - col("s").cast("double") * col("s") / col("df"))
+            / col("df")) / col("mean_tf"), 6).as("burstiness"))
 }

@@ -992,6 +992,58 @@ object Relational {
           .as("ewma"))
   }
 
+  /** Inter-arrival time distribution per event type (C77): gaps between
+    * a user's consecutive events of the same type, summarized as exact
+    * interpolated percentiles (same `percentile` ≡ quantile_cont pairing
+    * as charPercentiles) plus an exact mean. The latency/frequency
+    * profile behind retention and anomaly baselines. One shuffle on
+    * (user_id, event_type) for the lag, one partial-agg shuffle onto the
+    * tiny event_type key. */
+  def interarrivalStats(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        round(sum(col("gap_us")).cast("double") / count(lit(1)), 4).as("mean_us"),
+        round(percentile(col("gap_us"), lit(0.5)), 4).as("p50_us"),
+        round(percentile(col("gap_us"), lit(0.9)), 4).as("p90_us"),
+        max(col("gap_us")).as("max_us"))
+  }
+
+  /** RFM customer segmentation (C78): recency (last order date),
+    * frequency (order count), monetary (exact cent sum) per customer,
+    * each cut into quartiles by ntile(4) with deterministic custkey
+    * tie-breaks, composed into the classic 3-digit segment code. Like
+    * userSpendRank (C21), the global windows run over the
+    * already-reduced per-customer frame — one fact shuffle to build it,
+    * then vocabulary-of-customers-sized sorts. */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(
+        max(col("o_orderdate")).as("lo"),
+        count(lit(1)).as("frequency"),
+        sum(cents(col("o_totalprice"))).as("monetary_cents"))
+    // recency quartile 4 = most recent, matching f/m where 4 = best
+    val rW = Window.orderBy(col("lo").asc, col("o_custkey"))
+    val fW = Window.orderBy(col("frequency").asc, col("o_custkey"))
+    val mW = Window.orderBy(col("monetary_cents").asc, col("o_custkey"))
+    perCust
+      .select(col("o_custkey"),
+        date_format(col("lo"), "yyyy-MM-dd").as("last_order"),
+        col("frequency"), col("monetary_cents"),
+        ntile(4).over(rW).cast("long").as("r"),
+        ntile(4).over(fW).cast("long").as("f"),
+        ntile(4).over(mW).cast("long").as("m"))
+      .withColumn("segment", col("r") * 100 + col("f") * 10 + col("m"))
+  }
+
   /** Wide→long UNPIVOT of per-language aggregates (C75): the stack()
     * reshape that feeds metric-per-row sinks (dashboards, timeseries
     * stores) without one query per metric. One shuffle for the

@@ -67,6 +67,49 @@ object TfIdf {
       .select("doc_id", "token", "tf", "tfidf")
   }
 
+  /** Chi-square (token, class) association (B84) — the statistical
+    * feature selector next to the reference's TF-IDF-rank heuristic
+    * (Hadoop/Modified_NB.java:257-310 keeps top-75% by score; chi² is
+    * what a library user reaches for instead): for each token and
+    * language, the 2×2 presence contingency
+    * A = docs of the class containing the token, B = other docs
+    * containing it, C/D = the complements, and
+    * chi² = N·(AD−BC)² / ((A+B)(C+D)(A+C)(B+D)).
+    *
+    * All margins are exact longs off one (token, lang) aggregate; the
+    * cross term casts to double BEFORE squaring (AD−BC fits a long at
+    * any N, but its square does not), and the product order matches the
+    * oracle. Class and vocabulary frames are tiny and broadcast; the
+    * corpus shuffles once to the distinct (doc, token) frame. Tokens
+    * below minDf are dropped — chi² is meaningless on 1-doc evidence —
+    * and so are tokens in EVERY document (df = N zeroes the (C+D)
+    * margin: no variation, chi² undefined, and the division would
+    * fault). */
+  def chi2Features(docs: DataFrame, minDf: Int = 5): DataFrame = {
+    val d = docs.select(col("doc_id"), col("lang"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+    val a = d.groupBy("token", "lang").agg(count(lit(1)).as("a"))
+    val df_ = d.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val langN = docs.groupBy("lang").agg(count(lit(1)).as("lang_n"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    a.join(broadcast(df_), "token")
+      .join(broadcast(langN), "lang")
+      .crossJoin(broadcast(n))
+      .filter(col("df") < col("n_docs"))
+      .select(col("token"), col("lang"), col("a"), col("df"),
+        (col("df") - col("a")).as("b"),
+        (col("lang_n") - col("a")).as("c"),
+        (col("n_docs") - col("df") - col("lang_n") + col("a")).as("d"),
+        col("lang_n"), col("n_docs"))
+      .select(col("token"), col("lang"), col("a"), col("df"),
+        round(
+          col("n_docs").cast("double")
+            * pow((col("a") * col("d") - col("b") * col("c")).cast("double"), 2.0)
+            / (col("df").cast("double") * (col("n_docs") - col("df"))
+              * col("lang_n") * (col("n_docs") - col("lang_n"))), 6).as("chi2"))
+  }
+
   /** Top-k keyword extraction per document by TF-IDF (B77): the
     * classic "what is this document about" summarizer. Runs through the
     * custom TopKPerKey heap operator — per-doc candidate pruning in the

@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ml.LogRegSql
+import graft.operators.{LangModel, Relational, TfIdf}
+
+/** Round-8 batch 2: chi2 features, BM25 search, burstiness,
+  * inter-arrival stats, RFM segmentation, declarative logistic GD. */
+class Round8bSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chi2Features: perfectly associated token gets the max statistic") {
+    // "aa" appears in every en doc and no fr doc; "cc" in 5 of 6 docs;
+    // "dd" in ALL docs (df = N → excluded: chi2 undefined)
+    val docs = Seq(
+      (1L, "en", "aa cc dd"), (2L, "en", "aa cc dd"), (3L, "en", "aa cc dd"),
+      (4L, "fr", "bb cc dd"), (5L, "fr", "bb cc dd"), (6L, "fr", "bb dd"))
+      .toDF("doc_id", "lang", "text")
+    val out = TfIdf.chi2Features(docs, minDf = 3)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    // perfect 2x2 association: chi2 = N = 6
+    assert(out(("aa", "en")) === 6.0)
+    // A = 0 cells never materialize (the frame is presence-sparse):
+    // aa's anti-association with fr is implied by its en row
+    assert(!out.contains(("aa", "fr")))
+    // cc: a=3,b=2,c=0,d=1 → 6*(3-0)^2/(5*1*3*3) = 1.2
+    assert(out(("cc", "en")) === 1.2)
+    // df = N tokens carry no signal and would divide by zero: excluded
+    assert(!out.keySet.exists(_._1 == "dd"))
+  }
+
+  test("bm25Search returns global top-k by summed query-term weight") {
+    val docs = Seq(
+      (1L, "query join scan extra words here"),
+      (2L, "query query other tokens padding text"),
+      (3L, "nothing relevant at all in this"),
+      (4L, "join scan"))
+      .toDF("doc_id", "text")
+    val out = LangModel.bm25Search(docs, Seq("query", "join", "scan"), topK = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length === 2)
+    // scores sorted descending; every returned doc matched >= 1 term
+    assert(out.map(_._3).toSeq === out.map(_._3).sorted.reverse.toSeq)
+    assert(out.forall(_._2 >= 1))
+    assert(!out.map(_._1).contains(3L))
+  }
+
+  test("tokenBurstiness: even sprinkle scores 0, bursts score high") {
+    val docs = (1L to 5L).map(i => (i, "even " + ("burst " * (if (i == 1) 9 else 1))))
+      .toDF("doc_id", "text")
+    val out = LangModel.tokenBurstiness(docs, minDf = 5)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out("even") === 0.0) // tf identical in every doc → variance 0
+    assert(out("burst") > 1.0) // 9-1-1-1-1 is overdispersed
+  }
+
+  test("interarrivalStats summarizes same-type gaps per user") {
+    val events = Seq(
+      (1L, 1L, "click", "2024-01-01 10:00:00"),
+      (2L, 1L, "click", "2024-01-01 10:00:10"), // gap 10s
+      (3L, 1L, "click", "2024-01-01 10:00:40"), // gap 30s
+      (4L, 2L, "click", "2024-01-01 11:00:00"), // first per user: no gap
+      (5L, 1L, "view", "2024-01-01 10:00:05")) // single view: no gap
+      .map { case (e, u, t, ts) => (e, u, t, Timestamp.valueOf(ts)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Relational.interarrivalStats(events)
+      .as[(String, Long, Double, Double, Double, Long)].collect()
+    assert(out.length === 1) // only click has gaps
+    val (tpe, n, mean, p50, _, mx) = out.head
+    assert((tpe, n, mx) === ("click", 2L, 30000000L))
+    assert(mean === 20000000.0 && p50 === 20000000.0)
+  }
+
+  test("rfmSegments: quartiles are deterministic and 4 = best") {
+    val orders = (1L to 8L).flatMap { c =>
+      // customer c has c orders of $c each, latest on day c
+      (1L to c).map(i => (c * 100 + i, c,
+        Timestamp.valueOf(f"2024-01-${c}%02d 00:00:00"), c.toDouble))
+    }.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = Relational.rfmSegments(orders)
+      .select("o_custkey", "r", "f", "m", "segment")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // customer 8: most recent, most orders, highest spend → 444
+    assert(out.last === ((8L, 4L, 4L, 4L, 444L)))
+    // customer 1: oldest, fewest, lowest → 111
+    assert(out.head === ((1L, 1L, 1L, 1L, 111L)))
+    // 8 customers into quartiles of 2
+    assert(out.map(_._2).count(_ == 4L) === 2)
+  }
+
+  test("LogRegSql learns a separating direction on separable embeddings") {
+    // dim 1 perfectly separates: label<5 ↔ x1 = +1
+    val emb = (0L until 20L).map { v =>
+      val y = v % 10 < 5
+      (v, v % 10, Array(if (y) 1.0f else -1.0f, 0.5f))
+    }.toDF("vec_id", "label", "embedding")
+    val w = LogRegSql.weights(emb).as[(Long, Double)].collect().toMap
+    assert(w(1L) > 0.1) // moved toward the separating direction
+    assert(math.abs(w(2L)) < w(1L)) // uninformative dim stays smaller
+    val preds = LogRegSql.predictions(emb)
+      .select("y", "pred").as[(Double, Double)].collect()
+    assert(preds.forall { case (y, p) => y === p }) // separable → all correct
+  }
+}
