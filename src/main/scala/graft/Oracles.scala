@@ -1169,6 +1169,46 @@ object Oracles {
         |  CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f, CAST(m AS BIGINT) AS m,
         |  CAST(r * 100 + f * 10 + m AS BIGINT) AS segment FROM t""".stripMargin,
 
+    // PQ: per-subspace deterministic Lloyd rounds, same machinery as
+    // kmeans_lloyd with a sub key threaded through every stage
+    "embed_pq" -> {
+      def assign(c: String, a: String) =
+        s"""$a AS (SELECT vec_id, sub, e, code, dist FROM (
+           |  SELECT vec_id, sub, e, code, dist,
+           |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+           |  FROM (SELECT v.vec_id, v.sub, v.e, $c.code,
+           |      round(list_reduce(list_transform(range(1, 9),
+           |        i -> (e[i] - c[i]) * (e[i] - c[i])), (p, q) -> p + q), 9) AS dist
+           |    FROM v JOIN $c USING (sub))) WHERE rn = 1)""".stripMargin
+      def recenter(a: String, m: String, c: String) =
+        s"""$m AS (SELECT sub, code, pos,
+           |  round(list_reduce(list_sort(list(x)), (p, q) -> p + q) / count(*), 9) AS cm
+           |  FROM (SELECT sub, code, unnest(range(1, 9)) AS pos, unnest(e) AS x FROM $a)
+           |  GROUP BY sub, code, pos),
+           |$c AS (SELECT sub, code, list(cm ORDER BY pos) AS c FROM $m GROUP BY sub, code)""".stripMargin
+      s"""WITH v AS (SELECT vec_id, CAST(s AS BIGINT) AS sub,
+         |    list_transform(embedding[(s * 8 + 1):(s * 8 + 8)], x -> CAST(x AS DOUBLE)) AS e
+         |  FROM (SELECT vec_id, embedding, unnest(range(0, 8)) AS s FROM embeddings)),
+         |c0 AS (SELECT sub, CAST(vec_id AS BIGINT) AS code, e AS c FROM v WHERE vec_id < 4),
+         |${assign("c0", "a1")},
+         |${recenter("a1", "m1", "c1")},
+         |${assign("c1", "a2")},
+         |${recenter("a2", "m2", "c2")},
+         |${assign("c2", "a3")}
+         |SELECT vec_id, sub, code, round(dist, 6) AS err FROM a3""".stripMargin
+    },
+
+    // skyline via the NOT EXISTS dominance definition — deliberately a
+    // DIFFERENT derivation than the Spark per-date-frontier reduction
+    "order_skyline" ->
+      """WITH p AS (SELECT o_orderkey, o_orderdate,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders)
+        |SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, price_cents
+        |FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p b
+        |  WHERE b.o_orderdate >= a.o_orderdate AND b.price_cents >= a.price_cents
+        |    AND (b.o_orderdate > a.o_orderdate OR b.price_cents > a.price_cents))""".stripMargin,
+
     "logreg_weights" ->
       s"""$logregWeightCtes
          |SELECT i, round(w, 6) AS w FROM w3""".stripMargin,

@@ -171,6 +171,7 @@ object SparkEntry {
     "events_ewma" -> ((s, d) => Relational.eventsEwma(events(s, d))),
     "interarrival_stats" -> ((s, d) => Relational.interarrivalStats(events(s, d))),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(t(s, d, "orders"))),
+    "order_skyline" -> ((s, d) => Relational.orderSkyline(t(s, d, "orders"))),
     "session_paths" -> ((s, d) => Sessionize.sessionPaths(events(s, d))),
     "lang_unpivot" -> ((s, d) => Relational.langUnpivot(t(s, d, "documents"))),
     "funnel_conversion" -> ((s, d) => Sessionize.funnel(events(s, d))),
@@ -207,6 +208,7 @@ object SparkEntry {
     "bm25_search" -> ((s, d) => LangModel.bm25Search(spread(t(s, d, "documents")))),
     "token_burstiness" -> ((s, d) => LangModel.tokenBurstiness(spread(t(s, d, "documents")))),
     "logreg_weights" -> ((s, d) => graft.ml.LogRegSql.weights(t(s, d, "embeddings"))),
+    "embed_pq" -> ((s, d) => Similarity.embedPq(t(s, d, "embeddings"))),
     "logreg_predictions" -> ((s, d) => graft.ml.LogRegSql.predictions(t(s, d, "embeddings"))),
     "sentence_stats" -> ((s, d) => TextOps.sentenceStats(spread(t(s, d, "documents")))),
     "readability" -> ((s, d) => TextOps.readability(spread(t(s, d, "documents")))),

@@ -992,6 +992,37 @@ object Relational {
           .as("ewma"))
   }
 
+  /** 2D skyline / Pareto frontier of orders (C79): the orders no other
+    * order beats on BOTH recency and value (≥ on both, > on one) — the
+    * multi-criteria "best offers" operator family. Computed WITHOUT the
+    * quadratic NOT EXISTS self-join the definition suggests: per-date
+    * maxima reduce the frame to one row per date (one partial-agg
+    * shuffle), a running max over strictly-newer dates marks frontier
+    * dates (the global sort runs on the DATE-bounded frame, never the
+    * fact table), and a semi-join back recovers the orders achieving
+    * them. Equal (date, price) duplicates don't dominate each other and
+    * are all kept. The oracle derives the same set INDEPENDENTLY via
+    * the NOT EXISTS dominance definition. */
+  def orderSkyline(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = orders.select(col("o_orderkey"), col("o_orderdate"),
+      cents(col("o_totalprice")).as("price_cents"))
+    val byDate = pts.groupBy(col("o_orderdate"))
+      .agg(max(col("price_cents")).as("best_cents"))
+    val wNewer = Window.orderBy(col("o_orderdate").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = byDate
+      .withColumn("max_newer", max(col("best_cents")).over(wNewer))
+      .filter(col("max_newer").isNull || col("best_cents") > col("max_newer"))
+      .select(col("o_orderdate").as("sky_date"), col("best_cents"))
+    pts.join(broadcast(sky),
+        col("o_orderdate") === col("sky_date")
+          && col("price_cents") === col("best_cents"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("price_cents"))
+  }
+
   /** Inter-arrival time distribution per event type (C77): gaps between
     * a user's consecutive events of the same type, summarized as exact
     * interpolated percentiles (same `percentile` ≡ quantile_cont pairing

@@ -503,6 +503,57 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
   }
 
+  /** Product quantization (B86): the production ANN memory layout
+    * (IVF-PQ) — each embedding splits into m contiguous subvectors and
+    * every subspace learns its own k-codeword codebook with the same
+    * deterministic Lloyd machinery as [[kmeansLloyd]] (init = the k
+    * lowest vec_ids' subvectors, index-order distance folds, ties to
+    * the lowest code), so 64 floats compress to m small codes.
+    *
+    * All m subspaces train in ONE pass per round: the frame is keyed
+    * (vec_id, sub), the codebook is an (m·k)-bounded broadcast, and
+    * each round is one broadcast probe + one (m·k·dims)-bounded
+    * aggregate — the data never shuffles. Output: (vec_id, sub, code,
+    * err) with the squared quantization error at 6 dp; the oracle
+    * replays the identical rounds as a DuckDB CTE chain. */
+  def embedPq(emb: DataFrame, m: Int = 8, k: Int = 4, iters: Int = 2,
+              dims: Int = 64): DataFrame = {
+    require(dims % m == 0, "dims must split evenly into m subvectors")
+    val sub = dims / m
+    val vecs = graft.CacheTracker.track(
+      emb.select(col("vec_id"), explode(expr(
+          s"transform(sequence(0, ${m - 1}), s -> struct(CAST(s AS BIGINT) AS sub, " +
+            s"transform(slice(embedding, s * $sub + 1, $sub), x -> CAST(x AS DOUBLE)) AS e))"))
+          .as("p"))
+        .select(col("vec_id"), col("p.sub").as("sub"), col("p.e").as("e"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    vecs.count()
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id", "sub").orderBy(col("dist"), col("code"))
+      vecs.join(broadcast(cent), "sub")
+        .select(col("vec_id"), col("sub"), col("e"), col("code"),
+          round(aggregate(zip_with(col("e"), col("c"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x), 9).as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn")
+    }
+    var cent = vecs.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").cast("long").as("code"), col("e").as("c"))
+    for (_ <- 1 to iters) {
+      cent = assign(cent)
+        .select(col("sub"), col("code"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(round(aggregate(sort_array(collect_list(col("x"))), lit(0.0),
+          (a, b) => a + b) / count(lit(1)), 9).as("cm"))
+        .groupBy("sub", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cm")))).as("pc"))
+        .select(col("sub"), col("code"), transform(col("pc"), x => x.getField("cm")).as("c"))
+    }
+    assign(cent)
+      .select(col("vec_id"), col("sub"), col("code"), round(col("dist"), 6).as("err"))
+  }
+
   /** ANN recall evaluation (B76): recall@k of the sign-LSH bucketed ANN
     * ([[annIvf]]) against the exact brute-force top-k ([[annTopK]]) —
     * the quality gate every approximate index needs before it replaces

@@ -91,6 +91,41 @@ class Round8bSpec extends SparkSpec {
     assert(out.map(_._2).count(_ == 4L) === 2)
   }
 
+  test("embedPq encodes every (vector, subspace) with a valid code and " +
+    "identical vectors share codes") {
+    // 8 vecs, 16 dims → m=4 subspaces of 4 dims; vecs 0/4, 1/5, ... identical
+    val emb = (0L until 8L).map { v =>
+      (v, 0L, Array.tabulate(16)(d => ((v % 4) * 10 + d).toFloat))
+    }.toDF("vec_id", "label", "embedding")
+    val out = graft.operators.Similarity.embedPq(emb, m = 4, k = 4, dims = 16)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length === 8 * 4)
+    assert(out.forall { case (_, sub, code, err) =>
+      sub >= 0 && sub < 4 && code >= 0 && code < 4 && err >= 0.0 })
+    // vec v and v+4 are identical → same code per subspace, zero error
+    val codes = out.map(r => (r._1, r._2) -> r._3).toMap
+    for (v <- 0L until 4L; s <- 0L until 4L)
+      assert(codes((v, s)) === codes((v + 4, s)))
+    // 4 distinct points per subspace, k=4 codewords, 2 Lloyd rounds from
+    // the 4 distinct inits → every point sits ON its codeword
+    assert(out.forall(_._4 === 0.0))
+  }
+
+  test("orderSkyline keeps exactly the non-dominated (date, price) orders") {
+    val orders = Seq(
+      (1L, "2024-01-01", 500.0), // dominated by 3 (newer, higher)
+      (2L, "2024-01-02", 300.0), // dominated by 3
+      (3L, "2024-01-03", 400.0), // skyline (newest among >= its price)
+      (4L, "2024-01-01", 900.0), // skyline (highest overall)
+      (5L, "2024-01-04", 100.0), // skyline (newest date)
+      (6L, "2024-01-03", 400.0)) // duplicate of 3: kept too
+      .map { case (k, d, p) => (k, Timestamp.valueOf(d + " 00:00:00"), p) }
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val out = Relational.orderSkyline(orders)
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(out === Set(3L, 4L, 5L, 6L))
+  }
+
   test("LogRegSql learns a separating direction on separable embeddings") {
     // dim 1 perfectly separates: label<5 ↔ x1 = +1
     val emb = (0L until 20L).map { v =>
