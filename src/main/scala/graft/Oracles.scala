@@ -1198,6 +1198,12 @@ object Oracles {
          |SELECT vec_id, sub, code, round(dist, 6) AS err FROM a3""".stripMargin
     },
 
+    // exact distinct users per tumbling hour window
+    "window_active_users" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     // skyline via the NOT EXISTS dominance definition — deliberately a
     // DIFFERENT derivation than the Spark per-date-frontier reduction
     "order_skyline" ->

@@ -127,6 +127,7 @@ object SparkEntry {
     "text_stats" -> ((s, d) => TextOps.textStats(t(s, d, "documents"))),
     "char_percentiles" -> ((s, d) => TextOps.charPercentiles(t(s, d, "documents"))),
     "approx_distinct_tokens" -> ((s, d) => TextOps.approxDistinctTokens(spread(t(s, d, "documents")))),
+    "approx_heavy_hitters" -> ((s, d) => TextOps.approxHeavyHitters(spread(t(s, d, "documents")))),
     "line_freq_filter" -> ((s, d) => TextOps.lineFreqFilter(spread(t(s, d, "documents")))),
     "domain_cap" -> ((s, d) => TextOps.domainCap(t(s, d, "documents"))),
     "compression_ratio" -> ((s, d) => TextOps.compressionRatio(spread(t(s, d, "documents")))),
@@ -172,6 +173,7 @@ object SparkEntry {
     "interarrival_stats" -> ((s, d) => Relational.interarrivalStats(events(s, d))),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(t(s, d, "orders"))),
     "order_skyline" -> ((s, d) => Relational.orderSkyline(t(s, d, "orders"))),
+    "window_active_users" -> ((s, d) => Relational.windowActiveUsers(events(s, d))),
     "session_paths" -> ((s, d) => Sessionize.sessionPaths(events(s, d))),
     "lang_unpivot" -> ((s, d) => Relational.langUnpivot(t(s, d, "documents"))),
     "funnel_conversion" -> ((s, d) => Sessionize.funnel(events(s, d))),

@@ -992,6 +992,21 @@ object Relational {
           .as("ewma"))
   }
 
+  /** Hourly active users (C80): tumbling window, EXACT distinct user
+    * count per (hour, event_type). Spark plans count(DISTINCT) as a
+    * two-stage Expand aggregate — partial dedup map-side, so the
+    * shuffle carries (window, type, user) partials, never raw events.
+    * The approximate twin at unbounded cardinality is HLL
+    * (approxDistinctTokens shows that path). */
+  def windowActiveUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
   /** 2D skyline / Pareto frontier of orders (C79): the orders no other
     * order beats on BOTH recency and value (≥ on both, > on one) — the
     * multi-criteria "best offers" operator family. Computed WITHOUT the

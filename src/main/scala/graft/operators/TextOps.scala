@@ -952,6 +952,25 @@ object TextOps {
     docs.select(col("doc_id"),
       graft.functions.GraftFunctions.normalize(lower(col("text"))).as("norm_text"))
 
+  /** Approximate heavy-hitter tokens via the Misra-Gries typed
+    * Aggregator (B87, [[graft.functions.HeavyHitters]]): at most
+    * `capacity` counters of state at any moment, mergeable under any
+    * partitioning — the frequent-items path when even the vocabulary
+    * doesn't fit an exact groupBy. Like the HLL distinct sketch,
+    * estimates are arrival-order dependent (rows+test, no DuckDB twin);
+    * ScalaTest pins the deterministic guarantees instead: estimates
+    * never overcount, undercount <= the sketch's discarded total
+    * <= n/(capacity+1), and every item above that threshold surfaces. */
+  def approxHeavyHitters(docs: DataFrame, capacity: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the product-typed aggregate auto-flattens to (counters, discarded)
+    docs.select(explode(tokens(col("text"))).as("token")).as[String]
+      .select(new graft.functions.HeavyHitters(capacity).toColumn.name("sk"))
+      .select(explode(col("counters")).as(Seq("token", "est")),
+        col("discarded").as("max_undercount"))
+  }
+
   /** Per-document sentence segmentation statistics (B78): split on
     * terminal-punctuation runs ([.!?]+), trim, drop empties; report
     * sentence count, longest sentence, and mean chars/words per
