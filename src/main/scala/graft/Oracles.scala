@@ -1198,6 +1198,42 @@ object Oracles {
          |SELECT vec_id, sub, code, round(dist, 6) AS err FROM a3""".stripMargin
     },
 
+    // -p·ln p terms rounded then sorted-folded per source
+    "source_lang_entropy" ->
+      """WITH c AS (SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs FROM c GROUP BY 1),
+        |tm AS (SELECT source, n_docs,
+        |  round(-(CAST(cnt AS DOUBLE) / n_docs) * ln(CAST(cnt AS DOUBLE) / n_docs), 6) AS term
+        |  FROM c JOIN t USING (source))
+        |SELECT source, any_value(n_docs) AS n_docs, count(*) AS n_langs,
+        |  round(list_reduce(list_sort(list(term)), (a, b) -> a + b), 6) AS entropy
+        |FROM tm GROUP BY 1""".stripMargin,
+
+    // Gini by the rank formula over ascending spend, exact long sums
+    "spend_gini" ->
+      """WITH pc AS (SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT spend_cents,
+        |  row_number() OVER (ORDER BY spend_cents, o_custkey) AS i FROM pc),
+        |s AS (SELECT count(*) AS n_customers, CAST(sum(spend_cents) AS BIGINT) AS total_cents,
+        |  CAST(sum(i * spend_cents) AS BIGINT) AS rank_sum FROM r)
+        |SELECT n_customers, total_cents,
+        |  round(2.0 * rank_sum / (CAST(n_customers AS DOUBLE) * total_cents)
+        |        - CAST(n_customers + 1 AS DOUBLE) / n_customers, 6) AS gini
+        |FROM s""".stripMargin,
+
+    // Monday weeks (date_trunc week is ISO in both engines)
+    "weekly_revenue_wow" ->
+      """WITH w AS (SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT week, revenue_cents,
+        |  lag(revenue_cents) OVER (ORDER BY week) AS prev_cents FROM w)
+        |SELECT week, revenue_cents, prev_cents,
+        |  round(CAST(revenue_cents - prev_cents AS DOUBLE) / prev_cents, 6) AS wow_change
+        |FROM l WHERE prev_cents IS NOT NULL""".stripMargin,
+
     // exact distinct users per tumbling hour window
     "window_active_users" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -174,6 +174,9 @@ object SparkEntry {
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(t(s, d, "orders"))),
     "order_skyline" -> ((s, d) => Relational.orderSkyline(t(s, d, "orders"))),
     "window_active_users" -> ((s, d) => Relational.windowActiveUsers(events(s, d))),
+    "spend_gini" -> ((s, d) => Relational.spendGini(t(s, d, "orders"))),
+    "weekly_revenue_wow" -> ((s, d) => Relational.weeklyRevenueWow(t(s, d, "orders"))),
+    "source_lang_entropy" -> ((s, d) => LangModel.sourceLangEntropy(t(s, d, "documents"))),
     "session_paths" -> ((s, d) => Sessionize.sessionPaths(events(s, d))),
     "lang_unpivot" -> ((s, d) => Relational.langUnpivot(t(s, d, "documents"))),
     "funnel_conversion" -> ((s, d) => Sessionize.funnel(events(s, d))),

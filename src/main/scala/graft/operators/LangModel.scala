@@ -350,6 +350,26 @@ object LangModel {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
 
+  /** Per-source language-diversity entropy (B88): H = −Σ p·ln p over
+    * the source's language mix — the corpus-composition monitor next to
+    * [[langKl]]'s distribution drift. Counts are exact longs off one
+    * tiny (source, lang) aggregate; each −p·ln p term rounds to 6 dp
+    * and the ≤|langs| terms fold sorted, the house transcendental
+    * discipline. */
+  def sourceLangEntropy(docs: DataFrame): DataFrame = {
+    val c = docs.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+    val tot = c.groupBy("source").agg(sum(col("cnt")).as("n_docs"))
+    c.join(tot, "source")
+      .select(col("source"), col("n_docs"),
+        round(-(col("cnt").cast("double") / col("n_docs")) *
+          log(col("cnt").cast("double") / col("n_docs")), 6).as("term"))
+      .groupBy("source")
+      .agg(first(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        round(aggregate(sort_array(collect_list(col("term"))), lit(0.0),
+          (a, x) => a + x), 6).as("entropy"))
+  }
+
   /** Token burstiness (B83): the index of dispersion (variance/mean) of
     * a token's per-document term frequency over the documents that
     * CONTAIN it. Burstiness separates topical tokens (arrive in bursts

@@ -992,6 +992,53 @@ object Relational {
           .as("ewma"))
   }
 
+  /** Gini coefficient of customer spend (C81): revenue-concentration in
+    * one number via the rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n
+    * over ascending spend (custkey ties). All sums are exact longs —
+    * the global rank runs on the per-customer reduced frame (the C21
+    * pattern), and i·x_i stays within long range while
+    * n_customers·max_spend_cents < 2^63 (documented bound; split the
+    * rank-sum by range beyond it). The two divides run as doubles in
+    * fixed order. */
+  def spendGini(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("spend_cents"))
+    val w = Window.orderBy(col("spend_cents"), col("o_custkey"))
+    perCust
+      .select(col("spend_cents"), row_number().over(w).cast("long").as("i"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("spend_cents")).as("total_cents"),
+        sum(col("i") * col("spend_cents")).as("rank_sum"))
+      .select(col("n_customers"), col("total_cents"),
+        round(
+          lit(2.0) * col("rank_sum")
+            / (col("n_customers").cast("double") * col("total_cents"))
+            - (col("n_customers") + 1).cast("double") / col("n_customers"), 6)
+          .as("gini"))
+  }
+
+  /** Week-over-week revenue (C82): Monday-truncated weekly cent sums
+    * with the previous week's total and the relative change — the
+    * reporting staple. One shuffle to the week key (partial-agg
+    * reduced), one window pass over the weeks-bounded frame. First week
+    * has no predecessor and is excluded (stated, not NULL-padded). */
+  def weeklyRevenueWow(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekly = orders
+      .groupBy(date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd")
+        .as("week"))
+      .agg(sum(cents(col("o_totalprice"))).as("revenue_cents"))
+    weekly
+      .withColumn("prev_cents",
+        lag(col("revenue_cents"), 1).over(Window.orderBy(col("week"))))
+      .filter(col("prev_cents").isNotNull)
+      .select(col("week"), col("revenue_cents"), col("prev_cents"),
+        round((col("revenue_cents") - col("prev_cents")).cast("double")
+          / col("prev_cents"), 6).as("wow_change"))
+  }
+
   /** Hourly active users (C80): tumbling window, EXACT distinct user
     * count per (hour, event_type). Spark plans count(DISTINCT) as a
     * two-stage Expand aggregate — partial dedup map-side, so the

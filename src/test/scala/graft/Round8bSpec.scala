@@ -126,6 +126,43 @@ class Round8bSpec extends SparkSpec {
     assert(out === Set(3L, 4L, 5L, 6L))
   }
 
+  test("spendGini: equal spend scores 0, total concentration approaches 1") {
+    def gini(spends: Seq[Double]): Double = {
+      val orders = spends.zipWithIndex
+        .map { case (s, i) => (i.toLong + 1, i.toLong + 1,
+          Timestamp.valueOf("2024-01-01 00:00:00"), s) }
+        .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      Relational.spendGini(orders).select("gini").as[Double].head()
+    }
+    assert(gini(Seq.fill(10)(100.0)) === 0.0)
+    assert(gini(Seq.fill(9)(0.01) ++ Seq(10000.0)) > 0.85)
+  }
+
+  test("weeklyRevenueWow computes Monday-week relative changes") {
+    val orders = Seq(
+      (1L, 1L, "2024-01-01", 100.0), // Mon week 1
+      (2L, 2L, "2024-01-03", 100.0), // week 1
+      (3L, 3L, "2024-01-08", 300.0), // week 2: +50%
+      (4L, 4L, "2024-01-15", 150.0)) // week 3: -50%
+      .map { case (k, c, d, p) => (k, c, Timestamp.valueOf(d + " 00:00:00"), p) }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = Relational.weeklyRevenueWow(orders).orderBy("week")
+      .select("week", "wow_change").as[(String, Double)].collect()
+    assert(out.toSeq === Seq(("2024-01-08", 0.5), ("2024-01-15", -0.5)))
+  }
+
+  test("sourceLangEntropy: uniform mix scores ln(k), single lang scores 0") {
+    val docs = Seq(
+      (1L, "s1", "en"), (2L, "s1", "fr"), // uniform over 2 → ln 2
+      (3L, "s2", "en"), (4L, "s2", "en")) // single lang → 0
+      .toDF("doc_id", "source", "lang")
+    val out = LangModel.sourceLangEntropy(docs)
+      .select("source", "entropy").as[(String, Double)].collect().toMap
+    // each -p·ln p term rounds to 6dp FIRST: 2 × 0.346574 = 0.693148
+    assert(out("s1") === 0.693148)
+    assert(out("s2") === 0.0)
+  }
+
   test("LogRegSql learns a separating direction on separable embeddings") {
     // dim 1 perfectly separates: label<5 ↔ x1 = +1
     val emb = (0L until 20L).map { v =>
