@@ -112,6 +112,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("keyword_extract ranks through the TopKPerKey heap operator") {
+    val p = plan("keyword_extract")
+    assert(p.contains("TopKPerKey"),
+      "per-doc pruning must run through the custom heap operator")
+  }
+
+  test("tokenize_ids broadcasts the vocabulary; the corpus join never shuffles") {
+    val p = plan("tokenize_ids")
+    assert(p.contains("BroadcastHashJoin"), "vocab must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus-side sort-merge join means the vocab broadcast was lost")
+  }
+
+  test("order_skyline reduces to the date frame before the global window") {
+    val p = plan("order_skyline")
+    assert(p.contains("BroadcastHashJoin"), "skyline dates must broadcast back")
+    assert(exchanges(p) <= 2,
+      s"per-date reduction + single-partition date window only:\n${p.take(400)}")
+  }
+
+  test("embed_pq broadcasts codebooks every round; the data never " +
+    "sort-merge-joins") {
+    val p = plan("embed_pq")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      "each Lloyd round's (m.k)-bounded codebook must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("no query plans a CartesianProduct") {
     // plan_audit.py enforces this per round; the spec makes it per-commit.
     // Model-fitting queries execute during planning, so guard the cheap
