@@ -1198,6 +1198,14 @@ object Oracles {
          |SELECT vec_id, sub, code, round(dist, 6) AS err FROM a3""".stripMargin
     },
 
+    // the salted join must equal the plain join — the oracle IS the
+    // plain join
+    "salted_join_agg" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+
     // -p·ln p terms rounded then sorted-folded per source
     "source_lang_entropy" ->
       """WITH c AS (SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2),

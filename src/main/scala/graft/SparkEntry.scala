@@ -175,6 +175,17 @@ object SparkEntry {
     "order_skyline" -> ((s, d) => Relational.orderSkyline(t(s, d, "orders"))),
     "window_active_users" -> ((s, d) => Relational.windowActiveUsers(events(s, d))),
     "spend_gini" -> ((s, d) => Relational.spendGini(t(s, d, "orders"))),
+    // the salted join's RESULT is oracle-checked against the plain join
+    // (the whole point of salting: bit-identical output, skew-proof shape)
+    "salted_join_agg" -> ((s, d) => {
+      val joined = Skew.saltedJoin(
+        t(s, d, "orders"),
+        t(s, d, "customer").select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        "o_custkey")
+      joined.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+    }),
     "weekly_revenue_wow" -> ((s, d) => Relational.weeklyRevenueWow(t(s, d, "orders"))),
     "source_lang_entropy" -> ((s, d) => LangModel.sourceLangEntropy(t(s, d, "documents"))),
     "session_paths" -> ((s, d) => Sessionize.sessionPaths(events(s, d))),
