@@ -413,6 +413,34 @@ object Oracles {
         |       p.us - c.click_us AS gap_us
         |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us >= c.click_us""".stripMargin,
 
+    // forward twin: DuckDB ASOF flips direction with <=
+    "asof_join_forward" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ns(ts) // 1000 AS click_us,
+        |             min(event_id) AS click_event_id
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.user_id, p.event_id, p.us, c.click_event_id, c.click_us,
+        |       c.click_us - p.us AS gap_us
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us <= c.click_us""".stripMargin,
+
+    // rank-frequency log-log OLS: 9dp ln terms, sorted folds
+    "zipf_slope" ->
+      s"""WITH c AS (SELECT token, count(*) AS cnt FROM $tokTable GROUP BY 1),
+         |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk FROM c),
+         |t AS (SELECT round(ln(CAST(rnk AS DOUBLE)), 9) AS x,
+         |             round(ln(CAST(cnt AS DOUBLE)), 9) AS y FROM r),
+         |s AS (SELECT count(*) AS n_tokens,
+         |  list_reduce(list_sort(list(x)), (a, b) -> a + b) AS sx,
+         |  list_reduce(list_sort(list(y)), (a, b) -> a + b) AS sy,
+         |  list_reduce(list_sort(list(round(x * y, 9))), (a, b) -> a + b) AS sxy,
+         |  list_reduce(list_sort(list(round(x * x, 9))), (a, b) -> a + b) AS sxx
+         |  FROM t)
+         |SELECT n_tokens,
+         |  round((n_tokens * sxy - sx * sy) / (n_tokens * sxx - sx * sx), 6) AS slope,
+         |  round((sy * sxx - sx * sxy) / (n_tokens * sxx - sx * sx), 6) AS intercept
+         |FROM s WHERE n_tokens > 1""".stripMargin,
+
     "stratified_sample" ->
       """SELECT doc_id, lang, source, n_chars, bucket FROM (
         |  SELECT doc_id, lang, source, n_chars,

@@ -343,6 +343,27 @@ object SparkEntry {
         .filter(col("click_event_id").isNotNull) // inner as-of: dtype-stable for the oracle
         .withColumn("gap_us", col("us") - col("click_us"))
     }),
+    // forward as-of: the FIRST click at/after each purchase — the same
+    // union+window machinery run on negated time (backward as-of on -t
+    // IS forward as-of on t); oracle = DuckDB ASOF JOIN with <=
+    "asof_join_forward" -> ((s, d) => {
+      val e = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"),
+          (-col("us")).as("neg_us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("us").as("click_us"))
+        .agg(min("event_id").as("click_event_id"))
+        .select(col("user_id"), col("click_event_id"), col("click_us"),
+          (-col("click_us")).as("neg_click_us"))
+      AsOf.asofJoin(purchases, clicks, "user_id", "neg_us", "neg_click_us")
+        .filter(col("click_event_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("click_event_id"), col("click_us"),
+          (col("click_us") - col("us")).as("gap_us"))
+    }),
+    "zipf_slope" -> ((s, d) => LangModel.zipfSlope(spread(t(s, d, "documents")))),
     "csv_ingest" -> ((s, _) =>
       s.read.option("header", "true").option("quote", "\"").option("escape", "\"")
         .option("inferSchema", "false")

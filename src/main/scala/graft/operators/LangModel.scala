@@ -350,6 +350,39 @@ object LangModel {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
 
+  /** Zipf exponent fit (B89): OLS slope of ln(frequency) on ln(rank)
+    * over the corpus vocabulary — the power-law health check (natural
+    * corpora sit near −1; pathological or synthetic mixes drift). Ranks
+    * assign on the vocab-sized frame (count desc, token ties); each ln
+    * rounds to 9 dp and every double sum folds over a sorted list, so
+    * the closed-form slope/intercept are partition-independent and
+    * mirror the oracle exactly. */
+  def zipfSlope(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    def fold(c: org.apache.spark.sql.Column) =
+      aggregate(sort_array(collect_list(c)), lit(0.0), (a, b) => a + b)
+    docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(
+        round(log(col("rnk").cast("double")), 9).as("x"),
+        round(log(col("cnt").cast("double")), 9).as("y"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        fold(col("x")).as("sx"), fold(col("y")).as("sy"),
+        fold(round(col("x") * col("y"), 9)).as("sxy"),
+        fold(round(col("x") * col("x"), 9)).as("sxx"))
+      // a 1-token vocabulary has no rank spread: the OLS denominator is
+      // exactly 0 and the slope undefined — emit nothing, loudly typed
+      .filter(col("n_tokens") > 1)
+      .select(col("n_tokens"),
+        round((col("n_tokens") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_tokens") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy"))
+          / (col("n_tokens") * col("sxx") - col("sx") * col("sx")), 6).as("intercept"))
+  }
+
   /** Per-source language-diversity entropy (B88): H = −Σ p·ln p over
     * the source's language mix — the corpus-composition monitor next to
     * [[langKl]]'s distribution drift. Counts are exact longs off one

@@ -163,6 +163,32 @@ class Round8bSpec extends SparkSpec {
     assert(out("s2") === 0.0)
   }
 
+  test("forward as-of via negated time picks the FIRST right row at/after") {
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 250L))
+      .toDF("l_id", "k", "ts").withColumn("neg_ts", -col("ts"))
+    val right = Seq((7L, 1L, 100L), (8L, 1L, 200L), (9L, 1L, 300L))
+      .toDF("r_id", "k", "r_ts").withColumn("neg_r_ts", -col("r_ts"))
+    val out = graft.operators.AsOf
+      .asofJoin(left, right, "k", "neg_ts", "neg_r_ts")
+      .select("l_id", "r_id").as[(Long, Long)].collect().toMap
+    // l1@100 → r7@100 (same instant visible); l2@250 → r9@300 (next after)
+    assert(out === Map(1L -> 7L, 2L -> 9L))
+  }
+
+  test("zipfSlope recovers the exponent of an exact power law") {
+    // token k repeated round(1000/k) times → ln f = ln 1000 − 1·ln rank.
+    // Letter-only token names: the cleaner strips digits, so "tok01"
+    // would collapse the whole vocabulary into one token.
+    val text = (1 to 20).flatMap(k =>
+      Seq.fill(math.round(1000.0 / k).toInt)("tok" + ('a' + k).toChar))
+      .mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val Array((n, slope, _)) = LangModel.zipfSlope(docs)
+      .as[(Long, Double, Double)].collect()
+    assert(n === 20)
+    assert(math.abs(slope - (-1.0)) < 0.01) // rounding of counts only
+  }
+
   test("LogRegSql learns a separating direction on separable embeddings") {
     // dim 1 perfectly separates: label<5 ↔ x1 = +1
     val emb = (0L until 20L).map { v =>
