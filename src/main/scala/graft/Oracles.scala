@@ -1226,6 +1226,27 @@ object Oracles {
          |SELECT vec_id, sub, code, round(dist, 6) AS err FROM a3""".stripMargin
     },
 
+    // deterministic md5-indexed walks over the symmetrized co-occurrence
+    // graph, steps unrolled as CTEs (same hex-decode idiom as
+    // mixture_sample; hex of 8 chars is non-negative so % == pmod)
+    "token_walks" -> {
+      def step(k: Int, prev: String, next: String) = {
+        val idx = s"CAST(('0x' || substr(md5(start || ':$k:' || cur), 1, 8))::BIGINT % deg AS INT) + 1"
+        s"""$next AS (SELECT start, nbs[$idx] AS cur, path || '>' || nbs[$idx] AS path
+           |  FROM $prev JOIN nb ON nb.src = $prev.cur)""".stripMargin
+      }
+      s"""WITH t AS (SELECT $toks AS toks FROM documents WHERE len($toks) >= 2),
+         |p AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t),
+         |dir AS (SELECT toks[i] AS src, toks[i + 1] AS dst FROM p GROUP BY 1, 2),
+         |e AS (SELECT src, dst FROM dir UNION SELECT dst, src FROM dir),
+         |nb AS (SELECT src, list(dst ORDER BY dst) AS nbs, count(*) AS deg FROM e GROUP BY 1),
+         |w0 AS (SELECT src AS start, src AS cur, src AS path FROM nb),
+         |${step(1, "w0", "w1")},
+         |${step(2, "w1", "w2")},
+         |${step(3, "w2", "w3")}
+         |SELECT start, path, cur AS end_node FROM w3""".stripMargin
+    },
+
     // the salted join must equal the plain join — the oracle IS the
     // plain join
     "salted_join_agg" ->

@@ -230,6 +230,7 @@ object SparkEntry {
     "readability" -> ((s, d) => TextOps.readability(spread(t(s, d, "documents")))),
     "tokenize_ids" -> ((s, d) => TextOps.tokenizeIds(spread(t(s, d, "documents")))),
     "token_triangles" -> ((s, d) => Graph.tokenTriangles(spread(t(s, d, "documents")))),
+    "token_walks" -> ((s, d) => Graph.tokenWalks(spread(t(s, d, "documents")))),
 
     // C. engine breadth
     "lineitem_agg" -> ((s, d) => Relational.lineitemAgg(t(s, d, "lineitem"))),

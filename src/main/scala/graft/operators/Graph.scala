@@ -68,6 +68,49 @@ object Graph {
     ranks.select(col("token"), col("r").as("rank"))
   }
 
+  /** Deterministic random walks on the token co-occurrence graph (B90)
+    * — the corpus-generation step under DeepWalk/node2vec-style graph
+    * embeddings, derandomized the house way: at step t from node u, the
+    * walk takes sorted-neighbor index md5(start ":" t ":" u) mod
+    * degree, so ANY engine reproduces every walk exactly (a seeded RNG
+    * walk is not even reproducible across Spark versions).
+    *
+    * One walk starts from every vocabulary token; `steps` unrolled
+    * broadcast joins against the (vocab-bounded) neighbor-list frame
+    * extend all walks at once. Output: (start, path, end_node). */
+  def tokenWalks(docs: DataFrame, steps: Int = 3): DataFrame = {
+    val toked = docs.select(TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bi = toked.select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("src"), b.as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+    val dir = bi.groupBy("src", "dst").agg(count(lit(1)).as("w0"))
+    val nbs = dir
+      .unionByName(dir.select(col("dst").as("src"), col("src").as("dst"), col("w0")))
+      .select(col("src"), col("dst")).distinct()
+      .groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("nbs"),
+        count(lit(1)).as("deg"))
+    var walks = nbs.select(col("src").as("start"), col("src").as("cur"),
+      col("src").as("path"))
+    for (t <- 1 to steps) {
+      val idx = pmod(
+        conv(substring(md5(concat(col("start"), lit(s":$t:"), col("cur"))), 1, 8), 16, 10)
+          .cast("long"),
+        col("deg"))
+      walks = walks
+        .join(broadcast(nbs.select(col("src").as("cur"), col("nbs"), col("deg"))), "cur")
+        .select(col("start"),
+          element_at(col("nbs"), (idx + 1).cast("int")).as("next"),
+          concat(col("path"), lit(">"), element_at(col("nbs"), (idx + 1).cast("int")))
+            .as("path"))
+        .select(col("start"), col("next").as("cur"), col("path"))
+    }
+    walks.select(col("start"), col("path"), col("cur").as("end_node"))
+  }
+
   /** Per-token triangle participation count (B81) over the token
     * co-occurrence graph — the clustering-structure signal on top of
     * [[tokenPagerank]]'s centrality: tokens in many triangles sit in

@@ -189,6 +189,27 @@ class Round8bSpec extends SparkSpec {
     assert(math.abs(slope - (-1.0)) < 0.01) // rounding of counts only
   }
 
+  test("tokenWalks: every step lands on a true neighbor, walks reproduce") {
+    val docs = Seq((1L, "aa bb cc bb dd"), (2L, "cc aa")).toDF("doc_id", "text")
+    val out = graft.operators.Graph.tokenWalks(docs)
+      .as[(String, String, String)].collect()
+    // one 3-step walk per vocabulary token
+    assert(out.length === 4)
+    val adj = Map(
+      "aa" -> Set("bb", "cc"), "bb" -> Set("aa", "cc", "dd"),
+      "cc" -> Set("bb", "aa"), "dd" -> Set("bb"))
+    for ((start, path, end) <- out) {
+      val hops = path.split(">")
+      assert(hops.head === start && hops.last === end && hops.length === 4)
+      for (Array(u, v) <- hops.sliding(2))
+        assert(adj(u).contains(v), s"$path takes a non-edge $u->$v")
+    }
+    // determinism: a second run yields byte-identical walks
+    val again = graft.operators.Graph.tokenWalks(docs)
+      .as[(String, String, String)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("LogRegSql learns a separating direction on separable embeddings") {
     // dim 1 perfectly separates: label<5 ↔ x1 = +1
     val emb = (0L until 20L).map { v =>
