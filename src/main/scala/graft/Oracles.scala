@@ -1226,6 +1226,27 @@ object Oracles {
          |SELECT vec_id, sub, code, round(dist, 6) AS err FROM a3""".stripMargin
     },
 
+    // skip-gram window pairs aggregated to counts
+    "skipgram_pairs" ->
+      s"""WITH t AS (SELECT $toks AS toks FROM documents WHERE len($toks) >= 2),
+         |p AS (SELECT toks, unnest(range(1, len(toks) + 1)) AS i FROM t),
+         |pr AS (SELECT toks[i] AS center, unnest(
+         |  toks[greatest(1, i - 2):(i - 1)] || toks[(i + 1):least(len(toks), i + 2)]
+         |  ) AS context FROM p)
+         |SELECT center, context, count(*) AS n_pairs FROM pr GROUP BY 1, 2""".stripMargin,
+
+    // integer micro-unit weights: running/total sums exact at any order
+    "neg_sampling_table" ->
+      s"""WITH c AS (SELECT token, count(*) AS cnt FROM $tokTable GROUP BY 1),
+         |m AS (SELECT token, cnt,
+         |  CAST(round(pow(CAST(cnt AS DOUBLE), 0.75) * 1e6) AS BIGINT) AS w_micros FROM c),
+         |s AS (SELECT *, CAST(sum(w_micros) OVER () AS BIGINT) AS total,
+         |  CAST(sum(w_micros) OVER (ORDER BY w_micros DESC, token
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM m)
+         |SELECT token, cnt, w_micros,
+         |  round(CAST(cum AS DOUBLE) / total, 6) AS cum_share FROM s""".stripMargin,
+
     // deterministic md5-indexed walks over the symmetrized co-occurrence
     // graph, steps unrolled as CTEs (same hex-decode idiom as
     // mixture_sample; hex of 8 chars is non-negative so % == pmod)

@@ -206,6 +206,8 @@ object SparkEntry {
     "balanced_sample" -> ((s, d) => TextOps.balancedSample(t(s, d, "documents"))),
     "table_profile" -> ((s, d) => TextOps.tableProfile(t(s, d, "documents"))),
     "context_target_pairs" -> ((s, d) => TextOps.contextTargetPairs(spread(t(s, d, "documents")))),
+    "skipgram_pairs" -> ((s, d) => TextOps.skipgramPairs(spread(t(s, d, "documents")))),
+    "neg_sampling_table" -> ((s, d) => TextOps.negSamplingTable(spread(t(s, d, "documents")))),
     "span_corruption" -> ((s, d) => TextOps.spanCorruption(spread(t(s, d, "documents")))),
     "unigram_logprob" -> ((s, d) => LangModel.unigramLogprob(spread(t(s, d, "documents")))),
     "token_entropy" -> ((s, d) => LangModel.tokenEntropy(spread(t(s, d, "documents")))),

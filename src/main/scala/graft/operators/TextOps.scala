@@ -919,6 +919,51 @@ object TextOps {
           least(col("pos0"), lit(ctx)))).as("context"),
         col("target"))
 
+  /** Skip-gram training pairs (B91): the word2vec data pass —
+    * (center, context) pairs for every context within ±`win` positions,
+    * aggregated to pair counts (what the trainer actually consumes, and
+    * |vocab|²-bounded where the raw pair stream is corpus-sized). The
+    * pair build is narrow per row; one partial-agg shuffle on the pair
+    * key. */
+  def skipgramPairs(docs: DataFrame, win: Int = 2): DataFrame =
+    docs.select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("toks"), posexplode(col("toks")).as(Seq("pos0", "center")))
+      .select(col("center"),
+        explode(concat(
+          slice(col("toks"), greatest(lit(1), col("pos0") + 1 - win),
+            least(col("pos0"), lit(win))),
+          slice(col("toks"), col("pos0") + 2,
+            least(size(col("toks")) - col("pos0") - 1, lit(win)))))
+          .as("context"))
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("n_pairs"))
+
+  /** Negative-sampling table (B92): word2vec's noise distribution —
+    * p(t) ∝ count(t)^{3/4}, emitted as each token's sampling weight and
+    * cumulative share in (weight desc, token) order so a sampler maps
+    * u ∈ [0,1) to the first row with cum_share > u. The one
+    * transcendental (pow) quantizes to integer MICRO-units immediately,
+    * so the running and total sums are exact longs — immune to
+    * float-fold order on both engines (a double cumsum would not be:
+    * window sums don't promise an addition order). Vocab-bounded. */
+  def negSamplingTable(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("w_micros").desc, col("token"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("w_micros",
+        round(pow(col("cnt").cast("double"), 0.75) * 1e6).cast("long"))
+      .withColumn("total", sum(col("w_micros")).over(wAll))
+      .select(col("token"), col("cnt"), col("w_micros"),
+        round(sum(col("w_micros")).over(w).cast("double") / col("total"), 6)
+          .as("cum_share"))
+  }
+
   /** Deterministic masked-LM example generation (B75): each token masks
     * with probability 1/4 under an md5 coin on (doc_id, position) — the
     * span-corruption pass of T5/BERT-style data pipelines, reproducible

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import graft.ml.LogRegSql
-import graft.operators.{LangModel, Relational, TfIdf}
+import graft.operators.{LangModel, Relational, TextOps, TfIdf}
 
 /** Round-8 batch 2: chi2 features, BM25 search, burstiness,
   * inter-arrival stats, RFM segmentation, declarative logistic GD. */
@@ -208,6 +208,30 @@ class Round8bSpec extends SparkSpec {
     val again = graft.operators.Graph.tokenWalks(docs)
       .as[(String, String, String)].collect()
     assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("skipgramPairs emits every within-window (center, context) pair") {
+    val docs = Seq((1L, "aa bb cc")).toDF("doc_id", "text")
+    val out = TextOps.skipgramPairs(docs, win = 2)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // window ±2 over 3 tokens: every ordered pair once
+    assert(out === Map(
+      ("aa", "bb") -> 1L, ("aa", "cc") -> 1L, ("bb", "aa") -> 1L,
+      ("bb", "cc") -> 1L, ("cc", "aa") -> 1L, ("cc", "bb") -> 1L))
+  }
+
+  test("negSamplingTable: exact cumulative shares reach 1, order is by weight") {
+    val docs = Seq((1L, "aa aa aa aa aa aa aa aa aa aa aa aa aa aa aa aa bb"))
+      .toDF("doc_id", "text")
+    val out = TextOps.negSamplingTable(docs)
+      .orderBy(col("cum_share"))
+      .as[(String, Long, Long, Double)].collect()
+    // 16^0.75 = 8, 1^0.75 = 1 → shares 8/9 then 9/9
+    assert(out.map(_._1).toSeq === Seq("aa", "bb"))
+    assert(out.map(_._3).toSeq === Seq(8000000L, 1000000L))
+    assert(out.last._4 === 1.0)
+    assert(out.head._4 === 0.888889)
   }
 
   test("LogRegSql learns a separating direction on separable embeddings") {
