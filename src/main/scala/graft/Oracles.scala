@@ -1226,6 +1226,20 @@ object Oracles {
          |SELECT vec_id, sub, code, round(dist, 6) AS err FROM a3""".stripMargin
     },
 
+    // Spearman via dense doc_id-tie-broken ranks, exact long d²
+    "quality_length_corr" ->
+      s"""WITH q AS (SELECT doc_id, lang, n_chars, $qualitySql AS quality FROM documents),
+         |r AS (SELECT lang,
+         |  row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rq,
+         |  row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rl
+         |  FROM q),
+         |s AS (SELECT lang, count(*) AS n_docs,
+         |  CAST(sum((rq - rl) * (rq - rl)) AS BIGINT) AS d2 FROM r GROUP BY 1)
+         |SELECT lang, n_docs, d2,
+         |  round(1.0 - 6.0 * d2 / (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) * n_docs - 1.0)), 6)
+         |    AS spearman_rho
+         |FROM s WHERE n_docs > 1""".stripMargin,
+
     // skip-gram window pairs aggregated to counts
     "skipgram_pairs" ->
       s"""WITH t AS (SELECT $toks AS toks FROM documents WHERE len($toks) >= 2),

@@ -919,6 +919,37 @@ object TextOps {
           least(col("pos0"), lit(ctx)))).as("context"),
         col("target"))
 
+  /** Quality-score length-bias audit (B93): Spearman rank correlation
+    * between the composite quality score and raw document length, per
+    * language — the "is our quality filter just a length filter?"
+    * diagnostic every curation pipeline owes itself. Rankings are
+    * dense row_numbers with doc_id tie-breaks (deterministic, so the
+    * classic 1 − 6Σd²/(n(n²−1)) closed form applies exactly); Σd² is
+    * an exact long, which bounds per-language cardinality at ~3M docs
+    * (Σd² ~ n³/3 < 2^63) — beyond that, compute on a stratified sample
+    * or widen to a two-long accumulator. One shuffle on lang; both
+    * rank windows sort within the same partitioning. */
+  def qualityLengthCorr(docs: DataFrame): DataFrame = {
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        qualityComposite.as("quality"))
+      .withColumn("rq", row_number().over(wq).cast("long"))
+      .withColumn("rl", row_number().over(wl).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("rq") - col("rl")) * (col("rq") - col("rl"))).as("d2"))
+      .filter(col("n_docs") > 1)
+      .select(col("lang"), col("n_docs"), col("d2"),
+        round(lit(1.0) - lit(6.0) * col("d2")
+          / (col("n_docs").cast("double")
+            * (col("n_docs").cast("double") * col("n_docs") - 1.0)), 6)
+          .as("spearman_rho"))
+  }
+
   /** Skip-gram training pairs (B91): the word2vec data pass —
     * (center, context) pairs for every context within ±`win` positions,
     * aggregated to pair counts (what the trainer actually consumes, and

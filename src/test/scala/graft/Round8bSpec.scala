@@ -234,6 +234,18 @@ class Round8bSpec extends SparkSpec {
     assert(out.head._4 === 0.888889)
   }
 
+  test("qualityLengthCorr: rank-identical signals score rho = 1") {
+    // below the 20-char cap the quality score grows with length when the
+    // text is pure stopwords → quality rank == length rank → rho = 1
+    val docs = Seq(
+      (1L, "en", "the"), (2L, "en", "the the"), (3L, "en", "the the the"))
+      .map { case (id, l, t) => (id, l, t, t.length.toLong) }
+      .toDF("doc_id", "lang", "text", "n_chars")
+    val Array((lang, n, d2, rho)) = TextOps.qualityLengthCorr(docs)
+      .as[(String, Long, Long, Double)].collect()
+    assert((lang, n, d2, rho) === (("en", 3L, 0L, 1.0)))
+  }
+
   test("LogRegSql learns a separating direction on separable embeddings") {
     // dim 1 perfectly separates: label<5 ↔ x1 = +1
     val emb = (0L until 20L).map { v =>
