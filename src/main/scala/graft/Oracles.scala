@@ -1326,6 +1326,17 @@ object Oracles {
         |  round(CAST(revenue_cents - prev_cents AS DOUBLE) / prev_cents, 6) AS wow_change
         |FROM l WHERE prev_cents IS NOT NULL""".stripMargin,
 
+    // per-type [p05, p95] clip at identical 4dp boundaries
+    "events_winsorize" ->
+      """WITH v AS (SELECT event_id, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS v_cents FROM events),
+        |b AS (SELECT event_type, round(quantile_cont(v_cents, 0.05), 4) AS lo,
+        |      round(quantile_cont(v_cents, 0.95), 4) AS hi FROM v GROUP BY 1)
+        |SELECT event_id, event_type, v_cents,
+        |  CAST(round(greatest(lo, least(hi, CAST(v_cents AS DOUBLE)))) AS BIGINT) AS clipped_cents,
+        |  CAST(v_cents < lo OR v_cents > hi AS BIGINT) AS was_clipped
+        |FROM v JOIN b USING (event_type)""".stripMargin,
+
     // exact distinct users per tumbling hour window
     "window_active_users" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

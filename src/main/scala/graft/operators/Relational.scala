@@ -1039,6 +1039,27 @@ object Relational {
           / col("prev_cents"), 6).as("wow_change"))
   }
 
+  /** Percentile winsorization of event values (C85): clip each value to
+    * its event type's [p05, p95] — the outlier-taming step before any
+    * mean-based metric. Exact-interpolated percentiles compute per type
+    * (tiny key space, one partial-agg shuffle), round to 4 dp so both
+    * engines clip at the identical boundary, broadcast back, and the
+    * clip itself is narrow. Flags count on the clipped side so the
+    * operator reports how much it changed. */
+  def eventsWinsorize(events: DataFrame): DataFrame = {
+    val v = events.select(col("event_id"), col("event_type"),
+      cents(col("value")).as("v_cents"))
+    val bounds = v.groupBy("event_type").agg(
+      round(percentile(col("v_cents"), lit(0.05)), 4).as("lo"),
+      round(percentile(col("v_cents"), lit(0.95)), 4).as("hi"))
+    v.join(broadcast(bounds), "event_type")
+      .select(col("event_id"), col("event_type"), col("v_cents"),
+        round(greatest(col("lo"), least(col("hi"), col("v_cents").cast("double"))))
+          .cast("long").as("clipped_cents"),
+        (col("v_cents") < col("lo") || col("v_cents") > col("hi"))
+          .cast("long").as("was_clipped"))
+  }
+
   /** Hourly active users (C80): tumbling window, EXACT distinct user
     * count per (hour, event_type). Spark plans count(DISTINCT) as a
     * two-stage Expand aggregate — partial dedup map-side, so the

@@ -161,6 +161,27 @@ object Events {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Exact distinct users per tumbling hour on a streaming OR batch
+    * frame (C86, the streaming twin of Relational.windowActiveUsers):
+    * watermark-bounded dropDuplicates on (user, hour, type) keeps one
+    * row per contributor — dedup state evicts with the watermark — and
+    * the downstream windowed count then IS the exact distinct count.
+    * Chained stateful operators (dedup → agg) require append mode, so
+    * results emit when the watermark closes a window. The same call on
+    * a batch frame skips the watermark and computes identically. */
+  def windowActiveUsers(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .dropDuplicates("user_id", "hour", "event_type")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_users"))
+  }
+
   /** Windowed aggregation usable on a streaming or batch events frame. */
   def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
     val withWm =

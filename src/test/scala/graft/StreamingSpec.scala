@@ -51,6 +51,33 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming exact distinct users per window equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val df = stream.toDF().toDF("ts", "user_id", "event_type")
+    // chained stateful ops (dedup → agg) emit on watermark close: append
+    val q = Events.windowActiveUsers(df).writeStream
+      .format("memory").queryName("wau").outputMode("append").start()
+    val rows = Seq(
+      (Timestamp.valueOf("2024-03-01 10:05:00"), 1L, "click"),
+      (Timestamp.valueOf("2024-03-01 10:10:00"), 1L, "click"), // dup user+hour
+      (Timestamp.valueOf("2024-03-01 10:20:00"), 2L, "click"),
+      (Timestamp.valueOf("2024-03-01 10:30:00"), 1L, "view"))
+    stream.addData(rows: _*)
+    q.processAllAvailable()
+    // advance the watermark far enough to close the 10:00 window
+    stream.addData((Timestamp.valueOf("2024-03-01 14:00:00"), 9L, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("wau")
+      .as[(String, String, Long)].collect().toSet
+    val batch = Events.windowActiveUsers(rows.toDF("ts", "user_id", "event_type"))
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(batch === Set(("2024-03-01 10:00:00", "click", 2L),
+      ("2024-03-01 10:00:00", "view", 1L)))
+  }
+
   test("streaming dedup drops repeated content across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, Long, String)]
