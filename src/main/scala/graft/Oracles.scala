@@ -29,6 +29,16 @@ object Oracles {
   /** (doc_id, token) exploded tokens. */
   val tokTable: String = s"(SELECT doc_id, unnest($toks) AS token FROM documents)"
 
+  /** Exact incremental dedup — shared by dedup_incremental and its
+    * Bloom-prefiltered twin (whose sketch must be result-invisible). */
+  val incrementalDedupSql: String =
+    s"""WITH h AS (SELECT doc_id, lang, source, n_chars, md5($clean) AS content_hash FROM documents),
+       |corpus AS (SELECT DISTINCT content_hash FROM h WHERE doc_id % 10 < 8),
+       |nb AS (SELECT * FROM h WHERE doc_id % 10 >= 8),
+       |fresh AS (SELECT * FROM nb WHERE content_hash NOT IN (SELECT content_hash FROM corpus)),
+       |k AS (SELECT *, min(doc_id) OVER (PARTITION BY content_hash) AS kid FROM fresh)
+       |SELECT doc_id, content_hash, lang, source, n_chars FROM k WHERE doc_id = kid""".stripMargin
+
   /** Mirrors LangModel.bm25 (k1=1.5, b=0.75) — shared by bm25 and
     * bm25_search so the weighting can never drift between them. */
   val bm25Sql: String =
@@ -1475,13 +1485,11 @@ object Oracles {
          |SELECT vec_id, label FROM embeddings
          |WHERE vec_id NOT IN (SELECT id FROM comp WHERE component < id)""".stripMargin,
 
-    "dedup_incremental" ->
-      s"""WITH h AS (SELECT doc_id, lang, source, n_chars, md5($clean) AS content_hash FROM documents),
-         |corpus AS (SELECT DISTINCT content_hash FROM h WHERE doc_id % 10 < 8),
-         |nb AS (SELECT * FROM h WHERE doc_id % 10 >= 8),
-         |fresh AS (SELECT * FROM nb WHERE content_hash NOT IN (SELECT content_hash FROM corpus)),
-         |k AS (SELECT *, min(doc_id) OVER (PARTITION BY content_hash) AS kid FROM fresh)
-         |SELECT doc_id, content_hash, lang, source, n_chars FROM k WHERE doc_id = kid""".stripMargin,
+    "dedup_incremental" -> incrementalDedupSql,
+
+    // the Bloom prefilter must be RESULT-INVISIBLE (no false negatives,
+    // false positives exactly re-verified) — the oracle IS the exact path
+    "dedup_incremental_bloom" -> incrementalDedupSql,
 
     // keep-BEST dedup: same hash partition as keep-first, policy is the
     // window order (quality desc, doc_id) over the shared 6dp composite

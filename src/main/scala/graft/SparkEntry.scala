@@ -154,6 +154,14 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 < 8))
     }),
     "bpe_merge_step" -> ((s, d) => TextOps.bpeMergeStep(spread(t(s, d, "documents")))),
+    // Bloom-prefiltered twin of dedup_incremental: same exact result
+    // (shared oracle semantics), sketch-pruned anti-join
+    "dedup_incremental_bloom" -> ((s, d) => {
+      val docs = spread(t(s, d, "documents"))
+      Dedup.incrementalBloom(
+        docs.filter(col("doc_id") % 10 >= 8),
+        docs.filter(col("doc_id") % 10 < 8))
+    }),
     "approx_char_percentiles" -> ((s, d) => TextOps.approxCharPercentiles(t(s, d, "documents"))),
 
     "minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(spread(t(s, d, "documents")))),

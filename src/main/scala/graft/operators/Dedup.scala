@@ -334,6 +334,50 @@ object Dedup {
       .select("doc_id", "content_hash", "lang", "source", "n_chars")
   }
 
+  /** Bloom-prefiltered incremental dedup (B94): [[incremental]] with the
+    * standing corpus compressed into Spark's internal Bloom filter
+    * (catalyst BloomFilterAggregate / BloomFilterMightContain, the
+    * runtime-filter machinery, surfaced as a first-class operator).
+    * Every new-batch row probes the broadcast sketch first; Bloom has NO
+    * false negatives, so probe-misses are DEFINITELY new and skip the
+    * join entirely — only the false-positive sliver anti-joins against
+    * the exact hash index. Result is bit-identical to the exact path
+    * (same oracle), but at 100 TB the per-row cost is a few bits of
+    * broadcast sketch instead of a shuffle-side probe: the anti-join
+    * shrinks from |newBatch| to |hits| ≈ |dupes| + fpp·|newBatch|.
+    *
+    * The sketch is built DISTRIBUTED (partial Bloom merge, no driver
+    * collect — unlike DataFrame.stat.bloomFilter) and sized by
+    * `expectedItems` bits-per-item ≈ 9.6 (fpp ≈ 1%). */
+  def incrementalBloom(newDocs: DataFrame, corpus: DataFrame,
+                       expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val hashed = newDocs.withColumn("content_hash",
+      md5(TextOps.cleanText(col("text"))))
+    val seen = corpus
+      .select(md5(TextOps.cleanText(col("text"))).as("content_hash")).distinct()
+    val bloom = seen.select(ColumnShim.column(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(ColumnShim.expression(col("content_hash")))),
+        expectedItems).toAggregateExpression()).as("bf"))
+    // might_contain requires its sketch as a constant or scalar subquery;
+    // the subquery broadcasts the finished sketch to every probe task
+    val probed = hashed
+      .withColumn("maybe_seen", ColumnShim.column(BloomFilterMightContain(
+        ScalarSubquery(bloom.queryExecution.logical),
+        new XxHash64(Seq(ColumnShim.expression(col("content_hash")))))))
+    val definitelyNew = probed.filter(!col("maybe_seen")).drop("maybe_seen")
+    val verified = probed.filter(col("maybe_seen")).drop("maybe_seen")
+      .join(seen, Seq("content_hash"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("content_hash")
+    definitelyNew.unionByName(verified)
+      .withColumn("kid", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("kid"))
+      .select("doc_id", "content_hash", "lang", "source", "n_chars")
+  }
+
   /** Near-dup-filtered corpus (B32): the write-back step of near-dedup —
     * keep one canonical row per near-duplicate cluster (the min-id
     * member, which IS the component label from [[components]]) plus every

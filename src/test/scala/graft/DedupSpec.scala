@@ -80,4 +80,28 @@ class DedupSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), plan.take(500))
     }
   }
+
+  test("bloom-prefiltered incremental dedup equals the exact path exactly") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "shared text one", "en", "s1", 15L),
+      (2L, "shared text two", "en", "s1", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch = Seq(
+      (10L, "shared text one", "en", "s2", 15L), // dup of corpus
+      (11L, "genuinely new a", "en", "s2", 15L),
+      (12L, "genuinely new a", "en", "s2", 15L), // in-batch dup
+      (13L, "genuinely new b", "en", "s2", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val exact = Dedup.incremental(batch, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    val bloomed = Dedup.incrementalBloom(batch, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact === Set(11L, 13L))
+    assert(bloomed === exact)
+    // the probe really is the internal Bloom machinery, not a rewrite
+    val plan = Dedup.incrementalBloom(batch, corpus)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "Bloom probe missing from the plan")
+  }
 }
