@@ -68,7 +68,9 @@ object Bench {
       "embed_centroids", "quality_score", "gopher_filter", "curation_pipeline",
       "sequence_pack", "contamination_check", "doc_similarity_pruned",
       "nb_scratch", "svm_predictions", "ngram_novelty", "source_overlap")
-    val head = jmap(results.filter(r => headline(r._1)))
+    // subset runs (dev A/B) show exactly what was asked for
+    val head = if (subset.nonEmpty) jmap(results)
+      else jmap(results.filter(r => headline(r._1)))
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$head,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -348,7 +348,15 @@ object Dedup {
     *
     * The sketch is built DISTRIBUTED (partial Bloom merge, no driver
     * collect — unlike DataFrame.stat.bloomFilter) and sized by
-    * `expectedItems` bits-per-item ≈ 9.6 (fpp ≈ 1%). */
+    * `expectedItems` bits-per-item ≈ 9.6 (fpp ≈ 1%).
+    *
+    * Measured honestly: at sf0.1 (5k distinct corpus hashes) this is
+    * ~1.5× SLOWER than [[incremental]] — the sketch build is an extra
+    * aggregation pass, and the anti-join it prunes was already cheap.
+    * The operator earns its keep in the regime it targets: a standing
+    * index orders of magnitude larger than the daily batch, where the
+    * per-row broadcast-bits probe replaces a shuffle-side probe of the
+    * full index. Use [[incremental]] until the index dwarfs the batch. */
   def incrementalBloom(newDocs: DataFrame, corpus: DataFrame,
                        expectedItems: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnShim
