@@ -1336,6 +1336,19 @@ object Oracles {
         |  round(CAST(revenue_cents - prev_cents AS DOUBLE) / prev_cents, 6) AS wow_change
         |FROM l WHERE prev_cents IS NOT NULL""".stripMargin,
 
+    // per-user lead() stream, |types|²-bounded transition counts
+    "event_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_ns(ts) // 1000 AS us FROM events),
+        |l AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type
+        |  FROM e),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM l
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+        |SELECT from_type, to_type, n, round(CAST(n AS DOUBLE) / n_from, 6) AS p
+        |FROM c JOIN t USING (from_type)""".stripMargin,
+
     // per-type [p05, p95] clip at identical 4dp boundaries
     "events_winsorize" ->
       """WITH v AS (SELECT event_id, event_type,

@@ -183,6 +183,7 @@ object SparkEntry {
     "order_skyline" -> ((s, d) => Relational.orderSkyline(t(s, d, "orders"))),
     "window_active_users" -> ((s, d) => Relational.windowActiveUsers(events(s, d))),
     "events_winsorize" -> ((s, d) => Relational.eventsWinsorize(events(s, d))),
+    "event_transitions" -> ((s, d) => Relational.eventTransitions(events(s, d))),
     "spend_gini" -> ((s, d) => Relational.spendGini(t(s, d, "orders"))),
     // the salted join's RESULT is oracle-checked against the plain join
     // (the whole point of salting: bit-identical output, skew-proof shape)

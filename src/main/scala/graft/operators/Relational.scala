@@ -1039,6 +1039,28 @@ object Relational {
           / col("prev_cents"), 6).as("wow_change"))
   }
 
+  /** First-order Markov transition matrix over event types (C87):
+    * P(next type | current type) from each user's time-ordered stream —
+    * the behavioral fingerprint behind session simulation and anomaly
+    * baselines. One lead() pass per user (single shuffle + sort), then
+    * counts on the |types|²-bounded pair key; probabilities divide
+    * exact longs once. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(order))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    pairs.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from"), 6).as("p"))
+  }
+
   /** Percentile winsorization of event values (C85): clip each value to
     * its event type's [p05, p95] — the outlier-taming step before any
     * mean-based metric. Exact-interpolated percentiles compute per type

@@ -246,6 +246,26 @@ class Round8bSpec extends SparkSpec {
     assert((lang, n, d2, rho) === (("en", 3L, 0L, 1.0)))
   }
 
+  test("eventTransitions: per-user ordered pairs, rows sum to 1 per source") {
+    val events = Seq(
+      (1L, 1L, "view", "2024-01-01 10:00:00", 1.0),
+      (2L, 1L, "click", "2024-01-01 10:01:00", 1.0),
+      (3L, 1L, "view", "2024-01-01 10:02:00", 1.0),
+      (4L, 2L, "view", "2024-01-01 11:00:00", 1.0),
+      (5L, 2L, "purchase", "2024-01-01 11:01:00", 1.0))
+      .map { case (e, u, t, ts, v) => (e, u, t, Timestamp.valueOf(ts), v) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = Relational.eventTransitions(events)
+      .as[(String, String, Long, Double)].collect()
+    val m = out.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // view → click, view → purchase (one each of 2 view departures)
+    assert(m(("view", "click")) === ((1L, 0.5)))
+    assert(m(("view", "purchase")) === ((1L, 0.5)))
+    assert(m(("click", "view")) === ((1L, 1.0)))
+    // no cross-user transition (user 1's last view never pairs with user 2)
+    assert(!m.contains(("view", "view")))
+  }
+
   test("LogRegSql learns a separating direction on separable embeddings") {
     // dim 1 perfectly separates: label<5 ↔ x1 = +1
     val emb = (0L until 20L).map { v =>
