@@ -1236,6 +1236,31 @@ object Oracles {
          |SELECT vec_id, sub, code, round(dist, 6) AS err FROM a3""".stripMargin
     },
 
+    // mean 6dp composite quality per ntile(10) length decile
+    "quality_by_length_decile" ->
+      s"""WITH q AS (SELECT doc_id, n_chars, $qualitySql AS quality FROM documents),
+         |d AS (SELECT *, ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile FROM q)
+         |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
+         |  CAST(min(n_chars) AS BIGINT) AS min_chars, CAST(max(n_chars) AS BIGINT) AS max_chars,
+         |  round(list_reduce(list_sort(list(quality)), (a, b) -> a + b) / count(*), 6) AS mean_quality
+         |FROM d GROUP BY decile""".stripMargin,
+
+    // lang x source independence over the FULL margin grid (zero cells
+    // contribute their expected count), 6dp terms sorted-folded
+    "lang_source_chi2" ->
+      """WITH c AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |rl AS (SELECT lang, CAST(sum(o) AS BIGINT) AS n_l FROM c GROUP BY 1),
+        |rs AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_s FROM c GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |g AS (SELECT lang, source, n_l, n_s, coalesce(o, 0) AS o
+        |      FROM rl CROSS JOIN rs LEFT JOIN c USING (lang, source)),
+        |t AS (SELECT round(pow(CAST(o AS DOUBLE) - CAST(n_l AS DOUBLE) * n_s / n_docs, 2.0)
+        |        / (CAST(n_l AS DOUBLE) * n_s / n_docs), 6) AS term
+        |      FROM g CROSS JOIN nd)
+        |SELECT round(list_reduce(list_sort(list(term)), (a, b) -> a + b), 6) AS chi2,
+        |  CAST(((SELECT count(*) FROM rl) - 1) * ((SELECT count(*) FROM rs) - 1) AS BIGINT) AS dof
+        |FROM t""".stripMargin,
+
     // Spearman via dense doc_id-tie-broken ranks, exact long d²
     "quality_length_corr" ->
       s"""WITH q AS (SELECT doc_id, lang, n_chars, $qualitySql AS quality FROM documents),

@@ -219,6 +219,8 @@ object SparkEntry {
     "skipgram_pairs" -> ((s, d) => TextOps.skipgramPairs(spread(t(s, d, "documents")))),
     "neg_sampling_table" -> ((s, d) => TextOps.negSamplingTable(spread(t(s, d, "documents")))),
     "quality_length_corr" -> ((s, d) => TextOps.qualityLengthCorr(spread(t(s, d, "documents")))),
+    "quality_by_length_decile" -> ((s, d) => TextOps.qualityByLengthDecile(spread(t(s, d, "documents")))),
+    "lang_source_chi2" -> ((s, d) => TextOps.langSourceChi2(t(s, d, "documents"))),
     "span_corruption" -> ((s, d) => TextOps.spanCorruption(spread(t(s, d, "documents")))),
     "unigram_logprob" -> ((s, d) => LangModel.unigramLogprob(spread(t(s, d, "documents")))),
     "token_entropy" -> ((s, d) => LangModel.tokenEntropy(spread(t(s, d, "documents")))),

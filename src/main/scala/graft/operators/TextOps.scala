@@ -950,6 +950,59 @@ object TextOps {
           .as("spearman_rho"))
   }
 
+  /** Quality-by-length-decile profile (B95): mean composite quality per
+    * length decile — the bias SURFACE behind [[qualityLengthCorr]]'s
+    * single rho (a filter can be rank-uncorrelated overall yet cliff at
+    * one decile). Deciles cut by ntile(10) over (n_chars, doc_id) on
+    * the per-doc frame; quality terms are the shared 6 dp composite and
+    * fold sorted per decile. */
+  def qualityByLengthDecile(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("n_chars"), qualityComposite.as("quality"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(aggregate(sort_array(collect_list(col("quality"))), lit(0.0),
+          (a, b) => a + b) / count(lit(1)), 6).as("mean_quality"))
+  }
+
+  /** Lang ⊥ source independence chi-square (B96): the one-number audit
+    * "is language mix independent of provenance?" over the FULL (lang ×
+    * source) contingency grid — zero cells contribute their full
+    * expected count to the statistic, so the grid builds from the
+    * margin cross product (tiny: |langs|·|sources| rows) with observed
+    * counts left-joined in, never from observed pairs alone. Expected
+    * counts derive from exact-long margins; each cell's (o−e)²/e term
+    * rounds to 6 dp and folds sorted; dof = (|langs|−1)(|sources|−1).
+    * One partial-agg shuffle ends the corpus involvement. */
+  def langSourceChi2(docs: DataFrame): DataFrame = {
+    val c = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rl = c.groupBy("lang").agg(sum(col("o")).as("n_l"))
+    val rs = c.groupBy("source").agg(sum(col("o")).as("n_s"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val grid = broadcast(rl).crossJoin(broadcast(rs))
+    grid
+      .join(c, Seq("lang", "source"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .select(
+        round(
+          pow(col("o").cast("double")
+            - col("n_l").cast("double") * col("n_s") / col("n_docs"), 2.0)
+            / (col("n_l").cast("double") * col("n_s") / col("n_docs")), 6)
+          .as("term"),
+        col("lang"), col("source"))
+      .agg(
+        round(aggregate(sort_array(collect_list(col("term"))), lit(0.0),
+          (a, b) => a + b), 6).as("chi2"),
+        ((count_distinct(col("lang")) - 1) * (count_distinct(col("source")) - 1))
+          .as("dof"))
+  }
+
   /** Skip-gram training pairs (B91): the word2vec data pass —
     * (center, context) pairs for every context within ±`win` positions,
     * aggregated to pair counts (what the trainer actually consumes, and

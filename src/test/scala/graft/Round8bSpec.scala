@@ -266,6 +266,37 @@ class Round8bSpec extends SparkSpec {
     assert(!m.contains(("view", "view")))
   }
 
+  test("langSourceChi2: independent mix scores 0, perfect dependence scores n") {
+    // 2 langs × 2 sources, perfectly balanced → chi2 = 0, dof = 1
+    val indep = Seq(
+      (1L, "en", "s1", 5L), (2L, "en", "s2", 5L),
+      (3L, "fr", "s1", 5L), (4L, "fr", "s2", 5L))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val Array((chi0, dof0)) = TextOps.langSourceChi2(indep)
+      .as[(Double, Long)].collect()
+    assert((chi0, dof0) === ((0.0, 1L)))
+    // lang fully determined by source → chi2 = n = 4
+    val dep = Seq(
+      (1L, "en", "s1", 5L), (2L, "en", "s1", 5L),
+      (3L, "fr", "s2", 5L), (4L, "fr", "s2", 5L))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val Array((chi1, _)) = TextOps.langSourceChi2(dep)
+      .as[(Double, Long)].collect()
+    assert(chi1 === 4.0)
+  }
+
+  test("qualityByLengthDecile buckets all docs into 10 ordered deciles") {
+    val docs = (1L to 40L).map(i => (i, "the " * i.toInt, 4 * i))
+      .toDF("doc_id", "text", "n_chars")
+    val out = TextOps.qualityByLengthDecile(docs)
+      .orderBy("decile")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.length === 10)
+    assert(out.map(_._2).sum === 40L) // every doc in exactly one decile
+    // decile boundaries are non-overlapping and increasing
+    for (Array(a, b) <- out.sliding(2)) assert(a._4 <= b._3)
+  }
+
   test("LogRegSql learns a separating direction on separable embeddings") {
     // dim 1 perfectly separates: label<5 ↔ x1 = +1
     val emb = (0L until 20L).map { v =>
