@@ -1261,6 +1261,23 @@ object Oracles {
         |  CAST(((SELECT count(*) FROM rl) - 1) * ((SELECT count(*) FROM rs) - 1) AS BIGINT) AS dof
         |FROM t""".stripMargin,
 
+    // sparse doc-vs-language-centroid cosine, 9dp sorted folds
+    "doc_lang_coherence" ->
+      s"""WITH t AS ($tfidf),
+         |w AS (SELECT t.doc_id, d.lang, t.token, t.tfidf FROM t JOIN documents d USING (doc_id)),
+         |nl AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+         |cent AS (SELECT lang, token,
+         |  round(list_reduce(list_sort(list(tfidf)), (a, b) -> a + b) / n_l, 9) AS c
+         |  FROM w JOIN nl USING (lang) GROUP BY lang, token, n_l),
+         |cn AS (SELECT lang, sqrt(list_reduce(list_sort(list(round(c * c, 9))), (a, b) -> a + b)) AS c_nrm
+         |       FROM cent GROUP BY 1),
+         |d AS (SELECT doc_id, lang,
+         |  list_reduce(list_sort(list(round(tfidf * c, 9))), (a, b) -> a + b) AS dot,
+         |  sqrt(list_reduce(list_sort(list(round(tfidf * tfidf, 9))), (a, b) -> a + b)) AS d_nrm
+         |  FROM w JOIN cent USING (lang, token) GROUP BY 1, 2)
+         |SELECT doc_id, lang, round(dot / (d_nrm * c_nrm), 6) AS coherence
+         |FROM d JOIN cn USING (lang)""".stripMargin,
+
     // Spearman via dense doc_id-tie-broken ranks, exact long d²
     "quality_length_corr" ->
       s"""WITH q AS (SELECT doc_id, lang, n_chars, $qualitySql AS quality FROM documents),

@@ -503,6 +503,35 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
   }
 
+  /** Per-document topical coherence (B97): cosine between a document's
+    * sparse TF-IDF vector and its LANGUAGE's centroid vector — the
+    * sparse-space twin of [[embedOutliers]]' dense gate, usable before
+    * any embedding model exists. Centroids divide exact sums by the
+    * full language population (absent tokens are true zeros), live on
+    * the vocab-bounded (lang, token) frame, and broadcast; per-doc dot
+    * products and norms fold 9 dp-rounded terms over sorted lists, so
+    * the score is partition-independent and oracle-exact. */
+  def docLangCoherence(docs: DataFrame): DataFrame = {
+    def fold(c: Column) =
+      aggregate(sort_array(collect_list(c)), lit(0.0), (a, b) => a + b)
+    val w = TfIdf.tfidf(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val nl = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val cent = w.groupBy("lang", "token")
+      .agg(fold(col("tfidf")).as("s"))
+      .join(broadcast(nl), "lang")
+      .select(col("lang"), col("token"), round(col("s") / col("n_l"), 9).as("c"))
+    val cnorm = cent.groupBy("lang")
+      .agg(sqrt(fold(round(col("c") * col("c"), 9))).as("c_nrm"))
+    val dots = w.join(broadcast(cent), Seq("lang", "token"))
+      .groupBy("doc_id", "lang")
+      .agg(fold(round(col("tfidf") * col("c"), 9)).as("dot"),
+        sqrt(fold(round(col("tfidf") * col("tfidf"), 9))).as("d_nrm"))
+    dots.join(broadcast(cnorm), "lang")
+      .select(col("doc_id"), col("lang"),
+        round(col("dot") / (col("d_nrm") * col("c_nrm")), 6).as("coherence"))
+  }
+
   /** Product quantization (B86): the production ANN memory layout
     * (IVF-PQ) — each embedding splits into m contiguous subvectors and
     * every subspace learns its own k-codeword codebook with the same

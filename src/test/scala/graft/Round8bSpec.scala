@@ -297,6 +297,23 @@ class Round8bSpec extends SparkSpec {
     for (Array(a, b) <- out.sliding(2)) assert(a._4 <= b._3)
   }
 
+  test("docLangCoherence: a doc identical to its lang's only content " +
+    "scores 1, off-topic docs score lower") {
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma"),
+      (2L, "en", "alpha beta gamma"),
+      (3L, "en", "delta epsilon zeta"), // off-topic within en
+      (4L, "fr", "un deux trois"))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.operators.Similarity.docLangCoherence(docs)
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(out(1L) === out(2L)) // identical docs, identical coherence
+    assert(out(3L) < out(1L)) // off-topic doc sits farther from centroid
+    assert(out(4L) === 1.0) // single-doc language: doc IS the centroid
+    assert(out.values.forall(c => c >= -1.0 && c <= 1.0))
+  }
+
   test("LogRegSql learns a separating direction on separable embeddings") {
     // dim 1 perfectly separates: label<5 ↔ x1 = +1
     val emb = (0L until 20L).map { v =>
