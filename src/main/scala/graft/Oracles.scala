@@ -1261,6 +1261,28 @@ object Oracles {
         |  CAST(((SELECT count(*) FROM rl) - 1) * ((SELECT count(*) FROM rs) - 1) AS BIGINT) AS dof
         |FROM t""".stripMargin,
 
+    // Rocchio: argmax over language centroids, ties on lang name
+    "nearest_centroid_lang" ->
+      s"""WITH t AS ($tfidf),
+         |w AS (SELECT t.doc_id, d.lang, t.token, t.tfidf FROM t JOIN documents d USING (doc_id)),
+         |nl AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+         |cent AS (SELECT lang AS cand_lang, token,
+         |  round(list_reduce(list_sort(list(tfidf)), (a, b) -> a + b) / n_l, 9) AS c
+         |  FROM w JOIN nl USING (lang) GROUP BY lang, token, n_l),
+         |cn AS (SELECT cand_lang, sqrt(list_reduce(list_sort(list(round(c * c, 9))), (a, b) -> a + b)) AS c_nrm
+         |       FROM cent GROUP BY 1),
+         |sc AS (SELECT doc_id, cand_lang,
+         |  list_reduce(list_sort(list(round(tfidf * c, 9))), (a, b) -> a + b) AS dot,
+         |  sqrt(list_reduce(list_sort(list(round(tfidf * tfidf, 9))), (a, b) -> a + b)) AS d_nrm
+         |  FROM (SELECT doc_id, token, tfidf FROM w) x JOIN cent USING (token)
+         |  GROUP BY 1, 2),
+         |r AS (SELECT doc_id, cand_lang, round(dot / (d_nrm * c_nrm), 6) AS cos,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY round(dot / (d_nrm * c_nrm), 6) DESC, cand_lang) AS rn
+         |  FROM sc JOIN cn USING (cand_lang))
+         |SELECT doc_id, d.lang AS true_lang, cand_lang AS pred_lang, cos,
+         |  CAST(cand_lang = d.lang AS BIGINT) AS correct
+         |FROM r JOIN documents d USING (doc_id) WHERE rn = 1""".stripMargin,
+
     // sparse doc-vs-language-centroid cosine, 9dp sorted folds
     "doc_lang_coherence" ->
       s"""WITH t AS ($tfidf),

@@ -222,6 +222,7 @@ object SparkEntry {
     "quality_by_length_decile" -> ((s, d) => TextOps.qualityByLengthDecile(spread(t(s, d, "documents")))),
     "lang_source_chi2" -> ((s, d) => TextOps.langSourceChi2(t(s, d, "documents"))),
     "doc_lang_coherence" -> ((s, d) => Similarity.docLangCoherence(spread(t(s, d, "documents")))),
+    "nearest_centroid_lang" -> ((s, d) => Similarity.nearestCentroidLang(spread(t(s, d, "documents")))),
     "span_corruption" -> ((s, d) => TextOps.spanCorruption(spread(t(s, d, "documents")))),
     "unigram_logprob" -> ((s, d) => LangModel.unigramLogprob(spread(t(s, d, "documents")))),
     "token_entropy" -> ((s, d) => LangModel.tokenEntropy(spread(t(s, d, "documents")))),

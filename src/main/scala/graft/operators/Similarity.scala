@@ -532,6 +532,46 @@ object Similarity {
         round(col("dot") / (col("d_nrm") * col("c_nrm")), 6).as("coherence"))
   }
 
+  /** Rocchio nearest-centroid language classifier (B98): predict each
+    * document's language as the TF-IDF centroid it is most cosine-
+    * similar to — the third fully-oracle-checked classifier beside
+    * NaiveBayesSql and LogRegSql (MLlib's fits are seed-bound; this one
+    * is deterministic end to end, predictions hash-checked per doc).
+    * Candidate scoring joins doc tokens to ALL language centroids on
+    * the token key (vocab × |langs| bounded build side, broadcast);
+    * argmax breaks ties on lang name via row_number. Same fold
+    * discipline as [[docLangCoherence]]. */
+  def nearestCentroidLang(docs: DataFrame): DataFrame = {
+    def fold(c: Column) =
+      aggregate(sort_array(collect_list(c)), lit(0.0), (a, b) => a + b)
+    val w = TfIdf.tfidf(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val nl = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val cent = w.groupBy("lang", "token")
+      .agg(fold(col("tfidf")).as("s"))
+      .join(broadcast(nl), "lang")
+      .select(col("lang").as("cand_lang"), col("token"),
+        round(col("s") / col("n_l"), 9).as("c"))
+    val cnorm = cent.groupBy("cand_lang")
+      .agg(sqrt(fold(round(col("c") * col("c"), 9))).as("c_nrm"))
+    val scored = w.select(col("doc_id"), col("token"), col("tfidf"))
+      .join(broadcast(cent), "token")
+      .groupBy("doc_id", "cand_lang")
+      .agg(fold(round(col("tfidf") * col("c"), 9)).as("dot"),
+        sqrt(fold(round(col("tfidf") * col("tfidf"), 9))).as("d_nrm"))
+      .join(broadcast(cnorm), "cand_lang")
+      .select(col("doc_id"), col("cand_lang"),
+        round(col("dot") / (col("d_nrm") * col("c_nrm")), 6).as("cos"))
+    val pick = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("cos").desc, col("cand_lang"))
+    scored.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .join(docs.select(col("doc_id"), col("lang").as("true_lang")), "doc_id")
+      .select(col("doc_id"), col("true_lang"),
+        col("cand_lang").as("pred_lang"), col("cos"),
+        (col("cand_lang") === col("true_lang")).cast("long").as("correct"))
+  }
+
   /** Product quantization (B86): the production ANN memory layout
     * (IVF-PQ) — each embedding splits into m contiguous subvectors and
     * every subspace learns its own k-codeword codebook with the same

@@ -314,6 +314,17 @@ class Round8bSpec extends SparkSpec {
     assert(out.values.forall(c => c >= -1.0 && c <= 1.0))
   }
 
+  test("nearestCentroidLang classifies cleanly separated vocabularies perfectly") {
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma"), (2L, "en", "alpha beta delta"),
+      (3L, "fr", "un deux trois"), (4L, "fr", "un deux quatre"))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.operators.Similarity.nearestCentroidLang(docs)
+      .as[(Long, String, String, Double, Long)].collect()
+    assert(out.length === 4)
+    assert(out.forall(_._5 === 1L), s"disjoint vocabularies must classify perfectly: ${out.mkString}")
+  }
+
   test("LogRegSql learns a separating direction on separable embeddings") {
     // dim 1 perfectly separates: label<5 ↔ x1 = +1
     val emb = (0L until 20L).map { v =>
