@@ -251,6 +251,7 @@ object SparkEntry {
 
     // C. engine breadth
     "lineitem_agg" -> ((s, d) => Relational.lineitemAgg(t(s, d, "lineitem"))),
+    "tpch_q1" -> ((s, d) => Relational.tpchQ1(t(s, d, "lineitem"))),
     "orders_join" -> ((s, d) =>
       Relational.ordersJoin(t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
     "events_window" -> ((s, d) => Relational.eventsWindow(events(s, d))),

@@ -28,6 +28,33 @@ object Relational {
         count(lit(1)).as("n_rows"),
         round(avg(col("l_quantity")), 6).as("avg_qty"))
 
+  /** Full TPC-H Q1 (C88): all eight pricing-summary aggregates —
+    * [[lineitemAgg]] is the round-2 subset kept stable; this is the
+    * literal query, completing q1..q22. Sums accumulate exact cents;
+    * the discount average goes through exact basis points (a raw
+    * double-column avg would sum binary-inexact values in shuffle
+    * order), and every double sum stays in the exactly-representable
+    * range at any partitioning. One partial-agg shuffle onto the
+    * 6-row (returnflag, linestatus) key. */
+  def tpchQ1(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("sum_disc_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")))).as("sum_charge_cents"),
+        round(sum(col("l_quantity").cast("long")).cast("double") / count(lit(1)), 6)
+          .as("avg_qty"),
+        round(sum(cents(col("l_extendedprice"))).cast("double") / count(lit(1)), 6)
+          .as("avg_price_cents"),
+        round(sum(round(col("l_discount") * 10000).cast("long")).cast("double")
+          / count(lit(1)) / 10000.0, 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
   /** Revenue per nation: orders ⋈ customer ⋈ nation (C2). nation (25 rows)
     * is explicitly broadcast; orders⋈customer shuffles on custkey once —
     * at cluster scale both sides would be bucketed on custkey. */
