@@ -37,6 +37,14 @@ object GraftFunctions {
   private val mortonInfo = new ExpressionInfo(
     classOf[MortonInterleave].getCanonicalName, "graft_morton")
 
+  /** Sorted-distinct-array Jaccard as a typed Column. */
+  def jaccard(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      SortedArrayJaccard(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  private val jaccardInfo = new ExpressionInfo(
+    classOf[SortedArrayJaccard].getCanonicalName, "graft_jaccard")
+
   /** Imperative registration so `spark.sql("SELECT graft_cosine(a, b)")`
     * works on an existing session (e.g. the driver-created one). */
   def register(spark: SparkSession): Unit = {
@@ -53,6 +61,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_morton expects exactly 2 arguments")
         MortonInterleave(children.head, children(1))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_jaccard"), jaccardInfo,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_jaccard expects exactly 2 arguments")
+        SortedArrayJaccard(children.head, children(1))
       })
   }
 }
@@ -82,6 +96,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_morton expects exactly 2 arguments")
         MortonInterleave(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaccard"),
+      new ExpressionInfo(classOf[SortedArrayJaccard].getCanonicalName, "graft_jaccard"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_jaccard expects exactly 2 arguments")
+        SortedArrayJaccard(children.head, children(1))
       }))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)

@@ -89,19 +89,16 @@ object Dedup {
                       jacMin: Double = 0.9): DataFrame = {
     val (cand, dt) = lshCandidates(docs, numHashes, bandSize)
     val docArr = dt.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("token"))).as("arr"),
-        count(lit(1)).as("n"))
+      .agg(sort_array(collect_list(col("token"))).as("arr"))
     cand
-      .join(docArr.select(col("doc_id").as("a_id"), col("arr").as("a_arr"),
-        col("n").as("a_n")), "a_id")
-      .join(docArr.select(col("doc_id").as("b_id"), col("arr").as("b_arr"),
-        col("n").as("b_n")), "b_id")
+      .join(docArr.select(col("doc_id").as("a_id"), col("arr").as("a_arr")), "a_id")
+      .join(docArr.select(col("doc_id").as("b_id"), col("arr").as("b_arr")), "b_id")
+      // native one-pass merge over the sorted shingle arrays — same
+      // value as size(array_intersect)/size(array_union) (parity spec),
+      // no intermediate array allocation per candidate pair
       .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("a_arr"), col("b_arr"))).cast("long").as("i_n"),
-        col("a_n"), col("b_n"))
-      .select(col("a_id"), col("b_id"),
-        round(col("i_n").cast("double")
-          / (col("a_n") + col("b_n") - col("i_n")).cast("double"), 6).as("jac"))
+        round(graft.functions.GraftFunctions.jaccard(col("a_arr"), col("b_arr")), 6)
+          .as("jac"))
       .filter(col("jac") >= jacMin)
   }
 
