@@ -1400,6 +1400,13 @@ object Oracles {
         |  round(CAST(revenue_cents - prev_cents AS DOUBLE) / prev_cents, 6) AS wow_change
         |FROM l WHERE prev_cents IS NOT NULL""".stripMargin,
 
+    // 7x24 seasonality grid, ISO Monday=1 on both engines
+    "event_heatmap" ->
+      """SELECT isodow(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hour,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     // per-user lead() stream, |types|²-bounded transition counts
     "event_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

@@ -184,6 +184,7 @@ object SparkEntry {
     "window_active_users" -> ((s, d) => Relational.windowActiveUsers(events(s, d))),
     "events_winsorize" -> ((s, d) => Relational.eventsWinsorize(events(s, d))),
     "event_transitions" -> ((s, d) => Relational.eventTransitions(events(s, d))),
+    "event_heatmap" -> ((s, d) => Relational.eventHeatmap(events(s, d))),
     "spend_gini" -> ((s, d) => Relational.spendGini(t(s, d, "orders"))),
     // the salted join's RESULT is oracle-checked against the plain join
     // (the whole point of salting: bit-identical output, skew-proof shape)

@@ -1066,6 +1066,22 @@ object Relational {
           / col("prev_cents"), 6).as("wow_change"))
   }
 
+  /** Activity heatmap (C90): event counts and exact cent volume by
+    * (ISO day-of-week, hour-of-day) — the seasonality grid every ops
+    * dashboard opens with. One partial-agg shuffle onto the 7×24 key;
+    * ISO dow (Monday=1) spelled the same on both engines. */
+  def eventHeatmap(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        dayofweek(col("ts")).cast("long").as("dow_sun1"),
+        hour(col("ts")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("sum_value_cents"))
+      .select(
+        // normalize Spark's Sunday=1 to ISO Monday=1 once, in one place
+        (pmod(col("dow_sun1") + 5, lit(7L)) + 1).as("dow"),
+        col("hour"), col("n_events"), col("sum_value_cents"))
+
   /** First-order Markov transition matrix over event types (C87):
     * P(next type | current type) from each user's time-ordered stream —
     * the behavioral fingerprint behind session simulation and anomaly
