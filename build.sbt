@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through verbatim. The default (LoggedOutput)
+// prefixes every line with "[info] ", which corrupts Bench's one-line JSON
+// contract — the driver tails stdout and json-parses the line, and a
+// "[info] {...}" line is not JSON (rounds 1-8 all recorded parsed=null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

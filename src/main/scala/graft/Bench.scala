@@ -23,7 +23,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: WindowExec/other WARNs interleave with (and in the
+    // worst case split) the one-line JSON contract the driver tails for.
+    spark.sparkContext.setLogLevel("ERROR")
     // optional args subset the benched queries (dev loop, same as Verify)
     val subset = args.toSet
     val unknown = subset.diff(SparkEntry.queries.keySet)
@@ -71,7 +73,10 @@ object Bench {
     // subset runs (dev A/B) show exactly what was asked for
     val head = if (subset.nonEmpty) jmap(results)
       else jmap(results.filter(r => headline(r._1)))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$head,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    // Stop Spark FIRST so its shutdown logging cannot land after (or inside)
+    // the JSON line; the headline is the final thing this JVM prints.
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$head,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

@@ -532,13 +532,19 @@ object Oracles {
          |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.8""".stripMargin,
 
     // prefix-filtered twin: candidates via rare tokens (df <= N/2), exact
-    // rescore over FULL vectors — same arithmetic as doc_similarity
+    // rescore over FULL vectors — same arithmetic as doc_similarity.
+    // Adaptive skip mirrors the Spark side: when rare tokens carry >80%
+    // of all postings the prune removes nothing, so the gate widens to
+    // every token (candidates = the unpruned shared-token pair set).
     "doc_similarity_pruned" ->
       s"""WITH t AS ($tfidf),
          |w AS (SELECT t.doc_id, d.source AS blk, t.token, t.tfidf FROM t JOIN documents d USING (doc_id)),
          |nd AS (SELECT count(*) AS n_docs FROM documents),
-         |rare AS (SELECT token FROM (SELECT token, count(DISTINCT doc_id) AS df FROM w GROUP BY 1)
-         |         CROSS JOIN nd WHERE df <= n_docs * 0.5),
+         |dfs AS (SELECT token, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+         |sel AS (SELECT CAST(sum(CASE WHEN df <= n_docs * 0.5 THEN df ELSE 0 END) AS DOUBLE)
+         |          / sum(df) AS rare_frac FROM dfs CROSS JOIN nd),
+         |rare AS (SELECT token FROM dfs CROSS JOIN nd CROSS JOIN sel
+         |         WHERE df <= n_docs * 0.5 OR rare_frac > 0.8),
          |rw AS (SELECT w.* FROM w JOIN rare USING (token)),
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |         FROM rw a JOIN rw b ON a.blk = b.blk AND a.token = b.token AND a.doc_id < b.doc_id),
@@ -1271,14 +1277,16 @@ object Oracles {
          |  FROM w JOIN nl USING (lang) GROUP BY lang, token, n_l),
          |cn AS (SELECT cand_lang, sqrt(list_reduce(list_sort(list(round(c * c, 9))), (a, b) -> a + b)) AS c_nrm
          |       FROM cent GROUP BY 1),
-         |sc AS (SELECT doc_id, cand_lang,
-         |  list_reduce(list_sort(list(round(tfidf * c, 9))), (a, b) -> a + b) AS dot,
+         |dn AS (SELECT doc_id,
          |  sqrt(list_reduce(list_sort(list(round(tfidf * tfidf, 9))), (a, b) -> a + b)) AS d_nrm
+         |  FROM w GROUP BY 1),
+         |sc AS (SELECT doc_id, cand_lang,
+         |  list_reduce(list_sort(list(round(tfidf * c, 9))), (a, b) -> a + b) AS dot
          |  FROM (SELECT doc_id, token, tfidf FROM w) x JOIN cent USING (token)
          |  GROUP BY 1, 2),
          |r AS (SELECT doc_id, cand_lang, round(dot / (d_nrm * c_nrm), 6) AS cos,
          |  row_number() OVER (PARTITION BY doc_id ORDER BY round(dot / (d_nrm * c_nrm), 6) DESC, cand_lang) AS rn
-         |  FROM sc JOIN cn USING (cand_lang))
+         |  FROM sc JOIN dn USING (doc_id) JOIN cn USING (cand_lang))
          |SELECT doc_id, d.lang AS true_lang, cand_lang AS pred_lang, cos,
          |  CAST(cand_lang = d.lang AS BIGINT) AS correct
          |FROM r JOIN documents d USING (doc_id) WHERE rn = 1""".stripMargin,

@@ -20,9 +20,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * The sorted-distinct precondition is the caller's (sort_array over a
   * distinct set — what [[graft.operators.Dedup]] verification frames
   * already hold); unsorted input would silently undercount the
-  * intersection, so eval pre-scans BOTH arrays for ascending order and
-  * fails loudly on violation. (The merge alone can't see descents past
-  * a stalled pointer; the pre-scan is O(n) like the merge itself, two
+  * intersection and duplicates would inflate na+nb, so eval pre-scans
+  * BOTH arrays for STRICTLY ascending order (equal adjacent elements =
+  * duplicates are rejected too) and fails loudly on violation. NULL
+  * elements are likewise rejected — graft_jaccard is registered as a
+  * general SQL function, so arbitrary user arrays reach this path and
+  * must error, not NPE. (The merge alone can't see descents past a
+  * stalled pointer; the pre-scan is O(n) like the merge itself, two
   * comparisons per element, no allocation.)
   */
 case class SortedArrayJaccard(left: Expression, right: Expression)
@@ -59,11 +63,21 @@ case class SortedArrayJaccard(left: Expression, right: Expression)
 object SortedArrayJaccard {
 
   private def assertAscending(a: ArrayData, n: Int): Unit = {
+    if (n > 0 && a.isNullAt(0))
+      throw new IllegalArgumentException(
+        "graft_jaccard requires non-null array elements; got NULL")
     var i = 1
     while (i < n) {
-      if (a.getUTF8String(i).compareTo(a.getUTF8String(i - 1)) < 0)
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          "graft_jaccard requires non-null array elements; got NULL")
+      val c = a.getUTF8String(i).compareTo(a.getUTF8String(i - 1))
+      if (c < 0)
         throw new IllegalArgumentException(
           "graft_jaccard requires SORTED arrays; got descending elements")
+      if (c == 0)
+        throw new IllegalArgumentException(
+          "graft_jaccard requires DISTINCT arrays; got duplicate elements")
       i += 1
     }
   }

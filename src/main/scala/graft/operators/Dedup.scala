@@ -368,11 +368,17 @@ object Dedup {
         new XxHash64(Seq(ColumnShim.expression(col("content_hash")))),
         expectedItems).toAggregateExpression()).as("bf"))
     // might_contain requires its sketch as a constant or scalar subquery;
-    // the subquery broadcasts the finished sketch to every probe task
+    // the subquery broadcasts the finished sketch to every probe task.
+    // coalesce(-, false): BloomFilterAggregate over ZERO corpus rows yields
+    // a NULL sketch, and might_contain(NULL) is NULL — which fails both the
+    // maybe_seen and !maybe_seen filters, silently dropping every first-run
+    // batch row. A NULL sketch means nothing was ever inserted, so the
+    // probe's truthful answer is false (definitely new).
     val probed = hashed
-      .withColumn("maybe_seen", ColumnShim.column(BloomFilterMightContain(
+      .withColumn("maybe_seen", coalesce(ColumnShim.column(BloomFilterMightContain(
         ScalarSubquery(bloom.queryExecution.logical),
-        new XxHash64(Seq(ColumnShim.expression(col("content_hash")))))))
+        new XxHash64(Seq(ColumnShim.expression(col("content_hash")))))),
+        lit(false)))
     val definitelyNew = probed.filter(!col("maybe_seen")).drop("maybe_seen")
     val verified = probed.filter(col("maybe_seen")).drop("maybe_seen")
       .join(seen, Seq("content_hash"), "left_anti")

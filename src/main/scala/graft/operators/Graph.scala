@@ -120,13 +120,25 @@ object Graph {
     * documents (same df-thresholded, vocab²-bounded frame as tokenPmi).
     * Triangles enumerate via the standard a<b<c two-hop join on the
     * ORIENTED edge list — each triangle counted exactly once, no
-    * direction double-count — and each corner credits its token. The
-    * per-doc pair build is O(u²) in the doc's distinct tokens (bounded
-    * by doc length); the triangle joins run on the thresholded edge
-    * frame, which the pair-df gate keeps far smaller than the corpus. */
+    * direction double-count — and each corner credits its token.
+    *
+    * The per-doc pair build is O(u²) in the doc's distinct tokens, so the
+    * stream is df-pruned FIRST: a pair can only reach n_ab >= minPairDocs
+    * if both tokens individually appear in >= minPairDocs docs, so the
+    * semi-join against the df-qualified vocab is recall-lossless while
+    * shrinking the explosion at its source (an unpruned 10k-distinct-token
+    * doc alone is 50M pairs). The triangle joins then run on the
+    * thresholded edge frame, far smaller than the corpus. */
   def tokenTriangles(docs: DataFrame, minPairDocs: Int = 5): DataFrame = {
-    val d = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    val d0 = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
       .distinct()
+    // Un-hinted left_semi: AQE broadcasts the qualified vocab when it is
+    // small (the common case) and falls back to a shuffled semi-join if the
+    // corpus vocabulary outgrows the driver — scale-safe either way.
+    val qualified = d0.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minPairDocs)
+      .select("token")
+    val d = d0.join(qualified, Seq("token"), "left_semi")
     val edges = graft.CacheTracker.track(
       d.select(col("doc_id"), col("token").as("a"))
         .join(d.select(col("doc_id"), col("token").as("b")), "doc_id")

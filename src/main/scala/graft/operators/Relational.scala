@@ -127,21 +127,24 @@ object Relational {
       .groupBy("n_name")
       .agg(count(lit(1)).as("n_customers"))
 
-  /** Global ranking breadth (C21): per-user totals, then dense global
-    * rank / percent_rank / quartile. The unpartitioned window runs AFTER
-    * the aggregation has already reduced the frame to |users| rows; at
-    * cluster scale the same query range-partitions the sort (rank is then
-    * partition-offset + local rank) — the input to the window is never
-    * the raw event stream. */
+  /** Global ranking breadth (C21): per-user totals, then global
+    * rank / percent_rank / quartile via [[Ranks.withGlobalRowNumber]] —
+    * the range-partitioned two-pass rank, NOT a single-partition
+    * `Window.orderBy`. The per-user frame grows with the data, so at
+    * 100× users an unpartitioned window lands every user on one task;
+    * here every partition sorts its range slice in parallel and
+    * percent_rank/ntile derive arithmetically from (rank, n). The
+    * (total_cents desc, user_id) order is total, so results are
+    * deterministic and rank == row_number. */
   def userSpendRank(events: DataFrame): DataFrame = {
     val totals = events.groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("total_cents"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("total_cents").desc, col("user_id"))
-    totals.select(col("user_id"), col("n_events"), col("total_cents"),
-      row_number().over(w).cast("long").as("rnk"),
-      round(percent_rank().over(w), 6).as("pct_rank"),
-      ntile(4).over(w).cast("long").as("quartile"))
+    Ranks.withGlobalRowNumber(totals, "rnk", "_n",
+        Seq(col("total_cents").desc, col("user_id")))
+      .select(col("user_id"), col("n_events"), col("total_cents"),
+        col("rnk").cast("long").as("rnk"),
+        round(Ranks.percentRankFromRank(col("rnk"), col("_n")), 6).as("pct_rank"),
+        Ranks.ntileFromRank(col("rnk"), col("_n"), 4).cast("long").as("quartile"))
   }
 
   val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
@@ -1022,18 +1025,19 @@ object Relational {
   /** Gini coefficient of customer spend (C81): revenue-concentration in
     * one number via the rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n
     * over ascending spend (custkey ties). All sums are exact longs —
-    * the global rank runs on the per-customer reduced frame (the C21
-    * pattern), and i·x_i stays within long range while
+    * the global rank runs on the per-customer reduced frame via the
+    * range-partitioned two-pass [[Ranks.withGlobalRowNumber]] (no
+    * single-partition sort — the per-customer frame grows with the
+    * data), and i·x_i stays within long range while
     * n_customers·max_spend_cents < 2^63 (documented bound; split the
     * rank-sum by range beyond it). The two divides run as doubles in
     * fixed order. */
   def spendGini(orders: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val perCust = orders.groupBy(col("o_custkey"))
       .agg(sum(cents(col("o_totalprice"))).as("spend_cents"))
-    val w = Window.orderBy(col("spend_cents"), col("o_custkey"))
-    perCust
-      .select(col("spend_cents"), row_number().over(w).cast("long").as("i"))
+    Ranks.withGlobalRowNumber(perCust, "i", "_n",
+        Seq(col("spend_cents"), col("o_custkey")))
+      .select(col("spend_cents"), col("i").cast("long").as("i"))
       .agg(
         count(lit(1)).as("n_customers"),
         sum(col("spend_cents")).as("total_cents"),
@@ -1197,29 +1201,32 @@ object Relational {
 
   /** RFM customer segmentation (C78): recency (last order date),
     * frequency (order count), monetary (exact cent sum) per customer,
-    * each cut into quartiles by ntile(4) with deterministic custkey
-    * tie-breaks, composed into the classic 3-digit segment code. Like
-    * userSpendRank (C21), the global windows run over the
-    * already-reduced per-customer frame — one fact shuffle to build it,
-    * then vocabulary-of-customers-sized sorts. */
+    * each cut into quartiles with deterministic custkey tie-breaks,
+    * composed into the classic 3-digit segment code. Each quartile cut
+    * is a range-partitioned two-pass rank ([[Ranks.withGlobalRowNumber]]
+    * + arithmetic ntile) rather than a single-partition global window —
+    * the per-customer frame grows with the data, so the three sorts run
+    * partition-parallel and recombine by custkey join. */
   def rfmSegments(orders: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val perCust = orders.groupBy(col("o_custkey"))
       .agg(
         max(col("o_orderdate")).as("lo"),
         count(lit(1)).as("frequency"),
         sum(cents(col("o_totalprice"))).as("monetary_cents"))
     // recency quartile 4 = most recent, matching f/m where 4 = best
-    val rW = Window.orderBy(col("lo").asc, col("o_custkey"))
-    val fW = Window.orderBy(col("frequency").asc, col("o_custkey"))
-    val mW = Window.orderBy(col("monetary_cents").asc, col("o_custkey"))
+    def quartile(order: Seq[Column], name: String): DataFrame =
+      Ranks.withGlobalRowNumber(perCust, "_rnk", "_n", order)
+        .select(col("o_custkey"),
+          Ranks.ntileFromRank(col("_rnk"), col("_n"), 4).cast("long").as(name))
+    val r = quartile(Seq(col("lo").asc, col("o_custkey")), "r")
+    val f = quartile(Seq(col("frequency").asc, col("o_custkey")), "f")
+    val m = quartile(Seq(col("monetary_cents").asc, col("o_custkey")), "m")
     perCust
+      .join(r, "o_custkey").join(f, "o_custkey").join(m, "o_custkey")
       .select(col("o_custkey"),
         date_format(col("lo"), "yyyy-MM-dd").as("last_order"),
         col("frequency"), col("monetary_cents"),
-        ntile(4).over(rW).cast("long").as("r"),
-        ntile(4).over(fW).cast("long").as("f"),
-        ntile(4).over(mW).cast("long").as("m"))
+        col("r"), col("f"), col("m"))
       .withColumn("segment", col("r") * 100 + col("f") * 10 + col("m"))
   }
 

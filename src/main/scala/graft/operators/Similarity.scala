@@ -294,7 +294,8 @@ object Similarity {
     * cosine anyway. Cost: candidate generation is bounded by rare-token
     * posting lists; rescoring is bounded by candidates found. */
   def docSimilarityPruned(docs: DataFrame, blockCol: String = "source",
-                          simMin: Double = 0.8, maxDfFrac: Double = 0.5): DataFrame = {
+                          simMin: Double = 0.8, maxDfFrac: Double = 0.5,
+                          skipFrac: Double = 0.8): DataFrame = {
     def stableSum(c: Column) =
       aggregate(sort_array(collect_list(c)), lit(0.0), (a, b) => a + b)
     val w = graft.CacheTracker.track(
@@ -304,10 +305,26 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     w.count()
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val rare = w.select(col("token"), col("doc_id")).distinct()
+    val dfs = w.select(col("token"), col("doc_id")).distinct()
       .groupBy("token").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("df") <= col("n_docs") * maxDfFrac)
+    // Adaptive skip: prefix filtering pays only when "rare" tokens carry
+    // a small share of the postings. On a dense vocabulary (the measured
+    // worst case: every token in >N·maxDfFrac/2 docs) the rare gate
+    // selects nearly everything, so the prune costs an extra pass while
+    // removing nothing — when rare postings exceed `skipFrac` of ALL
+    // postings, widen the gate to every token (candidates = all
+    // shared-token pairs, i.e. the unpruned set). The oracle twin
+    // replicates the same rule, so results stay exact either way.
+    val sel = dfs.crossJoin(broadcast(nDocs))
+      .agg(
+        sum(when(col("df") <= col("n_docs") * maxDfFrac, col("df"))
+          .otherwise(lit(0L))).as("rare_post"),
+        sum(col("df")).as("all_post"))
+      .select((col("rare_post").cast("double") / col("all_post"))
+        .as("rare_frac"))
+    val rare = dfs.crossJoin(broadcast(nDocs)).crossJoin(broadcast(sel))
+      .filter(col("df") <= col("n_docs") * maxDfFrac
+        || col("rare_frac") > skipFrac)
       .select("token")
     val rareW = w.join(rare, "token")
     val cand = rareW.select(col("blk"), col("token"), col("doc_id").as("a_id"))
@@ -540,7 +557,13 @@ object Similarity {
     * Candidate scoring joins doc tokens to ALL language centroids on
     * the token key (vocab × |langs| bounded build side, broadcast);
     * argmax breaks ties on lang name via row_number. Same fold
-    * discipline as [[docLangCoherence]]. */
+    * discipline as [[docLangCoherence]].
+    *
+    * The document norm is computed ONCE over ALL of the doc's tfidf
+    * weights (a separate per-doc aggregate) — not inside the
+    * candidate-restricted join, where it would cover only the tokens
+    * shared with each centroid and inflate the score of nearly-disjoint
+    * candidates. The reported `cos` is the true cosine. */
   def nearestCentroidLang(docs: DataFrame): DataFrame = {
     def fold(c: Column) =
       aggregate(sort_array(collect_list(c)), lit(0.0), (a, b) => a + b)
@@ -554,11 +577,13 @@ object Similarity {
         round(col("s") / col("n_l"), 9).as("c"))
     val cnorm = cent.groupBy("cand_lang")
       .agg(sqrt(fold(round(col("c") * col("c"), 9))).as("c_nrm"))
+    val dnorm = w.groupBy("doc_id")
+      .agg(sqrt(fold(round(col("tfidf") * col("tfidf"), 9))).as("d_nrm"))
     val scored = w.select(col("doc_id"), col("token"), col("tfidf"))
       .join(broadcast(cent), "token")
       .groupBy("doc_id", "cand_lang")
-      .agg(fold(round(col("tfidf") * col("c"), 9)).as("dot"),
-        sqrt(fold(round(col("tfidf") * col("tfidf"), 9))).as("d_nrm"))
+      .agg(fold(round(col("tfidf") * col("c"), 9)).as("dot"))
+      .join(dnorm, "doc_id")
       .join(broadcast(cnorm), "cand_lang")
       .select(col("doc_id"), col("cand_lang"),
         round(col("dot") / (col("d_nrm") * col("c_nrm")), 6).as("cos"))

@@ -163,19 +163,27 @@ object Events {
 
   /** Exact distinct users per tumbling hour on a streaming OR batch
     * frame (C86, the streaming twin of Relational.windowActiveUsers):
-    * watermark-bounded dropDuplicates on (user, hour, type) keeps one
-    * row per contributor — dedup state evicts with the watermark — and
-    * the downstream windowed count then IS the exact distinct count.
-    * Chained stateful operators (dedup → agg) require append mode, so
-    * results emit when the watermark closes a window. The same call on
-    * a batch frame skips the watermark and computes identically. */
+    * watermark-bounded dedup on (user, hour, type) keeps one row per
+    * contributor, and the downstream windowed count then IS the exact
+    * distinct count. The streaming side MUST use
+    * `dropDuplicatesWithinWatermark`: a plain dropDuplicates on these
+    * keys grows state forever, because none of them carries event-time
+    * metadata (the date_trunc alias does not inherit ts's watermark
+    * tag) so nothing would ever evict. Within-watermark semantics are
+    * exact here — a duplicate arriving later than the watermark horizon
+    * is dropped by the windowed aggregation anyway. Chained stateful
+    * operators (dedup → agg) require append mode, so results emit when
+    * the watermark closes a window. The same call on a batch frame
+    * skips the watermark and computes identically. */
   def windowActiveUsers(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
-    val withWm =
-      if (events.isStreaming) events.withWatermark("ts", watermark) else events
-    withWm
-      .select(col("ts"), col("user_id"), col("event_type"))
+    val base = events.select(col("ts"), col("user_id"), col("event_type"))
       .withColumn("hour", date_trunc("hour", col("ts")))
-      .dropDuplicates("user_id", "hour", "event_type")
+    val deduped =
+      if (events.isStreaming)
+        base.withWatermark("ts", watermark)
+          .dropDuplicatesWithinWatermark("user_id", "hour", "event_type")
+      else base.dropDuplicates("user_id", "hour", "event_type")
+    deduped
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_users"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),

@@ -104,4 +104,24 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), "Bloom probe missing from the plan")
   }
+
+  test("bloom incremental dedup: empty standing corpus keeps the whole batch") {
+    // BloomFilterAggregate over zero rows yields a NULL sketch and
+    // might_contain(NULL) is NULL — without the coalesce(-, false) guard
+    // every first-run row fails BOTH filters and silently vanishes.
+    import spark.implicits._
+    val corpus = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch = Seq(
+      (11L, "first run doc a", "en", "s2", 15L),
+      (12L, "first run doc a", "en", "s2", 15L), // in-batch dup
+      (13L, "first run doc b", "en", "s2", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val exact = Dedup.incremental(batch, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    val bloomed = Dedup.incrementalBloom(batch, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact === Set(11L, 13L))
+    assert(bloomed === exact)
+  }
 }

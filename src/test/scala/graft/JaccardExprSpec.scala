@@ -50,4 +50,28 @@ class JaccardExprSpec extends SparkSpec {
     assert(ex.getMessage.contains("SORTED") ||
       ex.getCause != null && ex.getCause.getMessage.contains("SORTED"))
   }
+
+  test("sorted-but-non-distinct input fails loudly instead of inflating") {
+    // duplicates inflate na+nb (and can double-count intersections), so
+    // a sorted-with-dupes array passing silently would be a wrong answer
+    val ex = intercept[Exception] {
+      Seq((Seq("a", "b", "b"), Seq("a", "b", "c"))).toDF("a", "b")
+        .select(GraftFunctions.jaccard(col("a"), col("b")))
+        .collect()
+    }
+    assert(ex.getMessage.contains("DISTINCT") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("DISTINCT"))
+  }
+
+  test("null array elements fail loudly instead of NPE") {
+    // graft_jaccard is a registered SQL function — arbitrary user arrays
+    // (containsNull=true) reach this path
+    GraftFunctions.register(spark)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_jaccard(array('a', NULL), array('a','b')) AS j")
+        .collect()
+    }
+    assert(ex.getMessage.contains("non-null") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("non-null"))
+  }
 }

@@ -153,6 +153,27 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("global rank queries have no data-sized single-partition window") {
+    // userSpendRank/spendGini/rfmSegments rank frames that GROW with the
+    // data (per-user, per-customer) — an unpartitioned Window there lands
+    // every row on one task at scale. After the Ranks.withGlobalRowNumber
+    // rewrite, the only permitted empty-partitionSpec Window is the
+    // partition-offset fold over the numShufflePartitions-row counts
+    // frame (output exactly {_pid, _cnt}: bounded by config, not data).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (key <- Seq("user_spend_rank", "spend_gini", "rfm_segments")) {
+      val lp = SparkEntry.queries(key)(spark, sf).queryExecution.optimizedPlan
+      val unpartitioned = lp.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      for (w <- unpartitioned) {
+        val childCols = w.child.output.map(_.name).toSet
+        assert(childCols.subsetOf(Set("_pid", "_cnt", "_off")),
+          s"$key has a data-sized unpartitioned window over $childCols")
+      }
+    }
+  }
+
   test("join hints are honored: broadcast vs merge on the same join") {
     val a = spark.read.parquet(s"$sf/orders.parquet")
     val b = spark.read.parquet(s"$sf/customer.parquet")

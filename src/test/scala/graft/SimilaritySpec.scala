@@ -59,6 +59,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annIvfKmeans meets a quantitative recall floor vs exact top-k") {
+    // the annRecall query grades annIvf; this is the same gate for the
+    // KMeans-quantizer variant — quality asserted vs the exact answer,
+    // not just shape. nProbe=2 of 8 cells on sf0.001.
+    val emb2 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val k = 5
+    val exact = Similarity.annTopK(emb2, maxQueryId = 10, k = k)
+      .select(col("q_id"), col("n_id"))
+    val approx = Similarity.annIvfKmeans(emb2, maxQueryId = 10, k = k,
+        nCells = 8, nProbe = 2)
+      .select(col("q_id").as("aq"), col("n_id").as("an"))
+    val total = exact.count()
+    val hits = exact.join(approx,
+      exact("q_id") === approx("aq") && exact("n_id") === approx("an"),
+      "left_semi").count()
+    val recall = hits.toDouble / total
+    assert(total === 10L * k)
+    // probing 2/8 cells must beat blind chance (~0.25) by a wide margin;
+    // measured ≈ see assertion message on failure
+    assert(recall >= 0.5, f"recall@$k = $recall%.3f — IVF quality regressed")
+    graft.CacheTracker.releaseAll()
+  }
+
   test("nearDupPairs finds the planted duplicate, bucketed not all-pairs") {
     val pairs = Similarity.nearDupPairs(emb, cosMin = 0.99, bits = 8)
     assert(pairs.select("a_id", "b_id").as[(Long, Long)].collect().toSet === Set((0L, 100L)))
@@ -101,6 +124,40 @@ class SimilaritySpec extends SparkSpec {
     val unpruned = pairs(Similarity.docSimilarityPruned(docs, maxDfFrac = 1.0))
     graft.CacheTracker.releaseAll()
     assert(unpruned === full, "maxDfFrac=1.0 must equal the exact join exactly")
+  }
+
+  test("prefix filter on a Zipfian corpus: full recall through rare tokens only") {
+    // The anti-Zipfian bench corpus defeats df-pruning (documented worst
+    // case, and why the adaptive skip exists). This corpus is the regime
+    // the prune targets: a handful of stopwords carry most postings while
+    // near-duplicate pairs share RARE tokens — the gate filters hard
+    // (stopwords out: they exceed df <= N*0.5) yet recall stays exact,
+    // because every qualifying pair shares at least one rare token.
+    import spark.implicits._
+    val stop = "the of and to in"
+    val docs = (0L until 60L).map { i =>
+      val pairId = (i / 2).toInt // docs 2k,2k+1 share rare tokens -> near-dups
+      // letter-only tags: cleanText strips digits, so "rare0a" would
+      // collapse across pairs; base-26 letters survive tokenization
+      val tag = s"${('a' + pairId / 26).toChar}${('a' + pairId % 26).toChar}"
+      (i, s"$stop xq${tag}one xq${tag}two xq${tag}tri", "en", "s1", 40L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val full = pairs(Similarity.docSimilarity(docs, simMin = 0.5))
+    graft.CacheTracker.releaseAll()
+    val pruned = pairs(Similarity.docSimilarityPruned(docs, simMin = 0.5))
+    graft.CacheTracker.releaseAll()
+    assert(full.nonEmpty, "the planted near-dup pairs must score")
+    assert(pruned === full, "df-pruned candidates must keep full recall on Zipf data")
+    // and the gate really engaged: stopwords (df = N) are over the cap,
+    // so the adaptive skip must NOT have widened the gate — rare tokens
+    // carry 3/8 of postings per doc, far under the 0.8 skip threshold
+    val n = docs.count()
+    val dfs = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct().groupBy("token").count()
+    assert(dfs.filter(col("count") > n / 2).count() === 5, "stopwords exceed the cap")
   }
 
   test("randomProjection roughly preserves norms (JL property)") {
