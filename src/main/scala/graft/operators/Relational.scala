@@ -920,13 +920,15 @@ object Relational {
       .join(broadcast(nation.filter(col("n_name") === nationName)
         .select(col("n_nationkey"))), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
-    val wFull = org.apache.spark.sql.expressions.Window.orderBy(lit(1))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    ps.join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+    val perPart = ps.join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sum(col("cost_cents")).as("value_cents"))
-      .withColumn("total_cents", sum(col("value_cents")).over(wFull))
+    // The grand total is a two-stage global aggregate broadcast back —
+    // NOT a full-frame window, which would move the per-PART frame (it
+    // grows with the data) onto a single task. Exact long sum, so the
+    // total is order-independent and the filter matches any engine's.
+    val total = perPart.agg(sum(col("value_cents")).as("total_cents"))
+    perPart.crossJoin(broadcast(total))
       .filter(col("value_cents") * 10000L > col("total_cents"))
       .select(col("l_partkey"), col("value_cents"), col("total_cents"))
   }

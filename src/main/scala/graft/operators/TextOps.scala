@@ -953,15 +953,18 @@ object TextOps {
   /** Quality-by-length-decile profile (B95): mean composite quality per
     * length decile — the bias SURFACE behind [[qualityLengthCorr]]'s
     * single rho (a filter can be rank-uncorrelated overall yet cliff at
-    * one decile). Deciles cut by ntile(10) over (n_chars, doc_id) on
-    * the per-doc frame; quality terms are the shared 6 dp composite and
-    * fold sorted per decile. */
+    * one decile). Deciles cut by a range-partitioned two-pass global
+    * rank over (n_chars, doc_id) — the PER-DOC frame grows with the
+    * corpus, so a plain `ntile(10).over(Window.orderBy(...))` would
+    * move every document to one task; [[Ranks.ntileFromRank]] derives
+    * the identical bucket arithmetic from (rank, n). Quality terms are
+    * the shared 6 dp composite and fold sorted per decile. */
   def qualityByLengthDecile(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n_chars"), col("doc_id"))
-    docs
-      .select(col("doc_id"), col("n_chars"), qualityComposite.as("quality"))
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    Ranks.withGlobalRowNumber(
+        docs.select(col("doc_id"), col("n_chars"), qualityComposite.as("quality")),
+        "_rnk", "_n", Seq(col("n_chars"), col("doc_id")))
+      .withColumn("decile", Ranks.ntileFromRank(col("_rnk"), col("_n"), 10).cast("long"))
+      .drop("_rnk", "_n")
       .groupBy("decile")
       .agg(count(lit(1)).as("n_docs"),
         min(col("n_chars")).as("min_chars"),

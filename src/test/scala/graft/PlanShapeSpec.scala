@@ -161,7 +161,8 @@ class PlanShapeSpec extends SparkSpec {
     // partition-offset fold over the numShufflePartitions-row counts
     // frame (output exactly {_pid, _cnt}: bounded by config, not data).
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    for (key <- Seq("user_spend_rank", "spend_gini", "rfm_segments")) {
+    for (key <- Seq("user_spend_rank", "spend_gini", "rfm_segments",
+        "quality_by_length_decile", "rrf_fusion", "tpch_q11")) {
       val lp = SparkEntry.queries(key)(spark, sf).queryExecution.optimizedPlan
       val unpartitioned = lp.collect {
         case w: LWindow if w.partitionSpec.isEmpty => w
