@@ -597,6 +597,16 @@ object Oracles {
         |  columns = {doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
         |             meta: 'STRUCT(author VARCHAR, year BIGINT)', tags: 'VARCHAR[]'})""".stripMargin,
 
+    // DuckDB has no ORC reader: the oracle replays the SAME rows from the
+    // JSONL twin, making orc_ingest a cross-format consistency check
+    "orc_ingest" ->
+      """SELECT doc_id, lang, text, meta.author AS author, meta.year AS year,
+        |  coalesce(array_to_string(tags, ','), '') AS tags_csv, len(tags)::BIGINT AS n_tags
+        |FROM read_json('/root/repo/src/test/resources/docs_sample.jsonl',
+        |  format = 'newline_delimited',
+        |  columns = {doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
+        |             meta: 'STRUCT(author VARCHAR, year BIGINT)', tags: 'VARCHAR[]'})""".stripMargin,
+
     // each event belongs to exactly 2 of the 30-min-sliding 1h windows:
     // the one starting at its own 30-min slot and the previous slot
     "events_sliding" ->

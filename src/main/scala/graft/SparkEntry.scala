@@ -400,6 +400,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("text"),
           col("meta.author").as("author"), col("meta.year").as("year"),
           concat_ws(",", col("tags")).as("tags_csv"),
+          size(col("tags")).cast("long").as("n_tags"))),
+    // ORC ingest (the third columnar-capable source beside parquet/csv/
+    // jsonl): nested struct + array extraction straight off the ORC
+    // reader, schema carried by the file (no inference pass). The oracle
+    // reads the SAME rows from the JSONL twin — a cross-format
+    // consistency check DuckDB can replay (it has no ORC reader).
+    "orc_ingest" -> ((s, _) =>
+      s.read.orc("/root/repo/src/test/resources/docs_sample.orc")
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("meta.author").as("author"), col("meta.year").as("year"),
+          concat_ws(",", col("tags")).as("tags_csv"),
           size(col("tags")).cast("long").as("n_tags")))
   )
 

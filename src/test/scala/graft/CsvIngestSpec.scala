@@ -23,4 +23,17 @@ class CsvIngestSpec extends SparkSpec {
     val t4 = df.filter(col("item_id") === "4").select("sentiment_text").head().getString(0)
     assert(t4 === "quoted text with \"escaped quotes\" and a comma, inside")
   }
+
+  test("ORC ingest matches the JSONL twin row for row, and filters push down") {
+    val orc = SparkEntry.queries("orc_ingest")(spark, "")
+    val json = SparkEntry.queries("json_ingest")(spark, "")
+    assert(orc.collect().map(_.toString).sorted.toSeq ===
+      json.collect().map(_.toString).sorted.toSeq)
+    // ORC scans must push predicates like the parquet ones do
+    val plan = spark.read.orc("/root/repo/src/test/resources/docs_sample.orc")
+      .filter(col("doc_id") > 2).select("doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,2)"),
+      plan.take(600))
+  }
 }
