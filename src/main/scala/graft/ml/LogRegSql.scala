@@ -34,7 +34,13 @@ object LogRegSql {
     aggregate(sort_array(collect_list(c)), lit(0.0), (a, b) => a + b)
 
   /** (i, w): learned weight per 1-based dimension after `iters` rounds. */
-  def weights(emb: DataFrame, iters: Int = 3, lr: Double = 1.0): DataFrame = {
+  def weights(emb: DataFrame, iters: Int = 3, lr: Double = 1.0): DataFrame =
+    weightsOver(explodedFrame(emb), emb.agg(count(lit(1)).as("n_vecs")), iters, lr)
+
+  /** The exploded (vec_id, y, i, x) training frame, persisted — shared
+    * by the GD rounds and (in [[predictions]]) the scoring pass, so the
+    * explode+persist pays once per query, not once per consumer. */
+  private def explodedFrame(emb: DataFrame): DataFrame = {
     val x = emb.select(col("vec_id"),
         when(col("label") < 5, 1.0).otherwise(0.0).as("y"),
         posexplode(col("embedding")).as(Seq("p0", "x")))
@@ -43,8 +49,14 @@ object LogRegSql {
     val cached = graft.CacheTracker.track(
       x.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     cached.count()
-    // n as a broadcast one-row frame, not a driver-side count() action
-    val n = emb.agg(count(lit(1)).as("n_vecs"))
+    cached
+  }
+
+  private def weightsOver(cached: DataFrame, n: DataFrame,
+                          iters: Int, lr: Double): DataFrame = {
+    // n arrives as a broadcast one-row frame computed on the RAW table
+    // (a parquet count — cheaper than a distinct over the exploded
+    // frame, A/B'd), not a driver-side count() action
     var w = cached.select(col("i")).distinct().select(col("i"), lit(0.0).as("w"))
     for (_ <- 1 to iters) {
       val z = cached.join(broadcast(w), "i")
@@ -65,14 +77,13 @@ object LogRegSql {
   }
 
   /** Training-set predictions under the learned weights, with the same
-    * rounding chain: (vec_id, y, p, pred). */
+    * rounding chain: (vec_id, y, p, pred). The scoring pass reads the
+    * SAME persisted exploded frame the GD rounds trained on (one
+    * explode+persist per query, not one per consumer). */
   def predictions(emb: DataFrame, iters: Int = 3, lr: Double = 1.0): DataFrame = {
-    val wts = weights(emb, iters, lr)
-    emb.select(col("vec_id"),
-        when(col("label") < 5, 1.0).otherwise(0.0).as("y"),
-        posexplode(col("embedding")).as(Seq("p0", "x")))
-      .select(col("vec_id"), col("y"), (col("p0") + 1).cast("long").as("i"),
-        col("x").cast("double").as("x"))
+    val cached = explodedFrame(emb)
+    val wts = weightsOver(cached, emb.agg(count(lit(1)).as("n_vecs")), iters, lr)
+    cached
       .join(broadcast(wts), "i")
       .select(col("vec_id"), col("y"), round(col("w") * col("x"), 9).as("c"))
       .groupBy("vec_id", "y").agg(sortedFold(col("c")).as("z"))
