@@ -50,33 +50,45 @@ object Bench {
     }
     // total covers successful queries only; failures stay visible as -1
     val total = results.map(_._2).filter(_ >= 0).sum
-    def jmap(rs: Seq[(String, Double)]): String = rs
-      .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
-      .mkString("{", ",", "}")
-    // The full 148-query map is ~3.3 KB — longer than the tail window the
+    // The full 190-query map is ~3.3 KB — longer than the tail window the
     // driver keeps, so a single fat line arrives truncated and unparseable
     // (rounds 2-7 all recorded parsed=null). Full map goes to a file; the
     // stdout line stays under ~1.5 KB with a family-covering headline set.
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir"}""")
-    val headline = Set(
-      "lineitem_agg", "tpch_q3", "tpch_q5", "tpch_q9", "tpch_q18", "tpch_q21",
-      "orders_join", "asof_join", "range_join", "events_window",
-      "events_sessionize", "events_rolling", "clean_text", "tfidf", "bm25",
-      "token_pmi", "token_pagerank", "dedup_exact", "minhash_lsh",
-      "dedup_components", "semantic_dedup", "paragraph_dedup", "ann_topk",
-      "ann_ivf", "ann_recall", "kmeans_lloyd", "random_projection",
-      "embed_centroids", "quality_score", "gopher_filter", "curation_pipeline",
-      "sequence_pack", "contamination_check", "doc_similarity_pruned",
-      "nb_scratch", "svm_predictions", "ngram_novelty", "source_overlap")
     // subset runs (dev A/B) show exactly what was asked for
     val head = if (subset.nonEmpty) jmap(results)
       else jmap(results.filter(r => headline(r._1)))
     // Stop Spark FIRST so its shutdown logging cannot land after (or inside)
     // the JSON line; the headline is the final thing this JVM prints.
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$head,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(headlineLine(total, results.size, head, sfDir))
     System.out.flush()
   }
+
+  private[graft] def jmap(rs: Seq[(String, Double)]): String = rs
+    .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
+    .mkString("{", ",", "}")
+
+  /** The queries whose timings ride on the one-line stdout contract —
+    * one or two per operator family. Grow this set only with an eye on
+    * [[headlineLine]]'s budget (BenchContractSpec pins it). */
+  private[graft] val headline = Set(
+    "lineitem_agg", "tpch_q3", "tpch_q5", "tpch_q9", "tpch_q18", "tpch_q21",
+    "orders_join", "asof_join", "range_join", "events_window",
+    "events_sessionize", "events_rolling", "clean_text", "tfidf", "bm25",
+    "token_pmi", "token_pagerank", "dedup_exact", "minhash_lsh",
+    "dedup_components", "semantic_dedup", "paragraph_dedup", "ann_topk",
+    "ann_ivf", "ann_recall", "kmeans_lloyd", "random_projection",
+    "embed_centroids", "quality_score", "gopher_filter", "curation_pipeline",
+    "sequence_pack", "contamination_check", "doc_similarity_pruned",
+    "nb_scratch", "svm_predictions", "ngram_novelty", "source_overlap")
+
+  /** The driver-parsed stdout line. Contract (BenchContractSpec): valid
+    * JSON, and comfortably under the ~2 KB tail window the driver keeps
+    * even at worst-case timing widths. */
+  private[graft] def headlineLine(total: Double, nQueries: Int,
+                                  queriesJson: String, sfDir: String): String =
+    s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$nQueries,"queries":$queriesJson,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
 }
