@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Null-field totality: at 100 TB some rows WILL carry NULL text / lang /
+  * source (failed extractions, schema drift). No operator may throw on
+  * them — a null text row should either drop out of token-derived frames
+  * (explode of a null array emits nothing) or flow through as a null
+  * scalar, never kill the job. Sibling of EmptyInputSpec, which covers
+  * zero-ROW inputs. */
+class NullInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two healthy docs around the degenerate ones so aggregates are non-empty
+  private lazy val docs: DataFrame = Seq(
+    (1L, Option("the quick brown fox jumps again and again"), Option("en"), Option("s1"), Option(42L)),
+    (2L, None, Option("en"), Option("s1"), None),                   // null text
+    (3L, Option("der schnelle braune fuchs springt wieder"), None, None, Option(40L)), // null lang+source
+    (4L, Option(""), Option("fr"), Option("s2"), Option(0L))        // empty (not null) text
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("token-deriving text operators are total on null/empty text") {
+    val ops: Seq[DataFrame => DataFrame] = Seq(
+      TextOps.cleanDocs, TextOps.tokenCounts, d => TextOps.tokenizeIds(d),
+      d => TfIdf.tfidf(d), d => Dedup.exact(d), TextOps.sentenceStats,
+      TextOps.readability, d => LangModel.bm25(d),
+      d => Graph.tokenTriangles(d))
+    for ((op, i) <- ops.zipWithIndex) {
+      val out = op(docs)
+      // must evaluate without throwing; row counts vary by op semantics
+      assert(out.count() >= 0, s"text op #$i threw or produced negative count")
+    }
+  }
+
+  test("quality scoring flows null text through without throwing") {
+    val q = TextOps.qualityScore(docs)
+    assert(q.count() >= 2) // at minimum the healthy docs score
+    assert(q.filter(col("doc_id") === 1L).count() === 1)
+  }
+
+  test("grouping operators tolerate null group keys (lang/source)") {
+    // null lang/source must form their own group or be dropped — not throw
+    for (df <- Seq(
+        LangModel.sourceLangEntropy(docs),
+        docs.groupBy("lang").agg(count(lit(1)).as("n")))) {
+      assert(df.count() >= 1)
+    }
+  }
+
+  test("dedup keeps the healthy docs when degenerate rows are present") {
+    val kept = Dedup.exact(docs).select("keeper_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(3L),
+      s"healthy docs must survive dedup alongside null/empty rows: $kept")
+  }
+}
