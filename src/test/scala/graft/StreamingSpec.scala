@@ -68,6 +68,12 @@ class StreamingSpec extends SparkSpec {
     // advance the watermark far enough to close the 10:00 window
     stream.addData((Timestamp.valueOf("2024-03-01 14:00:00"), 9L, "click"))
     q.processAllAvailable()
+    // third micro-batch: a duplicate arriving AFTER the watermark passed
+    // its window — the within-watermark dedup state for it has been
+    // evicted, so this row must be discarded by the closed window, never
+    // re-emitted or double-counted (and never crash the query)
+    stream.addData((Timestamp.valueOf("2024-03-01 10:15:00"), 1L, "click"))
+    q.processAllAvailable()
     q.stop()
     val streamed = spark.table("wau")
       .as[(String, String, Long)].collect().toSet
