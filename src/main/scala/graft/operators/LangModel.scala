@@ -312,26 +312,28 @@ object LangModel {
     val bm = bm25(docs)
       .filter(col("token").isin(queryTokens: _*))
       .groupBy("doc_id").agg(sum(col("bm25")).as("bm_score"))
-    // NOT persisted: the two rank passes (plus their range-partitioner
-    // sampling jobs) recompute this frame, but the A/B (×3, BASELINE.md
-    // round 9) measured MEMORY_AND_DISK persist at 5.3 s vs 3.3 s
-    // recomputed — the same recompute-beats-persist result as the three
-    // round-8 A/Bs: the codegen'd chain re-runs cheaper than the
-    // materialization it would save.
-    val scored = TextOps.qualityScore(docs)
-      .select(col("doc_id"), col("quality"))
-      .join(bm, Seq("doc_id"), "left")
-      .withColumn("bm_score", coalesce(col("bm_score"), lit(0.0)))
+    // NOT persisted: each rank pass (plus its range-partitioner sampling
+    // job) recomputes its input, but the A/B (×3, BASELINE.md round 9)
+    // measured MEMORY_AND_DISK persist at 5.3 s vs 3.3 s recomputed —
+    // the same recompute-beats-persist result as the three round-8 A/Bs.
+    // Instead the two rank inputs carry DISJOINT lineages: the quality
+    // rank never executes the BM25 chain and vice versa (a shared
+    // quality⋈bm frame would re-run BOTH chains under each of the four
+    // jobs). The bm left join preserves rows, so ranking the halves
+    // separately is order-identical to ranking the joined frame.
+    val universe = docs.select(col("doc_id"))
     // Both rank lists run over the PER-DOC frame (grows with the corpus),
     // so each is a range-partitioned two-pass rank, not a single-partition
     // global window; they recombine on doc_id.
-    val byBm = Ranks.withGlobalRowNumber(scored.select(col("doc_id"),
-        col("bm_score")), "r_bm25", "_n",
-        Seq(col("bm_score").desc, col("doc_id")))
+    val byBm = Ranks.withGlobalRowNumber(
+        universe.join(bm, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("bm_score"), lit(0.0)).as("bm_score")),
+        "r_bm25", "_n", Seq(col("bm_score").desc, col("doc_id")))
       .select(col("doc_id"), col("r_bm25").cast("long").as("r_bm25"))
-    val byQ = Ranks.withGlobalRowNumber(scored.select(col("doc_id"),
-        col("quality")), "r_quality", "_n",
-        Seq(col("quality").desc, col("doc_id")))
+    val byQ = Ranks.withGlobalRowNumber(
+        TextOps.qualityScore(docs).select(col("doc_id"), col("quality")),
+        "r_quality", "_n", Seq(col("quality").desc, col("doc_id")))
       .select(col("doc_id"), col("r_quality").cast("long").as("r_quality"))
     byBm.join(byQ, "doc_id")
       .select(col("doc_id"), col("r_bm25"), col("r_quality"),
