@@ -533,9 +533,11 @@ object Oracles {
 
     // prefix-filtered twin: candidates via rare tokens (df <= N/2), exact
     // rescore over FULL vectors — same arithmetic as doc_similarity.
-    // Adaptive skip mirrors the Spark side: when rare tokens carry >80%
-    // of all postings the prune removes nothing, so the gate widens to
-    // every token (candidates = the unpruned shared-token pair set).
+    // Adaptive bypass mirrors the Spark side: when rare tokens carry less
+    // than 5% of all postings (dense vocabulary) the gate would gut
+    // recall while saving nothing, so it widens to every token
+    // (candidates = the unpruned shared-token pair set — what the Spark
+    // side produces there via its block-pair plan).
     "doc_similarity_pruned" ->
       s"""WITH t AS ($tfidf),
          |w AS (SELECT t.doc_id, d.source AS blk, t.token, t.tfidf FROM t JOIN documents d USING (doc_id)),
@@ -544,7 +546,7 @@ object Oracles {
          |sel AS (SELECT CAST(sum(CASE WHEN df <= n_docs * 0.5 THEN df ELSE 0 END) AS DOUBLE)
          |          / sum(df) AS rare_frac FROM dfs CROSS JOIN nd),
          |rare AS (SELECT token FROM dfs CROSS JOIN nd CROSS JOIN sel
-         |         WHERE df <= n_docs * 0.5 OR rare_frac > 0.8),
+         |         WHERE df <= n_docs * 0.5 OR rare_frac < 0.05),
          |rw AS (SELECT w.* FROM w JOIN rare USING (token)),
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |         FROM rw a JOIN rw b ON a.blk = b.blk AND a.token = b.token AND a.doc_id < b.doc_id),

@@ -151,8 +151,8 @@ class SimilaritySpec extends SparkSpec {
     assert(full.nonEmpty, "the planted near-dup pairs must score")
     assert(pruned === full, "df-pruned candidates must keep full recall on Zipf data")
     // and the gate really engaged: stopwords (df = N) are over the cap,
-    // so the adaptive skip must NOT have widened the gate — rare tokens
-    // carry 3/8 of postings per doc, far under the 0.8 skip threshold
+    // and rare tokens carry 3/8 of postings — far above the 0.05 bypass
+    // floor, so the rare-token path (not the dense block-pair plan) ran
     val n = docs.count()
     val dfs = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
