@@ -291,8 +291,13 @@ object Similarity {
     * then each candidate pair is rescored EXACTLY over its full weight
     * vectors. Recall trade, stated: a pair sharing only frequent tokens
     * is missed; with Zipfian vocabularies such pairs have near-floor
-    * cosine anyway. Cost: candidate generation is bounded by rare-token
-    * posting lists; rescoring is bounded by candidates found. */
+    * cosine anyway (bench/ZipfCheck.scala measures the gate 3.8× faster
+    * there at full recall). ADAPTIVE BYPASS: when rare tokens carry less
+    * than `bypassFloor` of all postings (a dense vocabulary — the regime
+    * where the gate would gut recall while pruning nothing), the gate is
+    * bypassed and the FULL shared-token result is returned, at measured
+    * parity with [[docSimilarity]]. The branch is chosen by a one-row
+    * statistics read (plan-time CBO); the oracle encodes the same rule. */
   def docSimilarityPruned(docs: DataFrame, blockCol: String = "source",
                           simMin: Double = 0.8, maxDfFrac: Double = 0.5,
                           bypassFloor: Double = 0.05): DataFrame = {
