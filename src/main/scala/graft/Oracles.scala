@@ -1182,6 +1182,69 @@ object Oracles {
          |        / (CAST(s AS DOUBLE) / df), 6) AS burstiness
          |FROM s WHERE df >= 5""".stripMargin,
 
+    // stride-1 rolling 8-token shingles; a shingle is duplicated when its
+    // hash occurs in >1 distinct doc; covered positions union via DISTINCT
+    "span_dedup" ->
+      s"""WITH b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks
+         |      FROM (SELECT doc_id, $toks AS toks FROM documents)),
+         |sh AS (SELECT doc_id, i,
+         |       md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')) AS h
+         |       FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS i
+         |             FROM b WHERE n_tokens >= 8)),
+         |dup AS (SELECT h FROM
+         |        (SELECT h, count(DISTINCT doc_id) AS nd FROM sh GROUP BY 1)
+         |        WHERE nd > 1),
+         |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_tokens FROM
+         |        (SELECT DISTINCT s.doc_id, s.i + r.u AS pos
+         |         FROM sh s JOIN dup USING (h) CROSS JOIN range(0, 8) r(u))
+         |        GROUP BY 1)
+         |SELECT b.doc_id, b.n_tokens,
+         |  CASE WHEN b.n_tokens >= 8 THEN b.n_tokens - 7
+         |       WHEN b.n_tokens IS NOT NULL THEN CAST(0 AS BIGINT) END AS n_shingles,
+         |  CASE WHEN b.n_tokens IS NOT NULL
+         |       THEN CAST(coalesce(c.n_dup_tokens, 0) AS BIGINT) END AS n_dup_tokens,
+         |  CASE WHEN b.n_tokens > 0
+         |       THEN round(CAST(coalesce(c.n_dup_tokens, 0) AS DOUBLE) / b.n_tokens, 6)
+         |       WHEN b.n_tokens IS NOT NULL THEN 0.0 END AS dup_token_frac
+         |FROM b LEFT JOIN cov c USING (doc_id)""".stripMargin,
+
+    // CCNet-style per-language NLL quartile buckets over the doc_perplexity
+    // bigram-LM chain (same CTEs); thresholds rounded to 6 dp on both sides
+    "ccnet_buckets" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) >= 2),
+         |b AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+         |cb AS (SELECT w1, w2, count(*) AS c_bigram FROM b GROUP BY 1, 2),
+         |cw AS (SELECT w1, count(*) AS c_w1 FROM b GROUP BY 1),
+         |v AS (SELECT count(DISTINCT token) AS v FROM $tokTable),
+         |lm AS (SELECT cb.w1, cb.w2,
+         |       round(ln((CAST(c_bigram AS DOUBLE) + 0.5) / (CAST(c_w1 AS DOUBLE) + 0.5 * v)), 6) AS logp
+         |       FROM cb JOIN cw USING (w1) CROSS JOIN v),
+         |x AS (SELECT doc_id, logp FROM b JOIN lm USING (w1, w2)),
+         |g AS (SELECT doc_id, count(*) AS n_bigrams,
+         |      round(list_reduce(list_sort(list(logp)), (a, b) -> a + b), 6) AS sum_logp
+         |      FROM x GROUP BY 1),
+         |sc AS (SELECT g.doc_id, d.lang, round(-sum_logp / n_bigrams, 6) AS nll
+         |       FROM g JOIN documents d USING (doc_id)),
+         |th AS (SELECT lang, round(quantile_cont(nll, 0.25), 6) AS p25,
+         |       round(quantile_cont(nll, 0.75), 6) AS p75 FROM sc GROUP BY 1)
+         |SELECT doc_id, sc.lang, nll,
+         |  CASE WHEN nll <= p25 THEN 'head' WHEN nll <= p75 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM sc JOIN th ON sc.lang = th.lang""".stripMargin,
+
+    // cumulative corpus coverage by frequency-ranked vocabulary; the
+    // cumulative sum folds exact longs, ties break on the token
+    "token_coverage_curve" ->
+      s"""WITH c AS (SELECT token, count(*) AS cnt FROM $tokTable GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS vocab_rank,
+         |  token, cnt,
+         |  round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |        / total, 6) AS cum_frac
+         |FROM c CROSS JOIN tot""".stripMargin,
+
     // 2x2 presence-contingency chi-square per (token, lang)
     "chi2_features" ->
       s"""WITH d AS (SELECT DISTINCT doc_id, lang, token

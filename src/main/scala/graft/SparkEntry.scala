@@ -249,6 +249,9 @@ object SparkEntry {
     "tokenize_ids" -> ((s, d) => TextOps.tokenizeIds(spread(t(s, d, "documents")))),
     "token_triangles" -> ((s, d) => Graph.tokenTriangles(spread(t(s, d, "documents")))),
     "token_walks" -> ((s, d) => Graph.tokenWalks(spread(t(s, d, "documents")))),
+    "span_dedup" -> ((s, d) => Dedup.spanDedup(spread(t(s, d, "documents")))),
+    "ccnet_buckets" -> ((s, d) => LangModel.ccnetBuckets(spread(t(s, d, "documents")))),
+    "token_coverage_curve" -> ((s, d) => TextOps.tokenCoverageCurve(spread(t(s, d, "documents")))),
 
     // C. engine breadth
     "lineitem_agg" -> ((s, d) => Relational.lineitemAgg(t(s, d, "lineitem"))),

@@ -430,4 +430,66 @@ object Dedup {
           (col("a_n") + col("b_n") - col("common")), 6).as("jaccard"))
       .filter(col("jaccard") >= simMin)
   }
+
+  /** B99: substring-level duplicated-span detection via stride-1 rolling
+    * token shingles — the distributed shape of exact-substring training-
+    * data dedup (suffix-array ExactSubstr in the published single-machine
+    * form). A `win`-token window slides one token at a time, so
+    * duplication is caught at ANY alignment — unlike [[TextOps
+    * .paragraphDedup]]/[[TextOps.lineFreqFilter]], whose fixed win-token
+    * chunk grid (stride = win) misses a copied passage that starts
+    * mid-chunk. A shingle is duplicated when its hash appears in more
+    * than one DISTINCT document (within-doc repetition is
+    * [[TextOps.repetitionStats]]' business, not dedup's). Per doc:
+    * how many token positions sit inside at least one duplicated
+    * shingle, i.e. the fraction of the document that is copied text.
+    *
+    * Scale: the stride-1 expansion is n_tokens rows per doc of (i, md5)
+    * pairs — hashes built INSIDE `transform` so the token array never
+    * replicates per shingle. Duplicate detection is one hash-partitioned
+    * count-distinct on the shingle hash; the position explosion (×win)
+    * runs only on duplicated occurrences, so cost tracks the dup mass,
+    * not the corpus. No all-pairs path, no driver state.
+    *
+    * Null/short-doc totality: null text propagates null stats (same rule
+    * as tokenCounts); docs shorter than `win` tokens have 0 shingles and
+    * dup_token_frac 0. */
+  def spanDedup(docs: DataFrame, win: Int = 8): DataFrame = {
+    val toked = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"))
+    // (doc_id, shingle-start i, shingle hash h) — one row per position
+    val sh = toked.filter(col("n_tokens") >= win)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0L), col("n_tokens") - win), i =>
+          struct(i.as("i"),
+            md5(concat_ws(" ", slice(col("toks"), (i + 1).cast("int"), lit(win))))
+              .as("h")))).as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.h").as("h"))
+    val dup = sh.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("h")
+    // positions covered by >=1 duplicated shingle: explode dup occurrences
+    // only, union overlapping windows via distinct
+    val cover = sh.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (win - 1))).as("pos"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_tokens"))
+    toked.select(col("doc_id"), col("n_tokens"))
+      .join(cover, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") >= win, col("n_tokens") - (win - 1))
+          .when(col("n_tokens").isNotNull, lit(0L)).as("n_shingles"),
+        when(col("n_tokens").isNotNull, coalesce(col("n_dup_tokens"), lit(0L)))
+          .as("n_dup_tokens"),
+        when(col("n_tokens") > 0,
+          round(coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens"), 6))
+          .when(col("n_tokens").isNotNull, lit(0.0)).as("dup_token_frac"))
+  }
 }

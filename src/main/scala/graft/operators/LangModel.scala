@@ -437,4 +437,32 @@ object LangModel {
         round(
           ((col("ss").cast("double") - col("s").cast("double") * col("s") / col("df"))
             / col("df")) / col("mean_tf"), 6).as("burstiness"))
+
+  /** CCNet-style per-language perplexity buckets (B100): documents split
+    * into head / middle / tail by corpus-LM NLL WITHIN their language —
+    * the published CCNet curation move (Wenzek et al. 2019), where "head"
+    * (lowest perplexity = most in-distribution) feeds training first.
+    * Thresholds are per-language because NLL scales differ by language;
+    * quartile cuts here (head ≤ p25 < middle ≤ p75 < tail) — CCNet's
+    * thirds shifted to exactly-representable quantile points so the
+    * interpolation arithmetic cannot drift between engines.
+    *
+    * Reuses [[docPerplexity]]'s bigram-LM NLL unchanged (docs with < 2
+    * tokens have no NLL and no bucket, same domain rule). The threshold
+    * frame is |languages| rows and broadcasts; the exact `percentile`
+    * aggregate holds per-lang value counts — at 100 TB the thresholds
+    * would come from `approx_percentile` or a sample, as CCNet itself
+    * computes them on a held-out slice. */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val scored = docPerplexity(docs).select(col("doc_id"), col("nll"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val thresholds = scored.groupBy("lang").agg(
+      round(percentile(col("nll"), lit(0.25)), 6).as("p25"),
+      round(percentile(col("nll"), lit(0.75)), 6).as("p75"))
+    scored.join(broadcast(thresholds), "lang")
+      .select(col("doc_id"), col("lang"), col("nll"),
+        when(col("nll") <= col("p25"), "head")
+          .when(col("nll") <= col("p75"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

@@ -1171,4 +1171,31 @@ object TextOps {
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
         col("token"), coalesce(col("vocab_id"), lit(0L)).as("token_id"))
   }
+
+  /** Vocabulary coverage curve (B101): tokens ranked by corpus frequency
+    * with the cumulative fraction of all token occurrences covered by
+    * ranks 1..r — the curve that answers "what vocab size covers 99% of
+    * the corpus", the sizing input for [[vocabBuild]]/[[tokenizeIds]]'
+    * OOV budget. Ties break on the token itself so the ranking is total
+    * and deterministic.
+    *
+    * Shape: one partial-aggregated shuffle onto the vocabulary frame,
+    * then a cumulative window over it — vocab-bounded, the audited
+    * empty-partitionSpec posture (a real vocabulary is ~1e5-1e6 rows
+    * regardless of corpus bytes). The cumulative sum folds exact longs;
+    * the single division happens at the end. */
+  def tokenCoverageCurve(docs: DataFrame): DataFrame = {
+    val cnt = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    val tot = cnt.agg(sum(col("cnt")).as("total"))
+    cnt
+      .withColumn("vocab_rank", row_number().over(w).cast("long"))
+      .withColumn("cum_cnt", sum(col("cnt")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot))
+      .select(col("vocab_rank"), col("token"), col("cnt"),
+        round(col("cum_cnt").cast("double") / col("total"), 6).as("cum_frac"))
+  }
 }

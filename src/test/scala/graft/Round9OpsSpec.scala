@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, LangModel, TextOps}
+
+/** Round-9 additions: stride-1 duplicated-span detection, CCNet-style
+  * perplexity buckets, and the vocabulary coverage curve. */
+class Round9OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a 10-token passage planted in two docs at DIFFERENT offsets (0 vs 3):
+  // the fixed 8-token chunk grid of paragraphDedup/lineFreqFilter slices
+  // it differently in each doc, but stride-1 shingles align regardless
+  private val passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+  private lazy val spanDocs = Seq(
+    (1L, passage + " kilo lima mike november oscar papa"),
+    (2L, "one two three " + passage + " quebec romeo sierra tango"),
+    (3L, "unique words only here nothing shared with any other document present today"),
+    (4L, "tiny doc"))
+    .toDF("doc_id", "text")
+
+  test("span_dedup catches a cross-doc passage at unaligned offsets") {
+    val out = Dedup.spanDedup(spanDocs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the shared 10-token passage = 3 duplicated shingles covering 10 positions
+    assert(out(1L).getAs[Long]("n_dup_tokens") === 10L)
+    assert(out(2L).getAs[Long]("n_dup_tokens") === 10L)
+    assert(out(1L).getAs[Double]("dup_token_frac") === math.round(10.0 / 16 * 1e6) / 1e6)
+    // the fixed chunk grid misses this same duplication entirely
+    val para = TextOps.paragraphDedup(spanDocs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_kept")).toMap
+    val chunks = TextOps.paragraphDedup(spanDocs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chunks")).toMap
+    assert(para(1L) === chunks(1L) && para(2L) === chunks(2L),
+      "stride-8 chunks should NOT detect the offset-3 copy (that is the point)")
+  }
+
+  test("span_dedup: unique and short docs report zero duplication") {
+    val out = Dedup.spanDedup(spanDocs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(3L).getAs[Long]("n_dup_tokens") === 0L)
+    assert(out(3L).getAs[Double]("dup_token_frac") === 0.0)
+    // 2 tokens < win=8: zero shingles, zero dup, but the doc stays present
+    assert(out(4L).getAs[Long]("n_shingles") === 0L)
+    assert(out(4L).getAs[Double]("dup_token_frac") === 0.0)
+  }
+
+  test("span_dedup ignores WITHIN-doc repetition") {
+    val rep = Seq((1L, passage + " " + passage)).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(rep).collect().head
+    assert(out.getAs[Long]("n_dup_tokens") === 0L,
+      "a passage repeated inside one doc is repetitionStats' business, not dedup's")
+  }
+
+  private lazy val bucketDocs = {
+    // per-lang corpora with a quality gradient: doc i repeats a common
+    // bigram i times then appends increasingly rare transitions
+    val words = Seq("red", "blue", "green", "gold", "grey", "pink", "jade", "teal")
+    (0 until 24).map { i =>
+      val lang = if (i % 2 == 0) "en" else "fr"
+      val common = Seq.fill(8)(s"$lang common base").mkString(" ")
+      val rare = words.take(1 + i / 3).mkString(" ")
+      (i.toLong, s"$common $rare", lang)
+    }.toDF("doc_id", "text", "lang")
+  }
+
+  test("ccnet_buckets: every scored doc bucketed; buckets order by nll within lang") {
+    val out = LangModel.ccnetBuckets(bucketDocs).collect()
+    assert(out.length === 24)
+    for (lang <- Seq("en", "fr")) {
+      val rows = out.filter(_.getAs[String]("lang") == lang)
+      val byBucket = rows.groupBy(_.getAs[String]("bucket"))
+        .view.mapValues(_.map(_.getAs[Double]("nll"))).toMap
+      assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+      assert(byBucket.contains("head") && byBucket.contains("tail"))
+      // head (lowest NLL = most in-distribution) never exceeds tail
+      assert(byBucket("head").max <= byBucket("tail").min)
+      for (m <- byBucket.get("middle")) {
+        assert(byBucket("head").max <= m.min && m.max <= byBucket("tail").min)
+      }
+      // quartile cut: head is roughly a quarter of the language
+      assert(byBucket("head").length <= rows.length / 2)
+    }
+  }
+
+  test("token_coverage_curve: ranks by frequency, cum_frac climbs to 1") {
+    val docs = Seq(
+      (1L, "apple apple apple apple banana banana cherry"),
+      (2L, "apple apple banana date")).toDF("doc_id", "text")
+    val out = TextOps.tokenCoverageCurve(docs)
+      .orderBy("vocab_rank").collect()
+    assert(out.map(_.getAs[String]("token")).take(2).toSeq === Seq("apple", "banana"))
+    val fracs = out.map(_.getAs[Double]("cum_frac"))
+    assert(fracs.zip(fracs.tail).forall { case (a, b) => a <= b }, "monotone")
+    assert(fracs.last === 1.0)
+    val cnts = out.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, "cnt nonincreasing")
+    // 6 apples of 11 tokens
+    assert(fracs.head === math.round(6.0 / 11 * 1e6) / 1e6)
+  }
+}
