@@ -78,6 +78,11 @@ object ScaleCheck {
       // bounded by partial-agg shuffles over the exploded token stream,
       // so it must scale LINEARLY even as true duplicate pairs explode
       val (tBm25, nBm25) = timedForce(LangModel.bm25(docs))
+      // span_dedup under m-way duplication is ITS worst case: every
+      // shingle is duplicated, so the position explosion touches the
+      // whole corpus — yet per-doc aggregation (never pair emission)
+      // must keep the curve linear in m, not quadratic
+      val (tSpan, nSpan) = timedForce(Dedup.spanDedup(docs))
       val e = events.select(col("event_id"), col("user_id"),
         col("event_type"), unix_micros(col("ts")).as("us"))
       val p = e.filter(col("event_type") === "purchase").select("event_id", "user_id", "us")
@@ -91,6 +96,7 @@ object ScaleCheck {
         s""""ngram_jaccard":{"sec":$tNgram,"pairs":$nNgram},""" +
         s""""components":{"sec":$tComp,"nodes":$nComp},""" +
         s""""bm25":{"sec":$tBm25,"rows":$nBm25},""" +
+        s""""span_dedup":{"sec":$tSpan,"rows":$nSpan},""" +
         s""""asof_join":{"sec":$tAsof,"rows":$nAsof}}""")
       docs.unpersist(); events.unpersist()
     }
