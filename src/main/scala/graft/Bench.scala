@@ -79,7 +79,8 @@ object Bench {
     "orders_join", "asof_join", "range_join", "events_window",
     "events_sessionize", "events_rolling", "clean_text", "tfidf", "bm25",
     "token_pmi", "token_pagerank", "dedup_exact", "minhash_lsh",
-    "dedup_components", "semantic_dedup", "paragraph_dedup", "ann_topk",
+    "dedup_components", "semantic_dedup", "paragraph_dedup", "span_dedup",
+    "ann_topk",
     "ann_ivf", "ann_recall", "kmeans_lloyd", "random_projection",
     "embed_centroids", "quality_score", "gopher_filter", "curation_pipeline",
     "sequence_pack", "contamination_check", "doc_similarity_pruned",
