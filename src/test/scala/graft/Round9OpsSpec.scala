@@ -83,6 +83,42 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("span_dedup invariants on a seeded random corpus with planted clones") {
+    // deterministic LCG corpus: 40 base docs over a 12-word vocab, plus
+    // full clones of 10 of them under fresh ids
+    val vocab = Array("ara", "bel", "cor", "dun", "eli", "fen",
+      "gor", "hul", "ive", "jun", "kel", "lor")
+    var state = 12345L
+    def nextInt(n: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (math.abs(state >> 33) % n).toInt
+    }
+    val base = (0 until 40).map { id =>
+      val len = 5 + nextInt(20)
+      (id.toLong, Seq.fill(len)(vocab(nextInt(vocab.length))).mkString(" "))
+    }
+    val clones = base.take(10).map { case (id, text) => (id + 1000L, text) }
+    val docs = (base ++ clones).toDF("doc_id", "text")
+    val rows = Dedup.spanDedup(docs).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // bounds hold everywhere
+    for (r <- rows) {
+      val frac = r.getAs[Double]("dup_token_frac")
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(r.getAs[Long]("n_dup_tokens") <= r.getAs[Long]("n_tokens"))
+    }
+    // a full clone pair is 100% duplicated on both sides (when long enough
+    // to shingle)
+    for ((id, _) <- base.take(10) if byId(id).getAs[Long]("n_tokens") >= 8) {
+      assert(byId(id).getAs[Double]("dup_token_frac") === 1.0, s"doc $id")
+      assert(byId(id + 1000L).getAs[Double]("dup_token_frac") === 1.0, s"clone of $id")
+    }
+    // partition-count independence: same rows at 1 and 7 partitions
+    val p1 = Dedup.spanDedup(docs.repartition(1)).collect().sortBy(_.getAs[Long]("doc_id"))
+    val p7 = Dedup.spanDedup(docs.repartition(7)).collect().sortBy(_.getAs[Long]("doc_id"))
+    assert(p1.map(_.toString).toSeq === p7.map(_.toString).toSeq)
+  }
+
   test("token_coverage_curve: ranks by frequency, cum_frac climbs to 1") {
     val docs = Seq(
       (1L, "apple apple apple apple banana banana cherry"),
