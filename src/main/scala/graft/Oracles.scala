@@ -1208,6 +1208,35 @@ object Oracles {
          |       WHEN b.n_tokens IS NOT NULL THEN 0.0 END AS dup_token_frac
          |FROM b LEFT JOIN cov c USING (doc_id)""".stripMargin,
 
+    // the trim half: rebuild text from positions outside every duplicated
+    // shingle (ExactSubstr removes ALL copies, not keep-first)
+    "span_dedup_trim" ->
+      s"""WITH b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks
+         |      FROM (SELECT doc_id, $toks AS toks FROM documents)),
+         |sh AS (SELECT doc_id, i,
+         |       md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')) AS h
+         |       FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS i
+         |             FROM b WHERE n_tokens >= 8)),
+         |dup AS (SELECT h FROM
+         |        (SELECT h, count(DISTINCT doc_id) AS nd FROM sh GROUP BY 1)
+         |        WHERE nd > 1),
+         |cpos AS (SELECT DISTINCT s.doc_id, s.i + r.u AS pos
+         |         FROM sh s JOIN dup USING (h) CROSS JOIN range(0, 8) r(u)),
+         |posed AS (SELECT doc_id, i - 1 AS pos, toks[i] AS token
+         |          FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+         |                FROM b)),
+         |kept AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         string_agg(p.token, ' ' ORDER BY p.pos) AS trimmed_text
+         |         FROM posed p LEFT JOIN cpos c
+         |           ON p.doc_id = c.doc_id AND p.pos = c.pos
+         |         WHERE c.pos IS NULL GROUP BY 1)
+         |SELECT b.doc_id, b.n_tokens,
+         |  CASE WHEN b.n_tokens IS NOT NULL
+         |       THEN CAST(coalesce(k.n_kept, 0) AS BIGINT) END AS n_kept,
+         |  CASE WHEN b.n_tokens IS NOT NULL
+         |       THEN coalesce(k.trimmed_text, '') END AS trimmed_text
+         |FROM b LEFT JOIN kept k USING (doc_id)""".stripMargin,
+
     // CCNet-style per-language NLL quartile buckets over the doc_perplexity
     // bigram-LM chain (same CTEs); thresholds rounded to 6 dp on both sides
     "ccnet_buckets" ->

@@ -250,6 +250,7 @@ object SparkEntry {
     "token_triangles" -> ((s, d) => Graph.tokenTriangles(spread(t(s, d, "documents")))),
     "token_walks" -> ((s, d) => Graph.tokenWalks(spread(t(s, d, "documents")))),
     "span_dedup" -> ((s, d) => Dedup.spanDedup(spread(t(s, d, "documents")))),
+    "span_dedup_trim" -> ((s, d) => Dedup.spanDedupTrim(spread(t(s, d, "documents")))),
     "ccnet_buckets" -> ((s, d) => LangModel.ccnetBuckets(spread(t(s, d, "documents")))),
     "token_coverage_curve" -> ((s, d) => TextOps.tokenCoverageCurve(spread(t(s, d, "documents")))),
 

@@ -454,12 +454,20 @@ object Dedup {
     * Null/short-doc totality: null text propagates null stats (same rule
     * as tokenCounts); docs shorter than `win` tokens have 0 shingles and
     * dup_token_frac 0. */
-  def spanDedup(docs: DataFrame, win: Int = 8): DataFrame = {
-    val toked = docs
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"),
-        size(col("toks")).cast("long").as("n_tokens"))
-    // (doc_id, shingle-start i, shingle hash h) — one row per position
+  /** The tokenized frame spanDedup/spanDedupTrim share: (doc_id, toks,
+    * n_tokens), null text propagating null n_tokens. */
+  private def spanToked(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    .select(col("doc_id"), col("toks"),
+      size(col("toks")).cast("long").as("n_tokens"))
+
+  /** 0-based token positions covered by at least one cross-doc duplicated
+    * stride-1 shingle: (doc_id, pos), distinct. The ×win position
+    * explosion runs only on duplicated occurrences, so output tracks dup
+    * mass, not corpus size. */
+  private def spanCover(toked: DataFrame, win: Int): DataFrame = {
+    // (doc_id, shingle-start i, shingle hash h) — one row per position;
+    // hashes built inside transform so the token array never replicates
     val sh = toked.filter(col("n_tokens") >= win)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0L), col("n_tokens") - win), i =>
@@ -471,12 +479,15 @@ object Dedup {
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)
       .select("h")
-    // positions covered by >=1 duplicated shingle: explode dup occurrences
-    // only, union overlapping windows via distinct
-    val cover = sh.join(dup, Seq("h"), "left_semi")
+    sh.join(dup, Seq("h"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + (win - 1))).as("pos"))
       .distinct()
+  }
+
+  def spanDedup(docs: DataFrame, win: Int = 8): DataFrame = {
+    val toked = spanToked(docs)
+    val cover = spanCover(toked, win)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_tokens"))
     toked.select(col("doc_id"), col("n_tokens"))
@@ -491,5 +502,41 @@ object Dedup {
           round(coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
             col("n_tokens"), 6))
           .when(col("n_tokens").isNotNull, lit(0.0)).as("dup_token_frac"))
+  }
+
+  /** B102: the trim half of substring-level dedup — rebuild each document
+    * from the token positions NOT covered by any cross-doc duplicated
+    * shingle. Matches the published ExactSubstr rule of removing EVERY
+    * occurrence of a duplicated substring (not keep-first: the text
+    * survives in no copy, which is what stops a memorized passage from
+    * being seen at all during training). [[spanDedup]] is the detection
+    * report over the same cover set; this emits the cleaned corpus.
+    *
+    * Scale: the only frames beyond [[spanCover]] are the posexploded
+    * token stream (one row per token — same mass every tokenizing
+    * operator here handles) anti-joined on (doc_id, pos), then one
+    * per-doc aggregation rebuilding the text in position order.
+    * Null text propagates null stats; a fully-duplicated doc keeps an
+    * empty string, not a dropped row. */
+  def spanDedupTrim(docs: DataFrame, win: Int = 8): DataFrame = {
+    val toked = spanToked(docs)
+    val posed = toked
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos0", "token")))
+      .select(col("doc_id"), col("pos0").cast("long").as("pos"), col("token"))
+    val kept = posed.join(spanCover(toked, win), Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+            p => p.getField("token"))).as("trimmed_text"))
+    toked.select(col("doc_id"), col("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        when(col("n_tokens").isNotNull, coalesce(col("n_kept"), lit(0L)))
+          .as("n_kept"),
+        when(col("n_tokens").isNotNull, coalesce(col("trimmed_text"), lit("")))
+          .as("trimmed_text"))
   }
 }

@@ -83,6 +83,29 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("span_dedup_trim removes every copy of the shared passage, keeps the rest") {
+    val out = Dedup.spanDedupTrim(spanDocs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // ALL occurrences go (ExactSubstr rule), unique remainders survive in order
+    assert(out(1L).getAs[String]("trimmed_text") === "kilo lima mike november oscar papa")
+    assert(out(1L).getAs[Long]("n_kept") === 6L)
+    assert(out(2L).getAs[String]("trimmed_text") === "one two three quebec romeo sierra tango")
+    assert(out(2L).getAs[Long]("n_kept") === 7L)
+    // untouched and sub-window docs pass through whole
+    assert(out(3L).getAs[Long]("n_kept") === out(3L).getAs[Long]("n_tokens"))
+    assert(out(4L).getAs[String]("trimmed_text") === "tiny doc")
+  }
+
+  test("span_dedup_trim: a full clone pair trims BOTH copies to empty") {
+    val docs = Seq((1L, passage), (2L, passage)).toDF("doc_id", "text")
+    val out = Dedup.spanDedupTrim(docs).collect()
+    assert(out.length === 2)
+    for (r <- out) {
+      assert(r.getAs[Long]("n_kept") === 0L)
+      assert(r.getAs[String]("trimmed_text") === "")
+    }
+  }
+
   test("span_dedup invariants on a seeded random corpus with planted clones") {
     // deterministic LCG corpus: 40 base docs over a 12-word vocab, plus
     // full clones of 10 of them under fresh ids
