@@ -365,6 +365,23 @@ object Oracles {
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, session_id""".stripMargin,
 
+    // gaps-and-islands run collapse of each user's event_type timeline;
+    // open run's valid_to is the SCD2 end-of-time sentinel, never NULL
+    "scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |w AS (SELECT *, CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) = event_type
+        |      THEN 0 ELSE 1 END AS changed FROM e),
+        |r AS (SELECT user_id, event_type, us,
+        |      CAST(sum(changed) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id FROM w),
+        |iv AS (SELECT user_id, run_id, event_type, min(us) AS valid_from_us,
+        |       count(*) AS n_events FROM r GROUP BY 1, 2, 3)
+        |SELECT user_id, run_id, event_type, valid_from_us,
+        |  coalesce(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id),
+        |           253402300799000000) AS valid_to_us,
+        |  n_events,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL AS is_current
+        |FROM iv""".stripMargin,
+
     "session_histogram" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
         |w AS (SELECT user_id, event_id, us,

@@ -265,6 +265,7 @@ object SparkEntry {
       Relational.topOrdersPerNation(t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
     "events_cumulative" -> ((s, d) => Relational.eventsCumulative(events(s, d))),
     "events_sessionize" -> ((s, d) => Sessionize.byLag(events(s, d))),
+    "scd2_intervals" -> ((s, d) => Sessionize.scd2Intervals(events(s, d))),
     "event_dedup" -> ((s, d) => Sessionize.dedupEvents(events(s, d))),
     "tpch_q18" -> ((s, d) =>
       Relational.tpchQ18(t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem"))),

@@ -40,6 +40,42 @@ object Sessionize {
         count(lit(1)).as("n_events"))
   }
 
+  /** SCD2-style validity intervals (C91): collapse each user's
+    * event-type timeline into maximal runs of consecutive identical
+    * types, one row per run with `[valid_from_us, valid_to_us)`
+    * boundaries — the gaps-and-islands reshape that builds a type-2
+    * slowly-changing dimension from a change stream. `valid_to_us` of
+    * the open (latest) run is the classic end-of-time sentinel rather
+    * than NULL, and `is_current` flags it.
+    *
+    * Scale: three shuffles, every key user-prefixed so no stage ever
+    * concentrates data — the change-detect window on user_id, the
+    * run-collapse partial-agg on (user, run, type), the lead window
+    * back on user_id (run boundaries never cross users). Per-user row
+    * counts bound the window sorts, as in [[byLag]]. */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val endOfTime = 253402300799000000L // 9999-12-31T23:59:59Z in micros
+    val order = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val byRun = Window.partitionBy("user_id").orderBy(col("run_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      // NULL lag (first event) compares null === x -> null -> otherwise 1:
+      // every user's first event opens a run on both engines
+      .withColumn("changed",
+        when(lag(col("event_type"), 1).over(order) === col("event_type"), 0L)
+          .otherwise(1L))
+      .withColumn("run_id",
+        sum(col("changed")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "run_id", "event_type")
+      .agg(min(col("us")).as("valid_from_us"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us",
+        coalesce(lead(col("valid_from_us"), 1).over(byRun), lit(endOfTime)))
+      .withColumn("is_current", col("valid_to_us") === endOfTime)
+      .select("user_id", "run_id", "event_type", "valid_from_us",
+        "valid_to_us", "n_events", "is_current")
+  }
+
   /** Window-bounded event dedup (C48): drop repeat (user, event_type)
     * events arriving within `windowMinutes` of the previously KEPT event
     * of that type — client-side retry / double-fire suppression. Kept-

@@ -142,6 +142,30 @@ class Round9OpsSpec extends SparkSpec {
     assert(p1.map(_.toString).toSeq === p7.map(_.toString).toSeq)
   }
 
+  test("scd2_intervals collapses consecutive runs into validity intervals") {
+    val ev = Seq(
+      (1L, 1L, "view", "2024-01-01 00:00:00"),
+      (2L, 1L, "view", "2024-01-01 00:05:00"),
+      (3L, 1L, "cart", "2024-01-01 00:10:00"),
+      (4L, 1L, "view", "2024-01-01 00:20:00"),
+      (5L, 2L, "buy", "2024-01-01 01:00:00"))
+      .toDF("event_id", "user_id", "event_type", "s")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val out = graft.operators.Sessionize.scd2Intervals(ev)
+      .orderBy("user_id", "run_id").collect()
+    assert(out.length === 4)
+    val u1 = out.filter(_.getAs[Long]("user_id") == 1L)
+    // view(2 events) -> cart(1) -> view(1): the same type reopens a NEW run
+    assert(u1.map(_.getAs[String]("event_type")).toSeq === Seq("view", "cart", "view"))
+    assert(u1.map(_.getAs[Long]("n_events")).toSeq === Seq(2L, 1L, 1L))
+    // intervals tile the timeline: each run's valid_to is the next's valid_from
+    assert(u1(0).getAs[Long]("valid_to_us") === u1(1).getAs[Long]("valid_from_us"))
+    assert(u1(1).getAs[Long]("valid_to_us") === u1(2).getAs[Long]("valid_from_us"))
+    assert(u1.map(_.getAs[Boolean]("is_current")).toSeq === Seq(false, false, true))
+    val u2 = out.filter(_.getAs[Long]("user_id") == 2L)
+    assert(u2.length === 1 && u2.head.getAs[Boolean]("is_current"))
+  }
+
   test("token_coverage_curve: ranks by frequency, cum_frac climbs to 1") {
     val docs = Seq(
       (1L, "apple apple apple apple banana banana cherry"),
