@@ -48,11 +48,12 @@ object Sessionize {
     * the open (latest) run is the classic end-of-time sentinel rather
     * than NULL, and `is_current` flags it.
     *
-    * Scale: three shuffles, every key user-prefixed so no stage ever
-    * concentrates data — the change-detect window on user_id, the
-    * run-collapse partial-agg on (user, run, type), the lead window
-    * back on user_id (run boundaries never cross users). Per-user row
-    * counts bound the window sorts, as in [[byLag]]. */
+    * Scale: ONE shuffle on user_id serves the whole pipeline (verified,
+    * PLAN_AUDIT) — hashpartitioning(user_id) already clusters the
+    * (user, run, type) run-collapse grouping since run boundaries never
+    * cross users, so both windows and the aggregation share the single
+    * exchange and its sort. Per-user row counts bound the window sorts,
+    * as in [[byLag]]. */
   def scd2Intervals(events: DataFrame): DataFrame = {
     val endOfTime = 253402300799000000L // 9999-12-31T23:59:59Z in micros
     val order = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
