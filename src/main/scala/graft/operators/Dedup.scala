@@ -467,7 +467,11 @@ object Dedup {
     * mass, not corpus size. */
   private def spanCover(toked: DataFrame, win: Int): DataFrame = {
     // (doc_id, shingle-start i, shingle hash h) — one row per position;
-    // hashes built inside transform so the token array never replicates
+    // hashes built inside transform so the token array never replicates.
+    // md5 (128-bit), NOT the cheaper codegen'd xxhash64: at ~1e12 shingles
+    // (the 100 TB regime) a 64-bit space expects thousands of birthday
+    // collisions, each one a false duplicate mark that trims real text;
+    // at 128 bits the expectation stays ~1e-15
     val sh = toked.filter(col("n_tokens") >= win)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0L), col("n_tokens") - win), i =>
