@@ -29,7 +29,9 @@ class EmptyInputSpec extends SparkSpec {
       d => Dedup.exact(d), d => TfIdf.tfidf(d), d => TfIdf.chi2Features(d),
       d => TfIdf.keywordExtract(d), d => LangModel.bm25(d),
       d => LangModel.tokenBurstiness(d), d => LangModel.sourceLangEntropy(d),
-      d => LangModel.zipfSlope(d), d => Graph.tokenTriangles(d))
+      d => LangModel.zipfSlope(d), d => Graph.tokenTriangles(d),
+      d => Dedup.spanDedup(d), d => Dedup.spanDedupTrim(d),
+      d => LangModel.ccnetBuckets(d), TextOps.tokenCoverageCurve)
     for ((op, i) <- ops.zipWithIndex)
       assert(op(noDocs).count() === 0, s"text op #$i not total on empty input")
   }
@@ -38,7 +40,7 @@ class EmptyInputSpec extends SparkSpec {
     val ops: Seq[DataFrame => DataFrame] = Seq(
       Relational.eventsWindow, Relational.eventsEwma(_),
       Relational.interarrivalStats, d => Sessionize.sessionPaths(d),
-      Relational.windowActiveUsers)
+      Relational.windowActiveUsers, d => Sessionize.scd2Intervals(d))
     for ((op, i) <- ops.zipWithIndex)
       assert(op(noEvents).count() === 0, s"event op #$i not total on empty input")
   }

@@ -26,7 +26,9 @@ class NullInputSpec extends SparkSpec {
       TextOps.cleanDocs, TextOps.tokenCounts, d => TextOps.tokenizeIds(d),
       d => TfIdf.tfidf(d), d => Dedup.exact(d), TextOps.sentenceStats,
       TextOps.readability, d => LangModel.bm25(d),
-      d => Graph.tokenTriangles(d))
+      d => Graph.tokenTriangles(d),
+      d => Dedup.spanDedup(d), d => Dedup.spanDedupTrim(d),
+      d => LangModel.ccnetBuckets(d), TextOps.tokenCoverageCurve)
     for ((op, i) <- ops.zipWithIndex) {
       val out = op(docs)
       // must evaluate without throwing; row counts vary by op semantics
