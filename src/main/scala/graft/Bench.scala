@@ -14,6 +14,39 @@ object Bench {
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Sum of all collectors' accumulated stop-the-world time. Deltas around
+    * a timed query attribute GC pauses to it — the diagnostic that separates
+    * a genuinely slow plan from an environment/wake effect (a 42.8 s reading
+    * whose gc_ms delta is tiny and unrepeatable is wake, not plan). */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).filter(_ > 0).sum
+  }
+
+  /** Poll `counter` until it holds still for two consecutive 10 ms reads
+    * (max 200 ms): a cheap stand-in for LiveListenerBus.waitUntilEmpty,
+    * which is private[spark]. */
+  private def settle(counter: () => Long): Unit = {
+    var prev = counter(); var stable = 0; var iters = 0
+    while (stable < 2 && iters < 20) {
+      Thread.sleep(10)
+      val c = counter()
+      if (c == prev) stable += 1 else { stable = 0; prev = c }
+      iters += 1
+    }
+  }
+
+  /** Accumulates shuffle/aggregation spill bytes across all tasks; deltas
+    * around a timed query show whether its partitions fit in memory. */
+  private final class SpillListener extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) bytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -38,37 +71,58 @@ object Bench {
     // JIT/codegen caches, so the timed run re-pays compilation (round-4
     // numbers showed 2-5x inflation on exactly the queries farthest from
     // their warmup). Steady-state is warm-then-time back to back.
+    val spill = new SpillListener
+    spark.sparkContext.addSparkListener(spill)
     val results = ordered.map { case (name, fn) =>
       try force(fn(spark, sfDir)) catch { case _: Throwable => () }
       CacheTracker.releaseAll()
+      // listener delivery is async and the bus is private[spark]: settle
+      // the spill counter (poll until stable) so the warmup's task-end
+      // events don't bleed into the timed delta. Outside t0, so per-query
+      // timings are unaffected.
+      settle(() => spill.bytes.get())
+      val (gc0, sp0) = (gcMillis(), spill.bytes.get())
       val t0 = System.nanoTime()
       val ok = try { force(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       // a crashed query reports -1, never a fake timing
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      settle(() => spill.bytes.get())
       CacheTracker.releaseAll() // release AFTER the timing: unpersist is bookkeeping, not query work
-      name -> dt
+      (name, dt, gcMillis() - gc0, spill.bytes.get() - sp0)
     }
+    val timings = results.map(r => r._1 -> r._2)
     // total covers successful queries only; failures stay visible as -1
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = timings.map(_._2).filter(_ >= 0).sum
     // The full 190-query map is ~3.3 KB — longer than the tail window the
     // driver keeps, so a single fat line arrives truncated and unparseable
     // (rounds 2-7 all recorded parsed=null). Full map goes to a file; the
     // stdout line stays under ~1.5 KB with a family-covering headline set.
+    // gc_ms / spill_bytes per query: wake effects (GC storms, eviction
+    // churn) are diagnosable from the artifact instead of re-runs
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(timings)},""" +
+        s""""gc_ms":${jlong(results.map(r => r._1 -> r._3))},""" +
+        s""""spill_bytes":${jlong(results.map(r => r._1 -> r._4))},"sf":"$sfDir"}""")
     // subset runs (dev A/B) show exactly what was asked for
-    val head = if (subset.nonEmpty) jmap(results)
-      else jmap(results.filter(r => headline(r._1)))
+    val head = if (subset.nonEmpty) jmap(timings)
+      else jmap(timings.filter(r => headline(r._1)))
     // Stop Spark FIRST so its shutdown logging cannot land after (or inside)
-    // the JSON line; the headline is the final thing this JVM prints.
-    spark.stop()
+    // the JSON line; the headline is the final thing this JVM prints. A
+    // stop() that throws (executor shutdown races happen) must not eat the
+    // contract line — that is the rounds-2-7 parsed=null failure again.
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"spark.stop failed: $e") }
     println(headlineLine(total, results.size, head, sfDir))
     System.out.flush()
   }
 
   private[graft] def jmap(rs: Seq[(String, Double)]): String = rs
     .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
+    .mkString("{", ",", "}")
+
+  private[graft] def jlong(rs: Seq[(String, Long)]): String = rs
+    .map { case (k, v) => "\"" + k + "\":" + v }
     .mkString("{", ",", "}")
 
   /** The queries whose timings ride on the one-line stdout contract —

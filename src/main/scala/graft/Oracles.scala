@@ -507,12 +507,18 @@ object Oracles {
          |  (n_tokens >= 5 AND n_tokens <= 1000) AND (mean_tok_len >= 2.0 AND mean_tok_len <= 12.0) AND stop_count >= 1 AS kept
          |FROM b""".stripMargin,
 
+    // two-level bit-stable fold (Folds.scala): sorted fold per vec_id%1024
+    // sub-bucket, then sorted fold of the sub-totals
     "embed_centroids" ->
-      """SELECT label, i AS dim, count(*) AS n_vecs,
-        |  round(list_reduce(list_sort(list(CAST(x AS DOUBLE))), (a, b) -> a + b) / count(*), 6) AS centroid
-        |FROM (SELECT label, unnest(embedding) AS x,
-        |      unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
-        |GROUP BY label, i""".stripMargin,
+      """WITH x AS (SELECT label, vec_id % 1024 AS sb, i AS dim, CAST(x AS DOUBLE) AS x
+        |  FROM (SELECT label, vec_id, unnest(embedding) AS x,
+        |        unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+        |s AS (SELECT label, dim, sb, count(*) AS sub_n,
+        |      list_reduce(list_sort(list(x)), (a, b) -> a + b) AS sub_s
+        |      FROM x GROUP BY 1, 2, 3)
+        |SELECT label, dim, CAST(sum(sub_n) AS BIGINT) AS n_vecs,
+        |  round(list_reduce(list_sort(list(sub_s)), (a, b) -> a + b) / sum(sub_n), 6) AS centroid
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "sequence_pack" ->
       s"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard, len($toks)::BIGINT AS n_tokens FROM documents),
@@ -962,16 +968,21 @@ object Oracles {
          |FROM keep a JOIN keep b ON a.m = b.m AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
-    // dim-wise mean/std from sorted folds; per-vec summary over the
-    // 6 dp-rounded z values keeps the verified output vector-sized
+    // dim-wise mean/std from the two-level fold (Folds.scala: sorted fold
+    // per vec_id%1024 sub-bucket, then of the sub-totals); per-vec summary
+    // over the 6 dp-rounded z values keeps the verified output vector-sized
     "embed_standardize" ->
       """WITH xd AS (SELECT vec_id, CAST(dim AS BIGINT) AS dim, CAST(xf AS DOUBLE) AS x
         |  FROM (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
         |        unnest(embedding) AS xf FROM embeddings)),
-        |st AS (SELECT dim, count(*) AS n,
-        |       list_reduce(list_sort(list(x)), (a, b) -> a + b) AS s,
-        |       list_reduce(list_sort(list(x * x)), (a, b) -> a + b) AS ss
-        |       FROM xd GROUP BY 1),
+        |st0 AS (SELECT dim, vec_id % 1024 AS sb, count(*) AS sub_n,
+        |       list_reduce(list_sort(list(x)), (a, b) -> a + b) AS sub_s,
+        |       list_reduce(list_sort(list(x * x)), (a, b) -> a + b) AS sub_ss
+        |       FROM xd GROUP BY 1, 2),
+        |st AS (SELECT dim, sum(sub_n) AS n,
+        |       list_reduce(list_sort(list(sub_s)), (a, b) -> a + b) AS s,
+        |       list_reduce(list_sort(list(sub_ss)), (a, b) -> a + b) AS ss
+        |       FROM st0 GROUP BY 1),
         |sd AS (SELECT dim, s / n AS mean, sqrt(ss / n - (s / n) * (s / n)) AS std FROM st),
         |z AS (SELECT vec_id, round((x - mean) / std, 6) AS z
         |      FROM xd JOIN sd USING (dim) WHERE std > 0)
@@ -1225,6 +1236,37 @@ object Oracles {
          |       WHEN b.n_tokens IS NOT NULL THEN 0.0 END AS dup_token_frac
          |FROM b LEFT JOIN cov c USING (doc_id)""".stripMargin,
 
+    // incremental twin: dup status for a batch row (doc_id%10>=8) depends
+    // on index membership OR >1-distinct-batch-doc occurrence, which is
+    // exactly the union-wide nd>1 rule restricted to batch rows — so the
+    // oracle IS span_dedup's SQL with the final select filtered to the
+    // batch (corpus-internal dup multiplicity cannot affect a batch row)
+    "span_dedup_incremental" ->
+      s"""WITH b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks
+         |      FROM (SELECT doc_id, $toks AS toks FROM documents)),
+         |sh AS (SELECT doc_id, i,
+         |       md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')) AS h
+         |       FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS i
+         |             FROM b WHERE n_tokens >= 8)),
+         |dup AS (SELECT h FROM
+         |        (SELECT h, count(DISTINCT doc_id) AS nd FROM sh GROUP BY 1)
+         |        WHERE nd > 1),
+         |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_tokens FROM
+         |        (SELECT DISTINCT s.doc_id, s.i + r.u AS pos
+         |         FROM sh s JOIN dup USING (h) CROSS JOIN range(0, 8) r(u)
+         |         WHERE s.doc_id % 10 >= 8)
+         |        GROUP BY 1)
+         |SELECT b.doc_id, b.n_tokens,
+         |  CASE WHEN b.n_tokens >= 8 THEN b.n_tokens - 7
+         |       WHEN b.n_tokens IS NOT NULL THEN CAST(0 AS BIGINT) END AS n_shingles,
+         |  CASE WHEN b.n_tokens IS NOT NULL
+         |       THEN CAST(coalesce(c.n_dup_tokens, 0) AS BIGINT) END AS n_dup_tokens,
+         |  CASE WHEN b.n_tokens > 0
+         |       THEN round(CAST(coalesce(c.n_dup_tokens, 0) AS DOUBLE) / b.n_tokens, 6)
+         |       WHEN b.n_tokens IS NOT NULL THEN 0.0 END AS dup_token_frac
+         |FROM b LEFT JOIN cov c USING (doc_id)
+         |WHERE b.doc_id % 10 >= 8""".stripMargin,
+
     // the trim half: rebuild text from positions outside every duplicated
     // shingle (ExactSubstr removes ALL copies, not keep-first)
     "span_dedup_trim" ->
@@ -1363,14 +1405,20 @@ object Oracles {
          |SELECT vec_id, sub, code, round(dist, 6) AS err FROM a3""".stripMargin
     },
 
-    // mean 6dp composite quality per ntile(10) length decile
+    // mean 6dp composite quality per ntile(10) length decile; two-level
+    // fold (Folds.scala): sorted fold per doc_id%1024 sub-bucket, then of
+    // the sub-totals
     "quality_by_length_decile" ->
       s"""WITH q AS (SELECT doc_id, n_chars, $qualitySql AS quality FROM documents),
-         |d AS (SELECT *, ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile FROM q)
-         |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
-         |  CAST(min(n_chars) AS BIGINT) AS min_chars, CAST(max(n_chars) AS BIGINT) AS max_chars,
-         |  round(list_reduce(list_sort(list(quality)), (a, b) -> a + b) / count(*), 6) AS mean_quality
-         |FROM d GROUP BY decile""".stripMargin,
+         |d AS (SELECT *, ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile FROM q),
+         |s AS (SELECT decile, doc_id % 1024 AS sb, count(*) AS sub_n,
+         |      CAST(min(n_chars) AS BIGINT) AS sub_min, CAST(max(n_chars) AS BIGINT) AS sub_max,
+         |      list_reduce(list_sort(list(quality)), (a, b) -> a + b) AS sub_s
+         |      FROM d GROUP BY 1, 2)
+         |SELECT CAST(decile AS BIGINT) AS decile, CAST(sum(sub_n) AS BIGINT) AS n_docs,
+         |  min(sub_min) AS min_chars, max(sub_max) AS max_chars,
+         |  round(list_reduce(list_sort(list(sub_s)), (a, b) -> a + b) / sum(sub_n), 6) AS mean_quality
+         |FROM s GROUP BY 1""".stripMargin,
 
     // lang x source independence over the FULL margin grid (zero cells
     // contribute their expected count), 6dp terms sorted-folded
@@ -2131,16 +2179,23 @@ object Oracles {
          |  CAST(floor(w_raw / w_total * 1000000) AS BIGINT) AS alloc_tokens
          |FROM w, t""".stripMargin,
 
-    // upper-triangle covariance over dims 1..8; sums fold over sorted lists
+    // upper-triangle covariance over dims 1..8; two-level fold
+    // (Folds.scala): sorted fold per vec_id%1024 sub-bucket, then of the
+    // sub-totals
     "embed_covariance" ->
-      """WITH p AS (SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
+      """WITH p AS (SELECT vec_id % 1024 AS sb, CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
         |      CAST(embedding[i] AS DOUBLE) AS x, CAST(embedding[j] AS DOUBLE) AS y
-        |      FROM embeddings, range(1, 9) r1(i), range(1, 9) r2(j) WHERE j >= i)
-        |SELECT dim_i, dim_j, count(*) AS n_vecs,
-        |  round(list_reduce(list_sort(list(x * y)), (a, b) -> a + b) / count(*)
-        |    - (list_reduce(list_sort(list(x)), (a, b) -> a + b) / count(*))
-        |    * (list_reduce(list_sort(list(y)), (a, b) -> a + b) / count(*)), 6) AS cov
-        |FROM p GROUP BY dim_i, dim_j""".stripMargin,
+        |      FROM embeddings, range(1, 9) r1(i), range(1, 9) r2(j) WHERE j >= i),
+        |s AS (SELECT dim_i, dim_j, sb, count(*) AS sub_n,
+        |      list_reduce(list_sort(list(x * y)), (a, b) -> a + b) AS sub_sxy,
+        |      list_reduce(list_sort(list(x)), (a, b) -> a + b) AS sub_sx,
+        |      list_reduce(list_sort(list(y)), (a, b) -> a + b) AS sub_sy
+        |      FROM p GROUP BY 1, 2, 3)
+        |SELECT dim_i, dim_j, CAST(sum(sub_n) AS BIGINT) AS n_vecs,
+        |  round(list_reduce(list_sort(list(sub_sxy)), (a, b) -> a + b) / sum(sub_n)
+        |    - (list_reduce(list_sort(list(sub_sx)), (a, b) -> a + b) / sum(sub_n))
+        |    * (list_reduce(list_sort(list(sub_sy)), (a, b) -> a + b) / sum(sub_n)), 6) AS cov
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     // top-5 cross-label neighbours per query vector (vec_id < 10)
     "hard_negatives" ->
@@ -2156,13 +2211,17 @@ object Oracles {
         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM scored)
         |SELECT q_id, q_label, n_id, n_label, rnk, cos FROM ranked WHERE rnk <= 5""".stripMargin,
 
-    // bottom-decile-per-label cosine-to-own-centroid gate
+    // bottom-decile-per-label cosine-to-own-centroid gate; centroid CTE
+    // mirrors embed_centroids' two-level fold
     "embed_outliers" ->
-      """WITH cd AS (SELECT label, i AS dim,
-        |      round(list_reduce(list_sort(list(CAST(x AS DOUBLE))), (a, b) -> a + b) / count(*), 6) AS centroid
-        |      FROM (SELECT label, unnest(embedding) AS x,
+      """WITH cd0 AS (SELECT label, vec_id % 1024 AS sb, i AS dim, count(*) AS sub_n,
+        |      list_reduce(list_sort(list(CAST(x AS DOUBLE))), (a, b) -> a + b) AS sub_s
+        |      FROM (SELECT label, vec_id, unnest(embedding) AS x,
         |            unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
-        |      GROUP BY label, i),
+        |      GROUP BY 1, 2, 3),
+        |cd AS (SELECT label, dim,
+        |      round(list_reduce(list_sort(list(sub_s)), (a, b) -> a + b) / sum(sub_n), 6) AS centroid
+        |      FROM cd0 GROUP BY 1, 2),
         |cl AS (SELECT label, list(centroid ORDER BY dim) AS c_emb FROM cd GROUP BY label),
         |s AS (SELECT vec_id, e.label AS label,
         |  round(list_reduce(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * c_emb[i]), (a, b) -> a + b)

@@ -251,6 +251,14 @@ object SparkEntry {
     "token_walks" -> ((s, d) => Graph.tokenWalks(spread(t(s, d, "documents")))),
     "span_dedup" -> ((s, d) => Dedup.spanDedup(spread(t(s, d, "documents")))),
     "span_dedup_trim" -> ((s, d) => Dedup.spanDedupTrim(spread(t(s, d, "documents")))),
+    // daily-ingest split, same as dedup_incremental: id%10>=8 is the new
+    // batch, the rest the standing corpus whose shingle index it probes
+    "span_dedup_incremental" -> ((s, d) => {
+      val docs = spread(t(s, d, "documents"))
+      Dedup.spanDedupIncremental(
+        docs.filter(col("doc_id") % 10 >= 8),
+        docs.filter(col("doc_id") % 10 < 8))
+    }),
     "ccnet_buckets" -> ((s, d) => LangModel.ccnetBuckets(spread(t(s, d, "documents")))),
     "token_coverage_curve" -> ((s, d) => TextOps.tokenCoverageCurve(spread(t(s, d, "documents")))),
 

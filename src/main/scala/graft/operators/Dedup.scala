@@ -108,16 +108,29 @@ object Dedup {
     * Levenshtein runs ONLY on the candidates — the standard "cheap
     * sketch prefilter, exact verify" split, with the O(len²) distance
     * confined to the handful of survivors. Normalized distance =
-    * lev / max(len) over cleaned text. */
+    * lev / max(len) over cleaned text.
+    *
+    * A free exact prefilter runs before the distance: `lev(a,b) >=
+    * |len(a) - len(b)|`, so any pair with `|Δlen| / max_len > maxNorm`
+    * cannot pass the final gate — it is discarded on two already-computed
+    * lengths without paying the O(len²) Levenshtein. The filter references
+    * only the length columns, so Catalyst pushes it below the levenshtein
+    * projection (pinned by PlanShapeSpec). Empty-empty pairs (max_len = 0)
+    * divide to NaN and fail both the prefilter and the old final filter
+    * identically — the output is bit-unchanged. */
   def editDistancePairs(docs: DataFrame, maxNorm: Double = 0.3): DataFrame = {
     val (cand, _) = lshCandidates(docs, numHashes = 16, bandSize = 8)
     val clean = docs.select(col("doc_id"), TextOps.cleanText(col("text")).as("clean"))
     cand
       .join(clean.select(col("doc_id").as("a_id"), col("clean").as("a_txt")), "a_id")
       .join(clean.select(col("doc_id").as("b_id"), col("clean").as("b_txt")), "b_id")
+      .withColumn("a_len", length(col("a_txt")).cast("long"))
+      .withColumn("b_len", length(col("b_txt")).cast("long"))
+      .withColumn("max_len", greatest(col("a_len"), col("b_len")))
+      .filter(abs(col("a_len") - col("b_len")).cast("double") / col("max_len") <= maxNorm)
       .select(col("a_id"), col("b_id"),
         levenshtein(col("a_txt"), col("b_txt")).cast("long").as("lev"),
-        greatest(length(col("a_txt")), length(col("b_txt"))).cast("long").as("max_len"))
+        col("max_len"))
       .withColumn("norm_lev", round(col("lev").cast("double") / col("max_len"), 6))
       .filter(col("norm_lev") <= maxNorm)
   }
@@ -465,20 +478,23 @@ object Dedup {
     * stride-1 shingle: (doc_id, pos), distinct. The ×win position
     * explosion runs only on duplicated occurrences, so output tracks dup
     * mass, not corpus size. */
-  private def spanCover(toked: DataFrame, win: Int): DataFrame = {
-    // (doc_id, shingle-start i, shingle hash h) — one row per position;
-    // hashes built inside transform so the token array never replicates.
-    // md5 (128-bit), NOT the cheaper codegen'd xxhash64: at ~1e12 shingles
-    // (the 100 TB regime) a 64-bit space expects thousands of birthday
-    // collisions, each one a false duplicate mark that trims real text;
-    // at 128 bits the expectation stays ~1e-15
-    val sh = toked.filter(col("n_tokens") >= win)
+  /** (doc_id, shingle-start i, shingle hash h) — one row per position;
+    * hashes built inside transform so the token array never replicates.
+    * md5 (128-bit), NOT the cheaper codegen'd xxhash64: at ~1e12 shingles
+    * (the 100 TB regime) a 64-bit space expects thousands of birthday
+    * collisions, each one a false duplicate mark that trims real text;
+    * at 128 bits the expectation stays ~1e-15 */
+  private def spanShingles(toked: DataFrame, win: Int): DataFrame =
+    toked.filter(col("n_tokens") >= win)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0L), col("n_tokens") - win), i =>
           struct(i.as("i"),
             md5(concat_ws(" ", slice(col("toks"), (i + 1).cast("int"), lit(win))))
               .as("h")))).as("s"))
       .select(col("doc_id"), col("s.i").as("i"), col("s.h").as("h"))
+
+  private def spanCover(toked: DataFrame, win: Int): DataFrame = {
+    val sh = spanShingles(toked, win)
     val dup = sh.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)
@@ -522,6 +538,52 @@ object Dedup {
     * per-doc aggregation rebuilding the text in position order.
     * Null text propagates null stats; a fully-duplicated doc keeps an
     * empty string, not a dropped row. */
+  /** Incremental twin of [[spanDedup]] (B103) — the shape a daily-ingest
+    * pipeline actually runs: only the NEW batch is shingled and reported;
+    * the standing corpus contributes a distinct-hash shingle INDEX (built
+    * here from `corpus`; at 100 TB it is a maintained hash-bucketed table
+    * the day's probe semi-joins against, exactly [[incremental]]'s
+    * anti-join posture — no corpus rescan per batch). A batch position is
+    * duplicated when some covering shingle hash (a) exists in the
+    * standing index, or (b) occurs in more than one distinct batch doc.
+    * That rule makes the output IDENTICAL to [[spanDedup]] over
+    * batch ∪ corpus restricted to batch rows (corpus-internal dup counts
+    * can't matter to a batch row — only index membership can), which is
+    * what the oracle asserts; the semi-join probe never pays the ×win
+    * position explosion on index rows, so per-day cost tracks batch
+    * shingles + probe, not corpus size. The two dup sources feed ONE
+    * semi-join via union — a semi-join needs no distinct on its right
+    * side. Null/short-doc totality matches [[spanDedup]]. */
+  def spanDedupIncremental(newDocs: DataFrame, corpus: DataFrame,
+                           win: Int = 8): DataFrame = {
+    val toked = spanToked(newDocs)
+    val sh = spanShingles(toked, win)
+    // the standing index: distinct shingle hashes ever seen in the corpus
+    val index = spanShingles(spanToked(corpus), win).select("h").distinct()
+    val batchDup = sh.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("h")
+    val cover = sh.join(index.union(batchDup), Seq("h"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (win - 1))).as("pos"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_tokens"))
+    toked.select(col("doc_id"), col("n_tokens"))
+      .join(cover, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") >= win, col("n_tokens") - (win - 1))
+          .when(col("n_tokens").isNotNull, lit(0L)).as("n_shingles"),
+        when(col("n_tokens").isNotNull, coalesce(col("n_dup_tokens"), lit(0L)))
+          .as("n_dup_tokens"),
+        when(col("n_tokens") > 0,
+          round(coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens"), 6))
+          .when(col("n_tokens").isNotNull, lit(0.0)).as("dup_token_frac"))
+  }
+
   def spanDedupTrim(docs: DataFrame, win: Int = 8): DataFrame = {
     val toked = spanToked(docs)
     val posed = toked

@@ -29,14 +29,29 @@ object Ranks {
 
   /** Adds `rankCol` = global 1-based row_number under `order` (which must
     * be a total order for determinism) and `nCol` = total row count,
-    * without ever collapsing the frame to one partition. */
+    * without ever collapsing the frame to one partition.
+    *
+    * The locally-ranked frame is PERSISTED (MEMORY_AND_DISK), not
+    * recomputed, because the counts/offsets aggregate and the join's left
+    * side must observe the SAME physical partitioning: RangePartitioner
+    * seeds its boundary sampling from the rdd id, so two executions of
+    * the subtree can draw different cuts whenever exchange reuse does not
+    * unify them (AQE re-planning, local relations — FoldsSpec reproduces
+    * offsets pairing with mismatched local ranks without the persist,
+    * yielding ranks past n). Both consumers referencing one
+    * InMemoryRelation means the boundaries are sampled exactly once; no
+    * eager action is needed for that. This is the materialized first pass
+    * every two-pass distributed sort (TeraSort) pays — a correctness
+    * persist, exempt from the recompute-beats-persist ledger. */
   def withGlobalRowNumber(df: DataFrame, rankCol: String, nCol: String,
                           order: Seq[Column]): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(parts, order: _*)
       .withColumn("_pid", spark_partition_id())
-    val local = ranged.withColumn("_lrnk",
-      row_number().over(Window.partitionBy(col("_pid")).orderBy(order: _*)))
+    val local = graft.CacheTracker.track(
+      ranged.withColumn("_lrnk",
+          row_number().over(Window.partitionBy(col("_pid")).orderBy(order: _*)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // numShufflePartitions rows: the only global window in this file runs
     // over a frame whose size is fixed by config, not by the data.
     val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
@@ -69,8 +84,13 @@ object Ranks {
     val q = idiv(n, lit(k)) // floor bucket size
     val r = n % k           // buckets that get one extra row
     val cut = (q + 1) * r   // rows covered by the big buckets
+    // When n < k, q = 0 and cut = n, so rnk <= cut always takes the first
+    // branch and the otherwise-division is unreachable — but only by
+    // CaseWhen's lazy evaluation. greatest(q, 1) makes the dead branch
+    // total too, so an eager evaluator (or ANSI DIVIDE_BY_ZERO) can never
+    // trip on it; it changes no reachable value. RanksSpec pins n < k.
     when(rnk <= cut, idiv(rnk - 1, q + 1) + 1)
-      .otherwise(r + idiv(rnk - 1 - cut, q) + 1)
+      .otherwise(r + idiv(rnk - 1 - cut, greatest(q, lit(1))) + 1)
   }
 
   /** Spark's percent_rank from a global row number over a TOTAL order

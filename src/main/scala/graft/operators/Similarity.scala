@@ -137,22 +137,25 @@ object Similarity {
   }
 
   /** Per-label embedding centroids (B17): posexplode to (label, dim, x),
-    * one partial-aggregated shuffle on the (label, dim) pair — the
-    * dimension-wise mean a clustering / class-profile pass needs. The
-    * double sum folds over a SORTED per-group list so the value is
-    * bit-stable under any partitioning and exactly oracle-reproducible;
-    * a corpus too large to collect per-group lists would switch to a
-    * plain `sum` and a tolerance check instead. */
+    * then the two-level bit-stable mean ([[Folds]]): a (label, dim)
+    * group holds ALL N_label vectors' values — corpus-sized, so a
+    * one-level sorted fold's collect_list buffer is gigabytes at 1B
+    * vectors. Level 1 folds each vec_id%B sub-bucket (buffer ≤ N/B),
+    * level 2 folds the ≤B sub-totals (buffer ≤ B). Two partial-agg
+    * shuffles, the second over the tiny (labels × dims × B) frame;
+    * value bit-stable at any partitioning, oracle mirrors the same
+    * two-level structure. */
   def embedCentroids(emb: DataFrame): DataFrame =
-    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+    emb.select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
-        col("x").cast("double").as("x"))
+        col("x").cast("double").as("x"), Folds.subBucket(col("vec_id")))
+      .groupBy("label", "dim", "sb")
+      .agg(count(lit(1)).as("sub_n"), Folds.sortedSum(col("x")).as("sub_s"))
       .groupBy("label", "dim")
       .agg(
-        count(lit(1)).as("n_vecs"),
-        round(
-          aggregate(sort_array(collect_list(col("x"))), lit(0.0), (a, b) => a + b)
-            / count(lit(1)), 6).as("centroid"))
+        sum(col("sub_n")).as("n_vecs"),
+        round(Folds.sortedSum(col("sub_s")) / sum(col("sub_n")), 6).as("centroid"))
 
   /** SemDeDup-style semantic deduplication (B57): sign-LSH buckets stand
     * in for the k-means clusters of the paper (deterministic and
@@ -297,12 +300,28 @@ object Similarity {
     * where the gate would gut recall while pruning nothing), the gate is
     * bypassed and the FULL shared-token result is returned, at measured
     * parity with [[docSimilarity]]. The branch is chosen by a one-row
-    * statistics read (plan-time CBO); the oracle encodes the same rule. */
+    * statistics read (plan-time CBO); the oracle encodes the same rule.
+    *
+    * CONTRACT: that statistics read is an EAGER Spark job at DataFrame-
+    * construction time — calling this method blocks the driver for one
+    * small aggregate and the plan choice is frozen then. Batch-only by
+    * design: it cannot be applied to a streaming frame, and callers that
+    * only intend to build a plan still pay (and trigger) the stats job. */
   def docSimilarityPruned(docs: DataFrame, blockCol: String = "source",
                           simMin: Double = 0.8, maxDfFrac: Double = 0.5,
                           bypassFloor: Double = 0.05): DataFrame = {
     def stableSum(c: Column) =
       aggregate(sort_array(collect_list(c)), lit(0.0), (a, b) => a + b)
+    // PERSISTED — the one operator where the recompute-beats-persist
+    // streak (doc_lang_coherence / source_overlap / rrf_fusion, BASELINE
+    // r8-r9) does NOT transfer, because the eager stats read below is a
+    // SEPARATE job and ReuseExchange only unifies subtrees within one
+    // physical plan: unpersisted, the tokenize+tfidf chain runs ~4x (the
+    // stats job plus three consumers in the main job). Round-10 A/B, solo
+    // x3 reps at sf0.1: persist 4.9/6.0/5.8 s vs recompute
+    // 12.0/12.1/11.6 s. The round-9 official 16.0 s and one 13.8 s rep
+    // were wake noise, not eviction churn — steady persisted matches the
+    // claimed 4.5-5.7 s.
     val w = graft.CacheTracker.track(
       TfIdf.tfidf(docs)
         .join(docs.select(col("doc_id"), col(blockCol).as("blk")), "doc_id")
@@ -390,29 +409,36 @@ object Similarity {
     * triangle): the second-moment statistics a whitening / PCA pass over
     * an embedding corpus needs. Each row expands to its dims·(dims+1)/2
     * pair products NARROWLY (no self-join — the classic one-pass outer
-    * product accumulation), then one partial-aggregated shuffle onto the
-    * bounded (dim_i, dim_j) key space. Products of two float32 values are
-    * exact in double (24+24 < 53 mantissa bits); the sums fold over
-    * SORTED per-cell lists so they are bit-stable under any partitioning
-    * — a corpus too large to collect per-cell lists would switch to
-    * plain `sum` + tolerance. cov = E[xy] − E[x]E[y], rounded last. */
+    * product accumulation), then the two-level bit-stable fold ([[Folds]])
+    * onto the bounded (dim_i, dim_j) key space: each cell's group holds
+    * ALL N vectors' products, so a one-level sorted fold would buffer the
+    * corpus in one collect_list; level 1 folds each vec_id%B sub-bucket
+    * (buffer ≤ N/B), level 2 the ≤B sub-totals. Products of two float32
+    * values are exact in double (24+24 < 53 mantissa bits); both fold
+    * levels are order-independent, so the value is bit-stable under any
+    * partitioning and the oracle mirrors the identical structure.
+    * cov = E[xy] − E[x]E[y], rounded last. */
   def embedCovariance(emb: DataFrame, dims: Int = 8): DataFrame = {
-    def stableSum(c: Column) =
-      aggregate(sort_array(collect_list(c)), lit(0.0), (a, b) => a + b)
     val cells = for (i <- 1 to dims; j <- i to dims) yield
       struct(lit(i.toLong).as("dim_i"), lit(j.toLong).as("dim_j"),
         element_at(col("embedding"), i).cast("double").as("x"),
         element_at(col("embedding"), j).cast("double").as("y"))
     emb
       .select(col("vec_id"), explode(array(cells: _*)).as("c"))
-      .select(col("c.dim_i"), col("c.dim_j"), col("c.x"), col("c.y"))
+      .select(col("c.dim_i"), col("c.dim_j"), col("c.x"), col("c.y"),
+        Folds.subBucket(col("vec_id")))
+      .groupBy("dim_i", "dim_j", "sb")
+      .agg(count(lit(1)).as("sub_n"),
+        Folds.sortedSum(col("x") * col("y")).as("sub_sxy"),
+        Folds.sortedSum(col("x")).as("sub_sx"),
+        Folds.sortedSum(col("y")).as("sub_sy"))
       .groupBy("dim_i", "dim_j")
       .agg(
-        count(lit(1)).as("n_vecs"),
+        sum(col("sub_n")).as("n_vecs"),
         round(
-          stableSum(col("x") * col("y")) / count(lit(1))
-            - (stableSum(col("x")) / count(lit(1)))
-            * (stableSum(col("y")) / count(lit(1))), 6).as("cov"))
+          Folds.sortedSum(col("sub_sxy")) / sum(col("sub_n"))
+            - (Folds.sortedSum(col("sub_sx")) / sum(col("sub_n")))
+            * (Folds.sortedSum(col("sub_sy")) / sum(col("sub_n"))), 6).as("cov"))
   }
 
   /** Hard-negative mining for contrastive training (B45): for each query
@@ -730,25 +756,33 @@ object Similarity {
   /** Per-dimension z-standardization of the embedding matrix (B66) —
     * the feature-scaling pass before distance-based ops (k-means, PQ
     * codebooks) so no dimension dominates by raw variance. Dim-wise
-    * mean/std fold over SORTED value lists (order-independent at any
-    * partitioning); the per-vector summary (z sum and z norm over the
-    * 6 dp-rounded z values, folded in sorted order) keeps the verified
-    * output vector-sized rather than |vecs|×dims. Two shuffles: one to
-    * the dims-bounded stats key, one back per vec_id. Constant
-    * dimensions (std = 0) are dropped before scoring — z would be
-    * Inf/NaN there, and Inf/NaN propagation is exactly where engines
-    * disagree; skipping the degenerate dimension (n_dims reflects the
-    * kept ones) mirrors eventsAnomaly's var_c > 0 gate. */
+    * mean/std use the two-level bit-stable fold ([[Folds]]): a per-dim
+    * group holds ALL N vectors' values, so the one-level sorted fold
+    * would buffer the corpus in one collect_list; level 1 folds each
+    * vec_id%B sub-bucket, level 2 the ≤B sub-totals — order-independent
+    * at any partitioning, O(N/B + B) state. The per-vector summary
+    * (z sum and z norm over the 6 dp-rounded z values, folded in sorted
+    * order) stays a ONE-level fold — that group is dims-bounded. Three
+    * shuffles: sub-bucketed stats, the tiny (dims × B) roll-up, one back
+    * per vec_id. Constant dimensions (std = 0) are dropped before
+    * scoring — z would be Inf/NaN there, and Inf/NaN propagation is
+    * exactly where engines disagree; skipping the degenerate dimension
+    * (n_dims reflects the kept ones) mirrors eventsAnomaly's var_c > 0
+    * gate. */
   def embedStandardize(emb: DataFrame): DataFrame = {
     val x = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
         col("x").cast("double").as("x"))
-    val stats = x.groupBy("dim").agg(
-        count(lit(1)).as("n"),
-        aggregate(sort_array(collect_list(col("x"))), lit(0.0),
-          (a, b) => a + b).as("s"),
-        aggregate(sort_array(collect_list(col("x") * col("x"))), lit(0.0),
-          (a, b) => a + b).as("ss"))
+    val stats = x.select(col("dim"), col("x"), Folds.subBucket(col("vec_id")))
+      .groupBy("dim", "sb")
+      .agg(count(lit(1)).as("sub_n"),
+        Folds.sortedSum(col("x")).as("sub_s"),
+        Folds.sortedSum(col("x") * col("x")).as("sub_ss"))
+      .groupBy("dim")
+      .agg(
+        sum(col("sub_n")).as("n"),
+        Folds.sortedSum(col("sub_s")).as("s"),
+        Folds.sortedSum(col("sub_ss")).as("ss"))
       .select(col("dim"), (col("s") / col("n")).as("mean"),
         sqrt(col("ss") / col("n")
           - (col("s") / col("n")) * (col("s") / col("n"))).as("std"))

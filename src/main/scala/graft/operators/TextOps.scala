@@ -958,19 +958,29 @@ object TextOps {
     * corpus, so a plain `ntile(10).over(Window.orderBy(...))` would
     * move every document to one task; [[Ranks.ntileFromRank]] derives
     * the identical bucket arithmetic from (rank, n). Quality terms are
-    * the shared 6 dp composite and fold sorted per decile. */
+    * the shared 6 dp composite and use the two-level bit-stable fold
+    * ([[Folds]]): a decile holds N/10 documents — corpus-sized, so the
+    * one-level sorted fold would buffer a tenth of the corpus in one
+    * collect_list; level 1 folds each doc_id%B sub-bucket, level 2 the
+    * ≤B sub-totals (min/max/count are order-independent and just
+    * re-aggregate). */
   def qualityByLengthDecile(docs: DataFrame): DataFrame = {
     Ranks.withGlobalRowNumber(
         docs.select(col("doc_id"), col("n_chars"), qualityComposite.as("quality")),
         "_rnk", "_n", Seq(col("n_chars"), col("doc_id")))
       .withColumn("decile", Ranks.ntileFromRank(col("_rnk"), col("_n"), 10).cast("long"))
-      .drop("_rnk", "_n")
+      .select(col("decile"), col("n_chars"), col("quality"),
+        Folds.subBucket(col("doc_id")))
+      .groupBy("decile", "sb")
+      .agg(count(lit(1)).as("sub_n"),
+        min(col("n_chars")).as("sub_min"),
+        max(col("n_chars")).as("sub_max"),
+        Folds.sortedSum(col("quality")).as("sub_s"))
       .groupBy("decile")
-      .agg(count(lit(1)).as("n_docs"),
-        min(col("n_chars")).as("min_chars"),
-        max(col("n_chars")).as("max_chars"),
-        round(aggregate(sort_array(collect_list(col("quality"))), lit(0.0),
-          (a, b) => a + b) / count(lit(1)), 6).as("mean_quality"))
+      .agg(sum(col("sub_n")).as("n_docs"),
+        min(col("sub_min")).as("min_chars"),
+        max(col("sub_max")).as("max_chars"),
+        round(Folds.sortedSum(col("sub_s")) / sum(col("sub_n")), 6).as("mean_quality"))
   }
 
   /** Lang ⊥ source independence chi-square (B96): the one-number audit

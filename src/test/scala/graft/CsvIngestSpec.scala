@@ -33,7 +33,10 @@ class CsvIngestSpec extends SparkSpec {
     val plan = spark.read.orc("/root/repo/src/test/resources/docs_sample.orc")
       .filter(col("doc_id") > 2).select("doc_id", "lang")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,2)"),
-      plan.take(600))
+    // match each pushed filter independently — the bracket's ordering and
+    // spacing are Spark-version formatting, not the contract under test
+    assert(plan.contains("PushedFilters:"), plan.take(600))
+    assert(plan.contains("GreaterThan(doc_id,2)"), plan.take(600))
+    assert(plan.contains("IsNotNull(doc_id)"), plan.take(600))
   }
 }

@@ -31,6 +31,7 @@ class EmptyInputSpec extends SparkSpec {
       d => LangModel.tokenBurstiness(d), d => LangModel.sourceLangEntropy(d),
       d => LangModel.zipfSlope(d), d => Graph.tokenTriangles(d),
       d => Dedup.spanDedup(d), d => Dedup.spanDedupTrim(d),
+      d => Dedup.spanDedupIncremental(d, d),
       d => LangModel.ccnetBuckets(d), TextOps.tokenCoverageCurve)
     for ((op, i) <- ops.zipWithIndex)
       assert(op(noDocs).count() === 0, s"text op #$i not total on empty input")

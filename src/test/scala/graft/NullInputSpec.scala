@@ -28,6 +28,7 @@ class NullInputSpec extends SparkSpec {
       TextOps.readability, d => LangModel.bm25(d),
       d => Graph.tokenTriangles(d),
       d => Dedup.spanDedup(d), d => Dedup.spanDedupTrim(d),
+      d => Dedup.spanDedupIncremental(d, d.limit(0)),
       d => LangModel.ccnetBuckets(d), TextOps.tokenCoverageCurve)
     for ((op, i) <- ops.zipWithIndex) {
       val out = op(docs)
