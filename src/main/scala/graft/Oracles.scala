@@ -468,6 +468,41 @@ object Oracles {
          |  round((sy * sxx - sx * sxy) / (n_tokens * sxx - sx * sx), 6) AS intercept
          |FROM s WHERE n_tokens > 1""".stripMargin,
 
+    "dedup_survivorship" ->
+      s"""WITH k AS (SELECT source,
+         |  (doc_id = min(doc_id) OVER (PARTITION BY md5($clean))) AS kept
+         |  FROM documents)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  round(sum(CASE WHEN kept THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS retention
+         |FROM k GROUP BY source""".stripMargin,
+
+    "minhash_band_tune" ->
+      """WITH g AS (SELECT i // 19 AS i, i % 19 + 1 AS j FROM generate_series(0, 151) t(i)),
+        |c AS (SELECT CAST(pow(2, i) AS BIGINT) AS rows_per_band,
+        |             (128 // CAST(pow(2, i) AS BIGINT))::BIGINT AS bands,
+        |             j / 20.0 AS sim FROM g)
+        |SELECT rows_per_band, bands, round(sim, 6) AS sim,
+        |  round(1 - pow(1 - pow(sim, rows_per_band), bands), 6) AS p_detect,
+        |  round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS s_threshold
+        |FROM c""".stripMargin,
+
+    "corpus_shuffle" ->
+      """SELECT row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS ord,
+        |       doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS skey
+        |FROM documents""".stripMargin,
+
+    "token_fertility" ->
+      """WITH p AS (SELECT lang,
+        |  len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))::BIGINT AS w,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS b,
+        |  length(text)::BIGINT AS c FROM documents)
+        |SELECT lang, CAST(sum(w) AS BIGINT) AS ws_words, CAST(sum(b) AS BIGINT) AS bpe_tokens,
+        |  CAST(sum(c) AS BIGINT) AS chars,
+        |  round(sum(b)::DOUBLE / nullif(sum(w), 0), 6) AS fertility,
+        |  round(sum(c)::DOUBLE / nullif(sum(b), 0), 6) AS chars_per_token
+        |FROM p GROUP BY lang""".stripMargin,
+
     "stratified_sample" ->
       """SELECT doc_id, lang, source, n_chars, bucket FROM (
         |  SELECT doc_id, lang, source, n_chars,

@@ -113,6 +113,10 @@ object SparkEntry {
     "ann_ivf_kmeans" -> ((s, d) => Similarity.annIvfKmeans(t(s, d, "embeddings"))),
     "quality_score" -> ((s, d) => TextOps.qualityScore(spread(t(s, d, "documents")))),
     "stratified_sample" -> ((s, d) => TextOps.stratifiedSample(t(s, d, "documents"))),
+    "corpus_shuffle" -> ((s, d) => TextOps.corpusShuffle(t(s, d, "documents"))),
+    "token_fertility" -> ((s, d) => TextOps.tokenFertility(spread(t(s, d, "documents")))),
+    "dedup_survivorship" -> ((s, d) => Dedup.survivorship(spread(t(s, d, "documents")))),
+    "minhash_band_tune" -> ((s, _) => Dedup.minhashBandTune(s)),
     "inverted_index" -> ((s, d) => TextOps.invertedIndex(spread(t(s, d, "documents")))),
     "repetition_stats" -> ((s, d) => TextOps.repetitionStats(spread(t(s, d, "documents")))),
     "gopher_filter" -> ((s, d) => TextOps.gopherFilter(spread(t(s, d, "documents")))),

@@ -1,9 +1,9 @@
 package graft.bench
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Dedup, LangModel}
+import graft.operators.{AsOf, Dedup, Folds, LangModel, Similarity}
 
 /** Output-sensitivity scaling check (BASELINE.md "Scaling check" table):
   * the corpus is multiplied m-way IN MEMORY with shifted ids, so every
@@ -43,6 +43,31 @@ object ScaleCheck {
         .withColumn("user_id", col("user_id") + lit(i * 10_000_000L)))
       .reduce(_ unionByName _)
 
+  def multiplyEmb(emb: DataFrame, m: Int): DataFrame =
+    (0 until m).map(i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i * 10_000_000L)))
+      .reduce(_ unionByName _)
+
+  /** The PRE-round-10 one-level per-dim stats shape (one sorted fold over
+    * ALL vectors per dim) — kept here only as the buffer-scaling contrast
+    * for [[Similarity.embedStandardize]]'s two-level fold. */
+  private def oneLevelDimStats(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("x").cast("double").as("x"))
+      .groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        Folds.sortedSum(col("x")).as("s"),
+        Folds.sortedSum(col("x") * col("x")).as("ss"))
+
+  /** collect_list's aggregation buffer holds exactly its group's rows, so
+    * max group cardinality IS the peak buffer size in elements. It has to
+    * be measured at the DATA level: TaskMetrics.peakExecutionMemory reads
+    * a flat 256 KiB/1.25 MiB for both shapes at every m, because the
+    * TypedImperativeAggregate buffer is an untracked JVM-heap ArrayBuffer,
+    * invisible to the Tungsten memory manager until the moment it OOMs. */
+  private def maxGroupRows(df: DataFrame, keys: Column*): Long =
+    df.groupBy(keys: _*).count().agg(max("count")).head.getLong(0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val ms = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 16)
@@ -60,6 +85,7 @@ object ScaleCheck {
     iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events0 = iso.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000"))).repartition(width)
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet").repartition(width)
 
     for (m <- ms) {
       val docs = multiplyDocs(docs0, m)
@@ -90,6 +116,21 @@ object ScaleCheck {
         .select(col("event_id").as("click_event_id"), col("user_id"), col("us").as("click_us"))
       val (tAsof, nAsof) = timedForce(AsOf.asofJoin(p, c, "user_id", "us", "click_us"))
 
+      // embedding stats: time both shapes (must stay linear in m), and
+      // measure each shape's largest aggregation group — the collect_list
+      // buffer's element count. The one-level per-dim group is the whole
+      // corpus (grows with m); the two-level level-1 group is a vec_id%B
+      // sub-bucket (~group/1024) and its level-2 roll-up is ≤1024 rows.
+      val emb = multiplyEmb(emb0, m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      emb.count()
+      val (tStd2, nStd2) = timedForce(Similarity.embedStandardize(emb))
+      val (tStd1, nStd1) = timedForce(oneLevelDimStats(emb))
+      val xpl = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      val buf1 = maxGroupRows(xpl, col("pos"))
+      val buf2 = maxGroupRows(xpl, col("pos"), Folds.subBucket(col("vec_id")))
+      emb.unpersist()
+
       println(s"""{"m":$m,"docs":${docs.count()},"events":${events.count()},""" +
         s""""dedup_exact":{"sec":$tExact,"rows":$nExact},""" +
         s""""dedup_minhash":{"sec":$tMinhash,"pairs":$nMinhash},""" +
@@ -97,7 +138,9 @@ object ScaleCheck {
         s""""components":{"sec":$tComp,"nodes":$nComp},""" +
         s""""bm25":{"sec":$tBm25,"rows":$nBm25},""" +
         s""""span_dedup":{"sec":$tSpan,"rows":$nSpan},""" +
-        s""""asof_join":{"sec":$tAsof,"rows":$nAsof}}""")
+        s""""asof_join":{"sec":$tAsof,"rows":$nAsof},""" +
+        s""""embed_standardize_2level":{"sec":$tStd2,"rows":$nStd2,"max_agg_buffer_rows":$buf2,"rollup_rows":${Folds.DefaultBuckets}},""" +
+        s""""dim_stats_1level":{"sec":$tStd1,"rows":$nStd1,"max_agg_buffer_rows":$buf1}}""")
       docs.unpersist(); events.unpersist()
     }
     spark.stop()

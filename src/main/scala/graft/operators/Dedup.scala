@@ -605,4 +605,51 @@ object Dedup {
         when(col("n_tokens").isNotNull, coalesce(col("trimmed_text"), lit("")))
           .as("trimmed_text"))
   }
+
+  /** Per-source survivorship after exact dedup (B107): the retention
+    * report a curation run publishes — how much of each source the
+    * dedup pass kept. Same keeper rule as [[exact]] (min doc_id per
+    * content hash) expressed as a window so `source` rides along
+    * without a join back: one shuffle on content_hash for the window,
+    * one tiny partial-agg shuffle on source. */
+  def survivorship(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kept = docs
+      .select(col("doc_id"), col("source"),
+        md5(TextOps.cleanText(col("text"))).as("content_hash"))
+      .withColumn("kept",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
+    kept.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), lit(1L)).otherwise(lit(0L))).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs"), 6).as("retention"))
+  }
+
+  /** LSH band-calibration table (B106): for every (rows-per-band r,
+    * bands b) split of a `totalHashes` MinHash budget (r a power of
+    * two, b = H/r) and a Jaccard-similarity grid s = 0.05..0.95, the
+    * detection probability 1 − (1 − s^r)^b and the config's S-curve
+    * threshold (1/b)^(1/r) — the table an operator consults to pick
+    * (b, r) for a target similarity cutoff before launching
+    * [[minhashLshPairs]] at corpus scale. Pure math over a 152-row
+    * generated frame: no input table, no shuffle, and the grid is a
+    * single range (i div 19, i mod 19) rather than a cross join so no
+    * CartesianProduct ever appears in a graft plan. */
+  def minhashBandTune(spark: org.apache.spark.sql.SparkSession,
+                      totalHashes: Int = 128): DataFrame =
+    spark.range(8L * 19L)
+      .select(expr("id div 19").as("i"), (col("id") % 19 + 1).as("j"))
+      .select(
+        expr("cast(pow(2, i) as bigint)").as("rows_per_band"),
+        expr(s"cast($totalHashes div cast(pow(2, i) as bigint) as bigint)").as("bands"),
+        round(col("j").cast("double") / 20.0, 6).as("sim"),
+        col("i"), col("j"))
+      .select(col("rows_per_band"), col("bands"), col("sim"),
+        round(lit(1.0) - pow(lit(1.0) - pow(col("j").cast("double") / 20.0,
+          col("rows_per_band").cast("double")), col("bands").cast("double")), 6)
+          .as("p_detect"),
+        round(pow(lit(1.0) / col("bands").cast("double"),
+          lit(1.0) / col("rows_per_band").cast("double")), 6).as("s_threshold"))
 }

@@ -303,6 +303,49 @@ object TextOps {
         concat_ws(",", slice(sort_array(collect_list(col("doc_id"))), 1, maxPostings))
           .as("postings"))
 
+  /** Deterministic seeded global training order (B103): every document
+    * gets a position in a pseudorandom permutation of the corpus —
+    * `ord` = global row_number under ORDER BY md5(doc_id ":" seed), the
+    * shuffle a training run performs once per epoch over the whole
+    * corpus. Hash-keyed (not `rand()`-keyed), so the permutation is a
+    * pure function of (doc_id, seed): reproducible across retries,
+    * cluster sizes, and the DuckDB oracle, and a different seed gives an
+    * independent epoch order with no RNG state to checkpoint. The global
+    * position comes from [[Ranks.withGlobalRowNumber]] — range-partitioned
+    * two-pass, never a single-partition window — so the full-corpus sort
+    * a 100 TB epoch shuffle implies stays parallel. doc_id ties broken by
+    * doc_id itself (md5 collisions), making the order total. */
+  def corpusShuffle(docs: DataFrame, seed: Int = 42): DataFrame =
+    Ranks.withGlobalRowNumber(
+        docs.select(col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit(":" + seed))).as("skey")),
+        "ord", "_n", Seq(col("skey"), col("doc_id")))
+      .select(col("ord"), col("doc_id"), col("skey"))
+
+  /** Tokenizer fertility per language (B104): BPE-ish tokens per
+    * whitespace word and chars per token — THE go/no-go statistic for a
+    * tokenizer across a multilingual corpus (a language at 2× fertility
+    * pays 2× the sequence length for the same text). Sums are exact
+    * longs; only the final ratios are floating (rounded 6 dp), so the
+    * result is partitioning-independent without any sorted fold. One
+    * partial-agg shuffle on lang. */
+  def tokenFertility(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long").as("w"),
+        size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+          .cast("long").as("b"),
+        length(col("text")).cast("long").as("c"))
+      .groupBy("lang")
+      .agg(sum(col("w")).as("ws_words"), sum(col("b")).as("bpe_tokens"),
+        sum(col("c")).as("chars"))
+      .select(col("lang"), col("ws_words"), col("bpe_tokens"), col("chars"),
+        // nullif: an all-empty-text language yields NULL ratios, not a
+        // divide-by-zero Infinity the oracle can't reproduce
+        round(col("bpe_tokens").cast("double") / nullif(col("ws_words"), lit(0L)), 6)
+          .as("fertility"),
+        round(col("chars").cast("double") / nullif(col("bpe_tokens"), lit(0L)), 6)
+          .as("chars_per_token"))
+
   /** Repetition profile per document (B18): distinct-token ratio and the
     * most-frequent-bigram share — the C4/Gopher-style signals that flag
     * boilerplate and degenerate repetition in a training corpus. Narrow

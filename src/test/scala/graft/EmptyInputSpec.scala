@@ -32,7 +32,8 @@ class EmptyInputSpec extends SparkSpec {
       d => LangModel.zipfSlope(d), d => Graph.tokenTriangles(d),
       d => Dedup.spanDedup(d), d => Dedup.spanDedupTrim(d),
       d => Dedup.spanDedupIncremental(d, d),
-      d => LangModel.ccnetBuckets(d), TextOps.tokenCoverageCurve)
+      d => LangModel.ccnetBuckets(d), TextOps.tokenCoverageCurve,
+      d => TextOps.corpusShuffle(d), TextOps.tokenFertility)
     for ((op, i) <- ops.zipWithIndex)
       assert(op(noDocs).count() === 0, s"text op #$i not total on empty input")
   }

@@ -29,7 +29,8 @@ class NullInputSpec extends SparkSpec {
       d => Graph.tokenTriangles(d),
       d => Dedup.spanDedup(d), d => Dedup.spanDedupTrim(d),
       d => Dedup.spanDedupIncremental(d, d.limit(0)),
-      d => LangModel.ccnetBuckets(d), TextOps.tokenCoverageCurve)
+      d => LangModel.ccnetBuckets(d), TextOps.tokenCoverageCurve,
+      d => TextOps.corpusShuffle(d), TextOps.tokenFertility)
     for ((op, i) <- ops.zipWithIndex) {
       val out = op(docs)
       // must evaluate without throwing; row counts vary by op semantics

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextOps}
+
+/** Edge-case coverage for the round-10 operators; the value-exact path
+  * is the DuckDB oracle in graft.Oracles. */
+class Round10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat", "en", "a", 22),
+    (2L, "une phrase en francais 123", "fr", "b", 26),
+    (3L, "", "fr", "b", 0),
+    (4L, "word-piece splitting, e.g. 42 tokens!", "en", "a", 37),
+    (5L, "der schnelle braune fuchs", "de", "c", 25)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("corpusShuffle: ord is a 1..n bijection") {
+    val ords = TextOps.corpusShuffle(docs).select("ord").as[Long].collect().sorted
+    assert(ords.toSeq === (1L to 5L))
+  }
+
+  test("corpusShuffle: pure function of (doc_id, seed) — rerun and partition-count identical") {
+    val a = TextOps.corpusShuffle(docs).select("doc_id", "ord").as[(Long, Long)].collect().toMap
+    val b = TextOps.corpusShuffle(docs.repartition(7)).select("doc_id", "ord")
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
+  test("corpusShuffle: different seeds give different epoch orders") {
+    val e0 = TextOps.corpusShuffle(docs, seed = 42).select("doc_id", "ord")
+      .as[(Long, Long)].collect().toMap
+    val e1 = TextOps.corpusShuffle(docs, seed = 43).select("doc_id", "ord")
+      .as[(Long, Long)].collect().toMap
+    assert(e0.keySet === e1.keySet)
+    assert(e0 !== e1) // 5 ids agreeing on both md5 orders would be 1/120
+  }
+
+  test("tokenFertility: hand-checked sums and ratios per language") {
+    val m = TextOps.tokenFertility(docs)
+      .select("lang", "ws_words", "bpe_tokens", "chars")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // en: doc1 6 words/6 bpe + doc4 5 words/12 bpe ("word-piece" -> word,-,piece;
+    // "splitting," -> splitting,,; "e.g." -> e,.,g,.; "42"; "tokens!" -> tokens,!)
+    assert(m("en") === (("en", 11L, 18L, 59L)))
+    // fr: doc2 5 words 5 bpe, doc3 empty contributes zeros
+    assert(m("fr") === (("fr", 5L, 5L, 26L)))
+    assert(m("de") === (("de", 4L, 4L, 25L)))
+    val f = TextOps.tokenFertility(docs)
+      .filter(col("lang") === "en").select("fertility").as[Double].head()
+    assert(math.abs(f - math.rint(18.0 / 11.0 * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("tokenFertility: all-empty-text language yields NULL ratios, not Infinity") {
+    val only = Seq((9L, "", "xx", "s", 0L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.tokenFertility(only).head()
+    assert(r.getAs[Long]("ws_words") === 0L)
+    assert(r.isNullAt(r.fieldIndex("fertility")))
+    assert(r.isNullAt(r.fieldIndex("chars_per_token")))
+  }
+
+  test("survivorship: duplicates charged to the copy's source, keeper to the first") {
+    val dup = Seq(
+      (1L, "same text here", "a", "en", 14),
+      (2L, "same text here", "b", "en", 14),  // copy in source b: loses to doc 1
+      (3L, "unique one", "b", "en", 10),
+      (4L, "same text here", "b", "en", 14)   // second copy in b
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val m = Dedup.survivorship(dup)
+      .select("source", "n_docs", "n_kept", "retention")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(m("a") === (("a", 1L, 1L, 1.0)))
+    assert(m("b") === (("b", 3L, 1L, 0.333333)))
+  }
+
+  test("minhashBandTune: full grid, monotone in sim, threshold orders by rows-per-band") {
+    val rows = Dedup.minhashBandTune(spark)
+      .select("rows_per_band", "bands", "sim", "p_detect", "s_threshold")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(rows.length === 8 * 19)
+    assert(rows.forall { case (r, b, _, _, _) => r * b === 128L })
+    // detection probability is monotone nondecreasing in sim within a config
+    for (grp <- rows.groupBy(_._1).values) {
+      val ps = grp.sortBy(_._3).map(_._4)
+      assert(ps.zip(ps.tail).forall { case (x, y) => y >= x })
+    }
+    // more rows per band -> higher S-curve threshold (stricter config)
+    val th = rows.groupBy(_._1).map { case (r, g) => r -> g.head._5 }.toSeq.sortBy(_._1).map(_._2)
+    assert(th.zip(th.tail).forall { case (x, y) => y > x })
+    // spot value: r=16, b=8, s=0.5 -> 1-(1-2^-16)^8 ~ 0.000122
+    val p = rows.find(r => r._1 === 16L && r._3 === 0.5).get._4
+    assert(math.abs(p - 0.000122) < 1e-6)
+  }
+}
