@@ -468,6 +468,32 @@ object Oracles {
          |  round((sy * sxx - sx * sxy) / (n_tokens * sxx - sx * sx), 6) AS intercept
          |FROM s WHERE n_tokens > 1""".stripMargin,
 
+    "kn_bigram" ->
+      s"""WITH t AS (SELECT $toks AS toks FROM documents WHERE len($toks) >= 2),
+         |b AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+         |      FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)),
+         |cb AS (SELECT w1, w2, count(*) AS c_bigram FROM b GROUP BY 1, 2),
+         |h AS (SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_w1, count(*) AS n_follow
+         |      FROM cb GROUP BY 1),
+         |c AS (SELECT w2, count(*) AS n_precede FROM cb GROUP BY 1),
+         |ty AS (SELECT count(*) AS n_types FROM cb)
+         |SELECT cb.w1, cb.w2, cb.c_bigram, h.c_w1,
+         |  round(greatest(CAST(c_bigram AS DOUBLE) - 0.75, 0.0) / c_w1
+         |        + 0.75 * n_follow / c_w1 * n_precede / n_types, 6) AS p_kn
+         |FROM cb JOIN h USING (w1) JOIN c USING (w2) CROSS JOIN ty""".stripMargin,
+
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE p AS ($embedNearDup),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM p UNION ALL SELECT b_id, a_id FROM p),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS id, least(src, min(dst)) AS component
+         |         FROM reach GROUP BY src),
+         |sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+         |SELECT cluster_size, count(*) AS n_clusters FROM sz GROUP BY cluster_size""".stripMargin,
+
     "dedup_survivorship" ->
       s"""WITH k AS (SELECT source,
          |  (doc_id = min(doc_id) OVER (PARTITION BY md5($clean))) AS kept

@@ -117,6 +117,9 @@ object SparkEntry {
     "token_fertility" -> ((s, d) => TextOps.tokenFertility(spread(t(s, d, "documents")))),
     "dedup_survivorship" -> ((s, d) => Dedup.survivorship(spread(t(s, d, "documents")))),
     "minhash_band_tune" -> ((s, _) => Dedup.minhashBandTune(s)),
+    "kn_bigram" -> ((s, d) => LangModel.knBigram(spread(t(s, d, "documents")))),
+    "dedup_cluster_stats" -> ((s, d) =>
+      Dedup.clusterStats(Similarity.nearDupPairs(t(s, d, "embeddings"), cosMin = 0.3))),
     "inverted_index" -> ((s, d) => TextOps.invertedIndex(spread(t(s, d, "documents")))),
     "repetition_stats" -> ((s, d) => TextOps.repetitionStats(spread(t(s, d, "documents")))),
     "gopher_filter" -> ((s, d) => TextOps.gopherFilter(spread(t(s, d, "documents")))),

@@ -606,6 +606,17 @@ object Dedup {
           .as("trimmed_text"))
   }
 
+  /** Duplicate-cluster size histogram (B109): how many near-dup clusters
+    * of each size the corpus carries — the one-page dup profile a
+    * curation run reports (a fat tail of large clusters means template
+    * spam; all-pairs-of-2 means benign mirrors). Two bounded groupBys
+    * over [[components]]' output: per-component size, then size →
+    * cluster count. */
+  def clusterStats(pairs: DataFrame): DataFrame =
+    components(pairs)
+      .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+
   /** Per-source survivorship after exact dedup (B107): the retention
     * report a curation run publishes — how much of each source the
     * dedup pass kept. Same keeper rule as [[exact]] (min doc_id per

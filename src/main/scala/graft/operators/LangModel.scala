@@ -225,6 +225,44 @@ object LangModel {
           .as("logp"))
   }
 
+  /** Interpolated Kneser-Ney bigram probabilities (B108) — the smoothing
+    * real LM tooling ships, distinct from [[bigramLm]]'s add-k: the
+    * backoff weight is the CONTINUATION probability (in how many distinct
+    * contexts does w2 appear) rather than raw frequency, so "francisco"
+    * (frequent but only after "san") stops stealing mass from genuinely
+    * productive words. P(w2|w1) = max(c−D,0)/c(w1) + D·N1+(w1·)/c(w1) ·
+    * N1+(·w2)/N1+(··), D = 0.75.
+    *
+    * Scale: everything derives from the bigram TYPE frame — one
+    * partial-agg shuffle builds it, the history totals (c_w1, distinct
+    * followers) and continuation fan-out (distinct predecessors) are
+    * groupBys OVER it (vocabulary²-bounded, far smaller than the token
+    * stream), and the type count is a one-row broadcast. Per-row
+    * arithmetic over exact integer counts — no float aggregation, so the
+    * result is partitioning-independent without sorted folds. */
+  def knBigram(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    val toked = docs.select(TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bi = toked.select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cBig = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_bigram"))
+    val hist = cBig.groupBy("w1")
+      .agg(sum(col("c_bigram")).as("c_w1"), count(lit(1)).as("n_follow"))
+    val cont = cBig.groupBy("w2").agg(count(lit(1)).as("n_precede"))
+    val types = cBig.agg(count(lit(1)).as("n_types"))
+    // operand order mirrors the oracle SQL exactly: IEEE division is
+    // deterministic only for an identical expression tree
+    cBig.join(hist, "w1").join(cont, "w2").crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c_bigram"), col("c_w1"),
+        round(
+          greatest(col("c_bigram").cast("double") - lit(discount), lit(0.0)) / col("c_w1")
+            + lit(discount) * col("n_follow") / col("c_w1") * col("n_precede") / col("n_types"),
+          6).as("p_kn"))
+  }
+
   /** Per-document negative log-likelihood under the corpus bigram LM
     * (B61) — the perplexity-proxy quality signal: documents whose token
     * transitions surprise the corpus LM (high NLL) are repetitive-noise

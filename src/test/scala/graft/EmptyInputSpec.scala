@@ -33,7 +33,8 @@ class EmptyInputSpec extends SparkSpec {
       d => Dedup.spanDedup(d), d => Dedup.spanDedupTrim(d),
       d => Dedup.spanDedupIncremental(d, d),
       d => LangModel.ccnetBuckets(d), TextOps.tokenCoverageCurve,
-      d => TextOps.corpusShuffle(d), TextOps.tokenFertility)
+      d => TextOps.corpusShuffle(d), TextOps.tokenFertility,
+      d => Dedup.survivorship(d), d => LangModel.knBigram(d))
     for ((op, i) <- ops.zipWithIndex)
       assert(op(noDocs).count() === 0, s"text op #$i not total on empty input")
   }

@@ -30,7 +30,8 @@ class NullInputSpec extends SparkSpec {
       d => Dedup.spanDedup(d), d => Dedup.spanDedupTrim(d),
       d => Dedup.spanDedupIncremental(d, d.limit(0)),
       d => LangModel.ccnetBuckets(d), TextOps.tokenCoverageCurve,
-      d => TextOps.corpusShuffle(d), TextOps.tokenFertility)
+      d => TextOps.corpusShuffle(d), TextOps.tokenFertility,
+      d => Dedup.survivorship(d), d => LangModel.knBigram(d))
     for ((op, i) <- ops.zipWithIndex) {
       val out = op(docs)
       // must evaluate without throwing; row counts vary by op semantics

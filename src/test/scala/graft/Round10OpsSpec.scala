@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{Dedup, LangModel, TextOps}
 
 /** Edge-case coverage for the round-10 operators; the value-exact path
   * is the DuckDB oracle in graft.Oracles. */
@@ -91,5 +91,32 @@ class Round10OpsSpec extends SparkSpec {
     // spot value: r=16, b=8, s=0.5 -> 1-(1-2^-16)^8 ~ 0.000122
     val p = rows.find(r => r._1 === 16L && r._3 === 0.5).get._4
     assert(math.abs(p - 0.000122) < 1e-6)
+  }
+
+  test("knBigram: hand-computed interpolated Kneser-Ney probabilities") {
+    // corpus "a b a b" + "a c": cb = {(a,b):2, (b,a):1, (a,c):1};
+    // c(a)=3 nf(a)=2; c(b)=1 nf(b)=1; np(a)=np(b)=np(c)=1; types=3
+    val tiny = Seq((1L, "a b a b", "en", "s", 7), (2L, "a c", "en", "s", 3))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = LangModel.knBigram(tiny)
+      .select("w1", "w2", "c_bigram", "c_w1", "p_kn")
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(m.size === 3)
+    // P(b|a) = 1.25/3 + 0.75*2/3 * 1/3 = 0.583333
+    assert(m(("a", "b")) === (("a", "b", 2L, 3L, 0.583333)))
+    // P(a|b) = 0.25/1 + 0.75*1/1 * 1/3 = 0.5
+    assert(m(("b", "a")) === (("b", "a", 1L, 1L, 0.5)))
+    // P(c|a) = 0.25/3 + 0.75*2/3 * 1/3 = 0.25
+    assert(m(("a", "c")) === (("a", "c", 1L, 3L, 0.25)))
+  }
+
+  test("clusterStats: histogram of near-dup component sizes") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val m = Dedup.clusterStats(pairs)
+      .select("cluster_size", "n_clusters").as[(Long, Long)].collect().toMap
+    assert(m === Map(3L -> 1L, 2L -> 1L))
+    // empty pair set: no clusters, not a crash
+    assert(Dedup.clusterStats(pairs.limit(0)).count() === 0)
   }
 }
