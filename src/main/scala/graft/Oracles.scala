@@ -482,6 +482,54 @@ object Oracles {
          |        + 0.75 * n_follow / c_w1 * n_precede / n_types, 6) AS p_kn
          |FROM cb JOIN h USING (w1) JOIN c USING (w2) CROSS JOIN ty""".stripMargin,
 
+    "simhash_det" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM t),
+         |bs AS (SELECT doc_id, j,
+         |  sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS j) GROUP BY doc_id, j),
+         |fp AS (SELECT doc_id,
+         |  CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bs GROUP BY doc_id),
+         |blk AS (SELECT doc_id, simhash, q, (simhash >> (q * 8)) & 255 AS key
+         |  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS q)),
+         |p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  a.simhash AS afp, b.simhash AS bfp
+         |  FROM blk a JOIN blk b ON a.q = b.q AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, CAST(bit_count(xor(afp, bfp)) AS BIGINT) AS hamming
+         |FROM p WHERE bit_count(xor(afp, bfp)) <= 3""".stripMargin,
+
+    "sentiment_lexicon" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |c AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |  len(list_filter(toks, t -> t IN ('good','great','love','happy','best',
+         |    'awesome','excellent','nice','amazing','wonderful','like','win')))::BIGINT AS n_pos,
+         |  len(list_filter(toks, t -> t IN ('bad','hate','worst','sad','terrible',
+         |    'awful','horrible','angry','poor','wrong','lose','fail')))::BIGINT AS n_neg
+         |  FROM t)
+         |SELECT doc_id, n_tokens, n_pos, n_neg,
+         |  round((n_pos - n_neg)::DOUBLE / nullif(n_tokens, 0), 6) AS polarity
+         |FROM c""".stripMargin,
+
+    "cdc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) > 0),
+         |wb AS (SELECT doc_id, toks,
+         |  list_concat(list_concat([CAST(0 AS BIGINT)], bpos),
+         |    CASE WHEN len(bpos) = 0 OR bpos[-1] <> len(toks)
+         |         THEN [CAST(len(toks) AS BIGINT)] ELSE [] END) AS bounds
+         |  FROM (SELECT doc_id, toks,
+         |    list_filter(range(8, len(toks) + 1), p ->
+         |      ('0x' || substr(md5(array_to_string(toks[p-7:p], ' ')), 1, 8))::BIGINT % 16 = 0)
+         |      AS bpos FROM t)),
+         |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         |  CAST(bounds[i] AS BIGINT) AS start_tok,
+         |  CAST(bounds[i + 1] - bounds[i] AS BIGINT) AS chunk_len,
+         |  md5(array_to_string(toks[bounds[i] + 1:bounds[i + 1]], ' ')) AS chunk_hash
+         |  FROM (SELECT doc_id, toks, bounds, unnest(range(1, len(bounds))) AS i FROM wb))
+         |SELECT doc_id, chunk_id, start_tok, chunk_len, chunk_hash,
+         |  count(*) OVER (PARTITION BY chunk_hash) AS n_copies
+         |FROM ch""".stripMargin,
+
     "dedup_cluster_stats" ->
       s"""WITH RECURSIVE p AS ($embedNearDup),
          |edges AS (SELECT a_id AS src, b_id AS dst FROM p UNION ALL SELECT b_id, a_id FROM p),

@@ -104,6 +104,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(spread(t(s, d, "documents")))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(spread(t(s, d, "documents")), maxHamming = 6)),
+    "simhash_det" -> ((s, d) => Dedup.simhashDetPairs(spread(t(s, d, "documents")))),
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(spread(t(s, d, "documents")))),
     "embed_near_dup" -> ((s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"), cosMin = 0.3)),
     "dedup_components" -> ((s, d) =>
@@ -118,6 +119,8 @@ object SparkEntry {
     "dedup_survivorship" -> ((s, d) => Dedup.survivorship(spread(t(s, d, "documents")))),
     "minhash_band_tune" -> ((s, _) => Dedup.minhashBandTune(s)),
     "kn_bigram" -> ((s, d) => LangModel.knBigram(spread(t(s, d, "documents")))),
+    "cdc_chunks" -> ((s, d) => Dedup.cdcChunks(spread(t(s, d, "documents")))),
+    "sentiment_lexicon" -> ((s, d) => Sentiment.lexiconScore(spread(t(s, d, "documents")))),
     "dedup_cluster_stats" -> ((s, d) =>
       Dedup.clusterStats(Similarity.nearDupPairs(t(s, d, "embeddings"), cosMin = 0.3))),
     "inverted_index" -> ((s, d) => TextOps.invertedIndex(spread(t(s, d, "documents")))),

@@ -109,6 +109,10 @@ object ScaleCheck {
       // whole corpus — yet per-doc aggregation (never pair emission)
       // must keep the curve linear in m, not quadratic
       val (tSpan, nSpan) = timedForce(Dedup.spanDedup(docs))
+      // cdc worst case mirrors span_dedup's: every chunk hash collides
+      // m-way in the copy-count window, so partition sizes grow with m
+      // while the chunking itself stays narrow per-row work
+      val (tCdc, nCdc) = timedForce(Dedup.cdcChunks(docs))
       val e = events.select(col("event_id"), col("user_id"),
         col("event_type"), unix_micros(col("ts")).as("us"))
       val p = e.filter(col("event_type") === "purchase").select("event_id", "user_id", "us")
@@ -138,6 +142,7 @@ object ScaleCheck {
         s""""components":{"sec":$tComp,"nodes":$nComp},""" +
         s""""bm25":{"sec":$tBm25,"rows":$nBm25},""" +
         s""""span_dedup":{"sec":$tSpan,"rows":$nSpan},""" +
+        s""""cdc_chunks":{"sec":$tCdc,"rows":$nCdc},""" +
         s""""asof_join":{"sec":$tAsof,"rows":$nAsof},""" +
         s""""embed_standardize_2level":{"sec":$tStd2,"rows":$nStd2,"max_agg_buffer_rows":$buf2,"rollup_rows":${Folds.DefaultBuckets}},""" +
         s""""dim_stats_1level":{"sec":$tStd1,"rows":$nStd1,"max_agg_buffer_rows":$buf1}}""")

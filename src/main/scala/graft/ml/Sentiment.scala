@@ -154,4 +154,32 @@ object Sentiment {
     cm.unpersist() // one-row result is cached; drop the confusion cache
     out
   }
+
+  /** Positive/negative opinion words for [[lexiconScore]] — a fixed tiny
+    * lexicon in the spirit of Hu & Liu's opinion word lists. Constant
+    * and broadcast-free: the IN-list compiles into the row expression. */
+  private val PosWords = Seq("good", "great", "love", "happy", "best",
+    "awesome", "excellent", "nice", "amazing", "wonderful", "like", "win")
+  private val NegWords = Seq("bad", "hate", "worst", "sad", "terrible",
+    "awful", "horrible", "angry", "poor", "wrong", "lose", "fail")
+
+  /** Lexicon sentiment score (B111) — the non-ML baseline of the
+    * reference's task: per doc, counts of positive and negative lexicon
+    * tokens and their normalized difference (n_pos − n_neg)/n_tokens.
+    * The lexicon is a compile-time constant folded into the per-row
+    * expression, so the operator is purely narrow: zero shuffles, zero
+    * joins, codegen end-to-end — the shape that saturates scan
+    * bandwidth at 100 TB. Empty docs score NULL (not NaN), matching
+    * the oracle. */
+  def lexiconScore(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    def hits(words: Seq[String]) =
+      size(filter(toks, t => t.isInCollection(words))).cast("long")
+    docs.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        hits(PosWords).as("n_pos"), hits(NegWords).as("n_neg"))
+      .select(col("doc_id"), col("n_tokens"), col("n_pos"), col("n_neg"),
+        round((col("n_pos") - col("n_neg")).cast("double")
+          / nullif(col("n_tokens"), lit(0L)), 6).as("polarity"))
+  }
 }

@@ -232,6 +232,52 @@ object Dedup {
       .select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** Oracle-expressible SimHash twin (B112): same algorithm as
+    * [[simhash]]/[[simhashPairs]] but the per-token hash is the 32-bit
+    * md5 prefix instead of xxhash64 — xxhash64 is deterministic yet not
+    * reproducible in DuckDB SQL, which is the ONLY reason dedup_simhash
+    * sits on the no-oracle list. This variant's 32-bit fingerprint,
+    * pigeonhole blocking (maxHamming+1 chunks, recall-lossless), and
+    * true-hamming verification are all integer-exact in both engines,
+    * so the simhash family gains a first-class hash-exact entry.
+    * Same shuffle topology as simhashPairs: one partial-agg shuffle for
+    * the 32 conditional bit sums, one bounded (chunk, key) block join. */
+  def simhashDetPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bits = 32
+    require(maxHamming >= 0 && maxHamming < bits, "maxHamming must be in [0, 32)")
+    val perTok = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long").as("h"))
+    val bitSums = (0 until bits).map { k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k")
+    }
+    val fpExpr = (0 until bits).map { k =>
+      when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L)
+    }.reduce(_ + _)
+    val fp = perTok.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fpExpr.as("simhash"))
+    val nChunks = maxHamming + 1
+    val bounds = (0 to nChunks).map(i => i * bits / nChunks)
+    val blocked = fp.select(col("doc_id"), col("simhash"),
+      explode(array((0 until nChunks).map { q =>
+        val lo = bounds(q); val width = bounds(q + 1) - lo
+        val mask = (1L << width) - 1
+        struct(lit(q).as("q"),
+          shiftright(col("simhash"), lo).bitwiseAND(mask).as("key"))
+      }: _*)).as("blk"))
+      .select(col("doc_id"), col("simhash"), col("blk.q"), col("blk.key"))
+    val a = blocked.select(col("q"), col("key"), col("doc_id").as("a_id"), col("simhash").as("a_fp"))
+    val b = blocked.select(col("q"), col("key"), col("doc_id").as("b_id"), col("simhash").as("b_fp"))
+    a.join(b, Seq("q", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash near-dup pairs: block on (maxHamming + 1) contiguous bit
     * chunks of the fingerprint — by pigeonhole, any pair within hamming
     * distance <= maxHamming has at least one chunk with zero differing
@@ -604,6 +650,61 @@ object Dedup {
           .as("n_kept"),
         when(col("n_tokens").isNotNull, coalesce(col("trimmed_text"), lit("")))
           .as("trimmed_text"))
+  }
+
+  /** Content-defined chunking (B110): chunk boundaries fall where the
+    * rolling hash of the last `w` tokens satisfies H % divisor == 0 —
+    * the rsync/LBFS rule — so boundaries are determined by CONTENT, not
+    * position, and an insertion or deletion reshifts only the chunk it
+    * touches instead of every downstream fixed-window chunk
+    * ([[graft.operators.TextOps.docChunk]]'s failure mode for
+    * incremental dedup). Output: one row per chunk with its corpus-wide
+    * copy count — group on `chunk_hash` to dedup at chunk granularity.
+    *
+    * Scale: boundary discovery is pure per-row HOF arithmetic (the
+    * candidate filter and the chunk build run over BOUND attribute
+    * arrays — see the shingles scaladoc for why binding matters), zero
+    * shuffles; the only exchange is the corpus-wide copy count on
+    * chunk_hash, whose partition sizes are bounded by dup mass. Mean
+    * chunk length is `divisor` tokens; no min/max clamp, matching the
+    * oracle exactly. */
+  def cdcChunks(docs: DataFrame, w: Int = 8, divisor: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toked = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val n = size(col("toks"))
+    // candidate end-positions w..n (Spark's sequence DESCENDS when
+    // stop < start — guard to an empty array for short docs)
+    val candidates =
+      when(n >= w, sequence(lit(w), n)).otherwise(array().cast("array<int>"))
+    val isBoundary = (p: Column) =>
+      conv(substring(md5(concat_ws(" ",
+        slice(col("toks"), p - (w - 1), lit(w)))), 1, 8), 16, 10)
+        .cast("long") % divisor === 0
+    val bpos = filter(candidates, p => isBoundary(p))
+    // [0] ++ boundaries ++ [n unless n is already a boundary]; on an
+    // empty bpos, element_at(-1) is NULL and `size=0 OR NULL` is true
+    val bounds = concat(
+      array(lit(0)), bpos,
+      when(size(bpos) === 0 || element_at(bpos, -1) =!= n, array(n))
+        .otherwise(array().cast("array<int>")))
+    toked.select(col("doc_id"), col("toks"), bounds.as("bounds"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("bounds")) - 1), i =>
+          struct(
+            i.cast("long").as("chunk_id"),
+            element_at(col("bounds"), i).cast("long").as("start_tok"),
+            (element_at(col("bounds"), i + 1) - element_at(col("bounds"), i))
+              .cast("long").as("chunk_len"),
+            md5(concat_ws(" ", slice(col("toks"),
+              element_at(col("bounds"), i) + 1,
+              element_at(col("bounds"), i + 1) - element_at(col("bounds"), i))))
+              .as("chunk_hash")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.start_tok"),
+        col("c.chunk_len"), col("c.chunk_hash"))
+      .withColumn("n_copies",
+        count(lit(1)).over(Window.partitionBy(col("chunk_hash"))))
   }
 
   /** Duplicate-cluster size histogram (B109): how many near-dup clusters

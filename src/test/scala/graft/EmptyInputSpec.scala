@@ -34,7 +34,9 @@ class EmptyInputSpec extends SparkSpec {
       d => Dedup.spanDedupIncremental(d, d),
       d => LangModel.ccnetBuckets(d), TextOps.tokenCoverageCurve,
       d => TextOps.corpusShuffle(d), TextOps.tokenFertility,
-      d => Dedup.survivorship(d), d => LangModel.knBigram(d))
+      d => Dedup.survivorship(d), d => LangModel.knBigram(d),
+      d => Dedup.cdcChunks(d), d => graft.ml.Sentiment.lexiconScore(d),
+      d => Dedup.simhashDetPairs(d))
     for ((op, i) <- ops.zipWithIndex)
       assert(op(noDocs).count() === 0, s"text op #$i not total on empty input")
   }

@@ -31,7 +31,9 @@ class NullInputSpec extends SparkSpec {
       d => Dedup.spanDedupIncremental(d, d.limit(0)),
       d => LangModel.ccnetBuckets(d), TextOps.tokenCoverageCurve,
       d => TextOps.corpusShuffle(d), TextOps.tokenFertility,
-      d => Dedup.survivorship(d), d => LangModel.knBigram(d))
+      d => Dedup.survivorship(d), d => LangModel.knBigram(d),
+      d => Dedup.cdcChunks(d), d => graft.ml.Sentiment.lexiconScore(d),
+      d => Dedup.simhashDetPairs(d))
     for ((op, i) <- ops.zipWithIndex) {
       val out = op(docs)
       // must evaluate without throwing; row counts vary by op semantics

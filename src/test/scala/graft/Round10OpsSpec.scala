@@ -111,6 +111,70 @@ class Round10OpsSpec extends SparkSpec {
     assert(m(("a", "c")) === (("a", "c", 1L, 3L, 0.25)))
   }
 
+  test("cdcChunks: chunks tile each document exactly, in order") {
+    val words = (0 until 200).map(i => ("abcdefghij") (i % 10).toString * (1 + i % 7))
+    val d = Seq((1L, words.mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ch = Dedup.cdcChunks(d).select("chunk_id", "start_tok", "chunk_len")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(ch.map(_._3).sum === 200L)
+    // each chunk starts where the previous ended
+    val starts = ch.map(_._2)
+    val ends = ch.map(c => c._2 + c._3)
+    assert(starts.head === 0L && ends.last === 200L)
+    assert(starts.tail.sameElements(ends.init))
+  }
+
+  test("cdcChunks: an insertion reshifts only chunks up to the next boundary") {
+    val words = (0 until 200).map(i => ("abcdefghij") (i % 10).toString * (1 + i % 7))
+    val a = Seq((1L, words.mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b = Seq((2L, ("zzz" +: words).mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def hashes(df: org.apache.spark.sql.DataFrame) =
+      Dedup.cdcChunks(df).select("chunk_hash").as[String].collect().toSeq
+    val ha = hashes(a)
+    val hb = hashes(b)
+    // boundaries are content-defined, so hashing re-syncs after the first
+    // boundary past the edit: most chunks survive a front insertion (a
+    // fixed-window chunker shares ZERO chunks here — every window shifts)
+    val shared = ha.intersect(hb).size
+    assert(shared >= ha.size / 2, s"only $shared of ${ha.size} chunks survived the edit")
+    assert(ha.size > 5) // the doc actually split into multiple chunks
+  }
+
+  test("lexiconScore: polarity from pos/neg hits, NULL on empty docs") {
+    val d = Seq(
+      (1L, "this is a good great day i love it", "en", "s", 0L),
+      (2L, "bad bad terrible outcome", "en", "s", 0L),
+      (3L, "", "en", "s", 0L),
+      (4L, "neutral words only here", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = graft.ml.Sentiment.lexiconScore(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(2) === 3L && m(1L).getLong(3) === 0L) // good, great, love
+    assert(math.abs(m(1L).getDouble(4) - 0.333333) < 1e-9)     // 3/9, 6dp
+    assert(m(2L).getLong(2) === 0L && m(2L).getLong(3) === 3L) // bad x2, terrible
+    assert(m(3L).isNullAt(4))                                  // empty: NULL not NaN
+    assert(m(4L).getDouble(4) === 0.0)
+  }
+
+  test("simhashDetPairs: identical docs pair at hamming 0; disjoint docs do not pair") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "s", 0L),
+      (2L, "alpha beta gamma delta epsilon zeta", "en", "s", 0L), // exact copy
+      (3L, "totally different words entirely here now", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Dedup.simhashDetPairs(d)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(!pairs.exists(p => p._1 === 3L || p._2 === 3L))
+    // deterministic: same result on a different partitioning
+    val pairs2 = Dedup.simhashDetPairs(d.repartition(5))
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.toSet === pairs2.toSet)
+  }
+
   test("clusterStats: histogram of near-dup component sizes") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
     val m = Dedup.clusterStats(pairs)
