@@ -482,6 +482,27 @@ object Oracles {
          |        + 0.75 * n_follow / c_w1 * n_precede / n_types, 6) AS p_kn
          |FROM cb JOIN h USING (w1) JOIN c USING (w2) CROSS JOIN ty""".stripMargin,
 
+    "quality_drift" ->
+      s"""WITH s AS (SELECT source, least(CAST(floor($qualitySql * 20) AS INT), 19) AS bin
+         |  FROM documents),
+         |ps AS (SELECT source, bin, count(*) AS c FROM s GROUP BY 1, 2),
+         |st AS (SELECT source, count(*) AS n_docs FROM s GROUP BY 1),
+         |g AS (SELECT bin, count(*) AS gc FROM s GROUP BY 1),
+         |gt AS (SELECT count(*) AS gn FROM s),
+         |grid AS (SELECT st.source, st.n_docs, b.bin
+         |  FROM st CROSS JOIN (SELECT unnest(range(0, 20)) AS bin) b),
+         |j AS (SELECT grid.source, grid.n_docs, grid.bin,
+         |  coalesce(ps.c, 0) AS c, coalesce(g.gc, 0) AS gc, gt.gn
+         |  FROM grid LEFT JOIN ps ON grid.source = ps.source AND grid.bin = ps.bin
+         |  LEFT JOIN g ON grid.bin = g.bin CROSS JOIN gt),
+         |f AS (SELECT source, n_docs,
+         |  CAST(sum(c) OVER (PARTITION BY source ORDER BY bin) AS DOUBLE) / n_docs AS fs,
+         |  CAST(sum(gc) OVER (PARTITION BY source ORDER BY bin) AS DOUBLE) / gn AS fg
+         |  FROM j)
+         |SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+         |  round(max(abs(fs - fg)), 6) AS ks_d
+         |FROM f GROUP BY source""".stripMargin,
+
     "simhash_det" ->
       s"""WITH t AS (SELECT doc_id, unnest($toks) AS token FROM documents),
          |h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM t),

@@ -303,6 +303,41 @@ object TextOps {
         concat_ws(",", slice(sort_array(collect_list(col("doc_id"))), 1, maxPostings))
           .as("postings"))
 
+  /** Per-source quality-distribution drift (B113): the two-sample
+    * Kolmogorov–Smirnov gap between each source's quality-score ECDF and
+    * the whole corpus's, on a fixed `bins`-bin grid over [0,1] — the
+    * monitoring statistic a curation pipeline alerts on when one feed
+    * starts shipping garbage. Binned ECDFs keep it scale-exact AND
+    * scale-safe: counts are exact longs, every post-binning frame is
+    * (sources × bins)-bounded, and the windows fold ≤`bins` rows per
+    * source. One (source, bin) partial-agg shuffle over the corpus; the
+    * dense grid (so the gap is read at bins where a source has no mass
+    * but the corpus does) explodes from the bounded per-source totals,
+    * never from data. */
+  def qualityDrift(docs: DataFrame, bins: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = docs.select(col("source"),
+      least(floor(qualityComposite * bins), lit(bins - 1)).cast("int").as("bin"))
+    val perSrc = binned.groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    val srcTot = binned.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val glob = binned.groupBy("bin").agg(count(lit(1)).as("gc"))
+    val globTot = binned.agg(count(lit(1)).as("gn"))
+    val grid = srcTot.select(col("source"), col("n_docs"),
+      explode(sequence(lit(0), lit(bins - 1))).as("bin"))
+    val w = Window.partitionBy(col("source")).orderBy(col("bin"))
+    grid
+      .join(perSrc, Seq("source", "bin"), "left").na.fill(0L, Seq("c"))
+      .join(glob, Seq("bin"), "left").na.fill(0L, Seq("gc"))
+      .crossJoin(broadcast(globTot))
+      // the global cumsum runs inside each source's grid copy: same
+      // bounded window, same values, no second global pass
+      .withColumn("fs", sum(col("c")).over(w).cast("double") / col("n_docs"))
+      .withColumn("fg", sum(col("gc")).over(w).cast("double") / col("gn"))
+      .groupBy("source")
+      .agg(max(col("n_docs")).as("n_docs"),
+        round(max(abs(col("fs") - col("fg"))), 6).as("ks_d"))
+  }
+
   /** Deterministic seeded global training order (B103): every document
     * gets a position in a pseudorandom permutation of the corpus —
     * `ord` = global row_number under ORDER BY md5(doc_id ":" seed), the

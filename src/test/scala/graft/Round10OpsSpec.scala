@@ -175,6 +175,25 @@ class Round10OpsSpec extends SparkSpec {
     assert(pairs.toSet === pairs2.toSet)
   }
 
+  test("qualityDrift: a source matching the corpus has low D; a degenerate one is caught") {
+    // source "good": healthy prose; source "junk": punctuation soup (low quality)
+    val good = (0 until 30).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again and again", "en", "good", 0L))
+    val junk = (100 until 115).map(i =>
+      (i.toLong, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))", "en", "junk", 0L))
+    val d = (good ++ junk).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = TextOps.qualityDrift(d).select("source", "n_docs", "ks_d")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(m("good")._2 === 30L && m("junk")._2 === 15L)
+    // junk's ECDF jumps to 1 in the lowest bins while the corpus is at 1/3
+    assert(m("junk")._3 > 0.5)
+    // good drifts from the corpus only by the junk fraction (<= 1/3)
+    assert(m("good")._3 < m("junk")._3)
+    // identical distributions: single-source corpus has zero drift
+    val solo = TextOps.qualityDrift(good.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    assert(solo.select("ks_d").as[Double].head() === 0.0)
+  }
+
   test("clusterStats: histogram of near-dup component sizes") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
     val m = Dedup.clusterStats(pairs)
