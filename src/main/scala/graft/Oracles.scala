@@ -482,6 +482,38 @@ object Oracles {
          |        + 0.75 * n_follow / c_w1 * n_precede / n_types, 6) AS p_kn
          |FROM cb JOIN h USING (w1) JOIN c USING (w2) CROSS JOIN ty""".stripMargin,
 
+    "matryoshka_recall" ->
+      s"""WITH bf AS ($annTopkSql),
+         |tq AS (SELECT vec_id AS q_id, embedding[1:16] AS q_emb FROM embeddings WHERE vec_id < 10),
+         |tc AS (SELECT vec_id AS n_id, embedding[1:16] AS n_emb FROM embeddings),
+         |tscored AS (SELECT q_id, n_id,
+         |  round(list_reduce(list_transform(tq.q_emb, (x, i) -> CAST(x AS DOUBLE) * CAST(tc.n_emb[i] AS DOUBLE)), (a, b) -> a + b)
+         |    / (sqrt(list_reduce(list_transform(tq.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+         |       * sqrt(list_reduce(list_transform(tc.n_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))), 6) AS cos
+         |  FROM tq JOIN tc ON q_id <> n_id),
+         |tranked AS (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM tscored),
+         |tr AS (SELECT q_id, n_id FROM tranked WHERE rnk <= 5),
+         |hits AS (SELECT bf.q_id, count(*) AS n_hits FROM bf
+         |         JOIN tr ON bf.q_id = tr.q_id AND bf.n_id = tr.n_id GROUP BY 1),
+         |qs AS (SELECT DISTINCT q_id FROM bf)
+         |SELECT q_id, coalesce(n_hits, 0) AS n_hits,
+         |  round(CAST(coalesce(n_hits, 0) AS DOUBLE) / 5, 6) AS recall
+         |FROM qs LEFT JOIN hits USING (q_id)""".stripMargin,
+
+    "pack_efficiency" ->
+      s"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard, len($toks)::BIGINT AS n_tokens FROM documents),
+         |p AS (SELECT doc_id, shard, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix_tokens
+         |  FROM t),
+         |b AS (SELECT shard, n_tokens, CAST(floor(prefix_tokens / 256) AS BIGINT) AS bin FROM p)
+         |SELECT shard, count(*)::BIGINT AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(max(bin) + 1 AS BIGINT) AS n_bins,
+         |  round(sum(n_tokens)::DOUBLE / ((max(bin) + 1) * 256), 6) AS fill_frac
+         |FROM b GROUP BY shard""".stripMargin,
+
     "quality_drift" ->
       s"""WITH s AS (SELECT source, least(CAST(floor($qualitySql * 20) AS INT), 19) AS bin
          |  FROM documents),

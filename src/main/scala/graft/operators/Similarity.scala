@@ -728,6 +728,29 @@ object Similarity {
         round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 6).as("recall"))
   }
 
+  /** Matryoshka truncation eval (B114): recall@k of exact ANN run on only
+    * the first `dims` embedding dimensions against the full-dim top-k —
+    * the measurement behind the matryoshka-embedding deployment decision
+    * (serve a prefix of the vector at a fraction of the memory/compute,
+    * if the recall holds). Same topology as [[annRecall]]: query side
+    * broadcast, corpus streams, TopKPerKey prune; the truncation is a
+    * zero-copy `slice` on the stored vector. */
+  def matryoshkaRecall(emb: DataFrame, dims: Int = 16, maxQueryId: Long = 10,
+                       k: Int = 5): DataFrame = {
+    val bf = annTopK(emb, maxQueryId, k).select(col("q_id"), col("n_id"))
+    val tr = annTopK(
+        emb.select(col("vec_id"), slice(col("embedding"), 1, dims).as("embedding")),
+        maxQueryId, k)
+      .select(col("q_id").as("tq_id"), col("n_id").as("tn_id"))
+    val hits = bf.join(tr,
+        bf("q_id") === tr("tq_id") && bf("n_id") === tr("tn_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    bf.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 6).as("recall"))
+  }
+
   /** Deterministic sign random projection (B71): Johnson-Lindenstrauss
     * dimensionality reduction y_j = Σ_i s_ij·x_i / √k with the ±1 signs
     * derived from md5("j:i") — reproducible by any engine, where a

@@ -466,6 +466,23 @@ object TextOps {
       .withColumn("bin", floor(col("prefix_tokens") / budget))
   }
 
+  /** Packing-efficiency report (B115): per shard, how full the packed
+    * training bins actually are — total tokens over bin capacity. The
+    * metric that justifies (or indicts) [[sequencePack]]'s greedy
+    * policy: a fill fraction well under 1 means the batch budget is
+    * burning padding. Straddling documents make the last-bin accounting
+    * approximate, so the fraction can graze 1; per-shard frames are
+    * shard-bounded after one partial-agg shuffle. */
+  def packEfficiency(docs: DataFrame, budget: Long = 256, shards: Int = 8): DataFrame =
+    sequencePack(docs, budget, shards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (max(col("bin")) + 1).as("n_bins"))
+      .select(col("shard"), col("n_docs"), col("total_tokens"), col("n_bins"),
+        round(col("total_tokens").cast("double") / (col("n_bins") * budget), 6)
+          .as("fill_frac"))
+
   /** Frequency-bounded vocabulary builder (B24): tokens with
     * df >= minDf keep a dense id ordered by (df desc, token); the long
     * tail maps to the OOV bucket (id 0). The id-assigning global window

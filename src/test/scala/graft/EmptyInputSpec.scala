@@ -36,7 +36,8 @@ class EmptyInputSpec extends SparkSpec {
       d => TextOps.corpusShuffle(d), TextOps.tokenFertility,
       d => Dedup.survivorship(d), d => LangModel.knBigram(d),
       d => Dedup.cdcChunks(d), d => graft.ml.Sentiment.lexiconScore(d),
-      d => Dedup.simhashDetPairs(d), d => TextOps.qualityDrift(d))
+      d => Dedup.simhashDetPairs(d), d => TextOps.qualityDrift(d),
+      d => TextOps.packEfficiency(d))
     for ((op, i) <- ops.zipWithIndex)
       assert(op(noDocs).count() === 0, s"text op #$i not total on empty input")
   }

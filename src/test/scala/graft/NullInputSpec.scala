@@ -33,7 +33,8 @@ class NullInputSpec extends SparkSpec {
       d => TextOps.corpusShuffle(d), TextOps.tokenFertility,
       d => Dedup.survivorship(d), d => LangModel.knBigram(d),
       d => Dedup.cdcChunks(d), d => graft.ml.Sentiment.lexiconScore(d),
-      d => Dedup.simhashDetPairs(d), d => TextOps.qualityDrift(d))
+      d => Dedup.simhashDetPairs(d), d => TextOps.qualityDrift(d),
+      d => TextOps.packEfficiency(d))
     for ((op, i) <- ops.zipWithIndex) {
       val out = op(docs)
       // must evaluate without throwing; row counts vary by op semantics

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, LangModel, TextOps}
+import graft.operators.{Dedup, LangModel, Similarity, TextOps}
 
 /** Edge-case coverage for the round-10 operators; the value-exact path
   * is the DuckDB oracle in graft.Oracles. */
@@ -192,6 +192,35 @@ class Round10OpsSpec extends SparkSpec {
     // identical distributions: single-source corpus has zero drift
     val solo = TextOps.qualityDrift(good.toDF("doc_id", "text", "lang", "source", "n_chars"))
     assert(solo.select("ks_d").as[Double].head() === 0.0)
+  }
+
+  test("matryoshkaRecall: full-width truncation is the identity (recall 1.0)") {
+    val emb = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    // dims = full width -> truncated ANN IS the exact ANN
+    val full = Similarity.matryoshkaRecall(emb, dims = 8, maxQueryId = 5, k = 3)
+      .select("q_id", "recall").as[(Long, Double)].collect().toMap
+    assert(full.size === 5)
+    assert(full.values.forall(_ === 1.0))
+    // aggressive truncation can only lose recall, never exceed 1
+    val tr = Similarity.matryoshkaRecall(emb, dims = 2, maxQueryId = 5, k = 3)
+      .select("recall").as[Double].collect()
+    assert(tr.forall(r => r >= 0.0 && r <= 1.0))
+  }
+
+  test("packEfficiency: fill fraction accounts all tokens against bin capacity") {
+    // four docs in one shard (ids % 8 == 0), 100 tokens each -> prefix
+    // bins 0,0,0,1 at budget 256: 2 bins, 400 tokens, fill 400/512
+    val word = "aa "
+    val d = Seq(0L, 8L, 16L, 24L).map(i => (i, word * 100, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.packEfficiency(d).head()
+    assert(r.getAs[Long]("shard") === 0L)
+    assert(r.getAs[Long]("n_docs") === 4L)
+    assert(r.getAs[Long]("total_tokens") === 400L)
+    assert(r.getAs[Long]("n_bins") === 2L)
+    assert(math.abs(r.getAs[Double]("fill_frac") - 0.78125) < 1e-9)
   }
 
   test("clusterStats: histogram of near-dup component sizes") {
