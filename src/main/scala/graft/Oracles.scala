@@ -916,6 +916,31 @@ object Oracles {
          |  FROM cand c JOIN da sa ON sa.doc_id = c.a_id JOIN da sb ON sb.doc_id = c.b_id)
          |WHERE jac >= 0.9""".stripMargin,
 
+    "minhash_calibration" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) >= 3),
+         |dt AS (SELECT DISTINCT doc_id,
+         |       toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS token
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tk)),
+         |sig AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || token)) AS sig
+         |        FROM dt CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+         |band AS (SELECT doc_id, i // 8 AS band, md5(string_agg(sig, '|' ORDER BY i)) AS bh
+         |         FROM sig GROUP BY doc_id, i // 8),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM band a
+         |         JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |da AS (SELECT doc_id, list_sort(list(token)) AS arr, count(*) AS n FROM dt GROUP BY 1),
+         |est AS (SELECT c.a_id, c.b_id,
+         |  round(CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 16, 6) AS minhash_est
+         |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id
+         |  JOIN sig sb ON sb.doc_id = c.b_id AND sa.i = sb.i
+         |  GROUP BY c.a_id, c.b_id),
+         |j AS (SELECT c.a_id, c.b_id,
+         |  round(CAST(len(list_intersect(sa.arr, sb.arr)) AS DOUBLE)
+         |    / CAST(sa.n + sb.n - len(list_intersect(sa.arr, sb.arr)) AS DOUBLE), 6) AS jaccard
+         |  FROM cand c JOIN da sa ON sa.doc_id = c.a_id JOIN da sb ON sb.doc_id = c.b_id)
+         |SELECT e.a_id, e.b_id, e.minhash_est, j.jaccard,
+         |  round(abs(e.minhash_est - j.jaccard), 6) AS abs_err
+         |FROM est e JOIN j ON e.a_id = j.a_id AND e.b_id = j.b_id""".stripMargin,
+
     // sign-LSH buckets as deterministic clusters; keeper = max cosine to
     // the bucket's dim-wise mean centroid (sorted-fold means, index-order
     // dots), ties on vec_id

@@ -107,6 +107,7 @@ object SparkEntry {
     "simhash_det" -> ((s, d) => Dedup.simhashDetPairs(spread(t(s, d, "documents")))),
     "quality_drift" -> ((s, d) => TextOps.qualityDrift(spread(t(s, d, "documents")))),
     "matryoshka_recall" -> ((s, d) => Similarity.matryoshkaRecall(t(s, d, "embeddings"))),
+    "minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(spread(t(s, d, "documents")))),
     "pack_efficiency" -> ((s, d) => TextOps.packEfficiency(spread(t(s, d, "documents")))),
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(spread(t(s, d, "documents")))),
     "embed_near_dup" -> ((s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"), cosMin = 0.3)),

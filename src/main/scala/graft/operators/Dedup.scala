@@ -38,7 +38,7 @@ object Dedup {
     * once); the band join shuffles on (band, band_hash) — the bounded
     * LSH key. No all-pairs path exists. */
   private def lshCandidates(docs: DataFrame, numHashes: Int,
-                            bandSize: Int): (DataFrame, DataFrame) = {
+                            bandSize: Int): (DataFrame, DataFrame, DataFrame) = {
     val toked = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
     val a1 = slice(col("toks"), lit(1), size(col("toks")) - 2)
@@ -66,7 +66,7 @@ object Dedup {
         Seq("band", "bh"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    (cand, dt)
+    (cand, dt, sigs)
   }
 
   /** Oracle-reproducible MinHash + banded LSH near-dup pairs (B2o/B55).
@@ -87,7 +87,7 @@ object Dedup {
     * an exploded (pair × token) join stream. */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 16, bandSize: Int = 8,
                       jacMin: Double = 0.9): DataFrame = {
-    val (cand, dt) = lshCandidates(docs, numHashes, bandSize)
+    val (cand, dt, _) = lshCandidates(docs, numHashes, bandSize)
     val docArr = dt.groupBy("doc_id")
       .agg(sort_array(collect_list(col("token"))).as("arr"))
     cand
@@ -100,6 +100,37 @@ object Dedup {
         round(graft.functions.GraftFunctions.jaccard(col("a_arr"), col("b_arr")), 6)
           .as("jac"))
       .filter(col("jac") >= jacMin)
+  }
+
+  /** MinHash calibration (B116): for every LSH candidate pair, the
+    * MinHash ESTIMATE of Jaccard (fraction of the `numHashes` signature
+    * rows that agree) next to the EXACT shingle Jaccard and their
+    * absolute error — the engine auditing its own sketch. Run this
+    * before trusting a (bands, rows) config at corpus scale: the error
+    * distribution tells you whether 16 hashes is enough resolution for
+    * the gate [[minhashLshPairs]] applies, and the false band
+    * collisions (low exact jaccard, high est) are visible rather than
+    * silently filtered. No threshold — the full candidate set IS the
+    * audit. Candidates stay band-bounded; the per-pair work is one
+    * 16-element signature zip plus the shared sorted-array jaccard. */
+  def minhashCalibration(docs: DataFrame, numHashes: Int = 16,
+                         bandSize: Int = 8): DataFrame = {
+    val (cand, dt, sigs) = lshCandidates(docs, numHashes, bandSize)
+    val sigArr = sigs.select(col("doc_id"),
+      array((0 until numHashes).map(i => col(s"sig$i")): _*).as("sig"))
+    val docArr = dt.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("token"))).as("arr"))
+    cand
+      .join(sigArr.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(sigArr.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
+      .join(docArr.select(col("doc_id").as("a_id"), col("arr").as("a_arr")), "a_id")
+      .join(docArr.select(col("doc_id").as("b_id"), col("arr").as("b_arr")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
+          m => m)).cast("double") / numHashes, 6).as("minhash_est"),
+        round(graft.functions.GraftFunctions.jaccard(col("a_arr"), col("b_arr")), 6)
+          .as("jaccard"))
+      .withColumn("abs_err", round(abs(col("minhash_est") - col("jaccard")), 6))
   }
 
   /** MinHash-banded candidates verified by exact edit distance (B63):
@@ -119,7 +150,7 @@ object Dedup {
     * divide to NaN and fail both the prefilter and the old final filter
     * identically — the output is bit-unchanged. */
   def editDistancePairs(docs: DataFrame, maxNorm: Double = 0.3): DataFrame = {
-    val (cand, _) = lshCandidates(docs, numHashes = 16, bandSize = 8)
+    val (cand, _, _) = lshCandidates(docs, numHashes = 16, bandSize = 8)
     val clean = docs.select(col("doc_id"), TextOps.cleanText(col("text")).as("clean"))
     cand
       .join(clean.select(col("doc_id").as("a_id"), col("clean").as("a_txt")), "a_id")

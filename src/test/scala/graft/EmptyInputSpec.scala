@@ -37,7 +37,7 @@ class EmptyInputSpec extends SparkSpec {
       d => Dedup.survivorship(d), d => LangModel.knBigram(d),
       d => Dedup.cdcChunks(d), d => graft.ml.Sentiment.lexiconScore(d),
       d => Dedup.simhashDetPairs(d), d => TextOps.qualityDrift(d),
-      d => TextOps.packEfficiency(d))
+      d => TextOps.packEfficiency(d), d => Dedup.minhashCalibration(d))
     for ((op, i) <- ops.zipWithIndex)
       assert(op(noDocs).count() === 0, s"text op #$i not total on empty input")
   }

@@ -34,7 +34,7 @@ class NullInputSpec extends SparkSpec {
       d => Dedup.survivorship(d), d => LangModel.knBigram(d),
       d => Dedup.cdcChunks(d), d => graft.ml.Sentiment.lexiconScore(d),
       d => Dedup.simhashDetPairs(d), d => TextOps.qualityDrift(d),
-      d => TextOps.packEfficiency(d))
+      d => TextOps.packEfficiency(d), d => Dedup.minhashCalibration(d))
     for ((op, i) <- ops.zipWithIndex) {
       val out = op(docs)
       // must evaluate without throwing; row counts vary by op semantics

@@ -223,6 +223,21 @@ class Round10OpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("fill_frac") - 0.78125) < 1e-9)
   }
 
+  test("minhashCalibration: exact copies estimate 1.0 at zero error; est and jaccard bounded") {
+    val base = (0 until 40).map(i => s"tok${('a' + i % 26).toChar} w${('a' + i % 7).toChar}").mkString(" ")
+    val d = Seq(
+      (1L, base, "en", "s", 0L),
+      (2L, base, "en", "s", 0L),                       // exact copy of 1
+      (3L, base.replace("toka", "tokz"), "en", "s", 0L) // near copy
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Dedup.minhashCalibration(d)
+      .select("a_id", "b_id", "minhash_est", "jaccard", "abs_err")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val exact = rows.find(r => r._1 === 1L && r._2 === 2L).get
+    assert(exact._3 === 1.0 && exact._4 === 1.0 && exact._5 === 0.0)
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0 && r._4 >= 0.0 && r._4 <= 1.0))
+  }
+
   test("clusterStats: histogram of near-dup component sizes") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
     val m = Dedup.clusterStats(pairs)
