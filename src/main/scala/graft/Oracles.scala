@@ -619,6 +619,72 @@ object Oracles {
         |       doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS skey
         |FROM documents""".stripMargin,
 
+    // Efraimidis–Spirakis priority sample: ln's argument is a power-of-two
+    // division of an exact 60-bit integer (bit-identical doubles both
+    // sides); skey rounded 6 dp BEFORE ranking, ties broken by doc_id
+    "weighted_sample" ->
+      """SELECT doc_id, n_chars, skey FROM (
+        |  SELECT doc_id, n_chars,
+        |    round(ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1 AS DOUBLE)
+        |        / CAST(1152921504606846976 AS DOUBLE))
+        |      / CAST(greatest(n_chars, 1) AS DOUBLE), 6) AS skey
+        |  FROM documents)
+        |ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin,
+
+    "shard_balance" ->
+      """WITH per AS (
+        |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS shard,
+        |         count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+        |               CAST(sum(sum_chars) AS BIGINT) AS t_chars FROM per)
+        |SELECT shard, n_docs, sum_chars,
+        |  round(CAST(n_docs AS DOUBLE) * 64 / CAST(t_docs AS DOUBLE) - CAST(1.0 AS DOUBLE), 6) AS skew_docs,
+        |  round(CAST(sum_chars AS DOUBLE) * 64 / CAST(t_chars AS DOUBLE) - CAST(1.0 AS DOUBLE), 6) AS skew_chars
+        |FROM per CROSS JOIN tot""".stripMargin,
+
+    "curriculum_order" ->
+      """SELECT row_number() OVER (ORDER BY n_chars, doc_id) AS ord, doc_id, n_chars
+        |FROM documents""".stripMargin,
+
+    // head vocab cut is total (count DESC, token ASC) so the rank-topN
+    // boundary tie resolves identically on both sides
+    "doc_oov_rate" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |cnt AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+         |vocab AS (SELECT token FROM cnt ORDER BY cnt DESC, token LIMIT 10),
+         |j AS (SELECT doc_id,
+         |      CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END AS oov FROM t)
+         |SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
+         |  round(CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+         |FROM j GROUP BY doc_id""".stripMargin,
+
+    // train-split add-0.5 bigram LM scores the test split; LEFT JOINs
+    // coalesce unseen counts to 0 (smoothing stays defined), logp
+    // pre-rounded per row, per-doc sums fold over sorted lists
+    "heldout_perplexity" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |      CASE WHEN doc_id % 4 < 3 THEN 'train' ELSE 'test' END AS split,
+         |      $toks AS toks FROM documents),
+         |b AS (SELECT doc_id, split, toks[i] AS w1, toks[i + 1] AS w2
+         |      FROM (SELECT doc_id, split, toks, unnest(range(1, len(toks))) AS i
+         |            FROM tk WHERE len(toks) >= 2)),
+         |cb AS (SELECT w1, w2, count(*) AS c_bigram FROM b WHERE split = 'train' GROUP BY 1, 2),
+         |cw AS (SELECT w1, count(*) AS c_w1 FROM b WHERE split = 'train' GROUP BY 1),
+         |v AS (SELECT count(DISTINCT token) AS v
+         |      FROM (SELECT unnest(toks) AS token FROM tk WHERE split = 'train')),
+         |x AS (SELECT doc_id,
+         |      round(ln((CAST(coalesce(c_bigram, 0) AS DOUBLE) + 0.5)
+         |        / (CAST(coalesce(c_w1, 0) AS DOUBLE) + 0.5 * v)), 6) AS logp,
+         |      CASE WHEN coalesce(c_bigram, 0) = 0 THEN 1 ELSE 0 END AS oov
+         |      FROM b LEFT JOIN cb USING (w1, w2) LEFT JOIN cw USING (w1) CROSS JOIN v
+         |      WHERE split = 'test'),
+         |g AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(oov) AS BIGINT) AS n_oov,
+         |      round(list_reduce(list_sort(list(logp)), (a, b) -> a + b), 6) AS sum_logp
+         |      FROM x GROUP BY 1)
+         |SELECT doc_id, n_bigrams, n_oov, sum_logp, round(-sum_logp / n_bigrams, 6) AS nll
+         |FROM g""".stripMargin,
+
     "token_fertility" ->
       """WITH p AS (SELECT lang,
         |  len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))::BIGINT AS w,

@@ -119,6 +119,11 @@ object SparkEntry {
     "quality_score" -> ((s, d) => TextOps.qualityScore(spread(t(s, d, "documents")))),
     "stratified_sample" -> ((s, d) => TextOps.stratifiedSample(t(s, d, "documents"))),
     "corpus_shuffle" -> ((s, d) => TextOps.corpusShuffle(t(s, d, "documents"))),
+    "weighted_sample" -> ((s, d) => TextOps.weightedSample(t(s, d, "documents"))),
+    "shard_balance" -> ((s, d) => TextOps.shardBalance(t(s, d, "documents"))),
+    "curriculum_order" -> ((s, d) => TextOps.curriculumOrder(t(s, d, "documents"))),
+    "doc_oov_rate" -> ((s, d) => TextOps.docOovRate(spread(t(s, d, "documents")))),
+    "heldout_perplexity" -> ((s, d) => LangModel.heldoutPerplexity(spread(t(s, d, "documents")))),
     "token_fertility" -> ((s, d) => TextOps.tokenFertility(spread(t(s, d, "documents")))),
     "dedup_survivorship" -> ((s, d) => Dedup.survivorship(spread(t(s, d, "documents")))),
     "minhash_band_tune" -> ((s, _) => Dedup.minhashBandTune(s)),

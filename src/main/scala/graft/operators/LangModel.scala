@@ -503,4 +503,56 @@ object LangModel {
           .when(col("nll") <= col("p75"), "middle")
           .otherwise("tail").as("bucket"))
   }
+
+  /** Held-out perplexity (B121): an add-k bigram LM trained on the TRAIN
+    * split (doc_id % 4 < 3, the [[graft.ml.Sentiment]] split rule)
+    * scores the TEST split — the generalization measurement
+    * [[docPerplexity]]'s self-scoring cannot give, and the actual shape
+    * of a CCNet/KenLM-style quality filter (LM trained on a trusted
+    * corpus, applied to candidate text it has never seen). Unlike the
+    * self-scored twin, test bigrams may be unseen: the LEFT joins
+    * coalesce absent counts to 0 and add-k smoothing stays defined all
+    * the way down (unseen w1 ⇒ p = 1/V), with `n_oov` counting the
+    * unseen-bigram hits per document — the OOV-rate column a filter
+    * thresholds alongside nll.
+    *
+    * Scale: LM frames are vocabulary²-bounded and AQE-broadcast against
+    * the test bigram stream; the vocab total is one broadcast row.
+    * Float discipline: each logp is rounded 6 dp per row, per-doc sums
+    * fold over sorted lists, the final mean divides once. */
+  def heldoutPerplexity(docs: DataFrame, k: Double = 0.5): DataFrame = {
+    val toked = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) < 3, lit("train")).otherwise(lit("test"))
+          .as("split"),
+        TextOps.tokens(col("text")).as("toks"))
+    val bi = toked.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("split"), explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("split"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val train = bi.filter(col("split") === "train")
+    val cb = train.groupBy("w1", "w2").agg(count(lit(1)).as("c_bigram"))
+    val cw = train.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    // train vocab over the full token stream (not just bigram heads), so
+    // V matches what a tokenizer trained on the split would see
+    val v = toked.filter(col("split") === "train")
+      .select(explode(col("toks")).as("token"))
+      .agg(countDistinct(col("token")).as("v"))
+    bi.filter(col("split") === "test")
+      .join(cb, Seq("w1", "w2"), "left").na.fill(0L, Seq("c_bigram"))
+      .join(cw, Seq("w1"), "left").na.fill(0L, Seq("c_w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        round(log((col("c_bigram").cast("double") + lit(k))
+          / (col("c_w1").cast("double") + lit(k) * col("v"))), 6).as("logp"),
+        when(col("c_bigram") === 0L, lit(1L)).otherwise(lit(0L)).as("oov"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("oov")).as("n_oov"),
+        round(aggregate(sort_array(collect_list(col("logp"))), lit(0.0),
+          (acc, x) => acc + x), 6).as("sum_logp"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"), col("sum_logp"),
+        round(-col("sum_logp") / col("n_bigrams"), 6).as("nll"))
+  }
 }

@@ -1303,4 +1303,101 @@ object TextOps {
       .select(col("vocab_rank"), col("token"), col("cnt"),
         round(col("cum_cnt").cast("double") / col("total"), 6).as("cum_frac"))
   }
+
+  /** Deterministic weighted sample without replacement (B117):
+    * Efraimidis–Spirakis priority sampling — each document draws
+    * u = md5-uniform in (0,1] and wins a slot iff its priority u^(1/w)
+    * ranks in the global top k, realized in log space as
+    * skey = ln(u)/w (larger is better; w = n_chars, so longer documents
+    * are proportionally likelier, the exact ES distribution for
+    * weighted sampling without replacement). u is a pure function of
+    * doc_id — no RNG state, reproducible across retries, cluster sizes,
+    * and the DuckDB oracle — and ln's argument (v+1)/2^60 is a
+    * power-of-two division of an exactly-representable 60-bit integer,
+    * so the double is bit-identical on both sides. skey is 6 dp-rounded
+    * BEFORE ranking so both sides apply the identical total order
+    * (rounded-key ties broken by doc_id; the coarse grid also makes an
+    * ulp-level libm divergence crossing a rounding boundary ~1e-11
+    * improbable per row, vs ~1e-4 at full precision).
+    *
+    * Scale: `orderBy(...).limit(k)` plans as TakeOrderedAndProject —
+    * per-partition top-k heaps and one k-row merge, never a global
+    * sort. The scan is one narrow pass at any corpus size. */
+  def weightedSample(docs: DataFrame, k: Int = 100): DataFrame = {
+    val v = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val u = (v + lit(1L)).cast("double") / lit(1152921504606846976.0) // 2^60
+    docs.select(col("doc_id"), col("n_chars"),
+        round(log(u) / greatest(col("n_chars"), lit(1L)).cast("double"), 6)
+          .as("skey"))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Consistent shard assignment + balance audit (B118): every document
+    * routes to shard md5(doc_id) % nShards — the stable, data-independent
+    * placement a 100 TB corpus uses for output bucketing (adding docs
+    * never moves old ones; any worker recomputes the route without a
+    * lookup table) — and the audit reports per-shard doc/char totals
+    * with relative skew vs the uniform share. Hot shards (skew ≫ 0)
+    * are what force AQE splits or salting downstream, so this is the
+    * check run BEFORE committing to a layout. One partial-agg shuffle
+    * onto an nShards-row frame; the totals join broadcasts one row. */
+  def shardBalance(docs: DataFrame, nShards: Int = 64): DataFrame = {
+    val per = docs.select(
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % nShards).as("shard"),
+        col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val tot = per.agg(sum(col("n_docs")).as("t_docs"),
+      sum(col("sum_chars")).as("t_chars"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("sum_chars"),
+        round(col("n_docs").cast("double") * nShards / col("t_docs").cast("double")
+          - lit(1.0), 6).as("skew_docs"),
+        round(col("sum_chars").cast("double") * nShards / col("t_chars").cast("double")
+          - lit(1.0), 6).as("skew_chars"))
+  }
+
+  /** Curriculum order (B119): the global easy→hard training order —
+    * every document's position under ORDER BY (n_chars, doc_id), the
+    * schedule curriculum learning feeds a trainer (shortest documents
+    * first; the tie-break makes the order total and the rank
+    * deterministic). Same scale posture as [[corpusShuffle]]: the
+    * full-corpus sort runs through [[Ranks.withGlobalRowNumber]]'s
+    * range-partitioned two-pass rank, never a single-partition window,
+    * so a 100 TB curriculum sorts at cluster width. */
+  def curriculumOrder(docs: DataFrame): DataFrame =
+    Ranks.withGlobalRowNumber(
+        docs.select(col("doc_id"), col("n_chars")),
+        "ord", "_n", Seq(col("n_chars"), col("doc_id")))
+      .select(col("ord"), col("doc_id"), col("n_chars"))
+
+  /** Per-document OOV rate vs the top-`topN` corpus vocabulary (B120):
+    * the vocabulary-truncation audit — what fraction of each document's
+    * tokens fall outside a head vocabulary of `topN` types (ranked by
+    * corpus frequency, count ties broken by the token itself so the cut
+    * is total and deterministic). The per-doc twin of the corpus-level
+    * [[tokenCoverageCurve]]: the curve sizes the vocab, this finds the
+    * DOCUMENTS a too-small vocab mangles (high-OOV docs tokenize into
+    * <unk> soup and are dropped or routed to byte fallback).
+    *
+    * Scale: the vocab is `orderBy(...).limit(topN)` — TakeOrdered's
+    * per-partition heaps, no global sort — then broadcasts (topN rows)
+    * against the token stream, which aggregates per doc in one
+    * partial-agg shuffle. Nothing holds unbounded state. */
+  def docOovRate(docs: DataFrame, topN: Int = 10): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(topN)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("oov_rate"))
+  }
 }

@@ -37,7 +37,10 @@ class EmptyInputSpec extends SparkSpec {
       d => Dedup.survivorship(d), d => LangModel.knBigram(d),
       d => Dedup.cdcChunks(d), d => graft.ml.Sentiment.lexiconScore(d),
       d => Dedup.simhashDetPairs(d), d => TextOps.qualityDrift(d),
-      d => TextOps.packEfficiency(d), d => Dedup.minhashCalibration(d))
+      d => TextOps.packEfficiency(d), d => Dedup.minhashCalibration(d),
+      d => TextOps.weightedSample(d), d => TextOps.shardBalance(d),
+      d => TextOps.curriculumOrder(d), d => TextOps.docOovRate(d),
+      d => LangModel.heldoutPerplexity(d))
     for ((op, i) <- ops.zipWithIndex)
       assert(op(noDocs).count() === 0, s"text op #$i not total on empty input")
   }

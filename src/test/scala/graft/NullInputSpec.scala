@@ -34,7 +34,10 @@ class NullInputSpec extends SparkSpec {
       d => Dedup.survivorship(d), d => LangModel.knBigram(d),
       d => Dedup.cdcChunks(d), d => graft.ml.Sentiment.lexiconScore(d),
       d => Dedup.simhashDetPairs(d), d => TextOps.qualityDrift(d),
-      d => TextOps.packEfficiency(d), d => Dedup.minhashCalibration(d))
+      d => TextOps.packEfficiency(d), d => Dedup.minhashCalibration(d),
+      d => TextOps.weightedSample(d), d => TextOps.shardBalance(d),
+      d => TextOps.curriculumOrder(d), d => TextOps.docOovRate(d),
+      d => LangModel.heldoutPerplexity(d))
     for ((op, i) <- ops.zipWithIndex) {
       val out = op(docs)
       // must evaluate without throwing; row counts vary by op semantics
