@@ -647,6 +647,42 @@ object Oracles {
       """SELECT row_number() OVER (ORDER BY n_chars, doc_id) AS ord, doc_id, n_chars
         |FROM documents""".stripMargin,
 
+    // stride positions (i - 0.5)/weight use exactly-rounded IEEE division
+    // (bit-identical both sides); ties across sources resolved by
+    // (source, doc_id) so the global order is total
+    "mixture_epoch" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    CASE WHEN CAST(regexp_extract(source, '\d+', 0) AS BIGINT) % 2 = 0
+        |         THEN CAST(3.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS weight,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS ord_src
+        |  FROM documents),
+        |p AS (SELECT doc_id, source, ord_src,
+        |    (CAST(ord_src AS DOUBLE) - CAST(0.5 AS DOUBLE)) / weight AS pos FROM r)
+        |SELECT row_number() OVER (ORDER BY pos, source, doc_id) AS epoch_pos,
+        |  doc_id, source, ord_src, round(pos, 6) AS pos
+        |FROM p""".stripMargin,
+
+    // sweep grid explodes over the bounded near-dup PAIR frame; the
+    // t/100 compare is exactly-rounded IEEE division on both sides
+    "dedup_threshold_sweep" ->
+      s"""WITH s AS (SELECT doc_id, source,
+         |  list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM (SELECT doc_id, source, $toks AS toks FROM documents)),
+         |f AS (SELECT * FROM s WHERE len(sh) > 0),
+         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+         |  FROM f a JOIN f b ON a.source = b.source AND a.doc_id < b.doc_id),
+         |fl AS (SELECT * FROM pairs WHERE jaccard >= 0.1),
+         |g AS (SELECT t_pct, unnest([a_id, b_id]) AS d
+         |      FROM fl CROSS JOIN (SELECT unnest(range(10, 100, 10)) AS t_pct)
+         |      WHERE jaccard >= CAST(t_pct AS DOUBLE) / CAST(100.0 AS DOUBLE))
+         |SELECT CAST(t_pct AS BIGINT) AS t_pct,
+         |  CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+         |  count(DISTINCT d) AS n_docs
+         |FROM g GROUP BY 1""".stripMargin,
+
     // head vocab cut is total (count DESC, token ASC) so the rank-topN
     // boundary tie resolves identically on both sides
     "doc_oov_rate" ->

@@ -124,6 +124,8 @@ object SparkEntry {
     "curriculum_order" -> ((s, d) => TextOps.curriculumOrder(t(s, d, "documents"))),
     "doc_oov_rate" -> ((s, d) => TextOps.docOovRate(spread(t(s, d, "documents")))),
     "heldout_perplexity" -> ((s, d) => LangModel.heldoutPerplexity(spread(t(s, d, "documents")))),
+    "mixture_epoch" -> ((s, d) => TextOps.mixtureEpoch(t(s, d, "documents"))),
+    "dedup_threshold_sweep" -> ((s, d) => Dedup.thresholdSweep(spread(t(s, d, "documents")))),
     "token_fertility" -> ((s, d) => TextOps.tokenFertility(spread(t(s, d, "documents")))),
     "dedup_survivorship" -> ((s, d) => Dedup.survivorship(spread(t(s, d, "documents")))),
     "minhash_band_tune" -> ((s, _) => Dedup.minhashBandTune(s)),

@@ -521,6 +521,33 @@ object Dedup {
       .filter(col("jaccard") >= simMin)
   }
 
+  /** Near-dup threshold tuning curve (B123): duplicate-pair mass and
+    * affected-document counts as a function of the Jaccard threshold —
+    * the table a curation pipeline reads BEFORE committing to a dedup
+    * threshold (too low deletes paraphrases, too high leaves templated
+    * spam; the knee of this curve is the defensible setting). Reuses
+    * [[ngramJaccard]] at a low floor, then sweeps t = 0.10 … 0.90 in
+    * integer-percent steps of 10 over the bounded pair frame.
+    *
+    * Scale: the sweep explodes a 9-element literal grid over the PAIR
+    * frame (already bounded by true near-dup mass, never input²), and
+    * both aggregations group onto ≤9 rows. The threshold compare uses
+    * exactly-rounded IEEE division (t/100), identical on both sides. */
+  def thresholdSweep(docs: DataFrame, floor: Double = 0.1): DataFrame = {
+    val pairs = ngramJaccard(docs, simMin = floor)
+    // each surviving pair contributes exactly 2 exploded doc rows, so
+    // n_pairs = count/2 rides the SAME aggregation as the distinct-doc
+    // count — one consumer of the pair subtree, not two
+    val g = pairs.select(col("a_id"), col("b_id"), col("jaccard"),
+        explode(sequence(lit(10), lit(90), lit(10))).as("t_pct"))
+      .filter(col("jaccard") >= col("t_pct").cast("double") / lit(100.0))
+      .select(col("t_pct"), explode(array(col("a_id"), col("b_id"))).as("d"))
+    g.groupBy("t_pct")
+      .agg((count(lit(1)) / lit(2)).cast("long").as("n_pairs"),
+        countDistinct(col("d")).as("n_docs"))
+      .select(col("t_pct").cast("long").as("t_pct"), col("n_pairs"), col("n_docs"))
+  }
+
   /** B99: substring-level duplicated-span detection via stride-1 rolling
     * token shingles — the distributed shape of exact-substring training-
     * data dedup (suffix-array ExactSubstr in the published single-machine

@@ -1374,6 +1374,46 @@ object TextOps {
         "ord", "_n", Seq(col("n_chars"), col("doc_id")))
       .select(col("ord"), col("doc_id"), col("n_chars"))
 
+  /** Stride-scheduled mixture interleave (B122): the deterministic epoch
+    * order that REALIZES per-source mixture weights smoothly — source s's
+    * i-th document (in its seeded per-source shuffle) sits at stride
+    * position (i − 0.5)/weight(s), and the epoch consumes documents in
+    * global position order, so every contiguous window of the stream
+    * carries ≈weight-proportional source composition (classic stride
+    * scheduling). This is the order a training run actually reads: unlike
+    * [[mixtureSample]] (which drops documents to hit the mixture in
+    * aggregate), the interleave keeps every document and delivers the
+    * mixture locally — no "a million docs of one source in a row" stretch
+    * that a concatenated-then-shuffled layout risks.
+    *
+    * Determinism: the per-source order is a pure md5 function of
+    * (doc_id, seed); stride positions tie across sources (w=1's doc 1 and
+    * w=3's doc 2 both sit at 0.5), so the global order appends (source,
+    * doc_id) to stay total. IEEE division is exactly rounded — unlike
+    * libm transcendentals — so the unrounded `pos` sort key is
+    * bit-identical in Spark and the oracle.
+    *
+    * Scale: the per-source rank is a partitioned window (each source
+    * sorts in parallel); the global position runs through
+    * [[Ranks.withGlobalRowNumber]]'s range-partitioned two-pass rank.
+    * Nothing collapses to one partition at any corpus size. */
+  def mixtureEpoch(docs: DataFrame, seed: Int = 42): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "\\d+", 0).cast("long")
+    val weight = when(srcNum % 2 === 0, lit(3.0)).otherwise(lit(1.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("skey"), col("doc_id"))
+    val ranked = docs.select(col("doc_id"), col("source"),
+        md5(concat(col("doc_id").cast("string"), lit(":" + seed))).as("skey"),
+        weight.as("weight"))
+      .withColumn("ord_src", row_number().over(w).cast("long"))
+      .withColumn("pos",
+        (col("ord_src").cast("double") - lit(0.5)) / col("weight"))
+    Ranks.withGlobalRowNumber(ranked, "epoch_pos", "_n",
+        Seq(col("pos"), col("source"), col("doc_id")))
+      .select(col("epoch_pos"), col("doc_id"), col("source"), col("ord_src"),
+        round(col("pos"), 6).as("pos"))
+  }
+
   /** Per-document OOV rate vs the top-`topN` corpus vocabulary (B120):
     * the vocabulary-truncation audit — what fraction of each document's
     * tokens fall outside a head vocabulary of `topN` types (ranked by

@@ -40,7 +40,8 @@ class EmptyInputSpec extends SparkSpec {
       d => TextOps.packEfficiency(d), d => Dedup.minhashCalibration(d),
       d => TextOps.weightedSample(d), d => TextOps.shardBalance(d),
       d => TextOps.curriculumOrder(d), d => TextOps.docOovRate(d),
-      d => LangModel.heldoutPerplexity(d))
+      d => LangModel.heldoutPerplexity(d), d => TextOps.mixtureEpoch(d),
+      d => Dedup.thresholdSweep(d))
     for ((op, i) <- ops.zipWithIndex)
       assert(op(noDocs).count() === 0, s"text op #$i not total on empty input")
   }

@@ -37,7 +37,8 @@ class NullInputSpec extends SparkSpec {
       d => TextOps.packEfficiency(d), d => Dedup.minhashCalibration(d),
       d => TextOps.weightedSample(d), d => TextOps.shardBalance(d),
       d => TextOps.curriculumOrder(d), d => TextOps.docOovRate(d),
-      d => LangModel.heldoutPerplexity(d))
+      d => LangModel.heldoutPerplexity(d), d => TextOps.mixtureEpoch(d),
+      d => Dedup.thresholdSweep(d))
     for ((op, i) <- ops.zipWithIndex) {
       val out = op(docs)
       // must evaluate without throwing; row counts vary by op semantics

@@ -137,4 +137,78 @@ class Round10cSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(a === b)
   }
+
+  // --- mixture_epoch (B122) ---
+
+  private lazy val mixDocs = (1L to 40L).map { i =>
+    // src0 (weight 3) gets 30 docs, src1 (weight 1) gets 10
+    (i, "text", "en", if (i <= 30) "src0" else "src1", 10L)
+  }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("mixtureEpoch: epoch_pos is a 1..n bijection and keeps every doc") {
+    val r = TextOps.mixtureEpoch(mixDocs).select("epoch_pos").as[Long].collect().sorted
+    assert(r.toSeq === (1L to 40L))
+  }
+
+  test("mixtureEpoch: every window of the stream is ~weight-proportional") {
+    // weight 3 source with 30 docs vs weight 1 with 10: both exhaust at
+    // pos 10, so each quarter of the epoch should hold ~3:1 composition
+    val r = TextOps.mixtureEpoch(mixDocs)
+      .select("epoch_pos", "source").as[(Long, String)].collect().sortBy(_._1)
+    for (q <- 0 until 4) {
+      val slice = r.slice(q * 10, (q + 1) * 10)
+      val heavy = slice.count(_._2 == "src0")
+      assert(heavy >= 6 && heavy <= 8, s"quarter $q carried $heavy/10 heavy docs")
+    }
+  }
+
+  test("mixtureEpoch: stride positions interleave, never block-concatenate") {
+    // first 4 positions must not all come from one source
+    val first4 = TextOps.mixtureEpoch(mixDocs).orderBy("epoch_pos").limit(4)
+      .select("source").as[String].collect().toSet
+    assert(first4.size === 2)
+  }
+
+  test("mixtureEpoch: partition-count independent") {
+    val a = TextOps.mixtureEpoch(mixDocs).select("doc_id", "epoch_pos")
+      .as[(Long, Long)].collect().toMap
+    val b = TextOps.mixtureEpoch(mixDocs.repartition(7)).select("doc_id", "epoch_pos")
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
+  // --- dedup_threshold_sweep (B123) ---
+
+  private lazy val dupDocs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 40L),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 40L), // exact copy of 1
+    (3L, "alpha beta gamma delta epsilon zeta iota kappa", "en", "s", 40L), // near copy
+    (4L, "totally different words entirely here now really yes", "en", "s", 50L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("thresholdSweep: monotone non-increasing in the threshold") {
+    val r = graft.operators.Dedup.thresholdSweep(dupDocs)
+      .orderBy("t_pct").select("t_pct", "n_pairs", "n_docs")
+      .as[(Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    for (Array(a, b) <- r.sliding(2).map(_.toArray)) {
+      assert(a._2 >= b._2, s"n_pairs rose from t=${a._1} to ${b._1}")
+      assert(a._3 >= b._3, s"n_docs rose from t=${a._1} to ${b._1}")
+    }
+  }
+
+  test("thresholdSweep: exact copies survive every threshold, near copies only low ones") {
+    val r = graft.operators.Dedup.thresholdSweep(dupDocs)
+      .select("t_pct", "n_pairs").as[(Long, Long)].collect().toMap
+    assert(r(90L) === 1L) // only the exact pair (1,2) at jaccard 1.0
+    assert(r.getOrElse(10L, 0L) >= 2L) // near pair joins at low thresholds
+  }
+
+  test("thresholdSweep: dup-free corpus yields an empty curve, not zero rows per bin") {
+    val clean = Seq(
+      (1L, "alpha beta gamma delta", "en", "s", 20L),
+      (2L, "epsilon zeta eta theta", "en", "s", 20L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(graft.operators.Dedup.thresholdSweep(clean).count() === 0)
+  }
 }
