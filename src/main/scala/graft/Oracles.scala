@@ -683,6 +683,36 @@ object Oracles {
          |  count(DISTINCT d) AS n_docs
          |FROM g GROUP BY 1""".stripMargin,
 
+    // every stat is an exact integer aggregate with at most one final
+    // division — partition-independent with no float summation
+    "corpus_summary" ->
+      s"""WITH d AS (SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+         |  count(DISTINCT source) AS n_sources,
+         |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+         |  CAST(min(n_chars) AS BIGINT) AS min_chars FROM documents),
+         |tk AS (SELECT unnest($toks) AS token FROM documents),
+         |cnt AS (SELECT token, count(*) AS cnt FROM tk GROUP BY 1),
+         |t AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_tokens,
+         |      count(*) AS n_token_types FROM cnt),
+         |hd AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS head_cnt
+         |       FROM (SELECT cnt FROM cnt ORDER BY cnt DESC, token LIMIT 10)),
+         |h AS (SELECT count(DISTINCT md5($clean)) AS n_hashes FROM documents),
+         |j AS (SELECT * FROM d CROSS JOIN t CROSS JOIN hd CROSS JOIN h)
+         |SELECT stat, value FROM (
+         |  SELECT 'n_docs' AS stat, CAST(n_docs AS DOUBLE) AS value FROM j
+         |  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM j
+         |  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM j
+         |  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM j
+         |  UNION ALL SELECT 'n_token_types', CAST(n_token_types AS DOUBLE) FROM j
+         |  UNION ALL SELECT 'max_chars', CAST(max_chars AS DOUBLE) FROM j
+         |  UNION ALL SELECT 'min_chars', CAST(min_chars AS DOUBLE) FROM j
+         |  UNION ALL SELECT 'mean_doc_tokens',
+         |    round(CAST(n_tokens AS DOUBLE) / nullif(n_docs, 0), 6) FROM j
+         |  UNION ALL SELECT 'exact_dup_rate',
+         |    round(CAST(1.0 AS DOUBLE) - CAST(n_hashes AS DOUBLE) / nullif(n_docs, 0), 6) FROM j
+         |  UNION ALL SELECT 'head10_coverage',
+         |    round(CAST(head_cnt AS DOUBLE) / nullif(n_tokens, 0), 6) FROM j)""".stripMargin,
+
     // head vocab cut is total (count DESC, token ASC) so the rank-topN
     // boundary tie resolves identically on both sides
     "doc_oov_rate" ->

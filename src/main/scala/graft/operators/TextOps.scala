@@ -1374,6 +1374,53 @@ object TextOps {
         "ord", "_n", Seq(col("n_chars"), col("doc_id")))
       .select(col("ord"), col("doc_id"), col("n_chars"))
 
+  /** Dataset-card summary (B124): the one-table corpus datasheet — doc /
+    * token / type / lang / source counts, length extremes, exact-dup
+    * rate, head-vocabulary coverage, mean tokens per doc — the numbers a
+    * dataset card publishes and a pipeline gates its release on. Emitted
+    * as (stat, value) rows so downstream diffing/alerting is schema-free.
+    *
+    * Every statistic is an exact integer aggregate with at most ONE
+    * final division, so the result is partition-count independent
+    * without any sorted-fold machinery (no float is ever summed). The
+    * plan is three partial-agg subtrees over the corpus (doc frame,
+    * token frame, content-hash frame) plus a ≤10-row head-vocab fold,
+    * cross-joined as broadcast single rows. `nullif` guards keep the
+    * ratios NULL (not a crash or Infinity) on an empty corpus. */
+  def corpusSummary(docs: DataFrame): DataFrame = {
+    val d = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      max(col("n_chars")).as("max_chars"),
+      min(col("n_chars")).as("min_chars"))
+    val cnt = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val t = cnt.agg(coalesce(sum(col("cnt")), lit(0L)).as("n_tokens"),
+      count(lit(1)).as("n_token_types"))
+    val head = cnt.orderBy(col("cnt").desc, col("token")).limit(10)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("head_cnt"))
+    val h = docs.select(md5(cleanText(col("text"))).as("ch"))
+      .agg(countDistinct(col("ch")).as("n_hashes"))
+    d.crossJoin(broadcast(t)).crossJoin(broadcast(head)).crossJoin(broadcast(h))
+      .select(explode(array(
+        struct(lit("n_docs").as("stat"), col("n_docs").cast("double").as("value")),
+        struct(lit("n_langs").as("stat"), col("n_langs").cast("double").as("value")),
+        struct(lit("n_sources").as("stat"), col("n_sources").cast("double").as("value")),
+        struct(lit("n_tokens").as("stat"), col("n_tokens").cast("double").as("value")),
+        struct(lit("n_token_types").as("stat"), col("n_token_types").cast("double").as("value")),
+        struct(lit("max_chars").as("stat"), col("max_chars").cast("double").as("value")),
+        struct(lit("min_chars").as("stat"), col("min_chars").cast("double").as("value")),
+        struct(lit("mean_doc_tokens").as("stat"),
+          round(col("n_tokens").cast("double") / nullif(col("n_docs"), lit(0L)), 6).as("value")),
+        struct(lit("exact_dup_rate").as("stat"),
+          round(lit(1.0) - col("n_hashes").cast("double") / nullif(col("n_docs"), lit(0L)), 6).as("value")),
+        struct(lit("head10_coverage").as("stat"),
+          round(col("head_cnt").cast("double") / nullif(col("n_tokens"), lit(0L)), 6).as("value"))
+      )).as("s"))
+      .select(col("s.stat").as("stat"), col("s.value").as("value"))
+  }
+
   /** Stride-scheduled mixture interleave (B122): the deterministic epoch
     * order that REALIZES per-source mixture weights smoothly — source s's
     * i-th document (in its seeded per-source shuffle) sits at stride

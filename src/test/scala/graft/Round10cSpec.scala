@@ -211,4 +211,38 @@ class Round10cSpec extends SparkSpec {
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     assert(graft.operators.Dedup.thresholdSweep(clean).count() === 0)
   }
+
+  // --- corpus_summary (B124) ---
+
+  test("corpusSummary: hand-checked card on a tiny corpus") {
+    val tiny = Seq(
+      (1L, "the cat sat", "en", "a", 11L),
+      (2L, "the cat sat", "en", "b", 11L), // exact dup of 1
+      (3L, "une phrase", "fr", "a", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = TextOps.corpusSummary(tiny).as[(String, Double)].collect().toMap
+    assert(m("n_docs") === 3.0)
+    assert(m("n_langs") === 2.0)
+    assert(m("n_sources") === 2.0)
+    assert(m("n_tokens") === 8.0)
+    assert(m("n_token_types") === 5.0)
+    assert(m("max_chars") === 11.0)
+    assert(m("min_chars") === 10.0)
+    assert(math.abs(m("mean_doc_tokens") - math.rint(8.0 / 3.0 * 1e6) / 1e6) < 1e-9)
+    // 2 distinct hashes over 3 docs -> dup rate 1/3
+    assert(math.abs(m("exact_dup_rate") - math.rint(1.0 / 3.0 * 1e6) / 1e6) < 1e-9)
+    assert(m("head10_coverage") === 1.0) // 5 types <= 10 head slots
+  }
+
+  test("corpusSummary: total on an empty corpus — 10 stat rows, zero counts, NULL ratios") {
+    val empty = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = TextOps.corpusSummary(empty).collect()
+    assert(rows.length === 10)
+    val m = rows.map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(m("n_docs") === Some(0.0))
+    assert(m("n_tokens") === Some(0.0))
+    assert(m("mean_doc_tokens") === None) // nullif guard, not a crash
+    assert(m("exact_dup_rate") === None)
+  }
 }
