@@ -683,6 +683,41 @@ object Oracles {
          |  count(DISTINCT d) AS n_docs
          |FROM g GROUP BY 1""".stripMargin,
 
+    // flags coalesced exactly as the Spark side (NULL text => short/
+    // quality reject, rep/dup pass); only-counts and rates from one agg
+    "filter_attrition" -> {
+      val flagAgg = Seq(
+        ("short_n", "f_short"), ("short_only", "f_short AND NOT f_quality AND NOT f_rep AND NOT f_dup"),
+        ("quality_n", "f_quality"), ("quality_only", "f_quality AND NOT f_short AND NOT f_rep AND NOT f_dup"),
+        ("rep_n", "f_rep"), ("rep_only", "f_rep AND NOT f_short AND NOT f_quality AND NOT f_dup"),
+        ("dup_n", "f_dup"), ("dup_only", "f_dup AND NOT f_short AND NOT f_quality AND NOT f_rep"),
+        ("any_n", "f_short OR f_quality OR f_rep OR f_dup"))
+        .map { case (alias, cond) =>
+          s"CAST(coalesce(sum(CASE WHEN $cond THEN 1 ELSE 0 END), 0) AS BIGINT) AS $alias"
+        }.mkString(",\n    ")
+      val rows = Seq(("short", "short_n", "short_only"), ("quality", "quality_n", "quality_only"),
+        ("repetition", "rep_n", "rep_only"), ("duplicate", "dup_n", "dup_only"),
+        ("any", "any_n", "any_n"))
+        .map { case (name, nCol, onlyCol) =>
+          s"SELECT '$name' AS filter, $nCol AS n_fail, $onlyCol AS n_fail_only, " +
+            s"round(CAST($nCol AS DOUBLE) / nullif(n_docs, 0), 6) AS fail_rate FROM a"
+        }.mkString("\n  UNION ALL ")
+      s"""WITH f0 AS (SELECT doc_id, n_chars, $qualitySql AS q,
+         |    CAST(len($toks) AS DOUBLE) / CAST(nullif(len(list_distinct($toks)), 0) AS DOUBLE) AS rep,
+         |    md5($clean) AS ch FROM documents),
+         |f1 AS (SELECT *, doc_id <> min(doc_id) OVER (PARTITION BY ch) AS f_dup FROM f0),
+         |fl AS (SELECT
+         |    coalesce(n_chars < 100, true) AS f_short,
+         |    coalesce(q < CAST(0.3 AS DOUBLE), true) AS f_quality,
+         |    coalesce(rep > CAST(3.0 AS DOUBLE), false) AS f_rep,
+         |    coalesce(f_dup, false) AS f_dup FROM f1),
+         |a AS (SELECT count(*) AS n_docs,
+         |    $flagAgg
+         |  FROM fl)
+         |SELECT filter, n_fail, n_fail_only, fail_rate FROM (
+         |  $rows)""".stripMargin
+    },
+
     // every stat is an exact integer aggregate with at most one final
     // division — partition-independent with no float summation
     "corpus_summary" ->

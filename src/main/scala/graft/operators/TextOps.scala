@@ -1374,6 +1374,65 @@ object TextOps {
         "ord", "_n", Seq(col("n_chars"), col("doc_id")))
       .select(col("ord"), col("doc_id"), col("n_chars"))
 
+  /** Filter-cascade attrition table (B125): for each curation filter —
+    * too-short, low-quality, repetition-soup, exact-duplicate — how many
+    * documents it rejects, how many it ALONE rejects (its marginal value:
+    * a filter whose every rejection is also caught elsewhere can be
+    * dropped from the cascade), and the reject rate, plus the `any` row
+    * giving the cascade's total attrition. This is the table a pipeline
+    * owner reads before reordering/removing stages — attrition tuning is
+    * how curation recipes are actually iterated.
+    *
+    * Shape: one narrow pass computes all per-doc flags (every flag
+    * `coalesce`d to false so NULL text/n_chars rows count as passes, not
+    * poison); the duplicate flag needs the one hash-partitioned window
+    * (keeper = min doc_id per content hash); a single aggregation emits
+    * exact long counts; the ≤5-row unpivot is a literal explode. No
+    * float is aggregated — rates divide once at the end. */
+  def filterAttrition(docs: DataFrame, minChars: Long = 100,
+                      minQuality: Double = 0.3, maxRep: Double = 3.0): DataFrame = {
+    val toks = tokens(col("text"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ch")
+    val flags = docs.select(col("doc_id"), col("n_chars"),
+        qualityComposite.as("q"),
+        (size(toks).cast("double")
+          / nullif(size(array_distinct(toks)), lit(0)).cast("double")).as("rep"),
+        md5(cleanText(col("text"))).as("ch"))
+      .withColumn("f_dup", col("doc_id") =!= min(col("doc_id")).over(w))
+      .select(
+        coalesce(col("n_chars") < minChars, lit(true)).as("f_short"),
+        coalesce(col("q") < minQuality, lit(true)).as("f_quality"),
+        coalesce(col("rep") > maxRep, lit(false)).as("f_rep"),
+        coalesce(col("f_dup"), lit(false)).as("f_dup"))
+    def n(c: Column) = coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    val a = flags.agg(
+      count(lit(1)).as("n_docs"),
+      n(col("f_short")).as("short_n"),
+      n(col("f_short") && !col("f_quality") && !col("f_rep") && !col("f_dup")).as("short_only"),
+      n(col("f_quality")).as("quality_n"),
+      n(col("f_quality") && !col("f_short") && !col("f_rep") && !col("f_dup")).as("quality_only"),
+      n(col("f_rep")).as("rep_n"),
+      n(col("f_rep") && !col("f_short") && !col("f_quality") && !col("f_dup")).as("rep_only"),
+      n(col("f_dup")).as("dup_n"),
+      n(col("f_dup") && !col("f_short") && !col("f_quality") && !col("f_rep")).as("dup_only"),
+      n(col("f_short") || col("f_quality") || col("f_rep") || col("f_dup")).as("any_n"))
+    def rate(c: Column) = round(c.cast("double") / nullif(col("n_docs"), lit(0L)), 6)
+    a.select(explode(array(
+        struct(lit("short").as("filter"), col("short_n").as("n_fail"),
+          col("short_only").as("n_fail_only"), rate(col("short_n")).as("fail_rate")),
+        struct(lit("quality").as("filter"), col("quality_n").as("n_fail"),
+          col("quality_only").as("n_fail_only"), rate(col("quality_n")).as("fail_rate")),
+        struct(lit("repetition").as("filter"), col("rep_n").as("n_fail"),
+          col("rep_only").as("n_fail_only"), rate(col("rep_n")).as("fail_rate")),
+        struct(lit("duplicate").as("filter"), col("dup_n").as("n_fail"),
+          col("dup_only").as("n_fail_only"), rate(col("dup_n")).as("fail_rate")),
+        struct(lit("any").as("filter"), col("any_n").as("n_fail"),
+          col("any_n").as("n_fail_only"), rate(col("any_n")).as("fail_rate"))
+      )).as("s"))
+      .select(col("s.filter").as("filter"), col("s.n_fail").as("n_fail"),
+        col("s.n_fail_only").as("n_fail_only"), col("s.fail_rate").as("fail_rate"))
+  }
+
   /** Dataset-card summary (B124): the one-table corpus datasheet — doc /
     * token / type / lang / source counts, length extremes, exact-dup
     * rate, head-vocabulary coverage, mean tokens per doc — the numbers a

@@ -245,4 +245,50 @@ class Round10cSpec extends SparkSpec {
     assert(m("mean_doc_tokens") === None) // nullif guard, not a crash
     assert(m("exact_dup_rate") === None)
   }
+
+  // --- filter_attrition (B125) ---
+
+  test("filterAttrition: hand-checked counts with overlapping rejections") {
+    val corpus = Seq(
+      // long, clean, non-repetitive: passes everything (stopwords keep quality up)
+      (1L, "the quick brown fox jumps over a lazy dog while it is a fine day today and the sun shines on many green things here by the old mill stream", "en", "a", 200L),
+      // short AND duplicate of doc 4's text: overlap => not counted in either only-column
+      (2L, "the tiny dup", "en", "a", 12L),
+      // short only
+      (3L, "the lone short", "en", "a", 14L),
+      // duplicate keeper (min doc_id wins, so doc 2 is the dup... ids: 2 < 4, so 4 is the dup)
+      (4L, "the tiny dup", "en", "a", 12L),
+      // repetition soup AND short: again again again... (rep > 3)
+      (5L, "again again again again the the the the again again again again", "en", "a", 64L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = TextOps.filterAttrition(corpus)
+      .select("filter", "n_fail", "n_fail_only")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // short: docs 2,3,4,5 (n_chars < 100). quality: none (all have stopwords).
+    assert(m("short") === ((4L, 2L)))      // only doc 3 and... 2? doc2 is short+keeper(not dup)->only; 3 only; 4 short+dup; 5 short+rep => only = {2,3}
+    assert(m("duplicate") === ((1L, 0L)))  // doc 4 (dup of 2), also short => never only
+    assert(m("repetition")._1 === 1L)      // doc 5
+    assert(m("repetition")._2 === 0L)      // doc 5 also short
+    assert(m("any") === ((4L, 4L)))        // docs 2,3,4,5
+  }
+
+  test("filterAttrition: total on an empty corpus — 5 rows, zero counts, NULL rates") {
+    val empty = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = TextOps.filterAttrition(empty).collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getAs[Long]("n_fail") === 0L))
+    assert(rows.forall(_.isNullAt(3))) // fail_rate NULL via nullif, not NaN
+  }
+
+  test("filterAttrition: null text rows reject on quality, not crash") {
+    val withNull = Seq(
+      (1L, Option("the quick brown fox jumps over a lazy dog while it is a fine day today and the sun shines on many green things here by the old mill stream"), Option("en"), Option("a"), Option(200L)),
+      (2L, None: Option[String], Option("en"), Option("a"), None: Option[Long])
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = TextOps.filterAttrition(withNull)
+      .select("filter", "n_fail").as[(String, Long)].collect().toMap
+    assert(m("quality") === 1L) // the null-text doc
+    assert(m("any") === 1L)
+  }
 }
