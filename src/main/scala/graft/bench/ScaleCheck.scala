@@ -113,6 +113,12 @@ object ScaleCheck {
       // m-way in the copy-count window, so partition sizes grow with m
       // while the chunking itself stays narrow per-row work
       val (tCdc, nCdc) = timedForce(Dedup.cdcChunks(docs))
+      // the global-sort shape: mixture_epoch's two-pass range-partitioned
+      // rank over the whole corpus — the epoch-order build a training run
+      // pays per epoch. Must scale ~linearly in m (parallel local sorts +
+      // a config-bounded offset fold), never like a one-partition sort
+      val (tMix, nMix) = timedForce(graft.operators.TextOps.mixtureEpoch(docs))
+      graft.CacheTracker.releaseAll()
       val e = events.select(col("event_id"), col("user_id"),
         col("event_type"), unix_micros(col("ts")).as("us"))
       val p = e.filter(col("event_type") === "purchase").select("event_id", "user_id", "us")
@@ -143,6 +149,7 @@ object ScaleCheck {
         s""""bm25":{"sec":$tBm25,"rows":$nBm25},""" +
         s""""span_dedup":{"sec":$tSpan,"rows":$nSpan},""" +
         s""""cdc_chunks":{"sec":$tCdc,"rows":$nCdc},""" +
+        s""""mixture_epoch":{"sec":$tMix,"rows":$nMix},""" +
         s""""asof_join":{"sec":$tAsof,"rows":$nAsof},""" +
         s""""embed_standardize_2level":{"sec":$tStd2,"rows":$nStd2,"max_agg_buffer_rows":$buf2,"rollup_rows":${Folds.DefaultBuckets}},""" +
         s""""dim_stats_1level":{"sec":$tStd1,"rows":$nStd1,"max_agg_buffer_rows":$buf1}}""")
