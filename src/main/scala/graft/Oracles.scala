@@ -64,8 +64,11 @@ object Oracles {
       s"""z$k AS (SELECT vec_id, y, list_reduce(list_sort(list(round(w * x, 9))), (a, b) -> a + b) AS z
          |       FROM x JOIN $prev USING (i) GROUP BY 1, 2),
          |e$k AS (SELECT vec_id, round(1.0 / (1.0 + exp(-z)), 6) - y AS e FROM z$k),
-         |g$k AS (SELECT i, round(list_reduce(list_sort(list(round(e * x, 9))), (a, b) -> a + b) / n_vecs, 9) AS g
-         |       FROM x JOIN e$k USING (vec_id) CROSS JOIN nd GROUP BY i, n_vecs),
+         |gs$k AS (SELECT i, vec_id % 1024 AS sb,
+         |       list_reduce(list_sort(list(round(e * x, 9))), (a, b) -> a + b) AS sub
+         |       FROM x JOIN e$k USING (vec_id) GROUP BY i, sb),
+         |g$k AS (SELECT i, round(list_reduce(list_sort(list(sub)), (a, b) -> a + b) / n_vecs, 9) AS g
+         |       FROM gs$k CROSS JOIN nd GROUP BY i, n_vecs),
          |w$k AS (SELECT i, round(w - 1.0 * coalesce(g, 0.0), 9) AS w FROM $prev LEFT JOIN g$k USING (i))""".stripMargin
     }.mkString(",\n")
     s"""WITH x AS (SELECT vec_id, CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y,

@@ -23,7 +23,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the weight frame is dims-sized and broadcasts every
   * round; the corpus-sized (vec, dim) frame shuffles once per round to
-  * vec_id (for z) and once to dim (for g) with map-side partial folds.
+  * vec_id (for z) and once to (dim, sub-bucket) for g with map-side
+  * partial folds. The per-dim gradient fold is TWO-LEVEL
+  * (operators/Folds): its group holds all vectors, so a one-level
+  * sorted fold would grow one aggregation buffer with the corpus — the
+  * sub-bucketed fold keeps state O(group/B + B) and stays bit-stable.
   * Lineage grows linearly in `iters` (no loop-carried driver state); at
   * 100 TB each round is two partial-agg shuffles of the exploded
   * embedding frame.
@@ -64,9 +68,16 @@ object LogRegSql {
         .groupBy("vec_id", "y").agg(sortedFold(col("c")).as("z"))
       val err = z.select(col("vec_id"),
         (round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6) - col("y")).as("e"))
+      // two-level fold (operators/Folds): the per-dim gradient group holds
+      // ALL vectors — one-level collect_list would grow its aggregation
+      // buffer with the corpus (the exact embed_standardize OOM shape).
+      // Sub-bucket by vec_id % B, fold each sub-bucket sorted, fold the
+      // ≤B sub-totals sorted; O(group/B + B) state, oracle mirrors it.
       val grad = cached.join(err, "vec_id")
-        .select(col("i"), round(col("e") * col("x"), 9).as("c"))
-        .groupBy("i").agg(sortedFold(col("c")).as("sc"))
+        .select(col("i"), graft.operators.Folds.subBucket(col("vec_id")),
+          round(col("e") * col("x"), 9).as("c"))
+        .groupBy("i", "sb").agg(sortedFold(col("c")).as("sub"))
+        .groupBy("i").agg(sortedFold(col("sub")).as("sc"))
         .crossJoin(broadcast(n))
         .select(col("i"), round(col("sc") / col("n_vecs"), 9).as("g"))
       w = w.join(grad, Seq("i"), "left")
