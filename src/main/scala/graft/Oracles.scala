@@ -1121,11 +1121,14 @@ object Oracles {
         |  (CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) ||
         |  (CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
         |  FROM embeddings),
-        |cd AS (SELECT bucket, i,
-        |       round(list_reduce(list_sort(list(CAST(x AS DOUBLE))), (p, q) -> p + q) / count(*), 6) AS c
-        |       FROM (SELECT bucket, unnest(embedding) AS x,
+        |cd1 AS (SELECT bucket, i, vec_id % 1024 AS sb, count(*) AS sub_n,
+        |       list_reduce(list_sort(list(CAST(x AS DOUBLE))), (p, q) -> p + q) AS sub_s
+        |       FROM (SELECT bucket, vec_id, unnest(embedding) AS x,
         |             unnest(range(1, len(embedding) + 1)) AS i FROM b)
-        |       GROUP BY bucket, i),
+        |       GROUP BY bucket, i, sb),
+        |cd AS (SELECT bucket, i,
+        |       round(list_reduce(list_sort(list(sub_s)), (p, q) -> p + q) / sum(sub_n), 6) AS c
+        |       FROM cd1 GROUP BY bucket, i),
         |cent AS (SELECT bucket, list(c ORDER BY i) AS centroid FROM cd GROUP BY bucket),
         |sc AS (SELECT b.bucket, b.vec_id,
         |  round(list_reduce(list_transform(b.embedding, (x, i) -> CAST(x AS DOUBLE) * centroid[i]), (p, q) -> p + q)
@@ -1484,8 +1487,11 @@ object Oracles {
            |    FROM v CROSS JOIN $c)) WHERE rn = 1)""".stripMargin
       def recenter(a: String, m: String, c: String) =
         s"""$m AS (SELECT cluster, pos,
-           |  round(list_reduce(list_sort(list(x)), (p, q) -> p + q) / count(*), 9) AS cm
-           |  FROM (SELECT cluster, unnest(range(1, 9)) AS pos, unnest(e) AS x FROM $a)
+           |  round(list_reduce(list_sort(list(sub_s)), (p, q) -> p + q) / sum(sub_n), 9) AS cm
+           |  FROM (SELECT cluster, pos, vec_id % 1024 AS sb, count(*) AS sub_n,
+           |        list_reduce(list_sort(list(x)), (p, q) -> p + q) AS sub_s
+           |        FROM (SELECT vec_id, cluster, unnest(range(1, 9)) AS pos, unnest(e) AS x FROM $a)
+           |        GROUP BY cluster, pos, sb)
            |  GROUP BY cluster, pos),
            |$c AS (SELECT cluster, list(cm ORDER BY pos) AS c FROM $m GROUP BY cluster)""".stripMargin
       s"""WITH v AS (SELECT vec_id, list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS e
@@ -1746,8 +1752,11 @@ object Oracles {
            |    FROM v JOIN $c USING (sub))) WHERE rn = 1)""".stripMargin
       def recenter(a: String, m: String, c: String) =
         s"""$m AS (SELECT sub, code, pos,
-           |  round(list_reduce(list_sort(list(x)), (p, q) -> p + q) / count(*), 9) AS cm
-           |  FROM (SELECT sub, code, unnest(range(1, 9)) AS pos, unnest(e) AS x FROM $a)
+           |  round(list_reduce(list_sort(list(sub_s)), (p, q) -> p + q) / sum(sub_n), 9) AS cm
+           |  FROM (SELECT sub, code, pos, vec_id % 1024 AS sb, count(*) AS sub_n,
+           |        list_reduce(list_sort(list(x)), (p, q) -> p + q) AS sub_s
+           |        FROM (SELECT vec_id, sub, code, unnest(range(1, 9)) AS pos, unnest(e) AS x FROM $a)
+           |        GROUP BY sub, code, pos, sb)
            |  GROUP BY sub, code, pos),
            |$c AS (SELECT sub, code, list(cm ORDER BY pos) AS c FROM $m GROUP BY sub, code)""".stripMargin
       s"""WITH v AS (SELECT vec_id, CAST(s AS BIGINT) AS sub,

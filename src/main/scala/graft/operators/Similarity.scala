@@ -175,12 +175,17 @@ object Similarity {
           signBucket(col("embedding"), bits).as("bucket"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     b.count()
+    // two-level fold (Folds): a bucket's membership grows with the
+    // corpus, so the per-(bucket, dim) mean must not collect every
+    // member in one aggregation buffer — sub-bucket by vec_id % B first
     val cent = b
-      .select(col("bucket"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("bucket"), col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("bucket"), col("pos"), Folds.subBucket(col("vec_id")),
+        col("x").cast("double").as("x"))
+      .groupBy("bucket", "pos", "sb")
+      .agg(count(lit(1)).as("sub_n"), Folds.sortedSum(col("x")).as("sub_s"))
       .groupBy("bucket", "pos")
-      .agg(round(
-        aggregate(sort_array(collect_list(col("x").cast("double"))), lit(0.0),
-          (acc, v) => acc + v) / count(lit(1)), 6).as("c"))
+      .agg(round(Folds.sortedSum(col("sub_s")) / sum(col("sub_n")), 6).as("c"))
       .groupBy("bucket")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).as("centroid"))
@@ -568,11 +573,15 @@ object Similarity {
     var cent = vecs.filter(col("vec_id") < k)
       .select(col("vec_id").cast("long").as("cluster"), col("e").as("c"))
     for (_ <- 1 to iters) {
+      // two-level fold (Folds): cluster membership grows with the corpus;
+      // sub-bucket by vec_id % B so no buffer holds a whole cluster
       cent = assign(cent)
-        .select(col("cluster"), posexplode(col("e")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("cluster"), posexplode(col("e")).as(Seq("pos", "x")))
+        .select(col("cluster"), col("pos"), Folds.subBucket(col("vec_id")), col("x"))
+        .groupBy(col("cluster"), col("pos"), col("sb"))
+        .agg(count(lit(1)).as("sub_n"), Folds.sortedSum(col("x")).as("sub_s"))
         .groupBy(col("cluster"), col("pos"))
-        .agg(round(aggregate(sort_array(collect_list(col("x"))), lit(0.0),
-          (a, b) => a + b) / count(lit(1)), 9).as("cm"))
+        .agg(round(Folds.sortedSum(col("sub_s")) / sum(col("sub_n")), 9).as("cm"))
         .groupBy("cluster")
         .agg(array_sort(collect_list(struct(col("pos"), col("cm")))).as("pc"))
         .select(col("cluster"), transform(col("pc"), x => x.getField("cm")).as("c"))
@@ -696,11 +705,15 @@ object Similarity {
     var cent = vecs.filter(col("vec_id") < k)
       .select(col("sub"), col("vec_id").cast("long").as("code"), col("e").as("c"))
     for (_ <- 1 to iters) {
+      // two-level fold (Folds): a PQ cell's membership grows with the
+      // corpus — same sub-bucketed recentering as kmeansLloyd
       cent = assign(cent)
-        .select(col("sub"), col("code"), posexplode(col("e")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("sub"), col("code"), posexplode(col("e")).as(Seq("pos", "x")))
+        .select(col("sub"), col("code"), col("pos"), Folds.subBucket(col("vec_id")), col("x"))
+        .groupBy(col("sub"), col("code"), col("pos"), col("sb"))
+        .agg(count(lit(1)).as("sub_n"), Folds.sortedSum(col("x")).as("sub_s"))
         .groupBy(col("sub"), col("code"), col("pos"))
-        .agg(round(aggregate(sort_array(collect_list(col("x"))), lit(0.0),
-          (a, b) => a + b) / count(lit(1)), 9).as("cm"))
+        .agg(round(Folds.sortedSum(col("sub_s")) / sum(col("sub_n")), 9).as("cm"))
         .groupBy("sub", "code")
         .agg(array_sort(collect_list(struct(col("pos"), col("cm")))).as("pc"))
         .select(col("sub"), col("code"), transform(col("pc"), x => x.getField("cm")).as("c"))
