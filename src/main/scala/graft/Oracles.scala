@@ -686,6 +686,10 @@ object Oracles {
          |  count(DISTINCT d) AS n_docs
          |FROM g GROUP BY 1""".stripMargin,
 
+    "k_anonymity" ->
+      """SELECT lang, source, n_chars // 100 AS len_bucket, count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5""".stripMargin,
+
     // flags coalesced exactly as the Spark side (NULL text => short/
     // quality reject, rep/dup pass); only-counts and rates from one agg
     "filter_attrition" -> {

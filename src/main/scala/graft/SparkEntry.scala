@@ -128,6 +128,7 @@ object SparkEntry {
     "dedup_threshold_sweep" -> ((s, d) => Dedup.thresholdSweep(spread(t(s, d, "documents")))),
     "corpus_summary" -> ((s, d) => TextOps.corpusSummary(spread(t(s, d, "documents")))),
     "filter_attrition" -> ((s, d) => TextOps.filterAttrition(spread(t(s, d, "documents")))),
+    "k_anonymity" -> ((s, d) => TextOps.kAnonymity(t(s, d, "documents"))),
     "token_fertility" -> ((s, d) => TextOps.tokenFertility(spread(t(s, d, "documents")))),
     "dedup_survivorship" -> ((s, d) => Dedup.survivorship(spread(t(s, d, "documents")))),
     "minhash_band_tune" -> ((s, _) => Dedup.minhashBandTune(s)),

@@ -1374,6 +1374,24 @@ object TextOps {
         "ord", "_n", Seq(col("n_chars"), col("doc_id")))
       .select(col("ord"), col("doc_id"), col("n_chars"))
 
+  /** k-anonymity audit (B126): quasi-identifier combinations — here
+    * (lang, source, length-centile-bucket) — whose document count falls
+    * below `k`, i.e. the groups where releasing per-group statistics
+    * (or the documents themselves) risks re-identification. The standard
+    * pre-release privacy check on any corpus with attached metadata;
+    * a release pipeline either suppresses these cells or generalizes
+    * the bucketing until the table is empty.
+    *
+    * One partial-agg shuffle onto the (bounded) quasi-identifier grid;
+    * the length bucket uses integral division (`div`) so both engines
+    * compute the identical exact bucket. */
+  def kAnonymity(docs: DataFrame, k: Int = 5): DataFrame =
+    docs.select(col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket"))
+      .groupBy("lang", "source", "len_bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") < k)
+
   /** Filter-cascade attrition table (B125): for each curation filter —
     * too-short, low-quality, repetition-soup, exact-duplicate — how many
     * documents it rejects, how many it ALONE rejects (its marginal value:

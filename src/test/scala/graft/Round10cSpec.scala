@@ -281,6 +281,30 @@ class Round10cSpec extends SparkSpec {
     assert(rows.forall(_.isNullAt(3))) // fail_rate NULL via nullif, not NaN
   }
 
+  // --- k_anonymity (B126) ---
+
+  test("kAnonymity: flags only groups under k, with exact bucket edges") {
+    val corpus = (1L to 12L).map { i =>
+      // 6 docs in (en, a, bucket 1) [n_chars 100..199], 6 spread thin
+      if (i <= 6) (i, "t", "en", "a", 100L + i)
+      else (i, "t", "fr", s"s$i", 250L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.kAnonymity(corpus, k = 5)
+      .select("lang", "source", "len_bucket", "n_docs")
+      .as[(String, String, Long, Long)].collect()
+    // the 6-doc (en, a, 1) group is k-anonymous at k=5; the singletons are not
+    assert(!r.exists(_._1 == "en"))
+    assert(r.count(_._1 == "fr") === 6)
+    assert(r.forall(_._4 < 5))
+    assert(r.forall(x => x._1 == "fr" && x._3 === 2L)) // 250 div 100 = 2
+  }
+
+  test("kAnonymity: empty corpus yields an empty audit") {
+    val empty = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextOps.kAnonymity(empty).count() === 0)
+  }
+
   test("filterAttrition: null text rows reject on quality, not crash") {
     val withNull = Seq(
       (1L, Option("the quick brown fox jumps over a lazy dog while it is a fine day today and the sun shines on many green things here by the old mill stream"), Option("en"), Option("a"), Option(200L)),
