@@ -690,6 +690,17 @@ object Oracles {
       """SELECT lang, source, n_chars // 100 AS len_bucket, count(*) AS n_docs
         |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5""".stripMargin,
 
+    // sign-random projection of the tf-idf vector: sign from md5(token:dim),
+    // per-(doc, dim) contributions rounded 9 dp and folded sorted
+    "doc_embed_hash" ->
+      s"""WITH t AS ($tfidf),
+         |c AS (SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+         |      round(tfidf * CASE WHEN ('0x' || substr(md5(token || ':' || CAST(dim AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+         |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END, 9) AS c
+         |      FROM t CROSS JOIN (SELECT unnest(range(1, 17)) AS dim))
+         |SELECT doc_id, dim, round(list_reduce(list_sort(list(c)), (a, b) -> a + b), 6) AS v
+         |FROM c GROUP BY 1, 2""".stripMargin,
+
     // flags coalesced exactly as the Spark side (NULL text => short/
     // quality reject, rep/dup pass); only-counts and rates from one agg
     "filter_attrition" -> {

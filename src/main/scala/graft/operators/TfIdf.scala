@@ -136,4 +136,28 @@ object TfIdf {
       .select(col("doc_id"), pmod(hash(col("token")), lit(numFeatures)).as("bucket"))
       .groupBy("doc_id", "bucket")
       .agg(count(lit(1)).as("tf"))
+
+  /** Feature-hashing doc embedding (B127): the hashing-trick projection
+    * of each document's sparse TF-IDF vector into a dense `dims`-wide
+    * embedding — v_d = Σ_t tfidf(t) · sign(md5(t ":" d)) — fixed-width
+    * document vectors with NO trained model and NO vocabulary table
+    * (sign-random projection; Johnson–Lindenstrauss says dot products
+    * survive). The bridge between the text side and the embedding-side
+    * operators (ANN, clustering, dedup) when no neural encoder exists.
+    *
+    * The sign is a pure md5 function of (token, dim): reproducible on
+    * any engine, including the oracle. Per-(doc, dim) sums fold sorted
+    * over the doc's own tokens — a doc-bounded buffer — and the dims
+    * explosion multiplies the TF-IDF frame by a literal constant, never
+    * by data. One extra partial-agg shuffle on (doc_id, dim). */
+  def docEmbedHash(docs: DataFrame, dims: Int = 16): DataFrame =
+    tfidf(docs)
+      .select(col("doc_id"), col("token"), col("tfidf"),
+        explode(sequence(lit(1), lit(dims))).as("dim0"))
+      .select(col("doc_id"), col("dim0").cast("long").as("dim"),
+        round(col("tfidf") * when(
+          conv(substring(md5(concat(col("token"), lit(":"), col("dim0").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 2 === 0, lit(1.0)).otherwise(lit(-1.0)), 9).as("c"))
+      .groupBy("doc_id", "dim")
+      .agg(round(Folds.sortedSum(col("c")), 6).as("v"))
 }

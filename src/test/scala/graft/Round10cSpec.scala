@@ -305,6 +305,36 @@ class Round10cSpec extends SparkSpec {
     assert(TextOps.kAnonymity(empty).count() === 0)
   }
 
+  // --- doc_embed_hash (B127) ---
+
+  test("docEmbedHash: identical documents embed identically, different ones differ") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat", "en", "a", 22L),
+      (2L, "the cat sat on the mat", "en", "b", 22L),
+      (3L, "a completely different sentence here", "en", "a", 36L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val v = graft.operators.TfIdf.docEmbedHash(corpus)
+      .select("doc_id", "dim", "v").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (id, xs) => id -> xs.sortBy(_._2).map(_._3).toSeq }
+    assert(v(1L) === v(2L))
+    assert(v(1L) !== v(3L))
+    assert(v(1L).size === 16)
+  }
+
+  test("docEmbedHash: partition-count independent (sorted fold)") {
+    val a = graft.operators.TfIdf.docEmbedHash(dupDocs).select("doc_id", "dim", "v")
+      .as[(Long, Long, Double)].collect().toSet
+    val b = graft.operators.TfIdf.docEmbedHash(dupDocs.repartition(7))
+      .select("doc_id", "dim", "v").as[(Long, Long, Double)].collect().toSet
+    assert(a === b)
+  }
+
+  test("docEmbedHash: empty corpus embeds to nothing") {
+    val empty = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(graft.operators.TfIdf.docEmbedHash(empty).count() === 0)
+  }
+
   test("filterAttrition: null text rows reject on quality, not crash") {
     val withNull = Seq(
       (1L, Option("the quick brown fox jumps over a lazy dog while it is a fine day today and the sun shines on many green things here by the old mill stream"), Option("en"), Option("a"), Option(200L)),
