@@ -690,6 +690,28 @@ object Oracles {
       """SELECT lang, source, n_chars // 100 AS len_bucket, count(*) AS n_docs
         |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5""".stripMargin,
 
+    // text -> hashed embedding -> exact cosine top-k; zero-norm vectors
+    // filtered on both sides so no NaN cosine reaches the compare
+    "text_ann" ->
+      s"""WITH t AS ($tfidf),
+         |c0 AS (SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+         |      round(tfidf * CASE WHEN ('0x' || substr(md5(token || ':' || CAST(dim AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+         |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END, 9) AS c
+         |      FROM t CROSS JOIN (SELECT unnest(range(1, 17)) AS dim)),
+         |vv AS (SELECT doc_id, dim, round(list_reduce(list_sort(list(c)), (a, b) -> a + b), 6) AS v
+         |      FROM c0 GROUP BY 1, 2),
+         |e AS (SELECT doc_id, list(v ORDER BY dim) AS e FROM vv GROUP BY doc_id),
+         |f AS (SELECT * FROM e WHERE list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b) > 0),
+         |q AS (SELECT doc_id AS q_id, e AS q_e FROM f WHERE doc_id < 10),
+         |scored AS (SELECT q_id, f.doc_id AS n_id,
+         |  round(list_reduce(list_transform(q_e, (x, i) -> x * f.e[i]), (a, b) -> a + b)
+         |    / (sqrt(list_reduce(list_transform(q_e, x -> x * x), (a, b) -> a + b))
+         |       * sqrt(list_reduce(list_transform(f.e, x -> x * x), (a, b) -> a + b))), 6) AS cos
+         |  FROM q JOIN f ON q_id <> f.doc_id),
+         |ranked AS (SELECT q_id, n_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM scored)
+         |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= 5""".stripMargin,
+
     // sign-random projection of the tf-idf vector: sign from md5(token:dim),
     // per-(doc, dim) contributions rounded 9 dp and folded sorted
     "doc_embed_hash" ->

@@ -130,6 +130,7 @@ object SparkEntry {
     "filter_attrition" -> ((s, d) => TextOps.filterAttrition(spread(t(s, d, "documents")))),
     "k_anonymity" -> ((s, d) => TextOps.kAnonymity(t(s, d, "documents"))),
     "doc_embed_hash" -> ((s, d) => TfIdf.docEmbedHash(spread(t(s, d, "documents")))),
+    "text_ann" -> ((s, d) => Similarity.textAnn(spread(t(s, d, "documents")))),
     "token_fertility" -> ((s, d) => TextOps.tokenFertility(spread(t(s, d, "documents")))),
     "dedup_survivorship" -> ((s, d) => Dedup.survivorship(spread(t(s, d, "documents")))),
     "minhash_band_tune" -> ((s, _) => Dedup.minhashBandTune(s)),

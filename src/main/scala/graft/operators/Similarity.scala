@@ -70,6 +70,33 @@ object Similarity {
       .select("q_id", "n_id", "rnk", "cos")
   }
 
+  /** Model-free semantic search over raw text (B128): the full
+    * text → embedding → ANN pipeline in one query — documents embed via
+    * [[TfIdf.docEmbedHash]]'s sign-random projection (no trained model,
+    * no vocab table), query docs broadcast, and the exact cosine top-k
+    * comes back through the TopKPerKey heap operator. What a pipeline
+    * without a neural encoder runs for "find documents like this one";
+    * swapping the encoder later changes ONLY the embedding subtree.
+    * Zero-norm embeddings (a doc whose every token cancels or carries
+    * zero tf-idf) are filtered before scoring on both engines so no
+    * NaN cosine ever reaches the compare. Scale: the per-doc pivot is
+    * a dims-bounded fold; query side broadcasts; corpus streams. */
+  def textAnn(docs: DataFrame, maxQueryId: Long = 10, k: Int = 5,
+              dims: Int = 16): DataFrame = {
+    val emb = TfIdf.docEmbedHash(docs, dims)
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("v")))),
+        s => s.getField("v")).as("e"))
+      .filter(aggregate(col("e"), lit(0.0), (a, x) => a + x * x) > 0)
+    val q = broadcast(emb.filter(col("doc_id") < maxQueryId)
+      .select(col("doc_id").as("q_id"), col("e").as("q_e")))
+    val scored = q.join(emb.select(col("doc_id").as("n_id"), col("e").as("n_e")),
+        col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosineDeclarative(col("q_e"), col("n_e")), 6).as("cos"))
+    rankTopK(scored, k)
+  }
+
   /** B7: IVF-ish ANN — corpus pre-bucketed by sign-LSH; each query probes
     * only its own bucket. Trades recall for a bucket-local scan. */
   def annIvf(emb: DataFrame, maxQueryId: Long = 10, k: Int = 5, bits: Int = 4): DataFrame = {

@@ -335,6 +335,29 @@ class Round10cSpec extends SparkSpec {
     assert(graft.operators.TfIdf.docEmbedHash(empty).count() === 0)
   }
 
+  // --- text_ann (B128) ---
+
+  test("textAnn: an exact text copy is its query's nearest neighbor at cos 1") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat today", "en", "a", 28L),
+      (50L, "the cat sat on the mat today", "en", "b", 28L), // copy of query 1
+      (51L, "une phrase en francais ici maintenant", "fr", "b", 37L),
+      (52L, "der schnelle braune fuchs springt", "de", "c", 33L),
+      (53L, "batch window agg scan filter merge", "en", "a", 34L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val top = graft.operators.Similarity.textAnn(corpus, maxQueryId = 10, k = 2)
+      .filter(col("q_id") === 1L).orderBy("rnk")
+      .select("n_id", "cos").as[(Long, Double)].collect()
+    assert(top.head._1 === 50L)
+    assert(top.head._2 === 1.0)
+  }
+
+  test("textAnn: total on an empty corpus") {
+    val empty = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(graft.operators.Similarity.textAnn(empty).count() === 0)
+  }
+
   test("filterAttrition: null text rows reject on quality, not crash") {
     val withNull = Seq(
       (1L, Option("the quick brown fox jumps over a lazy dog while it is a fine day today and the sun shines on many green things here by the old mill stream"), Option("en"), Option("a"), Option(200L)),
