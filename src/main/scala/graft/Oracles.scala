@@ -695,7 +695,7 @@ object Oracles {
     "text_ann" ->
       s"""WITH t AS ($tfidf),
          |c0 AS (SELECT doc_id, CAST(dim AS BIGINT) AS dim,
-         |      round(tfidf * CASE WHEN ('0x' || substr(md5(token || ':' || CAST(dim AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+         |      round(tfidf * CASE WHEN ('0x' || substr(md5(token), dim, 1))::BIGINT % 2 = 0
          |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END, 9) AS c
          |      FROM t CROSS JOIN (SELECT unnest(range(1, 17)) AS dim)),
          |vv AS (SELECT doc_id, dim, round(list_reduce(list_sort(list(c)), (a, b) -> a + b), 6) AS v
@@ -712,12 +712,12 @@ object Oracles {
          |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM scored)
          |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= 5""".stripMargin,
 
-    // sign-random projection of the tf-idf vector: sign from md5(token:dim),
-    // per-(doc, dim) contributions rounded 9 dp and folded sorted
+    // sign-random projection of the tf-idf vector: sign d = parity of
+    // hex digit d of ONE md5(token); contributions rounded 9 dp, sorted fold
     "doc_embed_hash" ->
       s"""WITH t AS ($tfidf),
          |c AS (SELECT doc_id, CAST(dim AS BIGINT) AS dim,
-         |      round(tfidf * CASE WHEN ('0x' || substr(md5(token || ':' || CAST(dim AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+         |      round(tfidf * CASE WHEN ('0x' || substr(md5(token), dim, 1))::BIGINT % 2 = 0
          |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END, 9) AS c
          |      FROM t CROSS JOIN (SELECT unnest(range(1, 17)) AS dim))
          |SELECT doc_id, dim, round(list_reduce(list_sort(list(c)), (a, b) -> a + b), 6) AS v

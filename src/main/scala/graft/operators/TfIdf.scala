@@ -146,18 +146,22 @@ object TfIdf {
     * operators (ANN, clustering, dedup) when no neural encoder exists.
     *
     * The sign is a pure md5 function of (token, dim): reproducible on
-    * any engine, including the oracle. Per-(doc, dim) sums fold sorted
-    * over the doc's own tokens — a doc-bounded buffer — and the dims
-    * explosion multiplies the TF-IDF frame by a literal constant, never
-    * by data. One extra partial-agg shuffle on (doc_id, dim). */
-  def docEmbedHash(docs: DataFrame, dims: Int = 16): DataFrame =
+    * any engine, including the oracle. ONE md5 per token row — sign d
+    * is the parity of hex digit d of md5(token) (dims ≤ 32), so the
+    * dims explosion multiplies only a cheap substring, not the hash.
+    * Per-(doc, dim) sums fold sorted over the doc's own tokens — a
+    * doc-bounded buffer. One extra partial-agg shuffle on (doc_id,
+    * dim). */
+  def docEmbedHash(docs: DataFrame, dims: Int = 16): DataFrame = {
+    require(dims <= 32, "sign bits come from the 32 hex digits of one md5")
     tfidf(docs)
-      .select(col("doc_id"), col("token"), col("tfidf"),
+      .select(col("doc_id"), col("tfidf"), md5(col("token")).as("h"),
         explode(sequence(lit(1), lit(dims))).as("dim0"))
       .select(col("doc_id"), col("dim0").cast("long").as("dim"),
         round(col("tfidf") * when(
-          conv(substring(md5(concat(col("token"), lit(":"), col("dim0").cast("string"))), 1, 8), 16, 10)
-            .cast("long") % 2 === 0, lit(1.0)).otherwise(lit(-1.0)), 9).as("c"))
+          conv(expr("substring(h, dim0, 1)"), 16, 10).cast("int") % 2 === 0,
+          lit(1.0)).otherwise(lit(-1.0)), 9).as("c"))
       .groupBy("doc_id", "dim")
       .agg(round(Folds.sortedSum(col("c")), 6).as("v"))
+  }
 }
