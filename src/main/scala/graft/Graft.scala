@@ -38,14 +38,16 @@ object Graft {
   }
 
   /** Mount every parquet table under `dir` as a temp view, so the full
-    * engine surface is reachable from SQL. events gets its nanos
-    * timestamp normalized to micros on the way in (the one driver-data
-    * quirk callers should never see). Because the view must live — and
-    * execute — in THIS session's catalog, mounting events sets
-    * `spark.sql.legacy.parquet.nanosAsLong` on this session and leaves
-    * it set: that is part of what mounting this dataset means. Query
-    * lambdas that must not mutate the shared session read through a
-    * cloned session instead (SparkEntry.events). */
+    * engine surface is reachable from SQL. events gets its `ts` column
+    * normalized to TimestampType on the way in, whichever physical type
+    * the data generation carries (the one driver-data quirk callers
+    * should never see — see SparkEntry.normalizeEventTs). Only the
+    * TIMESTAMP(NANOS) generation needs the legacy nanosAsLong conf, and
+    * because the view must live — and execute — in THIS session's
+    * catalog, that generation sets it on this session and leaves it set:
+    * that is part of what mounting such a dataset means. Query lambdas
+    * that must not mutate the shared session read through a cloned
+    * session instead (SparkEntry.events). */
   def registerTables(spark: SparkSession, dir: String): Unit = {
     install(spark)
     Tables.foreach { name =>
@@ -53,10 +55,15 @@ object Graft {
       if (new java.io.File(path).exists()) {
         val df =
           if (name == "events") {
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            spark.read.parquet(path).withColumn("ts",
-              org.apache.spark.sql.functions.timestamp_micros(
-                org.apache.spark.sql.functions.expr("ts div 1000")))
+            val raw =
+              try spark.read.parquet(path)
+              catch { case scala.util.control.NonFatal(_) =>
+                // TIMESTAMP(NANOS) generation: the reader rejects the
+                // schema outright unless nanos surface as plain longs
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                spark.read.parquet(path)
+              }
+            SparkEntry.normalizeEventTs(raw)
           } else spark.read.parquet(path)
         df.createOrReplaceTempView(name)
       }

@@ -15,15 +15,30 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which the vectorized reader
-    * rejects — read as long nanos and convert to micros. The legacy conf
+  /** events.parquet's `ts` physical type has drifted across driver data
+    * generations: TIMESTAMP(NANOS) (rounds 1-9; the vectorized reader
+    * rejects it, so it must be read as long nanos) vs TIMESTAMP(MICROS)
+    * with no UTC adjustment (round 10+; Spark reads it as TIMESTAMP_NTZ).
+    * Branch on the read schema and normalize BOTH generations to
+    * TimestampType — with the UTC session TZ the NTZ→LTZ cast is
+    * wall-clock-identity, matching the DuckDB oracle's naive reading —
+    * so every downstream operator sees one stable type. The legacy conf
     * is scoped to a cloned session (own SQLConf, shared SparkContext) so
-    * the caller's session is never mutated as a side effect. */
+    * the caller's session is never mutated as a side effect; it is a
+    * no-op for non-nanos files. */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   private def events(spark: SparkSession, dir: String): DataFrame = {
     val iso = spark.newSession()
     iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    iso.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(iso.read.parquet(s"$dir/events.parquet"))
   }
 
   /** Re-spread a coarse scan to cluster width before CPU-heavy per-row

@@ -17,8 +17,16 @@ for t in ['region','nation','customer','supplier','part','orders','lineitem',
           'events','documents','embeddings']:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 oracle = json.load(open(f'{out}/oracle_sql.json'))
+# Closed under failure: a query that threw during graft.Verify is a
+# recorded failure (_errors.json), never a silent absence — round 10
+# lost 27 entries to exactly that gap.
+errs = {}
+if os.path.exists(f'{out}/_errors.json'):
+    errs = json.load(open(f'{out}/_errors.json'))
 bad = 0
-for name in sorted(oracle):
+for name in sorted(set(oracle) | set(errs)):
+    if name in errs:
+        print(f'{name}: QUERY ERROR: {errs[name]}'); bad += 1; continue
     path = f'{out}/{name}'
     parts = glob.glob(f'{path}/*.parquet')
     if not os.path.isdir(path) or not parts:
