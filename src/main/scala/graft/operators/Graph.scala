@@ -44,16 +44,17 @@ object Graph {
       edges.join(outw, "src")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     ew.count() // materialize once; every iteration re-joins this frame
-    // N = node count via a full-frame window over the vocabulary-sized
-    // rank frame (src and dst sets coincide on an undirected graph) —
-    // no per-iteration scalar broadcast job, and the lineage stays
-    // linear in iters
-    val wFull = org.apache.spark.sql.expressions.Window.orderBy(lit(1))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    var ranks = ew.select(col("src").as("token")).distinct()
-      .select(col("token"),
-        (lit(1.0) / count(lit(1)).over(wFull)).as("r"))
+    // N = node count as a ONE-ROW aggregated frame broadcast into each
+    // step (src and dst sets coincide on an undirected graph). The
+    // build side is a single row, so the BroadcastNestedLoopJoin it
+    // plans is bounded — unlike the previous full-frame count window,
+    // which sorted the whole vocabulary-sized rank frame in ONE task
+    // (10⁸+ distinct tokens on a web corpus). Same N, same values,
+    // oracle unchanged.
+    val nodes = ew.select(col("src").as("token")).distinct()
+    val nFrame = nodes.agg(count(lit(1)).as("_n"))
+    var ranks = nodes.crossJoin(broadcast(nFrame))
+      .select(col("token"), (lit(1.0) / col("_n")).as("r"))
     for (_ <- 1 to iters) {
       val contrib = ew.join(ranks, ew("src") === ranks("token"))
         .select(col("dst"),
@@ -61,8 +62,9 @@ object Graph {
       ranks = contrib.groupBy(col("dst"))
         .agg(round(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
           (acc, v) => acc + v), 9).as("sum_c"))
+        .crossJoin(broadcast(nFrame))
         .select(col("dst").as("token"),
-          round((lit(1.0) - lit(d)) / count(lit(1)).over(wFull) + col("sum_c"), 9)
+          round((lit(1.0) - lit(d)) / col("_n") + col("sum_c"), 9)
             .as("r"))
     }
     ranks.select(col("token"), col("r").as("rank"))

@@ -68,6 +68,42 @@ object Ranks {
       .drop("_pid", "_lrnk", "_off")
   }
 
+  /** Adds `cumCol` = global running sum of integral column `value` under
+    * `order` (a total order) and `totalCol` = the grand total, with the
+    * same two-pass range-partitioned shape as [[withGlobalRowNumber]] —
+    * never collapsing the frame to one partition. `value` must be an
+    * integral column: exact long addition makes the composed sum
+    * independent of where the range cuts fall, which a double cumsum
+    * would not be (window sums don't promise an addition order).
+    *
+    * Same correctness persist as withGlobalRowNumber: the partial-sums
+    * aggregate and the join's left side must observe ONE boundary
+    * sampling of the range partitioner. */
+  def withGlobalCumSum(df: DataFrame, value: String, cumCol: String,
+                       totalCol: String, order: Seq[Column]): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("_pid", spark_partition_id())
+    val local = graft.CacheTracker.track(
+      ranged.withColumn("_lcum",
+          sum(col(value)).over(Window.partitionBy(col("_pid")).orderBy(order: _*)
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // numShufflePartitions rows — config-bounded, not data-bounded
+    val psums = local.groupBy(col("_pid")).agg(sum(col(value)).as("_psum"))
+    val offsets = psums
+      .withColumn("_off",
+        coalesce(
+          sum(col("_psum")).over(Window.orderBy(col("_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn(totalCol, sum(col("_psum")).over())
+      .select(col("_pid"), col("_off"), col(totalCol))
+    local.join(broadcast(offsets), "_pid")
+      .withColumn(cumCol, col("_off") + col("_lcum"))
+      .drop("_pid", "_lcum", "_off")
+  }
+
   /** True integer division — Spark's `/` on integral columns is DOUBLE
     * division, which silently shifts ntile bucket boundaries. */
   private def idiv(a: Column, b: Column): Column = {

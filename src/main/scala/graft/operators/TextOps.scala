@@ -1138,22 +1138,23 @@ object TextOps {
     * transcendental (pow) quantizes to integer MICRO-units immediately,
     * so the running and total sums are exact longs — immune to
     * float-fold order on both engines (a double cumsum would not be:
-    * window sums don't promise an addition order). Vocab-bounded. */
+    * window sums don't promise an addition order).
+    *
+    * Scale posture: the running sum goes through
+    * [[Ranks.withGlobalCumSum]]'s two-pass range-partitioned machinery,
+    * not a single-partition global window — a 100 TB web corpus carries
+    * 10⁸+ distinct tokens pre-truncation, which is far past what one
+    * window task should sort. Exact long addition keeps the composed sum
+    * identical wherever the range cuts fall, so the oracle is unchanged. */
   def negSamplingTable(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("w_micros").desc, col("token"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val wAll = org.apache.spark.sql.expressions.Window.orderBy(lit(1))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    docs.select(explode(tokens(col("text"))).as("token"))
+    val vocab = docs.select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .withColumn("w_micros",
         round(pow(col("cnt").cast("double"), 0.75) * 1e6).cast("long"))
-      .withColumn("total", sum(col("w_micros")).over(wAll))
+    Ranks.withGlobalCumSum(vocab, "w_micros", "_cum", "_total",
+        Seq(col("w_micros").desc, col("token")))
       .select(col("token"), col("cnt"), col("w_micros"),
-        round(sum(col("w_micros")).over(w).cast("double") / col("total"), 6)
-          .as("cum_share"))
+        round(col("_cum").cast("double") / col("_total"), 6).as("cum_share"))
   }
 
   /** Deterministic masked-LM example generation (B75): each token masks

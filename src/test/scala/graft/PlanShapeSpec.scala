@@ -161,15 +161,19 @@ class PlanShapeSpec extends SparkSpec {
     // partition-offset fold over the numShufflePartitions-row counts
     // frame (output exactly {_pid, _cnt}: bounded by config, not data).
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // vocab-sized frames count as data-sized too: a web corpus carries
+    // 10⁸+ distinct tokens, so neg_sampling_table / token_pagerank ride
+    // the same two-pass machinery (round-11 rewrite)
     for (key <- Seq("user_spend_rank", "spend_gini", "rfm_segments",
-        "quality_by_length_decile", "rrf_fusion", "tpch_q11")) {
+        "quality_by_length_decile", "rrf_fusion", "tpch_q11",
+        "neg_sampling_table", "token_pagerank")) {
       val lp = SparkEntry.queries(key)(spark, sf).queryExecution.optimizedPlan
       val unpartitioned = lp.collect {
         case w: LWindow if w.partitionSpec.isEmpty => w
       }
       for (w <- unpartitioned) {
         val childCols = w.child.output.map(_.name).toSet
-        assert(childCols.subsetOf(Set("_pid", "_cnt", "_off")),
+        assert(childCols.subsetOf(Set("_pid", "_cnt", "_off", "_psum")),
           s"$key has a data-sized unpartitioned window over $childCols")
       }
     }
