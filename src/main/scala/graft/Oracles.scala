@@ -1544,6 +1544,53 @@ object Oracles {
          |SELECT vec_id, cluster, round(dist, 6) AS dist FROM a4""".stripMargin
     },
 
+    // deterministic KMeans-IVF: 8 cells on the 16-dim slice, two Lloyd
+    // rounds (same init/fold/tie discipline as kmeans_lloyd), queries
+    // probe their 2 nearest final centroids, cosine top-5 within the
+    // probed cells on the FULL embedding
+    "ann_ivf_kmeans_det" -> {
+      def assign(c: String, a: String) =
+        s"""$a AS (SELECT vec_id, embedding, e, cluster FROM (
+           |  SELECT vec_id, embedding, e, cluster,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+           |  FROM (SELECT v.vec_id, v.embedding, v.e, $c.cluster,
+           |      round(list_reduce(list_transform(range(1, 17),
+           |        i -> (e[i] - c[i]) * (e[i] - c[i])), (p, q) -> p + q), 9) AS dist
+           |    FROM v CROSS JOIN $c)) WHERE rn = 1)""".stripMargin
+      def recenter(a: String, m: String, c: String) =
+        s"""$m AS (SELECT cluster, pos,
+           |  round(list_reduce(list_sort(list(sub_s)), (p, q) -> p + q) / sum(sub_n), 9) AS cm
+           |  FROM (SELECT cluster, pos, vec_id % 1024 AS sb, count(*) AS sub_n,
+           |        list_reduce(list_sort(list(x)), (p, q) -> p + q) AS sub_s
+           |        FROM (SELECT vec_id, cluster, unnest(range(1, 17)) AS pos, unnest(e) AS x FROM $a)
+           |        GROUP BY cluster, pos, sb)
+           |  GROUP BY cluster, pos),
+           |$c AS (SELECT cluster, list(cm ORDER BY pos) AS c FROM $m GROUP BY cluster)""".stripMargin
+      s"""WITH v AS (SELECT vec_id, embedding,
+         |           list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, e AS c FROM v WHERE vec_id < 8),
+         |${assign("c0", "a1")},
+         |${recenter("a1", "m1", "c1")},
+         |${assign("c1", "a2")},
+         |${recenter("a2", "m2", "c2")},
+         |${assign("c2", "a3")},
+         |qp AS (SELECT q_id, q_emb, cluster FROM (
+         |  SELECT v.vec_id AS q_id, v.embedding AS q_emb, c2.cluster,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      round(list_reduce(list_transform(range(1, 17),
+         |        i -> (e[i] - c[i]) * (e[i] - c[i])), (p, q) -> p + q), 9), cluster) AS rn
+         |  FROM v CROSS JOIN c2 WHERE v.vec_id < 10) WHERE rn <= 2),
+         |scored AS (SELECT q_id, a3.vec_id AS n_id,
+         |  round(list_reduce(list_transform(q_emb, (x, i) -> CAST(x AS DOUBLE) * CAST(a3.embedding[i] AS DOUBLE)), (p2, q2) -> p2 + q2)
+         |    / (sqrt(list_reduce(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p2, q2) -> p2 + q2))
+         |       * sqrt(list_reduce(list_transform(a3.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p2, q2) -> p2 + q2))), 6) AS cos
+         |  FROM qp JOIN a3 ON qp.cluster = a3.cluster AND qp.q_id <> a3.vec_id),
+         |ranked AS (SELECT q_id, n_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM scored)
+         |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= 5""".stripMargin
+    },
+
     // independent Morton interleave: the same 5 magic-mask spread steps
     // as the native expression, unrolled as CTE stages over BIGINT bit ops
     "zorder_key" ->

@@ -131,6 +131,7 @@ object SparkEntry {
     "ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
     "ann_ivf_kmeans" -> ((s, d) => Similarity.annIvfKmeans(t(s, d, "embeddings"))),
+    "ann_ivf_kmeans_det" -> ((s, d) => Similarity.annIvfKmeansDet(t(s, d, "embeddings"))),
     "quality_score" -> ((s, d) => TextOps.qualityScore(spread(t(s, d, "documents")))),
     "stratified_sample" -> ((s, d) => TextOps.stratifiedSample(t(s, d, "documents"))),
     "corpus_shuffle" -> ((s, d) => TextOps.corpusShuffle(t(s, d, "documents"))),

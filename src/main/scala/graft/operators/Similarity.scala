@@ -163,6 +163,77 @@ object Similarity {
     out
   }
 
+  /** Deterministic KMeans-IVF twin (B7c) — what [[simhash_det]] is to
+    * simhash: the same IVF structure as [[annIvfKmeans]] (coarse
+    * quantizer cells, nProbe probing, cell-local cosine scan) with
+    * MLlib's seed-bound fit replaced by [[kmeansLloyd]]'s deterministic
+    * Lloyd machinery (init = the nCells lowest vec_ids' dim-slices,
+    * index-order distance folds at 9 dp, ties to the lowest cluster,
+    * sub-bucketed sorted-fold recentering), so every centroid — and
+    * therefore every probe set and every result row — is reproducible
+    * by the DuckDB oracle CTE-for-CTE.
+    *
+    * Scale posture is the IVF one: the corpus never shuffles — each
+    * Lloyd round and the final assignment are one broadcast of the
+    * (nCells×dims)-bounded centroid table against the cached vector
+    * frame; probing broadcasts the (queries×nProbe)-bounded probe set;
+    * only cell-matched corpus rows are scored. */
+  def annIvfKmeansDet(emb: DataFrame, maxQueryId: Long = 10, k: Int = 5,
+                      nCells: Int = 8, nProbe: Int = 2, iters: Int = 2,
+                      dims: Int = 16): DataFrame = {
+    val vecs = graft.CacheTracker.track(
+      emb.select(col("vec_id"), col("embedding"),
+          expr(s"transform(slice(embedding, 1, $dims), x -> CAST(x AS DOUBLE))").as("e"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    vecs.count()
+    def dist(a: Column, b: Column): Column =
+      round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x), 9)
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cluster"))
+      vecs.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("e"), col("cluster"),
+          dist(col("e"), col("c")).as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn", "dist")
+    }
+    var cent = vecs.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("long").as("cluster"), col("e").as("c"))
+    for (_ <- 1 to iters) {
+      // two-level fold (Folds): cell membership grows with the corpus
+      cent = assign(cent)
+        .select(col("vec_id"), col("cluster"), posexplode(col("e")).as(Seq("pos", "x")))
+        .select(col("cluster"), col("pos"), Folds.subBucket(col("vec_id")), col("x"))
+        .groupBy(col("cluster"), col("pos"), col("sb"))
+        .agg(count(lit(1)).as("sub_n"), Folds.sortedSum(col("x")).as("sub_s"))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(round(Folds.sortedSum(col("sub_s")) / sum(col("sub_n")), 9).as("cm"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cm")))).as("pc"))
+        .select(col("cluster"), transform(col("pc"), x => x.getField("cm")).as("c"))
+    }
+    val assigned = assign(cent)
+      .select(col("cluster"), col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    // queries probe their nProbe nearest FINAL centroids (same distance
+    // discipline as the Lloyd rounds: 9 dp fold, ties to lowest cluster)
+    val wq = Window.partitionBy("q_id").orderBy(col("qdist"), col("cluster"))
+    val probed = vecs.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("e").as("q_e"))
+      .crossJoin(broadcast(cent))
+      .select(col("q_id"), col("q_emb"), col("cluster"),
+        dist(col("q_e"), col("c")).as("qdist"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("cluster"))
+    val scored = broadcast(probed)
+      .join(assigned, Seq("cluster"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_emb"), col("n_emb")), 6).as("cos"))
+    rankTopK(scored, k)
+  }
+
   /** Per-label embedding centroids (B17): posexplode to (label, dim, x),
     * then the two-level bit-stable mean ([[Folds]]): a (label, dim)
     * group holds ALL N_label vectors' values — corpus-sized, so a

@@ -82,6 +82,29 @@ class SimilaritySpec extends SparkSpec {
     graft.CacheTracker.releaseAll()
   }
 
+  test("annIvfKmeansDet: deterministic twin is reproducible and meets the recall floor") {
+    // B7c — the oracle-exact sibling of annIvfKmeans (md5-free: the
+    // determinism comes from Lloyd init on the lowest vec_ids and
+    // tie-broken folds, so two runs are bit-identical by construction).
+    val emb2 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val k = 5
+    val a = Similarity.annIvfKmeansDet(emb2, maxQueryId = 10, k = k).collect()
+    val b = Similarity.annIvfKmeansDet(emb2, maxQueryId = 10, k = k).collect()
+    assert(a.map(_.toString).sorted.toSeq === b.map(_.toString).sorted.toSeq)
+    graft.CacheTracker.releaseAll()
+    val exact = Similarity.annTopK(emb2, maxQueryId = 10, k = k)
+      .select(col("q_id"), col("n_id"))
+    val approx = Similarity.annIvfKmeansDet(emb2, maxQueryId = 10, k = k)
+      .select(col("q_id").as("aq"), col("n_id").as("an"))
+    val total = exact.count()
+    val hits = exact.join(approx,
+      exact("q_id") === approx("aq") && exact("n_id") === approx("an"),
+      "left_semi").count()
+    val recall = hits.toDouble / total
+    assert(recall >= 0.5, f"recall@$k = $recall%.3f — det IVF quality regressed")
+    graft.CacheTracker.releaseAll()
+  }
+
   test("nearDupPairs finds the planted duplicate, bucketed not all-pairs") {
     val pairs = Similarity.nearDupPairs(emb, cosMin = 0.99, bits = 8)
     assert(pairs.select("a_id", "b_id").as[(Long, Long)].collect().toSet === Set((0L, 100L)))
