@@ -1647,6 +1647,44 @@ object Oracles {
          |FROM b WHERE token IN ('query', 'join', 'scan')
          |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
+    // retrieval eval: MRR@10 + NDCG@10 of the BM25 ranking, coverage-
+    // graded relevance (distinct query terms present), ln discount
+    "search_eval" ->
+      s"""WITH b AS ($bm25Sql),
+         |q(query_id, token) AS (VALUES (CAST(1 AS BIGINT), 'query'), (1, 'join'), (1, 'scan'),
+         |                              (2, 'data'), (2, 'table')),
+         |qn AS (SELECT query_id, count(DISTINCT token) AS q_n FROM q GROUP BY 1),
+         |scores AS (SELECT query_id, b.doc_id,
+         |    round(list_reduce(list_sort(list(bm25)), (p, r) -> p + r), 6) AS score
+         |  FROM b JOIN q USING (token) GROUP BY 1, 2),
+         |t AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |relv AS (SELECT query_id, t.doc_id, count(DISTINCT t.token) AS rel
+         |  FROM t JOIN q USING (token) GROUP BY 1, 2),
+         |ranked AS (SELECT query_id, doc_id, score,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+         |  FROM scores),
+         |topk AS (SELECT r.query_id, r.doc_id, r.rnk, relv.rel
+         |  FROM ranked r JOIN relv USING (query_id, doc_id) WHERE rnk <= 10),
+         |dcg AS (SELECT query_id,
+         |  round(list_reduce(list_sort(list(
+         |    round(CAST(rel AS DOUBLE) / ln(CAST(rnk + 1 AS DOUBLE)), 9))),
+         |    (p, r) -> p + r), 6) AS dcg
+         |  FROM topk GROUP BY 1),
+         |mrr AS (SELECT t2.query_id,
+         |  coalesce(round(1.0 / min(CASE WHEN t2.rel = qn.q_n THEN t2.rnk END), 6), 0.0) AS mrr
+         |  FROM topk t2 JOIN qn ON t2.query_id = qn.query_id GROUP BY 1),
+         |ideal AS (SELECT query_id, rel,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS irnk
+         |  FROM relv),
+         |idcg AS (SELECT query_id,
+         |  round(list_reduce(list_sort(list(
+         |    round(CAST(rel AS DOUBLE) / ln(CAST(irnk + 1 AS DOUBLE)), 9))),
+         |    (p, r) -> p + r), 6) AS idcg
+         |  FROM ideal WHERE irnk <= 10 GROUP BY 1)
+         |SELECT query_id, mrr.mrr, d.dcg, idcg.idcg,
+         |  round(d.dcg / idcg.idcg, 6) AS ndcg
+         |FROM dcg d JOIN mrr USING (query_id) JOIN idcg USING (query_id)""".stripMargin,
+
     // index of dispersion of per-doc tf over containing docs
     "token_burstiness" ->
       s"""WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM $tokTable GROUP BY 1, 2),

@@ -400,6 +400,70 @@ object LangModel {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
 
+  /** Retrieval-quality evaluation (B129): MRR@k and NDCG@k of the BM25
+    * ranking over a fixed two-query workload — the eval gate a training-
+    * data pipeline runs before trusting its retrieval stack (what
+    * ann_recall is to the ANN index, this is to lexical search).
+    * Relevance is deterministic "coverage grading": rel(q, d) = number
+    * of DISTINCT query terms appearing in d (fully relevant = all
+    * terms), so the qrels need no human labels and replay exactly in
+    * SQL. DCG uses the natural-log discount Σ rel/ln(rank+1) (ln is
+    * bit-stable across engines where log2 is not); MRR@k takes the
+    * first FULLY-relevant hit. Each DCG term rounds to 9 dp and folds
+    * over a sorted ≤k-element list.
+    *
+    * Scale posture: candidate docs (those matching ≥1 term) shrink to
+    * the top-k per query through the TopKPerKey heap BEFORE any window
+    * ranks them, for both the BM25 and the ideal ordering — the
+    * corpus-sized graded frame is never sorted. */
+  def searchEval(docs: DataFrame, k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qdf = broadcast(Seq(
+      1L -> "query", 1L -> "join", 1L -> "scan",
+      2L -> "data", 2L -> "table").toDF("query_id", "token"))
+    val qn = broadcast(qdf.groupBy("query_id")
+      .agg(count_distinct(col("token")).as("q_n")))
+    val scores = bm25(docs).join(qdf, "token")
+      .groupBy("query_id", "doc_id")
+      .agg(round(aggregate(sort_array(collect_list(col("bm25"))), lit(0.0),
+        (a, b) => a + b), 6).as("score"))
+    val relv = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .join(qdf, "token")
+      .groupBy("query_id", "doc_id")
+      .agg(count_distinct(col("token")).as("rel"))
+    graft.plans.TopK.register(spark)
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    val topk = graft.plans.TopK.topKPerKey(
+        scores, Seq("query_id"), Seq("score" -> false, "doc_id" -> true), k)
+      .withColumn("rnk", row_number().over(wS).cast("long"))
+      .filter(col("rnk") <= k)
+      .join(relv, Seq("query_id", "doc_id"))
+    def dcgTerm(rel: org.apache.spark.sql.Column, rnk: org.apache.spark.sql.Column) =
+      round(rel.cast("double") / log((rnk + 1).cast("double")), 9)
+    val dcg = topk
+      .groupBy("query_id")
+      .agg(round(aggregate(sort_array(collect_list(dcgTerm(col("rel"), col("rnk")))),
+        lit(0.0), (a, b) => a + b), 6).as("dcg"))
+    val mrr = topk.join(qn, "query_id")
+      .groupBy("query_id")
+      .agg(coalesce(round(lit(1.0) /
+        min(when(col("rel") === col("q_n"), col("rnk"))), 6), lit(0.0)).as("mrr"))
+    val wI = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rel").desc, col("doc_id"))
+    val idcg = graft.plans.TopK.topKPerKey(
+        relv, Seq("query_id"), Seq("rel" -> false, "doc_id" -> true), k)
+      .withColumn("irnk", row_number().over(wI).cast("long"))
+      .filter(col("irnk") <= k)
+      .groupBy("query_id")
+      .agg(round(aggregate(sort_array(collect_list(dcgTerm(col("rel"), col("irnk")))),
+        lit(0.0), (a, b) => a + b), 6).as("idcg"))
+    dcg.join(mrr, "query_id").join(idcg, "query_id")
+      .select(col("query_id"), col("mrr"), col("dcg"), col("idcg"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+  }
+
   /** Zipf exponent fit (B89): OLS slope of ln(frequency) on ln(rank)
     * over the corpus vocabulary — the power-law health check (natural
     * corpora sit near −1; pathological or synthetic mixes drift). Ranks

@@ -22,6 +22,27 @@ class LangModelSpec extends SparkSpec {
     assert(scores.forall(_._3 > 0), "the +1 idf form keeps every score positive")
   }
 
+  test("searchEval: perfect ranking yields mrr 1 and ndcg 1; metrics bounded") {
+    // doc 1 covers all of query 1's terms and tops the BM25 ranking, so
+    // MRR@10 = 1; with a single graded ordering the BM25 and ideal
+    // rankings coincide -> NDCG = 1. Query 2's terms ('data','table')
+    // appear too so both workload rows come back.
+    val d = docs(
+      (1L, "query join scan data"), (2L, "query join filler pad"),
+      (3L, "scan only here pad"), (4L, "table data table pad"),
+      (5L, "nothing relevant at all"))
+    val out = LangModel.searchEval(d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.map(_._1).toSet === Set(1L, 2L))
+    val q1 = out.find(_._1 == 1L).get
+    assert(q1._2 === 1.0, s"doc 1 is fully relevant and ranked first: mrr = ${q1._2}")
+    out.foreach { case (_, mrr, dcg, idcg, ndcg) =>
+      assert(mrr >= 0.0 && mrr <= 1.0)
+      assert(dcg > 0 && idcg >= dcg - 1e-9, s"dcg $dcg must not exceed idcg $idcg")
+      assert(ndcg > 0 && ndcg <= 1.0 + 1e-9)
+    }
+  }
+
   test("unigram logprob scores a doc of frequent tokens above a doc of rare ones") {
     val d = docs(
       (1L, "the the the the"), (2L, "the the the the"), (3L, "the the the the"),
