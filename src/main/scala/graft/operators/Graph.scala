@@ -44,17 +44,19 @@ object Graph {
       edges.join(outw, "src")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     ew.count() // materialize once; every iteration re-joins this frame
-    // N = node count as a ONE-ROW aggregated frame broadcast into each
-    // step (src and dst sets coincide on an undirected graph). The
-    // build side is a single row, so the BroadcastNestedLoopJoin it
-    // plans is bounded — unlike the previous full-frame count window,
-    // which sorted the whole vocabulary-sized rank frame in ONE task
-    // (10⁸+ distinct tokens on a web corpus). Same N, same values,
-    // oracle unchanged.
+    // N = node count, read ONCE as a scalar off the persisted edge
+    // frame (src and dst sets coincide on an undirected graph) — a
+    // bounded driver action in the same category as the ew.count()
+    // materialization above, NOT a per-row collect. Inlining the
+    // literal keeps every iteration free of both the previous
+    // full-frame count window (which sorted the vocabulary-sized rank
+    // frame in ONE task — 10⁸+ distinct tokens on a web corpus) and
+    // any per-iteration one-row broadcast join (A/B'd at 2.5× the
+    // runtime of the literal form, BASELINE.md round 11). Same N,
+    // same values, oracle unchanged.
     val nodes = ew.select(col("src").as("token")).distinct()
-    val nFrame = nodes.agg(count(lit(1)).as("_n"))
-    var ranks = nodes.crossJoin(broadcast(nFrame))
-      .select(col("token"), (lit(1.0) / col("_n")).as("r"))
+    val n = nodes.count()
+    var ranks = nodes.select(col("token"), (lit(1.0) / lit(n)).as("r"))
     for (_ <- 1 to iters) {
       val contrib = ew.join(ranks, ew("src") === ranks("token"))
         .select(col("dst"),
@@ -62,9 +64,8 @@ object Graph {
       ranks = contrib.groupBy(col("dst"))
         .agg(round(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
           (acc, v) => acc + v), 9).as("sum_c"))
-        .crossJoin(broadcast(nFrame))
         .select(col("dst").as("token"),
-          round((lit(1.0) - lit(d)) / col("_n") + col("sum_c"), 9)
+          round((lit(1.0) - lit(d)) / lit(n) + col("sum_c"), 9)
             .as("r"))
     }
     ranks.select(col("token"), col("r").as("rank"))
