@@ -443,6 +443,45 @@ object Oracles {
         |       p.us - c.click_us AS gap_us
         |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us >= c.click_us""".stripMargin,
 
+    // last-touch attribution: ASOF LEFT JOIN keeps no-click purchases
+    // ('organic'); exact-cent revenue per time-to-convert bucket
+    "attribution_last_touch" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+        |             CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ns(ts) // 1000 AS click_us,
+        |             min(event_id) AS click_event_id
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |a AS (SELECT p.us, p.cents, c.click_us
+        |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.click_us)
+        |SELECT CASE WHEN click_us IS NULL THEN 'organic'
+        |            WHEN us - click_us <= 3600000000 THEN 'click_1h'
+        |            WHEN us - click_us <= 86400000000 THEN 'click_24h'
+        |            ELSE 'click_older' END AS channel_bucket,
+        |  count(*) AS n_purchases, CAST(sum(cents) AS BIGINT) AS attributed_cents
+        |FROM a GROUP BY 1""".stripMargin,
+
+    // linear attribution: equal integer-cent split across 24h-lookback
+    // clicks, remainder to the earliest touch; revenue by click hour
+    "attribution_linear" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+        |             CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ns(ts) // 1000 AS click_us,
+        |             min(event_id) AS click_event_id
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |t AS (SELECT p.event_id, p.cents, c.click_us, c.click_event_id
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |       AND c.click_us <= p.us AND c.click_us > p.us - 86400000000),
+        |r AS (SELECT event_id, cents, click_us,
+        |        count(*) OVER (PARTITION BY event_id) AS n_touch,
+        |        row_number() OVER (PARTITION BY event_id ORDER BY click_us, click_event_id) AS tr
+        |      FROM t)
+        |SELECT (click_us // 3600000000) % 24 AS click_hour,
+        |  count(*) AS n_touches,
+        |  CAST(sum(cents // n_touch + CASE WHEN tr = 1 THEN cents % n_touch ELSE 0 END) AS BIGINT) AS attributed_cents
+        |FROM r GROUP BY 1""".stripMargin,
+
     // forward twin: DuckDB ASOF flips direction with <=
     "asof_join_forward" ->
       """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us

@@ -404,6 +404,64 @@ object SparkEntry {
     "audience_set_ops" -> ((s, d) => Relational.audienceSetOps(events(s, d))),
     "events_lead_lag" -> ((s, d) => Relational.eventsLeadLag(events(s, d))),
     "pivot_events" -> ((s, d) => Relational.pivotEvents(events(s, d))),
+    // last-touch attribution (C92): each purchase's exact-cent revenue
+    // attributed to the user's most recent click at/before it (the AsOf
+    // machinery), reported by time-to-convert bucket with no-click
+    // purchases kept as 'organic'. One as-of pass, then a 4-bucket agg —
+    // the marketing-analytics shape every event warehouse runs.
+    "attribution_last_touch" -> ((s, d) => {
+      val e = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("us").as("click_us"))
+        .agg(min("event_id").as("click_event_id"))
+      AsOf.asofJoin(purchases, clicks, "user_id", "us", "click_us")
+        .withColumn("channel_bucket",
+          when(col("click_us").isNull, "organic")
+            .when(col("us") - col("click_us") <= 3600L * 1000000L, "click_1h")
+            .when(col("us") - col("click_us") <= 24L * 3600L * 1000000L, "click_24h")
+            .otherwise("click_older"))
+        .groupBy("channel_bucket")
+        .agg(count(lit(1)).as("n_purchases"), sum("cents").as("attributed_cents"))
+    }),
+    // linear (multi-touch) attribution (C93): each purchase's cents split
+    // EQUALLY across all its clicks in the 24h lookback — integer share
+    // per touch with the remainder credited to the earliest touch, so
+    // total attributed cents equal total purchase cents exactly. The
+    // purchase-click pairing is a per-user equi-join with a range
+    // predicate (shuffles on user_id, never a cartesian); the
+    // earliest-touch pick is a per-purchase window over that user's
+    // clicks only. Report: revenue by click hour-of-day.
+    "attribution_linear" -> ((s, d) => {
+      val e = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("us").as("click_us"))
+        .agg(min("event_id").as("click_event_id"))
+      val touches = purchases.join(clicks, "user_id")
+        .filter(col("click_us") <= col("us") &&
+          col("click_us") > col("us") - lit(24L * 3600L * 1000000L))
+      val wFirst = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_id")
+        .orderBy(col("click_us"), col("click_event_id"))
+      touches
+        .withColumn("n_touch", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("event_id")))
+        .withColumn("tr", row_number().over(wFirst))
+        .select(col("click_us"),
+          (expr("cents div n_touch") +
+            when(col("tr") === 1, col("cents") % col("n_touch"))
+              .otherwise(lit(0L))).as("att_cents"))
+        .groupBy(expr("pmod(click_us div 3600000000, 24)").as("click_hour"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("att_cents")).as("attributed_cents"))
+    }),
     "asof_join" -> ((s, d) => {
       val e = events(s, d).select(col("event_id"), col("user_id"),
         col("event_type"), unix_micros(col("ts")).as("us"))
