@@ -108,6 +108,58 @@ object Events {
       .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
   }
 
+  /** Streaming incremental corpus dedup (C94): the unbounded-horizon twin
+    * of operators.Dedup.incremental — every micro-batch anti-joins its
+    * content hashes against a DURABLE seen-hash parquet store, appends
+    * only never-seen docs to the corpus sink, then records their hashes.
+    * Where dropDuplicatesWithinWatermark (C18) bounds state by the
+    * watermark horizon, an LLM ingestion pipeline needs the opposite
+    * guarantee: a document seen last month is still a duplicate today.
+    * The store IS the state — hash-partitioned parquet on disk, zero
+    * executor-memory streaming state — and the anti-join shuffles the
+    * batch, not the corpus-lifetime store, whenever the store side
+    * outgrows broadcast.
+    *
+    * Failure discipline (at-least-once foreachBatch): the corpus write
+    * is dynamic-partition-overwrite by batch_id (a replay REPLACES its
+    * own output), and the store append tolerates replayed hashes
+    * because duplicate store rows cannot change anti-join semantics.
+    * Either half replayed in any order converges to exactly-once
+    * corpus contents. */
+  def incrementalCorpusDedup(docs: DataFrame, storeDir: String, outDir: String,
+                             checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      dedupCorpusBatch(batch, batchId, storeDir, outDir)
+    }
+    checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** The per-batch step, factored out so tests replay batches and assert
+    * convergence. Keeps the lowest doc_id among in-batch duplicates. */
+  def dedupCorpusBatch(batch: DataFrame, batchId: Long,
+                       storeDir: String, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val hashed = batch.withColumn("content_hash",
+      md5(graft.operators.TextOps.cleanText(col("text"))))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("content_hash").orderBy("doc_id")
+    val firsts = hashed.withColumn("_rn", row_number().over(wIn))
+      .filter(col("_rn") === 1).drop("_rn")
+    val novel =
+      (if (new java.io.File(storeDir).exists())
+         firsts.join(spark.read.parquet(storeDir).select("content_hash"),
+           Seq("content_hash"), "left_anti")
+       else firsts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      novel.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
+      novel.select("content_hash").write.mode("append").parquet(storeDir)
+    } finally novel.unpersist()
+  }
+
   case class SessionSummary(userId: Long, startUs: Long, endUs: Long, nEvents: Long)
   // public: the state encoder's generated code constructs it reflectively
   case class OpenSession(startUs: Long, endUs: Long, n: Long)

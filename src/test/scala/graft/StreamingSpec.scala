@@ -28,6 +28,36 @@ class StreamingSpec extends SparkSpec {
     assert(last === Set((1L, 3L, 600L), (2L, 1L, 500L)))
   }
 
+  test("incremental corpus dedup: durable store dedups across batches and replays converge") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_inc_dedup").toString
+    val (store, out, ckpt) = (s"$base/store", s"$base/corpus", s"$base/ckpt")
+    val stream = MemoryStream[(Long, String)]
+    val q = Events.incrementalCorpusDedup(
+      stream.toDF().toDF("doc_id", "text"), store, out, Some(ckpt))
+
+    stream.addData((1L, "alpha doc"), (2L, "beta doc"), (3L, "alpha doc"))
+    q.processAllAvailable()
+    stream.addData((4L, "alpha doc"), (5L, "gamma doc"))
+    q.processAllAvailable()
+    q.stop()
+
+    val corpus = spark.read.parquet(out)
+    // in-batch dup (doc 3) and cross-batch dups (doc 4) are dropped;
+    // exactly one row per distinct content, lowest doc_id kept
+    assert(corpus.select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 5L))
+    assert(corpus.select("content_hash").distinct().count() === 3)
+
+    // replay batch 1 (at-least-once retry): overwrite-by-batch_id plus
+    // store-tolerant anti-join must converge to the same corpus
+    Events.dedupCorpusBatch(
+      Seq((1L, "alpha doc"), (2L, "beta doc"), (3L, "alpha doc"))
+        .toDF("doc_id", "text"), 0L, store, out)
+    val after = spark.read.parquet(out)
+    assert(after.count() === 3, "a replayed micro-batch must not duplicate corpus rows")
+    assert(after.select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 5L))
+  }
+
   test("file-source readStream over parquet equals batch on the same files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
     val batchDf = Seq(
