@@ -461,6 +461,47 @@ object Oracles {
         |  count(*) AS n_purchases, CAST(sum(cents) AS BIGINT) AS attributed_cents
         |FROM a GROUP BY 1""".stripMargin,
 
+    // asymmetric containment over the same 3-gram shingles as
+    // ngram_jaccard: common/|A| and common/|B|, keep if either >= 0.6
+    "containment_pairs" ->
+      s"""WITH s AS (SELECT doc_id, source,
+         |  list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM (SELECT doc_id, source, $toks AS toks FROM documents)),
+         |f AS (SELECT * FROM s WHERE len(sh) > 0),
+         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) AS containment_ab,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 6) AS containment_ba
+         |  FROM f a JOIN f b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0)
+         |SELECT a_id, b_id, containment_ab, containment_ba FROM pairs
+         |WHERE containment_ab >= 0.6 OR containment_ba >= 0.6""".stripMargin,
+
+    // structural template id: md5 of the token-length skeleton
+    "template_docs" ->
+      s"""WITH sig AS (SELECT doc_id,
+         |  md5(array_to_string(list_transform($toks, t -> CAST(len(t) AS VARCHAR)), ',')) AS template_id
+         |  FROM documents),
+         |sz AS (SELECT template_id, count(*) AS template_size FROM sig GROUP BY 1)
+         |SELECT doc_id, sig.template_id, template_size
+         |FROM sig JOIN sz ON sig.template_id = sz.template_id""".stripMargin,
+
+    // market-basket pairs: exact co-occurrence counts + confidence/lift
+    "basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pn AS (SELECT l_partkey, count(*) AS n_part FROM items GROUP BY 1),
+        |no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+        |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+        |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT part_a, part_b, n_ab,
+        |  round(CAST(n_ab AS DOUBLE) / na.n_part, 6) AS conf_a_b,
+        |  round(CAST(n_ab AS DOUBLE) * n_orders / (na.n_part * nb.n_part), 6) AS lift
+        |FROM pairs
+        |JOIN pn na ON pairs.part_a = na.l_partkey
+        |JOIN pn nb ON pairs.part_b = nb.l_partkey
+        |CROSS JOIN no""".stripMargin,
+
     // linear attribution: equal integer-cent split across 24h-lookback
     // clicks, remainder to the earliest touch; revenue by click hour
     "attribution_linear" ->

@@ -125,6 +125,7 @@ object SparkEntry {
     "minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(spread(t(s, d, "documents")))),
     "pack_efficiency" -> ((s, d) => TextOps.packEfficiency(spread(t(s, d, "documents")))),
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(spread(t(s, d, "documents")))),
+    "containment_pairs" -> ((s, d) => Dedup.containmentPairs(spread(t(s, d, "documents")))),
     "embed_near_dup" -> ((s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"), cosMin = 0.3)),
     "dedup_components" -> ((s, d) =>
       Dedup.components(Similarity.nearDupPairs(t(s, d, "embeddings"), cosMin = 0.3))),
@@ -176,6 +177,7 @@ object SparkEntry {
     "length_mad" -> ((s, d) => TextOps.lengthMad(t(s, d, "documents"))),
     "char_token_regression" -> ((s, d) => TextOps.charTokenRegression(spread(t(s, d, "documents")))),
     "text_normalize" -> ((s, d) => TextOps.normalizeDocs(spread(t(s, d, "documents")))),
+    "template_docs" -> ((s, d) => TextOps.templateDocs(spread(t(s, d, "documents")))),
     "mm_extract" -> ((s, d) => Multimodal.extract(spread(t(s, d, "documents")))),
     "mm_patches" -> ((s, d) => Multimodal.patches(spread(t(s, d, "documents")))),
     "curation_pipeline" -> ((s, d) => TextOps.curate(spread(t(s, d, "documents")))),
@@ -337,6 +339,7 @@ object SparkEntry {
       Relational.mergeUpsert(docs, deletes.union(updates).union(inserts))
     }),
     "rollup_stats" -> ((s, d) => Relational.rollupStats(t(s, d, "documents"))),
+    "basket_pairs" -> ((s, d) => Relational.basketPairs(t(s, d, "lineitem"))),
     "customers_no_orders" -> ((s, d) =>
       Relational.customersWithoutOrders(t(s, d, "customer"), t(s, d, "orders"), t(s, d, "nation"))),
     "customers_with_orders" -> ((s, d) =>

@@ -521,6 +521,36 @@ object Dedup {
       .filter(col("jaccard") >= simMin)
   }
 
+  /** Asymmetric shingle containment (B131): containment(a→b) =
+    * |S(a)∩S(b)| / |S(a)| — the metric that catches SUBSET duplication
+    * (a wire article embedded in a longer page, a quoted doc inside a
+    * digest), which Jaccard structurally misses: |A| ≪ |B| drives the
+    * union-normalized score to 0 while containment stays ≈1. Emits both
+    * directions per candidate pair; keep pairs where either exceeds the
+    * floor. Same shared-shingle candidate machinery as [[ngramJaccard]]
+    * (pairs sharing no shingle never materialize), one pair-key shuffle,
+    * size marginals joined back. */
+  def containmentPairs(docs: DataFrame, blockCol: String = "source",
+                       minContainment: Double = 0.6): DataFrame = {
+    val sh = docs.select(col("doc_id"), col(blockCol).as("blk"),
+      shingles(col("text")).as("sh")).filter(size(col("sh")) > 0)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val ex = sh.select(col("blk"), col("doc_id"), explode(col("sh")).as("s"))
+    val common = ex.select(col("blk"), col("s"), col("doc_id").as("a_id"))
+      .join(ex.select(col("blk"), col("s"), col("doc_id").as("b_id")), Seq("blk", "s"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("a_n")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("b_n")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("common").cast("double") / col("a_n"), 6).as("containment_ab"),
+        round(col("common").cast("double") / col("b_n"), 6).as("containment_ba"))
+      .filter(col("containment_ab") >= minContainment ||
+        col("containment_ba") >= minContainment)
+  }
+
   /** Near-dup threshold tuning curve (B123): duplicate-pair mass and
     * affected-document counts as a function of the Jaccard threshold —
     * the table a curation pipeline reads BEFORE committing to a dedup

@@ -1246,4 +1246,36 @@ object Relational {
         expr("stack(3, 'n_docs', CAST(n_docs AS DOUBLE), " +
           "'avg_chars', ROUND(CAST(sum_chars AS DOUBLE) / n_docs, 6), " +
           "'max_chars', CAST(max_chars AS DOUBLE)) AS (metric, value)"))
+
+  /** Market-basket association pairs (C95): parts bought together in the
+    * same order, with exact co-occurrence counts and the standard
+    * association metrics — confidence(a→b) = n_ab/n_a and
+    * lift = n_ab·N/(n_a·n_b), each a single rounded division of exact
+    * longs (bit-stable on any engine). minPairCount prunes the
+    * long-tail singleton pairs before any metric math.
+    *
+    * Scale posture: the per-order self-join explodes to C(items,2)
+    * pairs per order — bounded by basket size (a handful in TPC-H-like
+    * data), NOT by the corpus, so the pair stream is ~items²/2 per
+    * order times #orders and shuffles once on the pair key. The part
+    * marginals broadcast back; N is a one-row broadcast frame. */
+  def basketPairs(lineitem: DataFrame, minPairCount: Long = 3): DataFrame = {
+    val items = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val partN = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val nOrders = items.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val pairs = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    pairs
+      .join(partN.select(col("l_partkey").as("part_a"), col("n_part").as("n_a")), "part_a")
+      .join(partN.select(col("l_partkey").as("part_b"), col("n_part").as("n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_a"), 6).as("conf_a_b"),
+        round(col("n_ab").cast("double") * col("n_orders") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+  }
 }

@@ -1180,6 +1180,27 @@ object TextOps {
           .cast("long").as("n_masked"))
   }
 
+  /** Structural template detection (B130): docs sharing a token-length
+    * skeleton — the sequence of token lengths, hashed — are template
+    * instances (form letters, boilerplate listings, spam families whose
+    * fill words differ but whose shape repeats). Content-based
+    * fingerprints (B11, B58) miss these by design; the skeleton
+    * signature is exactly the complement. Emits every doc with its
+    * template id and family size, so a filter can drop or cap
+    * heavily-templated families.
+    *
+    * One partial-agg shuffle on the signature plus one join back;
+    * signature computation is narrow per-row work. */
+  def templateDocs(docs: DataFrame): DataFrame = {
+    val sig = docs.select(col("doc_id"),
+      md5(concat_ws(",",
+        transform(tokens(col("text")), t => length(t).cast("string"))))
+        .as("template_id"))
+    val sizes = sig.groupBy("template_id").agg(count(lit(1)).as("template_size"))
+    sig.join(sizes, "template_id")
+      .select(col("doc_id"), col("template_id"), col("template_size"))
+  }
+
   /** Unicode canonicalization pass (B54): lowercase, then NFD → strip
     * combining marks → NFC via the native codegen'd
     * [[graft.functions.UnicodeNormalize]] expression (ASCII rows

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Relational, TextOps}
+
+/** Planted-fixture specs for the round-11 operator batch (B130, B131,
+  * C92, C93, C95). Each op also has a DuckDB oracle; these pin the
+  * SEMANTICS on constructed inputs where the interesting case is easy
+  * to see.
+  */
+class Round11Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("templateDocs groups docs by token-length skeleton, not content") {
+    val d = Seq(
+      (1L, "aaa bb cccc"),   // skeleton 3,2,4
+      (2L, "xxx yy zzzz"),   // same skeleton, different words
+      (3L, "aaa bb"),        // different skeleton
+      (4L, "q")              // singleton
+    ).toDF("doc_id", "text")
+    val byId = TextOps.templateDocs(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(byId(1L)._1 === byId(2L)._1, "same skeleton => same template id")
+    assert(byId(1L)._2 === 2L)
+    assert(byId(3L)._1 !== byId(1L)._1)
+    assert(byId(3L)._2 === 1L && byId(4L)._2 === 1L)
+  }
+
+  test("containmentPairs finds subset duplication that Jaccard misses") {
+    // doc 1 is CONTAINED in doc 2 (a long page quoting it); the shared
+    // block is 'source'. Jaccard = |A|/|B| is small, containment_ab = 1.
+    val contained = "alpha beta gamma delta epsilon zeta"
+    // fillers must stay distinct AFTER cleanText (digits are stripped)
+    val fillers = (0 until 40).map(i =>
+      s"f${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val page = contained + " " + fillers.mkString(" ")
+    val d = Seq(
+      (1L, contained, "s1"), (2L, page, "s1"),
+      (3L, "totally unrelated words here now", "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.containmentPairs(d, minContainment = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length === 1)
+    val (a, b, cab, cba) = out.head
+    assert((a, b) === (1L, 2L))
+    assert(cab === 1.0, s"every shingle of the contained doc is in the page: $cab")
+    assert(cba < 0.5, "the page is mostly NOT the contained doc")
+    // and the Jaccard op at the same floor sees nothing
+    assert(Dedup.ngramJaccard(d, simMin = 0.5).count() === 0)
+  }
+
+  test("basketPairs counts co-occurrence once per order and conserves metrics") {
+    // orders: {1,2} x3, {1,3} x1 -> pair (1,2) n_ab=3, (1,3) n_ab=1
+    val li = Seq(
+      (100L, 1L), (100L, 2L), (101L, 1L), (101L, 2L), (102L, 1L), (102L, 2L),
+      (102L, 2L), // duplicate line within the order must not double-count
+      (103L, 1L), (103L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Relational.basketPairs(li, minPairCount = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out((1L, 2L))._1 === 3L)
+    assert(out((1L, 3L))._1 === 1L)
+    // conf(1->2) = 3/4 (part 1 in 4 orders); lift = 3*4/(4*3) = 1.0
+    assert(out((1L, 2L))._2 === 0.75)
+    assert(out((1L, 2L))._3 === 1.0)
+  }
+
+  test("attribution conserves purchase cents exactly across buckets") {
+    val dir = "/root/testdata/sf0.001"
+    val total = SparkEntry.queries("attribution_last_touch")(spark, dir)
+      .agg(sum("attributed_cents")).head.getLong(0)
+    val expected = {
+      val e = spark.newSession()
+      e.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      SparkEntry.normalizeEventTs(e.read.parquet(s"$dir/events.parquet"))
+        .filter(col("event_type") === "purchase")
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)"))).head.getLong(0)
+    }
+    assert(total === expected, "last-touch attributes every purchase exactly once")
+    // linear attribution conserves cents over the attributed subset:
+    // every touched purchase's cents split+remainder sums back exactly -
+    // compare against the range-join's own purchase set
+    val linear = SparkEntry.queries("attribution_linear")(spark, dir)
+      .agg(sum("attributed_cents")).head.getLong(0)
+    assert(linear <= expected)
+    assert(linear > 0)
+  }
+}
