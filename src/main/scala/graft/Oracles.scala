@@ -461,6 +461,25 @@ object Oracles {
         |  count(*) AS n_purchases, CAST(sum(cents) AS BIGINT) AS attributed_cents
         |FROM a GROUP BY 1""".stripMargin,
 
+    // binned two-sample KS statistic over doc-length ECDFs per source pair
+    "ks_source_drift" ->
+      """WITH b AS (SELECT source, least(n_chars // 100, 100) AS bucket FROM documents),
+        |cnt AS (SELECT source, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+        |grid AS (SELECT s.source, k.bucket
+        |  FROM (SELECT DISTINCT source FROM cnt) s
+        |  CROSS JOIN (SELECT DISTINCT bucket FROM cnt) k),
+        |ecdf AS (SELECT g.source, g.bucket,
+        |    round(CAST(sum(coalesce(c.c, 0)) OVER (PARTITION BY g.source ORDER BY g.bucket
+        |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot.n, 9) AS f, tot.n
+        |  FROM grid g LEFT JOIN cnt c ON g.source = c.source AND g.bucket = c.bucket
+        |  JOIN tot ON g.source = tot.source)
+        |SELECT a.source AS source_a, b2.source AS source_b,
+        |  round(max(abs(a.f - b2.f)), 6) AS ks_d,
+        |  max(a.n) AS n_a, max(b2.n) AS n_b
+        |FROM ecdf a JOIN ecdf b2 ON a.bucket = b2.bucket AND a.source < b2.source
+        |GROUP BY 1, 2""".stripMargin,
+
     // asymmetric containment over the same 3-gram shingles as
     // ngram_jaccard: common/|A| and common/|B|, keep if either >= 0.6
     "containment_pairs" ->

@@ -178,6 +178,7 @@ object SparkEntry {
     "char_token_regression" -> ((s, d) => TextOps.charTokenRegression(spread(t(s, d, "documents")))),
     "text_normalize" -> ((s, d) => TextOps.normalizeDocs(spread(t(s, d, "documents")))),
     "template_docs" -> ((s, d) => TextOps.templateDocs(spread(t(s, d, "documents")))),
+    "ks_source_drift" -> ((s, d) => TextOps.ksSourceDrift(t(s, d, "documents"))),
     "mm_extract" -> ((s, d) => Multimodal.extract(spread(t(s, d, "documents")))),
     "mm_patches" -> ((s, d) => Multimodal.patches(spread(t(s, d, "documents")))),
     "curation_pipeline" -> ((s, d) => TextOps.curate(spread(t(s, d, "documents")))),

@@ -1180,6 +1180,44 @@ object TextOps {
           .cast("long").as("n_masked"))
   }
 
+  /** Distribution drift between sources (B132): the two-sample
+    * Kolmogorov–Smirnov statistic D = max|F_a − F_b| over BINNED
+    * doc-length ECDFs, for every source pair — the drift monitor a
+    * pipeline runs when a crawl's character profile shifts between
+    * snapshots. Binning (width `bucketWidth`, capped at `maxBucket`)
+    * bounds the ECDF support by CONFIG, not by the value domain, which
+    * is what makes the per-source cumulative windows and the
+    * sources×support grid scale-free: at 100 TB the only data-sized
+    * stage is the first (source, bucket) partial-agg count. Exact long
+    * cumulative counts divide once into 9 dp ECDF steps; D is a max
+    * over those rounded steps — bit-stable on any engine. */
+  def ksSourceDrift(docs: DataFrame, bucketWidth: Int = 100,
+                    maxBucket: Int = 100): DataFrame = {
+    val b = docs.select(col("source"),
+      least(expr(s"n_chars div $bucketWidth"), lit(maxBucket.toLong)).as("bucket"))
+    val cnt = b.groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+    val totals = cnt.groupBy("source").agg(sum(col("c")).as("n"))
+    val grid = cnt.select("source").distinct()
+      .crossJoin(cnt.select("bucket").distinct())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ecdf = grid.join(cnt, Seq("source", "bucket"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum", sum(col("c")).over(w))
+      .join(totals, "source")
+      .select(col("source"), col("bucket"),
+        round(col("cum").cast("double") / col("n"), 9).as("f"), col("n"))
+    ecdf.select(col("source").as("source_a"), col("bucket"),
+        col("f").as("f_a"), col("n").as("n_a"))
+      .join(ecdf.select(col("source").as("source_b"), col("bucket"),
+        col("f").as("f_b"), col("n").as("n_b")), "bucket")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(round(max(abs(col("f_a") - col("f_b"))), 6).as("ks_d"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+  }
+
   /** Structural template detection (B130): docs sharing a token-length
     * skeleton — the sequence of token lengths, hashed — are template
     * instances (form letters, boilerplate listings, spam families whose

@@ -66,6 +66,19 @@ class Round11Spec extends SparkSpec {
     assert(out((1L, 2L))._3 === 1.0)
   }
 
+  test("ksSourceDrift: identical length profiles score 0, shifted ones score high") {
+    val d = (
+      (1 to 50).map(i => (i.toLong, "s1", 120L)) ++          // all short
+      (51 to 100).map(i => (i.toLong, "s2", 120L)) ++        // identical profile
+      (101 to 150).map(i => (i.toLong, "s3", 5000L))         // all long
+    ).toDF("doc_id", "source", "n_chars")
+    val out = TextOps.ksSourceDrift(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out(("s1", "s2")) === 0.0, "identical distributions have D = 0")
+    assert(out(("s1", "s3")) === 1.0, "disjoint supports have D = 1")
+    assert(out(("s2", "s3")) === 1.0)
+  }
+
   test("attribution conserves purchase cents exactly across buckets") {
     val dir = "/root/testdata/sf0.001"
     val total = SparkEntry.queries("attribution_last_touch")(spark, dir)
