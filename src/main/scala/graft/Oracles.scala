@@ -1746,6 +1746,23 @@ object Oracles {
          |FROM b WHERE token IN ('query', 'join', 'scan')
          |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
+    // pseudo-relevance feedback: top-10 BM25 docs -> top-5 non-query
+    // terms by summed BM25 weight across the feedback set
+    "query_expansion" ->
+      s"""WITH b AS ($bm25Sql),
+         |fbs AS (SELECT doc_id,
+         |    round(list_reduce(list_sort(list(bm25)), (p, r) -> p + r), 6) AS score
+         |  FROM b WHERE token IN ('query', 'join', 'scan')
+         |  GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10),
+         |cand AS (SELECT b.token,
+         |    round(list_reduce(list_sort(list(bm25)), (p, r) -> p + r), 6) AS rsv
+         |  FROM b JOIN fbs USING (doc_id)
+         |  WHERE b.token NOT IN ('query', 'join', 'scan')
+         |  GROUP BY 1)
+         |SELECT token, rsv, rank FROM (
+         |  SELECT token, rsv, row_number() OVER (ORDER BY rsv DESC, token) AS rank
+         |  FROM cand) WHERE rank <= 5""".stripMargin,
+
     // retrieval eval: MRR@10 + NDCG@10 of the BM25 ranking, coverage-
     // graded relevance (distinct query terms present), ln discount
     "search_eval" ->

@@ -286,6 +286,7 @@ object SparkEntry {
     "chi2_features" -> ((s, d) => TfIdf.chi2Features(spread(t(s, d, "documents")))),
     "bm25_search" -> ((s, d) => LangModel.bm25Search(spread(t(s, d, "documents")))),
     "search_eval" -> ((s, d) => LangModel.searchEval(spread(t(s, d, "documents")))),
+    "query_expansion" -> ((s, d) => LangModel.queryExpansion(spread(t(s, d, "documents")))),
     "token_burstiness" -> ((s, d) => LangModel.tokenBurstiness(spread(t(s, d, "documents")))),
     "logreg_weights" -> ((s, d) => graft.ml.LogRegSql.weights(t(s, d, "embeddings"))),
     "embed_pq" -> ((s, d) => Similarity.embedPq(t(s, d, "embeddings"))),

@@ -400,6 +400,46 @@ object LangModel {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
 
+  /** Pseudo-relevance-feedback query expansion (B133): run the fixed
+    * query through BM25, take the top `fb` feedback documents, and score
+    * every non-query term by its summed BM25 weight ACROSS the feedback
+    * set (the Rocchio/RM1 shape) — the classic recall lever when the
+    * original terms under-describe the intent. Emits the top `k`
+    * expansion terms with their feedback weight and rank.
+    *
+    * Scale posture: the feedback set is bounded (`fb` rows), so the
+    * candidate-term frame is bounded by fb × per-doc vocabulary — every
+    * window here ranks a feedback-bounded frame, never the corpus; the
+    * corpus-sized work is exactly one [[bm25]] pass reused for both
+    * stages. */
+  def queryExpansion(docs: DataFrame, query: Seq[String] = Seq("query", "join", "scan"),
+                     fb: Int = 10, k: Int = 5): DataFrame = {
+    val weights = graft.CacheTracker.track(
+      bm25(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // matched docs are corpus-sized (term df): top-fb via orderBy+limit,
+    // which plans a distributed TakeOrdered heap — never a global window
+    val feedback = weights
+      .filter(col("token").isInCollection(query))
+      .groupBy("doc_id")
+      .agg(round(aggregate(sort_array(collect_list(col("bm25"))), lit(0.0),
+        (a, b) => a + b), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(fb)
+      .select("doc_id")
+    // candidate terms bound by fb × per-doc vocab: the ranking window
+    // runs on a feedback-bounded frame, not the corpus
+    val wExp = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rsv").desc, col("token"))
+    weights
+      .join(broadcast(feedback), "doc_id")
+      .filter(!col("token").isInCollection(query))
+      .groupBy("token")
+      .agg(round(aggregate(sort_array(collect_list(col("bm25"))), lit(0.0),
+        (a, b) => a + b), 6).as("rsv"))
+      .withColumn("rank", row_number().over(wExp).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Retrieval-quality evaluation (B129): MRR@k and NDCG@k of the BM25
     * ranking over a fixed two-query workload — the eval gate a training-
     * data pipeline runs before trusting its retrieval stack (what

@@ -43,6 +43,29 @@ class LangModelSpec extends SparkSpec {
     }
   }
 
+  test("queryExpansion surfaces feedback-doc terms, never the query's own") {
+    // docs matching the query all share 'expansion'; unrelated docs carry
+    // 'noise' which must not surface (it never co-occurs with the query)
+    val d = docs(
+      (1L, "query join scan expansion alpha"),
+      (2L, "query join expansion beta"),
+      (3L, "scan expansion gamma"),
+      (4L, "noise noise noise unrelated"))
+    val out = LangModel.queryExpansion(d, fb = 3, k = 4).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(out.nonEmpty && out.length <= 4)
+    val terms = out.map(_._1).toSet
+    assert(!terms.exists(Set("query", "join", "scan")), "query terms never expand")
+    assert(terms.subsetOf(Set("expansion", "alpha", "beta", "gamma")),
+      "candidates come only from feedback docs")
+    assert(terms.contains("expansion"), "the shared feedback term surfaces within k=4")
+    assert(!terms.contains("noise"), "terms outside the feedback set must not")
+    assert(!terms.contains("unrelated"))
+    // ranks are 1..n in rsv-desc order
+    assert(out.sortBy(_._3).map(_._2).reverse.sorted.toSeq === out.map(_._2).sorted.toSeq)
+    graft.CacheTracker.releaseAll()
+  }
+
   test("unigram logprob scores a doc of frequent tokens above a doc of rare ones") {
     val d = docs(
       (1L, "the the the the"), (2L, "the the the the"), (3L, "the the the the"),
