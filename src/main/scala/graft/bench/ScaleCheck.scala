@@ -83,8 +83,10 @@ object ScaleCheck {
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet").repartition(width)
     val iso = spark.newSession()
     iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events0 = iso.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))).repartition(width)
+    // schema-adaptive: testdata's ts type drifts between generations
+    val events0 = graft.SparkEntry
+      .normalizeEventTs(iso.read.parquet(s"$sfDir/events.parquet"))
+      .repartition(width)
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet").repartition(width)
 
     for (m <- ms) {
