@@ -504,6 +504,29 @@ object Oracles {
          |SELECT doc_id, sig.template_id, template_size
          |FROM sig JOIN sz ON sig.template_id = sz.template_id""".stripMargin,
 
+    // rank-uniform quantile normalization of the composite quality score
+    "quality_quantile_norm" ->
+      s"""WITH s AS (SELECT doc_id, $qualitySql AS quality FROM documents),
+         |r AS (SELECT doc_id, quality,
+         |  row_number() OVER (ORDER BY quality, doc_id) AS rnk,
+         |  count(*) OVER () AS n FROM s)
+         |SELECT doc_id, quality, round((rnk - 0.5) / n, 6) AS q_uniform FROM r""".stripMargin,
+
+    // hourly densify + LOCF forward fill per user, exact cents
+    "events_gap_fill" ->
+      """WITH hourly AS (SELECT user_id, epoch_ns(ts) // 1000 // 3600000000 AS h,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS hour_cents
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (SELECT user_id, unnest(generate_series(min(h), max(h))) AS h
+        |  FROM hourly GROUP BY user_id)
+        |SELECT g.user_id, g.h,
+        |  coalesce(hourly.n_events, 0) AS n_events,
+        |  coalesce(last_value(hourly.hour_cents IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.h ROWS UNBOUNDED PRECEDING), 0) AS cents_filled,
+        |  CAST(hourly.hour_cents IS NULL AS BIGINT) AS is_gap
+        |FROM grid g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h""".stripMargin,
+
     // market-basket pairs: exact co-occurrence counts + confidence/lift
     "basket_pairs" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

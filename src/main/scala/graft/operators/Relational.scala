@@ -1247,6 +1247,37 @@ object Relational {
           "'avg_chars', ROUND(CAST(sum_chars AS DOUBLE) / n_docs, 6), " +
           "'max_chars', CAST(max_chars AS DOUBLE)) AS (metric, value)"))
 
+  /** Hourly gap fill + forward fill per user (C96): densify each user's
+    * event timeline to every hour between their first and last activity,
+    * then LOCF-fill the running hourly spend — the timeseries-densify
+    * shape every activity warehouse needs before charting or windowed
+    * feature extraction (a missing hour must read as an explicit zero /
+    * carried value, not an absent row).
+    *
+    * Scale posture: the grid explosion is bounded by users × their own
+    * hour span (observation-window-bounded, not corpus-bounded), the
+    * fill window is partitioned per user, and everything upstream is one
+    * (user, hour) partial agg. Exact long cents end to end. */
+  def eventsGapFill(events: DataFrame): DataFrame = {
+    val hourly = events.select(col("user_id"),
+        expr("unix_micros(ts) div 3600000000").as("h"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("user_id", "h")
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("hour_cents"))
+    val grid = hourly.groupBy("user_id")
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("h")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(last(col("hour_cents"), ignoreNulls = true).over(w), lit(0L))
+          .as("cents_filled"),
+        col("hour_cents").isNull.cast("long").as("is_gap"))
+  }
+
   /** Market-basket association pairs (C95): parts bought together in the
     * same order, with exact co-occurrence counts and the standard
     * association metrics — confidence(a→b) = n_ab/n_a and

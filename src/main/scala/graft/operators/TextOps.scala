@@ -98,6 +98,21 @@ object TextOps {
       qualityComposite.as("quality"))
   }
 
+  /** Rank-uniform quantile normalization of the quality score (B134):
+    * q_uniform = (rank − 0.5)/n under (quality, doc_id) total order —
+    * the feature transform that makes any downstream threshold or
+    * mixture weight distribution-free (classifier calibration,
+    * cross-corpus score fusion). The global rank rides
+    * [[Ranks.withGlobalRowNumber]]'s two-pass range-partitioned
+    * machinery, so the corpus-sized frame is never sorted in one task. */
+  def qualityQuantileNorm(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), qualityComposite.as("quality"))
+    Ranks.withGlobalRowNumber(scored, "rnk", "n",
+        Seq(col("quality"), col("doc_id")))
+      .select(col("doc_id"), col("quality"),
+        round((col("rnk") - 0.5) / col("n"), 6).as("q_uniform"))
+  }
+
   /** Percentile-gated quality filter (B25): keep each language's top
     * `keepFrac` of documents by composite quality — the curation pass that
     * trims per-stratum rather than by a global threshold (which would

@@ -79,6 +79,29 @@ class Round11Spec extends SparkSpec {
     assert(out(("s2", "s3")) === 1.0)
   }
 
+  test("eventsGapFill densifies hours and carries the last observed value") {
+    val e = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 10:15:00"), 2.0),
+      // hours 11 and 12 are silent -> gap rows carrying hour-10's cents
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 13:30:00"), 5.0))
+      .toDF("user_id", "ts", "value")
+    val out = Relational.eventsGapFill(e).orderBy("h").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length === 4, "hours 10..13 inclusive")
+    assert(out(0) === ((1L, 200L, 0L)), "observed hour")
+    assert(out(1) === ((0L, 200L, 1L)), "gap carries forward")
+    assert(out(2) === ((0L, 200L, 1L)))
+    assert(out(3) === ((1L, 500L, 0L)), "new observation replaces the carry")
+  }
+
+  test("qualityQuantileNorm maps ranks to (0,1) uniformly") {
+    val out = SparkEntry.queries("quality_quantile_norm")(spark, "/root/testdata/sf0.001")
+      .orderBy("q_uniform").collect().map(_.getDouble(2))
+    assert(out.head > 0.0 && out.last < 1.0)
+    assert(out.toSeq === out.sorted.toSeq)
+    assert(out.distinct.length === out.length, "total order -> all quantiles distinct")
+  }
+
   test("attribution conserves purchase cents exactly across buckets") {
     val dir = "/root/testdata/sf0.001"
     val total = SparkEntry.queries("attribution_last_touch")(spark, dir)
