@@ -504,6 +504,27 @@ object Oracles {
          |SELECT doc_id, sig.template_id, template_size
          |FROM sig JOIN sz ON sig.template_id = sz.template_id""".stripMargin,
 
+    // acquisition-cohort LTV: cumulative exact cents per cohort age,
+    // normalized by FULL cohort size
+    "cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+        |    year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |cohort AS (SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY 1),
+        |sizes AS (SELECT cohort_m, count(*) AS cohort_size FROM cohort GROUP BY 1),
+        |rev AS (SELECT cohort_m, CAST(o.m - cohort_m AS BIGINT) AS age,
+        |    count(DISTINCT o.o_custkey) AS n_active,
+        |    CAST(sum(cents) AS BIGINT) AS age_cents
+        |  FROM o JOIN cohort ON o.o_custkey = cohort.o_custkey GROUP BY 1, 2),
+        |c AS (SELECT CAST(rev.cohort_m AS BIGINT) AS cohort_m, age, cohort_size, n_active,
+        |    CAST(sum(age_cents) OVER (PARTITION BY rev.cohort_m ORDER BY age
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        |  FROM rev JOIN sizes ON rev.cohort_m = sizes.cohort_m)
+        |SELECT cohort_m, age, cohort_size, n_active, cum_cents,
+        |  round(CAST(cum_cents AS DOUBLE) / cohort_size, 6) AS ltv_cents_per_cust
+        |FROM c""".stripMargin,
+
     // rank-uniform quantile normalization of the composite quality score
     "quality_quantile_norm" ->
       s"""WITH s AS (SELECT doc_id, $qualitySql AS quality FROM documents),

@@ -181,6 +181,7 @@ object SparkEntry {
     "ks_source_drift" -> ((s, d) => TextOps.ksSourceDrift(t(s, d, "documents"))),
     "quality_quantile_norm" -> ((s, d) => TextOps.qualityQuantileNorm(spread(t(s, d, "documents")))),
     "events_gap_fill" -> ((s, d) => Relational.eventsGapFill(events(s, d))),
+    "cohort_ltv" -> ((s, d) => Relational.cohortLtv(t(s, d, "orders"))),
     "mm_extract" -> ((s, d) => Multimodal.extract(spread(t(s, d, "documents")))),
     "mm_patches" -> ((s, d) => Multimodal.patches(spread(t(s, d, "documents")))),
     "curation_pipeline" -> ((s, d) => TextOps.curate(spread(t(s, d, "documents")))),

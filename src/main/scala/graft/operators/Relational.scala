@@ -1247,6 +1247,38 @@ object Relational {
           "'avg_chars', ROUND(CAST(sum_chars AS DOUBLE) / n_docs, 6), " +
           "'max_chars', CAST(max_chars AS DOUBLE)) AS (metric, value)"))
 
+  /** Acquisition-cohort LTV curves (C97): customers cohorted by their
+    * first-order month, then cumulative exact-cent revenue per cohort
+    * age — the lifetime-value table behind every retention/payback
+    * analysis. `ltv_cents_per_cust` divides the exact cumulative long
+    * by the FULL cohort size (not just the age's active customers), so
+    * curves are comparable across cohorts.
+    *
+    * Scale posture: one shuffle to find each customer's cohort, one
+    * (cohort, age) partial agg, and the cumulative window runs per
+    * cohort over AGES — calendar-bounded, never data-sized; cohort
+    * sizes broadcast back. */
+  def cohortLtv(orders: DataFrame): DataFrame = {
+    val o = orders.select(col("o_custkey"),
+      expr("year(o_orderdate) * 12 + month(o_orderdate)").as("m"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val cohort = o.groupBy("o_custkey").agg(min(col("m")).as("cohort_m"))
+    val sizes = cohort.groupBy("cohort_m").agg(count(lit(1)).as("cohort_size"))
+    val rev = o.join(cohort, "o_custkey")
+      .groupBy(col("cohort_m"), (col("m") - col("cohort_m")).cast("long").as("age"))
+      .agg(count_distinct(col("o_custkey")).as("n_active"),
+        sum(col("cents")).as("age_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort_m").orderBy("age")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    rev.join(broadcast(sizes), "cohort_m")
+      .select(col("cohort_m").cast("long").as("cohort_m"), col("age"),
+        col("cohort_size"), col("n_active"),
+        sum(col("age_cents")).over(w).as("cum_cents"))
+      .withColumn("ltv_cents_per_cust",
+        round(col("cum_cents").cast("double") / col("cohort_size"), 6))
+  }
+
   /** Hourly gap fill + forward fill per user (C96): densify each user's
     * event timeline to every hour between their first and last activity,
     * then LOCF-fill the running hourly spend — the timeseries-densify

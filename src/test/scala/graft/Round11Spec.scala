@@ -102,6 +102,20 @@ class Round11Spec extends SparkSpec {
     assert(out.distinct.length === out.length, "total order -> all quantiles distinct")
   }
 
+  test("cohortLtv: curves are monotone and normalized by the full cohort") {
+    val out = SparkEntry.queries("cohort_ltv")(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).values.foreach { rows =>
+      val byAge = rows.sortBy(_._2)
+      assert(byAge.map(_._5).toSeq === byAge.map(_._5).sorted.toSeq,
+        "cumulative cents never decrease with age")
+      assert(rows.forall(r => r._4 <= r._3), "active customers never exceed cohort size")
+      assert(byAge.head._2 === 0L && byAge.head._4 > 0,
+        "age 0 exists and is active (the cohort is DEFINED by first purchase)")
+    }
+  }
+
   test("attribution conserves purchase cents exactly across buckets") {
     val dir = "/root/testdata/sf0.001"
     val total = SparkEntry.queries("attribution_last_touch")(spark, dir)
