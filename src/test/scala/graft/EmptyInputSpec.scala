@@ -50,9 +50,23 @@ class EmptyInputSpec extends SparkSpec {
     val ops: Seq[DataFrame => DataFrame] = Seq(
       Relational.eventsWindow, Relational.eventsEwma(_),
       Relational.interarrivalStats, d => Sessionize.sessionPaths(d),
-      Relational.windowActiveUsers, d => Sessionize.scd2Intervals(d))
+      Relational.windowActiveUsers, d => Sessionize.scd2Intervals(d),
+      d => Relational.eventsGapFill(d))
     for ((op, i) <- ops.zipWithIndex)
       assert(op(noEvents).count() === 0, s"event op #$i not total on empty input")
+  }
+
+  test("round-11 operators are total on empty inputs") {
+    val textOps: Seq[DataFrame => DataFrame] = Seq(
+      d => TextOps.templateDocs(d), d => TextOps.ksSourceDrift(d),
+      d => TextOps.qualityQuantileNorm(d),
+      d => Dedup.containmentPairs(d),
+      d => LangModel.searchEval(d), d => LangModel.queryExpansion(d))
+    for ((op, i) <- textOps.zipWithIndex)
+      assert(op(noDocs).count() === 0, s"round-11 text op #$i not total on empty input")
+    assert(Relational.cohortLtv(noOrders).count() === 0)
+    assert(Relational.basketPairs(
+      Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")).count() === 0)
   }
 
   test("order operators are total on an empty fact table") {
