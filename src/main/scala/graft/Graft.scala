@@ -57,11 +57,18 @@ object Graft {
           if (name == "events") {
             val raw =
               try spark.read.parquet(path)
-              catch { case scala.util.control.NonFatal(_) =>
-                // TIMESTAMP(NANOS) generation: the reader rejects the
-                // schema outright unless nanos surface as plain longs
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-                spark.read.parquet(path)
+              catch {
+                // Retry ONLY the TIMESTAMP(NANOS) schema rejection (the
+                // reader refuses the type unless nanos surface as plain
+                // longs). Any other failure — corrupt file, permissions —
+                // rethrows as-is, instead of a confusing second error
+                // with the legacy conf left set on the shared session.
+                case scala.util.control.NonFatal(e)
+                    if { val m = String.valueOf(e.getMessage)
+                         m.contains("TIMESTAMP(NANOS") ||
+                           m.contains("Illegal Parquet type") } =>
+                  spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                  spark.read.parquet(path)
               }
             SparkEntry.normalizeEventTs(raw)
           } else spark.read.parquet(path)

@@ -2424,6 +2424,33 @@ object Oracles {
          |    split_part(pair, ' ', 1) || '_' || split_part(pair, ' ', 2), 'g') AS merged
          |FROM documents d CROSS JOIN top""".stripMargin,
 
+    // iterated BPE trainer: the merge-step oracle unrolled N rounds by a
+    // generator loop — corpus state c_i re-tokenizes by plain whitespace
+    // split (merged tokens carry '_', which $clean would strip), each
+    // round's argmax lands in the merges union
+    "bpe_train" -> {
+      val n = 8
+      val steps = (1 to n).map { i =>
+        s"""bg$i AS (SELECT unnest(list_transform(range(1, len(toks)),
+           |    j -> toks[j] || ' ' || toks[j+1])) AS pair
+           |  FROM (SELECT list_filter(string_split(txt, ' '), t -> t <> '') AS toks
+           |        FROM c${i - 1}) WHERE len(toks) > 1),
+           |top$i AS (SELECT pair, count(*) AS cnt FROM bg$i GROUP BY 1
+           |          ORDER BY cnt DESC, pair LIMIT 1),
+           |c$i AS (SELECT doc_id, regexp_replace(txt,
+           |    '\\b' || split_part(pair, ' ', 1) || ' ' || split_part(pair, ' ', 2) || '\\b',
+           |    split_part(pair, ' ', 1) || '_' || split_part(pair, ' ', 2), 'g') AS txt
+           |  FROM c${i - 1} CROSS JOIN top$i)""".stripMargin
+      }
+      val sel = (1 to n).map { i =>
+        s"SELECT CAST($i AS BIGINT) AS merge_rank, pair, " +
+          s"split_part(pair, ' ', 1) || '_' || split_part(pair, ' ', 2) AS new_token, " +
+          s"cnt FROM top$i"
+      }.mkString("\nUNION ALL\n")
+      s"WITH c0 AS (SELECT doc_id, $clean AS txt FROM documents),\n" +
+        steps.mkString(",\n") + "\n" + sel
+    },
+
     // derives mean/variance from EXACT integer power sums — replicates
     // the Spark-side expression order so doubles agree bitwise
     "lang_char_moments" ->

@@ -202,6 +202,7 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 < 8))
     }),
     "bpe_merge_step" -> ((s, d) => TextOps.bpeMergeStep(spread(t(s, d, "documents")))),
+    "bpe_train" -> ((s, d) => TextOps.bpeTrain(spread(t(s, d, "documents")))),
     // Bloom-prefiltered twin of dedup_incremental: same exact result
     // (shared oracle semantics), sketch-pruned anti-join
     "dedup_incremental_bloom" -> ((s, d) => {
@@ -443,6 +444,19 @@ object SparkEntry {
     // predicate (shuffles on user_id, never a cartesian); the
     // earliest-touch pick is a per-purchase window over that user's
     // clicks only. Report: revenue by click hour-of-day.
+    //
+    // The purchase→click pairing rides Relational.rangeJoin — the binned
+    // (user_id, 24h-bin) equi-join — NOT a bare user_id join with the
+    // time window as a residual: Catalyst plans a residual range
+    // predicate AFTER the join, so a bot/power-user key with 10⁶ clicks
+    // and 10⁶ purchases would generate 10¹² candidate pairs on one key
+    // at scale. Binning bounds candidates to the two adjacent 24h bins.
+    // rangeJoin's window is closed ([us−24h, us]); the original strict
+    // lower bound (> us−24h) is restored by one cheap post-filter, so
+    // the oracle is unchanged. Cents are non-negative by construction
+    // (round(value*100) on purchase values ≥ 0), which is what lets
+    // Spark's truncating div/% below mirror DuckDB's floor `//`/`%` —
+    // the pair only agrees for non-negative operands.
     "attribution_linear" -> ((s, d) => {
       val e = events(s, d).select(col("event_id"), col("user_id"),
         col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
@@ -452,9 +466,9 @@ object SparkEntry {
       val clicks = e.filter(col("event_type") === "click")
         .groupBy(col("user_id"), col("us").as("click_us"))
         .agg(min("event_id").as("click_event_id"))
-      val touches = purchases.join(clicks, "user_id")
-        .filter(col("click_us") <= col("us") &&
-          col("click_us") > col("us") - lit(24L * 3600L * 1000000L))
+      val touches = Relational.rangeJoin(purchases, clicks, "user_id",
+          "us", "click_us", 24L * 3600L * 1000000L)
+        .filter(col("click_us") > col("us") - lit(24L * 3600L * 1000000L))
       val wFirst = org.apache.spark.sql.expressions.Window
         .partitionBy("event_id")
         .orderBy(col("click_us"), col("click_event_id"))

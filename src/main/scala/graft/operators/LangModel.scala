@@ -512,13 +512,17 @@ object LangModel {
     * the closed-form slope/intercept are partition-independent and
     * mirror the oracle exactly. */
   def zipfSlope(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("token"))
     def fold(c: org.apache.spark.sql.Column) =
       aggregate(sort_array(collect_list(c)), lit(0.0), (a, b) => a + b)
-    docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+    val cnt = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
+    // rank via the two-pass range-partitioned machinery: the vocabulary
+    // GROWS with the corpus (billions of distinct tokens at web scale —
+    // typos, IDs), so an unpartitioned Window here would land the whole
+    // vocab on one task. (cnt desc, token) is a total order → the
+    // composed rank is cut-placement-free.
+    Ranks.withGlobalRowNumber(cnt, "rnk", "_n",
+        Seq(col("cnt").desc, col("token")))
       .select(
         round(log(col("rnk").cast("double")), 9).as("x"),
         round(log(col("cnt").cast("double")), 9).as("y"))

@@ -104,6 +104,50 @@ object Ranks {
       .drop("_pid", "_lcum", "_off")
   }
 
+  /** Adds BOTH `rankCol` = global 1-based row_number and `cumCol` =
+    * global running sum of integral `value` under one total `order`,
+    * plus `totalCol` = the grand total of `value` — the fused form of
+    * [[withGlobalRowNumber]] + [[withGlobalCumSum]] paying ONE range
+    * shuffle, one correctness persist, and one counts aggregate instead
+    * of two of each (rank-frequency curves need rank and cumulative
+    * mass over the same order; running the passes separately would
+    * re-sample range boundaries too). Same determinism argument: with a
+    * total order the composed rank/cumsum are cut-placement-free. */
+  def withGlobalRankCumSum(df: DataFrame, value: String, rankCol: String,
+                           cumCol: String, totalCol: String,
+                           order: Seq[Column]): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("_pid", spark_partition_id())
+    val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
+    val local = graft.CacheTracker.track(
+      ranged
+        .withColumn("_lrnk", row_number().over(w))
+        .withColumn("_lcum", sum(col(value)).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // numShufflePartitions rows — config-bounded, not data-bounded
+    val per = local.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_cnt"), sum(col(value)).as("_psum"))
+    val offsets = per
+      .withColumn("_roff",
+        coalesce(
+          sum(col("_cnt")).over(Window.orderBy(col("_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("_coff",
+        coalesce(
+          sum(col("_psum")).over(Window.orderBy(col("_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn(totalCol, sum(col("_psum")).over())
+      .select(col("_pid"), col("_roff"), col("_coff"), col(totalCol))
+    local.join(broadcast(offsets), "_pid")
+      .withColumn(rankCol, col("_roff") + col("_lrnk"))
+      .withColumn(cumCol, col("_coff") + col("_lcum"))
+      .drop("_pid", "_lrnk", "_lcum", "_roff", "_coff")
+  }
+
   /** True integer division — Spark's `/` on integral columns is DOUBLE
     * division, which silently shifts ntile bucket boundaries. */
   private def idiv(a: Column, b: Column): Column = {

@@ -583,6 +583,64 @@ object TextOps {
           concat(col("_a"), lit("_"), col("_b"))).as("merged"))
   }
 
+  /** Full iterated BPE trainer (B135): runs `nMerges` rounds of the
+    * [[bpeMergeStep]] inner loop to a merges table — (merge_rank, pair,
+    * new_token, cnt), the learned tokenizer. Round 0 normalizes the
+    * corpus once through the cleanup chain; every later round
+    * re-tokenizes by plain whitespace split (merged tokens carry `_`,
+    * which the cleanup chain would strip — and `_` CAN only come from a
+    * merge, so the split is exact).
+    *
+    * Shape — the standard distributed-BPE split of state: the CORPUS
+    * stays distributed (per round: one partial-aggregated shuffle onto
+    * the vocab²-bounded pair frame, a TakeOrdered(1) argmax, then a
+    * narrow per-row replace), while the MERGES table lives on the
+    * driver — one row per round, bounded by the nMerges config, never
+    * by the data, read back via take(1) per round (the
+    * doc_similarity_pruned one-row-stats precedent, not a data
+    * collect). Each round's corpus persists (CacheTracker-scoped) and
+    * the argmax job materializes it, so lineage stays one round deep —
+    * a lazily-chained variant self-references the 1-row argmax subplan
+    * and doubles the logical plan per round (2^N blowup by round 8).
+    * N linear corpus passes total, the cost every BPE trainer pays.
+    *
+    * Leftmost non-overlapping global replace semantics are shared with
+    * DuckDB, so "a a a" merges identically; `\b` boundaries keep a
+    * merged `a_b` from re-matching its suffix (`_` is a word
+    * character). A corpus that runs out of bigrams stops early with
+    * fewer rows on both engines identically. */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    def persisted(df: DataFrame): DataFrame = graft.CacheTracker.track(
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var corpus = persisted(
+      docs.select(col("doc_id"), cleanText(col("text")).as("txt")))
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var exhausted = false
+    for (i <- 1 to nMerges if !exhausted) {
+      val toks = filter(split(col("txt"), " "), t => t =!= "")
+      val bigrams = corpus.select(toks.as("toks"))
+        .select(explode(when(size(col("toks")) > 1,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            j => concat_ws(" ", element_at(col("toks"), j),
+              element_at(col("toks"), j + 1))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+      val top = bigrams.groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .take(1) // one (pair, cnt) row — config-bounded driver state
+      if (top.isEmpty) exhausted = true
+      else {
+        val (pair, cnt) = (top(0).getString(0), top(0).getLong(1))
+        val Array(a, b) = pair.split(" ", 2)
+        merges += ((i.toLong, pair, s"${a}_$b", cnt))
+        corpus = persisted(corpus.select(col("doc_id"),
+          regexp_replace(col("txt"), s"\\b$a $b\\b", s"${a}_$b").as("txt")))
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("merge_rank", "pair", "new_token", "cnt")
+  }
+
   /** Approximate char-length percentiles via the KLL-style sketch (B40):
     * the mergeable bounded-memory path for quantiles at 100 TB, where the
     * exact interpolated percentile ([[charPercentiles]]) would need a
@@ -1367,14 +1425,15 @@ object TextOps {
   def tokenCoverageCurve(docs: DataFrame): DataFrame = {
     val cnt = docs.select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("token"))
-    val tot = cnt.agg(sum(col("cnt")).as("total"))
-    cnt
-      .withColumn("vocab_rank", row_number().over(w).cast("long"))
-      .withColumn("cum_cnt", sum(col("cnt")).over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .crossJoin(broadcast(tot))
+    // rank + cumulative mass through the fused two-pass range-partitioned
+    // pass: the vocabulary GROWS with the corpus (unlike dims/classes),
+    // so the old unpartitioned Window would sort billions of tokens on
+    // one task at web scale. (cnt desc, token) is a total order, the
+    // cumsum folds exact longs → cut-placement-free, and the grand total
+    // rides the same pass (no separate agg + crossJoin).
+    graft.operators.Ranks.withGlobalRankCumSum(cnt, "cnt",
+        "vocab_rank", "cum_cnt", "total",
+        Seq(col("cnt").desc, col("token")))
       .select(col("vocab_rank"), col("token"), col("cnt"),
         round(col("cum_cnt").cast("double") / col("total"), 6).as("cum_frac"))
   }

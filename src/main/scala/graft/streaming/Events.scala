@@ -102,10 +102,15 @@ object Events {
   /** The per-batch write — factored out so a test can replay a batch and
     * assert the retry replaces rather than duplicates. */
   def writeBatch(batch: DataFrame, batchId: Long, outDir: String): Unit = {
-    batch.sparkSession.conf
-      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // per-WRITER dynamic overwrite (option takes precedence over the
+    // session conf): replaces only this batch_id partition on replay,
+    // without mutating the caller's session — a session-wide conf.set
+    // here would silently switch every later overwrite write in the
+    // session from full-directory to touched-partition semantics
     batch.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outDir)
   }
 
   /** Streaming incremental corpus dedup (C94): the unbounded-horizon twin
@@ -153,9 +158,12 @@ object Events {
        else firsts)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // per-writer dynamic overwrite, same rationale as writeBatch: no
+      // session-conf mutation leaks to later writes on this session
       novel.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(outDir)
       novel.select("content_hash").write.mode("append").parquet(storeDir)
     } finally novel.unpersist()
   }

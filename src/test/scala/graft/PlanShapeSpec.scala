@@ -162,21 +162,41 @@ class PlanShapeSpec extends SparkSpec {
     // frame (output exactly {_pid, _cnt}: bounded by config, not data).
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     // vocab-sized frames count as data-sized too: a web corpus carries
-    // 10⁸+ distinct tokens, so neg_sampling_table / token_pagerank ride
-    // the same two-pass machinery (round-11 rewrite)
+    // 10⁸+ distinct tokens, so neg_sampling_table / token_pagerank /
+    // zipf_slope / token_coverage_curve all ride the two-pass machinery
+    // (rounds 11–12 rewrites) — NO vocab whitelist remains
     for (key <- Seq("user_spend_rank", "spend_gini", "rfm_segments",
         "quality_by_length_decile", "rrf_fusion", "tpch_q11",
-        "neg_sampling_table", "token_pagerank")) {
+        "neg_sampling_table", "token_pagerank",
+        "zipf_slope", "token_coverage_curve")) {
       val lp = SparkEntry.queries(key)(spark, sf).queryExecution.optimizedPlan
       val unpartitioned = lp.collect {
         case w: LWindow if w.partitionSpec.isEmpty => w
       }
       for (w <- unpartitioned) {
         val childCols = w.child.output.map(_.name).toSet
-        assert(childCols.subsetOf(Set("_pid", "_cnt", "_off", "_psum")),
+        assert(childCols.subsetOf(
+            Set("_pid", "_cnt", "_off", "_psum", "_roff", "_coff")),
           s"$key has a data-sized unpartitioned window over $childCols")
       }
     }
+  }
+
+  test("attribution_linear pairs purchases to clicks through the binned " +
+    "range join, not a bare user_id equi-join with a time residual") {
+    // the raw shape is skew-quadratic: a bot key with 10⁶ clicks and 10⁶
+    // purchases generates 10¹² candidates on one task; the (key, 24h-bin)
+    // join bounds candidates to two adjacent bins per purchase
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val lp = SparkEntry.queries("attribution_linear")(spark, sf)
+      .queryExecution.optimizedPlan
+    val userJoins = lp.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "user_id")) => j
+    }
+    assert(userJoins.nonEmpty, "expected a purchase-click join on user_id")
+    for (j <- userJoins)
+      assert(j.condition.get.references.exists(_.name == "_bin"),
+        s"purchase-click join must include the 24h bin key:\n${j.condition.get}")
   }
 
   test("join hints are honored: broadcast vs merge on the same join") {

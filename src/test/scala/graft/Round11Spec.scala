@@ -95,6 +95,7 @@ class Round11Spec extends SparkSpec {
   }
 
   test("qualityQuantileNorm maps ranks to (0,1) uniformly") {
+    assumeTestdata()
     val out = SparkEntry.queries("quality_quantile_norm")(spark, "/root/testdata/sf0.001")
       .orderBy("q_uniform").collect().map(_.getDouble(2))
     assert(out.head > 0.0 && out.last < 1.0)
@@ -103,6 +104,7 @@ class Round11Spec extends SparkSpec {
   }
 
   test("cohortLtv: curves are monotone and normalized by the full cohort") {
+    assumeTestdata()
     val out = SparkEntry.queries("cohort_ltv")(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(out.nonEmpty)
@@ -117,6 +119,7 @@ class Round11Spec extends SparkSpec {
   }
 
   test("attribution conserves purchase cents exactly across buckets") {
+    assumeTestdata()
     val dir = "/root/testdata/sf0.001"
     val total = SparkEntry.queries("attribution_last_touch")(spark, dir)
       .agg(sum("attributed_cents")).head.getLong(0)

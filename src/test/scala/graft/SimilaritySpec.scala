@@ -45,6 +45,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("annIvfKmeans: wellformed, deterministic, probes only its cells") {
+    assumeTestdata()
     val emb2 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = Similarity.annIvfKmeans(emb2, maxQueryId = 5, k = 3).collect()
     val b = Similarity.annIvfKmeans(emb2, maxQueryId = 5, k = 3).collect()
@@ -60,6 +61,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("annIvfKmeans meets a quantitative recall floor vs exact top-k") {
+    assumeTestdata()
     // the annRecall query grades annIvf; this is the same gate for the
     // KMeans-quantizer variant — quality asserted vs the exact answer,
     // not just shape. nProbe=2 of 8 cells on sf0.001.
@@ -83,6 +85,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("annIvfKmeansDet: deterministic twin is reproducible and meets the recall floor") {
+    assumeTestdata()
     // B7c — the oracle-exact sibling of annIvfKmeans (md5-free: the
     // determinism comes from Lloyd init on the lowest vec_ids and
     // tie-broken folds, so two runs are bit-identical by construction).
@@ -129,6 +132,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("prefix-filtered similarity is a subset of the exact join with full recall here") {
+    assumeTestdata()
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

@@ -14,6 +14,13 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  /** Skip (not fail) a test that reads the driver-generated testdata on
+    * a machine where it was never generated — TestdataDriftSpec's
+    * assume() posture, shared so every suite guards the same way. */
+  def assumeTestdata(sfDir: String = "/root/testdata/sf0.001"): Unit =
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists(),
+      s"driver-generated testdata missing at $sfDir")
+
   override def afterAll(): Unit = {
     // keep the session for sibling suites; SparkSession is process-shared
     super.afterAll()

@@ -11,8 +11,11 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * correctness entries. This spec makes that class of drift fail in
   * seconds with a named loader/query: constructing a DataFrame runs the
   * full analyzer, so building every registered query against the real
-  * sf0.001 tables (no execution, no jobs) proves every loader still
-  * understands the data on disk.
+  * sf0.001 tables proves every loader still understands the data on
+  * disk. Mostly analysis-only — a handful of model-fitting queries
+  * (token_pagerank's edge counts, ann_ivf_kmeans*'s quantizer fits) run
+  * real driver actions during CONSTRUCTION, so the sweep executes a few
+  * small sf0.001 jobs and takes seconds, not milliseconds.
   */
 class TestdataDriftSpec extends SparkSpec {
 
