@@ -2451,6 +2451,68 @@ object Oracles {
         steps.mkString(",\n") + "\n" + sel
     },
 
+    // HTML/boilerplate extraction: deterministic page shell around each
+    // doc, then the same RE2-safe strip/split/density chain as TextOps.
+    // htmlExtract — script/style removal first (the script body carries a
+    // literal '<'), block split on closing tags, keep text-dense blocks
+    "html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Page</title><script type="text/javascript">var a = 1; if (a < 2) { a = a + 1; }</script><style>.nav { color: red; }</style></head><body>'
+        |  || '<nav><a href="/">Home</a> | <a href="/about">About</a> | <a href="/contact">Contact</a></nav>'
+        |  || '<p>' || text || '</p>'
+        |  || '<div><a href="/r1">Related one</a> <a href="/r2">Related two</a> <a href="/r3">More stories</a></div>'
+        |  || '<footer>Copyright ' || source || ' <a href="/tos">Terms</a> <a href="/privacy">Privacy</a> all rights reserved</footer></body></html>' AS html
+        | FROM documents),
+        |s AS (SELECT doc_id, regexp_replace(regexp_replace(html,
+        |  '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |  '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS nohead FROM h),
+        |sp AS (SELECT doc_id, string_split_regex(nohead, '</p>|</nav>|</div>|</footer>') AS blks FROM s),
+        |b AS (SELECT doc_id, i AS pos, blks[i] AS blk
+        |      FROM (SELECT doc_id, blks, unnest(range(1, len(blks) + 1)) AS i FROM sp)),
+        |t AS (SELECT doc_id, pos,
+        |  trim(regexp_replace(regexp_replace(blk, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS btext,
+        |  len(string_split(blk, '<a ')) - 1 AS n_links FROM b),
+        |k AS (SELECT doc_id, pos, btext,
+        |      (length(btext) >= 30 AND n_links <= 1) AS keep FROM t)
+        |SELECT doc_id, count(*) AS n_blocks,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN keep THEN btext END, ' ' ORDER BY pos), '') AS content
+        |FROM k GROUP BY doc_id""".stripMargin,
+
+    // URL canonicalization: deterministic synthesized URL per doc, then
+    // the same regex chain as TextOps.urlDomains — lowercase scheme/host,
+    // default-port drop, utm_* strip (dangling ? cleaned), fragment cut,
+    // last-two-label registrable domain
+    "url_domains" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END) ||
+        |  source || '.Example.COM' ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END) ELSE '' END) ||
+        |  '/Articles/' || CAST(doc_id AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref=' || lang
+        |        WHEN doc_id % 5 = 1 THEN '?utm_campaign=x'
+        |        WHEN doc_id % 5 = 2 THEN '?ref=' || lang || '&utm_medium=cpc'
+        |        ELSE '' END) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '#section2' ELSE '' END) AS url
+        | FROM documents),
+        |p AS (SELECT doc_id, url,
+        |  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |  lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)) AS hostport,
+        |  regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^#]*)', 1) AS pathq FROM u),
+        |q AS (SELECT doc_id, url, scheme,
+        |  CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |       WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |       ELSE hostport END AS host,
+        |  regexp_replace(regexp_replace(regexp_replace(pathq,
+        |    'utm_[a-z_]+=[^&#]*&', '', 'g'), '[?&]utm_[a-z_]+=[^&#]*', '', 'g'),
+        |    '\?$', '') AS cleanq
+        | FROM p)
+        |SELECT doc_id, url, host,
+        |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+        |  scheme || '://' || host || cleanq AS canon_url
+        |FROM q""".stripMargin,
+
     // derives mean/variance from EXACT integer power sums — replicates
     // the Spark-side expression order so doubles agree bitwise
     "lang_char_moments" ->

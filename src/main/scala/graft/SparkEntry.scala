@@ -203,6 +203,8 @@ object SparkEntry {
     }),
     "bpe_merge_step" -> ((s, d) => TextOps.bpeMergeStep(spread(t(s, d, "documents")))),
     "bpe_train" -> ((s, d) => TextOps.bpeTrain(spread(t(s, d, "documents")))),
+    "html_extract" -> ((s, d) => TextOps.htmlExtract(spread(t(s, d, "documents")))),
+    "url_domains" -> ((s, d) => TextOps.urlDomains(spread(t(s, d, "documents")))),
     // Bloom-prefiltered twin of dedup_incremental: same exact result
     // (shared oracle semantics), sketch-pruned anti-join
     "dedup_incremental_bloom" -> ((s, d) => {

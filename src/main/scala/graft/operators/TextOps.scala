@@ -641,6 +641,109 @@ object TextOps {
     merges.result().toDF("merge_rank", "pair", "new_token", "cnt")
   }
 
+  /** HTML/boilerplate extraction (B136): the trafilatura-stage curation
+    * pass every web corpus hits FIRST — strip script/style blocks, split
+    * into block-level paragraphs, keep only text-dense blocks (enough
+    * text, few links), reassemble in order. Boilerplate (nav bars,
+    * related-links, footers) is short and link-dense; content is long
+    * and link-sparse — the two-rule density heuristic (≥ `minChars`
+    * visible chars AND ≤ `maxLinks` anchors) is the core of every
+    * production extractor. The corpus carries no raw HTML, so each doc
+    * is first wrapped in a deterministic page shell (head + script with
+    * a literal `<` + style + nav + link farm + footer) — built
+    * identically by the DuckDB twin, keeping the EXTRACTION chain the
+    * thing under test. All regexes are RE2-safe (`(?s)` + non-greedy,
+    * no lookarounds) so both engines run the same chain. Narrow
+    * per-row work until one hash-partitioned shuffle on doc_id
+    * reassembles kept blocks — scales linearly, no data-sized state. */
+  def htmlExtract(docs: DataFrame, minChars: Int = 30,
+                  maxLinks: Int = 1): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Page</title>" +
+        "<script type=\"text/javascript\">var a = 1; if (a < 2) { a = a + 1; }</script>" +
+        "<style>.nav { color: red; }</style></head><body>"),
+      lit("<nav><a href=\"/\">Home</a> | <a href=\"/about\">About</a> | " +
+        "<a href=\"/contact\">Contact</a></nav>"),
+      lit("<p>"), col("text"), lit("</p>"),
+      lit("<div><a href=\"/r1\">Related one</a> <a href=\"/r2\">Related two</a> " +
+        "<a href=\"/r3\">More stories</a></div>"),
+      lit("<footer>Copyright "), col("source"),
+      lit(" <a href=\"/tos\">Terms</a> <a href=\"/privacy\">Privacy</a> " +
+        "all rights reserved</footer></body></html>"))
+    val noHead = regexp_replace(
+      regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>", " ")
+    val blocks = docs
+      .select(col("doc_id"),
+        posexplode(split(noHead, "</p>|</nav>|</div>|</footer>"))
+          .as(Seq("pos", "blk")))
+      .select(col("doc_id"), col("pos"),
+        trim(regexp_replace(regexp_replace(col("blk"), "<[^>]*>", " "),
+          "\\s+", " ")).as("btext"),
+        (size(split(col("blk"), "<a ")) - 1).as("n_links"))
+      .withColumn("keep",
+        length(col("btext")) >= minChars && col("n_links") <= maxLinks)
+    blocks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("pos"), col("btext"))))),
+            c => c.getField("btext"))).as("content"))
+  }
+
+  /** URL canonicalization + domain extraction (B137): the pass that
+    * turns raw crawl URLs into the stable `source`/domain keys that
+    * [[TextOps.shardBalance]] / domain_cap / per-domain mixing assume
+    * already exist. Canonical form: scheme and host lowercased, the
+    * scheme's default port dropped (:443 on https, :80 on http),
+    * `utm_*` tracking params removed (a dangling `?`/`&` cleaned up),
+    * and the fragment discarded; the registrable domain is the last two
+    * host labels — the PSL-free approximation (a real public-suffix
+    * list is a broadcast lookup-table join away; .co.uk-style suffixes
+    * land on the suffix, documented). The corpus carries no URL column,
+    * so one is synthesized deterministically per doc (case-varied
+    * scheme, www/cdn subdomains, explicit default ports, utm noise,
+    * fragments — exercising every rule), identically in the DuckDB
+    * twin. Pure narrow per-row regex chain: zero shuffles, linear
+    * scale-out. */
+  def urlDomains(docs: DataFrame): DataFrame = {
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("HTTP")),
+      lit("://"),
+      when(col("doc_id") % 3 === 0, lit("WWW."))
+        .when(col("doc_id") % 3 === 1, lit("cdn.")).otherwise(lit("")),
+      col("source"), lit(".Example.COM"),
+      when(col("doc_id") % 7 === 0,
+        when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":80")))
+        .otherwise(lit("")),
+      lit("/Articles/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 5 === 0, concat(lit("?utm_source=feed&ref="), col("lang")))
+        .when(col("doc_id") % 5 === 1, lit("?utm_campaign=x"))
+        .when(col("doc_id") % 5 === 2, concat(lit("?ref="), col("lang"), lit("&utm_medium=cpc")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, lit("#section2")).otherwise(lit("")))
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val hostport = lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]*)", 1))
+    val host =
+      when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+        .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+        .otherwise(hostport)
+    // path+query, fragment excluded; utm params stripped in two passes
+    // (mid-string `utm_x=v&`, then edge `[?&]utm_x=v`), dangling `?` last
+    val pathq = regexp_extract(url, "^[A-Za-z]+://[^/?#]*([^#]*)", 1)
+    val cleanq = regexp_replace(
+      regexp_replace(
+        regexp_replace(pathq, "utm_[a-z_]+=[^&#]*&", ""),
+        "[?&]utm_[a-z_]+=[^&#]*", ""),
+      "\\?$", "")
+    docs.select(col("doc_id"), url.as("url"),
+      host.as("host"),
+      regexp_extract(host, "([^.]+\\.[^.]+)$", 1).as("domain"),
+      concat(scheme, lit("://"), host, cleanq).as("canon_url"))
+  }
+
   /** Approximate char-length percentiles via the KLL-style sketch (B40):
     * the mergeable bounded-memory path for quantiles at 100 TB, where the
     * exact interpolated percentile ([[charPercentiles]]) would need a

@@ -50,10 +50,64 @@ class Round12Spec extends SparkSpec {
     graft.CacheTracker.releaseAll()
   }
 
+  test("htmlExtract keeps text-dense content and drops boilerplate") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "en", "s1", 60L),
+      (2L, "short", "en", "s1", 5L)) // < 30 chars: whole doc is dropped
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.htmlExtract(docs).orderBy("doc_id").collect()
+    val r1 = out(0)
+    // nav (3 links), link farm (3 links), footer (short) all dropped;
+    // the <p> content block survives alone, tags and head junk gone
+    assert(r1.getAs[String]("content") ===
+      "the quick brown fox jumps over the lazy dog again and again")
+    assert(r1.getAs[Long]("n_kept") === 1L)
+    assert(r1.getAs[Long]("n_blocks") > 1L)
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_kept") === 0L, "short text fails the density gate")
+    assert(r2.getAs[String]("content") === "")
+  }
+
+  test("htmlExtract strips script bodies even when they contain a literal '<'") {
+    val docs = Seq((1L, "content words long enough to pass the density gate here",
+      "en", "s1", 50L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val c = TextOps.htmlExtract(docs).select("content").head.getString(0)
+    assert(!c.contains("var a"), "script body must not leak into content")
+    assert(!c.contains("color"), "style body must not leak into content")
+    assert(!c.contains("Copyright"), "footer is boilerplate")
+    assert(!c.contains("Home"), "nav is boilerplate")
+  }
+
+  test("urlDomains canonicalizes scheme/host/port/utm and extracts the domain") {
+    val docs = Seq(
+      (0L, "t", "en", "news", 1L),   // https + WWW. + :443(7∤0→no) + utm first + #fragment
+      (7L, "t", "fr", "blog", 1L),   // HTTP + cdn. + :80 (7|7, odd) + ref&utm_medium
+      (12L, "t", "de", "wiki", 1L))  // https + WWW. + utm_medium last + #fragment
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.urlDomains(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+    val (_, u0, h0, d0, c0) = out(0)
+    // doc 0: 0 % 7 == 0, so the raw URL carries the explicit default :443
+    assert(u0.startsWith("https://WWW.news.Example.COM:443/Articles/0?utm_source=feed&ref=en#"))
+    assert(h0 === "www.news.example.com" && d0 === "example.com")
+    assert(c0 === "https://www.news.example.com/Articles/0?ref=en",
+      "utm stripped, ref kept, fragment cut, host lowered, :443 dropped")
+    val (_, u7, h7, d7, c7) = out(1)
+    assert(u7.startsWith("HTTP://cdn.blog.Example.COM:80/"))
+    assert(h7 === "cdn.blog.example.com", "default :80 dropped for http")
+    assert(d7 === "example.com")
+    assert(c7 === "http://cdn.blog.example.com/Articles/7?ref=fr")
+    val (_, _, _, _, c12) = out(2)
+    assert(c12 === "https://www.wiki.example.com/Articles/12?ref=de",
+      "trailing utm param stripped without a dangling '&'")
+  }
+
   test("round-12 operators are total on empty inputs") {
     val noDocs = Seq.empty[(Long, String, String, String, Long)]
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     assert(TextOps.bpeTrain(noDocs).count() === 0)
+    assert(TextOps.htmlExtract(noDocs).count() === 0)
+    assert(TextOps.urlDomains(noDocs).count() === 0)
     graft.CacheTracker.releaseAll()
   }
 }
