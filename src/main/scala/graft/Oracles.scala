@@ -1135,6 +1135,16 @@ object Oracles {
         |             meta: 'STRUCT(author VARCHAR, year BIGINT)', tags: 'VARCHAR[]'})""".stripMargin,
 
     // DuckDB has no ORC reader: the oracle replays the SAME rows from the
+    // Avro ingest: cross-format twin of orc_ingest — DuckDB has no Avro
+    // reader, so the oracle replays the same rows from the JSONL source
+    "avro_ingest" ->
+      """SELECT doc_id, lang, text, meta.author AS author, meta.year AS year,
+        |  coalesce(array_to_string(tags, ','), '') AS tags_csv, len(tags)::BIGINT AS n_tags
+        |FROM read_json('/root/repo/src/test/resources/docs_sample.jsonl',
+        |  format = 'newline_delimited',
+        |  columns = {doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
+        |             meta: 'STRUCT(author VARCHAR, year BIGINT)', tags: 'VARCHAR[]'})""".stripMargin,
+
     // JSONL twin, making orc_ingest a cross-format consistency check
     "orc_ingest" ->
       """SELECT doc_id, lang, text, meta.author AS author, meta.year AS year,

@@ -549,6 +549,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("text"),
           col("meta.author").as("author"), col("meta.year").as("year"),
           concat_ws(",", col("tags")).as("tags_csv"),
+          size(col("tags")).cast("long").as("n_tags"))),
+    // Avro ingest (C98): the remaining common wire format, read through
+    // the sources.Avro splittable reader (no spark-avro module in the
+    // distribution) with a caller-declared schema — no inference pass.
+    // Oracle = the SAME rows from the JSONL twin (DuckDB has no Avro
+    // reader), the orc_ingest cross-format precedent.
+    "avro_ingest" -> ((s, _) =>
+      graft.sources.Avro.read(s,
+          "/root/repo/src/test/resources/docs_sample.avro",
+          "doc_id BIGINT, text STRING, lang STRING, " +
+            "meta STRUCT<author: STRING, year: BIGINT>, tags ARRAY<STRING>")
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("meta.author").as("author"), col("meta.year").as("year"),
+          concat_ws(",", col("tags")).as("tags_csv"),
           size(col("tags")).cast("long").as("n_tags")))
   )
 
