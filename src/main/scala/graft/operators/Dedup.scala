@@ -603,7 +603,7 @@ object Dedup {
     * dup_token_frac 0. */
   /** The tokenized frame spanDedup/spanDedupTrim share: (doc_id, toks,
     * n_tokens), null text propagating null n_tokens. */
-  private def spanToked(docs: DataFrame): DataFrame = docs
+  private[graft] def spanToked(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
     .select(col("doc_id"), col("toks"),
       size(col("toks")).cast("long").as("n_tokens"))
@@ -618,7 +618,7 @@ object Dedup {
     * (the 100 TB regime) a 64-bit space expects thousands of birthday
     * collisions, each one a false duplicate mark that trims real text;
     * at 128 bits the expectation stays ~1e-15 */
-  private def spanShingles(toked: DataFrame, win: Int): DataFrame =
+  private[graft] def spanShingles(toked: DataFrame, win: Int): DataFrame =
     toked.filter(col("n_tokens") >= win)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0L), col("n_tokens") - win), i =>

@@ -168,6 +168,85 @@ object Events {
     } finally novel.unpersist()
   }
 
+  /** Streaming incremental SPAN dedup (C99): the substring-level twin of
+    * [[incrementalCorpusDedup]] — each micro-batch runs the
+    * operators.Dedup.spanDedupIncremental probe shape against a DURABLE
+    * shingle store: batch shingles semi-join (store ∪ batch-internal
+    * dups), positions covered by a hit count as duplicated, and the
+    * per-doc span report lands in `outDir`. The store is
+    * batch_id-partitioned parquet; per batch the probe shuffles batch
+    * shingles + the store read — never re-shingling the corpus.
+    *
+    * Replay discipline (at-least-once foreachBatch), BOTH halves
+    * idempotent by dynamic partition overwrite on batch_id: a replayed
+    * batch REPLACES its own report partition and its own store
+    * partition. The probe additionally EXCLUDES the store's rows tagged
+    * with the current batch_id — without that, a replay after a
+    * successful store append would see its own first-attempt shingles
+    * as "standing corpus" and flag every batch document as fully
+    * duplicated, diverging from the first attempt's report. With the
+    * exclusion, retries of the current (last uncommitted) batch — the
+    * only replay the engine's commit protocol produces — converge to
+    * the same report and store contents regardless of where the prior
+    * attempt failed. */
+  def incrementalSpanDedup(docs: DataFrame, storeDir: String, outDir: String,
+                           checkpointDir: Option[String] = None, win: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      spanDedupBatch(batch, batchId, storeDir, outDir, win)
+    }
+    checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** The per-batch step, factored out so tests replay batches and assert
+    * convergence. */
+  def spanDedupBatch(batch: DataFrame, batchId: Long, storeDir: String,
+                     outDir: String, win: Int = 8): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val toked = Dedup.spanToked(batch)
+    val sh = Dedup.spanShingles(toked, win)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val index =
+        if (new java.io.File(storeDir).exists())
+          spark.read.parquet(storeDir)
+            .filter(col("batch_id") =!= batchId) // self-exclusion on replay
+            .select("h")
+        else sh.select("h").limit(0)
+      val batchDup = sh.groupBy("h")
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select("h")
+      val cover = sh.join(index.union(batchDup), Seq("h"), "left_semi")
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + (win - 1))).as("pos"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_tokens"))
+      val report = toked.select(col("doc_id"), col("n_tokens"))
+        .join(cover, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("n_tokens"),
+          when(col("n_tokens") >= win, col("n_tokens") - (win - 1))
+            .when(col("n_tokens").isNotNull, lit(0L)).as("n_shingles"),
+          when(col("n_tokens").isNotNull, coalesce(col("n_dup_tokens"), lit(0L)))
+            .as("n_dup_tokens"),
+          when(col("n_tokens") > 0,
+            round(coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
+              col("n_tokens"), 6))
+            .when(col("n_tokens").isNotNull, lit(0.0)).as("dup_token_frac"))
+      report.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(outDir)
+      sh.select("h").distinct().withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(storeDir)
+    } finally sh.unpersist()
+  }
+
   case class SessionSummary(userId: Long, startUs: Long, endUs: Long, nEvents: Long)
   // public: the state encoder's generated code constructs it reflectively
   case class OpenSession(startUs: Long, endUs: Long, n: Long)

@@ -58,6 +58,51 @@ class StreamingSpec extends SparkSpec {
     assert(after.select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 5L))
   }
 
+  test("incremental span dedup: durable shingle store flags cross-batch " +
+    "spans and replays converge") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_span_stream").toString
+    val (store, out, ckpt) = (s"$base/store", s"$base/report", s"$base/ckpt")
+    val textA = "one two three four five six seven eight"
+    val textB = "alpha beta gamma delta epsilon zeta eta theta"
+    val textC = "red orange yellow green blue indigo violet ultra"
+    val textD = "mercury venus earth mars jupiter saturn uranus neptune"
+    val stream = MemoryStream[(Long, String)]
+    val q = Events.incrementalSpanDedup(
+      stream.toDF().toDF("doc_id", "text"), store, out, Some(ckpt))
+
+    stream.addData((1L, textA), (2L, textB))
+    q.processAllAvailable()
+    // doc 3 repeats batch-0 content (store hit); docs 4+5 duplicate each
+    // other inside the batch (in-batch hit); doc 6 is a unique singleton
+    // — the case that tells self-exclusion apart on replay. win=8.
+    stream.addData((3L, textA), (4L, textC), (5L, textC), (6L, textD))
+    q.processAllAvailable()
+    q.stop()
+
+    val rep = spark.read.parquet(out)
+      .select("doc_id", "n_dup_tokens").as[(Long, Long)].collect().toMap
+    assert(rep === Map(1L -> 0L, 2L -> 0L, 3L -> 8L, 4L -> 8L, 5L -> 8L, 6L -> 0L),
+      "store hits and in-batch dups flag every covered token; originals stay clean")
+
+    // replay batch 1 — the last batch, the only one the engine's commit
+    // protocol ever retries — AFTER its store append landed: the probe
+    // must EXCLUDE the store's own batch-1 rows, or singleton doc 6
+    // would see its OWN first-attempt shingle as standing corpus and
+    // come back fully duplicated; doc 3 still hits batch 0's partition
+    Events.spanDedupBatch(
+      Seq((3L, textA), (4L, textC), (5L, textC), (6L, textD))
+        .toDF("doc_id", "text"), 1L, store, out)
+    val after = spark.read.parquet(out)
+      .select("doc_id", "n_dup_tokens").as[(Long, Long)].collect().toMap
+    assert(after === Map(1L -> 0L, 2L -> 0L, 3L -> 8L, 4L -> 8L, 5L -> 8L, 6L -> 0L),
+      "replayed batch reproduces its original report exactly")
+    // the store stays one partition per batch with no duplicate growth
+    val storeRows = spark.read.parquet(store)
+    assert(storeRows.select("batch_id").distinct().count() === 2)
+    assert(storeRows.count() === storeRows.select("h", "batch_id").distinct().count())
+  }
+
   test("file-source readStream over parquet equals batch on the same files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
     val batchDf = Seq(
