@@ -17,6 +17,26 @@ object Oracles {
 
   val toks: String = s"list_filter(string_split($clean, ' '), t -> t <> '')"
 
+  /** The unrolled N-round BPE chain shared by bpe_train/bpe_apply:
+    * WITH c0 (cleaned corpus) and, per round i, bg_i (whitespace-split
+    * bigrams of c_{i-1}), top_i (argmax pair), c_i (merged corpus). */
+  private def bpeChainSql(n: Int): String = {
+    val steps = (1 to n).map { i =>
+      s"""bg$i AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |    j -> toks[j] || ' ' || toks[j+1])) AS pair
+         |  FROM (SELECT list_filter(string_split(txt, ' '), t -> t <> '') AS toks
+         |        FROM c${i - 1}) WHERE len(toks) > 1),
+         |top$i AS (SELECT pair, count(*) AS cnt FROM bg$i GROUP BY 1
+         |          ORDER BY cnt DESC, pair LIMIT 1),
+         |c$i AS (SELECT doc_id, regexp_replace(txt,
+         |    '\\b' || split_part(pair, ' ', 1) || ' ' || split_part(pair, ' ', 2) || '\\b',
+         |    split_part(pair, ' ', 1) || '_' || split_part(pair, ' ', 2), 'g') AS txt
+         |  FROM c${i - 1} CROSS JOIN top$i)""".stripMargin
+    }
+    s"WITH c0 AS (SELECT doc_id, $clean AS txt FROM documents),\n" +
+      steps.mkString(",\n")
+  }
+
   /** Mirrors operators.TextOps.qualityComposite (shared by quality_score
     * and quality_filter so the two entries can never drift apart). */
   val qualitySql: String =
@@ -1211,6 +1231,22 @@ object Oracles {
         |       p.us - c.click_us AS gap_us
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.click_us >= p.us - 1800000000 AND c.click_us <= p.us""".stripMargin,
+
+    // binned interval OVERLAP join: per-user daily activity intervals ×
+    // 48 synthetic 90-min campaign windows striding 7h from the corpus
+    // epoch (2024-01-01T00:00:00Z in micros); exact overlap duration
+    "interval_join" ->
+      """WITH a AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |                  min(epoch_ns(ts) // 1000) AS a_start,
+        |                  max(epoch_ns(ts) // 1000) AS a_end
+        |           FROM events GROUP BY 1, 2),
+        |w AS (SELECT i AS window_id,
+        |             1704067200000000 + i * 25200000000 AS w_start,
+        |             1704067200000000 + i * 25200000000 + 5400000000 AS w_end
+        |      FROM (SELECT unnest(range(48)) AS i))
+        |SELECT user_id, day, window_id,
+        |  least(a_end, w_end) - greatest(a_start, w_start) AS overlap_us
+        |FROM a JOIN w ON a_start <= w_end AND w_start <= a_end""".stripMargin,
 
     "quality_filter" ->
       s"""WITH q AS (SELECT doc_id, lang, $qualitySql AS quality FROM documents),
@@ -2440,25 +2476,24 @@ object Oracles {
     // round's argmax lands in the merges union
     "bpe_train" -> {
       val n = 8
-      val steps = (1 to n).map { i =>
-        s"""bg$i AS (SELECT unnest(list_transform(range(1, len(toks)),
-           |    j -> toks[j] || ' ' || toks[j+1])) AS pair
-           |  FROM (SELECT list_filter(string_split(txt, ' '), t -> t <> '') AS toks
-           |        FROM c${i - 1}) WHERE len(toks) > 1),
-           |top$i AS (SELECT pair, count(*) AS cnt FROM bg$i GROUP BY 1
-           |          ORDER BY cnt DESC, pair LIMIT 1),
-           |c$i AS (SELECT doc_id, regexp_replace(txt,
-           |    '\\b' || split_part(pair, ' ', 1) || ' ' || split_part(pair, ' ', 2) || '\\b',
-           |    split_part(pair, ' ', 1) || '_' || split_part(pair, ' ', 2), 'g') AS txt
-           |  FROM c${i - 1} CROSS JOIN top$i)""".stripMargin
-      }
       val sel = (1 to n).map { i =>
         s"SELECT CAST($i AS BIGINT) AS merge_rank, pair, " +
           s"split_part(pair, ' ', 1) || '_' || split_part(pair, ' ', 2) AS new_token, " +
           s"cnt FROM top$i"
       }.mkString("\nUNION ALL\n")
-      s"WITH c0 AS (SELECT doc_id, $clean AS txt FROM documents),\n" +
-        steps.mkString(",\n") + "\n" + sel
+      bpeChainSql(n) + "\n" + sel
+    },
+
+    // BPE application: the same unrolled chain, final state tokenized to
+    // (doc_id, pos, token) — the trainer's inference half
+    "bpe_apply" -> {
+      val n = 8
+      bpeChainSql(n) +
+        s"""
+           |SELECT doc_id, i AS pos, toks[i] AS token
+           |FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+           |      FROM (SELECT doc_id, list_filter(string_split(txt, ' '), t -> t <> '') AS toks
+           |            FROM c$n))""".stripMargin
     },
 
     // HTML/boilerplate extraction: deterministic page shell around each

@@ -203,6 +203,7 @@ object SparkEntry {
     }),
     "bpe_merge_step" -> ((s, d) => TextOps.bpeMergeStep(spread(t(s, d, "documents")))),
     "bpe_train" -> ((s, d) => TextOps.bpeTrain(spread(t(s, d, "documents")))),
+    "bpe_apply" -> ((s, d) => TextOps.bpeApply(spread(t(s, d, "documents")))),
     "html_extract" -> ((s, d) => TextOps.htmlExtract(spread(t(s, d, "documents")))),
     "url_domains" -> ((s, d) => TextOps.urlDomains(spread(t(s, d, "documents")))),
     // Bloom-prefiltered twin of dedup_incremental: same exact result
@@ -355,6 +356,7 @@ object SparkEntry {
     "cube_stats" -> ((s, d) => Relational.cubeStats(t(s, d, "documents"))),
     "events_rolling" -> ((s, d) => Relational.eventsRolling(events(s, d))),
     "props_extract" -> ((s, d) => Relational.propsExtract(events(s, d))),
+    "interval_join" -> ((s, d) => Relational.intervalJoinQuery(events(s, d))),
     "range_join" -> ((s, d) => {
       val e = events(s, d).select(col("event_id"), col("user_id"),
         col("event_type"), unix_micros(col("ts")).as("us"))

@@ -252,6 +252,63 @@ object Relational {
       .drop("_bin")
   }
 
+  /** Binned interval OVERLAP join (C100): all (left, right) interval
+    * pairs with [ls,le] ∩ [rs,re] ≠ ∅ — the sessions × campaign-windows
+    * / readings × maintenance-windows shape. A raw overlap predicate
+    * (`ls <= re && rs <= le`, no equi-key) plans as a broadcast nested
+    * loop over ALL pairs; here every interval registers in each
+    * `binUs`-sized time bin it touches and candidates equi-join on the
+    * bin, so matching cost tracks true overlap locality and the shuffle
+    * hash-partitions. A pair overlapping across several shared bins
+    * would duplicate — the match is kept ONLY in the bin containing the
+    * overlap's start (`greatest(ls, rs)`), which exactly one bin does:
+    * dedup by arithmetic, no distinct shuffle. Choose `binUs` near the
+    * typical interval length: the explode factor is
+    * interval_len/binUs + 1 per row (a months-long interval against an
+    * hours-sized bin is the skew case to cap upstream). Timestamps are
+    * non-negative epoch micros (truncating div = floor there). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   ls: String, le: String, rs: String, re: String,
+                   binUs: Long): DataFrame = {
+    def binOf(c: String) = expr(s"$c div CAST($binUs AS BIGINT)")
+    val lb = left.withColumn("_bin",
+      explode(sequence(binOf(ls), binOf(le))))
+    val rb = right.withColumn("_bin",
+      explode(sequence(binOf(rs), binOf(re))))
+    lb.join(rb, Seq("_bin"))
+      .filter(col(ls) <= col(re) && col(rs) <= col(le))
+      .filter(col("_bin") === expr(
+        s"greatest($ls, $rs) div CAST($binUs AS BIGINT)"))
+      .drop("_bin")
+  }
+
+  /** The C100 query surface: per-user DAILY activity intervals
+    * ([min ts, max ts] within each day — one tiny agg) overlap-joined
+    * against 48 synthetic 90-minute "campaign windows" striding 7 h
+    * from the corpus epoch, reporting the exact overlap duration. The
+    * window table is config-sized and both sides bin at 90 min, so
+    * every activity interval registers in a handful of bins. */
+  def intervalJoinQuery(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val acts = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .groupBy("user_id", "day")
+      .agg(min(col("us")).as("a_start"), max(col("us")).as("a_end"))
+    // 2024-01-01T00:00:00Z in epoch micros — a literal, not a
+    // Timestamp.valueOf (which would read the JVM default timezone)
+    val epochUs = 1704067200000000L
+    val windows = spark.range(48)
+      .select(col("id").as("window_id"),
+        (lit(epochUs) + col("id") * lit(7L * 3600L * 1000000L)).as("w_start"))
+      .withColumn("w_end", col("w_start") + lit(90L * 60L * 1000000L))
+    intervalJoin(acts, windows, "a_start", "a_end", "w_start", "w_end",
+        90L * 60L * 1000000L)
+      .select(col("user_id"), col("day"), col("window_id"),
+        (least(col("a_end"), col("w_end"))
+          - greatest(col("a_start"), col("w_start"))).as("overlap_us"))
+  }
+
   /** TPC-H Q3 shape (C29): shipping-priority revenue — customer ⋈ orders
     * ⋈ lineitem with selective filters on all three tables, grouped by
     * order, top 10 by revenue. The segment filter prunes customer BEFORE

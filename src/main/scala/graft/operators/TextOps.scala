@@ -610,7 +610,15 @@ object TextOps {
     * character). A corpus that runs out of bigrams stops early with
     * fewer rows on both engines identically. */
   def bpeTrain(docs: DataFrame, nMerges: Int = 8): DataFrame = {
-    val spark = docs.sparkSession
+    import docs.sparkSession.implicits._
+    bpeTrainMerges(docs, nMerges)
+      .toDF("merge_rank", "pair", "new_token", "cnt")
+  }
+
+  /** The trainer loop behind [[bpeTrain]]/[[bpeApply]], returning the
+    * driver-bounded merges list itself. */
+  private[graft] def bpeTrainMerges(docs: DataFrame, nMerges: Int)
+      : Seq[(Long, String, String, Long)] = {
     def persisted(df: DataFrame): DataFrame = graft.CacheTracker.track(
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var corpus = persisted(
@@ -637,8 +645,34 @@ object TextOps {
           regexp_replace(col("txt"), s"\\b$a $b\\b", s"${a}_$b").as("txt")))
       }
     }
-    import spark.implicits._
-    merges.result().toDF("merge_rank", "pair", "new_token", "cnt")
+    merges.result()
+  }
+
+  /** BPE application (B138): tokenize the corpus WITH the learned merges
+    * — [[bpeTrain]]'s inference half, completing the tokenizer
+    * round-trip (train → apply → id sequences). The merges replay in
+    * rank order as a chain of literal regexp_replace steps folded into
+    * ONE narrow projection (the merge table is nMerges-bounded driver
+    * state, so inlining it as literals is free and keeps the whole
+    * apply pass shuffle-free); the merged text then splits to
+    * (doc_id, pos, token) rows exactly like [[tokenizeIds]]' exploded
+    * layout. Greedy left-to-right, rank-priority application is the
+    * standard BPE inference rule and matches what the trainer measured.
+    * Self-application here (train and apply on the same corpus) is the
+    * round-trip the oracle replays; at scale the merges list is a
+    * frozen artifact applied to any later corpus. */
+  def bpeApply(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    val merges = bpeTrainMerges(docs, nMerges)
+    val merged = merges.foldLeft(cleanText(col("text"))) {
+      case (c, (_, pair, nt, _)) =>
+        val Array(a, b) = pair.split(" ", 2)
+        regexp_replace(c, s"\\b$a $b\\b", nt)
+    }
+    docs.select(col("doc_id"),
+        posexplode(filter(split(merged, " "), t => t =!= ""))
+          .as(Seq("pos0", "token")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("token"))
   }
 
   /** HTML/boilerplate extraction (B136): the trafilatura-stage curation

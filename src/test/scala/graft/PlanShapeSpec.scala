@@ -199,6 +199,28 @@ class PlanShapeSpec extends SparkSpec {
         s"purchase-click join must include the 24h bin key:\n${j.condition.get}")
   }
 
+  test("interval_join equi-joins on the time bin, never a nested loop") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val lp = SparkEntry.queries("interval_join")(spark, sf)
+      .queryExecution.optimizedPlan
+    val joins = lp.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    for (j <- joins)
+      assert(j.condition.get.references.exists(_.name == "_bin"),
+        s"overlap join must carry the bin equi-key:\n${j.condition.get}")
+    val p = plan("interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "binned overlap join must not plan a nested loop")
+  }
+
+  test("round-12 narrow curation queries stay shuffle-lean") {
+    // url_domains / bpe_apply are pure projections after the spread()
+    // round-robin; html_extract adds exactly the doc_id reassembly agg
+    assert("Exchange".r.findAllIn(plan("url_domains")).size <= 1)
+    assert("Exchange".r.findAllIn(plan("bpe_apply")).size <= 1)
+    assert(exchanges(plan("html_extract")) <= 1)
+  }
+
   test("join hints are honored: broadcast vs merge on the same join") {
     val a = spark.read.parquet(s"$sf/orders.parquet")
     val b = spark.read.parquet(s"$sf/customer.parquet")

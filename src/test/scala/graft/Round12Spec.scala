@@ -102,12 +102,39 @@ class Round12Spec extends SparkSpec {
       "trailing utm param stripped without a dangling '&'")
   }
 
+  test("bpeApply tokenizes the planted corpus with its learned merges") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = TextOps.bpeApply(docs, nMerges = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // after the 4 learned merges both docs collapse to single tokens
+    assert(out.toSet === Set((1L, 1L, "a_b_a_b_c"), (2L, 1L, "a_b_c_d")))
+    graft.CacheTracker.releaseAll()
+  }
+
+  test("intervalJoin: one row per overlapping pair, touching endpoints " +
+    "count, multi-bin overlaps never duplicate") {
+    val left = Seq((1L, 0L, 25L), (2L, 30L, 35L)).toDF("lid", "ls", "le")
+    val right = Seq((10L, 18L, 22L), (20L, 25L, 30L), (30L, 40L, 50L))
+      .toDF("rid", "rs", "re")
+    val out = Relational.intervalJoin(left, right, "ls", "le", "rs", "re",
+        binUs = 10L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // (1,10) overlaps across bins 1 AND 2 — exactly one output row;
+    // (1,20) and (2,20) touch at single points (closed intervals);
+    // (30) overlaps nothing
+    assert(out.sorted.toSeq === Seq((1L, 10L), (1L, 20L), (2L, 20L)))
+  }
+
   test("round-12 operators are total on empty inputs") {
     val noDocs = Seq.empty[(Long, String, String, String, Long)]
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     assert(TextOps.bpeTrain(noDocs).count() === 0)
+    assert(TextOps.bpeApply(noDocs).count() === 0)
     assert(TextOps.htmlExtract(noDocs).count() === 0)
     assert(TextOps.urlDomains(noDocs).count() === 0)
+    val noEvents = Seq.empty[(Long, Long, String, java.sql.Timestamp, Double)]
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    assert(Relational.intervalJoinQuery(noEvents).count() === 0)
     graft.CacheTracker.releaseAll()
   }
 }
