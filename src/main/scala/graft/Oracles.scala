@@ -172,6 +172,23 @@ object Oracles {
       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
       |SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.3""".stripMargin
 
+  /** SCD2 interval chain over `src` (shared by scd2_intervals and
+    * pit_join): CTEs e/w/r/iv plus ivf, the full interval table. */
+  private def scd2CtesSql(src: String): String =
+    s"""e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM $src),
+       |w AS (SELECT *, CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) = event_type
+       |      THEN 0 ELSE 1 END AS changed FROM e),
+       |r AS (SELECT user_id, event_type, us,
+       |      CAST(sum(changed) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id FROM w),
+       |iv AS (SELECT user_id, run_id, event_type, min(us) AS valid_from_us,
+       |       count(*) AS n_events FROM r GROUP BY 1, 2, 3),
+       |ivf AS (SELECT user_id, run_id, event_type, valid_from_us,
+       |  coalesce(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id),
+       |           253402300799000000) AS valid_to_us,
+       |  n_events,
+       |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL AS is_current
+       |  FROM iv)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "clean_text" ->
       s"SELECT doc_id, $clean AS clean FROM documents",
@@ -391,19 +408,129 @@ object Oracles {
     // gaps-and-islands run collapse of each user's event_type timeline;
     // open run's valid_to is the SCD2 end-of-time sentinel, never NULL
     "scd2_intervals" ->
-      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
-        |w AS (SELECT *, CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) = event_type
-        |      THEN 0 ELSE 1 END AS changed FROM e),
-        |r AS (SELECT user_id, event_type, us,
-        |      CAST(sum(changed) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id FROM w),
-        |iv AS (SELECT user_id, run_id, event_type, min(us) AS valid_from_us,
-        |       count(*) AS n_events FROM r GROUP BY 1, 2, 3)
-        |SELECT user_id, run_id, event_type, valid_from_us,
-        |  coalesce(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id),
-        |           253402300799000000) AS valid_to_us,
-        |  n_events,
-        |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL AS is_current
-        |FROM iv""".stripMargin,
+      s"""WITH ${scd2CtesSql("events")}
+         |SELECT user_id, run_id, event_type, valid_from_us, valid_to_us,
+         |  n_events, is_current FROM ivf""".stripMargin,
+
+    // PIT join: purchases probe the click/view SCD2 state table at their
+    // own timestamp (inner interval containment; contiguous intervals)
+    "pit_join" ->
+      s"""WITH ${scd2CtesSql("(SELECT * FROM events WHERE event_type IN ('click', 'view'))")},
+         |p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+         |      FROM events WHERE event_type = 'purchase')
+         |SELECT p.event_id, p.user_id, p.us, d.event_type AS state, d.valid_from_us
+         |FROM p JOIN ivf d ON d.user_id = p.user_id
+         |  AND p.us >= d.valid_from_us AND p.us < d.valid_to_us""".stripMargin,
+
+    // ClickHouse-style windowFunnel: per view anchor, the deepest
+    // view -> click -> purchase chain with every step strictly after the
+    // previous and inside the anchor's 6h window; max level per user
+    "window_funnel" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |v AS (SELECT event_id AS anchor_id, user_id, us AS view_us FROM e WHERE event_type = 'view'),
+        |c AS (SELECT a.anchor_id, a.user_id, a.view_us, min(c2.us) AS first_click_us
+        |      FROM v a JOIN e c2 ON c2.user_id = a.user_id AND c2.event_type = 'click'
+        |        AND c2.us > a.view_us AND c2.us <= a.view_us + 21600000000
+        |      GROUP BY 1, 2, 3),
+        |p AS (SELECT c.anchor_id, min(p2.us) AS first_p_us
+        |      FROM c JOIN e p2 ON p2.user_id = c.user_id AND p2.event_type = 'purchase'
+        |        AND p2.us > c.first_click_us AND p2.us <= c.view_us + 21600000000
+        |      GROUP BY 1)
+        |SELECT v.user_id,
+        |  CAST(max(CASE WHEN p.anchor_id IS NOT NULL THEN 3
+        |           WHEN c.anchor_id IS NOT NULL THEN 2 ELSE 1 END) AS BIGINT) AS level,
+        |  count(*) AS n_anchors
+        |FROM v LEFT JOIN c ON v.anchor_id = c.anchor_id
+        |       LEFT JOIN p ON v.anchor_id = p.anchor_id
+        |GROUP BY 1""".stripMargin,
+
+    // CUSUM change-point: integer-cents running total (bit-exact under
+    // any order), float work limited to one multiply+subtract per day
+    "cusum_changepoint" ->
+      """WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS n_days,
+        |    round(CAST(sum(cents) AS DOUBLE) / count(*), 9) AS mean_cents
+        |  FROM daily GROUP BY 1),
+        |cu AS (SELECT d.event_type, d.day, st.n_days, st.mean_cents,
+        |    CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS BIGINT) AS t,
+        |    CAST(sum(d.cents) OVER (PARTITION BY d.event_type ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        |  FROM daily d JOIN st ON st.event_type = d.event_type),
+        |sc AS (SELECT event_type, day, n_days,
+        |    round(cum_cents - t * mean_cents, 6) AS cusum,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(round(cum_cents - t * mean_cents, 6)) DESC, day) AS rn
+        |  FROM cu)
+        |SELECT event_type, day AS cp_day, cusum, n_days FROM sc WHERE rn = 1""".stripMargin,
+
+    // DPO preference pairs: i-th best vs i-th worst of ONE total order
+    // (quality, doc_id) per (lang, source) stratum, i <= min(5, n/2),
+    // margin gate 0.05
+    "dpo_pairs" ->
+      s"""WITH q AS (SELECT doc_id, lang, source, $qualitySql AS quality FROM documents),
+         |n AS (SELECT lang, source, count(*) AS n_grp FROM q GROUP BY 1, 2),
+         |ch AS (SELECT lang, source, doc_id, quality,
+         |   CAST(row_number() OVER (PARTITION BY lang, source ORDER BY quality DESC, doc_id) AS BIGINT) AS pair_rank FROM q),
+         |rj AS (SELECT lang, source, doc_id, quality,
+         |   CAST(row_number() OVER (PARTITION BY lang, source ORDER BY quality ASC, doc_id DESC) AS BIGINT) AS pair_rank FROM q)
+         |SELECT ch.lang, ch.source, ch.pair_rank,
+         |  ch.doc_id AS chosen_doc_id, rj.doc_id AS rejected_doc_id,
+         |  ch.quality AS chosen_q, rj.quality AS rejected_q,
+         |  round(ch.quality - rj.quality, 6) AS margin
+         |FROM ch JOIN rj ON ch.lang = rj.lang AND ch.source = rj.source
+         |  AND ch.pair_rank = rj.pair_rank
+         |JOIN n ON n.lang = ch.lang AND n.source = ch.source
+         |WHERE ch.pair_rank <= least(5, n.n_grp // 2)
+         |  AND round(ch.quality - rj.quality, 6) >= 0.05""".stripMargin,
+
+    // GRPO-style group z-score of quality per (lang, source): two-level
+    // sub-bucketed sorted folds for mean and population variance
+    "reward_normalize" ->
+      s"""WITH q AS (SELECT doc_id, lang, source, $qualitySql AS quality FROM documents),
+         |m1 AS (SELECT lang, source, CAST(sum(sub_n) AS BIGINT) AS n_grp,
+         |    round(list_reduce(list_sort(list(sub_s)), (a, b) -> a + b) / sum(sub_n), 9) AS mean_q
+         |  FROM (SELECT lang, source, doc_id % 1024 AS sb, count(*) AS sub_n,
+         |        list_reduce(list_sort(list(quality)), (a, b) -> a + b) AS sub_s
+         |        FROM q GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2),
+         |d AS (SELECT q.doc_id, q.lang, q.source, q.quality, m1.mean_q,
+         |    round((q.quality - m1.mean_q) * (q.quality - m1.mean_q), 9) AS d2
+         |  FROM q JOIN m1 ON m1.lang = q.lang AND m1.source = q.source),
+         |m2 AS (SELECT lang, source,
+         |    round(list_reduce(list_sort(list(sub_d)), (a, b) -> a + b) / sum(sub_n), 9) AS var_q
+         |  FROM (SELECT lang, source, doc_id % 1024 AS sb, count(*) AS sub_n,
+         |        list_reduce(list_sort(list(d2)), (a, b) -> a + b) AS sub_d
+         |        FROM d GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2)
+         |SELECT d.doc_id, d.lang, d.source, d.quality,
+         |  CASE WHEN m2.var_q > 0 THEN round((d.quality - d.mean_q) / sqrt(m2.var_q), 6)
+         |       ELSE 0.0 END AS z_reward
+         |FROM d JOIN m2 ON m2.lang = d.lang AND m2.source = d.source""".stripMargin,
+
+    // topic labels: sign-LSH bucket from the first 4 hashed-embedding
+    // dims (same md5-parity formula as doc_embed_hash), top-5 tokens per
+    // bucket by two-level sorted-fold TF-IDF mass
+    "topic_labels" ->
+      s"""WITH t AS ($tfidf),
+         |c AS (SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+         |      round(tfidf * CASE WHEN ('0x' || substr(md5(token), dim, 1))::BIGINT % 2 = 0
+         |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END, 9) AS c
+         |      FROM t CROSS JOIN (SELECT unnest(range(1, 5)) AS dim)),
+         |v AS (SELECT doc_id, dim, round(list_reduce(list_sort(list(c)), (a, b) -> a + b), 6) AS v
+         |      FROM c GROUP BY 1, 2),
+         |b AS (SELECT doc_id, string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY dim) AS bucket
+         |      FROM v GROUP BY 1),
+         |m AS (SELECT bucket, token,
+         |      round(list_reduce(list_sort(list(sub_s)), (a, b) -> a + b), 6) AS score
+         |      FROM (SELECT b.bucket, t.token, t.doc_id % 1024 AS sb,
+         |            list_reduce(list_sort(list(t.tfidf)), (a, b) -> a + b) AS sub_s
+         |            FROM t JOIN b ON b.doc_id = t.doc_id GROUP BY 1, 2, 3)
+         |      GROUP BY 1, 2),
+         |r AS (SELECT bucket, token, score,
+         |      CAST(row_number() OVER (PARTITION BY bucket ORDER BY score DESC, token) AS BIGINT) AS rnk
+         |      FROM m)
+         |SELECT bucket, token, rnk, score FROM r WHERE rnk <= 5""".stripMargin,
 
     "session_histogram" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),

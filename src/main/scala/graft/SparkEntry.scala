@@ -206,6 +206,12 @@ object SparkEntry {
     "bpe_apply" -> ((s, d) => TextOps.bpeApply(spread(t(s, d, "documents")))),
     "html_extract" -> ((s, d) => TextOps.htmlExtract(spread(t(s, d, "documents")))),
     "url_domains" -> ((s, d) => TextOps.urlDomains(spread(t(s, d, "documents")))),
+    "dpo_pairs" -> ((s, d) => TextOps.dpoPairs(spread(t(s, d, "documents")))),
+    "reward_normalize" -> ((s, d) => TextOps.rewardNormalize(spread(t(s, d, "documents")))),
+    "topic_labels" -> ((s, d) => TfIdf.topicLabels(spread(t(s, d, "documents")))),
+    "window_funnel" -> ((s, d) => Sessionize.windowFunnel(events(s, d))),
+    "pit_join" -> ((s, d) => Sessionize.pitJoin(events(s, d))),
+    "cusum_changepoint" -> ((s, d) => Relational.cusumChangepoint(events(s, d))),
     // Bloom-prefiltered twin of dedup_incremental: same exact result
     // (shared oracle semantics), sketch-pruned anti-join
     "dedup_incremental_bloom" -> ((s, d) => {

@@ -1398,4 +1398,41 @@ object Relational {
         round(col("n_ab").cast("double") * col("n_orders") /
           (col("n_a") * col("n_b")), 6).as("lift"))
   }
+
+  /** CUSUM change-point detection (C102): per event type, the day where
+    * the cumulative deviation of daily revenue from its overall mean
+    * peaks in magnitude — the classic single-change-point estimator
+    * (argmax |CUSUM_t|) that flags when a metric's level shifted.
+    *
+    * Exactness: the running total stays in INTEGER cents (bit-exact
+    * under any aggregation order); the only float work is one multiply
+    * and subtract per day against the 9 dp mean, so no float cumsum —
+    * whose addition order differs between engines — ever happens.
+    * Scale: the windowed frame is (event_type × day) — calendar-bounded,
+    * not data-sized; the data-sized pass is the one partial-agg shuffle
+    * building the daily totals. */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val daily = events.select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "day").agg(sum(col("cents")).as("cents"))
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("tot"))
+      .select(col("event_type"), col("n_days"),
+        round(col("tot").cast("double") / col("n_days"), 9).as("mean_cents"))
+    val wo = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    val cum = daily.join(broadcast(stats), "event_type")
+      .withColumn("t", row_number().over(wo).cast("long"))
+      .withColumn("cum_cents",
+        sum(col("cents")).over(wo.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("cusum",
+        round(col("cum_cents") - col("t") * col("mean_cents"), 6))
+    val pick = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(abs(col("cusum")).desc, col("day"))
+    cum.withColumn("rn", row_number().over(pick)).filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("cp_day"), col("cusum"),
+        col("n_days"))
+  }
 }

@@ -181,4 +181,76 @@ object Sessionize {
           p => p.getField("event_type")), ">").as("path"))
       .groupBy("path").agg(count(lit(1)).as("n_sessions"))
   }
+
+  /** Sliding-window funnel (C101, the ClickHouse `windowFunnel` shape):
+    * for every view event as an anchor, how deep does the ordered chain
+    * view → click → purchase get with every step inside `windowUs` of
+    * the ANCHOR (not of the previous step)? Per user, the maximum level
+    * over all anchors plus the anchor count — the time-boxed funnel that
+    * [[funnel]]'s unbounded first-touch chain cannot express.
+    *
+    * Scale: both chain steps ride [[Relational.rangeJoin]]'s binned
+    * (key, window-bin) equi-join — a raw `BETWEEN` residual would plan
+    * as per-user all-pairs and blow up on a bot key — and each step
+    * reduces immediately to min-per-anchor, so candidates never
+    * accumulate. Chain steps are strictly increasing in time (`>`), so
+    * simultaneous events never satisfy two funnel stages. */
+  def windowFunnel(events: DataFrame,
+                   windowUs: Long = 6L * 3600L * 1000000L): DataFrame = {
+    val e = events.select(col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("anchor_id"), col("user_id"),
+        col("us").as("view_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("click_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("p_us"))
+    // click strictly after the anchor, within the anchor's window
+    val firstClick = Relational.rangeJoin(clicks, views, "user_id",
+        "click_us", "view_us", windowUs)
+      .filter(col("click_us") > col("view_us"))
+      .groupBy("anchor_id", "user_id", "view_us")
+      .agg(min(col("click_us")).as("first_click_us"))
+    // purchase strictly after that first click, still inside the window
+    val firstPurchase = Relational.rangeJoin(purchases, firstClick, "user_id",
+        "p_us", "view_us", windowUs)
+      .filter(col("p_us") > col("first_click_us"))
+      .groupBy("anchor_id")
+      .agg(min(col("p_us")).as("first_p_us"))
+    views
+      .join(firstClick.select("anchor_id", "first_click_us"), Seq("anchor_id"), "left")
+      .join(firstPurchase, Seq("anchor_id"), "left")
+      .select(col("user_id"),
+        when(col("first_p_us").isNotNull, 3L)
+          .when(col("first_click_us").isNotNull, 2L).otherwise(1L).as("lvl"))
+      .groupBy("user_id")
+      .agg(max(col("lvl")).as("level"), count(lit(1)).as("n_anchors"))
+  }
+
+  /** Point-in-time (PIT) join (C103): attach to every purchase event the
+    * SCD2 dimension row valid AT that instant — the feature-store /
+    * warehouse lookup that prevents time travel leakage. The dimension
+    * here is the user's engagement state ([[scd2Intervals]] runs over
+    * click/view events only); purchases probe it at their own timestamp.
+    * Purchases before a user's first known state (or for users with no
+    * click/view history) are dropped, mirroring an inner interval join.
+    *
+    * Scale: NOT an interval-predicate join (that plans as a broadcast
+    * nested loop) — [[AsOf.asofJoin]]'s union + single ordered window
+    * pass finds the latest `valid_from_us <= us` interval in one shuffle
+    * on user_id; because SCD2 intervals are contiguous per user, the
+    * `us < valid_to_us` residual only trims probes before the first
+    * interval. */
+  def pitJoin(events: DataFrame): DataFrame = {
+    val dim = scd2Intervals(
+        events.filter(col("event_type").isin("click", "view")))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("valid_from_us"), col("valid_to_us"))
+    val probes = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    AsOf.asofJoin(probes, dim, "user_id", "us", "valid_from_us")
+      .filter(col("us") < col("valid_to_us"))
+      .select("event_id", "user_id", "us", "state", "valid_from_us")
+  }
 }

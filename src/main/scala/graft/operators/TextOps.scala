@@ -1835,4 +1835,88 @@ object TextOps {
         round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
           .as("oov_rate"))
   }
+
+  /** DPO/RLHF preference-pair construction (B139): within each
+    * (lang, source) stratum, pair the i-th best document under the
+    * [[qualityScore]] composite (the "chosen" side) with the i-th worst
+    * (the "rejected" side) for i ≤ min(`maxPairs`, ⌊n/2⌋) — opposite
+    * ends of one total order (quality, doc_id), so the sides can never
+    * overlap — keeping only pairs whose margin clears `minMargin`. The
+    * standard synthetic preference-data recipe when only a scalar
+    * reward model exists.
+    *
+    * Scale: both sides ride [[graft.plans.TopK.topKPerKey]]'s bounded
+    * per-key heaps (map-side cap at `maxPairs` rows per stratum, no
+    * data-sized sort or window); the residual rank windows run on the
+    * ≤ `maxPairs`-per-stratum survivors, and the ⌊n/2⌋ cap comes from
+    * one partial-agg count joined broadcast (strata-bounded). */
+  def dpoPairs(docs: DataFrame, maxPairs: Int = 5,
+               minMargin: Double = 0.05): DataFrame = {
+    graft.plans.TopK.register(docs.sparkSession)
+    val scored = docs.select(col("doc_id"), col("lang"), col("source"),
+      qualityComposite.as("quality"))
+    val grpN = scored.groupBy("lang", "source").agg(count(lit(1)).as("n_grp"))
+    // best side walks (quality desc, doc_id asc); worst side walks the
+    // REVERSED order, so rank i on each side indexes the same total
+    // order from opposite ends
+    def side(best: Boolean): DataFrame = {
+      val pruned = graft.plans.TopK.topKPerKey(scored, Seq("lang", "source"),
+        Seq("quality" -> !best, "doc_id" -> best), maxPairs)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "source")
+        .orderBy(if (best) col("quality").desc else col("quality").asc,
+          if (best) col("doc_id").asc else col("doc_id").desc)
+      pruned.withColumn("pair_rank", row_number().over(w).cast("long"))
+        .filter(col("pair_rank") <= maxPairs)
+    }
+    val chosen = side(best = true).select(col("lang"), col("source"),
+      col("pair_rank"), col("doc_id").as("chosen_doc_id"),
+      col("quality").as("chosen_q"))
+    val rejected = side(best = false).select(col("lang"), col("source"),
+      col("pair_rank"), col("doc_id").as("rejected_doc_id"),
+      col("quality").as("rejected_q"))
+    chosen.join(rejected, Seq("lang", "source", "pair_rank"))
+      .join(broadcast(grpN), Seq("lang", "source"))
+      .filter(col("pair_rank") <= expr("n_grp div 2"))
+      .withColumn("margin", round(col("chosen_q") - col("rejected_q"), 6))
+      .filter(col("margin") >= minMargin)
+      .select("lang", "source", "pair_rank", "chosen_doc_id",
+        "rejected_doc_id", "chosen_q", "rejected_q", "margin")
+  }
+
+  /** Group-relative reward normalization (B141): z-score each document's
+    * quality within its (lang, source) stratum — the GRPO-style
+    * advantage transform that removes per-group reward offsets before
+    * policy optimization, and the calibration step before mixing scored
+    * shards from different sources.
+    *
+    * Exactness: mean and population variance fold through the two-level
+    * [[Folds.subBucket]] pattern (strata grow with the corpus, so a
+    * one-level sorted fold's buffer would be data-sized), 9 dp at each
+    * fold level; zero-variance strata emit z = 0, never NULL/NaN. Cost:
+    * two partial-agg shuffles on the stratum key plus broadcast joins
+    * of the strata-bounded moment tables. */
+  def rewardNormalize(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("lang"), col("source"),
+      qualityComposite.as("quality"))
+    val m1 = scored
+      .groupBy(col("lang"), col("source"), Folds.subBucket(col("doc_id")))
+      .agg(count(lit(1)).as("sub_n"), Folds.sortedSum(col("quality")).as("sub_s"))
+      .groupBy("lang", "source")
+      .agg(sum(col("sub_n")).as("n_grp"),
+        round(Folds.sortedSum(col("sub_s")) / sum(col("sub_n")), 9).as("mean_q"))
+    val dev = scored.join(broadcast(m1), Seq("lang", "source"))
+      .withColumn("d2", round((col("quality") - col("mean_q"))
+        * (col("quality") - col("mean_q")), 9))
+    val m2 = dev
+      .groupBy(col("lang"), col("source"), Folds.subBucket(col("doc_id")))
+      .agg(count(lit(1)).as("sub_n"), Folds.sortedSum(col("d2")).as("sub_d"))
+      .groupBy("lang", "source")
+      .agg(round(Folds.sortedSum(col("sub_d")) / sum(col("sub_n")), 9).as("var_q"))
+    dev.join(broadcast(m2), Seq("lang", "source"))
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"),
+        when(col("var_q") > 0,
+          round((col("quality") - col("mean_q")) / sqrt(col("var_q")), 6))
+          .otherwise(lit(0.0)).as("z_reward"))
+  }
 }

@@ -164,4 +164,38 @@ object TfIdf {
       .groupBy("doc_id", "dim")
       .agg(round(Folds.sortedSum(col("c")), 6).as("v"))
   }
+
+  /** Topic-cluster labeling (B140): bucket documents by the sign pattern
+    * of the first `signDims` dims of [[docEmbedHash]]'s hashed embedding
+    * (the same sign-LSH coarse clustering the ANN / semantic-dedup
+    * family uses), then label each bucket with its top-`k` tokens by
+    * summed TF-IDF mass — the "what is this cluster about" report that
+    * follows any clustering pass over a corpus.
+    *
+    * Scale: the bucket map is one doc-bounded aggregation (signDims rows
+    * per doc); token mass folds two-level over [[Folds.subBucket]] (a
+    * (bucket, token) posting grows with the corpus); top-k rides
+    * TopKPerKey's bounded per-key heaps, so no vocab-sized sort or
+    * window exists anywhere in the plan. */
+  def topicLabels(docs: DataFrame, signDims: Int = 4, k: Int = 5): DataFrame = {
+    graft.plans.TopK.register(docs.sparkSession)
+    val buckets = docEmbedHash(docs).filter(col("dim") <= signDims)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("dim"),
+        when(col("v") >= 0, "1").otherwise("0").as("bit")))).as("bits"))
+      .select(col("doc_id"),
+        array_join(transform(col("bits"), b => b.getField("bit")), "").as("bucket"))
+    val mass = tfidf(docs).join(buckets, "doc_id")
+      .groupBy(col("bucket"), col("token"), Folds.subBucket(col("doc_id")))
+      .agg(Folds.sortedSum(col("tfidf")).as("sub_s"))
+      .groupBy("bucket", "token")
+      .agg(round(Folds.sortedSum(col("sub_s")), 6).as("score"))
+    val pruned = graft.plans.TopK.topKPerKey(mass, Seq("bucket"),
+      Seq("score" -> false, "token" -> true), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("score").desc, col("token"))
+    pruned.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("bucket", "token", "rnk", "score")
+  }
 }

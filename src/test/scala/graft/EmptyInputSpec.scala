@@ -69,6 +69,19 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")).count() === 0)
   }
 
+  test("round-12b operators are total on empty inputs") {
+    val textOps: Seq[DataFrame => DataFrame] = Seq(
+      d => TextOps.dpoPairs(d), d => TextOps.rewardNormalize(d),
+      d => TfIdf.topicLabels(d))
+    for ((op, i) <- textOps.zipWithIndex)
+      assert(op(noDocs).count() === 0, s"round-12b text op #$i not total on empty input")
+    val eventOps: Seq[DataFrame => DataFrame] = Seq(
+      d => Sessionize.windowFunnel(d), d => Sessionize.pitJoin(d),
+      d => Relational.cusumChangepoint(d))
+    for ((op, i) <- eventOps.zipWithIndex)
+      assert(op(noEvents).count() === 0, s"round-12b event op #$i not total on empty input")
+  }
+
   test("order operators are total on an empty fact table") {
     val ops: Seq[DataFrame => DataFrame] = Seq(
       Relational.rfmSegments(_), Relational.orderSkyline,

@@ -199,6 +199,22 @@ class PlanShapeSpec extends SparkSpec {
         s"purchase-click join must include the 24h bin key:\n${j.condition.get}")
   }
 
+  test("window_funnel chains both funnel steps through the binned range " +
+    "join, never a bare user_id equi-join with a time residual") {
+    // same skew-quadratic hazard as attribution_linear: a bot user's
+    // views x clicks would all-pair on one key without the window bin
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val lp = SparkEntry.queries("window_funnel")(spark, sf)
+      .queryExecution.optimizedPlan
+    val userJoins = lp.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "user_id")) => j
+    }
+    assert(userJoins.size >= 2, "expected two chained funnel joins on user_id")
+    for (j <- userJoins)
+      assert(j.condition.get.references.exists(_.name == "_bin"),
+        s"funnel chain join must include the window bin key:\n${j.condition.get}")
+  }
+
   test("interval_join equi-joins on the time bin, never a nested loop") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val lp = SparkEntry.queries("interval_join")(spark, sf)

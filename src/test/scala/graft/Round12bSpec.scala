@@ -1,0 +1,169 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Round-12b operators: preference pairs, group reward normalization,
+  * topic-cluster labeling, sliding-window funnel, PIT join, CUSUM
+  * change-point. */
+class Round12bSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def docsDF(rows: (Long, String)*): DataFrame =
+    rows.map { case (id, t) => (id, t, "en", "s1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("dpoPairs pairs the i-th best with the i-th worst and never overlaps") {
+    val docs = docsDF(
+      1L -> "the cat and the dog is in the house and it is warm",
+      2L -> "the cat and dog",
+      3L -> "xxxx yyyy zzzz wwww qqqq vvvv uuuu",
+      4L -> "!!!! @@@@ #### $$$$ %%%%")
+    // expected pairing: rank-1 = (best, worst) under (quality, doc_id)
+    val byQ = TextOps.qualityScore(docs).select("doc_id", "quality")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, q) => (-q, id) }
+    val out = TextOps.dpoPairs(docs, maxPairs = 5, minMargin = 0.0)
+      .orderBy("pair_rank").collect()
+    assert(out.length === 2, "4 docs -> floor(n/2) = 2 pairs")
+    assert(out(0).getAs[Long]("chosen_doc_id") === byQ.head._1)
+    assert(out(0).getAs[Long]("rejected_doc_id") === byQ.last._1)
+    assert(out(1).getAs[Long]("chosen_doc_id") === byQ(1)._1)
+    assert(out(1).getAs[Long]("rejected_doc_id") === byQ(2)._1)
+    for (r <- out)
+      assert(r.getAs[Double]("chosen_q") > r.getAs[Double]("rejected_q")
+        || r.getAs[Double]("margin") === 0.0)
+    // chosen and rejected sides are disjoint
+    val ch = out.map(_.getAs[Long]("chosen_doc_id")).toSet
+    val rj = out.map(_.getAs[Long]("rejected_doc_id")).toSet
+    assert(ch.intersect(rj).isEmpty)
+  }
+
+  test("dpoPairs margin gate drops low-contrast pairs") {
+    val docs = docsDF(
+      1L -> "the cat and the dog is in the house and it is warm",
+      2L -> "the cat and the dog is in the barn and it is cold")
+    // two near-identical-quality docs: margin < 0.05 -> no pairs
+    assert(TextOps.dpoPairs(docs, maxPairs = 5, minMargin = 0.05).count() === 0)
+  }
+
+  test("rewardNormalize z-scores within stratum; zero-variance emits 0") {
+    val same = "the cat and the dog is in the house and it is warm"
+    val docs = Seq(
+      (1L, same, "en", "s1", 50L), (2L, same, "en", "s1", 50L),
+      (3L, "the cat and dog", "en", "s2", 15L),
+      (4L, "xxxx yyyy zzzz wwww qqqq vvvv uuuu", "en", "s2", 34L),
+      (5L, "!!!! @@@@ #### $$$$ %%%%", "en", "s2", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.rewardNormalize(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Double]("quality"), r.getAs[Double]("z_reward"))).toSeq
+    // identical docs -> zero variance -> z = 0 exactly
+    for ((id, _, z) <- out if id <= 2) assert(z === 0.0, s"doc $id")
+    // s2: z order follows quality order, and z sums to ~0
+    val s2 = out.filter(_._1 >= 3)
+    assert(s2.sortBy(_._2).map(_._3) === s2.map(_._3).sorted)
+    assert(math.abs(s2.map(_._3).sum) < 1e-3)
+  }
+
+  test("topicLabels emits 4-bit sign buckets with dense top-5 ranks") {
+    assumeTestdata()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TfIdf.topicLabels(docs).collect()
+    assert(out.nonEmpty)
+    val byBucket = out.groupBy(_.getAs[String]("bucket"))
+    for ((b, rows) <- byBucket) {
+      assert(b.matches("[01]{4}"), s"bucket $b")
+      val ranks = rows.map(_.getAs[Long]("rnk")).sorted.toSeq
+      assert(ranks === (1L to ranks.length), s"ranks dense in $b")
+      assert(ranks.length <= 5)
+      // scores non-increasing in rank
+      val byRank = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("score"))
+      assert(byRank.zip(byRank.tail).forall { case (a, c) => a >= c })
+    }
+    graft.CacheTracker.releaseAll()
+  }
+
+  private def eventsDF(rows: (Long, Long, String, String, Double)*): DataFrame =
+    rows.map { case (eid, uid, et, t, v) => (eid, uid, et, ts(t), v) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+
+  test("windowFunnel: chain depth is boxed to the anchor's window") {
+    val e = eventsDF(
+      // user 1: full chain inside 6h -> level 3
+      (1L, 1L, "view", "2024-01-01 00:00:00", 0.0),
+      (2L, 1L, "click", "2024-01-01 01:00:00", 0.0),
+      (3L, 1L, "purchase", "2024-01-01 02:00:00", 0.0),
+      // user 2: click 7h after the view -> outside window -> level 1
+      (4L, 2L, "view", "2024-01-01 00:00:00", 0.0),
+      (5L, 2L, "click", "2024-01-01 07:00:00", 0.0),
+      // user 3: purchase outside the ANCHOR window -> level 2
+      (6L, 3L, "view", "2024-01-01 00:00:00", 0.0),
+      (7L, 3L, "click", "2024-01-01 01:00:00", 0.0),
+      (8L, 3L, "purchase", "2024-01-01 10:00:00", 0.0),
+      // user 4: no view anchor -> absent
+      (9L, 4L, "click", "2024-01-01 00:00:00", 0.0),
+      (10L, 4L, "purchase", "2024-01-01 01:00:00", 0.0),
+      // user 5: click simultaneous with the view -> strictly-after fails -> 1
+      (11L, 5L, "view", "2024-01-01 00:00:00", 0.0),
+      (12L, 5L, "click", "2024-01-01 00:00:00", 0.0))
+    val out = Sessionize.windowFunnel(e).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("level")).toMap
+    assert(out === Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 5L -> 1L))
+  }
+
+  test("windowFunnel takes the max level over a user's anchors") {
+    val e = eventsDF(
+      (1L, 1L, "view", "2024-01-01 00:00:00", 0.0), // dead anchor
+      (2L, 1L, "view", "2024-01-02 00:00:00", 0.0), // converting anchor
+      (3L, 1L, "click", "2024-01-02 01:00:00", 0.0),
+      (4L, 1L, "purchase", "2024-01-02 02:00:00", 0.0))
+    val out = Sessionize.windowFunnel(e).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("level") === 3L)
+    assert(out.head.getAs[Long]("n_anchors") === 2L)
+  }
+
+  test("pitJoin attaches the state valid at the probe's instant") {
+    val e = eventsDF(
+      (1L, 1L, "click", "2024-01-01 00:00:00", 0.0),
+      (2L, 1L, "view", "2024-01-01 02:00:00", 0.0),
+      (3L, 1L, "purchase", "2024-01-01 01:00:00", 10.0), // inside click run
+      (4L, 1L, "purchase", "2024-01-01 03:00:00", 10.0), // inside view run
+      (5L, 1L, "purchase", "2023-12-31 00:00:00", 10.0), // before any state
+      (6L, 2L, "purchase", "2024-01-01 00:00:00", 10.0)) // user w/o history
+    val out = Sessionize.pitJoin(e).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("state")).toMap
+    assert(out === Map(3L -> "click", 4L -> "view"))
+  }
+
+  test("pitJoin boundary: a probe exactly at valid_from joins that interval") {
+    val e = eventsDF(
+      (1L, 1L, "click", "2024-01-01 00:00:00", 0.0),
+      (2L, 1L, "view", "2024-01-01 02:00:00", 0.0),
+      (3L, 1L, "purchase", "2024-01-01 02:00:00", 10.0))
+    val out = Sessionize.pitJoin(e).collect()
+    assert(out.length === 1 && out.head.getAs[String]("state") === "view")
+  }
+
+  test("cusumChangepoint finds the planted level shift") {
+    // 100-cent days then 500-cent days: CUSUM is most negative just
+    // before the shift -> change point = day 3
+    val e = eventsDF(
+      (1L, 1L, "purchase", "2024-01-01 12:00:00", 1.0),
+      (2L, 1L, "purchase", "2024-01-02 12:00:00", 1.0),
+      (3L, 1L, "purchase", "2024-01-03 12:00:00", 1.0),
+      (4L, 1L, "purchase", "2024-01-04 12:00:00", 5.0),
+      (5L, 1L, "purchase", "2024-01-05 12:00:00", 5.0),
+      (6L, 1L, "purchase", "2024-01-06 12:00:00", 5.0))
+    val out = Relational.cusumChangepoint(e).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("cp_day") === "2024-01-03")
+    assert(out.head.getAs[Double]("cusum") === -600.0)
+    assert(out.head.getAs[Long]("n_days") === 6L)
+  }
+}
