@@ -464,6 +464,101 @@ object Oracles {
         |  FROM cu)
         |SELECT event_type, day AS cp_day, cusum, n_days FROM sc WHERE rn = 1""".stripMargin,
 
+    // SFT packing with loss-mask spans: sequencePack's greedy policy
+    // plus prompt/response split and absolute mask offsets
+    "sft_pack" ->
+      s"""WITH tk AS (SELECT doc_id, doc_id % 8 AS shard,
+         |           CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         |f AS (SELECT * FROM tk WHERE n_tokens >= 2),
+         |p AS (SELECT doc_id, shard, n_tokens,
+         |      least(10, n_tokens // 2) AS prompt_len,
+         |      coalesce(CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prefix_tokens
+         |  FROM f)
+         |SELECT doc_id, shard, prefix_tokens // 256 AS bin, prefix_tokens,
+         |  prompt_len, n_tokens - prompt_len AS response_len,
+         |  prefix_tokens + prompt_len AS mask_start,
+         |  prefix_tokens + n_tokens AS mask_end
+         |FROM p""".stripMargin,
+
+    // stupid-backoff trigram scoring on the heldout split; 0.4 constants
+    // CAST to DOUBLE so DuckDB's decimal literals never enter the chain
+    "stupid_backoff" ->
+      s"""WITH tk AS (SELECT doc_id, CASE WHEN doc_id % 4 < 3 THEN 'train' ELSE 'test' END AS split,
+         |           $toks AS toks FROM documents),
+         |tri AS (SELECT doc_id, split, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+         |        FROM (SELECT doc_id, split, toks, unnest(range(1, len(toks) - 1)) AS i
+         |              FROM tk WHERE len(toks) >= 3)),
+         |bi AS (SELECT doc_id, split, toks[i] AS w2, toks[i+1] AS w3
+         |       FROM (SELECT doc_id, split, toks, unnest(range(1, len(toks))) AS i
+         |             FROM tk WHERE len(toks) >= 2)),
+         |c3g AS (SELECT w1, w2, w3, count(*) AS c123 FROM tri WHERE split = 'train' GROUP BY 1, 2, 3),
+         |c3x AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12 FROM c3g GROUP BY 1, 2),
+         |c2g AS (SELECT w2, w3, count(*) AS c23 FROM bi WHERE split = 'train' GROUP BY 1, 2),
+         |c2x AS (SELECT w2, CAST(sum(c23) AS BIGINT) AS c2 FROM c2g GROUP BY 1),
+         |uni AS (SELECT unnest(toks) AS w3 FROM tk WHERE split = 'train'),
+         |c1g AS (SELECT w3, count(*) AS c3 FROM uni GROUP BY 1),
+         |nv AS (SELECT count(*) AS n_uni, count(DISTINCT w3) AS v FROM uni),
+         |sc AS (SELECT t.doc_id,
+         |   CASE WHEN c123 IS NOT NULL THEN 0 WHEN c23 IS NOT NULL THEN 1 ELSE 2 END AS lvl,
+         |   round(ln(CASE WHEN c123 IS NOT NULL THEN CAST(c123 AS DOUBLE) / c12
+         |            WHEN c23 IS NOT NULL THEN CAST(0.4 AS DOUBLE) * c23 / c2
+         |            ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) * (coalesce(c3, 0) + 1) / (n_uni + v) END), 9) AS logs
+         |   FROM (SELECT * FROM tri WHERE split = 'test') t
+         |   LEFT JOIN c3g USING (w1, w2, w3)
+         |   LEFT JOIN c3x USING (w1, w2)
+         |   LEFT JOIN c2g USING (w2, w3)
+         |   LEFT JOIN c2x USING (w2)
+         |   LEFT JOIN c1g USING (w3)
+         |   CROSS JOIN nv)
+         |SELECT doc_id, count(*) AS n_trigrams,
+         |  CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff1,
+         |  CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff2,
+         |  round(list_reduce(list_sort(list(logs)), (a, b) -> a + b), 6) AS sum_logs,
+         |  round(round(list_reduce(list_sort(list(logs)), (a, b) -> a + b), 6) / count(*), 6) AS mean_logs
+         |FROM sc GROUP BY 1""".stripMargin,
+
+    // inter-arrival regularity: whole-second gaps keep moments in
+    // BIGINT; variance clamped at 0 so constant gaps never NaN the sqrt
+    "bot_score" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |g AS (SELECT user_id,
+        |      (us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)) // 1000000 AS gap_s
+        |      FROM e QUALIFY gap_s IS NOT NULL),
+        |m AS (SELECT user_id, count(*) AS n_gaps, CAST(sum(gap_s) AS BIGINT) AS s,
+        |      CAST(sum(gap_s * gap_s) AS BIGINT) AS ss FROM g GROUP BY 1),
+        |v AS (SELECT user_id, n_gaps,
+        |    round(CAST(s AS DOUBLE) / n_gaps, 9) AS mean_gap_s,
+        |    greatest(round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_gaps) / n_gaps, 9),
+        |             CAST(0.0 AS DOUBLE)) AS var_gap_s
+        |  FROM m),
+        |c AS (SELECT user_id, n_gaps, mean_gap_s,
+        |    CASE WHEN mean_gap_s > 0 THEN round(sqrt(var_gap_s) / mean_gap_s, 6)
+        |         ELSE 0.0 END AS cv_gap
+        |  FROM v)
+        |SELECT user_id, n_gaps, mean_gap_s, cv_gap,
+        |  (n_gaps >= 5 AND cv_gap < 0.3) AS is_regular
+        |FROM c""".stripMargin,
+
+    // Welch's t on per-user purchase cents, arms = user_id parity;
+    // integer moment sums, one fixed association for the t/df chain
+    "ab_ttest" ->
+      """WITH sp AS (SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |m AS (SELECT user_id % 2 AS grp, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s,
+        |             CAST(sum(cents * cents) AS BIGINT) AS ss
+        |      FROM sp GROUP BY 1),
+        |v AS (SELECT grp, n, round(CAST(s AS DOUBLE) / n, 9) AS mean,
+        |      round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1), 9) AS variance
+        |      FROM m)
+        |SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+        |  a.variance AS var_a, b.variance AS var_b,
+        |  round((b.mean - a.mean) / sqrt(b.variance / b.n + a.variance / a.n), 6) AS t_stat,
+        |  round((b.variance / b.n + a.variance / a.n) * (b.variance / b.n + a.variance / a.n) /
+        |    ((b.variance / b.n) * (b.variance / b.n) / (b.n - 1) +
+        |     (a.variance / a.n) * (a.variance / a.n) / (a.n - 1)), 6) AS df
+        |FROM (SELECT * FROM v WHERE grp = 0) a CROSS JOIN (SELECT * FROM v WHERE grp = 1) b""".stripMargin,
+
     // DPO preference pairs: i-th best vs i-th worst of ONE total order
     // (quality, doc_id) per (lang, source) stratum, i <= min(5, n/2),
     // margin gate 0.05

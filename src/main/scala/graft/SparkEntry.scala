@@ -207,6 +207,10 @@ object SparkEntry {
     "html_extract" -> ((s, d) => TextOps.htmlExtract(spread(t(s, d, "documents")))),
     "url_domains" -> ((s, d) => TextOps.urlDomains(spread(t(s, d, "documents")))),
     "dpo_pairs" -> ((s, d) => TextOps.dpoPairs(spread(t(s, d, "documents")))),
+    "sft_pack" -> ((s, d) => TextOps.sftPack(spread(t(s, d, "documents")))),
+    "stupid_backoff" -> ((s, d) => LangModel.stupidBackoff(spread(t(s, d, "documents")))),
+    "bot_score" -> ((s, d) => Sessionize.botScore(events(s, d))),
+    "ab_ttest" -> ((s, d) => Relational.abTtest(events(s, d))),
     "reward_normalize" -> ((s, d) => TextOps.rewardNormalize(spread(t(s, d, "documents")))),
     "topic_labels" -> ((s, d) => TfIdf.topicLabels(spread(t(s, d, "documents")))),
     "window_funnel" -> ((s, d) => Sessionize.windowFunnel(events(s, d))),

@@ -663,4 +663,73 @@ object LangModel {
       .select(col("doc_id"), col("n_bigrams"), col("n_oov"), col("sum_logp"),
         round(-col("sum_logp") / col("n_bigrams"), 6).as("nll"))
   }
+
+  /** Stupid-backoff trigram scoring (B142, Brants et al. 2007): score
+    * each held-out document's trigrams against counts from the train
+    * split (same doc_id%4 split as [[heldoutPerplexity]]) with the
+    * unnormalized backoff chain
+    * s = c123/c12• | α·c23/c2• | α²·(c3+1)/(N+V) — the web-scale LM
+    * score that needs no discounting pass, exactly why it suits a
+    * count-it-in-one-shuffle engine. Emits per-doc mean log-score plus
+    * how many trigrams resolved at each backoff depth (the LM-coverage
+    * audit). The last level is add-one smoothed so unseen words score
+    * finite.
+    *
+    * Scale: three count tables (trigram/bigram/unigram) from partial-agg
+    * shuffles; context totals reuse the same tables; the score join is
+    * hash-partitioned on the n-gram key. Per-doc log folds are sorted
+    * (9 dp terms), doc-bounded buffers. */
+  def stupidBackoff(docs: DataFrame, alpha: Double = 0.4): DataFrame = {
+    val toked = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) < 3, lit("train")).otherwise(lit("test"))
+          .as("split"),
+        TextOps.tokens(col("text")).as("toks"))
+    def ngrams(n: Int) = {
+      val parts = (1 to n).map(i =>
+        slice(col("toks"), lit(i), size(col("toks")) - (n - 1)))
+      toked.filter(size(col("toks")) >= n)
+        .select(col("doc_id"), col("split"),
+          explode(arrays_zip(parts: _*)).as("g"))
+        .select((col("doc_id") +: col("split") +:
+          (0 until n).map(i => col(s"g.$i").as(s"w${i + 1}"))): _*)
+    }
+    val train3 = ngrams(3).filter(col("split") === "train")
+    val c3g = train3.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+    val c3ctx = c3g.groupBy("w1", "w2").agg(sum(col("c123")).as("c12"))
+    val train2 = ngrams(2).filter(col("split") === "train")
+    val c2g = train2.groupBy(col("w1").as("w2"), col("w2").as("w3"))
+      .agg(count(lit(1)).as("c23"))
+    val c2ctx = c2g.groupBy("w2").agg(sum(col("c23")).as("c2"))
+    val uniT = toked.filter(col("split") === "train")
+      .select(explode(col("toks")).as("w3"))
+    val c1g = uniT.groupBy("w3").agg(count(lit(1)).as("c3"))
+    val nv = uniT.agg(count(lit(1)).as("n_uni"),
+      countDistinct(col("w3")).as("v"))
+    val test = ngrams(3).filter(col("split") === "test")
+    test
+      .join(c3g, Seq("w1", "w2", "w3"), "left")
+      .join(c3ctx, Seq("w1", "w2"), "left")
+      .join(c2g, Seq("w2", "w3"), "left")
+      .join(c2ctx, Seq("w2"), "left")
+      .join(c1g, Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col("doc_id"),
+        when(col("c123").isNotNull, 0L)
+          .when(col("c23").isNotNull, 1L).otherwise(2L).as("lvl"),
+        round(log(
+          when(col("c123").isNotNull,
+            col("c123").cast("double") / col("c12"))
+          .when(col("c23").isNotNull,
+            lit(alpha) * col("c23") / col("c2"))
+          .otherwise(lit(alpha * alpha) * (coalesce(col("c3"), lit(0L)) + 1)
+            / (col("n_uni") + col("v")))), 9).as("logs"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_backoff1"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_backoff2"),
+        round(Folds.sortedSum(col("logs")), 6).as("sum_logs"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_backoff1"),
+        col("n_backoff2"), col("sum_logs"),
+        round(col("sum_logs") / col("n_trigrams"), 6).as("mean_logs"))
+  }
 }

@@ -1399,6 +1399,49 @@ object Relational {
           (col("n_a") * col("n_b")), 6).as("lift"))
   }
 
+  /** Deterministic A/B Welch's t-test (C105): split users by the parity
+    * of user_id (the hash-assignment stand-in), compare per-user total
+    * purchase cents between arms with the unequal-variance t statistic
+    * and Welch–Satterthwaite degrees of freedom — the experimentation
+    * readout every event warehouse serves.
+    *
+    * Exactness: per-user totals and the group moment sums stay in
+    * BIGINT (cents² sums fit 63 bits at any plausible per-user spend);
+    * mean/variance round at 9 dp and the t/df chain is computed from
+    * those rounded inputs with one fixed association, so both engines
+    * walk identical doubles. Two partial-agg shuffles, then a 2-row
+    * frame; output is a single row. */
+  def abTtest(events: DataFrame): DataFrame = {
+    val spend = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("user_id").agg(sum(col("cents")).as("cents"))
+      .withColumn("grp", pmod(col("user_id"), lit(2)).cast("long"))
+    val m = spend.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        sum(col("cents") * col("cents")).as("ss"))
+      .select(col("grp"), col("n"),
+        round(col("s").cast("double") / col("n"), 9).as("mean"),
+        round((col("ss").cast("double") -
+          col("s").cast("double") * col("s") / col("n"))
+          / (col("n") - 1), 9).as("variance"))
+    val a = m.filter(col("grp") === 0).select(col("n").as("n_a"),
+      col("mean").as("mean_a"), col("variance").as("var_a"))
+    val b = m.filter(col("grp") === 1).select(col("n").as("n_b"),
+      col("mean").as("mean_b"), col("variance").as("var_b"))
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("var_a"), col("var_b"),
+        round((col("mean_b") - col("mean_a")) /
+          sqrt(col("var_b") / col("n_b") + col("var_a") / col("n_a")), 6)
+          .as("t_stat"),
+        // explicit x*x (not pow) so both engines do one IEEE multiply
+        round((col("var_b") / col("n_b") + col("var_a") / col("n_a")) *
+          (col("var_b") / col("n_b") + col("var_a") / col("n_a")) /
+          ((col("var_b") / col("n_b")) * (col("var_b") / col("n_b")) / (col("n_b") - 1) +
+            (col("var_a") / col("n_a")) * (col("var_a") / col("n_a")) / (col("n_a") - 1)), 6)
+          .as("df"))
+  }
+
   /** CUSUM change-point detection (C102): per event type, the day where
     * the cumulative deviation of daily revenue from its overall mean
     * peaks in magnitude — the classic single-change-point estimator

@@ -228,6 +228,44 @@ object Sessionize {
       .agg(max(col("lvl")).as("level"), count(lit(1)).as("n_anchors"))
   }
 
+  /** Inter-arrival regularity bot score (C104): per user, the
+    * coefficient of variation of inter-event gaps — humans arrive
+    * bursty (CV ≳ 1), schedulers and scrapers arrive metronomically
+    * (CV → 0) — plus the gap moments behind it. `is_regular` flags
+    * users with ≥ `minGaps` gaps whose CV is under `cvThreshold`.
+    *
+    * Exactness: gaps truncate to whole seconds, so the moment sums stay
+    * in BIGINT — and Σgap² is bounded by (max gap)·(Σgaps) ≤ span², not
+    * by event count, so a 50-year retention window still fits 63 bits.
+    * The only float work is the final mean/var/cv division chain (9/6
+    * dp). One shuffle on user_id (lag window), one partial-agg shuffle
+    * for the moments. */
+  def botScore(events: DataFrame, cvThreshold: Double = 0.3,
+               minGaps: Int = 5): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(order))
+      .filter(col("prev_us").isNotNull)
+      .select(col("user_id"),
+        expr("(us - prev_us) div 1000000").as("gap_s"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("s"),
+        sum(col("gap_s") * col("gap_s")).as("ss"))
+      .select(col("user_id"), col("n_gaps"),
+        round(col("s").cast("double") / col("n_gaps"), 9).as("mean_gap_s"),
+        // clamp: constant gaps can land ulp-negative and NaN the sqrt
+        greatest(round((col("ss").cast("double") -
+          col("s").cast("double") * col("s") / col("n_gaps"))
+          / col("n_gaps"), 9), lit(0.0)).as("var_gap_s"))
+      .select(col("user_id"), col("n_gaps"), col("mean_gap_s"),
+        when(col("mean_gap_s") > 0,
+          round(sqrt(col("var_gap_s")) / col("mean_gap_s"), 6))
+          .otherwise(lit(0.0)).as("cv_gap"))
+      .withColumn("is_regular",
+        col("n_gaps") >= minGaps && col("cv_gap") < cvThreshold)
+  }
+
   /** Point-in-time (PIT) join (C103): attach to every purchase event the
     * SCD2 dimension row valid AT that instant — the feature-store /
     * warehouse lookup that prevents time travel leakage. The dimension

@@ -1836,6 +1836,37 @@ object TextOps {
           .as("oov_rate"))
   }
 
+  /** SFT example packing with loss-mask spans (B143): split each
+    * document into a prompt prefix (first min(`promptCap`, ⌊n/2⌋)
+    * tokens) and a response tail, pack examples into `budget`-token
+    * training bins with [[sequencePack]]'s deterministic greedy policy,
+    * and emit the ABSOLUTE stream offsets of the loss-masked response
+    * span — the piece instruction-tuning adds on top of plain packing:
+    * the trainer computes loss only over [mask_start, mask_end), even
+    * when the span straddles a bin boundary.
+    *
+    * Same scale shape as sequencePack: one shuffle on the shard key,
+    * per-shard prefix-sum window (parallelism = `shards`, which tracks
+    * cluster width, not |docs|). */
+  def sftPack(docs: DataFrame, budget: Long = 256, shards: Int = 8,
+              promptCap: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), (col("doc_id") % shards).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 2) // need a non-empty prompt AND response
+      .withColumn("prompt_len",
+        least(lit(promptCap.toLong), expr("n_tokens div 2")))
+      .withColumn("response_len", col("n_tokens") - col("prompt_len"))
+      .withColumn("prefix_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("prefix_tokens") / budget))
+      .select(col("doc_id"), col("shard"), col("bin"), col("prefix_tokens"),
+        col("prompt_len"), col("response_len"),
+        (col("prefix_tokens") + col("prompt_len")).as("mask_start"),
+        (col("prefix_tokens") + col("n_tokens")).as("mask_end"))
+  }
+
   /** DPO/RLHF preference-pair construction (B139): within each
     * (lang, source) stratum, pair the i-th best document under the
     * [[qualityScore]] composite (the "chosen" side) with the i-th worst

@@ -72,12 +72,14 @@ class EmptyInputSpec extends SparkSpec {
   test("round-12b operators are total on empty inputs") {
     val textOps: Seq[DataFrame => DataFrame] = Seq(
       d => TextOps.dpoPairs(d), d => TextOps.rewardNormalize(d),
-      d => TfIdf.topicLabels(d))
+      d => TfIdf.topicLabels(d), d => TextOps.sftPack(d),
+      d => LangModel.stupidBackoff(d))
     for ((op, i) <- textOps.zipWithIndex)
       assert(op(noDocs).count() === 0, s"round-12b text op #$i not total on empty input")
     val eventOps: Seq[DataFrame => DataFrame] = Seq(
       d => Sessionize.windowFunnel(d), d => Sessionize.pitJoin(d),
-      d => Relational.cusumChangepoint(d))
+      d => Relational.cusumChangepoint(d), d => Sessionize.botScore(d),
+      d => Relational.abTtest(d))
     for ((op, i) <- eventOps.zipWithIndex)
       assert(op(noEvents).count() === 0, s"round-12b event op #$i not total on empty input")
   }

@@ -150,6 +150,85 @@ class Round12bSpec extends SparkSpec {
     assert(out.length === 1 && out.head.getAs[String]("state") === "view")
   }
 
+  test("sftPack emits mask spans over the response tail only") {
+    val docs = docsDF(
+      0L -> "a b c d e f",  // 6 tokens: prompt 3, response 3
+      8L -> "x y",          // 2 tokens: prompt 1, response 1 (same shard 0)
+      1L -> "lonely")       // 1 token: dropped (no response possible)
+    val out = TextOps.sftPack(docs, budget = 4, shards = 8)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(0L, 8L))
+    val d0 = out(0)
+    assert(d0.getAs[Long]("prompt_len") === 3L)
+    assert(d0.getAs[Long]("response_len") === 3L)
+    assert(d0.getAs[Long]("mask_start") === 3L)
+    assert(d0.getAs[Long]("mask_end") === 6L)
+    assert(d0.getAs[Long]("bin") === 0L)
+    val d8 = out(1) // packs after doc 0 in shard 0: prefix 6, bin 1
+    assert(d8.getAs[Long]("prefix_tokens") === 6L)
+    assert(d8.getAs[Long]("bin") === 1L)
+    assert(d8.getAs[Long]("mask_start") === 7L)
+    assert(d8.getAs[Long]("mask_end") === 8L)
+  }
+
+  test("stupidBackoff resolves each trigram at the right backoff depth") {
+    // ids 0-2 train (doc_id%4<3), id 3 test. Train trigrams of
+    // "a b c a b c": (a,b,c)x2, (b,c,a), (c,a,b). Test "b a b c x":
+    // (b,a,b) -> bigram (a,b) seen -> level 1; (a,b,c) -> level 0 with
+    // s = c123/c12 = 2/2 = 1 -> log 0; (b,c,x) -> (c,x) unseen -> level 2
+    val docs = docsDF(
+      0L -> "a b c a b c", 1L -> "a b c a b c", 2L -> "a b c a b c",
+      3L -> "b a b c x")
+    val out = LangModel.stupidBackoff(docs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_id") === 3L)
+    assert(r.getAs[Long]("n_trigrams") === 3L)
+    assert(r.getAs[Long]("n_backoff1") === 1L)
+    assert(r.getAs[Long]("n_backoff2") === 1L)
+    assert(r.getAs[Double]("mean_logs") < 0.0, "backoff levels penalize")
+  }
+
+  test("botScore flags metronomic users and spares bursty ones") {
+    def run(uid: Long, gapsS: Seq[Long]) = {
+      val t0 = 1704067200L // 2024-01-01T00:00:00Z epoch seconds
+      val times = gapsS.scanLeft(t0)(_ + _)
+      times.zipWithIndex.map { case (sec, i) =>
+        (uid * 100 + i, uid, "view", new Timestamp(sec * 1000L), 0.0)
+      }
+    }
+    val e = (run(1L, Seq(60L, 60L, 60L, 60L, 60L)) ++ // 5 constant gaps
+      run(2L, Seq(1L, 1000L, 3L, 2000L, 7L)) ++       // bursty
+      run(3L, Seq(60L, 60L)))                         // too few gaps
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = Sessionize.botScore(e).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Double]("cv_gap"), r.getAs[Boolean]("is_regular"))).toMap
+    assert(out(1L)._1 === 0.0 && out(1L)._2 === true)
+    assert(out(2L)._1 > 0.3 && out(2L)._2 === false)
+    assert(out(3L)._2 === false, "n_gaps below the floor never flags")
+  }
+
+  test("abTtest computes Welch's t and df on planted arms") {
+    val e = eventsDF(
+      (1L, 0L, "purchase", "2024-01-01 00:00:00", 1.0),
+      (2L, 2L, "purchase", "2024-01-01 01:00:00", 2.0),
+      (3L, 1L, "purchase", "2024-01-01 02:00:00", 3.0),
+      (4L, 3L, "purchase", "2024-01-01 03:00:00", 5.0),
+      (5L, 0L, "click", "2024-01-01 04:00:00", 99.0)) // non-purchase ignored
+    val out = Relational.abTtest(e).collect()
+    assert(out.length === 1)
+    val r = out.head
+    // grp0 cents {100, 200}: mean 150, s² 5000; grp1 {300, 500}: 400, 20000
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Double]("mean_a") === 150.0)
+    assert(r.getAs[Double]("mean_b") === 400.0)
+    assert(r.getAs[Double]("var_a") === 5000.0)
+    assert(r.getAs[Double]("var_b") === 20000.0)
+    assert(math.abs(r.getAs[Double]("t_stat") - 2.236068) < 1e-6)
+    assert(math.abs(r.getAs[Double]("df") - 1.470588) < 1e-6)
+  }
+
   test("cusumChangepoint finds the planted level shift") {
     // 100-cent days then 500-cent days: CUSUM is most negative just
     // before the shift -> change point = day 3
