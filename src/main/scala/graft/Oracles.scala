@@ -540,6 +540,19 @@ object Oracles {
         |  (n_gaps >= 5 AND cv_gap < 0.3) AS is_regular
         |FROM c""".stripMargin,
 
+    // exact rolling COUNT DISTINCT via the bounded x30 contribution
+    // explode; integer epoch-day indices; zero-event days absent
+    "dau_mau" ->
+      """WITH du AS (SELECT DISTINCT epoch_ns(ts) // 1000 // 86400000000 AS day_idx, user_id FROM events),
+        |dau AS (SELECT day_idx, count(*) AS dau FROM du GROUP BY 1),
+        |contrib AS (SELECT DISTINCT user_id, day_idx + o AS day_idx
+        |            FROM du CROSS JOIN (SELECT unnest(range(30)) AS o)),
+        |mau AS (SELECT c.day_idx, count(*) AS mau FROM contrib c
+        |        WHERE c.day_idx IN (SELECT day_idx FROM dau) GROUP BY 1)
+        |SELECT d.day_idx, d.dau, m.mau,
+        |  round(CAST(d.dau AS DOUBLE) / m.mau, 6) AS stickiness
+        |FROM dau d JOIN mau m ON d.day_idx = m.day_idx""".stripMargin,
+
     // Welch's t on per-user purchase cents, arms = user_id parity;
     // integer moment sums, one fixed association for the t/df chain
     "ab_ttest" ->

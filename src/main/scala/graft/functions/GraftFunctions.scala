@@ -106,5 +106,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewriteRule)
   }
 }

@@ -1399,6 +1399,34 @@ object Relational {
           (col("n_a") * col("n_b")), 6).as("lift"))
   }
 
+  /** DAU/MAU stickiness (C108): per active day, the distinct daily
+    * actives over the distinct trailing-`windowDays` actives — the
+    * product-engagement ratio every event warehouse reports. Exact
+    * rolling COUNT DISTINCT without a rolling-window scan: each
+    * (day, user) activity row registers in the `windowDays` future days
+    * it keeps the user "monthly active" for (a BOUNDED ×30 explode),
+    * dedups per (user, target day), and counts — cost tracks activity
+    * × window, never users². Days with zero events are not emitted
+    * (both engines identically). Integer epoch-day indices avoid
+    * calendar arithmetic drift. */
+  def dauMau(events: DataFrame, windowDays: Int = 30): DataFrame = {
+    val du = events
+      .select(expr("unix_micros(ts) div 86400000000").as("day_idx"),
+        col("user_id"))
+      .distinct()
+    val dau = du.groupBy("day_idx").agg(count(lit(1)).as("dau"))
+    val contrib = du
+      .select(col("user_id"),
+        explode(sequence(col("day_idx"),
+          col("day_idx") + (windowDays - 1))).as("day_idx"))
+      .distinct()
+    val mau = contrib.join(dau.select("day_idx"), Seq("day_idx"))
+      .groupBy("day_idx").agg(count(lit(1)).as("mau"))
+    dau.join(mau, Seq("day_idx"))
+      .select(col("day_idx"), col("dau"), col("mau"),
+        round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+  }
+
   /** Deterministic A/B Welch's t-test (C105): split users by the parity
     * of user_id (the hash-assignment stand-in), compare per-user total
     * purchase cents between arms with the unequal-variance t statistic

@@ -243,7 +243,7 @@ object Sessionize {
   def botScore(events: DataFrame, cvThreshold: Double = 0.3,
                minGaps: Int = 5): DataFrame = {
     val order = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-    events
+    val moments = events
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
       .withColumn("prev_us", lag(col("us"), 1).over(order))
       .filter(col("prev_us").isNotNull)
@@ -252,7 +252,17 @@ object Sessionize {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("s"),
         sum(col("gap_s") * col("gap_s")).as("ss"))
-      .select(col("user_id"), col("n_gaps"),
+    botScoreFromMoments(moments, cvThreshold, minGaps)
+  }
+
+  /** The moment→score step of [[botScore]], factored so the streaming
+    * incremental twin (a durable (n, Σgap, Σgap²) store merged per
+    * micro-batch — integer moments merge associatively, so the merged
+    * score is BIT-identical to the batch operator's) shares the exact
+    * formula. Input: (user_id, n_gaps, s, ss) with n_gaps ≥ 1. */
+  def botScoreFromMoments(m: DataFrame, cvThreshold: Double = 0.3,
+                          minGaps: Int = 5): DataFrame =
+    m.select(col("user_id"), col("n_gaps"),
         round(col("s").cast("double") / col("n_gaps"), 9).as("mean_gap_s"),
         // clamp: constant gaps can land ulp-negative and NaN the sqrt
         greatest(round((col("ss").cast("double") -
@@ -264,7 +274,6 @@ object Sessionize {
           .otherwise(lit(0.0)).as("cv_gap"))
       .withColumn("is_regular",
         col("n_gaps") >= minGaps && col("cv_gap") < cvThreshold)
-  }
 
   /** Point-in-time (PIT) join (C103): attach to every purchase event the
     * SCD2 dimension row valid AT that instant — the feature-store /

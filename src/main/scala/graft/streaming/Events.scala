@@ -247,6 +247,85 @@ object Events {
     } finally sh.unpersist()
   }
 
+  /** Streaming incremental bot score (C107): per micro-batch, fold the
+    * batch's per-user inter-arrival gap moments (n, Σgap_s, Σgap_s²) —
+    * INCLUDING the bridging gap from the stored last-seen timestamp to
+    * the batch's first event — into a durable per-batch moment store,
+    * then publish the cumulative [[graft.operators.Sessionize.botScore]]
+    * report. Integer moments merge associatively, so as long as
+    * micro-batches respect per-user event-time order the merged report
+    * is BIT-identical to the batch operator over the union — the
+    * exactly-incrementalizable aggregate, no approximation.
+    *
+    * Replay discipline (at-least-once foreachBatch): both the store
+    * partial and the report are dynamic-partition-overwritten by
+    * batch_id, and the bridge lookup excludes the current batch_id's
+    * own store rows — a retried batch recomputes the identical partial
+    * from the same prior state and REPLACES its own partitions. */
+  def incrementalBotScore(events: DataFrame, storeDir: String, outDir: String,
+                          checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      botScoreBatch(batch, batchId, storeDir, outDir)
+    }
+    checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** The per-batch step, factored out so tests replay batches and assert
+    * bit-exact convergence with the batch operator. */
+  def botScoreBatch(batch: DataFrame, batchId: Long,
+                    storeDir: String, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val gaps = batch
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(order))
+      .withColumn("gap_s", expr("(us - prev_us) div 1000000"))
+    val inBatch = gaps.groupBy("user_id")
+      .agg(sum(when(col("prev_us").isNotNull, 1L).otherwise(0L)).as("n_gaps"),
+        coalesce(sum(col("gap_s")), lit(0L)).as("s"),
+        coalesce(sum(col("gap_s") * col("gap_s")), lit(0L)).as("ss"),
+        min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+    // existence check tolerates a pre-created EMPTY dir (no partitions
+    // yet → nothing to read, schema inference would throw)
+    val storeFile = new java.io.File(storeDir)
+    val prior =
+      if (storeFile.exists() &&
+          Option(storeFile.list()).exists(_.exists(_.startsWith("batch_id="))))
+        spark.read.parquet(storeDir)
+          .filter(col("batch_id") =!= batchId) // self-exclusion on replay
+      else null
+    val partial =
+      (if (prior == null) inBatch.withColumn("prev_last_us",
+        lit(null).cast("long"))
+       else inBatch.join(
+         prior.groupBy("user_id").agg(max(col("last_us")).as("prev_last_us")),
+         Seq("user_id"), "left"))
+        .withColumn("bridge_s",
+          expr("(first_us - prev_last_us) div 1000000"))
+        .select(col("user_id"),
+          (col("n_gaps") + when(col("bridge_s").isNotNull, 1L).otherwise(0L))
+            .as("n_gaps"),
+          (col("s") + coalesce(col("bridge_s"), lit(0L))).as("s"),
+          (col("ss") + coalesce(col("bridge_s") * col("bridge_s"), lit(0L)))
+            .as("ss"),
+          col("last_us"))
+    partial.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(storeDir)
+    val merged = spark.read.parquet(storeDir).groupBy("user_id")
+      .agg(sum(col("n_gaps")).as("n_gaps"), sum(col("s")).as("s"),
+        sum(col("ss")).as("ss"))
+      .filter(col("n_gaps") > 0)
+    graft.operators.Sessionize.botScoreFromMoments(merged)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outDir)
+  }
+
   case class SessionSummary(userId: Long, startUs: Long, endUs: Long, nEvents: Long)
   // public: the state encoder's generated code constructs it reflectively
   case class OpenSession(startUs: Long, endUs: Long, n: Long)

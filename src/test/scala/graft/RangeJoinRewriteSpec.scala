@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+import graft.plans.RangeJoinRewrite
+
+/** The optimizer rule that turns a raw equi-join + bounded time residual
+  * into the binned range-join shape — user code written naively still
+  * gets the skew-safe plan. */
+class RangeJoinRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  // left: one row per (key, anchor ts); right: (key, event ts) streams
+  private lazy val anchors = Seq(
+    (1L, 1000L), (1L, 5000L), (2L, 100L), (3L, -250L))
+    .toDF("k", "at")
+  private lazy val probes = Seq(
+    (1L, 900L), (1L, 1000L), (1L, 1L), (1L, 4500L), (1L, 5000L),
+    (2L, 50L), (2L, 101L), (3L, -300L), (3L, -249L))
+    .toDF("k", "bt")
+
+  private def rawJoin(strictLower: Boolean) = {
+    val lower = if (strictLower) col("bt") > col("at") - 100L
+    else col("bt") >= col("at") - 100L
+    anchors.join(probes,
+      anchors("k") === probes("k") && col("bt") <= col("at") && lower)
+      .select(anchors("k").as("k"), col("at"), col("bt"))
+  }
+
+  test("raw bounded-lookback join is rewritten to the binned shape") {
+    RangeJoinRewrite.register(spark)
+    val df = rawJoin(strictLower = false)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("_graft_bin"), optimized.take(800))
+    assert(optimized.contains("Generate explode"), optimized.take(800))
+    // results identical to the hand-built operator on the same frames
+    val manual = Relational.rangeJoin(anchors, probes, "k", "at", "bt", 100L)
+      .select("k", "at", "bt").as[(Long, Long, Long)].collect().sorted.toSeq
+    val got = df.as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got === manual)
+    // and identical to the brute-force predicate on collected rows
+    val brute = for {
+      a <- anchors.as[(Long, Long)].collect()
+      b <- probes.as[(Long, Long)].collect()
+      if a._1 == b._1 && b._2 <= a._2 && b._2 >= a._2 - 100L
+    } yield (a._1, a._2, b._2)
+    assert(got === brute.sorted.toSeq)
+  }
+
+  test("strict lower bound survives as residual; negatives bin correctly") {
+    RangeJoinRewrite.register(spark)
+    val got = rawJoin(strictLower = true)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val brute = for {
+      a <- anchors.as[(Long, Long)].collect()
+      b <- probes.as[(Long, Long)].collect()
+      if a._1 == b._1 && b._2 <= a._2 && b._2 > a._2 - 100L
+    } yield (a._1, a._2, b._2)
+    assert(got === brute.sorted.toSeq)
+    // the negative-timestamp pair (k=3, at=-250, bt=-300) is a true
+    // match and must survive trunc-division binning
+    assert(got.contains((3L, -250L, -300L)))
+  }
+
+  test("no rewrite without a cross-side equi-key") {
+    RangeJoinRewrite.register(spark)
+    val df = anchors.join(probes,
+      col("bt") <= col("at") && col("bt") >= col("at") - 100L)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("_graft_bin"))
+  }
+
+  test("no rewrite of an already-binned join (manual rangeJoin untouched)") {
+    RangeJoinRewrite.register(spark)
+    val manual = Relational.rangeJoin(anchors, probes, "k", "at", "bt", 100L)
+    val optimized = manual.queryExecution.optimizedPlan.toString
+    // exactly one explode: the one rangeJoin itself built
+    assert("explode".r.findAllIn(optimized).size === 1, optimized.take(800))
+  }
+}

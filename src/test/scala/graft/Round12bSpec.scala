@@ -229,6 +229,20 @@ class Round12bSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("df") - 1.470588) < 1e-6)
   }
 
+  test("dauMau counts trailing-30-day actives exactly") {
+    def ev(id: Long, uid: Long, day: Long) =
+      (id, uid, "view", new Timestamp(day * 86400000L + 3600000L), 0.0)
+    val e = Seq(ev(1, 1, 0), ev(2, 2, 0), ev(3, 1, 10))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = Relational.dauMau(e).collect()
+      .map(r => r.getAs[Long]("day_idx") ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("mau"),
+          r.getAs[Double]("stickiness"))).toMap
+    // day 0: both users active and monthly-active; day 10: only user 1
+    // daily, but user 2's day-0 activity still inside the 30-day window
+    assert(out === Map(0L -> (2L, 2L, 1.0), 10L -> (1L, 2L, 0.5)))
+  }
+
   test("cusumChangepoint finds the planted level shift") {
     // 100-cent days then 500-cent days: CUSUM is most negative just
     // before the shift -> change point = day 3

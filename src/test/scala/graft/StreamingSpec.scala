@@ -103,6 +103,41 @@ class StreamingSpec extends SparkSpec {
     assert(storeRows.count() === storeRows.select("h", "batch_id").distinct().count())
   }
 
+  test("incremental bot score: merged moments are bit-identical to the " +
+    "batch operator and replays converge") {
+    import graft.operators.Sessionize
+    val base = java.nio.file.Files.createTempDirectory("graft_bot_stream").toString
+    val (store, out) = (s"$base/store", s"$base/report")
+    def ev(id: Long, uid: Long, sec: Long) =
+      (id, uid, "view", new Timestamp(1704067200000L + sec * 1000L), 0.0)
+    // user 1 metronomic (60s), user 2 bursty; split respects event time
+    val all = Seq(
+      ev(1, 1, 0), ev(2, 1, 60), ev(3, 1, 120),
+      ev(10, 2, 0), ev(11, 2, 1),
+      // --- batch boundary ---
+      ev(4, 1, 180), ev(5, 1, 240), ev(6, 1, 300),
+      ev(12, 2, 1001), ev(13, 2, 1004))
+    val cols = Seq("event_id", "user_id", "event_type", "ts", "value")
+    val b0 = all.take(5).toDF(cols: _*)
+    val b1 = all.drop(5).toDF(cols: _*)
+    Events.botScoreBatch(b0, 0L, store, out)
+    Events.botScoreBatch(b1, 1L, store, out)
+    // replay batch 1 after its store write landed: self-exclusion must
+    // recompute the identical partial (bridge gap from batch 0's last)
+    Events.botScoreBatch(b1, 1L, store, out)
+    val streamed = spark.read.parquet(out).filter(col("batch_id") === 1L)
+      .select("user_id", "n_gaps", "mean_gap_s", "cv_gap", "is_regular")
+      .as[(Long, Long, Double, Double, Boolean)].collect().toSet
+    val batch = Sessionize.botScore(all.toDF(cols: _*))
+      .as[(Long, Long, Double, Double, Boolean)].collect().toSet
+    assert(streamed === batch, "incremental merge must equal batch exactly")
+    assert(batch.exists { case (u, _, _, _, reg) => u == 1L && reg })
+    // store stays one partition per batch, one row per (user, batch)
+    val sRows = spark.read.parquet(store)
+    assert(sRows.select("batch_id").distinct().count() === 2)
+    assert(sRows.count() === sRows.select("user_id", "batch_id").distinct().count())
+  }
+
   test("file-source readStream over parquet equals batch on the same files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
     val batchDf = Seq(
