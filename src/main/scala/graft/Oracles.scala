@@ -540,6 +540,26 @@ object Oracles {
         |  (n_gaps >= 5 AND cv_gap < 0.3) AS is_regular
         |FROM c""".stripMargin,
 
+    // first-order transition matrix argmax baseline; count ties break
+    // lexicographically on the successor type
+    "transition_predict" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |tr AS (SELECT event_type AS prev_type,
+        |       lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_type
+        |       FROM e QUALIFY next_type IS NOT NULL),
+        |c AS (SELECT prev_type, next_type, count(*) AS n FROM tr GROUP BY 1, 2),
+        |best AS (SELECT prev_type, next_type AS predicted FROM (
+        |  SELECT prev_type, next_type,
+        |    row_number() OVER (PARTITION BY prev_type ORDER BY n DESC, next_type) AS rn
+        |  FROM c) WHERE rn = 1)
+        |SELECT c.prev_type, b.predicted,
+        |  CAST(sum(c.n) AS BIGINT) AS n_transitions,
+        |  CAST(sum(CASE WHEN c.next_type = b.predicted THEN c.n ELSE 0 END) AS BIGINT) AS n_correct,
+        |  round(CAST(sum(CASE WHEN c.next_type = b.predicted THEN c.n ELSE 0 END) AS DOUBLE)
+        |    / sum(c.n), 6) AS accuracy
+        |FROM c JOIN best b ON b.prev_type = c.prev_type
+        |GROUP BY 1, 2""".stripMargin,
+
     // exact rolling COUNT DISTINCT via the bounded x30 contribution
     // explode; integer epoch-day indices; zero-event days absent
     "dau_mau" ->

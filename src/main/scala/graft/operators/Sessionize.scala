@@ -228,6 +228,39 @@ object Sessionize {
       .agg(max(col("lvl")).as("level"), count(lit(1)).as("n_anchors"))
   }
 
+  /** Transition-matrix baseline accuracy (C109): how predictable is the
+    * NEXT event type from the current one alone? Build the global
+    * first-order transition counts (per-user event order), predict
+    * argmax-next per state (count ties broken lexicographically), and
+    * report per-state transition mass, hits, and accuracy — the
+    * baseline every sequence model must beat, and a drift tripwire when
+    * accuracy moves. Per-user lead window is one shuffle; everything
+    * after lives on the event-type-bounded matrix. */
+  def transitionPredict(events: DataFrame): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val tr = events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(order))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("prev_type"), col("next_type"))
+    val counts = tr.groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+    val wBest = Window.partitionBy("prev_type")
+      .orderBy(col("n").desc, col("next_type"))
+    val best = counts.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("prev_type"), col("next_type").as("predicted"))
+    counts.join(broadcast(best), Seq("prev_type"))
+      .groupBy("prev_type", "predicted")
+      .agg(sum(col("n")).as("n_transitions"),
+        sum(when(col("next_type") === col("predicted"), col("n"))
+          .otherwise(0L)).as("n_correct"))
+      .select(col("prev_type"), col("predicted"), col("n_transitions"),
+        col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_transitions"), 6)
+          .as("accuracy"))
+  }
+
   /** Inter-arrival regularity bot score (C104): per user, the
     * coefficient of variation of inter-event gaps — humans arrive
     * bursty (CV ≳ 1), schedulers and scrapers arrive metronomically

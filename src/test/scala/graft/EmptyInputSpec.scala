@@ -79,7 +79,8 @@ class EmptyInputSpec extends SparkSpec {
     val eventOps: Seq[DataFrame => DataFrame] = Seq(
       d => Sessionize.windowFunnel(d), d => Sessionize.pitJoin(d),
       d => Relational.cusumChangepoint(d), d => Sessionize.botScore(d),
-      d => Relational.abTtest(d), d => Relational.dauMau(d))
+      d => Relational.abTtest(d), d => Relational.dauMau(d),
+      d => Sessionize.transitionPredict(d))
     for ((op, i) <- eventOps.zipWithIndex)
       assert(op(noEvents).count() === 0, s"round-12b event op #$i not total on empty input")
   }

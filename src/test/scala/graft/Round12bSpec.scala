@@ -229,6 +229,27 @@ class Round12bSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("df") - 1.470588) < 1e-6)
   }
 
+  test("transitionPredict scores the argmax-next baseline") {
+    val e = eventsDF(
+      // user 1: view->click, click->view, view->click, click->purchase
+      (1L, 1L, "view", "2024-01-01 00:00:00", 0.0),
+      (2L, 1L, "click", "2024-01-01 00:01:00", 0.0),
+      (3L, 1L, "view", "2024-01-01 00:02:00", 0.0),
+      (4L, 1L, "click", "2024-01-01 00:03:00", 0.0),
+      (5L, 1L, "purchase", "2024-01-01 00:04:00", 0.0),
+      // user 2: view->click (reinforces the view->click majority)
+      (6L, 2L, "view", "2024-01-01 00:00:00", 0.0),
+      (7L, 2L, "click", "2024-01-01 00:01:00", 0.0))
+    val out = Sessionize.transitionPredict(e).collect()
+      .map(r => r.getAs[String]("prev_type") ->
+        (r.getAs[String]("predicted"), r.getAs[Long]("n_transitions"),
+          r.getAs[Long]("n_correct"))).toMap
+    // view: 3/3 transitions go to click. click: {view:1, purchase:1} —
+    // tie breaks lexicographically to "purchase", 1 of 2 correct
+    assert(out("view") === (("click", 3L, 3L)))
+    assert(out("click") === (("purchase", 2L, 1L)))
+  }
+
   test("dauMau counts trailing-30-day actives exactly") {
     def ev(id: Long, uid: Long, day: Long) =
       (id, uid, "view", new Timestamp(day * 86400000L + 3600000L), 0.0)
