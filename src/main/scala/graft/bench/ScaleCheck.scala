@@ -127,6 +127,11 @@ object ScaleCheck {
       val c = e.filter(col("event_type") === "click")
         .select(col("event_id").as("click_event_id"), col("user_id"), col("us").as("click_us"))
       val (tAsof, nAsof) = timedForce(AsOf.asofJoin(p, c, "user_id", "us", "click_us"))
+      // the chained binned-range-join shape: windowFunnel must scale
+      // linearly in m (each duplicated user population is independent;
+      // the (key, bin) equi-join never all-pairs a key across time)
+      val (tFunnel, nFunnel) =
+        timedForce(graft.operators.Sessionize.windowFunnel(events))
 
       // embedding stats: time both shapes (must stay linear in m), and
       // measure each shape's largest aggregation group — the collect_list
@@ -153,6 +158,7 @@ object ScaleCheck {
         s""""cdc_chunks":{"sec":$tCdc,"rows":$nCdc},""" +
         s""""mixture_epoch":{"sec":$tMix,"rows":$nMix},""" +
         s""""asof_join":{"sec":$tAsof,"rows":$nAsof},""" +
+        s""""window_funnel":{"sec":$tFunnel,"rows":$nFunnel},""" +
         s""""embed_standardize_2level":{"sec":$tStd2,"rows":$nStd2,"max_agg_buffer_rows":$buf2,"rollup_rows":${Folds.DefaultBuckets}},""" +
         s""""dim_stats_1level":{"sec":$tStd1,"rows":$nStd1,"max_agg_buffer_rows":$buf1}}""")
       docs.unpersist(); events.unpersist()

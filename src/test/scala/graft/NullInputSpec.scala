@@ -38,7 +38,10 @@ class NullInputSpec extends SparkSpec {
       d => TextOps.weightedSample(d), d => TextOps.shardBalance(d),
       d => TextOps.curriculumOrder(d), d => TextOps.docOovRate(d),
       d => LangModel.heldoutPerplexity(d), d => TextOps.mixtureEpoch(d),
-      d => Dedup.thresholdSweep(d))
+      d => Dedup.thresholdSweep(d),
+      d => TextOps.dpoPairs(d), d => TextOps.rewardNormalize(d),
+      d => TfIdf.topicLabels(d), d => TextOps.sftPack(d),
+      d => LangModel.stupidBackoff(d))
     for ((op, i) <- ops.zipWithIndex) {
       val out = op(docs)
       // must evaluate without throwing; row counts vary by op semantics
