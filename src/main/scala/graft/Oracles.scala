@@ -481,6 +481,37 @@ object Oracles {
          |  prefix_tokens + n_tokens AS mask_end
          |FROM p""".stripMargin,
 
+    // order-independent shard checksum: XOR-fold of 60 md5 bits per row
+    "shard_manifest" ->
+      """SELECT doc_id % 64 AS shard, count(*) AS n_docs,
+        |  CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS n_chars_total,
+        |  bit_xor(('0x' || substr(md5(coalesce(text, '')), 1, 15))::BIGINT) AS checksum
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // gaps-and-islands over the duplicated-position cover set (same
+    // shingle/dup/cover chain as span_dedup)
+    "dup_span_mask" ->
+      s"""WITH b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks
+         |      FROM (SELECT doc_id, $toks AS toks FROM documents)),
+         |sh AS (SELECT doc_id, i,
+         |       md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')) AS h
+         |       FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS i
+         |             FROM b WHERE n_tokens >= 8)),
+         |dup AS (SELECT h FROM
+         |        (SELECT h, count(DISTINCT doc_id) AS nd FROM sh GROUP BY 1)
+         |        WHERE nd > 1),
+         |cover AS (SELECT DISTINCT s.doc_id, s.i + r.u AS pos
+         |          FROM sh s JOIN dup USING (h) CROSS JOIN range(0, 8) r(u)),
+         |w AS (SELECT doc_id, pos,
+         |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM cover),
+         |i AS (SELECT doc_id, pos,
+         |      CAST(sum(CASE WHEN prev IS NULL OR pos > prev + 1 THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_id
+         |      FROM w)
+         |SELECT doc_id, span_id, min(pos) AS span_start,
+         |  max(pos) + 1 AS span_end, count(*) AS span_len
+         |FROM i GROUP BY 1, 2""".stripMargin,
+
     // stupid-backoff trigram scoring on the heldout split; 0.4 constants
     // CAST to DOUBLE so DuckDB's decimal literals never enter the chain
     "stupid_backoff" ->

@@ -208,6 +208,8 @@ object SparkEntry {
     "url_domains" -> ((s, d) => TextOps.urlDomains(spread(t(s, d, "documents")))),
     "dpo_pairs" -> ((s, d) => TextOps.dpoPairs(spread(t(s, d, "documents")))),
     "sft_pack" -> ((s, d) => TextOps.sftPack(spread(t(s, d, "documents")))),
+    "shard_manifest" -> ((s, d) => TextOps.shardManifest(spread(t(s, d, "documents")))),
+    "dup_span_mask" -> ((s, d) => Dedup.dupSpanMask(spread(t(s, d, "documents")))),
     "stupid_backoff" -> ((s, d) => LangModel.stupidBackoff(spread(t(s, d, "documents")))),
     "bot_score" -> ((s, d) => Sessionize.botScore(events(s, d))),
     "ab_ttest" -> ((s, d) => Relational.abTtest(events(s, d))),

@@ -639,6 +639,33 @@ object Dedup {
       .distinct()
   }
 
+  /** Loss-mask intervals over duplicated spans (B145): merge
+    * [[spanDedup]]'s duplicated-position cover set into maximal
+    * contiguous [span_start, span_end) token intervals per document —
+    * the input to "skip loss on memorized text" training, where the
+    * document is KEPT but the duplicated passage contributes no
+    * gradient (the middle ground between spanDedup's report and
+    * spanDedupTrim's removal). Gaps-and-islands over the per-doc
+    * position stream: one lag + one running-sum window, both bounded by
+    * document length; upstream cost tracks dup mass like every span op.
+    * span_id is 1-based per doc in position order. */
+  def dupSpanMask(docs: DataFrame, win: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    spanCover(spanToked(docs), win)
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") > col("prev") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("span_id",
+        sum(col("brk")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "span_id")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + 1).as("span_end"),
+        count(lit(1)).as("span_len"))
+  }
+
   def spanDedup(docs: DataFrame, win: Int = 8): DataFrame = {
     val toked = spanToked(docs)
     val cover = spanCover(toked, win)

@@ -1836,6 +1836,23 @@ object TextOps {
           .as("oov_rate"))
   }
 
+  /** Shard integrity manifest (B144): per content shard, row count,
+    * total chars, and an ORDER-INDEPENDENT content checksum — the data
+    * lineage record a pipeline writes next to every published shard so
+    * a re-run / replica / migration can be diffed in O(shards) without
+    * touching bytes. The checksum XOR-folds 60 bits of each row's
+    * content md5: commutative (any partitioning, any arrival order),
+    * overflow-free (no sum to wrap under ANSI), and any single-row
+    * change flips it. One partial-agg shuffle onto `shards` rows. */
+  def shardManifest(docs: DataFrame, shards: Int = 64): DataFrame =
+    docs.select((col("doc_id") % shards).as("shard"),
+        coalesce(col("n_chars"), lit(0L)).as("nc"),
+        expr("CAST(conv(substring(md5(coalesce(text, '')), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars_total"),
+        expr("bit_xor(h)").as("checksum"))
+
   /** SFT example packing with loss-mask spans (B143): split each
     * document into a prompt prefix (first min(`promptCap`, ⌊n/2⌋)
     * tokens) and a response tail, pack examples into `budget`-token

@@ -229,6 +229,41 @@ class Round12bSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("df") - 1.470588) < 1e-6)
   }
 
+  test("dupSpanMask merges covered positions into maximal intervals") {
+    val common = "one two three four five six seven eight"
+    val docs = docsDF(
+      1L -> s"aaa $common bbb",
+      2L -> s"$common ccc ddd")
+    val out = Dedup.dupSpanMask(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_id"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_end"),
+        r.getAs[Long]("span_len"))).toSet
+    // the shared 8-token run is one contiguous island in each doc; the
+    // unique flanks never enter the cover set
+    assert(out === Set((1L, 1L, 1L, 9L, 8L), (2L, 1L, 0L, 8L, 8L)))
+  }
+
+  test("shardManifest checksums are order-independent and content-sensitive") {
+    val base = Seq.tabulate(20)(i =>
+      (i.toLong, s"document number $i with some text", "en", "s1", 30L))
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val a = TextOps.shardManifest(base.toDF(cols: _*), shards = 4)
+      .collect().map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("checksum"))).toMap
+    // reversed row order + different partitioning: identical manifest
+    val b = TextOps.shardManifest(base.reverse.toDF(cols: _*).repartition(7),
+      shards = 4).collect().map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("checksum"))).toMap
+    assert(a === b)
+    // flipping one document's content flips exactly its shard's checksum
+    val mutated = base.updated(5, (5L, "tampered content", "en", "s1", 30L))
+    val c = TextOps.shardManifest(mutated.toDF(cols: _*), shards = 4)
+      .collect().map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("checksum"))).toMap
+    assert(c(1L)._2 !== a(1L)._2, "shard 1 (doc 5) must change")
+    assert(Seq(0L, 2L, 3L).forall(s => c(s) === a(s)), "other shards unchanged")
+  }
+
   test("transitionPredict scores the argmax-next baseline") {
     val e = eventsDF(
       // user 1: view->click, click->view, view->click, click->purchase
