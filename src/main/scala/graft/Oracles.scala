@@ -481,6 +481,24 @@ object Oracles {
          |  prefix_tokens + n_tokens AS mask_end
          |FROM p""".stripMargin,
 
+    // unbiased pass@k: 1 - prod (n-c-i)/(n-i); init-free list_reduce
+    // matches Spark's 1.0-init fold because IEEE 1.0*x = x
+    "pass_at_k" ->
+      s"""WITH q AS (SELECT lang, source,
+         |           CASE WHEN $qualitySql >= 0.5 THEN 1 ELSE 0 END AS pass
+         |           FROM documents),
+         |g AS (SELECT lang, source, count(*) AS n_samples,
+         |      CAST(sum(pass) AS BIGINT) AS n_pass FROM q GROUP BY 1, 2),
+         |k AS (SELECT lang, source, n_samples, n_pass,
+         |      least(5, n_samples) AS k FROM g)
+         |SELECT lang, source, n_samples, n_pass, k,
+         |  CASE WHEN n_samples - n_pass < k THEN 1.0
+         |       ELSE round(1.0 - list_reduce(
+         |         list_transform(range(0, k),
+         |           i -> CAST(n_samples - n_pass - i AS DOUBLE) / (n_samples - i)),
+         |         (a, b) -> a * b), 6) END AS pass_at_k
+         |FROM k""".stripMargin,
+
     // order-independent shard checksum: XOR-fold of 60 md5 bits per row
     "shard_manifest" ->
       """SELECT doc_id % 64 AS shard, count(*) AS n_docs,

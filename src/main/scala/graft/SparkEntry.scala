@@ -209,6 +209,7 @@ object SparkEntry {
     "dpo_pairs" -> ((s, d) => TextOps.dpoPairs(spread(t(s, d, "documents")))),
     "sft_pack" -> ((s, d) => TextOps.sftPack(spread(t(s, d, "documents")))),
     "shard_manifest" -> ((s, d) => TextOps.shardManifest(spread(t(s, d, "documents")))),
+    "pass_at_k" -> ((s, d) => TextOps.passAtK(spread(t(s, d, "documents")))),
     "dup_span_mask" -> ((s, d) => Dedup.dupSpanMask(spread(t(s, d, "documents")))),
     "stupid_backoff" -> ((s, d) => LangModel.stupidBackoff(spread(t(s, d, "documents")))),
     "bot_score" -> ((s, d) => Sessionize.botScore(events(s, d))),

@@ -1836,6 +1836,33 @@ object TextOps {
           .as("oov_rate"))
   }
 
+  /** Unbiased pass@k estimator (B146, the Codex-paper combinatorial
+    * identity): per problem, with n samples of which c pass,
+    * pass@k = 1 − C(n−c, k)/C(n, k) computed as the stable product
+    * Π_{i<k} (n−c−i)/(n−i) — never a factorial. Problems here are the
+    * (lang, source) strata and a sample "passes" when its
+    * [[qualityScore]] composite clears `passBar` — the evaluation-
+    * harness aggregation step, grounded on the corpus the engine has.
+    * k clamps to the pool size; pools with fewer than k failures are
+    * certain passes (1.0). The product folds left with init 1.0 (IEEE
+    * 1.0·x = x), so DuckDB's init-free list_reduce walks the identical
+    * doubles. One partial-agg shuffle to (n, c) per stratum; the
+    * product runs on the strata-bounded frame. */
+  def passAtK(docs: DataFrame, k: Int = 5, passBar: Double = 0.5): DataFrame =
+    docs.select(col("lang"), col("source"),
+        when(qualityComposite >= passBar, 1L).otherwise(0L).as("pass"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_samples"), sum(col("pass")).as("n_pass"))
+      .select(col("lang"), col("source"), col("n_samples"), col("n_pass"),
+        least(lit(k.toLong), col("n_samples")).as("k"))
+      .withColumn("pass_at_k",
+        when(col("n_samples") - col("n_pass") < col("k"), lit(1.0))
+          .otherwise(round(lit(1.0) - aggregate(
+            sequence(lit(0L), col("k") - 1),
+            lit(1.0),
+            (acc, i) => acc * ((col("n_samples") - col("n_pass") - i)
+              / (col("n_samples") - i))), 6)))
+
   /** Shard integrity manifest (B144): per content shard, row count,
     * total chars, and an ORDER-INDEPENDENT content checksum — the data
     * lineage record a pipeline writes next to every published shard so

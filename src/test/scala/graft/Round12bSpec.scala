@@ -229,6 +229,28 @@ class Round12bSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("df") - 1.470588) < 1e-6)
   }
 
+  test("passAtK matches the combinatorial identity on a planted pool") {
+    // one stratum, n=4 samples, c=2 passes (long clean stopword-rich
+    // texts pass the 0.5 bar; punctuation soup fails), k=5 clamps to 4:
+    // fewer failures (2) than k -> certain pass -> 1.0
+    val good = "the cat and the dog is in the house and it is warm today"
+    val docs = docsDF(1L -> good, 2L -> good,
+      3L -> "!!!! @@@@ #### $$$$ %%%%", 4L -> "???? ^^^^ &&&& ****")
+    val out = TextOps.passAtK(docs).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_samples") === 4L)
+    assert(out.head.getAs[Long]("n_pass") === 2L)
+    assert(out.head.getAs[Long]("k") === 4L)
+    assert(out.head.getAs[Double]("pass_at_k") === 1.0)
+    // k=2 on the same pool: 1 - C(2,2)/C(4,2) = 1 - 1/6
+    val k2 = TextOps.passAtK(docs, k = 2).collect().head
+    assert(math.abs(k2.getAs[Double]("pass_at_k") - (1.0 - 1.0 / 6.0)) < 1e-6)
+    // all-fail pool: pass@k = 0
+    val bad = docsDF(1L -> "!!!!", 2L -> "@@@@")
+    assert(TextOps.passAtK(bad, k = 2).collect().head
+      .getAs[Double]("pass_at_k") === 0.0)
+  }
+
   test("dupSpanMask merges covered positions into maximal intervals") {
     val common = "one two three four five six seven eight"
     val docs = docsDF(
