@@ -172,6 +172,20 @@ object Oracles {
       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
       |SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.3""".stripMargin
 
+  /** Bradley–Terry MM rounds (d/u/t/p CTE chain per round), built by the
+    * same loop shape as the Spark side so the rounding chain matches. */
+  private def btRoundsSql(rounds: Int): String =
+    (1 to rounds).map { k =>
+      val prev = s"p${k - 1}"
+      s"""d$k AS (SELECT d.item,
+         |  list_reduce(list_sort(list(round(n_ij / (pi.rating + pj.rating), 9))), (a, b) -> a + b) AS denom
+         |  FROM dir d JOIN $prev pi ON pi.item = d.item JOIN $prev pj ON pj.item = d.opp GROUP BY 1),
+         |u$k AS (SELECT i.item, round(coalesce(w.n_wins, 0) / d$k.denom, 9) AS u
+         |  FROM items i LEFT JOIN wins w ON w.item = i.item JOIN d$k ON d$k.item = i.item),
+         |t$k AS (SELECT list_reduce(list_sort(list(u)), (a, b) -> a + b) AS tot, count(*) AS ni FROM u$k),
+         |p$k AS (SELECT item, round(u * ni / tot, 9) AS rating FROM u$k CROSS JOIN t$k)""".stripMargin
+    }.mkString(",\n")
+
   /** SCD2 interval chain over `src` (shared by scd2_intervals and
     * pit_join): CTEs e/w/r/iv plus ivf, the full interval table. */
   private def scd2CtesSql(src: String): String =
@@ -480,6 +494,35 @@ object Oracles {
          |  prefix_tokens + prompt_len AS mask_start,
          |  prefix_tokens + n_tokens AS mask_end
          |FROM p""".stripMargin,
+
+    // Bradley-Terry MM: consecutive same-lang docs play, winner = higher
+    // quality (ties to the earlier doc = the odd row), 3 unrolled rounds
+    "bradley_terry" ->
+      s"""WITH q AS (SELECT doc_id, lang, source, $qualitySql AS quality FROM documents),
+         |r AS (SELECT doc_id, lang, source, quality,
+         |      row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM q),
+         |ga AS (SELECT a.source AS src_a, b.source AS src_b,
+         |       CASE WHEN a.quality >= b.quality THEN a.source ELSE b.source END AS winner
+         |       FROM (SELECT lang, (rn - 1) // 2 AS pair_id, source, quality FROM r WHERE rn % 2 = 1) a
+         |       JOIN (SELECT lang, (rn - 1) // 2 AS pair_id, source, quality FROM r WHERE rn % 2 = 0) b
+         |         ON a.lang = b.lang AND a.pair_id = b.pair_id
+         |       WHERE a.source <> b.source),
+         |wins AS (SELECT winner AS item, count(*) AS n_wins FROM ga GROUP BY 1),
+         |pc AS (SELECT least(src_a, src_b) AS i, greatest(src_a, src_b) AS j,
+         |       count(*) AS n_ij FROM ga GROUP BY 1, 2),
+         |dir AS (SELECT i AS item, j AS opp, n_ij FROM pc
+         |        UNION ALL SELECT j AS item, i AS opp, n_ij FROM pc),
+         |items AS (SELECT DISTINCT item FROM dir),
+         |p0 AS (SELECT item, CAST(1.0 AS DOUBLE) AS rating FROM items),
+         |${btRoundsSql(3)}
+         |SELECT i.item AS source, g.n_games,
+         |  CAST(coalesce(w.n_wins, 0) AS BIGINT) AS n_wins,
+         |  round(p3.rating, 6) AS rating
+         |FROM items i
+         |JOIN (SELECT item, CAST(sum(n_ij) AS BIGINT) AS n_games FROM dir GROUP BY 1) g
+         |  ON g.item = i.item
+         |LEFT JOIN wins w ON w.item = i.item
+         |JOIN p3 ON p3.item = i.item""".stripMargin,
 
     // unbiased pass@k: 1 - prod (n-c-i)/(n-i); init-free list_reduce
     // matches Spark's 1.0-init fold because IEEE 1.0*x = x

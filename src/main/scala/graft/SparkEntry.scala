@@ -210,6 +210,7 @@ object SparkEntry {
     "sft_pack" -> ((s, d) => TextOps.sftPack(spread(t(s, d, "documents")))),
     "shard_manifest" -> ((s, d) => TextOps.shardManifest(spread(t(s, d, "documents")))),
     "pass_at_k" -> ((s, d) => TextOps.passAtK(spread(t(s, d, "documents")))),
+    "bradley_terry" -> ((s, d) => TextOps.bradleyTerry(spread(t(s, d, "documents")))),
     "dup_span_mask" -> ((s, d) => Dedup.dupSpanMask(spread(t(s, d, "documents")))),
     "stupid_backoff" -> ((s, d) => LangModel.stupidBackoff(spread(t(s, d, "documents")))),
     "bot_score" -> ((s, d) => Sessionize.botScore(events(s, d))),

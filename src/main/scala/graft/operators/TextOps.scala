@@ -1836,6 +1836,72 @@ object TextOps {
           .as("oov_rate"))
   }
 
+  /** Bradley–Terry preference ratings via the MM algorithm (B147): the
+    * model behind every pairwise-preference leaderboard (reward-model
+    * eval, arena rankings). Games pair consecutive same-language
+    * documents (doc_id order), winner = higher [[qualityScore]]
+    * composite (ties to the earlier doc); items are sources. Three
+    * unrolled MM rounds from π⁰=1: π'_i = W_i / Σ_j n_ij/(π_i+π_j),
+    * renormalized to mean 1 each round — the standard minorize-maximize
+    * update, monotone in likelihood. Zero-win items converge to 0
+    * without NaN (IEEE ∞ propagation is identical on both engines).
+    *
+    * Scale: the game build is one per-lang rank window + one join; all
+    * MM state lives on the item-bounded (sources) frame with sorted
+    * 9 dp folds, and each round is two broadcast-sized joins. */
+  def bradleyTerry(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+    val ranked = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        qualityComposite.as("quality"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("pair_id", expr("(rn - 1) div 2"))
+    def half(odd: Boolean, tag: String) =
+      ranked.filter(col("rn") % 2 === (if (odd) 1 else 0))
+        .select(col("lang"), col("pair_id"), col("source").as(s"src_$tag"),
+          col("quality").as(s"q_$tag"))
+    val games = half(odd = true, "a").join(half(odd = false, "b"),
+        Seq("lang", "pair_id"))
+      .filter(col("src_a") =!= col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        when(col("q_a") >= col("q_b"), col("src_a")).otherwise(col("src_b"))
+          .as("winner"))
+    val wins = games.groupBy(col("winner").as("item"))
+      .agg(count(lit(1)).as("n_wins"))
+    val pc = games.select(least(col("src_a"), col("src_b")).as("i"),
+        greatest(col("src_a"), col("src_b")).as("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n_ij"))
+    val dir = pc.select(col("i").as("item"), col("j").as("opp"), col("n_ij"))
+      .unionByName(pc.select(col("j").as("item"), col("i").as("opp"), col("n_ij")))
+    val items = dir.select("item").distinct()
+    var pi = items.withColumn("rating", lit(1.0))
+    for (_ <- 1 to rounds) {
+      val denom = dir
+        .join(pi.select(col("item"), col("rating").as("pi_i")), Seq("item"))
+        .join(pi.select(col("item").as("opp"), col("rating").as("pi_j")), Seq("opp"))
+        .select(col("item"),
+          round(col("n_ij") / (col("pi_i") + col("pi_j")), 9).as("term"))
+        .groupBy("item").agg(Folds.sortedSum(col("term")).as("denom"))
+      val unnorm = items
+        .join(wins, Seq("item"), "left")
+        .join(denom, Seq("item"))
+        .select(col("item"),
+          round(coalesce(col("n_wins"), lit(0L)) / col("denom"), 9).as("u"))
+      val tot = unnorm.agg(Folds.sortedSum(col("u")).as("tot"),
+        count(lit(1)).as("ni"))
+      pi = unnorm.crossJoin(broadcast(tot))
+        .select(col("item"), round(col("u") * col("ni") / col("tot"), 9).as("rating"))
+    }
+    items
+      .join(dir.groupBy("item").agg(sum(col("n_ij")).as("n_games")), Seq("item"))
+      .join(wins, Seq("item"), "left")
+      .join(pi, Seq("item"))
+      .select(col("item").as("source"), col("n_games"),
+        coalesce(col("n_wins"), lit(0L)).as("n_wins"),
+        round(col("rating"), 6).as("rating"))
+  }
+
   /** Unbiased pass@k estimator (B146, the Codex-paper combinatorial
     * identity): per problem, with n samples of which c pass,
     * pass@k = 1 − C(n−c, k)/C(n, k) computed as the stable product

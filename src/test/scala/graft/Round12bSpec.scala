@@ -251,6 +251,25 @@ class Round12bSpec extends SparkSpec {
       .getAs[Double]("pass_at_k") === 0.0)
   }
 
+  test("bradleyTerry ranks sources by pairwise quality wins") {
+    val hi = "the cat and the dog is in the house and it is warm today"
+    val lo = "!!!! @@@@ #### $$$$ %%%%"
+    // en pairs (1,2)(3,4)(5,6): s1 beats s2, s1 beats s3, s2 beats s3
+    val docs = Seq(
+      (1L, hi, "en", "s1", 50L), (2L, lo, "en", "s2", 24L),
+      (3L, hi, "en", "s1", 50L), (4L, lo, "en", "s3", 24L),
+      (5L, hi, "en", "s2", 50L), (6L, lo, "en", "s3", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.bradleyTerry(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_games"), r.getAs[Long]("n_wins"),
+          r.getAs[Double]("rating"))).toMap
+    assert(out("s1")._2 === 2L && out("s2")._2 === 1L && out("s3")._2 === 0L)
+    assert(out("s1")._3 > out("s2")._3, "more wins -> higher rating")
+    assert(out("s3")._3 === 0.0, "zero-win item converges to 0")
+    assert(out("s1")._1 === 2L && out("s3")._1 === 2L, "game counts")
+  }
+
   test("dupSpanMask merges covered positions into maximal intervals") {
     val common = "one two three four five six seven eight"
     val docs = docsDF(
