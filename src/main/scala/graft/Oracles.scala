@@ -632,6 +632,21 @@ object Oracles {
         |  (n_gaps >= 5 AND cv_gap < 0.3) AS is_regular
         |FROM c""".stripMargin,
 
+    // first-view -> first-at-or-after purchase latency percentiles
+    "conversion_latency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS view_us FROM e WHERE event_type = 'view' GROUP BY 1),
+        |l AS (SELECT (min(p.us) - v.view_us) // 1000000 AS lat_s
+        |      FROM e p JOIN v ON v.user_id = p.user_id
+        |      WHERE p.event_type = 'purchase' AND p.us >= v.view_us
+        |      GROUP BY p.user_id, v.view_us)
+        |SELECT count(*) AS n_converted,
+        |  round(quantile_cont(lat_s, 0.25), 4) AS p25_s,
+        |  round(quantile_cont(lat_s, 0.5), 4) AS p50_s,
+        |  round(quantile_cont(lat_s, 0.75), 4) AS p75_s,
+        |  round(quantile_cont(lat_s, 0.9), 4) AS p90_s
+        |FROM l""".stripMargin,
+
     // first-order transition matrix argmax baseline; count ties break
     // lexicographically on the successor type
     "transition_predict" ->

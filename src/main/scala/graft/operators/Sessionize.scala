@@ -228,6 +228,30 @@ object Sessionize {
       .agg(max(col("lvl")).as("level"), count(lit(1)).as("n_anchors"))
   }
 
+  /** View→purchase conversion latency distribution (C110): per
+    * converting user, seconds from their FIRST view to their first
+    * purchase at-or-after it, summarized into exact interpolated
+    * percentiles — the time-to-convert report next to [[funnel]]'s
+    * stage counts. Two conditional-min aggregations (one shuffle each)
+    * reduce to a user-bounded latency frame; the single-row percentile
+    * aggregate is the only global state. */
+  def conversionLatency(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("view_us"))
+    val lat = e.filter(col("event_type") === "purchase")
+      .join(v, "user_id")
+      .filter(col("us") >= col("view_us"))
+      .groupBy("user_id", "view_us").agg(min(col("us")).as("p_us"))
+      .select(expr("(p_us - view_us) div 1000000").as("lat_s"))
+    lat.agg(count(lit(1)).as("n_converted"),
+      round(percentile(col("lat_s"), lit(0.25)), 4).as("p25_s"),
+      round(percentile(col("lat_s"), lit(0.5)), 4).as("p50_s"),
+      round(percentile(col("lat_s"), lit(0.75)), 4).as("p75_s"),
+      round(percentile(col("lat_s"), lit(0.9)), 4).as("p90_s"))
+  }
+
   /** Transition-matrix baseline accuracy (C109): how predictable is the
     * NEXT event type from the current one alone? Build the global
     * first-order transition counts (per-user event order), predict

@@ -85,6 +85,9 @@ class EmptyInputSpec extends SparkSpec {
       d => Sessionize.transitionPredict(d))
     for ((op, i) <- eventOps.zipWithIndex)
       assert(op(noEvents).count() === 0, s"round-12b event op #$i not total on empty input")
+    // global aggregate: one zero-count row on empty input, never a throw
+    val cl = Sessionize.conversionLatency(noEvents).collect()
+    assert(cl.length === 1 && cl.head.getAs[Long]("n_converted") === 0L)
   }
 
   test("order operators are total on an empty fact table") {

@@ -62,6 +62,37 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(got.contains((3L, -250L, -300L)))
   }
 
+  test("property sweep: rewrite equals brute force on randomized frames") {
+    RangeJoinRewrite.register(spark)
+    val rnd = new scala.util.Random(42) // deterministic sweep
+    for (trial <- 1 to 20) {
+      val w = Seq(1L, 7L, 100L, 3600L)(rnd.nextInt(4))
+      val nA = 5 + rnd.nextInt(20)
+      val nB = 5 + rnd.nextInt(40)
+      def ts() = rnd.nextLong() % 10000L // negatives included
+      val as = Seq.fill(nA)((rnd.nextInt(5).toLong, ts()))
+      val bs = Seq.fill(nB)((rnd.nextInt(5).toLong, ts()))
+      val aDf = as.toDF("k", "at")
+      val bDf = bs.toDF("k", "bt")
+      val strict = rnd.nextBoolean()
+      val lower = if (strict) col("bt") > col("at") - w
+      else col("bt") >= col("at") - w
+      val df = aDf.join(bDf,
+          aDf("k") === bDf("k") && col("bt") <= col("at") && lower)
+        .select(aDf("k"), col("at"), col("bt"))
+      assert(df.queryExecution.optimizedPlan.toString.contains("_graft_bin"),
+        s"trial $trial should rewrite")
+      val got = df.as[(Long, Long, Long)].collect().sorted.toSeq
+      val brute = (for {
+        (ka, at) <- as
+        (kb, bt) <- bs
+        if ka == kb && bt <= at &&
+          (if (strict) bt > at - w else bt >= at - w)
+      } yield (ka, at, bt)).sorted
+      assert(got === brute, s"trial $trial w=$w strict=$strict")
+    }
+  }
+
   test("no rewrite without a cross-side equi-key") {
     RangeJoinRewrite.register(spark)
     val df = anchors.join(probes,

@@ -305,6 +305,19 @@ class Round12bSpec extends SparkSpec {
     assert(Seq(0L, 2L, 3L).forall(s => c(s) === a(s)), "other shards unchanged")
   }
 
+  test("conversionLatency measures first-view-to-purchase seconds") {
+    val e = eventsDF(
+      (1L, 1L, "view", "2024-01-01 00:00:00", 0.0),
+      (2L, 1L, "purchase", "2024-01-01 00:01:40", 5.0), // +100 s
+      (3L, 1L, "purchase", "2024-01-01 09:00:00", 5.0), // later, ignored
+      (4L, 2L, "purchase", "2024-01-01 00:00:00", 5.0), // purchase BEFORE
+      (5L, 2L, "view", "2024-01-01 01:00:00", 0.0),     //   the first view
+      (6L, 3L, "purchase", "2024-01-01 00:00:00", 5.0)) // no view at all
+    val out = Sessionize.conversionLatency(e).collect().head
+    assert(out.getAs[Long]("n_converted") === 1L)
+    assert(out.getAs[Double]("p50_s") === 100.0)
+  }
+
   test("transitionPredict scores the argmax-next baseline") {
     val e = eventsDF(
       // user 1: view->click, click->view, view->click, click->purchase
