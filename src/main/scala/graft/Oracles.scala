@@ -436,6 +436,13 @@ object Oracles {
          |FROM p JOIN ivf d ON d.user_id = p.user_id
          |  AND p.us >= d.valid_from_us AND p.us < d.valid_to_us""".stripMargin,
 
+    // incremental merge must equal the full recompute — the oracle IS
+    // the recompute (same independent chain as scd2_intervals)
+    "scd2_merge" ->
+      s"""WITH ${scd2CtesSql("events")}
+         |SELECT user_id, run_id, event_type, valid_from_us, valid_to_us,
+         |  n_events, is_current FROM ivf""".stripMargin,
+
     // ClickHouse-style windowFunnel: per view anchor, the deepest
     // view -> click -> purchase chain with every step strictly after the
     // previous and inside the anchor's 6h window; max level per user

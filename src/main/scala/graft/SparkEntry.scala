@@ -218,6 +218,7 @@ object SparkEntry {
     "dau_mau" -> ((s, d) => Relational.dauMau(events(s, d))),
     "transition_predict" -> ((s, d) => Sessionize.transitionPredict(events(s, d))),
     "conversion_latency" -> ((s, d) => Sessionize.conversionLatency(events(s, d))),
+    "scd2_merge" -> ((s, d) => Sessionize.scd2Merge(events(s, d))),
     "reward_normalize" -> ((s, d) => TextOps.rewardNormalize(spread(t(s, d, "documents")))),
     "topic_labels" -> ((s, d) => TfIdf.topicLabels(spread(t(s, d, "documents")))),
     "window_funnel" -> ((s, d) => Sessionize.windowFunnel(events(s, d))),

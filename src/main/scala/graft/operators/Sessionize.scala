@@ -228,6 +228,65 @@ object Sessionize {
       .agg(max(col("lvl")).as("level"), count(lit(1)).as("n_anchors"))
   }
 
+  /** Incremental SCD2 maintenance (C111): merge a standing interval
+    * table ([[scd2Intervals]] over events before `splitUs`) with a new
+    * event batch (at-or-after `splitUs`, i.e. strictly later in event
+    * time) WITHOUT re-reading the historical events — the warehouse
+    * dimension-merge step. Per user: the open (is_current) interval
+    * either ABSORBS the batch's first run (same state: extend counts,
+    * keep valid_from) or CLOSES at the batch's first event; later batch
+    * runs append with run_ids continuing the store's numbering. The
+    * correctness claim is exact: merged output ≡ full recompute over
+    * all events (the oracle IS the recompute), hash-for-hash.
+    *
+    * Scale: the store contributes one broadcast-shaped current-row
+    * frame per user plus untouched rows; only the batch is windowed.
+    * Nothing rescans history. */
+  def scd2Merge(events: DataFrame,
+                splitUs: Long = 1706054400000000L): DataFrame = {
+    val old = events.filter(unix_micros(col("ts")) < splitUs)
+    val batch = events.filter(unix_micros(col("ts")) >= splitUs)
+    val store = scd2Intervals(old)
+    val bruns = scd2Intervals(batch)
+    val curX = store.filter(col("is_current"))
+      .select(col("user_id"), col("run_id").as("r0"),
+        col("event_type").as("cur_type"),
+        col("valid_from_us").as("cur_from"), col("n_events").as("cur_n"))
+    val meta = bruns.filter(col("run_id") === 1)
+      .select(col("user_id"), col("event_type").as("first_type"),
+        col("valid_from_us").as("first_from"))
+      .join(curX, Seq("user_id"), "left")
+      .select(col("user_id"), col("first_from"),
+        coalesce(col("r0"), lit(0L)).as("r0"),
+        (col("cur_type").isNotNull && col("first_type") === col("cur_type"))
+          .as("absorbed"),
+        col("cur_from"), coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val fromBatch = bruns.join(meta, Seq("user_id"))
+      .select(col("user_id"),
+        (col("run_id") +
+          when(col("absorbed"), col("r0") - 1).otherwise(col("r0")))
+          .as("run_id"),
+        col("event_type"),
+        when(col("absorbed") && col("run_id") === 1, col("cur_from"))
+          .otherwise(col("valid_from_us")).as("valid_from_us"),
+        col("valid_to_us"),
+        (col("n_events") +
+          when(col("absorbed") && col("run_id") === 1, col("cur_n"))
+            .otherwise(lit(0L))).as("n_events"),
+        col("is_current"))
+    val fromStore = store
+      .join(meta.select(col("user_id"), col("absorbed"), col("first_from")),
+        Seq("user_id"), "left")
+      .filter(!(col("is_current") && coalesce(col("absorbed"), lit(false))))
+      .select(col("user_id"), col("run_id"), col("event_type"),
+        col("valid_from_us"),
+        when(col("is_current") && col("first_from").isNotNull, col("first_from"))
+          .otherwise(col("valid_to_us")).as("valid_to_us"),
+        col("n_events"),
+        (col("is_current") && col("first_from").isNull).as("is_current"))
+    fromStore.unionByName(fromBatch)
+  }
+
   /** View→purchase conversion latency distribution (C110): per
     * converting user, seconds from their FIRST view to their first
     * purchase at-or-after it, summarized into exact interpolated

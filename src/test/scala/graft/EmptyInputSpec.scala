@@ -82,7 +82,7 @@ class EmptyInputSpec extends SparkSpec {
       d => Sessionize.windowFunnel(d), d => Sessionize.pitJoin(d),
       d => Relational.cusumChangepoint(d), d => Sessionize.botScore(d),
       d => Relational.abTtest(d), d => Relational.dauMau(d),
-      d => Sessionize.transitionPredict(d))
+      d => Sessionize.transitionPredict(d), d => Sessionize.scd2Merge(d))
     for ((op, i) <- eventOps.zipWithIndex)
       assert(op(noEvents).count() === 0, s"round-12b event op #$i not total on empty input")
     // global aggregate: one zero-count row on empty input, never a throw

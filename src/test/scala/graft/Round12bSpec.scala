@@ -305,6 +305,39 @@ class Round12bSpec extends SparkSpec {
     assert(Seq(0L, 2L, 3L).forall(s => c(s) === a(s)), "other shards unchanged")
   }
 
+  test("scd2Merge stitch paths: absorb, close, new user, untouched user") {
+    // split at 2024-01-24T00:00:00Z; batch events strictly after
+    val e = eventsDF(
+      // user 1: current run 'click' ABSORBS the batch's first click run,
+      // then a view run appends
+      (1L, 1L, "view", "2024-01-10 00:00:00", 0.0),
+      (2L, 1L, "click", "2024-01-20 00:00:00", 0.0),
+      (3L, 1L, "click", "2024-01-25 00:00:00", 0.0),
+      (4L, 1L, "view", "2024-01-26 00:00:00", 0.0),
+      // user 2: current 'view' CLOSES at the batch's first (different) run
+      (5L, 2L, "view", "2024-01-20 00:00:00", 0.0),
+      (6L, 2L, "purchase", "2024-01-25 00:00:00", 0.0),
+      // user 3: batch-only (new) user
+      (7L, 3L, "click", "2024-01-28 00:00:00", 0.0),
+      // user 4: store-only user, untouched
+      (8L, 4L, "signup", "2024-01-05 00:00:00", 0.0))
+    val merged = Sessionize.scd2Merge(e).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("run_id")) ->
+        (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+          r.getAs[Boolean]("is_current"))).toMap
+    val recomputed = Sessionize.scd2Intervals(e).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("run_id")) ->
+        (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+          r.getAs[Boolean]("is_current"))).toMap
+    assert(merged === recomputed, "merge must equal full recompute")
+    // the absorbed run carries both the store and batch click
+    assert(merged((1L, 2L)) === (("click", 2L, false)))
+    assert(merged((1L, 3L)) === (("view", 1L, true)))
+    assert(merged((2L, 1L))._3 === false, "closed current")
+    assert(merged((3L, 1L)) === (("click", 1L, true)))
+    assert(merged((4L, 1L)) === (("signup", 1L, true)))
+  }
+
   test("conversionLatency measures first-view-to-purchase seconds") {
     val e = eventsDF(
       (1L, 1L, "view", "2024-01-01 00:00:00", 0.0),
