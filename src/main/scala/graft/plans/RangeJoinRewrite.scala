@@ -45,7 +45,8 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     case _                             => None
   }
 
-  /** b >= a - w: (bounded attr, anchor attr, window). */
+  /** b >= a - w: (bounded attr, anchor attr, window) — BACKWARD window
+    * [a-w, a]; the anchor probes bins {bin(a)-1, bin(a)}. */
   private def lowerBound(e: Expression): Option[(Attribute, Attribute, Long)] =
     e match {
       case GreaterThanOrEqual(b: Attribute, Subtract(a: Attribute, l: Literal, _)) =>
@@ -59,6 +60,23 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
+  /** b <= a + w: (bounded attr, anchor attr, window) — FORWARD window
+    * [a, a+w]; the anchor probes bins {bin(a), bin(a)+1}. */
+  private def fwdUpperBound(e: Expression): Option[(Attribute, Attribute, Long)] =
+    e match {
+      case LessThanOrEqual(b: Attribute, Add(a: Attribute, l: Literal, _)) =>
+        litLong(l).map((b, a, _))
+      case LessThan(b: Attribute, Add(a: Attribute, l: Literal, _)) =>
+        litLong(l).map((b, a, _))
+      case LessThanOrEqual(b: Attribute, Add(l: Literal, a: Attribute, _)) =>
+        litLong(l).map((b, a, _))
+      case GreaterThanOrEqual(Add(a: Attribute, l: Literal, _), b: Attribute) =>
+        litLong(l).map((b, a, _))
+      case GreaterThan(Add(a: Attribute, l: Literal, _), b: Attribute) =>
+        litLong(l).map((b, a, _))
+      case _ => None
+    }
+
   /** b <= a: (bounded attr, anchor attr). */
   private def upperBound(e: Expression): Option[(Attribute, Attribute)] =
     e match {
@@ -66,6 +84,16 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       case LessThan(b: Attribute, a: Attribute)           => Some((b, a))
       case GreaterThanOrEqual(a: Attribute, b: Attribute) => Some((b, a))
       case GreaterThan(a: Attribute, b: Attribute)        => Some((b, a))
+      case _ => None
+    }
+
+  /** b >= a: (bounded attr, anchor attr). */
+  private def fwdLowerBound(e: Expression): Option[(Attribute, Attribute)] =
+    e match {
+      case GreaterThanOrEqual(b: Attribute, a: Attribute) => Some((b, a))
+      case GreaterThan(b: Attribute, a: Attribute)        => Some((b, a))
+      case LessThanOrEqual(a: Attribute, b: Attribute)    => Some((b, a))
+      case LessThan(a: Attribute, b: Attribute)           => Some((b, a))
       case _ => None
     }
 
@@ -83,17 +111,26 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
             (left.outputSet.contains(y) && right.outputSet.contains(x))
         case _ => false
       }
-      val window: Option[(Attribute, Attribute, Long)] =
-        if (alreadyBinned || !hasEquiKey) None
-        else conjuncts.flatMap(lowerBound).collectFirst {
+      // backward window [a-w, a] probes bins {bin-1, bin}; forward
+      // window [a, a+w] probes {bin, bin+1}
+      def directed(wBounds: Seq[(Attribute, Attribute, Long)],
+                   other: Seq[(Attribute, Attribute)],
+                   dir: Long): Option[(Attribute, Attribute, Long, Long)] =
+        wBounds.collectFirst {
           case (b, a, w) if w > 0 && b.dataType == LongType &&
-            a.dataType == LongType && conjuncts.flatMap(upperBound).exists {
+            a.dataType == LongType && other.exists {
               case (b2, a2) => b2.semanticEquals(b) && a2.semanticEquals(a)
-            } => (b, a, w)
+            } => (b, a, w, dir)
         }
+      val window: Option[(Attribute, Attribute, Long, Long)] =
+        if (alreadyBinned || !hasEquiKey) None
+        else directed(conjuncts.flatMap(lowerBound),
+            conjuncts.flatMap(upperBound), -1L)
+          .orElse(directed(conjuncts.flatMap(fwdUpperBound),
+            conjuncts.flatMap(fwdLowerBound), 1L))
       window match {
         case None => j
-        case Some((bAttr, aAttr, w)) =>
+        case Some((bAttr, aAttr, w, dir)) =>
           val anchorOnLeft = left.outputSet.contains(aAttr) &&
             right.outputSet.contains(bAttr)
           val anchorOnRight = right.outputSet.contains(aAttr) &&
@@ -102,10 +139,11 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
           else {
             def bin(e: Expression) = IntegralDivide(e, Literal(w))
             val binA = AttributeReference(BinA, LongType)()
+            val probeBins: Seq[Expression] =
+              if (dir < 0) Seq(Subtract(bin(aAttr), Literal(1L)), bin(aAttr))
+              else Seq(bin(aAttr), Add(bin(aAttr), Literal(1L)))
             def explodeAnchor(p: LogicalPlan): LogicalPlan =
-              Generate(
-                Explode(CreateArray(Seq(
-                  Subtract(bin(aAttr), Literal(1L)), bin(aAttr)))),
+              Generate(Explode(CreateArray(probeBins)),
                 Nil, outer = false, None, Seq(binA), p)
             val binBAlias = Alias(bin(bAttr), BinB)()
             def projectOther(p: LogicalPlan): LogicalPlan =

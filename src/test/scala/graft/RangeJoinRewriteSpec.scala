@@ -62,10 +62,28 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(got.contains((3L, -250L, -300L)))
   }
 
+  test("forward window [a, a+w] is rewritten with {bin, bin+1} probes") {
+    RangeJoinRewrite.register(spark)
+    val df = anchors.join(probes,
+        anchors("k") === probes("k") &&
+          col("bt") >= col("at") && col("bt") <= col("at") + 100L)
+      .select(anchors("k").as("k"), col("at"), col("bt"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("_graft_bin"))
+    val got = df.as[(Long, Long, Long)].collect().sorted.toSeq
+    val brute = (for {
+      a <- anchors.as[(Long, Long)].collect()
+      b <- probes.as[(Long, Long)].collect()
+      if a._1 == b._1 && b._2 >= a._2 && b._2 <= a._2 + 100L
+    } yield (a._1, a._2, b._2)).sorted.toSeq
+    assert(got === brute)
+    // forward coverage across the negative-bin boundary
+    assert(got.contains((3L, -250L, -249L)))
+  }
+
   test("property sweep: rewrite equals brute force on randomized frames") {
     RangeJoinRewrite.register(spark)
     val rnd = new scala.util.Random(42) // deterministic sweep
-    for (trial <- 1 to 20) {
+    for (trial <- 1 to 24) {
       val w = Seq(1L, 7L, 100L, 3600L)(rnd.nextInt(4))
       val nA = 5 + rnd.nextInt(20)
       val nB = 5 + rnd.nextInt(40)
@@ -75,21 +93,31 @@ class RangeJoinRewriteSpec extends SparkSpec {
       val aDf = as.toDF("k", "at")
       val bDf = bs.toDF("k", "bt")
       val strict = rnd.nextBoolean()
-      val lower = if (strict) col("bt") > col("at") - w
-      else col("bt") >= col("at") - w
-      val df = aDf.join(bDf,
-          aDf("k") === bDf("k") && col("bt") <= col("at") && lower)
+      val forward = rnd.nextBoolean()
+      val cond =
+        if (forward) {
+          val upper = if (strict) col("bt") < col("at") + w
+          else col("bt") <= col("at") + w
+          col("bt") >= col("at") && upper
+        } else {
+          val lower = if (strict) col("bt") > col("at") - w
+          else col("bt") >= col("at") - w
+          col("bt") <= col("at") && lower
+        }
+      val df = aDf.join(bDf, aDf("k") === bDf("k") && cond)
         .select(aDf("k"), col("at"), col("bt"))
       assert(df.queryExecution.optimizedPlan.toString.contains("_graft_bin"),
-        s"trial $trial should rewrite")
+        s"trial $trial should rewrite (forward=$forward)")
       val got = df.as[(Long, Long, Long)].collect().sorted.toSeq
       val brute = (for {
         (ka, at) <- as
         (kb, bt) <- bs
-        if ka == kb && bt <= at &&
-          (if (strict) bt > at - w else bt >= at - w)
+        if ka == kb && (if (forward)
+          bt >= at && (if (strict) bt < at + w else bt <= at + w)
+        else
+          bt <= at && (if (strict) bt > at - w else bt >= at - w))
       } yield (ka, at, bt)).sorted
-      assert(got === brute, s"trial $trial w=$w strict=$strict")
+      assert(got === brute, s"trial $trial w=$w strict=$strict forward=$forward")
     }
   }
 
