@@ -172,6 +172,25 @@ object Oracles {
       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
       |SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.3""".stripMargin
 
+  /** Morton z-key CTE chain (5 magic-mask spread steps mirroring the
+    * native expression), ending in `zk(doc_id, x, y, zkey)` — shared by
+    * zorder_key and segment_stats. */
+  private val zkeyCtes: String =
+    s"""b AS (SELECT doc_id, n_chars AS x, CAST(len($toks) AS BIGINT) AS y,
+       |      n_chars & 4294967295 AS xs, CAST(len($toks) AS BIGINT) & 4294967295 AS ys
+       |      FROM documents),
+       |s1 AS (SELECT doc_id, x, y, (xs | (xs << 16)) & 281470681808895 AS xs,
+       |       (ys | (ys << 16)) & 281470681808895 AS ys FROM b),
+       |s2 AS (SELECT doc_id, x, y, (xs | (xs << 8)) & 71777214294589695 AS xs,
+       |       (ys | (ys << 8)) & 71777214294589695 AS ys FROM s1),
+       |s3 AS (SELECT doc_id, x, y, (xs | (xs << 4)) & 1085102592571150095 AS xs,
+       |       (ys | (ys << 4)) & 1085102592571150095 AS ys FROM s2),
+       |s4 AS (SELECT doc_id, x, y, (xs | (xs << 2)) & 3689348814741910323 AS xs,
+       |       (ys | (ys << 2)) & 3689348814741910323 AS ys FROM s3),
+       |s5 AS (SELECT doc_id, x, y, (xs | (xs << 1)) & 6148914691236517205 AS xs,
+       |       (ys | (ys << 1)) & 6148914691236517205 AS ys FROM s4),
+       |zk AS (SELECT doc_id, x, y, xs | (ys << 1) AS zkey FROM s5)""".stripMargin
+
   /** Bradley–Terry MM rounds (d/u/t/p CTE chain per round), built by the
     * same loop shape as the Spark side so the rounding chain matches. */
   private def btRoundsSql(rounds: Int): String =
@@ -2152,20 +2171,24 @@ object Oracles {
     // independent Morton interleave: the same 5 magic-mask spread steps
     // as the native expression, unrolled as CTE stages over BIGINT bit ops
     "zorder_key" ->
-      s"""WITH b AS (SELECT doc_id, n_chars AS x, CAST(len($toks) AS BIGINT) AS y,
-         |           n_chars & 4294967295 AS xs, CAST(len($toks) AS BIGINT) & 4294967295 AS ys
-         |           FROM documents),
-         |s1 AS (SELECT doc_id, x, y, (xs | (xs << 16)) & 281470681808895 AS xs,
-         |       (ys | (ys << 16)) & 281470681808895 AS ys FROM b),
-         |s2 AS (SELECT doc_id, x, y, (xs | (xs << 8)) & 71777214294589695 AS xs,
-         |       (ys | (ys << 8)) & 71777214294589695 AS ys FROM s1),
-         |s3 AS (SELECT doc_id, x, y, (xs | (xs << 4)) & 1085102592571150095 AS xs,
-         |       (ys | (ys << 4)) & 1085102592571150095 AS ys FROM s2),
-         |s4 AS (SELECT doc_id, x, y, (xs | (xs << 2)) & 3689348814741910323 AS xs,
-         |       (ys | (ys << 2)) & 3689348814741910323 AS ys FROM s3),
-         |s5 AS (SELECT doc_id, x, y, (xs | (xs << 1)) & 6148914691236517205 AS xs,
-         |       (ys | (ys << 1)) & 6148914691236517205 AS ys FROM s4)
-         |SELECT doc_id, x, y, xs | (ys << 1) AS zkey FROM s5""".stripMargin,
+      s"""WITH $zkeyCtes
+         |SELECT doc_id, x, y, zkey FROM zk""".stripMargin,
+
+    // per-segment min/max pruning stats: z-order layout vs natural
+    // doc_id order over the same 100-row segments
+    "segment_stats" ->
+      s"""WITH $zkeyCtes,
+         |rz AS (SELECT zk.*, row_number() OVER (ORDER BY zkey, doc_id) AS rnk FROM zk),
+         |rn AS (SELECT zk.*, row_number() OVER (ORDER BY doc_id) AS rnk FROM zk),
+         |gz AS (SELECT 'zorder' AS layout, (rnk - 1) // 100 AS segment, count(*) AS n_rows,
+         |       min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         |       FROM rz GROUP BY 1, 2),
+         |gn AS (SELECT 'natural' AS layout, (rnk - 1) // 100 AS segment, count(*) AS n_rows,
+         |       min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         |       FROM rn GROUP BY 1, 2)
+         |SELECT layout, segment, n_rows, min_x, max_x, min_y, max_y,
+         |  max_x - min_x AS span_x, max_y - min_y AS span_y
+         |FROM (SELECT * FROM gz UNION ALL SELECT * FROM gn)""".stripMargin,
 
     // reciprocal-rank fusion: BM25 ranking for query ('data','table')
     // fused with the quality ranking; <= 2 pre-rounded BM25 terms sum

@@ -278,6 +278,7 @@ object SparkEntry {
     "winnow_pairs" -> ((s, d) => TextOps.winnowPairs(spread(t(s, d, "documents")))),
     "embed_standardize" -> ((s, d) => Similarity.embedStandardize(t(s, d, "embeddings"))),
     "zorder_key" -> ((s, d) => TextOps.zorderKey(spread(t(s, d, "documents")))),
+    "segment_stats" -> ((s, d) => TextOps.segmentStats(spread(t(s, d, "documents")))),
     "ngram_novelty" -> ((s, d) => TextOps.ngramNovelty(spread(t(s, d, "documents")))),
     "source_overlap" -> ((s, d) => TextOps.sourceOverlap(spread(t(s, d, "documents")))),
     "pca_power" -> ((s, d) => Similarity.pcaPower(t(s, d, "embeddings"))),

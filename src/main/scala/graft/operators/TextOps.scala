@@ -1097,6 +1097,33 @@ object TextOps {
       .select(col("doc_id"), col("x"), col("y"),
         graft.functions.GraftFunctions.morton(col("x"), col("y")).as("zkey"))
 
+  /** Data-layout pruning audit (C112): the measurement that justifies
+    * [[zorderKey]] — cut the corpus into `segRows`-row segments under
+    * TWO physical orders (the Morton z-key vs natural doc_id) and
+    * report each segment's per-dimension min/max and span: tight spans
+    * mean parquet/Iceberg zone stats prune scans filtered on EITHER
+    * column; the natural layout's full-range spans on the uncorrelated
+    * dimension show exactly what z-ordering buys. Both global orders
+    * ride [[Ranks.withGlobalRowNumber]]'s two-pass range-partitioned
+    * machinery — no single-task sort of the corpus. */
+  def segmentStats(docs: DataFrame, segRows: Long = 100): DataFrame = {
+    val base = zorderKey(docs)
+    def layout(name: String, order: Seq[org.apache.spark.sql.Column]) =
+      Ranks.withGlobalRowNumber(base, "rnk", "n", order)
+        .select(lit(name).as("layout"),
+          expr(s"(rnk - 1) div $segRows").as("segment"), col("x"), col("y"))
+        .groupBy("layout", "segment")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .select(col("layout"), col("segment"), col("n_rows"),
+          col("min_x"), col("max_x"), col("min_y"), col("max_y"),
+          (col("max_x") - col("min_x")).as("span_x"),
+          (col("max_y") - col("min_y")).as("span_y"))
+    layout("zorder", Seq(col("zkey"), col("doc_id")))
+      .unionByName(layout("natural", Seq(col("doc_id"))))
+  }
+
   /** N-gram novelty (B67): the share of each document's distinct
     * 8-grams that occur in NO other document — the memorization /
     * boilerplate signal (low novelty = the doc is stitched from

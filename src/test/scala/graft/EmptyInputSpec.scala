@@ -75,7 +75,7 @@ class EmptyInputSpec extends SparkSpec {
       d => TfIdf.topicLabels(d), d => TextOps.sftPack(d),
       d => LangModel.stupidBackoff(d), d => TextOps.shardManifest(d),
       d => Dedup.dupSpanMask(d), d => TextOps.passAtK(d),
-      d => TextOps.bradleyTerry(d))
+      d => TextOps.bradleyTerry(d), d => TextOps.segmentStats(d))
     for ((op, i) <- textOps.zipWithIndex)
       assert(op(noDocs).count() === 0, s"round-12b text op #$i not total on empty input")
     val eventOps: Seq[DataFrame => DataFrame] = Seq(

@@ -305,6 +305,32 @@ class Round12bSpec extends SparkSpec {
     assert(Seq(0L, 2L, 3L).forall(s => c(s) === a(s)), "other shards unchanged")
   }
 
+  test("segmentStats: z-order segments are tighter than natural order " +
+    "on independent dimensions") {
+    // x (the n_chars column) is deliberately decoupled from y (token
+    // count of the text) so locality in one order says nothing about
+    // the other — the case z-ordering exists for
+    val docs = (0 until 200).map { i =>
+      val y = i * 53 % 100 + 5
+      (i.toLong, Seq.fill(y)("tok").mkString(" "), "en", "s1",
+        (i * 37 % 200).toLong * 10L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.segmentStats(docs, segRows = 50).collect()
+    val byLayout = out.groupBy(_.getAs[String]("layout"))
+    for ((_, rows) <- byLayout) {
+      assert(rows.map(_.getAs[Long]("n_rows")).sum === 200L)
+      assert(rows.length === 4)
+    }
+    def meanSpan(l: String) = {
+      val rows = byLayout(l)
+      rows.map(r => r.getAs[Long]("span_x") + r.getAs[Long]("span_y")).sum
+        .toDouble / rows.length
+    }
+    assert(meanSpan("zorder") < meanSpan("natural"),
+      s"z-order must localize both dims: ${meanSpan("zorder")} vs ${meanSpan("natural")}")
+    graft.CacheTracker.releaseAll()
+  }
+
   test("scd2Merge stitch paths: absorb, close, new user, untouched user") {
     // split at 2024-01-24T00:00:00Z; batch events strictly after
     val e = eventsDF(
