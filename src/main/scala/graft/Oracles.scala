@@ -673,6 +673,68 @@ object Oracles {
         |  round(quantile_cont(lat_s, 0.9), 4) AS p90_s
         |FROM l""".stripMargin,
 
+    // hourly OHLC bars: open/close picked by the unique (us, event_id)
+    // order, values as integer cents
+    "events_ohlc" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_id, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |b AS (SELECT us // 3600000000 AS hour_idx, event_type, event_id, us, vc FROM e),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY hour_idx, event_type ORDER BY us, event_id) AS rn_a,
+        |  row_number() OVER (PARTITION BY hour_idx, event_type ORDER BY us DESC, event_id DESC) AS rn_d
+        |  FROM b)
+        |SELECT hour_idx, event_type,
+        |  CAST(max(CASE WHEN rn_a = 1 THEN vc END) AS BIGINT) AS open_cents,
+        |  CAST(max(vc) AS BIGINT) AS high_cents,
+        |  CAST(min(vc) AS BIGINT) AS low_cents,
+        |  CAST(max(CASE WHEN rn_d = 1 THEN vc END) AS BIGINT) AS close_cents,
+        |  CAST(sum(vc) AS BIGINT) AS volume_cents,
+        |  count(*) AS n_events
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // per-user time-weighted average value: cents held until the next
+    // event, exact BIGINT numerator/denominator, one 6 dp division
+    "twap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |l AS (SELECT *, lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_us FROM e),
+        |g AS (SELECT user_id, vc, (next_us - us) // 1000000 AS gap_s FROM l WHERE next_us IS NOT NULL),
+        |a AS (SELECT user_id, count(*) AS n_gaps, CAST(sum(gap_s) AS BIGINT) AS span_s,
+        |      CAST(sum(vc * gap_s) AS BIGINT) AS weighted_cents FROM g GROUP BY 1)
+        |SELECT user_id, n_gaps, span_s,
+        |  round(CAST(weighted_cents AS DOUBLE) / span_s, 6) AS twap_cents
+        |FROM a WHERE span_s > 0""".stripMargin,
+
+    // session-path regex library; patterns stay in the RE2 ∩ java.regex
+    // common subset so both engines agree by construction
+    "path_pattern_match" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+        |n AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session FROM l),
+        |s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_id ORDER BY us, event_id) AS rn FROM s),
+        |p AS (SELECT user_id, session_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 20 GROUP BY 1, 2),
+        |f AS (SELECT
+        |  CASE WHEN regexp_matches(path, '^view(>view)*$') THEN 1 ELSE 0 END AS browse_only,
+        |  CASE WHEN regexp_matches(path, 'view.*purchase') THEN 1 ELSE 0 END AS view_to_purchase,
+        |  CASE WHEN regexp_matches(path, 'error.*error') THEN 1 ELSE 0 END AS error_retry,
+        |  CASE WHEN regexp_matches(path, '^signup') THEN 1 ELSE 0 END AS signup_first
+        |  FROM p),
+        |a AS (SELECT count(*) AS n_sessions,
+        |  CAST(sum(browse_only) AS BIGINT) AS browse_only,
+        |  CAST(sum(view_to_purchase) AS BIGINT) AS view_to_purchase,
+        |  CAST(sum(error_retry) AS BIGINT) AS error_retry,
+        |  CAST(sum(signup_first) AS BIGINT) AS signup_first FROM f)
+        |SELECT pattern, n_matched, n_sessions,
+        |  round(CAST(n_matched AS DOUBLE) / n_sessions, 6) AS match_rate
+        |FROM (
+        |  SELECT 'browse_only' AS pattern, browse_only AS n_matched, n_sessions FROM a
+        |  UNION ALL SELECT 'view_to_purchase', view_to_purchase, n_sessions FROM a
+        |  UNION ALL SELECT 'error_retry', error_retry, n_sessions FROM a
+        |  UNION ALL SELECT 'signup_first', signup_first, n_sessions FROM a)""".stripMargin,
+
     // first-order transition matrix argmax baseline; count ties break
     // lexicographically on the successor type
     "transition_predict" ->
@@ -768,6 +830,76 @@ object Oracles {
          |  CASE WHEN m2.var_q > 0 THEN round((d.quality - d.mean_q) / sqrt(m2.var_q), 6)
          |       ELSE 0.0 END AS z_reward
          |FROM d JOIN m2 ON m2.lang = d.lang AND m2.source = d.source""".stripMargin,
+
+    // distinct-1 / distinct-2 generation-diversity ratios per source;
+    // sources that never reach 2 tokens report zero bigram diversity
+    "distinct_ngrams" ->
+      s"""WITH t AS (SELECT source, $toks AS toks FROM documents),
+         |u AS (SELECT source, count(*) AS n_unigrams,
+         |      count(DISTINCT tok) AS n_distinct_unigrams
+         |      FROM (SELECT source, unnest(toks) AS tok FROM t) GROUP BY 1),
+         |b AS (SELECT source, count(*) AS n_bigrams,
+         |      count(DISTINCT bg) AS n_distinct_bigrams
+         |      FROM (SELECT source, unnest(list_transform(range(1, len(toks)),
+         |            i -> toks[i] || ' ' || toks[i + 1])) AS bg
+         |            FROM t WHERE len(toks) >= 2) GROUP BY 1)
+         |SELECT u.source,
+         |  CAST(u.n_unigrams AS BIGINT) AS n_unigrams,
+         |  CAST(u.n_distinct_unigrams AS BIGINT) AS n_distinct_unigrams,
+         |  round(CAST(u.n_distinct_unigrams AS DOUBLE) / u.n_unigrams, 6) AS distinct_1,
+         |  CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(b.n_distinct_bigrams, 0) AS BIGINT) AS n_distinct_bigrams,
+         |  coalesce(round(CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams, 6), 0.0) AS distinct_2
+         |FROM u LEFT JOIN b ON b.source = u.source""".stripMargin,
+
+    // pairwise Cohen's kappa between the three cheap raters; po/pe from
+    // exact counts at 9 dp, kappa one 6 dp division
+    "rater_agreement" ->
+      s"""WITH r AS (SELECT
+         |  CASE WHEN $qualitySql >= 0.5 THEN 1 ELSE 0 END AS r_quality,
+         |  CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END AS r_length,
+         |  CASE WHEN (CASE WHEN length(text) > 0
+         |        THEN CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE) / length(text)
+         |        ELSE 0.0 END) >= 0.6 THEN 1 ELSE 0 END AS r_alpha
+         |  FROM documents),
+         |a AS (SELECT count(*) AS n,
+         |  CAST(sum(r_quality) AS BIGINT) AS s_q,
+         |  CAST(sum(r_length) AS BIGINT) AS s_l,
+         |  CAST(sum(r_alpha) AS BIGINT) AS s_a,
+         |  CAST(sum(r_quality * r_length) AS BIGINT) AS b_ql,
+         |  CAST(sum(r_quality * r_alpha) AS BIGINT) AS b_qa,
+         |  CAST(sum(r_length * r_alpha) AS BIGINT) AS b_la FROM r),
+         |k AS (SELECT n,
+         |  round(CAST(b_ql * 2 + n - s_q - s_l AS DOUBLE) / n, 9) AS po_ql,
+         |  round((CAST(s_q AS DOUBLE) / n) * (CAST(s_l AS DOUBLE) / n)
+         |    + (1.0 - CAST(s_q AS DOUBLE) / n) * (1.0 - CAST(s_l AS DOUBLE) / n), 9) AS pe_ql,
+         |  round(CAST(b_qa * 2 + n - s_q - s_a AS DOUBLE) / n, 9) AS po_qa,
+         |  round((CAST(s_q AS DOUBLE) / n) * (CAST(s_a AS DOUBLE) / n)
+         |    + (1.0 - CAST(s_q AS DOUBLE) / n) * (1.0 - CAST(s_a AS DOUBLE) / n), 9) AS pe_qa,
+         |  round(CAST(b_la * 2 + n - s_l - s_a AS DOUBLE) / n, 9) AS po_la,
+         |  round((CAST(s_l AS DOUBLE) / n) * (CAST(s_a AS DOUBLE) / n)
+         |    + (1.0 - CAST(s_l AS DOUBLE) / n) * (1.0 - CAST(s_a AS DOUBLE) / n), 9) AS pe_la
+         |  FROM a)
+         |SELECT pair, po, pe, kappa, n FROM (
+         |  SELECT 'quality_vs_length' AS pair, po_ql AS po, pe_ql AS pe,
+         |    CASE WHEN pe_ql = 1.0 THEN 0.0 ELSE round((po_ql - pe_ql) / (1.0 - pe_ql), 6) END AS kappa, n FROM k
+         |  UNION ALL SELECT 'quality_vs_alpha', po_qa, pe_qa,
+         |    CASE WHEN pe_qa = 1.0 THEN 0.0 ELSE round((po_qa - pe_qa) / (1.0 - pe_qa), 6) END, n FROM k
+         |  UNION ALL SELECT 'length_vs_alpha', po_la, pe_la,
+         |    CASE WHEN pe_la = 1.0 THEN 0.0 ELSE round((po_la - pe_la) / (1.0 - pe_la), 6) END, n FROM k)""".stripMargin,
+
+    // best-of-n rejection sampling: top-2 per (source, lang) pool above
+    // the 0.3 acceptance floor, pool size carried alongside
+    "rejection_sample" ->
+      s"""WITH s AS (SELECT doc_id, source, lang, $qualitySql AS reward FROM documents),
+         |p AS (SELECT source, lang, count(*) AS n_candidates FROM s GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source, lang
+         |      ORDER BY reward DESC, doc_id) AS rank
+         |      FROM s WHERE reward >= 0.3)
+         |SELECT r.source, r.lang, CAST(r.rank AS BIGINT) AS rank, r.doc_id,
+         |  r.reward, p.n_candidates
+         |FROM r JOIN p ON p.source = r.source AND p.lang = r.lang
+         |WHERE r.rank <= 2""".stripMargin,
 
     // topic labels: sign-LSH bucket from the first 4 hashed-embedding
     // dims (same md5-parity formula as doc_embed_hash), top-5 tokens per

@@ -219,7 +219,13 @@ object SparkEntry {
     "transition_predict" -> ((s, d) => Sessionize.transitionPredict(events(s, d))),
     "conversion_latency" -> ((s, d) => Sessionize.conversionLatency(events(s, d))),
     "scd2_merge" -> ((s, d) => Sessionize.scd2Merge(events(s, d))),
+    "events_ohlc" -> ((s, d) => Relational.eventsOhlc(events(s, d))),
+    "twap" -> ((s, d) => Relational.twap(events(s, d))),
+    "path_pattern_match" -> ((s, d) => Sessionize.pathPatternMatch(events(s, d))),
     "reward_normalize" -> ((s, d) => TextOps.rewardNormalize(spread(t(s, d, "documents")))),
+    "distinct_ngrams" -> ((s, d) => TextOps.distinctNgrams(spread(t(s, d, "documents")))),
+    "rater_agreement" -> ((s, d) => TextOps.raterAgreement(spread(t(s, d, "documents")))),
+    "rejection_sample" -> ((s, d) => TextOps.rejectionSample(spread(t(s, d, "documents")))),
     "topic_labels" -> ((s, d) => TfIdf.topicLabels(spread(t(s, d, "documents")))),
     "window_funnel" -> ((s, d) => Sessionize.windowFunnel(events(s, d))),
     "pit_join" -> ((s, d) => Sessionize.pitJoin(events(s, d))),

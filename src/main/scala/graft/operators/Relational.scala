@@ -1482,6 +1482,69 @@ object Relational {
     * Scale: the windowed frame is (event_type × day) — calendar-bounded,
     * not data-sized; the data-sized pass is the one partial-agg shuffle
     * building the daily totals. */
+  /** Hourly OHLC bars per event type (C113): open/high/low/close of the
+    * event `value` inside each hour bucket, plus volume — the bar-builder
+    * shape every metrics/market warehouse materializes from a tick
+    * stream.
+    *
+    * Open/close are picked by `min`/`max` over a (us, event_id, cents)
+    * struct — lexicographic struct comparison with the unique
+    * (us, event_id) prefix makes the pick deterministic AND keeps the
+    * whole operator a partial-aggregable `groupBy` (map-side combine,
+    * one shuffle on the calendar-bounded (hour, type) key) instead of a
+    * per-bucket row_number window that would sort every hot hour's
+    * events. Values ride as integer cents; no float order dependence. */
+  def eventsOhlc(events: DataFrame): DataFrame = {
+    val e = events.select(
+      expr("unix_micros(ts) div 3600000000").as("hour_idx"),
+      col("event_type"), col("event_id"),
+      unix_micros(col("ts")).as("us"),
+      cents(col("value")).as("vc"))
+    e.groupBy("hour_idx", "event_type")
+      .agg(
+        min(struct(col("us"), col("event_id"), col("vc"))).as("o"),
+        max(struct(col("us"), col("event_id"), col("vc"))).as("c"),
+        max(col("vc")).as("high_cents"),
+        min(col("vc")).as("low_cents"),
+        sum(col("vc")).as("volume_cents"),
+        count(lit(1)).as("n_events"))
+      .select(col("hour_idx"), col("event_type"),
+        col("o").getField("vc").as("open_cents"),
+        col("high_cents"), col("low_cents"),
+        col("c").getField("vc").as("close_cents"),
+        col("volume_cents"), col("n_events"))
+  }
+
+  /** Per-user time-weighted average value (C114): each event's value is
+    * held until the user's next event; TWAP = Σ(cents·gap_s) / Σ(gap_s)
+    * over the user's observed span — the time-weighted mean that a plain
+    * AVG (which weights a 1-second spike equally with a week-long
+    * plateau) misrepresents. Users with a single event (no gap) drop.
+    *
+    * Exactness: gaps truncate to whole seconds and values to cents, so
+    * both sums are exact BIGINTs (cents ≤ ~3·10⁴ × gap_s ≤ span keeps
+    * the product far inside 63 bits); the single division rounds at
+    * 6 dp. One per-user lead window (the same shuffle key every session
+    * op here uses), then a partial-agg groupBy on user_id. */
+  def twap(events: DataFrame): DataFrame = {
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), cents(col("value")).as("vc"))
+      .withColumn("next_us", lead(col("us"), 1).over(order))
+      .filter(col("next_us").isNotNull)
+      .withColumn("gap_s", expr("(next_us - us) div 1000000"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("span_s"),
+        sum(col("vc") * col("gap_s")).as("weighted_cents"))
+      .filter(col("span_s") > 0L)
+      .select(col("user_id"), col("n_gaps"), col("span_s"),
+        round(col("weighted_cents").cast("double") / col("span_s"), 6)
+          .as("twap_cents"))
+  }
+
   def cusumChangepoint(events: DataFrame): DataFrame = {
     val daily = events.select(col("event_type"),
         date_format(col("ts"), "yyyy-MM-dd").as("day"),

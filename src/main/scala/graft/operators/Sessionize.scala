@@ -416,4 +416,59 @@ object Sessionize {
       .filter(col("us") < col("valid_to_us"))
       .select("event_id", "user_id", "us", "state", "valid_from_us")
   }
+
+  /** Regex pattern matching over session event sequences (C115) — the
+    * MATCH_RECOGNIZE / funnel-regex shape: each session's ordered event
+    * types are encoded as one `a>b>c` path string (capped at `maxLen`
+    * events so a bot session cannot build an unbounded row) and matched
+    * against a fixed library of behavioural patterns; output is one row
+    * per pattern with match count and rate.
+    *
+    * The patterns stay in the RE2 ∩ java.util.regex common subset
+    * (literals, `.`, `*`, anchors) so Spark's rlike and the DuckDB
+    * oracle's regexp_matches agree by construction. Scale: the session
+    * build is the standard one-shuffle lag window; the path frame is
+    * session-sized and the per-pattern flags are narrow column ops that
+    * collapse in one partial-agg pass — the 4-row output never shuffles
+    * data-sized state. */
+  def pathPatternMatch(events: DataFrame, gapMinutes: Int = 30,
+      maxLen: Int = 20): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val order = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val sessioned = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(order))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+    val so = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("us"), col("event_id"))
+    val paths = sessioned
+      .withColumn("rn", row_number().over(so))
+      .filter(col("rn") <= maxLen)
+      .groupBy("user_id", "session_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          p => p.getField("event_type")), ">").as("path"))
+    val patterns = Seq(
+      "browse_only" -> "^view(>view)*$",
+      "view_to_purchase" -> "view.*purchase",
+      "error_retry" -> "error.*error",
+      "signup_first" -> "^signup")
+    val flagged = patterns.foldLeft(paths) { case (df, (name, re)) =>
+      df.withColumn(name, when(col("path").rlike(re), 1L).otherwise(0L))
+    }
+    val agg = flagged.agg(
+      count(lit(1)).as("n_sessions"),
+      patterns.map { case (name, _) => sum(col(name)).as(name) }: _*)
+    agg.selectExpr(
+      "stack(4, " + patterns.map { case (n, _) => s"'$n', $n" }.mkString(", ") +
+        ") AS (pattern, n_matched)",
+      "n_sessions")
+      .select(col("pattern"), col("n_matched"), col("n_sessions"),
+        round(col("n_matched").cast("double") / col("n_sessions"), 6).as("match_rate"))
+  }
 }

@@ -2087,4 +2087,119 @@ object TextOps {
           round((col("quality") - col("mean_q")) / sqrt(col("var_q")), 6))
           .otherwise(lit(0.0)).as("z_reward"))
   }
+
+  /** Generation-diversity distinct-n ratios per source (B148): the
+    * distinct-1 / distinct-2 metrics used to audit synthetic or model-
+    * generated corpora for mode collapse — a source whose bigram ratio
+    * craters is emitting the same phrases over and over. Sources whose
+    * docs never reach 2 tokens report zero bigram diversity rather than
+    * dividing by zero.
+    *
+    * Scale: token/bigram explode is narrow; both counts ride Spark's
+    * two-phase distinct aggregation on the (source, gram) key — no
+    * per-source sort, no data-sized window. */
+  def distinctNgrams(docs: DataFrame): DataFrame = {
+    val toked = docs.select(col("source"), tokens(col("text")).as("toks"))
+    val uni = toked.select(col("source"), explode(col("toks")).as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_unigrams"),
+        countDistinct(col("tok")).as("n_distinct_unigrams"))
+    val bi = toked.filter(size(col("toks")) >= 2)
+      .select(col("source"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bg"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bg")).as("n_distinct_bigrams"))
+    uni.join(bi, Seq("source"), "left")
+      .select(col("source"), col("n_unigrams"), col("n_distinct_unigrams"),
+        round(col("n_distinct_unigrams").cast("double") / col("n_unigrams"), 6)
+          .as("distinct_1"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+        coalesce(round(col("n_distinct_bigrams").cast("double")
+          / col("n_bigrams"), 6), lit(0.0)).as("distinct_2"))
+  }
+
+  /** Pairwise Cohen's kappa between three cheap quality raters (B149):
+    * do the engine's own filters AGREE beyond chance? Raters are the
+    * quality composite (≥ 0.5), a length floor (≥ 100 chars), and an
+    * alphabetic-density floor (≥ 0.6) — three independent views of
+    * "keep this document". Low kappa between two filters means they
+    * disagree on real docs, i.e. the ensemble is doing work; kappa ≈ 1
+    * means one of them is redundant.
+    *
+    * Exactness: po/pe are ratios of exact BIGINT counts rounded at 9 dp;
+    * kappa is one 6 dp division from those — no float accumulation.
+    * Scale: narrow per-row flags collapse in ONE partial-agg pass to a
+    * single row; the 3-pair unpivot is driver-free. */
+  def raterAgreement(docs: DataFrame): DataFrame = {
+    val len = length(col("text"))
+    val nAlpha = size(regexp_extract_all(col("text"), lit("[a-zA-Z]"), lit(0)))
+    val rated = docs.select(
+      (qualityComposite >= 0.5).cast("long").as("r_quality"),
+      (len >= 100).cast("long").as("r_length"),
+      (when(len > 0, nAlpha.cast("double") / len).otherwise(lit(0.0)) >= 0.6)
+        .cast("long").as("r_alpha"))
+    val agg = rated.agg(
+      count(lit(1)).as("n"),
+      sum(col("r_quality")).as("s_q"),
+      sum(col("r_length")).as("s_l"),
+      sum(col("r_alpha")).as("s_a"),
+      sum(col("r_quality") * col("r_length")).as("b_ql"),
+      sum(col("r_quality") * col("r_alpha")).as("b_qa"),
+      sum(col("r_length") * col("r_alpha")).as("b_la"))
+    def kappaCols(tag: String, sa: Column, sb: Column, n11: Column) = {
+      val n = col("n")
+      // observed agreement: co-positive + co-negative
+      val po = round((n11 * 2 + n - sa - sb).cast("double") / n, 9)
+      val pa = sa.cast("double") / n
+      val pb = sb.cast("double") / n
+      val pe = round(pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb), 9)
+      Seq(po.as(s"po_$tag"), pe.as(s"pe_$tag"),
+        when(pe === 1.0, lit(0.0))
+          .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as(s"kappa_$tag"))
+    }
+    val wide = agg.select(
+      col("n") +:
+        (kappaCols("ql", col("s_q"), col("s_l"), col("b_ql")) ++
+          kappaCols("qa", col("s_q"), col("s_a"), col("b_qa")) ++
+          kappaCols("la", col("s_l"), col("s_a"), col("b_la"))): _*)
+    wide.selectExpr(
+      "stack(3, " +
+        "'quality_vs_length', po_ql, pe_ql, kappa_ql, " +
+        "'quality_vs_alpha', po_qa, pe_qa, kappa_qa, " +
+        "'length_vs_alpha', po_la, pe_la, kappa_la" +
+        ") AS (pair, po, pe, kappa)",
+      "n")
+  }
+
+  /** Best-of-n rejection sampling (B150): per (source, lang) pool, keep
+    * the top-`k` candidates by the quality reward, subject to an
+    * absolute acceptance floor — the distillation/RFT selection step
+    * (sample n, keep the best passing ones). Reports the pool size next
+    * to each survivor so acceptance rates fall out downstream.
+    *
+    * Scale: candidate selection rides [[graft.plans.TopK.topKPerKey]]'s
+    * bounded-heap two-phase pass (no per-pool sort — a 100 TB source is
+    * one pool); the rank window after it sees ≤ k rows per key, and the
+    * pool-count frame is group-bounded and broadcast. */
+  def rejectionSample(docs: DataFrame, k: Int = 2,
+      minReward: Double = 0.3): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("source"), col("lang"),
+      qualityComposite.as("reward"))
+    val pools = scored.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_candidates"))
+    graft.plans.TopK.register(docs.sparkSession)
+    val accepted = scored.filter(col("reward") >= minReward)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "lang").orderBy(col("reward").desc, col("doc_id"))
+    graft.plans.TopK.topKPerKey(accepted, Seq("source", "lang"),
+        Seq("reward" -> false, "doc_id" -> true), k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .join(broadcast(pools), Seq("source", "lang"))
+      .select(col("source"), col("lang"), col("rank"), col("doc_id"),
+        col("reward"), col("n_candidates"))
+  }
 }

@@ -1,0 +1,223 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import graft.operators.{Relational, Sessionize}
+
+/** Round-12c operators: hourly OHLC bars, per-user TWAP, session-path
+  * regex matching. */
+class Round12cSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String, String, Double)*): DataFrame =
+    rows.map { case (e, u, t, ty, v) => (e, u, Timestamp.valueOf(t), ty, v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+
+  test("eventsOhlc: open/close follow time order, not value order") {
+    val events = ev(
+      // one hour bucket, one type: open=50.0 (earliest), close=10.0
+      // (latest) even though 10.0 is also the low
+      (1L, 1L, "2024-01-01 10:00:01", "click", 50.0),
+      (2L, 1L, "2024-01-01 10:20:00", "click", 99.5),
+      (3L, 2L, "2024-01-01 10:59:59", "click", 10.0),
+      // a second hour for the same type
+      (4L, 1L, "2024-01-01 11:05:00", "click", 70.0))
+    val out = Relational.eventsOhlc(events).orderBy("hour_idx").collect()
+    assert(out.length === 2)
+    val h0 = out(0)
+    assert(h0.getAs[Long]("open_cents") === 5000L)
+    assert(h0.getAs[Long]("close_cents") === 1000L)
+    assert(h0.getAs[Long]("high_cents") === 9950L)
+    assert(h0.getAs[Long]("low_cents") === 1000L)
+    assert(h0.getAs[Long]("volume_cents") === 15950L)
+    assert(h0.getAs[Long]("n_events") === 3L)
+    val h1 = out(1)
+    assert(h1.getAs[Long]("open_cents") === 7000L &&
+      h1.getAs[Long]("close_cents") === 7000L && h1.getAs[Long]("n_events") === 1L)
+  }
+
+  test("eventsOhlc: same-timestamp tie breaks on event_id") {
+    val events = ev(
+      (2L, 1L, "2024-01-01 10:00:00", "view", 20.0),
+      (1L, 1L, "2024-01-01 10:00:00", "view", 30.0))
+    val r = Relational.eventsOhlc(events).collect().head
+    assert(r.getAs[Long]("open_cents") === 3000L, "event_id 1 opens")
+    assert(r.getAs[Long]("close_cents") === 2000L, "event_id 2 closes")
+  }
+
+  test("twap weights each value by its holding time") {
+    val events = ev(
+      // 100.0 held 10 s, 300.0 held 30 s, last value unobserved
+      (1L, 7L, "2024-01-01 10:00:00", "click", 100.0),
+      (2L, 7L, "2024-01-01 10:00:10", "click", 300.0),
+      (3L, 7L, "2024-01-01 10:00:40", "click", 999.0))
+    val r = Relational.twap(events).collect().head
+    assert(r.getAs[Long]("n_gaps") === 2L)
+    assert(r.getAs[Long]("span_s") === 40L)
+    assert(r.getAs[Double]("twap_cents") ===
+      (10000.0 * 10 + 30000.0 * 30) / 40)
+  }
+
+  test("twap drops single-event users and zero-length spans") {
+    val events = ev(
+      (1L, 1L, "2024-01-01 10:00:00", "click", 5.0),
+      // user 2: two events inside the same second -> gap truncates to 0
+      (2L, 2L, "2024-01-01 10:00:00.100000", "click", 5.0),
+      (3L, 2L, "2024-01-01 10:00:00.900000", "click", 6.0))
+    assert(Relational.twap(events).count() === 0)
+  }
+
+  test("pathPatternMatch classifies planted session shapes") {
+    val events = ev(
+      // user 1: view>view  (browse_only)
+      (1L, 1L, "2024-01-01 10:00:00", "view", 1.0),
+      (2L, 1L, "2024-01-01 10:01:00", "view", 1.0),
+      // user 2: view>click>purchase  (view_to_purchase)
+      (3L, 2L, "2024-01-01 10:00:00", "view", 1.0),
+      (4L, 2L, "2024-01-01 10:01:00", "click", 1.0),
+      (5L, 2L, "2024-01-01 10:02:00", "purchase", 1.0),
+      // user 3: error>click>error  (error_retry)
+      (6L, 3L, "2024-01-01 10:00:00", "error", 1.0),
+      (7L, 3L, "2024-01-01 10:01:00", "click", 1.0),
+      (8L, 3L, "2024-01-01 10:02:00", "error", 1.0),
+      // user 4: signup>view  (signup_first)
+      (9L, 4L, "2024-01-01 10:00:00", "signup", 1.0),
+      (10L, 4L, "2024-01-01 10:01:00", "view", 1.0))
+    val out = Sessionize.pathPatternMatch(events).collect()
+      .map(r => r.getAs[String]("pattern") ->
+        (r.getAs[Long]("n_matched"), r.getAs[Long]("n_sessions"),
+          r.getAs[Double]("match_rate"))).toMap
+    assert(out.keySet === Set("browse_only", "view_to_purchase",
+      "error_retry", "signup_first"))
+    for ((_, (n, tot, rate)) <- out) {
+      assert(n === 1L); assert(tot === 4L); assert(rate === 0.25)
+    }
+  }
+
+  private def docsDF(rows: (Long, String, String)*): DataFrame =
+    rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("distinctNgrams: repeated phrases crater distinct_2") {
+    val docs = docsDF(
+      // s1: the same bigram over and over
+      (1L, "alpha beta alpha beta alpha beta", "s1"),
+      // s2: all-distinct tokens
+      (2L, "one two three four", "s2"),
+      // s3: single-token docs only -> no bigrams
+      (3L, "solo", "s3"),
+      (4L, "another", "s3"))
+    val out = graft.operators.TextOps.distinctNgrams(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val s1 = out("s1")
+    assert(s1.getAs[Long]("n_unigrams") === 6L)
+    assert(s1.getAs[Long]("n_distinct_unigrams") === 2L)
+    assert(s1.getAs[Long]("n_bigrams") === 5L)
+    // alpha>beta and beta>alpha
+    assert(s1.getAs[Long]("n_distinct_bigrams") === 2L)
+    assert(s1.getAs[Double]("distinct_2") === 0.4)
+    val s2 = out("s2")
+    assert(s2.getAs[Double]("distinct_1") === 1.0)
+    assert(s2.getAs[Double]("distinct_2") === 1.0)
+    val s3 = out("s3")
+    assert(s3.getAs[Long]("n_bigrams") === 0L)
+    assert(s3.getAs[Double]("distinct_2") === 0.0)
+  }
+
+  test("raterAgreement: identical raters give kappa 1, opposite raters negative") {
+    // two long clean docs (all raters pass) + two short punct docs (all fail)
+    val good = "the cat and the dog sat in the warm house all day long " * 3
+    val docs = docsDF(
+      (1L, good, "s1"), (2L, good + "again and again it is", "s1"),
+      (3L, "!!", "s1"), (4L, "??", "s1"))
+    val out = graft.operators.TextOps.raterAgreement(docs).collect()
+    assert(out.length === 3)
+    for (r <- out) {
+      assert(r.getAs[Long]("n") === 4L)
+      assert(r.getAs[Double]("po") === 1.0, r.getAs[String]("pair"))
+      assert(r.getAs[Double]("kappa") === 1.0, r.getAs[String]("pair"))
+    }
+  }
+
+  test("raterAgreement matches a first-principles kappa on mixed docs") {
+    val docs = docsDF(
+      (1L, "the cat and the dog sat in the house " * 4, "s1"),
+      (2L, ("zzzz " * 30).trim, "s1"),
+      (3L, "it is a cat and a dog here", "s1"),
+      (4L, "x!", "s1"),
+      (5L, "the quick brown fox jumps over the lazy dog and it is fine", "s1"))
+    // recompute the three flags the operator defines
+    val q = graft.operators.TextOps.qualityScore(docs)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1) >= 0.5)).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val flags = texts.map { case (id, t) =>
+      val alpha = t.count(_.isLetter).toDouble / math.max(t.length, 1)
+      id -> (q(id), t.length >= 100, t.nonEmpty && alpha >= 0.6)
+    }
+    def kappa(a: Map[Long, Boolean], b: Map[Long, Boolean]): (Double, Double, Double) = {
+      val n = a.size.toDouble
+      val po = BigDecimal(a.keys.count(k => a(k) == b(k)) / n)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val pa = a.values.count(identity) / n
+      val pb = b.values.count(identity) / n
+      val pe = BigDecimal(pa * pb + (1 - pa) * (1 - pb))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val k = if (pe == 1.0) 0.0
+        else BigDecimal((po - pe) / (1 - pe))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (po, pe, k)
+    }
+    val fq = flags.map { case (id, (a, _, _)) => id -> a }
+    val fl = flags.map { case (id, (_, b, _)) => id -> b }
+    val fa = flags.map { case (id, (_, _, c)) => id -> c }
+    val expected = Map(
+      "quality_vs_length" -> kappa(fq, fl),
+      "quality_vs_alpha" -> kappa(fq, fa),
+      "length_vs_alpha" -> kappa(fl, fa))
+    val m = graft.operators.TextOps.raterAgreement(docs).collect()
+      .map(r => r.getAs[String]("pair") ->
+        (r.getAs[Double]("po"), r.getAs[Double]("pe"), r.getAs[Double]("kappa"))).toMap
+    for ((pair, exp) <- expected) {
+      assert(math.abs(m(pair)._1 - exp._1) < 1e-9, s"$pair po")
+      assert(math.abs(m(pair)._2 - exp._2) < 1e-9, s"$pair pe")
+      assert(math.abs(m(pair)._3 - exp._3) < 1e-6, s"$pair kappa")
+    }
+    // the fixture must exercise disagreement somewhere
+    assert(m.values.exists(_._3 < 1.0), "fixture degenerate: all kappas 1")
+  }
+
+  test("rejectionSample keeps the top-2 passing docs per pool with pool size") {
+    val good1 = "the cat and the dog sat in the warm house all day long"
+    val good2 = "it is a fine day and the sun is out over the hill"
+    val docs = docsDF(
+      (1L, good1, "s1"), (2L, good2, "s1"), (3L, good1 + " indeed it is", "s1"),
+      (4L, "!!!!", "s1"), // below the floor
+      (5L, good1, "s2"))
+    val out = graft.operators.TextOps.rejectionSample(docs)
+      .orderBy("source", "rank").collect()
+    val s1 = out.filter(_.getAs[String]("source") == "s1")
+    assert(s1.length === 2, "top-2 kept, floor drops doc 4")
+    assert(s1.forall(_.getAs[Long]("n_candidates") === 4L))
+    assert(s1.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L))
+    assert(s1.forall(_.getAs[Double]("reward") >= 0.3))
+    // descending reward, doc_id tiebreak
+    assert(s1(0).getAs[Double]("reward") >= s1(1).getAs[Double]("reward"))
+    val s2 = out.filter(_.getAs[String]("source") == "s2")
+    assert(s2.length === 1 && s2.head.getAs[Long]("n_candidates") === 1L)
+  }
+
+  test("pathPatternMatch: a gap splits sessions, so patterns see each half") {
+    val events = ev(
+      // same user, 2-hour gap: view>view then signup alone
+      (1L, 1L, "2024-01-01 10:00:00", "view", 1.0),
+      (2L, 1L, "2024-01-01 10:05:00", "view", 1.0),
+      (3L, 1L, "2024-01-01 12:30:00", "signup", 1.0))
+    val out = Sessionize.pathPatternMatch(events).collect()
+      .map(r => r.getAs[String]("pattern") -> r.getAs[Long]("n_matched")).toMap
+    assert(out("browse_only") === 1L)
+    assert(out("signup_first") === 1L)
+    assert(out("view_to_purchase") === 0L)
+  }
+}
