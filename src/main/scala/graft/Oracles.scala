@@ -755,6 +755,16 @@ object Oracles {
         |FROM c JOIN best b ON b.prev_type = c.prev_type
         |GROUP BY 1, 2""".stripMargin,
 
+    // IVM merge proof: the oracle is the FULL recompute; hash-equality
+    // with the standing+delta partial-state merge is the check
+    "ivm_agg" ->
+      """SELECT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day_idx,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(min(epoch_ns(ts) // 1000) AS BIGINT) AS first_us,
+        |  CAST(max(epoch_ns(ts) // 1000) AS BIGINT) AS last_us
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     // exact rolling COUNT DISTINCT via the bounded x30 contribution
     // explode; integer epoch-day indices; zero-event days absent
     "dau_mau" ->
@@ -830,6 +840,44 @@ object Oracles {
          |  CASE WHEN m2.var_q > 0 THEN round((d.quality - d.mean_q) / sqrt(m2.var_q), 6)
          |       ELSE 0.0 END AS z_reward
          |FROM d JOIN m2 ON m2.lang = d.lang AND m2.source = d.source""".stripMargin,
+
+    // BFS as set difference, unrolled 3 hops over the df/pair-gated
+    // co-occurrence edges; seed = argmax df (tie lexicographic)
+    "token_bfs" ->
+      s"""WITH d AS (SELECT DISTINCT doc_id, token FROM $tokTable),
+         |c AS (SELECT token, count(*) AS df FROM d GROUP BY 1),
+         |q AS (SELECT token FROM c WHERE df >= 5),
+         |dq AS (SELECT d.doc_id, d.token FROM d JOIN q USING (token)),
+         |e AS (SELECT x.token AS a, y.token AS b FROM dq x JOIN dq y
+         |      ON x.doc_id = y.doc_id AND x.token < y.token
+         |      GROUP BY 1, 2 HAVING count(*) >= 5),
+         |eb AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+         |seed AS (SELECT token FROM c ORDER BY df DESC, token LIMIT 1),
+         |v0 AS (SELECT token, CAST(0 AS BIGINT) AS dist FROM seed),
+         |f1 AS (SELECT DISTINCT eb.b AS token FROM seed JOIN eb ON eb.a = seed.token),
+         |n1 AS (SELECT token, CAST(1 AS BIGINT) AS dist FROM f1
+         |       WHERE token NOT IN (SELECT token FROM v0)),
+         |f2 AS (SELECT DISTINCT eb.b AS token FROM n1 JOIN eb ON eb.a = n1.token),
+         |n2 AS (SELECT token, CAST(2 AS BIGINT) AS dist FROM f2
+         |       WHERE token NOT IN (SELECT token FROM v0 UNION SELECT token FROM n1)),
+         |f3 AS (SELECT DISTINCT eb.b AS token FROM n2 JOIN eb ON eb.a = n2.token),
+         |n3 AS (SELECT token, CAST(3 AS BIGINT) AS dist FROM f3
+         |       WHERE token NOT IN (SELECT token FROM v0 UNION SELECT token FROM n1
+         |                           UNION SELECT token FROM n2))
+         |SELECT * FROM v0 UNION ALL SELECT * FROM n1
+         |UNION ALL SELECT * FROM n2 UNION ALL SELECT * FROM n3""".stripMargin,
+
+    // word-boundary blocklist screening; identical RE2-safe alternation
+    // on both engines
+    "blocklist_filter" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '\b(slow|dup|drop|fake|spam)\b')) AS BIGINT) AS n_hits
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_hits,
+        |  round(CASE WHEN n_tokens > 0 THEN CAST(n_hits AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS hit_ratio,
+        |  (n_hits * 20 <= n_tokens) AS keep
+        |FROM b""".stripMargin,
 
     // distinct-1 / distinct-2 generation-diversity ratios per source;
     // sources that never reach 2 tokens report zero bigram diversity

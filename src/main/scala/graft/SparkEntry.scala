@@ -220,6 +220,9 @@ object SparkEntry {
     "conversion_latency" -> ((s, d) => Sessionize.conversionLatency(events(s, d))),
     "scd2_merge" -> ((s, d) => Sessionize.scd2Merge(events(s, d))),
     "events_ohlc" -> ((s, d) => Relational.eventsOhlc(events(s, d))),
+    "ivm_agg" -> ((s, d) => Relational.ivmAgg(events(s, d))),
+    "token_bfs" -> ((s, d) => Graph.tokenBfs(spread(t(s, d, "documents")))),
+    "blocklist_filter" -> ((s, d) => TextOps.blocklistFilter(spread(t(s, d, "documents")))),
     "twap" -> ((s, d) => Relational.twap(events(s, d))),
     "path_pattern_match" -> ((s, d) => Sessionize.pathPatternMatch(events(s, d))),
     "reward_normalize" -> ((s, d) => TextOps.rewardNormalize(spread(t(s, d, "documents")))),

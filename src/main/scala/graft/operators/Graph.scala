@@ -157,4 +157,45 @@ object Graph {
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** `maxHops`-hop BFS over the token co-occurrence graph (C117): hop
+    * distance from the corpus's most-frequent token (tie: lexicographic)
+    * to every reachable token — the neighborhood-expansion primitive
+    * behind query expansion and related-term discovery, and the engine's
+    * iterative-traversal shape (unrolled frontier joins, like
+    * [[tokenPagerank]] unrolls power iteration).
+    *
+    * BFS as set difference: frontier_h = neighbors(frontier_{h-1}) ∖
+    * visited — each round is one equi-join on the vocabulary²-bounded
+    * edge frame plus an anti-join against the vocab-bounded visited set;
+    * no per-node state, no data-sized windows. The same formulation runs
+    * verbatim in the DuckDB oracle. */
+  def tokenBfs(docs: DataFrame, minPairDocs: Int = 5, maxHops: Int = 3): DataFrame = {
+    val d0 = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .distinct()
+    val counts = d0.groupBy("token").agg(count(lit(1)).as("df"))
+    val qualified = counts.filter(col("df") >= minPairDocs).select("token")
+    val d = d0.join(qualified, Seq("token"), "left_semi")
+    val half = d.select(col("doc_id"), col("token").as("a"))
+      .join(d.select(col("doc_id"), col("token").as("b")), "doc_id")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairDocs)
+      .select("a", "b")
+    val edges = graft.CacheTracker.track(
+      half.union(half.select(col("b").as("a"), col("a").as("b")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val seed = counts.orderBy(col("df").desc, col("token")).limit(1).select("token")
+    var visited = seed.withColumn("dist", lit(0L))
+    var frontier = seed
+    for (h <- 1 to maxHops) {
+      val nxt = frontier.join(edges, frontier("token") === edges("a"))
+        .select(col("b").as("token")).distinct()
+        .join(visited, Seq("token"), "left_anti")
+        .withColumn("dist", lit(h.toLong))
+      visited = visited.union(nxt)
+      frontier = nxt.select("token")
+    }
+    visited
+  }
 }

@@ -1482,6 +1482,38 @@ object Relational {
     * Scale: the windowed frame is (event_type × day) — calendar-bounded,
     * not data-sized; the data-sized pass is the one partial-agg shuffle
     * building the daily totals. */
+  /** Incremental aggregate view maintenance (C116): a standing per-
+    * (user, day) aggregate table absorbs a delta batch by MERGING PARTIAL
+    * STATES — counts and cent-sums add, first/last timestamps min/max —
+    * instead of rescanning history; the merged view is definitionally
+    * equal to the full recompute (the oracle IS the recompute, so the
+    * hash-exact check proves the merge algebra). The split mirrors
+    * dedup_incremental: event_id % 10 >= 8 is today's batch.
+    *
+    * This is the warehouse pattern behind every streaming materialized
+    * view: at 100 TB the standing table is the only big input and it is
+    * already aggregated (users × days, far smaller than events); the
+    * delta pass touches only new data. Two partial-agg shuffles + one
+    * key-aligned merge shuffle, all on (user_id, day_idx). */
+  def ivmAgg(events: DataFrame): DataFrame = {
+    def state(df: DataFrame): DataFrame = df
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day_idx"),
+        unix_micros(col("ts")).as("us"),
+        cents(col("value")).as("vc"))
+      .groupBy("user_id", "day_idx")
+      .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("sum_cents"),
+        min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+    val standing = state(events.filter(col("event_id") % 10 < 8))
+    val delta = state(events.filter(col("event_id") % 10 >= 8))
+    standing.union(delta)
+      .groupBy("user_id", "day_idx")
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sum_cents")).as("sum_cents"),
+        min(col("first_us")).as("first_us"),
+        max(col("last_us")).as("last_us"))
+  }
+
   /** Hourly OHLC bars per event type (C113): open/high/low/close of the
     * event `value` inside each hour bucket, plus volume — the bar-builder
     * shape every metrics/market warehouse materializes from a tick

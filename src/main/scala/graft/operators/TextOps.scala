@@ -2088,6 +2088,30 @@ object TextOps {
           .otherwise(lit(0.0)).as("z_reward"))
   }
 
+  /** Word-boundary blocklist filter (B151): per document, how many
+    * blocklisted terms appear (as whole words — "dup" must not fire
+    * inside "duplicate"), the hit ratio against the whitespace token
+    * count, and a keep flag at a 5% ratio ceiling — the safety/abuse
+    * screening stage of a curation pipeline, shaped like [[gopherFilter]]
+    * but driven by an explicit term list.
+    *
+    * The alternation regex stays RE2-safe (`\b` word boundaries,
+    * literals only) so the DuckDB oracle runs the identical pattern.
+    * Scale: narrow per-row regex, zero shuffle. */
+  def blocklistFilter(docs: DataFrame,
+      terms: Seq[String] = Seq("slow", "dup", "drop", "fake", "spam")): DataFrame = {
+    val re = "\\b(" + terms.mkString("|") + ")\\b"
+    val nToks = size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+    docs.select(
+      col("doc_id"),
+      nToks.cast("long").as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long").as("n_hits"),
+      round(when(nToks > 0,
+        size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("double") / nToks)
+        .otherwise(lit(0.0)), 6).as("hit_ratio"))
+      .withColumn("keep", col("n_hits") * 20 <= col("n_tokens"))
+  }
+
   /** Generation-diversity distinct-n ratios per source (B148): the
     * distinct-1 / distinct-2 metrics used to audit synthetic or model-
     * generated corpora for mode collapse — a source whose bigram ratio

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import graft.operators.{Relational, Sessionize}
 
 /** Round-12c operators: hourly OHLC bars, per-user TWAP, session-path
@@ -206,6 +207,65 @@ class Round12cSpec extends SparkSpec {
     assert(s1(0).getAs[Double]("reward") >= s1(1).getAs[Double]("reward"))
     val s2 = out.filter(_.getAs[String]("source") == "s2")
     assert(s2.length === 1 && s2.head.getAs[Long]("n_candidates") === 1L)
+  }
+
+  test("ivmAgg merge equals full recompute on a split batch") {
+    val events = ev(
+      (1L, 1L, "2024-01-01 10:00:00", "click", 1.5), // standing
+      (8L, 1L, "2024-01-01 11:00:00", "click", 2.5), // delta (id%10>=8)
+      (9L, 1L, "2024-01-02 09:00:00", "view", 4.0),  // delta, new day
+      (2L, 2L, "2024-01-01 08:00:00", "view", 10.0)) // standing only
+    val out = Relational.ivmAgg(events).orderBy("user_id", "day_idx").collect()
+    val full = events
+      .groupBy(col("user_id"),
+        org.apache.spark.sql.functions.expr("unix_micros(ts) div 86400000000").as("day_idx"))
+      .agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.expr("CAST(round(value * 100) AS BIGINT)")).as("sum_cents"),
+        org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.expr("unix_micros(ts)")).as("first_us"),
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.expr("unix_micros(ts)")).as("last_us"))
+      .orderBy("user_id", "day_idx").collect()
+    assert(out.map(_.toSeq).toSeq === full.map(_.toSeq).toSeq)
+    // the merge really did combine a standing and a delta state for u1 d0
+    val u1d0 = out.find(r => r.getLong(0) === 1L &&
+      r.getAs[Long]("n_events") === 2L)
+    assert(u1d0.isDefined && u1d0.get.getAs[Long]("sum_cents") === 400L)
+  }
+
+  test("tokenBfs walks a planted chain with correct hop distances") {
+    // chain a-b, b-c via co-occurring docs; d isolated. Each pair must
+    // co-occur in >= 5 docs and each token df >= 5.
+    val rows = (1L to 5L).map(i => (i, "aa bb", "s1")) ++
+      (6L to 10L).map(i => (i, "bb cc", "s1")) ++
+      (11L to 15L).map(i => (i, "dd", "s1")) ++
+      // make aa the most frequent token (seed)
+      (16L to 20L).map(i => (i, "aa", "s1"))
+    val docs = docsDF(rows: _*)
+    val out = graft.operators.Graph.tokenBfs(docs).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("dist")).toMap
+    graft.CacheTracker.releaseAll()
+    assert(out === Map("aa" -> 0L, "bb" -> 1L, "cc" -> 2L))
+  }
+
+  test("blocklistFilter counts whole-word hits only and flags heavy docs") {
+    val docs = docsDF(
+      (1L, "this is a dup and it is slow", "s1"),     // 2 hits / 8 tokens
+      (2L, "duplicate rows slowly accumulate", "s1"), // substrings: 0 hits
+      (3L, "spam spam spam", "s1"),                   // 3 hits / 3 tokens
+      (4L, "", "s1"))
+    val out = graft.operators.TextOps.blocklistFilter(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_hits") === 2L)
+    assert(out(1L).getAs[Boolean]("keep") === false, "2/8 = 25% > 5%")
+    assert(out(2L).getAs[Long]("n_hits") === 0L)
+    assert(out(2L).getAs[Boolean]("keep") === true)
+    assert(out(3L).getAs[Long]("n_hits") === 3L)
+    assert(out(3L).getAs[Boolean]("keep") === false)
+    assert(out(4L).getAs[Long]("n_hits") === 0L)
+    assert(out(4L).getAs[Boolean]("keep") === true)
   }
 
   test("pathPatternMatch: a gap splits sessions, so patterns see each half") {
