@@ -468,7 +468,13 @@ object Sessionize {
       "stack(4, " + patterns.map { case (n, _) => s"'$n', $n" }.mkString(", ") +
         ") AS (pattern, n_matched)",
       "n_sessions")
-      .select(col("pattern"), col("n_matched"), col("n_sessions"),
-        round(col("n_matched").cast("double") / col("n_sessions"), 6).as("match_rate"))
+      // empty stream: global-agg sums are NULL and n_sessions 0 — report
+      // zero counts/rates, not nulls
+      .select(col("pattern"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        col("n_sessions"),
+        when(col("n_sessions") > 0,
+          round(coalesce(col("n_matched"), lit(0L)).cast("double")
+            / col("n_sessions"), 6)).otherwise(lit(0.0)).as("match_rate"))
   }
 }

@@ -90,6 +90,24 @@ class EmptyInputSpec extends SparkSpec {
     assert(cl.length === 1 && cl.head.getAs[Long]("n_converted") === 0L)
   }
 
+  test("round-12c operators are total on empty inputs") {
+    val textOps: Seq[DataFrame => DataFrame] = Seq(
+      d => TextOps.distinctNgrams(d), d => TextOps.rejectionSample(d),
+      d => TextOps.blocklistFilter(d), d => Graph.tokenBfs(d))
+    for ((op, i) <- textOps.zipWithIndex)
+      assert(op(noDocs).count() === 0, s"round-12c text op #$i not total on empty input")
+    val eventOps: Seq[DataFrame => DataFrame] = Seq(
+      d => Relational.eventsOhlc(d), d => Relational.twap(d),
+      d => Relational.ivmAgg(d))
+    for ((op, i) <- eventOps.zipWithIndex)
+      assert(op(noEvents).count() === 0, s"round-12c event op #$i not total on empty input")
+    // global aggregates: a fixed-arity row set with zero/null stats, not a throw
+    val ra = TextOps.raterAgreement(noDocs).collect()
+    assert(ra.length === 3 && ra.forall(_.getAs[Long]("n") === 0L))
+    val pm = Sessionize.pathPatternMatch(noEvents).collect()
+    assert(pm.length === 4 && pm.forall(_.getAs[Long]("n_matched") === 0L))
+  }
+
   test("order operators are total on an empty fact table") {
     val ops: Seq[DataFrame => DataFrame] = Seq(
       Relational.rfmSegments(_), Relational.orderSkyline,

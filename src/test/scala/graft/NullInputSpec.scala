@@ -41,7 +41,10 @@ class NullInputSpec extends SparkSpec {
       d => Dedup.thresholdSweep(d),
       d => TextOps.dpoPairs(d), d => TextOps.rewardNormalize(d),
       d => TfIdf.topicLabels(d), d => TextOps.sftPack(d),
-      d => LangModel.stupidBackoff(d))
+      d => LangModel.stupidBackoff(d),
+      d => TextOps.distinctNgrams(d), d => TextOps.raterAgreement(d),
+      d => TextOps.rejectionSample(d), d => TextOps.blocklistFilter(d),
+      d => Graph.tokenBfs(d))
     for ((op, i) <- ops.zipWithIndex) {
       val out = op(docs)
       // must evaluate without throwing; row counts vary by op semantics
