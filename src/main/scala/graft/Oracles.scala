@@ -755,6 +755,22 @@ object Oracles {
         |FROM c JOIN best b ON b.prev_type = c.prev_type
         |GROUP BY 1, 2""".stripMargin,
 
+    // order->ship SLA: whole-day BIGINT latencies, exact interpolated
+    // percentiles per priority class
+    "ship_latency" ->
+      """WITH l AS (SELECT l_orderkey,
+        |  epoch_ns(l_shipdate) // 1000 // 86400000000 AS ship_day FROM lineitem),
+        |o AS (SELECT o_orderkey, o_orderpriority,
+        |  epoch_ns(o_orderdate) // 1000 // 86400000000 AS order_day FROM orders)
+        |SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(min(ship_day - order_day) AS BIGINT) AS min_days,
+        |  CAST(max(ship_day - order_day) AS BIGINT) AS max_days,
+        |  round(quantile_cont(ship_day - order_day, 0.5), 4) AS p50_days,
+        |  round(quantile_cont(ship_day - order_day, 0.9), 4) AS p90_days,
+        |  round(quantile_cont(ship_day - order_day, 0.99), 4) AS p99_days
+        |FROM l JOIN o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1""".stripMargin,
+
     // IVM merge proof: the oracle is the FULL recompute; hash-equality
     // with the standing+delta partial-state merge is the check
     "ivm_agg" ->
@@ -866,6 +882,32 @@ object Oracles {
          |                           UNION SELECT token FROM n2))
          |SELECT * FROM v0 UNION ALL SELECT * FROM n1
          |UNION ALL SELECT * FROM n2 UNION ALL SELECT * FROM n3""".stripMargin,
+
+    // Rényi-2 tokenizer efficiency: exact BIGINT Σc², two ln calls on
+    // exact integers, 6 dp
+    "renyi_efficiency" ->
+      s"""WITH c AS (SELECT token, count(*) AS cnt FROM $tokTable GROUP BY 1),
+         |a AS (SELECT count(*) AS vocab_size, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |      CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq FROM c)
+         |SELECT vocab_size, n_tokens, sum_sq,
+         |  round(2.0 * ln(CAST(n_tokens AS DOUBLE)) - ln(CAST(sum_sq AS DOUBLE)), 6) AS h2,
+         |  CASE WHEN vocab_size > 1
+         |    THEN round((2.0 * ln(CAST(n_tokens AS DOUBLE)) - ln(CAST(sum_sq AS DOUBLE)))
+         |      / ln(CAST(vocab_size AS DOUBLE)), 6)
+         |    ELSE 0.0 END AS efficiency
+         |FROM a""".stripMargin,
+
+    // quality-cutoff retention curve on the fixed 10..90 grid
+    "quality_threshold_sweep" ->
+      s"""WITH s AS (SELECT $qualitySql AS q, CAST(len($toks) AS BIGINT) AS n_toks FROM documents),
+         |t AS (SELECT count(*) AS tot_docs, CAST(sum(n_toks) AS BIGINT) AS tot_tokens FROM s),
+         |g AS (SELECT q, n_toks, unnest(range(10, 100, 10)) AS t_pct FROM s),
+         |k AS (SELECT t_pct, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM g
+         |      WHERE q >= CAST(t_pct AS DOUBLE) / 100.0 GROUP BY 1)
+         |SELECT CAST(k.t_pct AS BIGINT) AS t_pct, k.n_docs, k.n_tokens,
+         |  round(CAST(k.n_docs AS DOUBLE) / t.tot_docs, 6) AS doc_retention,
+         |  round(CAST(k.n_tokens AS DOUBLE) / t.tot_tokens, 6) AS token_retention
+         |FROM k CROSS JOIN t""".stripMargin,
 
     // word-boundary blocklist screening; identical RE2-safe alternation
     // on both engines

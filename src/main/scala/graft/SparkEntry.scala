@@ -221,6 +221,11 @@ object SparkEntry {
     "scd2_merge" -> ((s, d) => Sessionize.scd2Merge(events(s, d))),
     "events_ohlc" -> ((s, d) => Relational.eventsOhlc(events(s, d))),
     "ivm_agg" -> ((s, d) => Relational.ivmAgg(events(s, d))),
+    "ship_latency" -> ((s, d) =>
+      Relational.shipLatency(t(s, d, "orders"), t(s, d, "lineitem"))),
+    "renyi_efficiency" -> ((s, d) => TextOps.renyiEfficiency(spread(t(s, d, "documents")))),
+    "quality_threshold_sweep" -> ((s, d) =>
+      TextOps.qualityThresholdSweep(spread(t(s, d, "documents")))),
     "token_bfs" -> ((s, d) => Graph.tokenBfs(spread(t(s, d, "documents")))),
     "blocklist_filter" -> ((s, d) => TextOps.blocklistFilter(spread(t(s, d, "documents")))),
     "twap" -> ((s, d) => Relational.twap(events(s, d))),

@@ -1482,6 +1482,35 @@ object Relational {
     * Scale: the windowed frame is (event_type × day) — calendar-bounded,
     * not data-sized; the data-sized pass is the one partial-agg shuffle
     * building the daily totals. */
+  /** Order→ship SLA latency percentiles per priority class (C118): join
+    * line items to their orders, measure whole-day ship latency, and
+    * report exact interpolated p50/p90/p99 with min/max/count — the
+    * fulfillment-SLA readout every commerce warehouse serves.
+    *
+    * Scale: one co-partitioned shuffle join on the order key (both sides
+    * data-sized, neither broadcastable — the right plan), then a
+    * partial-agg groupBy on the 5-value priority key; day arithmetic is
+    * exact BIGINT, only the final percentiles are float (4 dp, same
+    * interpolation as DuckDB quantile_cont). */
+  def shipLatency(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    // parquet may carry TIMESTAMP_NTZ (driver-generation drift, same as
+    // events.ts): cast to session-TZ timestamp (UTC) before unix_micros
+    val l = lineitem.select(col("l_orderkey"),
+      expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000").as("ship_day"))
+    val o = orders.select(col("o_orderkey"), col("o_orderpriority"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("order_day"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(col("o_orderpriority"),
+        (col("ship_day") - col("order_day")).as("lat_days"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        min(col("lat_days")).as("min_days"),
+        max(col("lat_days")).as("max_days"),
+        round(percentile(col("lat_days"), lit(0.5)), 4).as("p50_days"),
+        round(percentile(col("lat_days"), lit(0.9)), 4).as("p90_days"),
+        round(percentile(col("lat_days"), lit(0.99)), 4).as("p99_days"))
+  }
+
   /** Incremental aggregate view maintenance (C116): a standing per-
     * (user, day) aggregate table absorbs a delta batch by MERGING PARTIAL
     * STATES — counts and cent-sums add, first/last timestamps min/max —

@@ -2088,6 +2088,61 @@ object TextOps {
           .otherwise(lit(0.0)).as("z_reward"))
   }
 
+  /** Rényi-2 tokenizer efficiency (B152): the collision-entropy variant
+    * of the Rényi-efficiency tokenizer metric — H₂ = 2·ln N − ln Σc²
+    * over the token frequency distribution, normalized by ln V. A
+    * tokenizer (or corpus) whose mass concentrates on few types scores
+    * low; a uniform vocabulary scores 1. α=2 instead of the literature's
+    * 2.5 deliberately: Σc² is an EXACT BIGINT (no cross-engine pow
+    * drift), so the only float work is two ln calls on exact integers,
+    * rounded at 6 dp.
+    *
+    * Scale: one shuffle on token, then a partial-agg global fold of
+    * (count, c²) — no sorted-fold buffer, no vocab-sized window. */
+  def renyiEfficiency(docs: DataFrame): DataFrame = {
+    val counts = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    counts.agg(
+        count(lit(1)).as("vocab_size"),
+        sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("cnt")).as("sum_sq"))
+      .select(col("vocab_size"), col("n_tokens"), col("sum_sq"),
+        round(lit(2.0) * log(col("n_tokens").cast("double"))
+          - log(col("sum_sq").cast("double")), 6).as("h2"),
+        when(col("vocab_size") > 1,
+          round((lit(2.0) * log(col("n_tokens").cast("double"))
+            - log(col("sum_sq").cast("double")))
+            / log(col("vocab_size").cast("double")), 6))
+          .otherwise(lit(0.0)).as("efficiency"))
+  }
+
+  /** Quality-cutoff retention sweep (B153): for each candidate filter
+    * threshold on the fixed 10..90% grid, how many documents and how
+    * much token mass survive — the curve a pipeline owner reads before
+    * committing to a quality cutoff, sibling of [[Dedup.thresholdSweep]]
+    * for the similarity knob. Retention ratios are against the unfiltered
+    * totals (broadcast one-row frame); a 9× bounded grid explode, one
+    * partial-agg shuffle on the 9-value grid key. */
+  def qualityThresholdSweep(docs: DataFrame): DataFrame = {
+    val scored = docs.select(qualityComposite.as("q"),
+      size(tokens(col("text"))).cast("long").as("n_toks"))
+    val totals = scored.agg(count(lit(1)).as("tot_docs"),
+      sum(col("n_toks")).as("tot_tokens"))
+    scored
+      .select(col("q"), col("n_toks"),
+        explode(sequence(lit(10), lit(90), lit(10))).as("t_pct"))
+      .filter(col("q") >= col("t_pct").cast("double") / 100.0)
+      .groupBy("t_pct")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .crossJoin(broadcast(totals))
+      .select(col("t_pct").cast("long").as("t_pct"), col("n_docs"),
+        col("n_tokens"),
+        round(col("n_docs").cast("double") / col("tot_docs"), 6)
+          .as("doc_retention"),
+        round(col("n_tokens").cast("double") / col("tot_tokens"), 6)
+          .as("token_retention"))
+  }
+
   /** Word-boundary blocklist filter (B151): per document, how many
     * blocklisted terms appear (as whole words — "dup" must not fire
     * inside "duplicate"), the hit ratio against the whitespace token

@@ -268,6 +268,65 @@ class Round12cSpec extends SparkSpec {
     assert(out(4L).getAs[Boolean]("keep") === true)
   }
 
+  test("renyiEfficiency: uniform vocab scores 1, concentrated mass scores lower") {
+    // 4 tokens, each once: H2 = 2 ln 4 - ln 4 = ln 4; ln V = ln 4 -> 1.0
+    val uniform = docsDF((1L, "aa bb cc dd", "s1"))
+    val u = graft.operators.TextOps.renyiEfficiency(uniform).collect().head
+    assert(u.getAs[Long]("vocab_size") === 4L)
+    assert(u.getAs[Long]("sum_sq") === 4L)
+    assert(u.getAs[Double]("efficiency") === 1.0)
+    // heavy concentration: one token 9 times + 1 other
+    val skewed = docsDF((1L, ("aa " * 9) + "bb", "s1"))
+    val s = graft.operators.TextOps.renyiEfficiency(skewed).collect().head
+    assert(s.getAs[Long]("sum_sq") === 82L)
+    val h2 = 2 * math.log(10) - math.log(82)
+    assert(math.abs(s.getAs[Double]("h2") - h2) < 1e-6)
+    assert(s.getAs[Double]("efficiency") < 1.0)
+    // single-type vocab: efficiency pinned to 0, no division by ln 1
+    val mono = docsDF((1L, "aa aa aa", "s1"))
+    assert(graft.operators.TextOps.renyiEfficiency(mono)
+      .collect().head.getAs[Double]("efficiency") === 0.0)
+  }
+
+  test("qualityThresholdSweep retention is monotone non-increasing in the cutoff") {
+    val good = "the cat and the dog sat in the warm house all day long"
+    val docs = docsDF(
+      (1L, good, "s1"), (2L, good + " and it is fine", "s1"),
+      (3L, "!!!! @@@@", "s1"), (4L, "zz", "s1"))
+    val out = graft.operators.TextOps.qualityThresholdSweep(docs)
+      .orderBy("t_pct").collect()
+    assert(out.length === 9)
+    assert(out.map(_.getAs[Long]("t_pct")).toSeq === (10L to 90L by 10L))
+    val docsKept = out.map(_.getAs[Long]("n_docs"))
+    assert(docsKept.zip(docsKept.tail).forall { case (a, b) => a >= b },
+      "retention must not increase with the cutoff")
+    assert(out.forall(r => r.getAs[Double]("doc_retention") <= 1.0))
+    // the junk docs are gone by 50%
+    assert(out.find(_.getAs[Long]("t_pct") === 50L).get.getAs[Long]("n_docs") <= 2L)
+  }
+
+  test("shipLatency computes per-priority whole-day percentiles") {
+    val orders = Seq(
+      (1L, "1-URGENT", Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, "1-URGENT", Timestamp.valueOf("2024-01-01 00:00:00")),
+      (3L, "2-HIGH", Timestamp.valueOf("2024-01-05 00:00:00")))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val lineitem = Seq(
+      (1L, Timestamp.valueOf("2024-01-03 00:00:00")), // 2 days
+      (1L, Timestamp.valueOf("2024-01-05 00:00:00")), // 4 days
+      (2L, Timestamp.valueOf("2024-01-11 00:00:00")), // 10 days
+      (3L, Timestamp.valueOf("2024-01-05 12:00:00"))) // same day -> 0
+      .toDF("l_orderkey", "l_shipdate")
+    val out = Relational.shipLatency(orders, lineitem).collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> r).toMap
+    val u = out("1-URGENT")
+    assert(u.getAs[Long]("n_items") === 3L)
+    assert(u.getAs[Long]("min_days") === 2L && u.getAs[Long]("max_days") === 10L)
+    assert(u.getAs[Double]("p50_days") === 4.0)
+    val h = out("2-HIGH")
+    assert(h.getAs[Long]("n_items") === 1L && h.getAs[Long]("max_days") === 0L)
+  }
+
   test("pathPatternMatch: a gap splits sessions, so patterns see each half") {
     val events = ev(
       // same user, 2-hour gap: view>view then signup alone
