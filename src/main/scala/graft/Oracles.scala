@@ -755,6 +755,44 @@ object Oracles {
         |FROM c JOIN best b ON b.prev_type = c.prev_type
         |GROUP BY 1, 2""".stripMargin,
 
+    // FK fanout + referential-integrity audit, one row per relationship
+    "join_cardinality_profile" -> {
+      def rel(child: String, fk: String, parent: String, pk: String,
+          name: String): String =
+        s"""SELECT '$name' AS relationship,
+           |  CAST(sum(coalesce(fan, 0)) AS BIGINT) AS n_children,
+           |  CAST(sum(coalesce(is_p, 0)) AS BIGINT) AS n_parents,
+           |  CAST(sum(CASE WHEN is_p IS NULL THEN fan ELSE 0 END) AS BIGINT) AS n_orphan_children,
+           |  CAST(sum(CASE WHEN is_p IS NOT NULL AND fan IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_childless_parents,
+           |  CAST(coalesce(min(CASE WHEN is_p IS NOT NULL THEN fan END), 0) AS BIGINT) AS min_fanout,
+           |  CAST(coalesce(max(CASE WHEN is_p IS NOT NULL THEN fan END), 0) AS BIGINT) AS max_fanout,
+           |  CASE WHEN sum(CASE WHEN is_p IS NOT NULL AND fan IS NOT NULL THEN 1 ELSE 0 END) > 0
+           |    THEN round(CAST(sum(CASE WHEN is_p IS NOT NULL THEN fan ELSE 0 END) AS DOUBLE)
+           |      / sum(CASE WHEN is_p IS NOT NULL AND fan IS NOT NULL THEN 1 ELSE 0 END), 6)
+           |    ELSE 0.0 END AS avg_fanout
+           |FROM (SELECT f.fan, p.is_p
+           |      FROM (SELECT $fk AS k, count(*) AS fan FROM $child GROUP BY 1) f
+           |      FULL OUTER JOIN (SELECT DISTINCT $pk AS k, 1 AS is_p FROM $parent) p
+           |      USING (k))""".stripMargin
+      rel("orders", "o_custkey", "customer", "c_custkey", "orders->customer") +
+        "\nUNION ALL\n" +
+        rel("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem->orders")
+    },
+
+    // per-user arrival-order lateness vs running max event time
+    "lateness_profile" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |m AS (SELECT *, max(us) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_us FROM e),
+        |l AS (SELECT event_type,
+        |      CASE WHEN prev_max_us > us THEN (prev_max_us - us) // 1000000 ELSE 0 END AS late_s FROM m)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  round(CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS late_ratio,
+        |  CAST(max(late_s) AS BIGINT) AS max_late_s,
+        |  round(quantile_cont(late_s, 0.99), 4) AS p99_late_s
+        |FROM l GROUP BY 1""".stripMargin,
+
     // order->ship SLA: whole-day BIGINT latencies, exact interpolated
     // percentiles per priority class
     "ship_latency" ->
@@ -882,6 +920,32 @@ object Oracles {
          |                           UNION SELECT token FROM n2))
          |SELECT * FROM v0 UNION ALL SELECT * FROM n1
          |UNION ALL SELECT * FROM n2 UNION ALL SELECT * FROM n3""".stripMargin,
+
+    // one DoReMi mirror-descent step: 6 dp contribs, two-level
+    // md5-bucketed folds, 9 dp loss/update, domain-bounded normalizer
+    "doremi_step" ->
+      s"""WITH tok AS (SELECT source, unnest($toks) AS token FROM documents),
+         |sf AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |c AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM sf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+         |x AS (SELECT source, tf,
+         |      ('0x' || substr(md5(token), 1, 4))::BIGINT % 1024 AS sb,
+         |      round(tf * ln(CAST(cnt AS DOUBLE) / total), 6) AS contrib
+         |      FROM sf JOIN c USING (token) CROSS JOIN tot),
+         |l1 AS (SELECT source, sb, CAST(sum(tf) AS BIGINT) AS sub_n,
+         |       list_reduce(list_sort(list(contrib)), (a, b) -> a + b) AS sub_s
+         |       FROM x GROUP BY 1, 2),
+         |d AS (SELECT source, CAST(sum(sub_n) AS BIGINT) AS n_tokens,
+         |      round(list_reduce(list_sort(list(sub_s)), (a, b) -> a + b), 6) AS s
+         |      FROM l1 GROUP BY 1),
+         |d2 AS (SELECT source, n_tokens, round(-s / n_tokens, 9) AS loss FROM d),
+         |w AS (SELECT source, n_tokens, loss,
+         |      round(CAST(n_tokens AS DOUBLE) / total, 9) AS w0,
+         |      round(round(CAST(n_tokens AS DOUBLE) / total, 9) * exp(0.1 * loss), 9) AS w_up
+         |      FROM d2 CROSS JOIN tot),
+         |z AS (SELECT list_reduce(list_sort(list(w_up)), (a, b) -> a + b) AS z FROM w)
+         |SELECT source, n_tokens, round(loss, 6) AS loss, round(w0, 6) AS w0,
+         |  round(w_up / z, 6) AS w_new FROM w CROSS JOIN z""".stripMargin,
 
     // Rényi-2 tokenizer efficiency: exact BIGINT Σc², two ln calls on
     // exact integers, 6 dp

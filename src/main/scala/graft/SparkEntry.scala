@@ -223,6 +223,11 @@ object SparkEntry {
     "ivm_agg" -> ((s, d) => Relational.ivmAgg(events(s, d))),
     "ship_latency" -> ((s, d) =>
       Relational.shipLatency(t(s, d, "orders"), t(s, d, "lineitem"))),
+    "join_cardinality_profile" -> ((s, d) =>
+      Relational.joinCardinalityProfile(t(s, d, "orders"), t(s, d, "customer"),
+        t(s, d, "lineitem"))),
+    "lateness_profile" -> ((s, d) => Relational.latenessProfile(events(s, d))),
+    "doremi_step" -> ((s, d) => LangModel.doremiStep(spread(t(s, d, "documents")))),
     "renyi_efficiency" -> ((s, d) => TextOps.renyiEfficiency(spread(t(s, d, "documents")))),
     "quality_threshold_sweep" -> ((s, d) =>
       TextOps.qualityThresholdSweep(spread(t(s, d, "documents")))),

@@ -732,4 +732,49 @@ object LangModel {
         col("n_backoff2"), col("sum_logs"),
         round(col("sum_logs") / col("n_trigrams"), 6).as("mean_logs"))
   }
+
+  /** One DoReMi-style mirror-descent step on domain mixture weights
+    * (B154): per source-domain, the mean token NLL under the GLOBAL
+    * unigram LM is the "excess loss" proxy; weights start at token share
+    * and update w′_d ∝ w_d·exp(η·loss_d), renormalized — the
+    * multiplicative-weights reweighting that shifts a training mixture
+    * toward the domains the model finds hardest, completing the mixture
+    * family (weights/sample/epoch give static mixtures; this adapts
+    * them).
+    *
+    * Float discipline: per-(source, token) contributions round at 6 dp
+    * and fold two-level (md5-bucketed: a 100 TB domain's vocabulary is
+    * data-sized, so level-1 buffers are bucket-bounded); loss and the
+    * exp-update round at 9 dp; the normalizer folds the domain-bounded
+    * w′ list sorted. Scale: two token-keyed shuffles + domain-bounded
+    * frames; nothing data-sized sits in one buffer or window. */
+  def doremiStep(docs: DataFrame, eta: Double = 0.1): DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(TextOps.tokens(col("text"))).as("token"))
+    val sf = tok.groupBy("source", "token").agg(count(lit(1)).as("tf"))
+    val cnt = sf.groupBy("token").agg(sum(col("tf")).as("cnt"))
+    val tot = cnt.agg(sum(col("cnt")).as("total"))
+    val contrib = sf.join(cnt, "token").crossJoin(broadcast(tot))
+      .select(col("source"), col("tf"),
+        expr("CAST(conv(substr(md5(token), 1, 4), 16, 10) AS BIGINT) % 1024").as("sb"),
+        round(col("tf") * log(col("cnt").cast("double") / col("total")), 6)
+          .as("contrib"))
+    val dom = contrib
+      .groupBy("source", "sb")
+      .agg(sum(col("tf")).as("sub_n"), Folds.sortedSum(col("contrib")).as("sub_s"))
+      .groupBy("source")
+      .agg(sum(col("sub_n")).as("n_tokens"),
+        round(Folds.sortedSum(col("sub_s")), 6).as("s"))
+      .select(col("source"), col("n_tokens"),
+        round(-col("s") / col("n_tokens"), 9).as("loss"))
+    val w = dom.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("loss"),
+        round(col("n_tokens").cast("double") / col("total"), 9).as("w0"))
+      .withColumn("w_up", round(col("w0") * exp(lit(eta) * col("loss")), 9))
+    val z = w.agg(Folds.sortedSum(col("w_up")).as("z"))
+    w.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"), round(col("loss"), 6).as("loss"),
+        round(col("w0"), 6).as("w0"),
+        round(col("w_up") / col("z"), 6).as("w_new"))
+  }
 }

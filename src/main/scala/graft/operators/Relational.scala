@@ -1482,6 +1482,84 @@ object Relational {
     * Scale: the windowed frame is (event_type × day) — calendar-bounded,
     * not data-sized; the data-sized pass is the one partial-agg shuffle
     * building the daily totals. */
+  /** Foreign-key cardinality profile (C119): for each declared
+    * relationship, the fanout distribution and referential-integrity
+    * counts — orphan children (fk with no parent), childless parents,
+    * min/max/avg children per matched parent. The data-quality audit a
+    * warehouse runs before trusting a join, and the statistic a
+    * cost-based optimizer wants (avg fanout predicts join output size).
+    *
+    * Scale: one partial-agg shuffle on the fk per relationship, then a
+    * key-aligned full-outer join against the distinct parent keys;
+    * everything after is a single-row fold. No broadcast assumption —
+    * both sides may be data-sized. */
+  def joinCardinalityProfile(orders: DataFrame, customer: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    def profile(child: DataFrame, fk: String, parent: DataFrame, pk: String,
+        name: String): DataFrame = {
+      val fan = child.select(col(fk).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("fan"))
+      val pm = parent.select(col(pk).as("k")).distinct()
+        .withColumn("is_p", lit(1L))
+      fan.join(pm, Seq("k"), "full_outer")
+        .agg(
+          sum(coalesce(col("fan"), lit(0L))).as("n_children"),
+          sum(coalesce(col("is_p"), lit(0L))).as("n_parents"),
+          sum(when(col("is_p").isNull, col("fan")).otherwise(0L)).as("n_orphan_children"),
+          sum(when(col("is_p").isNotNull && col("fan").isNull, 1L).otherwise(0L))
+            .as("n_childless_parents"),
+          sum(when(col("is_p").isNotNull && col("fan").isNotNull, 1L).otherwise(0L))
+            .as("n_matched_parents"),
+          min(when(col("is_p").isNotNull, col("fan"))).as("min_fanout"),
+          max(when(col("is_p").isNotNull, col("fan"))).as("max_fanout"),
+          sum(when(col("is_p").isNotNull, col("fan")).otherwise(0L)).as("matched_children"))
+        .select(lit(name).as("relationship"), col("n_children"), col("n_parents"),
+          col("n_orphan_children"), col("n_childless_parents"),
+          coalesce(col("min_fanout"), lit(0L)).as("min_fanout"),
+          coalesce(col("max_fanout"), lit(0L)).as("max_fanout"),
+          when(col("n_matched_parents") > 0,
+            round(col("matched_children").cast("double") / col("n_matched_parents"), 6))
+            .otherwise(lit(0.0)).as("avg_fanout"))
+    }
+    profile(orders, "o_custkey", customer, "c_custkey", "orders->customer")
+      .union(profile(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem->orders"))
+  }
+
+  /** Out-of-orderness (watermark lateness) profile (C120): within each
+    * user's ARRIVAL order (event_id — ids are assigned in ingest order),
+    * an event is late when an already-arrived event of the same user
+    * carries a newer event time; lateness = running-max(us) − us. The
+    * profile per event type — late fraction, max and p99 lateness — is
+    * exactly what you read before choosing a Structured Streaming
+    * watermark delay (too small drops these events; too large bloats
+    * state).
+    *
+    * Scale: per-user running-max window (the standard one-shuffle
+    * session key — lateness vs per-key state is also the semantics
+    * stateful operators care about), then a partial-agg fold on the
+    * 5-value event-type key. Integer-second lateness; percentiles 4 dp. */
+  def latenessProfile(events: DataFrame): DataFrame = {
+    val arrival = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+    val prevMax = arrival.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_max_us", max(col("us")).over(prevMax))
+      .withColumn("late_s",
+        when(col("prev_max_us") > col("us"),
+          expr("(prev_max_us - us) div 1000000")).otherwise(0L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_s") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_s")).as("max_late_s"),
+        round(percentile(col("late_s"), lit(0.99)), 4).as("p99_late_s"))
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        round(col("n_late").cast("double") / col("n_events"), 6).as("late_ratio"),
+        col("max_late_s"), col("p99_late_s"))
+  }
+
   /** Order→ship SLA latency percentiles per priority class (C118): join
     * line items to their orders, measure whole-day ship latency, and
     * report exact interpolated p50/p90/p99 with min/max/count — the

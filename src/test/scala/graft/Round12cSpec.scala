@@ -327,6 +327,66 @@ class Round12cSpec extends SparkSpec {
     assert(h.getAs[Long]("n_items") === 1L && h.getAs[Long]("max_days") === 0L)
   }
 
+  test("doremiStep upweights the hardest domain and weights sum to 1") {
+    // s1: common tokens (low NLL); s2: rare tokens (high NLL under the
+    // global LM) -> s2's weight must rise relative to its token share
+    val docs = docsDF(
+      (1L, "aa bb aa bb aa bb aa bb", "s1"),
+      (2L, "aa bb aa bb aa bb aa bb", "s1"),
+      (3L, "qq rr ss tt", "s2"))
+    val out = graft.operators.LangModel.doremiStep(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val s1 = out("s1"); val s2 = out("s2")
+    assert(s1.getAs[Long]("n_tokens") === 16L)
+    assert(s2.getAs[Long]("n_tokens") === 4L)
+    assert(s2.getAs[Double]("loss") > s1.getAs[Double]("loss"),
+      "rare-token domain must read higher NLL")
+    assert(s2.getAs[Double]("w_new") > s2.getAs[Double]("w0"),
+      "hard domain gains weight")
+    val sumW = out.values.map(_.getAs[Double]("w_new")).sum
+    assert(math.abs(sumW - 1.0) < 1e-5, s"weights must renormalize: $sumW")
+  }
+
+  test("joinCardinalityProfile counts orphans, childless parents, fanout") {
+    val customer = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val orders = Seq(
+      (10L, 1L), (11L, 1L), (12L, 2L), // cust 1 fanout 2, cust 2 fanout 1
+      (13L, 99L))                      // orphan: cust 99 absent
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((10L, 1), (10L, 2), (77L, 1)) // order 77 orphan
+      .toDF("l_orderkey", "l_linenumber")
+    val out = Relational
+      .joinCardinalityProfile(orders, customer, lineitem).collect()
+      .map(r => r.getAs[String]("relationship") -> r).toMap
+    val oc = out("orders->customer")
+    assert(oc.getAs[Long]("n_children") === 4L)
+    assert(oc.getAs[Long]("n_parents") === 3L)
+    assert(oc.getAs[Long]("n_orphan_children") === 1L)
+    assert(oc.getAs[Long]("n_childless_parents") === 1L) // cust 3
+    assert(oc.getAs[Long]("min_fanout") === 1L && oc.getAs[Long]("max_fanout") === 2L)
+    assert(oc.getAs[Double]("avg_fanout") === 1.5)
+    val lo = out("lineitem->orders")
+    assert(lo.getAs[Long]("n_orphan_children") === 1L)
+    assert(lo.getAs[Long]("n_childless_parents") === 3L) // 11,12,13
+    assert(lo.getAs[Double]("avg_fanout") === 2.0)       // order 10 has 2 items
+  }
+
+  test("latenessProfile flags events whose time runs behind arrival order") {
+    val events = ev(
+      // user 1 arrival order by event_id: t0, t100, t50 (late by 50s), t200
+      (1L, 1L, "2024-01-01 10:00:00", "click", 1.0),
+      (2L, 1L, "2024-01-01 10:01:40", "click", 1.0),
+      (3L, 1L, "2024-01-01 10:00:50", "view", 1.0),
+      (4L, 1L, "2024-01-01 10:03:20", "click", 1.0))
+    val out = Relational.latenessProfile(events).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("view").getAs[Long]("n_late") === 1L)
+    assert(out("view").getAs[Long]("max_late_s") === 50L)
+    assert(out("view").getAs[Double]("late_ratio") === 1.0)
+    assert(out("click").getAs[Long]("n_late") === 0L)
+    assert(out("click").getAs[Double]("late_ratio") === 0.0)
+  }
+
   test("pathPatternMatch: a gap splits sessions, so patterns see each half") {
     val events = ev(
       // same user, 2-hour gap: view>view then signup alone
