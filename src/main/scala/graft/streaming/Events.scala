@@ -326,6 +326,52 @@ object Events {
       .partitionBy("batch_id").parquet(outDir)
   }
 
+  /** Streaming incremental aggregate view (C121): the foreachBatch twin
+    * of [[graft.operators.Relational.ivmAgg]] — each micro-batch writes
+    * its per-(user, day) PARTIAL state (count/cent-sum/min/max) into a
+    * batch_id-partitioned durable store, and the published view is the
+    * associative merge of all partials. A replayed batch overwrites only
+    * its own partition (dynamic overwrite), so the merged view is
+    * replay-idempotent by construction; no bridging state is needed
+    * because the aggregate algebra is associative. */
+  def incrementalAggView(events: DataFrame, storeDir: String, outDir: String,
+                         checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      aggViewBatch(batch, batchId, storeDir, outDir)
+    }
+    checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** The per-batch step, factored out so tests replay batches and assert
+    * bit-exact equality with the batch recompute. */
+  def aggViewBatch(batch: DataFrame, batchId: Long,
+                   storeDir: String, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val partial = batch
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day_idx"),
+        unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .groupBy("user_id", "day_idx")
+      .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("sum_cents"),
+        min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+    partial.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(storeDir)
+    spark.read.parquet(storeDir)
+      .groupBy("user_id", "day_idx")
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sum_cents")).as("sum_cents"),
+        min(col("first_us")).as("first_us"),
+        max(col("last_us")).as("last_us"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outDir)
+  }
+
   case class SessionSummary(userId: Long, startUs: Long, endUs: Long, nEvents: Long)
   // public: the state encoder's generated code constructs it reflectively
   case class OpenSession(startUs: Long, endUs: Long, n: Long)

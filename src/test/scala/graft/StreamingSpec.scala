@@ -381,4 +381,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(batch === Set((900L, 100L), (900L, 101L)))
   }
+
+  test("incremental agg view: merged partials equal the batch recompute and replays converge") {
+    val base = java.nio.file.Files.createTempDirectory("graft_aggview").toString
+    val (store, out) = (s"$base/store", s"$base/view")
+    def ev(id: Long, uid: Long, sec: Long, v: Double) =
+      (id, uid, "view", new Timestamp(1704067200000L + sec * 1000L), v)
+    val all = Seq(
+      ev(1, 1, 0, 1.5), ev(2, 1, 60, 2.5), ev(3, 2, 120, 10.0),
+      // --- batch boundary; user 1 spans both batches on the same day ---
+      ev(4, 1, 300, 4.0), ev(5, 2, 86400 + 10, 7.0))
+    val cols = Seq("event_id", "user_id", "event_type", "ts", "value")
+    val b0 = all.take(3).toDF(cols: _*)
+    val b1 = all.drop(3).toDF(cols: _*)
+    Events.aggViewBatch(b0, 0L, store, out)
+    Events.aggViewBatch(b1, 1L, store, out)
+    // replay batch 1: its store partition is replaced, not duplicated
+    Events.aggViewBatch(b1, 1L, store, out)
+    val streamed = spark.read.parquet(out).filter(col("batch_id") === 1L)
+      .select("user_id", "day_idx", "n_events", "sum_cents", "first_us", "last_us")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val batch = graft.operators.Relational.ivmAgg(all.toDF(cols: _*))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch, "merged view must equal the batch recompute exactly")
+    // user 1's day-0 row really merged across the two batches
+    assert(batch.exists { case (u, _, n, s, _, _) => u == 1L && n == 3L && s == 800L })
+    val sRows = spark.read.parquet(store)
+    assert(sRows.select("batch_id").distinct().count() === 2)
+    assert(sRows.count() ===
+      sRows.select("user_id", "day_idx", "batch_id").distinct().count())
+  }
 }
