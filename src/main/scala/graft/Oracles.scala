@@ -779,6 +779,20 @@ object Oracles {
         rel("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem->orders")
     },
 
+    // audience-overlap Jaccard for every co-occurring event-type pair
+    "user_overlap_jaccard" ->
+      """WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
+        |s AS (SELECT event_type, count(*) AS n_users FROM du GROUP BY 1),
+        |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+        |      FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT i.type_a, i.type_b,
+        |  CAST(sa.n_users AS BIGINT) AS n_a, CAST(sb.n_users AS BIGINT) AS n_b,
+        |  CAST(i.n_both AS BIGINT) AS n_both,
+        |  round(CAST(i.n_both AS DOUBLE) / (sa.n_users + sb.n_users - i.n_both), 6) AS jaccard
+        |FROM i JOIN s sa ON sa.event_type = i.type_a
+        |JOIN s sb ON sb.event_type = i.type_b""".stripMargin,
+
     // per-user arrival-order lateness vs running max event time
     "lateness_profile" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
@@ -920,6 +934,35 @@ object Oracles {
          |                           UNION SELECT token FROM n2))
          |SELECT * FROM v0 UNION ALL SELECT * FROM n1
          |UNION ALL SELECT * FROM n2 UNION ALL SELECT * FROM n3""".stripMargin,
+
+    // WIMBD-style top-50 trigrams; global top-k with lexicographic ties
+    "trigram_topk" ->
+      s"""WITH t AS (SELECT $toks AS toks FROM documents WHERE len($toks) >= 3),
+         |tri AS (SELECT unnest(list_transform(range(1, len(toks) - 1),
+         |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS trigram FROM t),
+         |c AS (SELECT trigram, count(*) AS cnt FROM tri GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+         |k AS (SELECT trigram, CAST(cnt AS BIGINT) AS cnt FROM c
+         |      ORDER BY cnt DESC, trigram LIMIT 50)
+         |SELECT trigram, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS share
+         |FROM k CROSS JOIN tot""".stripMargin,
+
+    // Hill tail-index over the top-100 token counts; 6 dp ln-ratio
+    // terms, sorted fold, degenerate tails -> 0
+    "hill_tail_index" ->
+      s"""WITH c AS (SELECT token, count(*) AS cnt FROM $tokTable GROUP BY 1),
+         |top AS (SELECT token, CAST(cnt AS BIGINT) AS cnt FROM c
+         |        ORDER BY cnt DESC, token LIMIT 100),
+         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rk FROM top),
+         |kth AS (SELECT CAST(max(rk) AS BIGINT) AS k_used, CAST(min(cnt) AS BIGINT) AS x_k FROM r),
+         |t AS (SELECT k_used, x_k, round(ln(CAST(cnt AS DOUBLE) / x_k), 6) AS term
+         |      FROM r CROSS JOIN kth WHERE rk < k_used),
+         |g AS (SELECT k_used, x_k, count(*) AS n_terms,
+         |      round(list_reduce(list_sort(list(term)), (a, b) -> a + b), 6) AS s
+         |      FROM t GROUP BY 1, 2)
+         |SELECT k_used, x_k, n_terms,
+         |  CASE WHEN s > 0 THEN round(CAST(n_terms AS DOUBLE) / s, 6) ELSE 0.0 END AS hill_alpha
+         |FROM g""".stripMargin,
 
     // one DoReMi mirror-descent step: 6 dp contribs, two-level
     // md5-bucketed folds, 9 dp loss/update, domain-bounded normalizer

@@ -228,6 +228,9 @@ object SparkEntry {
         t(s, d, "lineitem"))),
     "lateness_profile" -> ((s, d) => Relational.latenessProfile(events(s, d))),
     "doremi_step" -> ((s, d) => LangModel.doremiStep(spread(t(s, d, "documents")))),
+    "trigram_topk" -> ((s, d) => LangModel.trigramTopk(spread(t(s, d, "documents")))),
+    "hill_tail_index" -> ((s, d) => LangModel.hillTailIndex(spread(t(s, d, "documents")))),
+    "user_overlap_jaccard" -> ((s, d) => Relational.userOverlapJaccard(events(s, d))),
     "renyi_efficiency" -> ((s, d) => TextOps.renyiEfficiency(spread(t(s, d, "documents")))),
     "quality_threshold_sweep" -> ((s, d) =>
       TextOps.qualityThresholdSweep(spread(t(s, d, "documents")))),

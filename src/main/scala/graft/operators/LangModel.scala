@@ -733,6 +733,58 @@ object LangModel {
         round(col("sum_logs") / col("n_trigrams"), 6).as("mean_logs"))
   }
 
+  /** Top-50 corpus trigrams (B155) — the WIMBD-style "what's actually in
+    * this corpus" inspection: most common 3-grams with counts and corpus
+    * share. Spark plans the global top-k as TakeOrderedAndProject (heap
+    * per partition, merge of 50-row heaps — never a full sort of the
+    * trigram frame); ties break lexicographically. */
+  def trigramTopk(docs: DataFrame, k: Int = 50): DataFrame = {
+    val toked = docs.select(TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val tri = toked.select(explode(expr(
+      "transform(sequence(1, size(toks) - 2), i -> " +
+        "concat_ws(' ', toks[i - 1], toks[i], toks[i + 1]))")).as("trigram"))
+    val counts = tri.groupBy("trigram").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("total"))
+    counts.orderBy(col("cnt").desc, col("trigram")).limit(k)
+      .crossJoin(broadcast(tot))
+      .select(col("trigram"), col("cnt"),
+        round(col("cnt").cast("double") / col("total"), 6).as("share"))
+  }
+
+  /** Hill tail-index estimator over the token frequency distribution
+    * (B156): α̂ = 1 / mean(ln(x_i / x_k)) over the top-(k−1) counts
+    * against the k-th — the standard heavy-tail exponent estimate,
+    * [[zipfSlope]]'s order-statistics sibling (the regression uses the
+    * whole curve; Hill uses only the tail where the power law actually
+    * holds). Counts are exact BIGINTs; each ln-ratio term rounds at
+    * 6 dp and the ≤(k−1)-element mean folds sorted; degenerate tails
+    * (all-equal counts, vocab < 2) report 0.
+    *
+    * Scale: the only data-sized pass is the token count shuffle; the
+    * top-k is TakeOrdered (bounded heaps), everything after lives on a
+    * ≤k-row frame. */
+  def hillTailIndex(docs: DataFrame, k: Int = 100): DataFrame = {
+    val counts = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    val ranked = top.withColumn("rk", row_number().over(w).cast("long"))
+    val kth = ranked.agg(max(col("rk")).as("k_used"),
+      min(col("cnt")).as("x_k"))
+    val terms = ranked.crossJoin(broadcast(kth))
+      .filter(col("rk") < col("k_used"))
+      .select(col("k_used"), col("x_k"),
+        round(log(col("cnt").cast("double") / col("x_k")), 6).as("term"))
+    terms.groupBy("k_used", "x_k")
+      .agg(count(lit(1)).as("n_terms"),
+        round(Folds.sortedSum(col("term")), 6).as("s"))
+      .select(col("k_used"), col("x_k"), col("n_terms"),
+        when(col("s") > 0, round(col("n_terms").cast("double") / col("s"), 6))
+          .otherwise(lit(0.0)).as("hill_alpha"))
+  }
+
   /** One DoReMi-style mirror-descent step on domain mixture weights
     * (B154): per source-domain, the mean token NLL under the GLOBAL
     * unigram LM is the "excess loss" proxy; weights start at token share

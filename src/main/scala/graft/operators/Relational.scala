@@ -1482,6 +1482,34 @@ object Relational {
     * Scale: the windowed frame is (event_type × day) — calendar-bounded,
     * not data-sized; the data-sized pass is the one partial-agg shuffle
     * building the daily totals. */
+  /** Audience-overlap Jaccard matrix (C122): for every pair of event
+    * types that share at least one user, the Jaccard similarity of
+    * their user sets — the generalized form of the two-audience set ops
+    * (C36), computed WITHOUT materializing any set: per-user distinct
+    * types explode to ≤ C(types,2) pair rows (type count is bounded, so
+    * the explosion is per-user constant), intersections and marginals
+    * are partial-agg counts, and |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * Scale: one distinct shuffle on (user, type), one self-join on
+    * user_id with the bounded per-user fanout, one pair-keyed partial
+    * agg; the marginal frame is type-bounded and broadcast. */
+  def userOverlapJaccard(events: DataFrame): DataFrame = {
+    val du = events.select(col("user_id"), col("event_type")).distinct()
+    val sizes = du.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    val inter = du.select(col("user_id"), col("event_type").as("type_a"))
+      .join(du.select(col("user_id"), col("event_type").as("type_b")), "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+    inter
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n_users").as("n_a"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n_users").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        round(col("n_both").cast("double")
+          / (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
+  }
+
   /** Foreign-key cardinality profile (C119): for each declared
     * relationship, the fanout distribution and referential-integrity
     * counts — orphan children (fk with no parent), childless parents,

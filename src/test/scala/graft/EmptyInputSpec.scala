@@ -98,9 +98,21 @@ class EmptyInputSpec extends SparkSpec {
       assert(op(noDocs).count() === 0, s"round-12c text op #$i not total on empty input")
     val eventOps: Seq[DataFrame => DataFrame] = Seq(
       d => Relational.eventsOhlc(d), d => Relational.twap(d),
-      d => Relational.ivmAgg(d))
+      d => Relational.ivmAgg(d), d => Relational.latenessProfile(d),
+      d => Relational.userOverlapJaccard(d))
     for ((op, i) <- eventOps.zipWithIndex)
       assert(op(noEvents).count() === 0, s"round-12c event op #$i not total on empty input")
+    val moreTextOps: Seq[DataFrame => DataFrame] = Seq(
+      d => TextOps.qualityThresholdSweep(d), d => LangModel.doremiStep(d),
+      d => LangModel.trigramTopk(d), d => LangModel.hillTailIndex(d))
+    for ((op, i) <- moreTextOps.zipWithIndex)
+      assert(op(noDocs).count() === 0, s"round-12c text op #${i + 4} not total on empty input")
+    // renyiEfficiency is a global aggregate: one zero/null-stat row, no throw
+    assert(TextOps.renyiEfficiency(noDocs).collect().length === 1)
+    assert(Relational.shipLatency(
+      Seq.empty[(Long, String, Timestamp)]
+        .toDF("o_orderkey", "o_orderpriority", "o_orderdate"),
+      Seq.empty[(Long, Timestamp)].toDF("l_orderkey", "l_shipdate")).count() === 0)
     // global aggregates: a fixed-arity row set with zero/null stats, not a throw
     val ra = TextOps.raterAgreement(noDocs).collect()
     assert(ra.length === 3 && ra.forall(_.getAs[Long]("n") === 0L))

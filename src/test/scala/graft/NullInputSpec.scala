@@ -44,7 +44,10 @@ class NullInputSpec extends SparkSpec {
       d => LangModel.stupidBackoff(d),
       d => TextOps.distinctNgrams(d), d => TextOps.raterAgreement(d),
       d => TextOps.rejectionSample(d), d => TextOps.blocklistFilter(d),
-      d => Graph.tokenBfs(d))
+      d => Graph.tokenBfs(d),
+      d => TextOps.renyiEfficiency(d), d => TextOps.qualityThresholdSweep(d),
+      d => LangModel.doremiStep(d), d => LangModel.trigramTopk(d),
+      d => LangModel.hillTailIndex(d))
     for ((op, i) <- ops.zipWithIndex) {
       val out = op(docs)
       // must evaluate without throwing; row counts vary by op semantics

@@ -387,6 +387,61 @@ class Round12cSpec extends SparkSpec {
     assert(out("click").getAs[Double]("late_ratio") === 0.0)
   }
 
+  test("trigramTopk counts overlapping trigrams with corpus share") {
+    val docs = docsDF(
+      (1L, "aa bb cc aa bb cc", "s1"), // trigram "aa bb cc" twice (pos 0 and 3)
+      (2L, "aa bb", "s1"))             // too short, no trigrams
+    val out = graft.operators.LangModel.trigramTopk(docs).collect()
+    val m = out.map(r => r.getAs[String]("trigram") -> r.getAs[Long]("cnt")).toMap
+    assert(m("aa bb cc") === 2L)
+    assert(m("bb cc aa") === 1L && m("cc aa bb") === 1L)
+    assert(out.map(_.getAs[Long]("cnt")).sum === 4L)
+    val top = out.maxBy(_.getAs[Long]("cnt"))
+    assert(top.getAs[String]("trigram") === "aa bb cc")
+    assert(top.getAs[Double]("share") === 0.5)
+  }
+
+  test("hillTailIndex estimates the tail exponent of a planted power law") {
+    // counts 16, 8, 4, 2, 1 over 5 tokens: x_k = 1, terms ln(16), ln(8),
+    // ln(4), ln(2) -> mean = 2.5 ln 2 -> alpha = 1/(2.5 ln 2)
+    val rows = Seq.tabulate(16)(i => (i.toLong, "aa", "s1")) ++
+      Seq.tabulate(8)(i => (100L + i, "bb", "s1")) ++
+      Seq.tabulate(4)(i => (200L + i, "cc", "s1")) ++
+      Seq.tabulate(2)(i => (300L + i, "dd", "s1")) ++
+      Seq((400L, "ee", "s1"))
+    val docs = docsDF(rows.zipWithIndex.map { case ((_, t, s), i) =>
+      (i.toLong, t, s) }: _*)
+    val r = graft.operators.LangModel.hillTailIndex(docs).collect().head
+    assert(r.getAs[Long]("k_used") === 5L)
+    assert(r.getAs[Long]("x_k") === 1L)
+    assert(r.getAs[Long]("n_terms") === 4L)
+    val expected = 4.0 / (math.log(16) + math.log(8) + math.log(4) + math.log(2))
+    assert(math.abs(r.getAs[Double]("hill_alpha") - expected) < 1e-4)
+    // degenerate: all counts equal -> terms 0 -> alpha 0
+    val flat = docsDF((1L, "aa bb cc", "s1"))
+    assert(graft.operators.LangModel.hillTailIndex(flat)
+      .collect().head.getAs[Double]("hill_alpha") === 0.0)
+  }
+
+  test("userOverlapJaccard computes pairwise audience overlap") {
+    val events = ev(
+      (1L, 1L, "2024-01-01 10:00:00", "view", 1.0),
+      (2L, 1L, "2024-01-01 10:01:00", "click", 1.0),
+      (3L, 2L, "2024-01-01 10:00:00", "view", 1.0),
+      (4L, 2L, "2024-01-01 10:01:00", "click", 1.0),
+      (5L, 3L, "2024-01-01 10:00:00", "view", 1.0),
+      (6L, 4L, "2024-01-01 10:00:00", "error", 1.0))
+    val out = Relational.userOverlapJaccard(events).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) -> r).toMap
+    val cv = out(("click", "view"))
+    assert(cv.getAs[Long]("n_a") === 2L)  // click: users 1,2
+    assert(cv.getAs[Long]("n_b") === 3L)  // view: users 1,2,3
+    assert(cv.getAs[Long]("n_both") === 2L)
+    assert(cv.getAs[Double]("jaccard") === math.round(2.0 / 3.0 * 1e6) / 1e6)
+    // error shares no user with anything -> no pair rows
+    assert(!out.keySet.exists { case (a, b) => a == "error" || b == "error" })
+  }
+
   test("pathPatternMatch: a gap splits sessions, so patterns see each half") {
     val events = ev(
       // same user, 2-hour gap: view>view then signup alone
