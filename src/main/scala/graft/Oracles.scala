@@ -779,6 +779,46 @@ object Oracles {
         rel("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem->orders")
     },
 
+    // Benford first-digit audit; expected probabilities are the SAME
+    // 9 dp literals the operator embeds (shared Relational.BenfordP)
+    "benford_check" -> {
+      val expCase = "CASE digit " + graft.operators.Relational.BenfordP.map {
+        case (d, p) => s"WHEN $d THEN CAST($p AS DOUBLE)" }.mkString(" ") + " END"
+      s"""WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+         |d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |      FROM c WHERE c > 0),
+         |obs AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+         |tot AS (SELECT count(*) AS n FROM d),
+         |grid AS (SELECT unnest(range(1, 10)) AS digit, n FROM tot),
+         |f0 AS (SELECT g.digit AS digit, CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs, g.n
+         |       FROM grid g LEFT JOIN obs o ON o.digit = g.digit),
+         |f AS (SELECT *, $expCase AS exp_p FROM f0),
+         |f2 AS (SELECT *, round((n_obs - n * exp_p) * (n_obs - n * exp_p)
+         |       / (n * exp_p), 9) AS chi2_term FROM f),
+         |x AS (SELECT round(list_reduce(list_sort(list(chi2_term)), (a, b) -> a + b), 6) AS chi2 FROM f2)
+         |SELECT f2.digit, f2.n_obs, round(CAST(f2.n_obs AS DOUBLE) / f2.n, 6) AS obs_p,
+         |  f2.exp_p, x.chi2
+         |FROM f2 CROSS JOIN x""".stripMargin
+    },
+
+    // Pareto revenue concentration: global rank+cumsum order mirrored,
+    // exact integer threshold comparison
+    "pareto_users" ->
+      """WITH s AS (SELECT user_id,
+        |      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY cents DESC, user_id) AS BIGINT) AS rnk,
+        |      CAST(sum(cents) OVER (ORDER BY cents DESC, user_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+        |      CAST(sum(cents) OVER () AS BIGINT) AS tot_cents FROM s),
+        |n AS (SELECT count(*) AS n_users FROM s),
+        |p AS (SELECT pct, CAST(min(rnk) AS BIGINT) AS n_users_needed
+        |      FROM r CROSS JOIN (SELECT unnest([50, 80, 90, 95, 99]) AS pct)
+        |      WHERE cum_cents * 100 >= pct * tot_cents GROUP BY 1)
+        |SELECT CAST(p.pct AS BIGINT) AS pct, p.n_users_needed, n.n_users,
+        |  round(CAST(p.n_users_needed AS DOUBLE) / n.n_users, 6) AS user_frac
+        |FROM p CROSS JOIN n""".stripMargin,
+
     // audience-overlap Jaccard for every co-occurring event-type pair
     "user_overlap_jaccard" ->
       """WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
@@ -934,6 +974,25 @@ object Oracles {
          |                           UNION SELECT token FROM n2))
          |SELECT * FROM v0 UNION ALL SELECT * FROM n1
          |UNION ALL SELECT * FROM n2 UNION ALL SELECT * FROM n3""".stripMargin,
+
+    // corpus conditional bigram entropy: exact counts, 6 dp contribs,
+    // md5-bucketed two-level folds
+    "bigram_cond_entropy" ->
+      s"""WITH t AS (SELECT $toks AS toks FROM documents WHERE len($toks) >= 2),
+         |b AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+         |      FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)),
+         |cb AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+         |cw AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+         |x AS (SELECT ('0x' || substr(md5(w1 || ' ' || w2), 1, 4))::BIGINT % 1024 AS sb,
+         |      c12, round(c12 * ln(CAST(c12 AS DOUBLE) / c1), 6) AS contrib
+         |      FROM cb JOIN cw USING (w1)),
+         |l1 AS (SELECT sb, CAST(sum(c12) AS BIGINT) AS sub_n, count(*) AS sub_t,
+         |       list_reduce(list_sort(list(contrib)), (a, b) -> a + b) AS sub_s
+         |       FROM x GROUP BY 1),
+         |g AS (SELECT CAST(sum(sub_n) AS BIGINT) AS n_bigrams,
+         |      CAST(sum(sub_t) AS BIGINT) AS n_bigram_types,
+         |      round(list_reduce(list_sort(list(sub_s)), (a, b) -> a + b), 6) AS s FROM l1)
+         |SELECT n_bigrams, n_bigram_types, round(-s / n_bigrams, 6) AS h_cond FROM g""".stripMargin,
 
     // WIMBD-style top-50 trigrams; global top-k with lexicographic ties
     "trigram_topk" ->

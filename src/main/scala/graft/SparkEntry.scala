@@ -231,6 +231,9 @@ object SparkEntry {
     "trigram_topk" -> ((s, d) => LangModel.trigramTopk(spread(t(s, d, "documents")))),
     "hill_tail_index" -> ((s, d) => LangModel.hillTailIndex(spread(t(s, d, "documents")))),
     "user_overlap_jaccard" -> ((s, d) => Relational.userOverlapJaccard(events(s, d))),
+    "bigram_cond_entropy" -> ((s, d) => LangModel.bigramCondEntropy(spread(t(s, d, "documents")))),
+    "benford_check" -> ((s, d) => Relational.benfordCheck(t(s, d, "orders"))),
+    "pareto_users" -> ((s, d) => Relational.paretoUsers(events(s, d))),
     "renyi_efficiency" -> ((s, d) => TextOps.renyiEfficiency(spread(t(s, d, "documents")))),
     "quality_threshold_sweep" -> ((s, d) =>
       TextOps.qualityThresholdSweep(spread(t(s, d, "documents")))),

@@ -733,6 +733,41 @@ object LangModel {
         round(col("sum_logs") / col("n_trigrams"), 6).as("mean_logs"))
   }
 
+  /** Corpus conditional bigram entropy H(w₂|w₁) (B157): the entropy-rate
+    * companion to [[tokenEntropy]]'s unigram view — how predictable is
+    * the next token given the current one, corpus-wide. Written as
+    * −Σ c₁₂·ln(c₁₂/c₁) / N over bigram TYPES (all counts exact BIGINTs),
+    * each 6 dp contribution folded two-level (md5-bucketed: the bigram
+    * type frame is data-sized at web scale). Reported next to the
+    * counts so perplexity falls out downstream. */
+  def bigramCondEntropy(docs: DataFrame): DataFrame = {
+    val toked = docs.select(TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bi = toked.select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cBig = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cW1 = cBig.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val contrib = cBig.join(cW1, "w1")
+      .select(
+        expr("CAST(conv(substr(md5(concat(w1, ' ', w2)), 1, 4), 16, 10) AS BIGINT) % 1024")
+          .as("sb"),
+        col("c12"),
+        round(col("c12") * log(col("c12").cast("double") / col("c1")), 6)
+          .as("contrib"))
+    contrib
+      .groupBy("sb")
+      .agg(sum(col("c12")).as("sub_n"), count(lit(1)).as("sub_t"),
+        Folds.sortedSum(col("contrib")).as("sub_s"))
+      .agg(sum(col("sub_n")).as("n_bigrams"),
+        sum(col("sub_t")).as("n_bigram_types"),
+        round(Folds.sortedSum(col("sub_s")), 6).as("s"))
+      .select(col("n_bigrams"), col("n_bigram_types"),
+        round(-col("s") / col("n_bigrams"), 6).as("h_cond"))
+  }
+
   /** Top-50 corpus trigrams (B155) — the WIMBD-style "what's actually in
     * this corpus" inspection: most common 3-grams with counts and corpus
     * share. Spark plans the global top-k as TakeOrderedAndProject (heap

@@ -1482,6 +1482,71 @@ object Relational {
     * Scale: the windowed frame is (event_type × day) — calendar-bounded,
     * not data-sized; the data-sized pass is the one partial-agg shuffle
     * building the daily totals. */
+  /** Shared Benford expected first-digit probabilities, rounded once at
+    * 9 dp so the operator and the DuckDB oracle embed the SAME literal
+    * constants (no cross-engine log10 drift). */
+  val BenfordP: Seq[(Int, Double)] = (1 to 9).map { d =>
+    d -> BigDecimal(math.log10(1.0 + 1.0 / d))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Benford first-digit audit of order totals (C123): observed
+    * first-digit shares of the cent amounts vs Benford's law, with the
+    * χ² statistic — the classic fabricated-data / fraud screen a finance
+    * warehouse runs over money columns. All 9 digits always present
+    * (grid left-join, zero-filled); χ² contributions round at 9 dp and
+    * fold sorted over the 9-row frame. Scale: one partial-agg pass over
+    * the fact table; everything after is digit-bounded. */
+  def benfordCheck(orders: DataFrame): DataFrame = {
+    val expCase = "CASE digit " + BenfordP.map { case (d, p) =>
+      s"WHEN $d THEN CAST($p AS DOUBLE)" }.mkString(" ") + " END"
+    val digits = orders
+      .select(cents(col("o_totalprice")).as("c"))
+      .filter(col("c") > 0)
+      .select(substring(col("c").cast("string"), 1, 1).cast("long").as("digit"))
+    val obs = digits.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = digits.agg(count(lit(1)).as("n"))
+    val grid = tot.select(explode(sequence(lit(1L), lit(9L))).as("digit"), col("n"))
+    val filled = grid.join(obs, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"), col("n"))
+      .withColumn("exp_p", expr(expCase))
+      .withColumn("chi2_term",
+        round((col("n_obs") - col("n") * col("exp_p"))
+          * (col("n_obs") - col("n") * col("exp_p"))
+          / (col("n") * col("exp_p")), 9))
+    val chi2 = filled.agg(round(Folds.sortedSum(col("chi2_term")), 6).as("chi2"))
+    filled.crossJoin(broadcast(chi2))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("n"), 6).as("obs_p"),
+        col("exp_p"), col("chi2"))
+  }
+
+  /** Pareto concentration of purchase revenue (C124): the smallest
+    * number of users covering 50/80/90/95/99% of total purchase cents —
+    * the "what fraction of users is 80% of revenue" readout. The global
+    * spend order rides [[Ranks.withGlobalRankCumSum]]'s two-pass
+    * range-partitioned rank+cumsum (no data-sized single-partition
+    * window); threshold selection is an exact integer comparison
+    * cum·100 ≥ pct·total and a 5-key partial-agg min. */
+  def paretoUsers(events: DataFrame): DataFrame = {
+    val spend = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), cents(col("value")).as("c"))
+      .groupBy("user_id").agg(sum(col("c")).as("cents"))
+    val ranked = Ranks.withGlobalRankCumSum(spend, "cents", "rnk",
+      "cum_cents", "tot_cents", Seq(col("cents").desc, col("user_id")))
+    val nUsers = spend.agg(count(lit(1)).as("n_users"))
+    ranked
+      .select(col("rnk"), col("cum_cents"), col("tot_cents"),
+        explode(array(lit(50L), lit(80L), lit(90L), lit(95L), lit(99L))).as("pct"))
+      .filter(col("cum_cents") * 100 >= col("pct") * col("tot_cents"))
+      .groupBy("pct")
+      .agg(min(col("rnk")).as("n_users_needed"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("pct"), col("n_users_needed"), col("n_users"),
+        round(col("n_users_needed").cast("double") / col("n_users"), 6)
+          .as("user_frac"))
+  }
+
   /** Audience-overlap Jaccard matrix (C122): for every pair of event
     * types that share at least one user, the Jaccard similarity of
     * their user sets — the generalized form of the two-audience set ops

@@ -442,6 +442,58 @@ class Round12cSpec extends SparkSpec {
     assert(!out.keySet.exists { case (a, b) => a == "error" || b == "error" })
   }
 
+  test("bigramCondEntropy: deterministic successors give zero, uniform gives ln 2") {
+    // every bigram context has exactly one successor -> H = 0
+    val det = docsDF((1L, "aa bb aa bb aa bb", "s1"))
+    val d = graft.operators.LangModel.bigramCondEntropy(det).collect().head
+    assert(d.getAs[Long]("n_bigrams") === 5L)
+    assert(d.getAs[Double]("h_cond") === 0.0)
+    // context aa goes to bb and cc equally -> H weighted over aa-contexts
+    val mix = docsDF((1L, "aa bb", "s1"), (2L, "aa cc", "s1"))
+    val m = graft.operators.LangModel.bigramCondEntropy(mix).collect().head
+    assert(m.getAs[Long]("n_bigrams") === 2L)
+    assert(m.getAs[Long]("n_bigram_types") === 2L)
+    assert(math.abs(m.getAs[Double]("h_cond") - math.log(2)) < 1e-5)
+  }
+
+  test("benfordCheck fills all 9 digits and computes chi2 against Benford") {
+    val orders = Seq(
+      (1L, 19.99), (2L, 12.00), (3L, 150.0), // cents 1999, 1200, 15000 -> digit 1
+      (4L, 25.00),                           // 2500 -> 2
+      (5L, 99.0))                            // 9900 -> 9
+      .toDF("o_orderkey", "o_totalprice")
+    val out = Relational.benfordCheck(orders).orderBy("digit").collect()
+    assert(out.length === 9)
+    val m = out.map(r => r.getAs[Long]("digit") -> r.getAs[Long]("n_obs")).toMap
+    assert(m(1L) === 3L && m(2L) === 1L && m(9L) === 1L && m(5L) === 0L)
+    assert(out.head.getAs[Double]("obs_p") === 0.6)
+    val chi2s = out.map(_.getAs[Double]("chi2")).distinct
+    assert(chi2s.length === 1 && chi2s.head > 0.0)
+    // exp_p matches the shared constant table
+    val expP = out.map(r => r.getAs[Long]("digit").toInt -> r.getAs[Double]("exp_p")).toMap
+    assert(expP === Relational.BenfordP.toMap)
+  }
+
+  test("paretoUsers finds the smallest head covering each revenue share") {
+    // spends 80, 10, 5, 5 cents-> top-1 covers 80%, top-2 90%, top-4 99%+
+    val events = ev(
+      (1L, 1L, "2024-01-01 10:00:00", "purchase", 0.80),
+      (2L, 2L, "2024-01-01 10:00:00", "purchase", 0.10),
+      (3L, 3L, "2024-01-01 10:00:00", "purchase", 0.05),
+      (4L, 4L, "2024-01-01 10:00:00", "purchase", 0.05),
+      (5L, 5L, "2024-01-01 10:00:00", "view", 99.0)) // not revenue
+    val out = Relational.paretoUsers(events).collect()
+      .map(r => r.getAs[Long]("pct") -> r).toMap
+    graft.CacheTracker.releaseAll()
+    assert(out(50L).getAs[Long]("n_users_needed") === 1L)
+    assert(out(80L).getAs[Long]("n_users_needed") === 1L)
+    assert(out(90L).getAs[Long]("n_users_needed") === 2L)
+    assert(out(95L).getAs[Long]("n_users_needed") === 3L)
+    assert(out(99L).getAs[Long]("n_users_needed") === 4L)
+    assert(out(80L).getAs[Long]("n_users") === 4L)
+    assert(out(80L).getAs[Double]("user_frac") === 0.25)
+  }
+
   test("pathPatternMatch: a gap splits sessions, so patterns see each half") {
     val events = ev(
       // same user, 2-hour gap: view>view then signup alone
