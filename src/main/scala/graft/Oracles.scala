@@ -779,6 +779,47 @@ object Oracles {
         rel("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem->orders")
     },
 
+    // confident-learning-lite: nearest-label-centroid confusion matrix
+    "label_noise" ->
+      """WITH x AS (SELECT vec_id, label, vec_id % 1024 AS sb, i AS pos, CAST(x AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS x,
+        |        unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+        |s1 AS (SELECT label, pos, sb, count(*) AS sub_n,
+        |       list_reduce(list_sort(list(x)), (p, q) -> p + q) AS sub_s
+        |       FROM x GROUP BY 1, 2, 3),
+        |cm AS (SELECT label, pos,
+        |       round(list_reduce(list_sort(list(sub_s)), (p, q) -> p + q) / sum(sub_n), 9) AS cm
+        |       FROM s1 GROUP BY 1, 2),
+        |c AS (SELECT label AS cand, list(cm ORDER BY pos) AS c FROM cm GROUP BY 1),
+        |v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |      FROM embeddings),
+        |d AS (SELECT vec_id, label, cand,
+        |      round(list_reduce(list_transform(range(1, len(e) + 1),
+        |        i -> (e[i] - c[i]) * (e[i] - c[i])), (p, q) -> p + q), 9) AS dist
+        |      FROM v CROSS JOIN c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cand) AS rn FROM d),
+        |p AS (SELECT vec_id, label, cand FROM r WHERE rn = 1),
+        |nl AS (SELECT label, count(*) AS n_label FROM p GROUP BY 1),
+        |g AS (SELECT p.label, p.cand AS predicted, CAST(count(*) AS BIGINT) AS n_vecs
+        |      FROM p GROUP BY 1, 2)
+        |SELECT g.label, g.predicted, g.n_vecs,
+        |  round(CAST(g.n_vecs AS DOUBLE) / nl.n_label, 6) AS frac
+        |FROM g JOIN nl ON nl.label = g.label""".stripMargin,
+
+    // join-key skew diagnostic over the per-key count frame
+    "key_skew_profile" ->
+      """WITH c AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),
+        |t1 AS (SELECT k AS top_key, CAST(cnt AS BIGINT) AS top_count FROM c
+        |       ORDER BY cnt DESC, k LIMIT 1),
+        |s AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |      round(quantile_cont(cnt, 0.5), 4) AS p50_count,
+        |      round(quantile_cont(cnt, 0.99), 4) AS p99_count FROM c)
+        |SELECT s.n_keys, s.n_rows, t1.top_key, t1.top_count, s.p50_count, s.p99_count,
+        |  round(CAST(t1.top_count AS DOUBLE) * s.n_keys / s.n_rows, 6) AS top_key_hotness,
+        |  CASE WHEN s.p50_count > 0 THEN round(s.p99_count / s.p50_count, 6)
+        |       ELSE 0.0 END AS p99_p50_ratio
+        |FROM s CROSS JOIN t1""".stripMargin,
+
     // Benford first-digit audit; expected probabilities are the SAME
     // 9 dp literals the operator embeds (shared Relational.BenfordP)
     "benford_check" -> {

@@ -234,6 +234,8 @@ object SparkEntry {
     "bigram_cond_entropy" -> ((s, d) => LangModel.bigramCondEntropy(spread(t(s, d, "documents")))),
     "benford_check" -> ((s, d) => Relational.benfordCheck(t(s, d, "orders"))),
     "pareto_users" -> ((s, d) => Relational.paretoUsers(events(s, d))),
+    "label_noise" -> ((s, d) => Similarity.labelNoise(t(s, d, "embeddings"))),
+    "key_skew_profile" -> ((s, d) => Relational.keySkewProfile(events(s, d))),
     "renyi_efficiency" -> ((s, d) => TextOps.renyiEfficiency(spread(t(s, d, "documents")))),
     "quality_threshold_sweep" -> ((s, d) =>
       TextOps.qualityThresholdSweep(spread(t(s, d, "documents")))),

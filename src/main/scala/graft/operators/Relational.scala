@@ -1482,6 +1482,33 @@ object Relational {
     * Scale: the windowed frame is (event_type × day) — calendar-bounded,
     * not data-sized; the data-sized pass is the one partial-agg shuffle
     * building the daily totals. */
+  /** Join-key skew profile (C125): the distribution of per-key row
+    * counts for a prospective shuffle key — top-1 key share, p50/p99
+    * count percentiles and their ratio — the diagnostic read BEFORE
+    * reaching for [[Skew.saltedJoin]] or AQE skew hints. One partial-agg
+    * shuffle on the key; the percentile/argmax pass runs over the
+    * (distinct keys)-sized count frame, never the raw rows; top-1 is a
+    * bounded-heap TakeOrdered, not a sort. */
+  def keySkewProfile(events: DataFrame, key: String = "user_id"): DataFrame = {
+    val counts = graft.CacheTracker.track(
+      events.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val top1 = counts.orderBy(col("cnt").desc, col("k")).limit(1)
+      .select(col("k").as("top_key"), col("cnt").as("top_count"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+      round(percentile(col("cnt"), lit(0.5)), 4).as("p50_count"),
+      round(percentile(col("cnt"), lit(0.99)), 4).as("p99_count"))
+    stats.crossJoin(broadcast(top1))
+      .select(col("n_keys"), col("n_rows"), col("top_key"), col("top_count"),
+        col("p50_count"), col("p99_count"),
+        round(col("top_count").cast("double") * col("n_keys") / col("n_rows"), 6)
+          .as("top_key_hotness"),
+        when(col("p50_count") > 0,
+          round(col("p99_count") / col("p50_count"), 6)).otherwise(lit(0.0))
+          .as("p99_p50_ratio"))
+  }
+
   /** Shared Benford expected first-digit probabilities, rounded once at
     * 9 dp so the operator and the DuckDB oracle embed the SAME literal
     * constants (no cross-engine log10 drift). */

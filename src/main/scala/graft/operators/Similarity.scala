@@ -932,4 +932,47 @@ object Similarity {
         round(sqrt(aggregate(sort_array(collect_list(col("z") * col("z"))), lit(0.0),
           (a, b) => a + b)), 6).as("z_norm"))
   }
+
+  /** Confident-learning-lite label-noise estimate (B158): assign every
+    * embedding to its nearest LABEL centroid and report the confusion
+    * matrix — off-diagonal mass is the estimated label-noise signal a
+    * labeled training set gets screened with before fine-tuning. The
+    * nearest-centroid model is trained on the (possibly noisy) labels
+    * themselves, exactly the confident-learning setup.
+    *
+    * Determinism: centroids are 9 dp two-level folds (the
+    * [[embedCentroids]] machinery), distances fold index-order over
+    * zip_with (9 dp), argmin ties break on the label. Scale: the
+    * centroid frame is label×dim-bounded and broadcast; the per-vec
+    * candidate explosion is ×labels (bounded); the argmin window
+    * partitions on vec_id. */
+  def labelNoise(emb: DataFrame): DataFrame = {
+    val cent = emb.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("label"), col("pos"), Folds.subBucket(col("vec_id")),
+        col("xf").cast("double").as("x"))
+      .groupBy("label", "pos", "sb")
+      .agg(count(lit(1)).as("sub_n"), Folds.sortedSum(col("x")).as("sub_s"))
+      .groupBy("label", "pos")
+      .agg(round(Folds.sortedSum(col("sub_s")) / sum(col("sub_n")), 9).as("cm"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cm")))).as("pc"))
+      .select(col("label").as("cand"),
+        transform(col("pc"), x => x.getField("cm")).as("c"))
+    val vecs = emb.select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cand"))
+    val pred = vecs.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("cand"),
+        round(aggregate(zip_with(col("e"), col("c"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x), 9).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val perLabel = pred.groupBy("label").agg(count(lit(1)).as("n_label"))
+    pred.groupBy("label", "cand")
+      .agg(count(lit(1)).as("n_vecs"))
+      .join(broadcast(perLabel), "label")
+      .select(col("label"), col("cand").as("predicted"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("n_label"), 6).as("frac"))
+  }
 }

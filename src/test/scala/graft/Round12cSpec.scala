@@ -494,6 +494,40 @@ class Round12cSpec extends SparkSpec {
     assert(out(80L).getAs[Double]("user_frac") === 0.25)
   }
 
+  test("labelNoise: clean clusters are diagonal, a planted flip shows up off-diagonal") {
+    // two tight clusters; vec 5 carries label 1 but sits in cluster 0
+    def v(base: Double, jit: Double) = Array.tabulate(4)(i =>
+      (base + (if (i == 0) jit else 0.0)).toFloat)
+    val emb = Seq(
+      (0L, v(0.0, 0.00), 0), (1L, v(0.0, 0.01), 0), (2L, v(0.0, 0.02), 0),
+      (10L, v(10.0, 0.00), 1), (11L, v(10.0, 0.01), 1),
+      (5L, v(0.0, 0.03), 1)) // mislabeled
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.labelNoise(emb).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("predicted")) ->
+        r.getAs[Long]("n_vecs")).toMap
+    assert(out((0, 0)) === 3L, "clean cluster stays diagonal")
+    assert(out((1, 0)) === 1L, "the planted flip is flagged off-diagonal")
+    assert(out((1, 1)) === 2L)
+    assert(!out.contains((0, 1)))
+  }
+
+  test("keySkewProfile surfaces a hot key") {
+    val events = ev(
+      Seq.tabulate(8)(i => (i.toLong, 1L, "2024-01-01 10:00:00", "view", 1.0)) ++
+        Seq((100L, 2L, "2024-01-01 10:00:00", "view", 1.0),
+          (101L, 3L, "2024-01-01 10:00:00", "view", 1.0)): _*)
+    val r = Relational.keySkewProfile(events).collect().head
+    graft.CacheTracker.releaseAll()
+    assert(r.getAs[Long]("n_keys") === 3L)
+    assert(r.getAs[Long]("n_rows") === 10L)
+    assert(r.getAs[Long]("top_key") === 1L)
+    assert(r.getAs[Long]("top_count") === 8L)
+    // 8 rows on one of 3 keys vs uniform 10/3: hotness = 8*3/10 = 2.4
+    assert(r.getAs[Double]("top_key_hotness") === 2.4)
+    assert(r.getAs[Double]("p50_count") === 1.0)
+  }
+
   test("pathPatternMatch: a gap splits sessions, so patterns see each half") {
     val events = ev(
       // same user, 2-hour gap: view>view then signup alone
