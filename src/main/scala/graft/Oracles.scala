@@ -779,6 +779,65 @@ object Oracles {
         rel("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem->orders")
     },
 
+    // degree stats of the df/pair-gated token co-occurrence graph
+    "token_degree_stats" ->
+      s"""WITH d AS (SELECT DISTINCT doc_id, token FROM $tokTable),
+         |q AS (SELECT token FROM (SELECT token, count(*) AS df FROM d GROUP BY 1) WHERE df >= 5),
+         |dq AS (SELECT d.doc_id, d.token FROM d JOIN q USING (token)),
+         |e AS (SELECT x.token AS a, y.token AS b FROM dq x JOIN dq y
+         |      ON x.doc_id = y.doc_id AND x.token < y.token
+         |      GROUP BY 1, 2 HAVING count(*) >= 5),
+         |deg AS (SELECT token, count(*) AS degree FROM
+         |        (SELECT a AS token FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         |ne AS (SELECT count(*) AS n_edges FROM e),
+         |g AS (SELECT count(*) AS n_nodes,
+         |      CAST(min(degree) AS BIGINT) AS min_degree,
+         |      CAST(max(degree) AS BIGINT) AS max_degree,
+         |      round(avg(degree), 6) AS avg_degree,
+         |      round(quantile_cont(degree, 0.9), 4) AS p90_degree FROM deg)
+         |SELECT g.n_nodes, ne.n_edges, g.min_degree, g.max_degree,
+         |  g.avg_degree, g.p90_degree
+         |FROM g CROSS JOIN ne""".stripMargin,
+
+    // hourly burst summary: population sigma from exact integer moments,
+    // greatest(...,0) clamps float-negative zero variance (NaN semantics
+    // differ between engines)
+    "burst_hours" ->
+      """WITH h AS (SELECT event_type, epoch_ns(ts) // 1000 // 3600000000 AS hour_idx,
+        |           count(*) AS cnt FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, count(*) AS n_hours, CAST(sum(cnt) AS BIGINT) AS s,
+        |      CAST(sum(cnt * cnt) AS BIGINT) AS ss, CAST(max(cnt) AS BIGINT) AS max_cnt
+        |      FROM h GROUP BY 1),
+        |m2 AS (SELECT event_type, n_hours, max_cnt,
+        |       round(CAST(s AS DOUBLE) / n_hours, 9) AS mu,
+        |       round(sqrt(greatest(CAST(ss AS DOUBLE) / n_hours
+        |         - (CAST(s AS DOUBLE) / n_hours) * (CAST(s AS DOUBLE) / n_hours), 0.0)), 9) AS sigma
+        |       FROM m),
+        |b AS (SELECT h.event_type,
+        |      CAST(sum(CASE WHEN h.cnt > m2.mu + 2.0 * m2.sigma THEN 1 ELSE 0 END) AS BIGINT) AS n_burst_hours
+        |      FROM h JOIN m2 USING (event_type) GROUP BY 1)
+        |SELECT m2.event_type, m2.n_hours, round(m2.mu, 6) AS mu,
+        |  round(m2.sigma, 6) AS sigma, b.n_burst_hours,
+        |  CASE WHEN m2.sigma > 0 THEN round((m2.max_cnt - m2.mu) / m2.sigma, 6)
+        |       ELSE 0.0 END AS max_z
+        |FROM m2 JOIN b USING (event_type)""".stripMargin,
+
+    // deterministic md5 fold assignment + per-language balance audit
+    "stratified_kfold" ->
+      """WITH f AS (SELECT lang,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 5 AS fold
+        |  FROM documents),
+        |cells AS (SELECT fold, lang, count(*) AS n_docs FROM f GROUP BY 1, 2),
+        |pf AS (SELECT fold, CAST(sum(n_docs) AS BIGINT) AS n_fold FROM cells GROUP BY 1),
+        |pl AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_lang FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM cells)
+        |SELECT c.fold, c.lang, c.n_docs,
+        |  round(CAST(c.n_docs AS DOUBLE) / pf.n_fold, 6) AS fold_frac,
+        |  round(CAST(pl.n_lang AS DOUBLE) / t.n_total, 6) AS corpus_frac,
+        |  round(CAST(c.n_docs AS DOUBLE) / pf.n_fold
+        |    - CAST(pl.n_lang AS DOUBLE) / t.n_total, 6) AS deviation
+        |FROM cells c JOIN pf USING (fold) JOIN pl USING (lang) CROSS JOIN t""".stripMargin,
+
     // confident-learning-lite: nearest-label-centroid confusion matrix
     "label_noise" ->
       """WITH x AS (SELECT vec_id, label, vec_id % 1024 AS sb, i AS pos, CAST(x AS DOUBLE) AS x

@@ -236,6 +236,9 @@ object SparkEntry {
     "pareto_users" -> ((s, d) => Relational.paretoUsers(events(s, d))),
     "label_noise" -> ((s, d) => Similarity.labelNoise(t(s, d, "embeddings"))),
     "key_skew_profile" -> ((s, d) => Relational.keySkewProfile(events(s, d))),
+    "token_degree_stats" -> ((s, d) => Graph.tokenDegreeStats(spread(t(s, d, "documents")))),
+    "burst_hours" -> ((s, d) => Relational.burstHours(events(s, d))),
+    "stratified_kfold" -> ((s, d) => TextOps.stratifiedKfold(t(s, d, "documents"))),
     "renyi_efficiency" -> ((s, d) => TextOps.renyiEfficiency(spread(t(s, d, "documents")))),
     "quality_threshold_sweep" -> ((s, d) =>
       TextOps.qualityThresholdSweep(spread(t(s, d, "documents")))),

@@ -170,6 +170,41 @@ object Graph {
     * edge frame plus an anti-join against the vocab-bounded visited set;
     * no per-node state, no data-sized windows. The same formulation runs
     * verbatim in the DuckDB oracle. */
+  /** Degree statistics of the token co-occurrence graph (C126): node and
+    * edge counts plus the degree distribution (min/max/avg/p90) over the
+    * same df/pair-gated edge frame [[tokenBfs]] and [[tokenTriangles]]
+    * traverse — the graph-shape summary read before running any
+    * iterative algorithm on it (a max degree near n_nodes means the
+    * pagerank/BFS joins will hotspot). All passes are vocab-bounded
+    * after the one data-sized token shuffle. */
+  def tokenDegreeStats(docs: DataFrame, minPairDocs: Int = 5): DataFrame = {
+    val d0 = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .distinct()
+    val qualified = d0.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minPairDocs)
+      .select("token")
+    val d = d0.join(qualified, Seq("token"), "left_semi")
+    val half = d.select(col("doc_id"), col("token").as("a"))
+      .join(d.select(col("doc_id"), col("token").as("b")), "doc_id")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairDocs)
+      .select("a", "b")
+    val deg = half.select(col("a").as("token"))
+      .union(half.select(col("b").as("token")))
+      .groupBy("token").agg(count(lit(1)).as("degree"))
+    val edges = half.agg(count(lit(1)).as("n_edges"))
+    deg.agg(
+        count(lit(1)).as("n_nodes"),
+        min(col("degree")).as("min_degree"),
+        max(col("degree")).as("max_degree"),
+        round(avg(col("degree")), 6).as("avg_degree"),
+        round(percentile(col("degree"), lit(0.9)), 4).as("p90_degree"))
+      .crossJoin(broadcast(edges))
+      .select(col("n_nodes"), col("n_edges"), col("min_degree"),
+        col("max_degree"), col("avg_degree"), col("p90_degree"))
+  }
+
   def tokenBfs(docs: DataFrame, minPairDocs: Int = 5, maxHops: Int = 3): DataFrame = {
     val d0 = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
       .distinct()

@@ -1482,6 +1482,44 @@ object Relational {
     * Scale: the windowed frame is (event_type × day) — calendar-bounded,
     * not data-sized; the data-sized pass is the one partial-agg shuffle
     * building the daily totals. */
+  /** Hourly volume-burst summary per event type (C127): how bursty is
+    * each stream against its own hourly baseline — hours observed,
+    * mean/σ of the hourly count (population σ from exact integer
+    * moments, 9 dp), how many hours exceed mean + 2σ, and the peak
+    * z-score. The traffic-anomaly readout next to [[eventsAnomaly]]'s
+    * per-user VALUE z-scores; flat streams (σ = 0) report zero bursts
+    * rather than dividing by zero.
+    *
+    * Scale: one partial-agg shuffle to (hour, type), then everything
+    * lives on the calendar×type-bounded hourly frame. */
+  def burstHours(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(expr("unix_micros(ts) div 3600000000").as("hour_idx"),
+        col("event_type"))
+      .groupBy("event_type", "hour_idx").agg(count(lit(1)).as("cnt"))
+    val m = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("ss"), max(col("cnt")).as("max_cnt"))
+      .select(col("event_type"), col("n_hours"), col("max_cnt"),
+        round(col("s").cast("double") / col("n_hours"), 9).as("mu"),
+        // greatest(…, 0): float error can push a zero variance a hair
+        // negative, and NaN comparison semantics DIFFER between engines
+        round(sqrt(greatest(col("ss").cast("double") / col("n_hours")
+          - (col("s").cast("double") / col("n_hours"))
+          * (col("s").cast("double") / col("n_hours")), lit(0.0))), 9).as("sigma"))
+    hourly.join(broadcast(m), "event_type")
+      .groupBy(col("event_type"), col("n_hours"), col("mu"), col("sigma"),
+        col("max_cnt"))
+      .agg(sum(when(col("cnt") > col("mu") + lit(2.0) * col("sigma"), 1L)
+        .otherwise(0L)).as("n_burst_hours"))
+      .select(col("event_type"), col("n_hours"),
+        round(col("mu"), 6).as("mu"), round(col("sigma"), 6).as("sigma"),
+        col("n_burst_hours"),
+        when(col("sigma") > 0,
+          round((col("max_cnt") - col("mu")) / col("sigma"), 6))
+          .otherwise(lit(0.0)).as("max_z"))
+  }
+
   /** Join-key skew profile (C125): the distribution of per-key row
     * counts for a prospective shuffle key — top-1 key share, p50/p99
     * count percentiles and their ratio — the diagnostic read BEFORE

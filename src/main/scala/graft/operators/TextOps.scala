@@ -2088,6 +2088,33 @@ object TextOps {
           .otherwise(lit(0.0)).as("z_reward"))
   }
 
+  /** Stratified k-fold assignment + balance audit (B159): every doc gets
+    * a deterministic hash fold (md5 of doc_id — NOT doc_id % k, which
+    * would correlate with any id-ordered ingest artifact), and the audit
+    * reports each fold's per-language composition against the corpus
+    * share — the check that cross-validation folds are exchangeable
+    * before training on them. One partial-agg shuffle on the
+    * (fold, lang) key; the k×langs and langs marginal frames are
+    * bounded and broadcast. */
+  def stratifiedKfold(docs: DataFrame, k: Int = 5): DataFrame = {
+    val folded = docs.select(col("lang"),
+      expr(s"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % $k")
+        .as("fold"))
+    val cells = folded.groupBy("fold", "lang").agg(count(lit(1)).as("n_docs"))
+    val perFold = cells.groupBy("fold").agg(sum(col("n_docs")).as("n_fold"))
+    val perLang = cells.groupBy("lang").agg(sum(col("n_docs")).as("n_lang"))
+    val total = cells.agg(sum(col("n_docs")).as("n_total"))
+    cells
+      .join(broadcast(perFold), "fold")
+      .join(broadcast(perLang), "lang")
+      .crossJoin(broadcast(total))
+      .select(col("fold"), col("lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_fold"), 6).as("fold_frac"),
+        round(col("n_lang").cast("double") / col("n_total"), 6).as("corpus_frac"),
+        round(col("n_docs").cast("double") / col("n_fold")
+          - col("n_lang").cast("double") / col("n_total"), 6).as("deviation"))
+  }
+
   /** Rényi-2 tokenizer efficiency (B152): the collision-entropy variant
     * of the Rényi-efficiency tokenizer metric — H₂ = 2·ln N − ln Σc²
     * over the token frequency distribution, normalized by ln V. A

@@ -528,6 +528,57 @@ class Round12cSpec extends SparkSpec {
     assert(r.getAs[Double]("p50_count") === 1.0)
   }
 
+  test("tokenDegreeStats summarizes the gated co-occurrence graph") {
+    // star: hub co-occurs with each of 3 spokes in 5 docs; spokes never
+    // co-occur with each other
+    val rows =
+      (1L to 5L).map(i => (i, "hub spa", "s1")) ++
+      (6L to 10L).map(i => (i, "hub spb", "s1")) ++
+      (11L to 15L).map(i => (i, "hub spc", "s1"))
+    val docs = docsDF(rows: _*)
+    val r = graft.operators.Graph.tokenDegreeStats(docs).collect().head
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Long]("n_edges") === 3L)
+    assert(r.getAs[Long]("max_degree") === 3L) // the hub
+    assert(r.getAs[Long]("min_degree") === 1L)
+    assert(r.getAs[Double]("avg_degree") === 1.5)
+  }
+
+  test("burstHours flags a spike hour against the per-type baseline") {
+    // click: 9 quiet hours of 1 event + one hour with 20
+    val quiet = (0 until 9).map(h =>
+      (h.toLong, 1L, f"2024-01-01 $h%02d:10:00", "click", 1.0))
+    val spike = (0 until 20).map(i =>
+      (100L + i, 2L, "2024-01-01 09:15:00", "click", 1.0))
+    val events = ev((quiet ++ spike): _*)
+    val r = Relational.burstHours(events).collect().head
+    assert(r.getAs[String]("event_type") === "click")
+    assert(r.getAs[Long]("n_hours") === 10L)
+    assert(r.getAs[Long]("n_burst_hours") === 1L)
+    assert(r.getAs[Double]("max_z") > 2.0)
+    // flat stream: sigma 0, no bursts, z pinned to 0
+    val flat = ev((0 until 4).map(h =>
+      (h.toLong, 1L, f"2024-01-01 $h%02d:00:00", "view", 1.0)): _*)
+    val f = Relational.burstHours(flat).collect().head
+    assert(f.getAs[Double]("sigma") === 0.0)
+    assert(f.getAs[Long]("n_burst_hours") === 0L)
+    assert(f.getAs[Double]("max_z") === 0.0)
+  }
+
+  test("stratifiedKfold partitions every doc once and audits balance") {
+    val docs = docsDF((1L to 40L).map(i => (i, s"doc number $i", "s1")): _*)
+    val out = graft.operators.TextOps.stratifiedKfold(docs).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === 40L)
+    assert(out.map(_.getAs[Long]("fold")).distinct.forall(f => f >= 0 && f < 5))
+    // single-language fixture: every fold is 100% en, deviation 0
+    for (r <- out) {
+      assert(r.getAs[String]("lang") === "en")
+      assert(r.getAs[Double]("fold_frac") === 1.0)
+      assert(r.getAs[Double]("corpus_frac") === 1.0)
+      assert(r.getAs[Double]("deviation") === 0.0)
+    }
+  }
+
   test("pathPatternMatch: a gap splits sessions, so patterns see each half") {
     val events = ev(
       // same user, 2-hour gap: view>view then signup alone
