@@ -132,6 +132,17 @@ object ScaleCheck {
       // the (key, bin) equi-join never all-pairs a key across time)
       val (tFunnel, nFunnel) =
         timedForce(graft.operators.Sessionize.windowFunnel(events))
+      // the session-path regex shape: per-user windows + bounded per-
+      // pattern flags — users multiply with m, so the curve must be
+      // linear (no cross-user state, no data-sized window)
+      val (tPpm, nPpm) =
+        timedForce(graft.operators.Sessionize.pathPatternMatch(events))
+      // the md5-sub-bucketed two-level fold over the bigram-TYPE frame:
+      // under m-way duplication the type frame is CONSTANT while counts
+      // grow, so the curve must flatten (cost tracks distinct bigrams,
+      // not corpus mass) once the token explode is paid
+      val (tBce, nBce) =
+        timedForce(graft.operators.LangModel.bigramCondEntropy(docs))
 
       // embedding stats: time both shapes (must stay linear in m), and
       // measure each shape's largest aggregation group — the collect_list
@@ -159,6 +170,8 @@ object ScaleCheck {
         s""""mixture_epoch":{"sec":$tMix,"rows":$nMix},""" +
         s""""asof_join":{"sec":$tAsof,"rows":$nAsof},""" +
         s""""window_funnel":{"sec":$tFunnel,"rows":$nFunnel},""" +
+        s""""path_pattern_match":{"sec":$tPpm,"rows":$nPpm},""" +
+        s""""bigram_cond_entropy":{"sec":$tBce,"rows":$nBce},""" +
         s""""embed_standardize_2level":{"sec":$tStd2,"rows":$nStd2,"max_agg_buffer_rows":$buf2,"rollup_rows":${Folds.DefaultBuckets}},""" +
         s""""dim_stats_1level":{"sec":$tStd1,"rows":$nStd1,"max_agg_buffer_rows":$buf1}}""")
       docs.unpersist(); events.unpersist()

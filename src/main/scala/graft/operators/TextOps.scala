@@ -1888,19 +1888,28 @@ object TextOps {
       ranked.filter(col("rn") % 2 === (if (odd) 1 else 0))
         .select(col("lang"), col("pair_id"), col("source").as(s"src_$tag"),
           col("quality").as(s"q_$tag"))
-    val games = half(odd = true, "a").join(half(odd = false, "b"),
-        Seq("lang", "pair_id"))
-      .filter(col("src_a") =!= col("src_b"))
-      .select(col("src_a"), col("src_b"),
-        when(col("q_a") >= col("q_b"), col("src_a")).otherwise(col("src_b"))
-          .as("winner"))
+    // persist the corpus-wide pairing ONCE: wins, the pair-count matrix,
+    // and every MM round all derive from `games`, and each would re-run
+    // the per-lang pairing window (and the quality regexes under it) on
+    // an unpersisted lineage — the recompute multiplies with rounds
+    val games = graft.CacheTracker.track(
+      half(odd = true, "a").join(half(odd = false, "b"),
+          Seq("lang", "pair_id"))
+        .filter(col("src_a") =!= col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          when(col("q_a") >= col("q_b"), col("src_a")).otherwise(col("src_b"))
+            .as("winner"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    games.count()
     val wins = games.groupBy(col("winner").as("item"))
       .agg(count(lit(1)).as("n_wins"))
     val pc = games.select(least(col("src_a"), col("src_b")).as("i"),
         greatest(col("src_a"), col("src_b")).as("j"))
       .groupBy("i", "j").agg(count(lit(1)).as("n_ij"))
-    val dir = pc.select(col("i").as("item"), col("j").as("opp"), col("n_ij"))
-      .unionByName(pc.select(col("j").as("item"), col("i").as("opp"), col("n_ij")))
+    val dir = graft.CacheTracker.track(
+      pc.select(col("i").as("item"), col("j").as("opp"), col("n_ij"))
+        .unionByName(pc.select(col("j").as("item"), col("i").as("opp"), col("n_ij")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val items = dir.select("item").distinct()
     var pi = items.withColumn("rating", lit(1.0))
     for (_ <- 1 to rounds) {
@@ -1917,8 +1926,14 @@ object TextOps {
           round(coalesce(col("n_wins"), lit(0L)) / col("denom"), 9).as("u"))
       val tot = unnorm.agg(Folds.sortedSum(col("u")).as("tot"),
         count(lit(1)).as("ni"))
+      // localCheckpoint, not persist: denom references pi TWICE, so the
+      // LOGICAL plan doubles per round and Catalyst re-analysis blows up
+      // super-linearly even with the data cached (measured 2→7→9 s per
+      // reference at round 3). Truncating the 20-row frame's lineage to
+      // a LogicalRDD keeps the plan constant-size per round.
       pi = unnorm.crossJoin(broadcast(tot))
         .select(col("item"), round(col("u") * col("ni") / col("tot"), 9).as("rating"))
+        .localCheckpoint(true)
     }
     items
       .join(dir.groupBy("item").agg(sum(col("n_ij")).as("n_games")), Seq("item"))
