@@ -799,6 +799,44 @@ object Oracles {
          |  g.avg_degree, g.p90_degree
          |FROM g CROSS JOIN ne""".stripMargin,
 
+    // daily new-vs-returning split from per-user first-seen day
+    "new_vs_returning" ->
+      """WITH du AS (SELECT DISTINCT user_id,
+        |      epoch_ns(ts) // 1000 // 86400000000 AS day_idx FROM events),
+        |f AS (SELECT user_id, CAST(min(day_idx) AS BIGINT) AS first_day FROM du GROUP BY 1)
+        |SELECT du.day_idx, count(*) AS n_active,
+        |  CAST(sum(CASE WHEN du.day_idx = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(count(*) - sum(CASE WHEN du.day_idx = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+        |  round(CAST(sum(CASE WHEN du.day_idx = f.first_day THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS new_ratio
+        |FROM du JOIN f USING (user_id) GROUP BY 1""".stripMargin,
+
+    // schema-free JSON key audit; values stringified identically by
+    // both parsers (json number 87 -> '87', json null -> NULL)
+    "json_key_profile" ->
+      """WITH kv AS (SELECT event_id, unnest(json_keys(props)) AS key, props FROM events),
+        |v AS (SELECT event_id, key, json_extract_string(props, '$.' || key) AS value FROM kv),
+        |tot AS (SELECT count(*) AS n_events FROM events)
+        |SELECT v.key, count(*) AS n_present,
+        |  CAST(count(DISTINCT v.value) AS BIGINT) AS n_distinct_values,
+        |  CAST(sum(CASE WHEN v.value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_values,
+        |  round(CAST(count(*) AS DOUBLE) / tot.n_events, 6) AS presence_ratio
+        |FROM v CROSS JOIN tot GROUP BY v.key, tot.n_events""".stripMargin,
+
+    // temperature-scaled mixture weights: sqrt is exactly rounded IEEE,
+    // so the T=2 chain is bit-deterministic cross-engine
+    "mixture_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c),
+        |w AS (SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |      round(CAST(n_docs AS DOUBLE) / total, 9) AS share,
+        |      round(sqrt(CAST(n_docs AS DOUBLE) / total), 9) AS w_raw
+        |      FROM c CROSS JOIN t),
+        |z AS (SELECT list_reduce(list_sort(list(w_raw)), (a, b) -> a + b) AS z FROM w)
+        |SELECT source, n_docs, share, round(w_raw / z, 6) AS w_temp,
+        |  round(w_raw / z / share, 6) AS boost
+        |FROM w CROSS JOIN z""".stripMargin,
+
     // hourly burst summary: population sigma from exact integer moments,
     // greatest(...,0) clamps float-negative zero variance (NaN semantics
     // differ between engines)

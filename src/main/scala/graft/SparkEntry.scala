@@ -238,6 +238,9 @@ object SparkEntry {
     "key_skew_profile" -> ((s, d) => Relational.keySkewProfile(events(s, d))),
     "token_degree_stats" -> ((s, d) => Graph.tokenDegreeStats(spread(t(s, d, "documents")))),
     "burst_hours" -> ((s, d) => Relational.burstHours(events(s, d))),
+    "new_vs_returning" -> ((s, d) => Relational.newVsReturning(events(s, d))),
+    "json_key_profile" -> ((s, d) => Relational.jsonKeyProfile(events(s, d))),
+    "mixture_temperature" -> ((s, d) => TextOps.mixtureTemperature(t(s, d, "documents"))),
     "stratified_kfold" -> ((s, d) => TextOps.stratifiedKfold(t(s, d, "documents"))),
     "renyi_efficiency" -> ((s, d) => TextOps.renyiEfficiency(spread(t(s, d, "documents")))),
     "quality_threshold_sweep" -> ((s, d) =>

@@ -1482,6 +1482,49 @@ object Relational {
     * Scale: the windowed frame is (event_type × day) — calendar-bounded,
     * not data-sized; the data-sized pass is the one partial-agg shuffle
     * building the daily totals. */
+  /** New-vs-returning daily actives (C128): per active day, how many
+    * distinct users appear for the FIRST time vs return — the growth
+    * readout every product warehouse serves. First-seen day is one
+    * partial-agg min per user; the daily split joins the (user, day)
+    * activity frame back on user_id. Integer epoch-day indices. */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val du = events
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day_idx"))
+      .distinct()
+    val firstSeen = du.groupBy("user_id").agg(min(col("day_idx")).as("first_day"))
+    du.join(firstSeen, "user_id")
+      .groupBy("day_idx")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day_idx") === col("first_day"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("day_idx"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        round(col("n_new").cast("double") / col("n_active"), 6).as("new_ratio"))
+  }
+
+  /** Semi-structured key profile of the props JSON column (C129): which
+    * top-level keys exist, how often, with how many distinct values and
+    * what null rate — the schema-drift audit run over an evolving
+    * event-properties blob before anyone hard-codes a `props.k` path.
+    * Parsed as MAP<STRING,STRING> (schema-free), keys exploded (per-row
+    * fanout bounded by the key count), one partial-agg + distinct pass
+    * on the key-bounded frame. */
+  def jsonKeyProfile(events: DataFrame): DataFrame = {
+    val kv = events
+      .select(col("event_id"),
+        explode(from_json(col("props"), "MAP<STRING, STRING>",
+          Map.empty[String, String])).as(Seq("key", "value")))
+    val tot = events.agg(count(lit(1)).as("n_events"))
+    kv.groupBy("key")
+      .agg(count(lit(1)).as("n_present"),
+        countDistinct(col("value")).as("n_distinct_values"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_values"))
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("n_present"), col("n_distinct_values"),
+        col("n_null_values"),
+        round(col("n_present").cast("double") / col("n_events"), 6)
+          .as("presence_ratio"))
+  }
+
   /** Hourly volume-burst summary per event type (C127): how bursty is
     * each stream against its own hourly baseline — hours observed,
     * mean/σ of the hourly count (population σ from exact integer

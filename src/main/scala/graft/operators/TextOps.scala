@@ -2103,6 +2103,27 @@ object TextOps {
           .otherwise(lit(0.0)).as("z_reward"))
   }
 
+  /** Temperature-scaled mixture weights (B160): the multilingual-
+    * sampling rule (mBERT/XLM-R style) w_d ∝ p_d^(1/T) with T = 2 —
+    * up-samples tail domains, down-samples the head. T = 2 is chosen
+    * deliberately: p^(1/2) = sqrt(p), and IEEE sqrt is EXACTLY rounded
+    * on every engine (unlike pow/exp/ln), so the whole chain is
+    * bit-deterministic: exact count ratio → sqrt → 9 dp → sorted-fold
+    * normalizer over the domain-bounded frame → 6 dp share. */
+  def mixtureTemperature(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("total"))
+    val w = counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("total"), 9).as("share"),
+        round(sqrt(col("n_docs").cast("double") / col("total")), 9).as("w_raw"))
+    val z = w.agg(Folds.sortedSum(col("w_raw")).as("z"))
+    w.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("share"),
+        round(col("w_raw") / col("z"), 6).as("w_temp"),
+        round(col("w_raw") / col("z") / col("share"), 6).as("boost"))
+  }
+
   /** Stratified k-fold assignment + balance audit (B159): every doc gets
     * a deterministic hash fold (md5 of doc_id — NOT doc_id % k, which
     * would correlate with any id-ordered ingest artifact), and the audit

@@ -579,6 +579,58 @@ class Round12cSpec extends SparkSpec {
     }
   }
 
+  test("newVsReturning splits daily actives by first-seen day") {
+    val events = ev(
+      (1L, 1L, "2024-01-01 10:00:00", "view", 1.0),
+      (2L, 2L, "2024-01-01 11:00:00", "view", 1.0),
+      (3L, 1L, "2024-01-02 10:00:00", "view", 1.0), // returning
+      (4L, 3L, "2024-01-02 10:00:00", "view", 1.0), // new
+      (5L, 1L, "2024-01-02 23:00:00", "view", 1.0)) // same user, same day
+    val out = Relational.newVsReturning(events).orderBy("day_idx").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("n_active") === 2L)
+    assert(out(0).getAs[Long]("n_new") === 2L)
+    assert(out(0).getAs[Double]("new_ratio") === 1.0)
+    assert(out(1).getAs[Long]("n_active") === 2L)
+    assert(out(1).getAs[Long]("n_new") === 1L)
+    assert(out(1).getAs[Long]("n_returning") === 1L)
+    assert(out(1).getAs[Double]("new_ratio") === 0.5)
+  }
+
+  test("jsonKeyProfile audits keys, distinct values, and nulls") {
+    val events = Seq(
+      (1L, 1L, Timestamp.valueOf("2024-01-01 10:00:00"), "view", 1.0, """{"k": 87, "tag": "a"}"""),
+      (2L, 1L, Timestamp.valueOf("2024-01-01 10:01:00"), "view", 1.0, """{"k": 87}"""),
+      (3L, 1L, Timestamp.valueOf("2024-01-01 10:02:00"), "view", 1.0, """{"k": null}"""))
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val out = Relational.jsonKeyProfile(events).collect()
+      .map(r => r.getAs[String]("key") -> r).toMap
+    assert(out("k").getAs[Long]("n_present") === 3L)
+    assert(out("k").getAs[Long]("n_distinct_values") === 1L) // "87"; null skipped
+    assert(out("k").getAs[Long]("n_null_values") === 1L)
+    assert(out("k").getAs[Double]("presence_ratio") === 1.0)
+    assert(out("tag").getAs[Long]("n_present") === 1L)
+    assert(math.abs(out("tag").getAs[Double]("presence_ratio") - 1.0 / 3) < 1e-5)
+  }
+
+  test("mixtureTemperature flattens the head and boosts the tail") {
+    val docs = docsDF(
+      (Seq.tabulate(9)(i => (i.toLong, "big corpus doc", "s_head")) :+
+        (100L, "small corpus doc", "s_tail")): _*)
+    val out = graft.operators.TextOps.mixtureTemperature(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val head = out("s_head"); val tail = out("s_tail")
+    assert(head.getAs[Double]("share") === 0.9)
+    assert(tail.getAs[Double]("share") === 0.1)
+    // sqrt temperature: 0.9/0.1 head/tail ratio compresses to 3:1
+    val ratio = head.getAs[Double]("w_temp") / tail.getAs[Double]("w_temp")
+    assert(math.abs(ratio - 3.0) < 1e-3)
+    assert(tail.getAs[Double]("boost") > 1.0, "tail up-sampled")
+    assert(head.getAs[Double]("boost") < 1.0, "head down-sampled")
+    val sum = out.values.map(_.getAs[Double]("w_temp")).sum
+    assert(math.abs(sum - 1.0) < 1e-5)
+  }
+
   test("pathPatternMatch: a gap splits sessions, so patterns see each half") {
     val events = ev(
       // same user, 2-hour gap: view>view then signup alone
