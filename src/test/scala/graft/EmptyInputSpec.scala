@@ -104,11 +104,30 @@ class EmptyInputSpec extends SparkSpec {
       assert(op(noEvents).count() === 0, s"round-12c event op #$i not total on empty input")
     val moreTextOps: Seq[DataFrame => DataFrame] = Seq(
       d => TextOps.qualityThresholdSweep(d), d => LangModel.doremiStep(d),
-      d => LangModel.trigramTopk(d), d => LangModel.hillTailIndex(d))
+      d => LangModel.trigramTopk(d), d => LangModel.hillTailIndex(d),
+      d => TextOps.stratifiedKfold(d), d => TextOps.mixtureTemperature(d))
     for ((op, i) <- moreTextOps.zipWithIndex)
       assert(op(noDocs).count() === 0, s"round-12c text op #${i + 4} not total on empty input")
-    // renyiEfficiency is a global aggregate: one zero/null-stat row, no throw
+    // global aggregates: one zero/null-stat row (never a throw) — the
+    // fixed-arity summary shape, same as spendGini/conversionLatency
     assert(TextOps.renyiEfficiency(noDocs).collect().length === 1)
+    assert(Graph.tokenDegreeStats(noDocs).collect().length <= 1)
+    assert(LangModel.bigramCondEntropy(noDocs).collect().length <= 1)
+    val noEventsProps =
+      Seq.empty[(Long, Long, String, Timestamp, Double, String)]
+        .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+    val eventAggs: Seq[DataFrame => DataFrame] = Seq(
+      d => Relational.newVsReturning(d),
+      _ => Relational.jsonKeyProfile(noEventsProps),
+      d => Relational.burstHours(d), d => Relational.paretoUsers(d))
+    for ((op, i) <- eventAggs.zipWithIndex)
+      assert(op(noEvents).count() === 0, s"round-12c event agg #$i not total on empty input")
+    graft.CacheTracker.releaseAll()
+    assert(Relational.keySkewProfile(noEvents).collect().length <= 1)
+    graft.CacheTracker.releaseAll()
+    assert(Relational.benfordCheck(
+      Seq.empty[(Long, Double)].toDF("o_orderkey", "o_totalprice"))
+      .count() === 9, "benford grid always emits 9 digit rows")
     assert(Relational.shipLatency(
       Seq.empty[(Long, String, Timestamp)]
         .toDF("o_orderkey", "o_orderpriority", "o_orderdate"),

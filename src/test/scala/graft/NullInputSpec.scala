@@ -47,7 +47,9 @@ class NullInputSpec extends SparkSpec {
       d => Graph.tokenBfs(d),
       d => TextOps.renyiEfficiency(d), d => TextOps.qualityThresholdSweep(d),
       d => LangModel.doremiStep(d), d => LangModel.trigramTopk(d),
-      d => LangModel.hillTailIndex(d))
+      d => LangModel.hillTailIndex(d),
+      d => TextOps.stratifiedKfold(d), d => TextOps.mixtureTemperature(d),
+      d => Graph.tokenDegreeStats(d), d => LangModel.bigramCondEntropy(d))
     for ((op, i) <- ops.zipWithIndex) {
       val out = op(docs)
       // must evaluate without throwing; row counts vary by op semantics
