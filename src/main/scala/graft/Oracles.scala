@@ -799,6 +799,44 @@ object Oracles {
          |  g.avg_degree, g.p90_degree
          |FROM g CROSS JOIN ne""".stripMargin,
 
+    // seasonal-naive (lag-7) vs naive (lag-1) MAE per event type;
+    // positional lags gated on the calendar gap actually matching
+    "seasonal_naive_eval" ->
+      """WITH daily AS (SELECT event_type, epoch_ns(ts) // 1000 // 86400000000 AS day_idx,
+        |               count(*) AS cnt FROM events GROUP BY 1, 2),
+        |l AS (SELECT *, lag(day_idx, 1) OVER w AS lag1_day, lag(cnt, 1) OVER w AS lag1_cnt,
+        |      lag(day_idx, 7) OVER w AS lag7_day, lag(cnt, 7) OVER w AS lag7_cnt
+        |      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)),
+        |e AS (SELECT event_type,
+        |      CASE WHEN lag1_day = day_idx - 1 THEN abs(cnt - lag1_cnt) END AS e1,
+        |      CASE WHEN lag7_day = day_idx - 7 THEN abs(cnt - lag7_cnt) END AS e7 FROM l)
+        |SELECT event_type, count(*) AS n_days,
+        |  count(e1) AS n_scored1,
+        |  CASE WHEN count(e1) > 0 THEN round(CAST(sum(e1) AS DOUBLE) / count(e1), 6)
+        |       ELSE 0.0 END AS mae1,
+        |  count(e7) AS n_scored7,
+        |  CASE WHEN count(e7) > 0 THEN round(CAST(sum(e7) AS DOUBLE) / count(e7), 6)
+        |       ELSE 0.0 END AS mae7
+        |FROM e GROUP BY 1""".stripMargin,
+
+    // weekly churn: prior-week actives who failed to return; evaluated
+    // week must itself be active (inner join on the weekly frame)
+    "churn_rate" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |      epoch_ns(ts) // 1000 // 604800000000 AS week_idx FROM events),
+        |weekly AS (SELECT week_idx, count(*) AS n_active FROM uw GROUP BY 1),
+        |ret AS (SELECT a.week_idx + 1 AS week_idx, count(*) AS n_retained
+        |        FROM uw a JOIN uw b ON b.user_id = a.user_id AND b.week_idx = a.week_idx + 1
+        |        GROUP BY 1),
+        |p AS (SELECT week_idx + 1 AS week_idx, n_active AS n_prev_active FROM weekly)
+        |SELECT p.week_idx, CAST(p.n_prev_active AS BIGINT) AS n_prev_active,
+        |  CAST(w.n_active AS BIGINT) AS n_active,
+        |  CAST(coalesce(r.n_retained, 0) AS BIGINT) AS n_retained,
+        |  CAST(p.n_prev_active - coalesce(r.n_retained, 0) AS BIGINT) AS n_churned,
+        |  round(CAST(p.n_prev_active - coalesce(r.n_retained, 0) AS DOUBLE)
+        |    / p.n_prev_active, 6) AS churn_rate
+        |FROM p JOIN weekly w USING (week_idx) LEFT JOIN ret r USING (week_idx)""".stripMargin,
+
     // daily new-vs-returning split from per-user first-seen day
     "new_vs_returning" ->
       """WITH du AS (SELECT DISTINCT user_id,
@@ -875,6 +913,31 @@ object Oracles {
         |  round(CAST(c.n_docs AS DOUBLE) / pf.n_fold
         |    - CAST(pl.n_lang AS DOUBLE) / t.n_total, 6) AS deviation
         |FROM cells c JOIN pf USING (fold) JOIN pl USING (lang) CROSS JOIN t""".stripMargin,
+
+    // greedy k-center coreset: unrolled farthest-point rounds, 9 dp
+    // index-order distance folds, vec_id ties
+    "coreset_select" -> {
+      def dmin(sel: String, out: String): String =
+        s"""$out AS (SELECT v.vec_id, min(round(list_reduce(list_transform(
+           |    range(1, len(v.e) + 1), i -> (v.e[i] - s.e[i]) * (v.e[i] - s.e[i])),
+           |    (p, q) -> p + q), 9)) AS dmin
+           |  FROM v CROSS JOIN $sel s GROUP BY 1)""".stripMargin
+      def step(i: Int): String =
+        s"""${dmin(s"s${i - 1}", s"d${i - 1}")},
+           |n$i AS (SELECT vec_id FROM d${i - 1} ORDER BY dmin DESC, vec_id LIMIT 1),
+           |s$i AS (SELECT * FROM s${i - 1}
+           |  UNION ALL SELECT v.vec_id, v.e, CAST($i AS BIGINT) FROM v JOIN n$i USING (vec_id))""".stripMargin
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |s1 AS (SELECT vec_id, e, CAST(1 AS BIGINT) AS selection_rank FROM v
+         |       ORDER BY vec_id LIMIT 1),
+         |${step(2)},
+         |${step(3)},
+         |${step(4)},
+         |${dmin("s4", "df")},
+         |r AS (SELECT round(max(dmin), 6) AS radius2 FROM df)
+         |SELECT s4.selection_rank, s4.vec_id, r.radius2 FROM s4 CROSS JOIN r""".stripMargin
+    },
 
     // confident-learning-lite: nearest-label-centroid confusion matrix
     "label_noise" ->

@@ -235,6 +235,9 @@ object SparkEntry {
     "benford_check" -> ((s, d) => Relational.benfordCheck(t(s, d, "orders"))),
     "pareto_users" -> ((s, d) => Relational.paretoUsers(events(s, d))),
     "label_noise" -> ((s, d) => Similarity.labelNoise(t(s, d, "embeddings"))),
+    "coreset_select" -> ((s, d) => Similarity.coresetSelect(t(s, d, "embeddings"))),
+    "seasonal_naive_eval" -> ((s, d) => Relational.seasonalNaiveEval(events(s, d))),
+    "churn_rate" -> ((s, d) => Relational.churnRate(events(s, d))),
     "key_skew_profile" -> ((s, d) => Relational.keySkewProfile(events(s, d))),
     "token_degree_stats" -> ((s, d) => Graph.tokenDegreeStats(spread(t(s, d, "documents")))),
     "burst_hours" -> ((s, d) => Relational.burstHours(events(s, d))),

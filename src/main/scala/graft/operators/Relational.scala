@@ -1482,6 +1482,75 @@ object Relational {
     * Scale: the windowed frame is (event_type × day) — calendar-bounded,
     * not data-sized; the data-sized pass is the one partial-agg shuffle
     * building the daily totals. */
+  /** Seasonal-naive forecast baseline (C130): per event type, score the
+    * two zero-parameter forecasters every real model must beat — "same
+    * as 7 days ago" and "same as yesterday" — by MAE over the daily
+    * count series. If mae7 ≪ mae1 the stream has real weekly
+    * seasonality; if neither is small the series is hard. All counts and
+    * absolute errors are exact BIGINTs; only the two MAE divisions are
+    * float (6 dp). Lag windows run per event type over the
+    * calendar-bounded daily frame. */
+  def seasonalNaiveEval(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day_idx"))
+      .groupBy("event_type", "day_idx").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day_idx")
+    val lagged = daily
+      .withColumn("lag1_day", lag(col("day_idx"), 1).over(w))
+      .withColumn("lag1_cnt", lag(col("cnt"), 1).over(w))
+      .withColumn("lag7_day", lag(col("day_idx"), 7).over(w))
+      .withColumn("lag7_cnt", lag(col("cnt"), 7).over(w))
+      // the lag is positional; only score when the calendar gap matches
+      .withColumn("e1", when(col("lag1_day") === col("day_idx") - 1,
+        abs(col("cnt") - col("lag1_cnt"))))
+      .withColumn("e7", when(col("lag7_day") === col("day_idx") - 7,
+        abs(col("cnt") - col("lag7_cnt"))))
+    lagged.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        count(col("e1")).as("n_scored1"),
+        sum(col("e1")).as("s1"),
+        count(col("e7")).as("n_scored7"),
+        sum(col("e7")).as("s7"))
+      .select(col("event_type"), col("n_days"),
+        col("n_scored1"),
+        when(col("n_scored1") > 0,
+          round(col("s1").cast("double") / col("n_scored1"), 6))
+          .otherwise(lit(0.0)).as("mae1"),
+        col("n_scored7"),
+        when(col("n_scored7") > 0,
+          round(col("s7").cast("double") / col("n_scored7"), 6))
+          .otherwise(lit(0.0)).as("mae7"))
+  }
+
+  /** Weekly churn/retention (C131): of the users active in week w−1,
+    * how many returned in week w — the rolling engagement readout
+    * distinct from [[cohortRetention]]'s signup-cohort view. Integer
+    * epoch-week indices; one distinct shuffle to (user, week), a
+    * self-join on (user, week+1) for retention, week-keyed partial
+    * aggs for the marginals. */
+  def churnRate(events: DataFrame): DataFrame = {
+    val uw = events
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("week_idx"))
+      .distinct()
+    val weekly = uw.groupBy("week_idx").agg(count(lit(1)).as("n_active"))
+    val retained = uw.select(col("user_id"), (col("week_idx") + 1).as("week_idx"))
+      .join(uw, Seq("user_id", "week_idx"))
+      .groupBy("week_idx").agg(count(lit(1)).as("n_retained"))
+    weekly.select(col("week_idx"), col("n_active").as("n_prev_active"))
+      .select((col("week_idx") + 1).as("week_idx"), col("n_prev_active"))
+      .join(weekly, Seq("week_idx"), "inner")
+      .join(retained, Seq("week_idx"), "left")
+      .select(col("week_idx"), col("n_prev_active"),
+        col("n_active"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        (col("n_prev_active") - coalesce(col("n_retained"), lit(0L))).as("n_churned"),
+        round((col("n_prev_active") - coalesce(col("n_retained"), lit(0L)))
+          .cast("double") / col("n_prev_active"), 6).as("churn_rate"))
+  }
+
   /** New-vs-returning daily actives (C128): per active day, how many
     * distinct users appear for the FIRST time vs return — the growth
     * readout every product warehouse serves. First-seen day is one

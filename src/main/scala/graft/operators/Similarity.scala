@@ -933,6 +933,51 @@ object Similarity {
           (a, b) => a + b)), 6).as("z_norm"))
   }
 
+  /** Greedy k-center coreset selection (B161): the farthest-point
+    * traversal (Gonzalez) that diversity-samples a dataset — seed with
+    * the lowest vec_id, then repeatedly add the point FARTHEST from the
+    * selected set; report each center plus the final coverage radius
+    * (max over points of min distance² to a center), the 2-approximation
+    * certificate of the k-center objective. The data-selection step
+    * behind "train on a diverse coreset" pipelines.
+    *
+    * Determinism: index-order distance folds at 9 dp, argmax ties break
+    * on vec_id, seed is a total-order pick. Scale: each of the k−1
+    * rounds is one broadcast of the ≤k selected centers, a narrow
+    * per-row min over ≤k distances, and a TakeOrdered(1) — never a
+    * pairwise join; the selected frame is localCheckpoint'd per round
+    * (the [[graft.operators.TextOps.bradleyTerry]] lineage lesson). */
+  def coresetSelect(emb: DataFrame, k: Int = 4): DataFrame = {
+    val vecs = graft.CacheTracker.track(
+      emb.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    vecs.count()
+    def d2(e: Column, c: Column): Column =
+      round(aggregate(zip_with(e, c, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x), 9)
+    def minDist(sel: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(sel.select(col("e").as("c"))))
+        .select(col("vec_id"), d2(col("e"), col("c")).as("d"))
+        .groupBy("vec_id").agg(min(col("d")).as("dmin"))
+    var selected = vecs.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("e"), lit(1L).as("selection_rank"))
+      .localCheckpoint(true)
+    for (r <- 2 to k) {
+      val next = minDist(selected)
+        .orderBy(col("dmin").desc, col("vec_id")).limit(1)
+        .select("vec_id")
+      selected = selected.union(
+          vecs.join(next, "vec_id")
+            .select(col("vec_id"), col("e"), lit(r.toLong).as("selection_rank")))
+        .localCheckpoint(true)
+    }
+    val radius = minDist(selected)
+      .agg(round(max(col("dmin")), 6).as("radius2"))
+    selected.crossJoin(broadcast(radius))
+      .select(col("selection_rank"), col("vec_id"), col("radius2"))
+  }
+
   /** Confident-learning-lite label-noise estimate (B158): assign every
     * embedding to its nearest LABEL centroid and report the confusion
     * matrix — off-diagonal mass is the estimated label-noise signal a

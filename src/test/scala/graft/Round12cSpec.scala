@@ -631,6 +631,57 @@ class Round12cSpec extends SparkSpec {
     assert(math.abs(sum - 1.0) < 1e-5)
   }
 
+  test("coresetSelect walks farthest-point order on a planted line") {
+    // points on a line at 0, 1, 10, 100: seed=vec 1 (lowest id, at 0),
+    // then 100 (farthest), then 10, then 1
+    def v(x: Double) = Array.fill(4)(x.toFloat)
+    val emb = Seq((1L, v(0.0), 0), (2L, v(1.0), 0), (3L, v(10.0), 0),
+      (4L, v(100.0), 0)).toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.coresetSelect(emb, k = 3)
+      .orderBy("selection_rank").collect()
+    graft.CacheTracker.releaseAll()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq === Seq(1L, 4L, 3L))
+    // coverage radius: farthest remaining point is vec 2 at distance 1
+    // from vec 1 -> 4 dims * 1.0 = 4.0
+    assert(out.head.getAs[Double]("radius2") === 4.0)
+  }
+
+  test("seasonalNaiveEval scores lag-7 only when the calendar gap matches") {
+    // 15 consecutive days with weekly pattern 10,1,1,1,1,1,1 repeating:
+    // lag-7 errors are 0; lag-1 errors jump at the spikes
+    val rows = (0 until 15).map { d =>
+      val n = if (d % 7 == 0) 3 else 1
+      (0 until n).map(i => ((d * 10 + i).toLong, 1L,
+        f"2024-01-${d + 1}%02d 10:00:00", "click", 1.0))
+    }.flatten
+    val events = ev(rows: _*)
+    val r = Relational.seasonalNaiveEval(events).collect().head
+    assert(r.getAs[Long]("n_days") === 15L)
+    assert(r.getAs[Long]("n_scored7") === 8L)
+    assert(r.getAs[Double]("mae7") === 0.0, "weekly pattern -> lag-7 perfect")
+    assert(r.getAs[Double]("mae1") > 0.0, "spikes break the naive forecaster")
+  }
+
+  test("churnRate: prior-week actives who fail to return are churned") {
+    val events = ev(
+      // week 0 (epoch week of 2024-01-04): users 1,2,3
+      (1L, 1L, "2024-01-04 10:00:00", "view", 1.0),
+      (2L, 2L, "2024-01-04 10:00:00", "view", 1.0),
+      (3L, 3L, "2024-01-04 10:00:00", "view", 1.0),
+      // week 1: users 1,2 return, 4 is new; 3 churned
+      (4L, 1L, "2024-01-11 10:00:00", "view", 1.0),
+      (5L, 2L, "2024-01-11 10:00:00", "view", 1.0),
+      (6L, 4L, "2024-01-11 10:00:00", "view", 1.0))
+    val out = Relational.churnRate(events).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_prev_active") === 3L)
+    assert(r.getAs[Long]("n_active") === 3L)
+    assert(r.getAs[Long]("n_retained") === 2L)
+    assert(r.getAs[Long]("n_churned") === 1L)
+    assert(math.abs(r.getAs[Double]("churn_rate") - 1.0 / 3) < 1e-5)
+  }
+
   test("pathPatternMatch: a gap splits sessions, so patterns see each half") {
     val events = ev(
       // same user, 2-hour gap: view>view then signup alone
