@@ -914,6 +914,71 @@ object Oracles {
         |    - CAST(pl.n_lang AS DOUBLE) / t.n_total, 6) AS deviation
         |FROM cells c JOIN pf USING (fold) JOIN pl USING (lang) CROSS JOIN t""".stripMargin,
 
+    // Markov removal-effect attribution: identical unrolled 8-step
+    // vector-chain truncation per variant (base + 4 removals)
+    "markov_attribution" -> {
+      val steps = 8
+      // per-variant transition matrix tag -> relabel expression
+      def variantMatrix(tag: String, removed: Option[String]): String = {
+        val dstExpr = removed match {
+          case Some(c) => s"CASE WHEN dst = '$c' THEN 'NULL' ELSE dst END"
+          case None => "dst"
+        }
+        s"t$tag AS (SELECT src, $dstExpr AS dst, p FROM t0)"
+      }
+      def chain(tag: String): String = {
+        val sb = new StringBuilder
+        sb.append(s"v${tag}0 AS (SELECT 'START' AS state, CAST(1.0 AS DOUBLE) AS mass),\n")
+        for (i <- 1 to steps) {
+          sb.append(
+            s"""s$tag$i AS (SELECT dst, round(list_reduce(list_sort(list(m)), (a, b) -> a + b), 9) AS mass
+               |  FROM (SELECT t.dst, round(v.mass * t.p, 9) AS m
+               |        FROM v$tag${i - 1} v JOIN t$tag t ON t.src = v.state) GROUP BY dst),
+               |v$tag$i AS (SELECT dst AS state, mass FROM s$tag$i WHERE dst NOT IN ('CONV', 'NULL')),\n""".stripMargin)
+        }
+        sb.append(s"g$tag AS (SELECT coalesce(round(list_reduce(list_sort(list(mass)), (a, b) -> a + b), 9), 0.0) AS pconv FROM (")
+        sb.append((1 to steps).map(i => s"SELECT mass FROM s$tag$i WHERE dst = 'CONV'")
+          .mkString(" UNION ALL "))
+        sb.append("))")
+        sb.toString
+      }
+      val channels = Seq("view", "click", "error", "signup")
+      val variants = ("B", None) +: channels.map(c => (c.take(2) + "x", Some(c)))
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+         |k AS (SELECT * FROM (SELECT *,
+         |      coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY user_id ORDER BY us, event_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb FROM e)
+         |      WHERE pb = 0),
+         |wn AS (SELECT *, lead(event_type) OVER w AS next_type, row_number() OVER w AS rn
+         |       FROM k WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |tr AS (
+         |  SELECT 'START' AS src, event_type AS dst FROM wn WHERE rn = 1
+         |  UNION ALL SELECT event_type, next_type FROM wn WHERE next_type IS NOT NULL
+         |  UNION ALL SELECT event_type, 'NULL' FROM wn
+         |    WHERE next_type IS NULL AND event_type <> 'purchase'),
+         |c AS (SELECT src, CASE WHEN dst = 'purchase' THEN 'CONV' ELSE dst END AS dst,
+         |      count(*) AS n FROM tr GROUP BY 1, 2),
+         |om AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_out FROM c GROUP BY 1),
+         |t0 AS (SELECT c.src, c.dst, round(CAST(c.n AS DOUBLE) / om.n_out, 9) AS p
+         |       FROM c JOIN om USING (src)),
+         |${variants.map { case (tag, rem) => variantMatrix(tag, rem) }.mkString(",\n")},
+         |${variants.map { case (tag, _) => chain(tag) }.mkString(",\n")},
+         |rem AS (${channels.map { c =>
+                    val tag = c.take(2) + "x"
+                    s"SELECT '$c' AS channel, pconv AS removal_pconv FROM g$tag"
+                  }.mkString(" UNION ALL ")}),
+         |eff AS (SELECT rem.channel, gB.pconv AS base_pconv, rem.removal_pconv,
+         |  CASE WHEN gB.pconv > 0 THEN round(1.0 - rem.removal_pconv / gB.pconv, 6)
+         |       ELSE 0.0 END AS removal_effect
+         |  FROM rem CROSS JOIN gB),
+         |se AS (SELECT round(list_reduce(list_sort(list(removal_effect)), (a, b) -> a + b), 9) AS sum_eff FROM eff)
+         |SELECT eff.channel, eff.base_pconv, eff.removal_pconv, eff.removal_effect,
+         |  CASE WHEN se.sum_eff > 0 THEN round(eff.removal_effect / se.sum_eff, 6)
+         |       ELSE 0.0 END AS attribution
+         |FROM eff CROSS JOIN se""".stripMargin
+    },
+
     // greedy k-center coreset: unrolled farthest-point rounds, 9 dp
     // index-order distance folds, vec_id ties
     "coreset_select" -> {

@@ -238,6 +238,7 @@ object SparkEntry {
     "coreset_select" -> ((s, d) => Similarity.coresetSelect(t(s, d, "embeddings"))),
     "seasonal_naive_eval" -> ((s, d) => Relational.seasonalNaiveEval(events(s, d))),
     "churn_rate" -> ((s, d) => Relational.churnRate(events(s, d))),
+    "markov_attribution" -> ((s, d) => Sessionize.markovAttribution(events(s, d))),
     "key_skew_profile" -> ((s, d) => Relational.keySkewProfile(events(s, d))),
     "token_degree_stats" -> ((s, d) => Graph.tokenDegreeStats(spread(t(s, d, "documents")))),
     "burst_hours" -> ((s, d) => Relational.burstHours(events(s, d))),

@@ -417,6 +417,101 @@ object Sessionize {
       .select("event_id", "user_id", "us", "state", "valid_from_us")
   }
 
+  /** Markov removal-effect attribution (C132) — the data-driven
+    * multi-touch model beyond last-touch/linear (C92/C93): fit a
+    * first-order Markov chain over user journeys (START → event types →
+    * CONV at the first purchase, NULL when a journey ends unconverted),
+    * then credit each channel by its REMOVAL EFFECT — how much total
+    * conversion probability disappears when every transition into that
+    * channel is redirected to NULL (paths through it break; transition
+    * probabilities are NOT renormalized, per the standard estimator).
+    *
+    * P(conversion) is evaluated by `steps` unrolled vector-chain
+    * multiplications from the START distribution — both engines walk
+    * the IDENTICAL truncation, so the value is deterministic without a
+    * linear solve. Exactness: probabilities round at 9 dp off exact
+    * BIGINT counts; per-step mass sums fold sorted over the ≤5-state
+    * frame; final effects at 6 dp.
+    *
+    * Scale: one per-user window pass builds the transition counts;
+    * everything after lives on state²-bounded frames (≤ 7×7), iterated
+    * with single-reference lineage (linear plan growth, no checkpoint
+    * needed at these depths). */
+  def markovAttribution(events: DataFrame, steps: Int = 8): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val before = order.rowsBetween(Window.unboundedPreceding, -1)
+    // journey = events up to and including the user's FIRST purchase
+    val kept = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("purch_before",
+        coalesce(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(before), lit(0L)))
+      .filter(col("purch_before") === 0L)
+    val withNext = kept
+      .withColumn("next_type", lead(col("event_type"), 1).over(order))
+      .withColumn("rn", row_number().over(order))
+    val starts = withNext.filter(col("rn") === 1)
+      .select(lit("START").as("src"), col("event_type").as("dst"))
+    val mids = withNext.filter(col("next_type").isNotNull)
+      .select(col("event_type").as("src"), col("next_type").as("dst"))
+    val ends = withNext
+      .filter(col("next_type").isNull && col("event_type") =!= "purchase")
+      .select(col("event_type").as("src"), lit("NULL").as("dst"))
+    val counts = starts.union(mids).union(ends)
+      .select(col("src"),
+        when(col("dst") === "purchase", "CONV").otherwise(col("dst")).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val outMass = counts.groupBy("src").agg(sum(col("n")).as("n_out"))
+    val trans = graft.CacheTracker.track(
+      counts.join(outMass, "src")
+        .select(col("src"), col("dst"),
+          round(col("n").cast("double") / col("n_out"), 9).as("p"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    trans.count()
+    def fold(c: org.apache.spark.sql.Column) =
+      aggregate(sort_array(collect_list(c)), lit(0.0), (a, b) => a + b)
+    // P(conv) within `steps` transitions under a given relabeled matrix:
+    // chain the START mass vector, collecting each step's CONV arrivals
+    def pconvClean(t: DataFrame): DataFrame = {
+      var v = t.sparkSession.range(1)
+        .select(lit("START").as("state"), lit(1.0).as("mass"))
+      var convParts = List.empty[DataFrame]
+      for (_ <- 1 to steps) {
+        val stepped = v.join(t, v("state") === t("src"))
+          .select(col("dst"), round(col("mass") * col("p"), 9).as("m"))
+          .groupBy("dst").agg(round(fold(col("m")), 9).as("mass"))
+        convParts ::= stepped.filter(col("dst") === "CONV")
+          .select(col("mass").as("g"))
+        v = stepped
+          .filter(col("dst") =!= "CONV" && col("dst") =!= "NULL")
+          .select(col("dst").as("state"), col("mass"))
+      }
+      convParts.reduce(_ union _)
+        .agg(round(fold(col("g")), 9).as("pconv"))
+    }
+    val base = pconvClean(trans)
+    val channels = Seq("view", "click", "error", "signup")
+    val removed = channels.map { c =>
+      val relabeled = trans.select(col("src"),
+        when(col("dst") === c, "NULL").otherwise(col("dst")).as("dst"), col("p"))
+      pconvClean(relabeled).select(lit(c).as("channel"),
+        col("pconv").as("removal_pconv"))
+    }.reduce(_ union _)
+    val effects = removed.crossJoin(broadcast(base))
+      .select(col("channel"), col("pconv").as("base_pconv"), col("removal_pconv"),
+        when(col("pconv") > 0,
+          round(lit(1.0) - col("removal_pconv") / col("pconv"), 6))
+          .otherwise(lit(0.0)).as("removal_effect"))
+    val tot = effects.agg(round(fold(col("removal_effect")), 9).as("sum_eff"))
+    effects.crossJoin(broadcast(tot))
+      .select(col("channel"), col("base_pconv"), col("removal_pconv"),
+        col("removal_effect"),
+        when(col("sum_eff") > 0,
+          round(col("removal_effect") / col("sum_eff"), 6))
+          .otherwise(lit(0.0)).as("attribution"))
+  }
+
   /** Regex pattern matching over session event sequences (C115) — the
     * MATCH_RECOGNIZE / funnel-regex shape: each session's ordered event
     * types are encoded as one `a>b>c` path string (capped at `maxLen`

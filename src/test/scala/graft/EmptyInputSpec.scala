@@ -125,6 +125,18 @@ class EmptyInputSpec extends SparkSpec {
     graft.CacheTracker.releaseAll()
     assert(Relational.keySkewProfile(noEvents).collect().length <= 1)
     graft.CacheTracker.releaseAll()
+    // fixed-arity channel rows with zero effect on an empty stream
+    val ma = Sessionize.markovAttribution(noEvents).collect()
+    assert(ma.length === 4 && ma.forall(_.getAs[Double]("removal_effect") === 0.0))
+    graft.CacheTracker.releaseAll()
+    val eventAggs2: Seq[DataFrame => DataFrame] = Seq(
+      d => Relational.seasonalNaiveEval(d), d => Relational.churnRate(d))
+    for ((op, i) <- eventAggs2.zipWithIndex)
+      assert(op(noEvents).count() === 0, s"round-12c event agg2 #$i not total on empty input")
+    assert(Similarity.coresetSelect(
+      Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label"))
+      .count() === 0)
+    graft.CacheTracker.releaseAll()
     assert(Relational.benfordCheck(
       Seq.empty[(Long, Double)].toDF("o_orderkey", "o_totalprice"))
       .count() === 9, "benford grid always emits 9 digit rows")

@@ -682,6 +682,49 @@ class Round12cSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("churn_rate") - 1.0 / 3) < 1e-5)
   }
 
+  test("markovAttribution credits the on-path channel, not the bystander") {
+    // 4 users: view->purchase (x2), view alone (x1), error alone (x1).
+    // Conversions only flow through view; error never sits on a
+    // converting path -> removal effect concentrates on view.
+    val events = ev(
+      (1L, 1L, "2024-01-01 10:00:00", "view", 1.0),
+      (2L, 1L, "2024-01-01 10:01:00", "purchase", 5.0),
+      (3L, 2L, "2024-01-01 10:00:00", "view", 1.0),
+      (4L, 2L, "2024-01-01 10:01:00", "purchase", 5.0),
+      (5L, 3L, "2024-01-01 10:00:00", "view", 1.0),
+      (6L, 4L, "2024-01-01 10:00:00", "error", 1.0))
+    val out = graft.operators.Sessionize.markovAttribution(events).collect()
+      .map(r => r.getAs[String]("channel") -> r).toMap
+    graft.CacheTracker.releaseAll()
+    val view = out("view"); val error = out("error")
+    // base P(conv): START->view 3/4, view->conv 2/3 => 0.5
+    assert(math.abs(view.getAs[Double]("base_pconv") - 0.5) < 1e-6)
+    assert(view.getAs[Double]("removal_pconv") === 0.0)
+    assert(view.getAs[Double]("removal_effect") === 1.0)
+    assert(error.getAs[Double]("removal_effect") === 0.0)
+    assert(view.getAs[Double]("attribution") === 1.0)
+    // channels never on any journey still report rows (effect 0)
+    assert(out.keySet === Set("view", "click", "error", "signup"))
+  }
+
+  test("markovAttribution splits credit across a two-step converting path") {
+    // every journey is view -> click -> purchase: removing EITHER
+    // channel kills all conversions -> equal attribution
+    val events = ev(
+      (1L, 1L, "2024-01-01 10:00:00", "view", 1.0),
+      (2L, 1L, "2024-01-01 10:01:00", "click", 1.0),
+      (3L, 1L, "2024-01-01 10:02:00", "purchase", 5.0),
+      (4L, 2L, "2024-01-01 10:00:00", "view", 1.0),
+      (5L, 2L, "2024-01-01 10:01:00", "click", 1.0),
+      (6L, 2L, "2024-01-01 10:02:00", "purchase", 5.0))
+    val out = graft.operators.Sessionize.markovAttribution(events).collect()
+      .map(r => r.getAs[String]("channel") -> r).toMap
+    graft.CacheTracker.releaseAll()
+    assert(math.abs(out("view").getAs[Double]("base_pconv") - 1.0) < 1e-6)
+    assert(out("view").getAs[Double]("attribution") === 0.5)
+    assert(out("click").getAs[Double]("attribution") === 0.5)
+  }
+
   test("pathPatternMatch: a gap splits sessions, so patterns see each half") {
     val events = ev(
       // same user, 2-hour gap: view>view then signup alone
