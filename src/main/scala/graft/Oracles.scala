@@ -4216,6 +4216,75 @@ object Oracles {
         |  UNION ALL
         |  SELECT lang, 'avg_chars', round(CAST(sum_chars AS DOUBLE) / n_docs, 6) FROM a
         |  UNION ALL
-        |  SELECT lang, 'max_chars', CAST(max_chars AS DOUBLE) FROM a)""".stripMargin
+        |  SELECT lang, 'max_chars', CAST(max_chars AS DOUBLE) FROM a)""".stripMargin,
+
+    // exact tie-corrected Mann-Whitney AUC of the quality score as an
+    // English-ness ranker; numerator kept doubled so it stays integral
+    "roc_auc" ->
+      s"""WITH s AS (SELECT $qualitySql AS score,
+         |  CASE WHEN coalesce(lang = 'en', false) THEN 1 ELSE 0 END AS y FROM documents),
+         |c AS (SELECT score, CAST(sum(y) AS BIGINT) AS n_pos,
+         |      CAST(count(*) - sum(y) AS BIGINT) AS n_neg FROM s GROUP BY 1),
+         |w AS (SELECT *, CAST(sum(n_neg) OVER (ORDER BY score) AS BIGINT) AS cum_neg FROM c),
+         |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+         |      CAST(sum(n_neg) AS BIGINT) AS n_neg, count(*) AS n_scores,
+         |      sum(n_pos * (2 * (cum_neg - n_neg) + n_neg)) AS numer2 FROM w)
+         |SELECT n_pos, n_neg, n_scores,
+         |  round(CAST(numer2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc
+         |FROM t""".stripMargin,
+
+    // precision/recall at every distinct score threshold (predict
+    // positive when score >= t); f1 from exact counts, not rounded p/r
+    "pr_curve" ->
+      s"""WITH s AS (SELECT $qualitySql AS score,
+         |  CASE WHEN coalesce(lang = 'en', false) THEN 1 ELSE 0 END AS y FROM documents),
+         |c AS (SELECT score, CAST(sum(y) AS BIGINT) AS n_pos,
+         |      CAST(count(*) - sum(y) AS BIGINT) AS n_neg FROM s GROUP BY 1),
+         |w AS (SELECT score,
+         |      CAST(sum(n_pos) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+         |      CAST(sum(n_neg) OVER (ORDER BY score DESC) AS BIGINT) AS fp,
+         |      CAST(sum(n_pos) OVER () AS BIGINT) AS total_pos FROM c)
+         |SELECT score AS threshold, tp, fp, total_pos - tp AS fn,
+         |  round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS "precision",
+         |  round(CAST(tp AS DOUBLE) / total_pos, 6) AS recall,
+         |  round(2.0 * tp / (2 * tp + fp + total_pos - tp), 6) AS f1
+         |FROM w""".stripMargin,
+
+    // McNemar continuity-corrected chi^2 between the stopword-density
+    // rule (>=2 hits) and the marker-token rule (any EnMarkers hit)
+    "mcnemar_test" ->
+      """WITH r AS (SELECT
+        |  coalesce(len(list_filter(list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+        |    t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','it'))) >= 2, false) AS pred_a,
+        |  coalesce(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''),
+        |    t -> t IN ('the','a','of','and','is','query','join'))) >= 1, false) AS pred_b,
+        |  coalesce(lang = 'en', false) AS truth FROM documents),
+        |m AS (SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN pred_a = truth THEN 1 ELSE 0 END) AS BIGINT) AS a_correct,
+        |  CAST(sum(CASE WHEN pred_b = truth THEN 1 ELSE 0 END) AS BIGINT) AS b_correct,
+        |  CAST(sum(CASE WHEN pred_a = truth AND pred_b <> truth THEN 1 ELSE 0 END) AS BIGINT) AS b_cell,
+        |  CAST(sum(CASE WHEN pred_a <> truth AND pred_b = truth THEN 1 ELSE 0 END) AS BIGINT) AS c_cell
+        |  FROM r)
+        |SELECT n, a_correct, b_correct, b_cell, c_cell,
+        |  round(CAST(a_correct AS DOUBLE) / n, 6) AS acc_a,
+        |  round(CAST(b_correct AS DOUBLE) / n, 6) AS acc_b,
+        |  round(CASE WHEN b_cell + c_cell > 0
+        |    THEN power(abs(b_cell - c_cell) - 1.0, 2) / CAST(b_cell + c_cell AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS chi2
+        |FROM m""".stripMargin,
+
+    // reliability bins of the logistic-linked quality score: the one
+    // transcendental rounds to 6 dp, then lives as exact micro-units
+    "calibration_bins" ->
+      s"""WITH p AS (SELECT
+         |  CAST(round(round(1.0 / (1.0 + exp(2.0 - 4.0 * $qualitySql)), 6) * 1000000, 0) AS BIGINT) AS p_micro,
+         |  CASE WHEN coalesce(lang = 'en', false) THEN 1 ELSE 0 END AS y FROM documents),
+         |b AS (SELECT CAST(least(p_micro * 10 // 1000000, 9) AS BIGINT) AS bin, p_micro, y FROM p)
+         |SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+         |  round(CAST(sum(p_micro) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_p,
+         |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos,
+         |  round(CAST(sum((p_micro - y * 1000000) * (p_micro - y * 1000000)) AS DOUBLE)
+         |    / count(*) / 1000000000000.0, 6) AS brier
+         |FROM b GROUP BY 1""".stripMargin
   )
 }

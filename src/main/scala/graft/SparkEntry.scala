@@ -239,6 +239,10 @@ object SparkEntry {
     "seasonal_naive_eval" -> ((s, d) => Relational.seasonalNaiveEval(events(s, d))),
     "churn_rate" -> ((s, d) => Relational.churnRate(events(s, d))),
     "markov_attribution" -> ((s, d) => Sessionize.markovAttribution(events(s, d))),
+    "roc_auc" -> ((s, d) => Eval.rocAuc(spread(t(s, d, "documents")))),
+    "pr_curve" -> ((s, d) => Eval.prCurve(spread(t(s, d, "documents")))),
+    "mcnemar_test" -> ((s, d) => Eval.mcnemarTest(spread(t(s, d, "documents")))),
+    "calibration_bins" -> ((s, d) => Eval.calibrationBins(spread(t(s, d, "documents")))),
     "key_skew_profile" -> ((s, d) => Relational.keySkewProfile(events(s, d))),
     "token_degree_stats" -> ((s, d) => Graph.tokenDegreeStats(spread(t(s, d, "documents")))),
     "burst_hours" -> ((s, d) => Relational.burstHours(events(s, d))),

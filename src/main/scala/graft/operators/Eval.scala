@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classifier-evaluation operators: threshold-free ranking metrics (ROC
+  * AUC, PR curve), paired-classifier significance (McNemar), and score
+  * calibration (reliability bins + Brier decomposition). The model under
+  * evaluation is deliberately cheap and closed-form — the composite
+  * quality score as an English-ness ranker, with lang == 'en' as ground
+  * truth — so every metric is DuckDB-oracle-expressible while the
+  * evaluation MACHINERY (per-score aggregation, two-pass global cumsums,
+  * exact integer statistics) is exactly what a real eval over model
+  * scores at 100 TB needs.
+  *
+  * Scale posture shared by rocAuc/prCurve: never sort per-document rows
+  * globally. Documents aggregate to one row per DISTINCT score first
+  * (bounded at 1e6+1 values — the score is rounded to 6 dp in [0,1] by
+  * construction), and the ordered sweep runs on that frame through
+  * [[Ranks.withGlobalCumSums]]'s range-partitioned two-pass machinery —
+  * the same posture as the vocab-sized zipf/coverage fixes, applied from
+  * day one rather than retrofitted.
+  */
+object Eval {
+
+  /** Binary ground truth: is the document English? */
+  private def isEn: Column = (col("lang") === "en").cast("long")
+
+  /** Per-distinct-score (n_pos, n_neg) counts — the shared first pass. */
+  private def scoreCounts(docs: DataFrame): DataFrame =
+    docs.select(TextOps.qualityComposite.as("score"), isEn.as("y"))
+      .groupBy("score")
+      .agg(sum(col("y")).as("n_pos"),
+        (count(lit(1)) - sum(col("y"))).as("n_neg"))
+
+  /** Exact ROC AUC via the tie-corrected Mann-Whitney statistic (B161).
+    * Over distinct scores ascending, each score's positives dominate
+    * every negative strictly below and tie half the negatives AT the
+    * score: AUC = Σ_s n_pos_s·(cumneg_<s + n_neg_s/2) / (P·N). The
+    * numerator is kept doubled (×2) so it stays an exact integer —
+    * accumulated in DECIMAL(38,0) because Σ ≤ 2·P·N overflows BIGINT at
+    * web scale — and the one division happens at the very end: the
+    * statistic is an exact rational until the final round(·, 6). */
+  def rocAuc(docs: DataFrame): DataFrame = {
+    val swept = Ranks.withGlobalCumSum(scoreCounts(docs), "n_neg",
+      "cum_neg", "total_neg", Seq(col("score")))
+    swept
+      .select(col("n_pos"), col("n_neg"), col("cum_neg"), col("total_neg"),
+        (col("n_pos") * (lit(2L) * (col("cum_neg") - col("n_neg")) + col("n_neg")))
+          .cast("decimal(38,0)").as("numer2"))
+      .agg(
+        sum(col("n_pos")).as("n_pos"),
+        max(col("total_neg")).as("n_neg"),
+        count(lit(1)).as("n_scores"),
+        sum(col("numer2")).as("numer2"))
+      .select(col("n_pos"), col("n_neg"), col("n_scores"),
+        round(col("numer2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
+  /** Precision/recall sweep over every distinct score threshold (B162):
+    * predict positive when score ≥ t, for t each distinct score
+    * descending. tp/fp are cumulative counts above-or-at the threshold —
+    * both ride ONE [[Ranks.withGlobalCumSums]] pass (one range shuffle
+    * for the pair). precision/recall/f1 are exact-integer ratios until
+    * the final round(·, 6); f1 uses the 2tp/(2tp+fp+fn) form so it is
+    * computed from the exact counts, not from the rounded p/r. */
+  def prCurve(docs: DataFrame): DataFrame = {
+    val swept = Ranks.withGlobalCumSums(scoreCounts(docs),
+      Seq(("n_pos", "tp", "total_pos"), ("n_neg", "fp", "total_neg")),
+      Seq(col("score").desc))
+    swept.select(
+      col("score").as("threshold"),
+      col("tp"), col("fp"),
+      (col("total_pos") - col("tp")).as("fn"),
+      round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
+        .as("precision"),
+      round(col("tp").cast("double") / col("total_pos"), 6).as("recall"),
+      round(lit(2.0) * col("tp") /
+        (lit(2L) * col("tp") + col("fp") + col("total_pos") - col("tp")), 6)
+        .as("f1"))
+  }
+
+  /** McNemar's paired test between two rule classifiers (B163): does the
+    * stopword-density rule (≥2 hits in the 10-stopword list) disagree
+    * with the marker-token rule (any EnMarkers hit) more than chance on
+    * the SAME documents? Only the discordant cells matter: b = A right &
+    * B wrong, c = A wrong & B right, χ² = (|b−c|−1)²/(b+c) with
+    * continuity correction (0 when b+c = 0). One narrow map + one global
+    * aggregate — no shuffle beyond the final combine; every statistic is
+    * exact-integer until the closing round(·, 6). */
+  def mcnemarTest(docs: DataFrame): DataFrame = {
+    val rawToks = filter(split(col("text"), "\\s+"), t => t =!= "")
+    val nStop = size(filter(rawToks, t => lower(t).isInCollection(TextOps.Stopwords)))
+    val lowToks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val nMark = size(filter(lowToks, t => t.isInCollection(TextOps.EnMarkers)))
+    val predA = coalesce(nStop >= 2, lit(false))
+    val predB = coalesce(nMark >= 1, lit(false))
+    val truth = coalesce(col("lang") === "en", lit(false))
+    docs.select(
+        (predA === truth).cast("long").as("a_right"),
+        (predB === truth).cast("long").as("b_right"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("a_right")).as("a_correct"),
+        sum(col("b_right")).as("b_correct"),
+        sum(when(col("a_right") === 1L && col("b_right") === 0L, 1L)
+          .otherwise(0L)).as("b_cell"),
+        sum(when(col("a_right") === 0L && col("b_right") === 1L, 1L)
+          .otherwise(0L)).as("c_cell"))
+      .select(col("n"), col("a_correct"), col("b_correct"),
+        col("b_cell"), col("c_cell"),
+        round(col("a_correct").cast("double") / col("n"), 6).as("acc_a"),
+        round(col("b_correct").cast("double") / col("n"), 6).as("acc_b"),
+        round(when(col("b_cell") + col("c_cell") > 0,
+          pow(abs(col("b_cell") - col("c_cell")) - lit(1.0), 2) /
+            (col("b_cell") + col("c_cell")).cast("double"))
+          .otherwise(lit(0.0)), 6).as("chi2"))
+  }
+
+  /** Reliability diagram + per-bin Brier score (B164): squash the
+    * quality score through a fixed logistic link p̂ = σ(4q − 2) — the
+    * one transcendental, immediately rounded to 6 dp and then held as
+    * exact integer MICRO-units — and bin into 10 equal-width probability
+    * bins. Per bin: count, mean predicted probability, observed positive
+    * rate, and the Brier mean square (p̂ − y)². Every sum is over exact
+    * integers (micro² sums in DECIMAL(38,0) — a 100 TB bin overflows
+    * BIGINT), so bin statistics are float-fold-order-free; doubles
+    * appear only in the final rounded ratios. */
+  def calibrationBins(docs: DataFrame): DataFrame = {
+    val q = TextOps.qualityComposite
+    val p = round(lit(1.0) / (lit(1.0) + exp(lit(2.0) - lit(4.0) * q)), 6)
+    val pMicro = round(p * 1e6, 0).cast("long")
+    docs.select(pMicro.as("p_micro"), isEn.as("y"))
+      .select(least(expr("p_micro * 10 div 1000000"), lit(9L)).as("bin"),
+        col("p_micro"), col("y"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("p_micro")).as("sum_p"),
+        sum(col("y")).as("n_pos"),
+        sum(((col("p_micro") - col("y") * 1000000L) *
+          (col("p_micro") - col("y") * 1000000L)).cast("decimal(38,0)"))
+          .as("sum_sq"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("sum_p").cast("double") / col("n") / 1e6, 6).as("mean_p"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos"),
+        round(col("sum_sq").cast("double") / col("n") / 1e12, 6).as("brier"))
+  }
+}

@@ -148,6 +148,47 @@ object Ranks {
       .drop("_pid", "_lrnk", "_lcum", "_roff", "_coff")
   }
 
+  /** Adds one global running sum per entry of `values` (cumCol named by
+    * the caller) plus that value's grand total, all under ONE total
+    * `order` — the n-column generalization of [[withGlobalCumSum]]
+    * paying one range shuffle, one correctness persist, and one partial
+    * aggregate for the whole set (ROC/PR sweeps need cumulative
+    * positives AND negatives over the same score order; two separate
+    * passes would re-sample range boundaries too). Each value column
+    * must be integral so the composed sums are cut-placement-free. */
+  def withGlobalCumSums(df: DataFrame, values: Seq[(String, String, String)],
+                        order: Seq[Column]): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("_pid", spark_partition_id())
+    val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = graft.CacheTracker.track(
+      values.zipWithIndex.foldLeft(ranged) { case (d, ((v, _, _), i)) =>
+        d.withColumn(s"_lcum$i", sum(col(v)).over(w))
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // numShufflePartitions rows — config-bounded, not data-bounded
+    val psums = local.groupBy(col("_pid"))
+      .agg(sum(col(values.head._1)).as("_psum0"),
+        values.zipWithIndex.tail.map { case ((v, _, _), i) =>
+          sum(col(v)).as(s"_psum$i") }: _*)
+    val offsets = values.zipWithIndex.foldLeft(psums) {
+      case (d, ((_, _, totalCol), i)) =>
+        d.withColumn(s"_off$i",
+            coalesce(
+              sum(col(s"_psum$i")).over(Window.orderBy(col("_pid"))
+                .rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .withColumn(totalCol, sum(col(s"_psum$i")).over())
+    }.select(col("_pid") +: values.zipWithIndex.flatMap {
+      case ((_, _, totalCol), i) => Seq(col(s"_off$i"), col(totalCol)) }: _*)
+    val joined = local.join(broadcast(offsets), "_pid")
+    values.zipWithIndex.foldLeft(joined) { case (d, ((_, cumCol, _), i)) =>
+      d.withColumn(cumCol, col(s"_off$i") + col(s"_lcum$i"))
+        .drop(s"_lcum$i", s"_off$i")
+    }.drop("_pid")
+  }
+
   /** True integer division — Spark's `/` on integral columns is DOUBLE
     * division, which silently shifts ntile bucket boundaries. */
   private def idiv(a: Column, b: Column): Column = {

@@ -62,11 +62,11 @@ object TextOps {
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, composite
     * (B9). Ratios rounded to 6 dp so the DuckDB oracle hash-matches. */
-  private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+  private[graft] val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
   /** The composite quality score alone — shared by qualityScore and
     * qualityFilter so the two can never drift apart. */
-  private def qualityComposite: Column = {
+  private[graft] def qualityComposite: Column = {
     val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
     val nToks = size(toks)
     val nStop = size(filter(toks, t => lower(t).isInCollection(Stopwords)))
@@ -205,7 +205,7 @@ object TextOps {
   /** Marker-token language-ID heuristic (B8): count hits against small
     * per-language marker sets over lowercase whitespace tokens; argmax with
     * a deterministic tie-break (en > fr > de), 'und' when no marker hits. */
-  private val EnMarkers = Seq("the", "a", "of", "and", "is", "query", "join")
+  private[graft] val EnMarkers = Seq("the", "a", "of", "and", "is", "query", "join")
   private val FrMarkers = Seq("le", "la", "et", "est", "de", "scan", "batch")
   private val DeMarkers = Seq("der", "die", "das", "und", "ist", "merge", "sort")
 

@@ -151,6 +151,20 @@ class EmptyInputSpec extends SparkSpec {
     assert(pm.length === 4 && pm.forall(_.getAs[Long]("n_matched") === 0L))
   }
 
+  test("round-12d eval operators are total on an empty corpus") {
+    // global aggregates emit their one summary row with zero counts
+    val auc = Eval.rocAuc(noDocs).collect()
+    graft.CacheTracker.releaseAll()
+    assert(auc.length === 1 && auc.head.getAs[Long]("n_scores") === 0L)
+    val mc = Eval.mcnemarTest(noDocs).collect()
+    assert(mc.length === 1 && mc.head.getAs[Long]("n") === 0L &&
+      mc.head.getAs[Double]("chi2") === 0.0)
+    // per-threshold / per-bin frames are simply empty
+    assert(Eval.prCurve(noDocs).count() === 0)
+    graft.CacheTracker.releaseAll()
+    assert(Eval.calibrationBins(noDocs).count() === 0)
+  }
+
   test("order operators are total on an empty fact table") {
     val ops: Seq[DataFrame => DataFrame] = Seq(
       Relational.rfmSegments(_), Relational.orderSkyline,

@@ -49,7 +49,9 @@ class NullInputSpec extends SparkSpec {
       d => LangModel.doremiStep(d), d => LangModel.trigramTopk(d),
       d => LangModel.hillTailIndex(d),
       d => TextOps.stratifiedKfold(d), d => TextOps.mixtureTemperature(d),
-      d => Graph.tokenDegreeStats(d), d => LangModel.bigramCondEntropy(d))
+      d => Graph.tokenDegreeStats(d), d => LangModel.bigramCondEntropy(d),
+      d => Eval.rocAuc(d), d => Eval.prCurve(d),
+      d => Eval.mcnemarTest(d), d => Eval.calibrationBins(d))
     for ((op, i) <- ops.zipWithIndex) {
       val out = op(docs)
       // must evaluate without throwing; row counts vary by op semantics
