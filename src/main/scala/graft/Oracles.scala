@@ -4285,6 +4285,62 @@ object Oracles {
          |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos,
          |  round(CAST(sum((p_micro - y * 1000000) * (p_micro - y * 1000000)) AS DOUBLE)
          |    / count(*) / 1000000000000.0, 6) AS brier
-         |FROM b GROUP BY 1""".stripMargin
+         |FROM b GROUP BY 1""".stripMargin,
+
+    // GloVe X_ij: forward-window pairs weighted 1/d in exact micro-units
+    "glove_cooc" ->
+      s"""WITH t0 AS (SELECT $toks AS toks FROM documents),
+         |t AS (SELECT toks FROM t0 WHERE len(toks) >= 2),
+         |p AS (SELECT toks, unnest(generate_series(1, len(toks))) AS i FROM t),
+         |q AS (SELECT toks, i, unnest(generate_series(i + 1, least(i + 5, len(toks)))) AS j FROM p),
+         |pr AS (SELECT least(toks[i], toks[j]) AS tok_a, greatest(toks[i], toks[j]) AS tok_b,
+         |       1000000 // (j - i) AS w_micro FROM q)
+         |SELECT tok_a, tok_b, count(*) AS n_pairs,
+         |  round(CAST(sum(w_micro) AS DOUBLE) / 1000000.0, 6) AS weight
+         |FROM pr GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // item-item CF cosine over (customer, part) baskets; whale carts
+    // capped at 50 items before the per-customer pair expansion
+    "item_cf_scores" ->
+      """WITH b AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |s AS (SELECT cust, item FROM (
+        |        SELECT cust, item, count(*) OVER (PARTITION BY cust) AS basket_n FROM b)
+        |      WHERE basket_n <= 50),
+        |n AS (SELECT item, count(*) AS n_item FROM s GROUP BY 1),
+        |p AS (SELECT a.item AS item_a, b2.item AS item_b, count(*) AS n_co
+        |      FROM s a JOIN s b2 ON a.cust = b2.cust AND a.item < b2.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, CAST(na.n_item AS BIGINT) AS n_a,
+        |  CAST(nb.n_item AS BIGINT) AS n_b, p.n_co,
+        |  round(CAST(p.n_co AS DOUBLE) / sqrt(CAST(na.n_item * nb.n_item AS DOUBLE)), 6) AS cosine
+        |FROM p JOIN n na ON na.item = p.item_a JOIN n nb ON nb.item = p.item_b""".stripMargin,
+
+    // Kaplan-Meier over user lifetimes; censored when last activity is
+    // within 7 days of the corpus horizon; S(t) via nano-unit ln cumsum
+    "survival_curve" ->
+      """WITH span AS (SELECT user_id,
+        |        min(epoch_ns(ts) // 1000 // 86400000000) AS first_day,
+        |        max(epoch_ns(ts) // 1000 // 86400000000) AS last_day
+        |      FROM events GROUP BY 1),
+        |h AS (SELECT max(last_day) AS max_day FROM span),
+        |u AS (SELECT last_day - first_day AS duration_days,
+        |        CASE WHEN last_day < max_day - 7 THEN 1 ELSE 0 END AS churned
+        |      FROM span CROSS JOIN h),
+        |bt AS (SELECT duration_days, count(*) AS n_t,
+        |        CAST(sum(churned) AS BIGINT) AS d_t FROM u GROUP BY 1),
+        |sw AS (SELECT *, CAST(sum(n_t) OVER (ORDER BY duration_days) AS BIGINT) AS cum_n,
+        |        CAST(sum(n_t) OVER () AS BIGINT) AS n_users FROM bt),
+        |r AS (SELECT duration_days, d_t, n_t - d_t AS c_t,
+        |        n_users - cum_n + n_t AS n_risk FROM sw),
+        |l AS (SELECT *, CASE WHEN d_t = n_risk THEN 0
+        |        ELSE CAST(round(ln(1.0 - CAST(d_t AS DOUBLE) / n_risk) * 1000000000, 0) AS BIGINT)
+        |        END AS ln_nano FROM r),
+        |c AS (SELECT *, CAST(sum(ln_nano) OVER (ORDER BY duration_days) AS BIGINT) AS cum_ln FROM l)
+        |SELECT duration_days, CAST(n_risk AS BIGINT) AS n_risk, d_t AS n_churned,
+        |  CAST(c_t AS BIGINT) AS n_censored,
+        |  CASE WHEN d_t = n_risk THEN 0.0
+        |    ELSE round(exp(CAST(cum_ln AS DOUBLE) / 1000000000.0), 6) END AS survival
+        |FROM c""".stripMargin
   )
 }

@@ -243,6 +243,10 @@ object SparkEntry {
     "pr_curve" -> ((s, d) => Eval.prCurve(spread(t(s, d, "documents")))),
     "mcnemar_test" -> ((s, d) => Eval.mcnemarTest(spread(t(s, d, "documents")))),
     "calibration_bins" -> ((s, d) => Eval.calibrationBins(spread(t(s, d, "documents")))),
+    "glove_cooc" -> ((s, d) => TextOps.gloveCooc(spread(t(s, d, "documents")))),
+    "item_cf_scores" -> ((s, d) =>
+      Relational.itemCfScores(t(s, d, "lineitem"), t(s, d, "orders"))),
+    "survival_curve" -> ((s, d) => Relational.survivalCurve(events(s, d))),
     "key_skew_profile" -> ((s, d) => Relational.keySkewProfile(events(s, d))),
     "token_degree_stats" -> ((s, d) => Graph.tokenDegreeStats(spread(t(s, d, "documents")))),
     "burst_hours" -> ((s, d) => Relational.burstHours(events(s, d))),

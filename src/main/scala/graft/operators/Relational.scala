@@ -1978,4 +1978,86 @@ object Relational {
       .select(col("event_type"), col("day").as("cp_day"), col("cusum"),
         col("n_days"))
   }
+
+  /** Item-item collaborative-filtering similarity (C130): cosine between
+    * items' customer-interaction vectors — co_count / sqrt(n_a · n_b)
+    * over distinct (customer, part) baskets from lineitem ⋈ orders.
+    * The classic Sarwar et al. item-based CF precompute.
+    *
+    * Scale posture: the pair generation self-joins baskets on customer,
+    * which is quadratic per CUSTOMER — so whale customers (carts far
+    * beyond organic size: resellers, bots) are capped at `maxBasket`
+    * items first, the same heavy-hitter guard the similarity joins use.
+    * The cap changes results (documented, identical in the oracle);
+    * everything after is one pair-keyed aggregate. sqrt is the only
+    * transcendental and IEEE-exact on both engines. */
+  def itemCfScores(lineitem: DataFrame, orders: DataFrame,
+      maxBasket: Int = 50, minCo: Long = 2L): DataFrame = {
+    val baskets = lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .distinct()
+    val sized = baskets
+      .withColumn("basket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cust"))))
+      .filter(col("basket_n") <= maxBasket)
+      .select("cust", "item")
+    val itemN = sized.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val pairs = sized.select(col("cust"), col("item").as("item_a"))
+      .join(sized.select(col("cust"), col("item").as("item_b")), "cust")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minCo)
+    pairs
+      .join(itemN.select(col("item").as("item_a"), col("n_item").as("n_a")), "item_a")
+      .join(itemN.select(col("item").as("item_b"), col("n_item").as("n_b")), "item_b")
+      .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"), col("n_co"),
+        round(col("n_co").cast("double") /
+          sqrt((col("n_a") * col("n_b")).cast("double")), 6).as("cosine"))
+  }
+
+  /** Kaplan-Meier survival curve over user lifetimes (C131): duration =
+    * last active day − first active day; a user whose last activity is
+    * within `censorDays` of the corpus horizon is CENSORED (still
+    * alive), not churned — the estimator's whole point. Per distinct
+    * duration t: n_risk (users with duration ≥ t), d (churn events at
+    * t), c (censored at t), and S(t) = Π_{u≤t} (1 − d_u/n_risk_u).
+    *
+    * The product is an ordered cumulative sum of ln terms: each factor
+    * is an exact rational whose ln rounds once to NANO units (9 dp) —
+    * an exact long — and the running sum rides
+    * [[Ranks.withGlobalCumSum]]'s two-pass range-partitioned machinery
+    * (durations are data-sized at web scale), so the composed sum is
+    * cut-placement-free and the oracle's window cumsum matches bit for
+    * bit. A zero factor (everyone at risk churns — only possible at the
+    * final duration) short-circuits to S = 0 instead of ln(0). */
+  def survivalCurve(events: DataFrame, censorDays: Int = 7): DataFrame = {
+    val span = events.select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day_idx"))
+      .groupBy("user_id")
+      .agg(min(col("day_idx")).as("first_day"), max(col("day_idx")).as("last_day"))
+    val horizon = span.agg(max(col("last_day")).as("max_day"))
+    val users = span.crossJoin(broadcast(horizon))
+      .select((col("last_day") - col("first_day")).as("duration_days"),
+        (col("last_day") < col("max_day") - censorDays).cast("long").as("churned"))
+    val byT = users.groupBy("duration_days")
+      .agg(count(lit(1)).as("n_t"), sum(col("churned")).as("d_t"))
+    val swept = Ranks.withGlobalCumSum(byT, "n_t", "cum_n", "n_users",
+      Seq(col("duration_days")))
+    val risk = swept.select(col("duration_days"), col("d_t"),
+      (col("n_t") - col("d_t")).as("c_t"),
+      (col("n_users") - col("cum_n") + col("n_t")).as("n_risk"))
+    val lnNano = risk.withColumn("ln_nano",
+      when(col("d_t") === col("n_risk"), lit(0L)) // zero factor: S pinned to 0 below
+        .otherwise(round(log(lit(1.0) -
+          col("d_t").cast("double") / col("n_risk")) * 1e9, 0).cast("long")))
+    Ranks.withGlobalCumSum(lnNano, "ln_nano", "cum_ln", "total_ln",
+        Seq(col("duration_days")))
+      .select(col("duration_days"), col("n_risk"), col("d_t").as("n_churned"),
+        col("c_t").as("n_censored"),
+        when(col("d_t") === col("n_risk"), lit(0.0))
+          .otherwise(round(exp(col("cum_ln").cast("double") / 1e9), 6))
+          .as("survival"))
+  }
 }

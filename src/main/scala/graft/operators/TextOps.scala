@@ -2344,4 +2344,33 @@ object TextOps {
       .select(col("source"), col("lang"), col("rank"), col("doc_id"),
         col("reward"), col("n_candidates"))
   }
+
+  /** GloVe-style distance-weighted co-occurrence counts (B166): for each
+    * ordered token pair within a forward window of `win`, accumulate
+    * weight 1/d where d is the offset — the X_ij table GloVe factorizes
+    * (Pennington et al. 2014). Weights live as exact MICRO-units
+    * (1000000 div d — every d ≤ win maps to one fixed integer), so the
+    * per-pair sum is exact long addition, immune to float-fold order;
+    * the one double appears in the final rounded ratio. Pairs are
+    * canonicalized (tok_a ≤ tok_b) since the GloVe matrix is symmetric.
+    *
+    * Scale posture: the window expansion is a bounded slice per center
+    * token (≤ win context rows each — linear in corpus size, never a
+    * per-document quadratic self-join), and the only shuffle is the
+    * final pair aggregation. */
+  def gloveCooc(docs: DataFrame, win: Int = 5, minPairs: Long = 2L): DataFrame =
+    docs.select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("toks"), posexplode(col("toks")).as(Seq("pos0", "center")))
+      .select(col("center"),
+        posexplode(slice(col("toks"), col("pos0") + 2, lit(win)))
+          .as(Seq("dj", "context")))
+      .select(least(col("center"), col("context")).as("tok_a"),
+        greatest(col("center"), col("context")).as("tok_b"),
+        expr("1000000 div (dj + 1)").as("w_micro"))
+      .groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("w_micro")).as("sum_micro"))
+      .filter(col("n_pairs") >= minPairs)
+      .select(col("tok_a"), col("tok_b"), col("n_pairs"),
+        round(col("sum_micro").cast("double") / 1e6, 6).as("weight"))
 }

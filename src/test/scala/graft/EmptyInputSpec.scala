@@ -163,6 +163,13 @@ class EmptyInputSpec extends SparkSpec {
     assert(Eval.prCurve(noDocs).count() === 0)
     graft.CacheTracker.releaseAll()
     assert(Eval.calibrationBins(noDocs).count() === 0)
+    assert(TextOps.gloveCooc(noDocs).count() === 0)
+    assert(Relational.survivalCurve(noEvents).count() === 0)
+    graft.CacheTracker.releaseAll()
+    val noLi = Seq.empty[(Long, Long, Int)]
+      .toDF("l_orderkey", "l_partkey", "l_linenumber")
+    val noOrd = Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey")
+    assert(Relational.itemCfScores(noLi, noOrd).count() === 0)
   }
 
   test("order operators are total on an empty fact table") {

@@ -51,7 +51,8 @@ class NullInputSpec extends SparkSpec {
       d => TextOps.stratifiedKfold(d), d => TextOps.mixtureTemperature(d),
       d => Graph.tokenDegreeStats(d), d => LangModel.bigramCondEntropy(d),
       d => Eval.rocAuc(d), d => Eval.prCurve(d),
-      d => Eval.mcnemarTest(d), d => Eval.calibrationBins(d))
+      d => Eval.mcnemarTest(d), d => Eval.calibrationBins(d),
+      d => TextOps.gloveCooc(d))
     for ((op, i) <- ops.zipWithIndex) {
       val out = op(docs)
       // must evaluate without throwing; row counts vary by op semantics

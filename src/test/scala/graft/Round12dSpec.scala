@@ -105,4 +105,103 @@ class Round12dSpec extends SparkSpec {
     assert(b.getAs[Long]("n") === 2L)
     assert(b.getAs[Double]("frac_pos") === 0.5)
   }
+
+  test("gloveCooc: 1/d micro-unit weights over the forward window") {
+    val d = docs((1L, "a b a c", "en"))
+    val rows = graft.operators.TextOps.gloveCooc(d, 5, 1).collect()
+      .map(r => (r.getAs[String]("tok_a"), r.getAs[String]("tok_b")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("weight"))).toMap
+    // centers: a1->(b,1)(a,2)(c,3); b2->(a,1)(c,2); a3->(c,1)
+    assert(rows(("a", "b")) === ((2L, 2.0)))          // d=1 twice
+    assert(rows(("a", "a")) === ((1L, 0.5)))          // d=2 once
+    assert(rows(("a", "c"))._1 === 2L)                // d=3 + d=1
+    assert(math.abs(rows(("a", "c"))._2 - 1.333333) < 1e-9)
+    assert(rows(("b", "c")) === ((1L, 0.5)))          // d=2 once
+  }
+
+  test("gloveCooc: default threshold drops singleton pairs") {
+    val d = docs((1L, "a b a c", "en"))
+    val pairs = graft.operators.TextOps.gloveCooc(d).collect()
+      .map(r => (r.getAs[String]("tok_a"), r.getAs[String]("tok_b"))).toSet
+    assert(pairs === Set(("a", "b"), ("a", "c")))
+  }
+
+  private def baskets(rows: (Long, Long)*): (DataFrame, DataFrame) = {
+    // one order per customer; items as lineitem rows
+    val li = rows.zipWithIndex.map { case ((cust, item), i) =>
+      (cust * 1000L, item, i + 1) }
+      .toDF("l_orderkey", "l_partkey", "l_linenumber")
+    val ord = rows.map(_._1).distinct.map(c => (c * 1000L, c))
+      .toDF("o_orderkey", "o_custkey")
+    (li, ord)
+  }
+
+  test("itemCfScores: cosine from co-occurrence and item frequencies") {
+    val (li, ord) = baskets(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L))
+    val out = graft.operators.Relational.itemCfScores(li, ord).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("item_a") === 1L && r.getAs[Long]("item_b") === 2L)
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Long]("n_co") === 2L)
+    assert(math.abs(r.getAs[Double]("cosine") - 2.0 / math.sqrt(6.0)) < 1e-6)
+  }
+
+  test("itemCfScores: whale baskets are excluded before the pair expansion") {
+    val whale = (1L to 60L).map(i => (9L, 100L + i))
+    val (li, ord) = baskets(
+      (Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)) ++ whale): _*)
+    val out = graft.operators.Relational.itemCfScores(li, ord).collect()
+    // the 60-item whale contributes no pairs; items 1,2 still co-occur
+    assert(out.length === 1 && out.head.getAs[Long]("n_co") === 2L)
+  }
+
+  private def ev(rows: (Long, Long, String)*): DataFrame =
+    rows.map { case (e, u, t) =>
+      (e, u, java.sql.Timestamp.valueOf(t), "view", 1.0) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+
+  test("survivalCurve: censoring keeps horizon-active users out of the deaths") {
+    val events = ev(
+      (1L, 1L, "2024-01-01 00:00:00"), (2L, 1L, "2024-01-03 00:00:00"),   // dur 2, churned
+      (3L, 2L, "2024-01-01 00:00:00"), (4L, 2L, "2024-01-21 00:00:00"),   // dur 20, censored
+      (5L, 3L, "2024-01-01 00:00:00"), (6L, 3L, "2024-01-11 00:00:00"))   // dur 10, churned
+    val out = graft.operators.Relational.survivalCurve(events)
+      .orderBy("duration_days").collect()
+    graft.CacheTracker.releaseAll()
+    assert(out.length === 3)
+    val t2 = out(0)
+    assert(t2.getAs[Long]("duration_days") === 2L)
+    assert(t2.getAs[Long]("n_risk") === 3L && t2.getAs[Long]("n_churned") === 1L)
+    assert(math.abs(t2.getAs[Double]("survival") - 0.666667) < 1e-6)
+    val t10 = out(1)
+    assert(t10.getAs[Long]("n_risk") === 2L && t10.getAs[Long]("n_churned") === 1L)
+    assert(math.abs(t10.getAs[Double]("survival") - 0.333333) < 1e-6)
+    val t20 = out(2)
+    assert(t20.getAs[Long]("n_churned") === 0L &&
+      t20.getAs[Long]("n_censored") === 1L)
+    assert(math.abs(t20.getAs[Double]("survival") - 0.333333) < 1e-6)
+  }
+
+  test("survivalCurve: everyone churning at the last duration pins S to 0") {
+    val events = ev(
+      (1L, 1L, "2024-01-01 00:00:00"), (2L, 1L, "2024-01-02 00:00:00"),
+      (3L, 2L, "2024-01-01 00:00:00"), (4L, 2L, "2024-01-02 00:00:00"),
+      // horizon-setter far in the future so users 1,2 count as churned
+      (5L, 3L, "2024-03-01 00:00:00"))
+    val out = graft.operators.Relational.survivalCurve(events)
+      .orderBy("duration_days").collect()
+    graft.CacheTracker.releaseAll()
+    assert(out.length === 2)
+    // t=0: the horizon user (single event, censored) — nobody churns
+    val t0 = out(0)
+    assert(t0.getAs[Long]("duration_days") === 0L)
+    assert(t0.getAs[Long]("n_risk") === 3L && t0.getAs[Long]("n_churned") === 0L)
+    assert(t0.getAs[Double]("survival") === 1.0)
+    // t=1: both remaining users churn -> zero factor pins S to exactly 0
+    val t1 = out(1)
+    assert(t1.getAs[Long]("n_risk") === 2L && t1.getAs[Long]("n_churned") === 2L)
+    assert(t1.getAs[Double]("survival") === 0.0)
+  }
 }
