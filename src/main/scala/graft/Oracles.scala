@@ -4341,6 +4341,64 @@ object Oracles {
         |  CAST(c_t AS BIGINT) AS n_censored,
         |  CASE WHEN d_t = n_risk THEN 0.0
         |    ELSE round(exp(CAST(cum_ln AS DOUBLE) / 1000000000.0), 6) END AS survival
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // CUPED: pooled theta from exact cents moments, rounded ONCE, then
+    // the rounded theta adjusts each variant's post-period mean
+    "cuped_adjust" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day_idx,
+        |        CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |b AS (SELECT min(day_idx) AS min_day, max(day_idx) AS max_day FROM e),
+        |per AS (SELECT user_id,
+        |        CAST(sum(CASE WHEN day_idx < (min_day + max_day + 1) // 2 THEN c ELSE 0 END) AS BIGINT) AS x,
+        |        CAST(sum(CASE WHEN day_idx >= (min_day + max_day + 1) // 2 THEN c ELSE 0 END) AS BIGINT) AS y
+        |        FROM e CROSS JOIN b GROUP BY 1),
+        |v AS (SELECT *, user_id % 2 AS variant FROM per),
+        |pool AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        sum(x * y) AS sxy, sum(x * x) AS sxx FROM v),
+        |th AS (SELECT n, sx,
+        |        CASE WHEN CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) > 0
+        |          THEN round((CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+        |            / (CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)), 6)
+        |          ELSE 0.0 END AS theta FROM pool),
+        |bv AS (SELECT variant, count(*) AS n_users, CAST(sum(x) AS BIGINT) AS sxv,
+        |        CAST(sum(y) AS BIGINT) AS syv FROM v GROUP BY 1)
+        |SELECT variant, n_users,
+        |  round(CAST(sxv AS DOUBLE) / n_users, 6) AS mean_x_cents,
+        |  round(CAST(syv AS DOUBLE) / n_users, 6) AS mean_y_cents,
+        |  theta,
+        |  round(CAST(syv AS DOUBLE) / n_users
+        |    - theta * (CAST(sxv AS DOUBLE) / n_users - CAST(sx AS DOUBLE) / n), 6) AS mean_y_adj_cents
+        |FROM bv CROSS JOIN th""".stripMargin,
+
+    // equi-depth histogram via NTILE over (cents, orderkey) total order
+    "equi_depth_histogram" ->
+      """WITH c AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        |t AS (SELECT c, CAST(ntile(10) OVER (ORDER BY c, o_orderkey) AS BIGINT) AS bucket FROM c)
+        |SELECT bucket, count(*) AS n_orders, min(c) AS min_cents, max(c) AS max_cents,
+        |  CAST(sum(c) AS BIGINT) AS sum_cents,
+        |  round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS avg_cents
+        |FROM t GROUP BY 1""".stripMargin,
+
+    // interval-overlap sweep: +1/-1 session deltas, starts-first order,
+    // per-day max of the running count at start instants
+    "session_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |w AS (SELECT user_id, event_id, us,
+        |      lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+        |f AS (SELECT user_id, event_id, us,
+        |      CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS nsf FROM w),
+        |s AS (SELECT user_id, us,
+        |      CAST(sum(nsf) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f),
+        |sess AS (SELECT user_id, session_id, min(us) AS start_us, max(us) AS end_us
+        |         FROM s GROUP BY 1, 2),
+        |d AS (SELECT user_id, session_id, start_us AS us, CAST(1 AS BIGINT) AS delta FROM sess
+        |      UNION ALL
+        |      SELECT user_id, session_id, end_us, CAST(-1 AS BIGINT) FROM sess),
+        |cs AS (SELECT *, CAST(sum(delta) OVER (ORDER BY us, delta DESC, user_id, session_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrent FROM d)
+        |SELECT us // 86400000000 AS day_idx, max(concurrent) AS max_concurrent,
+        |  count(*) AS n_sessions_started
+        |FROM cs WHERE delta = 1 GROUP BY 1""".stripMargin
   )
 }

@@ -247,6 +247,10 @@ object SparkEntry {
     "item_cf_scores" -> ((s, d) =>
       Relational.itemCfScores(t(s, d, "lineitem"), t(s, d, "orders"))),
     "survival_curve" -> ((s, d) => Relational.survivalCurve(events(s, d))),
+    "cuped_adjust" -> ((s, d) => Relational.cupedAdjust(events(s, d))),
+    "equi_depth_histogram" -> ((s, d) =>
+      Relational.equiDepthHistogram(t(s, d, "orders"))),
+    "session_concurrency" -> ((s, d) => Sessionize.sessionConcurrency(events(s, d))),
     "key_skew_profile" -> ((s, d) => Relational.keySkewProfile(events(s, d))),
     "token_degree_stats" -> ((s, d) => Graph.tokenDegreeStats(spread(t(s, d, "documents")))),
     "burst_hours" -> ((s, d) => Relational.burstHours(events(s, d))),

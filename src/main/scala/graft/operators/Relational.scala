@@ -1979,6 +1979,76 @@ object Relational {
         col("n_days"))
   }
 
+  /** CUPED variance-reduced A/B readout (C135): users split by
+    * user_id % 2, the event-time range split at its midpoint day into
+    * pre/post periods, and each variant's post-period spend adjusted by
+    * the pooled pre-period covariate — Y' = Y − θ(X − mean X), with
+    * θ = cov(X,Y)/var(X) (Deng et al. 2013). Every moment (Σx, Σy,
+    * Σxy, Σx²) is an exact per-user cents sum (products in
+    * DECIMAL(38,0)); θ is computed from those exact sums in one fixed
+    * double-expression order, rounded ONCE to 6 dp, and the ROUNDED θ
+    * feeds the adjustment, so both engines adjust with bit-identical
+    * coefficients. One shuffle (user aggregate) + one broadcast of the
+    * pooled one-row stats. */
+  def cupedAdjust(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day_idx"),
+      cents(col("value")).as("c"))
+    val bounds = e.agg(min(col("day_idx")).as("min_day"),
+      max(col("day_idx")).as("max_day"))
+    val per = e.crossJoin(broadcast(bounds))
+      .withColumn("mid", expr("(min_day + max_day + 1) div 2"))
+      .select(col("user_id"),
+        when(col("day_idx") < col("mid"), col("c")).otherwise(0L).as("xc"),
+        when(col("day_idx") >= col("mid"), col("c")).otherwise(0L).as("yc"))
+      .groupBy("user_id")
+      .agg(sum(col("xc")).as("x"), sum(col("yc")).as("y"))
+      .withColumn("variant", (col("user_id") % 2).cast("long"))
+    val pooled = per.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+    val meanX = col("sx").cast("double") / col("n")
+    val covXY = col("sxy").cast("double") / col("n") -
+      meanX * (col("sy").cast("double") / col("n"))
+    val varX = col("sxx").cast("double") / col("n") - meanX * meanX
+    val withTheta = pooled.select(col("n"), col("sx"),
+      when(varX > 0, round(covXY / varX, 6)).otherwise(lit(0.0)).as("theta"))
+    val byVariant = per.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("sxv"), sum(col("y")).as("syv"))
+    byVariant.crossJoin(broadcast(withTheta))
+      .select(col("variant"), col("n_users"),
+        round(col("sxv").cast("double") / col("n_users"), 6).as("mean_x_cents"),
+        round(col("syv").cast("double") / col("n_users"), 6).as("mean_y_cents"),
+        col("theta"),
+        round(col("syv").cast("double") / col("n_users") -
+          col("theta") * (col("sxv").cast("double") / col("n_users") -
+            col("sx").cast("double") / col("n")), 6).as("mean_y_adj_cents"))
+  }
+
+  /** Equi-depth (quantile) histogram of order totals (C136): `k`
+    * near-equal-count buckets over (cents, orderkey) total order, each
+    * reporting its row count, bounds, and exact-cents sum/mean — the
+    * histogram an optimizer's statistics collector keeps. The global
+    * rank rides [[Ranks.withGlobalRowNumber]]'s two-pass machinery and
+    * [[Ranks.ntileFromRank]] reproduces SQL NTILE semantics exactly, so
+    * the oracle is a plain window ntile. */
+  def equiDepthHistogram(orders: DataFrame, k: Int = 10): DataFrame = {
+    val c = orders.select(col("o_orderkey"),
+      cents(col("o_totalprice")).as("c"))
+    Ranks.withGlobalRowNumber(c, "_rnk", "_n",
+        Seq(col("c"), col("o_orderkey")))
+      .withColumn("bucket", Ranks.ntileFromRank(col("_rnk"), col("_n"), k).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("c")).as("min_cents"), max(col("c")).as("max_cents"),
+        sum(col("c")).as("sum_cents"))
+      .withColumn("avg_cents",
+        round(col("sum_cents").cast("double") / col("n_orders"), 6))
+  }
+
   /** Item-item collaborative-filtering similarity (C130): cosine between
     * items' customer-interaction vectors — co_count / sqrt(n_a · n_b)
     * over distinct (customer, part) baskets from lineitem ⋈ orders.

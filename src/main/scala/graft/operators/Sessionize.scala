@@ -572,4 +572,34 @@ object Sessionize {
           round(coalesce(col("n_matched"), lit(0L)).cast("double")
             / col("n_sessions"), 6)).otherwise(lit(0.0)).as("match_rate"))
   }
+
+  /** Peak concurrent sessions per day (C137): the classic interval-
+    * overlap sweep — each [[byLag]] session emits +1 at its start and
+    * −1 at its end, the deltas cumulative-sum in (us, starts-first,
+    * user, session) total order, and each day reports the maximum
+    * running count observed at a session START in that day (every local
+    * maximum of the sweep is at a start, so per-day maxima over start
+    * instants are the true in-day peaks; days with no starts are not
+    * emitted — both engines identically). A session's end instant is
+    * inclusive: a session ending exactly when another starts counts as
+    * overlapping at that instant.
+    *
+    * Scale posture: the sweep's running sum is the textbook case for
+    * [[Ranks.withGlobalCumSum]] — 2 rows per session is data-sized, and
+    * a naive Window.orderBy would serialize the whole event history
+    * through one task. */
+  def sessionConcurrency(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val sess = byLag(events, gapMinutes)
+    val deltas = sess.select(col("user_id"), col("session_id"),
+        col("session_start_us").as("us"), lit(1L).as("delta"))
+      .unionByName(sess.select(col("user_id"), col("session_id"),
+        col("session_end_us").as("us"), lit(-1L).as("delta")))
+    Ranks.withGlobalCumSum(deltas, "delta", "concurrent", "_net",
+        Seq(col("us"), col("delta").desc, col("user_id"), col("session_id")))
+      .filter(col("delta") === 1L)
+      .select(expr("us div 86400000000").as("day_idx"), col("concurrent"))
+      .groupBy("day_idx")
+      .agg(max(col("concurrent")).as("max_concurrent"),
+        count(lit(1)).as("n_sessions_started"))
+  }
 }

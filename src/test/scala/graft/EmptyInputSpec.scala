@@ -170,6 +170,13 @@ class EmptyInputSpec extends SparkSpec {
       .toDF("l_orderkey", "l_partkey", "l_linenumber")
     val noOrd = Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey")
     assert(Relational.itemCfScores(noLi, noOrd).count() === 0)
+    assert(Relational.cupedAdjust(noEvents).count() === 0)
+    graft.CacheTracker.releaseAll()
+    assert(Relational.equiDepthHistogram(
+      Seq.empty[(Long, Double)].toDF("o_orderkey", "o_totalprice")).count() === 0)
+    graft.CacheTracker.releaseAll()
+    assert(Sessionize.sessionConcurrency(noEvents).count() === 0)
+    graft.CacheTracker.releaseAll()
   }
 
   test("order operators are total on an empty fact table") {

@@ -204,4 +204,61 @@ class Round12dSpec extends SparkSpec {
     assert(t1.getAs[Long]("n_risk") === 2L && t1.getAs[Long]("n_churned") === 2L)
     assert(t1.getAs[Double]("survival") === 0.0)
   }
+
+  private def spendEv(rows: (Long, Long, String, Double)*): DataFrame =
+    rows.map { case (e, u, t, v) =>
+      (e, u, java.sql.Timestamp.valueOf(t), "purchase", v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+
+  test("cupedAdjust: pooled theta shifts each variant by its covariate gap") {
+    // days Jan 1-4, midpoint Jan 3: pre = Jan 1-2, post = Jan 3-4
+    val events = spendEv(
+      (1L, 2L, "2024-01-01 10:00:00", 100.0), (2L, 2L, "2024-01-03 10:00:00", 110.0),
+      (3L, 4L, "2024-01-02 10:00:00", 200.0), (4L, 4L, "2024-01-04 10:00:00", 190.0),
+      (5L, 1L, "2024-01-01 10:00:00", 300.0), (6L, 1L, "2024-01-03 10:00:00", 320.0))
+    val out = graft.operators.Relational.cupedAdjust(events).collect()
+      .map(r => r.getAs[Long]("variant") -> r).toMap
+    // exact rational theta: cov/var = 70e6/66.667e6 = 1.05
+    assert(math.abs(out(0L).getAs[Double]("theta") - 1.05) < 1e-6)
+    val v0 = out(0L) // users 2,4: mean_x 15000, mean_y 15000 cents
+    assert(v0.getAs[Long]("n_users") === 2L)
+    assert(v0.getAs[Double]("mean_x_cents") === 15000.0)
+    assert(v0.getAs[Double]("mean_y_cents") === 15000.0)
+    // adj = 15000 - 1.05 * (15000 - 20000) = 20250
+    assert(math.abs(v0.getAs[Double]("mean_y_adj_cents") - 20250.0) < 1e-6)
+    val v1 = out(1L) // user 1: mean_x 30000, mean_y 32000
+    // adj = 32000 - 1.05 * (30000 - 20000) = 21500
+    assert(math.abs(v1.getAs[Double]("mean_y_adj_cents") - 21500.0) < 1e-6)
+  }
+
+  test("equiDepthHistogram: NTILE-exact near-equal bucket depths") {
+    val orders = (1 to 20).map(i => (i.toLong, i.toDouble))
+      .toDF("o_orderkey", "o_totalprice")
+    val out = graft.operators.Relational.equiDepthHistogram(orders)
+      .orderBy("bucket").collect()
+    graft.CacheTracker.releaseAll()
+    assert(out.length === 10)
+    assert(out.forall(_.getAs[Long]("n_orders") === 2L))
+    val b1 = out.head
+    assert(b1.getAs[Long]("min_cents") === 100L && b1.getAs[Long]("max_cents") === 200L)
+    assert(b1.getAs[Long]("sum_cents") === 300L)
+    assert(b1.getAs[Double]("avg_cents") === 150.0)
+    val b10 = out.last
+    assert(b10.getAs[Long]("min_cents") === 1900L && b10.getAs[Long]("max_cents") === 2000L)
+  }
+
+  test("sessionConcurrency: inclusive ends overlap a start at the same instant") {
+    val events = ev(
+      (1L, 1L, "2024-01-01 10:00:00"), (2L, 1L, "2024-01-01 10:10:00"), // u1 session
+      (3L, 2L, "2024-01-01 10:05:00"), (4L, 2L, "2024-01-01 10:15:00"), // overlaps u1
+      (5L, 3L, "2024-01-01 12:00:00"),                                   // lone later
+      (6L, 4L, "2024-01-01 10:10:00"))                                   // starts AT u1 end
+    val out = graft.operators.Sessionize.sessionConcurrency(events).collect()
+    graft.CacheTracker.releaseAll()
+    assert(out.length === 1)
+    val d = out.head
+    // at 10:10 the sweep sees u1+u2 still open and u4 starting -> 3
+    assert(d.getAs[Long]("max_concurrent") === 3L)
+    assert(d.getAs[Long]("n_sessions_started") === 4L)
+  }
 }
