@@ -4399,6 +4399,56 @@ object Oracles {
         |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrent FROM d)
         |SELECT us // 86400000000 AS day_idx, max(concurrent) AS max_concurrent,
         |  count(*) AS n_sessions_started
-        |FROM cs WHERE delta = 1 GROUP BY 1""".stripMargin
+        |FROM cs WHERE delta = 1 GROUP BY 1""".stripMargin,
+
+    // Jelinek-Mercer interpolated bigram scoring of held-out types;
+    // (1.0 - 0.7) stays an expression so both engines use the same bits
+    "jm_bigram" ->
+      s"""WITH t0 AS (SELECT doc_id, $toks AS toks FROM documents),
+         |b AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+         |            FROM t0 WHERE len(toks) >= 2)),
+         |cb AS (SELECT w1, w2, count(*) AS c_bigram FROM b WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+         |uni AS (SELECT unnest(toks) AS w FROM t0 WHERE doc_id % 10 < 8),
+         |cu AS (SELECT w, count(*) AS c_uni FROM uni GROUP BY 1),
+         |nv AS (SELECT CAST(sum(c_uni) AS BIGINT) AS n_tokens, count(*) AS v_types FROM cu),
+         |hh AS (SELECT w1, w2, count(*) AS n_heldout FROM b WHERE doc_id % 10 >= 8 GROUP BY 1, 2)
+         |SELECT hh.w1, hh.w2, hh.n_heldout,
+         |  CAST(coalesce(cb.c_bigram, 0) AS BIGINT) AS c_bigram,
+         |  CAST(coalesce(u1.c_uni, 0) AS BIGINT) AS c_w1,
+         |  CAST(coalesce(u2.c_uni, 0) AS BIGINT) AS c_w2,
+         |  round(0.7 * (CASE WHEN coalesce(u1.c_uni, 0) > 0
+         |      THEN CAST(coalesce(cb.c_bigram, 0) AS DOUBLE) / u1.c_uni ELSE 0.0 END)
+         |    + (1.0 - 0.7) * CAST(coalesce(u2.c_uni, 0) + 1 AS DOUBLE) / (n_tokens + v_types),
+         |    6) AS p_jm
+         |FROM hh LEFT JOIN cb ON cb.w1 = hh.w1 AND cb.w2 = hh.w2
+         |LEFT JOIN cu u1 ON u1.w = hh.w1
+         |LEFT JOIN cu u2 ON u2.w = hh.w2
+         |CROSS JOIN nv""".stripMargin,
+
+    // Good-Turing frequency-of-frequencies: N_c type counts + adjusted
+    // c* = (c+1) N_{c+1} / N_c where the next class exists
+    "freq_of_freqs" ->
+      s"""WITH cnt AS (SELECT token, count(*) AS c FROM $tokTable GROUP BY 1),
+         |cls AS (SELECT c, count(*) AS n_types FROM cnt GROUP BY 1)
+         |SELECT a.c, a.n_types,
+         |  CASE WHEN b.n_types IS NOT NULL
+         |    THEN round(CAST(a.c + 1 AS DOUBLE) * b.n_types / a.n_types, 6) END AS c_star
+         |FROM cls a LEFT JOIN cls b ON b.c = a.c + 1""".stripMargin,
+
+    // decile gain/lift table over the quality ranker (NTILE-exact)
+    "lift_deciles" ->
+      s"""WITH s AS (SELECT doc_id, $qualitySql AS score,
+         |  CASE WHEN coalesce(lang = 'en', false) THEN 1 ELSE 0 END AS y FROM documents),
+         |t AS (SELECT y, CAST(ntile(10) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS decile FROM s),
+         |d AS (SELECT decile, count(*) AS n_docs, CAST(sum(y) AS BIGINT) AS n_pos FROM t GROUP BY 1),
+         |c AS (SELECT *, CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+         |       CAST(sum(n_pos) OVER () AS BIGINT) AS total_pos,
+         |       CAST(sum(n_docs) OVER () AS BIGINT) AS total_docs FROM d)
+         |SELECT decile, n_docs, n_pos,
+         |  round(CAST(n_pos AS DOUBLE) / n_docs, 6) AS pos_rate,
+         |  round(CAST(cum_pos AS DOUBLE) / total_pos, 6) AS cum_gain,
+         |  round(CAST(n_pos AS DOUBLE) / n_docs / (CAST(total_pos AS DOUBLE) / total_docs), 6) AS lift
+         |FROM c""".stripMargin
   )
 }

@@ -251,6 +251,9 @@ object SparkEntry {
     "equi_depth_histogram" -> ((s, d) =>
       Relational.equiDepthHistogram(t(s, d, "orders"))),
     "session_concurrency" -> ((s, d) => Sessionize.sessionConcurrency(events(s, d))),
+    "jm_bigram" -> ((s, d) => LangModel.jmBigram(spread(t(s, d, "documents")))),
+    "freq_of_freqs" -> ((s, d) => TextOps.freqOfFreqs(spread(t(s, d, "documents")))),
+    "lift_deciles" -> ((s, d) => Eval.liftDeciles(spread(t(s, d, "documents")))),
     "key_skew_profile" -> ((s, d) => Relational.keySkewProfile(events(s, d))),
     "token_degree_stats" -> ((s, d) => Graph.tokenDegreeStats(spread(t(s, d, "documents")))),
     "burst_hours" -> ((s, d) => Relational.burstHours(events(s, d))),

@@ -147,4 +147,38 @@ object Eval {
         round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos"),
         round(col("sum_sq").cast("double") / col("n") / 1e12, 6).as("brier"))
   }
+
+  /** Decile lift/gain table (B169): rank documents by score descending
+    * (doc_id tie-break), NTILE-exact deciles via the two-pass global
+    * rank, and per decile the positive rate, cumulative gain (share of
+    * ALL positives captured through this decile), and lift over the base
+    * rate — the targeting readout every campaign/selection pipeline
+    * reads before picking a cutoff. The per-document frame never sorts
+    * in one task ([[Ranks.withGlobalRowNumber]]); the decile frame is
+    * 10 rows, so its cumulative window is constant-bounded, not
+    * data-sized. Ratios are exact-integer divisions rounded once. */
+  def liftDeciles(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+      TextOps.qualityComposite.as("score"), isEn.as("y"))
+    val ranked = Ranks.withGlobalRowNumber(scored, "_rnk", "_n",
+      Seq(col("score").desc, col("doc_id")))
+    val byDecile = ranked
+      .withColumn("decile", Ranks.ntileFromRank(col("_rnk"), col("_n"), 10).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
+    // 10-row frame: the unpartitioned window is constant-bounded
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byDecile
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .withColumn("total_pos", sum(col("n_pos")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("total_docs", sum(col("n_docs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("decile"), col("n_docs"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n_docs"), 6).as("pos_rate"),
+        round(col("cum_pos").cast("double") / col("total_pos"), 6).as("cum_gain"),
+        round(col("n_pos").cast("double") / col("n_docs") /
+          (col("total_pos").cast("double") / col("total_docs")), 6).as("lift"))
+  }
 }

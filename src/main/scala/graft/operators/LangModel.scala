@@ -864,4 +864,54 @@ object LangModel {
         round(col("w0"), 6).as("w0"),
         round(col("w_up") / col("z"), 6).as("w_new"))
   }
+
+  /** Jelinek-Mercer interpolated bigram scoring of held-out text (B167):
+    * P(w2|w1) = λ·c(w1w2)/c(w1) + (1−λ)·(c(w2)+1)/(N+V) — linear
+    * interpolation between the train-split bigram ML estimate and an
+    * add-1 unigram floor, the third classic smoother alongside
+    * [[bigramLm]]'s add-k and [[knBigram]]'s Kneser-Ney. Scored per
+    * held-out bigram TYPE (doc_id % 10 ≥ 8 split, same convention as
+    * stupid_backoff), with unseen-history and unseen-bigram cases
+    * degrading to the unigram floor.
+    *
+    * Scale: train counts are one partial-agg shuffle each; the held-out
+    * type frame left-joins them (vocabulary²-bounded) and the (N, V)
+    * normalizers are a one-row broadcast. Per-row arithmetic over exact
+    * integer counts in one fixed operand order. */
+  def jmBigram(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
+    val toked = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val train = toked.filter(col("doc_id") % 10 < 8)
+    val held = toked.filter(col("doc_id") % 10 >= 8)
+    def bigrams(t: DataFrame) = t.filter(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cBig = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("c_bigram"))
+    val uni = train.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_uni"))
+    val cW1 = uni.select(col("w").as("w1"), col("c_uni").as("c_w1"))
+    val norm = uni.agg(sum(col("c_uni")).as("n_tokens"),
+      count(lit(1)).as("v_types"))
+    val heldTypes = bigrams(held).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n_heldout"))
+    val cW2 = uni.select(col("w").as("w2"), col("c_uni").as("c_w2"))
+    heldTypes
+      .join(cBig, Seq("w1", "w2"), "left")
+      .join(cW1, Seq("w1"), "left")
+      .join(cW2, Seq("w2"), "left")
+      .crossJoin(broadcast(norm))
+      .select(col("w1"), col("w2"), col("n_heldout"),
+        coalesce(col("c_bigram"), lit(0L)).as("c_bigram"),
+        coalesce(col("c_w1"), lit(0L)).as("c_w1"),
+        coalesce(col("c_w2"), lit(0L)).as("c_w2"),
+        round(
+          lit(lambda) * when(coalesce(col("c_w1"), lit(0L)) > 0,
+            coalesce(col("c_bigram"), lit(0L)).cast("double") / col("c_w1"))
+            .otherwise(lit(0.0))
+            + lit(1.0 - lambda) * (coalesce(col("c_w2"), lit(0L)) + lit(1L)).cast("double")
+              / (col("n_tokens") + col("v_types")),
+          6).as("p_jm"))
+  }
 }

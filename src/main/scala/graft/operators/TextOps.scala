@@ -2373,4 +2373,25 @@ object TextOps {
       .filter(col("n_pairs") >= minPairs)
       .select(col("tok_a"), col("tok_b"), col("n_pairs"),
         round(col("sum_micro").cast("double") / 1e6, 6).as("weight"))
+
+  /** Good-Turing frequency-of-frequencies table (B168): N_c = how many
+    * token TYPES occur exactly c times, with the adjusted count
+    * c* = (c+1)·N_{c+1}/N_c where the next class exists — the table
+    * Good-Turing smoothing reads to give unseen events mass, and the
+    * frequency-spectrum audit (is N_1 enormous? → typo/ID noise) every
+    * tokenizer decision consults. Two partial-agg shuffles (token
+    * counts, then count classes) plus a self-join on c+1 over the
+    * class-frame, which is ~√(corpus) sized (count classes grow far
+    * slower than vocabulary). */
+  def freqOfFreqs(docs: DataFrame): DataFrame = {
+    val counts = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val classes = counts.groupBy("c").agg(count(lit(1)).as("n_types"))
+    val next = classes.select((col("c") - 1).as("c"), col("n_types").as("n_next"))
+    classes.join(next, Seq("c"), "left")
+      .select(col("c"), col("n_types"),
+        when(col("n_next").isNotNull,
+          round((col("c") + 1).cast("double") * col("n_next") / col("n_types"), 6))
+          .as("c_star"))
+  }
 }

@@ -172,6 +172,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(Relational.itemCfScores(noLi, noOrd).count() === 0)
     assert(Relational.cupedAdjust(noEvents).count() === 0)
     graft.CacheTracker.releaseAll()
+    assert(TextOps.freqOfFreqs(noDocs).count() === 0)
+    assert(LangModel.jmBigram(noDocs).count() === 0)
+    assert(Eval.liftDeciles(noDocs).count() === 0)
+    graft.CacheTracker.releaseAll()
     assert(Relational.equiDepthHistogram(
       Seq.empty[(Long, Double)].toDF("o_orderkey", "o_totalprice")).count() === 0)
     graft.CacheTracker.releaseAll()

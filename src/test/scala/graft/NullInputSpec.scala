@@ -52,7 +52,8 @@ class NullInputSpec extends SparkSpec {
       d => Graph.tokenDegreeStats(d), d => LangModel.bigramCondEntropy(d),
       d => Eval.rocAuc(d), d => Eval.prCurve(d),
       d => Eval.mcnemarTest(d), d => Eval.calibrationBins(d),
-      d => TextOps.gloveCooc(d))
+      d => TextOps.gloveCooc(d), d => TextOps.freqOfFreqs(d),
+      d => LangModel.jmBigram(d), d => Eval.liftDeciles(d))
     for ((op, i) <- ops.zipWithIndex) {
       val out = op(docs)
       // must evaluate without throwing; row counts vary by op semantics

@@ -261,4 +261,44 @@ class Round12dSpec extends SparkSpec {
     assert(d.getAs[Long]("max_concurrent") === 3L)
     assert(d.getAs[Long]("n_sessions_started") === 4L)
   }
+
+  test("jmBigram: interpolation between train ML and the unigram floor") {
+    // train: doc 1 (doc_id % 10 < 8); held-out: doc 8
+    val d = docs((1L, "a b a b", "en"), (8L, "a b c", "en"))
+    val out = graft.operators.LangModel.jmBigram(d).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) -> r).toMap
+    // (a,b): seen twice in train; unigrams a:2 b:2, N=4 V=2
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Long]("c_bigram") === 2L && ab.getAs[Long]("c_w1") === 2L)
+    // 0.7 * 2/2 + 0.3 * (2+1)/(4+2) = 0.85
+    assert(math.abs(ab.getAs[Double]("p_jm") - 0.85) < 1e-6)
+    // (b,c): unseen bigram AND unseen w2 -> pure smoothed floor
+    val bc = out(("b", "c"))
+    assert(bc.getAs[Long]("c_bigram") === 0L && bc.getAs[Long]("c_w2") === 0L)
+    assert(math.abs(bc.getAs[Double]("p_jm") - 0.05) < 1e-6)
+  }
+
+  test("freqOfFreqs: Good-Turing adjusted counts from the class above") {
+    val d = docs((1L, "a a a b b c", "en"))
+    val out = graft.operators.TextOps.freqOfFreqs(d).collect()
+      .map(r => r.getAs[Long]("c") -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L).getAs[Long]("n_types") === 1L)
+    assert(out(1L).getAs[Double]("c_star") === 2.0) // (1+1) * N_2/N_1
+    assert(out(2L).getAs[Double]("c_star") === 3.0)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("c_star"))) // no N_4
+  }
+
+  test("liftDeciles: top deciles capture the positives") {
+    val d = docs((1L, hi, "en"), (2L, hi, "en"), (3L, lo, "fr"), (4L, lo, "de"))
+    val out = Eval.liftDeciles(d).orderBy("decile").collect()
+    graft.CacheTracker.releaseAll()
+    assert(out.length === 4) // n < k: one row per rank
+    assert(out(0).getAs[Double]("pos_rate") === 1.0)
+    assert(out(0).getAs[Double]("cum_gain") === 0.5)
+    assert(out(0).getAs[Double]("lift") === 2.0) // 1.0 / base 0.5
+    assert(out(1).getAs[Double]("cum_gain") === 1.0)
+    assert(out(2).getAs[Double]("pos_rate") === 0.0)
+    assert(out(3).getAs[Double]("cum_gain") === 1.0)
+  }
 }
