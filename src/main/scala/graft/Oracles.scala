@@ -4449,6 +4449,64 @@ object Oracles {
          |  round(CAST(n_pos AS DOUBLE) / n_docs, 6) AS pos_rate,
          |  round(CAST(cum_pos AS DOUBLE) / total_pos, 6) AS cum_gain,
          |  round(CAST(n_pos AS DOUBLE) / n_docs / (CAST(total_pos AS DOUBLE) / total_docs), 6) AS lift
-         |FROM c""".stripMargin
+         |FROM c""".stripMargin,
+
+    // Heaps' law V = k N^beta by least squares over per-doc-boundary
+    // (ln N, ln V) in nano units; intercept in mean form with rounded beta
+    "heaps_law_fit" ->
+      s"""WITH pd AS (SELECT doc_id, len($toks) AS n_toks FROM documents),
+         |fs AS (SELECT first_doc AS doc_id, count(*) AS n_new FROM (
+         |        SELECT token, min(doc_id) AS first_doc FROM $tokTable GROUP BY 1)
+         |      GROUP BY 1),
+         |g AS (SELECT pd.doc_id, pd.n_toks, coalesce(fs.n_new, 0) AS n_new
+         |      FROM pd LEFT JOIN fs USING (doc_id)),
+         |c AS (SELECT CAST(sum(n_toks) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens,
+         |       CAST(sum(n_new) OVER (ORDER BY doc_id) AS BIGINT) AS cum_types FROM g),
+         |p AS (SELECT CAST(round(ln(CAST(cum_tokens AS DOUBLE)) * 1000000000, 0) AS BIGINT) AS xn,
+         |       CAST(round(ln(CAST(cum_types AS DOUBLE)) * 1000000000, 0) AS BIGINT) AS yn
+         |      FROM c WHERE cum_tokens > 0 AND cum_types > 0),
+         |m AS (SELECT count(*) AS n, CAST(sum(xn) AS BIGINT) AS sx, CAST(sum(yn) AS BIGINT) AS sy,
+         |       sum(CAST(xn AS HUGEINT) * yn) AS sxy, sum(CAST(xn AS HUGEINT) * xn) AS sxx FROM p),
+         |b AS (SELECT n, sx, sy,
+         |       round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         |         / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6) AS beta
+         |       FROM m),
+         |lk AS (SELECT n, beta,
+         |       round((CAST(sy AS DOUBLE) / n - beta * (CAST(sx AS DOUBLE) / n)) / 1000000000.0, 6) AS ln_k
+         |       FROM b)
+         |SELECT n AS n_points, beta, ln_k, round(exp(ln_k), 6) AS k FROM lk""".stripMargin,
+
+    // per-class precision/recall/F1 for the marker-token language-ID;
+    // f1 from the UNROUNDED p/r in mirrored operand order
+    "class_report" ->
+      s"""WITH pred AS (SELECT lang AS label, $langPred AS pred_lang FROM documents),
+         |cm AS (SELECT label, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2),
+         |bl AS (SELECT label, CAST(sum(n) AS BIGINT) AS support FROM cm GROUP BY 1),
+         |bp AS (SELECT pred_lang, CAST(sum(n) AS BIGINT) AS predicted FROM cm GROUP BY 1),
+         |tp AS (SELECT label, n AS tp FROM cm WHERE label = pred_lang),
+         |per AS (SELECT bl.label, bl.support, CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
+         |        CAST(coalesce(bp.predicted, 0) AS BIGINT) AS predicted
+         |        FROM bl LEFT JOIN tp ON tp.label = bl.label
+         |        LEFT JOIN bp ON bp.pred_lang = bl.label),
+         |pr AS (SELECT label, support, tp, predicted,
+         |        CASE WHEN predicted > 0 THEN CAST(tp AS DOUBLE) / predicted ELSE 0.0 END AS p,
+         |        CASE WHEN support > 0 THEN CAST(tp AS DOUBLE) / support ELSE 0.0 END AS r
+         |        FROM per)
+         |SELECT label, support, tp, predicted,
+         |  round(p, 6) AS "precision", round(r, 6) AS recall,
+         |  round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6) AS f1
+         |FROM pr""".stripMargin,
+
+    // per-week top-3 |WoW delta| movers over exact weekly cents
+    "top_movers" ->
+      """WITH w AS (SELECT epoch_ns(ts) // 1000 // 604800000000 AS week_idx, event_type,
+        |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |      FROM events GROUP BY 1, 2),
+        |d AS (SELECT *, lag(rev_cents) OVER (PARTITION BY event_type ORDER BY week_idx) AS prev_cents FROM w),
+        |f AS (SELECT *, rev_cents - prev_cents AS delta_cents FROM d WHERE prev_cents IS NOT NULL),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY week_idx
+        |        ORDER BY abs(delta_cents) DESC, event_type) AS BIGINT) AS rank FROM f)
+        |SELECT week_idx, rank, event_type, rev_cents, prev_cents, delta_cents
+        |FROM r WHERE rank <= 3""".stripMargin
   )
 }

@@ -254,6 +254,9 @@ object SparkEntry {
     "jm_bigram" -> ((s, d) => LangModel.jmBigram(spread(t(s, d, "documents")))),
     "freq_of_freqs" -> ((s, d) => TextOps.freqOfFreqs(spread(t(s, d, "documents")))),
     "lift_deciles" -> ((s, d) => Eval.liftDeciles(spread(t(s, d, "documents")))),
+    "heaps_law_fit" -> ((s, d) => LangModel.heapsLawFit(spread(t(s, d, "documents")))),
+    "class_report" -> ((s, d) => Eval.classReport(spread(t(s, d, "documents")))),
+    "top_movers" -> ((s, d) => Relational.topMovers(events(s, d))),
     "key_skew_profile" -> ((s, d) => Relational.keySkewProfile(events(s, d))),
     "token_degree_stats" -> ((s, d) => Graph.tokenDegreeStats(spread(t(s, d, "documents")))),
     "burst_hours" -> ((s, d) => Relational.burstHours(events(s, d))),

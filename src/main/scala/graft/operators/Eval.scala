@@ -181,4 +181,41 @@ object Eval {
         round(col("n_pos").cast("double") / col("n_docs") /
           (col("total_pos").cast("double") / col("total_docs")), 6).as("lift"))
   }
+
+  /** Per-class precision/recall/F1 table (B171) — sklearn's
+    * classification_report as a DataFrame, for the marker-token
+    * language-ID against the true lang label. The existing
+    * `eval_metrics` entry reports only the support-weighted aggregates;
+    * per-class rows are what actually localize a regression ("recall
+    * collapsed on de"). Counts are exact integers off one
+    * (label, prediction) aggregate; p/r divide exactly once, f1 is
+    * computed from the UNROUNDED p/r (mirrored operand order) and all
+    * three round at the end. Classes-squared-bounded frames throughout;
+    * predicted-side totals join back on the class key. */
+  def classReport(docs: DataFrame): DataFrame = {
+    val pred = TextOps.langId(docs)
+      .join(docs.select(col("doc_id"), col("lang").as("label")), "doc_id")
+    val cm = pred.groupBy("label", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+    val byLabel = cm.groupBy("label").agg(sum(col("n")).as("support"))
+    val byPred = cm.groupBy("pred_lang").agg(sum(col("n")).as("predicted"))
+    val tp = cm.filter(col("label") === col("pred_lang"))
+      .select(col("label"), col("n").as("tp"))
+    val per = byLabel
+      .join(tp, Seq("label"), "left")
+      .join(byPred.select(col("pred_lang").as("label"), col("predicted")),
+        Seq("label"), "left")
+      .select(col("label"), col("support"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("predicted"), lit(0L)).as("predicted"))
+    val p = when(col("predicted") > 0,
+      col("tp").cast("double") / col("predicted")).otherwise(lit(0.0))
+    val r = when(col("support") > 0,
+      col("tp").cast("double") / col("support")).otherwise(lit(0.0))
+    per.select(col("label"), col("support"), col("tp"), col("predicted"),
+      round(p, 6).as("precision"),
+      round(r, 6).as("recall"),
+      round(when(p + r > 0, lit(2.0) * p * r / (p + r)).otherwise(lit(0.0)), 6)
+        .as("f1"))
+  }
 }

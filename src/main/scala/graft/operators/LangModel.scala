@@ -914,4 +914,54 @@ object LangModel {
               / (col("n_tokens") + col("v_types")),
           6).as("p_jm"))
   }
+
+  /** Heaps'-law fit (B170): vocabulary growth V(N) = k·N^β, estimated
+    * by least squares over (ln N_d, ln V_d) at every document boundary
+    * in doc_id order — the scaling-law readout that predicts vocabulary
+    * (and so tokenizer/embedding-table) size at 100 TB from a sample.
+    *
+    * Mechanics: each token's FIRST document (one min per type) turns
+    * into per-doc new-type counts; cumulative tokens and types ride ONE
+    * [[Ranks.withGlobalCumSums]] pass in doc_id order. Each ln rounds
+    * once to NANO units (exact longs); the regression moments accumulate
+    * nano-products in DECIMAL(38,0) (a web corpus overflows BIGINT), and
+    * β = (nΣxy − ΣxΣy)/(nΣxx − Σx²) — the nano scale cancels — divides
+    * once at the end, so both engines fit identical coefficients. */
+  def heapsLawFit(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+    val firstSeen = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_new"))
+    val grown = Ranks.withGlobalCumSums(
+      perDoc.join(firstSeen, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("n_new"), lit(0L)).as("n_new")),
+      Seq(("n_toks", "cum_tokens", "_tot_tokens"),
+        ("n_new", "cum_types", "_tot_types")),
+      Seq(col("doc_id")))
+    val pts = grown.filter(col("cum_tokens") > 0 && col("cum_types") > 0)
+      .select(
+        round(log(col("cum_tokens").cast("double")) * 1e9, 0).cast("long").as("xn"),
+        round(log(col("cum_types").cast("double")) * 1e9, 0).cast("long").as("yn"))
+    val m = pts.agg(
+      count(lit(1)).as("n"),
+      sum(col("xn")).as("sx"), sum(col("yn")).as("sy"),
+      sum(col("xn").cast("decimal(38,0)") * col("yn")).as("sxy"),
+      sum(col("xn").cast("decimal(38,0)") * col("xn")).as("sxx"))
+    val denom = (col("n").cast("decimal(38,0)") * col("sxx") -
+      col("sx").cast("decimal(38,0)") * col("sx")).cast("double")
+    // intercept in mean form with the ROUNDED beta (sy·sxx would
+    // overflow DECIMAL(38,0)) — both engines adjust with identical bits
+    m.select(col("n"), col("sx"), col("sy"),
+        round((col("n").cast("decimal(38,0)") * col("sxy") -
+          col("sx").cast("decimal(38,0)") * col("sy")).cast("double") / denom, 6)
+          .as("beta"))
+      .select(col("n").as("n_points"), col("beta"),
+        round((col("sy").cast("double") / col("n") -
+          col("beta") * (col("sx").cast("double") / col("n"))) / 1e9, 6).as("ln_k"))
+      .withColumn("k", round(exp(col("ln_k")), 6))
+  }
 }

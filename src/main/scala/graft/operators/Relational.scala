@@ -2049,6 +2049,37 @@ object Relational {
         round(col("sum_cents").cast("double") / col("n_orders"), 6))
   }
 
+  /** Top weekly movers (C138): per week, the 3 event types with the
+    * largest absolute week-over-week revenue delta — the "what changed"
+    * dashboard row. Weekly cents are exact sums; the per-type lag
+    * window is bounded by the number of weeks (time-bounded, not
+    * data-sized); the per-week top-3 rides the native
+    * [[graft.plans.TopK]] operator so no week sorts more than k rows
+    * past the partial aggregates. Weeks without a prior observation for
+    * a type are skipped (no delta), both engines identically. */
+  def topMovers(events: DataFrame, k: Int = 3): DataFrame = {
+    val weekly = events
+      .select(expr("unix_micros(ts) div 604800000000").as("week_idx"),
+        col("event_type"), cents(col("value")).as("c"))
+      .groupBy("week_idx", "event_type")
+      .agg(sum(col("c")).as("rev_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("week_idx")
+    val deltas = weekly
+      .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+      .filter(col("prev_cents").isNotNull)
+      .withColumn("delta_cents", col("rev_cents") - col("prev_cents"))
+      .withColumn("abs_delta", abs(col("delta_cents")))
+    graft.plans.TopK.register(events.sparkSession)
+    val top = graft.plans.TopK.topKPerKey(deltas, Seq("week_idx"),
+      Seq("abs_delta" -> false, "event_type" -> true), k)
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("week_idx").orderBy(col("abs_delta").desc, col("event_type"))
+    top.withColumn("rank", row_number().over(rk).cast("long"))
+      .select(col("week_idx"), col("rank"), col("event_type"),
+        col("rev_cents"), col("prev_cents"), col("delta_cents"))
+  }
+
   /** Item-item collaborative-filtering similarity (C130): cosine between
     * items' customer-interaction vectors — co_count / sqrt(n_a · n_b)
     * over distinct (customer, part) baskets from lineitem ⋈ orders.

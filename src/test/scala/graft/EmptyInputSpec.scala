@@ -176,6 +176,11 @@ class EmptyInputSpec extends SparkSpec {
     assert(LangModel.jmBigram(noDocs).count() === 0)
     assert(Eval.liftDeciles(noDocs).count() === 0)
     graft.CacheTracker.releaseAll()
+    // global regression emits its one null-fit row on an empty corpus
+    assert(LangModel.heapsLawFit(noDocs).count() === 1)
+    graft.CacheTracker.releaseAll()
+    assert(Eval.classReport(noDocs).count() === 0)
+    assert(Relational.topMovers(noEvents).count() === 0)
     assert(Relational.equiDepthHistogram(
       Seq.empty[(Long, Double)].toDF("o_orderkey", "o_totalprice")).count() === 0)
     graft.CacheTracker.releaseAll()

@@ -301,4 +301,53 @@ class Round12dSpec extends SparkSpec {
     assert(out(2).getAs[Double]("pos_rate") === 0.0)
     assert(out(3).getAs[Double]("cum_gain") === 1.0)
   }
+
+  test("heapsLawFit: two boundaries fit V = k N^beta exactly") {
+    // boundaries: (N=2, V=2) then (N=6, V=4)
+    val d = docs((1L, "a b", "en"), (2L, "a b c d", "en"))
+    val r = graft.operators.LangModel.heapsLawFit(d).collect()
+    graft.CacheTracker.releaseAll()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_points") === 2L)
+    // beta = ln(4/2) / ln(6/2) = ln 2 / ln 3
+    assert(math.abs(r.head.getAs[Double]("beta") - math.log(2) / math.log(3)) < 1e-4)
+    // k = V / N^beta at either point
+    val beta = r.head.getAs[Double]("beta")
+    assert(math.abs(r.head.getAs[Double]("k") - 2.0 / math.pow(2.0, beta)) < 1e-3)
+  }
+
+  test("classReport: per-class rows localize what the aggregate hides") {
+    val d = docs(
+      (1L, "the cat", "en"),    // markers hit -> pred en (tp)
+      (2L, "zzz qqq www", "en"),// no markers -> pred und (miss)
+      (3L, "le chat est la", "fr")) // fr markers -> pred fr (tp)
+    val out = Eval.classReport(d).collect()
+      .map(r => r.getAs[String]("label") -> r).toMap
+    assert(out.keySet === Set("en", "fr")) // only TRUE labels get rows
+    val en = out("en")
+    assert(en.getAs[Long]("support") === 2L && en.getAs[Long]("tp") === 1L)
+    assert(en.getAs[Double]("precision") === 1.0)
+    assert(en.getAs[Double]("recall") === 0.5)
+    assert(math.abs(en.getAs[Double]("f1") - 0.666667) < 1e-6)
+    val fr = out("fr")
+    assert(fr.getAs[Double]("f1") === 1.0)
+  }
+
+  test("topMovers ranks by absolute WoW delta; first-week types skipped") {
+    val events = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "click", 100.0),
+      (2L, 1L, "2024-01-08 10:00:00", "click", 300.0),
+      (3L, 2L, "2024-01-01 10:00:00", "view", 500.0),
+      (4L, 2L, "2024-01-08 10:00:00", "view", 450.0),
+      (5L, 3L, "2024-01-08 10:00:00", "error", 10.0)) // no prior week
+      .map { case (e, u, t, ty, v) =>
+        (e, u, java.sql.Timestamp.valueOf(t), ty, v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = graft.operators.Relational.topMovers(events).orderBy("rank").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[String]("event_type") === "click")
+    assert(out(0).getAs[Long]("delta_cents") === 20000L)
+    assert(out(1).getAs[String]("event_type") === "view")
+    assert(out(1).getAs[Long]("delta_cents") === -5000L)
+  }
 }
