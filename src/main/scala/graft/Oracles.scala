@@ -4507,6 +4507,72 @@ object Oracles {
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY week_idx
         |        ORDER BY abs(delta_cents) DESC, event_type) AS BIGINT) AS rank FROM f)
         |SELECT week_idx, rank, event_type, rev_cents, prev_cents, delta_cents
-        |FROM r WHERE rank <= 3""".stripMargin
+        |FROM r WHERE rank <= 3""".stripMargin,
+
+    // sign-LSH cell occupancy: share + load factor vs uniform over 2^6
+    "ivf_cell_balance" ->
+      """WITH b AS (SELECT
+        |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS cell
+        |  FROM embeddings),
+        |c AS (SELECT cell, count(*) AS n_vecs FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total, count(*) AS n_cells_used FROM c)
+        |SELECT cell, n_vecs, n_cells_used,
+        |  round(CAST(n_vecs AS DOUBLE) / n_total, 6) AS share,
+        |  round(CAST(n_vecs AS DOUBLE) * 64 / n_total, 6) AS load_factor
+        |FROM c CROSS JOIN t""".stripMargin,
+
+    // PSI between time halves: decile edges from the PRE period, both
+    // periods assigned via the same 9 inner edges, add-1 smoothed shares
+    "psi_drift" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts) // 1000 // 86400000000 AS day_idx,
+        |        CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |bo AS (SELECT min(day_idx) AS min_day, max(day_idx) AS max_day FROM e),
+        |t AS (SELECT event_id, c, day_idx < (min_day + max_day + 1) // 2 AS is_pre
+        |      FROM e CROSS JOIN bo),
+        |r AS (SELECT event_id, c FROM t WHERE is_pre),
+        |rk AS (SELECT c, ntile(10) OVER (ORDER BY c, event_id) AS decile FROM r),
+        |ed AS (SELECT list_sort(list(edge)) AS edges FROM (
+        |        SELECT decile, max(c) AS edge FROM rk GROUP BY 1) WHERE decile <= 9),
+        |bn AS (SELECT is_pre, CAST(len(list_filter(edges, x -> x < c)) + 1 AS BIGINT) AS bin
+        |       FROM t CROSS JOIN ed),
+        |cnt AS (SELECT bin, CAST(sum(CASE WHEN is_pre THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |        CAST(sum(CASE WHEN is_pre THEN 0 ELSE 1 END) AS BIGINT) AS n_post
+        |        FROM bn GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+        |        CAST(sum(n_post) AS BIGINT) AS t_post FROM cnt)
+        |SELECT bin, n_ref, n_post,
+        |  round(CAST(n_ref + 1 AS DOUBLE) / (t_ref + 10), 6) AS p_ref,
+        |  round(CAST(n_post + 1 AS DOUBLE) / (t_post + 10), 6) AS p_post,
+        |  round((CAST(n_post + 1 AS DOUBLE) / (t_post + 10) - CAST(n_ref + 1 AS DOUBLE) / (t_ref + 10))
+        |    * ln((CAST(n_post + 1 AS DOUBLE) / (t_post + 10)) / (CAST(n_ref + 1 AS DOUBLE) / (t_ref + 10))), 6) AS psi_term
+        |FROM cnt CROSS JOIN tt""".stripMargin,
+
+    // pooled retention decay: r_k over at-risk users (bounded k-explode),
+    // nano-unit ln least squares; half-life from the rounded lambda
+    "retention_decay_fit" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |        epoch_ns(ts) // 1000 // 604800000000 AS week_idx FROM events),
+        |f AS (SELECT user_id, min(week_idx) AS first_week FROM uw GROUP BY 1),
+        |h AS (SELECT max(week_idx) AS max_week FROM uw),
+        |a AS (SELECT DISTINCT uw.user_id, uw.week_idx - f.first_week AS k
+        |      FROM uw JOIN f USING (user_id) WHERE uw.week_idx - f.first_week >= 1),
+        |bk AS (SELECT k, count(*) AS n_active FROM a GROUP BY 1),
+        |rkk AS (SELECT unnest(generate_series(1, max_k)) AS k FROM (
+        |        SELECT max_week - first_week AS max_k FROM f CROSS JOIN h) WHERE max_k >= 1),
+        |nr AS (SELECT k, count(*) AS n_at_risk FROM rkk GROUP BY 1),
+        |rt AS (SELECT bk.k, bk.n_active, nr.n_at_risk,
+        |        CAST(round(ln(CAST(bk.n_active AS DOUBLE) / nr.n_at_risk) * 1000000000, 0) AS BIGINT) AS yn
+        |       FROM bk JOIN nr USING (k)),
+        |m AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS sx, CAST(sum(yn) AS BIGINT) AS sy,
+        |       sum(CAST(k AS HUGEINT) * yn) AS sxy, sum(CAST(k AS HUGEINT) * k) AS sxx FROM rt),
+        |b AS (SELECT n,
+        |       round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |         / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |         / 1000000000.0, 6) AS lambda FROM m)
+        |SELECT n AS n_points, lambda,
+        |  CASE WHEN lambda < 0 THEN round(-ln(2.0) / lambda, 6) END AS half_life_weeks
+        |FROM b""".stripMargin
   )
 }

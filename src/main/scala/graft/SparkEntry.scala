@@ -257,6 +257,9 @@ object SparkEntry {
     "heaps_law_fit" -> ((s, d) => LangModel.heapsLawFit(spread(t(s, d, "documents")))),
     "class_report" -> ((s, d) => Eval.classReport(spread(t(s, d, "documents")))),
     "top_movers" -> ((s, d) => Relational.topMovers(events(s, d))),
+    "ivf_cell_balance" -> ((s, d) => Similarity.ivfCellBalance(t(s, d, "embeddings"))),
+    "psi_drift" -> ((s, d) => Relational.psiDrift(events(s, d))),
+    "retention_decay_fit" -> ((s, d) => Relational.retentionDecayFit(events(s, d))),
     "key_skew_profile" -> ((s, d) => Relational.keySkewProfile(events(s, d))),
     "token_degree_stats" -> ((s, d) => Graph.tokenDegreeStats(spread(t(s, d, "documents")))),
     "burst_hours" -> ((s, d) => Relational.burstHours(events(s, d))),

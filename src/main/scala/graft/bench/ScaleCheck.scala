@@ -144,6 +144,28 @@ object ScaleCheck {
       val (tBce, nBce) =
         timedForce(graft.operators.LangModel.bigramCondEntropy(docs))
 
+      // glove_cooc's window expansion is a bounded per-center slice: m-way
+      // duplication multiplies pair TOKENS linearly while the pair-TYPE
+      // output frame is constant — cost must stay ~linear in m
+      val (tGlove, nGlove) =
+        timedForce(graft.operators.TextOps.gloveCooc(docs))
+      // jm_bigram derives everything from type frames (constant under
+      // duplication) after the token-stream explodes — near-flat curve
+      val (tJm, nJm) =
+        timedForce(graft.operators.LangModel.jmBigram(docs))
+      graft.CacheTracker.releaseAll()
+      // the ±1 interval sweep: 2 rows per session, sessions grow with m
+      // (duplicated users are independent), range-partitioned cumsum —
+      // must scale linearly, never like a one-task ordered window
+      val (tConc, nConc) =
+        timedForce(graft.operators.Sessionize.sessionConcurrency(events))
+      graft.CacheTracker.releaseAll()
+      // survival_curve: user-bounded aggregate then duration-bounded
+      // Ranks passes — the curves' cost tracks users, not events
+      val (tSurv, nSurv) =
+        timedForce(graft.operators.Relational.survivalCurve(events))
+      graft.CacheTracker.releaseAll()
+
       // embedding stats: time both shapes (must stay linear in m), and
       // measure each shape's largest aggregation group — the collect_list
       // buffer's element count. The one-level per-dim group is the whole
@@ -172,6 +194,10 @@ object ScaleCheck {
         s""""window_funnel":{"sec":$tFunnel,"rows":$nFunnel},""" +
         s""""path_pattern_match":{"sec":$tPpm,"rows":$nPpm},""" +
         s""""bigram_cond_entropy":{"sec":$tBce,"rows":$nBce},""" +
+        s""""glove_cooc":{"sec":$tGlove,"rows":$nGlove},""" +
+        s""""jm_bigram":{"sec":$tJm,"rows":$nJm},""" +
+        s""""session_concurrency":{"sec":$tConc,"rows":$nConc},""" +
+        s""""survival_curve":{"sec":$tSurv,"rows":$nSurv},""" +
         s""""embed_standardize_2level":{"sec":$tStd2,"rows":$nStd2,"max_agg_buffer_rows":$buf2,"rollup_rows":${Folds.DefaultBuckets}},""" +
         s""""dim_stats_1level":{"sec":$tStd1,"rows":$nStd1,"max_agg_buffer_rows":$buf1}}""")
       docs.unpersist(); events.unpersist()

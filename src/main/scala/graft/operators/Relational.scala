@@ -2049,6 +2049,95 @@ object Relational {
         round(col("sum_cents").cast("double") / col("n_orders"), 6))
   }
 
+  /** Population stability index between time halves (C139): decile bin
+    * edges learned from the PRE period (NTILE-exact via the two-pass
+    * global rank), BOTH periods assigned through the same 9 inner
+    * edges, and per-bin PSI terms (q−p)·ln(q/p) on add-1-smoothed
+    * shares — the drift metric every deployed-model scorecard tracks,
+    * complementing `ks_source_drift`'s two-sample KS. Per-bin rows; the
+    * edges frame is 9 values broadcast as one sorted array, so bin
+    * assignment is a narrow map (no join fan-out), and the one ln
+    * rounds at 6 dp off exact-integer shares. */
+  def psiDrift(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_id"),
+      expr("unix_micros(ts) div 86400000000").as("day_idx"),
+      cents(col("value")).as("c"))
+    val bounds = e.agg(min(col("day_idx")).as("min_day"),
+      max(col("day_idx")).as("max_day"))
+    val tagged = e.crossJoin(broadcast(bounds))
+      .withColumn("is_pre",
+        col("day_idx") < expr("(min_day + max_day + 1) div 2"))
+      .select(col("event_id"), col("c"), col("is_pre"))
+    val ref = tagged.filter(col("is_pre")).select(col("event_id"), col("c"))
+    val ranked = Ranks.withGlobalRowNumber(ref, "_rnk", "_n",
+      Seq(col("c"), col("event_id")))
+    val edges = ranked
+      .withColumn("decile", Ranks.ntileFromRank(col("_rnk"), col("_n"), 10))
+      .groupBy("decile").agg(max(col("c")).as("edge"))
+      .filter(col("decile") <= 9)
+      .agg(sort_array(collect_list(col("edge"))).as("edges"))
+    val binned = tagged.crossJoin(broadcast(edges))
+      .select(col("is_pre"),
+        (size(filter(col("edges"), x => x < col("c"))) + 1).cast("long").as("bin"))
+    val counts = binned.groupBy("bin")
+      .agg(sum(when(col("is_pre"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("is_pre"), 0L).otherwise(1L)).as("n_post"))
+    val totals = counts.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_post")).as("t_post"))
+    val p = (col("n_ref") + 1).cast("double") / (col("t_ref") + 10)
+    val q = (col("n_post") + 1).cast("double") / (col("t_post") + 10)
+    counts.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_ref"), col("n_post"),
+        round(p, 6).as("p_ref"), round(q, 6).as("p_post"),
+        round((q - p) * log(q / p), 6).as("psi_term"))
+  }
+
+  /** Exponential retention-decay fit (C140): pooled retention r_k =
+    * (distinct users active k weeks after their first week) / (users
+    * whose observed span allows offset k), for k ≥ 1, then least
+    * squares of ln r_k on k — slope λ and half-life −ln2/λ, the decay
+    * constant that turns the cohort matrix into one forecastable
+    * number. Offsets are week-count-bounded (a time-bounded frame), so
+    * the regression moments are a tiny exact-integer aggregate; each
+    * ln r_k rounds once to NANO units, mirroring the Heaps-fit
+    * discipline. */
+  def retentionDecayFit(events: DataFrame): DataFrame = {
+    val uw = events.select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("week_idx"))
+      .distinct()
+    val first = uw.groupBy("user_id").agg(min(col("week_idx")).as("first_week"))
+    val horizon = uw.agg(max(col("week_idx")).as("max_week"))
+    val active = uw.join(first, "user_id")
+      .select(col("user_id"), (col("week_idx") - col("first_week")).as("k"))
+      .filter(col("k") >= 1).distinct()
+    val byK = active.groupBy("k").agg(count(lit(1)).as("n_active"))
+    // at-risk users for offset k: first_week + k <= max_week. Each user
+    // contributes to every k in 1..max_k — a WEEK-COUNT-bounded explode
+    // (the dau_mau ×window pattern), never users × users
+    val risk = first.crossJoin(broadcast(horizon))
+      .select((col("max_week") - col("first_week")).as("max_k"))
+      .filter(col("max_k") >= 1)
+      .select(explode(sequence(lit(1L), col("max_k"))).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_at_risk"))
+    val rates = byK.join(risk, "k")
+      .select(col("k"),
+        col("n_active"), col("n_at_risk"),
+        round(log(col("n_active").cast("double") / col("n_at_risk")) * 1e9, 0)
+          .cast("long").as("yn"))
+    val m = rates.agg(count(lit(1)).as("n"),
+      sum(col("k")).as("sx"), sum(col("yn")).as("sy"),
+      sum(col("k").cast("decimal(38,0)") * col("yn")).as("sxy"),
+      sum(col("k").cast("decimal(38,0)") * col("k")).as("sxx"))
+    val denom = (col("n").cast("decimal(38,0)") * col("sxx") -
+      col("sx").cast("decimal(38,0)") * col("sx")).cast("double")
+    m.select(col("n").as("n_points"),
+        round((col("n").cast("decimal(38,0)") * col("sxy") -
+          col("sx").cast("decimal(38,0)") * col("sy")).cast("double") / denom / 1e9, 6)
+          .as("lambda"))
+      .withColumn("half_life_weeks",
+        when(col("lambda") < 0, round(lit(-math.log(2.0)) / col("lambda"), 6)))
+  }
+
   /** Top weekly movers (C138): per week, the 3 event types with the
     * largest absolute week-over-week revenue delta — the "what changed"
     * dashboard row. Weekly cents are exact sums; the per-type lag

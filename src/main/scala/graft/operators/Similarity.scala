@@ -1020,4 +1020,23 @@ object Similarity {
       .select(col("label"), col("cand").as("predicted"), col("n_vecs"),
         round(col("n_vecs").cast("double") / col("n_label"), 6).as("frac"))
   }
+
+  /** IVF cell-balance audit (B172): occupancy per sign-LSH cell —
+    * per-cell count, corpus share, and load factor relative to a
+    * uniform spread over the 2^bits key space. The index-ops readout
+    * an ANN deployment watches: a hot cell (load ≫ 1) is a probe-time
+    * tail-latency bomb and a signal to re-train the quantizer; empty
+    * cells (used < 2^bits) waste probe fan-out. One partial-agg shuffle
+    * over the assignment column; the totals frame is one broadcast row. */
+  def ivfCellBalance(emb: DataFrame, bits: Int = 6): DataFrame = {
+    val counts = emb.select(signBucket(col("embedding"), bits).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val tot = counts.agg(sum(col("n_vecs")).as("n_total"),
+      count(lit(1)).as("n_cells_used"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"), col("n_cells_used"),
+        round(col("n_vecs").cast("double") / col("n_total"), 6).as("share"),
+        round(col("n_vecs").cast("double") * (1 << bits) / col("n_total"), 6)
+          .as("load_factor"))
+  }
 }

@@ -181,6 +181,13 @@ class EmptyInputSpec extends SparkSpec {
     graft.CacheTracker.releaseAll()
     assert(Eval.classReport(noDocs).count() === 0)
     assert(Relational.topMovers(noEvents).count() === 0)
+    assert(Similarity.ivfCellBalance(
+      Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label"))
+      .count() === 0)
+    assert(Relational.psiDrift(noEvents).count() === 0)
+    graft.CacheTracker.releaseAll()
+    assert(Relational.retentionDecayFit(noEvents).count() === 1)
+    graft.CacheTracker.releaseAll()
     assert(Relational.equiDepthHistogram(
       Seq.empty[(Long, Double)].toDF("o_orderkey", "o_totalprice")).count() === 0)
     graft.CacheTracker.releaseAll()

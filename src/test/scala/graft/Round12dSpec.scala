@@ -350,4 +350,55 @@ class Round12dSpec extends SparkSpec {
     assert(out(1).getAs[String]("event_type") === "view")
     assert(out(1).getAs[Long]("delta_cents") === -5000L)
   }
+
+  test("ivfCellBalance: hot cells read as load factor above 1") {
+    val emb = Seq(
+      (1L, Array(0.5f, 0.1f, 0.2f, 0.3f, 0.4f, 0.5f, 9f, 9f), 0),
+      (2L, Array(0.9f, 0.8f, 0.7f, 0.6f, 0.5f, 0.4f, -9f, -9f), 0),
+      (3L, Array(-0.5f, 0.1f, 0.2f, 0.3f, 0.4f, 0.5f, 9f, 9f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.ivfCellBalance(emb).collect()
+      .map(r => r.getAs[String]("cell") -> r).toMap
+    assert(out.keySet === Set("111111", "011111")) // dims 7-8 ignored
+    val hot = out("111111")
+    assert(hot.getAs[Long]("n_vecs") === 2L)
+    assert(hot.getAs[Long]("n_cells_used") === 2L)
+    assert(math.abs(hot.getAs[Double]("share") - 0.666667) < 1e-6)
+    assert(math.abs(hot.getAs[Double]("load_factor") - 42.666667) < 1e-6)
+  }
+
+  test("psiDrift: a shifted post period concentrates mass in the top bin") {
+    val pre = (1 to 10).map(i =>
+      (i.toLong, i.toLong, "2024-01-01 10:00:00", i.toDouble))
+    val post = (11 to 20).map(i =>
+      (i.toLong, i.toLong, "2024-01-03 10:00:00", 10.0))
+    val events = spendEv((pre ++ post): _*)
+    val out = graft.operators.Relational.psiDrift(events).collect()
+      .map(r => r.getAs[Long]("bin") -> r).toMap
+    graft.CacheTracker.releaseAll()
+    // every post value (1000 cents) clears all 9 inner edges -> bin 10
+    val top = out(10L)
+    assert(top.getAs[Long]("n_ref") === 1L && top.getAs[Long]("n_post") === 10L)
+    assert(math.abs(top.getAs[Double]("p_ref") - 0.1) < 1e-6)
+    assert(math.abs(top.getAs[Double]("p_post") - 0.55) < 1e-6)
+    val expected = (0.55 - 0.1) * math.log(0.55 / 0.1)
+    assert(math.abs(top.getAs[Double]("psi_term") - expected) < 1e-5)
+    // bins 1..9 hold one ref value each and no post mass
+    assert(out(1L).getAs[Long]("n_post") === 0L)
+  }
+
+  test("retentionDecayFit: geometric halving fits half-life 1 week") {
+    // cohort of 4: 2 active at +1w, 1 at +2w -> r = 0.5, 0.25
+    val events = ev(
+      (1L, 1L, "2024-01-01 10:00:00"), (2L, 2L, "2024-01-01 10:00:00"),
+      (3L, 3L, "2024-01-01 10:00:00"), (4L, 4L, "2024-01-01 10:00:00"),
+      (5L, 1L, "2024-01-08 10:00:00"), (6L, 2L, "2024-01-08 10:00:00"),
+      (7L, 1L, "2024-01-15 10:00:00"))
+    val r = graft.operators.Relational.retentionDecayFit(events).collect()
+    graft.CacheTracker.releaseAll()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_points") === 2L)
+    assert(math.abs(r.head.getAs[Double]("lambda") + math.log(2.0)) < 1e-5)
+    assert(math.abs(r.head.getAs[Double]("half_life_weeks") - 1.0) < 1e-5)
+  }
 }
