@@ -4573,6 +4573,64 @@ object Oracles {
         |         / 1000000000.0, 6) AS lambda FROM m)
         |SELECT n AS n_points, lambda,
         |  CASE WHEN lambda < 0 THEN round(-ln(2.0) / lambda, 6) END AS half_life_weeks
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+
+    // Deequ/dbt-test shape: one aggregate row per rule, no violating
+    // rows materialized; orphan rule via NOT EXISTS
+    "dq_checks" ->
+      """SELECT 'lineitem_quantity_range' AS rule, count(*) AS n_checked,
+        |  CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |  round(CASE WHEN count(*) > 0 THEN CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) ELSE 0.0 END, 6) AS violation_rate
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_discount_range', count(*),
+        |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 ELSE 0 END) AS BIGINT),
+        |  round(CASE WHEN count(*) > 0 THEN CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) ELSE 0.0 END, 6)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders_orphan_custkey', (SELECT count(*) FROM orders),
+        |  CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+        |  round(CASE WHEN (SELECT count(*) FROM orders) > 0
+        |    THEN CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS DOUBLE)
+        |      / (SELECT count(*) FROM orders) ELSE 0.0 END, 6)
+        |UNION ALL
+        |SELECT 'events_nonneg_value', count(*),
+        |  CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  round(CASE WHEN count(*) > 0 THEN CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) ELSE 0.0 END, 6)
+        |FROM events
+        |UNION ALL
+        |SELECT 'documents_nchars_consistent', count(*),
+        |  CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT),
+        |  round(CASE WHEN count(*) > 0 THEN CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS DOUBLE) / count(*) ELSE 0.0 END, 6)
+        |FROM documents""".stripMargin,
+
+    // sample-ratio-mismatch gate: chi^2 = (a-b)^2/n over distinct users
+    "srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |m AS (SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |  FROM u)
+        |SELECT n_users, n_a, n_b,
+        |  round(CASE WHEN n_users > 0
+        |    THEN CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / n_users ELSE 0.0 END, 6) AS chi2,
+        |  CASE WHEN n_users > 0
+        |    THEN CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / n_users ELSE 0.0 END
+        |    > 3.841459 AS srm_detected
+        |FROM m""".stripMargin,
+
+    // token position-bias census in exact micro-units; lead = first 20%
+    "token_position_bias" ->
+      s"""WITH t AS (SELECT $toks AS toks FROM documents),
+         |p AS (SELECT toks[i] AS token,
+         |        CAST(round((i - 1) * 1000000.0 / (len(toks) - 1)) AS BIGINT) AS rel_micro
+         |      FROM (SELECT toks, unnest(generate_series(1, len(toks))) AS i
+         |            FROM t WHERE len(toks) >= 2))
+         |SELECT token, count(*) AS n,
+         |  round(CAST(sum(rel_micro) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_rel_pos,
+         |  round(CAST(sum(CASE WHEN rel_micro < 200000 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS lead_share
+         |FROM p GROUP BY 1 HAVING count(*) >= 5""".stripMargin
   )
 }

@@ -260,6 +260,11 @@ object SparkEntry {
     "ivf_cell_balance" -> ((s, d) => Similarity.ivfCellBalance(t(s, d, "embeddings"))),
     "psi_drift" -> ((s, d) => Relational.psiDrift(events(s, d))),
     "retention_decay_fit" -> ((s, d) => Relational.retentionDecayFit(events(s, d))),
+    "dq_checks" -> ((s, d) => Relational.dqChecks(t(s, d, "lineitem"),
+      t(s, d, "orders"), t(s, d, "customer"), events(s, d), t(s, d, "documents"))),
+    "srm_check" -> ((s, d) => Relational.srmCheck(events(s, d))),
+    "token_position_bias" -> ((s, d) =>
+      TextOps.tokenPositionBias(spread(t(s, d, "documents")))),
     "key_skew_profile" -> ((s, d) => Relational.keySkewProfile(events(s, d))),
     "token_degree_stats" -> ((s, d) => Graph.tokenDegreeStats(spread(t(s, d, "documents")))),
     "burst_hours" -> ((s, d) => Relational.burstHours(events(s, d))),

@@ -2049,6 +2049,60 @@ object Relational {
         round(col("sum_cents").cast("double") / col("n_orders"), 6))
   }
 
+  /** Declarative data-quality rule report (C141) — the Deequ/dbt-test
+    * shape: each rule is one aggregate over its table (range checks,
+    * consistency checks, referential orphans via anti-join), emitted as
+    * a fixed-arity (rule, n_checked, n_violations, violation_rate) row.
+    * Every rule is a partial-aggregable count — no rule materializes
+    * violating ROWS (at 100 TB the report must stay tiny even when a
+    * feed goes fully bad); the orphan rule's anti-join shuffles on the
+    * key like any join. The union is fixed-arity: 5 one-row frames. */
+  def dqChecks(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      events: DataFrame, documents: DataFrame): DataFrame = {
+    def report(name: String, violations: Column, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("_n"), sum(violations.cast("long")).as("_v"))
+        .select(lit(name).as("rule"),
+          coalesce(col("_n"), lit(0L)).as("n_checked"),
+          coalesce(col("_v"), lit(0L)).as("n_violations"),
+          round(when(col("_n") > 0,
+            coalesce(col("_v"), lit(0L)).cast("double") / col("_n"))
+            .otherwise(lit(0.0)), 6).as("violation_rate"))
+    val orphans = orders.join(customer.select(col("c_custkey")),
+      orders("o_custkey") === customer("c_custkey"), "left_anti")
+    val orphanReport = orders.agg(count(lit(1)).as("_n"))
+      .crossJoin(orphans.agg(count(lit(1)).as("_v")))
+      .select(lit("orders_orphan_custkey").as("rule"),
+        col("_n").as("n_checked"), col("_v").as("n_violations"),
+        round(when(col("_n") > 0, col("_v").cast("double") / col("_n"))
+          .otherwise(lit(0.0)), 6).as("violation_rate"))
+    report("lineitem_quantity_range",
+        col("l_quantity") < 1 || col("l_quantity") > 50, lineitem)
+      .unionByName(report("lineitem_discount_range",
+        col("l_discount") < 0 || col("l_discount") > 0.5, lineitem))
+      .unionByName(orphanReport)
+      .unionByName(report("events_nonneg_value", col("value") < 0, events))
+      .unionByName(report("documents_nchars_consistent",
+        col("n_chars") =!= length(col("text")), documents))
+  }
+
+  /** Sample-ratio-mismatch check for the A/B splitter (C142): distinct
+    * users by variant (user_id % 2) against the designed 50/50, χ² =
+    * (a−b)²/n with 1 df, flagged past the 3.841459 critical value — the
+    * first gate every experiment readout must pass before anyone reads
+    * the metric movement (an SRM means assignment is broken and the
+    * t-test/CUPED numbers are garbage). One distinct + one global
+    * aggregate; the statistic is exact-integer until the final round. */
+  def srmCheck(events: DataFrame): DataFrame =
+    events.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("user_id") % 2 === 0, 0L).otherwise(1L)).as("n_b"))
+      .select(col("n_users"), col("n_a"), col("n_b"),
+        round(when(col("n_users") > 0,
+          ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))).cast("double")
+            / col("n_users")).otherwise(lit(0.0)), 6).as("chi2"))
+      .withColumn("srm_detected", col("chi2") > 3.841459)
+
   /** Population stability index between time halves (C139): decile bin
     * edges learned from the PRE period (NTILE-exact via the two-pass
     * global rank), BOTH periods assigned through the same 9 inner

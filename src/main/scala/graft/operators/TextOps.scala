@@ -2394,4 +2394,30 @@ object TextOps {
           round((col("c") + 1).cast("double") * col("n_next") / col("n_types"), 6))
           .as("c_star"))
   }
+
+  /** Token position-bias census (B173): where in documents does each
+    * token live? Mean relative position (0 = always document-initial,
+    * 1 = always final) plus the share of occurrences in the leading 20%
+    * — the boilerplate/title detector (navigation chrome and headers
+    * concentrate at the top; a low mean_rel_pos at high count flags
+    * template text the span-dedup family should look at). Positions
+    * quantize to exact MICRO-units per occurrence, so the mean is an
+    * exact-integer sum divided once; docs need ≥ 2 tokens (relative
+    * position is undefined on singletons). Linear: one explode + one
+    * token-keyed aggregate. */
+  def tokenPositionBias(docs: DataFrame, minCount: Long = 5L): DataFrame =
+    docs.select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(size(col("toks")).as("len"),
+        posexplode(col("toks")).as(Seq("pos0", "token")))
+      .select(col("token"),
+        round(col("pos0") * 1e6 / (col("len") - 1), 0).cast("long").as("rel_micro"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"),
+        sum(col("rel_micro")).as("sum_micro"),
+        sum(when(col("rel_micro") < 200000L, 1L).otherwise(0L)).as("n_lead"))
+      .filter(col("n") >= minCount)
+      .select(col("token"), col("n"),
+        round(col("sum_micro").cast("double") / col("n") / 1e6, 6).as("mean_rel_pos"),
+        round(col("n_lead").cast("double") / col("n"), 6).as("lead_share"))
 }

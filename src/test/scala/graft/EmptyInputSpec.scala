@@ -193,6 +193,16 @@ class EmptyInputSpec extends SparkSpec {
     graft.CacheTracker.releaseAll()
     assert(Sessionize.sessionConcurrency(noEvents).count() === 0)
     graft.CacheTracker.releaseAll()
+    // dq report stays fixed-arity (5 rule rows) on fully empty feeds
+    val noCust = Seq.empty[(Long, String)].toDF("c_custkey", "c_name")
+    val noLi2 = Seq.empty[(Long, Double, Double)]
+      .toDF("l_orderkey", "l_quantity", "l_discount")
+    val noOrd2 = Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey")
+    val dq = Relational.dqChecks(noLi2, noOrd2, noCust, noEvents, noDocs).collect()
+    assert(dq.length === 5 && dq.forall(_.getAs[Long]("n_violations") === 0L))
+    val srm = Relational.srmCheck(noEvents).collect()
+    assert(srm.length === 1 && srm.head.getAs[Double]("chi2") === 0.0)
+    assert(TextOps.tokenPositionBias(noDocs).count() === 0)
   }
 
   test("order operators are total on an empty fact table") {

@@ -54,7 +54,8 @@ class NullInputSpec extends SparkSpec {
       d => Eval.mcnemarTest(d), d => Eval.calibrationBins(d),
       d => TextOps.gloveCooc(d), d => TextOps.freqOfFreqs(d),
       d => LangModel.jmBigram(d), d => Eval.liftDeciles(d),
-      d => LangModel.heapsLawFit(d), d => Eval.classReport(d))
+      d => LangModel.heapsLawFit(d), d => Eval.classReport(d),
+      d => TextOps.tokenPositionBias(d))
     for ((op, i) <- ops.zipWithIndex) {
       val out = op(docs)
       // must evaluate without throwing; row counts vary by op semantics

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.when
 import graft.operators.Eval
 
 /** Round-12d operators: classifier-evaluation suite (exact ROC AUC,
@@ -400,5 +401,49 @@ class Round12dSpec extends SparkSpec {
     assert(r.head.getAs[Long]("n_points") === 2L)
     assert(math.abs(r.head.getAs[Double]("lambda") + math.log(2.0)) < 1e-5)
     assert(math.abs(r.head.getAs[Double]("half_life_weeks") - 1.0) < 1e-5)
+  }
+
+  test("dqChecks: one aggregate row per rule, violations counted not dumped") {
+    val li = Seq((1L, 10.0, 0.05), (2L, 60.0, 0.6))
+      .toDF("l_orderkey", "l_quantity", "l_discount")
+    val ord = Seq((1L, 100L), (2L, 999L)).toDF("o_orderkey", "o_custkey")
+    val cust = Seq((100L, "a")).toDF("c_custkey", "c_name")
+    val events = spendEv((1L, 1L, "2024-01-01 10:00:00", -5.0),
+      (2L, 1L, "2024-01-01 11:00:00", 5.0))
+    val d = docs((1L, "abc", "en")).withColumn("n_chars",
+      when($"doc_id" === 1L, 99L)) // planted inconsistency
+    val out = graft.operators.Relational.dqChecks(li, ord, cust, events, d)
+      .collect().map(r => r.getAs[String]("rule") -> r).toMap
+    assert(out.keySet.size === 5)
+    assert(out("lineitem_quantity_range").getAs[Long]("n_violations") === 1L)
+    assert(out("lineitem_discount_range").getAs[Long]("n_violations") === 1L)
+    assert(out("orders_orphan_custkey").getAs[Long]("n_violations") === 1L)
+    assert(out("events_nonneg_value").getAs[Long]("n_violations") === 1L)
+    assert(out("documents_nchars_consistent").getAs[Long]("n_violations") === 1L)
+    assert(out("events_nonneg_value").getAs[Double]("violation_rate") === 0.5)
+  }
+
+  test("srmCheck flags a broken splitter and passes a balanced one") {
+    val balanced = ev((1L to 10L).map(u =>
+      (u, u, "2024-01-01 10:00:00")): _*)
+    val ok = graft.operators.Relational.srmCheck(balanced).collect().head
+    assert(ok.getAs[Long]("n_a") === 5L && ok.getAs[Long]("n_b") === 5L)
+    assert(ok.getAs[Double]("chi2") === 0.0 && !ok.getAs[Boolean]("srm_detected"))
+    val broken = ev((1L to 10L).map(u =>
+      (u, u * 2L, "2024-01-01 10:00:00")): _*) // all even users
+    val bad = graft.operators.Relational.srmCheck(broken).collect().head
+    assert(bad.getAs[Double]("chi2") === 10.0 && bad.getAs[Boolean]("srm_detected"))
+  }
+
+  test("tokenPositionBias: boilerplate head/tail tokens read as extremes") {
+    val d = docs((1 to 5).map(i =>
+      (i.toLong, "head a b c tail", "en")): _*)
+    val out = graft.operators.TextOps.tokenPositionBias(d).collect()
+      .map(r => r.getAs[String]("token") -> r).toMap
+    assert(out("head").getAs[Double]("mean_rel_pos") === 0.0)
+    assert(out("head").getAs[Double]("lead_share") === 1.0)
+    assert(out("tail").getAs[Double]("mean_rel_pos") === 1.0)
+    assert(out("tail").getAs[Double]("lead_share") === 0.0)
+    assert(out("b").getAs[Double]("mean_rel_pos") === 0.5)
   }
 }
