@@ -4631,6 +4631,31 @@ object Oracles {
          |SELECT token, count(*) AS n,
          |  round(CAST(sum(rel_micro) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_rel_pos,
          |  round(CAST(sum(CASE WHEN rel_micro < 200000 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS lead_share
-         |FROM p GROUP BY 1 HAVING count(*) >= 5""".stripMargin
+         |FROM p GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+
+    // exact interpolated per-type percentiles (percentile == quantile_cont)
+    "value_percentiles_by_type" ->
+      """WITH v AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(c, 0.5), 4) AS p50_cents,
+        |  round(quantile_cont(c, 0.9), 4) AS p90_cents,
+        |  round(quantile_cont(c, 0.99), 4) AS p99_cents
+        |FROM v GROUP BY 1""".stripMargin,
+
+    // variance/mean of the daily count series per type (Poisson = 1)
+    "dispersion_index" ->
+      """WITH d AS (SELECT event_type, epoch_ns(ts) // 1000 // 86400000000 AS day_idx,
+        |        count(*) AS c FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, count(*) AS n_days, CAST(sum(c) AS BIGINT) AS sc,
+        |        sum(CAST(c AS HUGEINT) * c) AS sc2 FROM d GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  round(CAST(sc AS DOUBLE) / n_days, 6) AS mean_daily,
+        |  round(CASE WHEN sc > 0
+        |    THEN (CAST(sc2 AS DOUBLE) / n_days - (CAST(sc AS DOUBLE) / n_days) * (CAST(sc AS DOUBLE) / n_days))
+        |      / (CAST(sc AS DOUBLE) / n_days) ELSE 0.0 END, 6) AS dispersion,
+        |  CASE WHEN sc > 0
+        |    THEN (CAST(sc2 AS DOUBLE) / n_days - (CAST(sc AS DOUBLE) / n_days) * (CAST(sc AS DOUBLE) / n_days))
+        |      / (CAST(sc AS DOUBLE) / n_days) ELSE 0.0 END > 1.5 AS overdispersed
+        |FROM m""".stripMargin
   )
 }

@@ -265,6 +265,9 @@ object SparkEntry {
     "srm_check" -> ((s, d) => Relational.srmCheck(events(s, d))),
     "token_position_bias" -> ((s, d) =>
       TextOps.tokenPositionBias(spread(t(s, d, "documents")))),
+    "value_percentiles_by_type" -> ((s, d) =>
+      Relational.valuePercentilesByType(events(s, d))),
+    "dispersion_index" -> ((s, d) => Relational.dispersionIndex(events(s, d))),
     "key_skew_profile" -> ((s, d) => Relational.keySkewProfile(events(s, d))),
     "token_degree_stats" -> ((s, d) => Graph.tokenDegreeStats(spread(t(s, d, "documents")))),
     "burst_hours" -> ((s, d) => Relational.burstHours(events(s, d))),

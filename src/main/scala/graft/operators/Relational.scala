@@ -2049,6 +2049,69 @@ object Relational {
         round(col("sum_cents").cast("double") / col("n_orders"), 6))
   }
 
+  /** Events-only data-quality rules as associative (rule, n, v)
+    * partials (C143's batch twin): value ≥ 0, user_id present, ts
+    * present. Factored so the streaming incremental monitor's merged
+    * store can be asserted BIT-identical to this batch recompute. */
+  def eventDqReport(events: DataFrame): DataFrame =
+    eventDqPartials(events)
+      .select(col("rule"), col("n_checked"), col("n_violations"),
+        round(when(col("n_checked") > 0,
+          col("n_violations").cast("double") / col("n_checked"))
+          .otherwise(lit(0.0)), 6).as("violation_rate"))
+
+  /** The raw per-rule counts (no rate): the associative partial both
+    * the batch report and the streaming store fold. */
+  def eventDqPartials(events: DataFrame): DataFrame = {
+    def rule(name: String, violation: Column): DataFrame =
+      events.agg(count(lit(1)).as("_n"),
+          sum(violation.cast("long")).as("_v"))
+        .select(lit(name).as("rule"),
+          coalesce(col("_n"), lit(0L)).as("n_checked"),
+          coalesce(col("_v"), lit(0L)).as("n_violations"))
+    rule("events_nonneg_value", col("value") < 0)
+      .unionByName(rule("events_user_present", col("user_id").isNull))
+      .unionByName(rule("events_ts_present", col("ts").isNull))
+  }
+
+  /** Exact per-type value percentiles (C144): p50/p90/p99 of cents per
+    * event type via the exact interpolated `percentile` (≡ DuckDB
+    * quantile_cont) — the tail-latency/ticket-size readout every ops
+    * dashboard leads with, complementing [[eventsWinsorize]]'s
+    * clip-bounds. One aggregate; per-type groups bound the sort. */
+  def valuePercentilesByType(events: DataFrame): DataFrame =
+    events.select(col("event_type"), cents(col("value")).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(percentile(col("c"), lit(0.5)), 4).as("p50_cents"),
+        round(percentile(col("c"), lit(0.9)), 4).as("p90_cents"),
+        round(percentile(col("c"), lit(0.99)), 4).as("p99_cents"))
+
+  /** Index of dispersion per event type (C145): variance/mean of the
+    * DAILY event-count series — Poisson arrivals sit at 1, bursty
+    * (overdispersed) traffic reads ≫ 1, metronomic bots < 1. The
+    * per-type complement of [[graft.operators.Sessionize.botScore]]'s
+    * per-user gap moments. Daily counts are exact ints; the two moment
+    * sums are exact; doubles appear once in the mirrored var/mean
+    * expression. */
+  def dispersionIndex(events: DataFrame): DataFrame = {
+    val daily = events.select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day_idx"))
+      .groupBy("event_type", "day_idx")
+      .agg(count(lit(1)).as("c"))
+    val mean = col("sc").cast("double") / col("n_days")
+    val vari = col("sc2").cast("double") / col("n_days") - mean * mean
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("c")).as("sc"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("sc2"))
+      .select(col("event_type"), col("n_days"),
+        round(mean, 6).as("mean_daily"),
+        round(when(col("sc") > 0, vari / mean).otherwise(lit(0.0)), 6)
+          .as("dispersion"))
+      .withColumn("overdispersed", col("dispersion") > 1.5)
+  }
+
   /** Declarative data-quality rule report (C141) — the Deequ/dbt-test
     * shape: each rule is one aggregate over its table (range checks,
     * consistency checks, referential orphans via anti-join), emitted as

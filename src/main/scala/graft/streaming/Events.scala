@@ -467,4 +467,49 @@ object Events {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n_events"), col("sum_value_cents"))
   }
+
+  /** Streaming incremental data-quality monitor (C143): each
+    * micro-batch folds its per-rule (n_checked, n_violations) counts —
+    * [[graft.operators.Relational.eventDqPartials]], a purely
+    * associative aggregate — into a batch_id-partitioned durable store
+    * and publishes the cumulative per-rule report. The merged report is
+    * BIT-identical to the batch [[graft.operators.Relational
+    * .eventDqReport]] over the union of batches, and a replayed batch
+    * dynamic-overwrites only its own partition, so the monitor is
+    * replay-idempotent by construction (the aggViewBatch discipline —
+    * no bridging state, the algebra is associative). This is how a
+    * 100 TB/day feed gets continuous quality gates without ever
+    * rescanning history. */
+  def incrementalDqMonitor(events: DataFrame, storeDir: String, outDir: String,
+                           checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      dqMonitorBatch(batch, batchId, storeDir, outDir)
+    }
+    checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** The per-batch step, factored out so tests replay batches and
+    * assert bit-exact convergence with the batch report. */
+  def dqMonitorBatch(batch: DataFrame, batchId: Long,
+                     storeDir: String, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    graft.operators.Relational.eventDqPartials(batch)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(storeDir)
+    spark.read.parquet(storeDir)
+      .groupBy("rule")
+      .agg(sum(col("n_checked")).as("n_checked"),
+        sum(col("n_violations")).as("n_violations"))
+      .select(col("rule"), col("n_checked"), col("n_violations"),
+        round(when(col("n_checked") > 0,
+          col("n_violations").cast("double") / col("n_checked"))
+          .otherwise(lit(0.0)), 6).as("violation_rate"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outDir)
+  }
 }

@@ -203,6 +203,11 @@ class EmptyInputSpec extends SparkSpec {
     val srm = Relational.srmCheck(noEvents).collect()
     assert(srm.length === 1 && srm.head.getAs[Double]("chi2") === 0.0)
     assert(TextOps.tokenPositionBias(noDocs).count() === 0)
+    assert(Relational.valuePercentilesByType(noEvents).count() === 0)
+    assert(Relational.dispersionIndex(noEvents).count() === 0)
+    // events dq twin keeps its 3 fixed rule rows on an empty stream
+    val edq = Relational.eventDqReport(noEvents).collect()
+    assert(edq.length === 3 && edq.forall(_.getAs[Long]("n_checked") === 0L))
   }
 
   test("order operators are total on an empty fact table") {

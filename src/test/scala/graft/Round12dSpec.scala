@@ -446,4 +446,35 @@ class Round12dSpec extends SparkSpec {
     assert(out("tail").getAs[Double]("lead_share") === 0.0)
     assert(out("b").getAs[Double]("mean_rel_pos") === 0.5)
   }
+
+  test("valuePercentilesByType: exact interpolated tail readout") {
+    val events = spendEv((1 to 100).map(i =>
+      (i.toLong, 1L, "2024-01-01 10:00:00", i.toDouble)): _*)
+    val r = graft.operators.Relational.valuePercentilesByType(events)
+      .collect().head
+    assert(r.getAs[Long]("n") === 100L)
+    assert(r.getAs[Double]("p50_cents") === 5050.0)
+    assert(r.getAs[Double]("p90_cents") === 9010.0)
+    assert(r.getAs[Double]("p99_cents") === 9901.0)
+  }
+
+  test("dispersionIndex: metronomic traffic reads 0, bursty reads high") {
+    val steady = (0 to 3).map(d => (d.toLong + 1, 1L,
+      s"2024-01-0${d + 1} 10:00:00", "view", 1.0))
+    val bursty = (1 to 9).map(i => (100L + i, 2L,
+      "2024-01-01 11:00:00", "click", 1.0)) :+
+      (200L, 2L, "2024-01-02 11:00:00", "click", 1.0)
+    val events = (steady ++ bursty).map { case (e, u, t, ty, v) =>
+      (e, u, java.sql.Timestamp.valueOf(t), ty, v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = graft.operators.Relational.dispersionIndex(events).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val v = out("view")
+    assert(v.getAs[Long]("n_days") === 4L)
+    assert(v.getAs[Double]("dispersion") === 0.0 && !v.getAs[Boolean]("overdispersed"))
+    val c = out("click") // daily counts 9,1: mean 5, var 16 -> 3.2
+    assert(c.getAs[Double]("mean_daily") === 5.0)
+    assert(math.abs(c.getAs[Double]("dispersion") - 3.2) < 1e-6)
+    assert(c.getAs[Boolean]("overdispersed"))
+  }
 }

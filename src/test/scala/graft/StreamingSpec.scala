@@ -411,4 +411,33 @@ class StreamingSpec extends SparkSpec {
     assert(sRows.count() ===
       sRows.select("user_id", "day_idx", "batch_id").distinct().count())
   }
+
+  test("incremental dq monitor: merged rule counts equal the batch report; replays converge") {
+    val base = java.nio.file.Files.createTempDirectory("graft_dqmon").toString
+    val (store, out) = (s"$base/store", s"$base/report")
+    def ev(id: Long, uid: java.lang.Long, sec: Long, v: Double) =
+      (id, uid, "view", new Timestamp(1704067200000L + sec * 1000L), v)
+    val all = Seq(
+      ev(1, 1L, 0, 1.5), ev(2, null, 60, 2.5), ev(3, 2L, 120, -3.0),
+      // --- batch boundary ---
+      ev(4, 1L, 300, 4.0), ev(5, 2L, 360, -7.0))
+    val cols = Seq("event_id", "user_id", "event_type", "ts", "value")
+    val b0 = all.take(3).toDF(cols: _*)
+    val b1 = all.drop(3).toDF(cols: _*)
+    Events.dqMonitorBatch(b0, 0L, store, out)
+    Events.dqMonitorBatch(b1, 1L, store, out)
+    // replay batch 1: its store partition is replaced, not duplicated
+    Events.dqMonitorBatch(b1, 1L, store, out)
+    val streamed = spark.read.parquet(out).filter(col("batch_id") === 1L)
+      .select("rule", "n_checked", "n_violations", "violation_rate")
+      .as[(String, Long, Long, Double)].collect().toSet
+    val batch = graft.operators.Relational.eventDqReport(all.toDF(cols: _*))
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(streamed === batch, "merged dq report must equal the batch recompute")
+    assert(batch.exists { case (r, n, v, _) =>
+      r == "events_nonneg_value" && n == 5L && v == 2L })
+    assert(batch.exists { case (r, _, v, _) =>
+      r == "events_user_present" && v == 1L })
+    assert(spark.read.parquet(store).select("batch_id").distinct().count() === 2)
+  }
 }
