@@ -4656,6 +4656,67 @@ object Oracles {
         |  CASE WHEN sc > 0
         |    THEN (CAST(sc2 AS DOUBLE) / n_days - (CAST(sc AS DOUBLE) / n_days) * (CAST(sc AS DOUBLE) / n_days))
         |      / (CAST(sc AS DOUBLE) / n_days) ELSE 0.0 END > 1.5 AS overdispersed
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // Mann-Whitney U via per-distinct-value cumsum (the AUC machinery
+    // with variants as classes); z from the rounded-once u_stat path
+    "mannwhitney_u" ->
+      """WITH sp AS (SELECT user_id,
+        |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend
+        |      FROM events GROUP BY 1),
+        |v AS (SELECT spend, CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_a FROM sp),
+        |c AS (SELECT spend, CAST(sum(is_a) AS BIGINT) AS n_a,
+        |      CAST(count(*) - sum(is_a) AS BIGINT) AS n_b FROM v GROUP BY 1),
+        |w AS (SELECT *, CAST(sum(n_b) OVER (ORDER BY spend) AS BIGINT) AS cum_b FROM c),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS m, CAST(sum(n_b) AS BIGINT) AS n,
+        |      sum(n_a * (2 * (cum_b - n_b) + n_b)) AS u2 FROM w),
+        |z AS (SELECT m, n, round(CAST(u2 AS DOUBLE) / 2.0, 6) AS u_stat,
+        |      round((CAST(u2 AS DOUBLE) / 2.0 - CAST(m AS DOUBLE) * n / 2.0)
+        |        / sqrt(CAST(m AS DOUBLE) * n * (m + n + 1) / 12.0), 6) AS z FROM t)
+        |SELECT m AS n_a, n AS n_b, u_stat, z, abs(z) > 1.959964 AS significant
+        |FROM z""".stripMargin,
+
+    // ln(quantity) on discount least squares, micro/nano exact moments,
+    // mean-form intercept with the rounded slope
+    "discount_elasticity" ->
+      """WITH p AS (SELECT CAST(round(l_discount * 1000000, 0) AS BIGINT) AS xn,
+        |        CAST(round(ln(l_quantity) * 1000000000, 0) AS BIGINT) AS yn
+        |      FROM lineitem WHERE l_quantity > 0),
+        |m AS (SELECT count(*) AS n, CAST(sum(xn) AS BIGINT) AS sx, CAST(sum(yn) AS BIGINT) AS sy,
+        |      sum(CAST(xn AS HUGEINT) * yn) AS sxy, sum(CAST(xn AS HUGEINT) * xn) AS sxx FROM p),
+        |b AS (SELECT n, sx, sy,
+        |      round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |        / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |        * 1000000 / 1000000000, 6) AS slope FROM m)
+        |SELECT n AS n_lines, slope,
+        |  round(CAST(sy AS DOUBLE) / n / 1000000000.0
+        |    - slope * (CAST(sx AS DOUBLE) / n / 1000000.0), 6) AS intercept
+        |FROM b""".stripMargin,
+
+    // 3-round k-core peeling over canonical adjacent-bigram edges
+    "token_kcore" ->
+      s"""WITH t0 AS (SELECT $toks AS toks FROM documents),
+         |bi AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+         |      FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t0)
+         |      WHERE toks[i] <> toks[i + 1]),
+         |e0 AS (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b FROM bi),
+         |d0 AS (SELECT token, count(*) AS degree FROM
+         |      (SELECT a AS token FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+         |a1 AS (SELECT token FROM d0 WHERE degree >= 2),
+         |e1 AS (SELECT * FROM e0 WHERE a IN (SELECT token FROM a1) AND b IN (SELECT token FROM a1)),
+         |d1 AS (SELECT token, count(*) AS degree FROM
+         |      (SELECT a AS token FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+         |a2 AS (SELECT token FROM d1 WHERE degree >= 2),
+         |e2 AS (SELECT * FROM e1 WHERE a IN (SELECT token FROM a2) AND b IN (SELECT token FROM a2)),
+         |d2 AS (SELECT token, count(*) AS degree FROM
+         |      (SELECT a AS token FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
+         |a3 AS (SELECT token FROM d2 WHERE degree >= 2),
+         |e3 AS (SELECT * FROM e2 WHERE a IN (SELECT token FROM a3) AND b IN (SELECT token FROM a3)),
+         |d3 AS (SELECT token, count(*) AS degree FROM
+         |      (SELECT a AS token FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1)
+         |SELECT d0.token, d0.degree AS degree0,
+         |  d0.token IN (SELECT token FROM a3) AS in_core,
+         |  d3.degree AS core_degree
+         |FROM d0 LEFT JOIN d3 ON d3.token = d0.token""".stripMargin
   )
 }

@@ -268,6 +268,10 @@ object SparkEntry {
     "value_percentiles_by_type" -> ((s, d) =>
       Relational.valuePercentilesByType(events(s, d))),
     "dispersion_index" -> ((s, d) => Relational.dispersionIndex(events(s, d))),
+    "mannwhitney_u" -> ((s, d) => Relational.mannwhitneyU(events(s, d))),
+    "discount_elasticity" -> ((s, d) =>
+      Relational.discountElasticity(t(s, d, "lineitem"))),
+    "token_kcore" -> ((s, d) => Graph.tokenKcore(spread(t(s, d, "documents")))),
     "key_skew_profile" -> ((s, d) => Relational.keySkewProfile(events(s, d))),
     "token_degree_stats" -> ((s, d) => Graph.tokenDegreeStats(spread(t(s, d, "documents")))),
     "burst_hours" -> ((s, d) => Relational.burstHours(events(s, d))),

@@ -233,4 +233,51 @@ object Graph {
     }
     visited
   }
+
+  /** k-core peeling of the token adjacency graph (C146): 3 unrolled
+    * rounds of "drop every node with degree < k over the surviving
+    * subgraph" — the dense-core extractor that separates the
+    * load-bearing vocabulary from one-off noise (the same peeling that
+    * prunes spam link farms in web graphs). Edges are distinct
+    * canonical ADJACENT-bigram pairs (a < b, no self-loops) — a
+    * different, cheaper edge set than the df-gated co-occurrence graph
+    * the BFS/triangle ops use, by design: adjacency cores capture
+    * syntactic glue. Every frame after the one token shuffle is
+    * vocabulary-bounded; rounds are a fixed unroll (the kmeans_lloyd
+    * discipline), so the plan is static and the oracle is a plain CTE
+    * chain. */
+  def tokenKcore(docs: DataFrame, k: Int = 2): DataFrame = {
+    val toked = docs.select(TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bi = toked.select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val edges0 = bi.select(least(col("w1"), col("w2")).as("a"),
+      greatest(col("w1"), col("w2")).as("b")).distinct()
+    def degreesOf(e: DataFrame): DataFrame =
+      e.select(col("a").as("token")).union(e.select(col("b").as("token")))
+        .groupBy("token").agg(count(lit(1)).as("degree"))
+    def restrict(e: DataFrame, alive: DataFrame): DataFrame =
+      e.join(alive.select(col("token").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("token").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+    val d0 = graft.CacheTracker.track(degreesOf(edges0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val a1 = d0.filter(col("degree") >= k).select("token")
+    val e1 = restrict(edges0, a1)
+    val a2 = degreesOf(e1).filter(col("degree") >= k).select("token")
+    val e2 = restrict(e1, a2)
+    val a3 = degreesOf(e2).filter(col("degree") >= k).select("token")
+    val e3 = restrict(e2, a3)
+    val d3 = degreesOf(e3)
+    d0.select(col("token"), col("degree").as("degree0"))
+      .join(a3.withColumn("_in", lit(true)), Seq("token"), "left")
+      .join(d3.select(col("token"), col("degree").as("core_degree")),
+        Seq("token"), "left")
+      .select(col("token"), col("degree0"),
+        coalesce(col("_in"), lit(false)).as("in_core"), col("core_degree"))
+  }
 }

@@ -2049,6 +2049,70 @@ object Relational {
         round(col("sum_cents").cast("double") / col("n_orders"), 6))
   }
 
+  /** Mann-Whitney rank-sum test between A/B variants on per-user spend
+    * (C147): the nonparametric complement of `ab_ttest` for skewed
+    * metrics. U is computed tie-exactly from per-distinct-value variant
+    * counts — U_A = Σ_v a_v·(cumB_<v + b_v/2), the roc_auc machinery
+    * with variants as classes — kept doubled (×2) so it stays an exact
+    * integer through the one [[Ranks.withGlobalCumSum]] pass; the
+    * normal approximation z = (U − mn/2)/√(mn(m+n+1)/12) (no tie
+    * correction in the variance — documented) divides once at the end. */
+  def mannwhitneyU(events: DataFrame): DataFrame = {
+    val spend = events
+      .select(col("user_id"), cents(col("value")).as("c"))
+      .groupBy("user_id").agg(sum(col("c")).as("spend"))
+      .select(col("spend"), (col("user_id") % 2 === 0).cast("long").as("is_a"))
+    val byV = spend.groupBy("spend")
+      .agg(sum(col("is_a")).as("n_a"),
+        (count(lit(1)) - sum(col("is_a"))).as("n_b"))
+    val swept = Ranks.withGlobalCumSum(byV, "n_b", "cum_b", "total_b",
+      Seq(col("spend")))
+    swept
+      .select(col("n_a"), col("total_b"),
+        (col("n_a") * (lit(2L) * (col("cum_b") - col("n_b")) + col("n_b")))
+          .cast("decimal(38,0)").as("u2"))
+      .agg(sum(col("n_a")).as("m"), max(col("total_b")).as("n"),
+        sum(col("u2")).as("u2"))
+      .select(col("m").as("n_a"), col("n").as("n_b"),
+        round(col("u2").cast("double") / 2.0, 6).as("u_stat"),
+        round((col("u2").cast("double") / 2.0 -
+          col("m").cast("double") * col("n") / 2.0) /
+          sqrt(col("m").cast("double") * col("n") * (col("m") + col("n") + 1) / 12.0),
+          6).as("z"))
+      .withColumn("significant", abs(col("z")) > 1.959964)
+  }
+
+  /** Discount elasticity of demand (C148): least squares of
+    * ln(quantity) on the discount rate over lineitem — "does a deeper
+    * discount move volume?", the pricing regression every retail
+    * warehouse runs. Discounts quantize to exact MICRO-units and each
+    * ln(quantity) to NANO units, moments accumulate in DECIMAL(38,0)
+    * (the heaps_law_fit discipline), and the intercept uses the mean
+    * form with the ROUNDED slope so both engines publish identical
+    * coefficients. */
+  def discountElasticity(lineitem: DataFrame): DataFrame = {
+    val pts = lineitem.filter(col("l_quantity") > 0)
+      .select(
+        round(col("l_discount") * 1e6, 0).cast("long").as("xn"),
+        round(log(col("l_quantity")) * 1e9, 0).cast("long").as("yn"))
+    val m = pts.agg(count(lit(1)).as("n"),
+      sum(col("xn")).as("sx"), sum(col("yn")).as("sy"),
+      sum(col("xn").cast("decimal(38,0)") * col("yn")).as("sxy"),
+      sum(col("xn").cast("decimal(38,0)") * col("xn")).as("sxx"))
+    val denom = (col("n").cast("decimal(38,0)") * col("sxx") -
+      col("sx").cast("decimal(38,0)") * col("sx")).cast("double")
+    // slope in nano-y per micro-x: scale by 1e6/1e9 = 1e-3 to get
+    // d ln(qty) / d discount
+    m.select(col("n"), col("sx"), col("sy"),
+        round((col("n").cast("decimal(38,0)") * col("sxy") -
+          col("sx").cast("decimal(38,0)") * col("sy")).cast("double") / denom * 1e6 / 1e9,
+          6).as("slope"))
+      .select(col("n").as("n_lines"), col("slope"),
+        round(col("sy").cast("double") / col("n") / 1e9 -
+          col("slope") * (col("sx").cast("double") / col("n") / 1e6), 6)
+          .as("intercept"))
+  }
+
   /** Events-only data-quality rules as associative (rule, n, v)
     * partials (C143's batch twin): value ≥ 0, user_id present, ts
     * present. Factored so the streaming incremental monitor's merged

@@ -208,6 +208,13 @@ class EmptyInputSpec extends SparkSpec {
     // events dq twin keeps its 3 fixed rule rows on an empty stream
     val edq = Relational.eventDqReport(noEvents).collect()
     assert(edq.length === 3 && edq.forall(_.getAs[Long]("n_checked") === 0L))
+    assert(Relational.mannwhitneyU(noEvents).count() === 1)
+    graft.CacheTracker.releaseAll()
+    assert(Relational.discountElasticity(
+      Seq.empty[(Long, Double, Double)]
+        .toDF("l_orderkey", "l_quantity", "l_discount")).count() === 1)
+    assert(Graph.tokenKcore(noDocs).count() === 0)
+    graft.CacheTracker.releaseAll()
   }
 
   test("order operators are total on an empty fact table") {

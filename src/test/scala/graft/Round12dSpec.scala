@@ -477,4 +477,46 @@ class Round12dSpec extends SparkSpec {
     assert(math.abs(c.getAs[Double]("dispersion") - 3.2) < 1e-6)
     assert(c.getAs[Boolean]("overdispersed"))
   }
+
+  test("mannwhitneyU: complete separation maxes U; identical samples zero z") {
+    val sep = spendEv(
+      (1L, 2L, "2024-01-01 10:00:00", 100.0), (2L, 4L, "2024-01-01 10:00:00", 90.0),
+      (3L, 1L, "2024-01-01 10:00:00", 10.0), (4L, 3L, "2024-01-01 10:00:00", 5.0))
+    val r = graft.operators.Relational.mannwhitneyU(sep).collect().head
+    graft.CacheTracker.releaseAll()
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Double]("u_stat") === 4.0) // A above B in all 4 pairs
+    assert(!r.getAs[Boolean]("significant")) // n too small for |z| > 1.96
+    val tied = spendEv((1L to 4L).map(u =>
+      (u, u, "2024-01-01 10:00:00", 50.0)): _*)
+    val t = graft.operators.Relational.mannwhitneyU(tied).collect().head
+    graft.CacheTracker.releaseAll()
+    assert(t.getAs[Double]("u_stat") === 2.0) // mn/2 under full ties
+    assert(t.getAs[Double]("z") === 0.0)
+  }
+
+  test("discountElasticity recovers a planted log-linear relationship") {
+    val li = Seq(
+      (1L, 1.0, 0.0), (2L, math.exp(1.0), 0.1),
+      (3L, 1.0, 0.0), (4L, math.exp(1.0), 0.1))
+      .toDF("l_orderkey", "l_quantity", "l_discount")
+    val r = graft.operators.Relational.discountElasticity(li).collect().head
+    assert(r.getAs[Long]("n_lines") === 4L)
+    assert(math.abs(r.getAs[Double]("slope") - 10.0) < 1e-4)
+    assert(math.abs(r.getAs[Double]("intercept")) < 1e-4)
+  }
+
+  test("tokenKcore peels pendants and keeps the triangle") {
+    val d = docs((1L, "a b c a b c a", "en"), (2L, "a z", "en"))
+    val out = graft.operators.Graph.tokenKcore(d).collect()
+      .map(r => r.getAs[String]("token") -> r).toMap
+    graft.CacheTracker.releaseAll()
+    assert(out("z").getAs[Boolean]("in_core") === false)
+    assert(out("z").isNullAt(out("z").fieldIndex("core_degree")))
+    assert(out("a").getAs[Long]("degree0") === 3L) // b, c, z
+    assert(out("a").getAs[Boolean]("in_core"))
+    assert(out("a").getAs[Long]("core_degree") === 2L)
+    assert(out("b").getAs[Boolean]("in_core") &&
+      out("c").getAs[Boolean]("in_core"))
+  }
 }
