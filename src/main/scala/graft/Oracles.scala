@@ -4717,6 +4717,63 @@ object Oracles {
          |SELECT d0.token, d0.degree AS degree0,
          |  d0.token IN (SELECT token FROM a3) AS in_core,
          |  d3.degree AS core_degree
-         |FROM d0 LEFT JOIN d3 ON d3.token = d0.token""".stripMargin
+         |FROM d0 LEFT JOIN d3 ON d3.token = d0.token""".stripMargin,
+
+    // reconciliation diff over deterministic version slices: per-state
+    // counts only, no changed rows materialized
+    "snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |        o_orderstatus FROM orders),
+        |v1 AS (SELECT o_orderkey, price_cents AS p1, o_orderstatus AS s1
+        |       FROM base WHERE o_orderkey % 7 <> 0),
+        |v2 AS (SELECT o_orderkey,
+        |        CASE WHEN o_orderkey % 3 = 0 THEN price_cents * 2 ELSE price_cents END AS p2,
+        |        o_orderstatus AS s2 FROM base WHERE o_orderkey % 5 <> 0),
+        |j AS (SELECT
+        |        CASE WHEN p1 IS NULL THEN 'added' WHEN p2 IS NULL THEN 'removed'
+        |          WHEN p1 <> p2 OR s1 <> s2 THEN 'changed' ELSE 'unchanged' END AS status,
+        |        CASE WHEN p1 IS NOT NULL AND p2 IS NOT NULL AND p1 <> p2 THEN 1 ELSE 0 END AS price_diff,
+        |        CASE WHEN s1 IS NOT NULL AND s2 IS NOT NULL AND s1 <> s2 THEN 1 ELSE 0 END AS status_diff
+        |      FROM v1 FULL OUTER JOIN v2 USING (o_orderkey))
+        |SELECT status, count(*) AS n_keys,
+        |  CAST(sum(price_diff) AS BIGINT) AS n_price_changed,
+        |  CAST(sum(status_diff) AS BIGINT) AS n_status_changed
+        |FROM j GROUP BY 1""".stripMargin,
+
+    // histogram intersection of source token distributions in exact
+    // floor-divided micro-unit shares
+    "source_token_hist_sim" ->
+      s"""WITH c AS (SELECT source, token, count(*) AS c FROM
+         |      (SELECT source, unnest($toks) AS token FROM documents) GROUP BY 1, 2),
+         |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS total FROM c GROUP BY 1),
+         |s AS (SELECT c.source, token, (c.c * 1000000) // t.total AS share_micro
+         |      FROM c JOIN t ON t.source = c.source)
+         |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared_tokens,
+         |  round(CAST(sum(least(a.share_micro, b.share_micro)) AS DOUBLE) / 1000000.0, 6) AS intersection
+         |FROM s a JOIN s b ON a.token = b.token AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
+
+    // Shannon entropy / perplexity of the session-path distribution
+    "path_entropy" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_ns(ts) // 1000 AS us FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+        |n AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session FROM l),
+        |s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_id ORDER BY us, event_id) AS rn FROM s),
+        |p AS (SELECT user_id, session_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 3 GROUP BY 1, 2),
+        |pc AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS n_total FROM pc),
+        |tm AS (SELECT n_total,
+        |        round(-(CAST(n_sessions AS DOUBLE) / n_total)
+        |          * ln(CAST(n_sessions AS DOUBLE) / n_total), 6) AS term
+        |       FROM pc CROSS JOIN tt),
+        |h AS (SELECT n_total AS n_sessions, count(*) AS n_paths,
+        |        round(list_reduce(list_sort(list(term)), (a, b) -> a + b), 6) AS entropy
+        |       FROM tm GROUP BY 1)
+        |SELECT n_sessions, n_paths, entropy, round(exp(entropy), 6) AS perplexity
+        |FROM h""".stripMargin
   )
 }

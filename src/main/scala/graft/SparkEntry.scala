@@ -272,6 +272,10 @@ object SparkEntry {
     "discount_elasticity" -> ((s, d) =>
       Relational.discountElasticity(t(s, d, "lineitem"))),
     "token_kcore" -> ((s, d) => Graph.tokenKcore(spread(t(s, d, "documents")))),
+    "snapshot_diff" -> ((s, d) => Relational.snapshotDiff(t(s, d, "orders"))),
+    "source_token_hist_sim" -> ((s, d) =>
+      TextOps.sourceTokenHistSim(spread(t(s, d, "documents")))),
+    "path_entropy" -> ((s, d) => Sessionize.pathEntropy(events(s, d))),
     "key_skew_profile" -> ((s, d) => Relational.keySkewProfile(events(s, d))),
     "token_degree_stats" -> ((s, d) => Graph.tokenDegreeStats(spread(t(s, d, "documents")))),
     "burst_hours" -> ((s, d) => Relational.burstHours(events(s, d))),

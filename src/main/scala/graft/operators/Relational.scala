@@ -2049,6 +2049,42 @@ object Relational {
         round(col("sum_cents").cast("double") / col("n_orders"), 6))
   }
 
+  /** Snapshot reconciliation diff (C149): classify every key across two
+    * table versions as added / removed / changed / unchanged, with
+    * per-column change counts — the data-reconciliation primitive behind
+    * CDC validation and migration sign-off. The two "versions" are
+    * deterministic slices of orders (v1 drops orderkey % 7 = 0, v2 drops
+    * % 5 = 0 and doubles the price of % 3 = 0) so the oracle can rebuild
+    * them; the MACHINERY — one full outer join on the key, row-state
+    * classification, fixed-arity per-state aggregate (at 100 TB a diff
+    * must publish counts, not the changed rows) — is the real operator. */
+  def snapshotDiff(orders: DataFrame): DataFrame = {
+    val base = orders.select(col("o_orderkey"),
+      cents(col("o_totalprice")).as("price_cents"), col("o_orderstatus"))
+    val v1 = base.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("price_cents").as("p1"),
+        col("o_orderstatus").as("s1"))
+    val v2 = base.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, col("price_cents") * 2)
+          .otherwise(col("price_cents")).as("p2"),
+        col("o_orderstatus").as("s2"))
+    v1.join(v2, Seq("o_orderkey"), "full_outer")
+      .select(
+        when(col("p1").isNull, "added")
+          .when(col("p2").isNull, "removed")
+          .when(col("p1") =!= col("p2") || col("s1") =!= col("s2"), "changed")
+          .otherwise("unchanged").as("status"),
+        (col("p1").isNotNull && col("p2").isNotNull &&
+          col("p1") =!= col("p2")).cast("long").as("price_diff"),
+        (col("s1").isNotNull && col("s2").isNotNull &&
+          col("s1") =!= col("s2")).cast("long").as("status_diff"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("price_diff")).as("n_price_changed"),
+        sum(col("status_diff")).as("n_status_changed"))
+  }
+
   /** Mann-Whitney rank-sum test between A/B variants on per-user spend
     * (C147): the nonparametric complement of `ab_ttest` for skewed
     * metrics. U is computed tie-exactly from per-distinct-value variant

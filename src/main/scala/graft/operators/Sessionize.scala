@@ -573,6 +573,28 @@ object Sessionize {
             / col("n_sessions"), 6)).otherwise(lit(0.0)).as("match_rate"))
   }
 
+  /** Session-path entropy (C150): Shannon entropy (and perplexity =
+    * e^H, the effective number of distinct journeys) of the
+    * [[sessionPaths]] distribution — one number for "how templated is
+    * user behavior?", the diversity gauge a funnel redesign is judged
+    * by. The path frame is |event_types|³-bounded, so the sorted-fold
+    * sum over 6 dp-rounded −p·ln p terms is the sourceLangEntropy
+    * discipline on a bounded frame. */
+  def pathEntropy(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val paths = sessionPaths(events, gapMinutes)
+    val tot = paths.agg(sum(col("n_sessions")).as("n_total"))
+    paths.crossJoin(broadcast(tot))
+      .select(col("n_total"),
+        round(-(col("n_sessions").cast("double") / col("n_total")) *
+          log(col("n_sessions").cast("double") / col("n_total")), 6).as("term"))
+      .groupBy("n_total")
+      .agg(count(lit(1)).as("n_paths"),
+        round(aggregate(sort_array(collect_list(col("term"))), lit(0.0),
+          (a, x) => a + x), 6).as("entropy"))
+      .select(col("n_total").as("n_sessions"), col("n_paths"), col("entropy"),
+        round(exp(col("entropy")), 6).as("perplexity"))
+  }
+
   /** Peak concurrent sessions per day (C137): the classic interval-
     * overlap sweep — each [[byLag]] session emits +1 at its start and
     * −1 at its end, the deltas cumulative-sum in (us, starts-first,

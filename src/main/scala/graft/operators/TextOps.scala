@@ -2420,4 +2420,33 @@ object TextOps {
       .select(col("token"), col("n"),
         round(col("sum_micro").cast("double") / col("n") / 1e6, 6).as("mean_rel_pos"),
         round(col("n_lead").cast("double") / col("n"), 6).as("lead_share"))
+
+  /** Histogram-intersection similarity between sources' token
+    * distributions (B174): Σ_t min(p_a(t), p_b(t)) per source pair —
+    * the mixture-design readout ("how much does adding source B really
+    * add?") that document-level `source_overlap` cannot see, because
+    * two sources can share zero documents yet near-identical token
+    * distributions. Shares quantize to exact MICRO-units by integer
+    * floor-division ((c·10⁶) div total — exact longs, no float sums),
+    * so the per-pair intersection is an exact integer sum divided once.
+    * All frames are vocabulary-bounded after the one token shuffle;
+    * the pair join is on token across the |sources|² key space. */
+  def sourceTokenHistSim(docs: DataFrame): DataFrame = {
+    val c = docs.select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val tot = c.groupBy("source").agg(sum(col("c")).as("total"))
+    val shares = c.join(tot, "source")
+      .select(col("source"), col("token"),
+        expr("(c * 1000000) div total").as("share_micro"))
+    shares.select(col("source").as("source_a"), col("token"),
+        col("share_micro").as("pa"))
+      .join(shares.select(col("source").as("source_b"), col("token"),
+        col("share_micro").as("pb")), "token")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_tokens"),
+        sum(least(col("pa"), col("pb"))).as("sum_micro"))
+      .select(col("source_a"), col("source_b"), col("n_shared_tokens"),
+        round(col("sum_micro").cast("double") / 1e6, 6).as("intersection"))
+  }
 }

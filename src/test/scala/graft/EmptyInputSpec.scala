@@ -215,6 +215,12 @@ class EmptyInputSpec extends SparkSpec {
         .toDF("l_orderkey", "l_quantity", "l_discount")).count() === 1)
     assert(Graph.tokenKcore(noDocs).count() === 0)
     graft.CacheTracker.releaseAll()
+    assert(Relational.snapshotDiff(
+      Seq.empty[(Long, Double, String)]
+        .toDF("o_orderkey", "o_totalprice", "o_orderstatus")).count() === 0)
+    assert(TextOps.sourceTokenHistSim(noDocs).count() === 0)
+    assert(Sessionize.pathEntropy(noEvents).count() === 0)
+    graft.CacheTracker.releaseAll()
   }
 
   test("order operators are total on an empty fact table") {

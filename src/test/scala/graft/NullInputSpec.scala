@@ -55,7 +55,8 @@ class NullInputSpec extends SparkSpec {
       d => TextOps.gloveCooc(d), d => TextOps.freqOfFreqs(d),
       d => LangModel.jmBigram(d), d => Eval.liftDeciles(d),
       d => LangModel.heapsLawFit(d), d => Eval.classReport(d),
-      d => TextOps.tokenPositionBias(d))
+      d => TextOps.tokenPositionBias(d), d => TextOps.sourceTokenHistSim(d),
+      d => Graph.tokenKcore(d))
     for ((op, i) <- ops.zipWithIndex) {
       val out = op(docs)
       // must evaluate without throwing; row counts vary by op semantics

@@ -519,4 +519,43 @@ class Round12dSpec extends SparkSpec {
     assert(out("b").getAs[Boolean]("in_core") &&
       out("c").getAs[Boolean]("in_core"))
   }
+
+  test("snapshotDiff classifies keys across the two version slices") {
+    val orders = Seq((1L, 10.0, "O"), (3L, 10.0, "O"), (5L, 10.0, "O"),
+      (7L, 10.0, "O"))
+      .toDF("o_orderkey", "o_totalprice", "o_orderstatus")
+    val out = graft.operators.Relational.snapshotDiff(orders).collect()
+      .map(r => r.getAs[String]("status") -> r).toMap
+    assert(out("unchanged").getAs[Long]("n_keys") === 1L) // key 1
+    val ch = out("changed") // key 3: price doubled in v2
+    assert(ch.getAs[Long]("n_keys") === 1L)
+    assert(ch.getAs[Long]("n_price_changed") === 1L)
+    assert(ch.getAs[Long]("n_status_changed") === 0L)
+    assert(out("removed").getAs[Long]("n_keys") === 1L)   // key 5 left v2
+    assert(out("added").getAs[Long]("n_keys") === 1L)     // key 7 absent in v1
+  }
+
+  test("sourceTokenHistSim: shared-token mass via exact micro shares") {
+    val d = Seq((1L, "a b", "en", "s1", 3L), (2L, "a c", "en", "s2", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.TextOps.sourceTokenHistSim(d).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("source_a") === "s1" && r.getAs[String]("source_b") === "s2")
+    assert(r.getAs[Long]("n_shared_tokens") === 1L) // only 'a'
+    assert(r.getAs[Double]("intersection") === 0.5)
+  }
+
+  test("pathEntropy: two equiprobable journeys read as perplexity 2") {
+    val events = ev(
+      (1L, 1L, "2024-01-01 10:00:00"),
+      (2L, 2L, "2024-01-01 10:00:00"), (3L, 2L, "2024-01-01 10:01:00"))
+      .withColumn("event_type",
+        when($"event_id" === 3L, "click").otherwise("view"))
+    val r = graft.operators.Sessionize.pathEntropy(events).collect().head
+    assert(r.getAs[Long]("n_sessions") === 2L && r.getAs[Long]("n_paths") === 2L)
+    // each term rounds to 0.346574 before the fold
+    assert(r.getAs[Double]("entropy") === 0.693148)
+    assert(math.abs(r.getAs[Double]("perplexity") - 2.0) < 1e-5)
+  }
 }
