@@ -4774,6 +4774,39 @@ object Oracles {
         |        round(list_reduce(list_sort(list(term)), (a, b) -> a + b), 6) AS entropy
         |       FROM tm GROUP BY 1)
         |SELECT n_sessions, n_paths, entropy, round(exp(entropy), 6) AS perplexity
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+
+    // Lorenz curve: ascending-spend deciles, cumulative pop/spend shares
+    "spend_lorenz" ->
+      """WITH pc AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+        |      FROM orders GROUP BY 1),
+        |r AS (SELECT spend_cents, CAST(ntile(10) OVER (ORDER BY spend_cents, o_custkey) AS BIGINT) AS decile FROM pc),
+        |d AS (SELECT decile, count(*) AS n_customers, CAST(sum(spend_cents) AS BIGINT) AS cents FROM r GROUP BY 1),
+        |c AS (SELECT *, CAST(sum(n_customers) OVER (ORDER BY decile) AS BIGINT) AS cum_customers,
+        |       CAST(sum(cents) OVER (ORDER BY decile) AS BIGINT) AS cum_cents,
+        |       CAST(sum(n_customers) OVER () AS BIGINT) AS total_customers,
+        |       CAST(sum(cents) OVER () AS BIGINT) AS total_cents FROM d)
+        |SELECT decile, n_customers, cents,
+        |  round(CAST(cum_customers AS DOUBLE) / total_customers, 6) AS cum_pop_share,
+        |  round(CAST(cum_cents AS DOUBLE) / total_cents, 6) AS cum_spend_share
+        |FROM c""".stripMargin,
+
+    // assortment health: share of each part type that has ever sold
+    "catalog_coverage" ->
+      """WITH sold AS (SELECT DISTINCT l_partkey FROM lineitem)
+        |SELECT p_type, count(*) AS n_parts,
+        |  CAST(sum(CASE WHEN l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_sold,
+        |  round(CAST(sum(CASE WHEN l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS coverage
+        |FROM part LEFT JOIN sold ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+
+    // per-source duplicate rate vs the global keep-first keeper
+    "dup_rate_by_source" ->
+      s"""WITH h AS (SELECT doc_id, source, md5($clean) AS content_hash FROM documents),
+         |k AS (SELECT *, min(doc_id) OVER (PARTITION BY content_hash) AS keeper FROM h)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+         |  round(CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_rate
+         |FROM k GROUP BY 1""".stripMargin
   )
 }

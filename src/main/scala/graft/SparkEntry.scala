@@ -276,6 +276,11 @@ object SparkEntry {
     "source_token_hist_sim" -> ((s, d) =>
       TextOps.sourceTokenHistSim(spread(t(s, d, "documents")))),
     "path_entropy" -> ((s, d) => Sessionize.pathEntropy(events(s, d))),
+    "spend_lorenz" -> ((s, d) => Relational.spendLorenz(t(s, d, "orders"))),
+    "catalog_coverage" -> ((s, d) =>
+      Relational.catalogCoverage(t(s, d, "part"), t(s, d, "lineitem"))),
+    "dup_rate_by_source" -> ((s, d) =>
+      Dedup.dupRateBySource(spread(t(s, d, "documents")))),
     "key_skew_profile" -> ((s, d) => Relational.keySkewProfile(events(s, d))),
     "token_degree_stats" -> ((s, d) => Graph.tokenDegreeStats(spread(t(s, d, "documents")))),
     "burst_hours" -> ((s, d) => Relational.burstHours(events(s, d))),

@@ -22,6 +22,28 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Duplicate rate per source (B175): which feeds are pumping copies
+    * into the corpus — the curation triage readout that decides where
+    * dedup budget (and crawler fixes) go. A document is a dup when it
+    * is not the global keep-first keeper of its content hash, so
+    * CROSS-source copies are charged to every non-keeper source. One
+    * hash-keyed window over the same shuffle [[exact]] pays; per-source
+    * aggregate after. */
+  def dupRateBySource(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), col("source"),
+      md5(TextOps.cleanText(col("text"))).as("content_hash"))
+    val keeper = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash"))
+    hashed
+      .withColumn("_keeper", min(col("doc_id")).over(keeper))
+      .select(col("source"),
+        (col("doc_id") =!= col("_keeper")).cast("long").as("is_dup"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dups"))
+      .select(col("source"), col("n_docs"), col("n_dups"),
+        round(col("n_dups").cast("double") / col("n_docs"), 6).as("dup_rate"))
+  }
+
   /** Shared LSH front half: the cached distinct-shingle frame and the
     * banded candidate pairs. Both verifying operators (exact Jaccard in
     * [[minhashLshPairs]], Levenshtein in [[editDistancePairs]]) reuse

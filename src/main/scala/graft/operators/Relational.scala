@@ -2049,6 +2049,55 @@ object Relational {
         round(col("sum_cents").cast("double") / col("n_orders"), 6))
   }
 
+  /** Lorenz-curve points of customer spend concentration (C151): the
+    * full decile curve behind [[spendGini]]'s single number — per
+    * ascending-spend decile, the cumulative population and spend shares
+    * whose gap IS the inequality (and whose top-decile row answers "how
+    * much of revenue rides on our whales"). NTILE-exact deciles from the
+    * two-pass global rank; the 10-row decile frame's cumulative window
+    * is constant-bounded. All shares exact-integer ratios rounded once. */
+  def spendLorenz(orders: DataFrame): DataFrame = {
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("spend_cents"))
+    val ranked = Ranks.withGlobalRowNumber(perCust, "_rnk", "_n",
+      Seq(col("spend_cents"), col("o_custkey")))
+    val byDecile = ranked
+      .withColumn("decile", Ranks.ntileFromRank(col("_rnk"), col("_n"), 10).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum(col("spend_cents")).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byDecile
+      .withColumn("cum_customers", sum(col("n_customers")).over(w))
+      .withColumn("cum_cents", sum(col("cents")).over(w))
+      .withColumn("total_customers", sum(col("n_customers")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("total_cents", sum(col("cents")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("decile"), col("n_customers"), col("cents"),
+        round(col("cum_customers").cast("double") / col("total_customers"), 6)
+          .as("cum_pop_share"),
+        round(col("cum_cents").cast("double") / col("total_cents"), 6)
+          .as("cum_spend_share"))
+  }
+
+  /** Catalog coverage / dead-stock audit (C152): per part type, how
+    * much of the catalog has EVER sold — the assortment-health readout
+    * (a type with low coverage is shelf space the demand never touches,
+    * and in recsys terms the item cold-start population). One distinct
+    * over sold keys + one left-semi-derived flag join + one aggregate. */
+  def catalogCoverage(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val sold = lineitem.select(col("l_partkey")).distinct()
+    part
+      .join(sold.withColumn("_sold", lit(1L)),
+        part("p_partkey") === sold("l_partkey"), "left")
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(coalesce(col("_sold"), lit(0L))).as("n_sold"))
+      .select(col("p_type"), col("n_parts"), col("n_sold"),
+        round(col("n_sold").cast("double") / col("n_parts"), 6).as("coverage"))
+  }
+
   /** Snapshot reconciliation diff (C149): classify every key across two
     * table versions as added / removed / changed / unchanged, with
     * per-column change counts — the data-reconciliation primitive behind

@@ -221,6 +221,12 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.sourceTokenHistSim(noDocs).count() === 0)
     assert(Sessionize.pathEntropy(noEvents).count() === 0)
     graft.CacheTracker.releaseAll()
+    assert(Relational.spendLorenz(noOrders).count() === 0)
+    graft.CacheTracker.releaseAll()
+    assert(Relational.catalogCoverage(
+      Seq.empty[(Long, String)].toDF("p_partkey", "p_type"),
+      Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")).count() === 0)
+    assert(Dedup.dupRateBySource(noDocs).count() === 0)
   }
 
   test("order operators are total on an empty fact table") {

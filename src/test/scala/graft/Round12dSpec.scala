@@ -558,4 +558,44 @@ class Round12dSpec extends SparkSpec {
     assert(r.getAs[Double]("entropy") === 0.693148)
     assert(math.abs(r.getAs[Double]("perplexity") - 2.0) < 1e-5)
   }
+
+  test("spendLorenz: concentrated spend bows the curve below the diagonal") {
+    // 10 customers: nine spend 10, one whale spends 910 -> total 1000
+    val orders = (1 to 10).map(c => (c.toLong * 100, c.toLong,
+      if (c == 10) 910.0 else 10.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val out = graft.operators.Relational.spendLorenz(orders)
+      .orderBy("decile").collect()
+    graft.CacheTracker.releaseAll()
+    assert(out.length === 10)
+    val d9 = out(8) // bottom 90% of customers hold 9% of spend
+    assert(d9.getAs[Double]("cum_pop_share") === 0.9)
+    assert(math.abs(d9.getAs[Double]("cum_spend_share") - 0.09) < 1e-6)
+    assert(out(9).getAs[Double]("cum_spend_share") === 1.0)
+  }
+
+  test("catalogCoverage counts never-sold parts per type") {
+    val part = Seq((1L, "brass"), (2L, "brass"), (3L, "steel"))
+      .toDF("p_partkey", "p_type")
+    val li = Seq((10L, 1L)).toDF("l_orderkey", "l_partkey")
+    val out = graft.operators.Relational.catalogCoverage(part, li).collect()
+      .map(r => r.getAs[String]("p_type") -> r).toMap
+    assert(out("brass").getAs[Long]("n_parts") === 2L)
+    assert(out("brass").getAs[Long]("n_sold") === 1L)
+    assert(out("brass").getAs[Double]("coverage") === 0.5)
+    assert(out("steel").getAs[Long]("n_sold") === 0L)
+  }
+
+  test("dupRateBySource charges cross-source copies to the non-keeper feed") {
+    val d = Seq(
+      (1L, "same text here", "en", "s1", 14L),  // keeper (min doc_id)
+      (2L, "same text here", "en", "s2", 14L),  // s2's copy of s1's doc
+      (3L, "unique document", "en", "s2", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.Dedup.dupRateBySource(d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("s1").getAs[Long]("n_dups") === 0L)
+    assert(out("s2").getAs[Long]("n_dups") === 1L)
+    assert(out("s2").getAs[Double]("dup_rate") === 0.5)
+  }
 }
