@@ -158,6 +158,29 @@ object Oracles {
 
   /** Mirrors Similarity.nearDupPairs (sign-LSH 8-bit blocking, cos >= 0.3);
     * shared by the embed_near_dup check and the dedup_components CTE. */
+  /** Sign-LSH topic buckets + top-5 TF-IDF mass per bucket — shared by
+    * topic_labels and topic_coherence so the two can never drift. */
+  val topicLabelsSql: String =
+    s"""WITH t AS ($tfidf),
+       |c AS (SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+       |      round(tfidf * CASE WHEN ('0x' || substr(md5(token), dim, 1))::BIGINT % 2 = 0
+       |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END, 9) AS c
+       |      FROM t CROSS JOIN (SELECT unnest(range(1, 5)) AS dim)),
+       |v AS (SELECT doc_id, dim, round(list_reduce(list_sort(list(c)), (a, b) -> a + b), 6) AS v
+       |      FROM c GROUP BY 1, 2),
+       |b AS (SELECT doc_id, string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY dim) AS bucket
+       |      FROM v GROUP BY 1),
+       |m AS (SELECT bucket, token,
+       |      round(list_reduce(list_sort(list(sub_s)), (a, b) -> a + b), 6) AS score
+       |      FROM (SELECT b.bucket, t.token, t.doc_id % 1024 AS sb,
+       |            list_reduce(list_sort(list(t.tfidf)), (a, b) -> a + b) AS sub_s
+       |            FROM t JOIN b ON b.doc_id = t.doc_id GROUP BY 1, 2, 3)
+       |      GROUP BY 1, 2),
+       |r AS (SELECT bucket, token, score,
+       |      CAST(row_number() OVER (PARTITION BY bucket ORDER BY score DESC, token) AS BIGINT) AS rnk
+       |      FROM m)
+       |SELECT bucket, token, rnk, score FROM r WHERE rnk <= 5""".stripMargin
+
   val embedNearDup: String =
     """WITH b AS (SELECT vec_id, embedding,
       |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
@@ -1426,26 +1449,7 @@ object Oracles {
     // topic labels: sign-LSH bucket from the first 4 hashed-embedding
     // dims (same md5-parity formula as doc_embed_hash), top-5 tokens per
     // bucket by two-level sorted-fold TF-IDF mass
-    "topic_labels" ->
-      s"""WITH t AS ($tfidf),
-         |c AS (SELECT doc_id, CAST(dim AS BIGINT) AS dim,
-         |      round(tfidf * CASE WHEN ('0x' || substr(md5(token), dim, 1))::BIGINT % 2 = 0
-         |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END, 9) AS c
-         |      FROM t CROSS JOIN (SELECT unnest(range(1, 5)) AS dim)),
-         |v AS (SELECT doc_id, dim, round(list_reduce(list_sort(list(c)), (a, b) -> a + b), 6) AS v
-         |      FROM c GROUP BY 1, 2),
-         |b AS (SELECT doc_id, string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY dim) AS bucket
-         |      FROM v GROUP BY 1),
-         |m AS (SELECT bucket, token,
-         |      round(list_reduce(list_sort(list(sub_s)), (a, b) -> a + b), 6) AS score
-         |      FROM (SELECT b.bucket, t.token, t.doc_id % 1024 AS sb,
-         |            list_reduce(list_sort(list(t.tfidf)), (a, b) -> a + b) AS sub_s
-         |            FROM t JOIN b ON b.doc_id = t.doc_id GROUP BY 1, 2, 3)
-         |      GROUP BY 1, 2),
-         |r AS (SELECT bucket, token, score,
-         |      CAST(row_number() OVER (PARTITION BY bucket ORDER BY score DESC, token) AS BIGINT) AS rnk
-         |      FROM m)
-         |SELECT bucket, token, rnk, score FROM r WHERE rnk <= 5""".stripMargin,
+    "topic_labels" -> topicLabelsSql,
 
     "session_histogram" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
@@ -4807,6 +4811,65 @@ object Oracles {
          |SELECT source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
          |  round(CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_rate
-         |FROM k GROUP BY 1""".stripMargin
+         |FROM k GROUP BY 1""".stripMargin,
+
+    // UMass coherence over the topic_labels top-5 terms
+    "topic_coherence" ->
+      s"""WITH tl AS ($topicLabelsSql),
+         |tok0 AS (SELECT DISTINCT token FROM tl),
+         |dt AS (SELECT DISTINCT doc_id, token FROM $tokTable
+         |       WHERE token IN (SELECT token FROM tok0)),
+         |dfr AS (SELECT token, count(*) AS d FROM dt GROUP BY 1),
+         |cp AS (SELECT a.token AS w_i, b.token AS w_j, count(*) AS d_ij
+         |       FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token <> b.token
+         |       GROUP BY 1, 2),
+         |pr AS (SELECT a.bucket, a.token AS w_i, b.token AS w_j
+         |       FROM tl a JOIN tl b ON a.bucket = b.bucket AND a.rnk < b.rnk),
+         |tm AS (SELECT pr.bucket,
+         |        round(ln(CAST(coalesce(cp.d_ij, 0) + 1 AS DOUBLE) / dfr.d), 6) AS term
+         |       FROM pr LEFT JOIN cp ON cp.w_i = pr.w_i AND cp.w_j = pr.w_j
+         |       JOIN dfr ON dfr.token = pr.w_j)
+         |SELECT bucket, count(*) AS n_pairs,
+         |  round(list_reduce(list_sort(list(term)), (a, b) -> a + b), 6) AS coherence
+         |FROM tm GROUP BY 1""".stripMargin,
+
+    // vocab-set overlap between the clean whitespace tokenizer and the
+    // BPE-ish raw pre-tokenizer
+    "tokenizer_vocab_overlap" ->
+      s"""WITH a AS (SELECT DISTINCT token FROM (SELECT unnest($toks) AS token FROM documents)),
+         |b AS (SELECT DISTINCT token FROM (SELECT
+         |      unnest(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS token
+         |      FROM documents)),
+         |j AS (SELECT a.token IS NOT NULL AS ia, b.token IS NOT NULL AS ib
+         |      FROM a FULL OUTER JOIN b ON a.token = b.token)
+         |SELECT CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_vocab,
+         |  CAST(sum(CASE WHEN ib THEN 1 ELSE 0 END) AS BIGINT) AS n_bpe_vocab,
+         |  CAST(sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  round(CAST(sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS jaccard,
+         |  round(CAST(sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / sum(CASE WHEN ia THEN 1 ELSE 0 END), 6) AS clean_in_bpe,
+         |  round(CAST(sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / sum(CASE WHEN ib THEN 1 ELSE 0 END), 6) AS bpe_in_clean
+         |FROM j""".stripMargin,
+
+    // conversion counts at 1h/6h/24h attribution windows vs the viewer base
+    "attribution_window_sweep" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS view_us FROM e WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, v.view_us, min(e.us) AS p_us
+        |      FROM e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.us >= v.view_us GROUP BY 1, 2),
+        |l AS (SELECT (p_us - view_us) // 1000000 AS lat_s FROM p),
+        |nv AS (SELECT count(*) AS n_viewers FROM v),
+        |c AS (SELECT CAST(coalesce(sum(CASE WHEN lat_s <= 3600 THEN 1 ELSE 0 END), 0) AS BIGINT) AS w1,
+        |       CAST(coalesce(sum(CASE WHEN lat_s <= 21600 THEN 1 ELSE 0 END), 0) AS BIGINT) AS w6,
+        |       CAST(coalesce(sum(CASE WHEN lat_s <= 86400 THEN 1 ELSE 0 END), 0) AS BIGINT) AS w24 FROM l)
+        |SELECT window_s, n_viewers, n_converted,
+        |  round(CASE WHEN n_viewers > 0 THEN CAST(n_converted AS DOUBLE) / n_viewers
+        |    ELSE 0.0 END, 6) AS conversion_rate
+        |FROM (
+        |  SELECT CAST(3600 AS BIGINT) AS window_s, n_viewers, w1 AS n_converted FROM c CROSS JOIN nv
+        |  UNION ALL SELECT 21600, n_viewers, w6 FROM c CROSS JOIN nv
+        |  UNION ALL SELECT 86400, n_viewers, w24 FROM c CROSS JOIN nv)""".stripMargin
   )
 }

@@ -281,6 +281,11 @@ object SparkEntry {
       Relational.catalogCoverage(t(s, d, "part"), t(s, d, "lineitem"))),
     "dup_rate_by_source" -> ((s, d) =>
       Dedup.dupRateBySource(spread(t(s, d, "documents")))),
+    "topic_coherence" -> ((s, d) => TfIdf.topicCoherence(spread(t(s, d, "documents")))),
+    "tokenizer_vocab_overlap" -> ((s, d) =>
+      TextOps.tokenizerVocabOverlap(spread(t(s, d, "documents")))),
+    "attribution_window_sweep" -> ((s, d) =>
+      Sessionize.attributionWindowSweep(events(s, d))),
     "key_skew_profile" -> ((s, d) => Relational.keySkewProfile(events(s, d))),
     "token_degree_stats" -> ((s, d) => Graph.tokenDegreeStats(spread(t(s, d, "documents")))),
     "burst_hours" -> ((s, d) => Relational.burstHours(events(s, d))),

@@ -311,6 +311,44 @@ object Sessionize {
       round(percentile(col("lat_s"), lit(0.9)), 4).as("p90_s"))
   }
 
+  /** Attribution-window sensitivity sweep (C153): how many first-view →
+    * first-purchase conversions survive at 1 h / 6 h / 24 h attribution
+    * windows, against the viewer base — the sweep that shows whether a
+    * reported conversion rate is real behavior or an artifact of the
+    * window choice (the same sweep-not-point discipline as
+    * dedup_threshold_sweep). The latency frame is one row per
+    * converting user ([[conversionLatency]]'s shape); the three windows
+    * are literal rows, so the sweep is conditional sums in ONE
+    * aggregate, unpivoted to fixed-arity rows. */
+  def attributionWindowSweep(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("view_us"))
+    val lat = e.filter(col("event_type") === "purchase")
+      .join(v, "user_id")
+      .filter(col("us") >= col("view_us"))
+      .groupBy("user_id", "view_us").agg(min(col("us")).as("p_us"))
+      .select(expr("(p_us - view_us) div 1000000").as("lat_s"))
+    val nv = v.agg(count(lit(1)).as("n_viewers"))
+    val counts = lat.agg(
+      sum(when(col("lat_s") <= 3600L, 1L).otherwise(0L)).as("w1"),
+      sum(when(col("lat_s") <= 21600L, 1L).otherwise(0L)).as("w6"),
+      sum(when(col("lat_s") <= 86400L, 1L).otherwise(0L)).as("w24"))
+    counts.crossJoin(broadcast(nv))
+      .select(col("n_viewers"),
+        explode(array(
+          struct(lit(3600L).as("window_s"), coalesce(col("w1"), lit(0L)).as("n_converted")),
+          struct(lit(21600L).as("window_s"), coalesce(col("w6"), lit(0L)).as("n_converted")),
+          struct(lit(86400L).as("window_s"), coalesce(col("w24"), lit(0L)).as("n_converted"))))
+          .as("s"))
+      .select(col("s.window_s").as("window_s"), col("n_viewers"),
+        col("s.n_converted").as("n_converted"),
+        round(when(col("n_viewers") > 0,
+          col("s.n_converted").cast("double") / col("n_viewers"))
+          .otherwise(lit(0.0)), 6).as("conversion_rate"))
+  }
+
   /** Transition-matrix baseline accuracy (C109): how predictable is the
     * NEXT event type from the current one alone? Build the global
     * first-order transition counts (per-user event order), predict

@@ -2449,4 +2449,31 @@ object TextOps {
       .select(col("source_a"), col("source_b"), col("n_shared_tokens"),
         round(col("sum_micro").cast("double") / 1e6, 6).as("intersection"))
   }
+
+  /** Vocabulary overlap between the two tokenizers the engine ships
+    * (B177): the cleaned whitespace tokenizer vs the BPE-ish raw-text
+    * pre-tokenizer (letter runs / digit runs / single marks, the
+    * [[tokenStats]] pattern). Jaccard + both containments over the two
+    * vocab SETS — the pre-migration readout when swapping tokenizers
+    * ("how much of the old vocab survives?"). Two distinct-aggregates
+    * + one full outer join on the vocab key space. */
+  def tokenizerVocabOverlap(docs: DataFrame): DataFrame = {
+    val a = docs.select(explode(tokens(col("text"))).as("token")).distinct()
+      .withColumn("_a", lit(1L))
+    val b = docs.select(explode(regexp_extract_all(col("text"),
+        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("token"))
+      .distinct().withColumn("_b", lit(1L))
+    a.join(b, Seq("token"), "full_outer")
+      .agg(
+        sum(coalesce(col("_a"), lit(0L))).as("n_a"),
+        sum(coalesce(col("_b"), lit(0L))).as("n_b"),
+        sum(when(col("_a").isNotNull && col("_b").isNotNull, 1L).otherwise(0L))
+          .as("n_shared"),
+        count(lit(1)).as("n_union"))
+      .select(col("n_a").as("n_clean_vocab"), col("n_b").as("n_bpe_vocab"),
+        col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_union"), 6).as("jaccard"),
+        round(col("n_shared").cast("double") / col("n_a"), 6).as("clean_in_bpe"),
+        round(col("n_shared").cast("double") / col("n_b"), 6).as("bpe_in_clean"))
+  }
 }

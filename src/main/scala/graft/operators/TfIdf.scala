@@ -198,4 +198,39 @@ object TfIdf {
       .filter(col("rnk") <= k)
       .select("bucket", "token", "rnk", "score")
   }
+
+  /** UMass topic coherence over [[topicLabels]]' top-k terms (B176):
+    * for each topic, Σ over rank-ordered pairs (w_i, w_j), i < j, of
+    * ln((D(w_i,w_j)+1)/D(w_j)) — the intrinsic "do these terms actually
+    * co-occur" score that separates real topics from hash-bucket noise
+    * (Mimno et al. 2011). The candidate token set is topics × k (tiny),
+    * so the document-frequency and co-document joins run on a
+    * semi-join-restricted slice of the doc-token frame; each topic sums
+    * ≤ k(k−1)/2 terms via the 6 dp-rounded sorted fold. */
+  def topicCoherence(docs: DataFrame, signDims: Int = 4, k: Int = 5): DataFrame = {
+    val tl = topicLabels(docs, signDims, k)
+    val toks = tl.select(col("token")).distinct()
+    val dt = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("token")).distinct()
+      .join(toks, Seq("token"), "left_semi")
+    val df = dt.groupBy("token").agg(count(lit(1)).as("d"))
+    val cooc = dt.select(col("doc_id"), col("token").as("w_i"))
+      .join(dt.select(col("doc_id"), col("token").as("w_j")), "doc_id")
+      .filter(col("w_i") =!= col("w_j"))
+      .groupBy("w_i", "w_j").agg(count(lit(1)).as("d_ij"))
+    val pairs = tl.select(col("bucket"), col("token").as("w_i"), col("rnk").as("r_i"))
+      .join(tl.select(col("bucket"), col("token").as("w_j"), col("rnk").as("r_j")),
+        "bucket")
+      .filter(col("r_i") < col("r_j"))
+    pairs
+      .join(cooc, Seq("w_i", "w_j"), "left")
+      .join(df.select(col("token").as("w_j"), col("d").as("d_j")), Seq("w_j"))
+      .select(col("bucket"),
+        round(log((coalesce(col("d_ij"), lit(0L)) + 1).cast("double") / col("d_j")), 6)
+          .as("term"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(aggregate(sort_array(collect_list(col("term"))), lit(0.0),
+          (a, x) => a + x), 6).as("coherence"))
+  }
 }

@@ -227,6 +227,11 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(Long, String)].toDF("p_partkey", "p_type"),
       Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")).count() === 0)
     assert(Dedup.dupRateBySource(noDocs).count() === 0)
+    assert(TfIdf.topicCoherence(noDocs).count() === 0)
+    graft.CacheTracker.releaseAll()
+    assert(TextOps.tokenizerVocabOverlap(noDocs).count() === 1)
+    assert(Sessionize.attributionWindowSweep(noEvents).count() === 3)
+    graft.CacheTracker.releaseAll()
   }
 
   test("order operators are total on an empty fact table") {

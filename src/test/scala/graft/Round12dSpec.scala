@@ -598,4 +598,47 @@ class Round12dSpec extends SparkSpec {
     assert(out("s2").getAs[Long]("n_dups") === 1L)
     assert(out("s2").getAs[Double]("dup_rate") === 0.5)
   }
+
+  test("topicCoherence: perfectly co-occurring topic terms score ln((n+1)/n) per pair") {
+    // four identical docs -> one bucket, top-5 = the 5 tokens, and every
+    // pair co-occurs in all 4 docs: term = ln(5/4) each, 10 pairs
+    val d = docs((1L to 4L).map(i =>
+      (i, "alpha beta gamma delta epsilon", "en")): _*)
+    val out = graft.operators.TfIdf.topicCoherence(d).collect()
+    graft.CacheTracker.releaseAll()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_pairs") === 10L)
+    val expected = 10.0 * math.log(5.0 / 4.0)
+    assert(math.abs(out.head.getAs[Double]("coherence") - expected) < 1e-4)
+  }
+
+  test("tokenizerVocabOverlap: digits and marks exist only in the bpe vocab") {
+    val d = docs((1L, "ab 12 c!", "en"))
+    val r = graft.operators.TextOps.tokenizerVocabOverlap(d).collect().head
+    assert(r.getAs[Long]("n_clean_vocab") === 2L) // {ab, c}
+    assert(r.getAs[Long]("n_bpe_vocab") === 4L)   // {ab, 12, c, !}
+    assert(r.getAs[Long]("n_shared") === 2L)
+    assert(r.getAs[Double]("jaccard") === 0.5)
+    assert(r.getAs[Double]("clean_in_bpe") === 1.0)
+  }
+
+  test("attributionWindowSweep: longer windows recover slower conversions") {
+    val events = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view", 1.0),
+      (2L, 1L, "2024-01-01 12:00:00", "purchase", 9.0),  // +2h
+      (3L, 2L, "2024-01-01 10:00:00", "view", 1.0),      // never converts
+      (4L, 3L, "2024-01-01 10:00:00", "view", 1.0),
+      (5L, 3L, "2024-01-02 16:00:00", "purchase", 9.0))  // +30h: outside all
+      .map { case (e, u, t, ty, v) =>
+        (e, u, java.sql.Timestamp.valueOf(t), ty, v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = graft.operators.Sessionize.attributionWindowSweep(events)
+      .orderBy("window_s").collect()
+    assert(out.length === 3)
+    assert(out.forall(_.getAs[Long]("n_viewers") === 3L))
+    assert(out(0).getAs[Long]("n_converted") === 0L) // 1h
+    assert(out(1).getAs[Long]("n_converted") === 1L) // 6h catches +2h
+    assert(out(2).getAs[Long]("n_converted") === 1L) // 24h misses +30h
+    assert(math.abs(out(1).getAs[Double]("conversion_rate") - 1.0 / 3) < 1e-6)
+  }
 }
