@@ -4870,6 +4870,40 @@ object Oracles {
         |FROM (
         |  SELECT CAST(3600 AS BIGINT) AS window_s, n_viewers, w1 AS n_converted FROM c CROSS JOIN nv
         |  UNION ALL SELECT 21600, n_viewers, w6 FROM c CROSS JOIN nv
-        |  UNION ALL SELECT 86400, n_viewers, w24 FROM c CROSS JOIN nv)""".stripMargin
+        |  UNION ALL SELECT 86400, n_viewers, w24 FROM c CROSS JOIN nv)""".stripMargin,
+
+    // token types attributed to the source of their first-seen doc
+    "vocab_novelty_by_source" ->
+      s"""WITH dt AS (SELECT doc_id, source, token FROM
+         |      (SELECT doc_id, source, unnest($toks) AS token FROM documents)),
+         |fd AS (SELECT token, min(doc_id) AS doc_id FROM dt GROUP BY 1),
+         |fs AS (SELECT d.source, count(*) AS n_first_types
+         |       FROM fd JOIN documents d ON d.doc_id = fd.doc_id GROUP BY 1),
+         |tc AS (SELECT source, count(*) AS n_types_touched FROM
+         |       (SELECT DISTINCT source, token FROM dt) GROUP BY 1)
+         |SELECT tc.source, tc.n_types_touched,
+         |  CAST(coalesce(fs.n_first_types, 0) AS BIGINT) AS n_first_types,
+         |  round(CAST(coalesce(fs.n_first_types, 0) AS DOUBLE) / tc.n_types_touched, 6) AS novelty_share
+         |FROM tc LEFT JOIN fs ON fs.source = tc.source""".stripMargin,
+
+    // per-doc share of corpus-rare tokens (count <= 2), flagged past 0.5
+    "rare_token_share" ->
+      s"""WITH dt AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |r AS (SELECT token FROM (SELECT token, count(*) AS c FROM dt GROUP BY 1) WHERE c <= 2)
+         |SELECT dt.doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN r.token IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         |  round(CAST(sum(CASE WHEN r.token IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rare_share,
+         |  round(CAST(sum(CASE WHEN r.token IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) > 0.5 AS flagged
+         |FROM dt LEFT JOIN r ON r.token = dt.token
+         |GROUP BY 1""".stripMargin,
+
+    // weekly p50/p90 cents trend (percentile == quantile_cont)
+    "weekly_value_percentiles" ->
+      """WITH v AS (SELECT epoch_ns(ts) // 1000 // 604800000000 AS week_idx,
+        |        CAST(round(value * 100) AS BIGINT) AS c FROM events)
+        |SELECT week_idx, count(*) AS n,
+        |  round(quantile_cont(c, 0.5), 4) AS p50_cents,
+        |  round(quantile_cont(c, 0.9), 4) AS p90_cents
+        |FROM v GROUP BY 1""".stripMargin
   )
 }

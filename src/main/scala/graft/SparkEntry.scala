@@ -286,6 +286,12 @@ object SparkEntry {
       TextOps.tokenizerVocabOverlap(spread(t(s, d, "documents")))),
     "attribution_window_sweep" -> ((s, d) =>
       Sessionize.attributionWindowSweep(events(s, d))),
+    "vocab_novelty_by_source" -> ((s, d) =>
+      TextOps.vocabNoveltyBySource(spread(t(s, d, "documents")))),
+    "rare_token_share" -> ((s, d) =>
+      TextOps.rareTokenShare(spread(t(s, d, "documents")))),
+    "weekly_value_percentiles" -> ((s, d) =>
+      Relational.weeklyValuePercentiles(events(s, d))),
     "key_skew_profile" -> ((s, d) => Relational.keySkewProfile(events(s, d))),
     "token_degree_stats" -> ((s, d) => Graph.tokenDegreeStats(spread(t(s, d, "documents")))),
     "burst_hours" -> ((s, d) => Relational.burstHours(events(s, d))),

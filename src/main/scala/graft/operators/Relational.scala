@@ -2236,6 +2236,19 @@ object Relational {
         round(percentile(col("c"), lit(0.9)), 4).as("p90_cents"),
         round(percentile(col("c"), lit(0.99)), 4).as("p99_cents"))
 
+  /** Weekly value-percentile trend (C154): p50/p90 of event cents per
+    * week — [[valuePercentilesByType]]'s tail readout given a time
+    * axis, which is how a latency/ticket-size regression is actually
+    * caught (the weekly p90 line bending up). Exact interpolated
+    * percentiles per week-bounded group. */
+  def weeklyValuePercentiles(events: DataFrame): DataFrame =
+    events.select(expr("unix_micros(ts) div 604800000000").as("week_idx"),
+        cents(col("value")).as("c"))
+      .groupBy("week_idx")
+      .agg(count(lit(1)).as("n"),
+        round(percentile(col("c"), lit(0.5)), 4).as("p50_cents"),
+        round(percentile(col("c"), lit(0.9)), 4).as("p90_cents"))
+
   /** Index of dispersion per event type (C145): variance/mean of the
     * DAILY event-count series — Poisson arrivals sit at 1, bursty
     * (overdispersed) traffic reads ≫ 1, metronomic bots < 1. The

@@ -2450,6 +2450,50 @@ object TextOps {
         round(col("sum_micro").cast("double") / 1e6, 6).as("intersection"))
   }
 
+  /** Vocabulary-novelty contribution per source (B178): attribute each
+    * token TYPE to the source of its first-seen document (min doc_id —
+    * the [[LangModel.heapsLawFit]] first-occurrence frame, reused as a
+    * per-source census) and report how much of the vocabulary each feed
+    * introduced vs how much it merely repeats — the "is this source
+    * adding anything new" acquisition readout. Two token-keyed
+    * aggregates + one broadcast-sized source join. */
+  def vocabNoveltyBySource(docs: DataFrame): DataFrame = {
+    val dt = docs.select(col("doc_id"), col("source"),
+      explode(tokens(col("text"))).as("token"))
+    val firstDoc = dt.groupBy("token").agg(min(col("doc_id")).as("doc_id"))
+    val firstSource = firstDoc
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n_first_types"))
+    val touched = dt.select(col("source"), col("token")).distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_types_touched"))
+    touched.join(firstSource, Seq("source"), "left")
+      .select(col("source"), col("n_types_touched"),
+        coalesce(col("n_first_types"), lit(0L)).as("n_first_types"),
+        round(coalesce(col("n_first_types"), lit(0L)).cast("double")
+          / col("n_types_touched"), 6).as("novelty_share"))
+  }
+
+  /** Rare-token share per document (B179): the fraction of a document's
+    * tokens whose CORPUS count is ≤ `maxCount` — the OCR-garbage /
+    * machine-noise detector (real prose is mostly common words; a doc
+    * that is half hapaxes is mangled text or an ID dump), reading the
+    * same frequency spectrum [[freqOfFreqs]] audits corpus-wide at the
+    * per-document level. One vocab-keyed join back onto the token
+    * stream + one per-doc aggregate; flagged past `flagShare`. */
+  def rareTokenShare(docs: DataFrame, maxCount: Long = 2L,
+      flagShare: Double = 0.5): DataFrame = {
+    val dt = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val rare = dt.groupBy("token").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxCount).select("token")
+    dt.join(rare.withColumn("_rare", lit(1L)), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("_rare"), lit(0L))).as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+        round(col("n_rare").cast("double") / col("n_tokens"), 6).as("rare_share"))
+      .withColumn("flagged", col("rare_share") > flagShare)
+  }
+
   /** Vocabulary overlap between the two tokenizers the engine ships
     * (B177): the cleaned whitespace tokenizer vs the BPE-ish raw-text
     * pre-tokenizer (letter runs / digit runs / single marks, the
