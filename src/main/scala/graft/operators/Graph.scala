@@ -255,8 +255,16 @@ object Graph {
         (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .filter(col("w1") =!= col("w2"))
-    val edges0 = bi.select(least(col("w1"), col("w2")).as("a"),
-      greatest(col("w1"), col("w2")).as("b")).distinct()
+    // Persist EVERY edge generation: each round's degrees and the next
+    // round's restriction both re-read it, and without the pin the
+    // lineage re-runs the corpus-sized tokenize+explode+distinct once
+    // per downstream consumer (~6 full corpus passes for 3 rounds —
+    // measured 30 s vs ~2 s at sf0.1). The pinned frames are distinct
+    // bigram TYPES — vocabulary-shaped, far smaller than the corpus.
+    def pin(e: DataFrame): DataFrame = graft.CacheTracker.track(
+      e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val edges0 = pin(bi.select(least(col("w1"), col("w2")).as("a"),
+      greatest(col("w1"), col("w2")).as("b")).distinct())
     def degreesOf(e: DataFrame): DataFrame =
       e.select(col("a").as("token")).union(e.select(col("b").as("token")))
         .groupBy("token").agg(count(lit(1)).as("degree"))
@@ -267,9 +275,9 @@ object Graph {
     val d0 = graft.CacheTracker.track(degreesOf(edges0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a1 = d0.filter(col("degree") >= k).select("token")
-    val e1 = restrict(edges0, a1)
+    val e1 = pin(restrict(edges0, a1))
     val a2 = degreesOf(e1).filter(col("degree") >= k).select("token")
-    val e2 = restrict(e1, a2)
+    val e2 = pin(restrict(e1, a2))
     val a3 = degreesOf(e2).filter(col("degree") >= k).select("token")
     val e3 = restrict(e2, a3)
     val d3 = degreesOf(e3)

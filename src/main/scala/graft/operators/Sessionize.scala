@@ -471,10 +471,14 @@ object Sessionize {
     * BIGINT counts; per-step mass sums fold sorted over the ≤5-state
     * frame; final effects at 6 dp.
     *
-    * Scale: one per-user window pass builds the transition counts;
-    * everything after lives on state²-bounded frames (≤ 7×7), iterated
-    * with single-reference lineage (linear plan growth, no checkpoint
-    * needed at these depths). */
+    * Scale: one per-user window pass builds the transition counts; the
+    * fitted matrix is STATE²-bounded (≤ 7×7 — event types + START/CONV/
+    * NULL), a size fixed by the schema, not the corpus, so the 5 × 8
+    * chain evaluations run as driver arithmetic on the collected matrix
+    * (the same bounded-collect license as doc_similarity_pruned's
+    * one-row stats read) instead of ~40 scheduled joins over one-row
+    * frames — identical values (same sorted-fold + HALF_UP 9 dp
+    * rounding), two orders of magnitude less stage overhead. */
   def markovAttribution(events: DataFrame, steps: Int = 8): DataFrame = {
     val order = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
     val before = order.rowsBetween(Window.unboundedPreceding, -1)
@@ -501,53 +505,52 @@ object Sessionize {
         when(col("dst") === "purchase", "CONV").otherwise(col("dst")).as("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("n"))
     val outMass = counts.groupBy("src").agg(sum(col("n")).as("n_out"))
-    val trans = graft.CacheTracker.track(
-      counts.join(outMass, "src")
-        .select(col("src"), col("dst"),
-          round(col("n").cast("double") / col("n_out"), 9).as("p"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    trans.count()
-    def fold(c: org.apache.spark.sql.Column) =
-      aggregate(sort_array(collect_list(c)), lit(0.0), (a, b) => a + b)
+    // the ONLY data-sized work ends here: collect the bounded matrix
+    val trans: Array[(String, String, Double)] = counts.join(outMass, "src")
+      .select(col("src"), col("dst"),
+        round(col("n").cast("double") / col("n_out"), 9).as("p"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    // driver twins of the engine's numeric discipline: HALF_UP decimal
+    // rounding (what Spark's round() does) and the ascending sorted fold
+    // (what aggregate(sort_array(collect_list)) does) — bit-identical
+    def rnd(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def fold(vs: Seq[Double]): Double = vs.sorted.foldLeft(0.0)(_ + _)
     // P(conv) within `steps` transitions under a given relabeled matrix:
     // chain the START mass vector, collecting each step's CONV arrivals
-    def pconvClean(t: DataFrame): DataFrame = {
-      var v = t.sparkSession.range(1)
-        .select(lit("START").as("state"), lit(1.0).as("mass"))
-      var convParts = List.empty[DataFrame]
+    def pconvClean(t: Seq[(String, String, Double)]): Double = {
+      var v = Map("START" -> 1.0)
+      val conv = List.newBuilder[Double]
       for (_ <- 1 to steps) {
-        val stepped = v.join(t, v("state") === t("src"))
-          .select(col("dst"), round(col("mass") * col("p"), 9).as("m"))
-          .groupBy("dst").agg(round(fold(col("m")), 9).as("mass"))
-        convParts ::= stepped.filter(col("dst") === "CONV")
-          .select(col("mass").as("g"))
-        v = stepped
-          .filter(col("dst") =!= "CONV" && col("dst") =!= "NULL")
-          .select(col("dst").as("state"), col("mass"))
+        val m = for {
+          (state, mass) <- v.toSeq
+          (src, dst, p) <- t if src == state
+        } yield (dst, rnd(mass * p, 9))
+        val stepped = m.groupBy(_._1)
+          .map { case (dst, ms) => dst -> rnd(fold(ms.map(_._2)), 9) }
+        stepped.get("CONV").foreach(conv += _)
+        v = stepped - "CONV" - "NULL"
       }
-      convParts.reduce(_ union _)
-        .agg(round(fold(col("g")), 9).as("pconv"))
+      rnd(fold(conv.result()), 9)
     }
-    val base = pconvClean(trans)
+    val base = pconvClean(trans.toSeq)
     val channels = Seq("view", "click", "error", "signup")
-    val removed = channels.map { c =>
-      val relabeled = trans.select(col("src"),
-        when(col("dst") === c, "NULL").otherwise(col("dst")).as("dst"), col("p"))
-      pconvClean(relabeled).select(lit(c).as("channel"),
-        col("pconv").as("removal_pconv"))
-    }.reduce(_ union _)
-    val effects = removed.crossJoin(broadcast(base))
-      .select(col("channel"), col("pconv").as("base_pconv"), col("removal_pconv"),
-        when(col("pconv") > 0,
-          round(lit(1.0) - col("removal_pconv") / col("pconv"), 6))
-          .otherwise(lit(0.0)).as("removal_effect"))
-    val tot = effects.agg(round(fold(col("removal_effect")), 9).as("sum_eff"))
-    effects.crossJoin(broadcast(tot))
-      .select(col("channel"), col("base_pconv"), col("removal_pconv"),
-        col("removal_effect"),
-        when(col("sum_eff") > 0,
-          round(col("removal_effect") / col("sum_eff"), 6))
-          .otherwise(lit(0.0)).as("attribution"))
+    val effects = channels.map { c =>
+      val relabeled = trans.toSeq.map { case (src, dst, p) =>
+        (src, if (dst == c) "NULL" else dst, p)
+      }
+      val removal = pconvClean(relabeled)
+      val eff = if (base > 0) rnd(1.0 - removal / base, 6) else 0.0
+      (c, base, removal, eff)
+    }
+    val sumEff = rnd(fold(effects.map(_._4)), 9)
+    val rows = effects.map { case (c, b, r, e) =>
+      (c, b, r, e, if (sumEff > 0) rnd(e / sumEff, 6) else 0.0)
+    }
+    events.sparkSession.createDataFrame(rows)
+      .toDF("channel", "base_pconv", "removal_pconv", "removal_effect",
+        "attribution")
   }
 
   /** Regex pattern matching over session event sequences (C115) — the
