@@ -641,4 +641,50 @@ class Round12dSpec extends SparkSpec {
     assert(out(2).getAs[Long]("n_converted") === 1L) // 24h misses +30h
     assert(math.abs(out(1).getAs[Double]("conversion_rate") - 1.0 / 3) < 1e-6)
   }
+
+  test("vocabNoveltyBySource credits a type to its first-seen doc's source only") {
+    val d = Seq(
+      (1L, "alpha beta", "en", "s1", 10L),
+      (2L, "beta gamma", "en", "s2", 10L),
+      (3L, "alpha", "en", "s2", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.TextOps.vocabNoveltyBySource(d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("s1").getAs[Long]("n_types_touched") === 2L) // alpha, beta
+    assert(out("s1").getAs[Long]("n_first_types") === 2L)   // both first in doc 1
+    assert(out("s1").getAs[Double]("novelty_share") === 1.0)
+    assert(out("s2").getAs[Long]("n_types_touched") === 3L)
+    assert(out("s2").getAs[Long]("n_first_types") === 1L)   // gamma only
+    assert(math.abs(out("s2").getAs[Double]("novelty_share") - 1.0 / 3) < 1e-5)
+  }
+
+  test("rareTokenShare flags a doc made of corpus-hapaxes, not one of common words") {
+    val d = docs(
+      (1L, "zzz the the the", "en"), // 'the' x3 is common; share 1/4
+      (2L, "qqq xxx", "en"))         // both hapax; share 1, flagged
+    val out = graft.operators.TextOps.rareTokenShare(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_tokens") === 4L)
+    assert(out(1L).getAs[Long]("n_rare") === 1L)
+    assert(!out(1L).getAs[Boolean]("flagged"))
+    assert(out(2L).getAs[Double]("rare_share") === 1.0)
+    assert(out(2L).getAs[Boolean]("flagged"))
+  }
+
+  test("weeklyValuePercentiles interpolates exact p50/p90 per week bucket") {
+    val events = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "purchase", 1.0),
+      (2L, 1L, "2024-01-02 10:00:00", "purchase", 3.0),
+      (3L, 1L, "2024-01-20 10:00:00", "purchase", 5.0)) // different week
+      .map { case (e, u, t, ty, v) =>
+        (e, u, java.sql.Timestamp.valueOf(t), ty, v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = graft.operators.Relational.weeklyValuePercentiles(events)
+      .orderBy("week_idx").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("n") === 2L)
+    assert(out(0).getAs[Double]("p50_cents") === 200.0) // midpoint of 100, 300
+    assert(out(0).getAs[Double]("p90_cents") === 280.0) // 100 + 0.9 * 200
+    assert(out(1).getAs[Double]("p50_cents") === 500.0)
+  }
 }
