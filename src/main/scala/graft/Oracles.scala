@@ -4904,6 +4904,53 @@ object Oracles {
         |SELECT week_idx, count(*) AS n,
         |  round(quantile_cont(c, 0.5), 4) AS p50_cents,
         |  round(quantile_cont(c, 0.9), 4) AS p90_cents
-        |FROM v GROUP BY 1""".stripMargin
+        |FROM v GROUP BY 1""".stripMargin,
+
+    // exp(-gap/6h) weighted multi-touch split over the 24h lookback
+    "attribution_time_decay" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_ns(ts) // 1000 AS us FROM events),
+        |p AS (SELECT event_id, user_id, us, CAST(round(value * 100) AS BIGINT) AS cents
+        |      FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, us AS click_us FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        |t AS (SELECT p.event_id, p.cents, c.click_us,
+        |      round(exp(-((p.us - c.click_us) / 1000000.0) / 21600.0), 9) AS w
+        |      FROM p JOIN c ON c.user_id = p.user_id
+        |       AND c.click_us > p.us - 86400000000 AND c.click_us <= p.us),
+        |d AS (SELECT event_id, round(list_reduce(list_sort(list(w)), (a, b) -> a + b), 9) AS denom
+        |      FROM t GROUP BY 1)
+        |SELECT (t.click_us // 3600000000) % 24 AS click_hour,
+        |  count(*) AS n_touches,
+        |  round(list_reduce(list_sort(list(round(t.cents * t.w / d.denom, 4))), (a, b) -> a + b), 4) AS attributed_value
+        |FROM t JOIN d USING (event_id) GROUP BY 1""".stripMargin,
+
+    // calendar-lag autocorrelation of daily revenue, lags 1..7
+    "revenue_acf" ->
+      """WITH days AS (SELECT epoch_ns(ts) // 1000 // 86400000000 AS day_idx,
+        |      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS r FROM events GROUP BY 1),
+        |st AS (SELECT count(*) AS n_days, round(CAST(sum(r) AS DOUBLE) / count(*), 9) AS mean_r FROM days),
+        |dev AS (SELECT day_idx, r - mean_r AS dev FROM days CROSS JOIN st),
+        |den AS (SELECT round(list_reduce(list_sort(list(round(dev * dev, 6))), (a, b) -> a + b), 6) AS den FROM dev),
+        |pr AS (SELECT l.k, d1.dev AS dev, d2.dev AS dev_lag
+        |       FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) AS l(k)
+        |       JOIN dev d2 ON true
+        |       JOIN dev d1 ON d1.day_idx = d2.day_idx + l.k)
+        |SELECT k AS lag_days, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CASE WHEN den > 0 THEN
+        |    round(round(list_reduce(list_sort(list(round(dev * dev_lag, 6))), (a, b) -> a + b), 6) / den, 6)
+        |  ELSE 0.0 END AS acf
+        |FROM pr CROSS JOIN den GROUP BY k, den""".stripMargin,
+
+    // median pairwise day-slope + median intercept of daily revenue
+    "theil_sen_trend" ->
+      """WITH days AS (SELECT epoch_ns(ts) // 1000 // 86400000000 AS day_idx,
+        |      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS r FROM events GROUP BY 1),
+        |base AS (SELECT day_idx - (SELECT min(day_idx) FROM days) AS d, r FROM days),
+        |pairs AS (SELECT (b2.r - b1.r) / (b2.d - b1.d) AS slope
+        |          FROM base b1 JOIN base b2 ON b2.d > b1.d),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |      round(quantile_cont(slope, 0.5), 6) AS slope_cents_per_day FROM pairs)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days, m.n_pairs, m.slope_cents_per_day,
+        |  round(quantile_cont(r - m.slope_cents_per_day * d, 0.5), 4) AS intercept_cents
+        |FROM base CROSS JOIN m GROUP BY m.n_pairs, m.slope_cents_per_day""".stripMargin
   )
 }

@@ -286,6 +286,10 @@ object SparkEntry {
       TextOps.tokenizerVocabOverlap(spread(t(s, d, "documents")))),
     "attribution_window_sweep" -> ((s, d) =>
       Sessionize.attributionWindowSweep(events(s, d))),
+    "attribution_time_decay" -> ((s, d) =>
+      Sessionize.attributionTimeDecay(events(s, d))),
+    "revenue_acf" -> ((s, d) => Relational.revenueAcf(events(s, d))),
+    "theil_sen_trend" -> ((s, d) => Relational.theilSenTrend(events(s, d))),
     "vocab_novelty_by_source" -> ((s, d) =>
       TextOps.vocabNoveltyBySource(spread(t(s, d, "documents")))),
     "rare_token_share" -> ((s, d) =>

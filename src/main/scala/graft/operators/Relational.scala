@@ -2249,6 +2249,74 @@ object Relational {
         round(percentile(col("c"), lit(0.5)), 4).as("p50_cents"),
         round(percentile(col("c"), lit(0.9)), 4).as("p90_cents"))
 
+  /** Autocorrelation of the daily revenue series at lags 1..7 (C156):
+    * the weekly-cycle detector — a spike at lag 7 is day-of-week
+    * seasonality, slow decay is trend, white noise hugs 0. Pairs are
+    * formed by CALENDAR lag (equi-join on day_idx + k), so gap days
+    * pair with nothing rather than silently shifting the series.
+    *
+    * Exactness: daily revenue is an exact BIGINT cents sum; the mean
+    * rounds at 9 dp; deviation products round at 6 dp and fold sorted
+    * ([[Folds.sortedSum]]) — the day frame is time-bounded (≤ a few
+    * thousand rows for years of data), so group-sized fold buffers are
+    * safe at any corpus scale. One data-sized shuffle total (the daily
+    * aggregate); everything after lives on the day frame. */
+  def revenueAcf(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val days = events
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day_idx"))
+      .agg(sum(cents(col("value"))).as("r"))
+    val stats = days.agg(count(lit(1)).as("n_days"),
+      round(sum(col("r")).cast("double") / count(lit(1)), 9).as("mean_r"))
+    val dev = days.crossJoin(broadcast(stats))
+      .select(col("day_idx"), (col("r") - col("mean_r")).as("dev"))
+    val den = dev.agg(round(Folds.sortedSum(round(col("dev") * col("dev"), 6)),
+      6).as("den"))
+    val lagged = dev.select(
+        explode(array((1 to maxLag).map(lit(_)): _*)).as("k"),
+        (col("day_idx") + col("k")).as("day_idx"), col("dev").as("dev_lag"))
+    dev.join(lagged, Seq("day_idx"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(Folds.sortedSum(round(col("dev") * col("dev_lag"), 6)), 6)
+          .as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("k").as("lag_days"), col("n_pairs"),
+        when(col("den") > 0, round(col("num") / col("den"), 6))
+          .otherwise(lit(0.0)).as("acf"))
+  }
+
+  /** Theil–Sen robust trend of daily revenue (C157): the median of all
+    * pairwise day-slopes plus the median intercept — the
+    * outlier-immune "is revenue actually growing" line a single
+    * flash-sale day cannot drag the way OLS lets it. Slopes are exact
+    * double divisions of BIGINT cents/day deltas; medians are the same
+    * interpolated percentile as the engine's quantile family.
+    *
+    * Scale: one data-sized shuffle builds the day frame; the pairwise
+    * slope frame is (time-bounded days)² — ~4k pairs for a quarter,
+    * still driver-trivial for decades — and the self-pairing joins on
+    * a broadcast of that bounded frame (a bounded BNLJ, the
+    * PLAN_AUDIT-documented pattern), never on corpus rows. */
+  def theilSenTrend(events: DataFrame): DataFrame = {
+    val days = events
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day_idx"))
+      .agg(sum(cents(col("value"))).as("r"))
+    val base = days.crossJoin(broadcast(days.agg(min("day_idx").as("d0"))))
+      .select((col("day_idx") - col("d0")).as("d"), col("r"))
+    val pairs = base.select(col("d").as("d1"), col("r").as("r1"))
+      .join(broadcast(base.select(col("d").as("d2"), col("r").as("r2"))),
+        col("d2") > col("d1"))
+      .select(((col("r2") - col("r1")) / (col("d2") - col("d1"))).as("slope"))
+    val m = pairs.agg(count(lit(1)).as("n_pairs"),
+      round(percentile(col("slope"), lit(0.5)), 6).as("slope_cents_per_day"))
+    base.crossJoin(broadcast(m))
+      .agg(count(lit(1)).as("n_days"),
+        first(col("n_pairs")).as("n_pairs"),
+        first(col("slope_cents_per_day")).as("slope_cents_per_day"),
+        round(percentile(col("r") - col("slope_cents_per_day") * col("d"),
+          lit(0.5)), 4).as("intercept_cents"))
+  }
+
   /** Index of dispersion per event type (C145): variance/mean of the
     * DAILY event-count series — Poisson arrivals sit at 1, bursty
     * (overdispersed) traffic reads ≫ 1, metronomic bots < 1. The

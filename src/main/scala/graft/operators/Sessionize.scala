@@ -349,6 +349,50 @@ object Sessionize {
           .otherwise(lit(0.0)), 6).as("conversion_rate"))
   }
 
+  /** Time-decay multi-touch attribution (C155) — the fourth member of
+    * the attribution family (last-touch C92, linear C93, Markov C132):
+    * each purchase's value is split across its clicks in the 24 h
+    * lookback with weight exp(-gap/τ), τ = 6 h, so the touch nearest
+    * the conversion earns the most credit and a day-old touch almost
+    * none. Report: attributed value by click hour-of-day.
+    *
+    * Exactness: weights round at 9 dp; the per-purchase normalizer and
+    * the final per-hour totals are sorted folds ([[Folds.sortedSum]] —
+    * per-purchase groups are lookback-bounded, hour groups are
+    * touch-count-bounded and folded at 4 dp), so every value is
+    * partition-order independent and the DuckDB twin matches by
+    * construction.
+    *
+    * Scale: the purchase→click pairing rides [[Relational.rangeJoin]]'s
+    * binned (user_id, 24h-bin) equi-join — same discipline as
+    * attribution_linear; the normalizer is a per-purchase window on the
+    * touch frame (one shuffle on event_id), never a data-sized state. */
+  def attributionTimeDecay(events: DataFrame, tauS: Double = 21600.0): DataFrame = {
+    val lookbackUs = 24L * 3600L * 1000000L
+    val e = events.select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("us").as("click_us"))
+      .agg(min("event_id").as("click_event_id"))
+    val touches = Relational.rangeJoin(purchases, clicks, "user_id",
+        "us", "click_us", lookbackUs)
+      .filter(col("click_us") > col("us") - lit(lookbackUs))
+      .withColumn("w", round(
+        exp(-((col("us") - col("click_us")) / lit(1000000.0)) / lit(tauS)), 9))
+    val perPurchase = Window.partitionBy("event_id")
+    touches
+      .withColumn("denom", round(aggregate(
+        sort_array(collect_list(col("w")).over(perPurchase)),
+        lit(0.0), (a, b) => a + b), 9))
+      .withColumn("att", round(col("cents") * col("w") / col("denom"), 4))
+      .groupBy(expr("pmod(click_us div 3600000000, 24)").as("click_hour"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(Folds.sortedSum(col("att")), 4).as("attributed_value"))
+  }
+
   /** Transition-matrix baseline accuracy (C109): how predictable is the
     * NEXT event type from the current one alone? Build the global
     * first-order transition counts (per-user event order), predict
