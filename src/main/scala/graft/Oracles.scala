@@ -4951,6 +4951,53 @@ object Oracles {
         |      round(quantile_cont(slope, 0.5), 6) AS slope_cents_per_day FROM pairs)
         |SELECT CAST(count(*) AS BIGINT) AS n_days, m.n_pairs, m.slope_cents_per_day,
         |  round(quantile_cont(r - m.slope_cents_per_day * d, 0.5), 4) AS intercept_cents
-        |FROM base CROSS JOIN m GROUP BY m.n_pairs, m.slope_cents_per_day""".stripMargin
+        |FROM base CROSS JOIN m GROUP BY m.n_pairs, m.slope_cents_per_day""".stripMargin,
+
+    // nearest click in either direction; |gap| argmin, ties backward
+    "asof_join_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ns(ts) // 1000 AS click_us,
+        |             min(event_id) AS click_event_id
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |b AS (SELECT p.event_id, p.user_id, p.us, c.click_event_id AS b_id, c.click_us AS b_us
+        |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.click_us),
+        |f AS (SELECT p.event_id, c.click_event_id AS f_id, c.click_us AS f_us
+        |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us <= c.click_us)
+        |SELECT event_id, user_id, us, click_event_id, click_us, us - click_us AS gap_us
+        |FROM (SELECT b.event_id, b.user_id, b.us,
+        |        CASE WHEN b.b_us IS NOT NULL AND (f.f_us IS NULL OR b.us - b.b_us <= f.f_us - b.us)
+        |             THEN b.b_id ELSE f.f_id END AS click_event_id,
+        |        CASE WHEN b.b_us IS NOT NULL AND (f.f_us IS NULL OR b.us - b.b_us <= f.f_us - b.us)
+        |             THEN b.b_us ELSE f.f_us END AS click_us
+        |      FROM b JOIN f USING (event_id)
+        |      WHERE b.b_us IS NOT NULL OR f.f_us IS NOT NULL)""".stripMargin,
+
+    // exact char-class census per lang (letters/digits/space/other)
+    "char_class_profile" ->
+      """WITH d AS (SELECT lang, length(text) AS n,
+        |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS nl,
+        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS nd,
+        |  length(text) - length(regexp_replace(text, '\s', '', 'g')) AS ns
+        |  FROM documents)
+        |SELECT lang, CAST(sum(n) AS BIGINT) AS n_chars,
+        |  round(CAST(sum(nl) AS DOUBLE) / sum(n), 6) AS letter_share,
+        |  round(CAST(sum(nd) AS DOUBLE) / sum(n), 6) AS digit_share,
+        |  round(CAST(sum(ns) AS DOUBLE) / sum(n), 6) AS space_share,
+        |  round(CAST(sum(n) - sum(nl) - sum(nd) - sum(ns) AS DOUBLE) / sum(n), 6) AS other_share
+        |FROM d GROUP BY 1""".stripMargin,
+
+    // Tukey fences on exact daily revenue
+    "revenue_outlier_days" ->
+      """WITH days AS (SELECT epoch_ns(ts) // 1000 // 86400000000 AS day_idx,
+        |      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |      FROM events GROUP BY 1),
+        |f AS (SELECT round(quantile_cont(revenue_cents, 0.25), 4) AS q1,
+        |             round(quantile_cont(revenue_cents, 0.75), 4) AS q3 FROM days),
+        |f2 AS (SELECT round(q1 - 1.5 * (q3 - q1), 4) AS lo,
+        |              round(q3 + 1.5 * (q3 - q1), 4) AS hi FROM f)
+        |SELECT day_idx, revenue_cents, lo, hi,
+        |  (revenue_cents < lo OR revenue_cents > hi) AS is_outlier
+        |FROM days CROSS JOIN f2""".stripMargin
   )
 }

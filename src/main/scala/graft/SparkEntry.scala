@@ -290,6 +290,10 @@ object SparkEntry {
       Sessionize.attributionTimeDecay(events(s, d))),
     "revenue_acf" -> ((s, d) => Relational.revenueAcf(events(s, d))),
     "theil_sen_trend" -> ((s, d) => Relational.theilSenTrend(events(s, d))),
+    "revenue_outlier_days" -> ((s, d) =>
+      Relational.revenueOutlierDays(events(s, d))),
+    "char_class_profile" -> ((s, d) =>
+      TextOps.charClassProfile(spread(t(s, d, "documents")))),
     "vocab_novelty_by_source" -> ((s, d) =>
       TextOps.vocabNoveltyBySource(spread(t(s, d, "documents")))),
     "rare_token_share" -> ((s, d) =>
@@ -614,6 +618,38 @@ object SparkEntry {
         .agg(min("event_id").as("click_event_id"))
       AsOf.asofJoin(purchases, clicks, "user_id", "us", "click_us")
         .filter(col("click_event_id").isNotNull) // inner as-of: dtype-stable for the oracle
+        .withColumn("gap_us", col("us") - col("click_us"))
+    }),
+    // nearest as-of: the click closest in time in EITHER direction —
+    // both one-pass as-of sweeps (backward, and forward via negated
+    // time) joined on the purchase key, then an |gap| argmin with ties
+    // to the backward side. Stays two shuffles on user_id + one on
+    // event_id; never an interval-predicate join.
+    "asof_join_nearest" -> ((s, d) => {
+      val e = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "us")
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("us").as("click_us"))
+        .agg(min("event_id").as("click_event_id"))
+      val b = AsOf.asofJoin(purchases, clicks, "user_id", "us", "click_us")
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("click_event_id").as("b_id"), col("click_us").as("b_us"))
+      val f = AsOf.asofJoin(
+          purchases.withColumn("neg_us", -col("us")),
+          clicks.select(col("user_id"), col("click_event_id"),
+            col("click_us"), (-col("click_us")).as("neg_click_us")),
+          "user_id", "neg_us", "neg_click_us")
+        .select(col("event_id"), col("click_event_id").as("f_id"),
+          col("click_us").as("f_us"))
+      val takeB = col("b_us").isNotNull &&
+        (col("f_us").isNull || col("us") - col("b_us") <= col("f_us") - col("us"))
+      b.join(f, Seq("event_id"))
+        .filter(col("b_us").isNotNull || col("f_us").isNotNull)
+        .select(col("event_id"), col("user_id"), col("us"),
+          when(takeB, col("b_id")).otherwise(col("f_id")).as("click_event_id"),
+          when(takeB, col("b_us")).otherwise(col("f_us")).as("click_us"))
         .withColumn("gap_us", col("us") - col("click_us"))
     }),
     // forward as-of: the FIRST click at/after each purchase — the same

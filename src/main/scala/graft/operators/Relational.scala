@@ -2317,6 +2317,30 @@ object Relational {
           lit(0.5)), 4).as("intercept_cents"))
   }
 
+  /** Tukey-fence outlier days (C158): flag days whose exact revenue
+    * falls outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR] — the robust sibling
+    * of the z-score anomaly pass ([[eventsAnomaly]] scores events
+    * against a per-user rolling window; this audits the DAILY total
+    * against the whole distribution, immune to the outliers it hunts).
+    * Quantiles are the engine's interpolated percentile; fences round
+    * at 4 dp. One data-sized shuffle (the day aggregate); the fence
+    * compare runs on the time-bounded day frame. */
+  def revenueOutlierDays(events: DataFrame): DataFrame = {
+    val days = events
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day_idx"))
+      .agg(sum(cents(col("value"))).as("revenue_cents"))
+    val fences = days.agg(
+        round(percentile(col("revenue_cents"), lit(0.25)), 4).as("q1"),
+        round(percentile(col("revenue_cents"), lit(0.75)), 4).as("q3"))
+      .select(col("q1"), col("q3"),
+        round(col("q1") - lit(1.5) * (col("q3") - col("q1")), 4).as("lo"),
+        round(col("q3") + lit(1.5) * (col("q3") - col("q1")), 4).as("hi"))
+    days.crossJoin(broadcast(fences))
+      .select(col("day_idx"), col("revenue_cents"), col("lo"), col("hi"),
+        (col("revenue_cents") < col("lo") || col("revenue_cents") > col("hi"))
+          .as("is_outlier"))
+  }
+
   /** Index of dispersion per event type (C145): variance/mean of the
     * DAILY event-count series — Poisson arrivals sit at 1, bursty
     * (overdispersed) traffic reads ≫ 1, metronomic bots < 1. The

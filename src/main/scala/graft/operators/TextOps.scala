@@ -778,6 +778,32 @@ object TextOps {
       concat(scheme, lit("://"), host, cleanq).as("canon_url"))
   }
 
+  /** Character-class census per language (B180): letter / digit /
+    * whitespace / other shares of the raw text — the encoding-damage
+    * and content-type tripwire (a "French" feed going 30% `other` is
+    * mojibake or markup; a digit-heavy one is tables/IDs, not prose).
+    * Counts are exact: chars matching a class = length minus length
+    * after deleting the class, an all-narrow regexp chain that sums to
+    * BIGINTs in one partial-agg shuffle; shares round at 6 dp. The
+    * classes stay in the RE2 ∩ DuckDB-regex common subset. */
+  def charClassProfile(docs: DataFrame): DataFrame = {
+    def cnt(p: String) =
+      length(col("text")) - length(regexp_replace(col("text"), p, ""))
+    docs.select(col("lang"), length(col("text")).as("n"),
+        cnt("[A-Za-z]").as("nl"), cnt("[0-9]").as("nd"), cnt("\\s").as("ns"))
+      .groupBy("lang")
+      .agg(sum(col("n")).as("n_chars"),
+        sum(col("nl")).as("n_letters"), sum(col("nd")).as("n_digits"),
+        sum(col("ns")).as("n_spaces"),
+        (sum(col("n")) - sum(col("nl")) - sum(col("nd")) - sum(col("ns")))
+          .as("n_other"))
+      .select(col("lang"), col("n_chars"),
+        round(col("n_letters").cast("double") / col("n_chars"), 6).as("letter_share"),
+        round(col("n_digits").cast("double") / col("n_chars"), 6).as("digit_share"),
+        round(col("n_spaces").cast("double") / col("n_chars"), 6).as("space_share"),
+        round(col("n_other").cast("double") / col("n_chars"), 6).as("other_share"))
+  }
+
   /** Approximate char-length percentiles via the KLL-style sketch (B40):
     * the mergeable bounded-memory path for quantiles at 100 TB, where the
     * exact interpolated percentile ([[charPercentiles]]) would need a

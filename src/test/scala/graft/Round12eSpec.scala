@@ -63,4 +63,48 @@ class Round12eSpec extends SparkSpec {
     assert(r.getAs[Double]("slope_cents_per_day") === 100.0)
     assert(r.getAs[Double]("intercept_cents") === 100.0)
   }
+
+  test("charClassProfile counts every char into exactly one class") {
+    val d = Seq((1L, "ab 12!", "en", "s1", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.operators.TextOps.charClassProfile(d).collect().head
+    assert(r.getAs[Long]("n_chars") === 6L)
+    assert(math.abs(r.getAs[Double]("letter_share") - 2.0 / 6) < 1e-5)
+    assert(math.abs(r.getAs[Double]("digit_share") - 2.0 / 6) < 1e-5)
+    assert(math.abs(r.getAs[Double]("space_share") - 1.0 / 6) < 1e-5)
+    assert(math.abs(r.getAs[Double]("other_share") - 1.0 / 6) < 1e-5)
+  }
+
+  test("revenueOutlierDays flags only the flash-sale day") {
+    // nine days 100..900 cents plus one 10000-cent day
+    val d = events(((1L to 9L).map { i =>
+      (i, i, f"2024-01-${i}%02d 12:00:00", "purchase", i.toDouble)
+    } :+ ((10L, 10L, "2024-01-10 12:00:00", "purchase", 100.0))): _*)
+    val out = graft.operators.Relational.revenueOutlierDays(d).collect()
+    assert(out.length === 10)
+    val flagged = out.filter(_.getAs[Boolean]("is_outlier"))
+    assert(flagged.length === 1)
+    assert(flagged.head.getAs[Long]("revenue_cents") === 10000L)
+  }
+
+  test("asof_join_nearest picks the |gap| argmin of both sweep directions") {
+    assumeTestdata()
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("asof_join_nearest")(spark, dir)
+    // brute force on the tiny sf: min |gap| over ALL same-user clicks
+    import org.apache.spark.sql.functions._
+    val ev = SparkEntry.normalizeEventTs(
+      spark.read.parquet(s"$dir/events.parquet"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("click_us")).distinct()
+    val brute = p.join(c, "user_id")
+      .groupBy("event_id").agg(min(abs(col("us") - col("click_us"))).as("min_gap"))
+    val got = out.select(col("event_id"), abs(col("gap_us")).as("g"))
+    val joined = got.join(brute, "event_id")
+      .filter(col("g") =!= col("min_gap"))
+    assert(joined.count() === 0L)
+    assert(out.count() === brute.count()) // inner semantics: same coverage
+  }
 }
