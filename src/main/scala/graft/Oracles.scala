@@ -4998,6 +4998,62 @@ object Oracles {
         |              round(q3 + 1.5 * (q3 - q1), 4) AS hi FROM f)
         |SELECT day_idx, revenue_cents, lo, hi,
         |  (revenue_cents < lo OR revenue_cents > hi) AS is_outlier
-        |FROM days CROSS JOIN f2""".stripMargin
+        |FROM days CROSS JOIN f2""".stripMargin,
+
+    // nucleus truncation: smallest count-ranked prefix reaching 0.9 mass
+    "vocab_top_p" ->
+      s"""WITH tc AS (SELECT lang, token, count(*) AS cnt
+         |      FROM (SELECT lang, unnest($toks) AS token FROM documents) GROUP BY 1, 2),
+         |r AS (SELECT lang, token, cnt,
+         |      sum(cnt) OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS cum,
+         |      sum(cnt) OVER (PARTITION BY lang) AS tot FROM tc)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_vocab,
+         |  CAST(sum(CASE WHEN cum - cnt < 0.9 * tot THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  round(CAST(sum(CASE WHEN cum - cnt < 0.9 * tot THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS kept_share,
+         |  round(CAST(sum(CASE WHEN cum - cnt < 0.9 * tot THEN cnt ELSE 0 END) AS DOUBLE) / max(tot), 6) AS mass_kept
+         |FROM r GROUP BY 1""".stripMargin,
+
+    // 2x2 DiD on mean purchase cents; did from the 6dp-rounded means
+    "diff_in_diff" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us,
+        |      CAST(round(value * 100) AS BIGINT) AS c
+        |      FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+        |t AS (SELECT user_id % 2 = 1 AS tr, us >= mid AS post, c FROM e CROSS JOIN m),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN tr AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_treat_pre,
+        |  CASE WHEN sum(CASE WHEN tr AND NOT post THEN 1 ELSE 0 END) > 0 THEN
+        |    round(CAST(sum(CASE WHEN tr AND NOT post THEN c ELSE 0 END) AS DOUBLE)
+        |      / sum(CASE WHEN tr AND NOT post THEN 1 ELSE 0 END), 6) ELSE 0.0 END AS mean_treat_pre,
+        |  CAST(sum(CASE WHEN tr AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_treat_post,
+        |  CASE WHEN sum(CASE WHEN tr AND post THEN 1 ELSE 0 END) > 0 THEN
+        |    round(CAST(sum(CASE WHEN tr AND post THEN c ELSE 0 END) AS DOUBLE)
+        |      / sum(CASE WHEN tr AND post THEN 1 ELSE 0 END), 6) ELSE 0.0 END AS mean_treat_post,
+        |  CAST(sum(CASE WHEN NOT tr AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl_pre,
+        |  CASE WHEN sum(CASE WHEN NOT tr AND NOT post THEN 1 ELSE 0 END) > 0 THEN
+        |    round(CAST(sum(CASE WHEN NOT tr AND NOT post THEN c ELSE 0 END) AS DOUBLE)
+        |      / sum(CASE WHEN NOT tr AND NOT post THEN 1 ELSE 0 END), 6) ELSE 0.0 END AS mean_ctrl_pre,
+        |  CAST(sum(CASE WHEN NOT tr AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl_post,
+        |  CASE WHEN sum(CASE WHEN NOT tr AND post THEN 1 ELSE 0 END) > 0 THEN
+        |    round(CAST(sum(CASE WHEN NOT tr AND post THEN c ELSE 0 END) AS DOUBLE)
+        |      / sum(CASE WHEN NOT tr AND post THEN 1 ELSE 0 END), 6) ELSE 0.0 END AS mean_ctrl_post
+        |  FROM t)
+        |SELECT *, round(mean_treat_post - mean_treat_pre - mean_ctrl_post + mean_ctrl_pre, 6) AS did_cents
+        |FROM a""".stripMargin,
+
+    // one lag pass, three thresholds: session count + mean length per gap
+    "session_gap_sweep" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |g AS (SELECT us, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+        |a AS (SELECT count(*) AS n_events,
+        |  CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 900000000 THEN 1 ELSE 0 END) AS BIGINT) AS s15,
+        |  CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS s30,
+        |  CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS s60
+        |  FROM g)
+        |SELECT gap_minutes, n_sessions, n_events,
+        |  round(CAST(n_events AS DOUBLE) / n_sessions, 6) AS avg_session_events
+        |FROM (SELECT 15 AS gap_minutes, s15 AS n_sessions, n_events FROM a
+        |      UNION ALL SELECT 30, s30, n_events FROM a
+        |      UNION ALL SELECT 60, s60, n_events FROM a)""".stripMargin
   )
 }

@@ -294,6 +294,9 @@ object SparkEntry {
       Relational.revenueOutlierDays(events(s, d))),
     "char_class_profile" -> ((s, d) =>
       TextOps.charClassProfile(spread(t(s, d, "documents")))),
+    "vocab_top_p" -> ((s, d) => LangModel.vocabTopP(spread(t(s, d, "documents")))),
+    "diff_in_diff" -> ((s, d) => Relational.diffInDiff(events(s, d))),
+    "session_gap_sweep" -> ((s, d) => Sessionize.sessionGapSweep(events(s, d))),
     "vocab_novelty_by_source" -> ((s, d) =>
       TextOps.vocabNoveltyBySource(spread(t(s, d, "documents")))),
     "rare_token_share" -> ((s, d) =>

@@ -504,6 +504,37 @@ object LangModel {
         round(col("dcg") / col("idcg"), 6).as("ndcg"))
   }
 
+  /** Nucleus (top-p) vocabulary truncation per language (B181): the
+    * smallest count-ranked prefix of each language's vocabulary whose
+    * mass reaches `p` — how many types a tokenizer actually needs per
+    * language, and how top-heavy each language's distribution is (a
+    * CJK-like lang keeps a far larger share than English at the same
+    * p). A token is kept iff the mass BEFORE it is < p·total (the
+    * standard nucleus rule, so the crossing token is included).
+    *
+    * Scale: per-language rank+cumsum ride
+    * [[Ranks.withGroupedRankCumSum]] — the grouped two-pass range
+    * machinery — because a `Window.partitionBy(lang)` puts an entire
+    * language's vocabulary (data-sized: typos/IDs grow it with the
+    * corpus) into one task. (cnt desc, token) is a total order within
+    * a language. */
+  def vocabTopP(docs: DataFrame, p: Double = 0.9): DataFrame = {
+    val cnt = docs
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    Ranks.withGroupedRankCumSum(cnt, Seq("lang"), "cnt", "rnk", "cum", "tot",
+        Seq(col("cnt").desc, col("token")))
+      .withColumn("kept",
+        (col("cum") - col("cnt")).cast("double") < lit(p) * col("tot"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        round(sum(when(col("kept"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("kept_share"),
+        round(sum(when(col("kept"), col("cnt")).otherwise(0L)).cast("double")
+          / max(col("tot")), 6).as("mass_kept"))
+  }
+
   /** Zipf exponent fit (B89): OLS slope of ln(frequency) on ln(rank)
     * over the corpus vocabulary — the power-law health check (natural
     * corpora sit near −1; pathological or synthetic mixes drift). Ranks

@@ -189,6 +189,59 @@ object Ranks {
     }.drop("_pid")
   }
 
+  /** Adds PER-GROUP `rankCol` (1-based row_number), `cumCol` (running
+    * sum of integral `value`) and `totalCol` (group grand total) under
+    * `order` within each `group` — the grouped generalization of
+    * [[withGlobalRankCumSum]] for when `Window.partitionBy(group)
+    * .orderBy(...)` would put a DATA-SIZED group (a language's whole
+    * vocabulary, a hot user's events) in one task.
+    *
+    * Same two-pass shape: range partition on (group, order) so each
+    * group occupies a contiguous partition run; local rank/cumsum per
+    * (partition, group); then per-(partition, group) counts roll into
+    * offsets via a window keyed BY GROUP over partition ids — every
+    * window partition holds ≤ numShufflePartitions rows no matter how
+    * many groups there are or how large one group grows. The offsets
+    * frame is (partitions × live groups)-sized and joins back hash-
+    * partitioned (not broadcast: group count may be data-sized).
+    * `order` must be total within a group; `value` integral. Same
+    * correctness persist as the global variants (one boundary
+    * sampling). */
+  def withGroupedRankCumSum(df: DataFrame, group: Seq[String], value: String,
+                            rankCol: String, cumCol: String, totalCol: String,
+                            order: Seq[Column]): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val gc = group.map(col)
+    val ranged = df.repartitionByRange(parts, gc ++ order: _*)
+      .withColumn("_pid", spark_partition_id())
+    val w = Window.partitionBy(col("_pid") +: gc: _*).orderBy(order: _*)
+    val local = graft.CacheTracker.track(
+      ranged
+        .withColumn("_lrnk", row_number().over(w))
+        .withColumn("_lcum", sum(col(value)).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val per = local.groupBy(col("_pid") +: gc: _*)
+      .agg(count(lit(1)).as("_cnt"), sum(col(value)).as("_psum"))
+    // ≤ numShufflePartitions rows per window partition, any group count
+    val og = Window.partitionBy(gc: _*).orderBy(col("_pid"))
+    val offsets = per
+      .withColumn("_roff",
+        coalesce(sum(col("_cnt")).over(
+          og.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_coff",
+        coalesce(sum(col("_psum")).over(
+          og.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn(totalCol,
+        sum(col("_psum")).over(Window.partitionBy(gc: _*)))
+      .select(col("_pid") +: gc ++:
+        Seq(col("_roff"), col("_coff"), col(totalCol)): _*)
+    local.join(offsets, "_pid" +: group)
+      .withColumn(rankCol, col("_roff") + col("_lrnk"))
+      .withColumn(cumCol, col("_coff") + col("_lcum"))
+      .drop("_pid", "_lrnk", "_lcum", "_roff", "_coff")
+  }
+
   /** True integer division — Spark's `/` on integral columns is DOUBLE
     * division, which silently shifts ntile bucket boundaries. */
   private def idiv(a: Column, b: Column): Column = {

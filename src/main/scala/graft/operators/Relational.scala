@@ -2317,6 +2317,41 @@ object Relational {
           lit(0.5)), 4).as("intercept_cents"))
   }
 
+  /** Difference-in-differences estimate (C159): the 2×2 causal
+    * workhorse — treated (odd user_id, the deterministic assignment the
+    * A/B family shares) vs control, pre vs post the timeline midpoint;
+    * effect = (T_post − T_pre) − (C_post − C_pre) on mean purchase
+    * cents, the parallel-trends-adjusted lift a plain post-only compare
+    * overstates. Means round at 6 dp off exact BIGINT sums; the DiD is
+    * computed FROM the rounded means so both engines subtract identical
+    * values. One scan + one conditional aggregate; the midpoint is a
+    * broadcast one-row frame. */
+  def diffInDiff(events: DataFrame): DataFrame = {
+    val e = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        cents(col("value")).as("c"))
+    val mid = e.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    def cell(t: Boolean, post: Boolean) = {
+      val m = (col("user_id") % 2 === 1) === t && (col("us") >= col("mid")) === post
+      (sum(when(m, 1L).otherwise(0L)),
+        when(sum(when(m, 1L).otherwise(0L)) > 0,
+          round(sum(when(m, col("c")).otherwise(0L)).cast("double")
+            / sum(when(m, 1L).otherwise(0L)), 6)).otherwise(lit(0.0)))
+    }
+    val (ntp, mtp) = cell(t = true, post = false)
+    val (ntq, mtq) = cell(t = true, post = true)
+    val (ncp, mcp) = cell(t = false, post = false)
+    val (ncq, mcq) = cell(t = false, post = true)
+    e.crossJoin(broadcast(mid))
+      .agg(ntp.as("n_treat_pre"), mtp.as("mean_treat_pre"),
+        ntq.as("n_treat_post"), mtq.as("mean_treat_post"),
+        ncp.as("n_ctrl_pre"), mcp.as("mean_ctrl_pre"),
+        ncq.as("n_ctrl_post"), mcq.as("mean_ctrl_post"))
+      .withColumn("did_cents", round(
+        col("mean_treat_post") - col("mean_treat_pre")
+          - col("mean_ctrl_post") + col("mean_ctrl_pre"), 6))
+  }
+
   /** Tukey-fence outlier days (C158): flag days whose exact revenue
     * falls outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR] — the robust sibling
     * of the z-score anomaly pass ([[eventsAnomaly]] scores events

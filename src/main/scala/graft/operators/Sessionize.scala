@@ -349,6 +349,35 @@ object Sessionize {
           .otherwise(lit(0.0)), 6).as("conversion_rate"))
   }
 
+  /** Session-gap threshold sweep (C160): sessionization's one free
+    * parameter, audited — for each candidate inactivity gap (15/30/60
+    * min), the session count and mean events/session the corpus would
+    * produce. A session START is exactly "first event per user, or
+    * inter-event gap > θ", so the whole sweep is ONE per-user lag
+    * window plus one conditional aggregate unpivoted to fixed rows —
+    * never re-sessionizing per θ. The elbow in this table is how the
+    * production gap ([[sessionize]]'s 30 min) gets defended. */
+  def sessionGapSweep(events: DataFrame,
+      gapsMin: Seq[Int] = Seq(15, 30, 60)): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(order))
+    val starts = gapsMin.map { m =>
+      sum(when(col("prev_us").isNull ||
+        col("us") - col("prev_us") > m * 60L * 1000000L, 1L).otherwise(0L))
+        .as(s"s$m")
+    }
+    gaps.agg(count(lit(1)).as("n_events"), starts: _*)
+      .select(col("n_events"), explode(array(gapsMin.map { m =>
+        struct(lit(m).as("gap_minutes"), col(s"s$m").as("n_sessions"))
+      }: _*)).as("g"))
+      .select(col("g.gap_minutes").as("gap_minutes"),
+        col("g.n_sessions").as("n_sessions"), col("n_events"),
+        round(col("n_events").cast("double") / col("g.n_sessions"), 6)
+          .as("avg_session_events"))
+  }
+
   /** Time-decay multi-touch attribution (C155) — the fourth member of
     * the attribution family (last-touch C92, linear C93, Markov C132):
     * each purchase's value is split across its clicks in the 24 h

@@ -87,6 +87,57 @@ class Round12eSpec extends SparkSpec {
     assert(flagged.head.getAs[Long]("revenue_cents") === 10000L)
   }
 
+  test("withGroupedRankCumSum matches per-group window semantics") {
+    import org.apache.spark.sql.functions._
+    val d = Seq(("g1", "a", 5L), ("g1", "b", 3L), ("g1", "c", 2L),
+      ("g2", "x", 7L), ("g2", "y", 1L))
+      .toDF("g", "k", "v")
+    val r = graft.operators.Ranks.withGroupedRankCumSum(
+        d, Seq("g"), "v", "rnk", "cum", "tot",
+        Seq(col("v").desc, col("k")))
+      .collect().map(x => (x.getAs[String]("g"), x.getAs[String]("k")) ->
+        (x.getAs[Long]("rnk"), x.getAs[Long]("cum"), x.getAs[Long]("tot"))).toMap
+    graft.CacheTracker.releaseAll()
+    assert(r(("g1", "a")) === ((1L, 5L, 10L)))
+    assert(r(("g1", "b")) === ((2L, 8L, 10L)))
+    assert(r(("g1", "c")) === ((3L, 10L, 10L)))
+    assert(r(("g2", "x")) === ((1L, 7L, 8L)))
+    assert(r(("g2", "y")) === ((2L, 8L, 8L)))
+  }
+
+  test("vocabTopP keeps the crossing token and drops the tail") {
+    val d = Seq((1L, "a a a a a a a a b c", "en", "s1", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.operators.LangModel.vocabTopP(d).collect().head
+    graft.CacheTracker.releaseAll()
+    assert(r.getAs[Long]("n_vocab") === 3L)
+    assert(r.getAs[Long]("n_kept") === 2L) // a (mass 0.8) + b (crosses 0.9)
+    assert(r.getAs[Double]("mass_kept") === 0.9)
+  }
+
+  test("diffInDiff subtracts the control trend from the treated lift") {
+    val d = events(
+      (1L, 1L, "2024-01-01 12:00:00", "purchase", 1.0), // treated pre: 100
+      (2L, 1L, "2024-01-09 12:00:00", "purchase", 3.0), // treated post: 300
+      (3L, 2L, "2024-01-01 12:00:00", "purchase", 1.0), // ctrl pre: 100
+      (4L, 2L, "2024-01-09 12:00:00", "purchase", 2.0)) // ctrl post: 200
+    val r = graft.operators.Relational.diffInDiff(d).collect().head
+    assert(r.getAs[Double]("mean_treat_post") === 300.0)
+    assert(r.getAs[Double]("mean_ctrl_post") === 200.0)
+    assert(r.getAs[Double]("did_cents") === 100.0) // 200 lift - 100 trend
+  }
+
+  test("sessionGapSweep: one lag pass yields the session count per threshold") {
+    val d = events(
+      (1L, 1L, "2024-01-01 10:00:00", "click", 0.0),
+      (2L, 1L, "2024-01-01 10:20:00", "click", 0.0),  // gap 20 min
+      (3L, 1L, "2024-01-01 10:59:00", "click", 0.0))  // gap 39 min
+    val out = graft.operators.Sessionize.sessionGapSweep(d)
+      .orderBy("gap_minutes").collect()
+    assert(out.map(_.getAs[Long]("n_sessions")).toSeq === Seq(3L, 2L, 1L))
+    assert(out(1).getAs[Double]("avg_session_events") === 1.5)
+  }
+
   test("asof_join_nearest picks the |gap| argmin of both sweep directions") {
     assumeTestdata()
     val dir = "/root/testdata/sf0.001"
