@@ -5054,6 +5054,31 @@ object Oracles {
         |  round(CAST(n_events AS DOUBLE) / n_sessions, 6) AS avg_session_events
         |FROM (SELECT 15 AS gap_minutes, s15 AS n_sessions, n_events FROM a
         |      UNION ALL SELECT 30, s30, n_events FROM a
-        |      UNION ALL SELECT 60, s60, n_events FROM a)""".stripMargin
+        |      UNION ALL SELECT 60, s60, n_events FROM a)""".stripMargin,
+
+    // recall@5 per query when probing buckets at hamming distance <= h
+    "lsh_probe_sweep" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |  (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END) + (CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END) +
+         |  (CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END) + (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket FROM b WHERE vec_id < 10),
+         |scored AS (SELECT q_id, b.vec_id AS n_id, bit_count(xor(q_bucket, b.bucket)) AS hd,
+         |  round(list_reduce(list_transform(q_emb, (x, i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (p2, q2) -> p2 + q2)
+         |    / (sqrt(list_reduce(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p2, q2) -> p2 + q2))
+         |       * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p2, q2) -> p2 + q2))), 6) AS cos
+         |  FROM q JOIN b ON bit_count(xor(q_bucket, b.bucket)) <= 2 AND q_id <> b.vec_id),
+         |lv AS (SELECT l.h, q_id, n_id, cos FROM scored JOIN (VALUES (0),(1),(2)) AS l(h) ON l.h >= hd),
+         |ranked AS (SELECT h, q_id, n_id,
+         |  row_number() OVER (PARTITION BY h, q_id ORDER BY cos DESC, n_id) AS rnk FROM lv),
+         |tk AS (SELECT h, q_id, n_id FROM ranked WHERE rnk <= 5),
+         |bf AS ($annTopkSql),
+         |hits AS (SELECT tk.h, tk.q_id, count(*) AS n_hits FROM tk
+         |         JOIN bf ON tk.q_id = bf.q_id AND tk.n_id = bf.n_id GROUP BY 1, 2),
+         |univ AS (SELECT l.h, q_id FROM (VALUES (0),(1),(2)) AS l(h)
+         |         CROSS JOIN (SELECT DISTINCT q_id FROM q))
+         |SELECT univ.h, univ.q_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(CAST(coalesce(n_hits, 0) AS DOUBLE) / 5, 6) AS recall
+         |FROM univ LEFT JOIN hits ON univ.h = hits.h AND univ.q_id = hits.q_id""".stripMargin
   )
 }

@@ -295,6 +295,8 @@ object SparkEntry {
     "char_class_profile" -> ((s, d) =>
       TextOps.charClassProfile(spread(t(s, d, "documents")))),
     "vocab_top_p" -> ((s, d) => LangModel.vocabTopP(spread(t(s, d, "documents")))),
+    "lsh_probe_sweep" -> ((s, d) =>
+      Similarity.lshProbeSweep(t(s, d, "embeddings"))),
     "diff_in_diff" -> ((s, d) => Relational.diffInDiff(events(s, d))),
     "session_gap_sweep" -> ((s, d) => Sessionize.sessionGapSweep(events(s, d))),
     "vocab_novelty_by_source" -> ((s, d) =>

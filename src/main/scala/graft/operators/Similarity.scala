@@ -114,6 +114,59 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Multi-probe LSH recall sweep (B182): the tuning table behind
+    * [[annIvf]]'s single-bucket probe — recall@k against the exact
+    * top-k when queries also probe buckets at Hamming distance ≤ h,
+    * for h = 0..`maxFlips`. Multi-probe is THE standard rescue for
+    * sign-LSH's boundary problem (a query near a hyperplane has its
+    * true neighbors one bit-flip away); this measures exactly how much
+    * each extra flip buys, per query.
+    *
+    * One candidate scan covers every level: candidates are scored once
+    * at hd ≤ maxFlips (query side broadcast, bounded), each row
+    * replicates only to the levels h ≥ its hd, and per-(h, query)
+    * top-k rides the TopKPerKey heap. At 100 TB the probe set is
+    * 2^bits-bounded per query and the corpus side stays
+    * bucket-partitioned — cost tracks probed buckets, never all
+    * pairs. */
+  def lshProbeSweep(emb: DataFrame, maxQueryId: Long = 10, k: Int = 5,
+                    bits: Int = 4, maxFlips: Int = 2): DataFrame = {
+    val bInt = (1 to bits).map(i =>
+      when(element_at(col("embedding"), i) >= 0, lit(1 << (bits - i)))
+        .otherwise(lit(0))).reduce(_ + _)
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      bInt.as("bucket"))
+    val q = broadcast(bucketed.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket")))
+    val scored = q.join(
+        bucketed.select(col("vec_id").as("n_id"),
+          col("embedding").as("n_emb"), col("bucket")),
+        expr(s"bit_count(q_bucket ^ bucket) <= $maxFlips")
+          && col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        expr("bit_count(q_bucket ^ bucket)").as("hd"),
+        round(cosine(col("q_emb"), col("n_emb")), 6).as("cos"))
+    val levels = scored.withColumn("h",
+      explode(filter(array((0 to maxFlips).map(lit(_)): _*),
+        hh => hh >= col("hd"))))
+    graft.plans.TopK.register(emb.sparkSession)
+    val w = Window.partitionBy("h", "q_id").orderBy(col("cos").desc, col("n_id"))
+    val topk = graft.plans.TopK.topKPerKey(
+        levels, Seq("h", "q_id"), Seq("cos" -> false, "n_id" -> true), k)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+    val brute = annTopK(emb, maxQueryId, k).select("q_id", "n_id")
+    val hits = topk.join(brute, Seq("q_id", "n_id"))
+      .groupBy("h", "q_id").agg(count(lit(1)).as("n_hits"))
+    val univ = q.select("q_id").distinct().crossJoin(broadcast(
+      emb.sparkSession.range(maxFlips + 1).select(col("id").cast("int").as("h"))))
+    univ.join(hits, Seq("h", "q_id"), "left")
+      .select(col("h"), col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 6).as("recall"))
+  }
+
   /** True IVF ANN: coarse quantizer = KMeans centroids (fit over the full
     * corpus here; at 100 TB the fit runs on a sample), corpus assigned to
     * nearest-centroid cells once, queries probe

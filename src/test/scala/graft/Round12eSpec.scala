@@ -138,6 +138,22 @@ class Round12eSpec extends SparkSpec {
     assert(out(1).getAs[Double]("avg_session_events") === 1.5)
   }
 
+  test("lshProbeSweep: one bit-flip recovers the boundary-crossing neighbor") {
+    // query sits just above the 4th hyperplane; its true nearest sits
+    // just below it — invisible at h=0, found at h=1
+    val emb = Seq(
+      (0L, Array(1f, 1f, 1f, 0.1f)),   // query, bucket 1111
+      (1L, Array(1f, 1f, 1f, -0.1f)),  // true top-1, bucket 1110
+      (2L, Array(1f, 0.5f, 0.5f, 0.5f))) // same-bucket distractor
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .lshProbeSweep(emb, maxQueryId = 1, k = 1)
+      .collect().map(r => r.getAs[Int]("h") -> r.getAs[Double]("recall")).toMap
+    assert(out(0) === 0.0)
+    assert(out(1) === 1.0)
+    assert(out(2) === 1.0)
+  }
+
   test("asof_join_nearest picks the |gap| argmin of both sweep directions") {
     assumeTestdata()
     val dir = "/root/testdata/sf0.001"
