@@ -5079,6 +5079,64 @@ object Oracles {
          |         CROSS JOIN (SELECT DISTINCT q_id FROM q))
          |SELECT univ.h, univ.q_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
          |  round(CAST(coalesce(n_hits, 0) AS DOUBLE) / 5, 6) AS recall
-         |FROM univ LEFT JOIN hits ON univ.h = hits.h AND univ.q_id = hits.q_id""".stripMargin
+         |FROM univ LEFT JOIN hits ON univ.h = hits.h AND univ.q_id = hits.q_id""".stripMargin,
+
+    // weekly new/retained/resurrected/churned + quick ratio
+    "growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 604800000000 AS week_idx FROM events),
+        |l AS (SELECT user_id, week_idx,
+        |      lag(week_idx) OVER (PARTITION BY user_id ORDER BY week_idx) AS prev_w,
+        |      lead(week_idx) OVER (PARTITION BY user_id ORDER BY week_idx) AS next_w FROM uw),
+        |act AS (SELECT week_idx, count(*) AS n_active,
+        |  CAST(sum(CASE WHEN prev_w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN prev_w = week_idx - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  CAST(sum(CASE WHEN prev_w IS NOT NULL AND prev_w < week_idx - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM l GROUP BY 1),
+        |ch AS (SELECT week_idx + 1 AS week_idx, CAST(count(*) AS BIGINT) AS n_churned
+        |       FROM l WHERE next_w IS NULL OR next_w > week_idx + 1 GROUP BY 1)
+        |SELECT act.week_idx, act.n_active, act.n_new, act.n_retained, act.n_resurrected,
+        |  coalesce(ch.n_churned, 0) AS n_churned,
+        |  CASE WHEN coalesce(ch.n_churned, 0) > 0
+        |       THEN round(CAST(act.n_new + act.n_resurrected AS DOUBLE) / ch.n_churned, 6)
+        |       ELSE 0.0 END AS quick_ratio
+        |FROM act LEFT JOIN ch ON ch.week_idx = act.week_idx""".stripMargin,
+
+    // 3 unrolled min-label rounds over the adjacency-bigram graph
+    "token_label_prop" ->
+      s"""WITH t0 AS (SELECT $toks AS toks FROM documents),
+         |bi AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+         |      FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t0)
+         |      WHERE toks[i] <> toks[i + 1]),
+         |half AS (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b FROM bi),
+         |e AS (SELECT a, b FROM half UNION ALL SELECT b, a FROM half),
+         |l0 AS (SELECT DISTINCT a AS token, a AS label FROM e),
+         |l1 AS (SELECT l.token, least(l.label, coalesce(m.nb, l.label)) AS label
+         |       FROM l0 l LEFT JOIN (SELECT e.a AS token, min(l0.label) AS nb
+         |                            FROM e JOIN l0 ON l0.token = e.b GROUP BY 1) m USING (token)),
+         |l2 AS (SELECT l.token, least(l.label, coalesce(m.nb, l.label)) AS label
+         |       FROM l1 l LEFT JOIN (SELECT e.a AS token, min(l1.label) AS nb
+         |                            FROM e JOIN l1 ON l1.token = e.b GROUP BY 1) m USING (token)),
+         |l3 AS (SELECT l.token, least(l.label, coalesce(m.nb, l.label)) AS label
+         |       FROM l2 l LEFT JOIN (SELECT e.a AS token, min(l2.label) AS nb
+         |                            FROM e JOIN l2 ON l2.token = e.b GROUP BY 1) m USING (token))
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  min(token) AS min_token, max(token) AS max_token
+         |FROM l3 GROUP BY 1""".stripMargin,
+
+    // ALL-CAPS / Capitalized / lowercase raw-token shares per source
+    "casing_profile" ->
+      """WITH tok AS (SELECT source, t FROM
+        |  (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t FROM documents)),
+        |a AS (SELECT source, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN regexp_matches(t, '^[A-Z]{2,}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_allcaps,
+        |  CAST(sum(CASE WHEN regexp_matches(t, '^[A-Z][a-z]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_cap,
+        |  CAST(sum(CASE WHEN regexp_matches(t, '^[a-z]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_lower
+        |  FROM tok GROUP BY 1)
+        |SELECT source, n_tokens, n_allcaps,
+        |  round(CAST(n_allcaps AS DOUBLE) / n_tokens, 6) AS allcaps_share,
+        |  round(CAST(n_cap AS DOUBLE) / n_tokens, 6) AS capitalized_share,
+        |  round(CAST(n_lower AS DOUBLE) / n_tokens, 6) AS lower_share,
+        |  round(CAST(n_allcaps AS DOUBLE) / n_tokens, 6) > 0.1 AS shouty
+        |FROM a""".stripMargin
   )
 }

@@ -299,6 +299,9 @@ object SparkEntry {
       Similarity.lshProbeSweep(t(s, d, "embeddings"))),
     "diff_in_diff" -> ((s, d) => Relational.diffInDiff(events(s, d))),
     "session_gap_sweep" -> ((s, d) => Sessionize.sessionGapSweep(events(s, d))),
+    "growth_accounting" -> ((s, d) => Relational.growthAccounting(events(s, d))),
+    "token_label_prop" -> ((s, d) => Graph.tokenLabelProp(spread(t(s, d, "documents")))),
+    "casing_profile" -> ((s, d) => TextOps.casingProfile(spread(t(s, d, "documents")))),
     "vocab_novelty_by_source" -> ((s, d) =>
       TextOps.vocabNoveltyBySource(spread(t(s, d, "documents")))),
     "rare_token_share" -> ((s, d) =>

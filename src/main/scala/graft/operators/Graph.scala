@@ -234,6 +234,47 @@ object Graph {
     visited
   }
 
+  /** Label-propagation communities over the token adjacency graph
+    * (B183): 3 unrolled min-label rounds — each token adopts the
+    * lexicographic minimum of its own and its neighbors' labels — the
+    * cheap community detector that groups syntactically-glued
+    * vocabulary (the same min-propagation idea as dedup_components'
+    * pointer jumping, run on the bigram graph with a fixed unroll so
+    * the plan is static and the oracle a plain CTE chain). Reports
+    * each community at its stable-prefix: label, member count, member
+    * min/max for a deterministic fingerprint. Every frame after the
+    * one token shuffle is vocabulary-bounded; each label generation is
+    * pinned like [[tokenKcore]]'s edge generations. */
+  def tokenLabelProp(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val toked = docs.select(TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bi = toked.select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    def pin(e: DataFrame): DataFrame = graft.CacheTracker.track(
+      e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val half = bi.select(least(col("w1"), col("w2")).as("a"),
+      greatest(col("w1"), col("w2")).as("b")).distinct()
+    val edges = pin(half.union(
+      half.select(col("b").as("a"), col("a").as("b"))))
+    var labels = pin(edges.select(col("a").as("token")).distinct()
+      .withColumn("label", col("token")))
+    for (_ <- 1 to rounds) {
+      val nbMin = edges.join(labels.withColumnRenamed("token", "b"), "b")
+        .groupBy(col("a").as("token")).agg(min(col("label")).as("nb_label"))
+      labels = pin(labels.join(nbMin, Seq("token"), "left")
+        .select(col("token"),
+          least(col("label"), coalesce(col("nb_label"), col("label")))
+            .as("label")))
+    }
+    labels.groupBy("label")
+      .agg(count(lit(1)).as("n_tokens"),
+        min(col("token")).as("min_token"), max(col("token")).as("max_token"))
+  }
+
   /** k-core peeling of the token adjacency graph (C146): 3 unrolled
     * rounds of "drop every node with degree < k over the surviving
     * subgraph" — the dense-core extractor that separates the

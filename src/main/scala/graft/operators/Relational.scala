@@ -2317,6 +2317,44 @@ object Relational {
           lit(0.5)), 4).as("intercept_cents"))
   }
 
+  /** Weekly growth accounting (C161): every active user classified as
+    * NEW (first-ever week), RETAINED (active the week before) or
+    * RESURRECTED (active before, but not last week), plus the CHURNED
+    * count (active last week, gone this week) — the four flows whose
+    * identity `active_w = new + retained + resurrected` and quick
+    * ratio (new+resurrected)/churned are how subscription growth is
+    * actually read ([[newVsReturning]] is the daily two-class view;
+    * this is the full ledger). One distinct + one per-user lag/lead
+    * window pass; everything after is week-bounded. */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val uw = events.select(col("user_id"),
+      expr("unix_micros(ts) div 604800000000").as("week_idx")).distinct()
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("week_idx")
+    val lagged = uw
+      .withColumn("prev_w", lag(col("week_idx"), 1).over(order))
+      .withColumn("next_w", lead(col("week_idx"), 1).over(order))
+    val act = lagged.groupBy("week_idx").agg(
+      count(lit(1)).as("n_active"),
+      sum(when(col("prev_w").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("prev_w") === col("week_idx") - 1, 1L).otherwise(0L))
+        .as("n_retained"),
+      sum(when(col("prev_w").isNotNull && col("prev_w") < col("week_idx") - 1,
+        1L).otherwise(0L)).as("n_resurrected"))
+    val churn = lagged
+      .filter(col("next_w").isNull || col("next_w") > col("week_idx") + 1)
+      .groupBy((col("week_idx") + 1).as("week_idx"))
+      .agg(count(lit(1)).as("n_churned"))
+    act.join(churn, Seq("week_idx"), "left")
+      .select(col("week_idx"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .withColumn("quick_ratio",
+        when(col("n_churned") > 0,
+          round((col("n_new") + col("n_resurrected")).cast("double")
+            / col("n_churned"), 6)).otherwise(lit(0.0)))
+  }
+
   /** Difference-in-differences estimate (C159): the 2×2 causal
     * workhorse — treated (odd user_id, the deterministic assignment the
     * A/B family shares) vs control, pre vs post the timeline midpoint;

@@ -778,6 +778,33 @@ object TextOps {
       concat(scheme, lit("://"), host, cleanq).as("canon_url"))
   }
 
+  /** Token-casing census per source (B184): ALL-CAPS / Capitalized /
+    * lowercase shares of each feed's RAW whitespace tokens — the
+    * shouting-headline / press-release / OCR-artifact detector that
+    * [[charClassProfile]]'s char classes can't see (both "NEW" and
+    * "new" are 100% letters). Tokens come off the raw text (casing is
+    * exactly what the clean tokenizer destroys); a feed is flagged
+    * `shouty` past 10% all-caps. Patterns live in the RE2 ∩ DuckDB
+    * subset; exact BIGINT counts, 6 dp shares, flag off the rounded
+    * share so both engines compare identical values. */
+  def casingProfile(docs: DataFrame, shoutyShare: Double = 0.1): DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(filter(split(col("text"), "\\s+"), t => t =!= "")).as("t"))
+    tok.groupBy("source").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("t").rlike("^[A-Z]{2,}$"), 1L).otherwise(0L)).as("n_allcaps"),
+        sum(when(col("t").rlike("^[A-Z][a-z]+$"), 1L).otherwise(0L)).as("n_cap"),
+        sum(when(col("t").rlike("^[a-z]+$"), 1L).otherwise(0L)).as("n_lower"))
+      .select(col("source"), col("n_tokens"), col("n_allcaps"),
+        round(col("n_allcaps").cast("double") / col("n_tokens"), 6)
+          .as("allcaps_share"),
+        round(col("n_cap").cast("double") / col("n_tokens"), 6)
+          .as("capitalized_share"),
+        round(col("n_lower").cast("double") / col("n_tokens"), 6)
+          .as("lower_share"))
+      .withColumn("shouty", col("allcaps_share") > shoutyShare)
+  }
+
   /** Character-class census per language (B180): letter / digit /
     * whitespace / other shares of the raw text — the encoding-damage
     * and content-type tripwire (a "French" feed going 30% `other` is

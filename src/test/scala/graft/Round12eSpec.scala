@@ -138,6 +138,51 @@ class Round12eSpec extends SparkSpec {
     assert(out(1).getAs[Double]("avg_session_events") === 1.5)
   }
 
+  test("growthAccounting routes every user through the four flows") {
+    // epoch weeks break on Thursday 00:00 UTC; Jan 4/11/18 2024 are Thursdays
+    val d = events(
+      (1L, 1L, "2024-01-04 12:00:00", "click", 0.0), // u1: w0, w1 (retained)
+      (2L, 1L, "2024-01-11 12:00:00", "click", 0.0),
+      (3L, 2L, "2024-01-04 12:00:00", "click", 0.0), // u2: w0 only (churns)
+      (4L, 3L, "2024-01-04 12:00:00", "click", 0.0), // u3: w0, w2 (resurrects)
+      (5L, 3L, "2024-01-18 12:00:00", "click", 0.0))
+    val out = graft.operators.Relational.growthAccounting(d)
+      .orderBy("week_idx").collect()
+    assert(out.length === 3)
+    assert(out(0).getAs[Long]("n_new") === 3L)
+    assert(out(0).getAs[Long]("n_churned") === 0L)
+    assert(out(1).getAs[Long]("n_retained") === 1L)
+    assert(out(1).getAs[Long]("n_churned") === 2L) // u2 gone, u3 skipped w1
+    assert(out(2).getAs[Long]("n_resurrected") === 1L)
+    assert(out(2).getAs[Long]("n_churned") === 1L) // u1 gone after w1
+    assert(out(2).getAs[Double]("quick_ratio") === 1.0)
+  }
+
+  test("tokenLabelProp merges chained bigrams into one community") {
+    val d = Seq(
+      (1L, "a b", "en", "s1", 3L), (2L, "b c", "en", "s1", 3L),
+      (3L, "x y", "en", "s1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.Graph.tokenLabelProp(d).collect()
+      .map(r => r.getAs[String]("label") -> r).toMap
+    graft.CacheTracker.releaseAll()
+    assert(out.keySet === Set("a", "x"))
+    assert(out("a").getAs[Long]("n_tokens") === 3L) // {a, b, c}
+    assert(out("a").getAs[String]("max_token") === "c")
+    assert(out("x").getAs[Long]("n_tokens") === 2L) // {x, y}
+  }
+
+  test("casingProfile separates SHOUTING from Title and prose tokens") {
+    val d = Seq((1L, "NEW War is here", "en", "s1", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.operators.TextOps.casingProfile(d).collect().head
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Double]("allcaps_share") === 0.25)
+    assert(r.getAs[Double]("capitalized_share") === 0.25)
+    assert(r.getAs[Double]("lower_share") === 0.5)
+    assert(r.getAs[Boolean]("shouty")) // 0.25 > 0.1
+  }
+
   test("lshProbeSweep: one bit-flip recovers the boundary-crossing neighbor") {
     // query sits just above the 4th hyperplane; its true nearest sits
     // just below it — invisible at h=0, found at h=1
