@@ -5137,6 +5137,87 @@ object Oracles {
         |  round(CAST(n_cap AS DOUBLE) / n_tokens, 6) AS capitalized_share,
         |  round(CAST(n_lower AS DOUBLE) / n_tokens, 6) AS lower_share,
         |  round(CAST(n_allcaps AS DOUBLE) / n_tokens, 6) > 0.1 AS shouty
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // association rules with sessions as baskets (distinct type incidence)
+    "session_event_pairs" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |g AS (SELECT user_id, event_id, event_type, us,
+        |      lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+        |si AS (SELECT user_id, event_type,
+        |      sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY us, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |      FROM g),
+        |s AS (SELECT DISTINCT user_id, session_id, event_type FROM si),
+        |n AS (SELECT count(*) AS n_sessions FROM (SELECT DISTINCT user_id, session_id FROM s)),
+        |tn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM s GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+        |      FROM s a JOIN s b ON a.user_id = b.user_id AND a.session_id = b.session_id
+        |       AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  round(CAST(n_ab AS DOUBLE) / ta.n_t, 6) AS conf_a_b,
+        |  round(CAST(n_ab AS DOUBLE) * n.n_sessions / (ta.n_t * tb.n_t), 6) AS lift
+        |FROM p JOIN tn ta ON ta.event_type = p.type_a
+        |JOIN tn tb ON tb.event_type = p.type_b CROSS JOIN n""".stripMargin,
+
+    // keep-first keepers vs dropped copies, exact micro-unit quality means
+    "dup_quality_gap" ->
+      s"""WITH q AS (SELECT doc_id, md5($clean) AS content_hash,
+         |      CAST(round(($qualitySql) * 1000000) AS BIGINT) AS q_micro FROM documents),
+         |f AS (SELECT doc_id, q_micro,
+         |      doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS is_keeper FROM q),
+         |a AS (SELECT
+         |  CAST(sum(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers,
+         |  CAST(sum(CASE WHEN NOT is_keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+         |  CASE WHEN sum(CASE WHEN is_keeper THEN 1 ELSE 0 END) > 0 THEN
+         |    round(CAST(sum(CASE WHEN is_keeper THEN q_micro ELSE 0 END) AS DOUBLE)
+         |      / sum(CASE WHEN is_keeper THEN 1 ELSE 0 END) / 1000000.0, 6) ELSE 0.0 END AS mean_q_keepers,
+         |  CASE WHEN sum(CASE WHEN NOT is_keeper THEN 1 ELSE 0 END) > 0 THEN
+         |    round(CAST(sum(CASE WHEN NOT is_keeper THEN q_micro ELSE 0 END) AS DOUBLE)
+         |      / sum(CASE WHEN NOT is_keeper THEN 1 ELSE 0 END) / 1000000.0, 6) ELSE 0.0 END AS mean_q_dups
+         |  FROM f)
+         |SELECT *, round(mean_q_keepers - mean_q_dups, 6) AS quality_gap FROM a""".stripMargin,
+
+    // deflated power iteration: top-2 eigenvalues vs covariance trace.
+    // Every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    // reference, and the doubled (deflated) iteration chain would
+    // re-expand the covariance subtree exponentially otherwise.
+    "pca_explained" -> {
+      def rounds(tag: String, mat: String) = (1 to 5).map { k =>
+        s"""w$tag$k AS MATERIALIZED (SELECT dim_i AS dim,
+           |  round(list_reduce(list_sort(list(round(cov * v, 9))), (a, b) -> a + b), 9) AS w
+           |  FROM $mat JOIN v$tag${k - 1} ON $mat.dim_j = v$tag${k - 1}.dim GROUP BY dim_i),
+           |n$tag$k AS MATERIALIZED (SELECT round(sqrt(list_reduce(list_sort(list(w * w)), (a, b) -> a + b)), 9) AS nrm FROM w$tag$k),
+           |v$tag$k AS MATERIALIZED (SELECT dim, round(w / nrm, 9) AS v, nrm AS eig FROM w$tag$k CROSS JOIN n$tag$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS MATERIALIZED (SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
+         |      CAST(embedding[i] AS DOUBLE) AS x, CAST(embedding[j] AS DOUBLE) AS y
+         |      FROM embeddings, range(1, 9) r1(i), range(1, 9) r2(j) WHERE j >= i),
+         |cu AS MATERIALIZED (SELECT dim_i, dim_j,
+         |  round(list_reduce(list_sort(list(x * y)), (a, b) -> a + b) / count(*)
+         |    - (list_reduce(list_sort(list(x)), (a, b) -> a + b) / count(*))
+         |    * (list_reduce(list_sort(list(y)), (a, b) -> a + b) / count(*)), 6) AS cov
+         |  FROM p GROUP BY dim_i, dim_j),
+         |cf AS MATERIALIZED (SELECT dim_i, dim_j, cov FROM cu
+         |       UNION ALL
+         |       SELECT dim_j AS dim_i, dim_i AS dim_j, cov FROM cu WHERE dim_i <> dim_j),
+         |vA0 AS MATERIALIZED (SELECT CAST(i AS BIGINT) AS dim,
+         |        CAST(1.0 AS DOUBLE) / sqrt(CAST(8.0 AS DOUBLE)) AS v FROM range(1, 9) r(i)),
+         |${rounds("A", "cf")},
+         |c2 AS MATERIALIZED (SELECT cf.dim_i, cf.dim_j, round(cov - vi.eig * vi.v * vj.v, 9) AS cov
+         |       FROM cf JOIN vA5 vi ON vi.dim = cf.dim_i JOIN vA5 vj ON vj.dim = cf.dim_j),
+         |vB0 AS MATERIALIZED (SELECT CAST(i AS BIGINT) AS dim,
+         |        CAST(1.0 AS DOUBLE) / sqrt(CAST(8.0 AS DOUBLE)) AS v FROM range(1, 9) r(i)),
+         |${rounds("B", "c2")},
+         |tr AS (SELECT round(list_reduce(list_sort(list(cov)), (a, b) -> a + b), 9) AS trace
+         |       FROM cf WHERE dim_i = dim_j),
+         |e1 AS (SELECT 1 AS component, max(eig) AS eigenvalue FROM vA5),
+         |e2 AS (SELECT 2 AS component, max(eig) AS eigenvalue FROM vB5)
+         |SELECT component, eigenvalue, trace,
+         |  CASE WHEN trace > 0 THEN round(eigenvalue / trace, 6) ELSE 0.0 END AS explained_ratio
+         |FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2) CROSS JOIN tr""".stripMargin
+    }
   )
 }

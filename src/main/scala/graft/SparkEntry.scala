@@ -300,6 +300,12 @@ object SparkEntry {
     "diff_in_diff" -> ((s, d) => Relational.diffInDiff(events(s, d))),
     "session_gap_sweep" -> ((s, d) => Sessionize.sessionGapSweep(events(s, d))),
     "growth_accounting" -> ((s, d) => Relational.growthAccounting(events(s, d))),
+    "session_event_pairs" -> ((s, d) =>
+      Sessionize.sessionEventPairs(events(s, d))),
+    "dup_quality_gap" -> ((s, d) =>
+      Dedup.dupQualityGap(spread(t(s, d, "documents")))),
+    "pca_explained" -> ((s, d) =>
+      Similarity.pcaExplained(t(s, d, "embeddings"))),
     "token_label_prop" -> ((s, d) => Graph.tokenLabelProp(spread(t(s, d, "documents")))),
     "casing_profile" -> ((s, d) => TextOps.casingProfile(spread(t(s, d, "documents")))),
     "vocab_novelty_by_source" -> ((s, d) =>

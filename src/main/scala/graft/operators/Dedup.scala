@@ -22,6 +22,35 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Quality gap between dedup keepers and their dropped copies (B185):
+    * keep-first dedup keeps the MIN doc_id, not the best copy — this
+    * measures what that costs, comparing mean quality of keepers vs
+    * non-keepers (a large negative gap says switch to
+    * [[keepBest]]-style survivorship). Quality rides the engine's
+    * composite score in exact micro-units (BIGINT sums, 6 dp means,
+    * gap from the rounded means) so the one-row answer is
+    * partition-order free. Same single content-hash shuffle as
+    * [[exact]]. */
+  def dupQualityGap(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("content_hash")
+    val flagged = docs
+      .select(col("doc_id"), md5(TextOps.cleanText(col("text"))).as("content_hash"),
+        round(TextOps.qualityComposite * 1000000).cast("long").as("q_micro"))
+      .withColumn("is_keeper", col("doc_id") === min(col("doc_id")).over(w))
+    def meanQ(flag: Column) =
+      when(sum(when(flag, 1L).otherwise(0L)) > 0,
+        round(sum(when(flag, col("q_micro")).otherwise(0L)).cast("double")
+          / sum(when(flag, 1L).otherwise(0L)) / 1000000.0, 6))
+        .otherwise(lit(0.0))
+    flagged.agg(
+        sum(when(col("is_keeper"), 1L).otherwise(0L)).as("n_keepers"),
+        sum(when(!col("is_keeper"), 1L).otherwise(0L)).as("n_dups"),
+        meanQ(col("is_keeper")).as("mean_q_keepers"),
+        meanQ(!col("is_keeper")).as("mean_q_dups"))
+      .withColumn("quality_gap",
+        round(col("mean_q_keepers") - col("mean_q_dups"), 6))
+  }
+
   /** Duplicate rate per source (B175): which feeds are pumping copies
     * into the corpus — the curation triage readout that decides where
     * dedup budget (and crawler fixes) go. A document is a dup when it

@@ -349,6 +349,47 @@ object Sessionize {
           .otherwise(lit(0.0)), 6).as("conversion_rate"))
   }
 
+  /** Event-type co-occurrence within sessions (C162): [[Relational
+    * .basketPairs]]' association rules run with SESSIONS as the baskets
+    * — which behaviours travel together inside one visit (error∧click
+    * lift ≫ 1 reads as rage-clicking; signup∧purchase as activation).
+    * Support, confidence and lift off exact counts over distinct
+    * (session, type) incidences; the per-session self-join is bounded
+    * by the event-type universe after the distinct, so pair cost never
+    * tracks raw event volume. One lag-window shuffle + one pair
+    * shuffle. */
+  def sessionEventPairs(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val order = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val sess = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(order))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        order.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("user_id"), col("session_id"), col("event_type")).distinct()
+    val n = sess.select("user_id", "session_id").distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val typeN = sess.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    sess.select(col("user_id"), col("session_id"), col("event_type").as("type_a"))
+      .join(sess.select(col("user_id"), col("session_id"),
+        col("event_type").as("type_b")), Seq("user_id", "session_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(typeN.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), "type_a")
+      .join(broadcast(typeN.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), "type_b")
+      .crossJoin(broadcast(n))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_a"), 6).as("conf_a_b"),
+        round(col("n_ab").cast("double") * col("n_sessions")
+          / (col("n_a") * col("n_b")), 6).as("lift"))
+  }
+
   /** Session-gap threshold sweep (C160): sessionization's one free
     * parameter, audited — for each candidate inactivity gap (15/30/60
     * min), the session count and mean events/session the corpus would

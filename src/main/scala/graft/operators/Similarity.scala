@@ -667,7 +667,16 @@ object Similarity {
     val C = graft.CacheTracker.track(
       full.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     C.count()
-    val spark = emb.sparkSession
+    powerEigen(C, dims, iters)
+      .select(col("dim"), col("v").as("loading"), col("eig"))
+  }
+
+  /** The power-iteration core shared by [[pcaPower]] and
+    * [[pcaExplained]]: `iters` rounds of v ← Cv / ‖Cv‖ from the uniform
+    * start, 9 dp sorted-fold discipline throughout; returns (dim, v,
+    * eig) with eig = the final ‖Cv‖ Rayleigh estimate. */
+  private def powerEigen(C: DataFrame, dims: Int, iters: Int): DataFrame = {
+    val spark = C.sparkSession
     // the norm is a full-frame window fold over the dims-sized vector —
     // one stage per round and a single reference to w, so the lineage
     // stays LINEAR in iters (a w-agg-crossJoin-w phrasing doubles the
@@ -689,7 +698,45 @@ object Similarity {
       v = w.select(col("dim_i").as("dim"), round(col("w") / nrm, 9).as("v"),
         nrm.as("eig"))
     }
-    v.select(col("dim"), col("v").as("loading"), col("eig"))
+    v
+  }
+
+  /** Top-2 explained variance via deflated power iteration (B186): how
+    * much of the embedding's variance the first two principal
+    * components carry — the "is this embedding space effectively
+    * low-rank" health check ([[pcaPower]] gives the direction; this
+    * gives the spectrum mass). λ₁ from the first power run, then the
+    * classic deflation C₂ = C − λ₁v₁v₁ᵀ (9 dp, mirrored term order)
+    * and a second run for λ₂; ratios against the exact covariance
+    * trace. Every frame past the one covariance aggregate is
+    * dims²-bounded. */
+  def pcaExplained(emb: DataFrame, dims: Int = 8, iters: Int = 5): DataFrame = {
+    val cu = embedCovariance(emb, dims).select("dim_i", "dim_j", "cov")
+    val full = cu.unionByName(cu.filter(col("dim_i") =!= col("dim_j"))
+      .select(col("dim_j").as("dim_i"), col("dim_i").as("dim_j"), col("cov")))
+    val C = graft.CacheTracker.track(
+      full.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    C.count()
+    val v1 = graft.CacheTracker.track(powerEigen(C, dims, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    v1.count()
+    val c2 = C
+      .join(v1.select(col("dim").as("dim_i"), col("v").as("vi"), col("eig")),
+        "dim_i")
+      .join(v1.select(col("dim").as("dim_j"), col("v").as("vj")), "dim_j")
+      .select(col("dim_i"), col("dim_j"),
+        round(col("cov") - col("eig") * col("vi") * col("vj"), 9).as("cov"))
+    val v2 = powerEigen(c2, dims, iters)
+    val tr = C.filter(col("dim_i") === col("dim_j"))
+      .agg(round(Folds.sortedSum(col("cov")), 9).as("trace"))
+    val e1 = v1.agg(max(col("eig")).as("eigenvalue"))
+      .select(lit(1).as("component"), col("eigenvalue"))
+    val e2 = v2.agg(max(col("eig")).as("eigenvalue"))
+      .select(lit(2).as("component"), col("eigenvalue"))
+    e1.union(e2).crossJoin(broadcast(tr))
+      .select(col("component"), col("eigenvalue"), col("trace"),
+        when(col("trace") > 0, round(col("eigenvalue") / col("trace"), 6))
+          .otherwise(lit(0.0)).as("explained_ratio"))
   }
 
   /** Oracle-checkable Lloyd's k-means (B70): deterministic where MLlib's

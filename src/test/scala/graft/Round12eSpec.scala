@@ -183,6 +183,57 @@ class Round12eSpec extends SparkSpec {
     assert(r.getAs[Boolean]("shouty")) // 0.25 > 0.1
   }
 
+  test("sessionEventPairs: lift 1 for independent types, exact conf") {
+    val d = events(
+      (1L, 1L, "2024-01-01 10:00:00", "click", 0.0),
+      (2L, 1L, "2024-01-01 10:05:00", "view", 0.0), // same session as 1
+      (3L, 2L, "2024-01-01 10:00:00", "click", 0.0))
+    val out = graft.operators.Sessionize.sessionEventPairs(d).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("type_a") === "click")
+    assert(r.getAs[String]("type_b") === "view")
+    assert(r.getAs[Long]("n_ab") === 1L)
+    assert(r.getAs[Double]("conf_a_b") === 0.5) // 1 of 2 click-sessions
+    assert(r.getAs[Double]("lift") === 1.0)     // 1 * 2 / (2 * 1)
+  }
+
+  test("dupQualityGap charges the dropped copy at its own quality") {
+    val hi = "the cat and the dog sat in the house quietly"
+    val lo = "??? !!! ..."
+    val d = Seq((1L, lo, "en", "s1", lo.length.toLong),
+      (2L, lo, "en", "s2", lo.length.toLong), // copy of doc 1 -> dropped
+      (3L, hi, "en", "s1", hi.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = graft.operators.TextOps.qualityScore(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val r = graft.operators.Dedup.dupQualityGap(d).collect().head
+    assert(r.getAs[Long]("n_keepers") === 2L)
+    assert(r.getAs[Long]("n_dups") === 1L)
+    assert(math.abs(r.getAs[Double]("mean_q_dups") - q(2L)) < 1e-5)
+    assert(math.abs(r.getAs[Double]("mean_q_keepers") - (q(1L) + q(3L)) / 2) < 1e-5)
+    assert(r.getAs[Double]("quality_gap") > 0)
+  }
+
+  test("pcaExplained recovers the 2x2 spectrum of a planted low-rank space") {
+    // cov = [[5,-1],[-1,1]] on dims 1-2, zero elsewhere:
+    // eigenvalues 3 ± sqrt(5), trace 6
+    val rows = Seq(
+      (0L, Array(1f, 1f)), (1L, Array(3f, -1f)),
+      (2L, Array(5f, 1f)), (3L, Array(7f, -1f)))
+      .map { case (id, xy) => (id, xy ++ Array.fill(6)(0f)) }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.pcaExplained(emb).collect()
+      .map(r => r.getAs[Int]("component") -> r).toMap
+    graft.CacheTracker.releaseAll()
+    val l1 = 3.0 + math.sqrt(5.0); val l2 = 3.0 - math.sqrt(5.0)
+    assert(math.abs(out(1).getAs[Double]("eigenvalue") - l1) < 0.01)
+    assert(math.abs(out(2).getAs[Double]("eigenvalue") - l2) < 0.01)
+    assert(math.abs(out(1).getAs[Double]("trace") - 6.0) < 1e-6)
+    assert(math.abs(out(1).getAs[Double]("explained_ratio")
+      + out(2).getAs[Double]("explained_ratio") - 1.0) < 0.01)
+  }
+
   test("lshProbeSweep: one bit-flip recovers the boundary-crossing neighbor") {
     // query sits just above the 4th hyperplane; its true nearest sits
     // just below it — invisible at h=0, found at h=1
