@@ -5218,6 +5218,64 @@ object Oracles {
          |SELECT component, eigenvalue, trace,
          |  CASE WHEN trace > 0 THEN round(eigenvalue / trace, 6) ELSE 0.0 END AS explained_ratio
          |FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2) CROSS JOIN tr""".stripMargin
-    }
+    },
+
+    // RFM fit per half of the order history, customer-joined matrix
+    "rfm_migration" -> {
+      def rfmHalf(tag: String, pred: String) =
+        s"""pc$tag AS (SELECT o_custkey, max(o_orderdate) AS lo, count(*) AS frequency,
+           |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+           |  FROM o WHERE $pred GROUP BY 1),
+           |t$tag AS (SELECT o_custkey,
+           |  ntile(4) OVER (ORDER BY lo ASC, o_custkey) AS r,
+           |  ntile(4) OVER (ORDER BY frequency ASC, o_custkey) AS f,
+           |  ntile(4) OVER (ORDER BY monetary_cents ASC, o_custkey) AS m
+           |  FROM pc$tag),
+           |s$tag AS (SELECT o_custkey, CAST(r * 100 + f * 10 + m AS BIGINT) AS segment FROM t$tag)""".stripMargin
+      s"""WITH w AS (SELECT orders.*, epoch_ns(o_orderdate) // 1000 // 86400000000 AS _day FROM orders),
+         |b AS (SELECT (min(_day) + max(_day)) // 2 AS mid FROM w),
+         |o AS (SELECT w.*, mid FROM w CROSS JOIN b),
+         |${rfmHalf("H1", "_day <= mid")},
+         |${rfmHalf("H2", "_day > mid")},
+         |j AS (SELECT sH1.segment AS segment_h1, sH2.segment AS segment_h2
+         |      FROM sH1 JOIN sH2 USING (o_custkey)),
+         |tot AS (SELECT count(*) AS n_total FROM j)
+         |SELECT segment_h1, segment_h2, CAST(count(*) AS BIGINT) AS n_customers,
+         |  round(CAST(count(*) AS DOUBLE) / n_total, 6) AS share
+         |FROM j CROSS JOIN tot GROUP BY 1, 2, n_total""".stripMargin
+    },
+
+    // eta-squared + F of daily revenue by day-of-week bucket
+    // (moment formulation; SS values never emitted, only O(1) ratios)
+    "seasonality_anova" ->
+      """WITH days AS (SELECT epoch_ns(ts) // 1000 // 86400000000 AS day_idx,
+        |      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS r FROM events GROUP BY 1),
+        |gm AS (SELECT day_idx % 7 AS dow, CAST(count(*) AS BIGINT) AS n_g,
+        |       CAST(sum(r) AS BIGINT) AS sg, sum(r * r) AS sg2 FROM days GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS k_dow, CAST(sum(n_g) AS BIGINT) AS n_days,
+        |  CAST(sum(sg) AS BIGINT) AS s, sum(sg2) AS s2,
+        |  list_reduce(list_sort(list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / n_g)), (a, b) -> a + b) AS bsum
+        |  FROM gm),
+        |ss AS (SELECT n_days, k_dow,
+        |  CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_days AS sst,
+        |  bsum - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_days AS ssb
+        |  FROM tot)
+        |SELECT n_days, k_dow,
+        |  CASE WHEN sst > 0 THEN round(ssb / sst, 6) ELSE 0.0 END AS eta_sq,
+        |  CASE WHEN sst - ssb > 0 AND n_days > k_dow
+        |       THEN round((ssb / (k_dow - 1)) / ((sst - ssb) / (n_days - k_dow)), 6)
+        |       ELSE 0.0 END AS f_stat
+        |FROM ss""".stripMargin,
+
+    // p50/p90 gap seconds per adjacent (from_type, to_type) transition
+    "transition_latency" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |g AS (SELECT event_type, us,
+        |      lag(event_type) OVER w AS prev_type, lag(us) OVER w AS prev_us
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n,
+        |  round(quantile_cont((us - prev_us) // 1000000, 0.5), 4) AS p50_s,
+        |  round(quantile_cont((us - prev_us) // 1000000, 0.9), 4) AS p90_s
+        |FROM g WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin
   )
 }

@@ -306,6 +306,10 @@ object SparkEntry {
       Dedup.dupQualityGap(spread(t(s, d, "documents")))),
     "pca_explained" -> ((s, d) =>
       Similarity.pcaExplained(t(s, d, "embeddings"))),
+    "rfm_migration" -> ((s, d) => Relational.rfmMigration(t(s, d, "orders"))),
+    "seasonality_anova" -> ((s, d) => Relational.seasonalityAnova(events(s, d))),
+    "transition_latency" -> ((s, d) =>
+      Sessionize.transitionLatency(events(s, d))),
     "token_label_prop" -> ((s, d) => Graph.tokenLabelProp(spread(t(s, d, "documents")))),
     "casing_profile" -> ((s, d) => TextOps.casingProfile(spread(t(s, d, "documents")))),
     "vocab_novelty_by_source" -> ((s, d) =>

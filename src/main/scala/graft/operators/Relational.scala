@@ -1289,6 +1289,71 @@ object Relational {
       .withColumn("segment", col("r") * 100 + col("f") * 10 + col("m"))
   }
 
+  /** RFM segment migration matrix (C163): [[rfmSegments]] fit
+    * independently on each half of the order history (split at the
+    * date-range midpoint), inner-joined per customer — the CRM
+    * transition matrix ("how many champions decayed to at-risk")
+    * behind every lifecycle campaign. Counts + matrix share; the
+    * matrix frame is segment²-bounded (≤ 64²), the halves reuse the
+    * full two-pass NTILE machinery, and the only data-sized work is
+    * the two per-customer aggregates. */
+  def rfmMigration(orders: DataFrame): DataFrame = {
+    val withDay = orders.withColumn("_day",
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"))
+    val bounds = withDay
+      .agg(expr("(min(_day) + max(_day)) div 2").as("mid"))
+    val o = withDay.crossJoin(broadcast(bounds))
+    def half(pred: Column, name: String): DataFrame =
+      rfmSegments(o.filter(pred).drop("mid", "_day"))
+        .select(col("o_custkey"), col("segment").as(name))
+    val joined = half(col("_day") <= col("mid"), "segment_h1")
+      .join(half(col("_day") > col("mid"), "segment_h2"), "o_custkey")
+    val total = joined.agg(count(lit(1)).as("n_total"))
+    joined.groupBy("segment_h1", "segment_h2")
+      .agg(count(lit(1)).as("n_customers"))
+      .crossJoin(broadcast(total))
+      .select(col("segment_h1"), col("segment_h2"), col("n_customers"),
+        round(col("n_customers").cast("double") / col("n_total"), 6)
+          .as("share"))
+  }
+
+  /** One-way ANOVA of daily revenue by day-of-week (C164): how much of
+    * the day-to-day revenue variance the weekly cycle explains — η² =
+    * SSB/SST and the F statistic, the formal complement to
+    * [[revenueAcf]]'s lag-7 spike. The moment formulation
+    * ([[dispersionIndex]]'s discipline): per-dow exact Σr and Σr²
+    * (decimal-widened so cents² can't overflow), SS values composed in
+    * doubles but NEVER emitted (at 10¹¹-cent² magnitudes a 6 dp round
+    * is below one ulp and engine-dependent) — only the O(1) ratios η²
+    * and F round, at 6 dp. One data-sized shuffle total. */
+  def seasonalityAnova(events: DataFrame): DataFrame = {
+    val days = events
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day_idx"))
+      .agg(sum(cents(col("value"))).as("r"))
+      .withColumn("dow", col("day_idx") % 7)
+    val gm = days.groupBy("dow")
+      .agg(count(lit(1)).as("n_g"), sum(col("r")).as("sg"),
+        sum((col("r") * col("r")).cast("decimal(38,0)")).as("sg2"))
+    val tot = gm.agg(count(lit(1)).as("k_dow"), sum(col("n_g")).as("n_days"),
+      sum(col("sg")).as("s"), sum(col("sg2")).as("s2"),
+      Folds.sortedSum(col("sg").cast("double") * col("sg").cast("double")
+        / col("n_g")).as("bsum"))
+    tot.select(col("n_days"), col("k_dow"),
+        (col("s2").cast("double")
+          - col("s").cast("double") * col("s").cast("double") / col("n_days"))
+          .as("sst"),
+        (col("bsum")
+          - col("s").cast("double") * col("s").cast("double") / col("n_days"))
+          .as("ssb"))
+      .select(col("n_days"), col("k_dow"),
+        when(col("sst") > 0, round(col("ssb") / col("sst"), 6))
+          .otherwise(lit(0.0)).as("eta_sq"),
+        when(col("sst") - col("ssb") > 0 && col("n_days") > col("k_dow"),
+          round((col("ssb") / (col("k_dow") - 1))
+            / ((col("sst") - col("ssb")) / (col("n_days") - col("k_dow"))), 6))
+          .otherwise(lit(0.0)).as("f_stat"))
+  }
+
   /** Wide→long UNPIVOT of per-language aggregates (C75): the stack()
     * reshape that feeds metric-per-row sinks (dashboards, timeseries
     * stores) without one query per metric. One shuffle for the

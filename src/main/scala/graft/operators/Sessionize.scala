@@ -349,6 +349,29 @@ object Sessionize {
           .otherwise(lit(0.0)), 6).as("conversion_rate"))
   }
 
+  /** Adjacent-transition latency quantiles (C165): p50/p90 seconds for
+    * each (from_type → to_type) ADJACENT pair in a user's stream — the
+    * dwell-time profile [[transitionPredict]]'s counts can't show
+    * (click→purchase in 40 s median is a working funnel; 2 h is
+    * abandonment-and-return). One per-user lag window, then exact
+    * interpolated percentiles per type²-bounded group. */
+  def transitionLatency(events: DataFrame): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(order))
+      .withColumn("prev_us", lag(col("us"), 1).over(order))
+      .filter(col("prev_type").isNotNull)
+      .select(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"),
+        expr("(us - prev_us) div 1000000").as("gap_s"))
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"),
+        round(percentile(col("gap_s"), lit(0.5)), 4).as("p50_s"),
+        round(percentile(col("gap_s"), lit(0.9)), 4).as("p90_s"))
+  }
+
   /** Event-type co-occurrence within sessions (C162): [[Relational
     * .basketPairs]]' association rules run with SESSIONS as the baskets
     * — which behaviours travel together inside one visit (error∧click

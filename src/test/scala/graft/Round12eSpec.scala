@@ -234,6 +234,52 @@ class Round12eSpec extends SparkSpec {
       + out(2).getAs[Double]("explained_ratio") - 1.0) < 0.01)
   }
 
+  test("rfmMigration joins per-half segments and conserves the customer base") {
+    val rows = (1L to 4L).flatMap { c =>
+      Seq((c * 10, c, "O", (100.0 * c), "2024-01-0" + c + " 12:00:00", "p"),
+        (c * 10 + 1, c, "O", (200.0 * c), "2024-03-0" + c + " 12:00:00", "p"))
+    }
+    val orders = rows.map { case (ok, ck, st, tp, dt, pr) =>
+      (ok, ck, st, tp, java.sql.Timestamp.valueOf(dt), pr) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = graft.operators.Relational.rfmMigration(orders).collect()
+    graft.CacheTracker.releaseAll()
+    assert(out.map(_.getAs[Long]("n_customers")).sum === 4L)
+    assert(math.abs(out.map(_.getAs[Double]("share")).sum - 1.0) < 1e-6)
+    // every segment is a valid r*100+f*10+m code with digits 1..4
+    out.foreach { r =>
+      Seq(r.getAs[Long]("segment_h1"), r.getAs[Long]("segment_h2")).foreach { s =>
+        assert(Seq(s / 100, s / 10 % 10, s % 10).forall(d => d >= 1 && d <= 4))
+      }
+    }
+  }
+
+  test("seasonalityAnova reads a pure weekly pattern as eta-squared 1") {
+    // 14 days, value a function of day-of-week only -> SSW = 0
+    val d = events((0L until 14L).map { i =>
+      (i, i, f"2024-01-${i + 1}%02d 12:00:00", "purchase", 1.0 + i % 7)
+    }: _*)
+    val r = graft.operators.Relational.seasonalityAnova(d).collect().head
+    assert(r.getAs[Long]("n_days") === 14L)
+    assert(r.getAs[Long]("k_dow") === 7L)
+    assert(math.abs(r.getAs[Double]("eta_sq") - 1.0) < 1e-9)
+    assert(r.getAs[Double]("f_stat") === 0.0) // SSW = 0 -> guarded
+  }
+
+  test("transitionLatency reports exact gap quantiles per adjacent pair") {
+    val d = events(
+      (1L, 1L, "2024-01-01 10:00:00", "click", 0.0),
+      (2L, 1L, "2024-01-01 10:01:00", "view", 0.0),
+      (3L, 1L, "2024-01-01 10:03:00", "purchase", 0.0))
+    val out = graft.operators.Sessionize.transitionLatency(d).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) -> r)
+      .toMap
+    assert(out.keySet === Set(("click", "view"), ("view", "purchase")))
+    assert(out(("click", "view")).getAs[Double]("p50_s") === 60.0)
+    assert(out(("view", "purchase")).getAs[Double]("p90_s") === 120.0)
+  }
+
   test("lshProbeSweep: one bit-flip recovers the boundary-crossing neighbor") {
     // query sits just above the 4th hyperplane; its true nearest sits
     // just below it — invisible at h=0, found at h=1
