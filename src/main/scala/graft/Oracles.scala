@@ -5276,6 +5276,48 @@ object Oracles {
         |SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n,
         |  round(quantile_cont((us - prev_us) // 1000000, 0.5), 4) AS p50_s,
         |  round(quantile_cont((us - prev_us) // 1000000, 0.9), 4) AS p90_s
-        |FROM g WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin
+        |FROM g WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // cross-lang doc pairs sharing a corpus-rare bigram (df in [2,3])
+    "bitext_candidates" ->
+      s"""WITH t0 AS (SELECT doc_id, lang, $toks AS toks FROM documents WHERE len($toks) >= 2),
+         |dt AS (SELECT DISTINCT doc_id, lang, toks[i] || ' ' || toks[i + 1] AS bg
+         |      FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i FROM t0)),
+         |rare AS (SELECT bg FROM
+         |      (SELECT bg, count(*) AS df FROM dt GROUP BY 1) WHERE df >= 2 AND df <= 3),
+         |r AS (SELECT dt.* FROM dt JOIN rare USING (bg))
+         |SELECT a.doc_id AS a_id, a.lang AS lang_a, b.doc_id AS b_id, b.lang AS lang_b,
+         |  count(*) AS n_shared_rare
+         |FROM r a JOIN r b ON a.bg = b.bg AND a.lang < b.lang
+         |GROUP BY 1, 2, 3, 4 HAVING count(*) >= 1""".stripMargin,
+
+    // exact-content collisions across the doc_id % 4 train/test split
+    "split_leakage" ->
+      s"""WITH h AS (SELECT doc_id, md5($clean) AS content_hash,
+         |      CASE WHEN doc_id % 4 < 3 THEN 'train' ELSE 'test' END AS split FROM documents),
+         |lk AS (SELECT CAST(count(*) AS BIGINT) AS n_leaked_hashes,
+         |       CAST(coalesce(sum(n_te), 0) AS BIGINT) AS n_leaked_test_docs FROM
+         |      (SELECT content_hash,
+         |         sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_tr,
+         |         sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_te
+         |       FROM h GROUP BY 1) WHERE n_tr > 0 AND n_te > 0),
+         |t AS (SELECT CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |      CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test FROM h)
+         |SELECT n_train, n_test, n_leaked_hashes, n_leaked_test_docs,
+         |  CASE WHEN n_test > 0 THEN round(CAST(n_leaked_test_docs AS DOUBLE) / n_test, 6)
+         |       ELSE 0.0 END AS leaked_test_share
+         |FROM t CROSS JOIN lk""".stripMargin,
+
+    // daily scorecard: events, DAU, purchases, revenue, ARPU in one pass
+    "daily_kpis" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000 // 86400000000 AS day_idx,
+        |      user_id, event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events)
+        |SELECT day_idx, count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END) AS BIGINT) AS revenue_cents,
+        |  round(CAST(sum(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END) AS DOUBLE)
+        |    / count(DISTINCT user_id), 4) AS arpu_cents
+        |FROM e GROUP BY 1""".stripMargin
   )
 }

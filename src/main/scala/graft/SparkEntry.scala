@@ -310,6 +310,11 @@ object SparkEntry {
     "seasonality_anova" -> ((s, d) => Relational.seasonalityAnova(events(s, d))),
     "transition_latency" -> ((s, d) =>
       Sessionize.transitionLatency(events(s, d))),
+    "bitext_candidates" -> ((s, d) =>
+      Similarity.bitextCandidates(spread(t(s, d, "documents")))),
+    "split_leakage" -> ((s, d) =>
+      Dedup.splitLeakage(spread(t(s, d, "documents")))),
+    "daily_kpis" -> ((s, d) => Relational.dailyKpis(events(s, d))),
     "token_label_prop" -> ((s, d) => Graph.tokenLabelProp(spread(t(s, d, "documents")))),
     "casing_profile" -> ((s, d) => TextOps.casingProfile(spread(t(s, d, "documents")))),
     "vocab_novelty_by_source" -> ((s, d) =>

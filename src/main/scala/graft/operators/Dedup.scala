@@ -51,6 +51,33 @@ object Dedup {
         round(col("mean_q_keepers") - col("mean_q_dups"), 6))
   }
 
+  /** Train/test split leakage audit (B188): exact-content collisions
+    * ACROSS the engine's train_test_split boundary (doc_id % 4 — the
+    * A12 rule) — the eval-integrity check a split must pass before any
+    * benchmark number is real (a test doc whose exact copy sits in
+    * train scores memorization, not generalization). One content-hash
+    * shuffle; the answer is one row: split sizes, leaked hash count,
+    * leaked test docs and the share of test contaminated. */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val h = docs.select(col("doc_id"),
+      md5(TextOps.cleanText(col("text"))).as("content_hash"),
+      when(col("doc_id") % 4 < 3, "train").otherwise("test").as("split"))
+    val leaked = h.groupBy("content_hash").agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_tr"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_te"))
+      .filter(col("n_tr") > 0 && col("n_te") > 0)
+      .agg(count(lit(1)).as("n_leaked_hashes"),
+        coalesce(sum(col("n_te")), lit(0L)).as("n_leaked_test_docs"))
+    h.agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      .crossJoin(broadcast(leaked))
+      .select(col("n_train"), col("n_test"), col("n_leaked_hashes"),
+        col("n_leaked_test_docs"),
+        when(col("n_test") > 0,
+          round(col("n_leaked_test_docs").cast("double") / col("n_test"), 6))
+          .otherwise(lit(0.0)).as("leaked_test_share"))
+  }
+
   /** Duplicate rate per source (B175): which feeds are pumping copies
     * into the corpus — the curation triage readout that decides where
     * dedup budget (and crawler fixes) go. A document is a dup when it

@@ -2382,6 +2382,26 @@ object Relational {
           lit(0.5)), 4).as("intercept_cents"))
   }
 
+  /** Daily KPI table (C166): the dashboard feed — events, distinct
+    * active users, purchase count, exact-cent revenue and ARPU per day
+    * in ONE grouped pass (separately these live in dau_mau /
+    * weekly_revenue_wow; a daily scorecard wants them in one row).
+    * The distinct-user count is the exact per-group distinct; at
+    * 100 TB the hot path would swap in approx_count_distinct, which is
+    * why the exact form is the oracle here. One shuffle. */
+  def dailyKpis(events: DataFrame): DataFrame =
+    events.select(expr("unix_micros(ts) div 86400000000").as("day_idx"),
+        col("user_id"), col("event_type"), cents(col("value")).as("c"))
+      .groupBy("day_idx")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_active_users"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum(when(col("event_type") === "purchase", col("c")).otherwise(0L))
+          .as("revenue_cents"))
+      .withColumn("arpu_cents",
+        round(col("revenue_cents").cast("double") / col("n_active_users"), 4))
+
   /** Weekly growth accounting (C161): every active user classified as
     * NEW (first-ever week), RETAINED (active the week before) or
     * RESURRECTED (active before, but not last week), plus the CHURNED

@@ -114,6 +114,37 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Cross-language bitext candidates (B187): pairs of docs in
+    * DIFFERENT languages sharing ≥ `minShared` corpus-rare BIGRAM
+    * shingles — rare phrases are overwhelmingly names, numbers and
+    * fixed expressions that survive translation, so shared-rare-
+    * shingle count is the classic cheap bitext-mining prefilter (the
+    * stage before an expensive cross-lingual encoder). Rare = shingle
+    * document frequency in [2, `maxDf`]; the inverted join runs ONLY
+    * over those shingles, whose posting lists are ≤ maxDf by
+    * construction — candidate cost is bounded per shingle no matter
+    * the corpus size (the same prefix-filter insight as
+    * doc_similarity_pruned, applied as the whole join). */
+  def bitextCandidates(docs: DataFrame, maxDf: Int = 3,
+                       minShared: Int = 1): DataFrame = {
+    val toked = docs.select(col("doc_id"), col("lang"),
+      TextOps.tokens(col("text")).as("toks")).filter(size(col("toks")) >= 2)
+    val dt = toked.select(col("doc_id"), col("lang"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (x, y) => concat(x, lit(" "), y))).as("bg")).distinct()
+    val rare = dt.groupBy("bg").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf).select("bg")
+    val rdt = dt.join(rare, Seq("bg"), "left_semi")
+    rdt.select(col("bg"), col("doc_id").as("a_id"), col("lang").as("lang_a"))
+      .join(rdt.select(col("bg"), col("doc_id").as("b_id"),
+        col("lang").as("lang_b")), "bg")
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy("a_id", "lang_a", "b_id", "lang_b")
+      .agg(count(lit(1)).as("n_shared_rare"))
+      .filter(col("n_shared_rare") >= minShared)
+  }
+
   /** Multi-probe LSH recall sweep (B182): the tuning table behind
     * [[annIvf]]'s single-bucket probe — recall@k against the exact
     * top-k when queries also probe buckets at Hamming distance ≤ h,

@@ -280,6 +280,46 @@ class Round12eSpec extends SparkSpec {
     assert(out(("view", "purchase")).getAs[Double]("p90_s") === 120.0)
   }
 
+  test("bitextCandidates pairs cross-language docs on a rare shared bigram") {
+    val d = Seq(
+      (1L, "alpha beta x", "en", "s1", 12L),
+      (2L, "alpha beta y", "fr", "s1", 12L),
+      (3L, "alpha beta z", "en", "s1", 12L)) // "alpha beta" df = 3
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.Similarity.bitextCandidates(d).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    // cross-lang pairs only: (1,2) and (3,2); the en-en pair is excluded
+    assert(out === Set((1L, 2L), (3L, 2L)))
+  }
+
+  test("splitLeakage finds the test doc whose exact copy sits in train") {
+    val d = Seq(
+      (1L, "same text here", "en", "s1", 14L),  // train (1 % 4 = 1)
+      (2L, "only in train", "en", "s1", 13L),   // train
+      (3L, "same text here", "en", "s2", 14L),  // test (3 % 4 = 3), leaked
+      (7L, "only in test", "en", "s1", 12L))    // test, clean
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.operators.Dedup.splitLeakage(d).collect().head
+    assert(r.getAs[Long]("n_train") === 2L)
+    assert(r.getAs[Long]("n_test") === 2L)
+    assert(r.getAs[Long]("n_leaked_hashes") === 1L)
+    assert(r.getAs[Long]("n_leaked_test_docs") === 1L)
+    assert(r.getAs[Double]("leaked_test_share") === 0.5)
+  }
+
+  test("dailyKpis folds events, DAU, purchases, revenue, ARPU into one row per day") {
+    val d = events(
+      (1L, 1L, "2024-01-01 10:00:00", "click", 0.0),
+      (2L, 2L, "2024-01-01 11:00:00", "purchase", 2.0),
+      (3L, 2L, "2024-01-01 12:00:00", "view", 0.0))
+    val r = graft.operators.Relational.dailyKpis(d).collect().head
+    assert(r.getAs[Long]("n_events") === 3L)
+    assert(r.getAs[Long]("n_active_users") === 2L)
+    assert(r.getAs[Long]("n_purchases") === 1L)
+    assert(r.getAs[Long]("revenue_cents") === 200L)
+    assert(r.getAs[Double]("arpu_cents") === 100.0)
+  }
+
   test("lshProbeSweep: one bit-flip recovers the boundary-crossing neighbor") {
     // query sits just above the 4th hyperplane; its true nearest sits
     // just below it — invisible at h=0, found at h=1
