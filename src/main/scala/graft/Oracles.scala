@@ -5308,6 +5308,44 @@ object Oracles {
          |       ELSE 0.0 END AS leaked_test_share
          |FROM t CROSS JOIN lk""".stripMargin,
 
+    // prefix-cache savings at k in {4,8,16}: shared-first-k-token mass
+    "prefix_dedup_stats" -> {
+      def level(k: Int) =
+        s"""SELECT $k AS k, CAST(count(*) AS BIGINT) AS n_groups,
+           |  CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS n_docs_considered,
+           |  CAST(coalesce(sum(CASE WHEN n_docs >= 2 THEN n_docs ELSE 0 END), 0) AS BIGINT) AS n_docs_sharing,
+           |  CAST(coalesce(sum(CASE WHEN n_docs >= 2 THEN (n_docs - 1) * $k ELSE 0 END), 0) AS BIGINT) AS tokens_saved,
+           |  CASE WHEN coalesce(sum(n_docs), 0) > 0 THEN
+           |    round(CAST(sum(CASE WHEN n_docs >= 2 THEN (n_docs - 1) * $k ELSE 0 END) AS DOUBLE)
+           |      / (sum(n_docs) * $k), 6) ELSE 0.0 END AS savings_share
+           |FROM (SELECT array_to_string(toks[1:$k], ' ') AS prefix, count(*) AS n_docs
+           |      FROM t WHERE len(toks) >= $k GROUP BY 1)""".stripMargin
+      s"""WITH t AS (SELECT $toks AS toks FROM documents)
+         |${Seq(4, 8, 16).map(level).mkString(" UNION ALL ")}""".stripMargin
+    },
+
+    // deterministic SimCSE-style triples off the chunk pass
+    "contrastive_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+         |ch AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  array_to_string(toks[(chunk_id * 48 + 1):(chunk_id * 48 + 64)], ' ') AS chunk_text
+         |  FROM (SELECT doc_id, toks, n,
+         |        unnest(range(0, CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END)) AS chunk_id
+         |        FROM f)),
+         |c0 AS (SELECT doc_id, chunk_text FROM ch WHERE chunk_id = 0),
+         |bm AS (SELECT doc_id % 64 AS bkt, min(doc_id) AS mn, max(doc_id) AS mx
+         |       FROM c0 GROUP BY 1),
+         |pos AS (SELECT a.doc_id, a.chunk_id, a.chunk_text AS anchor_text,
+         |        p.chunk_text AS positive_text
+         |        FROM ch a JOIN ch p ON p.doc_id = a.doc_id AND p.chunk_id = a.chunk_id + 1)
+         |SELECT pos.doc_id, pos.chunk_id, anchor_text, positive_text,
+         |  neg_doc_id, nc.chunk_text AS negative_text
+         |FROM (SELECT pos.*, CASE WHEN pos.doc_id <> bm.mx THEN bm.mx
+         |        WHEN bm.mn <> bm.mx THEN bm.mn END AS neg_doc_id
+         |      FROM pos JOIN bm ON bm.bkt = pos.doc_id % 64) pos
+         |JOIN c0 nc ON nc.doc_id = pos.neg_doc_id""".stripMargin,
+
     // daily scorecard: events, DAU, purchases, revenue, ARPU in one pass
     "daily_kpis" ->
       """WITH e AS (SELECT epoch_ns(ts) // 1000 // 86400000000 AS day_idx,

@@ -315,6 +315,10 @@ object SparkEntry {
     "split_leakage" -> ((s, d) =>
       Dedup.splitLeakage(spread(t(s, d, "documents")))),
     "daily_kpis" -> ((s, d) => Relational.dailyKpis(events(s, d))),
+    "prefix_dedup_stats" -> ((s, d) =>
+      TextOps.prefixDedupStats(spread(t(s, d, "documents")))),
+    "contrastive_pairs" -> ((s, d) =>
+      TextOps.contrastivePairs(spread(t(s, d, "documents")))),
     "token_label_prop" -> ((s, d) => Graph.tokenLabelProp(spread(t(s, d, "documents")))),
     "casing_profile" -> ((s, d) => TextOps.casingProfile(spread(t(s, d, "documents")))),
     "vocab_novelty_by_source" -> ((s, d) =>

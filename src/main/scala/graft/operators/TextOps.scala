@@ -539,6 +539,66 @@ object TextOps {
         concat_ws(" ", col("chunk")).as("chunk_text"))
   }
 
+  /** Shared-prefix mass audit (B189): for k ∈ {4, 8, 16}, how many
+    * docs share their first k tokens with another doc, and the token
+    * mass an inference-time PREFIX CACHE would save — the prompt-
+    * caching sizing readout (system prompts, templated headers and
+    * boilerplate make real corpora far more prefix-shared than
+    * full-content dedup suggests). Only docs with ≥ k tokens count at
+    * level k; savings = (group_size − 1)·k per shared prefix. Three
+    * slim hash aggregates, one scan. */
+  def prefixDedupStats(docs: DataFrame, ks: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    val toked = docs.select(tokens(col("text")).as("toks"))
+    ks.map { k =>
+      toked.filter(size(col("toks")) >= k)
+        .select(concat_ws(" ", slice(col("toks"), 1, k)).as("prefix"))
+        .groupBy("prefix").agg(count(lit(1)).as("n_docs"))
+        .agg(count(lit(1)).as("n_groups"),
+          coalesce(sum(col("n_docs")), lit(0L)).as("n_docs_considered"),
+          coalesce(sum(when(col("n_docs") >= 2, col("n_docs")).otherwise(0L)),
+            lit(0L)).as("n_docs_sharing"),
+          coalesce(sum(when(col("n_docs") >= 2, (col("n_docs") - 1) * k)
+            .otherwise(0L)), lit(0L)).as("tokens_saved"))
+        .select(lit(k).as("k"), col("n_groups"), col("n_docs_considered"),
+          col("n_docs_sharing"), col("tokens_saved"),
+          when(col("n_docs_considered") > 0,
+            round(col("tokens_saved").cast("double")
+              / (col("n_docs_considered") * k), 6)).otherwise(lit(0.0))
+            .as("savings_share"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Contrastive chunk pairs (B190): SimCSE/DPR-style training triples
+    * off the chunking pass — anchor = chunk i, positive = the SAME
+    * doc's next overlapping chunk (guaranteed topical), negative = a
+    * deterministic other-doc chunk 0 drawn from the anchor's doc_id
+    * bucket (max doc_id in bucket, min when the anchor IS the max; a
+    * single-doc bucket yields no triple). No randomness, so both
+    * engines emit identical triples; every join is key-equi and the
+    * bucket aggregates are bucket-count-bounded. */
+  def contrastivePairs(docs: DataFrame, buckets: Int = 64): DataFrame = {
+    val chunks = docChunk(docs)
+    val c0 = chunks.filter(col("chunk_id") === 0L)
+      .select(col("doc_id"), col("chunk_text"))
+    val bm = c0.select((col("doc_id") % buckets).as("bkt"), col("doc_id"))
+      .groupBy("bkt").agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val pos = chunks.select(col("doc_id"), col("chunk_id"),
+        col("chunk_text").as("anchor_text"))
+      .join(chunks.select(col("doc_id"), (col("chunk_id") - 1).as("chunk_id"),
+        col("chunk_text").as("positive_text")), Seq("doc_id", "chunk_id"))
+    pos
+      .withColumn("bkt", col("doc_id") % buckets)
+      .join(bm, "bkt")
+      .withColumn("neg_doc_id",
+        when(col("doc_id") =!= col("mx"), col("mx"))
+          .when(col("mn") =!= col("mx"), col("mn")))
+      .filter(col("neg_doc_id").isNotNull)
+      .join(c0.select(col("doc_id").as("neg_doc_id"),
+        col("chunk_text").as("negative_text")), "neg_doc_id")
+      .select(col("doc_id"), col("chunk_id"), col("anchor_text"),
+        col("positive_text"), col("neg_doc_id"), col("negative_text"))
+  }
+
   /** Keep-best dedup (B38): one row per content hash, keeping the
     * HIGHEST-quality duplicate (ties by doc_id) instead of keep-first —
     * the curation policy when duplicates differ in extraction quality.

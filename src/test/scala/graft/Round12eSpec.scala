@@ -320,6 +320,38 @@ class Round12eSpec extends SparkSpec {
     assert(r.getAs[Double]("arpu_cents") === 100.0)
   }
 
+  test("prefixDedupStats counts shared-prefix cache savings per k") {
+    val shared = "a b c d x" // docs 1,2 share first-4 prefix "a b c d"
+    val d = Seq(
+      (1L, shared, "en", "s1", 9L),
+      (2L, "a b c d y", "en", "s1", 9L),
+      (3L, "e f g h z", "en", "s1", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.TextOps.prefixDedupStats(d).collect()
+      .map(r => r.getAs[Int]("k") -> r).toMap
+    assert(out(4).getAs[Long]("n_groups") === 2L)
+    assert(out(4).getAs[Long]("n_docs_sharing") === 2L)
+    assert(out(4).getAs[Long]("tokens_saved") === 4L) // (2-1) * 4
+    assert(out(8).getAs[Long]("n_docs_considered") === 0L) // all docs < 8 toks
+  }
+
+  test("contrastivePairs emits deterministic anchor/positive/negative triples") {
+    // 80 tokens -> 2 chunks (win 64, stride 48): one positive pair per doc
+    def longDoc(tok: String) = Seq.fill(80)(tok).mkString(" ")
+    val d = Seq(
+      (1L, longDoc("aa"), "en", "s1", 200L),
+      (65L, longDoc("bb"), "en", "s1", 200L)) // same doc_id % 64 bucket as 1
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.TextOps.contrastivePairs(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("neg_doc_id"), r.getAs[String]("negative_text"))).toMap
+    assert(out.keySet === Set(1L, 65L))
+    assert(out(1L)._1 === 65L) // doc 1's negative is the bucket max
+    assert(out(65L)._1 === 1L) // the max doc falls back to the bucket min
+    assert(out(1L)._2.startsWith("bb"))
+    assert(out(65L)._2.startsWith("aa"))
+  }
+
   test("lshProbeSweep: one bit-flip recovers the boundary-crossing neighbor") {
     // query sits just above the 4th hyperplane; its true nearest sits
     // just below it — invisible at h=0, found at h=1
