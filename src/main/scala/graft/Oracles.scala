@@ -5308,6 +5308,62 @@ object Oracles {
          |       ELSE 0.0 END AS leaked_test_share
          |FROM t CROSS JOIN lk""".stripMargin,
 
+    // sliding 3-grams of event types within sessions, support-counted
+    "frequent_paths3" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |g AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+        |si AS (SELECT user_id, event_id, event_type, us,
+        |      sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY us, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |      FROM g),
+        |gr AS (SELECT event_type || '>' || t1 || '>' || t2 AS path3 FROM
+        |      (SELECT event_type,
+        |         lead(event_type, 1) OVER w AS t1, lead(event_type, 2) OVER w AS t2
+        |       FROM si WINDOW w AS (PARTITION BY user_id, session_id ORDER BY us, event_id))
+        |      WHERE t1 IS NOT NULL AND t2 IS NOT NULL),
+        |tot AS (SELECT count(*) AS n_total FROM gr)
+        |SELECT path3, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(count(*) AS DOUBLE) / n_total, 6) AS support
+        |FROM gr CROSS JOIN tot GROUP BY 1, n_total HAVING count(*) >= 1""".stripMargin,
+
+    // one wide ML feature row per user off a single lag-window pass
+    "user_features" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us,
+        |      CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |g AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+        |h AS (SELECT max(us) // 86400000000 AS max_day FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(count(DISTINCT us // 86400000000) AS BIGINT) AS n_active_days,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+        |  CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END) AS BIGINT) AS monetary_cents,
+        |  CAST(max_day - max(us) // 86400000000 AS BIGINT) AS recency_days,
+        |  CASE WHEN sum(CASE WHEN prev_us IS NOT NULL THEN 1 ELSE 0 END) > 0 THEN
+        |    round(CAST(sum(CASE WHEN prev_us IS NOT NULL THEN us - prev_us ELSE 0 END) AS DOUBLE)
+        |      / sum(CASE WHEN prev_us IS NOT NULL THEN 1 ELSE 0 END) / 1000000.0, 4)
+        |  ELSE 0.0 END AS mean_gap_s
+        |FROM g CROSS JOIN h GROUP BY user_id, max_day""".stripMargin,
+
+    // H1->H2 revenue delta decomposed into volume/price/mix per part type
+    "price_volume_mix" ->
+      """WITH li AS (SELECT l_partkey, epoch_ns(l_shipdate) // 1000 // 86400000000 AS _day,
+        |      CAST(l_quantity AS BIGINT) AS q,
+        |      CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev FROM lineitem),
+        |m AS (SELECT (min(_day) + max(_day)) // 2 AS mid FROM li),
+        |t AS (SELECT li.*, p_type, mid FROM li CROSS JOIN m JOIN part ON p_partkey = l_partkey),
+        |h1 AS (SELECT p_type, CAST(sum(q) AS BIGINT) AS q1, CAST(sum(rev) AS BIGINT) AS rev1
+        |       FROM t WHERE _day <= mid GROUP BY 1),
+        |h2 AS (SELECT p_type, CAST(sum(q) AS BIGINT) AS q2, CAST(sum(rev) AS BIGINT) AS rev2
+        |       FROM t WHERE _day > mid GROUP BY 1)
+        |SELECT p_type, q1, q2, rev1 AS rev1_cents, rev2 AS rev2_cents,
+        |  rev2 - rev1 AS delta_rev_cents,
+        |  round((q2 - q1) * (CAST(rev1 AS DOUBLE) / q1), 4) AS volume_effect,
+        |  round((CAST(rev2 AS DOUBLE) / q2 - CAST(rev1 AS DOUBLE) / q1) * q1, 4) AS price_effect,
+        |  round((CAST(rev2 AS DOUBLE) / q2 - CAST(rev1 AS DOUBLE) / q1) * (q2 - q1), 4) AS mix_effect
+        |FROM h1 JOIN h2 USING (p_type) WHERE q1 > 0 AND q2 > 0""".stripMargin,
+
     // prefix-cache savings at k in {4,8,16}: shared-first-k-token mass
     "prefix_dedup_stats" -> {
       def level(k: Int) =

@@ -319,6 +319,10 @@ object SparkEntry {
       TextOps.prefixDedupStats(spread(t(s, d, "documents")))),
     "contrastive_pairs" -> ((s, d) =>
       TextOps.contrastivePairs(spread(t(s, d, "documents")))),
+    "frequent_paths3" -> ((s, d) => Sessionize.frequentPaths3(events(s, d))),
+    "user_features" -> ((s, d) => Relational.userFeatures(events(s, d))),
+    "price_volume_mix" -> ((s, d) =>
+      Relational.priceVolumeMix(t(s, d, "lineitem"), t(s, d, "part"))),
     "token_label_prop" -> ((s, d) => Graph.tokenLabelProp(spread(t(s, d, "documents")))),
     "casing_profile" -> ((s, d) => TextOps.casingProfile(spread(t(s, d, "documents")))),
     "vocab_novelty_by_source" -> ((s, d) =>

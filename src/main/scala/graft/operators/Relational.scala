@@ -2382,6 +2382,81 @@ object Relational {
           lit(0.5)), 4).as("intercept_cents"))
   }
 
+  /** Per-user ML feature vector (C168): the feature-store
+    * materialization every churn/propensity model starts from —
+    * activity counts, distinct active days and event types, 30-min
+    * session count, exact purchase cents, recency vs the corpus
+    * horizon, and mean inter-event gap, all in ONE per-user pass (the
+    * signals exist separately across the RFM/session/interarrival
+    * family; a trainer wants them as one wide row). Sessions fall out
+    * of the same lag window that orders the gap sum. */
+  def userFeatures(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val e = events.select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), cents(col("value")).as("c"))
+      .withColumn("prev_us", lag(col("us"), 1).over(order))
+    val horizon = e.agg(expr("max(us) div 86400000000").as("max_day"))
+    e.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(expr("us div 86400000000")).as("n_active_days"),
+        countDistinct(col("event_type")).as("n_event_types"),
+        sum(when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+          .as("n_sessions"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum(when(col("event_type") === "purchase", col("c")).otherwise(0L))
+          .as("monetary_cents"),
+        expr("max(us) div 86400000000").as("_user_max_day"),
+        sum(when(col("prev_us").isNotNull, col("us") - col("prev_us"))
+          .otherwise(0L)).as("_gap_us_sum"),
+        sum(when(col("prev_us").isNotNull, 1L).otherwise(0L)).as("_n_gaps"))
+      .crossJoin(broadcast(horizon))
+      .select(col("user_id"), col("n_events"), col("n_active_days"),
+        col("n_event_types"), col("n_sessions"), col("n_purchases"),
+        col("monetary_cents"),
+        (col("max_day") - col("_user_max_day")).as("recency_days"),
+        when(col("_n_gaps") > 0,
+          round(col("_gap_us_sum").cast("double") / col("_n_gaps")
+            / 1000000.0, 4)).otherwise(lit(0.0)).as("mean_gap_s"))
+  }
+
+  /** Price/volume/mix decomposition of revenue change (C169): the
+    * finance-analytics workhorse — per part type, the H1→H2 revenue
+    * delta split into volume effect (Δq·p₁), price effect (Δp·q₁) and
+    * the interaction term, which sum back to ΔR exactly in the
+    * algebra (and to double precision here; the exact BIGINT ΔR is
+    * also emitted). Halves split at the shipdate midpoint; quantities
+    * and cents stay exact integers until the effect products. */
+  def priceVolumeMix(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_partkey"),
+      expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000").as("_day"),
+      expr("CAST(l_quantity AS BIGINT)").as("q"),
+      expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+        .as("rev"))
+    val mid = li.agg(expr("(min(_day) + max(_day)) div 2").as("mid"))
+    val typed = li.crossJoin(broadcast(mid))
+      .join(broadcast(part.select(col("p_partkey").as("l_partkey"),
+        col("p_type"))), "l_partkey")
+    def half(pred: Column, tag: String): DataFrame =
+      typed.filter(pred).groupBy("p_type")
+        .agg(sum(col("q")).as(s"q$tag"), sum(col("rev")).as(s"rev$tag"))
+    half(col("_day") <= col("mid"), "1")
+      .join(half(col("_day") > col("mid"), "2"), "p_type")
+      .filter(col("q1") > 0 && col("q2") > 0)
+      .withColumn("p1", col("rev1").cast("double") / col("q1"))
+      .withColumn("p2", col("rev2").cast("double") / col("q2"))
+      .select(col("p_type"), col("q1"), col("q2"),
+        col("rev1").as("rev1_cents"), col("rev2").as("rev2_cents"),
+        (col("rev2") - col("rev1")).as("delta_rev_cents"),
+        round((col("q2") - col("q1")) * col("p1"), 4).as("volume_effect"),
+        round((col("p2") - col("p1")) * col("q1"), 4).as("price_effect"),
+        round((col("p2") - col("p1")) * (col("q2") - col("q1")), 4)
+          .as("mix_effect"))
+  }
+
   /** Daily KPI table (C166): the dashboard feed — events, distinct
     * active users, purchase count, exact-cent revenue and ARPU per day
     * in ONE grouped pass (separately these live in dau_mau /

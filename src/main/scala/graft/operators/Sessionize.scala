@@ -349,6 +349,42 @@ object Sessionize {
           .otherwise(lit(0.0)), 6).as("conversion_rate"))
   }
 
+  /** Frequent 3-step paths within sessions (C167): every sliding
+    * 3-gram of event types inside a session, counted with support
+    * share — the sequential-pattern-mining readout between
+    * [[transitionPredict]]'s 1-step matrix and session_paths' full
+    * strings (full paths fragment into the long tail; 3-grams
+    * aggregate the recurring motifs). One lag/lead window pass; the
+    * result frame is event-type³-bounded. */
+  def frequentPaths3(events: DataFrame, gapMinutes: Int = 30,
+                     minCount: Long = 1L): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val order = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val sess = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(order))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        order.rowsBetween(Window.unboundedPreceding, 0)))
+    val sOrder = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("us"), col("event_id"))
+    val grams = sess
+      .withColumn("t1", lead(col("event_type"), 1).over(sOrder))
+      .withColumn("t2", lead(col("event_type"), 2).over(sOrder))
+      .filter(col("t1").isNotNull && col("t2").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t1"), col("t2"))
+        .as("path3"))
+    val total = grams.agg(count(lit(1)).as("n_total"))
+    grams.groupBy("path3").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .crossJoin(broadcast(total))
+      .select(col("path3"), col("n"),
+        round(col("n").cast("double") / col("n_total"), 6).as("support"))
+  }
+
   /** Adjacent-transition latency quantiles (C165): p50/p90 seconds for
     * each (from_type → to_type) ADJACENT pair in a user's stream — the
     * dwell-time profile [[transitionPredict]]'s counts can't show

@@ -352,6 +352,50 @@ class Round12eSpec extends SparkSpec {
     assert(out(65L)._2.startsWith("aa"))
   }
 
+  test("frequentPaths3 slides 3-grams within one session") {
+    val d = events(
+      (1L, 1L, "2024-01-01 10:00:00", "click", 0.0),
+      (2L, 1L, "2024-01-01 10:01:00", "view", 0.0),
+      (3L, 1L, "2024-01-01 10:02:00", "purchase", 0.0),
+      (4L, 1L, "2024-01-01 10:03:00", "view", 0.0))
+    val out = graft.operators.Sessionize.frequentPaths3(d).collect()
+      .map(r => r.getAs[String]("path3") -> r.getAs[Double]("support")).toMap
+    assert(out.keySet === Set("click>view>purchase", "view>purchase>view"))
+    assert(out("click>view>purchase") === 0.5)
+  }
+
+  test("userFeatures compacts the activity signals into one wide row") {
+    val d = events(
+      (1L, 1L, "2024-01-01 10:00:00", "click", 0.0),
+      (2L, 1L, "2024-01-01 10:00:30", "purchase", 2.0), // same session
+      (3L, 2L, "2024-01-03 10:00:00", "view", 0.0))
+    val out = graft.operators.Relational.userFeatures(d).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_events") === 2L)
+    assert(out(1L).getAs[Long]("n_sessions") === 1L)
+    assert(out(1L).getAs[Long]("monetary_cents") === 200L)
+    assert(out(1L).getAs[Long]("recency_days") === 2L) // vs user 2's horizon
+    assert(out(1L).getAs[Double]("mean_gap_s") === 30.0)
+    assert(out(2L).getAs[Long]("recency_days") === 0L)
+    assert(out(2L).getAs[Double]("mean_gap_s") === 0.0)
+  }
+
+  test("priceVolumeMix effects sum back to the exact revenue delta") {
+    val li = Seq(
+      (1L, "2024-01-01 12:00:00", 10.0, 10.0, 0.0),  // H1: q 10, rev 1000c
+      (1L, "2024-03-01 12:00:00", 20.0, 30.0, 0.0))  // H2: q 20, rev 3000c
+      .map { case (pk, dt, q, ep, disc) =>
+        (pk, java.sql.Timestamp.valueOf(dt), q, ep, disc) }
+      .toDF("l_partkey", "l_shipdate", "l_quantity", "l_extendedprice",
+        "l_discount")
+    val part = Seq((1L, "T")).toDF("p_partkey", "p_type")
+    val r = graft.operators.Relational.priceVolumeMix(li, part).collect().head
+    assert(r.getAs[Long]("delta_rev_cents") === 2000L)
+    assert(r.getAs[Double]("volume_effect") === 1000.0) // +10 units at p1=100
+    assert(r.getAs[Double]("price_effect") === 500.0)   // +50c on 10 units
+    assert(r.getAs[Double]("mix_effect") === 500.0)     // +50c on +10 units
+  }
+
   test("lshProbeSweep: one bit-flip recovers the boundary-crossing neighbor") {
     // query sits just above the 4th hyperplane; its true nearest sits
     // just below it — invisible at h=0, found at h=1
