@@ -5308,6 +5308,51 @@ object Oracles {
          |       ELSE 0.0 END AS leaked_test_share
          |FROM t CROSS JOIN lk""".stripMargin,
 
+    // LSH banding vs exact-jaccard ground truth on the doc_id<200 sample
+    "minhash_pr_eval" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents
+         |      WHERE doc_id < 200 AND len($toks) >= 3),
+         |dt AS (SELECT DISTINCT doc_id,
+         |       toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS token
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tk)),
+         |sig AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || token)) AS sig
+         |        FROM dt CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+         |band AS (SELECT doc_id, i // 8 AS band, md5(string_agg(sig, '|' ORDER BY i)) AS bh
+         |         FROM sig GROUP BY doc_id, i // 8),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM band a
+         |         JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |da AS (SELECT doc_id, list_sort(list(token)) AS arr, count(*) AS n FROM dt GROUP BY 1),
+         |ap AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |   round(CAST(len(list_intersect(a.arr, b.arr)) AS DOUBLE)
+         |     / CAST(a.n + b.n - len(list_intersect(a.arr, b.arr)) AS DOUBLE), 6) AS jac
+         |   FROM da a JOIN da b ON a.doc_id < b.doc_id),
+         |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM ap WHERE jac >= 0.9),
+         |cj AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+         |       CAST(coalesce(sum(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_tp
+         |       FROM cand JOIN ap USING (a_id, b_id))
+         |SELECT n_truth, n_candidates, n_tp,
+         |  CASE WHEN n_candidates > 0 THEN round(CAST(n_tp AS DOUBLE) / n_candidates, 6)
+         |       ELSE 0.0 END AS "precision",
+         |  CASE WHEN n_truth > 0 THEN round(CAST(n_tp AS DOUBLE) / n_truth, 6)
+         |       ELSE 0.0 END AS recall
+         |FROM cj CROSS JOIN tr""".stripMargin,
+
+    // 2^3 vote-pattern census of three independent keep signals
+    "filter_vote_patterns" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $toks AS toks FROM documents),
+         |v AS (SELECT doc_id,
+         |   ($qualitySql) >= 0.5 AS q_vote,
+         |   (len(toks) >= 5 AND len(toks) <= 1000)
+         |     AND (round(CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) ELSE 0.0 END, 6) >= 2.0
+         |          AND round(CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) ELSE 0.0 END, 6) <= 12.0)
+         |     AND len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) >= 1 AS g_vote,
+         |   ($langPred) = lang AS l_vote
+         | FROM t)
+         |SELECT q_vote, g_vote, l_vote,
+         |  (CAST(q_vote AS INT) + CAST(g_vote AS INT) + CAST(l_vote AS INT)) >= 2 AS kept,
+         |  count(*) AS n_docs
+         |FROM v GROUP BY 1, 2, 3, 4""".stripMargin,
+
     // sliding 3-grams of event types within sessions, support-counted
     "frequent_paths3" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),

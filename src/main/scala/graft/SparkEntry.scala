@@ -323,6 +323,10 @@ object SparkEntry {
     "user_features" -> ((s, d) => Relational.userFeatures(events(s, d))),
     "price_volume_mix" -> ((s, d) =>
       Relational.priceVolumeMix(t(s, d, "lineitem"), t(s, d, "part"))),
+    "minhash_pr_eval" -> ((s, d) =>
+      Dedup.minhashPrEval(spread(t(s, d, "documents")))),
+    "filter_vote_patterns" -> ((s, d) =>
+      TextOps.filterVotePatterns(spread(t(s, d, "documents")))),
     "token_label_prop" -> ((s, d) => Graph.tokenLabelProp(spread(t(s, d, "documents")))),
     "casing_profile" -> ((s, d) => TextOps.casingProfile(spread(t(s, d, "documents")))),
     "vocab_novelty_by_source" -> ((s, d) =>

@@ -180,6 +180,45 @@ object Dedup {
       .filter(col("jac") >= jacMin)
   }
 
+  /** MinHash-LSH precision/recall evaluation (B191): the banding
+    * config's report card — candidates from the production (16-hash,
+    * 2×8-band) pipeline scored against EXACT-Jaccard ground truth at
+    * the same ≥ `jacMin` threshold. Truth requires all pairs, so the
+    * eval runs on a bounded doc_id sample (the honest way to audit at
+    * corpus scale: the sample all-pairs join is a broadcast of a
+    * fixed-size side, never corpus × corpus). Complements
+    * [[minhashCalibration]] (per-pair estimate error) with the
+    * set-level answer: how much do the bands MISS (recall), and how
+    * much junk do they admit (precision). */
+  def minhashPrEval(docs: DataFrame, sampleMax: Long = 200L,
+                    numHashes: Int = 16, bandSize: Int = 8,
+                    jacMin: Double = 0.9): DataFrame = {
+    val sample = docs.filter(col("doc_id") < sampleMax)
+    val (cand, dt, _) = lshCandidates(sample, numHashes, bandSize)
+    val docArr = dt.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("token"))).as("arr"))
+    val allPairs = docArr.select(col("doc_id").as("a_id"), col("arr").as("a_arr"))
+      .join(broadcast(docArr.select(col("doc_id").as("b_id"),
+        col("arr").as("b_arr"))), col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(graft.functions.GraftFunctions.jaccard(
+          col("a_arr"), col("b_arr")), 6).as("jac"))
+    val nTruth = allPairs.filter(col("jac") >= jacMin)
+      .agg(count(lit(1)).as("n_truth"))
+    cand.join(allPairs, Seq("a_id", "b_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        coalesce(sum(when(col("jac") >= jacMin, 1L).otherwise(0L)), lit(0L))
+          .as("n_tp"))
+      .crossJoin(broadcast(nTruth))
+      .select(col("n_truth"), col("n_candidates"), col("n_tp"),
+        when(col("n_candidates") > 0,
+          round(col("n_tp").cast("double") / col("n_candidates"), 6))
+          .otherwise(lit(0.0)).as("precision"),
+        when(col("n_truth") > 0,
+          round(col("n_tp").cast("double") / col("n_truth"), 6))
+          .otherwise(lit(0.0)).as("recall"))
+  }
+
   /** MinHash calibration (B116): for every LSH candidate pair, the
     * MinHash ESTIMATE of Jaccard (fraction of the `numHashes` signature
     * rows that agree) next to the EXACT shingle Jaccard and their

@@ -539,6 +539,29 @@ object TextOps {
         concat_ws(" ", col("chunk")).as("chunk_text"))
   }
 
+  /** Curation-filter vote patterns (B192): three independent keep
+    * signals — composite quality ≥ 0.5, the Gopher shape gates, and
+    * lang-id agreement with the declared language — tabulated as the
+    * 2³ vote-pattern census with a majority-keep verdict. The ensemble
+    * view a single sequential funnel ([[filter_attrition]]'s shape)
+    * hides: which filters DISAGREE, and how many docs each unique
+    * disagreement pattern holds. Three doc-keyed equi-joins of per-row
+    * signal frames; output is 2³-bounded. */
+  def filterVotePatterns(docs: DataFrame): DataFrame = {
+    val q = docs.select(col("doc_id"),
+      (qualityComposite >= 0.5).as("q_vote"))
+    val g = gopherFilter(docs).select(col("doc_id"), col("kept").as("g_vote"))
+    val l = langId(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), (col("pred_lang") === col("lang")).as("l_vote"))
+    q.join(g, "doc_id").join(l, "doc_id")
+      .withColumn("kept",
+        col("q_vote").cast("int") + col("g_vote").cast("int")
+          + col("l_vote").cast("int") >= 2)
+      .groupBy("q_vote", "g_vote", "l_vote", "kept")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Shared-prefix mass audit (B189): for k ∈ {4, 8, 16}, how many
     * docs share their first k tokens with another doc, and the token
     * mass an inference-time PREFIX CACHE would save — the prompt-

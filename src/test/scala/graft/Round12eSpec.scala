@@ -396,6 +396,34 @@ class Round12eSpec extends SparkSpec {
     assert(r.getAs[Double]("mix_effect") === 500.0)     // +50c on +10 units
   }
 
+  test("minhashPrEval scores the banding against exact-jaccard truth") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = Seq(
+      (1L, base, "en", "s1", 60L),
+      (2L, base, "en", "s2", 60L), // identical -> jac 1, bands must catch it
+      (3L, "completely different words in this other document here now", "en", "s1", 58L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.operators.Dedup.minhashPrEval(d).collect().head
+    graft.CacheTracker.releaseAll()
+    assert(r.getAs[Long]("n_truth") === 1L)
+    assert(r.getAs[Long]("n_tp") === 1L)
+    assert(r.getAs[Double]("recall") === 1.0)
+    assert(r.getAs[Double]("precision") === 1.0)
+  }
+
+  test("filterVotePatterns tabulates the 2^3 ensemble vote census") {
+    val hi = "the cat and the dog sat in the house quietly"
+    val d = Seq(
+      (1L, hi, "en", "s1", hi.length.toLong),
+      (2L, "??? !!! ...", "zz", "s1", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.TextOps.filterVotePatterns(d).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === 2L)
+    val kept = out.filter(_.getAs[Boolean]("kept"))
+    assert(kept.map(_.getAs[Long]("n_docs")).sum === 1L) // only the clean doc
+    assert(kept.forall(r => r.getAs[Boolean]("q_vote") && r.getAs[Boolean]("g_vote")))
+  }
+
   test("lshProbeSweep: one bit-flip recovers the boundary-crossing neighbor") {
     // query sits just above the 4th hyperplane; its true nearest sits
     // just below it — invisible at h=0, found at h=1
