@@ -5308,6 +5308,54 @@ object Oracles {
          |       ELSE 0.0 END AS leaked_test_share
          |FROM t CROSS JOIN lk""".stripMargin,
 
+    // centroid silhouette over the same 3-round Lloyd fit as kmeans_lloyd
+    // (MATERIALIZED: the final centroids are referenced by both the
+    // assignment and the all-centroid distance frame)
+    "kmeans_silhouette" -> {
+      def assign(c: String, a: String) =
+        s"""$a AS MATERIALIZED (SELECT vec_id, e, cluster, dist FROM (
+           |  SELECT vec_id, e, cluster, dist,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+           |  FROM (SELECT v.vec_id, v.e, $c.cluster,
+           |      round(list_reduce(list_transform(range(1, 9),
+           |        i -> (e[i] - c[i]) * (e[i] - c[i])), (p, q) -> p + q), 9) AS dist
+           |    FROM v CROSS JOIN $c)) WHERE rn = 1)""".stripMargin
+      def recenter(a: String, m: String, c: String) =
+        s"""$m AS MATERIALIZED (SELECT cluster, pos,
+           |  round(list_reduce(list_sort(list(sub_s)), (p, q) -> p + q) / sum(sub_n), 9) AS cm
+           |  FROM (SELECT cluster, pos, vec_id % 1024 AS sb, count(*) AS sub_n,
+           |        list_reduce(list_sort(list(x)), (p, q) -> p + q) AS sub_s
+           |        FROM (SELECT vec_id, cluster, unnest(range(1, 9)) AS pos, unnest(e) AS x FROM $a)
+           |        GROUP BY cluster, pos, sb)
+           |  GROUP BY cluster, pos),
+           |$c AS MATERIALIZED (SELECT cluster, list(cm ORDER BY pos) AS c FROM $m GROUP BY cluster)""".stripMargin
+      s"""WITH v AS MATERIALIZED (SELECT vec_id, list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |c0 AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS cluster, e AS c FROM v WHERE vec_id < 4),
+         |${assign("c0", "a1")},
+         |${recenter("a1", "m1", "c1")},
+         |${assign("c1", "a2")},
+         |${recenter("a2", "m2", "c2")},
+         |${assign("c2", "a3")},
+         |${recenter("a3", "m3", "c3")},
+         |${assign("c3", "a4")},
+         |own AS MATERIALIZED (SELECT vec_id, cluster AS own_cluster FROM a4),
+         |dall AS MATERIALIZED (SELECT v.vec_id, c3.cluster,
+         |  round(sqrt(round(list_reduce(list_transform(range(1, 9),
+         |    i -> (e[i] - c[i]) * (e[i] - c[i])), (p, q) -> p + q), 9)), 9) AS d
+         |  FROM v CROSS JOIN c3),
+         |x AS MATERIALIZED (SELECT d.vec_id, own_cluster,
+         |  min(CASE WHEN d.cluster = own_cluster THEN d.d END) AS a,
+         |  min(CASE WHEN d.cluster <> own_cluster THEN d.d END) AS b
+         |  FROM dall d JOIN own USING (vec_id) GROUP BY 1, 2),
+         |s AS MATERIALIZED (SELECT own_cluster,
+         |  CASE WHEN greatest(a, b) > 0 THEN round((b - a) / greatest(a, b), 6) ELSE 0.0 END AS s
+         |  FROM x)
+         |SELECT own_cluster AS cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  round(CAST(sum(CAST(round(s * 1000000) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_silhouette
+         |FROM s GROUP BY 1""".stripMargin
+    },
+
     // LSH banding vs exact-jaccard ground truth on the doc_id<200 sample
     "minhash_pr_eval" ->
       s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents

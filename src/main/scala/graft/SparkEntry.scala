@@ -327,6 +327,8 @@ object SparkEntry {
       Dedup.minhashPrEval(spread(t(s, d, "documents")))),
     "filter_vote_patterns" -> ((s, d) =>
       TextOps.filterVotePatterns(spread(t(s, d, "documents")))),
+    "kmeans_silhouette" -> ((s, d) =>
+      Similarity.kmeansSilhouette(t(s, d, "embeddings"))),
     "token_label_prop" -> ((s, d) => Graph.tokenLabelProp(spread(t(s, d, "documents")))),
     "casing_profile" -> ((s, d) => TextOps.casingProfile(spread(t(s, d, "documents")))),
     "vocab_novelty_by_source" -> ((s, d) =>

@@ -819,6 +819,64 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
   }
 
+  /** Centroid silhouette of the Lloyd clustering (B193): the
+    * clustering-quality eval the kmeans family was missing — per
+    * cluster, the mean simplified silhouette (b−a)/max(a,b) with a =
+    * Euclidean distance to the OWN final centroid and b = distance to
+    * the nearest OTHER centroid (the O(n·k) centroid variant, the
+    * standard scale substitute for the O(n²) pairwise silhouette).
+    * Same init/fold/tie discipline as [[kmeansLloyd]]; per-vector
+    * silhouettes convert to exact micro-units before the cluster mean
+    * so corpus-sized groups never fold raw doubles. */
+  def kmeansSilhouette(emb: DataFrame, k: Int = 4, dims: Int = 8,
+                       iters: Int = 3): DataFrame = {
+    val vecs = graft.CacheTracker.track(
+      emb.select(col("vec_id"),
+          expr(s"transform(slice(embedding, 1, $dims), x -> CAST(x AS DOUBLE))").as("e"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    vecs.count()
+    def sqdist = round(aggregate(zip_with(col("e"), col("c"),
+      (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x), 9)
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cluster"))
+      vecs.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("e"), col("cluster"), sqdist.as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn")
+    }
+    var cent = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long").as("cluster"), col("e").as("c"))
+    for (_ <- 1 to iters) {
+      cent = assign(cent)
+        .select(col("vec_id"), col("cluster"), posexplode(col("e")).as(Seq("pos", "x")))
+        .select(col("cluster"), col("pos"), Folds.subBucket(col("vec_id")), col("x"))
+        .groupBy(col("cluster"), col("pos"), col("sb"))
+        .agg(count(lit(1)).as("sub_n"), Folds.sortedSum(col("x")).as("sub_s"))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(round(Folds.sortedSum(col("sub_s")) / sum(col("sub_n")), 9).as("cm"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cm")))).as("pc"))
+        .select(col("cluster"), transform(col("pc"), x => x.getField("cm")).as("c"))
+    }
+    val own = assign(cent).select(col("vec_id"), col("cluster").as("own_cluster"))
+    val dAll = vecs.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cluster"),
+        round(sqrt(sqdist), 9).as("d"))
+    dAll.join(own, "vec_id")
+      .groupBy("vec_id", "own_cluster")
+      .agg(min(when(col("cluster") === col("own_cluster"), col("d"))).as("a"),
+        min(when(col("cluster") =!= col("own_cluster"), col("d"))).as("b"))
+      .select(col("own_cluster"),
+        when(greatest(col("a"), col("b")) > 0,
+          round((col("b") - col("a")) / greatest(col("a"), col("b")), 6))
+          .otherwise(lit(0.0)).as("s"))
+      .groupBy(col("own_cluster").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(expr("CAST(round(s * 1000000) AS BIGINT)")).cast("double")
+          / count(lit(1)) / 1000000.0, 6).as("mean_silhouette"))
+  }
+
   /** Per-document topical coherence (B97): cosine between a document's
     * sparse TF-IDF vector and its LANGUAGE's centroid vector — the
     * sparse-space twin of [[embedOutliers]]' dense gate, usable before

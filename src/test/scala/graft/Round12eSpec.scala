@@ -424,6 +424,21 @@ class Round12eSpec extends SparkSpec {
     assert(kept.forall(r => r.getAs[Boolean]("q_vote") && r.getAs[Boolean]("g_vote")))
   }
 
+  test("kmeansSilhouette scores tight planted clusters near 1") {
+    // two tight blobs far apart on dim 1; k=2, dims=8
+    val rows = (0L until 8L).map { i =>
+      val base = if (i % 2 == 0) 0f else 100f  // vec_id 0,1 seed two blobs
+      (i, Array(base + (i / 2).toFloat * 0.01f) ++ Array.fill(7)(0f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.kmeansSilhouette(emb, k = 2)
+      .collect()
+    graft.CacheTracker.releaseAll()
+    assert(out.length === 2)
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === 8L)
+    out.foreach(r => assert(r.getAs[Double]("mean_silhouette") > 0.99))
+  }
+
   test("lshProbeSweep: one bit-flip recovers the boundary-crossing neighbor") {
     // query sits just above the 4th hyperplane; its true nearest sits
     // just below it — invisible at h=0, found at h=1
