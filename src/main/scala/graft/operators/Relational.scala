@@ -1267,11 +1267,15 @@ object Relational {
     * the per-customer frame grows with the data, so the three sorts run
     * partition-parallel and recombine by custkey join. */
   def rfmSegments(orders: DataFrame): DataFrame = {
-    val perCust = orders.groupBy(col("o_custkey"))
+    // pinned: three quartile rankings + the final join all re-read this
+    // per-customer reduction — without the persist the orders scan+agg
+    // re-runs once per consumer (and twice that in rfm_migration)
+    val perCust = graft.CacheTracker.track(orders.groupBy(col("o_custkey"))
       .agg(
         max(col("o_orderdate")).as("lo"),
         count(lit(1)).as("frequency"),
         sum(cents(col("o_totalprice"))).as("monetary_cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // recency quartile 4 = most recent, matching f/m where 4 = best
     def quartile(order: Seq[Column], name: String): DataFrame =
       Ranks.withGlobalRowNumber(perCust, "_rnk", "_n", order)
