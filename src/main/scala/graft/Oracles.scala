@@ -5308,6 +5308,50 @@ object Oracles {
          |       ELSE 0.0 END AS leaked_test_share
          |FROM t CROSS JOIN lk""".stripMargin,
 
+    // per-supplier order-to-ship latency profile (floor days)
+    "supplier_leadtime" ->
+      """WITH li AS (SELECT l_orderkey AS o_orderkey, l_suppkey,
+        |      epoch_ns(l_shipdate) // 1000 AS ship_us FROM lineitem),
+        |o AS (SELECT o_orderkey, epoch_ns(o_orderdate) // 1000 AS order_us FROM orders),
+        |x AS (SELECT l_suppkey, (ship_us - order_us) // 86400000000 AS lat_days
+        |      FROM li JOIN o USING (o_orderkey))
+        |SELECT x.l_suppkey, count(*) AS n_lines,
+        |  round(CAST(sum(lat_days) AS DOUBLE) / count(*), 4) AS mean_days,
+        |  round(quantile_cont(lat_days, 0.5), 4) AS p50_days,
+        |  round(quantile_cont(lat_days, 0.9), 4) AS p90_days,
+        |  s_name
+        |FROM x JOIN supplier ON s_suppkey = x.l_suppkey GROUP BY 1, s_name""".stripMargin,
+
+    // returned share + exact returned cents per part brand
+    "brand_return_rates" ->
+      """WITH li AS (SELECT l_partkey, l_returnflag,
+        |      CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev FROM lineitem)
+        |SELECT p_brand, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN rev ELSE 0 END) AS BIGINT) AS returned_cents,
+        |  round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS return_rate
+        |FROM li JOIN part ON p_partkey = l_partkey GROUP BY 1""".stripMargin,
+
+    // symmetric JS divergence between every language pair's unigrams
+    "lang_js_matrix" ->
+      s"""WITH t AS (SELECT lang, unnest($toks) AS token FROM documents),
+         |cl AS (SELECT lang, token, count(*) AS cnt FROM t GROUP BY 1, 2),
+         |tl AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot FROM cl GROUP BY 1),
+         |sh AS (SELECT cl.lang, token, round(CAST(cnt AS DOUBLE) / tot, 9) AS p
+         |       FROM cl JOIN tl USING (lang)),
+         |pr AS (SELECT a.lang AS lang_a, b.lang AS lang_b FROM tl a JOIN tl b ON a.lang < b.lang),
+         |ae AS (SELECT lang_a, lang_b, token, p AS pa FROM pr JOIN sh ON sh.lang = pr.lang_a),
+         |be AS (SELECT lang_a, lang_b, token, p AS pb FROM pr JOIN sh ON sh.lang = pr.lang_b),
+         |j AS (SELECT lang_a, lang_b, coalesce(pa, 0.0) AS p, coalesce(pb, 0.0) AS q
+         |      FROM ae FULL JOIN be USING (lang_a, lang_b, token)),
+         |x AS (SELECT lang_a, lang_b, round(
+         |   CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END +
+         |   CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0.0 END, 9) AS contrib
+         |   FROM j)
+         |SELECT lang_a, lang_b, CAST(count(*) AS BIGINT) AS n_tokens_union,
+         |  round(0.5 * list_reduce(list_sort(list(contrib)), (a, b) -> a + b), 6) AS js
+         |FROM x GROUP BY 1, 2""".stripMargin,
+
     // centroid silhouette over the same 3-round Lloyd fit as kmeans_lloyd
     // (MATERIALIZED: the final centroids are referenced by both the
     // assignment and the all-centroid distance frame)

@@ -329,6 +329,12 @@ object SparkEntry {
       TextOps.filterVotePatterns(spread(t(s, d, "documents")))),
     "kmeans_silhouette" -> ((s, d) =>
       Similarity.kmeansSilhouette(t(s, d, "embeddings"))),
+    "supplier_leadtime" -> ((s, d) => Relational.supplierLeadtime(
+      t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "supplier"))),
+    "brand_return_rates" -> ((s, d) =>
+      Relational.brandReturnRates(t(s, d, "lineitem"), t(s, d, "part"))),
+    "lang_js_matrix" -> ((s, d) =>
+      LangModel.langJsMatrix(spread(t(s, d, "documents")))),
     "token_label_prop" -> ((s, d) => Graph.tokenLabelProp(spread(t(s, d, "documents")))),
     "casing_profile" -> ((s, d) => TextOps.casingProfile(spread(t(s, d, "documents")))),
     "vocab_novelty_by_source" -> ((s, d) =>

@@ -504,6 +504,46 @@ object LangModel {
         round(col("dcg") / col("idcg"), 6).as("ndcg"))
   }
 
+  /** Jensen–Shannon divergence matrix between language pairs (B194):
+    * the symmetric, bounded [0, ln 2] distance between every two
+    * languages' unigram distributions — the mixture-design view of
+    * "how different are these slices really" (lang_kl measures each
+    * lang against the corpus; JS compares langs to EACH OTHER and
+    * doesn't blow up on disjoint support). Shares round at 9 dp,
+    * contributions fold sorted per pair (lang_kl's vocab-bounded
+    * discipline), result at 6 dp. One token shuffle; everything after
+    * lives on (pair, vocab)-keyed frames. */
+  def langJsMatrix(docs: DataFrame): DataFrame = {
+    val cl = docs.select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val tl = cl.groupBy("lang").agg(sum(col("cnt")).as("tot"))
+    val sh = cl.join(tl, "lang")
+      .select(col("lang"), col("token"),
+        round(col("cnt").cast("double") / col("tot"), 9).as("p"))
+    val langs = tl.select(col("lang"))
+    val pairs = broadcast(langs.select(col("lang").as("lang_a"))
+      .crossJoin(langs.select(col("lang").as("lang_b")))
+      .filter(col("lang_a") < col("lang_b")))
+    val aexp = pairs.join(
+      sh.select(col("lang").as("lang_a"), col("token"), col("p").as("pa")),
+      "lang_a")
+    val bexp = pairs.join(
+      sh.select(col("lang").as("lang_b"), col("token"), col("p").as("pb")),
+      "lang_b")
+    val joined = aexp.join(bexp, Seq("lang_a", "lang_b", "token"), "full_outer")
+      .select(col("lang_a"), col("lang_b"),
+        coalesce(col("pa"), lit(0.0)).as("p"),
+        coalesce(col("pb"), lit(0.0)).as("q"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .withColumn("contrib", round(
+        when(col("p") > 0, col("p") * log(col("p") / col("m"))).otherwise(lit(0.0))
+          + when(col("q") > 0, col("q") * log(col("q") / col("m"))).otherwise(lit(0.0)),
+        9))
+    joined.groupBy("lang_a", "lang_b")
+      .agg(count(lit(1)).as("n_tokens_union"),
+        round(lit(0.5) * Folds.sortedSum(col("contrib")), 6).as("js"))
+  }
+
   /** Nucleus (top-p) vocabulary truncation per language (B181): the
     * smallest count-ranked prefix of each language's vocabulary whose
     * mass reaches `p` — how many types a tokenizer actually needs per

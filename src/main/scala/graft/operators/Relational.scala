@@ -2427,6 +2427,50 @@ object Relational {
             / 1000000.0, 4)).otherwise(lit(0.0)).as("mean_gap_s"))
   }
 
+  /** Supplier lead-time profile (C170): order-to-ship latency
+    * distribution per supplier — n, mean and p50/p90 days — the
+    * supply-chain scorecard that ranks who actually ships on time
+    * (ship_latency is the global view; procurement acts per
+    * supplier). Latency is exact floor-days off microsecond
+    * timestamps; one join to orders on the order key, supplier names
+    * broadcast. */
+  def supplierLeadtime(lineitem: DataFrame, orders: DataFrame,
+                       supplier: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))").as("ship_us"))
+      .join(orders.select(col("o_orderkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("order_us")),
+        "o_orderkey")
+      .select(col("l_suppkey"),
+        expr("(ship_us - order_us) div 86400000000").as("lat_days"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("lat_days")).cast("double") / count(lit(1)), 4)
+          .as("mean_days"),
+        round(percentile(col("lat_days"), lit(0.5)), 4).as("p50_days"),
+        round(percentile(col("lat_days"), lit(0.9)), 4).as("p90_days"))
+      .join(broadcast(supplier.select(col("s_suppkey").as("l_suppkey"),
+        col("s_name"))), "l_suppkey")
+
+  /** Return rate per part brand (C171): the retail quality scorecard —
+    * share of line items returned (l_returnflag = 'R') and the exact
+    * cents of returned revenue per brand. One broadcast part join +
+    * one aggregate. */
+  def brandReturnRates(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem.select(col("l_partkey"), col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+          .as("rev"))
+      .join(broadcast(part.select(col("p_partkey").as("l_partkey"),
+        col("p_brand"))), "l_partkey")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returned"),
+        sum(when(col("l_returnflag") === "R", col("rev")).otherwise(0L))
+          .as("returned_cents"))
+      .withColumn("return_rate",
+        round(col("n_returned").cast("double") / col("n_lines"), 6))
+
   /** Price/volume/mix decomposition of revenue change (C169): the
     * finance-analytics workhorse — per part type, the H1→H2 revenue
     * delta split into volume effect (Δq·p₁), price effect (Δp·q₁) and

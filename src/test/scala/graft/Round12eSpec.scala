@@ -439,6 +439,47 @@ class Round12eSpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Double]("mean_silhouette") > 0.99))
   }
 
+  test("langJsMatrix: identical langs read 0, disjoint langs read ln 2") {
+    val d = Seq(
+      (1L, "a a b", "en", "s1", 5L),
+      (2L, "a a b", "fr", "s1", 5L),
+      (3L, "x y", "de", "s1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.LangModel.langJsMatrix(d).collect()
+      .map(r => (r.getAs[String]("lang_a"), r.getAs[String]("lang_b")) ->
+        r.getAs[Double]("js")).toMap
+    assert(out(("en", "fr")) === 0.0)
+    assert(math.abs(out(("de", "en")) - math.log(2.0)) < 1e-5)
+    assert(math.abs(out(("de", "fr")) - math.log(2.0)) < 1e-5)
+  }
+
+  test("supplierLeadtime measures exact floor-day order-to-ship latency") {
+    val li = Seq((100L, 7L, "2024-01-05 06:00:00"))
+      .map { case (ok, sk, sd) => (ok, sk, java.sql.Timestamp.valueOf(sd)) }
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val orders = Seq((100L, "2024-01-01 12:00:00"))
+      .map { case (ok, od) => (ok, java.sql.Timestamp.valueOf(od)) }
+      .toDF("o_orderkey", "o_orderdate")
+    val supp = Seq((7L, "Acme")).toDF("s_suppkey", "s_name")
+    val r = graft.operators.Relational
+      .supplierLeadtime(li, orders, supp).collect().head
+    assert(r.getAs[String]("s_name") === "Acme")
+    assert(r.getAs[Double]("mean_days") === 3.0) // 3.75 days floors to 3
+    assert(r.getAs[Double]("p50_days") === 3.0)
+  }
+
+  test("brandReturnRates charges returned cents to the right brand") {
+    val li = Seq(
+      (1L, "R", 10.0, 0.0),
+      (1L, "N", 20.0, 0.0))
+      .toDF("l_partkey", "l_returnflag", "l_extendedprice", "l_discount")
+    val part = Seq((1L, "B1")).toDF("p_partkey", "p_brand")
+    val r = graft.operators.Relational.brandReturnRates(li, part).collect().head
+    assert(r.getAs[Long]("n_returned") === 1L)
+    assert(r.getAs[Long]("returned_cents") === 1000L)
+    assert(r.getAs[Double]("return_rate") === 0.5)
+  }
+
   test("lshProbeSweep: one bit-flip recovers the boundary-crossing neighbor") {
     // query sits just above the 4th hyperplane; its true nearest sits
     // just below it — invisible at h=0, found at h=1
