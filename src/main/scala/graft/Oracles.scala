@@ -5308,6 +5308,40 @@ object Oracles {
          |       ELSE 0.0 END AS leaked_test_share
          |FROM t CROSS JOIN lk""".stripMargin,
 
+    // Shapley over the exact-coalition lattice; r MATERIALIZED because
+    // 64 scalar subqueries reference it (inlining would re-run the
+    // per-user aggregation per term)
+    "shapley_attribution" -> {
+      val channels = Seq("click", "error", "signup", "view")
+      val fact = Array(1, 1, 2, 6)
+      def vx(s: Seq[String]) =
+        s"coalesce((SELECT rate FROM r WHERE set_key = '${s.sorted.mkString(",")}'), 0.0)"
+      val selects = channels.map { c =>
+        val others = channels.filterNot(_ == c)
+        val terms = (0 until (1 << others.length)).map { mask =>
+          val s = others.zipWithIndex.collect {
+            case (ch, i) if (mask & (1 << i)) != 0 => ch }
+          val coef = fact(s.length) * fact(channels.length - 1 - s.length)
+          s"$coef * (${vx(s :+ c)} - ${vx(s)}) / 24.0"
+        }
+        s"SELECT '$c' AS channel, round(${terms.mkString(" + ")}, 6) AS shapley_value"
+      }
+      s"""WITH e AS MATERIALIZED (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+         |k AS MATERIALIZED (SELECT * FROM (SELECT *,
+         |      coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY user_id ORDER BY us, event_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb FROM e)
+         |      WHERE pb = 0),
+         |u AS MATERIALIZED (SELECT user_id,
+         |      coalesce(array_to_string(list_sort(list(DISTINCT event_type)
+         |        FILTER (event_type <> 'purchase')), ','), '') AS set_key,
+         |      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         |      FROM k GROUP BY 1),
+         |v AS MATERIALIZED (SELECT set_key, count(*) AS n_users, sum(conv) AS n_conv FROM u GROUP BY 1),
+         |r AS MATERIALIZED (SELECT set_key, round(CAST(n_conv AS DOUBLE) / n_users, 6) AS rate FROM v)
+         |${selects.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
     // per-supplier order-to-ship latency profile (floor days)
     "supplier_leadtime" ->
       """WITH li AS (SELECT l_orderkey AS o_orderkey, l_suppkey,

@@ -335,6 +335,8 @@ object SparkEntry {
       Relational.brandReturnRates(t(s, d, "lineitem"), t(s, d, "part"))),
     "lang_js_matrix" -> ((s, d) =>
       LangModel.langJsMatrix(spread(t(s, d, "documents")))),
+    "shapley_attribution" -> ((s, d) =>
+      Sessionize.shapleyAttribution(events(s, d))),
     "token_label_prop" -> ((s, d) => Graph.tokenLabelProp(spread(t(s, d, "documents")))),
     "casing_profile" -> ((s, d) => TextOps.casingProfile(spread(t(s, d, "documents")))),
     "vocab_novelty_by_source" -> ((s, d) =>

@@ -522,6 +522,63 @@ object Sessionize {
         round(Folds.sortedSum(col("att")), 4).as("attributed_value"))
   }
 
+  /** Shapley-value multi-touch attribution (C172) — the coalition-game
+    * model completing the family (last-touch C92, linear C93, time-decay
+    * C155, Markov C132): journeys truncate at the first purchase, each
+    * user contributes their EXACT pre-conversion channel set, the
+    * coalition value v(S) is the observed conversion rate of that exact
+    * set (unobserved coalitions value 0 — the standard practical
+    * estimator), and each channel's Shapley value averages its marginal
+    * contribution over the 2⁴-bounded subset lattice.
+    *
+    * Scale: one per-user window pass + one set-keyed aggregate is the
+    * only data-sized work; the coalition table is ≤ 2⁴ rows — bounded by
+    * the SCHEMA's channel universe, not the corpus — so the lattice sum
+    * runs as driver arithmetic under the same license as
+    * [[markovAttribution]]'s state²-bounded chain. Both engines
+    * enumerate subsets in the identical order with identical
+    * integer-coefficient terms, so the 6 dp values match exactly. */
+  def shapleyAttribution(events: DataFrame,
+      channels: Seq[String] = Seq("click", "error", "signup", "view")): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val before = order.rowsBetween(Window.unboundedPreceding, -1)
+    val kept = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("purch_before",
+        coalesce(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(before), lit(0L)))
+      .filter(col("purch_before") === 0L)
+    val userSets = kept.groupBy("user_id").agg(
+      concat_ws(",", sort_array(collect_set(
+        when(col("event_type") =!= "purchase", col("event_type")))))
+        .as("set_key"),
+      max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+    val v: Map[String, Double] = userSets.groupBy("set_key")
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+      .collect()
+      .map(r => r.getString(0) ->
+        BigDecimal(r.getLong(2).toDouble / r.getLong(1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .toMap
+    def vx(s: Seq[String]): Double = v.getOrElse(s.sorted.mkString(","), 0.0)
+    val fact = Array(1, 1, 2, 6)
+    val n = channels.length
+    val rows = channels.map { c =>
+      val others = channels.filterNot(_ == c)
+      val terms = (0 until (1 << others.length)).map { mask =>
+        val s = others.zipWithIndex.collect { case (ch, i) if (mask & (1 << i)) != 0 => ch }
+        val coef = fact(s.length) * fact(n - 1 - s.length)
+        coef * (vx(s :+ c) - vx(s)) / 24.0
+      }
+      val phi = BigDecimal(terms.reduceLeft(_ + _))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (c, phi)
+    }
+    events.sparkSession.createDataFrame(rows)
+      .toDF("channel", "shapley_value")
+  }
+
   /** Transition-matrix baseline accuracy (C109): how predictable is the
     * NEXT event type from the current one alone? Build the global
     * first-order transition counts (per-user event order), predict

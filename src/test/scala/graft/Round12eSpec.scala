@@ -480,6 +480,27 @@ class Round12eSpec extends SparkSpec {
     assert(r.getAs[Double]("return_rate") === 0.5)
   }
 
+  test("shapleyAttribution credits the converting channel over the lattice") {
+    val d = events(
+      (1L, 1L, "2024-01-01 10:00:00", "click", 0.0),
+      (2L, 1L, "2024-01-01 11:00:00", "purchase", 5.0), // {click} converts
+      (3L, 2L, "2024-01-01 10:00:00", "click", 0.0),
+      (4L, 2L, "2024-01-01 11:00:00", "purchase", 5.0), // {click} converts
+      (5L, 3L, "2024-01-01 10:00:00", "view", 0.0))     // {view} does not
+    val out = graft.operators.Sessionize.shapleyAttribution(d).collect()
+      .map(r => r.getAs[String]("channel") -> r.getAs[Double]("shapley_value"))
+      .toMap
+    graft.CacheTracker.releaseAll()
+    // v({click}) = 1, v({view}) = 0, everything else unobserved (0):
+    // phi_click = 6 * (1 - 0) / 24 = 0.25; every other channel's only
+    // nonzero term is S={click}: 2 * (v({click,c}) - v({click})) / 24
+    // = 2 * (0 - 1) / 24 — joining a winning coalition it can't improve
+    assert(out("click") === 0.25)
+    assert(out("view") === -0.083333)
+    assert(out("error") === -0.083333)
+    assert(out("signup") === -0.083333)
+  }
+
   test("lshProbeSweep: one bit-flip recovers the boundary-crossing neighbor") {
     // query sits just above the 4th hyperplane; its true nearest sits
     // just below it — invisible at h=0, found at h=1
