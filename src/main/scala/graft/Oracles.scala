@@ -5308,6 +5308,43 @@ object Oracles {
          |       ELSE 0.0 END AS leaked_test_share
          |FROM t CROSS JOIN lk""".stripMargin,
 
+    // greedy argmax walk over the bigram table (bi MATERIALIZED: one
+    // probe per unrolled step)
+    "bigram_greedy_gen" -> {
+      val chain = (1 to 10).map { k =>
+        s"""g$k AS (SELECT $k AS step, w2 AS token, cnt FROM bi
+           |  WHERE w1 = (SELECT token FROM g${k - 1})
+           |  ORDER BY cnt DESC, w2 LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS MATERIALIZED (SELECT $toks AS toks FROM documents),
+         |uni AS MATERIALIZED (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM (SELECT unnest(toks) AS token FROM t) GROUP BY 1),
+         |bi AS MATERIALIZED (SELECT toks[i] AS w1, toks[i + 1] AS w2, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2)
+         |      GROUP BY 1, 2),
+         |g0 AS (SELECT 0 AS step, token, cnt FROM uni ORDER BY cnt DESC, token LIMIT 1),
+         |$chain
+         |${(0 to 10).map(k => s"SELECT * FROM g$k").mkString(" UNION ALL ")}""".stripMargin
+    },
+
+    // pre-purchase touch-count histogram over converting journeys
+    "touches_to_convert" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |k AS (SELECT * FROM (SELECT *,
+        |      coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY us, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb FROM e)
+        |      WHERE pb = 0),
+        |u AS (SELECT user_id,
+        |      CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_touches,
+        |      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |      FROM k GROUP BY 1),
+        |c AS (SELECT n_touches FROM u WHERE conv = 1),
+        |tot AS (SELECT count(*) AS n_converting FROM c)
+        |SELECT n_touches, CAST(count(*) AS BIGINT) AS n_users,
+        |  round(CAST(count(*) AS DOUBLE) / n_converting, 6) AS share
+        |FROM c CROSS JOIN tot GROUP BY 1, n_converting""".stripMargin,
+
     // Shapley over the exact-coalition lattice; r MATERIALIZED because
     // 64 scalar subqueries reference it (inlining would re-run the
     // per-user aggregation per term)

@@ -337,6 +337,10 @@ object SparkEntry {
       LangModel.langJsMatrix(spread(t(s, d, "documents")))),
     "shapley_attribution" -> ((s, d) =>
       Sessionize.shapleyAttribution(events(s, d))),
+    "bigram_greedy_gen" -> ((s, d) =>
+      LangModel.bigramGreedyGen(spread(t(s, d, "documents")))),
+    "touches_to_convert" -> ((s, d) =>
+      Sessionize.touchesToConvert(events(s, d))),
     "token_label_prop" -> ((s, d) => Graph.tokenLabelProp(spread(t(s, d, "documents")))),
     "casing_profile" -> ((s, d) => TextOps.casingProfile(spread(t(s, d, "documents")))),
     "vocab_novelty_by_source" -> ((s, d) =>

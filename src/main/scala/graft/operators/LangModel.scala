@@ -504,6 +504,43 @@ object LangModel {
         round(col("dcg") / col("idcg"), 6).as("ndcg"))
   }
 
+  /** Greedy generation from the corpus bigram LM (B195): the sanity
+    * check every n-gram LM gets — start at the corpus's most frequent
+    * token and follow the argmax next-token edge for `steps` steps
+    * (ties lexicographic), emitting (step, token, count). Degenerate
+    * loops ("the → of → the …") are the EXPECTED reading: they show
+    * what greedy decoding does to an order-2 model, and the emitted
+    * chain is the fixture for decoder tests. Each step is one
+    * broadcast probe of the bigram table + a TakeOrdered(1) — never a
+    * global sort; the chain is a fixed unroll so the plan is static
+    * and the DuckDB twin a linear CTE chain. */
+  def bigramGreedyGen(docs: DataFrame, steps: Int = 10): DataFrame = {
+    val toked = docs.select(TextOps.tokens(col("text")).as("toks"))
+    val uni = toked.select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val bi = graft.CacheTracker.track(toked.filter(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    bi.count()
+    var cur = uni.orderBy(col("cnt").desc, col("token")).limit(1)
+      .select(lit(0).as("step"), col("token"), col("cnt"))
+    val parts = List.newBuilder[DataFrame]
+    parts += cur
+    for (k <- 1 to steps) {
+      cur = bi.join(broadcast(cur.select(col("token").as("w1"))), "w1")
+        .orderBy(col("cnt").desc, col("w2"))
+        .limit(1)
+        .select(lit(k).as("step"), col("w2").as("token"), col("cnt"))
+      parts += cur
+    }
+    parts.result().reduce(_ unionByName _)
+  }
+
   /** Jensen–Shannon divergence matrix between language pairs (B194):
     * the symmetric, bounded [0, ln 2] distance between every two
     * languages' unigram distributions — the mixture-design view of

@@ -522,6 +522,35 @@ object Sessionize {
         round(Folds.sortedSum(col("att")), 4).as("attributed_value"))
   }
 
+  /** Touches-to-convert distribution (C173): for converting users, how
+    * many pre-purchase touch events the journey took — the histogram
+    * behind "how long is our funnel really" (the attribution family
+    * splits credit; this sizes the path). Journeys truncate at the
+    * first purchase like [[markovAttribution]]'s; one window pass +
+    * one per-user aggregate, touch-count-bounded output. */
+  def touchesToConvert(events: DataFrame): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val before = order.rowsBetween(Window.unboundedPreceding, -1)
+    val kept = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("purch_before",
+        coalesce(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(before), lit(0L)))
+      .filter(col("purch_before") === 0L)
+    val perUser = kept.groupBy("user_id").agg(
+      sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L))
+        .as("n_touches"),
+      max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .filter(col("conv") === 1L)
+    val tot = perUser.agg(count(lit(1)).as("n_converting"))
+    perUser.groupBy("n_touches").agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_touches"), col("n_users"),
+        round(col("n_users").cast("double") / col("n_converting"), 6)
+          .as("share"))
+  }
+
   /** Shapley-value multi-touch attribution (C172) — the coalition-game
     * model completing the family (last-touch C92, linear C93, time-decay
     * C155, Markov C132): journeys truncate at the first purchase, each

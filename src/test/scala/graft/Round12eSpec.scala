@@ -501,6 +501,32 @@ class Round12eSpec extends SparkSpec {
     assert(out("signup") === -0.083333)
   }
 
+  test("bigramGreedyGen follows the argmax chain and stops at dead ends") {
+    // "a b" dominates; from b only "b c" exists once; c is a dead end
+    val d = Seq(
+      (1L, "a b", "en", "s1", 3L), (2L, "a b", "en", "s1", 3L),
+      (3L, "a b c", "en", "s1", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.LangModel.bigramGreedyGen(d).collect()
+      .sortBy(_.getAs[Int]("step"))
+    graft.CacheTracker.releaseAll()
+    // seed = most frequent token: a and b tie at 3 -> 'a' lexicographic
+    assert(out.map(r => (r.getAs[Int]("step"), r.getAs[String]("token"))).toSeq
+      === Seq((0, "a"), (1, "b"), (2, "c"))) // then dead end: chain stops
+  }
+
+  test("touchesToConvert histograms pre-purchase journey lengths") {
+    val d = events(
+      (1L, 1L, "2024-01-01 10:00:00", "view", 0.0),
+      (2L, 1L, "2024-01-01 10:01:00", "click", 0.0),
+      (3L, 1L, "2024-01-01 10:02:00", "purchase", 5.0), // 2 touches
+      (4L, 2L, "2024-01-01 10:00:00", "purchase", 5.0), // 0 touches
+      (5L, 3L, "2024-01-01 10:00:00", "view", 0.0))     // never converts
+    val out = graft.operators.Sessionize.touchesToConvert(d).collect()
+      .map(r => r.getAs[Long]("n_touches") -> r.getAs[Double]("share")).toMap
+    assert(out === Map(2L -> 0.5, 0L -> 0.5))
+  }
+
   test("lshProbeSweep: one bit-flip recovers the boundary-crossing neighbor") {
     // query sits just above the 4th hyperplane; its true nearest sits
     // just below it — invisible at h=0, found at h=1
