@@ -5308,6 +5308,27 @@ object Oracles {
          |       ELSE 0.0 END AS leaked_test_share
          |FROM t CROSS JOIN lk""".stripMargin,
 
+    // per-source gate failures + survival rate (global dup judgment)
+    "filter_attrition_by_source" ->
+      s"""WITH f0 AS (SELECT doc_id, source, n_chars, $qualitySql AS q,
+         |    CAST(len($toks) AS DOUBLE) / CAST(nullif(len(list_distinct($toks)), 0) AS DOUBLE) AS rep,
+         |    md5($clean) AS ch FROM documents),
+         |f1 AS (SELECT *, doc_id <> min(doc_id) OVER (PARTITION BY ch) AS f_dup FROM f0),
+         |fl AS (SELECT source,
+         |    coalesce(n_chars < 100, true) AS f_short,
+         |    coalesce(q < CAST(0.3 AS DOUBLE), true) AS f_quality,
+         |    coalesce(rep > CAST(3.0 AS DOUBLE), false) AS f_rep,
+         |    coalesce(f_dup, false) AS f_dup FROM f1)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(coalesce(sum(CASE WHEN f_short THEN 1 ELSE 0 END), 0) AS BIGINT) AS short_n,
+         |  CAST(coalesce(sum(CASE WHEN f_quality THEN 1 ELSE 0 END), 0) AS BIGINT) AS quality_n,
+         |  CAST(coalesce(sum(CASE WHEN f_rep THEN 1 ELSE 0 END), 0) AS BIGINT) AS rep_n,
+         |  CAST(coalesce(sum(CASE WHEN f_dup THEN 1 ELSE 0 END), 0) AS BIGINT) AS dup_n,
+         |  CAST(coalesce(sum(CASE WHEN f_short OR f_quality OR f_rep OR f_dup THEN 1 ELSE 0 END), 0) AS BIGINT) AS any_n,
+         |  round(CAST(count(*) - sum(CASE WHEN f_short OR f_quality OR f_rep OR f_dup THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS keep_rate
+         |FROM fl GROUP BY 1""".stripMargin,
+
     // greedy argmax walk over the bigram table (bi MATERIALIZED: one
     // probe per unrolled step)
     "bigram_greedy_gen" -> {

@@ -341,6 +341,8 @@ object SparkEntry {
       LangModel.bigramGreedyGen(spread(t(s, d, "documents")))),
     "touches_to_convert" -> ((s, d) =>
       Sessionize.touchesToConvert(events(s, d))),
+    "filter_attrition_by_source" -> ((s, d) =>
+      TextOps.filterAttritionBySource(spread(t(s, d, "documents")))),
     "token_label_prop" -> ((s, d) => Graph.tokenLabelProp(spread(t(s, d, "documents")))),
     "casing_profile" -> ((s, d) => TextOps.casingProfile(spread(t(s, d, "documents")))),
     "vocab_novelty_by_source" -> ((s, d) =>

@@ -1841,6 +1841,42 @@ object TextOps {
     * (keeper = min doc_id per content hash); a single aggregation emits
     * exact long counts; the ≤5-row unpivot is a literal explode. No
     * float is aggregated — rates divide once at the end. */
+  /** Per-source filter attrition (B196): [[filterAttrition]]'s gates
+    * broken out BY FEED — which sources die at the short/quality/
+    * repetition/duplicate gate and each feed's survival rate, the
+    * table that turns a global attrition readout into crawler fixes
+    * and acquisition decisions. Same flags, same single content-hash
+    * window (duplicates judged globally, charged to the source that
+    * carries them), one grouped aggregate. */
+  def filterAttritionBySource(docs: DataFrame, minChars: Long = 100,
+      minQuality: Double = 0.3, maxRep: Double = 3.0): DataFrame = {
+    val toks = tokens(col("text"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ch")
+    val flags = docs.select(col("doc_id"), col("source"), col("n_chars"),
+        qualityComposite.as("q"),
+        (size(toks).cast("double")
+          / nullif(size(array_distinct(toks)), lit(0)).cast("double")).as("rep"),
+        md5(cleanText(col("text"))).as("ch"))
+      .withColumn("f_dup", col("doc_id") =!= min(col("doc_id")).over(w))
+      .select(col("source"),
+        coalesce(col("n_chars") < minChars, lit(true)).as("f_short"),
+        coalesce(col("q") < minQuality, lit(true)).as("f_quality"),
+        coalesce(col("rep") > maxRep, lit(false)).as("f_rep"),
+        coalesce(col("f_dup"), lit(false)).as("f_dup"))
+    def n(c: Column) = coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    flags.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        n(col("f_short")).as("short_n"),
+        n(col("f_quality")).as("quality_n"),
+        n(col("f_rep")).as("rep_n"),
+        n(col("f_dup")).as("dup_n"),
+        n(col("f_short") || col("f_quality") || col("f_rep") || col("f_dup"))
+          .as("any_n"))
+      .withColumn("keep_rate",
+        round((col("n_docs") - col("any_n")).cast("double")
+          / col("n_docs"), 6))
+  }
+
   def filterAttrition(docs: DataFrame, minChars: Long = 100,
                       minQuality: Double = 0.3, maxRep: Double = 3.0): DataFrame = {
     val toks = tokens(col("text"))

@@ -527,6 +527,22 @@ class Round12eSpec extends SparkSpec {
     assert(out === Map(2L -> 0.5, 0L -> 0.5))
   }
 
+  test("filterAttritionBySource charges each gate failure to its feed") {
+    val hi = "the cat and the dog sat in the house quietly " * 3 // > 100 chars
+    val d = Seq(
+      (1L, hi, "en", "good", hi.length.toLong),
+      (2L, hi, "en", "copier", hi.length.toLong), // dup of doc 1
+      (3L, "??? !!!", "en", "junky", 7L))         // short + low quality
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.TextOps.filterAttritionBySource(d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("good").getAs[Double]("keep_rate") === 1.0)
+    assert(out("copier").getAs[Long]("dup_n") === 1L)
+    assert(out("copier").getAs[Double]("keep_rate") === 0.0)
+    assert(out("junky").getAs[Long]("short_n") === 1L)
+    assert(out("junky").getAs[Long]("quality_n") === 1L)
+  }
+
   test("lshProbeSweep: one bit-flip recovers the boundary-crossing neighbor") {
     // query sits just above the 4th hyperplane; its true nearest sits
     // just below it — invisible at h=0, found at h=1
