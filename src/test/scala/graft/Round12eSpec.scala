@@ -528,7 +528,8 @@ class Round12eSpec extends SparkSpec {
   }
 
   test("filterAttritionBySource charges each gate failure to its feed") {
-    val hi = "the cat and the dog sat in the house quietly " * 3 // > 100 chars
+    val hi = "the cat and a dog sat in an old house quietly watching birds " +
+      "outside while it rained all day and everyone stayed warm inside" // > 100 chars, low repetition
     val d = Seq(
       (1L, hi, "en", "good", hi.length.toLong),
       (2L, hi, "en", "copier", hi.length.toLong), // dup of doc 1
