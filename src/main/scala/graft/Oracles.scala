@@ -5308,6 +5308,36 @@ object Oracles {
          |       ELSE 0.0 END AS leaked_test_share
          |FROM t CROSS JOIN lk""".stripMargin,
 
+    // directional who-copies-whom matrix over duplicate 8-token chunks
+    "dup_source_matrix" ->
+      s"""WITH t AS (SELECT doc_id, source, $toks AS toks FROM documents WHERE len($toks) > 0),
+         |c AS (SELECT doc_id, source, chunk_id,
+         |      md5(array_to_string(list_slice(toks, chunk_id * 8 + 1, chunk_id * 8 + 8), ' ')) AS ch
+         |      FROM (SELECT doc_id, source, toks,
+         |            unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS chunk_id FROM t)),
+         |k AS (SELECT *, row_number() OVER (PARTITION BY ch ORDER BY doc_id, chunk_id) AS rn FROM c),
+         |kp AS (SELECT ch, source AS keeper_source FROM k WHERE rn = 1)
+         |SELECT keeper_source, dup_source, CAST(count(*) AS BIGINT) AS n_dups
+         |FROM (SELECT ch, source AS dup_source FROM k WHERE rn <> 1) d
+         |JOIN kp USING (ch) GROUP BY 1, 2""".stripMargin,
+
+    // Pearson correlation matrix over the first 8 dims + redundancy flag
+    "embed_dim_corr" ->
+      """WITH p AS (SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
+        |      CAST(embedding[i] AS DOUBLE) AS x, CAST(embedding[j] AS DOUBLE) AS y
+        |      FROM embeddings, range(1, 9) r1(i), range(1, 9) r2(j) WHERE j >= i),
+        |cu AS (SELECT dim_i, dim_j,
+        |  round(list_reduce(list_sort(list(x * y)), (a, b) -> a + b) / count(*)
+        |    - (list_reduce(list_sort(list(x)), (a, b) -> a + b) / count(*))
+        |    * (list_reduce(list_sort(list(y)), (a, b) -> a + b) / count(*)), 6) AS cov
+        |  FROM p GROUP BY dim_i, dim_j),
+        |sd AS (SELECT dim_i AS dim, sqrt(cov) AS sd FROM cu WHERE dim_i = dim_j)
+        |SELECT dim_i, dim_j, corr, abs(corr) >= 0.95 AS redundant FROM (
+        |  SELECT c.dim_i, c.dim_j,
+        |    CASE WHEN si.sd * sj.sd > 0 THEN round(c.cov / (si.sd * sj.sd), 6) ELSE 0.0 END AS corr
+        |  FROM cu c JOIN sd si ON si.dim = c.dim_i JOIN sd sj ON sj.dim = c.dim_j
+        |  WHERE c.dim_i < c.dim_j)""".stripMargin,
+
     // per-source gate failures + survival rate (global dup judgment)
     "filter_attrition_by_source" ->
       s"""WITH f0 AS (SELECT doc_id, source, n_chars, $qualitySql AS q,

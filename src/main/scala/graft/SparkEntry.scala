@@ -343,6 +343,10 @@ object SparkEntry {
       Sessionize.touchesToConvert(events(s, d))),
     "filter_attrition_by_source" -> ((s, d) =>
       TextOps.filterAttritionBySource(spread(t(s, d, "documents")))),
+    "dup_source_matrix" -> ((s, d) =>
+      Dedup.dupSourceMatrix(spread(t(s, d, "documents")))),
+    "embed_dim_corr" -> ((s, d) =>
+      Similarity.embedDimCorr(t(s, d, "embeddings"))),
     "token_label_prop" -> ((s, d) => Graph.tokenLabelProp(spread(t(s, d, "documents")))),
     "casing_profile" -> ((s, d) => TextOps.casingProfile(spread(t(s, d, "documents")))),
     "vocab_novelty_by_source" -> ((s, d) =>

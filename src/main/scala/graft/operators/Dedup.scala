@@ -180,6 +180,38 @@ object Dedup {
       .filter(col("jac") >= jacMin)
   }
 
+  /** Cross-source duplication matrix (B197): who copies whom — for
+    * every duplicate PARAGRAPH occurrence (the 8-token chunks of
+    * paragraph_dedup; whole-doc copies are rarer than lifted spans),
+    * one (keeper_source → dup_source) edge, aggregated to the
+    * directional matrix behind [[dupRateBySource]]'s per-feed rate
+    * (the rate says a feed pumps copies; the matrix says WHOSE
+    * content it pumps — what a licensing or crawler-trap
+    * investigation needs). One chunk-hash shuffle; the matrix is
+    * source²-bounded. */
+  def dupSourceMatrix(docs: DataFrame, win: Int = 8): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("source"), col("toks"),
+        explode(sequence(lit(0L),
+          ceil(size(col("toks")).cast("double") / win).cast("long") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("source"), col("chunk_id"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("chunk_id") * win + 1).cast("int"), lit(win))))
+          .as("ch"))
+    val keep = org.apache.spark.sql.expressions.Window
+      .partitionBy("ch").orderBy(col("doc_id"), col("chunk_id"))
+    val flagged = chunks.withColumn("rn", row_number().over(keep))
+    val keepers = flagged.filter(col("rn") === 1)
+      .select(col("ch"), col("source").as("keeper_source"))
+    flagged.filter(col("rn") =!= 1)
+      .select(col("ch"), col("source").as("dup_source"))
+      .join(keepers, "ch")
+      .groupBy("keeper_source", "dup_source")
+      .agg(count(lit(1)).as("n_dups"))
+  }
+
   /** MinHash-LSH precision/recall evaluation (B191): the banding
     * config's report card — candidates from the production (16-hash,
     * 2×8-band) pipeline scored against EXACT-Jaccard ground truth at

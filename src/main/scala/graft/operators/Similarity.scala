@@ -819,6 +819,30 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
   }
 
+  /** Embedding-dimension correlation audit (B198): the full Pearson
+    * correlation matrix over the first `dims` dims (normalized
+    * [[embedCovariance]]), flagging |corr| ≥ `redundant` pairs — the
+    * "are we paying for dimensions that carry the same signal"
+    * readout that sizes a PCA/PQ compression before committing to it.
+    * Everything past the one covariance aggregate is dims²-bounded;
+    * corr rounds at 6 dp off the 6 dp covariance terms. */
+  def embedDimCorr(emb: DataFrame, dims: Int = 8,
+                   redundant: Double = 0.95): DataFrame = {
+    val cu = embedCovariance(emb, dims).select("dim_i", "dim_j", "cov")
+    val sd = cu.filter(col("dim_i") === col("dim_j"))
+      .select(col("dim_i").as("dim"), sqrt(col("cov")).as("sd"))
+    cu.filter(col("dim_i") < col("dim_j"))
+      .join(broadcast(sd.select(col("dim").as("dim_i"), col("sd").as("sd_i"))),
+        "dim_i")
+      .join(broadcast(sd.select(col("dim").as("dim_j"), col("sd").as("sd_j"))),
+        "dim_j")
+      .select(col("dim_i"), col("dim_j"),
+        when(col("sd_i") * col("sd_j") > 0,
+          round(col("cov") / (col("sd_i") * col("sd_j")), 6))
+          .otherwise(lit(0.0)).as("corr"))
+      .withColumn("redundant", abs(col("corr")) >= redundant)
+  }
+
   /** Centroid silhouette of the Lloyd clustering (B193): the
     * clustering-quality eval the kmeans family was missing — per
     * cluster, the mean simplified silhouette (b−a)/max(a,b) with a =

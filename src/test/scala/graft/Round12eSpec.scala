@@ -544,6 +544,36 @@ class Round12eSpec extends SparkSpec {
     assert(out("junky").getAs[Long]("quality_n") === 1L)
   }
 
+  test("dupSourceMatrix charges the lifted paragraph to the copying feed") {
+    // doc 1 owns the 8-token chunk; doc 2 (other source) lifts it
+    val chunk = "one two three four five six seven eight"
+    val d = Seq(
+      (1L, chunk, "en", "origin", 39L),
+      (2L, chunk, "en", "copier", 39L),
+      (3L, "totally different other words here now exist fine", "en", "origin", 49L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.Dedup.dupSourceMatrix(d).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("keeper_source") === "origin")
+    assert(out.head.getAs[String]("dup_source") === "copier")
+    assert(out.head.getAs[Long]("n_dups") === 1L)
+  }
+
+  test("embedDimCorr flags perfectly coupled dims and clears independent ones") {
+    // dim2 = 2 * dim1 (corr 1); dim3 alternates independently
+    val emb = Seq(
+      (0L, Array(1f, 2f, 1f)), (1L, Array(2f, 4f, -1f)),
+      (2L, Array(3f, 6f, 1f)), (3L, Array(4f, 8f, -1f)))
+      .map { case (id, v) => (id, v ++ Array.fill(5)(0f)) }
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.embedDimCorr(emb).collect()
+      .map(r => (r.getAs[Long]("dim_i"), r.getAs[Long]("dim_j")) -> r).toMap
+    assert(out((1L, 2L)).getAs[Double]("corr") === 1.0)
+    assert(out((1L, 2L)).getAs[Boolean]("redundant"))
+    assert(math.abs(out((1L, 3L)).getAs[Double]("corr")) < 0.5)
+    assert(!out((1L, 3L)).getAs[Boolean]("redundant"))
+  }
+
   test("lshProbeSweep: one bit-flip recovers the boundary-crossing neighbor") {
     // query sits just above the 4th hyperplane; its true nearest sits
     // just below it — invisible at h=0, found at h=1
