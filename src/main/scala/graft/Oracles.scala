@@ -5308,6 +5308,28 @@ object Oracles {
          |       ELSE 0.0 END AS leaked_test_share
          |FROM t CROSS JOIN lk""".stripMargin,
 
+    // MRR-style monthly revenue flows (new/repeat/resurrected/churned)
+    "revenue_growth_accounting" ->
+      """WITH cm AS (SELECT user_id, CAST(year(ts) * 12 + month(ts) AS BIGINT) AS m,
+        |      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS r
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |l AS (SELECT *, lag(m) OVER w AS prev_m, lead(m) OVER w AS next_m
+        |      FROM cm WINDOW w AS (PARTITION BY user_id ORDER BY m)),
+        |act AS (SELECT m, CAST(sum(r) AS BIGINT) AS total_cents,
+        |  CAST(sum(CASE WHEN prev_m IS NULL THEN r ELSE 0 END) AS BIGINT) AS new_cents,
+        |  CAST(sum(CASE WHEN prev_m = m - 1 THEN r ELSE 0 END) AS BIGINT) AS repeat_cents,
+        |  CAST(sum(CASE WHEN prev_m IS NOT NULL AND prev_m < m - 1 THEN r ELSE 0 END) AS BIGINT) AS resurrected_cents
+        |  FROM l GROUP BY 1),
+        |ch AS (SELECT m + 1 AS m, CAST(sum(r) AS BIGINT) AS churned_cents
+        |       FROM l WHERE next_m IS NULL OR next_m > m + 1 GROUP BY 1),
+        |pv AS (SELECT m + 1 AS m, total_cents AS prev_total FROM act)
+        |SELECT act.m AS month_idx, act.total_cents, act.new_cents, act.repeat_cents,
+        |  act.resurrected_cents, coalesce(ch.churned_cents, 0) AS churned_cents,
+        |  CASE WHEN pv.prev_total > 0
+        |       THEN round(CAST(act.repeat_cents AS DOUBLE) / pv.prev_total, 6)
+        |       ELSE 0.0 END AS revenue_retention
+        |FROM act LEFT JOIN ch ON ch.m = act.m LEFT JOIN pv ON pv.m = act.m""".stripMargin,
+
     // directional who-copies-whom matrix over duplicate 8-token chunks
     "dup_source_matrix" ->
       s"""WITH t AS (SELECT doc_id, source, $toks AS toks FROM documents WHERE len($toks) > 0),

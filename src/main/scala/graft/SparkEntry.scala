@@ -347,6 +347,8 @@ object SparkEntry {
       Dedup.dupSourceMatrix(spread(t(s, d, "documents")))),
     "embed_dim_corr" -> ((s, d) =>
       Similarity.embedDimCorr(t(s, d, "embeddings"))),
+    "revenue_growth_accounting" -> ((s, d) =>
+      Relational.revenueGrowthAccounting(events(s, d))),
     "token_label_prop" -> ((s, d) => Graph.tokenLabelProp(spread(t(s, d, "documents")))),
     "casing_profile" -> ((s, d) => TextOps.casingProfile(spread(t(s, d, "documents")))),
     "vocab_novelty_by_source" -> ((s, d) =>

@@ -2525,6 +2525,47 @@ object Relational {
       .withColumn("arpu_cents",
         round(col("revenue_cents").cast("double") / col("n_active_users"), 4))
 
+  /** Monthly revenue growth accounting (C174): [[growthAccounting]]'s
+    * MRR-style twin on PURCHASE CENTS — each month's revenue split
+    * into new (first-ever month), repeat (paid last month) and
+    * resurrected (paid before, skipped last month) exact-cent flows,
+    * plus the churned cents (last month's revenue from customers who
+    * didn't return) and the repeat-retention rate vs the prior
+    * month's total. User counts say who stayed; this says what the
+    * flows are WORTH. One per-user month aggregate + one lag/lead
+    * window; the month frame is time-bounded. */
+  def revenueGrowthAccounting(events: DataFrame): DataFrame = {
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("m")
+    val cm = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        (year(col("ts")) * 12 + month(col("ts"))).cast("long").as("m"),
+        cents(col("value")).as("c"))
+      .groupBy("user_id", "m").agg(sum(col("c")).as("r"))
+      .withColumn("prev_m", lag(col("m"), 1).over(order))
+      .withColumn("next_m", lead(col("m"), 1).over(order))
+    val act = cm.groupBy("m").agg(
+      sum(col("r")).as("total_cents"),
+      sum(when(col("prev_m").isNull, col("r")).otherwise(0L)).as("new_cents"),
+      sum(when(col("prev_m") === col("m") - 1, col("r")).otherwise(0L))
+        .as("repeat_cents"),
+      sum(when(col("prev_m").isNotNull && col("prev_m") < col("m") - 1,
+        col("r")).otherwise(0L)).as("resurrected_cents"))
+    val churn = cm
+      .filter(col("next_m").isNull || col("next_m") > col("m") + 1)
+      .groupBy((col("m") + 1).as("m"))
+      .agg(sum(col("r")).as("churned_cents"))
+    act.join(churn, Seq("m"), "left")
+      .join(act.select((col("m") + 1).as("m"),
+        col("total_cents").as("prev_total")), Seq("m"), "left")
+      .select(col("m").as("month_idx"), col("total_cents"), col("new_cents"),
+        col("repeat_cents"), col("resurrected_cents"),
+        coalesce(col("churned_cents"), lit(0L)).as("churned_cents"),
+        when(col("prev_total") > 0,
+          round(col("repeat_cents").cast("double") / col("prev_total"), 6))
+          .otherwise(lit(0.0)).as("revenue_retention"))
+  }
+
   /** Weekly growth accounting (C161): every active user classified as
     * NEW (first-ever week), RETAINED (active the week before) or
     * RESURRECTED (active before, but not last week), plus the CHURNED

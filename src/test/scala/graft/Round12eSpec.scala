@@ -574,6 +574,24 @@ class Round12eSpec extends SparkSpec {
     assert(!out((1L, 3L)).getAs[Boolean]("redundant"))
   }
 
+  test("revenueGrowthAccounting splits monthly cents into the four flows") {
+    val d = events(
+      (1L, 1L, "2024-01-10 12:00:00", "purchase", 1.0), // u1 m1
+      (2L, 1L, "2024-02-10 12:00:00", "purchase", 2.0), // u1 m2: repeat
+      (3L, 2L, "2024-01-15 12:00:00", "purchase", 5.0), // u2 m1 only: churns
+      (4L, 3L, "2024-01-20 12:00:00", "purchase", 3.0), // u3 m1
+      (5L, 3L, "2024-03-20 12:00:00", "purchase", 4.0)) // u3 m3: resurrects
+    val out = graft.operators.Relational.revenueGrowthAccounting(d)
+      .orderBy("month_idx").collect()
+    assert(out.length === 3)
+    assert(out(0).getAs[Long]("new_cents") === 900L)
+    assert(out(1).getAs[Long]("repeat_cents") === 200L)
+    assert(out(1).getAs[Long]("churned_cents") === 800L) // u2 500 + u3 300
+    assert(math.abs(out(1).getAs[Double]("revenue_retention") - 200.0 / 900) < 1e-5)
+    assert(out(2).getAs[Long]("resurrected_cents") === 400L)
+    assert(out(2).getAs[Long]("churned_cents") === 200L) // u1 leaves after m2
+  }
+
   test("lshProbeSweep: one bit-flip recovers the boundary-crossing neighbor") {
     // query sits just above the 4th hyperplane; its true nearest sits
     // just below it — invisible at h=0, found at h=1
