@@ -5308,6 +5308,33 @@ object Oracles {
          |       ELSE 0.0 END AS leaked_test_share
          |FROM t CROSS JOIN lk""".stripMargin,
 
+    // order-to-ship latency profile per order priority
+    "priority_leadtime" ->
+      """WITH li AS (SELECT l_orderkey AS o_orderkey,
+        |      epoch_ns(l_shipdate) // 1000 AS ship_us FROM lineitem),
+        |o AS (SELECT o_orderkey, o_orderpriority,
+        |      epoch_ns(o_orderdate) // 1000 AS order_us FROM orders),
+        |x AS (SELECT o_orderpriority, (ship_us - order_us) // 86400000000 AS lat_days
+        |      FROM li JOIN o USING (o_orderkey))
+        |SELECT o_orderpriority, count(*) AS n_lines,
+        |  round(CAST(sum(lat_days) AS DOUBLE) / count(*), 4) AS mean_days,
+        |  round(quantile_cont(lat_days, 0.5), 4) AS p50_days,
+        |  round(quantile_cont(lat_days, 0.9), 4) AS p90_days
+        |FROM x GROUP BY 1""".stripMargin,
+
+    // customer spend HHI + effective N off exact integer moments
+    "spend_hhi" ->
+      """WITH pc AS (SELECT o_custkey,
+        |      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+        |      FROM orders GROUP BY 1),
+        |a AS (SELECT count(*) AS n_customers, CAST(sum(r) AS BIGINT) AS s, sum(r * r) AS s2 FROM pc),
+        |h AS (SELECT n_customers,
+        |      round(CAST(s2 AS DOUBLE) / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 9) AS hhi
+        |      FROM a)
+        |SELECT n_customers, hhi,
+        |  CASE WHEN hhi > 0 THEN round(1.0 / hhi, 4) ELSE 0.0 END AS effective_n
+        |FROM h""".stripMargin,
+
     // MRR-style monthly revenue flows (new/repeat/resurrected/churned)
     "revenue_growth_accounting" ->
       """WITH cm AS (SELECT user_id, CAST(year(ts) * 12 + month(ts) AS BIGINT) AS m,

@@ -349,6 +349,9 @@ object SparkEntry {
       Similarity.embedDimCorr(t(s, d, "embeddings"))),
     "revenue_growth_accounting" -> ((s, d) =>
       Relational.revenueGrowthAccounting(events(s, d))),
+    "priority_leadtime" -> ((s, d) =>
+      Relational.priorityLeadtime(t(s, d, "lineitem"), t(s, d, "orders"))),
+    "spend_hhi" -> ((s, d) => Relational.spendHhi(t(s, d, "orders"))),
     "token_label_prop" -> ((s, d) => Graph.tokenLabelProp(spread(t(s, d, "documents")))),
     "casing_profile" -> ((s, d) => TextOps.casingProfile(spread(t(s, d, "documents")))),
     "vocab_novelty_by_source" -> ((s, d) =>

@@ -2452,6 +2452,46 @@ object Relational {
       .join(broadcast(supplier.select(col("s_suppkey").as("l_suppkey"),
         col("s_name"))), "l_suppkey")
 
+  /** Lead-time by order priority (C175): does 1-URGENT actually ship
+    * faster than 5-LOW — the SLA-honesty check read off the same
+    * exact floor-day latency as [[supplierLeadtime]], grouped by the
+    * priority a customer paid for. One join + one priority-bounded
+    * aggregate. */
+  def priorityLeadtime(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey").as("o_orderkey"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))").as("ship_us"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("order_us")),
+        "o_orderkey")
+      .select(col("o_orderpriority"),
+        expr("(ship_us - order_us) div 86400000000").as("lat_days"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("lat_days")).cast("double") / count(lit(1)), 4)
+          .as("mean_days"),
+        round(percentile(col("lat_days"), lit(0.5)), 4).as("p50_days"),
+        round(percentile(col("lat_days"), lit(0.9)), 4).as("p90_days"))
+
+  /** Customer spend concentration: HHI + effective customer count
+    * (C176) — the antitrust-style concentration number next to
+    * [[spendGini]]'s inequality curve (Gini says how unequal; HHI says
+    * how few customers the revenue effectively rests on, 1/HHI being
+    * the "effective N"). Computed from exact integer moments (Σr,
+    * Σr² decimal-widened) so no data-sized double fold exists; only
+    * the O(1) ratio rounds. */
+  def spendHhi(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("r"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("r")).as("s"),
+        sum((col("r") * col("r")).cast("decimal(38,0)")).as("s2"))
+      .select(col("n_customers"),
+        round(col("s2").cast("double")
+          / (col("s").cast("double") * col("s").cast("double")), 9).as("hhi"))
+      .withColumn("effective_n",
+        when(col("hhi") > 0, round(lit(1.0) / col("hhi"), 4))
+          .otherwise(lit(0.0)))
+
   /** Return rate per part brand (C171): the retail quality scorecard —
     * share of line items returned (l_returnflag = 'R') and the exact
     * cents of returned revenue per brand. One broadcast part join +

@@ -592,6 +592,31 @@ class Round12eSpec extends SparkSpec {
     assert(out(2).getAs[Long]("churned_cents") === 200L) // u1 leaves after m2
   }
 
+  test("priorityLeadtime groups exact floor-day latency by priority") {
+    val li = Seq((1L, "2024-01-03 12:00:00"), (2L, "2024-01-09 12:00:00"))
+      .map { case (ok, sd) => (ok, java.sql.Timestamp.valueOf(sd)) }
+      .toDF("l_orderkey", "l_shipdate")
+    val orders = Seq((1L, "1-URGENT", "2024-01-01 12:00:00"),
+      (2L, "5-LOW", "2024-01-01 12:00:00"))
+      .map { case (ok, pr, od) => (ok, pr, java.sql.Timestamp.valueOf(od)) }
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val out = graft.operators.Relational.priorityLeadtime(li, orders)
+      .collect().map(r => r.getAs[String]("o_orderpriority") ->
+        r.getAs[Double]("p50_days")).toMap
+    assert(out === Map("1-URGENT" -> 2.0, "5-LOW" -> 8.0))
+  }
+
+  test("spendHhi: equal customers give hhi 1/n, a monopolist gives 1") {
+    val eq = (1L to 4L).map(c => (c * 10, c, 1.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val r1 = graft.operators.Relational.spendHhi(eq).collect().head
+    assert(r1.getAs[Double]("hhi") === 0.25)
+    assert(r1.getAs[Double]("effective_n") === 4.0)
+    val mono = Seq((1L, 1L, 5.0)).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val r2 = graft.operators.Relational.spendHhi(mono).collect().head
+    assert(r2.getAs[Double]("hhi") === 1.0)
+  }
+
   test("lshProbeSweep: one bit-flip recovers the boundary-crossing neighbor") {
     // query sits just above the 4th hyperplane; its true nearest sits
     // just below it — invisible at h=0, found at h=1
