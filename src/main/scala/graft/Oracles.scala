@@ -5308,6 +5308,40 @@ object Oracles {
          |       ELSE 0.0 END AS leaked_test_share
          |FROM t CROSS JOIN lk""".stripMargin,
 
+    // OLS of token length on ln(frequency): the law-of-abbreviation fit
+    "zipf_abbreviation" ->
+      s"""WITH c AS (SELECT token, count(*) AS cnt FROM $tokTable GROUP BY 1),
+         |x AS (SELECT round(ln(CAST(cnt AS DOUBLE)), 9) AS x,
+         |      CAST(length(token) AS DOUBLE) AS y FROM c),
+         |a AS (SELECT count(*) AS n_tokens,
+         |  list_reduce(list_sort(list(x)), (p, q) -> p + q) AS sx,
+         |  list_reduce(list_sort(list(y)), (p, q) -> p + q) AS sy,
+         |  list_reduce(list_sort(list(round(x * y, 9))), (p, q) -> p + q) AS sxy,
+         |  list_reduce(list_sort(list(round(x * x, 9))), (p, q) -> p + q) AS sxx
+         |  FROM x)
+         |SELECT n_tokens,
+         |  round((n_tokens * sxy - sx * sy) / (n_tokens * sxx - sx * sx), 6) AS slope_len_per_lnf,
+         |  round((sy * sxx - sx * sxy) / (n_tokens * sxx - sx * sx), 6) AS intercept_len
+         |FROM a WHERE n_tokens > 1 AND n_tokens * sxx - sx * sx <> 0.0""".stripMargin,
+
+    // consecutive-purchase gap profile + repeat-buyer share
+    "repurchase_intervals" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+        |      FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT user_id, us,
+        |      lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM p),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS n_buyers,
+        |      CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat
+        |      FROM (SELECT user_id, count(*) AS n FROM p GROUP BY 1)),
+        |x AS (SELECT (us - prev_us) // 86400000000 AS gap_days FROM g WHERE prev_us IS NOT NULL),
+        |a AS (SELECT count(*) AS n_gaps,
+        |      round(quantile_cont(gap_days, 0.5), 4) AS p50_days,
+        |      round(quantile_cont(gap_days, 0.9), 4) AS p90_days FROM x)
+        |SELECT n_buyers, n_repeat,
+        |  round(CAST(n_repeat AS DOUBLE) / n_buyers, 6) AS repeat_share,
+        |  n_gaps, p50_days, p90_days
+        |FROM a CROSS JOIN b""".stripMargin,
+
     // order-to-ship latency profile per order priority
     "priority_leadtime" ->
       """WITH li AS (SELECT l_orderkey AS o_orderkey,

@@ -352,6 +352,10 @@ object SparkEntry {
     "priority_leadtime" -> ((s, d) =>
       Relational.priorityLeadtime(t(s, d, "lineitem"), t(s, d, "orders"))),
     "spend_hhi" -> ((s, d) => Relational.spendHhi(t(s, d, "orders"))),
+    "zipf_abbreviation" -> ((s, d) =>
+      LangModel.zipfAbbreviation(spread(t(s, d, "documents")))),
+    "repurchase_intervals" -> ((s, d) =>
+      Relational.repurchaseIntervals(events(s, d))),
     "token_label_prop" -> ((s, d) => Graph.tokenLabelProp(spread(t(s, d, "documents")))),
     "casing_profile" -> ((s, d) => TextOps.casingProfile(spread(t(s, d, "documents")))),
     "vocab_novelty_by_source" -> ((s, d) =>

@@ -504,6 +504,35 @@ object LangModel {
         round(col("dcg") / col("idcg"), 6).as("ndcg"))
   }
 
+  /** Zipf's law of abbreviation fit (B199): OLS slope of token LENGTH
+    * on ln(frequency) over the vocabulary — natural language keeps its
+    * frequent words short (negative slope); a corpus that loses the
+    * effect is ID dumps, hashes or template noise wearing a language
+    * tag. Same vocab-bounded sorted-fold OLS discipline as
+    * [[zipfSlope]] (which fits rank–frequency; this fits the
+    * length–frequency law), 9 dp terms, 6 dp coefficients. */
+  def zipfAbbreviation(docs: DataFrame): DataFrame = {
+    def fold(c: org.apache.spark.sql.Column) =
+      aggregate(sort_array(collect_list(c)), lit(0.0), (a, b) => a + b)
+    docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .select(round(log(col("cnt").cast("double")), 9).as("x"),
+        length(col("token")).cast("double").as("y"))
+      .agg(count(lit(1)).as("n_tokens"),
+        fold(col("x")).as("sx"), fold(col("y")).as("sy"),
+        fold(round(col("x") * col("y"), 9)).as("sxy"),
+        fold(round(col("x") * col("x"), 9)).as("sxx"))
+      .filter(col("n_tokens") > 1
+        && col("n_tokens") * col("sxx") - col("sx") * col("sx") =!= 0.0)
+      .select(col("n_tokens"),
+        round((col("n_tokens") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_tokens") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("slope_len_per_lnf"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy"))
+          / (col("n_tokens") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("intercept_len"))
+  }
+
   /** Greedy generation from the corpus bigram LM (B195): the sanity
     * check every n-gram LM gets — start at the corpus's most frequent
     * token and follow the argmax next-token edge for `steps` steps

@@ -2452,6 +2452,34 @@ object Relational {
       .join(broadcast(supplier.select(col("s_suppkey").as("l_suppkey"),
         col("s_name"))), "l_suppkey")
 
+  /** Repurchase-interval profile (C177): gaps between a user's
+    * CONSECUTIVE purchases — repeat-buyer share and p50/p90 days
+    * between orders, the replenishment-cycle readout
+    * ([[interarrivalStats]] times all events; a retention team cares
+    * about money events only). One purchase-filtered lag window; exact
+    * floor-day gaps. */
+  def repurchaseIntervals(events: DataFrame): DataFrame = {
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val gaps = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(order))
+    val buyers = gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"))
+    val b = buyers.agg(count(lit(1)).as("n_buyers"),
+      sum(when(col("n_purchases") >= 2, 1L).otherwise(0L)).as("n_repeat"))
+    gaps.filter(col("prev_us").isNotNull)
+      .select(expr("(us - prev_us) div 86400000000").as("gap_days"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(percentile(col("gap_days"), lit(0.5)), 4).as("p50_days"),
+        round(percentile(col("gap_days"), lit(0.9)), 4).as("p90_days"))
+      .crossJoin(broadcast(b))
+      .select(col("n_buyers"), col("n_repeat"),
+        round(col("n_repeat").cast("double") / col("n_buyers"), 6)
+          .as("repeat_share"),
+        col("n_gaps"), col("p50_days"), col("p90_days"))
+  }
+
   /** Lead-time by order priority (C175): does 1-URGENT actually ship
     * faster than 5-LOW — the SLA-honesty check read off the same
     * exact floor-day latency as [[supplierLeadtime]], grouped by the

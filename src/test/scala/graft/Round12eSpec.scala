@@ -617,6 +617,31 @@ class Round12eSpec extends SparkSpec {
     assert(r2.getAs[Double]("hhi") === 1.0)
   }
 
+  test("zipfAbbreviation fits shorter-means-more-frequent as a negative slope") {
+    // 'aa' x4 (short, frequent), 'bbbb' x2 (long, rare)
+    val d = Seq((1L, "aa aa aa aa bbbb bbbb", "en", "s1", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.operators.LangModel.zipfAbbreviation(d).collect().head
+    assert(r.getAs[Long]("n_tokens") === 2L)
+    val slope = -2.0 / math.log(2.0)
+    assert(math.abs(r.getAs[Double]("slope_len_per_lnf") - slope) < 1e-4)
+    assert(math.abs(r.getAs[Double]("intercept_len") - 6.0) < 1e-4)
+  }
+
+  test("repurchaseIntervals profiles consecutive purchase gaps") {
+    val d = events(
+      (1L, 1L, "2024-01-01 12:00:00", "purchase", 1.0),
+      (2L, 1L, "2024-01-11 12:00:00", "purchase", 1.0), // gap 10 d
+      (3L, 1L, "2024-01-31 12:00:00", "purchase", 1.0), // gap 20 d
+      (4L, 2L, "2024-01-05 12:00:00", "purchase", 1.0)) // single buyer
+    val r = graft.operators.Relational.repurchaseIntervals(d).collect().head
+    assert(r.getAs[Long]("n_buyers") === 2L)
+    assert(r.getAs[Long]("n_repeat") === 1L)
+    assert(r.getAs[Double]("repeat_share") === 0.5)
+    assert(r.getAs[Long]("n_gaps") === 2L)
+    assert(r.getAs[Double]("p50_days") === 15.0)
+  }
+
   test("lshProbeSweep: one bit-flip recovers the boundary-crossing neighbor") {
     // query sits just above the 4th hyperplane; its true nearest sits
     // just below it — invisible at h=0, found at h=1
