@@ -5308,6 +5308,24 @@ object Oracles {
          |       ELSE 0.0 END AS leaked_test_share
          |FROM t CROSS JOIN lk""".stripMargin,
 
+    // per-customer integer-moment OLS slopes -> growing/shrinking census
+    "customer_value_trend" ->
+      """WITH o AS (SELECT o_custkey,
+        |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS i,
+        |      CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        |m AS (SELECT o_custkey, count(*) AS n, CAST(sum(i) AS BIGINT) AS sx,
+        |      CAST(sum(i * i) AS BIGINT) AS sxx, CAST(sum(c) AS BIGINT) AS sy,
+        |      CAST(sum(i * c) AS BIGINT) AS sxy FROM o GROUP BY 1),
+        |f AS (SELECT CAST(round(
+        |      (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)) * 1000000) AS BIGINT) AS sm
+        |      FROM m WHERE n >= 3 AND n * sxx - sx * sx <> 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_customers_fit,
+        |  CAST(sum(CASE WHEN sm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_growing,
+        |  CAST(sum(CASE WHEN sm < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_shrinking,
+        |  round(CAST(sum(CASE WHEN sm > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS growing_share,
+        |  round(CAST(sum(sm) AS DOUBLE) / count(*) / 1000000.0, 4) AS mean_slope_cents_per_order
+        |FROM f""".stripMargin,
+
     // OLS of token length on ln(frequency): the law-of-abbreviation fit
     "zipf_abbreviation" ->
       s"""WITH c AS (SELECT token, count(*) AS cnt FROM $tokTable GROUP BY 1),

@@ -356,6 +356,8 @@ object SparkEntry {
       LangModel.zipfAbbreviation(spread(t(s, d, "documents")))),
     "repurchase_intervals" -> ((s, d) =>
       Relational.repurchaseIntervals(events(s, d))),
+    "customer_value_trend" -> ((s, d) =>
+      Relational.customerValueTrend(t(s, d, "orders"))),
     "token_label_prop" -> ((s, d) => Graph.tokenLabelProp(spread(t(s, d, "documents")))),
     "casing_profile" -> ((s, d) => TextOps.casingProfile(spread(t(s, d, "documents")))),
     "vocab_novelty_by_source" -> ((s, d) =>

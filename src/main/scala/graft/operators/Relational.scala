@@ -2452,6 +2452,42 @@ object Relational {
       .join(broadcast(supplier.select(col("s_suppkey").as("l_suppkey"),
         col("s_name"))), "l_suppkey")
 
+  /** Customer value-trend census (C178): per customer with ≥ 3
+    * orders, the OLS slope of order cents on order INDEX — then the
+    * census of growing vs shrinking accounts and the mean slope, the
+    * book-of-business health answer ("are my customers spending more
+    * each time they come back"). The per-customer fit is CLOSED FORM
+    * off exact integer moments (Σi, Σi², Σc, Σi·c — one ordered
+    * window for the index, everything else a grouped aggregate), so
+    * no per-customer double fold exists; slopes convert to micro-units
+    * before the global mean. */
+  def customerValueTrend(orders: DataFrame, minOrders: Long = 3L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val fit = orders
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("c"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), sum(col("i")).as("sx"),
+        sum(col("i") * col("i")).as("sxx"), sum(col("c")).as("sy"),
+        sum(col("i") * col("c")).as("sxy"))
+      .filter(col("n") >= minOrders
+        && col("n") * col("sxx") - col("sx") * col("sx") =!= 0L)
+      .select(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        / (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
+      .select(expr("CAST(round(slope * 1000000) AS BIGINT)").as("sm"))
+    fit.agg(count(lit(1)).as("n_customers_fit"),
+        sum(when(col("sm") > 0, 1L).otherwise(0L)).as("n_growing"),
+        sum(when(col("sm") < 0, 1L).otherwise(0L)).as("n_shrinking"),
+        sum(col("sm")).as("_ssum"))
+      .select(col("n_customers_fit"), col("n_growing"), col("n_shrinking"),
+        round(col("n_growing").cast("double") / col("n_customers_fit"), 6)
+          .as("growing_share"),
+        round(col("_ssum").cast("double") / col("n_customers_fit")
+          / 1000000.0, 4).as("mean_slope_cents_per_order"))
+  }
+
   /** Repurchase-interval profile (C177): gaps between a user's
     * CONSECUTIVE purchases — repeat-buyer share and p50/p90 days
     * between orders, the replenishment-cycle readout

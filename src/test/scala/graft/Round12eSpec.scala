@@ -642,6 +642,26 @@ class Round12eSpec extends SparkSpec {
     assert(r.getAs[Double]("p50_days") === 15.0)
   }
 
+  test("customerValueTrend classifies ramping vs fading accounts") {
+    // u1 orders 100 -> 200 -> 300 cents (slope +100); u2 300 -> 200 -> 100;
+    // u3 has only 2 orders: excluded from the fit
+    val rows = Seq(
+      (1L, 1L, "2024-01-01", 1.0), (2L, 1L, "2024-02-01", 2.0),
+      (3L, 1L, "2024-03-01", 3.0),
+      (4L, 2L, "2024-01-01", 3.0), (5L, 2L, "2024-02-01", 2.0),
+      (6L, 2L, "2024-03-01", 1.0),
+      (7L, 3L, "2024-01-01", 1.0), (8L, 3L, "2024-02-01", 1.0))
+    val orders = rows.map { case (ok, ck, d, v) =>
+      (ok, ck, java.sql.Timestamp.valueOf(d + " 12:00:00"), v) }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val r = graft.operators.Relational.customerValueTrend(orders).collect().head
+    assert(r.getAs[Long]("n_customers_fit") === 2L)
+    assert(r.getAs[Long]("n_growing") === 1L)
+    assert(r.getAs[Long]("n_shrinking") === 1L)
+    assert(r.getAs[Double]("growing_share") === 0.5)
+    assert(r.getAs[Double]("mean_slope_cents_per_order") === 0.0) // +100, -100
+  }
+
   test("lshProbeSweep: one bit-flip recovers the boundary-crossing neighbor") {
     // query sits just above the 4th hyperplane; its true nearest sits
     // just below it — invisible at h=0, found at h=1
