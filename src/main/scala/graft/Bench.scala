@@ -38,14 +38,33 @@ object Bench {
   }
 
   /** Accumulates shuffle/aggregation spill bytes across all tasks; deltas
-    * around a timed query show whether its partitions fit in memory. */
+    * around a timed query show whether its partitions fit in memory. Also
+    * counts jobs, so a timed reading is attributable from the artifact
+    * (a 75 s query with 60 jobs is an iterative chain paying per-job
+    * latency; one with 3 jobs is a slow plan). */
   private final class SpillListener extends org.apache.spark.scheduler.SparkListener {
     val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0L)
     override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) bytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
     }
+    override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      jobs.incrementAndGet(); ()
+    }
   }
+
+  /** Release EVERY block a query left in the BlockManager, not just the
+    * CacheTracker-registered result caches: iterative operators pin
+    * per-round localCheckpoint blocks (bradley_terry, token_label_prop,
+    * kmeans variants) that CacheTracker never sees, because unpersisting
+    * a checkpointed frame mid-consumption would be a correctness bug.
+    * Across a 376-query pass those orphans accumulate (they free only on
+    * GC + ContextCleaner), bloating the BlockManager until later queries'
+    * MEMORY_AND_DISK caches thrash — the round-12 official-vs-internal
+    * 2× inflation signature. Between queries every block is garbage by
+    * contract (each query rebuilds its own caches), so drain them all. */
+  private def drainBlocks(spark: SparkSession): Unit = CacheTracker.drainAll(spark)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,20 +94,29 @@ object Bench {
     spark.sparkContext.addSparkListener(spill)
     val results = ordered.map { case (name, fn) =>
       try force(fn(spark, sfDir)) catch { case _: Throwable => () }
-      CacheTracker.releaseAll()
+      drainBlocks(spark)
       // listener delivery is async and the bus is private[spark]: settle
       // the spill counter (poll until stable) so the warmup's task-end
       // events don't bleed into the timed delta. Outside t0, so per-query
       // timings are unaffected.
       settle(() => spill.bytes.get())
-      val (gc0, sp0) = (gcMillis(), spill.bytes.get())
+      val (gc0, sp0, jb0) = (gcMillis(), spill.bytes.get(), spill.jobs.get())
       val t0 = System.nanoTime()
-      val ok = try { force(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+      // build (plan construction + analysis + any operator-eager stats
+      // jobs) timed separately from execution, so an inflated official
+      // reading is attributable to one or the other from the artifact
+      var tBuild = t0
+      val ok = try {
+        val df = fn(spark, sfDir)
+        tBuild = System.nanoTime()
+        force(df); true
+      } catch { case _: Throwable => false }
       // a crashed query reports -1, never a fake timing
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       settle(() => spill.bytes.get())
-      CacheTracker.releaseAll() // release AFTER the timing: unpersist is bookkeeping, not query work
-      (name, dt, gcMillis() - gc0, spill.bytes.get() - sp0)
+      drainBlocks(spark) // release AFTER the timing: unpersist is bookkeeping, not query work
+      (name, dt, gcMillis() - gc0, spill.bytes.get() - sp0,
+        spill.jobs.get() - jb0, (tBuild - t0) / 1000000L)
     }
     val timings = results.map(r => r._1 -> r._2)
     // total covers successful queries only; failures stay visible as -1
@@ -103,7 +131,9 @@ object Bench {
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(timings)},""" +
         s""""gc_ms":${jlong(results.map(r => r._1 -> r._3))},""" +
-        s""""spill_bytes":${jlong(results.map(r => r._1 -> r._4))},"sf":"$sfDir"}""")
+        s""""spill_bytes":${jlong(results.map(r => r._1 -> r._4))},""" +
+        s""""jobs":${jlong(results.map(r => r._1 -> r._5))},""" +
+        s""""build_ms":${jlong(results.map(r => r._1 -> r._6))},"sf":"$sfDir"}""")
     // subset runs (dev A/B) show exactly what was asked for
     val head = if (subset.nonEmpty) jmap(timings)
       else jmap(timings.filter(r => headline(r._1)))

@@ -23,4 +23,21 @@ object CacheTracker {
     live.foreach(ds => try ds.unpersist() catch { case _: Throwable => () })
     live.clear()
   }
+
+  /** [[releaseAll]] plus every other persisted block on the context —
+    * including the per-round localCheckpoint blocks iterative operators
+    * pin (bradley_terry, token_label_prop, kmeans): those are invisible
+    * to [[track]] by design (unpersisting a checkpointed frame before
+    * its consumer runs would be a correctness bug) and otherwise free
+    * only on GC + ContextCleaner. A harness that runs hundreds of
+    * queries on one session MUST call this between queries or the
+    * BlockManager bloats until later queries' caches thrash (the
+    * round-12 official-bench 2× inflation). Only safe at a query
+    * boundary: every live block is garbage by contract there. */
+  def drainAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    releaseAll()
+    try spark.sparkContext.getPersistentRDDs.values
+      .foreach(rdd => try rdd.unpersist(blocking = false) catch { case _: Throwable => () })
+    catch { case _: Throwable => () }
+  }
 }

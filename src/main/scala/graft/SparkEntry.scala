@@ -640,10 +640,11 @@ object SparkEntry {
     // at scale. Binning bounds candidates to the two adjacent 24h bins.
     // rangeJoin's window is closed ([us−24h, us]); the original strict
     // lower bound (> us−24h) is restored by one cheap post-filter, so
-    // the oracle is unchanged. Cents are non-negative by construction
-    // (round(value*100) on purchase values ≥ 0), which is what lets
-    // Spark's truncating div/% below mirror DuckDB's floor `//`/`%` —
-    // the pair only agrees for non-negative operands.
+    // the oracle is unchanged. The split below uses FLOOR-consistent
+    // div/mod ((x − pmod(x,d)) div d, pmod) rather than Spark's
+    // truncating div/%, so the pair mirrors DuckDB's floor `//`/`%` for
+    // ANY sign of cents — not just the non-negative values this data
+    // happens to carry — and the first-touch remainder stays in [0, n).
     "attribution_linear" -> ((s, d) => {
       val e = events(s, d).select(col("event_id"), col("user_id"),
         col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
@@ -664,10 +665,12 @@ object SparkEntry {
           org.apache.spark.sql.expressions.Window.partitionBy("event_id")))
         .withColumn("tr", row_number().over(wFirst))
         .select(col("click_us"),
-          (expr("cents div n_touch") +
-            when(col("tr") === 1, col("cents") % col("n_touch"))
+          (expr("(cents - pmod(cents, n_touch)) div n_touch") +
+            when(col("tr") === 1, expr("pmod(cents, n_touch)"))
               .otherwise(lit(0L))).as("att_cents"))
-        .groupBy(expr("pmod(click_us div 3600000000, 24)").as("click_hour"))
+        .groupBy(expr(
+          "pmod((click_us - pmod(click_us, 3600000000)) div 3600000000, 24)")
+          .as("click_hour"))
         .agg(count(lit(1)).as("n_touches"),
           sum(col("att_cents")).as("attributed_cents"))
     }),

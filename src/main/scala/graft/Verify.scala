@@ -36,7 +36,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
       }
-      CacheTracker.releaseAll() // operator result caches are query-scoped
+      // operator result caches are query-scoped; drainAll additionally
+      // frees the localCheckpoint blocks iterative operators leave behind
+      // (376 queries of orphans otherwise bloat the BlockManager)
+      CacheTracker.drainAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -176,9 +176,17 @@ object ScaleCheck {
       emb.count()
       val (tStd2, nStd2) = timedForce(Similarity.embedStandardize(emb))
       val (tStd1, nStd1) = timedForce(oneLevelDimStats(emb))
+      // near_dup_pairs under m-way duplication is the sign-LSH stress
+      // case: every vector is an m-way exact duplicate, so TRUE pairs
+      // grow ~m²/2 per base vector while input grows m — pair cost must
+      // track the true-pair count (quadratic in m because the OUTPUT is),
+      // never input²: adaptiveSignBits widens the blocking as n grows so
+      // non-duplicate co-residents per bucket stay bounded
+      val (tNdp, nNdp) = timedForce(Similarity.nearDupPairs(emb))
       val xpl = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       val buf1 = maxGroupRows(xpl, col("pos"))
       val buf2 = maxGroupRows(xpl, col("pos"), Folds.subBucket(col("vec_id")))
+      val ndpBits = Similarity.adaptiveSignBits(emb.count())
       emb.unpersist()
 
       println(s"""{"m":$m,"docs":${docs.count()},"events":${events.count()},""" +
@@ -198,6 +206,7 @@ object ScaleCheck {
         s""""jm_bigram":{"sec":$tJm,"rows":$nJm},""" +
         s""""session_concurrency":{"sec":$tConc,"rows":$nConc},""" +
         s""""survival_curve":{"sec":$tSurv,"rows":$nSurv},""" +
+        s""""near_dup_pairs":{"sec":$tNdp,"pairs":$nNdp,"bits":$ndpBits},""" +
         s""""embed_standardize_2level":{"sec":$tStd2,"rows":$nStd2,"max_agg_buffer_rows":$buf2,"rollup_rows":${Folds.DefaultBuckets}},""" +
         s""""dim_stats_1level":{"sec":$tStd1,"rows":$nStd1,"max_agg_buffer_rows":$buf1}}""")
       docs.unpersist(); events.unpersist()

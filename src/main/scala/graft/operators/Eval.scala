@@ -46,8 +46,8 @@ object Eval {
       "cum_neg", "total_neg", Seq(col("score")))
     swept
       .select(col("n_pos"), col("n_neg"), col("cum_neg"), col("total_neg"),
-        (col("n_pos") * (lit(2L) * (col("cum_neg") - col("n_neg")) + col("n_neg")))
-          .cast("decimal(38,0)").as("numer2"))
+        (col("n_pos").cast("decimal(38,0)")
+          * (lit(2L) * (col("cum_neg") - col("n_neg")) + col("n_neg"))).as("numer2"))
       .agg(
         sum(col("n_pos")).as("n_pos"),
         max(col("total_neg")).as("n_neg"),
@@ -127,7 +127,17 @@ object Eval {
     * integers (micro² sums in DECIMAL(38,0) — a 100 TB bin overflows
     * BIGINT), so bin statistics are float-fold-order-free; doubles
     * appear only in the final rounded ratios. */
-  def calibrationBins(docs: DataFrame): DataFrame = {
+  def calibrationBins(docs: DataFrame): DataFrame =
+    binnedExact(docs)
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("sum_p").cast("double") / col("n") / 1e6, 6).as("mean_p"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos"),
+        round(col("sum_sq").cast("double") / col("n") / 1e12, 6).as("brier"))
+
+  /** The exact-integer per-bin frame behind [[calibrationBins]] and
+    * [[brierDecomposition]] — factored so the diagram and its
+    * decomposition can never drift. */
+  private def binnedExact(docs: DataFrame): DataFrame = {
     val q = TextOps.qualityComposite
     val p = round(lit(1.0) / (lit(1.0) + exp(lit(2.0) - lit(4.0) * q)), 6)
     val pMicro = round(p * 1e6, 0).cast("long")
@@ -139,13 +149,41 @@ object Eval {
         count(lit(1)).as("n"),
         sum(col("p_micro")).as("sum_p"),
         sum(col("y")).as("n_pos"),
+        // per-row square ≤ 1e12 — far from Long overflow; only the SUM widens
         sum(((col("p_micro") - col("y") * 1000000L) *
           (col("p_micro") - col("y") * 1000000L)).cast("decimal(38,0)"))
           .as("sum_sq"))
-      .select(col("bin"), col("n"), col("n_pos"),
-        round(col("sum_p").cast("double") / col("n") / 1e6, 6).as("mean_p"),
-        round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos"),
-        round(col("sum_sq").cast("double") / col("n") / 1e12, 6).as("brier"))
+  }
+
+  /** Murphy decomposition of the Brier score over the 10 calibration
+    * bins (B204): brier = reliability − resolution + uncertainty (up to
+    * within-bin variance of p̂, which the emitted exact `brier` makes
+    * visible). reliability = Σ_b n_b(p̄_b − ȳ_b)²/N is what
+    * recalibration can remove; resolution = Σ_b n_b(ȳ_b − ȳ)²/N is the
+    * score's real discriminative power; uncertainty = ȳ(1−ȳ) is the
+    * data's floor. Per-bin contributions compute from the SAME exact
+    * integer sums as the diagram (9 dp-rounded terms, sorted fold over
+    * the 10-row frame); the one-row result divides last. */
+  def brierDecomposition(docs: DataFrame): DataFrame = {
+    val bins = binnedExact(docs)
+    val tot = bins.agg(sum(col("n")).as("nn"), sum(col("n_pos")).as("pp"),
+      sum(col("sum_sq")).as("ss"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("n"), col("nn"), col("pp"), col("ss"),
+        round(col("n") * pow(col("sum_p").cast("double") / col("n") / 1e6
+          - col("n_pos").cast("double") / col("n"), 2), 9).as("rel_term"),
+        round(col("n") * pow(col("n_pos").cast("double") / col("n")
+          - col("pp").cast("double") / col("nn"), 2), 9).as("res_term"))
+      .groupBy("nn", "pp", "ss")
+      .agg(Folds.sortedSum(col("rel_term")).as("rel_sum"),
+        Folds.sortedSum(col("res_term")).as("res_sum"))
+      .select(col("nn").as("n"),
+        round(col("pp").cast("double") / col("nn"), 6).as("base_rate"),
+        round(col("rel_sum") / col("nn"), 6).as("reliability"),
+        round(col("res_sum") / col("nn"), 6).as("resolution"),
+        round(col("pp").cast("double") / col("nn")
+          * (lit(1.0) - col("pp").cast("double") / col("nn")), 6).as("uncertainty"),
+        round(col("ss").cast("double") / col("nn") / 1e12, 6).as("brier"))
   }
 
   /** Decile lift/gain table (B169): rank documents by score descending

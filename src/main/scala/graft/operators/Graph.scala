@@ -206,8 +206,18 @@ object Graph {
   }
 
   def tokenBfs(docs: DataFrame, minPairDocs: Int = 5, maxHops: Int = 3): DataFrame = {
-    val d0 = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-      .distinct()
+    // d0 feeds BOTH the edge build and (via counts) the seed pick, so it
+    // persists; edges persist for the per-hop probes. Each hop's frontier
+    // is vocabulary-bounded-tiny and referenced twice (the union into
+    // visited and the next probe), and `visited` grows by union per hop —
+    // unpinned, hop h replayed the full tokenize+distinct+groupBy prefix
+    // per reference (105 shuffles in round-12's PLAN_AUDIT).
+    // localCheckpoint truncates each hop to a LogicalRDD, so the final
+    // plan is one anti-join + union per hop over pinned inputs.
+    val d0 = graft.CacheTracker.track(
+      docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val counts = d0.groupBy("token").agg(count(lit(1)).as("df"))
     val qualified = counts.filter(col("df") >= minPairDocs).select("token")
     val d = d0.join(qualified, Seq("token"), "left_semi")
@@ -221,13 +231,16 @@ object Graph {
       half.union(half.select(col("b").as("a"), col("a").as("b")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val seed = counts.orderBy(col("df").desc, col("token")).limit(1).select("token")
-    var visited = seed.withColumn("dist", lit(0L))
-    var frontier = seed
+    var visited = seed.withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = visited.select("token")
     for (h <- 1 to maxHops) {
       val nxt = frontier.join(edges, frontier("token") === edges("a"))
         .select(col("b").as("token")).distinct()
         .join(visited, Seq("token"), "left_anti")
         .withColumn("dist", lit(h.toLong))
+        .localCheckpoint(true)
+      // visited itself stays a plain union tree: its leaves are all
+      // LogicalRDDs after the checkpoints, so re-reference is free
       visited = visited.union(nxt)
       frontier = nxt.select("token")
     }

@@ -556,8 +556,16 @@ object LangModel {
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     bi.count()
+    // every step's 1-row frame is localCheckpoint'd (the bradley_terry
+    // discipline, TextOps.bradleyTerry): step k's plan references step
+    // k-1 once in the probe AND once in the final union, so unpinned the
+    // union re-executes each step's whole prefix — Σk broadcast
+    // exchanges for `steps` steps (55 at steps=10, the round-12
+    // PLAN_AUDIT signature). Truncating each step to a LogicalRDD keeps
+    // the full chain at one broadcast per step.
     var cur = uni.orderBy(col("cnt").desc, col("token")).limit(1)
       .select(lit(0).as("step"), col("token"), col("cnt"))
+      .localCheckpoint(true)
     val parts = List.newBuilder[DataFrame]
     parts += cur
     for (k <- 1 to steps) {
@@ -565,6 +573,7 @@ object LangModel {
         .orderBy(col("cnt").desc, col("w2"))
         .limit(1)
         .select(lit(k).as("step"), col("w2").as("token"), col("cnt"))
+        .localCheckpoint(true)
       parts += cur
     }
     parts.result().reduce(_ unionByName _)
@@ -1100,5 +1109,90 @@ object LangModel {
         round((col("sy").cast("double") / col("n") -
           col("beta") * (col("sx").cast("double") / col("n"))) / 1e9, 6).as("ln_k"))
       .withColumn("k", round(exp(col("ln_k")), 6))
+  }
+
+  /** Character-trigram language-ID confusion census (B200): the
+    * fastText-style char-n-gram profile classifier next to [[TextOps
+    * .langId]]'s marker heuristic. Train on the doc_id%2=0 half: each
+    * language's top-`profileK` cleaned-text trigrams by count (ties
+    * lexicographic) become its profile with log-probability
+    * ln(cnt/total). Score the held-out half: per (doc, candidate lang),
+    * Σ count_doc(g)·ln p(g|lang) over profile hits (9 dp-rounded terms,
+    * sorted fold); argmax with lexicographic tie-break; docs matching no
+    * profile trigram predict 'und'. Deliverable: the (true lang →
+    * predicted) confusion matrix.
+    *
+    * Scale: the trigram explode is narrow per-row work; profiles are
+    * langs×profileK rows (broadcast); scoring shuffles once on gram and
+    * once per-doc — nothing holds state beyond the schema-bounded
+    * profile. */
+  def langIdChargram(docs: DataFrame, profileK: Int = 50): DataFrame = {
+    // clean projected FIRST: the trigram lambda below must reference a
+    // bound attribute, or the whole regex chain re-evaluates per element
+    val c = docs.select(col("doc_id"), col("lang"),
+        TextOps.cleanText(col("text")).as("clean"))
+      .filter(length(col("clean")) >= 3)
+    val g = c.select(col("doc_id"), col("lang"),
+      explode(transform(sequence(lit(1), length(col("clean")) - 2),
+        i => col("clean").substr(i, lit(3)))).as("gram"))
+    val train = g.filter(col("doc_id") % 2 === 0)
+    val cg = train.groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+    val tl = cg.groupBy("lang").agg(sum(col("cnt")).as("tot"))
+    graft.plans.TopK.register(docs.sparkSession)
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("cnt").desc, col("gram"))
+    val profile = graft.plans.TopK.topKPerKey(cg, Seq("lang"),
+        Seq("cnt" -> false, "gram" -> true), profileK)
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= profileK)
+      .join(tl, "lang")
+      .select(col("lang").as("plang"), col("gram"),
+        round(log(col("cnt").cast("double") / col("tot")), 9).as("lnp"))
+    val test = g.filter(col("doc_id") % 2 === 1)
+    val tg = test.groupBy("doc_id", "lang", "gram").agg(count(lit(1)).as("cnt"))
+    val scored = tg.join(broadcast(profile), "gram")
+      .groupBy("doc_id", "lang", "plang")
+      .agg(Folds.sortedSum(round(col("cnt") * col("lnp"), 9)).as("score"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("plang"))
+    val best = scored.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1).select(col("doc_id"), col("plang"))
+    test.select("doc_id", "lang").distinct()
+      .join(best, Seq("doc_id"), "left")
+      .groupBy(col("lang"), coalesce(col("plang"), lit("und")).as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Monroe-style log-odds token drift with informative Dirichlet prior
+    * (B202): which tokens' usage shifted between the doc_id%2 corpus
+    * halves, z-scored so frequency doesn't masquerade as drift. Prior
+    * a(w) = the token's whole-corpus count; δ = ln((c1+a)/(n1+A−c1−a)) −
+    * ln((c2+a)/(n2+A−c2−a)); z = δ/√(1/(c1+a)+1/(c2+a)). The top-k
+    * risers of each half (z desc / z asc, token tie-break) come back
+    * through TakeOrdered heaps — never a global sort. All inputs are
+    * exact longs; z is one closed-form double expression, bit-stable on
+    * any engine. */
+  def tokenDriftLogodds(docs: DataFrame, k: Int = 10): DataFrame = {
+    val t = docs.select((col("doc_id") % 2 === 0).as("h1"),
+      explode(TextOps.tokens(col("text"))).as("token"))
+    val cw = t.groupBy("token").agg(
+      sum(when(col("h1"), 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("h1"), 1L).otherwise(0L)).as("c2"))
+    val tot = cw.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val a = col("c1") + col("c2")
+    val bigA = col("n1") + col("n2")
+    val d1 = col("n1") + bigA - col("c1") - a
+    val d2 = col("n2") + bigA - col("c2") - a
+    val delta = log((col("c1") + a).cast("double") / d1.cast("double")) -
+      log((col("c2") + a).cast("double") / d2.cast("double"))
+    val z = delta / sqrt(lit(1.0) / (col("c1") + a) + lit(1.0) / (col("c2") + a))
+    val scored = cw.crossJoin(broadcast(tot))
+      .filter(d1 > 0 && d2 > 0)
+      .select(col("token"), col("c1"), col("c2"), round(z, 6).as("z"))
+    val up = scored.orderBy(col("z").desc, col("token")).limit(k)
+      .withColumn("direction", lit("h1"))
+    val dn = scored.orderBy(col("z").asc, col("token")).limit(k)
+      .withColumn("direction", lit("h2"))
+    up.unionByName(dn)
   }
 }

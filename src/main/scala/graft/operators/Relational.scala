@@ -1269,13 +1269,21 @@ object Relational {
   def rfmSegments(orders: DataFrame): DataFrame = {
     // pinned: three quartile rankings + the final join all re-read this
     // per-customer reduction — without the persist the orders scan+agg
-    // re-runs once per consumer (and twice that in rfm_migration)
+    // re-runs once per consumer
     val perCust = graft.CacheTracker.track(orders.groupBy(col("o_custkey"))
       .agg(
         max(col("o_orderdate")).as("lo"),
         count(lit(1)).as("frequency"),
         sum(cents(col("o_totalprice"))).as("monetary_cents"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    rfmFromPerCust(perCust)
+  }
+
+  /** The quartile-cut + compose half of [[rfmSegments]], over an
+    * already-reduced per-customer (lo, frequency, monetary_cents) frame —
+    * factored out so [[rfmMigration]] can fit both history halves from
+    * ONE orders scan instead of re-aggregating per half. */
+  private def rfmFromPerCust(perCust: DataFrame): DataFrame = {
     // recency quartile 4 = most recent, matching f/m where 4 = best
     def quartile(order: Seq[Column], name: String): DataFrame =
       Ranks.withGlobalRowNumber(perCust, "_rnk", "_n", order)
@@ -1306,12 +1314,23 @@ object Relational {
       expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"))
     val bounds = withDay
       .agg(expr("(min(_day) + max(_day)) div 2").as("mid"))
-    val o = withDay.crossJoin(broadcast(bounds))
-    def half(pred: Column, name: String): DataFrame =
-      rfmSegments(o.filter(pred).drop("mid", "_day"))
+    // ONE orders scan builds both halves' per-customer reductions,
+    // keyed by the half flag; each half's quartile machinery then runs
+    // on its narrow cached slice instead of re-scanning orders (the two
+    // independent rfmSegments fits cost a full scan+agg each)
+    val perCustHalf = graft.CacheTracker.track(
+      withDay.crossJoin(broadcast(bounds))
+        .groupBy(col("o_custkey"), (col("_day") <= col("mid")).as("_h1"))
+        .agg(
+          max(col("o_orderdate")).as("lo"),
+          count(lit(1)).as("frequency"),
+          sum(cents(col("o_totalprice"))).as("monetary_cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    def half(isH1: Boolean, name: String): DataFrame =
+      rfmFromPerCust(perCustHalf.filter(col("_h1") === isH1).drop("_h1"))
         .select(col("o_custkey"), col("segment").as(name))
-    val joined = half(col("_day") <= col("mid"), "segment_h1")
-      .join(half(col("_day") > col("mid"), "segment_h2"), "o_custkey")
+    val joined = half(isH1 = true, "segment_h1")
+      .join(half(isH1 = false, "segment_h2"), "o_custkey")
     val total = joined.agg(count(lit(1)).as("n_total"))
     joined.groupBy("segment_h1", "segment_h2")
       .agg(count(lit(1)).as("n_customers"))
@@ -1337,7 +1356,10 @@ object Relational {
       .withColumn("dow", col("day_idx") % 7)
     val gm = days.groupBy("dow")
       .agg(count(lit(1)).as("n_g"), sum(col("r")).as("sg"),
-        sum((col("r") * col("r")).cast("decimal(38,0)")).as("sg2"))
+        // widen BEFORE the product: r*r in LONG overflows first (daily
+        // revenue cents² passes Long.MaxValue around sf1) and with ANSI
+        // off wraps silently while the oracle's HUGEINT doesn't
+        sum(col("r").cast("decimal(38,0)") * col("r")).as("sg2"))
     val tot = gm.agg(count(lit(1)).as("k_dow"), sum(col("n_g")).as("n_days"),
       sum(col("sg")).as("s"), sum(col("sg2")).as("s2"),
       Folds.sortedSum(col("sg").cast("double") * col("sg").cast("double")
@@ -1417,8 +1439,12 @@ object Relational {
     * fill window is partitioned per user, and everything upstream is one
     * (user, hour) partial agg. Exact long cents end to end. */
   def eventsGapFill(events: DataFrame): DataFrame = {
+    // floor-consistent hour bucketing ((x − pmod(x,d)) div d): agrees
+    // with DuckDB's `//` for pre-epoch timestamps too, where Spark's
+    // truncating div would round toward zero instead of down
     val hourly = events.select(col("user_id"),
-        expr("unix_micros(ts) div 3600000000").as("h"),
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) div 3600000000")
+          .as("h"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .groupBy("user_id", "h")
       .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("hour_cents"))
@@ -2076,8 +2102,9 @@ object Relational {
     val pooled = per.agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
-      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      // widened BEFORE multiplying — x·y in LONG overflows first at scale
+      sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
     val meanX = col("sx").cast("double") / col("n")
     val covXY = col("sxy").cast("double") / col("n") -
       meanX * (col("sy").cast("double") / col("n"))
@@ -2223,8 +2250,8 @@ object Relational {
       Seq(col("spend")))
     swept
       .select(col("n_a"), col("total_b"),
-        (col("n_a") * (lit(2L) * (col("cum_b") - col("n_b")) + col("n_b")))
-          .cast("decimal(38,0)").as("u2"))
+        (col("n_a").cast("decimal(38,0)")
+          * (lit(2L) * (col("cum_b") - col("n_b")) + col("n_b"))).as("u2"))
       .agg(sum(col("n_a")).as("m"), max(col("total_b")).as("n"),
         sum(col("u2")).as("u2"))
       .select(col("m").as("n_a"), col("n").as("n_b"),
@@ -2548,7 +2575,7 @@ object Relational {
       .agg(sum(cents(col("o_totalprice"))).as("r"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("r")).as("s"),
-        sum((col("r") * col("r")).cast("decimal(38,0)")).as("s2"))
+        sum(col("r").cast("decimal(38,0)") * col("r")).as("s2"))
       .select(col("n_customers"),
         round(col("s2").cast("double")
           / (col("s").cast("double") * col("s").cast("double")), 9).as("hhi"))
@@ -2784,7 +2811,7 @@ object Relational {
     daily.groupBy("event_type")
       .agg(count(lit(1)).as("n_days"),
         sum(col("c")).as("sc"),
-        sum((col("c") * col("c")).cast("decimal(38,0)")).as("sc2"))
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("sc2"))
       .select(col("event_type"), col("n_days"),
         round(mean, 6).as("mean_daily"),
         round(when(col("sc") > 0, vari / mean).otherwise(lit(0.0)), 6)
@@ -3046,5 +3073,113 @@ object Relational {
         when(col("d_t") === col("n_risk"), lit(0.0))
           .otherwise(round(exp(col("cum_ln").cast("double") / 1e9), 6))
           .as("survival"))
+  }
+  /** Exact 7-day rolling median of daily revenue (C179): the robust
+    * trend line a dashboard overlays on spiky daily revenue — median,
+    * not mean, so one flash-sale day doesn't drag the whole window.
+    * Contribution-explode shape, NOT a range self-join: each day's
+    * cents total fans out to the ≤7 window rows it participates in
+    * (sequence explode), then one (window day) aggregate takes the
+    * exact interpolated percentile over its ≤7 values — bounded buffer,
+    * equi-join shaped, no BroadcastNestedLoop range probe anywhere.
+    * Windows anchor only on days that exist (semi-join), and each
+    * window reports how many of its 7 days had revenue. */
+  def revenueRollingMedian(orders: DataFrame, win: Int = 7): DataFrame = {
+    val daily = orders
+      .groupBy(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+        .as("day_idx"))
+      .agg(sum(cents(col("o_totalprice"))).as("r"))
+    val contrib = daily.select(col("r"),
+      explode(sequence(col("day_idx"), col("day_idx") + (win - 1))).as("w_day"))
+    contrib.join(daily.select(col("day_idx").as("w_day")), Seq("w_day"), "left_semi")
+      .groupBy("w_day")
+      .agg(count(lit(1)).as("n_days_in_window"),
+        round(percentile(col("r"), lit(0.5)), 4).as("roll_median_cents"))
+      .select(col("w_day").as("day_idx"), col("n_days_in_window"),
+        col("roll_median_cents"))
+  }
+
+  /** Gaps-and-islands of user activity (C180): each user's maximal runs
+    * of CONSECUTIVE active days — the classic streak query (row_number
+    * difference trick: day − per-user rank is constant within a run).
+    * The per-user window partitions by user_id, so the sort is
+    * per-user-bounded and partition-parallel at any corpus size; output
+    * is one row per island. */
+  def activeDayIslands(events: DataFrame): DataFrame = {
+    val d = events.select(col("user_id"),
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) div 86400000000")
+          .as("day"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+    d.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+        count(lit(1)).as("n_days"))
+      .select("user_id", "start_day", "end_day", "n_days")
+  }
+
+  /** Distributed PERCENT_RANK / CUME_DIST over every order (C181): the
+    * global-window pair warehouses lean on for "what percentile is this
+    * order", computed WITHOUT a single-partition window — the total
+    * order (cents, orderkey) is tie-free, so percent_rank over it
+    * equals the row_number form (rnk−1)/(n−1), and both ride
+    * [[Ranks.withGlobalRowNumber]]'s range-partitioned two-pass rank. */
+  def orderPricePercentiles(orders: DataFrame): DataFrame = {
+    val o = orders.select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"))
+    Ranks.withGlobalRowNumber(o, "_rnk", "_n",
+        Seq(col("cents").asc, col("o_orderkey").asc))
+      .select(col("o_orderkey"), col("cents"),
+        round((col("_rnk") - 1).cast("double") / (col("_n") - 1), 6)
+          .as("pct_rank"),
+        round(col("_rnk").cast("double") / col("_n"), 6).as("cume_dist"))
+  }
+
+  /** Customer-nation x supplier-nation trade matrix (C182): exact
+    * revenue cents for every nation pair — TPC-H Q7's shape with the
+    * two-nation filter lifted to the full nations² (≤ 625-row) matrix.
+    * lineitem shuffles once onto orders, once onto customer; nation
+    * (25 rows) broadcasts twice; supplier broadcasts as the smaller
+    * dimension. The matrix frame is schema-bounded, never data-sized. */
+  def nationTradeMatrix(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val rev = lineitem.select(col("l_orderkey"), col("l_suppkey"),
+      expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+        .as("rev"))
+    val cn = nation.select(col("n_nationkey").as("c_nationkey"),
+      col("n_name").as("cust_nation"))
+    val sn = nation.select(col("n_nationkey").as("s_nationkey"),
+      col("n_name").as("supp_nation"))
+    rev
+      .join(orders.select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+        "l_orderkey")
+      .join(customer.select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        "o_custkey")
+      .join(broadcast(cn), "c_nationkey")
+      .join(broadcast(supplier.select(col("s_suppkey").as("l_suppkey"),
+        col("s_nationkey"))), "l_suppkey")
+      .join(broadcast(sn), "s_nationkey")
+      .groupBy("cust_nation", "supp_nation")
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev")).as("revenue_cents"))
+  }
+
+  /** Weekly end-of-week balance census (C183): the SEMI-ADDITIVE
+    * aggregation warehouses special-case — per (user, week) take the
+    * LAST event value (by time, event_id tie-break), then sum those
+    * period-end values per week. Summing raw values would double-count
+    * within the period; summing last-values is the balance semantics.
+    * One (user, week) shuffle for the per-user window; the weekly
+    * roll-up is calendar-bounded. */
+  def weeklyLastBalance(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"), cents(col("value")).as("c"))
+      .withColumn("week",
+        expr("(us - pmod(us, 604800000000)) div 604800000000"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "week").orderBy(col("us").desc, col("event_id").desc)
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_users"), sum(col("c")).as("eow_balance_cents"))
   }
 }

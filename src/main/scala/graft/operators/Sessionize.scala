@@ -591,14 +591,21 @@ object Sessionize {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       .toMap
     def vx(s: Seq[String]): Double = v.getOrElse(s.sorted.mkString(","), 0.0)
-    val fact = Array(1, 1, 2, 6)
+    // factorials sized to the ACTUAL channel universe: the lattice is
+    // 2^n-bounded by the schema, and the Shapley coefficient
+    // |S|!·(n−1−|S|)!/n! must use that n — a hard-coded 4-channel table
+    // would throw on 5+ channels and silently mis-weight 3
     val n = channels.length
+    require(n >= 1 && n <= 20, s"channel universe must be 1..20, got $n")
+    val fact = new Array[Double](n + 1)
+    fact(0) = 1.0
+    for (i <- 1 to n) fact(i) = fact(i - 1) * i
     val rows = channels.map { c =>
       val others = channels.filterNot(_ == c)
       val terms = (0 until (1 << others.length)).map { mask =>
         val s = others.zipWithIndex.collect { case (ch, i) if (mask & (1 << i)) != 0 => ch }
         val coef = fact(s.length) * fact(n - 1 - s.length)
-        coef * (vx(s :+ c) - vx(s)) / 24.0
+        coef * (vx(s :+ c) - vx(s)) / fact(n)
       }
       val phi = BigDecimal(terms.reduceLeft(_ + _))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -1130,6 +1130,46 @@ object TextOps {
           .as("intercept"))
   }
 
+  /** Largest regression residuals of the per-language n_chars ~ n_tokens
+    * fit (B203): the documents that DON'T follow their language's
+    * character/token scaling law — ID dumps, minified blobs, and
+    * whitespace-stripped text sit far above the line; token-soup far
+    * below. Reuses [[charTokenRegression]]'s exact-integer moment
+    * discipline: slope/intercept stay UNROUNDED doubles from exact
+    * BIGINT moments (identical closed-form arithmetic on both engines),
+    * only the residual rounds (4 dp). Global top-`k` by |residual| via a
+    * TakeOrdered heap. One partial-agg shuffle for the moments (langs-
+    * bounded, broadcast back); the residual scan is narrow. */
+  def qualityResidualOutliers(docs: DataFrame, k: Int = 10): DataFrame = {
+    val x = size(tokens(col("text"))).cast("long")
+    val base = docs.select(col("doc_id"), col("lang"), x.as("x"),
+      col("n_chars").cast("long").as("y"))
+    val fit = base.groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        // widened BEFORE multiplying (the round-13 decimal discipline):
+        // Σxy over a web-scale language slice passes BIGINT
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      .withColumn("den", (col("n").cast("decimal(38,0)") * col("sxx") -
+        col("sx").cast("decimal(38,0)") * col("sx")).cast("double"))
+      .filter(col("den") =!= 0.0)
+      .select(col("lang"),
+        ((col("n").cast("decimal(38,0)") * col("sxy") -
+          col("sx").cast("decimal(38,0)") * col("sy")).cast("double") / col("den"))
+          .as("slope"),
+        ((col("sy").cast("decimal(38,0)") * col("sxx") -
+          col("sx").cast("decimal(38,0)") * col("sxy")).cast("double") / col("den"))
+          .as("intercept"))
+    base.join(broadcast(fit), "lang")
+      .select(col("doc_id"), col("lang"),
+        col("x").as("n_tokens"), col("y").as("n_chars"),
+        round(col("y") - (col("intercept") + col("slope") * col("x")), 4)
+          .as("resid"))
+      .orderBy(abs(col("resid")).desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** MOSS-style winnowing fingerprint (B59): md5 each 3-token shingle in
     * sequence order, slide a `win`-wide window over the shingle-hash
     * stream, keep each window's minimum, and emit the distinct minima —

@@ -127,6 +127,55 @@ object TfIdf {
       .select("doc_id", "rnk", "token", "tfidf")
   }
 
+  /** RAKE keyphrase extraction (B201, Rose et al. 2010): the classic
+    * stopword-delimited co-occurrence scorer — the phrase-level
+    * complement to [[keywordExtract]]'s single-token TF-IDF. Candidate
+    * phrases are maximal stopword-free token runs (capped at
+    * `maxPhraseLen` tokens); each word scores deg(w)/freq(w) where
+    * freq counts the word's phrase memberships and deg sums the lengths
+    * of the phrases containing it; a phrase scores the sum of its
+    * words' scores (9 dp-rounded word scores, 6 dp-rounded sorted
+    * fold). The global top-`k` by (score desc, phrase asc) returns
+    * through a TakeOrdered heap — never a full sort.
+    *
+    * Scale: the phrase segmentation is a per-doc window over the
+    * token-position frame (one doc_id shuffle); word stats are
+    * vocab-bounded; the phrase-text aggregate shuffles on the phrase
+    * key. Nothing is driver-sized except the k-row result. */
+  def rakeKeyphrases(docs: DataFrame, maxPhraseLen: Int = 4, k: Int = 15): DataFrame = {
+    val wPos = Window.partitionBy("doc_id").orderBy("pos")
+    val toked = docs
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
+      .withColumn("is_stop", col("token").isInCollection(TextOps.Stopwords))
+      .withColumn("grp",
+        sum(when(col("is_stop"), 1L).otherwise(0L)).over(wPos))
+    val members = toked.filter(!col("is_stop"))
+      .select(col("doc_id"), col("grp"), col("pos"), col("token"))
+    val phrases = members.groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("plen"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          s => s.getField("token")), " ").as("phrase"))
+      .filter(col("plen") <= maxPhraseLen)
+    val wordStats = members
+      .join(phrases.select(col("doc_id"), col("grp"), col("plen")), Seq("doc_id", "grp"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("token"),
+        round(col("deg").cast("double") / col("freq"), 9).as("wscore"))
+    val phraseScores = members
+      .join(phrases.select(col("doc_id"), col("grp"), col("plen"), col("phrase")),
+        Seq("doc_id", "grp"))
+      .join(wordStats, "token")
+      .groupBy(col("doc_id"), col("grp"), col("phrase"), col("plen"))
+      .agg(round(Folds.sortedSum(col("wscore")), 6).as("score"))
+    phraseScores.groupBy(col("phrase"), col("plen").as("n_words"), col("score"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(k)
+      .select("phrase", "n_words", "n_occurrences", "score")
+  }
+
   /** HashingTF-equivalent bucketed term frequency (A7b): murmur3-hashed
     * token -> fixed-width bucket, like ml.HashingTF (NB.scala:74). The
     * fixed width bounds state at any corpus size. Not DuckDB-expressible
@@ -208,11 +257,21 @@ object TfIdf {
     * semi-join-restricted slice of the doc-token frame; each topic sums
     * ≤ k(k−1)/2 terms via the 6 dp-rounded sorted fold. */
   def topicCoherence(docs: DataFrame, signDims: Int = 4, k: Int = 5): DataFrame = {
-    val tl = topicLabels(docs, signDims, k)
+    // tl is a topics×k (≈80-row) frame whose LINEAGE is the full
+    // tf-idf + docEmbedHash pipeline, and it is referenced three times
+    // below (toks + both sides of pairs); dt is referenced three times
+    // (df + both sides of cooc). Unpinned, Catalyst re-analyzed and
+    // re-executed those subtrees per reference — the 110-shuffle plan of
+    // round-12's PLAN_AUDIT. localCheckpoint truncates the tiny tl to a
+    // LogicalRDD; dt is data-sized so it persists (and registers with
+    // CacheTracker for the harness to release).
+    val tl = topicLabels(docs, signDims, k).localCheckpoint(true)
     val toks = tl.select(col("token")).distinct()
-    val dt = docs.select(col("doc_id"),
-        explode(TextOps.tokens(col("text"))).as("token")).distinct()
-      .join(toks, Seq("token"), "left_semi")
+    val dt = graft.CacheTracker.track(
+      docs.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token")).distinct()
+        .join(toks, Seq("token"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val df = dt.groupBy("token").agg(count(lit(1)).as("d"))
     val cooc = dt.select(col("doc_id"), col("token").as("w_i"))
       .join(dt.select(col("doc_id"), col("token").as("w_j")), "doc_id")

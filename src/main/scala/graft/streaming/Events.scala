@@ -499,6 +499,15 @@ object Events {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(storeDir)
+    // The cumulative report is LATEST-WINS by construction, so it writes
+    // as a plain unpartitioned overwrite. Keying it by batch_id was a
+    // semantics bug: replaying old batch N after later batches have run
+    // rewrites "partition N" with a cumulative that already includes
+    // those later batches, so partitions stop meaning "state as of
+    // batch N" and a reader picking max(batch_id) can see a stale id
+    // carrying newer totals. The merged totals themselves are replay-
+    // idempotent either way (the store is the state; this is just its
+    // projection).
     spark.read.parquet(storeDir)
       .groupBy("rule")
       .agg(sum(col("n_checked")).as("n_checked"),
@@ -507,9 +516,6 @@ object Events {
         round(when(col("n_checked") > 0,
           col("n_violations").cast("double") / col("n_checked"))
           .otherwise(lit(0.0)), 6).as("violation_rate"))
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(outDir)
+      .write.mode("overwrite").parquet(outDir)
   }
 }

@@ -428,7 +428,12 @@ class StreamingSpec extends SparkSpec {
     Events.dqMonitorBatch(b1, 1L, store, out)
     // replay batch 1: its store partition is replaced, not duplicated
     Events.dqMonitorBatch(b1, 1L, store, out)
-    val streamed = spark.read.parquet(out).filter(col("batch_id") === 1L)
+    // then replay batch 0 out of order: the store stays idempotent and
+    // the report is latest-wins CUMULATIVE (plain overwrite, no
+    // batch_id partitions), so even an out-of-order replay leaves the
+    // full-corpus totals — never a stale "as of batch 0" snapshot
+    Events.dqMonitorBatch(b0, 0L, store, out)
+    val streamed = spark.read.parquet(out)
       .select("rule", "n_checked", "n_violations", "violation_rate")
       .as[(String, Long, Long, Double)].collect().toSet
     val batch = graft.operators.Relational.eventDqReport(all.toDF(cols: _*))
