@@ -5772,6 +5772,183 @@ object Oracles {
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END) AS BIGINT) AS revenue_cents,
         |  round(CAST(sum(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END) AS DOUBLE)
         |    / count(DISTINCT user_id), 4) AS arpu_cents
-        |FROM e GROUP BY 1""".stripMargin
+        |FROM e GROUP BY 1""".stripMargin,
+
+    // round 13: B200-B204 + C179-C183
+    // char-trigram language-ID confusion census over a doc_id%2 split
+    "lang_id_chargram" ->
+      s"""WITH c AS (SELECT doc_id, lang, $clean AS clean FROM documents),
+         |cc AS (SELECT doc_id, lang, clean FROM c WHERE length(clean) >= 3),
+         |g AS MATERIALIZED (SELECT doc_id, lang, substr(clean, i, 3) AS gram
+         |     FROM (SELECT doc_id, lang, clean,
+         |           unnest(range(1, length(clean) - 1)) AS i FROM cc)),
+         |cg AS (SELECT lang, gram, count(*) AS cnt
+         |       FROM g WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+         |tl AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot FROM cg GROUP BY 1),
+         |pr AS (SELECT cg.lang AS plang, gram,
+         |       round(ln(CAST(cnt AS DOUBLE) / tot), 9) AS lnp,
+         |       row_number() OVER (PARTITION BY cg.lang ORDER BY cnt DESC, gram) AS rnk
+         |       FROM cg JOIN tl ON tl.lang = cg.lang),
+         |p50 AS (SELECT plang, gram, lnp FROM pr WHERE rnk <= 50),
+         |tg AS (SELECT doc_id, lang, gram, count(*) AS cnt
+         |       FROM g WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+         |sc AS (SELECT t.doc_id, t.lang, p.plang,
+         |       list_reduce(list_sort(list(round(t.cnt * p.lnp, 9))), (a, b) -> a + b) AS score
+         |       FROM tg t JOIN p50 p ON p.gram = t.gram GROUP BY 1, 2, 3),
+         |best AS (SELECT doc_id, plang,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+         |         FROM sc),
+         |td AS (SELECT DISTINCT doc_id, lang FROM g WHERE doc_id % 2 = 1)
+         |SELECT td.lang, coalesce(b.plang, 'und') AS predicted,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM td LEFT JOIN (SELECT doc_id, plang FROM best WHERE rn = 1) b
+         |  ON b.doc_id = td.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+
+    // RAKE: stopword-delimited phrases, deg/freq word scores, top-15
+    "rake_keyphrases" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+         |p AS (SELECT doc_id, i AS pos, toks[i] AS token
+         |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM tk)),
+         |f AS (SELECT doc_id, pos, token,
+         |      token IN ('the','a','an','and','or','of','to','in','is','it') AS is_stop FROM p),
+         |g AS (SELECT doc_id, pos, token, is_stop,
+         |      sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM f),
+         |m AS MATERIALIZED (SELECT doc_id, grp, pos, token FROM g WHERE NOT is_stop),
+         |ph AS MATERIALIZED (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS plen,
+         |      string_agg(token, ' ' ORDER BY pos) AS phrase
+         |      FROM m GROUP BY 1, 2 HAVING count(*) <= 4),
+         |ws AS (SELECT token, round(CAST(sum(plen) AS DOUBLE) / count(*), 9) AS wscore
+         |       FROM m JOIN ph ON ph.doc_id = m.doc_id AND ph.grp = m.grp GROUP BY 1),
+         |ps AS (SELECT m.doc_id, m.grp, ph.phrase, ph.plen,
+         |       round(list_reduce(list_sort(list(wscore)), (a, b) -> a + b), 6) AS score
+         |       FROM m JOIN ph ON ph.doc_id = m.doc_id AND ph.grp = m.grp
+         |       JOIN ws ON ws.token = m.token GROUP BY 1, 2, 3, 4)
+         |SELECT phrase, plen AS n_words, CAST(count(*) AS BIGINT) AS n_occurrences, score
+         |FROM ps GROUP BY 1, 2, 4
+         |ORDER BY score DESC, phrase LIMIT 15""".stripMargin,
+
+    // Monroe informative-Dirichlet log-odds drift between doc_id%2 halves
+    "token_drift_logodds" ->
+      s"""WITH t AS (SELECT doc_id % 2 = 0 AS h1, unnest($toks) AS token FROM documents),
+         |cw AS MATERIALIZED (SELECT token,
+         |      CAST(sum(CASE WHEN h1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |      CAST(sum(CASE WHEN h1 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+         |      FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM cw),
+         |pre AS (SELECT token, c1, c2, c1 + c2 AS a, n1, n2, n1 + n2 AS aa
+         |        FROM cw CROSS JOIN tot),
+         |sc AS MATERIALIZED (SELECT token, c1, c2,
+         |      round((ln(CAST(c1 + a AS DOUBLE) / (n1 + aa - c1 - a))
+         |           - ln(CAST(c2 + a AS DOUBLE) / (n2 + aa - c2 - a)))
+         |        / sqrt(1.0 / (c1 + a) + 1.0 / (c2 + a)), 6) AS z
+         |      FROM pre WHERE n1 + aa - c1 - a > 0 AND n2 + aa - c2 - a > 0)
+         |SELECT token, c1, c2, z, 'h1' AS direction
+         |  FROM (SELECT * FROM sc ORDER BY z DESC, token LIMIT 10)
+         |UNION ALL
+         |SELECT token, c1, c2, z, 'h2' AS direction
+         |  FROM (SELECT * FROM sc ORDER BY z ASC, token LIMIT 10)""".stripMargin,
+
+    // largest |residual| docs of the per-lang chars~tokens OLS fit
+    "quality_residual_outliers" ->
+      s"""WITH b AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS x,
+         |           n_chars AS y FROM documents),
+         |m AS (SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |      sum(x * y) AS sxy, sum(x * x) AS sxx FROM b GROUP BY 1),
+         |f AS (SELECT lang,
+         |      CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+         |      CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept
+         |      FROM m WHERE n * sxx - sx * sx <> 0)
+         |SELECT doc_id, b.lang, x AS n_tokens, y AS n_chars,
+         |  round(y - (intercept + slope * x), 4) AS resid
+         |FROM b JOIN f ON f.lang = b.lang
+         |ORDER BY abs(round(y - (intercept + slope * x), 4)) DESC, doc_id
+         |LIMIT 10""".stripMargin,
+
+    // Murphy decomposition over the calibration bins' exact sums
+    "brier_decomposition" ->
+      s"""WITH p AS (SELECT
+         |  CAST(round(round(1.0 / (1.0 + exp(2.0 - 4.0 * $qualitySql)), 6) * 1000000, 0) AS BIGINT) AS p_micro,
+         |  CASE WHEN coalesce(lang = 'en', false) THEN 1 ELSE 0 END AS y FROM documents),
+         |b AS (SELECT CAST(least(p_micro * 10 // 1000000, 9) AS BIGINT) AS bin, p_micro, y FROM p),
+         |gb AS MATERIALIZED (SELECT bin, count(*) AS n, CAST(sum(p_micro) AS BIGINT) AS sum_p,
+         |     CAST(sum(y) AS BIGINT) AS n_pos,
+         |     sum((p_micro - y * 1000000) * (p_micro - y * 1000000)) AS sum_sq
+         |     FROM b GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(n_pos) AS BIGINT) AS pp,
+         |      sum(sum_sq) AS ss FROM gb),
+         |terms AS (SELECT nn, pp, ss, n,
+         |     round(n * pow(CAST(sum_p AS DOUBLE) / n / 1000000.0
+         |                   - CAST(n_pos AS DOUBLE) / n, 2), 9) AS rel_term,
+         |     round(n * pow(CAST(n_pos AS DOUBLE) / n
+         |                   - CAST(pp AS DOUBLE) / nn, 2), 9) AS res_term
+         |     FROM gb CROSS JOIN t)
+         |SELECT nn AS n, round(CAST(pp AS DOUBLE) / nn, 6) AS base_rate,
+         |  round(list_reduce(list_sort(list(rel_term)), (a, b) -> a + b) / nn, 6) AS reliability,
+         |  round(list_reduce(list_sort(list(res_term)), (a, b) -> a + b) / nn, 6) AS resolution,
+         |  round(CAST(pp AS DOUBLE) / nn * (1.0 - CAST(pp AS DOUBLE) / nn), 6) AS uncertainty,
+         |  round(CAST(ss AS DOUBLE) / nn / 1000000000000.0, 6) AS brier
+         |FROM terms GROUP BY nn, pp, ss""".stripMargin,
+
+    // exact 7-day rolling median of daily revenue (contribution explode)
+    "revenue_rolling_median" ->
+      """WITH daily AS (SELECT epoch_ns(o_orderdate) // 1000 // 86400000000 AS day_idx,
+        |      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+        |      FROM orders GROUP BY 1),
+        |c AS (SELECT r, day_idx + i AS w_day
+        |      FROM (SELECT r, day_idx, unnest(range(0, 7)) AS i FROM daily))
+        |SELECT w_day AS day_idx, CAST(count(*) AS BIGINT) AS n_days_in_window,
+        |  round(quantile_cont(r, 0.5), 4) AS roll_median_cents
+        |FROM c WHERE w_day IN (SELECT day_idx FROM daily)
+        |GROUP BY 1""".stripMargin,
+
+    // gaps-and-islands: maximal consecutive-active-day runs per user
+    "active_day_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |      epoch_ns(ts) // 1000 // 86400000000 AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |      day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM d)
+        |SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+        |  CAST(count(*) AS BIGINT) AS n_days
+        |FROM g GROUP BY user_id, grp""".stripMargin,
+
+    // distributed PERCENT_RANK / CUME_DIST over the tie-free total order
+    "order_price_percentiles" ->
+      """WITH o AS (SELECT o_orderkey,
+        |      CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |r AS (SELECT o_orderkey, cents,
+        |      CAST(row_number() OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS rnk,
+        |      CAST(count(*) OVER () AS BIGINT) AS n FROM o)
+        |SELECT o_orderkey, cents,
+        |  round(CAST(rnk - 1 AS DOUBLE) / (n - 1), 6) AS pct_rank,
+        |  round(CAST(rnk AS DOUBLE) / n, 6) AS cume_dist
+        |FROM r""".stripMargin,
+
+    // customer-nation x supplier-nation exact revenue matrix
+    "nation_trade_matrix" ->
+      """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // semi-additive weekly balance: per-(user, week) LAST value, summed
+    "weekly_last_balance" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+        |      CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |w AS (SELECT user_id, event_id, us, c,
+        |      (us - (us % 604800000000)) // 604800000000 AS week FROM e),
+        |l AS (SELECT week, c, row_number() OVER (PARTITION BY user_id, week
+        |      ORDER BY us DESC, event_id DESC) AS rn FROM w)
+        |SELECT week, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(c) AS BIGINT) AS eow_balance_cents
+        |FROM l WHERE rn = 1 GROUP BY 1""".stripMargin
   )
 }

@@ -783,7 +783,29 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("text"),
           col("meta.author").as("author"), col("meta.year").as("year"),
           concat_ws(",", col("tags")).as("tags_csv"),
-          size(col("tags")).cast("long").as("n_tags")))
+          size(col("tags")).cast("long").as("n_tags"))),
+    // round 13: B200-B204 LLM-pipeline + C179-C183 engine breadth
+    "lang_id_chargram" -> ((s, d) =>
+      LangModel.langIdChargram(spread(t(s, d, "documents")))),
+    "rake_keyphrases" -> ((s, d) =>
+      TfIdf.rakeKeyphrases(spread(t(s, d, "documents")))),
+    "token_drift_logodds" -> ((s, d) =>
+      LangModel.tokenDriftLogodds(spread(t(s, d, "documents")))),
+    "quality_residual_outliers" -> ((s, d) =>
+      TextOps.qualityResidualOutliers(spread(t(s, d, "documents")))),
+    "brier_decomposition" -> ((s, d) =>
+      Eval.brierDecomposition(spread(t(s, d, "documents")))),
+    "revenue_rolling_median" -> ((s, d) =>
+      Relational.revenueRollingMedian(t(s, d, "orders"))),
+    "active_day_islands" -> ((s, d) =>
+      Relational.activeDayIslands(events(s, d))),
+    "order_price_percentiles" -> ((s, d) =>
+      Relational.orderPricePercentiles(t(s, d, "orders"))),
+    "nation_trade_matrix" -> ((s, d) =>
+      Relational.nationTradeMatrix(t(s, d, "lineitem"), t(s, d, "orders"),
+        t(s, d, "customer"), t(s, d, "supplier"), t(s, d, "nation"))),
+    "weekly_last_balance" -> ((s, d) =>
+      Relational.weeklyLastBalance(events(s, d)))
   )
 
   /** DuckDB twins for the SQL-expressible queries (SURVEY.md §5). */

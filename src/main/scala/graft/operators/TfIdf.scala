@@ -169,7 +169,9 @@ object TfIdf {
       .join(wordStats, "token")
       .groupBy(col("doc_id"), col("grp"), col("phrase"), col("plen"))
       .agg(round(Folds.sortedSum(col("wscore")), 6).as("score"))
-    phraseScores.groupBy(col("phrase"), col("plen").as("n_words"), col("score"))
+    phraseScores
+      .select(col("phrase"), col("plen").as("n_words"), col("score"))
+      .groupBy("phrase", "n_words", "score")
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("score").desc, col("phrase"))
       .limit(k)
