@@ -5949,6 +5949,96 @@ object Oracles {
         |      ORDER BY us DESC, event_id DESC) AS rn FROM w)
         |SELECT week, CAST(count(*) AS BIGINT) AS n_users,
         |  CAST(sum(c) AS BIGINT) AS eow_balance_cents
-        |FROM l WHERE rn = 1 GROUP BY 1""".stripMargin
+        |FROM l WHERE rn = 1 GROUP BY 1""".stripMargin,
+
+    // per-vector projection onto the pca_explained deflated eigenpair
+    "embed_pca_project" -> {
+      def rounds(tag: String, mat: String) = (1 to 5).map { k =>
+        s"""w$tag$k AS MATERIALIZED (SELECT dim_i AS dim,
+           |  round(list_reduce(list_sort(list(round(cov * v, 9))), (a, b) -> a + b), 9) AS w
+           |  FROM $mat JOIN v$tag${k - 1} ON $mat.dim_j = v$tag${k - 1}.dim GROUP BY dim_i),
+           |n$tag$k AS MATERIALIZED (SELECT round(sqrt(list_reduce(list_sort(list(w * w)), (a, b) -> a + b)), 9) AS nrm FROM w$tag$k),
+           |v$tag$k AS MATERIALIZED (SELECT dim, round(w / nrm, 9) AS v, nrm AS eig FROM w$tag$k CROSS JOIN n$tag$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS MATERIALIZED (SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
+         |      CAST(embedding[i] AS DOUBLE) AS x, CAST(embedding[j] AS DOUBLE) AS y
+         |      FROM embeddings, range(1, 9) r1(i), range(1, 9) r2(j) WHERE j >= i),
+         |cu AS MATERIALIZED (SELECT dim_i, dim_j,
+         |  round(list_reduce(list_sort(list(x * y)), (a, b) -> a + b) / count(*)
+         |    - (list_reduce(list_sort(list(x)), (a, b) -> a + b) / count(*))
+         |    * (list_reduce(list_sort(list(y)), (a, b) -> a + b) / count(*)), 6) AS cov
+         |  FROM p GROUP BY dim_i, dim_j),
+         |cf AS MATERIALIZED (SELECT dim_i, dim_j, cov FROM cu
+         |       UNION ALL
+         |       SELECT dim_j AS dim_i, dim_i AS dim_j, cov FROM cu WHERE dim_i <> dim_j),
+         |vA0 AS MATERIALIZED (SELECT CAST(i AS BIGINT) AS dim,
+         |        CAST(1.0 AS DOUBLE) / sqrt(CAST(8.0 AS DOUBLE)) AS v FROM range(1, 9) r(i)),
+         |${rounds("A", "cf")},
+         |c2 AS MATERIALIZED (SELECT cf.dim_i, cf.dim_j, round(cov - vi.eig * vi.v * vj.v, 9) AS cov
+         |       FROM cf JOIN vA5 vi ON vi.dim = cf.dim_i JOIN vA5 vj ON vj.dim = cf.dim_j),
+         |vB0 AS MATERIALIZED (SELECT CAST(i AS BIGINT) AS dim,
+         |        CAST(1.0 AS DOUBLE) / sqrt(CAST(8.0 AS DOUBLE)) AS v FROM range(1, 9) r(i)),
+         |${rounds("B", "c2")},
+         |xv AS MATERIALIZED (SELECT vec_id, CAST(i AS BIGINT) AS dim,
+         |     CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, range(1, 9) r(i)),
+         |pj1 AS (SELECT vec_id,
+         |     round(list_reduce(list_sort(list(round(x * v, 9))), (a, b) -> a + b), 6) AS p1
+         |     FROM xv JOIN vA5 ON vA5.dim = xv.dim GROUP BY 1),
+         |pj2 AS (SELECT vec_id,
+         |     round(list_reduce(list_sort(list(round(x * v, 9))), (a, b) -> a + b), 6) AS p2
+         |     FROM xv JOIN vB5 ON vB5.dim = xv.dim GROUP BY 1)
+         |SELECT pj1.vec_id, pj1.p1, pj2.p2
+         |FROM pj1 JOIN pj2 ON pj2.vec_id = pj1.vec_id""".stripMargin
+    },
+
+    // per-customer top-3 orders by price (heap-pruned on the Spark side)
+    "top_orders_per_customer" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |      CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |r AS (SELECT o_custkey, o_orderkey, cents,
+        |      CAST(row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY cents DESC, o_orderkey) AS BIGINT) AS rnk FROM o)
+        |SELECT o_custkey, rnk, o_orderkey, cents FROM r WHERE rnk <= 3""".stripMargin,
+
+    // monthly revenue share per market segment + MoM share delta
+    "mktsegment_monthly_share" ->
+      """WITH rev AS (SELECT
+        |      CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS month_idx,
+        |      c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |      FROM orders JOIN customer ON c_custkey = o_custkey GROUP BY 1, 2),
+        |m AS (SELECT month_idx, CAST(sum(revenue_cents) AS BIGINT) AS mrev
+        |      FROM rev GROUP BY 1),
+        |s AS (SELECT rev.month_idx, c_mktsegment, n_orders, revenue_cents,
+        |      round(CAST(revenue_cents AS DOUBLE) / mrev, 6) AS share
+        |      FROM rev JOIN m ON m.month_idx = rev.month_idx)
+        |SELECT month_idx, c_mktsegment, n_orders, revenue_cents, share,
+        |  round(share - lag(share) OVER (PARTITION BY c_mktsegment ORDER BY month_idx), 6)
+        |    AS share_mom_delta
+        |FROM s""".stripMargin,
+
+    // per-nation customer balance profile (credit-risk slice)
+    "nation_acctbal_profile" ->
+      """WITH c AS (SELECT c_nationkey,
+        |      CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(CASE WHEN bal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+        |  round(quantile_cont(bal, 0.1), 4) AS p10_cents,
+        |  round(quantile_cont(bal, 0.5), 4) AS p50_cents,
+        |  round(quantile_cont(bal, 0.9), 4) AS p90_cents,
+        |  round(CAST(sum(CASE WHEN bal < 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |    AS negative_share
+        |FROM c JOIN nation ON n_nationkey = c_nationkey GROUP BY 1""".stripMargin,
+
+    // quantity x discount-bp revenue response grid
+    "quantity_discount_grid" ->
+      """SELECT CAST(l_quantity AS BIGINT) AS quantity,
+        |  CAST(round(l_discount * 100) AS BIGINT) AS discount_bp,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents,
+        |  round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+        |    / count(*), 4) AS mean_line_cents
+        |FROM lineitem GROUP BY 1, 2""".stripMargin
   )
 }

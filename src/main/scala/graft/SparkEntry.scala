@@ -805,7 +805,17 @@ object SparkEntry {
       Relational.nationTradeMatrix(t(s, d, "lineitem"), t(s, d, "orders"),
         t(s, d, "customer"), t(s, d, "supplier"), t(s, d, "nation"))),
     "weekly_last_balance" -> ((s, d) =>
-      Relational.weeklyLastBalance(events(s, d)))
+      Relational.weeklyLastBalance(events(s, d))),
+    "embed_pca_project" -> ((s, d) =>
+      Similarity.embedPcaProject(t(s, d, "embeddings"))),
+    "top_orders_per_customer" -> ((s, d) =>
+      Relational.topOrdersPerCustomer(t(s, d, "orders"))),
+    "mktsegment_monthly_share" -> ((s, d) =>
+      Relational.mktsegmentMonthlyShare(t(s, d, "orders"), t(s, d, "customer"))),
+    "nation_acctbal_profile" -> ((s, d) =>
+      Relational.nationAcctbalProfile(t(s, d, "customer"), t(s, d, "nation"))),
+    "quantity_discount_grid" -> ((s, d) =>
+      Relational.quantityDiscountGrid(t(s, d, "lineitem")))
   )
 
   /** DuckDB twins for the SQL-expressible queries (SURVEY.md §5). */

@@ -70,7 +70,12 @@ object ScaleCheck {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val ms = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 16)
+    // non-numeric args select sections ("emb" = embedding rows only —
+    // lets the m=64 near-dup blocking proof run without paying the
+    // doc/event rows' 64x duplication cost)
+    val (sections, mArgs) = args.drop(1).partition(a => a.forall(!_.isDigit))
+    val embOnly = sections.contains("emb")
+    val ms = if (mArgs.nonEmpty) mArgs.map(_.toInt).toSeq else Seq(1, 4, 16)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -90,6 +95,17 @@ object ScaleCheck {
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet").repartition(width)
 
     for (m <- ms) {
+      if (embOnly) {
+        val emb = multiplyEmb(emb0, m)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        emb.count()
+        val (tNdp, nNdp) = timedForce(Similarity.nearDupPairs(emb))
+        val ndpBits = Similarity.adaptiveSignBits(emb.count())
+        graft.CacheTracker.releaseAll()
+        println(s"""{"m":$m,"vecs":${emb.count()},""" +
+          s""""near_dup_pairs":{"sec":$tNdp,"pairs":$nNdp,"bits":$ndpBits}}""")
+        emb.unpersist()
+      } else {
       val docs = multiplyDocs(docs0, m)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       docs.count()
@@ -210,6 +226,7 @@ object ScaleCheck {
         s""""embed_standardize_2level":{"sec":$tStd2,"rows":$nStd2,"max_agg_buffer_rows":$buf2,"rollup_rows":${Folds.DefaultBuckets}},""" +
         s""""dim_stats_1level":{"sec":$tStd1,"rows":$nStd1,"max_agg_buffer_rows":$buf1}}""")
       docs.unpersist(); events.unpersist()
+      }
     }
     spark.stop()
   }

@@ -1315,9 +1315,11 @@ object Relational {
     val bounds = withDay
       .agg(expr("(min(_day) + max(_day)) div 2").as("mid"))
     // ONE orders scan builds both halves' per-customer reductions,
-    // keyed by the half flag; each half's quartile machinery then runs
-    // on its narrow cached slice instead of re-scanning orders (the two
-    // independent rfmSegments fits cost a full scan+agg each)
+    // keyed by the half flag; each quartile DIMENSION then runs ONE
+    // composite-order (_h1, key) global rank covering BOTH halves —
+    // within-half rank = global rank − the half's min rank + 1 — so the
+    // whole matrix costs 3 two-pass rank fits instead of the 6 (plus a
+    // second orders scan) that two independent rfmSegments fits paid.
     val perCustHalf = graft.CacheTracker.track(
       withDay.crossJoin(broadcast(bounds))
         .groupBy(col("o_custkey"), (col("_day") <= col("mid")).as("_h1"))
@@ -1326,11 +1328,28 @@ object Relational {
           count(lit(1)).as("frequency"),
           sum(cents(col("o_totalprice"))).as("monetary_cents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    def half(isH1: Boolean, name: String): DataFrame =
-      rfmFromPerCust(perCustHalf.filter(col("_h1") === isH1).drop("_h1"))
-        .select(col("o_custkey"), col("segment").as(name))
-    val joined = half(isH1 = true, "segment_h1")
-      .join(half(isH1 = false, "segment_h2"), "o_custkey")
+    def quartile(ord: Seq[Column], name: String): DataFrame = {
+      val ranked = Ranks.withGlobalRowNumber(perCustHalf, "_rnk", "_n",
+        col("_h1").desc +: ord)
+      val halfSpan = ranked.groupBy("_h1")
+        .agg(count(lit(1)).as("_nh"), min(col("_rnk")).as("_start"))
+      ranked.join(broadcast(halfSpan), "_h1")
+        .select(col("o_custkey"), col("_h1"),
+          Ranks.ntileFromRank(col("_rnk") - col("_start") + 1, col("_nh"), 4)
+            .cast("long").as(name))
+    }
+    val r = quartile(Seq(col("lo").asc, col("o_custkey")), "r")
+    val f = quartile(Seq(col("frequency").asc, col("o_custkey")), "f")
+    val m = quartile(Seq(col("monetary_cents").asc, col("o_custkey")), "m")
+    val seg = r.join(f, Seq("o_custkey", "_h1")).join(m, Seq("o_custkey", "_h1"))
+      .select(col("o_custkey"), col("_h1"),
+        (col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
+    // conditional-agg pivot, not a self-join: one pass over seg keeps the
+    // 3-rank lineage from executing twice
+    val joined = seg.groupBy("o_custkey")
+      .agg(max(when(col("_h1"), col("segment"))).as("segment_h1"),
+        max(when(!col("_h1"), col("segment"))).as("segment_h2"))
+      .filter(col("segment_h1").isNotNull && col("segment_h2").isNotNull)
     val total = joined.agg(count(lit(1)).as("n_total"))
     joined.groupBy("segment_h1", "segment_h2")
       .agg(count(lit(1)).as("n_customers"))
@@ -3182,4 +3201,81 @@ object Relational {
       .groupBy("week")
       .agg(count(lit(1)).as("n_users"), sum(col("c")).as("eow_balance_cents"))
   }
+  /** Top-3 orders per customer by price (C184): the per-group top-N
+    * every CRM export runs, through the custom TopKPerKey heap operator
+    * — per-customer candidate pruning in the partial phase, so no
+    * per-customer sort materializes — then an exact row_number over the
+    * ≤3-row survivors. Ties break on orderkey. */
+  def topOrdersPerCustomer(orders: DataFrame, k: Int = 3): DataFrame = {
+    graft.plans.TopK.register(orders.sparkSession)
+    val o = orders.select(col("o_custkey"), col("o_orderkey"),
+      cents(col("o_totalprice")).as("cents"))
+    val pruned = graft.plans.TopK.topKPerKey(o, Seq("o_custkey"),
+      Seq("cents" -> false, "o_orderkey" -> true), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("cents").desc, col("o_orderkey"))
+    pruned.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("o_custkey", "rnk", "o_orderkey", "cents")
+  }
+
+  /** Monthly revenue share per market segment with MoM share delta
+    * (C185): the mix-shift dashboard — is the BUILDING segment growing
+    * at the expense of MACHINERY, or is everything just seasonal? One
+    * orders-customer join (shuffle on custkey), then everything lives
+    * on the (month x segment)-bounded frame: share-of-month ratios and
+    * a segment-partitioned lag window over months. */
+  def mktsegmentMonthlyShare(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val rev = orders.select(col("o_custkey"), cents(col("o_totalprice")).as("c"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).cast("long")
+          .as("month_idx"))
+      .join(customer.select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "o_custkey")
+      .groupBy("month_idx", "c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), sum(col("c")).as("revenue_cents"))
+    val mtot = rev.groupBy("month_idx").agg(sum(col("revenue_cents")).as("mrev"))
+    val wSeg = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_mktsegment").orderBy("month_idx")
+    rev.join(mtot, "month_idx")
+      .withColumn("share",
+        round(col("revenue_cents").cast("double") / col("mrev"), 6))
+      .withColumn("share_mom_delta",
+        round(col("share") - lag(col("share"), 1).over(wSeg), 6))
+      .select("month_idx", "c_mktsegment", "n_orders", "revenue_cents",
+        "share", "share_mom_delta")
+  }
+
+  /** Customer account-balance profile per nation (C186): size, share in
+    * arrears (negative balance), and exact interpolated percentiles of
+    * balance cents — the credit-risk slice of the customer dimension.
+    * One broadcast nation join + one partial-agg/percentile shuffle onto
+    * the 25-row nation key. */
+  def nationAcctbalProfile(customer: DataFrame, nation: DataFrame): DataFrame =
+    customer.select(col("c_nationkey"), cents(col("c_acctbal")).as("bal"))
+      .join(broadcast(nation.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name"))), "c_nationkey")
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum((col("bal") < 0).cast("long")).as("n_negative"),
+        round(percentile(col("bal"), lit(0.1)), 4).as("p10_cents"),
+        round(percentile(col("bal"), lit(0.5)), 4).as("p50_cents"),
+        round(percentile(col("bal"), lit(0.9)), 4).as("p90_cents"))
+      .withColumn("negative_share",
+        round(col("n_negative").cast("double") / col("n_customers"), 6))
+
+  /** Quantity x discount revenue response grid (C187): mean line
+    * revenue over the (quantity, discount-basis-point) grid — the
+    * pricing surface behind discount-elasticity reads, exact-integer
+    * cents until the one rounded mean. The grid is schema-bounded
+    * (quantities x ~11 discount levels), one partial-agg shuffle. */
+  def quantityDiscountGrid(lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_quantity").cast("long").as("quantity"),
+        round(col("l_discount") * 100).cast("long").as("discount_bp"),
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+          .as("rev"))
+      .groupBy("quantity", "discount_bp")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("rev")).as("revenue_cents"),
+        round(sum(col("rev")).cast("double") / count(lit(1)), 4)
+          .as("mean_line_cents"))
 }

@@ -499,25 +499,27 @@ object Similarity {
                           bypassFloor: Double = 0.05): DataFrame = {
     def stableSum(c: Column) =
       aggregate(sort_array(collect_list(c)), lit(0.0), (a, b) => a + b)
-    // MATERIALIZED (localCheckpoint, not persist) — the one operator
-    // where the recompute-beats-persist streak (doc_lang_coherence /
-    // source_overlap / rrf_fusion, BASELINE r8-r9) does NOT transfer,
-    // because the eager stats read below is a SEPARATE job and
-    // ReuseExchange only unifies subtrees within one physical plan:
-    // unmaterialized, the tokenize+tfidf chain runs ~4x (the stats job
-    // plus three consumers in the main job). Round-10 A/B, solo x3 reps
-    // at sf0.1: materialized 4.9/6.0/5.8 s vs recompute 12.0/12.1/11.6 s.
-    // localCheckpoint rather than persist because persist keeps the
-    // lineage live: under a loaded BlockManager (the 376-query official
-    // pass) the cached blocks got evicted between the stats job and the
-    // main job and BOTH paid the full recompute (round-12's official
-    // 60.3 s vs 3.8 s solo). The checkpointed blocks are disk-backed —
-    // there IS no recompute path — and the harness frees them at the
-    // query boundary via CacheTracker.drainAll.
-    val w = TfIdf.tfidf(docs)
-      .join(docs.select(col("doc_id"), col(blockCol).as("blk")), "doc_id")
-      .select(col("doc_id"), col("blk"), col("token"), col("tfidf"))
-      .localCheckpoint(true)
+    // PERSISTED — the one operator where the recompute-beats-persist
+    // streak (doc_lang_coherence / source_overlap / rrf_fusion, BASELINE
+    // r8-r9) does NOT transfer, because the eager stats read below is a
+    // SEPARATE job and ReuseExchange only unifies subtrees within one
+    // physical plan: unpersisted, the tokenize+tfidf chain runs ~4x (the
+    // stats job plus three consumers in the main job). Round-10 A/B, solo
+    // x3 reps at sf0.1: persist 4.9/6.0/5.8 s vs recompute
+    // 12.0/12.1/11.6 s. A round-13 A/B rejected localCheckpoint here
+    // (10.4 s vs ~4-6 s): truncating to a LogicalRDD erases the
+    // InMemoryRelation's statistics, so downstream joins lose their
+    // broadcast plans. Persist at MEMORY_AND_DISK already has NO
+    // recompute path — memory-evicted blocks move to disk, they are not
+    // dropped — so the round-12 official 60.3 s was the harness's
+    // orphan-block bloat (fixed by CacheTracker.drainAll between
+    // queries), not cache loss in this operator.
+    val w = graft.CacheTracker.track(
+      TfIdf.tfidf(docs)
+        .join(docs.select(col("doc_id"), col(blockCol).as("blk")), "doc_id")
+        .select(col("doc_id"), col("blk"), col("token"), col("tfidf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    w.count()
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val dfs = w.select(col("token"), col("doc_id")).distinct()
       .groupBy("token").agg(count(lit(1)).as("df"))
@@ -770,6 +772,26 @@ object Similarity {
     * trace. Every frame past the one covariance aggregate is
     * dims²-bounded. */
   def pcaExplained(emb: DataFrame, dims: Int = 8, iters: Int = 5): DataFrame = {
+    val (c, v1, v2) = deflatedEigenPair(emb, dims, iters)
+    val C = c
+    val tr = C.filter(col("dim_i") === col("dim_j"))
+      .agg(round(Folds.sortedSum(col("cov")), 9).as("trace"))
+    val e1 = v1.agg(max(col("eig")).as("eigenvalue"))
+      .select(lit(1).as("component"), col("eigenvalue"))
+    val e2 = v2.agg(max(col("eig")).as("eigenvalue"))
+      .select(lit(2).as("component"), col("eigenvalue"))
+    e1.union(e2).crossJoin(broadcast(tr))
+      .select(col("component"), col("eigenvalue"), col("trace"),
+        when(col("trace") > 0, round(col("eigenvalue") / col("trace"), 6))
+          .otherwise(lit(0.0)).as("explained_ratio"))
+  }
+
+  /** The mirrored covariance matrix + (v₁, deflated v₂) pair shared by
+    * [[pcaExplained]] and [[embedPcaProject]] — factored so the
+    * spectrum readout and the projection can never drift. Returns
+    * (C cached, v1 cached, v2); C and v1 register with CacheTracker. */
+  private def deflatedEigenPair(emb: DataFrame, dims: Int,
+      iters: Int): (DataFrame, DataFrame, DataFrame) = {
     val cu = embedCovariance(emb, dims).select("dim_i", "dim_j", "cov")
     val full = cu.unionByName(cu.filter(col("dim_i") =!= col("dim_j"))
       .select(col("dim_j").as("dim_i"), col("dim_i").as("dim_j"), col("cov")))
@@ -785,17 +807,33 @@ object Similarity {
       .join(v1.select(col("dim").as("dim_j"), col("v").as("vj")), "dim_j")
       .select(col("dim_i"), col("dim_j"),
         round(col("cov") - col("eig") * col("vi") * col("vj"), 9).as("cov"))
-    val v2 = powerEigen(c2, dims, iters)
-    val tr = C.filter(col("dim_i") === col("dim_j"))
-      .agg(round(Folds.sortedSum(col("cov")), 9).as("trace"))
-    val e1 = v1.agg(max(col("eig")).as("eigenvalue"))
-      .select(lit(1).as("component"), col("eigenvalue"))
-    val e2 = v2.agg(max(col("eig")).as("eigenvalue"))
-      .select(lit(2).as("component"), col("eigenvalue"))
-    e1.union(e2).crossJoin(broadcast(tr))
-      .select(col("component"), col("eigenvalue"), col("trace"),
-        when(col("trace") > 0, round(col("eigenvalue") / col("trace"), 6))
-          .otherwise(lit(0.0)).as("explained_ratio"))
+    (C, v1, powerEigen(c2, dims, iters))
+  }
+
+  /** Per-vector projection onto the top-2 deflated power-iteration
+    * components (B205): the 2-D coordinates a corpus-map / scatter
+    * visualization or a cheap spectral filter needs, from the SAME
+    * eigenvectors [[pcaExplained]] reports on. p_k(x) = Σ_d x_d·v_k,d
+    * over the first `dims` dimensions (9 dp-rounded terms, sorted fold,
+    * 6 dp result). The eigen machinery is dims²-bounded after one
+    * covariance pass; the projection is one narrow explode + a
+    * broadcast join of the 2×dims loadings — linear in the corpus. */
+  def embedPcaProject(emb: DataFrame, dims: Int = 8, iters: Int = 5): DataFrame = {
+    val (_, v1, v2raw) = deflatedEigenPair(emb, dims, iters)
+    // v2 is consumed once per projection; pin it so the second power
+    // chain (itself built over cached C/v1) doesn't re-run per reference
+    val v2 = graft.CacheTracker.track(
+      v2raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    v2.count()
+    val x = emb.select(col("vec_id"),
+        explode(array((1 to dims).map(i => struct(lit(i.toLong).as("dim"),
+          element_at(col("embedding"), i).cast("double").as("x"))): _*)).as("c"))
+      .select(col("vec_id"), col("c.dim"), col("c.x"))
+    def proj(v: DataFrame, name: String): DataFrame =
+      x.join(broadcast(v.select(col("dim"), col("v"))), "dim")
+        .groupBy("vec_id")
+        .agg(round(Folds.sortedSum(round(col("x") * col("v"), 9)), 6).as(name))
+    proj(v1, "p1").join(proj(v2, "p2"), "vec_id")
   }
 
   /** Oracle-checkable Lloyd's k-means (B70): deterministic where MLlib's

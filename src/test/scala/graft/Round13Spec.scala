@@ -162,6 +162,72 @@ class Round13Spec extends SparkSpec {
     assert(out.head.getAs[Long]("revenue_cents") === 900L)
   }
 
+  test("topOrdersPerCustomer keeps exactly the 3 priciest orders per customer") {
+    val o = (1L to 5L).map(i => (i, "2024-01-01", i.toDouble))
+      .map { case (k, d, p) => (k, java.sql.Date.valueOf(d), p, 42L) }
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice", "o_custkey")
+    val out = graft.operators.Relational.topOrdersPerCustomer(o).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.sorted === Seq((1L, 5L), (2L, 4L), (3L, 3L)))
+  }
+
+  test("mktsegmentMonthlyShare: shares sum to 1 per month and MoM delta tracks the shift") {
+    val o = Seq((1L, "2024-01-05", 1.0, 1L), (2L, "2024-01-15", 3.0, 2L),
+        (3L, "2024-02-05", 3.0, 1L), (4L, "2024-02-15", 1.0, 2L))
+      .map { case (k, d, p, c) => (k, java.sql.Date.valueOf(d), p, c) }
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice", "o_custkey")
+    val c = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("c_custkey", "c_mktsegment")
+    val out = graft.operators.Relational.mktsegmentMonthlyShare(o, c).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getAs[Double]("share"), Option(r.getAs[Any]("share_mom_delta")))).toMap
+    val m0 = 2024 * 12 + 0
+    assert(out((m0, "BUILDING"))._1 === 0.25)
+    assert(out((m0, "BUILDING"))._2 === None) // first month: no delta
+    assert(out((m0 + 1, "BUILDING"))._1 === 0.75)
+    assert(out((m0 + 1, "BUILDING"))._2.get === 0.5)
+  }
+
+  test("nationAcctbalProfile counts arrears and exact percentiles per nation") {
+    val c = Seq((1L, 3L, -5.0), (2L, 3L, 10.0), (3L, 3L, 20.0))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val n = Seq((3L, "FRANCE")).toDF("n_nationkey", "n_name")
+    val r = graft.operators.Relational.nationAcctbalProfile(c, n).collect().head
+    assert(r.getAs[Long]("n_customers") === 3L)
+    assert(r.getAs[Long]("n_negative") === 1L)
+    assert(r.getAs[Double]("p50_cents") === 1000.0)
+    assert(math.abs(r.getAs[Double]("negative_share") - 0.333333) < 1e-6)
+  }
+
+  test("quantityDiscountGrid: exact cents per (quantity, bp) cell") {
+    val li = Seq((1L, 2.0, 10.0, 0.1), (2L, 2.0, 20.0, 0.1), (3L, 5.0, 10.0, 0.0))
+      .toDF("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+    val out = graft.operators.Relational.quantityDiscountGrid(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("revenue_cents"))).toMap
+    assert(out((2L, 10L)) === ((2L, 900L + 1800L)))
+    assert(out((5L, 0L)) === ((1L, 1000L)))
+  }
+
+  test("embedPcaProject: dominant axis carries the spread, minor axis stays small") {
+    // rank-2 data: big variance along (1,1,0,..), small along dim 3 —
+    // rank-1 data would deflate to a zero matrix and a NaN v2
+    val ts = Seq(-2f, -1f, 0f, 1f, 2f)
+    val ss = Seq(0.1f, -0.1f, 0.1f, -0.1f, 0.1f)
+    val vecs = ts.zip(ss).zipWithIndex.map { case ((t, s), i) =>
+      (i.toLong, Array(t, t, s, 0f, 0f, 0f, 0f, 0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.embedPcaProject(vecs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Double]("p1"), r.getAs[Double]("p2"))).toMap
+    // p1 spreads monotonically with t (up to a global sign)
+    val p1s = (0L to 4L).map(out(_)._1)
+    assert(p1s.distinct.size === 5)
+    assert(p1s == p1s.sorted || p1s == p1s.sorted.reverse)
+    // the minor axis's spread is an order of magnitude smaller
+    val spread1 = p1s.max - p1s.min
+    val p2s = (0L to 4L).map(out(_)._2)
+    assert(p2s.max - p2s.min < spread1 / 5)
+  }
+
   test("weeklyLastBalance keeps the LAST value per user-week, then sums") {
     val e = events(
       (1L, 1L, "2024-01-01 10:00:00", "view", 5.0),
