@@ -6039,6 +6039,49 @@ object Oracles {
         |    AS revenue_cents,
         |  round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
         |    / count(*), 4) AS mean_line_cents
-        |FROM lineitem GROUP BY 1, 2""".stripMargin
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    // char-trigram distribution cosine between source pairs
+    "source_chargram_cosine" ->
+      s"""WITH c AS (SELECT source, $clean AS clean FROM documents),
+         |cc AS (SELECT source, clean FROM c WHERE length(clean) >= 3),
+         |g AS MATERIALIZED (SELECT source, gram, count(*) AS cnt FROM
+         |     (SELECT source, substr(clean, i, 3) AS gram FROM
+         |       (SELECT source, clean, unnest(range(1, length(clean) - 1)) AS i FROM cc))
+         |     GROUP BY 1, 2),
+         |n AS MATERIALIZED (SELECT source, sqrt(CAST(sum(cnt * cnt) AS DOUBLE)) AS nrm
+         |     FROM g GROUP BY 1),
+         |d AS (SELECT a.source AS src_a, b.source AS src_b, sum(a.cnt * b.cnt) AS dot
+         |      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT src_a, src_b,
+         |  round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cos
+         |FROM d JOIN n na ON na.source = d.src_a JOIN n nb ON nb.source = d.src_b""".stripMargin,
+
+    // dedup-rate estimate on the 10% sample vs the exact rate
+    "dup_rate_sample_check" ->
+      s"""WITH h AS (SELECT doc_id, md5($clean) AS h FROM documents),
+         |e AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |      round(CASE WHEN count(*) > 0
+         |        THEN 1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*)
+         |        ELSE 0.0 END, 6) AS dup_rate_exact FROM h),
+         |sm AS (SELECT CAST(count(*) AS BIGINT) AS n_sample,
+         |      round(CASE WHEN count(*) > 0
+         |        THEN 1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*)
+         |        ELSE 0.0 END, 6) AS dup_rate_sample FROM h WHERE doc_id % 10 = 0)
+         |SELECT n_docs, dup_rate_exact, n_sample, dup_rate_sample,
+         |  round(abs(dup_rate_exact - dup_rate_sample), 6) AS abs_err
+         |FROM e CROSS JOIN sm""".stripMargin,
+
+    // cumulative revenue share by day (temporal Lorenz curve)
+    "orders_running_share" ->
+      """WITH daily AS (SELECT epoch_ns(o_orderdate) // 1000 // 86400000000 AS day_idx,
+        |      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+        |      FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(r) AS BIGINT) AS total_r FROM daily)
+        |SELECT day_idx, r,
+        |  CAST(sum(r) OVER (ORDER BY day_idx) AS BIGINT) AS cum_r,
+        |  round(CAST(sum(r) OVER (ORDER BY day_idx) AS DOUBLE) / total_r, 6) AS cum_share
+        |FROM daily CROSS JOIN t""".stripMargin
   )
 }

@@ -815,7 +815,13 @@ object SparkEntry {
     "nation_acctbal_profile" -> ((s, d) =>
       Relational.nationAcctbalProfile(t(s, d, "customer"), t(s, d, "nation"))),
     "quantity_discount_grid" -> ((s, d) =>
-      Relational.quantityDiscountGrid(t(s, d, "lineitem")))
+      Relational.quantityDiscountGrid(t(s, d, "lineitem"))),
+    "source_chargram_cosine" -> ((s, d) =>
+      TextOps.sourceChargramCosine(spread(t(s, d, "documents")))),
+    "dup_rate_sample_check" -> ((s, d) =>
+      TextOps.dupRateSampleCheck(spread(t(s, d, "documents")))),
+    "orders_running_share" -> ((s, d) =>
+      Relational.ordersRunningShare(t(s, d, "orders")))
   )
 
   /** DuckDB twins for the SQL-expressible queries (SURVEY.md §5). */

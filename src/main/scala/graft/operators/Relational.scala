@@ -1100,7 +1100,7 @@ object Relational {
       .agg(
         count(lit(1)).as("n_customers"),
         sum(col("spend_cents")).as("total_cents"),
-        sum(col("i") * col("spend_cents")).as("rank_sum"))
+        sum(col("i").cast("decimal(38,0)") * col("spend_cents")).as("rank_sum"))
       .select(col("n_customers"), col("total_cents"),
         round(
           lit(2.0) * col("rank_sum")
@@ -1560,7 +1560,8 @@ object Relational {
       .withColumn("grp", pmod(col("user_id"), lit(2)).cast("long"))
     val m = spend.groupBy("grp")
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
-        sum(col("cents") * col("cents")).as("ss"))
+        // widened BEFORE the product (round-13 decimal discipline)
+        sum(col("cents").cast("decimal(38,0)") * col("cents")).as("ss"))
       .select(col("grp"), col("n"),
         round(col("s").cast("double") / col("n"), 9).as("mean"),
         round((col("ss").cast("double") -
@@ -1725,7 +1726,7 @@ object Relational {
       .groupBy("event_type", "hour_idx").agg(count(lit(1)).as("cnt"))
     val m = hourly.groupBy("event_type")
       .agg(count(lit(1)).as("n_hours"), sum(col("cnt")).as("s"),
-        sum(col("cnt") * col("cnt")).as("ss"), max(col("cnt")).as("max_cnt"))
+        sum(col("cnt").cast("decimal(38,0)") * col("cnt")).as("ss"), max(col("cnt")).as("max_cnt"))
       .select(col("event_type"), col("n_hours"), col("max_cnt"),
         round(col("s").cast("double") / col("n_hours"), 9).as("mu"),
         // greatest(…, 0): float error can push a zero variance a hair
@@ -2061,7 +2062,7 @@ object Relational {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_gaps"),
         sum(col("gap_s")).as("span_s"),
-        sum(col("vc") * col("gap_s")).as("weighted_cents"))
+        sum(col("vc").cast("decimal(38,0)") * col("gap_s")).as("weighted_cents"))
       .filter(col("span_s") > 0L)
       .select(col("user_id"), col("n_gaps"), col("span_s"),
         round(col("weighted_cents").cast("double") / col("span_s"), 6)
@@ -3278,4 +3279,18 @@ object Relational {
         sum(col("rev")).as("revenue_cents"),
         round(sum(col("rev")).cast("double") / count(lit(1)), 4)
           .as("mean_line_cents"))
+  /** Cumulative revenue share by day (C188): "what fraction of
+    * all-time revenue had arrived by day d" — the temporal Lorenz curve
+    * behind run-rate and seasonality-vs-growth reads. The daily frame is
+    * calendar-bounded; the running sum rides [[Ranks.withGlobalCumSum]]'s
+    * range-partitioned two-pass machinery, never a one-task window. */
+  def ordersRunningShare(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+        .as("day_idx"))
+      .agg(sum(cents(col("o_totalprice"))).as("r"))
+    Ranks.withGlobalCumSum(daily, "r", "cum_r", "total_r", Seq(col("day_idx")))
+      .select(col("day_idx"), col("r"), col("cum_r"),
+        round(col("cum_r").cast("double") / col("total_r"), 6).as("cum_share"))
+  }
 }

@@ -1170,6 +1170,60 @@ object TextOps {
       .limit(k)
   }
 
+  /** Char-trigram distribution cosine between every source pair (B206):
+    * the feed-similarity matrix at the CHARACTER level — two feeds that
+    * syndicate the same wire content read ≈1 even when token-level
+    * vocabularies drift (casing, punctuation, template chrome).
+    * Complements [[graft.operators.LangModel.langIdChargram]]'s per-doc
+    * classifier with a corpus-level pairwise view. Counts stay exact
+    * integers (products decimal-widened); cosine divides once, 6 dp.
+    * The gram frame is alphabet³-bounded after one narrow explode, so
+    * the pair join is (grams x sources²)-bounded — never data-sized. */
+  def sourceChargramCosine(docs: DataFrame): DataFrame = {
+    val c = docs.select(col("source"), cleanText(col("text")).as("clean"))
+      .filter(length(col("clean")) >= 3)
+    val g = c.select(col("source"),
+        explode(transform(sequence(lit(1), length(col("clean")) - 2),
+          i => col("clean").substr(i, lit(3)))).as("gram"))
+      .groupBy("source", "gram").agg(count(lit(1)).as("cnt"))
+    val nrm = g.groupBy("source")
+      .agg(sum(col("cnt").cast("decimal(38,0)") * col("cnt")).as("ss"))
+      .select(col("source"), sqrt(col("ss").cast("double")).as("nrm"))
+    g.select(col("source").as("src_a"), col("gram"), col("cnt").as("ca"))
+      .join(g.select(col("source").as("src_b"), col("gram"), col("cnt").as("cb")),
+        "gram")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(col("ca").cast("decimal(38,0)") * col("cb")).as("dot"))
+      .join(broadcast(nrm.select(col("source").as("src_a"), col("nrm").as("nrm_a"))),
+        "src_a")
+      .join(broadcast(nrm.select(col("source").as("src_b"), col("nrm").as("nrm_b"))),
+        "src_b")
+      .select(col("src_a"), col("src_b"),
+        round(col("dot").cast("double") / (col("nrm_a") * col("nrm_b")), 6)
+          .as("cos"))
+  }
+
+  /** Sampling-error check for dedup-rate estimation (B207): the exact
+    * corpus duplicate-content rate vs the same statistic on the doc_id%10
+    * sample — how far off a 10% profiling pass would be before anyone
+    * commits to a dedup budget. Two content-hash aggregates (the sample
+    * one over a pushed-down filter), one joined row out. */
+  def dupRateSampleCheck(docs: DataFrame): DataFrame = {
+    val h = docs.select(col("doc_id"), md5(cleanText(col("text"))).as("h"))
+    def rate(df: DataFrame, nName: String, rName: String): DataFrame =
+      df.agg(count(lit(1)).as(nName), countDistinct(col("h")).as("_d"))
+        .select(col(nName),
+          round(when(col(nName) > 0,
+            lit(1.0) - col("_d").cast("double") / col(nName))
+            .otherwise(lit(0.0)), 6).as(rName))
+    rate(h, "n_docs", "dup_rate_exact")
+      .crossJoin(broadcast(
+        rate(h.filter(col("doc_id") % 10 === 0), "n_sample", "dup_rate_sample")))
+      .withColumn("abs_err",
+        round(abs(col("dup_rate_exact") - col("dup_rate_sample")), 6))
+  }
+
   /** MOSS-style winnowing fingerprint (B59): md5 each 3-token shingle in
     * sequence order, slide a `win`-wide window over the shingle-hash
     * stream, keep each window's minimum, and emit the distinct minima —

@@ -237,6 +237,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(plan("html_extract")) <= 1)
   }
 
+  test("round-13 pinned iterative chains collapse to checkpointed leaves") {
+    // bigram_greedy_gen: every step is localCheckpoint'd, so the FINAL
+    // plan is a union over steps+1 LogicalRDD scans — zero broadcasts,
+    // zero shuffles (the round-12 unpinned plan carried Σk = 55
+    // broadcast exchanges). Same discipline for token_bfs's frontier.
+    for (key <- Seq("bigram_greedy_gen", "token_bfs")) {
+      val p = plan(key)
+      assert(!p.contains("BroadcastExchange"),
+        s"$key: pinned chain must not replay broadcast probes\n${p.take(400)}")
+      assert("Exchange".r.findAllIn(p).size === 0,
+        s"$key: pinned chain must not replay shuffles")
+      assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+        s"$key: expected checkpointed leaves")
+    }
+    graft.CacheTracker.drainAll(spark)
+  }
+
   test("join hints are honored: broadcast vs merge on the same join") {
     val a = spark.read.parquet(s"$sf/orders.parquet")
     val b = spark.read.parquet(s"$sf/customer.parquet")

@@ -228,6 +228,41 @@ class Round13Spec extends SparkSpec {
     assert(p2s.max - p2s.min < spread1 / 5)
   }
 
+  test("sourceChargramCosine: identical feeds read 1.0, disjoint feeds 0.0") {
+    val d = docs(
+      (1L, "en", "abcdef"), (2L, "en", "abcdef"),
+      (3L, "en", "uvwxyz"))
+      .withColumn("source",
+        when(col("doc_id") === 1L, "sA").when(col("doc_id") === 2L, "sB")
+          .otherwise("sC"))
+    val out = graft.operators.TextOps.sourceChargramCosine(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out(("sA", "sB")) === 1.0)
+    assert(!out.contains(("sA", "sC")) || out(("sA", "sC")) === 0.0)
+  }
+
+  test("dupRateSampleCheck: planted duplicates give the exact rate; sample tracks it") {
+    // ids 0,10 sampled (doc_id%10=0); texts: 0 and 1 duplicate content
+    val d = docs(
+      (0L, "en", "same text here"), (1L, "en", "same text here"),
+      (10L, "en", "other text"), (11L, "en", "third text"))
+    val r = graft.operators.TextOps.dupRateSampleCheck(d).collect().head
+    assert(r.getAs[Long]("n_docs") === 4L)
+    assert(r.getAs[Double]("dup_rate_exact") === 0.25)
+    assert(r.getAs[Long]("n_sample") === 2L)
+    assert(r.getAs[Double]("dup_rate_sample") === 0.0) // sample missed the dup
+    assert(r.getAs[Double]("abs_err") === 0.25)
+  }
+
+  test("ordersRunningShare accumulates to exactly 1.0 on the last day") {
+    val o = orders(
+      (1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0), (3L, "2024-01-03", 1.0))
+    val out = graft.operators.Relational.ordersRunningShare(o).collect()
+      .sortBy(_.getLong(0))
+    assert(out.map(_.getAs[Double]("cum_share")).toSeq === Seq(0.25, 0.75, 1.0))
+    assert(out.last.getAs[Long]("cum_r") === 400L)
+  }
+
   test("weeklyLastBalance keeps the LAST value per user-week, then sums") {
     val e = events(
       (1L, 1L, "2024-01-01 10:00:00", "view", 5.0),
