@@ -6082,6 +6082,14 @@ object Oracles {
         |SELECT day_idx, r,
         |  CAST(sum(r) OVER (ORDER BY day_idx) AS BIGINT) AS cum_r,
         |  round(CAST(sum(r) OVER (ORDER BY day_idx) AS DOUBLE) / total_r, 6) AS cum_share
-        |FROM daily CROSS JOIN t""".stripMargin
+        |FROM daily CROSS JOIN t""".stripMargin,
+
+    // the textual-SQL surface twin of tpch_q6
+    "sql_tpch_q6" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
   )
 }

@@ -821,7 +821,21 @@ object SparkEntry {
     "dup_rate_sample_check" -> ((s, d) =>
       TextOps.dupRateSampleCheck(spread(t(s, d, "documents")))),
     "orders_running_share" -> ((s, d) =>
-      Relational.ordersRunningShare(t(s, d, "orders")))
+      Relational.ordersRunningShare(t(s, d, "orders"))),
+    // C189: the textual-SQL surface — Graft.registerTables mounts the
+    // dataset as temp views and the engine answers plain spark.sql().
+    // Same Q6 semantics as the DataFrame twin; the point of the row is
+    // that the SQL path (parser -> Catalyst -> same physical plan) is a
+    // first-class, oracle-checked way in.
+    "sql_tpch_q6" -> ((s, d) => {
+      Graft.registerTables(s, d)
+      s.sql("""SELECT count(*) AS n_items,
+        CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+          AS revenue_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")
+    })
   )
 
   /** DuckDB twins for the SQL-expressible queries (SURVEY.md §5). */
