@@ -6090,6 +6090,76 @@ object Oracles {
         |  CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    // BLEU-2 between the ngram_jaccard candidate pairs
+    "bleu_pairs" ->
+      s"""WITH tk AS MATERIALIZED (SELECT doc_id, source, $toks AS toks FROM documents),
+         |s AS (SELECT doc_id, source,
+         |  list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM tk),
+         |f AS (SELECT * FROM s WHERE len(sh) > 0),
+         |pairs AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM f a JOIN f b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.3),
+         |u AS MATERIALIZED (SELECT doc_id, g, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(toks) AS g FROM tk) GROUP BY 1, 2),
+         |bg AS MATERIALIZED (SELECT doc_id, g, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |        i -> toks[i] || ' ' || toks[i+1])) AS g
+         |        FROM tk WHERE len(toks) >= 2) GROUP BY 1, 2),
+         |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM tk),
+         |c1 AS (SELECT a_id, b_id, CAST(sum(least(ua.c, ub.c)) AS BIGINT) AS clip1
+         |  FROM pairs JOIN u ua ON ua.doc_id = a_id
+         |  JOIN u ub ON ub.doc_id = b_id AND ub.g = ua.g GROUP BY 1, 2),
+         |c2 AS (SELECT a_id, b_id, CAST(sum(least(ba.c, bb.c)) AS BIGINT) AS clip2
+         |  FROM pairs JOIN bg ba ON ba.doc_id = a_id
+         |  JOIN bg bb ON bb.doc_id = b_id AND bb.g = ba.g GROUP BY 1, 2),
+         |pp AS (SELECT p.a_id, p.b_id, la.len AS len_a, lb.len AS len_b,
+         |  round(CAST(coalesce(c1.clip1, 0) AS DOUBLE) / la.len, 9) AS p1,
+         |  round(CAST(coalesce(c2.clip2, 0) AS DOUBLE) / greatest(la.len - 1, 1), 9) AS p2
+         |  FROM pairs p
+         |  LEFT JOIN c1 ON c1.a_id = p.a_id AND c1.b_id = p.b_id
+         |  LEFT JOIN c2 ON c2.a_id = p.a_id AND c2.b_id = p.b_id
+         |  JOIN l la ON la.doc_id = p.a_id JOIN l lb ON lb.doc_id = p.b_id)
+         |SELECT a_id, b_id, len_a, len_b, p1, p2,
+         |  round((CASE WHEN len_a >= len_b THEN 1.0
+         |         ELSE round(exp(1.0 - CAST(len_b AS DOUBLE) / len_a), 9) END)
+         |    * sqrt(p1 * p2), 6) AS bleu2
+         |FROM pp""".stripMargin,
+
+    // chrF2 (char-3-gram F, beta=2) between the same candidate pairs
+    "chrf_pairs" ->
+      s"""WITH tk AS (SELECT doc_id, source, $toks AS toks FROM documents),
+         |sgl AS (SELECT doc_id, source,
+         |  list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM tk),
+         |f AS (SELECT * FROM sgl WHERE len(sh) > 0),
+         |pairs AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM f a JOIN f b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.3),
+         |cl AS (SELECT doc_id, $clean AS clean FROM documents),
+         |cc AS (SELECT doc_id, clean FROM cl WHERE length(clean) >= 3),
+         |g AS MATERIALIZED (SELECT doc_id, g, count(*) AS cnt FROM
+         |  (SELECT doc_id, substr(clean, i, 3) AS g FROM
+         |    (SELECT doc_id, clean, unnest(range(1, length(clean) - 1)) AS i FROM cc))
+         |  GROUP BY 1, 2),
+         |t AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS tot FROM g GROUP BY 1),
+         |cp AS (SELECT a_id, b_id, CAST(sum(least(ga.cnt, gb.cnt)) AS BIGINT) AS clip
+         |  FROM pairs JOIN g ga ON ga.doc_id = a_id
+         |  JOIN g gb ON gb.doc_id = b_id AND gb.g = ga.g GROUP BY 1, 2),
+         |pp AS (SELECT p.a_id, p.b_id, coalesce(cp.clip, 0) AS clip,
+         |  ta.tot AS tot_a, tb.tot AS tot_b,
+         |  round(CAST(coalesce(cp.clip, 0) AS DOUBLE) / ta.tot, 9) AS p,
+         |  round(CAST(coalesce(cp.clip, 0) AS DOUBLE) / tb.tot, 9) AS r
+         |  FROM pairs p
+         |  LEFT JOIN cp ON cp.a_id = p.a_id AND cp.b_id = p.b_id
+         |  JOIN t ta ON ta.doc_id = p.a_id JOIN t tb ON tb.doc_id = p.b_id)
+         |SELECT a_id, b_id, clip, tot_a, tot_b, p, r,
+         |  round(CASE WHEN 4.0 * p + r > 0 THEN 5.0 * p * r / (4.0 * p + r)
+         |        ELSE 0.0 END, 6) AS chrf2
+         |FROM pp""".stripMargin
   )
 }

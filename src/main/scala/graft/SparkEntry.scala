@@ -835,7 +835,9 @@ object SparkEntry {
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")
-    })
+    }),
+    "bleu_pairs" -> ((s, d) => Eval.bleuPairs(spread(t(s, d, "documents")))),
+    "chrf_pairs" -> ((s, d) => Eval.chrfPairs(spread(t(s, d, "documents"))))
   )
 
   /** DuckDB twins for the SQL-expressible queries (SURVEY.md §5). */

@@ -256,4 +256,104 @@ object Eval {
       round(when(p + r > 0, lit(2.0) * p * r / (p + r)).otherwise(lit(0.0)), 6)
         .as("f1"))
   }
+
+  /** BLEU-2 between near-duplicate candidate pairs (B208): the MT-eval
+    * metric repurposed as a dedup diagnostic — for every pair the
+    * shingle-Jaccard gate surfaces, how much of the lower-id doc reads
+    * as a verbatim n-gram copy of the higher-id one? Modified (clipped)
+    * unigram and bigram precisions, geometric mean, brevity penalty —
+    * the standard BLEU recipe with the candidate = the a-side.
+    *
+    * Scale: candidates come from [[graft.operators.Dedup.ngramJaccard]]'s
+    * shared-shingle machinery (pairs sharing no 3-gram never
+    * materialize), so the clipped-count joins are (pair x doc-length)-
+    * bounded — one shuffle per n-gram order on the (doc, gram) key.
+    * Exact integer clipped counts; precisions round at 9 dp, BLEU at
+    * 6 dp after one closed-form expression both engines share. */
+  def bleuPairs(docs: DataFrame, simMin: Double = 0.3): DataFrame = {
+    val pairs = graft.CacheTracker.track(
+      graft.operators.Dedup.ngramJaccard(docs, simMin = simMin)
+        .select("a_id", "b_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val toked = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val lens = toked.select(col("doc_id"), size(col("toks")).cast("long").as("len"))
+    def grams(n: Int): DataFrame = {
+      val g =
+        if (n == 1) toked.select(col("doc_id"), explode(col("toks")).as("g"))
+        else toked.filter(size(col("toks")) >= n)
+          .select(col("doc_id"), explode(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - (n - 1)),
+            slice(col("toks"), lit(2), size(col("toks")) - (n - 1)),
+            (a, b) => concat(a, lit(" "), b))).as("g"))
+      g.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    }
+    def clipped(n: Int, name: String): DataFrame = {
+      val gr = grams(n)
+      pairs
+        .join(gr.select(col("doc_id").as("a_id"), col("g"), col("c").as("ca")), "a_id")
+        .join(gr.select(col("doc_id").as("b_id"), col("g"), col("c").as("cb")),
+          Seq("b_id", "g"))
+        .groupBy("a_id", "b_id")
+        .agg(sum(least(col("ca"), col("cb"))).as(name))
+    }
+    pairs
+      .join(clipped(1, "clip1"), Seq("a_id", "b_id"), "left")
+      .join(clipped(2, "clip2"), Seq("a_id", "b_id"), "left")
+      .join(lens.select(col("doc_id").as("a_id"), col("len").as("len_a")), "a_id")
+      .join(lens.select(col("doc_id").as("b_id"), col("len").as("len_b")), "b_id")
+      .select(col("a_id"), col("b_id"), col("len_a"), col("len_b"),
+        round(coalesce(col("clip1"), lit(0L)).cast("double") / col("len_a"), 9)
+          .as("p1"),
+        round(coalesce(col("clip2"), lit(0L)).cast("double")
+          / greatest(col("len_a") - 1, lit(1L)), 9).as("p2"))
+      .select(col("a_id"), col("b_id"), col("len_a"), col("len_b"),
+        col("p1"), col("p2"),
+        round(
+          when(col("len_a") >= col("len_b"), lit(1.0))
+            .otherwise(round(exp(lit(1.0)
+              - col("len_b").cast("double") / col("len_a")), 9))
+            * sqrt(col("p1") * col("p2")), 6).as("bleu2"))
+  }
+
+  /** chrF2 between the same near-duplicate candidate pairs (B209): the
+    * character-3-gram F-score (beta = 2, recall-weighted) that catches
+    * paraphrase-level copying BLEU's exact-token n-grams miss —
+    * morphology, casing leaks, and punctuation drift barely move char
+    * n-grams. P = clip/|grams(a)|, R = clip/|grams(b)|,
+    * chrF2 = 5PR/(4P+R). Same bounded candidate machinery and join
+    * shape as [[bleuPairs]]; gram totals are per-doc narrow work. */
+  def chrfPairs(docs: DataFrame, simMin: Double = 0.3): DataFrame = {
+    val pairs = graft.CacheTracker.track(
+      graft.operators.Dedup.ngramJaccard(docs, simMin = simMin)
+        .select("a_id", "b_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val c = docs.select(col("doc_id"), TextOps.cleanText(col("text")).as("clean"))
+      .filter(length(col("clean")) >= 3)
+    val g = c.select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("clean")) - 2),
+          i => col("clean").substr(i, lit(3)))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+    val tot = g.groupBy("doc_id").agg(sum(col("cnt")).as("tot"))
+    val clip = pairs
+      .join(g.select(col("doc_id").as("a_id"), col("g"), col("cnt").as("ca")), "a_id")
+      .join(g.select(col("doc_id").as("b_id"), col("g"), col("cnt").as("cb")),
+        Seq("b_id", "g"))
+      .groupBy("a_id", "b_id")
+      .agg(sum(least(col("ca"), col("cb"))).as("clip"))
+    pairs
+      .join(clip, Seq("a_id", "b_id"), "left")
+      .join(tot.select(col("doc_id").as("a_id"), col("tot").as("tot_a")), "a_id")
+      .join(tot.select(col("doc_id").as("b_id"), col("tot").as("tot_b")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        coalesce(col("clip"), lit(0L)).as("clip"),
+        col("tot_a"), col("tot_b"))
+      .select(col("a_id"), col("b_id"), col("clip"), col("tot_a"), col("tot_b"),
+        round(col("clip").cast("double") / col("tot_a"), 9).as("p"),
+        round(col("clip").cast("double") / col("tot_b"), 9).as("r"))
+      .select(col("a_id"), col("b_id"), col("clip"), col("tot_a"), col("tot_b"),
+        col("p"), col("r"),
+        round(when(lit(4.0) * col("p") + col("r") > 0,
+          lit(5.0) * col("p") * col("r") / (lit(4.0) * col("p") + col("r")))
+          .otherwise(lit(0.0)), 6).as("chrf2"))
+  }
 }

@@ -263,6 +263,31 @@ class Round13Spec extends SparkSpec {
     assert(out.last.getAs[Long]("cum_r") === 400L)
   }
 
+  test("bleuPairs: clipped precisions and brevity penalty match the hand calc") {
+    val d = Seq(
+      (1L, "en", "the quick brown fox jumps", "srcX", 25L),
+      (2L, "en", "the quick brown fox sleeps now", "srcX", 30L))
+      .toDF("doc_id", "lang", "text", "source", "n_chars")
+    val r = graft.operators.Eval.bleuPairs(d).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("a_id") === 1L && row.getAs[Long]("b_id") === 2L)
+    assert(row.getAs[Double]("p1") === 0.8)   // the/quick/brown/fox clip = 4 of 5
+    assert(row.getAs[Double]("p2") === 0.75)  // 3 shared bigrams of 4
+    val bp = math.exp(1.0 - 6.0 / 5.0)        // len_a 5 < len_b 6
+    assert(math.abs(row.getAs[Double]("bleu2") - bp * math.sqrt(0.6)) < 1e-5)
+  }
+
+  test("chrfPairs: identical texts read chrF2 = 1, and P/R split on containment") {
+    val d = Seq(
+      (1L, "en", "alpha beta gamma delta", "srcX", 22L),
+      (2L, "en", "alpha beta gamma delta", "srcX", 22L))
+      .toDF("doc_id", "lang", "text", "source", "n_chars")
+    val r = graft.operators.Eval.chrfPairs(d).collect().head
+    assert(r.getAs[Double]("p") === 1.0 && r.getAs[Double]("r") === 1.0)
+    assert(r.getAs[Double]("chrf2") === 1.0)
+  }
+
   test("weeklyLastBalance keeps the LAST value per user-week, then sums") {
     val e = events(
       (1L, 1L, "2024-01-01 10:00:00", "view", 5.0),
