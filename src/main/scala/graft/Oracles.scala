@@ -6160,6 +6160,58 @@ object Oracles {
          |SELECT a_id, b_id, clip, tot_a, tot_b, p, r,
          |  round(CASE WHEN 4.0 * p + r > 0 THEN 5.0 * p * r / (4.0 * p + r)
          |        ELSE 0.0 END, 6) AS chrf2
-         |FROM pp""".stripMargin
+         |FROM pp""".stripMargin,
+
+    // per-part-type supplier revenue HHI
+    "supplier_hhi_by_type" ->
+      """WITH r AS (SELECT p_type, l_suppkey,
+        |      CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS r
+        |      FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1, 2),
+        |h AS (SELECT p_type, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |      CAST(sum(r) AS BIGINT) AS s, sum(r * r) AS s2 FROM r GROUP BY 1)
+        |SELECT p_type, n_suppliers,
+        |  round(CAST(s2 AS DOUBLE) / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 9) AS hhi,
+        |  CASE WHEN round(CAST(s2 AS DOUBLE) / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 9) > 0
+        |    THEN round(1.0 / round(CAST(s2 AS DOUBLE) / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 9), 4)
+        |    ELSE 0.0 END AS effective_suppliers
+        |FROM h""".stripMargin,
+
+    // AR-style order aging buckets vs the latest order date
+    "order_aging_buckets" ->
+      """WITH d AS (SELECT o_orderstatus,
+        |      CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+        |      epoch_ns(o_orderdate) // 1000 // 86400000000 AS d FROM orders),
+        |r AS (SELECT max(d) AS ref_d FROM d)
+        |SELECT o_orderstatus,
+        |  CASE WHEN ref_d - d < 30 THEN '00-29' WHEN ref_d - d < 60 THEN '30-59'
+        |       WHEN ref_d - d < 90 THEN '60-89' ELSE '90+' END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(c) AS BIGINT) AS total_cents
+        |FROM d CROSS JOIN r GROUP BY 1, 2""".stripMargin,
+
+    // wedge-closure audit of the near-dup pair graph (8-bit sign-LSH)
+    "dedup_transitivity" ->
+      """WITH b AS (SELECT vec_id, embedding,
+        |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+        |  FROM embeddings),
+        |p AS MATERIALIZED (SELECT a.vec_id AS a_id, b2.vec_id AS b_id
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        |  WHERE round(list_reduce(list_transform(a.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)), (q, w) -> q + w)
+        |    / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (q, w) -> q + w))
+        |       * sqrt(list_reduce(list_transform(b2.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (q, w) -> q + w))), 6) >= 0.3),
+        |e AS (SELECT a_id, b_id FROM p UNION ALL SELECT b_id, a_id FROM p),
+        |w AS MATERIALIZED (SELECT e1.a_id AS u, e2.b_id AS w
+        |  FROM e e1 JOIN e e2 ON e2.a_id = e1.b_id WHERE e1.a_id < e2.b_id),
+        |cl AS (SELECT count(*) AS n_closed_wedges FROM w
+        |  WHERE EXISTS (SELECT 1 FROM p WHERE p.a_id = w.u AND p.b_id = w.w)),
+        |nw AS (SELECT count(*) AS n_wedges FROM w),
+        |np AS (SELECT count(*) AS n_pairs FROM p)
+        |SELECT CAST(n_pairs AS BIGINT) AS n_pairs, CAST(n_wedges AS BIGINT) AS n_wedges,
+        |  CAST(n_closed_wedges AS BIGINT) AS n_closed_wedges,
+        |  round(CASE WHEN n_wedges > 0 THEN CAST(n_closed_wedges AS DOUBLE) / n_wedges
+        |        ELSE 0.0 END, 6) AS closure_rate
+        |FROM np CROSS JOIN nw CROSS JOIN cl""".stripMargin
   )
 }

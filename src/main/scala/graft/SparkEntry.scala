@@ -837,7 +837,13 @@ object SparkEntry {
           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")
     }),
     "bleu_pairs" -> ((s, d) => Eval.bleuPairs(spread(t(s, d, "documents")))),
-    "chrf_pairs" -> ((s, d) => Eval.chrfPairs(spread(t(s, d, "documents"))))
+    "chrf_pairs" -> ((s, d) => Eval.chrfPairs(spread(t(s, d, "documents")))),
+    "supplier_hhi_by_type" -> ((s, d) =>
+      Relational.supplierHhiByType(t(s, d, "lineitem"), t(s, d, "part"))),
+    "order_aging_buckets" -> ((s, d) =>
+      Relational.orderAgingBuckets(t(s, d, "orders"))),
+    "dedup_transitivity" -> ((s, d) =>
+      Similarity.dedupTransitivity(t(s, d, "embeddings")))
   )
 
   /** DuckDB twins for the SQL-expressible queries (SURVEY.md §5). */

@@ -3293,4 +3293,49 @@ object Relational {
       .select(col("day_idx"), col("r"), col("cum_r"),
         round(col("cum_r").cast("double") / col("total_r"), 6).as("cum_share"))
   }
+
+  /** Supplier-concentration HHI per part type (C190): for each part
+    * type, the Herfindahl index of supplier revenue shares — the
+    * supply-chain single-source risk readout ([[spendHhi]]'s moment
+    * formulation applied per type: HHI = Σr²/ (Σr)², effective
+    * suppliers = 1/HHI). Part broadcasts; one partial-agg shuffle onto
+    * the (type, supplier) key, then a type-bounded roll-up. */
+  def supplierHhiByType(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem.select(col("l_partkey"), col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+          .as("rev"))
+      .join(broadcast(part.select(col("p_partkey").as("l_partkey"), col("p_type"))),
+        "l_partkey")
+      .groupBy("p_type", "l_suppkey")
+      .agg(sum(col("rev")).as("r"))
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("r")).as("s"),
+        sum(col("r").cast("decimal(38,0)") * col("r")).as("s2"))
+      .select(col("p_type"), col("n_suppliers"),
+        round(col("s2").cast("double")
+          / (col("s").cast("double") * col("s").cast("double")), 9).as("hhi"))
+      .withColumn("effective_suppliers",
+        when(col("hhi") > 0, round(lit(1.0) / col("hhi"), 4)).otherwise(lit(0.0)))
+
+  /** Order aging report (C191): orders bucketed by age against the
+    * dataset's latest order date (0-29 / 30-59 / 60-89 / 90+ days), per
+    * order status — the AR-style aging table every ops dashboard
+    * carries. The reference date is a one-row broadcast; buckets are
+    * schema-bounded. */
+  def orderAgingBuckets(orders: DataFrame): DataFrame = {
+    val withDay = orders.select(col("o_orderstatus"),
+      cents(col("o_totalprice")).as("c"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("d"))
+    val ref = withDay.agg(max(col("d")).as("ref_d"))
+    withDay.crossJoin(broadcast(ref))
+      .withColumn("age_days", col("ref_d") - col("d"))
+      .withColumn("bucket",
+        when(col("age_days") < 30, "00-29")
+          .when(col("age_days") < 60, "30-59")
+          .when(col("age_days") < 90, "60-89")
+          .otherwise("90+"))
+      .groupBy("o_orderstatus", "bucket")
+      .agg(count(lit(1)).as("n_orders"), sum(col("c")).as("total_cents"))
+  }
 }

@@ -1318,4 +1318,34 @@ object Similarity {
         round(col("n_vecs").cast("double") * (1 << bits) / col("n_total"), 6)
           .as("load_factor"))
   }
+
+  /** Transitivity audit of the near-dup pair graph (B210): of all
+    * wedges (a–b, b–c), how many close into triangles (a–c also a
+    * pair)? A low closure rate means the cosine threshold is admitting
+    * chains of marginal pairs that dedup_components will merge into
+    * sprawling clusters — the cluster-quality tripwire to check BEFORE
+    * keep-first dedup eats a whole topic. The pair frame is the
+    * bounded [[nearDupPairs]] output; wedge and closure joins run on
+    * that frame, never on the corpus. */
+  def dedupTransitivity(emb: DataFrame, cosMin: Double = 0.3): DataFrame = {
+    val p = graft.CacheTracker.track(
+      nearDupPairs(emb, cosMin).select("a_id", "b_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val e = p.unionByName(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    val wedges = e.select(col("a_id").as("u"), col("b_id").as("v"))
+      .join(e.select(col("a_id").as("v"), col("b_id").as("w")), "v")
+      .filter(col("u") < col("w"))
+      .select(col("u"), col("w"))
+    val closed = wedges
+      .join(p.select(col("a_id").as("u"), col("b_id").as("w")),
+        Seq("u", "w"), "left_semi")
+    val np = p.agg(count(lit(1)).as("n_pairs"))
+    wedges.agg(count(lit(1)).as("n_wedges"))
+      .crossJoin(broadcast(closed.agg(count(lit(1)).as("n_closed_wedges"))))
+      .crossJoin(broadcast(np))
+      .select(col("n_pairs"), col("n_wedges"), col("n_closed_wedges"),
+        round(when(col("n_wedges") > 0,
+          col("n_closed_wedges").cast("double") / col("n_wedges"))
+          .otherwise(lit(0.0)), 6).as("closure_rate"))
+  }
 }

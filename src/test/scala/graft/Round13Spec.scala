@@ -288,6 +288,47 @@ class Round13Spec extends SparkSpec {
     assert(r.getAs[Double]("chrf2") === 1.0)
   }
 
+  test("supplierHhiByType: a monopolised type reads HHI 1, an even split 1/n") {
+    val li = Seq(
+      (1L, 10L, 100L, 10.0, 0.0), (2L, 10L, 100L, 10.0, 0.0),   // type A: one supplier
+      (3L, 20L, 200L, 10.0, 0.0), (4L, 20L, 300L, 10.0, 0.0))   // type B: 50/50
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val p = Seq((10L, "A"), (20L, "B")).toDF("p_partkey", "p_type")
+    val out = graft.operators.Relational.supplierHhiByType(li, p).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("hhi"),
+        r.getAs[Double]("effective_suppliers"))).toMap
+    assert(out("A") === ((1.0, 1.0)))
+    assert(out("B") === ((0.5, 2.0)))
+  }
+
+  test("orderAgingBuckets cuts at 30/60/90 against the latest order date") {
+    val o = Seq(
+      (1L, "O", "2024-04-10", 1.0),  // age 0 -> 00-29
+      (2L, "O", "2024-03-15", 2.0),  // age 26 -> 00-29
+      (3L, "F", "2024-02-15", 3.0),  // age 55 -> 30-59
+      (4L, "F", "2023-12-01", 4.0))  // age 131 -> 90+
+      .map { case (k, st, d, pr) => (k, st, java.sql.Date.valueOf(d), pr) }
+      .toDF("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+    val out = graft.operators.Relational.orderAgingBuckets(o).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_orders")).toMap
+    assert(out === Map(("O", "00-29") -> 2L, ("F", "30-59") -> 1L, ("F", "90+") -> 1L))
+  }
+
+  test("dedupTransitivity: a triangle closes its wedges, a path does not") {
+    // 4 vectors in one bucket: 0,1,2 mutually close (triangle);
+    // 3 close only to 2 (pendant) -> wedges through 2 stay open
+    def v(x: Float, y: Float) =
+      Array(1f, x, y, 0.1f, 0.1f, 0.1f, 0.1f, 0.1f)
+    val emb = Seq(
+      (0L, v(0.50f, 0.50f), 0), (1L, v(0.51f, 0.50f), 0),
+      (2L, v(0.50f, 0.51f), 0), (3L, v(0.52f, 0.52f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.operators.Similarity.dedupTransitivity(emb, cosMin = 0.99).collect().head
+    // all 4 vectors are nearly parallel -> complete graph: 6 pairs, all wedges closed
+    assert(r.getAs[Long]("n_pairs") === 6L)
+    assert(r.getAs[Double]("closure_rate") === 1.0)
+  }
+
   test("weeklyLastBalance keeps the LAST value per user-week, then sums") {
     val e = events(
       (1L, 1L, "2024-01-01 10:00:00", "view", 5.0),
