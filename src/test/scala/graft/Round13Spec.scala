@@ -329,6 +329,61 @@ class Round13Spec extends SparkSpec {
     assert(r.getAs[Double]("closure_rate") === 1.0)
   }
 
+  test("round-13 operators are total on empty inputs") {
+    val noDocs = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val noEvents = Seq.empty[(Long, Long, String, java.sql.Timestamp, Double)]
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val noOrders = Seq.empty[(Long, Long, java.sql.Timestamp, Double)]
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val noOrdersSt = Seq.empty[(Long, String, java.sql.Timestamp, Double)]
+      .toDF("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+    val noEmb = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val noCust = Seq.empty[(Long, Long, Double, String)]
+      .toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val noNation = Seq.empty[(Long, String)].toDF("n_nationkey", "n_name")
+    val noLi = Seq.empty[(Long, Long, Long, Double, Double, Double)]
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    val noPart = Seq.empty[(Long, String)].toDF("p_partkey", "p_type")
+
+    assert(graft.operators.LangModel.langIdChargram(noDocs).count() === 0)
+    graft.CacheTracker.drainAll(spark)
+    assert(graft.operators.TfIdf.rakeKeyphrases(noDocs).count() === 0)
+    assert(graft.operators.LangModel.tokenDriftLogodds(noDocs).count() === 0)
+    assert(graft.operators.TextOps.qualityResidualOutliers(noDocs).count() === 0)
+    assert(graft.operators.Eval.brierDecomposition(noDocs).count() === 0)
+    assert(graft.operators.Relational.revenueRollingMedian(noOrders).count() === 0)
+    assert(graft.operators.Relational.activeDayIslands(noEvents).count() === 0)
+    assert(graft.operators.Relational.orderPricePercentiles(noOrders).count() === 0)
+    graft.CacheTracker.drainAll(spark)
+    assert(graft.operators.Relational.nationTradeMatrix(
+      noLi, noOrders, noCust, Seq.empty[(Long, Long)].toDF("s_suppkey", "s_nationkey"),
+      noNation).count() === 0)
+    assert(graft.operators.Relational.weeklyLastBalance(noEvents).count() === 0)
+    assert(graft.operators.Relational.mktsegmentMonthlyShare(noOrders, noCust)
+      .count() === 0)
+    assert(graft.operators.Relational.nationAcctbalProfile(noCust, noNation)
+      .count() === 0)
+    assert(graft.operators.Relational.quantityDiscountGrid(noLi).count() === 0)
+    assert(graft.operators.Similarity.embedPcaProject(noEmb).count() === 0)
+    graft.CacheTracker.drainAll(spark)
+    assert(graft.operators.TextOps.sourceChargramCosine(noDocs).count() === 0)
+    // one-row global summaries emit their zero-count row, never throw
+    assert(graft.operators.TextOps.dupRateSampleCheck(noDocs).count() === 1)
+    assert(graft.operators.Relational.ordersRunningShare(noOrders).count() === 0)
+    graft.CacheTracker.drainAll(spark)
+    assert(graft.operators.Eval.bleuPairs(noDocs).count() === 0)
+    assert(graft.operators.Eval.chrfPairs(noDocs).count() === 0)
+    graft.CacheTracker.drainAll(spark)
+    val dt = graft.operators.Similarity.dedupTransitivity(noEmb).collect()
+    assert(dt.length === 1 && dt.head.getAs[Double]("closure_rate") === 0.0)
+    graft.CacheTracker.drainAll(spark)
+    assert(graft.operators.Relational.supplierHhiByType(noLi, noPart).count() === 0)
+    assert(graft.operators.Relational.orderAgingBuckets(noOrdersSt).count() === 0)
+  }
+
   test("weeklyLastBalance keeps the LAST value per user-week, then sums") {
     val e = events(
       (1L, 1L, "2024-01-01 10:00:00", "view", 5.0),
