@@ -64,6 +64,21 @@ class NullInputSpec extends SparkSpec {
     }
   }
 
+  test("round-13 text operators are total on null/empty text and null lang/source") {
+    val ops: Seq[DataFrame => DataFrame] = Seq(
+      d => LangModel.langIdChargram(d), d => TfIdf.rakeKeyphrases(d),
+      d => LangModel.tokenDriftLogodds(d),
+      d => TextOps.qualityResidualOutliers(d),
+      d => Eval.brierDecomposition(d), d => TextOps.sourceChargramCosine(d),
+      d => TextOps.dupRateSampleCheck(d),
+      d => Eval.bleuPairs(d), d => Eval.chrfPairs(d))
+    for ((op, i) <- ops.zipWithIndex) {
+      val out = op(docs)
+      assert(out.count() >= 0, s"round-13 op #$i threw on null fields")
+      graft.CacheTracker.drainAll(spark)
+    }
+  }
+
   test("quality scoring flows null text through without throwing") {
     val q = TextOps.qualityScore(docs)
     assert(q.count() >= 2) // at minimum the healthy docs score
