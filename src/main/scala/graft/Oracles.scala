@@ -6212,6 +6212,44 @@ object Oracles {
         |  CAST(n_closed_wedges AS BIGINT) AS n_closed_wedges,
         |  round(CASE WHEN n_wedges > 0 THEN CAST(n_closed_wedges AS DOUBLE) / n_wedges
         |        ELSE 0.0 END, 6) AS closure_rate
-        |FROM np CROSS JOIN nw CROSS JOIN cl""".stripMargin
+        |FROM np CROSS JOIN nw CROSS JOIN cl""".stripMargin,
+
+    // token-mass attrition per curation gate (filter_attrition's twin)
+    "token_attrition" ->
+      s"""WITH f0 AS (SELECT doc_id, n_chars, $qualitySql AS q,
+         |    CAST(len($toks) AS BIGINT) AS nt,
+         |    CAST(len($toks) AS DOUBLE) / CAST(nullif(len(list_distinct($toks)), 0) AS DOUBLE) AS rep,
+         |    md5($clean) AS ch FROM documents),
+         |f1 AS (SELECT *, doc_id <> min(doc_id) OVER (PARTITION BY ch) AS f_dup FROM f0),
+         |fl AS (SELECT nt,
+         |    coalesce(n_chars < 100, true) AS f_short,
+         |    coalesce(q < CAST(0.3 AS DOUBLE), true) AS f_quality,
+         |    coalesce(rep > CAST(3.0 AS DOUBLE), false) AS f_rep,
+         |    coalesce(f_dup, false) AS f_dup FROM f1),
+         |a AS (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) AS total_tokens,
+         |    CAST(coalesce(sum(CASE WHEN f_short THEN nt ELSE 0 END), 0) AS BIGINT) AS short_t,
+         |    CAST(coalesce(sum(CASE WHEN f_quality THEN nt ELSE 0 END), 0) AS BIGINT) AS quality_t,
+         |    CAST(coalesce(sum(CASE WHEN f_rep THEN nt ELSE 0 END), 0) AS BIGINT) AS rep_t,
+         |    CAST(coalesce(sum(CASE WHEN f_dup THEN nt ELSE 0 END), 0) AS BIGINT) AS dup_t,
+         |    CAST(coalesce(sum(CASE WHEN NOT f_short AND NOT f_quality AND NOT f_rep AND NOT f_dup THEN nt ELSE 0 END), 0) AS BIGINT) AS pass_t
+         |  FROM fl)
+         |SELECT gate, tokens, round(CAST(tokens AS DOUBLE) / nullif(total_tokens, 0), 6) AS token_share,
+         |  total_tokens FROM (
+         |  SELECT 'short' AS gate, short_t AS tokens, total_tokens FROM a
+         |  UNION ALL SELECT 'quality', quality_t, total_tokens FROM a
+         |  UNION ALL SELECT 'repetition', rep_t, total_tokens FROM a
+         |  UNION ALL SELECT 'duplicate', dup_t, total_tokens FROM a
+         |  UNION ALL SELECT 'pass', pass_t, total_tokens FROM a)""".stripMargin,
+
+    // trailing 1h TIME-RANGE window per user (count + exact cents)
+    "events_range_window" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+        |      CAST(round(value * 100) AS BIGINT) AS c FROM events)
+        |SELECT event_id, user_id, us,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+        |  CAST(sum(c) OVER w AS BIGINT) AS cents_trailing_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
   )
 }

@@ -843,7 +843,11 @@ object SparkEntry {
     "order_aging_buckets" -> ((s, d) =>
       Relational.orderAgingBuckets(t(s, d, "orders"))),
     "dedup_transitivity" -> ((s, d) =>
-      Similarity.dedupTransitivity(t(s, d, "embeddings")))
+      Similarity.dedupTransitivity(t(s, d, "embeddings"))),
+    "token_attrition" -> ((s, d) =>
+      TextOps.tokenAttrition(spread(t(s, d, "documents")))),
+    "events_range_window" -> ((s, d) =>
+      Relational.eventsRangeWindow(events(s, d)))
   )
 
   /** DuckDB twins for the SQL-expressible queries (SURVEY.md §5). */

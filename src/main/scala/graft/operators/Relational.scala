@@ -3338,4 +3338,22 @@ object Relational {
       .groupBy("o_orderstatus", "bucket")
       .agg(count(lit(1)).as("n_orders"), sum(col("c")).as("total_cents"))
   }
+
+  /** Trailing 1-hour TIME-RANGE window per user (C192): count and exact
+    * cents of each user's events in the last hour BY TIMESTAMP RANGE,
+    * not row count — the frame semantics (RANGE BETWEEN interval
+    * PRECEDING) that rows-based windows get subtly wrong on bursty
+    * streams (10 events in one second = one range, ten rows). Per-user
+    * partitioned window — one shuffle, partition-parallel. */
+  def eventsRangeWindow(events: DataFrame, windowUs: Long = 3600000000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-windowUs, 0)
+    events
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), cents(col("value")).as("c"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        sum(col("c")).over(w).as("cents_trailing_1h"))
+  }
 }

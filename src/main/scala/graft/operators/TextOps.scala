@@ -1224,6 +1224,55 @@ object TextOps {
         round(abs(col("dup_rate_exact") - col("dup_rate_sample")), 6))
   }
 
+  /** Token-mass attrition per curation gate (B211): [[filterAttrition]]
+    * counts DOCS each gate rejects; this weighs the SAME gates by the
+    * token budget they burn — the number a pretraining-data planner
+    * actually argues about ("the dup gate costs 9% of docs but 31% of
+    * tokens"). Same flag definitions (short / quality / repetition /
+    * keep-first duplicate), exact token sums, fixed 5-row output
+    * (per-gate loss + the all-pass survivors). One content-hash window
+    * shuffle + one global aggregate. */
+  def tokenAttrition(docs: DataFrame, minChars: Long = 100,
+                     minQuality: Double = 0.3, maxRep: Double = 3.0): DataFrame = {
+    val toks = tokens(col("text"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ch")
+    val flags = docs.select(col("doc_id"), col("n_chars"),
+        qualityComposite.as("q"),
+        size(toks).cast("long").as("nt"),
+        (size(toks).cast("double")
+          / nullif(size(array_distinct(toks)), lit(0)).cast("double")).as("rep"),
+        md5(cleanText(col("text"))).as("ch"))
+      .withColumn("f_dup", col("doc_id") =!= min(col("doc_id")).over(w))
+      .select(col("nt"),
+        coalesce(col("n_chars") < minChars, lit(true)).as("f_short"),
+        coalesce(col("q") < minQuality, lit(true)).as("f_quality"),
+        coalesce(col("rep") > maxRep, lit(false)).as("f_rep"),
+        coalesce(col("f_dup"), lit(false)).as("f_dup"))
+    def lost(c: Column) = coalesce(sum(when(c, col("nt")).otherwise(0L)), lit(0L))
+    val a = flags.agg(
+      coalesce(sum(col("nt")), lit(0L)).as("total_tokens"),
+      lost(col("f_short")).as("short_t"),
+      lost(col("f_quality")).as("quality_t"),
+      lost(col("f_rep")).as("rep_t"),
+      lost(col("f_dup")).as("dup_t"),
+      lost(!col("f_short") && !col("f_quality") && !col("f_rep") && !col("f_dup"))
+        .as("pass_t"))
+    def share(c: Column) = round(c.cast("double") / nullif(col("total_tokens"), lit(0L)), 6)
+    a.select(col("total_tokens"), explode(array(
+        struct(lit("short").as("gate"), col("short_t").as("tokens"),
+          share(col("short_t")).as("token_share")),
+        struct(lit("quality").as("gate"), col("quality_t").as("tokens"),
+          share(col("quality_t")).as("token_share")),
+        struct(lit("repetition").as("gate"), col("rep_t").as("tokens"),
+          share(col("rep_t")).as("token_share")),
+        struct(lit("duplicate").as("gate"), col("dup_t").as("tokens"),
+          share(col("dup_t")).as("token_share")),
+        struct(lit("pass").as("gate"), col("pass_t").as("tokens"),
+          share(col("pass_t")).as("token_share")))).as("r"))
+      .select(col("r.gate").as("gate"), col("r.tokens").as("tokens"),
+        col("r.token_share").as("token_share"), col("total_tokens"))
+  }
+
   /** MOSS-style winnowing fingerprint (B59): md5 each 3-token shingle in
     * sequence order, slide a `win`-wide window over the shingle-hash
     * stream, keep each window's minimum, and emit the distinct minima —

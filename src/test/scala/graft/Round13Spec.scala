@@ -384,6 +384,34 @@ class Round13Spec extends SparkSpec {
     assert(graft.operators.Relational.orderAgingBuckets(noOrdersSt).count() === 0)
   }
 
+  test("tokenAttrition weighs gates by token mass; the 5 rows cover pass + gates") {
+    // healthy doc: 120 DISTINCT letter-only tokens (digits would clean
+    // away and collapse into repetition), long enough, punct-free
+    val healthy = (0 until 120)
+      .map(i => s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}x").mkString(" ")
+    val d = docs(
+      (1L, "en", healthy),
+      (2L, "en", "tiny")) // short + quality
+    val out = graft.operators.TextOps.tokenAttrition(d).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("tokens")).toMap
+    assert(out.keySet === Set("short", "quality", "repetition", "duplicate", "pass"))
+    assert(out("short") === 1L)   // the tiny doc's single token
+    assert(out("pass") === 120L)  // the healthy doc's 120 tokens
+  }
+
+  test("eventsRangeWindow counts by TIME range, not row count") {
+    val e = events(
+      (1L, 1L, "2024-01-01 10:00:00", "view", 1.0),
+      (2L, 1L, "2024-01-01 10:30:00", "view", 2.0),
+      (3L, 1L, "2024-01-01 11:15:00", "view", 4.0)) // event 1 fell out of range
+    val out = graft.operators.Relational.eventsRangeWindow(e).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_trailing_1h"),
+        r.getAs[Long]("cents_trailing_1h"))).toMap
+    assert(out(1L) === ((1L, 100L)))
+    assert(out(2L) === ((2L, 300L)))
+    assert(out(3L) === ((2L, 600L))) // 10:30 still inside [10:15, 11:15]
+  }
+
   test("weeklyLastBalance keeps the LAST value per user-week, then sums") {
     val e = events(
       (1L, 1L, "2024-01-01 10:00:00", "view", 5.0),
