@@ -6250,6 +6250,49 @@ object Oracles {
         |  CAST(sum(c) OVER w AS BIGINT) AS cents_trailing_1h
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
-        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // MinHash-LSH vs SimHash pair-set agreement
+    "detector_agreement" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) >= 3),
+         |dt AS (SELECT DISTINCT doc_id,
+         |       toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS token
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tk)),
+         |sig AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || token)) AS sig
+         |        FROM dt CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+         |band AS (SELECT doc_id, i // 8 AS band, md5(string_agg(sig, '|' ORDER BY i)) AS bh
+         |         FROM sig GROUP BY doc_id, i // 8),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM band a
+         |         JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |da AS (SELECT doc_id, list_sort(list(token)) AS arr, count(*) AS n FROM dt GROUP BY 1),
+         |mh AS MATERIALIZED (SELECT a_id, b_id FROM (
+         |  SELECT c.a_id, c.b_id,
+         |    round(CAST(len(list_intersect(sa.arr, sb.arr)) AS DOUBLE)
+         |      / CAST(sa.n + sb.n - len(list_intersect(sa.arr, sb.arr)) AS DOUBLE), 6) AS jac
+         |  FROM cand c JOIN da sa ON sa.doc_id = c.a_id JOIN da sb ON sb.doc_id = c.b_id)
+         |  WHERE jac >= 0.9),
+         |t AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM t),
+         |bs AS (SELECT doc_id, j,
+         |  sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS j) GROUP BY doc_id, j),
+         |fp AS (SELECT doc_id,
+         |  CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bs GROUP BY doc_id),
+         |blk AS (SELECT doc_id, simhash, q, (simhash >> (q * 8)) & 255 AS key
+         |  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS q)),
+         |sh AS MATERIALIZED (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM blk a JOIN blk b ON a.q = b.q AND a.key = b.key AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |nm AS (SELECT count(*) AS n_minhash FROM mh),
+         |ns AS (SELECT count(*) AS n_simhash FROM sh),
+         |nb AS (SELECT count(*) AS n_both FROM mh
+         |  WHERE EXISTS (SELECT 1 FROM sh WHERE sh.a_id = mh.a_id AND sh.b_id = mh.b_id))
+         |SELECT CAST(n_minhash AS BIGINT) AS n_minhash, CAST(n_simhash AS BIGINT) AS n_simhash,
+         |  CAST(n_both AS BIGINT) AS n_both,
+         |  round(CASE WHEN n_minhash + n_simhash - n_both > 0
+         |    THEN CAST(n_both AS DOUBLE) / (n_minhash + n_simhash - n_both)
+         |    ELSE 0.0 END, 6) AS pair_jaccard
+         |FROM nm CROSS JOIN ns CROSS JOIN nb""".stripMargin
   )
 }

@@ -847,7 +847,9 @@ object SparkEntry {
     "token_attrition" -> ((s, d) =>
       TextOps.tokenAttrition(spread(t(s, d, "documents")))),
     "events_range_window" -> ((s, d) =>
-      Relational.eventsRangeWindow(events(s, d)))
+      Relational.eventsRangeWindow(events(s, d))),
+    "detector_agreement" -> ((s, d) =>
+      Dedup.detectorAgreement(spread(t(s, d, "documents"))))
   )
 
   /** DuckDB twins for the SQL-expressible queries (SURVEY.md §5). */

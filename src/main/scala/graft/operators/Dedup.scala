@@ -1028,4 +1028,30 @@ object Dedup {
           .as("p_detect"),
         round(pow(lit(1.0) / col("bands").cast("double"),
           lit(1.0) / col("rows_per_band").cast("double")), 6).as("s_threshold"))
+
+  /** Agreement census between the two deterministic near-dup detectors
+    * (B212): MinHash-banded-LSH pairs (jac >= 0.9) vs SimHash pairs
+    * (hamming <= 3) — set sizes, overlap, and pair-set Jaccard. The
+    * detector-choice readout: high agreement means the cheap one
+    * suffices; low agreement means the thresholds measure different
+    * duplications and a union gate is warranted. Both pair frames are
+    * the bounded detector outputs; the overlap is one semi-join on the
+    * pair key. */
+  def detectorAgreement(docs: DataFrame): DataFrame = {
+    val m = graft.CacheTracker.track(
+      minhashLshPairs(docs).select("a_id", "b_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sp = graft.CacheTracker.track(
+      simhashDetPairs(docs).select("a_id", "b_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val both = m.join(sp, Seq("a_id", "b_id"), "left_semi")
+    m.agg(count(lit(1)).as("n_minhash"))
+      .crossJoin(broadcast(sp.agg(count(lit(1)).as("n_simhash"))))
+      .crossJoin(broadcast(both.agg(count(lit(1)).as("n_both"))))
+      .select(col("n_minhash"), col("n_simhash"), col("n_both"),
+        round(when(col("n_minhash") + col("n_simhash") - col("n_both") > 0,
+          col("n_both").cast("double")
+            / (col("n_minhash") + col("n_simhash") - col("n_both")))
+          .otherwise(lit(0.0)), 6).as("pair_jaccard"))
+  }
 }

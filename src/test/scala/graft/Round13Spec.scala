@@ -412,6 +412,17 @@ class Round13Spec extends SparkSpec {
     assert(out(3L) === ((2L, 600L))) // 10:30 still inside [10:15, 11:15]
   }
 
+  test("detectorAgreement: exact duplicates land in both pair sets, jaccard 1") {
+    val text = (0 until 30)
+      .map(i => s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}q").mkString(" ")
+    val d = docs((1L, "en", text), (2L, "en", text))
+    val r = graft.operators.Dedup.detectorAgreement(d).collect().head
+    assert(r.getAs[Long]("n_minhash") === 1L)
+    assert(r.getAs[Long]("n_simhash") === 1L)
+    assert(r.getAs[Long]("n_both") === 1L)
+    assert(r.getAs[Double]("pair_jaccard") === 1.0)
+  }
+
   test("weeklyLastBalance keeps the LAST value per user-week, then sums") {
     val e = events(
       (1L, 1L, "2024-01-01 10:00:00", "view", 5.0),
