@@ -739,9 +739,13 @@ object Similarity {
   private def powerEigen(C: DataFrame, dims: Int, iters: Int): DataFrame = {
     val spark = C.sparkSession
     // the norm is a full-frame window fold over the dims-sized vector —
-    // one stage per round and a single reference to w, so the lineage
-    // stays LINEAR in iters (a w-agg-crossJoin-w phrasing doubles the
-    // plan per round); the single-partition window is dims-bounded
+    // one stage per round and a single reference to w; the
+    // single-partition window is dims-bounded. Each round's dims-row v
+    // is localCheckpoint'd (the bradley_terry discipline): consumers
+    // reference v1 several times (deflation joins on dim_i AND dim_j,
+    // plus the eigenvalue readout), and unpinned that re-analyzed and
+    // re-ran the whole iter-deep DAG per reference — measured 4.0 s of
+    // build time on pca_explained at sf0.1 vs ~1 s pinned.
     val wFull = Window.orderBy(lit(1))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     var v: DataFrame = spark.range(1, dims + 1)
@@ -758,6 +762,7 @@ object Similarity {
         (a, b) => a + b)), 9)
       v = w.select(col("dim_i").as("dim"), round(col("w") / nrm, 9).as("v"),
         nrm.as("eig"))
+        .localCheckpoint(true)
     }
     v
   }
@@ -798,9 +803,8 @@ object Similarity {
     val C = graft.CacheTracker.track(
       full.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     C.count()
-    val v1 = graft.CacheTracker.track(powerEigen(C, dims, iters)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    v1.count()
+    // already a materialized LogicalRDD (powerEigen checkpoints rounds)
+    val v1 = powerEigen(C, dims, iters)
     val c2 = C
       .join(v1.select(col("dim").as("dim_i"), col("v").as("vi"), col("eig")),
         "dim_i")
@@ -819,12 +823,9 @@ object Similarity {
     * covariance pass; the projection is one narrow explode + a
     * broadcast join of the 2×dims loadings — linear in the corpus. */
   def embedPcaProject(emb: DataFrame, dims: Int = 8, iters: Int = 5): DataFrame = {
-    val (_, v1, v2raw) = deflatedEigenPair(emb, dims, iters)
-    // v2 is consumed once per projection; pin it so the second power
-    // chain (itself built over cached C/v1) doesn't re-run per reference
-    val v2 = graft.CacheTracker.track(
-      v2raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    v2.count()
+    val (_, v1, v2) = deflatedEigenPair(emb, dims, iters)
+    // v2 needs no pin: it is referenced exactly once (the p2 projection)
+    // and its lineage bottoms out on the cached C and v1
     val x = emb.select(col("vec_id"),
         explode(array((1 to dims).map(i => struct(lit(i.toLong).as("dim"),
           element_at(col("embedding"), i).cast("double").as("x"))): _*)).as("c"))
