@@ -6293,6 +6293,22 @@ object Oracles {
          |  round(CASE WHEN n_minhash + n_simhash - n_both > 0
          |    THEN CAST(n_both AS DOUBLE) / (n_minhash + n_simhash - n_both)
          |    ELSE 0.0 END, 6) AS pair_jaccard
-         |FROM nm CROSS JOIN ns CROSS JOIN nb""".stripMargin
+         |FROM nm CROSS JOIN ns CROSS JOIN nb""".stripMargin,
+
+    // per-doc char-level Shannon entropy over cleaned text
+    "char_entropy" ->
+      s"""WITH c AS (SELECT doc_id, $clean AS clean FROM documents),
+         |cc AS (SELECT doc_id, clean FROM c WHERE length(clean) > 0),
+         |ch AS (SELECT doc_id, CAST(length(clean) AS BIGINT) AS len,
+         |       substr(clean, i, 1) AS ch
+         |       FROM (SELECT doc_id, clean, unnest(range(1, length(clean) + 1)) AS i FROM cc)),
+         |cnt AS (SELECT doc_id, len, ch, count(*) AS cnt FROM ch GROUP BY 1, 2, 3),
+         |t AS (SELECT doc_id, len,
+         |      round(-1.0 * (CAST(cnt AS DOUBLE) / len) * ln(CAST(cnt AS DOUBLE) / len), 9) AS term
+         |      FROM cnt)
+         |SELECT doc_id, len AS n_chars_clean,
+         |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
+         |  round(list_reduce(list_sort(list(term)), (a, b) -> a + b), 6) AS entropy_nats
+         |FROM t GROUP BY doc_id, len""".stripMargin
   )
 }

@@ -849,7 +849,9 @@ object SparkEntry {
     "events_range_window" -> ((s, d) =>
       Relational.eventsRangeWindow(events(s, d))),
     "detector_agreement" -> ((s, d) =>
-      Dedup.detectorAgreement(spread(t(s, d, "documents"))))
+      Dedup.detectorAgreement(spread(t(s, d, "documents")))),
+    "char_entropy" -> ((s, d) =>
+      TextOps.charEntropy(spread(t(s, d, "documents"))))
   )
 
   /** DuckDB twins for the SQL-expressible queries (SURVEY.md §5). */

@@ -1273,6 +1273,31 @@ object TextOps {
         col("r.token_share").as("token_share"), col("total_tokens"))
   }
 
+  /** Per-document character-level Shannon entropy (B213): the
+    * alphabet-distribution tripwire that separates natural text
+    * (~2.8-4.2 nats over cleaned ASCII) from base64/hex blobs (high,
+    * flat) and template/filler runs (low) — orthogonal to
+    * [[compressionRatio]]'s repetition view because entropy here is
+    * order-free. Per (doc, char) counts aggregate narrowly; each doc's
+    * ≤ alphabet-sized contribution list folds sorted at 9 dp; the
+    * entropy rounds once at 6 dp. */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val c = docs.select(col("doc_id"), cleanText(col("text")).as("clean"))
+      .filter(length(col("clean")) > 0)
+    val cc = c.select(col("doc_id"), length(col("clean")).cast("long").as("len"),
+        explode(split(col("clean"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy("doc_id", "len", "ch").agg(count(lit(1)).as("cnt"))
+    cc.select(col("doc_id"), col("len"),
+        round(lit(-1.0) * (col("cnt").cast("double") / col("len"))
+          * log(col("cnt").cast("double") / col("len")), 9).as("term"))
+      .groupBy("doc_id", "len")
+      .agg(count(lit(1)).as("n_distinct_chars"),
+        round(Folds.sortedSum(col("term")), 6).as("entropy_nats"))
+      .select(col("doc_id"), col("len").as("n_chars_clean"),
+        col("n_distinct_chars"), col("entropy_nats"))
+  }
+
   /** MOSS-style winnowing fingerprint (B59): md5 each 3-token shingle in
     * sequence order, slide a `win`-wide window over the shingle-hash
     * stream, keep each window's minimum, and emit the distinct minima —

@@ -423,6 +423,14 @@ class Round13Spec extends SparkSpec {
     assert(r.getAs[Double]("pair_jaccard") === 1.0)
   }
 
+  test("charEntropy: uniform alphabet reads ln(k), single char reads 0") {
+    val d = docs((1L, "en", "abcd"), (2L, "en", "aaaa"))
+    val out = graft.operators.TextOps.charEntropy(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("entropy_nats")).toMap
+    assert(math.abs(out(1L) - math.log(4.0)) < 1e-5)
+    assert(out(2L) === 0.0)
+  }
+
   test("weeklyLastBalance keeps the LAST value per user-week, then sums") {
     val e = events(
       (1L, 1L, "2024-01-01 10:00:00", "view", 5.0),
