@@ -6309,6 +6309,38 @@ object Oracles {
          |SELECT doc_id, len AS n_chars_clean,
          |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
          |  round(list_reduce(list_sort(list(term)), (a, b) -> a + b), 6) AS entropy_nats
-         |FROM t GROUP BY doc_id, len""".stripMargin
+         |FROM t GROUP BY doc_id, len""".stripMargin,
+
+    // truncation loss over the {128, 512, 2048} context grid
+    "truncation_loss" ->
+      s"""WITH nt AS (SELECT CAST(len($toks) AS BIGINT) AS nt FROM documents),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |      CAST(coalesce(sum(nt), 0) AS BIGINT) AS total_tokens,
+         |      CAST(coalesce(sum(CASE WHEN nt > 128 THEN 1 ELSE 0 END), 0) AS BIGINT) AS o128,
+         |      CAST(coalesce(sum(CASE WHEN nt > 128 THEN nt - 128 ELSE 0 END), 0) AS BIGINT) AS l128,
+         |      CAST(coalesce(sum(CASE WHEN nt > 512 THEN 1 ELSE 0 END), 0) AS BIGINT) AS o512,
+         |      CAST(coalesce(sum(CASE WHEN nt > 512 THEN nt - 512 ELSE 0 END), 0) AS BIGINT) AS l512,
+         |      CAST(coalesce(sum(CASE WHEN nt > 2048 THEN 1 ELSE 0 END), 0) AS BIGINT) AS o2048,
+         |      CAST(coalesce(sum(CASE WHEN nt > 2048 THEN nt - 2048 ELSE 0 END), 0) AS BIGINT) AS l2048
+         |      FROM nt)
+         |SELECT max_len, n_docs_truncated, tokens_lost,
+         |  round(CAST(tokens_lost AS DOUBLE) / nullif(total_tokens, 0), 6) AS token_share_lost,
+         |  n_docs, total_tokens FROM (
+         |  SELECT CAST(128 AS BIGINT) AS max_len, o128 AS n_docs_truncated, l128 AS tokens_lost, n_docs, total_tokens FROM a
+         |  UNION ALL SELECT 512, o512, l512, n_docs, total_tokens FROM a
+         |  UNION ALL SELECT 2048, o2048, l2048, n_docs, total_tokens FROM a)""".stripMargin,
+
+    // chi-square uniformity of the 64-bucket content-hash histogram
+    "hash_uniformity_check" ->
+      s"""WITH b AS (SELECT ('0x' || substr(md5($clean), 1, 8))::BIGINT % 64 AS bucket
+         |      FROM documents),
+         |o AS (SELECT bucket, count(*) AS o FROM b GROUP BY 1),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_nonempty_buckets,
+         |      CAST(sum(o) AS BIGINT) AS n_docs, sum(o * o) AS oo FROM o)
+         |SELECT n_nonempty_buckets, n_docs,
+         |  round(64.0 * CAST(oo AS DOUBLE) / n_docs - n_docs, 6) AS chi2,
+         |  CAST(63 AS BIGINT) AS df,
+         |  (round(64.0 * CAST(oo AS DOUBLE) / n_docs - n_docs, 6) > 126.0) AS skewed
+         |FROM a""".stripMargin
   )
 }

@@ -851,7 +851,11 @@ object SparkEntry {
     "detector_agreement" -> ((s, d) =>
       Dedup.detectorAgreement(spread(t(s, d, "documents")))),
     "char_entropy" -> ((s, d) =>
-      TextOps.charEntropy(spread(t(s, d, "documents"))))
+      TextOps.charEntropy(spread(t(s, d, "documents")))),
+    "truncation_loss" -> ((s, d) =>
+      TextOps.truncationLoss(spread(t(s, d, "documents")))),
+    "hash_uniformity_check" -> ((s, d) =>
+      TextOps.hashUniformityCheck(spread(t(s, d, "documents"))))
   )
 
   /** DuckDB twins for the SQL-expressible queries (SURVEY.md §5). */

@@ -1298,6 +1298,58 @@ object TextOps {
         col("n_distinct_chars"), col("entropy_nats"))
   }
 
+  /** Context-length truncation loss over a max-seq-len grid (B214):
+    * for each candidate training context length, how many documents
+    * exceed it and what share of the corpus token budget a hard
+    * truncation would discard — the readout behind "do we need 2k or
+    * 8k contexts for this corpus". Exact integer sums; grid-bounded
+    * fixed-arity output; one narrow token-count pass + one aggregate. */
+  def truncationLoss(docs: DataFrame,
+                     grid: Seq[Int] = Seq(128, 512, 2048)): DataFrame = {
+    val nt = docs.select(size(tokens(col("text"))).cast("long").as("nt"))
+    val aggs = grid.flatMap { l =>
+      Seq(sum(when(col("nt") > l, 1L).otherwise(0L)).as(s"over_$l"),
+        sum(when(col("nt") > l, col("nt") - l).otherwise(0L)).as(s"lost_$l"))
+    }
+    val all = Seq(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("nt")), lit(0L)).as("total_tokens")) ++ aggs
+    val a = nt.agg(all.head, all.tail: _*)
+    val rows = grid.map { l =>
+      struct(lit(l.toLong).as("max_len"),
+        coalesce(col(s"over_$l"), lit(0L)).as("n_docs_truncated"),
+        coalesce(col(s"lost_$l"), lit(0L)).as("tokens_lost"),
+        round(coalesce(col(s"lost_$l"), lit(0L)).cast("double")
+          / nullif(col("total_tokens"), lit(0L)), 6).as("token_share_lost"))
+    }
+    a.select(col("n_docs"), col("total_tokens"), explode(array(rows: _*)).as("r"))
+      .select(col("r.max_len").as("max_len"),
+        col("r.n_docs_truncated").as("n_docs_truncated"),
+        col("r.tokens_lost").as("tokens_lost"),
+        col("r.token_share_lost").as("token_share_lost"),
+        col("n_docs"), col("total_tokens"))
+  }
+
+  /** Hash-partitioning uniformity audit (B215): chi-square of the
+    * content-hash bucket histogram against uniform over `k` buckets —
+    * the sanity check that the key a pipeline shards/salts on actually
+    * spreads (a pathological corpus of near-identical cleaned texts
+    * collapses buckets and every downstream shuffle skews). Exact
+    * bucket counts; chi2 = Σ(o−e)²/e with e = n/k divides once. */
+  def hashUniformityCheck(docs: DataFrame, k: Int = 64): DataFrame = {
+    val b = docs.select(
+        (conv(substring(md5(cleanText(col("text"))), 1, 8), 16, 10)
+          .cast("long") % k).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("o"))
+    b.agg(count(lit(1)).as("n_nonempty_buckets"), sum(col("o")).as("n_docs"),
+        sum(col("o").cast("decimal(38,0)") * col("o")).as("oo"))
+      .select(col("n_nonempty_buckets"), col("n_docs"),
+        // Σ(o−e)²/e = (k/n)·Σo² − n  (algebraic form: exact ints until one division)
+        round(lit(k.toDouble) * col("oo").cast("double") / col("n_docs")
+          - col("n_docs"), 6).as("chi2"))
+      .withColumn("df", lit(k.toLong - 1))
+      .withColumn("skewed", col("chi2") > lit(2.0) * (k - 1))
+  }
+
   /** MOSS-style winnowing fingerprint (B59): md5 each 3-token shingle in
     * sequence order, slide a `win`-wide window over the shingle-hash
     * stream, keep each window's minimum, and emit the distinct minima —

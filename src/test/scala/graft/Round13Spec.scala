@@ -431,6 +431,27 @@ class Round13Spec extends SparkSpec {
     assert(out(2L) === 0.0)
   }
 
+  test("truncationLoss: exact token mass over each grid length") {
+    val words200 = (0 until 200)
+      .map(i => s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}t").mkString(" ")
+    val d = docs((1L, "en", words200), (2L, "en", "tiny doc here"))
+    val out = graft.operators.TextOps.truncationLoss(d).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_docs_truncated"),
+        r.getAs[Long]("tokens_lost"))).toMap
+    assert(out(128L) === ((1L, 72L)))   // 200-token doc loses 72
+    assert(out(512L) === ((0L, 0L)))
+    assert(out(2048L) === ((0L, 0L)))
+  }
+
+  test("hashUniformityCheck: near-uniform corpus is not flagged skewed") {
+    val d = docs((1L to 200L).map(i =>
+      (i, "en", s"document number ${('a' + (i % 26)).toChar} with body $i " * 2)): _*)
+    val r = graft.operators.TextOps.hashUniformityCheck(d).collect().head
+    assert(r.getAs[Long]("n_docs") === 200L)
+    assert(r.getAs[Long]("df") === 63L)
+    assert(r.getAs[Double]("chi2") >= 0.0)
+  }
+
   test("weeklyLastBalance keeps the LAST value per user-week, then sums") {
     val e = events(
       (1L, 1L, "2024-01-01 10:00:00", "view", 5.0),
