@@ -73,7 +73,7 @@ object ScaleCheck {
     // non-numeric args select sections ("emb" = embedding rows only —
     // lets the m=64 near-dup blocking proof run without paying the
     // doc/event rows' 64x duplication cost)
-    val (sections, mArgs) = args.drop(1).partition(a => a.forall(!_.isDigit))
+    val (mArgs, sections) = args.drop(1).partition(a => a.nonEmpty && a.forall(_.isDigit))
     val embOnly = sections.contains("emb")
     val ms = if (mArgs.nonEmpty) mArgs.map(_.toInt).toSeq else Seq(1, 4, 16)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -105,6 +105,22 @@ object ScaleCheck {
         println(s"""{"m":$m,"vecs":${emb.count()},""" +
           s""""near_dup_pairs":{"sec":$tNdp,"pairs":$nNdp,"bits":$ndpBits}}""")
         emb.unpersist()
+      } else if (sections.contains("r13")) {
+        // round-13 rows only: the chargram classifier (must stay linear
+        // in m — profiles are schema-bounded, scoring is narrow) and
+        // BLEU over near-dup candidates (true pairs grow ~m²/2 per base
+        // doc under duplication; cost must track the PAIR count)
+        val docs = multiplyDocs(docs0, m)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs.count()
+        val (tLic, nLic) = timedForce(LangModel.langIdChargram(docs))
+        graft.CacheTracker.drainAll(spark)
+        val (tBleu, nBleu) = timedForce(graft.operators.Eval.bleuPairs(docs))
+        graft.CacheTracker.drainAll(spark)
+        println(s"""{"m":$m,"docs":${docs.count()},""" +
+          s""""lang_id_chargram":{"sec":$tLic,"rows":$nLic},""" +
+          s""""bleu_pairs":{"sec":$tBleu,"pairs":$nBleu}}""")
+        docs.unpersist()
       } else {
       val docs = multiplyDocs(docs0, m)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
