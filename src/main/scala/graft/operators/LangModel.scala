@@ -1128,10 +1128,14 @@ object LangModel {
     * profile. */
   def langIdChargram(docs: DataFrame, profileK: Int = 50): DataFrame = {
     // clean projected FIRST: the trigram lambda below must reference a
-    // bound attribute, or the whole regex chain re-evaluates per element
-    val c = docs.select(col("doc_id"), col("lang"),
-        TextOps.cleanText(col("text")).as("clean"))
-      .filter(length(col("clean")) >= 3)
+    // bound attribute, or the whole regex chain re-evaluates per element.
+    // Pinned: the train profile and the held-out scoring both explode
+    // from this frame, so unpersisted the regex clean chain runs twice.
+    val c = graft.CacheTracker.track(
+      docs.select(col("doc_id"), col("lang"),
+          TextOps.cleanText(col("text")).as("clean"))
+        .filter(length(col("clean")) >= 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val g = c.select(col("doc_id"), col("lang"),
       explode(transform(sequence(lit(1), length(col("clean")) - 2),
         i => col("clean").substr(i, lit(3)))).as("gram"))
