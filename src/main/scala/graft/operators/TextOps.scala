@@ -1234,20 +1234,35 @@ object TextOps {
     * shuffle + one global aggregate. */
   def tokenAttrition(docs: DataFrame, minChars: Long = 100,
                      minQuality: Double = 0.3, maxRep: Double = 3.0): DataFrame = {
-    val toks = tokens(col("text"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("ch")
-    val flags = docs.select(col("doc_id"), col("n_chars"),
-        qualityComposite.as("q"),
+    attritionReport(
+      attritionFlags(docs, minChars, minQuality, maxRep)
+        .withColumn("f_dup",
+          coalesce(col("doc_id") =!= min(col("doc_id")).over(w), lit(false))))
+  }
+
+  /** The dup-free per-doc attrition flags shared by [[tokenAttrition]]
+    * and the streaming incremental twin (graft.streaming.Events
+    * .tokenAttritionBatch) — (doc_id, nt, ch, f_short, f_quality,
+    * f_rep); each caller adds its own f_dup (global keep-first window
+    * here; durable-store probe + in-batch window in the stream). */
+  private[graft] def attritionFlags(docs: DataFrame, minChars: Long = 100,
+      minQuality: Double = 0.3, maxRep: Double = 3.0): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"),
         size(toks).cast("long").as("nt"),
-        (size(toks).cast("double")
-          / nullif(size(array_distinct(toks)), lit(0)).cast("double")).as("rep"),
-        md5(cleanText(col("text"))).as("ch"))
-      .withColumn("f_dup", col("doc_id") =!= min(col("doc_id")).over(w))
-      .select(col("nt"),
+        md5(cleanText(col("text"))).as("ch"),
         coalesce(col("n_chars") < minChars, lit(true)).as("f_short"),
-        coalesce(col("q") < minQuality, lit(true)).as("f_quality"),
-        coalesce(col("rep") > maxRep, lit(false)).as("f_rep"),
-        coalesce(col("f_dup"), lit(false)).as("f_dup"))
+        coalesce(qualityComposite < minQuality, lit(true)).as("f_quality"),
+        coalesce((size(toks).cast("double")
+          / nullif(size(array_distinct(toks)), lit(0)).cast("double")) > maxRep,
+          lit(false)).as("f_rep"))
+  }
+
+  /** The fixed 5-row gate report over flagged rows — shared with the
+    * streaming twin so the projection can never drift. Input needs
+    * (nt, f_short, f_quality, f_rep, f_dup). */
+  private[graft] def attritionReport(flags: DataFrame): DataFrame = {
     def lost(c: Column) = coalesce(sum(when(c, col("nt")).otherwise(0L)), lit(0L))
     val a = flags.agg(
       coalesce(sum(col("nt")), lit(0L)).as("total_tokens"),
@@ -1257,6 +1272,12 @@ object TextOps {
       lost(col("f_dup")).as("dup_t"),
       lost(!col("f_short") && !col("f_quality") && !col("f_rep") && !col("f_dup"))
         .as("pass_t"))
+    attritionProject(a)
+  }
+
+  /** Project the one-row exact sums into the 5-row report — also used
+    * directly by the streaming twin over MERGED per-batch partials. */
+  private[graft] def attritionProject(a: DataFrame): DataFrame = {
     def share(c: Column) = round(c.cast("double") / nullif(col("total_tokens"), lit(0L)), 6)
     a.select(col("total_tokens"), explode(array(
         struct(lit("short").as("gate"), col("short_t").as("tokens"),

@@ -489,6 +489,89 @@ object Events {
     checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** Streaming incremental token-attrition monitor (C193): each
+    * micro-batch computes its docs' curation-gate flags (the batch
+    * operator's short/quality/repetition definitions via
+    * [[graft.operators.TextOps.attritionFlags]]) with the DUPLICATE
+    * gate probed against a durable content-hash store (prior batches)
+    * plus an in-batch keep-first window, folds the per-gate exact token
+    * sums into a batch_id-partitioned partials store, and publishes the
+    * cumulative 5-row gate report (latest-wins plain overwrite — the
+    * dqMonitor discipline). As long as micro-batches arrive in doc_id
+    * order (an ingest sequence number), the merged report is
+    * BIT-identical to the batch [[graft.operators.TextOps
+    * .tokenAttrition]] over the union — keep-first dup semantics
+    * incrementalize exactly.
+    *
+    * Replay discipline (at-least-once foreachBatch): hash-store and
+    * partials partitions are dynamic-overwritten by batch_id, and the
+    * dup probe excludes the current batch_id's own store rows — a
+    * retried batch recomputes the identical partial from the same prior
+    * state and REPLACES its own partitions; the report then re-merges
+    * to the same totals. */
+  def incrementalTokenAttrition(docs: DataFrame, storeDir: String, outDir: String,
+                                checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      tokenAttritionBatch(batch, batchId, storeDir, outDir)
+    }
+    checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** The per-batch step, factored out so tests replay batches and
+    * assert bit-exact convergence with the batch operator. */
+  def tokenAttritionBatch(batch: DataFrame, batchId: Long,
+                          storeDir: String, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val hashesDir = s"$storeDir/hashes"
+    val partialsDir = s"$storeDir/partials"
+    val flags = graft.operators.TextOps.attritionFlags(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val prior =
+        if (new java.io.File(hashesDir).exists())
+          spark.read.parquet(hashesDir)
+            .filter(col("batch_id") =!= batchId) // self-exclusion on replay
+            .select("ch").distinct()
+        else flags.select("ch").limit(0)
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy("ch").orderBy("doc_id")
+      val withDup = flags
+        .withColumn("_rn", row_number().over(wIn))
+        .join(prior.withColumn("_seen", lit(true)), Seq("ch"), "left")
+        .withColumn("f_dup", coalesce(col("_seen"), lit(false)) || col("_rn") > 1)
+      def lost(c: org.apache.spark.sql.Column) =
+        coalesce(sum(when(c, col("nt")).otherwise(0L)), lit(0L))
+      withDup.agg(
+          coalesce(sum(col("nt")), lit(0L)).as("total_tokens"),
+          lost(col("f_short")).as("short_t"),
+          lost(col("f_quality")).as("quality_t"),
+          lost(col("f_rep")).as("rep_t"),
+          lost(col("f_dup")).as("dup_t"),
+          lost(!col("f_short") && !col("f_quality") && !col("f_rep") && !col("f_dup"))
+            .as("pass_t"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(partialsDir)
+      flags.select("ch").distinct().withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(hashesDir)
+      // cumulative report from ALL partials: exact sums merge, the
+      // shared projection rounds once — latest-wins plain overwrite
+      graft.operators.TextOps.attritionProject(
+          spark.read.parquet(partialsDir)
+            .agg(sum(col("total_tokens")).as("total_tokens"),
+              sum(col("short_t")).as("short_t"),
+              sum(col("quality_t")).as("quality_t"),
+              sum(col("rep_t")).as("rep_t"),
+              sum(col("dup_t")).as("dup_t"),
+              sum(col("pass_t")).as("pass_t")))
+        .write.mode("overwrite").parquet(outDir)
+    } finally flags.unpersist()
+  }
+
   /** The per-batch step, factored out so tests replay batches and
     * assert bit-exact convergence with the batch report. */
   def dqMonitorBatch(batch: DataFrame, batchId: Long,

@@ -412,6 +412,37 @@ class StreamingSpec extends SparkSpec {
       sRows.select("user_id", "day_idx", "batch_id").distinct().count())
   }
 
+  test("incremental token attrition: merged gate report equals the batch operator; replays converge") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tokattr").toString
+    val (store, out) = (s"$base/store", s"$base/report")
+    val healthy = (0 until 120)
+      .map(i => s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}s").mkString(" ")
+    val all = Seq(
+      (1L, healthy, "en", "s1", healthy.length.toLong),
+      (2L, "tiny", "en", "s1", 4L),
+      // --- batch boundary ---
+      (3L, healthy, "en", "s1", healthy.length.toLong), // duplicate of doc 1
+      (4L, healthy + " extraword", "en", "s1", healthy.length + 10L))
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val b0 = all.take(2).toDF(cols: _*)
+    val b1 = all.drop(2).toDF(cols: _*)
+    Events.tokenAttritionBatch(b0, 0L, store, out)
+    Events.tokenAttritionBatch(b1, 1L, store, out)
+    // replay batch 1: self-excluded store probe reproduces the same
+    // partial and replaces its own partitions — report unchanged
+    Events.tokenAttritionBatch(b1, 1L, store, out)
+    val streamed = spark.read.parquet(out)
+      .select("gate", "tokens", "token_share", "total_tokens")
+      .as[(String, Long, Double, Long)].collect().toSet
+    val batch = graft.operators.TextOps.tokenAttrition(all.toDF(cols: _*))
+      .as[(String, Long, Double, Long)].collect().toSet
+    assert(streamed === batch,
+      "merged token-attrition report must equal the batch operator exactly")
+    // the cross-batch duplicate really got caught via the durable store
+    assert(batch.exists { case (g, t, _, _) => g == "duplicate" && t == 120L })
+    graft.CacheTracker.drainAll(spark)
+  }
+
   test("incremental dq monitor: merged rule counts equal the batch report; replays converge") {
     val base = java.nio.file.Files.createTempDirectory("graft_dqmon").toString
     val (store, out) = (s"$base/store", s"$base/report")
