@@ -6341,6 +6341,12 @@ object Oracles {
          |  round(64.0 * CAST(oo AS DOUBLE) / n_docs - n_docs, 6) AS chi2,
          |  CAST(63 AS BIGINT) AS df,
          |  (round(64.0 * CAST(oo AS DOUBLE) / n_docs - n_docs, 6) > 126.0) AS skewed
-         |FROM a""".stripMargin
+         |FROM a""".stripMargin,
+
+    // schema-evolution merge read (union_by_name over both generations)
+    "parquet_schema_merge" ->
+      """SELECT doc_id, text, lang, stars
+        |FROM read_parquet(['/root/repo/src/test/resources/docs_schema_v1.parquet',
+        |  '/root/repo/src/test/resources/docs_schema_v2.parquet'], union_by_name = true)""".stripMargin
   )
 }

@@ -855,7 +855,16 @@ object SparkEntry {
     "truncation_loss" -> ((s, d) =>
       TextOps.truncationLoss(spread(t(s, d, "documents")))),
     "hash_uniformity_check" -> ((s, d) =>
-      TextOps.hashUniformityCheck(spread(t(s, d, "documents"))))
+      TextOps.hashUniformityCheck(spread(t(s, d, "documents")))),
+    // C194: schema-evolution ingest — two parquet generations (v2 adds
+    // lang + stars) read in one pass with mergeSchema; late columns
+    // null-fill for early files. The oracle is DuckDB's union_by_name
+    // over the same files.
+    "parquet_schema_merge" -> ((s, _) =>
+      s.read.option("mergeSchema", "true")
+        .parquet("/root/repo/src/test/resources/docs_schema_v1.parquet",
+          "/root/repo/src/test/resources/docs_schema_v2.parquet")
+        .select(col("doc_id"), col("text"), col("lang"), col("stars")))
   )
 
   /** DuckDB twins for the SQL-expressible queries (SURVEY.md §5). */

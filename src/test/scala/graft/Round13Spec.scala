@@ -452,6 +452,15 @@ class Round13Spec extends SparkSpec {
     assert(r.getAs[Double]("chi2") >= 0.0)
   }
 
+  test("parquet_schema_merge: early-generation rows null-fill the late columns") {
+    val df = SparkEntry.queries("parquet_schema_merge")(spark, "")
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (Option(r.getAs[String]("lang")), Option(r.getAs[Any]("stars")))).toMap
+    assert(rows.size === 5)
+    assert(rows(1L) === ((None, None)))     // v1 file: evolved columns null
+    assert(rows(4L) === ((Some("en"), Some(3L))))
+  }
+
   test("weeklyLastBalance keeps the LAST value per user-week, then sums") {
     val e = events(
       (1L, 1L, "2024-01-01 10:00:00", "view", 5.0),
