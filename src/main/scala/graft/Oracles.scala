@@ -2189,13 +2189,13 @@ object Oracles {
          |SELECT a_id, b_id, jaccard FROM pairs WHERE jaccard >= 0.3""".stripMargin,
 
     "csv_ingest" ->
-      ("SELECT * FROM read_csv('/root/repo/src/test/resources/tweets_sample.csv', " +
+      (s"SELECT * FROM read_csv('${graft.SparkEntry.resourceDir}/tweets_sample.csv', " +
         "header = true, all_varchar = true)"),
 
     "json_ingest" ->
-      """SELECT doc_id, lang, text, meta.author AS author, meta.year AS year,
+      s"""SELECT doc_id, lang, text, meta.author AS author, meta.year AS year,
         |  coalesce(array_to_string(tags, ','), '') AS tags_csv, len(tags)::BIGINT AS n_tags
-        |FROM read_json('/root/repo/src/test/resources/docs_sample.jsonl',
+        |FROM read_json('${graft.SparkEntry.resourceDir}/docs_sample.jsonl',
         |  format = 'newline_delimited',
         |  columns = {doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
         |             meta: 'STRUCT(author VARCHAR, year BIGINT)', tags: 'VARCHAR[]'})""".stripMargin,
@@ -2204,18 +2204,18 @@ object Oracles {
     // Avro ingest: cross-format twin of orc_ingest — DuckDB has no Avro
     // reader, so the oracle replays the same rows from the JSONL source
     "avro_ingest" ->
-      """SELECT doc_id, lang, text, meta.author AS author, meta.year AS year,
+      s"""SELECT doc_id, lang, text, meta.author AS author, meta.year AS year,
         |  coalesce(array_to_string(tags, ','), '') AS tags_csv, len(tags)::BIGINT AS n_tags
-        |FROM read_json('/root/repo/src/test/resources/docs_sample.jsonl',
+        |FROM read_json('${graft.SparkEntry.resourceDir}/docs_sample.jsonl',
         |  format = 'newline_delimited',
         |  columns = {doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
         |             meta: 'STRUCT(author VARCHAR, year BIGINT)', tags: 'VARCHAR[]'})""".stripMargin,
 
     // JSONL twin, making orc_ingest a cross-format consistency check
     "orc_ingest" ->
-      """SELECT doc_id, lang, text, meta.author AS author, meta.year AS year,
+      s"""SELECT doc_id, lang, text, meta.author AS author, meta.year AS year,
         |  coalesce(array_to_string(tags, ','), '') AS tags_csv, len(tags)::BIGINT AS n_tags
-        |FROM read_json('/root/repo/src/test/resources/docs_sample.jsonl',
+        |FROM read_json('${graft.SparkEntry.resourceDir}/docs_sample.jsonl',
         |  format = 'newline_delimited',
         |  columns = {doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
         |             meta: 'STRUCT(author VARCHAR, year BIGINT)', tags: 'VARCHAR[]'})""".stripMargin,
@@ -6345,8 +6345,8 @@ object Oracles {
 
     // schema-evolution merge read (union_by_name over both generations)
     "parquet_schema_merge" ->
-      """SELECT doc_id, text, lang, stars
-        |FROM read_parquet(['/root/repo/src/test/resources/docs_schema_v1.parquet',
-        |  '/root/repo/src/test/resources/docs_schema_v2.parquet'], union_by_name = true)""".stripMargin
+      s"""SELECT doc_id, text, lang, stars
+        |FROM read_parquet(['${graft.SparkEntry.resourceDir}/docs_schema_v1.parquet',
+        |  '${graft.SparkEntry.resourceDir}/docs_schema_v2.parquet'], union_by_name = true)""".stripMargin
   )
 }

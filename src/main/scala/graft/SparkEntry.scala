@@ -15,6 +15,22 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Root of the checked-in sample-ingest fixtures (csv/jsonl/orc/avro/
+    * schema-evolution parquet). Resolved at first use so a checkout not
+    * rooted at /root/repo still works: explicit SPARK_GRAFT_REPO env var
+    * wins, then the working directory (sbt runs from the repo root), then
+    * the canonical driver checkout path. The same value is interpolated
+    * into the DuckDB oracle SQL (Oracles references this val), so query
+    * and oracle always read identical files. */
+  private[graft] lazy val resourceDir: String = {
+    val candidates = Seq(
+      sys.env.get("SPARK_GRAFT_REPO").map(r => s"$r/src/test/resources"),
+      Some(new java.io.File("src/test/resources").getAbsolutePath),
+      Some("/root/repo/src/test/resources")).flatten
+    candidates.find(p => new java.io.File(p, "tweets_sample.csv").isFile)
+      .getOrElse(candidates.last)
+  }
+
   /** events.parquet's `ts` physical type has drifted across driver data
     * generations: TIMESTAMP(NANOS) (rounds 1-9; the vectorized reader
     * rejects it, so it must be read as long nanos) vs TIMESTAMP(MICROS)
@@ -745,7 +761,7 @@ object SparkEntry {
     "csv_ingest" -> ((s, _) =>
       s.read.option("header", "true").option("quote", "\"").option("escape", "\"")
         .option("inferSchema", "false")
-        .csv("/root/repo/src/test/resources/tweets_sample.csv")),
+        .csv(s"$resourceDir/tweets_sample.csv")),
     // JSONL ingest with an EXPLICIT schema (no sampling/inference pass —
     // at 100 TB, inference is a full extra scan before planning) including
     // nested struct + array extraction; list output flattened to csv so
@@ -754,7 +770,7 @@ object SparkEntry {
       s.read
         .schema("doc_id BIGINT, text STRING, lang STRING, " +
           "meta STRUCT<author: STRING, year: BIGINT>, tags ARRAY<STRING>")
-        .json("/root/repo/src/test/resources/docs_sample.jsonl")
+        .json(s"$resourceDir/docs_sample.jsonl")
         .select(col("doc_id"), col("lang"), col("text"),
           col("meta.author").as("author"), col("meta.year").as("year"),
           concat_ws(",", col("tags")).as("tags_csv"),
@@ -765,7 +781,7 @@ object SparkEntry {
     // reads the SAME rows from the JSONL twin — a cross-format
     // consistency check DuckDB can replay (it has no ORC reader).
     "orc_ingest" -> ((s, _) =>
-      s.read.orc("/root/repo/src/test/resources/docs_sample.orc")
+      s.read.orc(s"$resourceDir/docs_sample.orc")
         .select(col("doc_id"), col("lang"), col("text"),
           col("meta.author").as("author"), col("meta.year").as("year"),
           concat_ws(",", col("tags")).as("tags_csv"),
@@ -777,7 +793,7 @@ object SparkEntry {
     // reader), the orc_ingest cross-format precedent.
     "avro_ingest" -> ((s, _) =>
       graft.sources.Avro.read(s,
-          "/root/repo/src/test/resources/docs_sample.avro",
+          s"$resourceDir/docs_sample.avro",
           "doc_id BIGINT, text STRING, lang STRING, " +
             "meta STRUCT<author: STRING, year: BIGINT>, tags ARRAY<STRING>")
         .select(col("doc_id"), col("lang"), col("text"),
@@ -862,8 +878,8 @@ object SparkEntry {
     // over the same files.
     "parquet_schema_merge" -> ((s, _) =>
       s.read.option("mergeSchema", "true")
-        .parquet("/root/repo/src/test/resources/docs_schema_v1.parquet",
-          "/root/repo/src/test/resources/docs_schema_v2.parquet")
+        .parquet(s"$resourceDir/docs_schema_v1.parquet",
+          s"$resourceDir/docs_schema_v2.parquet")
         .select(col("doc_id"), col("text"), col("lang"), col("stars")))
   )
 

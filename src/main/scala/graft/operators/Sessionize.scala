@@ -596,7 +596,11 @@ object Sessionize {
     // |S|!·(n−1−|S|)!/n! must use that n — a hard-coded 4-channel table
     // would throw on 5+ channels and silently mis-weight 3
     val n = channels.length
-    require(n >= 1 && n <= 20, s"channel universe must be 1..20, got $n")
+    // 18 is the largest n with every factorial exact in double (18! ≈
+    // 6.4e15 < 2^53; 19! is already inexact, and inexact coef/fact(n)
+    // weights could flip the 6-dp HALF_UP rounding at knife edges).
+    // The 2^n driver-side lattice is also ≤ 262k terms/channel there.
+    require(n >= 1 && n <= 18, s"channel universe must be 1..18, got $n")
     val fact = new Array[Double](n + 1)
     fact(0) = 1.0
     for (i <- 1 to n) fact(i) = fact(i - 1) * i

@@ -592,7 +592,10 @@ object Similarity {
     * 2k vectors, quadratic death at 100×. Growing the width with N keeps
     * per-bucket pair work ≈ targetPerBucket·N/2 — linear in N. The floor
     * pins small-corpus behavior (and the DuckDB oracles, which encode
-    * 8 bits at test scale: the formula returns 8 for every n ≤ 65536). */
+    * 8 bits at test scale): the width stays at the floor until
+    * n ≥ (targetPerBucket+1)·2^floor — with the defaults, every
+    * n ≤ 65791 returns 8, and widening starts at n = 65792 (the first
+    * n with n >> 8 > 256). */
   def adaptiveSignBits(n: Long, floor: Int = 8, targetPerBucket: Long = 256L,
                        cap: Int = 16): Int = {
     var bits = floor
@@ -605,7 +608,7 @@ object Similarity {
     * the bucket width from the corpus size via [[adaptiveSignBits]] —
     * one eager metadata-count job, the docSimilarityPruned CBO-read
     * license — so the blocking stays bounded at 100× while test-scale
-    * results (n ≤ 65536 → 8 bits) are bit-identical to the fixed-width
+    * results (n ≤ 65791 → 8 bits) are bit-identical to the fixed-width
     * oracles. Recall at wider widths degrades gracefully (each extra
     * bit is one more hyperplane a near-dup pair must agree on — the
     * standard LSH recall/cost dial, tunable via an explicit `bits`). */
