@@ -116,9 +116,17 @@ object Dedup {
     * once); the band join shuffles on (band, band_hash) — the bounded
     * LSH key. No all-pairs path exists. */
   private def lshCandidates(docs: DataFrame, numHashes: Int,
+                            bandSize: Int): (DataFrame, DataFrame, DataFrame) =
+    lshCandidatesFromToked(
+      docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+      numHashes, bandSize)
+
+  /** [[lshCandidates]] over a pre-tokenized (doc_id, toks) frame, so a
+    * consumer that runs BOTH detectors ([[detectorAgreement]]) tokenizes
+    * the corpus once and shares the cached array frame. */
+  private def lshCandidatesFromToked(toked0: DataFrame, numHashes: Int,
                             bandSize: Int): (DataFrame, DataFrame, DataFrame) = {
-    val toked = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
+    val toked = toked0.filter(size(col("toks")) >= 3)
     val a1 = slice(col("toks"), lit(1), size(col("toks")) - 2)
     val a2 = slice(col("toks"), lit(2), size(col("toks")) - 2)
     val a3 = slice(col("toks"), lit(3), size(col("toks")) - 2)
@@ -164,8 +172,16 @@ object Dedup {
     * and intersects them inside codegen — narrow per-pair work, never
     * an exploded (pair × token) join stream. */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 16, bandSize: Int = 8,
-                      jacMin: Double = 0.9): DataFrame = {
-    val (cand, dt, _) = lshCandidates(docs, numHashes, bandSize)
+                      jacMin: Double = 0.9): DataFrame =
+    minhashLshPairsFromToked(
+      docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+      numHashes, bandSize, jacMin)
+
+  /** [[minhashLshPairs]] over a pre-tokenized (doc_id, toks) frame — the
+    * shared-scan entry for [[detectorAgreement]]. */
+  private def minhashLshPairsFromToked(toked: DataFrame, numHashes: Int,
+                      bandSize: Int, jacMin: Double): DataFrame = {
+    val (cand, dt, _) = lshCandidatesFromToked(toked, numHashes, bandSize)
     val docArr = dt.groupBy("doc_id")
       .agg(sort_array(collect_list(col("token"))).as("arr"))
     cand
@@ -422,11 +438,19 @@ object Dedup {
     * so the simhash family gains a first-class hash-exact entry.
     * Same shuffle topology as simhashPairs: one partial-agg shuffle for
     * the 32 conditional bit sums, one bounded (chunk, key) block join. */
-  def simhashDetPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashDetPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashDetPairsFromToked(
+      docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+      maxHamming)
+
+  /** [[simhashDetPairs]] over a pre-tokenized (doc_id, toks) frame — the
+    * shared-scan entry for [[detectorAgreement]]. */
+  private def simhashDetPairsFromToked(toked: DataFrame,
+                                       maxHamming: Int): DataFrame = {
     val bits = 32
     require(maxHamming >= 0 && maxHamming < bits, "maxHamming must be in [0, 32)")
-    val perTok = docs
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    val perTok = toked
+      .select(col("doc_id"), explode(col("toks")).as("token"))
       .select(col("doc_id"),
         conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long").as("h"))
     val bitSums = (0 until bits).map { k =>
@@ -1038,11 +1062,18 @@ object Dedup {
     * the bounded detector outputs; the overlap is one semi-join on the
     * pair key. */
   def detectorAgreement(docs: DataFrame): DataFrame = {
+    // both detectors start from the same regex tokenization of the same
+    // corpus: tokenize ONCE into a cached array frame and feed each
+    // detector the pre-tokenized rows, so the scan + regex pass (the
+    // shared front half) is paid once, not per detector
+    val toked = graft.CacheTracker.track(
+      docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val m = graft.CacheTracker.track(
-      minhashLshPairs(docs).select("a_id", "b_id")
+      minhashLshPairsFromToked(toked, 16, 8, 0.9).select("a_id", "b_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sp = graft.CacheTracker.track(
-      simhashDetPairs(docs).select("a_id", "b_id")
+      simhashDetPairsFromToked(toked, 3).select("a_id", "b_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val both = m.join(sp, Seq("a_id", "b_id"), "left_semi")
     m.agg(count(lit(1)).as("n_minhash"))

@@ -702,8 +702,17 @@ object TextOps {
     * driver-bounded merges list itself. */
   private[graft] def bpeTrainMerges(docs: DataFrame, nMerges: Int)
       : Seq[(Long, String, String, Long)] = {
-    def persisted(df: DataFrame): DataFrame = graft.CacheTracker.track(
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // localCheckpoint, not persist: a persisted corpus caches the DATA
+    // but its logical plan still chains every prior round's replace over
+    // the fat cleanText regex tree, so Catalyst re-analyzes an O(round)-
+    // deep plan per argmax (measured: build_ms ≈ 4.7 s of a 4.8 s
+    // query). Truncating to a LogicalRDD makes each round's analyzed
+    // plan constant-size. Stats loss is harmless here — the corpus is
+    // only aggregated and narrowly rewritten, never join-planned — and
+    // the eager checkpoint materializes exactly what the old persist +
+    // argmax pass did. Blocks free via CacheTracker.drainAll at the
+    // harness query boundary (checkpoint RDDs are untracked by design).
+    def persisted(df: DataFrame): DataFrame = df.localCheckpoint(true)
     var corpus = persisted(
       docs.select(col("doc_id"), cleanText(col("text")).as("txt")))
     val merges = Seq.newBuilder[(Long, String, String, Long)]
@@ -2314,16 +2323,22 @@ object TextOps {
             .as("winner"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     games.count()
+    // wins/dir/items are SOURCE(²)-bounded (a handful of rows) yet
+    // referenced in EVERY MM round: localCheckpoint truncates their fat
+    // lineage (the pairing window + quality regex chain under `games`)
+    // to a LogicalRDD, so Catalyst analyzes tiny constant plans per
+    // round instead of re-walking the full pairing tree 3x per round
+    // (the pi-checkpoint precedent below; measured build_ms 5.5 s → sub-
+    // second). Small frames only — `games` stays a tracked persist.
     val wins = games.groupBy(col("winner").as("item"))
-      .agg(count(lit(1)).as("n_wins"))
+      .agg(count(lit(1)).as("n_wins")).localCheckpoint(true)
     val pc = games.select(least(col("src_a"), col("src_b")).as("i"),
         greatest(col("src_a"), col("src_b")).as("j"))
       .groupBy("i", "j").agg(count(lit(1)).as("n_ij"))
-    val dir = graft.CacheTracker.track(
-      pc.select(col("i").as("item"), col("j").as("opp"), col("n_ij"))
-        .unionByName(pc.select(col("j").as("item"), col("i").as("opp"), col("n_ij")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val items = dir.select("item").distinct()
+    val dir = pc.select(col("i").as("item"), col("j").as("opp"), col("n_ij"))
+      .unionByName(pc.select(col("j").as("item"), col("i").as("opp"), col("n_ij")))
+      .localCheckpoint(true)
+    val items = dir.select("item").distinct().localCheckpoint(true)
     var pi = items.withColumn("rating", lit(1.0))
     for (_ <- 1 to rounds) {
       val denom = dir

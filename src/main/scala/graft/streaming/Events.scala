@@ -601,4 +601,166 @@ object Events {
           .otherwise(lit(0.0)), 6).as("violation_rate"))
       .write.mode("overwrite").parquet(outDir)
   }
+
+  /** Streaming incremental near-dup components (C195): the one dedup
+    * family member that had no incremental story — the unbounded-horizon
+    * twin of `dedup_components` (operators.Dedup.components over
+    * Similarity.nearDupPairs). Three durable batch_id-partitioned
+    * parquet stores under `storeDir`:
+    *
+    *   - `index`:  (bucket, vec_id, embedding) — the standing sign-LSH
+    *     index every batch probes for cross-batch candidate pairs (same
+    *     bucket, exact cosine ≥ cosMin). `bits` is FIXED across the
+    *     stream's lifetime (buckets must mean the same thing in every
+    *     batch); 8 matches what the batch operator's adaptiveSignBits
+    *     picks for any union below ~65k vectors.
+    *   - `labels`: (vec_id, label) — one row per vector the moment it
+    *     first participates in a pair, never rewritten.
+    *   - `merges`: (old_label, new_label) — appended when a batch's
+    *     pairs connect two existing components; min-label merge edges.
+    *
+    * A vector's RESOLVED component = its stored label chased through the
+    * merge graph (min reachable label). Labels only ever decrease and
+    * min is associative, so resolution over the accumulated stores is
+    * exactly what a batch recompute over the union of all batches
+    * produces — no approximation, and the expensive work (bucketing +
+    * cosine verification) touches each batch once, never the corpus.
+    * The merge graph is merge-EVENT-sized (tiny), so publishing the
+    * resolved snapshot per batch is one small components() pass plus a
+    * label-store map join.
+    *
+    * Replay discipline (at-least-once foreachBatch): all three stores
+    * dynamic-partition-overwrite their own batch_id partition, and every
+    * store read EXCLUDES the current batch_id's rows — a retried batch
+    * neither pairs against its own first-attempt index rows nor chases
+    * its own first-attempt merges, so it reproduces identical store
+    * partitions regardless of where the prior attempt failed. The
+    * published snapshot is latest-wins plain overwrite (the dqMonitor
+    * precedent): the stores are the state, the snapshot its projection. */
+  def incrementalComponents(vecs: DataFrame, storeDir: String, outDir: String,
+                            checkpointDir: Option[String] = None,
+                            cosMin: Double = 0.3, bits: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      componentsBatch(batch, batchId, storeDir, outDir, cosMin, bits)
+    }
+    checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** The per-batch step, factored out so tests replay batches and assert
+    * convergence against the batch operator over the union. */
+  def componentsBatch(batch: DataFrame, batchId: Long, storeDir: String,
+                      outDir: String, cosMin: Double = 0.3,
+                      bits: Int = 8): Unit = {
+    import graft.operators.{Dedup, Similarity}
+    val spark = batch.sparkSession
+    val (idxDir, labDir, mrgDir) =
+      (s"$storeDir/index", s"$storeDir/labels", s"$storeDir/merges")
+    val idxSchema = "bucket STRING, vec_id BIGINT, embedding ARRAY<FLOAT>, batch_id BIGINT"
+    val labSchema = "vec_id BIGINT, label BIGINT, batch_id BIGINT"
+    val mrgSchema = "old_label BIGINT, new_label BIGINT, batch_id BIGINT"
+    // schema-explicit reads: a batch with nothing to record still
+    // overwrites its (then file-less) partition, and schema INFERENCE
+    // over a store directory holding only _SUCCESS would fail — with
+    // the declared schema an empty store reads as an empty frame
+    def readStore(dir: String, schema: String): Option[DataFrame] =
+      if (new java.io.File(dir).exists())
+        Some(spark.read.schema(schema).parquet(dir)
+          .filter(col("batch_id") =!= batchId))
+      else None
+    def writePartition(df: DataFrame, dir: String): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(dir)
+
+    val bb = batch.select(col("vec_id"), col("embedding"),
+        Similarity.signBucket(col("embedding"), bits).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // candidate pairs: batch-internal (a < b dedups the self-join) +
+      // batch × standing index (ids are disjoint across batches, and one
+      // bucket per vector means no pair arrives twice)
+      val internal = bb.select(col("bucket"), col("vec_id").as("a_id"),
+          col("embedding").as("a_emb"))
+        .join(bb.select(col("bucket"), col("vec_id").as("b_id"),
+          col("embedding").as("b_emb")), Seq("bucket"))
+        .filter(col("a_id") < col("b_id"))
+      val cross = readStore(idxDir, idxSchema).map { idx =>
+        bb.select(col("bucket"), col("vec_id").as("a_id"),
+            col("embedding").as("a_emb"))
+          .join(idx.select(col("bucket"), col("vec_id").as("b_id"),
+            col("embedding").as("b_emb")), Seq("bucket"))
+      }
+      val pairs = cross.fold(internal)(internal.unionByName(_))
+        .select(col("a_id"), col("b_id"),
+          round(Similarity.cosine(col("a_emb"), col("b_emb")), 6).as("cos"))
+        .filter(col("cos") >= cosMin)
+        .select("a_id", "b_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val labels = readStore(labDir, labSchema).map(_.select("vec_id", "label"))
+        val merges = readStore(mrgDir, mrgSchema).map(_.select("old_label", "new_label"))
+        // resolve stored labels through the accumulated merge graph —
+        // merge-event-sized, so this components() pass is tiny
+        val resolved = (labels, merges) match {
+          case (Some(l), Some(m)) =>
+            val remap = Dedup.components(m, "old_label", "new_label")
+              .select(col("id").as("label"), col("component").as("rlabel"))
+            l.join(remap, Seq("label"), "left")
+              .select(col("vec_id"), coalesce(col("rlabel"), col("label")).as("label"))
+          case (Some(l), None) => l
+          case _ => spark.emptyDataFrame
+              .select(lit(0L).as("vec_id"), lit(0L).as("label")).limit(0)
+        }
+        // map pair endpoints to their current resolved labels (an
+        // unlabeled endpoint — a batch vector, or an old singleton
+        // pairing for the first time — is its own label)
+        val lbl = resolved.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          lbl.count()
+          val e = pairs
+            .join(lbl.select(col("vec_id").as("a_id"), col("label").as("a_lbl")),
+              Seq("a_id"), "left")
+            .join(lbl.select(col("vec_id").as("b_id"), col("label").as("b_lbl")),
+              Seq("b_id"), "left")
+            .select(coalesce(col("a_lbl"), col("a_id")).as("la"),
+              coalesce(col("b_lbl"), col("b_id")).as("lb"))
+            .filter(col("la") =!= col("lb"))
+          val comp = Dedup.components(e, "la", "lb")
+            .select(col("id").as("label"), col("component"))
+          // label rows for endpoints with no store row yet (batch vecs in
+          // pairs + old singletons first paired now), at their merged min
+          val endpoints = pairs.select(col("a_id").as("vec_id"))
+            .union(pairs.select(col("b_id").as("vec_id"))).distinct()
+          val newLabelRows = endpoints
+            .join(lbl.select(col("vec_id")), Seq("vec_id"), "left_anti")
+            .select(col("vec_id"), col("vec_id").as("label"))
+            .join(comp, Seq("label"), "left")
+            .select(col("vec_id"), coalesce(col("component"), col("label")).as("label"))
+          // merge rows: every EXISTING resolved label this batch's pairs
+          // pulled to a smaller component
+          val mergeRows = lbl.select(col("label")).distinct()
+            .join(comp, Seq("label"))
+            .filter(col("component") < col("label"))
+            .select(col("label").as("old_label"), col("component").as("new_label"))
+          writePartition(bb.select("bucket", "vec_id", "embedding"), idxDir)
+          writePartition(newLabelRows, labDir)
+          writePartition(mergeRows, mrgDir)
+          // publish the resolved snapshot (latest-wins overwrite): every
+          // labeled vector at its min reachable label through ALL merges
+          val allLabels = spark.read.schema(labSchema).parquet(labDir)
+            .select("vec_id", "label")
+          val allMergesDf = spark.read.schema(mrgSchema).parquet(mrgDir)
+            .select("old_label", "new_label")
+          val finalRemap = Dedup.components(allMergesDf, "old_label", "new_label")
+            .select(col("id").as("label"), col("component").as("rlabel"))
+          allLabels.join(finalRemap, Seq("label"), "left")
+            .select(col("vec_id").as("id"),
+              coalesce(col("rlabel"), col("label")).as("component"))
+            .write.mode("overwrite").parquet(outDir)
+        } finally lbl.unpersist()
+      } finally pairs.unpersist()
+    } finally bb.unpersist()
+  }
 }
