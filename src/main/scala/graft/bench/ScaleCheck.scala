@@ -127,6 +127,35 @@ object ScaleCheck {
           s""""bleu_pairs":{"sec":$tBleu,"pairs":$nBleu}}""")
         docs.unpersist()
         graft.CacheTracker.drainAll(spark)
+      } else if (sections.contains("r14")) {
+        // round-14 rows: detector_agreement (BOTH detector pipelines over
+        // ONE shared tokenize of the same corpus — under m-way duplication
+        // true pairs grow ~m² per base doc, so cost must track the
+        // detectors' candidate volumes, never input²·detector_count) and
+        // chrF over near-dup candidates (char-3-gram shingle frame is ~5x
+        // bleu's token frame; like bleu_pairs the cost must track the
+        // true-pair output count)
+        val docs = multiplyDocs(docs0, m)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs.count()
+        // inline timing (not timedForce) so the frame stays in scope: the
+        // post-timing head() re-reads the two persisted detector pair
+        // caches, giving the pair counts WITHOUT re-running the detectors
+        val tDa0 = System.nanoTime()
+        val da = Dedup.detectorAgreement(docs)
+        da.write.format("noop").mode("overwrite").save()
+        val tDa = (System.nanoTime() - tDa0) / 1e9
+        val daRow = da.head()
+        val (nMin, nSim, nBoth) =
+          (daRow.getLong(0), daRow.getLong(1), daRow.getLong(2))
+        graft.CacheTracker.releaseAll()
+        val (tChrf, nChrf) = timedForce(graft.operators.Eval.chrfPairs(docs))
+        graft.CacheTracker.releaseAll()
+        println(s"""{"m":$m,"docs":${docs.count()},""" +
+          s""""detector_agreement":{"sec":$tDa,"n_minhash":$nMin,"n_simhash":$nSim,"n_both":$nBoth},""" +
+          s""""chrf_pairs":{"sec":$tChrf,"pairs":$nChrf}}""")
+        docs.unpersist()
+        graft.CacheTracker.drainAll(spark)
       } else {
       val docs = multiplyDocs(docs0, m)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1,6 +1,7 @@
 package graft
 
 import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.streaming.Events
@@ -475,5 +476,61 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists { case (r, _, v, _) =>
       r == "events_user_present" && v == 1L })
     assert(spark.read.parquet(store).select("batch_id").distinct().count() === 2)
+  }
+
+  test("incremental near-dup components: resolved labels equal the batch " +
+      "recompute over the union; cross-batch merges recorded; replays converge") {
+    val base = java.nio.file.Files.createTempDirectory("graft_inccomp").toString
+    val (store, out) = (s"$base/store", s"$base/components")
+    // axis-aligned sign buckets (Similarity.signBucket): every vector
+    // below has all-positive first 8 dims, so ALL share one bucket and
+    // blocking never hides a pair — the cosine threshold alone decides.
+    //   u-direction and w-direction: cos(u, w) ≈ 0.245 < 0.6 (separate
+    //   components); bridge x = u + w: cos(x, u) = cos(x, w) ≈ 0.79 ≥ 0.6.
+    val u = Array(1f, 0.1f, 0.1f, 0.1f, 0.1f, 0.1f, 0.1f, 0.1f)
+    val w = Array(0.1f, 1f, 0.1f, 0.1f, 0.1f, 0.1f, 0.1f, 0.1f)
+    val x = u.zip(w).map { case (a, b) => a + b }
+    def scaled(v: Array[Float], c: Float) = v.map(_ * c)
+    val b0 = Seq(
+      (1L, u), (2L, scaled(u, 1.1f)),        // component A = {1, 2}
+      (5L, w), (6L, scaled(w, 0.9f)))        // component B = {5, 6}
+      .toDF("vec_id", "embedding")
+    val b1 = Seq(
+      (10L, x),                              // bridges A and B -> merge
+      (11L, scaled(x, 1.05f)))               // batch-internal pair (10, 11)
+      .toDF("vec_id", "embedding")
+    def batchTruth(dfs: DataFrame*): Set[(Long, Long)] = {
+      val union = dfs.reduce(_ unionByName _)
+      graft.operators.Dedup.components(
+        graft.operators.Similarity.nearDupPairs(union, cosMin = 0.6, bits = 8))
+        .as[(Long, Long)].collect().toSet
+    }
+    def snapshot(): Set[(Long, Long)] =
+      spark.read.parquet(out).as[(Long, Long)].collect().toSet
+
+    Events.componentsBatch(b0, 0L, store, out, cosMin = 0.6, bits = 8)
+    assert(snapshot() === batchTruth(b0),
+      "after batch 0 the snapshot must equal the batch recompute")
+    assert(snapshot() === Set((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)),
+      "batch 0 must yield the two expected separate components")
+
+    Events.componentsBatch(b1, 1L, store, out, cosMin = 0.6, bits = 8)
+    assert(snapshot() === batchTruth(b0, b1),
+      "after batch 1 the merged snapshot must equal the batch recompute over the union")
+    assert(snapshot() === Set(1L, 2L, 5L, 6L, 10L, 11L).map(_ -> 1L),
+      "the bridge vector must pull every id into component 1")
+    // the B -> A merge event was durably recorded, not just reflected
+    val merges = spark.read.parquet(s"$store/merges")
+      .select("old_label", "new_label").as[(Long, Long)].collect().toSet
+    assert(merges === Set((5L, 1L)))
+
+    // replay batch 1 (at-least-once): self-excluded store reads + dynamic
+    // partition overwrite reproduce identical store partitions + snapshot
+    Events.componentsBatch(b1, 1L, store, out, cosMin = 0.6, bits = 8)
+    assert(snapshot() === batchTruth(b0, b1), "replaying batch 1 must not change the result")
+    val idx = spark.read.parquet(s"$store/index")
+    assert(idx.count() === idx.select("vec_id").distinct().count(),
+      "a replayed batch must replace its index partition, not append to it")
+    graft.CacheTracker.drainAll(spark)
   }
 }
