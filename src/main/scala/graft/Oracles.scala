@@ -166,7 +166,7 @@ object Oracles {
        |      round(tfidf * CASE WHEN ('0x' || substr(md5(token), dim, 1))::BIGINT % 2 = 0
        |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END, 9) AS c
        |      FROM t CROSS JOIN (SELECT unnest(range(1, 5)) AS dim)),
-       |v AS (SELECT doc_id, dim, round(list_reduce(list_sort(list(c)), (a, b) -> a + b), 6) AS v
+       |v AS (SELECT doc_id, dim, CAST(round(sum(CAST(c AS DECIMAL(38,9))), 6) AS DOUBLE) AS v
        |      FROM c GROUP BY 1, 2),
        |b AS (SELECT doc_id, string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY dim) AS bucket
        |      FROM v GROUP BY 1),
@@ -1907,7 +1907,7 @@ object Oracles {
          |      round(tfidf * CASE WHEN ('0x' || substr(md5(token), dim, 1))::BIGINT % 2 = 0
          |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END, 9) AS c
          |      FROM t CROSS JOIN (SELECT unnest(range(1, 17)) AS dim)),
-         |vv AS (SELECT doc_id, dim, round(list_reduce(list_sort(list(c)), (a, b) -> a + b), 6) AS v
+         |vv AS (SELECT doc_id, dim, CAST(round(sum(CAST(c AS DECIMAL(38,9))), 6) AS DOUBLE) AS v
          |      FROM c0 GROUP BY 1, 2),
          |e AS (SELECT doc_id, list(v ORDER BY dim) AS e FROM vv GROUP BY doc_id),
          |f AS (SELECT * FROM e WHERE list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b) > 0),
@@ -1922,14 +1922,15 @@ object Oracles {
          |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= 5""".stripMargin,
 
     // sign-random projection of the tf-idf vector: sign d = parity of
-    // hex digit d of ONE md5(token); contributions rounded 9 dp, sorted fold
+    // hex digit d of ONE md5(token); contributions rounded 9 dp, summed
+    // exactly in DECIMAL(38,9) (order-independent, mirrors the Spark agg)
     "doc_embed_hash" ->
       s"""WITH t AS ($tfidf),
          |c AS (SELECT doc_id, CAST(dim AS BIGINT) AS dim,
          |      round(tfidf * CASE WHEN ('0x' || substr(md5(token), dim, 1))::BIGINT % 2 = 0
          |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END, 9) AS c
          |      FROM t CROSS JOIN (SELECT unnest(range(1, 17)) AS dim))
-         |SELECT doc_id, dim, round(list_reduce(list_sort(list(c)), (a, b) -> a + b), 6) AS v
+         |SELECT doc_id, dim, CAST(round(sum(CAST(c AS DECIMAL(38,9))), 6) AS DOUBLE) AS v
          |FROM c GROUP BY 1, 2""".stripMargin,
 
     // flags coalesced exactly as the Spark side (NULL text => short/

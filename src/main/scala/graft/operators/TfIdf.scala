@@ -200,20 +200,33 @@ object TfIdf {
     * any engine, including the oracle. ONE md5 per token row — sign d
     * is the parity of hex digit d of md5(token) (dims ≤ 32), so the
     * dims explosion multiplies only a cheap substring, not the hash.
-    * Per-(doc, dim) sums fold sorted over the doc's own tokens — a
-    * doc-bounded buffer. One extra partial-agg shuffle on (doc_id,
-    * dim). */
+    * Per-(doc, dim) contributions are summed EXACTLY in BIGINT
+    * nano-units — order-independent (so bit-stable under any
+    * partitioning, like the sorted fold it replaced), allocation-free
+    * on the dims-multiplied stream, and a plain codegen'd long sum, so
+    * map-side partial aggregation collapses the exploded rows to
+    * (doc, dim) partials BEFORE the shuffle (the sorted fold shipped
+    * every exploded value across it). tfidf is 6 dp-rounded, so the
+    * formula's round(±tfidf, 9) is a numeric no-op: nanos = tfidf·1e9
+    * is EXACT (an integer ≪ 2^53 hit exactly by one double multiply),
+    * the parity test on the stream is a 1-char compare against the
+    * md5's translate'd parity string (digit even -> '0' -> +1), and
+    * the 6 dp HALF_UP round happens in integer space ((s ± 500) div
+    * 1000, div truncates toward zero) before ONE exact double divide. */
   def docEmbedHash(docs: DataFrame, dims: Int = 16): DataFrame = {
     require(dims <= 32, "sign bits come from the 32 hex digits of one md5")
     tfidf(docs)
-      .select(col("doc_id"), col("tfidf"), md5(col("token")).as("h"),
+      .select(col("doc_id"),
+        round(col("tfidf") * lit(1e9)).cast("long").as("tfn"),
+        translate(substring(md5(col("token")), 1, dims),
+          "0123456789abcdef", "0101010101010101").as("par"),
         explode(sequence(lit(1), lit(dims))).as("dim0"))
       .select(col("doc_id"), col("dim0").cast("long").as("dim"),
-        round(col("tfidf") * when(
-          conv(expr("substring(h, dim0, 1)"), 16, 10).cast("int") % 2 === 0,
-          lit(1.0)).otherwise(lit(-1.0)), 9).as("c"))
+        when(expr("substring(par, dim0, 1)") === "0", col("tfn"))
+          .otherwise(-col("tfn")).as("c"))
       .groupBy("doc_id", "dim")
-      .agg(round(Folds.sortedSum(col("c")), 6).as("v"))
+      .agg((expr("(sum(c) + if(sum(c) >= 0, 500L, -500L)) div 1000")
+        .cast("double") / lit(1e6)).as("v"))
   }
 
   /** Topic-cluster labeling (B140): bucket documents by the sign pattern
