@@ -19,9 +19,31 @@ object CacheTracker {
 
   def track[T](ds: Dataset[T]): Dataset[T] = synchronized { live += ds; ds }
 
+  /** Plan-keyed metadata memo (canonicalized plan -> row count), scoped
+    * to the same lifecycle as the result caches: operators that derive a
+    * tuning constant from an eager count (nearDupPairs' adaptive LSH
+    * width) memoize it here so a query calling the operator twice over
+    * the same frame pays the count job once. Cleared by [[releaseAll]]
+    * (every harness query boundary), so a count can never go stale
+    * across queries — within one query the inputs are immutable by
+    * contract. */
+  private val counts =
+    scala.collection.mutable.HashMap.empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long]
+
+  def cachedCount(df: org.apache.spark.sql.DataFrame): Long = {
+    val key = df.queryExecution.analyzed.canonicalized
+    val hit = synchronized(counts.get(key))
+    hit.getOrElse {
+      val n = df.count()
+      synchronized(counts.update(key, n))
+      n
+    }
+  }
+
   def releaseAll(): Unit = synchronized {
     live.foreach(ds => try ds.unpersist() catch { case _: Throwable => () })
     live.clear()
+    counts.clear()
   }
 
   /** [[releaseAll]] plus every other persisted block on the context —

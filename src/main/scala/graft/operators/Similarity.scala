@@ -607,13 +607,17 @@ object Similarity {
     * bucket only — never all-pairs). `bits = 0` (the default) derives
     * the bucket width from the corpus size via [[adaptiveSignBits]] —
     * one eager metadata-count job, the docSimilarityPruned CBO-read
-    * license — so the blocking stays bounded at 100× while test-scale
+    * license, memoized per canonicalized plan in
+    * [[graft.CacheTracker.cachedCount]] so a query invoking this twice
+    * over the same frame pays it once —
+    * so the blocking stays bounded at 100× while test-scale
     * results (n ≤ 65791 → 8 bits) are bit-identical to the fixed-width
     * oracles. Recall at wider widths degrades gracefully (each extra
     * bit is one more hyperplane a near-dup pair must agree on — the
     * standard LSH recall/cost dial, tunable via an explicit `bits`). */
   def nearDupPairs(emb: DataFrame, cosMin: Double = 0.8, bits: Int = 0): DataFrame = {
-    val width = if (bits > 0) bits else adaptiveSignBits(emb.count())
+    val width = if (bits > 0) bits
+      else adaptiveSignBits(graft.CacheTracker.cachedCount(emb))
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       signBucket(col("embedding"), width).as("bucket"))
     val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))

@@ -30,4 +30,37 @@ class CacheTrackerSpec extends SparkSpec {
     CacheTracker.drainAll(spark)
     assert(sum === 45L)
   }
+
+  test("cachedCount memoizes per canonicalized plan and clears on releaseAll") {
+    CacheTracker.releaseAll()
+    @volatile var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    // listener delivery is async: poll until the counter holds still
+    def settle(): Int = {
+      var prev = jobs; var stable = 0; var iters = 0
+      while (stable < 3 && iters < 50) {
+        Thread.sleep(10)
+        if (jobs == prev) stable += 1 else { stable = 0; prev = jobs }
+        iters += 1
+      }
+      jobs
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val df = spark.range(1000).toDF("id").filter(col("id") % 2 === 0)
+      assert(CacheTracker.cachedCount(df) === 500L)
+      val after1 = settle()
+      // a FRESH frame with the same canonicalized plan hits the memo: no job
+      val df2 = spark.range(1000).toDF("id").filter(col("id") % 2 === 0)
+      assert(CacheTracker.cachedCount(df2) === 500L)
+      assert(settle() === after1, "memo hit must not run a count job")
+      // the harness query boundary clears the memo: the count job re-runs
+      CacheTracker.releaseAll()
+      assert(CacheTracker.cachedCount(df) === 500L)
+      assert(settle() > after1, "releaseAll must invalidate the memo")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }
