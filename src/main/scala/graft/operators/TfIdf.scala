@@ -213,9 +213,16 @@ object TfIdf {
     * md5's translate'd parity string (digit even -> '0' -> +1), and
     * the 6 dp HALF_UP round happens in integer space ((s ± 500) div
     * 1000, div truncates toward zero) before ONE exact double divide. */
-  def docEmbedHash(docs: DataFrame, dims: Int = 16): DataFrame = {
+  def docEmbedHash(docs: DataFrame, dims: Int = 16): DataFrame =
+    docEmbedHashFromTfidf(tfidf(docs), dims)
+
+  /** [[docEmbedHash]] over a pre-computed (doc_id, token, tfidf) frame —
+    * the shared-scan entry for consumers that also aggregate the tfidf
+    * frame directly ([[topicLabels]]), so the two-shuffle tfidf pipeline
+    * is built (and optionally persisted) once. */
+  private[graft] def docEmbedHashFromTfidf(tf: DataFrame, dims: Int): DataFrame = {
     require(dims <= 32, "sign bits come from the 32 hex digits of one md5")
-    tfidf(docs)
+    tf
       .select(col("doc_id"),
         round(col("tfidf") * lit(1e9)).cast("long").as("tfn"),
         translate(substring(md5(col("token")), 1, dims),
@@ -243,13 +250,20 @@ object TfIdf {
     * window exists anywhere in the plan. */
   def topicLabels(docs: DataFrame, signDims: Int = 4, k: Int = 5): DataFrame = {
     graft.plans.TopK.register(docs.sparkSession)
-    val buckets = docEmbedHash(docs).filter(col("dim") <= signDims)
+    // ONE persisted tfidf frame feeds both the bucket embedding and the
+    // token-mass aggregate (each previously rebuilt the two-shuffle
+    // pipeline); and only the signDims bucket dims are embedded — the
+    // dim filter cannot push below the dims-explode generator, so
+    // computing 16 and filtering to 4 did 4x the exploded work
+    val tf = graft.CacheTracker.track(tfidf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val buckets = docEmbedHashFromTfidf(tf, signDims)
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("dim"),
         when(col("v") >= 0, "1").otherwise("0").as("bit")))).as("bits"))
       .select(col("doc_id"),
         array_join(transform(col("bits"), b => b.getField("bit")), "").as("bucket"))
-    val mass = tfidf(docs).join(buckets, "doc_id")
+    val mass = tf.join(buckets, "doc_id")
       .groupBy(col("bucket"), col("token"), Folds.subBucket(col("doc_id")))
       .agg(Folds.sortedSum(col("tfidf")).as("sub_s"))
       .groupBy("bucket", "token")
