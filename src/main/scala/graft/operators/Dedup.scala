@@ -126,20 +126,41 @@ object Dedup {
     * the corpus once and shares the cached array frame. */
   private def lshCandidatesFromToked(toked0: DataFrame, numHashes: Int,
                             bandSize: Int): (DataFrame, DataFrame, DataFrame) = {
+    val dt = graft.CacheTracker.track(shingleRows(toked0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    dt.count()
+    val (bands, sigs) = bandRows(dt, numHashes, bandSize)
+    val cand = bands.select(col("band"), col("bh"), col("doc_id").as("a_id"))
+      .join(bands.select(col("band"), col("bh"), col("doc_id").as("b_id")),
+        Seq("band", "bh"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    (cand, dt, sigs)
+  }
+
+  /** Distinct 3-token shingle rows (doc_id, token) for docs with >= 3
+    * tokens — the LSH set representation. Pure frame, no caching; shared
+    * by the batch candidate builder and [[lshDocRows]] so the two can
+    * never drift. */
+  private def shingleRows(toked0: DataFrame): DataFrame = {
     val toked = toked0.filter(size(col("toks")) >= 3)
     val a1 = slice(col("toks"), lit(1), size(col("toks")) - 2)
     val a2 = slice(col("toks"), lit(2), size(col("toks")) - 2)
     val a3 = slice(col("toks"), lit(3), size(col("toks")) - 2)
-    val dt = graft.CacheTracker.track(
-      toked.select(col("doc_id"),
-          explode(array_distinct(zip_with(
-            zip_with(a1, a2, (x, y) => concat(x, lit(" "), y)),
-            a3, (xy, z) => concat(xy, lit(" "), z)))).as("token"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    dt.count()
+    toked.select(col("doc_id"),
+      explode(array_distinct(zip_with(
+        zip_with(a1, a2, (x, y) => concat(x, lit(" "), y)),
+        a3, (xy, z) => concat(xy, lit(" "), z)))).as("token"))
+  }
+
+  /** Banded signature rows (doc_id, band, bh) + the signature frame, off
+    * a distinct-shingle frame: sig_i = lexicographic min over shingles
+    * of md5("i:" ++ s); each band hashes `bandSize` consecutive sigs. */
+  private def bandRows(shingles: DataFrame, numHashes: Int,
+                       bandSize: Int): (DataFrame, DataFrame) = {
     val sigCols = (0 until numHashes)
       .map(i => min(md5(concat(lit(s"$i:"), col("token")))).as(s"sig$i"))
-    val sigs = dt.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sigs = shingles.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val nBands = numHashes / bandSize
     val bands = sigs.select(col("doc_id"), explode(array((0 until nBands).map { b =>
         struct(lit(b.toLong).as("band"),
@@ -147,12 +168,23 @@ object Dedup {
             .as("bh"))
       }: _*)).as("p"))
       .select(col("doc_id"), col("p.band").as("band"), col("p.bh").as("bh"))
-    val cand = bands.select(col("band"), col("bh"), col("doc_id").as("a_id"))
-      .join(bands.select(col("band"), col("bh"), col("doc_id").as("b_id")),
-        Seq("band", "bh"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    (cand, dt, sigs)
+    (bands, sigs)
+  }
+
+  /** Per-doc LSH index rows for the streaming incremental twin
+    * (streaming.Events.minhashPairsBatch): the banded signature hashes
+    * (doc_id, band, bh) and the sorted distinct-shingle array
+    * (doc_id, arr) — exactly what [[minhashLshPairs]] derives per doc,
+    * exposed so a standing index can be probed batch-by-batch. Pure
+    * frames, no caching: the caller persists what it reuses. */
+  private[graft] def lshDocRows(docs: DataFrame, numHashes: Int = 16,
+                                bandSize: Int = 8): (DataFrame, DataFrame) = {
+    val shingles = shingleRows(
+      docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks")))
+    val (bands, _) = bandRows(shingles, numHashes, bandSize)
+    val arrs = shingles.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("token"))).as("arr"))
+    (bands, arrs)
   }
 
   /** Oracle-reproducible MinHash + banded LSH near-dup pairs (B2o/B55).

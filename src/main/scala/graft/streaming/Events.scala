@@ -763,4 +763,110 @@ object Events {
       } finally pairs.unpersist()
     } finally bb.unpersist()
   }
+
+  /** Streaming incremental MinHash-LSH near-dup pairs (C196): the
+    * unbounded-horizon twin of `minhash_lsh`
+    * (operators.Dedup.minhashLshPairs), completing the streaming dedup
+    * story next to the exact-hash store (C94) and the embedding
+    * components (C195). Three durable batch_id-partitioned parquet
+    * stores under `storeDir`:
+    *
+    *   - `bands`: (band, bh, doc_id) — the standing banded-signature
+    *     index every batch probes for cross-batch candidates (same
+    *     band + band hash). Signatures are md5-derived (no engine
+    *     seed), so a doc's band hashes are IDENTICAL whether computed
+    *     in its arrival batch or in a batch recompute — candidate
+    *     generation is deterministic, not probabilistic, and the
+    *     streaming pair set converges exactly.
+    *   - `arrs`:  (doc_id, arr) — each doc's sorted distinct-shingle
+    *     array, joined back per candidate pair for the EXACT Jaccard
+    *     verification (false band collisions filtered, same gate as
+    *     the batch operator).
+    *   - `pairs`: (a_id, b_id, jac) — the verified output, appended per
+    *     batch; the published snapshot at `outDir` is the union of all
+    *     pair partitions.
+    *
+    * Replay discipline (at-least-once foreachBatch): every store read
+    * EXCLUDES the current batch_id's rows and every write
+    * dynamic-partition-overwrites its own partition, so a retried batch
+    * reproduces identical store partitions (the C94/C195 pattern).
+    * Scale: per batch the work is batch-tokenize + one (band, bh)
+    * probe join against the index + per-candidate narrow verification —
+    * the corpus is never re-paired. */
+  def incrementalMinhashPairs(docs: DataFrame, storeDir: String, outDir: String,
+                              checkpointDir: Option[String] = None,
+                              numHashes: Int = 16, bandSize: Int = 8,
+                              jacMin: Double = 0.9)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      minhashPairsBatch(batch, batchId, storeDir, outDir, numHashes, bandSize, jacMin)
+    }
+    checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** The per-batch step, factored out so tests replay batches and assert
+    * convergence against Dedup.minhashLshPairs over the union. */
+  def minhashPairsBatch(batch: DataFrame, batchId: Long, storeDir: String,
+                        outDir: String, numHashes: Int = 16, bandSize: Int = 8,
+                        jacMin: Double = 0.9): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val (bandsDir, arrsDir, pairsDir) =
+      (s"$storeDir/bands", s"$storeDir/arrs", s"$storeDir/pairs")
+    val bandSchema = "band BIGINT, bh STRING, doc_id BIGINT, batch_id BIGINT"
+    val arrSchema = "doc_id BIGINT, arr ARRAY<STRING>, batch_id BIGINT"
+    val pairSchema = "a_id BIGINT, b_id BIGINT, jac DOUBLE, batch_id BIGINT"
+    def readStore(dir: String, schema: String): Option[DataFrame] =
+      if (new java.io.File(dir).exists())
+        Some(spark.read.schema(schema).parquet(dir)
+          .filter(col("batch_id") =!= batchId))
+      else None
+    def writePartition(df: DataFrame, dir: String): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(dir)
+
+    val (bands0, arrs0) = Dedup.lshDocRows(batch, numHashes, bandSize)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bands = bands0.persist(lvl)
+    val arrs = arrs0.persist(lvl)
+    try {
+      // batch-internal candidates (a < b dedups the self-join) + batch x
+      // standing index (ids are disjoint across batches; least/greatest
+      // normalizes so the pair key matches the batch operator's a < b)
+      val internal = bands.select(col("band"), col("bh"), col("doc_id").as("a_id"))
+        .join(bands.select(col("band"), col("bh"), col("doc_id").as("b_id")),
+          Seq("band", "bh"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+      val cross = readStore(bandsDir, bandSchema).map { idx =>
+        bands.select(col("band"), col("bh"), col("doc_id").as("n_id"))
+          .join(idx.select(col("band"), col("bh"), col("doc_id").as("o_id")),
+            Seq("band", "bh"))
+          .select(least(col("n_id"), col("o_id")).as("a_id"),
+            greatest(col("n_id"), col("o_id")).as("b_id"))
+      }
+      val cand = cross.fold(internal)(internal.unionByName(_)).distinct()
+      // arr lookup over batch + stored docs (doc ids are unique, so the
+      // union is a plain dictionary for both pair endpoints)
+      val allArrs = readStore(arrsDir, arrSchema)
+        .map(_.select("doc_id", "arr").unionByName(arrs))
+        .getOrElse(arrs)
+      val pairs = cand
+        .join(allArrs.select(col("doc_id").as("a_id"), col("arr").as("a_arr")), "a_id")
+        .join(allArrs.select(col("doc_id").as("b_id"), col("arr").as("b_arr")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          round(graft.functions.GraftFunctions.jaccard(col("a_arr"), col("b_arr")), 6)
+            .as("jac"))
+        .filter(col("jac") >= jacMin)
+      writePartition(bands, bandsDir)
+      writePartition(arrs, arrsDir)
+      writePartition(pairs, pairsDir)
+      // publish the cumulative verified pair set (latest-wins overwrite)
+      spark.read.schema(pairSchema).parquet(pairsDir)
+        .select("a_id", "b_id", "jac")
+        .write.mode("overwrite").parquet(outDir)
+    } finally { bands.unpersist(); arrs.unpersist() }
+  }
 }

@@ -533,4 +533,44 @@ class StreamingSpec extends SparkSpec {
       "a replayed batch must replace its index partition, not append to it")
     graft.CacheTracker.drainAll(spark)
   }
+
+  test("incremental minhash pairs: cumulative verified pairs equal the batch " +
+      "operator over the union; replays converge") {
+    val base = java.nio.file.Files.createTempDirectory("graft_incmh").toString
+    val (store, out) = (s"$base/store", s"$base/pairs")
+    val a = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val b = "completely different text about machine learning models training on large datasets here"
+    val c = "yet another unrelated document describing database systems and storage engines design"
+    val b0 = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val b1 = Seq((10L, a), (11L, b), (12L, c)).toDF("doc_id", "text")
+    def batchTruth(dfs: DataFrame*): Set[(Long, Long, Double)] = {
+      val r = graft.operators.Dedup.minhashLshPairs(dfs.reduce(_ unionByName _))
+        .as[(Long, Long, Double)].collect().toSet
+      graft.CacheTracker.releaseAll() // minhashLshPairs pins its shingle frame
+      r
+    }
+    def snapshot(): Set[(Long, Long, Double)] =
+      spark.read.parquet(out).as[(Long, Long, Double)].collect().toSet
+
+    Events.minhashPairsBatch(b0, 0L, store, out)
+    assert(snapshot() === batchTruth(b0))
+    assert(snapshot() === Set((1L, 2L, 1.0)),
+      "batch 0 must find exactly its internal duplicate pair")
+
+    Events.minhashPairsBatch(b1, 1L, store, out)
+    assert(snapshot() === batchTruth(b0, b1),
+      "after batch 1 the cumulative pairs must equal the batch operator over the union")
+    assert(snapshot() === Set((1L, 2L, 1.0), (1L, 10L, 1.0), (2L, 10L, 1.0), (3L, 11L, 1.0)),
+      "cross-batch duplicates must be found via the standing band index")
+
+    // replay batch 1 (at-least-once): self-excluded reads + dynamic
+    // partition overwrite reproduce identical partitions and snapshot
+    Events.minhashPairsBatch(b1, 1L, store, out)
+    assert(snapshot() === batchTruth(b0, b1), "replaying batch 1 must not change the result")
+    val pairStore = spark.read.parquet(s"$store/pairs")
+    assert(pairStore.count() ===
+      pairStore.select("a_id", "b_id", "batch_id").distinct().count(),
+      "a replayed batch must replace its pair partition, not append to it")
+    graft.CacheTracker.drainAll(spark)
+  }
 }
