@@ -170,12 +170,9 @@ object Oracles {
        |      FROM c GROUP BY 1, 2),
        |b AS (SELECT doc_id, string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY dim) AS bucket
        |      FROM v GROUP BY 1),
-       |m AS (SELECT bucket, token,
-       |      round(list_reduce(list_sort(list(sub_s)), (a, b) -> a + b), 6) AS score
-       |      FROM (SELECT b.bucket, t.token, t.doc_id % 1024 AS sb,
-       |            list_reduce(list_sort(list(t.tfidf)), (a, b) -> a + b) AS sub_s
-       |            FROM t JOIN b ON b.doc_id = t.doc_id GROUP BY 1, 2, 3)
-       |      GROUP BY 1, 2),
+       |m AS (SELECT b.bucket, t.token,
+       |      CAST(round(sum(CAST(t.tfidf AS DECIMAL(38,6))), 6) AS DOUBLE) AS score
+       |      FROM t JOIN b ON b.doc_id = t.doc_id GROUP BY 1, 2),
        |r AS (SELECT bucket, token, score,
        |      CAST(row_number() OVER (PARTITION BY bucket ORDER BY score DESC, token) AS BIGINT) AS rnk
        |      FROM m)

@@ -244,8 +244,9 @@ object TfIdf {
     * follows any clustering pass over a corpus.
     *
     * Scale: the bucket map is one doc-bounded aggregation (signDims rows
-    * per doc); token mass folds two-level over [[Folds.subBucket]] (a
-    * (bucket, token) posting grows with the corpus); top-k rides
+    * per doc); token mass is an exact nano-unit long sum with map-side
+    * partial aggregation (the (bucket, token) posting grows with the
+    * corpus, but only partials cross the shuffle); top-k rides
     * TopKPerKey's bounded per-key heaps, so no vocab-sized sort or
     * window exists anywhere in the plan. */
   def topicLabels(docs: DataFrame, signDims: Int = 4, k: Int = 5): DataFrame = {
@@ -263,11 +264,17 @@ object TfIdf {
         when(col("v") >= 0, "1").otherwise("0").as("bit")))).as("bits"))
       .select(col("doc_id"),
         array_join(transform(col("bits"), b => b.getField("bit")), "").as("bucket"))
+    // token mass in exact BIGINT nano-units (tfidf is 6 dp-rounded, so
+    // tfidf·1e9 is an exact integer ≪ 2^53): one codegen'd long sum with
+    // map-side partial aggregation replaces the two-level sorted fold,
+    // whose collect_list shipped every (bucket, token) contribution
+    // through the shuffle; 6 dp HALF_UP happens in integer space
     val mass = tf.join(buckets, "doc_id")
-      .groupBy(col("bucket"), col("token"), Folds.subBucket(col("doc_id")))
-      .agg(Folds.sortedSum(col("tfidf")).as("sub_s"))
+      .select(col("bucket"), col("token"),
+        round(col("tfidf") * lit(1e9)).cast("long").as("tfn"))
       .groupBy("bucket", "token")
-      .agg(round(Folds.sortedSum(col("sub_s")), 6).as("score"))
+      .agg((expr("(sum(tfn) + if(sum(tfn) >= 0, 500L, -500L)) div 1000")
+        .cast("double") / lit(1e6)).as("score"))
     val pruned = graft.plans.TopK.topKPerKey(mass, Seq("bucket"),
       Seq("score" -> false, "token" -> true), k)
     val w = org.apache.spark.sql.expressions.Window
