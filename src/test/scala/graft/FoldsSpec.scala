@@ -124,4 +124,37 @@ class FoldsSpec extends SparkSpec {
       assert(li < 0 || c.indexOf("abs(") < li, s"gate not left of levenshtein: $c")
     }
   }
+
+  test("nano-unit long sum equals the exact BigDecimal sum at 6 dp HALF_UP " +
+      "(the docEmbedHash / topicLabels identity)") {
+    // precondition of the rewrite: inputs are 6 dp-rounded doubles, so
+    // x·1e9 is an exact integer hit exactly by one double multiply, and
+    // group sums are multiples of 1000 nanos (the ±500 div is exact)
+    val rnd = new scala.util.Random(42)
+    val vals = Seq.fill(500)(BigDecimal(rnd.nextDouble() * 2000 - 1000)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) ++
+      Seq(0.000001, -0.000001, 999999.999999, -999999.999999, 0.0)
+    val data = vals.zipWithIndex.map { case (v, i) => (i % 7, v) }
+    val df = data.toDF("g", "x")
+    // per-value: the Spark-side nanos conversion is exactly the decimal
+    val nanos = df.select(col("x"), round(col("x") * lit(1e9)).cast("long").as("n"))
+      .collect()
+    nanos.foreach { r =>
+      val want = BigDecimal.valueOf(r.getDouble(0))
+        .bigDecimal.movePointRight(9)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      assert(r.getLong(1) === want, s"nanos(${r.getDouble(0)})")
+    }
+    // per-group: the integer-space HALF_UP chain equals the exact sum
+    val got = df.select(col("g"), round(col("x") * lit(1e9)).cast("long").as("n"))
+      .groupBy("g")
+      .agg((expr("(sum(n) + if(sum(n) >= 0, 500L, -500L)) div 1000")
+        .cast("double") / lit(1e6)).as("v"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val want = data.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(v => BigDecimal.valueOf(v._2)).sum
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got === want)
+  }
 }

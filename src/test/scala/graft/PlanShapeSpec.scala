@@ -254,6 +254,28 @@ class PlanShapeSpec extends SparkSpec {
     graft.CacheTracker.drainAll(spark)
   }
 
+  test("nano-unit sums partial-aggregate: no collect_list fold in the " +
+      "doc_embed_hash / topic_labels mass aggregates") {
+    // the r14 exact-integer-sum rewrites exist to let map-side partial
+    // aggregation collapse the exploded streams BEFORE the shuffle; a
+    // collect_list (sorted-fold) reappearing in these plans would ship
+    // every exploded value across it again
+    val deh = plan("doc_embed_hash")
+    assert("sum\\(".r.findFirstIn(deh).isDefined,
+      s"doc_embed_hash: expected a declarative sum aggregate\n${deh.take(400)}")
+    assert(!deh.contains("collect_list"),
+      "doc_embed_hash: the exploded stream must never ride a collect_list fold")
+    // topic_labels keeps ONE legitimate collect_list — the dims-bounded
+    // (<= signDims elements) bucket-bit pivot — but the corpus-sized
+    // token-mass aggregate must be the declarative nano-unit sum
+    val tl = plan("topic_labels")
+    assert("sum\\(tfn".r.findFirstIn(tl).isDefined,
+      s"topic_labels: expected the nano-unit mass sum\n${tl.take(400)}")
+    assert("collect_list".r.findAllIn(tl).size <= 2,
+      "topic_labels: only the bounded bucket-bit pivot may collect")
+    graft.CacheTracker.drainAll(spark)
+  }
+
   test("join hints are honored: broadcast vs merge on the same join") {
     val a = spark.read.parquet(s"$sf/orders.parquet")
     val b = spark.read.parquet(s"$sf/customer.parquet")
