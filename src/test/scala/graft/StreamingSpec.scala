@@ -524,6 +524,10 @@ class StreamingSpec extends SparkSpec {
       .select("old_label", "new_label").as[(Long, Long)].collect().toSet
     assert(merges === Set((5L, 1L)))
 
+    // an EMPTY micro-batch (idle trigger) must be a no-op, not a crash
+    Events.componentsBatch(b1.limit(0), 2L, store, out, cosMin = 0.6, bits = 8)
+    assert(snapshot() === batchTruth(b0, b1), "an empty batch must change nothing")
+
     // replay batch 1 (at-least-once): self-excluded store reads + dynamic
     // partition overwrite reproduce identical store partitions + snapshot
     Events.componentsBatch(b1, 1L, store, out, cosMin = 0.6, bits = 8)
@@ -562,6 +566,10 @@ class StreamingSpec extends SparkSpec {
       "after batch 1 the cumulative pairs must equal the batch operator over the union")
     assert(snapshot() === Set((1L, 2L, 1.0), (1L, 10L, 1.0), (2L, 10L, 1.0), (3L, 11L, 1.0)),
       "cross-batch duplicates must be found via the standing band index")
+
+    // an EMPTY micro-batch (idle trigger) must be a no-op, not a crash
+    Events.minhashPairsBatch(b1.limit(0), 2L, store, out)
+    assert(snapshot() === batchTruth(b0, b1), "an empty batch must change nothing")
 
     // replay batch 1 (at-least-once): self-excluded reads + dynamic
     // partition overwrite reproduce identical partitions and snapshot
