@@ -156,6 +156,26 @@ object ScaleCheck {
           s""""chrf_pairs":{"sec":$tChrf,"pairs":$nChrf}}""")
         docs.unpersist()
         graft.CacheTracker.drainAll(spark)
+      } else if (sections.contains("r14b")) {
+        // the nano-unit partial-agg rewrite (docEmbedHash / topicLabels
+        // token mass): under m-way duplication the exploded contribution
+        // stream grows m-fold while the (doc·m, dim) / (bucket, token)
+        // group space grows far slower — a collect_list fold ships the
+        // whole stream through the shuffle (cost ∝ m), the declarative
+        // sum ships map-side partials; both curves must stay well below
+        // linear-in-m past the scan floor
+        val docs = multiplyDocs(docs0, m)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs.count()
+        val (tDeh, nDeh) = timedForce(graft.operators.TfIdf.docEmbedHash(docs))
+        graft.CacheTracker.releaseAll()
+        val (tTl, nTl) = timedForce(graft.operators.TfIdf.topicLabels(docs))
+        graft.CacheTracker.releaseAll()
+        println(s"""{"m":$m,"docs":${docs.count()},""" +
+          s""""doc_embed_hash":{"sec":$tDeh,"rows":$nDeh},""" +
+          s""""topic_labels":{"sec":$tTl,"rows":$nTl}}""")
+        docs.unpersist()
+        graft.CacheTracker.drainAll(spark)
       } else {
       val docs = multiplyDocs(docs0, m)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
