@@ -16,6 +16,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // static conf, default 100: a multi-hundred-query pass generates far
+      // more codegen'd classes than that, so the LRU thrashes and Janino
+      // recompiles the same stages all pass long — pure driver-side churn
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
