@@ -6345,6 +6345,304 @@ object Oracles {
     "parquet_schema_merge" ->
       s"""SELECT doc_id, text, lang, stars
         |FROM read_parquet(['${graft.SparkEntry.resourceDir}/docs_schema_v1.parquet',
-        |  '${graft.SparkEntry.resourceDir}/docs_schema_v2.parquet'], union_by_name = true)""".stripMargin
+        |  '${graft.SparkEntry.resourceDir}/docs_schema_v2.parquet'], union_by_name = true)""".stripMargin,
+
+    // binary-presence mutual information per (token, lang) — chi2's
+    // margins, MI's fixed-order four-term sum (A, B, C, D), one round
+    "mutual_info_features" ->
+      s"""WITH d AS (SELECT DISTINCT doc_id, lang, unnest($toks) AS token FROM documents),
+         |a AS (SELECT token, lang, count(*) AS a FROM d GROUP BY 1, 2),
+         |df AS (SELECT token, count(*) AS df FROM d GROUP BY 1 HAVING count(*) >= 5),
+         |ln_ AS (SELECT lang, count(*) AS lang_n FROM documents GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |cells AS (SELECT token, a.lang, a.a, df.df, df.df - a.a AS b,
+         |  ln_.lang_n - a.a AS c, n.n_docs - df.df - ln_.lang_n + a.a AS dd,
+         |  ln_.lang_n, n.n_docs
+         |  FROM a JOIN df USING (token) JOIN ln_ ON a.lang = ln_.lang CROSS JOIN n
+         |  WHERE df.df < n.n_docs)
+         |SELECT token, lang, CAST(a AS BIGINT) AS a, CAST(df AS BIGINT) AS df,
+         |  round(
+         |    (CASE WHEN a > 0 THEN CAST(a AS DOUBLE) / n_docs
+         |       * ln(CAST(n_docs AS DOUBLE) * a / (CAST(df AS DOUBLE) * lang_n)) ELSE 0.0 END)
+         |    + (CASE WHEN b > 0 THEN CAST(b AS DOUBLE) / n_docs
+         |       * ln(CAST(n_docs AS DOUBLE) * b / (CAST(df AS DOUBLE) * (n_docs - lang_n))) ELSE 0.0 END)
+         |    + (CASE WHEN c > 0 THEN CAST(c AS DOUBLE) / n_docs
+         |       * ln(CAST(n_docs AS DOUBLE) * c / (CAST(n_docs - df AS DOUBLE) * lang_n)) ELSE 0.0 END)
+         |    + (CASE WHEN dd > 0 THEN CAST(dd AS DOUBLE) / n_docs
+         |       * ln(CAST(n_docs AS DOUBLE) * dd / (CAST(n_docs - df AS DOUBLE) * (n_docs - lang_n))) ELSE 0.0 END),
+         |  6) AS mi
+         |FROM cells""".stripMargin,
+
+    // corpus-driven stopword candidates: df-share + language spread
+    "stopword_discovery" ->
+      s"""WITH d AS (SELECT DISTINCT doc_id, lang, unnest($toks) AS token FROM documents),
+         |g AS (SELECT token, count(*) AS df, count(DISTINCT lang) AS n_langs FROM d GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT token, CAST(df AS BIGINT) AS df, CAST(n_langs AS BIGINT) AS n_langs,
+         |  round(CAST(df AS DOUBLE) / n_docs, 6) AS df_frac
+         |FROM g CROSS JOIN n
+         |WHERE df >= n_docs * 0.25 AND n_langs >= 3""".stripMargin,
+
+    // top-5 3-char token suffixes per language (token occurrences, len>=4)
+    "suffix_profile" ->
+      s"""WITH tk AS (SELECT lang, unnest($toks) AS token FROM documents),
+         |sfx AS (SELECT lang, substr(token, length(token) - 2, 3) AS suffix
+         |        FROM tk WHERE length(token) >= 4),
+         |cnt AS (SELECT lang, suffix, count(*) AS cnt FROM sfx GROUP BY 1, 2),
+         |tot AS (SELECT lang, count(*) AS n_tokens FROM sfx GROUP BY 1),
+         |rk AS (SELECT lang, suffix, cnt,
+         |       row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, suffix) AS rnk
+         |       FROM cnt)
+         |SELECT rk.lang, CAST(rnk AS BIGINT) AS rnk, suffix, CAST(cnt AS BIGINT) AS cnt,
+         |  round(CAST(cnt AS DOUBLE) / n_tokens, 6) AS share
+         |FROM rk JOIN tot ON rk.lang = tot.lang WHERE rnk <= 5""".stripMargin,
+
+    // per-source char cross-entropy / entropy / KL under the corpus char LM;
+    // char-ordered left fold mirrors the Spark sorted-array aggregate
+    "char_lm_xent" ->
+      s"""WITH c AS (SELECT source, $clean AS txt FROM documents),
+         |p AS (SELECT source, txt, unnest(range(1, length(txt) + 1)) AS i FROM c),
+         |chs AS (SELECT source, substr(txt, CAST(i AS INT), 1) AS ch FROM p),
+         |bysrc AS (SELECT source, ch, count(*) AS cnt FROM chs GROUP BY 1, 2),
+         |corpus AS (SELECT ch, count(*) AS c_cnt FROM chs GROUP BY 1),
+         |ctot AS (SELECT count(*) AS c_tot FROM chs),
+         |stot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS s_tot FROM bysrc GROUP BY 1),
+         |terms AS (SELECT b.source, s.s_tot, b.ch,
+         |  (CAST(b.cnt AS DOUBLE) / s.s_tot) * ln(CAST(co.c_cnt AS DOUBLE) / ct.c_tot) AS xent_t,
+         |  (CAST(b.cnt AS DOUBLE) / s.s_tot) * ln(CAST(b.cnt AS DOUBLE) / s.s_tot) AS ent_t
+         |  FROM bysrc b JOIN corpus co USING (ch) JOIN stot s ON b.source = s.source
+         |  CROSS JOIN ctot ct),
+         |folded AS (SELECT source, s_tot,
+         |  list(xent_t ORDER BY ch) AS xs, list(ent_t ORDER BY ch) AS es
+         |  FROM terms GROUP BY 1, 2)
+         |SELECT source, s_tot AS n_chars,
+         |  round(-list_reduce(xs, (a, b) -> a + b), 6) AS xent,
+         |  round(-list_reduce(es, (a, b) -> a + b), 6) AS entropy,
+         |  round(list_reduce(list_transform(range(1, len(xs) + 1),
+         |    i -> es[i] - xs[i]), (a, b) -> a + b), 6) AS kl
+         |FROM folded""".stripMargin,
+
+    // md5-deterministic percentile bootstrap of mean doc length per lang
+    "bootstrap_ci" ->
+      s"""WITH ranked AS (SELECT lang, n_chars,
+         |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY lang) AS n_l FROM documents),
+         |draws AS (SELECT lang, r.r,
+         |  ('0x' || substr(md5(lang || ':' || r.r || ':' || rn), 1, 8))::BIGINT % n_l + 1 AS idx
+         |  FROM ranked CROSS JOIN (SELECT unnest(range(1, 201)) AS r) r),
+         |means AS (SELECT d.lang, d.r,
+         |  CAST(sum(k.n_chars) AS DOUBLE) / count(*) AS mean_r
+         |  FROM draws d JOIN ranked k ON d.lang = k.lang AND d.idx = k.rn
+         |  GROUP BY 1, 2),
+         |rk AS (SELECT lang, mean_r,
+         |  row_number() OVER (PARTITION BY lang ORDER BY mean_r ASC, r) AS rk_lo,
+         |  row_number() OVER (PARTITION BY lang ORDER BY mean_r DESC, r) AS rk_hi
+         |  FROM means),
+         |ci AS (SELECT lang, min(CASE WHEN rk_lo = 5 THEN mean_r END) AS ci_lo,
+         |       min(CASE WHEN rk_hi = 5 THEN mean_r END) AS ci_hi FROM rk GROUP BY 1),
+         |pt AS (SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS tot FROM documents GROUP BY 1)
+         |SELECT pt.lang, CAST(n_docs AS BIGINT) AS n_docs,
+         |  round(CAST(tot AS DOUBLE) / n_docs, 6) AS mean_chars,
+         |  round(ci_lo, 6) AS ci_lo, round(ci_hi, 6) AS ci_hi
+         |FROM pt JOIN ci ON pt.lang = ci.lang""".stripMargin,
+
+    // centered-7-day-MA decomposition of daily order revenue; detrended
+    // series kept in exact x7 cents space until the final divisions
+    "seasonal_decompose" ->
+      """WITH daily AS (SELECT epoch_ns(o_orderdate) // 1000 // 86400000000 AS day_idx,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT day_idx, cents, count(*) OVER win AS n_win,
+        |      CAST(sum(cents) OVER win AS BIGINT) AS sum7
+        |      FROM daily WINDOW win AS (ORDER BY day_idx ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t AS (SELECT day_idx, day_idx % 7 AS dow, cents, sum7, cents * 7 - sum7 AS d7
+        |      FROM w WHERE n_win = 7),
+        |s AS (SELECT dow, CAST(sum(d7) AS BIGINT) AS sd7, count(*) AS nd FROM t GROUP BY 1)
+        |SELECT day_idx, t.dow, cents,
+        |  round(CAST(sum7 AS DOUBLE) / 7.0, 2) AS trend_cents,
+        |  round(CAST(sd7 AS DOUBLE) / (nd * 7), 2) AS seasonal_cents,
+        |  round((CAST(d7 AS DOUBLE) - CAST(sd7 AS DOUBLE) / nd) / 7.0, 2) AS resid_cents
+        |FROM t JOIN s ON t.dow = s.dow""".stripMargin,
+
+    // exact-cosine 5-NN majority vote over the first 100 vectors -> the
+    // (label, pred_label) confusion census; ties to the smaller label
+    "knn_label_vote" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 100),
+        |c AS (SELECT vec_id AS n_id, embedding AS n_emb FROM embeddings),
+        |scored AS (SELECT q_id, n_id,
+        |  round(list_reduce(list_transform(q_emb, (x, i) -> CAST(x AS DOUBLE) * CAST(n_emb[i] AS DOUBLE)), (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_transform(n_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))), 6) AS cos
+        |  FROM q JOIN c ON q_id <> n_id),
+        |nn AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM scored)
+        |  WHERE rnk <= 5),
+        |votes AS (SELECT q_id, CAST(e.label AS BIGINT) AS n_label, count(*) AS v
+        |  FROM nn JOIN embeddings e ON nn.n_id = e.vec_id GROUP BY 1, 2),
+        |pred AS (SELECT q_id, n_label AS pred_label FROM (SELECT q_id, n_label,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY v DESC, n_label) AS rk FROM votes)
+        |  WHERE rk = 1)
+        |SELECT CAST(e.label AS BIGINT) AS label, pred_label, count(*) AS n
+        |FROM pred JOIN embeddings e ON pred.q_id = e.vec_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    // windowed audio-style features over the cleaned-char "PCM" payload
+    "mm_audio_windows" ->
+      s"""WITH c AS (SELECT doc_id, $clean AS txt FROM documents WHERE length($clean) > 0),
+         |w AS (SELECT doc_id, txt,
+         |      unnest(range(0, least(CAST(ceil(length(txt) / 32.0) AS BIGINT), 8))) AS win_idx
+         |      FROM c),
+         |s AS (SELECT doc_id, win_idx,
+         |      substr(txt, CAST(win_idx * 32 + 1 AS INT), 32) AS w FROM w),
+         |p AS (SELECT doc_id, win_idx, w, unnest(range(1, length(w) + 1)) AS i FROM s)
+         |SELECT doc_id, win_idx, count(*) AS n_samples,
+         |  CAST(sum(ascii(substr(w, CAST(i AS INT), 1))) AS BIGINT) AS energy,
+         |  CAST(max(ascii(substr(w, CAST(i AS INT), 1))) AS BIGINT) AS peak,
+         |  round(sqrt(CAST(sum(CAST(ascii(substr(w, CAST(i AS INT), 1)) AS BIGINT)
+         |    * ascii(substr(w, CAST(i AS INT), 1))) AS DOUBLE) / count(*)), 6) AS rms
+         |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // Hilbert layout key: 31 unrolled convert-and-rotate steps
+    "hilbert_key" -> hilbertSql,
+
+    // Count-Min sketch error census for the top-20 tokens
+    "countmin_err" ->
+      s"""WITH cnt AS (SELECT token, count(*) AS true_cnt FROM $tokTable GROUP BY 1),
+         |hashed AS (SELECT token, true_cnt, r.r,
+         |  ('0x' || substr(md5(r.r || ':' || token), 1, 8))::BIGINT % 256 AS bucket
+         |  FROM cnt CROSS JOIN (SELECT unnest(range(0, 4)) AS r) r),
+         |cells AS (SELECT r, bucket, CAST(sum(true_cnt) AS BIGINT) AS cell
+         |          FROM hashed GROUP BY 1, 2),
+         |top AS (SELECT token, true_cnt FROM cnt ORDER BY true_cnt DESC, token LIMIT 20),
+         |probe AS (SELECT token, true_cnt, r.r,
+         |  ('0x' || substr(md5(r.r || ':' || token), 1, 8))::BIGINT % 256 AS bucket
+         |  FROM top CROSS JOIN (SELECT unnest(range(0, 4)) AS r) r)
+         |SELECT token, CAST(true_cnt AS BIGINT) AS true_cnt,
+         |  CAST(min(cell) AS BIGINT) AS est_cnt,
+         |  CAST(min(cell) - true_cnt AS BIGINT) AS overcount
+         |FROM probe JOIN cells USING (r, bucket)
+         |GROUP BY token, true_cnt""".stripMargin,
+
+    // Bloom-filter measured vs textbook FPR over the corpus vocabulary
+    "bloom_fpr" ->
+      s"""WITH members AS (SELECT DISTINCT token FROM $tokTable),
+         |mpos AS (SELECT DISTINCT
+         |  ('0x' || substr(md5(i.i || ':' || token), 1, 8))::BIGINT % 4096 AS pos
+         |  FROM members CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i),
+         |ppos AS (SELECT token, i.i,
+         |  ('0x' || substr(md5(i.i || ':' || token || '_q'), 1, 8))::BIGINT % 4096 AS pos
+         |  FROM members CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i),
+         |fp AS (SELECT count(*) AS n_fp FROM (
+         |  SELECT token FROM ppos WHERE pos IN (SELECT pos FROM mpos)
+         |  GROUP BY token HAVING count(*) = 4)),
+         |nm AS (SELECT count(*) AS n_members FROM members),
+         |nb AS (SELECT count(*) AS n_bits_set FROM mpos)
+         |SELECT CAST(n_members AS BIGINT) AS n_members,
+         |  CAST(n_bits_set AS BIGINT) AS n_bits_set,
+         |  CAST(n_members AS BIGINT) AS n_probes, CAST(n_fp AS BIGINT) AS n_fp,
+         |  round(CAST(n_fp AS DOUBLE) / n_members, 6) AS fpr,
+         |  round(pow(1.0 - exp((-4.0 * n_members) / 4096), 4.0), 6) AS theory_fpr
+         |FROM nm CROSS JOIN nb CROSS JOIN fp""".stripMargin,
+
+    // deterministic p=8 HyperLogLog vs the exact distinct count; every
+    // 2^-rho term is a power of two, so Z is order-independent-exact
+    "hll_det" ->
+      s"""WITH toks AS (SELECT DISTINCT token FROM $tokTable),
+         |h AS (SELECT ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM toks),
+         |r AS (SELECT h // 16777216 AS reg, h % 16777216 AS w FROM h),
+         |rho AS (SELECT reg, CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END AS rho FROM r),
+         |regs AS (SELECT reg, max(rho) AS mx FROM rho GROUP BY 1),
+         |z AS (SELECT count(*) AS n_used, sum(pow(2.0, -mx)) AS z_used FROM regs),
+         |nt AS (SELECT count(*) AS n_true FROM toks),
+         |e2 AS (SELECT n_true, n_used, 256 - n_used AS v,
+         |  (((0.7213 / (1.0 + 1.079 / 256)) * 256) * 256)
+         |    / (z_used + CAST(256 - n_used AS DOUBLE)) AS e_raw
+         |  FROM z CROSS JOIN nt),
+         |e3 AS (SELECT n_true, n_used,
+         |  CASE WHEN e_raw <= 2.5 * 256 AND v > 0
+         |       THEN 256.0 * ln(256.0 / v) ELSE e_raw END AS estimate FROM e2)
+         |SELECT CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_used AS BIGINT) AS n_registers_used,
+         |  round(estimate, 6) AS estimate,
+         |  round((round(estimate, 6) - n_true) / n_true, 6) AS rel_err
+         |FROM e3""".stripMargin,
+
+    // md5-relabelled permutation test on per-user spend (add-one p-value)
+    "permutation_test" ->
+      """WITH per AS (SELECT user_id,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS tot
+        |  FROM events GROUP BY 1),
+        |obs AS (SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN tot ELSE 0 END) AS DOUBLE)
+        |    / sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |  - CAST(sum(CASE WHEN user_id % 2 = 1 THEN tot ELSE 0 END) AS DOUBLE)
+        |    / sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS diff FROM per),
+        |sides AS (SELECT user_id, tot, p.p,
+        |  ('0x' || substr(md5(p.p || ':' || user_id), 1, 8))::BIGINT % 2 AS side
+        |  FROM per CROSS JOIN (SELECT unnest(range(1, 201)) AS p) p),
+        |perms AS (SELECT p,
+        |  CAST(sum(CASE WHEN side = 0 THEN tot ELSE 0 END) AS DOUBLE)
+        |    / sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+        |  - CAST(sum(CASE WHEN side = 1 THEN tot ELSE 0 END) AS DOUBLE)
+        |    / sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS pdiff
+        |  FROM sides GROUP BY 1),
+        |ge AS (SELECT CAST(sum(CASE WHEN abs(pdiff) >= abs(obs.diff) THEN 1 ELSE 0 END) AS BIGINT)
+        |       AS n_ge FROM perms CROSS JOIN obs)
+        |SELECT CAST(n_users AS BIGINT) AS n_users, round(diff, 6) AS obs_diff,
+        |  CAST(200 AS BIGINT) AS n_perms, n_ge,
+        |  round(CAST(n_ge + 1 AS DOUBLE) / 201, 6) AS p_value
+        |FROM obs CROSS JOIN ge""".stripMargin,
+
+    // Newman degree assortativity over the df/pair-gated token graph
+    "token_assortativity" ->
+      s"""WITH d AS (SELECT DISTINCT doc_id, token FROM $tokTable),
+         |q AS (SELECT token FROM (SELECT token, count(*) AS df FROM d GROUP BY 1) WHERE df >= 5),
+         |dq AS (SELECT d.doc_id, d.token FROM d JOIN q USING (token)),
+         |e AS (SELECT x.token AS a, y.token AS b FROM dq x JOIN dq y
+         |      ON x.doc_id = y.doc_id AND x.token < y.token
+         |      GROUP BY 1, 2 HAVING count(*) >= 5),
+         |deg AS (SELECT token, count(*) AS degree FROM
+         |        (SELECT a AS token FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         |dir AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+         |m AS (SELECT count(*) AS mm,
+         |  CAST(sum(da.degree) AS BIGINT) AS sx, CAST(sum(db.degree) AS BIGINT) AS sy,
+         |  sum(CAST(da.degree AS HUGEINT) * db.degree) AS sxy,
+         |  sum(CAST(da.degree AS HUGEINT) * da.degree) AS sxx,
+         |  sum(CAST(db.degree AS HUGEINT) * db.degree) AS syy
+         |  FROM dir JOIN deg da ON dir.a = da.token JOIN deg db ON dir.b = db.token)
+         |SELECT CAST(mm // 2 AS BIGINT) AS n_edges,
+         |  CASE WHEN (CAST(sxx AS DOUBLE) / mm - (CAST(sx AS DOUBLE) / mm) * (CAST(sx AS DOUBLE) / mm)) > 0.0
+         |        AND (CAST(syy AS DOUBLE) / mm - (CAST(sy AS DOUBLE) / mm) * (CAST(sy AS DOUBLE) / mm)) > 0.0
+         |       THEN round((CAST(sxy AS DOUBLE) / mm - (CAST(sx AS DOUBLE) / mm) * (CAST(sy AS DOUBLE) / mm))
+         |         / sqrt((CAST(sxx AS DOUBLE) / mm - (CAST(sx AS DOUBLE) / mm) * (CAST(sx AS DOUBLE) / mm))
+         |              * (CAST(syy AS DOUBLE) / mm - (CAST(sy AS DOUBLE) / mm) * (CAST(sy AS DOUBLE) / mm))), 6)
+         |       ELSE NULL END AS assortativity
+         |FROM m""".stripMargin
   )
+
+  /** Hilbert xy→d oracle: the [[graft.functions.HilbertIndex]] walk
+    * unrolled as one CTE per level (31 levels, top bit down). The
+    * reflection is the full-width flip (2^31-1 − v), exactly the
+    * expression the native compute() uses. */
+  private lazy val hilbertSql: String = {
+    val order = 31
+    val n1 = (1L << order) - 1L
+    val steps = (1 to order).map { i =>
+      val s = 1L << (order - i)
+      val s2 = s * s
+      s"""h$i AS (SELECT doc_id, xx, yy,
+         |  d + $s2 * xor(3 * rx, ry) AS d,
+         |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN $n1 - y ELSE y END) ELSE x END AS x,
+         |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN $n1 - x ELSE x END) ELSE y END AS y
+         |  FROM (SELECT doc_id, xx, yy, x, y, d,
+         |    CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |    CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry FROM h${i - 1}))""".stripMargin
+    }
+    s"""WITH h0 AS (SELECT doc_id, n_chars AS xx, CAST(len($toks) AS BIGINT) AS yy,
+       |  n_chars AS x, CAST(len($toks) AS BIGINT) AS y, CAST(0 AS BIGINT) AS d
+       |  FROM documents),
+       |${steps.mkString(",\n")}
+       |SELECT doc_id, xx AS x, yy AS y, d AS hkey FROM h$order""".stripMargin
+  }
 }

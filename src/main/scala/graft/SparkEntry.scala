@@ -872,6 +872,36 @@ object SparkEntry {
       TextOps.truncationLoss(spread(t(s, d, "documents")))),
     "hash_uniformity_check" -> ((s, d) =>
       TextOps.hashUniformityCheck(spread(t(s, d, "documents")))),
+    // round 14b: B216-B223 LLM-pipeline breadth + C197 Hilbert layout
+    "mutual_info_features" -> ((s, d) =>
+      TfIdf.mutualInfoFeatures(spread(t(s, d, "documents")))),
+    "stopword_discovery" -> ((s, d) =>
+      TextOps.stopwordDiscovery(spread(t(s, d, "documents")))),
+    "suffix_profile" -> ((s, d) =>
+      TextOps.suffixProfile(spread(t(s, d, "documents")))),
+    "char_lm_xent" -> ((s, d) =>
+      TextOps.charLmXent(spread(t(s, d, "documents")))),
+    "bootstrap_ci" -> ((s, d) =>
+      Eval.bootstrapCi(spread(t(s, d, "documents")))),
+    "seasonal_decompose" -> ((s, d) =>
+      Relational.seasonalDecompose(t(s, d, "orders"))),
+    "knn_label_vote" -> ((s, d) =>
+      Similarity.knnLabelVote(t(s, d, "embeddings"))),
+    "mm_audio_windows" -> ((s, d) =>
+      Multimodal.audioWindows(spread(t(s, d, "documents")))),
+    "hilbert_key" -> ((s, d) =>
+      TextOps.hilbertKey(spread(t(s, d, "documents")))),
+    // round 14b: C198-C200 deterministic sketch family + B224/B225
+    "countmin_err" -> ((s, d) =>
+      Sketches.countMinErr(spread(t(s, d, "documents")))),
+    "bloom_fpr" -> ((s, d) =>
+      Sketches.bloomFpr(spread(t(s, d, "documents")))),
+    "hll_det" -> ((s, d) =>
+      Sketches.hllDet(spread(t(s, d, "documents")))),
+    "permutation_test" -> ((s, d) =>
+      Relational.permutationTest(events(s, d))),
+    "token_assortativity" -> ((s, d) =>
+      Graph.tokenAssortativity(spread(t(s, d, "documents")))),
     // C194: schema-evolution ingest — two parquet generations (v2 adds
     // lang + stars) read in one pass with mergeSchema; late columns
     // null-fill for early files. The oracle is DuckDB's union_by_name

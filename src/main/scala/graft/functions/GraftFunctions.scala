@@ -37,6 +37,14 @@ object GraftFunctions {
   private val mortonInfo = new ExpressionInfo(
     classOf[MortonInterleave].getCanonicalName, "graft_morton")
 
+  /** Hilbert-curve index as a typed Column. */
+  def hilbert(x: Column, y: Column): Column =
+    ExpressionUtils.column(
+      HilbertIndex(ExpressionUtils.expression(x), ExpressionUtils.expression(y)))
+
+  private val hilbertInfo = new ExpressionInfo(
+    classOf[HilbertIndex].getCanonicalName, "graft_hilbert")
+
   /** Sorted-distinct-array Jaccard as a typed Column. */
   def jaccard(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -61,6 +69,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_morton expects exactly 2 arguments")
         MortonInterleave(children.head, children(1))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_hilbert"), hilbertInfo,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_hilbert expects exactly 2 arguments")
+        HilbertIndex(children.head, children(1))
       })
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_jaccard"), jaccardInfo,
@@ -96,6 +110,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_morton expects exactly 2 arguments")
         MortonInterleave(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hilbert"),
+      new ExpressionInfo(classOf[HilbertIndex].getCanonicalName, "graft_hilbert"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_hilbert expects exactly 2 arguments")
+        HilbertIndex(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_jaccard"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classifier-evaluation operators: threshold-free ranking metrics (ROC
@@ -355,5 +356,57 @@ object Eval {
         round(when(lit(4.0) * col("p") + col("r") > 0,
           lit(5.0) * col("p") * col("r") / (lit(4.0) * col("p") + col("r")))
           .otherwise(lit(0.0)), 6).as("chrf2"))
+  }
+
+  /** Deterministic bootstrap confidence interval (B220): a percentile-
+    * bootstrap CI for each language's mean document length, with the
+    * resample draws derived from md5 instead of a PRNG — replica r's
+    * j-th draw picks the document ranked 1 + (md5("lang:r:j") mod n_l)
+    * in doc_id order, so both engines (and every retry) materialize the
+    * SAME `reps` resamples. The statistic the curation dashboards
+    * actually need error bars on, without seed-dependence breaking the
+    * oracle.
+    *
+    * Scale shape: the corpus ranks once per lang (window on the lang
+    * key); each doc row then explodes `reps` ways, so the resample frame
+    * is reps·n rows spread across the cluster (never a per-lang
+    * single-task blow-up), and the draw join is a plain (lang, idx)
+    * shuffle join. Replica means are exact long sums over exact counts;
+    * the CI bounds are order statistics (ranks ⌈α·R⌉ from each end) of
+    * those means — doubles compared, never summed, so bit-stable. */
+  def bootstrapCi(docs: DataFrame, reps: Int = 200): DataFrame = {
+    val wl = Window.partitionBy("lang").orderBy("doc_id")
+    val ranked = docs
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(wl).cast("long"))
+      .withColumn("n_l", count(lit(1)).over(Window.partitionBy("lang")))
+    val draws = ranked
+      .select(col("lang"), col("rn").as("j"), col("n_l"),
+        explode(expr(s"sequence(1, $reps)")).as("r"))
+      .select(col("lang"), col("r"),
+        (conv(substring(md5(concat_ws(":", col("lang"), col("r"), col("j"))),
+          1, 8), 16, 10).cast("long") % col("n_l") + 1L).as("idx"))
+    val means = draws
+      .join(ranked.select(col("lang"), col("rn").as("idx"), col("n_chars")),
+        Seq("lang", "idx"))
+      .groupBy("lang", "r")
+      .agg(sum(col("n_chars")).as("s"), count(lit(1)).as("m"))
+      .select(col("lang"), col("r"), (col("s").cast("double") / col("m")).as("mean_r"))
+    val lo = (reps * 25 + 999) / 1000   // ceil(0.025 R): rank from below
+    val wAsc = Window.partitionBy("lang").orderBy(col("mean_r").asc, col("r"))
+    val wDesc = Window.partitionBy("lang").orderBy(col("mean_r").desc, col("r"))
+    val tagged = means
+      .withColumn("rk_lo", row_number().over(wAsc))
+      .withColumn("rk_hi", row_number().over(wDesc))
+    val ci = tagged.groupBy("lang").agg(
+      min(when(col("rk_lo") === lo, col("mean_r"))).as("ci_lo"),
+      min(when(col("rk_hi") === lo, col("mean_r"))).as("ci_hi"))
+    val point = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tot"))
+      .select(col("lang"), col("n_docs"),
+        round(col("tot").cast("double") / col("n_docs"), 6).as("mean_chars"))
+    point.join(ci, "lang")
+      .select(col("lang"), col("n_docs"), col("mean_chars"),
+        round(col("ci_lo"), 6).as("ci_lo"), round(col("ci_hi"), 6).as("ci_hi"))
   }
 }

@@ -342,4 +342,54 @@ object Graph {
       .select(col("token"), col("degree0"),
         coalesce(col("_in"), lit(false)).as("in_core"), col("core_degree"))
   }
+
+  /** Degree assortativity of the token co-occurrence graph (B225):
+    * Newman's r — the Pearson correlation of endpoint degrees over the
+    * edge set — on the same df/pair-gated frame [[tokenDegreeStats]]
+    * summarizes. Positive r = hubs link hubs (core/periphery template
+    * vocabulary); negative r = hubs fan out to rare terms — the one
+    * number that says whether iterative algorithms on this graph will
+    * hotspot on a hub-hub core.
+    *
+    * Each undirected edge enters the moments in both orientations (the
+    * standard symmetric estimator, so Σx = Σy by construction). All
+    * moments are exact sums — degree products widen to DECIMAL(38,0)
+    * BEFORE multiplying — and r is one fixed-order double expression,
+    * rounded once at 6 dp; degenerate variance (complete-graph regular
+    * degrees) yields NULL, not NaN, in both engines. Everything after
+    * the one data-sized token shuffle is vocabulary²-bounded. */
+  def tokenAssortativity(docs: DataFrame, minPairDocs: Int = 5): DataFrame = {
+    val d0 = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .distinct()
+    val qualified = d0.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minPairDocs)
+      .select("token")
+    val d = d0.join(qualified, Seq("token"), "left_semi")
+    val half = d.select(col("doc_id"), col("token").as("a"))
+      .join(d.select(col("doc_id"), col("token").as("b")), "doc_id")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairDocs)
+      .select("a", "b")
+    val deg = half.select(col("a").as("token"))
+      .union(half.select(col("b").as("token")))
+      .groupBy("token").agg(count(lit(1)).as("degree"))
+    val dir = half.union(half.select(col("b").as("a"), col("a").as("b")))
+    val m = dir
+      .join(deg.select(col("token").as("a"), col("degree").as("dx")), "a")
+      .join(deg.select(col("token").as("b"), col("degree").as("dy")), "b")
+      .agg(count(lit(1)).as("mm"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx").cast("decimal(38,0)") * col("dy")).as("sxy"),
+        sum(col("dx").cast("decimal(38,0)") * col("dx")).as("sxx"),
+        sum(col("dy").cast("decimal(38,0)") * col("dy")).as("syy"))
+    val mx = col("sx").cast("double") / col("mm")
+    val my = col("sy").cast("double") / col("mm")
+    val cov = col("sxy").cast("double") / col("mm") - mx * my
+    val vx = col("sxx").cast("double") / col("mm") - mx * mx
+    val vy = col("syy").cast("double") / col("mm") - my * my
+    m.select(expr("mm div 2").as("n_edges"),
+      round(when(vx > 0.0 && vy > 0.0, cov / sqrt(vx * vy)), 6)
+        .as("assortativity"))
+  }
 }

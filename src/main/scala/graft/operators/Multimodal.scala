@@ -61,6 +61,42 @@ object Multimodal {
           .cast("long").as("patch_bytes"))
   }
 
+  /** Audio-style windowed feature extraction (B223): the PCM
+    * frame-analysis shape — fixed-width windows at a fixed stride over
+    * each media payload, per-window energy / peak / RMS — as pure
+    * codegen'd expressions. The DECODE is the stub seam: cleaned-text
+    * code points stand in for PCM samples (the container has no audio
+    * codec; a real deployment swaps the sample expression for a
+    * decoder call and keeps everything downstream). What is real and
+    * load-bearing at scale: the bounded 1 → ≤maxWin row expansion that
+    * partition sizing plans around, the per-window O(win) fold inside
+    * whole-stage codegen, and the exact-integer feature math (energy
+    * and Σsample² are longs; only the final RMS divides, rounded 6 dp).
+    */
+  def audioWindows(docs: DataFrame, win: Int = 32, maxWin: Int = 8): DataFrame = {
+    val samples = graft.operators.TextOps.cleanText(col("text"))
+    val nWin = least(
+      ceil(length(col("txt")) / lit(win.toDouble)).cast("long"), lit(maxWin.toLong))
+    docs
+      .select(col("doc_id"), samples.as("txt"))
+      .filter(length(col("txt")) > 0)
+      .select(col("doc_id"), col("txt"),
+        explode(sequence(lit(0L), nWin - 1)).as("win_idx"))
+      .select(col("doc_id"), col("win_idx"),
+        substring(col("txt"), (col("win_idx") * win + 1).cast("int"), lit(win)).as("w"))
+      .select(col("doc_id"), col("win_idx"),
+        length(col("w")).cast("long").as("n_samples"),
+        expr("aggregate(sequence(1, length(w)), 0L, (a, i) -> a + ascii(substring(w, i, 1)))")
+          .as("energy"),
+        expr("aggregate(sequence(1, length(w)), 0L, (a, i) -> greatest(a, CAST(ascii(substring(w, i, 1)) AS BIGINT)))")
+          .as("peak"),
+        expr("aggregate(sequence(1, length(w)), 0L, (a, i) -> a + CAST(ascii(substring(w, i, 1)) AS BIGINT) * ascii(substring(w, i, 1)))")
+          .as("sq"))
+      .select(col("doc_id"), col("win_idx"), col("n_samples"), col("energy"),
+        col("peak"),
+        round(sqrt(col("sq").cast("double") / col("n_samples")), 6).as("rms"))
+  }
+
   private val decodedSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("n_bytes", IntegerType),

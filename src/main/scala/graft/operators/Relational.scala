@@ -3356,4 +3356,93 @@ object Relational {
         count(lit(1)).over(w).as("n_trailing_1h"),
         sum(col("c")).over(w).as("cents_trailing_1h"))
   }
+
+  /** Deterministic permutation test (B224): the nonparametric sibling of
+    * [[abTtest]] — is the observed variant difference in per-user spend
+    * larger than chance relabelings produce? Each of `nPerms` permutations
+    * reassigns every user's side by md5("p:user") mod 2 (no PRNG, so both
+    * engines and every retry draw the SAME relabelings); the p-value is
+    * the add-one-smoothed share of permuted |mean diff|s at or above the
+    * observed one.
+    *
+    * Scale shape: the corpus collapses to per-user exact cents totals
+    * once; the permutation frame is users × nPerms rows spread across the
+    * cluster (one conditional-agg groupBy on p — never a per-permutation
+    * pass over the data). All means divide exact long sums in one fixed
+    * order; the ≥ comparison runs on identically-computed doubles. */
+  def permutationTest(events: DataFrame, nPerms: Int = 200): DataFrame = {
+    val per = events
+      .select(col("user_id"), cents(col("value")).as("c"))
+      .groupBy("user_id").agg(sum(col("c")).as("tot"))
+    def meanDiff(side: Column) = {
+      val s0 = sum(when(side === 0L, col("tot")).otherwise(0L))
+      val n0 = sum(when(side === 0L, 1L).otherwise(0L))
+      val s1 = sum(when(side === 1L, col("tot")).otherwise(0L))
+      val n1 = sum(when(side === 1L, 1L).otherwise(0L))
+      (s0.cast("double") / n0 - s1.cast("double") / n1).as("diff")
+    }
+    val obs = per.agg(count(lit(1)).as("n_users"),
+      meanDiff(col("user_id") % 2))
+    val perms = per
+      .select(col("user_id"), col("tot"),
+        explode(expr(s"sequence(1, $nPerms)")).as("p"))
+      .withColumn("side",
+        conv(substring(md5(concat_ws(":", col("p"), col("user_id"))), 1, 8),
+          16, 10).cast("long") % 2)
+      .groupBy("p").agg(meanDiff(col("side")).as("pdiff"))
+    val nGe = perms.crossJoin(broadcast(obs.select(col("diff").as("obs_diff"))))
+      .agg(sum(when(abs(col("pdiff")) >= abs(col("obs_diff")), 1L).otherwise(0L))
+        .as("n_ge"))
+    obs.crossJoin(broadcast(nGe))
+      .select(col("n_users"), round(col("diff"), 6).as("obs_diff"),
+        lit(nPerms.toLong).as("n_perms"), col("n_ge"),
+        round((col("n_ge") + 1L).cast("double") / (nPerms + 1), 6).as("p_value"))
+  }
+
+  /** Classical moving-average seasonal decomposition (B221): daily order
+    * revenue split into trend + weekly seasonal + residual — the
+    * textbook decompose-by-MA pass behind every "is this dip seasonal or
+    * real" readout. Trend is the centered 7-day moving average (edge
+    * days without a full window drop); the seasonal component is the
+    * per-weekday mean of the detrended series; the residual is what
+    * neither explains.
+    *
+    * Numeric discipline: the detrended series is kept in EXACT ×7 cents
+    * space (d7 = 7·cents − Σ window cents, a long), so the weekday means
+    * divide exact integer sums; trend/seasonal/residual round once at
+    * 6 dp off fixed-order expressions. Weekday is epoch-day mod 7 (a
+    * stable 7-class key, engine-agnostic — no locale/firstday seam).
+    *
+    * Scale shape: one groupBy(day) partial-agg collapses the order
+    * stream to a calendar-bounded daily frame; the 7-row window and the
+    * weekday join run on that tiny frame, so the only corpus-sized work
+    * is the first aggregate. */
+  def seasonalDecompose(orders: DataFrame): DataFrame = {
+    val daily = orders
+      // o_orderdate reads as TIMESTAMP_NTZ; with the UTC session TZ the
+      // cast is wall-clock identity, matching the oracle's naive epoch
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          .as("day_idx"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy("day_idx").agg(sum(col("c")).as("cents"))
+    val w7 = org.apache.spark.sql.expressions.Window
+      .orderBy("day_idx").rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("n_win", count(lit(1)).over(w7))
+      .withColumn("sum7", sum(col("cents")).over(w7))
+      .filter(col("n_win") === 7L)
+      .select(col("day_idx"), (col("day_idx") % 7).as("dow"), col("cents"),
+        col("sum7"), (col("cents") * 7L - col("sum7")).as("d7"))
+    val seasonal = trended.groupBy("dow")
+      .agg(sum(col("d7")).as("sd7"), count(lit(1)).as("nd"))
+    // components are ~1e8 cents: 6 dp there is sub-ulp (the two engines'
+    // round() disagree in the last digit), so round at 2 dp — the 0.005
+    // boundary is ~10^5 ulps wide at this magnitude, never a knife edge
+    trended.join(broadcast(seasonal), "dow")
+      .select(col("day_idx"), col("dow"), col("cents"),
+        round(col("sum7").cast("double") / 7.0, 2).as("trend_cents"),
+        round(col("sd7").cast("double") / (col("nd") * 7L), 2).as("seasonal_cents"),
+        round((col("d7").cast("double")
+          - col("sd7").cast("double") / col("nd")) / 7.0, 2).as("resid_cents"))
+  }
 }

@@ -56,6 +56,30 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** k-NN majority-vote classification (B222): the zero-training
+    * classifier every embedding column gets evaluated with before anyone
+    * trains a head — each query vector takes its exact cosine top-k
+    * ([[annTopK]]'s broadcast nested-loop + TopKPerKey heap, so the
+    * corpus is never sorted), the neighbors vote with their labels
+    * (ties → smaller label id), and the readout is the (label,
+    * pred_label) confusion census over the query set. Label lookup is a
+    * broadcast of the tiny query frame; the vote groupBy runs on ≤
+    * queries·k rows. */
+  def knnLabelVote(emb: DataFrame, maxQueryId: Long = 100, k: Int = 5): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label").cast("long").as("l"))
+    val votes = annTopK(emb, maxQueryId, k)
+      .join(labels.select(col("vec_id").as("n_id"), col("l").as("n_label")), "n_id")
+      .groupBy("q_id", "n_label").agg(count(lit(1)).as("v"))
+    val w = Window.partitionBy("q_id").orderBy(col("v").desc, col("n_label"))
+    val pred = votes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("n_label").as("pred_label"))
+    pred
+      .join(broadcast(labels.select(col("vec_id").as("q_id"), col("l").as("label"))),
+        "q_id")
+      .groupBy("label", "pred_label").agg(count(lit(1)).as("n"))
+  }
+
   /** Top-k prune with the custom heap operator (graft.plans.TopK), then
     * rank only the <=k survivors per key with a (now trivially small)
     * window. Identical output to ranking everything; the full corpus is

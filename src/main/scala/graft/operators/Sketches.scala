@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic streaming-sketch family (C198-C200): Count-Min, Bloom,
+  * and HyperLogLog with md5-derived hash rows instead of seeded PRNG
+  * hashes — the THE 100 TB cardinality/frequency tools, here in a form a
+  * DuckDB oracle reproduces bit-for-bit. Spark's own sketch aggregates
+  * (approx_count_distinct, bloom_filter_agg) stay seed-bound; these rows
+  * prove the sketch MATH and its distributed shape (mergeable per-row
+  * partials, vocab-bounded cell frames) with hash-exact checks.
+  */
+object Sketches {
+
+  /** First 8 md5 hex chars of `s` as a non-negative 32-bit value. */
+  private def h32(s: org.apache.spark.sql.Column) =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Count-Min sketch error census (C198): a depth×width CMS over the
+    * corpus token stream, read back against the exact counts for the
+    * top-`k` tokens — the "how wrong is the sketch where it matters"
+    * readout that sizes width/depth before anyone trusts CMS at scale.
+    * est(t) = min over rows r of cell(r, md5(r:t) mod width); CMS never
+    * underestimates, so `over` = est − true ≥ 0 always.
+    *
+    * Scale shape: the only corpus-sized pass is the token count; cells
+    * aggregate the vocab-bounded (token, cnt) frame exploded `depth`
+    * ways (map-side partial sums — exactly the mergeability CMS is for);
+    * the read-back joins the depth·k probe rows against the
+    * width·depth-bounded cell frame. */
+  def countMinErr(docs: DataFrame, depth: Int = 4, width: Int = 256,
+                  k: Int = 20): DataFrame = {
+    val cnt = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("true_cnt"))
+    val hashed = cnt
+      .select(col("token"), col("true_cnt"),
+        explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+      .withColumn("bucket", h32(concat_ws(":", col("r"), col("token"))) % width)
+    val cells = hashed.groupBy("r", "bucket").agg(sum(col("true_cnt")).as("cell"))
+    val top = cnt
+      .orderBy(col("true_cnt").desc, col("token")).limit(k)
+      .select(col("token"), col("true_cnt"),
+        explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+      .withColumn("bucket", h32(concat_ws(":", col("r"), col("token"))) % width)
+    top.join(cells, Seq("r", "bucket"))
+      .groupBy("token", "true_cnt").agg(min(col("cell")).as("est_cnt"))
+      .select(col("token"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("true_cnt")).as("overcount"))
+  }
+
+  /** Bloom-filter false-positive audit (C199): a k-hash/m-bit Bloom set
+    * over the corpus vocabulary, probed with a guaranteed-disjoint query
+    * set (each member token + "_q" — the cleaned alphabet has no
+    * underscore, so no probe is a member), measured FPR against the
+    * textbook (1 − e^(−k·n/m))^k. The go/no-go check before shipping a
+    * Bloom pre-filter into a 100 TB anti-join.
+    *
+    * The bit array is an honest distributed set (distinct positions
+    * frame), members and probes stream through the same md5 positions;
+    * a probe false-positives iff all k of its positions are set. */
+  def bloomFpr(docs: DataFrame, kHashes: Int = 4, mBits: Int = 4096): DataFrame = {
+    val members = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+      .distinct()
+    def positions(df: DataFrame) = df
+      .select(col("token"), explode(expr(s"sequence(0, ${kHashes - 1})")).as("i"))
+      .withColumn("pos", h32(concat_ws(":", col("i"), col("token"))) % mBits)
+    val bits = positions(members).select("pos").distinct()
+    val probeHits = positions(members.select(concat(col("token"), lit("_q")).as("token")))
+      .join(bits, Seq("pos"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === kHashes)
+      .agg(count(lit(1)).as("n_fp"))
+    val nm = members.agg(count(lit(1)).as("n_members"))
+    val nb = bits.agg(count(lit(1)).as("n_bits_set"))
+    nm.crossJoin(broadcast(nb)).crossJoin(broadcast(probeHits))
+      .select(col("n_members"), col("n_bits_set"),
+        col("n_members").as("n_probes"), col("n_fp"),
+        round(col("n_fp").cast("double") / col("n_members"), 6).as("fpr"),
+        round(pow(lit(1.0) - exp(lit(-kHashes.toDouble) * col("n_members") / mBits),
+          kHashes.toDouble), 6).as("theory_fpr"))
+  }
+
+  /** Deterministic HyperLogLog (C200): the p=8 (256-register) HLL over
+    * the corpus vocabulary with md5 as the hash — register = top 8 bits
+    * of the 32-bit hash, rho = leading-zero rank of the remaining 24
+    * bits — checked against the EXACT distinct count. Spark's
+    * approx_count_distinct is this sketch with an engine seed; this row
+    * proves the estimator math (raw harmonic-mean estimate + the
+    * small-range linear-counting branch) hash-exactly.
+    *
+    * Every 2^(−rho) term is a power of two and the 256-term sum spans
+    * < 53 bits of mantissa, so Z is EXACT in double regardless of
+    * aggregation order — no fold-order seam. The register frame is
+    * 256-bounded; the only corpus-sized pass is the distinct. */
+  def hllDet(docs: DataFrame): DataFrame = {
+    val m = 256
+    val h = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+      .distinct()
+      .select(col("token"), h32(col("token")).as("h"))
+      .select(col("token"), expr("h div 16777216").as("reg"),
+        (col("h") % 16777216L).as("w"))
+      // rho = leading zeros in the 24-bit word + 1; bin() has no leading
+      // zeros in either engine, so rho = 25 - len(bin(w)), w=0 -> 25
+      .select(col("reg"),
+        when(col("w") === 0L, lit(25L))
+          .otherwise(lit(25L) - length(bin(col("w")))).as("rho"))
+    val regs = h.groupBy("reg").agg(max(col("rho")).as("mx"))
+    val zUsed = regs.agg(
+      count(lit(1)).as("n_used"),
+      sum(pow(lit(2.0), -col("mx"))).as("z_used"))
+    val nTrue = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+      .agg(countDistinct(col("token")).as("n_true"))
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val est = zUsed.crossJoin(broadcast(nTrue))
+      .withColumn("z", col("z_used") + (lit(m.toLong) - col("n_used")).cast("double"))
+      .withColumn("e_raw", lit(alpha * m * m) / col("z"))
+      .withColumn("v", lit(m.toLong) - col("n_used"))
+      .withColumn("estimate",
+        when(col("e_raw") <= 2.5 * m && col("v") > 0L,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(col("e_raw")))
+    est.select(col("n_true"), col("n_used").as("n_registers_used"),
+      round(col("estimate"), 6).as("estimate"),
+      // rel_err derives from the ROUNDED estimate so both engines
+      // compare post-round values, never raw last-bit doubles
+      round((round(col("estimate"), 6) - col("n_true")) / col("n_true"), 6)
+        .as("rel_err"))
+  }
+}

@@ -2948,4 +2948,107 @@ object TextOps {
         round(col("n_shared").cast("double") / col("n_a"), 6).as("clean_in_bpe"),
         round(col("n_shared").cast("double") / col("n_b"), 6).as("bpe_in_clean"))
   }
+
+  /** Hilbert-curve layout key (C197): [[zorderKey]]'s continuous-curve
+    * sibling over the same (n_chars, n_tokens) point set, via the native
+    * codegen'd [[graft.functions.HilbertIndex]] expression. Consecutive
+    * Hilbert keys are always ADJACENT cells (the Morton curve jumps at
+    * every quadrant boundary), so range-partitioning the corpus by hkey
+    * gives strictly tighter per-file min/max envelopes on both dimensions
+    * — what Iceberg/Delta reach for when z-order pruning still reads too
+    * much. Narrow per-row work, one whole-stage-codegen span. */
+  def hilbertKey(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("n_chars").cast("long").as("x"),
+        size(tokens(col("text"))).cast("long").as("y"))
+      .select(col("doc_id"), col("x"), col("y"),
+        graft.functions.GraftFunctions.hilbert(col("x"), col("y")).as("hkey"))
+
+  /** Corpus-driven stopword discovery (B216): the data-derived
+    * replacement for a hand-picked stopword list — a token is a stopword
+    * candidate when it appears in at least `dfFrac` of all documents AND
+    * across at least `minLangs` languages (high document frequency alone
+    * flags topical boilerplate; the language spread separates function-
+    * word-like tokens from corpus-template artifacts). Exactly the list
+    * RAKE/keyphrase passes should be fed instead of [[Stopwords]].
+    *
+    * One distinct (doc, token) aggregate (vocab-bounded shuffle), the
+    * doc total broadcast; df_frac is the only division, rounded 6 dp. */
+  def stopwordDiscovery(docs: DataFrame, dfFrac: Double = 0.25,
+                        minLangs: Int = 3): DataFrame = {
+    val d = docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(tokens(col("text")))).as("token"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    d.groupBy("token")
+      .agg(count(lit(1)).as("df"), countDistinct(col("lang")).as("n_langs"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") >= col("n_docs") * dfFrac && col("n_langs") >= minLangs)
+      .select(col("token"), col("df"), col("n_langs"),
+        round(col("df").cast("double") / col("n_docs"), 6).as("df_frac"))
+  }
+
+  /** Morphological suffix profile (B217): the top-`k` 3-character token
+    * suffixes per language with their share of suffix-bearing tokens —
+    * the cheap morphology fingerprint that separates inflecting languages
+    * (and catches mislabeled-language slices when a lang's profile stops
+    * looking like itself). Token occurrences (not types) of length ≥ 4
+    * count, so the profile weights running text the way a reader sees it.
+    * Vocab-bounded (lang, suffix) aggregate; per-lang totals rejoin
+    * broadcast; the top-k rank runs on the already-aggregated frame. */
+  def suffixProfile(docs: DataFrame, k: Int = 5): DataFrame = {
+    val sfx = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) >= 4)
+      .select(col("lang"), substring(col("token"), -3, 3).as("suffix"))
+    val cnt = sfx.groupBy("lang", "suffix").agg(count(lit(1)).as("cnt"))
+    val tot = sfx.groupBy("lang").agg(count(lit(1)).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("cnt").desc, col("suffix"))
+    cnt.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .join(broadcast(tot), "lang")
+      .select(col("lang"), col("rnk"), col("suffix"), col("cnt"),
+        round(col("cnt").cast("double") / col("n_tokens"), 6).as("share"))
+  }
+
+  /** Per-source character-LM cross-entropy (B218): each source's cleaned
+    * character distribution scored under the CORPUS character unigram LM
+    * — cross-entropy H(p_src, p_corpus) and its decomposition into the
+    * source's own entropy plus KL(p_src ‖ p_corpus). A source whose KL
+    * drifts up is shifting alphabet/orthography against the corpus (the
+    * char-level twin of [[graft.operators.LangModel.langKl]]'s token
+    * view, robust to tokenization). The cleaned alphabet is closed
+    * (a-z + space), so every source char has corpus mass — no smoothing
+    * seam. Char counts are exact longs off one (source, char) aggregate;
+    * each entropy is a sorted fixed-order fold over ≤ 27 terms, rounded
+    * once at 6 dp. */
+  def charLmXent(docs: DataFrame): DataFrame = {
+    val chars = docs.select(col("source"),
+        explode(split(cleanText(col("text")), "")).as("ch"))
+      .filter(col("ch") =!= "")
+    val bySrc = chars.groupBy("source", "ch").agg(count(lit(1)).as("cnt"))
+    val corpus = chars.groupBy("ch").agg(count(lit(1)).as("c_cnt"))
+    val corpusTot = chars.agg(count(lit(1)).as("c_tot"))
+    val srcTot = bySrc.groupBy("source").agg(sum(col("cnt")).as("s_tot"))
+    // per (source, char): p_src, ln p_src, ln p_corpus — folded in char
+    // order so the double sum is bit-identical to the oracle's
+    val terms = bySrc
+      .join(broadcast(corpus), "ch")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(corpusTot))
+      .select(col("source"), col("s_tot"),
+        struct(col("ch"),
+          (col("cnt").cast("double") / col("s_tot")
+            * log(col("c_cnt").cast("double") / col("c_tot"))).as("xent_t"),
+          (col("cnt").cast("double") / col("s_tot")
+            * log(col("cnt").cast("double") / col("s_tot"))).as("ent_t")).as("t"))
+    terms.groupBy("source", "s_tot")
+      .agg(array_sort(collect_list(col("t"))).as("ts"))
+      .select(col("source"), col("s_tot").as("n_chars"),
+        round(-aggregate(col("ts"), lit(0.0), (a, t) => a + t.getField("xent_t")), 6)
+          .as("xent"),
+        round(-aggregate(col("ts"), lit(0.0), (a, t) => a + t.getField("ent_t")), 6)
+          .as("entropy"),
+        round(aggregate(col("ts"), lit(0.0), (a, t) =>
+          a + (t.getField("ent_t") - t.getField("xent_t"))), 6).as("kl"))
+  }
 }

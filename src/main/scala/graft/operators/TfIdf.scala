@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -108,6 +108,53 @@ object TfIdf {
             * pow((col("a") * col("d") - col("b") * col("c")).cast("double"), 2.0)
             / (col("df").cast("double") * (col("n_docs") - col("df"))
               * col("lang_n") * (col("n_docs") - col("lang_n"))), 6).as("chi2"))
+  }
+
+  /** Mutual information (token, class) association (B219): the
+    * information-theoretic sibling of [[chi2Features]] — for each token
+    * and language, the MI (in nats) between the two binary variables
+    * "document contains the token" and "document is in the class",
+    * summed over the same 2×2 presence contingency (A/B/C/D margins):
+    * MI = Σ_cell (n_cell/N)·ln(N·n_cell / (row·col)), zero cells
+    * contributing zero. Chi² over-weights rare-token flukes; MI ranks by
+    * actual information carried, which is why feature-selection stacks
+    * run both.
+    *
+    * Same single (token, lang) aggregate and exact long margins as
+    * chi2Features; the four cell terms are summed in one fixed
+    * fused-expression order (A, B, C, D) and rounded ONCE at 6 dp, so
+    * the oracle's left-associated double chain is bit-identical. Tokens
+    * below minDf and tokens in every document are dropped for the same
+    * degeneracy reasons as chi². */
+  def mutualInfoFeatures(docs: DataFrame, minDf: Int = 5): DataFrame = {
+    val d = docs.select(col("doc_id"), col("lang"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+    val a = d.groupBy("token", "lang").agg(count(lit(1)).as("a"))
+    val df_ = d.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val langN = docs.groupBy("lang").agg(count(lit(1)).as("lang_n"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    def term(cell: Column, row: Column, colM: Column) =
+      when(cell > 0L,
+        cell.cast("double") / col("n_docs")
+          * log(col("n_docs").cast("double") * cell / (row.cast("double") * colM)))
+        .otherwise(lit(0.0))
+    a.join(broadcast(df_), "token")
+      .join(broadcast(langN), "lang")
+      .crossJoin(broadcast(n))
+      .filter(col("df") < col("n_docs"))
+      .select(col("token"), col("lang"), col("a"), col("df"),
+        (col("df") - col("a")).as("b"),
+        (col("lang_n") - col("a")).as("c"),
+        (col("n_docs") - col("df") - col("lang_n") + col("a")).as("d"),
+        col("lang_n"), col("n_docs"))
+      .select(col("token"), col("lang"), col("a"), col("df"),
+        round(
+          term(col("a"), col("df"), col("lang_n"))
+            + term(col("b"), col("df"), col("n_docs") - col("lang_n"))
+            + term(col("c"), col("n_docs") - col("df"), col("lang_n"))
+            + term(col("d"), col("n_docs") - col("df"), col("n_docs") - col("lang_n")),
+          6).as("mi"))
   }
 
   /** Top-k keyword extraction per document by TF-IDF (B77): the

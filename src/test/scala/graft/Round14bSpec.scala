@@ -1,0 +1,308 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-14b operators: Hilbert layout key, MI feature association,
+  * stopword discovery, suffix profile, char-LM cross-entropy, bootstrap
+  * CI, seasonal decomposition, k-NN label vote, audio-window features. */
+class Round14bSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String, String)*): DataFrame =
+    rows.map { case (id, lang, source, text) =>
+      (id, text, lang, source, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  // ---------------------------------------------------------------- Hilbert
+
+  /** Independent reference: the public d→(x,y) inverse walk. Round-trip
+    * through it cross-checks the production xy→d in the other direction. */
+  private def d2xy(order: Int, d0: Long): (Long, Long) = {
+    var (x, y, t) = (0L, 0L, d0)
+    var s = 1L
+    while (s < (1L << order)) {
+      val rx = 1L & (t / 2)
+      val ry = 1L & (t ^ rx)
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+        val tmp = x; x = y; y = tmp
+      }
+      x += s * rx
+      y += s * ry
+      t /= 4
+      s *= 2
+    }
+    (x, y)
+  }
+
+  test("HilbertIndex round-trips through the independent d->(x,y) inverse") {
+    val pts = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val far = Seq((0L, (1L << 31) - 1L), ((1L << 31) - 1L, 0L),
+      ((1L << 31) - 1L, (1L << 31) - 1L), (123456789L, 987654321L))
+    (pts ++ far).foreach { case (x, y) =>
+      val d = graft.functions.HilbertIndex.compute(x, y)
+      assert(d2xy(31, d) == ((x, y)), s"round-trip failed at ($x, $y), d=$d")
+    }
+  }
+
+  test("HilbertIndex walks adjacent cells: consecutive d differ by one step") {
+    // exhaustive over the low 8x8 corner mapped through the full-order
+    // curve: collect d for all 256 cells, sort, and check each
+    // consecutive PRESENT pair is either +1 in d (same sub-square) or a
+    // jump out of the corner — for the cells whose successor IS in the
+    // corner, the successor must be a 4-neighbour.
+    val cells = (for (x <- 0L until 8L; y <- 0L until 8L)
+      yield (graft.functions.HilbertIndex.compute(x, y), (x, y))).toMap
+    cells.foreach { case (d, (x, y)) =>
+      cells.get(d + 1).foreach { case (nx, ny) =>
+        assert(math.abs(nx - x) + math.abs(ny - y) == 1,
+          s"d=$d ($x,$y) -> d+1 ($nx,$ny) is not an adjacent cell")
+      }
+    }
+    assert(cells.size == 64, "Hilbert keys must be distinct per cell")
+  }
+
+  test("HilbertIndex enforces its domain and registers in SQL") {
+    intercept[IllegalArgumentException] {
+      graft.functions.HilbertIndex.compute(-1L, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.HilbertIndex.compute(0L, 1L << 31)
+    }
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT graft_hilbert(3L, 5L) AS h").head().getLong(0)
+    assert(viaSql == graft.functions.HilbertIndex.compute(3L, 5L))
+  }
+
+  test("hilbertKey emits one key per doc over (n_chars, n_tokens)") {
+    val d = docs((1L, "en", "web", "one two three"), (2L, "en", "web", "a b"))
+    val out = graft.operators.TextOps.hilbertKey(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L)._1 == 13L && out(1L)._2 == 3L)
+    assert(out(1L)._3 == graft.functions.HilbertIndex.compute(13L, 3L))
+    assert(out(2L)._3 == graft.functions.HilbertIndex.compute(3L, 2L))
+  }
+
+  // ------------------------------------------------------------------- MI
+
+  test("mutualInfoFeatures: perfectly class-aligned token carries ln(2) nats") {
+    // 10 docs, 2 langs of 5; token "zebra" in exactly the 5 'aa' docs
+    val rows = (0 until 5).map(i => (i.toLong, "aa", "s", "zebra common")) ++
+      (5 until 10).map(i => (i.toLong, "bb", "s", "plain common"))
+    val out = graft.operators.TfIdf.mutualInfoFeatures(docs(rows: _*), minDf = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    // MI of a perfect 2-class indicator with balanced classes = ln 2
+    assert(math.abs(out(("zebra", "aa")) - math.log(2.0)) < 1e-6)
+    assert(math.abs(out(("plain", "bb")) - math.log(2.0)) < 1e-6)
+    // only co-occurring (token, lang) pairs emit a row (chi2's shape)
+    assert(!out.contains(("zebra", "bb")))
+    // "common" is in every doc -> df == N -> dropped
+    assert(!out.keySet.exists(_._1 == "common"))
+    // MI is never negative
+    out.values.foreach(v => assert(v >= -1e-9))
+  }
+
+  // ------------------------------------------------- stopwords and suffixes
+
+  test("stopwordDiscovery keeps high-df cross-lang tokens only") {
+    val rows = (0 until 12).map { i =>
+      val lang = Seq("aa", "bb", "cc", "dd")(i % 4)
+      // "the" everywhere; "rare" in one doc; "local" only in lang aa
+      val extra = if (i == 0) " rare" else ""
+      val local = if (i % 4 == 0) " local" else ""
+      (i.toLong, lang, "s", s"the filler$extra$local")
+    }
+    val out = graft.operators.TextOps.stopwordDiscovery(docs(rows: _*))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.contains("the") && out("the") == ((12L, 4L)))
+    assert(!out.contains("rare"))   // df below the share floor
+    assert(!out.contains("local"))  // single-language
+  }
+
+  test("suffixProfile ranks 3-char suffixes per lang with occurrence share") {
+    val d = docs(
+      (1L, "aa", "s", "running jumping walking short"),
+      (2L, "aa", "s", "talking running a bb ccc"))
+    val out = graft.operators.TextOps.suffixProfile(d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getString(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // 6 suffix-bearing tokens (len>=4): ing x5, ort x1
+    assert(out(("aa", 1L)) == (("ing", 5L, 0.833333)))
+    assert(out(("aa", 2L)) == (("ort", 1L, 0.166667)))
+  }
+
+  // ------------------------------------------------------------ char-LM
+
+  test("charLmXent: xent decomposes as entropy + KL, zero KL for the corpus-shaped source") {
+    val d = docs(
+      (1L, "aa", "src1", "abab"), (2L, "aa", "src2", "abab"),
+      (3L, "aa", "src3", "aabb"))
+    val out = graft.operators.TextOps.charLmXent(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    out.values.foreach { case (_, xent, ent, kl) =>
+      assert(kl >= -1e-6, "KL must be non-negative")
+      assert(math.abs((ent + kl) - xent) < 2e-6, "xent = entropy + KL")
+    }
+    // every source here is 50/50 a-b, the corpus is 50/50 -> KL == 0
+    out.values.foreach { case (_, _, _, kl) => assert(math.abs(kl) < 1e-6) }
+    assert(out("src1")._1 == 4L)
+  }
+
+  // ------------------------------------------------------------ bootstrap
+
+  test("bootstrapCi: deterministic, ordered bounds around the point estimate") {
+    val rows = (0 until 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "aa" else "bb", "s", "x" * (50 + i)))
+    val d = docs(rows: _*)
+    val a = graft.operators.Eval.bootstrapCi(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val b = graft.operators.Eval.bootstrapCi(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(a == b, "md5-derived bootstrap must be replay-identical")
+    a.values.foreach { case (n, mean, lo, hi) =>
+      assert(n == 20L)
+      assert(lo <= hi)
+      assert(lo <= mean + 8 && hi >= mean - 8, "CI should sit around the mean")
+    }
+  }
+
+  // ------------------------------------------------------------- seasonal
+
+  test("seasonalDecompose: components re-sum to the day's revenue") {
+    val rows = (0 until 42).map { i =>
+      val day = f"1995-01-${i % 28 + 1}%02d"
+      (i.toLong, i.toLong, "O", 100.0 + (i % 7) * 10.0,
+        java.sql.Timestamp.valueOf(s"$day 00:00:00"), "1-URGENT")
+    }
+    val orders = rows.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val out = graft.operators.Relational.seasonalDecompose(orders).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val cents = r.getLong(2).toDouble
+      val resum = r.getDouble(3) + r.getDouble(4) + r.getDouble(5)
+      assert(math.abs(resum - cents) < 0.03,
+        s"trend+seasonal+resid must re-sum to cents: $resum vs $cents")
+      assert(r.getLong(1) == r.getLong(0) % 7, "dow is epoch-day mod 7")
+    }
+  }
+
+  // ------------------------------------------------------------------ kNN
+
+  test("knnLabelVote: clean clusters classify perfectly, censused per label") {
+    val emb = (0 until 30).map { i =>
+      val lab = i % 2
+      val base = if (lab == 0) Array(1f, 0f, 0.1f * (i % 3)) else Array(0f, 1f, 0.1f * (i % 3))
+      (i.toLong, base, lab)
+    }.toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.knnLabelVote(emb, maxQueryId = 30, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((0L, 0L) -> 15L, (1L, 1L) -> 15L))
+  }
+
+  // ---------------------------------------------------------------- audio
+
+  test("audioWindows: exact integer window features over the cleaned payload") {
+    // cleaned text = "abcd" repeated 20x => 80 chars => 3 windows (32/32/16)
+    val d = docs((1L, "aa", "s", "abcd" * 20))
+    val out = graft.operators.Multimodal.audioWindows(d).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    val per4 = 'a'.toInt + 'b'.toInt + 'c'.toInt + 'd'.toInt
+    assert(out(0L)._1 == 32L && out(0L)._2 == per4 * 8L && out(0L)._3 == 'd'.toInt.toLong)
+    assert(out(2L)._1 == 16L && out(2L)._2 == per4 * 4L)
+    val sq4 = Seq('a', 'b', 'c', 'd').map(c => c.toInt.toLong * c.toInt).sum
+    val rms0 = math.rint(math.sqrt(sq4 * 8.0 / 32.0) * 1e6) / 1e6
+    assert(math.abs(out(0L)._4 - rms0) < 1e-6)
+  }
+
+  test("audioWindows caps the row expansion at maxWin windows") {
+    val d = docs((1L, "aa", "s", "z" * 1000))
+    val n = graft.operators.Multimodal.audioWindows(d).count()
+    assert(n == 8L, "1000 chars at win=32 must cap at maxWin=8 windows")
+  }
+
+  // -------------------------------------------------------------- sketches
+
+  test("countMinErr never underestimates and reads back the top-k only") {
+    val rows = (0 until 30).map(i =>
+      (i.toLong, "aa", "s", s"tok${i % 7} tok${i % 3} filler"))
+    val out = graft.operators.Sketches.countMinErr(docs(rows: _*)).collect()
+    assert(out.length <= 20)
+    out.foreach { r =>
+      assert(r.getLong(3) >= 0L, "CMS must never underestimate")
+      assert(r.getLong(2) >= r.getLong(1))
+    }
+    // "filler" is in all 30 docs: its true count must surface exactly
+    val filler = out.find(_.getString(0) == "filler").get
+    assert(filler.getLong(1) == 30L)
+  }
+
+  /** Digit-free token names — cleanText strips digits, so "w1" and "w2"
+    * would collapse into the same token. */
+  private def lw(prefix: String, i: Int): String =
+    prefix + ('a' + i / 26).toChar + ('a' + i % 26).toChar
+
+  test("bloomFpr: probe set is member-sized, rates in range, bits bounded") {
+    val rows = (0 until 25).map(i =>
+      (i.toLong, "aa", "s", s"${lw("alpha", i)} ${lw("beta", i)}"))
+    val r = graft.operators.Sketches.bloomFpr(docs(rows: _*)).head()
+    val (nm, bits, probes, fp, fpr, theory) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))
+    assert(probes == nm && nm == 50L)
+    assert(bits <= math.min(4L * nm, 4096L))
+    assert(fp <= probes && fpr >= 0.0 && fpr <= 1.0)
+    assert(theory > 0.0 && theory < 1.0)
+  }
+
+  test("hllDet estimates the exact distinct count within sketch error") {
+    val rows = (0 until 60).map(i =>
+      (i.toLong, "aa", "s", s"${lw("word", i)} ${lw("word", i + 60)} common"))
+    val r = graft.operators.Sketches.hllDet(docs(rows: _*)).head()
+    val (nTrue, used, est, relErr) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    assert(nTrue == 121L)
+    assert(used <= 256L)
+    assert(math.abs(relErr) < 0.2, s"HLL rel_err $relErr out of range (est=$est)")
+  }
+
+  // ------------------------------------------------------------ permutation
+
+  test("permutationTest: a huge true effect is never matched by relabelings") {
+    val evs = (0 until 40).flatMap { u =>
+      val spend = if (u % 2 == 0) 10000.0 else 1.0
+      Seq((u.toLong * 100, u.toLong, "2024-01-01 00:00:00", "purchase", spend))
+    }
+    val df = evs.map { case (e, u, t, ty, v) =>
+      (e, u, java.sql.Timestamp.valueOf(t), ty, v, "{}") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = graft.operators.Relational.permutationTest(df).head()
+    assert(r.getLong(0) == 40L)
+    assert(r.getLong(2) == 200L)
+    assert(r.getDouble(4) <= 0.05, "p-value must be small for a 10000x effect")
+    val r2 = graft.operators.Relational.permutationTest(df).head()
+    assert(r.toSeq == r2.toSeq, "md5 permutations must be replay-identical")
+  }
+
+  // ---------------------------------------------------------- assortativity
+
+  test("tokenAssortativity: a star graph scores exactly -1") {
+    val rows = (0 until 5).flatMap(rep => (1 to 4).map(leaf =>
+      (rep.toLong * 10 + leaf, "aa", "s", s"hub leaf${('a' + leaf).toChar}")))
+    val r = graft.operators.Graph.tokenAssortativity(docs(rows: _*)).head()
+    assert(r.getLong(0) == 4L, "star K1,4 has 4 edges")
+    assert(r.getDouble(1) == -1.0)
+  }
+
+  test("tokenAssortativity: regular graphs have no degree variance -> NULL") {
+    val rows = (0 until 5).map(i => (i.toLong, "aa", "s", "x y z"))
+    val r = graft.operators.Graph.tokenAssortativity(docs(rows: _*)).head()
+    assert(r.getLong(0) == 3L, "triangle has 3 edges")
+    assert(r.isNullAt(1), "zero variance must yield NULL, not NaN")
+  }
+}
