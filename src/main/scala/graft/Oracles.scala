@@ -6594,6 +6594,39 @@ object Oracles {
         |  round(CAST(n_ge + 1 AS DOUBLE) / 201, 6) AS p_value
         |FROM obs CROSS JOIN ge""".stripMargin,
 
+    // heavy-changer census between the doc_id-parity corpus halves
+    "token_heavy_change" ->
+      s"""WITH tok AS (SELECT (doc_id % 2 = 0) AS old_half, unnest($toks) AS token
+         |             FROM documents),
+         |tot AS (SELECT CAST(sum(CASE WHEN old_half THEN 1 ELSE 0 END) AS BIGINT) AS tot_a,
+         |        CAST(sum(CASE WHEN NOT old_half THEN 1 ELSE 0 END) AS BIGINT) AS tot_b FROM tok),
+         |g AS (SELECT token,
+         |      CAST(sum(CASE WHEN old_half THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+         |      CAST(sum(CASE WHEN NOT old_half THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+         |      FROM tok GROUP BY 1)
+         |SELECT token, cnt_a, cnt_b,
+         |  round(CAST(cnt_a AS DOUBLE) / tot_a, 6) AS share_a,
+         |  round(CAST(cnt_b AS DOUBLE) / tot_b, 6) AS share_b,
+         |  round(CAST(cnt_b AS DOUBLE) / tot_b - CAST(cnt_a AS DOUBLE) / tot_a, 6) AS delta
+         |FROM g CROSS JOIN tot
+         |ORDER BY abs(delta) DESC, token
+         |LIMIT 10""".stripMargin,
+
+    // Tukey median polish of the nation x order-year revenue matrix
+    "median_polish" ->
+      """WITH cells AS (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |re AS (SELECT nation, quantile_cont(cents, 0.5) AS row_eff FROM cells GROUP BY 1),
+        |r1 AS (SELECT cells.nation, cells.yr, cells.cents, row_eff,
+        |       CAST(cents AS DOUBLE) - row_eff AS res1 FROM cells JOIN re USING (nation)),
+        |ce AS (SELECT yr, quantile_cont(res1, 0.5) AS col_eff FROM r1 GROUP BY 1)
+        |SELECT nation, r1.yr, cents, round(row_eff, 2) AS row_eff,
+        |  round(col_eff, 2) AS col_eff, round(res1 - col_eff, 2) AS resid
+        |FROM r1 JOIN ce ON r1.yr = ce.yr""".stripMargin,
+
     // Newman degree assortativity over the df/pair-gated token graph
     "token_assortativity" ->
       s"""WITH d AS (SELECT DISTINCT doc_id, token FROM $tokTable),

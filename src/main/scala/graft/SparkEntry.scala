@@ -902,6 +902,11 @@ object SparkEntry {
       Relational.permutationTest(events(s, d))),
     "token_assortativity" -> ((s, d) =>
       Graph.tokenAssortativity(spread(t(s, d, "documents")))),
+    "token_heavy_change" -> ((s, d) =>
+      TextOps.tokenHeavyChange(spread(t(s, d, "documents")))),
+    "median_polish" -> ((s, d) =>
+      Relational.medianPolish(t(s, d, "orders"), t(s, d, "customer"),
+        t(s, d, "nation"))),
     // C194: schema-evolution ingest — two parquet generations (v2 adds
     // lang + stars) read in one pass with mergeSchema; late columns
     // null-fill for early files. The oracle is DuckDB's union_by_name

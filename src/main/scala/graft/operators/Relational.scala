@@ -3399,6 +3399,40 @@ object Relational {
         round((col("n_ge") + 1L).cast("double") / (nPerms + 1), 6).as("p_value"))
   }
 
+  /** Tukey median polish of the nation × order-year revenue matrix
+    * (B227): one row sweep (per-nation median effect) and one column
+    * sweep (per-year median of the row-residuals) — the outlier-robust
+    * twin of a two-way ANOVA fit, read to ask "which (nation, year)
+    * cells still stick out after nation size and macro year are
+    * removed". Cell values are exact cents; each median interpolates at
+    * worst one halving, so every intermediate is an exact binary
+    * fraction and the 2 dp round is a dtype normalizer, not a seam.
+    * Scale shape: one corpus-sized aggregate to the calendar×dimension-
+    * bounded cell frame; both sweeps are tiny grouped medians. */
+  def medianPolish(orders: DataFrame, customer: DataFrame,
+                   nation: DataFrame): DataFrame = {
+    val cells = orders
+      .join(customer.select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        "o_custkey")
+      .join(broadcast(nation.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name"))), "c_nationkey")
+      .select(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy("nation", "yr").agg(sum(col("c")).as("cents"))
+    val rowEff = cells.groupBy("nation")
+      .agg(percentile(col("cents"), lit(0.5)).as("row_eff"))
+    val r1 = cells.join(broadcast(rowEff), "nation")
+      .withColumn("res1", col("cents").cast("double") - col("row_eff"))
+    val colEff = r1.groupBy("yr")
+      .agg(percentile(col("res1"), lit(0.5)).as("col_eff"))
+    r1.join(broadcast(colEff), "yr")
+      .select(col("nation"), col("yr"), col("cents"),
+        round(col("row_eff"), 2).as("row_eff"),
+        round(col("col_eff"), 2).as("col_eff"),
+        round(col("res1") - col("col_eff"), 2).as("resid"))
+  }
+
   /** Classical moving-average seasonal decomposition (B221): daily order
     * revenue split into trend + weekly seasonal + residual — the
     * textbook decompose-by-MA pass behind every "is this dip seasonal or

@@ -33,21 +33,33 @@ object Sketches {
                   k: Int = 20): DataFrame = {
     val cnt = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("true_cnt"))
-    val hashed = cnt
+    val top = cnt.orderBy(col("true_cnt").desc, col("token")).limit(k)
+    cmsEstimate(cmsCellsFromCounts(cnt, depth, width), top, depth, width)
+  }
+
+  /** The CMS cell frame off a (token, true_cnt) count frame — the
+    * associative partial the streaming incremental twin stores per
+    * micro-batch and merges by plain summation (shared here so the batch
+    * and streaming paths cannot drift). */
+  def cmsCellsFromCounts(cnt: DataFrame, depth: Int, width: Int): DataFrame =
+    cnt
       .select(col("token"), col("true_cnt"),
         explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
       .withColumn("bucket", h32(concat_ws(":", col("r"), col("token"))) % width)
-    val cells = hashed.groupBy("r", "bucket").agg(sum(col("true_cnt")).as("cell"))
-    val top = cnt
-      .orderBy(col("true_cnt").desc, col("token")).limit(k)
+      .groupBy("r", "bucket").agg(sum(col("true_cnt")).as("cell"))
+
+  /** Read back the sketch for a (token, true_cnt) probe frame:
+    * est(t) = min over rows of the probed cell. */
+  def cmsEstimate(cells: DataFrame, probes: DataFrame,
+                  depth: Int, width: Int): DataFrame =
+    probes
       .select(col("token"), col("true_cnt"),
         explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
       .withColumn("bucket", h32(concat_ws(":", col("r"), col("token"))) % width)
-    top.join(cells, Seq("r", "bucket"))
+      .join(cells, Seq("r", "bucket"))
       .groupBy("token", "true_cnt").agg(min(col("cell")).as("est_cnt"))
       .select(col("token"), col("true_cnt"), col("est_cnt"),
         (col("est_cnt") - col("true_cnt")).as("overcount"))
-  }
 
   /** Bloom-filter false-positive audit (C199): a k-hash/m-bit Bloom set
     * over the corpus vocabulary, probed with a guaranteed-disjoint query

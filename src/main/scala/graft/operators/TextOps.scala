@@ -3010,6 +3010,34 @@ object TextOps {
         round(col("cnt").cast("double") / col("n_tokens"), 6).as("share"))
   }
 
+  /** Heavy-changer census (B226): the tokens whose frequency SHARE moved
+    * most between the two corpus halves (doc_id parity as the then/now
+    * proxy; a dated corpus splits on time) — the drift question sketch
+    * literature calls heavy change detection, answered exactly. Both
+    * halves aggregate in ONE pass (conditional sums off the parity flag);
+    * delta ranks on its 6 dp-rounded value with a token tie-break, so the
+    * top-k heap is engine-deterministic. Everything after the token
+    * shuffle is vocab-bounded; the k-row result returns via TakeOrdered,
+    * never a full sort. */
+  def tokenHeavyChange(docs: DataFrame, k: Int = 10): DataFrame = {
+    val tok = docs.select((col("doc_id") % 2 === 0).as("old_half"),
+      explode(tokens(col("text"))).as("token"))
+    val tot = tok.agg(
+      sum(when(col("old_half"), 1L).otherwise(0L)).as("tot_a"),
+      sum(when(!col("old_half"), 1L).otherwise(0L)).as("tot_b"))
+    tok.groupBy("token")
+      .agg(sum(when(col("old_half"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(!col("old_half"), 1L).otherwise(0L)).as("cnt_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("token"), col("cnt_a"), col("cnt_b"),
+        round(col("cnt_a").cast("double") / col("tot_a"), 6).as("share_a"),
+        round(col("cnt_b").cast("double") / col("tot_b"), 6).as("share_b"),
+        round(col("cnt_b").cast("double") / col("tot_b")
+          - col("cnt_a").cast("double") / col("tot_a"), 6).as("delta"))
+      .orderBy(abs(col("delta")).desc, col("token"))
+      .limit(k)
+  }
+
   /** Per-source character-LM cross-entropy (B218): each source's cleaned
     * character distribution scored under the CORPUS character unigram LM
     * — cross-entropy H(p_src, p_corpus) and its decomposition into the

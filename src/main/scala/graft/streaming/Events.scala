@@ -518,6 +518,49 @@ object Events {
     checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** Streaming incremental Count-Min sketch (C201): the foreachBatch twin
+    * of [[graft.operators.Sketches.countMinErr]]'s sketch build. Each
+    * micro-batch writes its own width×depth-bounded CELL partial (the
+    * same [[graft.operators.Sketches.cmsCellsFromCounts]] frame the batch
+    * path uses, so the two cannot drift) into a batch_id-partitioned
+    * durable store; the published sketch is the plain per-(row, bucket)
+    * SUM of all partials — Count-Min's defining mergeability, exercised
+    * for real. A replayed batch dynamic-overwrites only its own
+    * partition, so the merged sketch is replay-idempotent by
+    * construction, and because cell addition is associative+commutative
+    * the merged sketch is BIT-identical to the batch build over the
+    * union of all micro-batches — no ordering assumption at all. */
+  def incrementalCms(docs: DataFrame, storeDir: String, outDir: String,
+                     depth: Int = 4, width: Int = 256,
+                     checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      cmsBatch(batch, batchId, storeDir, outDir, depth, width)
+    }
+    checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** The per-batch step, factored out so tests replay batches and assert
+    * bit-exact convergence with the batch sketch over the union. */
+  def cmsBatch(batch: DataFrame, batchId: Long, storeDir: String,
+               outDir: String, depth: Int = 4, width: Int = 256): Unit = {
+    val spark = batch.sparkSession
+    val cnt = batch
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("true_cnt"))
+    graft.operators.Sketches.cmsCellsFromCounts(cnt, depth, width)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(storeDir)
+    spark.read.parquet(storeDir)
+      .groupBy("r", "bucket").agg(sum(col("cell")).as("cell"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outDir)
+  }
+
   /** The per-batch step, factored out so tests replay batches and
     * assert bit-exact convergence with the batch operator. */
   def tokenAttritionBatch(batch: DataFrame, batchId: Long,

@@ -413,6 +413,50 @@ class StreamingSpec extends SparkSpec {
       sRows.select("user_id", "day_idx", "batch_id").distinct().count())
   }
 
+  test("incremental Count-Min: merged cells equal the batch sketch; replays converge") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    val (store, out) = (s"$base/cells", s"$base/sketch")
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    def mk(id: Long, text: String) = (id, text, "en", "s1", text.length.toLong)
+    val all = Seq(
+      mk(1L, "alpha beta gamma alpha"), mk(2L, "beta beta delta"),
+      // --- batch boundary ---
+      mk(3L, "alpha epsilon"), mk(4L, "gamma gamma gamma zeta"))
+    val b0 = all.take(2).toDF(cols: _*)
+    val b1 = all.drop(2).toDF(cols: _*)
+    Events.cmsBatch(b0, 0L, store, out)
+    Events.cmsBatch(b1, 1L, store, out)
+    // replay batch 1: its partial partition is replaced, not appended —
+    // the merged sketch is unchanged
+    Events.cmsBatch(b1, 1L, store, out)
+    val streamed = spark.read.parquet(out).filter(col("batch_id") === 1L)
+      .select("r", "bucket", "cell")
+      .as[(Int, Long, Long)].collect().toSet
+    val union = all.toDF(cols: _*)
+    val unionCnt = union
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("true_cnt"))
+    val batchCells = graft.operators.Sketches
+      .cmsCellsFromCounts(unionCnt, 4, 256)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed === batchCells,
+      "merged CMS cells must equal the batch sketch over the union exactly")
+    // the merged sketch answers point queries like the batch one: the
+    // full countMinErr readback off the merged cells matches the batch op
+    val top = unionCnt.orderBy(col("true_cnt").desc, col("token")).limit(20)
+    val mergedCells = spark.read.parquet(out).filter(col("batch_id") === 1L)
+      .select("r", "bucket", "cell")
+    val viaStream = graft.operators.Sketches
+      .cmsEstimate(mergedCells, top, 4, 256)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val viaBatch = graft.operators.Sketches.countMinErr(union)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(viaStream === viaBatch)
+    // gamma counted across both batches (1 + 3)
+    assert(viaBatch.exists { case (t, n, _, _) => t == "gamma" && n == 4L })
+    graft.CacheTracker.drainAll(spark)
+  }
+
   test("incremental token attrition: merged gate report equals the batch operator; replays converge") {
     val base = java.nio.file.Files.createTempDirectory("graft_tokattr").toString
     val (store, out) = (s"$base/store", s"$base/report")
