@@ -6627,6 +6627,49 @@ object Oracles {
         |  round(col_eff, 2) AS col_eff, round(res1 - col_eff, 2) AS resid
         |FROM r1 JOIN ce ON r1.yr = ce.yr""".stripMargin,
 
+    // Shapley split of curation-gate removals (coverage game: each
+    // removed doc credits 1/k to each of the k gates flagging it, kept
+    // exact in sixths)
+    "gate_shapley" ->
+      s"""WITH f0 AS (SELECT doc_id, n_chars, $qualitySql AS q,
+         |    CAST(len($toks) AS DOUBLE)
+         |      / CAST(nullif(len(list_distinct($toks)), 0) AS DOUBLE) AS rep
+         |    FROM documents),
+         |fl AS (SELECT
+         |    coalesce(n_chars < 100, true) AS f_short,
+         |    coalesce(q < CAST(0.3 AS DOUBLE), true) AS f_quality,
+         |    coalesce(rep > CAST(3.0 AS DOUBLE), false) AS f_rep FROM f0),
+         |fk AS (SELECT f_short, f_quality, f_rep,
+         |    (CASE WHEN f_short THEN 1 ELSE 0 END
+         |     + CASE WHEN f_quality THEN 1 ELSE 0 END
+         |     + CASE WHEN f_rep THEN 1 ELSE 0 END) AS k FROM fl),
+         |a AS (SELECT
+         |    CAST(coalesce(sum(CASE WHEN f_short THEN 1 ELSE 0 END), 0) AS BIGINT) AS short_n,
+         |    CAST(coalesce(sum(CASE WHEN f_short THEN 6 // k ELSE 0 END), 0) AS BIGINT) AS short_c,
+         |    CAST(coalesce(sum(CASE WHEN f_quality THEN 1 ELSE 0 END), 0) AS BIGINT) AS quality_n,
+         |    CAST(coalesce(sum(CASE WHEN f_quality THEN 6 // k ELSE 0 END), 0) AS BIGINT) AS quality_c,
+         |    CAST(coalesce(sum(CASE WHEN f_rep THEN 1 ELSE 0 END), 0) AS BIGINT) AS rep_n,
+         |    CAST(coalesce(sum(CASE WHEN f_rep THEN 6 // k ELSE 0 END), 0) AS BIGINT) AS rep_c,
+         |    CAST(coalesce(sum(CASE WHEN k > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed
+         |  FROM fk)
+         |SELECT gate, n_flagged, round(CAST(c AS DOUBLE) / 6.0, 6) AS shapley_docs,
+         |  n_removed FROM (
+         |  SELECT 'short' AS gate, short_n AS n_flagged, short_c AS c, n_removed FROM a
+         |  UNION ALL SELECT 'quality', quality_n, quality_c, n_removed FROM a
+         |  UNION ALL SELECT 'repetition', rep_n, rep_c, n_removed FROM a)""".stripMargin,
+
+    // bipartite projection: top-20 supplier pairs by shared distinct parts
+    "supplier_copart_pairs" ->
+      """WITH sp AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+        |gated AS (SELECT pk FROM (SELECT pk, count(*) AS n_supp FROM sp GROUP BY 1)
+        |          WHERE n_supp <= 50),
+        |d AS (SELECT sp.pk, sp.sk FROM sp JOIN gated USING (pk))
+        |SELECT a.sk AS s_a, b.sk AS s_b, count(*) AS n_shared
+        |FROM d a JOIN d b ON a.pk = b.pk AND a.sk < b.sk
+        |GROUP BY 1, 2
+        |ORDER BY n_shared DESC, s_a, s_b
+        |LIMIT 20""".stripMargin,
+
     // Newman degree assortativity over the df/pair-gated token graph
     "token_assortativity" ->
       s"""WITH d AS (SELECT DISTINCT doc_id, token FROM $tokTable),

@@ -907,6 +907,10 @@ object SparkEntry {
     "median_polish" -> ((s, d) =>
       Relational.medianPolish(t(s, d, "orders"), t(s, d, "customer"),
         t(s, d, "nation"))),
+    "gate_shapley" -> ((s, d) =>
+      TextOps.gateShapley(spread(t(s, d, "documents")))),
+    "supplier_copart_pairs" -> ((s, d) =>
+      Relational.supplierCopartPairs(t(s, d, "lineitem"))),
     // C194: schema-evolution ingest — two parquet generations (v2 adds
     // lang + stars) read in one pass with mergeSchema; late columns
     // null-fill for early files. The oracle is DuckDB's union_by_name

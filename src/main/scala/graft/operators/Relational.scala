@@ -3399,6 +3399,31 @@ object Relational {
         round((col("n_ge") + 1L).cast("double") / (nPerms + 1), 6).as("p_value"))
   }
 
+  /** Supplier co-supply pairs (C203): the bipartite projection of the
+    * (supplier, part) incidence onto suppliers — the top-20 supplier
+    * pairs by number of distinct parts both ship. The relational twin of
+    * the doc-token co-occurrence joins: one distinct (part, supplier)
+    * aggregate, a part-keyed self-join whose expansion is bounded by the
+    * per-part supplier-count gate (`maxSupp` caps the quadratic hub-part
+    * blowup the same way invertedIndex caps postings — a part shipped by
+    * everyone carries no pairing signal anyway), and a TakeOrdered heap
+    * for the k-row result. */
+  def supplierCopartPairs(lineitem: DataFrame, maxSupp: Int = 50,
+                          k: Int = 20): DataFrame = {
+    val sp = lineitem.select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct()
+    val gated = sp.groupBy("pk").agg(count(lit(1)).as("n_supp"))
+      .filter(col("n_supp") <= maxSupp)
+      .select("pk")
+    val d = sp.join(gated, Seq("pk"), "left_semi")
+    d.select(col("pk"), col("sk").as("s_a"))
+      .join(d.select(col("pk"), col("sk").as("s_b")), "pk")
+      .filter(col("s_a") < col("s_b"))
+      .groupBy("s_a", "s_b").agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col("s_a"), col("s_b"))
+      .limit(k)
+  }
+
   /** Tukey median polish of the nation × order-year revenue matrix
     * (B227): one row sweep (per-nation median effect) and one column
     * sweep (per-year median of the row-residuals) — the outlier-robust

@@ -107,24 +107,43 @@ object Sketches {
     * 256-bounded; the only corpus-sized pass is the distinct. */
   def hllDet(docs: DataFrame): DataFrame = {
     val m = 256
+    val regs = hllRegisters(docs)
+    val nTrue = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+      .agg(countDistinct(col("token")).as("n_true"))
+    val est = hllEstimate(regs).crossJoin(broadcast(nTrue))
+    est.select(col("n_true"), col("n_used").as("n_registers_used"),
+      round(col("estimate"), 6).as("estimate"),
+      // rel_err derives from the ROUNDED estimate so both engines
+      // compare post-round values, never raw last-bit doubles
+      round((round(col("estimate"), 6) - col("n_true")) / col("n_true"), 6)
+        .as("rel_err"))
+  }
+
+  /** The (reg, mx) register frame off a docs corpus — the associative
+    * partial the streaming incremental twin stores per micro-batch and
+    * merges by per-register MAX (shared so batch and streaming paths
+    * cannot drift). */
+  def hllRegisters(docs: DataFrame): DataFrame = {
     val h = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
       .distinct()
-      .select(col("token"), h32(col("token")).as("h"))
-      .select(col("token"), expr("h div 16777216").as("reg"),
-        (col("h") % 16777216L).as("w"))
+      .select(h32(col("token")).as("h"))
+      .select(expr("h div 16777216").as("reg"), (col("h") % 16777216L).as("w"))
       // rho = leading zeros in the 24-bit word + 1; bin() has no leading
       // zeros in either engine, so rho = 25 - len(bin(w)), w=0 -> 25
       .select(col("reg"),
         when(col("w") === 0L, lit(25L))
           .otherwise(lit(25L) - length(bin(col("w")))).as("rho"))
-    val regs = h.groupBy("reg").agg(max(col("rho")).as("mx"))
-    val zUsed = regs.agg(
-      count(lit(1)).as("n_used"),
-      sum(pow(lit(2.0), -col("mx"))).as("z_used"))
-    val nTrue = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
-      .agg(countDistinct(col("token")).as("n_true"))
+    h.groupBy("reg").agg(max(col("rho")).as("mx"))
+  }
+
+  /** One-row (n_used, estimate) readout off a register frame: the raw
+    * harmonic-mean estimate with the small-range linear-counting branch. */
+  def hllEstimate(regs: DataFrame): DataFrame = {
+    val m = 256
     val alpha = 0.7213 / (1.0 + 1.079 / m)
-    val est = zUsed.crossJoin(broadcast(nTrue))
+    regs.agg(
+        count(lit(1)).as("n_used"),
+        sum(pow(lit(2.0), -col("mx"))).as("z_used"))
       .withColumn("z", col("z_used") + (lit(m.toLong) - col("n_used")).cast("double"))
       .withColumn("e_raw", lit(alpha * m * m) / col("z"))
       .withColumn("v", lit(m.toLong) - col("n_used"))
@@ -132,11 +151,6 @@ object Sketches {
         when(col("e_raw") <= 2.5 * m && col("v") > 0L,
           lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
           .otherwise(col("e_raw")))
-    est.select(col("n_true"), col("n_used").as("n_registers_used"),
-      round(col("estimate"), 6).as("estimate"),
-      // rel_err derives from the ROUNDED estimate so both engines
-      // compare post-round values, never raw last-bit doubles
-      round((round(col("estimate"), 6) - col("n_true")) / col("n_true"), 6)
-        .as("rel_err"))
+      .select(col("n_used"), col("estimate"))
   }
 }

@@ -3038,6 +3038,40 @@ object TextOps {
       .limit(k)
   }
 
+  /** Shapley attribution of curation-gate removals (B228): when a doc is
+    * flagged by SEVERAL gates at once, the sequential attrition report
+    * ([[tokenAttrition]]) double-counts it against every gate; the
+    * Shapley value of the coverage game splits each removed doc EQUALLY
+    * among the gates that flag it, so the per-gate credits sum exactly
+    * to the number of docs removed — the fair answer to "which filter is
+    * actually responsible for our losses". For the three intrinsic gates
+    * the per-doc split is 1/k with k ∈ {1,2,3}; credits accumulate in
+    * exact SIXTHS (6/k is an integer), so the sum is order-independent
+    * and the one division rounds at 6 dp. One corpus pass, 3-row output. */
+  def gateShapley(docs: DataFrame): DataFrame = {
+    val f = attritionFlags(docs)
+      .withColumn("k",
+        col("f_short").cast("long") + col("f_quality").cast("long")
+          + col("f_rep").cast("long"))
+    def n(flag: Column) = coalesce(sum(flag.cast("long")), lit(0L))
+    def credit(flag: Column) =
+      coalesce(sum(when(flag, expr("6 div k")).otherwise(0L)), lit(0L))
+    // ONE corpus pass computes every gate's sums; the 3-row unpivot runs
+    // on the single-row aggregate
+    val a = f.agg(
+      n(col("f_short")).as("short_n"), credit(col("f_short")).as("short_c"),
+      n(col("f_quality")).as("quality_n"), credit(col("f_quality")).as("quality_c"),
+      n(col("f_rep")).as("rep_n"), credit(col("f_rep")).as("rep_c"),
+      coalesce(sum(when(col("k") > 0L, 1L).otherwise(0L)), lit(0L)).as("n_removed"))
+    def row(name: String, nc: String, cc: String) =
+      a.select(lit(name).as("gate"), col(nc).as("n_flagged"),
+        round(col(cc).cast("double") / 6.0, 6).as("shapley_docs"),
+        col("n_removed"))
+    row("short", "short_n", "short_c")
+      .unionByName(row("quality", "quality_n", "quality_c"))
+      .unionByName(row("repetition", "rep_n", "rep_c"))
+  }
+
   /** Per-source character-LM cross-entropy (B218): each source's cleaned
     * character distribution scored under the CORPUS character unigram LM
     * — cross-entropy H(p_src, p_corpus) and its decomposition into the

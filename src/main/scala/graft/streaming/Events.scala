@@ -561,6 +561,43 @@ object Events {
       .partitionBy("batch_id").parquet(outDir)
   }
 
+  /** Streaming incremental HyperLogLog (C202): the foreachBatch twin of
+    * [[graft.operators.Sketches.hllDet]]'s sketch build. Each micro-batch
+    * writes its own ≤256-row (reg, mx) register partial (the SAME
+    * [[graft.operators.Sketches.hllRegisters]] frame as the batch path)
+    * into a batch_id-partitioned durable store; the published sketch is
+    * the per-register MAX over all partials — HLL's defining
+    * mergeability. Max is associative, commutative AND idempotent, so
+    * the merged registers are bit-identical to the batch build over the
+    * union regardless of batch order or replays (dynamic overwrite keeps
+    * the store itself clean too). */
+  def incrementalHll(docs: DataFrame, storeDir: String, outDir: String,
+                     checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      hllBatch(batch, batchId, storeDir, outDir)
+    }
+    checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** The per-batch step, factored out so tests replay batches and assert
+    * bit-exact convergence with the batch sketch over the union. */
+  def hllBatch(batch: DataFrame, batchId: Long,
+               storeDir: String, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    graft.operators.Sketches.hllRegisters(batch)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(storeDir)
+    spark.read.parquet(storeDir)
+      .groupBy("reg").agg(max(col("mx")).as("mx"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outDir)
+  }
+
   /** The per-batch step, factored out so tests replay batches and
     * assert bit-exact convergence with the batch operator. */
   def tokenAttritionBatch(batch: DataFrame, batchId: Long,

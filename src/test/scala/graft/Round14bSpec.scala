@@ -305,4 +305,36 @@ class Round14bSpec extends SparkSpec {
     assert(r.getLong(0) == 3L, "triangle has 3 edges")
     assert(r.isNullAt(1), "zero variance must yield NULL, not NaN")
   }
+
+  // ----------------------------------------------------------- gate Shapley
+
+  test("gateShapley splits multi-gate removals fairly; credits sum to removals") {
+    val healthy = (0 until 60).map(i => lw("tok", i)).mkString(" ")
+    val d = docs(
+      (1L, "aa", "s", healthy),                  // passes all gates
+      (2L, "aa", "s", "tiny"),                   // short only
+      (3L, "aa", "s", ("rep " * 80).trim))       // short+quality+repetition? see below
+    val out = graft.operators.TextOps.gateShapley(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out.keySet == Set("short", "quality", "repetition"))
+    val removed = out.values.head._3
+    val creditSum = out.values.map(_._2).sum
+    assert(math.abs(creditSum - removed) < 1e-6,
+      s"Shapley credits ($creditSum) must sum to docs removed ($removed)")
+    out.values.foreach { case (n, c, _) => assert(c <= n + 1e-9) }
+  }
+
+  // ------------------------------------------------------ supplier co-parts
+
+  test("supplierCopartPairs counts shared parts, capped and ranked") {
+    val li = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),   // part 1 -> suppliers 10, 11, 12
+      (2L, 10L), (2L, 11L),              // part 2 -> suppliers 10, 11
+      (3L, 10L), (3L, 11L),              // part 3 -> suppliers 10, 11
+      (2L, 10L)                          // duplicate lineitem row: distinct-gated
+    ).toDF("l_partkey", "l_suppkey")
+    val out = graft.operators.Relational.supplierCopartPairs(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((10L, 11L) -> 3L, (10L, 12L) -> 1L, (11L, 12L) -> 1L))
+  }
 }

@@ -457,6 +457,41 @@ class StreamingSpec extends SparkSpec {
     graft.CacheTracker.drainAll(spark)
   }
 
+  test("incremental HLL: merged registers equal the batch sketch; replays converge") {
+    val base = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    val (store, out) = (s"$base/regs", s"$base/sketch")
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    def lw(i: Int) = s"w${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    def mk(id: Long, text: String) = (id, text, "en", "s1", text.length.toLong)
+    val all = Seq(
+      mk(1L, (0 until 40).map(lw).mkString(" ")),
+      // --- batch boundary --- (overlapping vocab: max-merge must dedup)
+      mk(2L, (20 until 70).map(lw).mkString(" ")))
+    val b0 = all.take(1).toDF(cols: _*)
+    val b1 = all.drop(1).toDF(cols: _*)
+    Events.hllBatch(b0, 0L, store, out)
+    Events.hllBatch(b1, 1L, store, out)
+    // replay batch 1: idempotent max-merge, registers unchanged
+    Events.hllBatch(b1, 1L, store, out)
+    val streamed = spark.read.parquet(out).filter(col("batch_id") === 1L)
+      .select("reg", "mx").as[(Long, Long)].collect().toSet
+    val union = all.toDF(cols: _*)
+    val batchRegs = graft.operators.Sketches.hllRegisters(union)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batchRegs,
+      "merged HLL registers must equal the batch sketch over the union exactly")
+    // the merged registers answer the estimate like the batch path
+    val mergedEst = graft.operators.Sketches
+      .hllEstimate(spark.read.parquet(out).filter(col("batch_id") === 1L)
+        .select("reg", "mx"))
+      .as[(Long, Double)].head()
+    val batchEst = graft.operators.Sketches.hllEstimate(
+      graft.operators.Sketches.hllRegisters(union))
+      .as[(Long, Double)].head()
+    assert(mergedEst === batchEst)
+    graft.CacheTracker.drainAll(spark)
+  }
+
   test("incremental token attrition: merged gate report equals the batch operator; replays converge") {
     val base = java.nio.file.Files.createTempDirectory("graft_tokattr").toString
     val (store, out) = (s"$base/store", s"$base/report")
