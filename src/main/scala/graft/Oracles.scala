@@ -6506,6 +6506,54 @@ object Oracles {
     // Hilbert layout key: 31 unrolled convert-and-rotate steps
     "hilbert_key" -> hilbertSql,
 
+    // typo-recovery probe: md5-chosen adjacent swap, best-JW match back
+    // against the vocabulary via DuckDB's own jaro_winkler_similarity —
+    // the oracle for the native JaroWinkler expression
+    "typo_recovery" ->
+      s"""WITH vocab AS (SELECT token
+         |  FROM (SELECT token, count(*) AS cnt FROM $tokTable GROUP BY 1)
+         |  WHERE cnt >= 2 AND length(token) >= 4),
+         |ty AS (SELECT token,
+         |  CAST(('0x' || substr(md5(token), 1, 8))::BIGINT % (length(token) - 1) + 1 AS INT) AS p
+         |  FROM vocab),
+         |typod AS (SELECT token,
+         |  substr(token, 1, p - 1) || substr(token, p + 1, 1)
+         |    || substr(token, p, 1) || substr(token, p + 2) AS typo
+         |  FROM ty),
+         |scored AS (SELECT t.token, t.typo, v.token AS cand,
+         |  round(jaro_winkler_similarity(t.typo, v.token), 6) AS jw
+         |  FROM typod t JOIN vocab v
+         |    ON substr(v.token, 1, 1) = substr(t.typo, 1, 1)
+         |    OR substr(v.token, 1, 1) = substr(t.typo, 2, 1)),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY token, typo
+         |       ORDER BY jw DESC, cand) AS rk FROM scored)
+         |SELECT token, typo, cand AS best_match, jw, cand = token AS recovered
+         |FROM rk WHERE rk = 1""".stripMargin,
+
+    // best single-token Gini splits against the language label
+    "gini_stump" ->
+      s"""WITH d AS (SELECT DISTINCT doc_id, lang, unnest($toks) AS token FROM documents),
+         |a AS (SELECT token, lang, count(*) AS a FROM d GROUP BY 1, 2),
+         |ln_ AS (SELECT lang, count(*) AS lang_n FROM documents GROUP BY 1),
+         |consts AS (SELECT CAST(sum(lang_n) AS BIGINT) AS n_docs,
+         |           sum(CAST(lang_n AS HUGEINT) * lang_n) AS l2 FROM ln_),
+         |pt AS (SELECT token, CAST(sum(a.a) AS BIGINT) AS n1,
+         |       sum(CAST(a.a AS HUGEINT) * a.a) AS aa,
+         |       sum(CAST(ln_.lang_n AS HUGEINT) * a.a) AS s
+         |       FROM a JOIN ln_ ON a.lang = ln_.lang GROUP BY 1
+         |       HAVING sum(a.a) >= 5)
+         |SELECT token, n1 AS df,
+         |  round(1.0
+         |    - CAST(aa AS DOUBLE) / (CAST(n1 AS DOUBLE) * n_docs)
+         |    - CAST(l2 - 2 * s + aa AS DOUBLE)
+         |      / (CAST(n_docs - n1 AS DOUBLE) * n_docs), 6) AS gini
+         |FROM pt CROSS JOIN consts
+         |WHERE n1 < n_docs
+         |ORDER BY gini ASC, token LIMIT 10""".stripMargin,
+
+    // MMR diversified top-5: unrolled greedy rounds over the cosine top-20
+    "mmr_rerank" -> mmrSql,
+
     // Count-Min sketch error census for the top-20 tokens
     "countmin_err" ->
       s"""WITH cnt AS (SELECT token, count(*) AS true_cnt FROM $tokTable GROUP BY 1),
@@ -6696,6 +6744,40 @@ object Oracles {
          |       ELSE NULL END AS assortativity
          |FROM m""".stripMargin
   )
+
+  /** Rounded cosine between two list columns (the annTopkSql fold shape,
+    * parametrized on the column names). */
+  private def cosSql(x: String, y: String): String =
+    s"""round(list_reduce(list_transform($x, (u, i) -> CAST(u AS DOUBLE) * CAST($y[i] AS DOUBLE)), (p, q) -> p + q)
+       |    / (sqrt(list_reduce(list_transform($x, u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE)), (p, q) -> p + q))
+       |       * sqrt(list_reduce(list_transform($y, u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE)), (p, q) -> p + q))), 6)""".stripMargin
+
+  /** MMR greedy rounds unrolled: sel1 = argmax λ·cosq; sel_i adds the
+    * argmax of λ·cosq − (1−λ)·max-sim-to-selected over the remaining
+    * candidates. Mirrors Similarity.mmrRerank (λ = 0.7, 20 candidates,
+    * 5 picks; every similarity rounded 6 dp at creation, ties → smaller
+    * id). */
+  private lazy val mmrSql: String = {
+    val steps = (2 to 5).map { i =>
+      s"""r$i AS (SELECT c.n_id, c.e, c.cosq,
+         |  (SELECT max(${cosSql("c.e", "s.e")}) FROM sel${i - 1} s) AS ms
+         |  FROM cand c WHERE c.n_id NOT IN (SELECT n_id FROM sel${i - 1})),
+         |s$i AS (SELECT CAST($i AS BIGINT) AS rnk, n_id, e,
+         |  round(0.7 * cosq - (1.0 - 0.7) * ms, 6) AS score
+         |  FROM r$i ORDER BY round(0.7 * cosq - (1.0 - 0.7) * ms, 6) DESC, n_id LIMIT 1),
+         |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
+    }
+    s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |c0 AS (SELECT vec_id AS n_id, embedding AS e,
+       |  ${cosSql("embedding", "q_emb")} AS cosq
+       |  FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
+       |cand AS (SELECT n_id, e, cosq FROM c0 ORDER BY cosq DESC, n_id LIMIT 20),
+       |s1 AS (SELECT CAST(1 AS BIGINT) AS rnk, n_id, e, round(0.7 * cosq, 6) AS score
+       |       FROM cand ORDER BY round(0.7 * cosq, 6) DESC, n_id LIMIT 1),
+       |sel1 AS (SELECT * FROM s1),
+       |${steps.mkString(",\n")}
+       |SELECT rnk, n_id, score FROM sel5""".stripMargin
+  }
 
   /** Hilbert xy→d oracle: the [[graft.functions.HilbertIndex]] walk
     * unrolled as one CTE per level (31 levels, top bit down). The

@@ -911,6 +911,12 @@ object SparkEntry {
       TextOps.gateShapley(spread(t(s, d, "documents")))),
     "supplier_copart_pairs" -> ((s, d) =>
       Relational.supplierCopartPairs(t(s, d, "lineitem"))),
+    "typo_recovery" -> ((s, d) =>
+      TextOps.typoRecovery(spread(t(s, d, "documents")))),
+    "gini_stump" -> ((s, d) =>
+      TfIdf.giniStump(spread(t(s, d, "documents")))),
+    "mmr_rerank" -> ((s, d) =>
+      Similarity.mmrRerank(t(s, d, "embeddings"))),
     // C194: schema-evolution ingest — two parquet generations (v2 adds
     // lang + stars) read in one pass with mergeSchema; late columns
     // null-fill for early files. The oracle is DuckDB's union_by_name

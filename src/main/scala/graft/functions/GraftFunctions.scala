@@ -45,6 +45,14 @@ object GraftFunctions {
   private val hilbertInfo = new ExpressionInfo(
     classOf[HilbertIndex].getCanonicalName, "graft_hilbert")
 
+  /** Jaro-Winkler similarity as a typed Column. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      JaroWinkler(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  private val jaroWinklerInfo = new ExpressionInfo(
+    classOf[JaroWinkler].getCanonicalName, "graft_jaro_winkler")
+
   /** Sorted-distinct-array Jaccard as a typed Column. */
   def jaccard(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -69,6 +77,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_morton expects exactly 2 arguments")
         MortonInterleave(children.head, children(1))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_jaro_winkler"), jaroWinklerInfo,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_jaro_winkler expects exactly 2 arguments")
+        JaroWinkler(children.head, children(1))
       })
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_hilbert"), hilbertInfo,
@@ -110,6 +124,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_morton expects exactly 2 arguments")
         MortonInterleave(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getCanonicalName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_jaro_winkler expects exactly 2 arguments")
+        JaroWinkler(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_hilbert"),

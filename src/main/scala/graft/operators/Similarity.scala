@@ -56,6 +56,51 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Maximal Marginal Relevance re-ranking (B231, Carbonell & Goldstein
+    * 1998): the diversified top-k every retrieval stack bolts onto its
+    * ANN results — greedily pick the candidate maximizing
+    * λ·sim(query, c) − (1−λ)·max_{s∈selected} sim(c, s), so near-
+    * duplicates of already-picked hits are skipped in favor of novel
+    * ones. Candidates are the exact cosine top-`nCand` (TakeOrdered);
+    * the greedy loop is `k` unrolled rounds over that ≤nCand-row frame
+    * (each a trivial anti-join + max-sim join + 1-row TakeOrdered, the
+    * bpe_train unrolled-round discipline with a localCheckpoint per
+    * pick so the plan stays linear). Every similarity rounds to 6 dp at
+    * creation and every score is one fixed-order expression on rounded
+    * inputs, ties to the smaller id — engine-deterministic. */
+  def mmrRerank(emb: DataFrame, queryId: Long = 0L, nCand: Int = 20,
+                k: Int = 5, lambda: Double = 0.7): DataFrame = {
+    val q = broadcast(emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb")))
+    val cand = emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(q)
+      .select(col("vec_id").as("n_id"), col("embedding").as("e"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cosq"))
+      .orderBy(col("cosq").desc, col("n_id")).limit(nCand)
+      .localCheckpoint(true)
+    val first = cand
+      .select(lit(1L).as("rnk"), col("n_id"), col("e"),
+        round(lit(lambda) * col("cosq"), 6).as("score"))
+      .orderBy(col("score").desc, col("n_id")).limit(1)
+      .localCheckpoint(true)
+    val sel = (2 to k).foldLeft(first) { (s, i) =>
+      val remaining = cand.join(s.select(col("n_id")), Seq("n_id"), "left_anti")
+      val ms = remaining.alias("c")
+        .crossJoin(broadcast(s.select(col("e").as("se"))))
+        .groupBy(col("c.n_id"))
+        .agg(org.apache.spark.sql.functions.first(col("c.cosq")).as("cosq"),
+          org.apache.spark.sql.functions.first(col("c.e")).as("e"),
+          max(round(cosine(col("c.e"), col("se")), 6)).as("ms"))
+      val pick = ms
+        .select(lit(i.toLong).as("rnk"), col("n_id"), col("e"),
+          round(lit(lambda) * col("cosq") - lit(1.0 - lambda) * col("ms"), 6)
+            .as("score"))
+        .orderBy(col("score").desc, col("n_id")).limit(1)
+      s.unionByName(pick).localCheckpoint(true)
+    }
+    sel.select(col("rnk"), col("n_id"), col("score"))
+  }
+
   /** k-NN majority-vote classification (B222): the zero-training
     * classifier every embedding column gets evaluated with before anyone
     * trains a head — each query vector takes its exact cosine top-k

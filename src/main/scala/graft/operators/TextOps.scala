@@ -3038,6 +3038,50 @@ object TextOps {
       .limit(k)
   }
 
+  /** Typo-recovery probe of fuzzy matching (B229): every vocabulary
+    * token gets a deterministic "typo" — the adjacent-character swap at
+    * an md5-chosen position — and is matched BACK against the vocabulary
+    * by the native codegen'd [[graft.functions.JaroWinkler]] expression
+    * (the matcher Spark doesn't ship; the oracle is DuckDB's own
+    * jaro_winkler_similarity). The readout is, per token: its typo form,
+    * the best-JW vocabulary match, and whether the original was
+    * recovered — the calibration run before anyone trusts a JW cutoff
+    * for OCR/typo normalization at scale.
+    *
+    * The match join is BLOCKED: a candidate's first character must be
+    * one of the typo's first two (an adjacent swap can only move the
+    * head character to slot 2), so the pair space stays near-linear in
+    * vocab size and provably still contains the original. Best match
+    * ranks on (jw desc, candidate asc) — engine-deterministic. */
+  def typoRecovery(docs: DataFrame, minDf: Int = 2): DataFrame = {
+    val vocab = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minDf && length(col("token")) >= 4)
+      .select("token")
+    val typod = vocab.select(col("token"),
+        (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long")
+          % (length(col("token")) - 1L) + 1L).cast("int").as("p"))
+      .select(col("token"),
+        concat(
+          substring(col("token"), lit(1), col("p") - 1),
+          substring(col("token"), col("p") + 1, lit(1)),
+          substring(col("token"), col("p"), lit(1)),
+          substring(col("token"), col("p") + 2, length(col("token")))).as("typo"))
+    val scored = typod
+      .join(vocab.select(col("token").as("cand")),
+        substring(col("cand"), 1, 1) === substring(col("typo"), 1, 1)
+          || substring(col("cand"), 1, 1) === substring(col("typo"), 2, 1))
+      .select(col("token"), col("typo"), col("cand"),
+        round(graft.functions.GraftFunctions.jaroWinkler(col("typo"), col("cand")), 6)
+          .as("jw"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("token", "typo").orderBy(col("jw").desc, col("cand"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("token"), col("typo"), col("cand").as("best_match"),
+        col("jw"), (col("cand") === col("token")).as("recovered"))
+  }
+
   /** Shapley attribution of curation-gate removals (B228): when a doc is
     * flagged by SEVERAL gates at once, the sequential attrition report
     * ([[tokenAttrition]]) double-counts it against every gate; the

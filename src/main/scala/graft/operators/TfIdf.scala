@@ -157,6 +157,44 @@ object TfIdf {
           6).as("mi"))
   }
 
+  /** Best decision stumps by Gini impurity (B230): for each candidate
+    * token, the weighted Gini of splitting the corpus on token PRESENCE
+    * against the language label — the single-feature tree learner whose
+    * top splits are what a GBDT's first iteration would pick, next to
+    * [[chi2Features]]/[[mutualInfoFeatures]] on the same margins. The
+    * weighted impurity reduces to the exact-integer algebra
+    * 1 − A/(n1·N) − B/(n0·N) with A = Σ_c a_c², B = Σ_c (n_c − a_c)²
+    * expanded as L2 − 2S + A (L2 = Σ n_c², S = Σ n_c·a_c), so both
+    * engines evaluate ONE fixed-order double expression over exact longs
+    * — no per-class fold ordering at all. Lowest impurity = best split;
+    * top-`k` through a TakeOrdered heap. */
+  def giniStump(docs: DataFrame, minDf: Int = 5, k: Int = 10): DataFrame = {
+    val d = docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+    val a = d.groupBy("token", "lang").agg(count(lit(1)).as("a"))
+    val langN = docs.groupBy("lang").agg(count(lit(1)).as("lang_n"))
+    val consts = langN.agg(
+      sum(col("lang_n")).as("n_docs"),
+      // squares widen BEFORE the product: class counts at corpus scale
+      // overflow a long when squared
+      sum(col("lang_n").cast("decimal(38,0)") * col("lang_n")).as("l2"))
+    val perTok = a.join(broadcast(langN), "lang")
+      .groupBy("token")
+      .agg(sum(col("a")).as("n1"),
+        sum(col("a").cast("decimal(38,0)") * col("a")).as("aa"),
+        sum(col("lang_n").cast("decimal(38,0)") * col("a")).as("s"))
+      .filter(col("n1") >= minDf)
+    perTok.crossJoin(broadcast(consts))
+      .filter(col("n1") < col("n_docs"))
+      .select(col("token"), col("n1").as("df"),
+        round(lit(1.0)
+          - col("aa").cast("double") / (col("n1").cast("double") * col("n_docs"))
+          - (col("l2") - lit(2) * col("s") + col("aa")).cast("double")
+            / ((col("n_docs") - col("n1")).cast("double") * col("n_docs")), 6)
+          .as("gini"))
+      .orderBy(col("gini").asc, col("token")).limit(k)
+  }
+
   /** Top-k keyword extraction per document by TF-IDF (B77): the
     * classic "what is this document about" summarizer. Runs through the
     * custom TopKPerKey heap operator — per-doc candidate pruning in the

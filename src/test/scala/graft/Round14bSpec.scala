@@ -326,6 +326,83 @@ class Round14bSpec extends SparkSpec {
 
   // ------------------------------------------------------ supplier co-parts
 
+  // ------------------------------------------------------------ JaroWinkler
+
+  test("JaroWinkler matches DuckDB's reference values exactly") {
+    // values read off DuckDB's jaro_winkler_similarity (the oracle fn)
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("dwayne", "duane", 0.8400000000000001),
+      ("abcdef", "bcadef", 0.9444444444444445), // odd mismatch count: floor t/2
+      ("crate", "trace", 0.7333333333333334),
+      ("abc", "abc", 1.0), ("", "abc", 0.0), ("a", "b", 0.0), ("abc", "bca", 0.0))
+    cases.foreach { case (a, b, want) =>
+      val got = graft.functions.JaroWinkler.compute(a, b)
+      assert(got == want, s"jw($a, $b) = $got, want $want")
+    }
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT graft_jaro_winkler('martha', 'marhta') AS j")
+      .head().getDouble(0)
+    assert(viaSql == 0.9611111111111111)
+  }
+
+  test("typoRecovery recovers distinctive tokens and reports the swap") {
+    val d = docs(
+      (1L, "aa", "s", "distinctive wordforms appear here"),
+      (2L, "aa", "s", "distinctive wordforms appear there"))
+    val out = graft.operators.TextOps.typoRecovery(d).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getBoolean(4)))
+      .toMap
+    // every df>=2 len>=4 token is probed ("here"/"there" are df=1), its
+    // typo differs, and the best match recovers the original
+    assert(out.keySet == Set("distinctive", "wordforms", "appear"))
+    out.foreach { case (tok, (typo, best, rec)) =>
+      // a swap landing on a doubled letter legitimately leaves the token
+      // unchanged ("appear" -> "appear"); it is still a transposition
+      assert(typo.sorted == tok.sorted, "typo is a transposition")
+      assert(rec && best == tok, s"$tok not recovered (best=$best)")
+    }
+    assert(out.exists { case (tok, (typo, _, _)) => typo != tok },
+      "at least one probe actually moved characters")
+  }
+
+  // ------------------------------------------------------------- gini stump
+
+  test("giniStump ranks a perfect splitter at zero impurity") {
+    val rows = (0 until 5).map(i => (i.toLong, "aa", "s", "zebra noise")) ++
+      (5 until 10).map(i => (i.toLong, "bb", "s", "plain noise"))
+    val out = graft.operators.TfIdf.giniStump(docs(rows: _*)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+    // zebra and plain split perfectly (gini 0); noise is in every doc -> dropped
+    assert(out.take(2).map(_._1).toSet == Set("zebra", "plain"))
+    out.take(2).foreach { case (_, (df, g)) => assert(df == 5L && g == 0.0) }
+    assert(!out.exists(_._1 == "noise"))
+  }
+
+  // -------------------------------------------------------------------- MMR
+
+  test("mmrRerank diversifies: the near-duplicate of pick 1 is deferred") {
+    // q at 0°; twins at +40° (mutual sim ~1), a diverse hit at -40°
+    // (same cosq as the twins, but nearly orthogonal to them: cos 80°).
+    // MMR must pick twin A (cosq tie -> smaller id), then the diverse
+    // vector (0.7·0.766 - 0.3·0.17 beats the twin's 0.7·0.766 - 0.3·1),
+    // then twin B over the weak 4th candidate.
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(0.766f, 0.643f, 0f), 0),      // twin A
+      (2L, Array(0.766f, 0.643f, 0.001f), 0),  // twin B (near-dup of A)
+      (3L, Array(0.766f, -0.643f, 0f), 1),     // diverse, same cosq
+      (4L, Array(0.5f, -0.5f, 0.7f), 1)        // weak
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.mmrRerank(emb, queryId = 0L,
+        nCand = 4, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 3L, 3L -> 2L),
+      s"MMR order must defer the twin: got $out")
+  }
+
   test("supplierCopartPairs counts shared parts, capped and ranked") {
     val li = Seq(
       (1L, 10L), (1L, 11L), (1L, 12L),   // part 1 -> suppliers 10, 11, 12
