@@ -83,4 +83,20 @@ object Graft {
 
   /** All registered query keys (the library's coverage inventory). */
   def queryNames: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
+
+  /** Pipeline observability via Dataset.observe (C206): attach named
+    * metric expressions that the engine computes AS the job runs — zero
+    * extra passes, unlike a separate .agg() action — and read them back
+    * from the returned Observation after any action on the returned
+    * frame. The production shape for row-count / null-count / checksum
+    * assertions on a 100 TB write: the metrics ride the existing scan.
+    * Metrics must be aggregates over the observed frame; the Observation
+    * blocks until the action that materializes them completes. */
+  def observed(df: DataFrame, metrics: (String, org.apache.spark.sql.Column)*)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(metrics.nonEmpty, "observed() needs at least one metric")
+    val obs = org.apache.spark.sql.Observation("graft_obs")
+    val cols = metrics.map { case (n, c) => c.as(n) }
+    (df.observe(obs, cols.head, cols.tail: _*), obs)
+  }
 }

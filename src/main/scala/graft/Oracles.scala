@@ -2264,6 +2264,17 @@ object Oracles {
          |FROM events GROUP BY event_type""".stripMargin
     },
 
+    // VariantType path over the same props JSON: missing/mistyped keys
+    // degrade to NULL (n_missing), stats match the from_json twin
+    "props_variant" -> {
+      val k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+      s"""SELECT event_type, count(*) AS n_events,
+         |  CAST(sum(CASE WHEN $k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+         |  CAST(sum($k) AS BIGINT) AS sum_k, min($k) AS min_k, max($k) AS max_k,
+         |  round(avg($k), 6) AS avg_k
+         |FROM events GROUP BY event_type""".stripMargin
+    },
+
     // plain BETWEEN join — the declarative twin of Relational.rangeJoin's
     // two-bin bucketed shape; same pairs by construction
     "range_join" ->

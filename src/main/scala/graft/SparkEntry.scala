@@ -917,6 +917,8 @@ object SparkEntry {
       TfIdf.giniStump(spread(t(s, d, "documents")))),
     "mmr_rerank" -> ((s, d) =>
       Similarity.mmrRerank(t(s, d, "embeddings"))),
+    "props_variant" -> ((s, d) =>
+      Relational.propsVariant(events(s, d))),
     // C194: schema-evolution ingest — two parquet generations (v2 adds
     // lang + stars) read in one pass with mergeSchema; late columns
     // null-fill for early files. The oracle is DuckDB's union_by_name

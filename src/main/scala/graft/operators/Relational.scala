@@ -1048,6 +1048,28 @@ object Relational {
         max(col("k")).as("max_k"),
         round(avg(col("k")), 6).as("avg_k"))
 
+  /** Semi-structured props through Spark 4's VARIANT type (C204): the
+    * same per-type k-statistics as [[propsExtract]], but routed through
+    * parse_json → VariantType → try_variant_get instead of a fixed
+    * from_json schema — the open-schema path for event properties whose
+    * keys drift across producers. At scale this is the difference
+    * between re-inferring/declaring a struct schema per ingest and
+    * storing the binary variant once, shredding fields on read;
+    * try_variant_get degrades missing/mistyped keys to NULL instead of
+    * failing the batch. */
+  def propsVariant(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        try_variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        round(avg(col("k")), 6).as("avg_k"))
+
   /** Trailing exponentially-weighted moving average per user (C74) —
     * the smoothed-spend baseline next to [[eventsAnomaly]]'s z-score:
     * each event's EWMA over the user's last `lookback` events with

@@ -71,13 +71,19 @@ object Events {
     * columns and `user_id`/`c_user_id` keys (pre-renamed: stream-stream
     * joins reject ambiguous columns). */
   def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
-                        lookback: String = "30 minutes"): DataFrame = {
+                        lookback: String = "30 minutes",
+                        joinType: String = "inner"): DataFrame = {
     val p = if (purchases.isStreaming) purchases.withWatermark("p_ts", "1 hour")
             else purchases
     val c = if (clicks.isStreaming) clicks.withWatermark("c_ts", "2 hours")
             else clicks
+    // joinType "left_outer" (C205): purchases with NO click in the window
+    // still emit — with nulls on the click side — but only once the click
+    // watermark passes the window's end, i.e. once no future click can
+    // match; that watermark gate is what keeps outer state finite
     p.join(c, expr(
-      s"user_id = c_user_id AND c_ts >= p_ts - interval $lookback AND c_ts <= p_ts"))
+      s"user_id = c_user_id AND c_ts >= p_ts - interval $lookback AND c_ts <= p_ts"),
+      joinType)
   }
 
   /** Idempotent micro-batch parquet sink (C33): foreachBatch tags every

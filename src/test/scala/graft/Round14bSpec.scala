@@ -403,6 +403,20 @@ class Round14bSpec extends SparkSpec {
       s"MMR order must defer the twin: got $out")
   }
 
+  // ---------------------------------------------------------- observability
+
+  test("Graft.observed reads metrics off the running job, matching a real agg") {
+    val d = docs((1L, "aa", "s", "one two"), (2L, "bb", "s", "three"),
+      (3L, "aa", "s", ""))
+    val (framed, obs) = Graft.observed(d,
+      "n_rows" -> count(lit(1)),
+      "n_empty" -> sum(when(length(col("text")) === 0, 1L).otherwise(0L)),
+      "chars" -> sum(col("n_chars")))
+    framed.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("n_rows") == 3L && m("n_empty") == 1L && m("chars") == 12L)
+  }
+
   test("supplierCopartPairs counts shared parts, capped and ranked") {
     val li = Seq(
       (1L, 10L), (1L, 11L), (1L, 12L),   // part 1 -> suppliers 10, 11, 12

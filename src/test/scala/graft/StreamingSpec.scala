@@ -383,6 +383,45 @@ class StreamingSpec extends SparkSpec {
     assert(batch === Set((900L, 100L), (900L, 101L)))
   }
 
+  test("stream-stream LEFT OUTER interval join emits unmatched purchases after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = Seq(
+      (Timestamp.valueOf("2024-01-01 10:30:00"), 1L, 900L), // has clicks
+      (Timestamp.valueOf("2024-01-01 12:00:00"), 1L, 901L), // no click in window
+      (Timestamp.valueOf("2024-01-01 10:30:00"), 2L, 902L)) // user 2: click AFTER
+    val clicks = Seq(
+      (Timestamp.valueOf("2024-01-01 10:10:00"), 1L, 100L),
+      (Timestamp.valueOf("2024-01-01 10:31:00"), 2L, 103L))
+    val pStream = MemoryStream[(Timestamp, Long, Long)]
+    val cStream = MemoryStream[(Timestamp, Long, Long)]
+    pStream.addData(purchases: _*)
+    cStream.addData(clicks: _*)
+    val q = Events.purchaseClickJoin(
+        pStream.toDF().toDF("p_ts", "user_id", "purchase_id"),
+        cStream.toDF().toDF("c_ts", "c_user_id", "click_id"),
+        joinType = "left_outer")
+      .select(col("purchase_id"), col("click_id"))
+      .writeStream.format("memory").queryName("ss_louter").outputMode("append").start()
+    q.processAllAvailable()
+    // advance BOTH watermarks far past every buffered purchase so the
+    // engine can prove no future click matches and release the null rows
+    pStream.addData((Timestamp.valueOf("2024-01-02 12:00:00"), 9L, 999L))
+    cStream.addData((Timestamp.valueOf("2024-01-02 12:00:00"), 9L, 199L))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ss_louter")
+      .filter(col("purchase_id") < 999L)
+      .as[(Long, Option[Long])].collect().toSet
+    val batch = Events.purchaseClickJoin(
+        purchases.toDF("p_ts", "user_id", "purchase_id"),
+        clicks.toDF("c_ts", "c_user_id", "click_id"),
+        joinType = "left_outer")
+      .select(col("purchase_id"), col("click_id"))
+      .as[(Long, Option[Long])].collect().toSet
+    assert(streamed === batch, "left-outer streaming join must equal the batch twin")
+    assert(batch === Set((900L, Some(100L)), (901L, None), (902L, None)))
+  }
+
   test("incremental agg view: merged partials equal the batch recompute and replays converge") {
     val base = java.nio.file.Files.createTempDirectory("graft_aggview").toString
     val (store, out) = (s"$base/store", s"$base/view")
