@@ -156,6 +156,41 @@ object ScaleCheck {
           s""""chrf_pairs":{"sec":$tChrf,"pairs":$nChrf}}""")
         docs.unpersist()
         graft.CacheTracker.drainAll(spark)
+      } else if (sections.contains("r14c")) {
+        // round-14b sketch + resample rows. Under m-way duplication the
+        // vocabulary is INVARIANT, so: hll_det's estimate must be
+        // bit-identical across m (registers depend only on the distinct
+        // set) with cost tracking the scan; countmin_err's cell frame
+        // stays width·depth-bounded while its top-20 overestimates scale
+        // exactly ×m (counts do); typo_recovery is vocab-bounded flat
+        // past the scan floor; bootstrap_ci's draw frame is reps·rows —
+        // honestly linear in m, the stated output-bound cost.
+        val docs = multiplyDocs(docs0, m)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs.count()
+        val tH0 = System.nanoTime()
+        val hll = graft.operators.Sketches.hllDet(docs)
+        hll.write.format("noop").mode("overwrite").save()
+        val tHll = (System.nanoTime() - tH0) / 1e9
+        val hRow = hll.head()
+        graft.CacheTracker.releaseAll()
+        val tC0 = System.nanoTime()
+        val cms = graft.operators.Sketches.countMinErr(docs)
+        cms.write.format("noop").mode("overwrite").save()
+        val tCms = (System.nanoTime() - tC0) / 1e9
+        val maxOver = cms.agg(max(col("overcount"))).head.getLong(0)
+        graft.CacheTracker.releaseAll()
+        val (tTypo, nTypo) = timedForce(graft.operators.TextOps.typoRecovery(docs))
+        graft.CacheTracker.releaseAll()
+        val (tBoot, nBoot) = timedForce(graft.operators.Eval.bootstrapCi(docs))
+        graft.CacheTracker.releaseAll()
+        println(s"""{"m":$m,"docs":${docs.count()},""" +
+          s""""hll_det":{"sec":$tHll,"n_true":${hRow.getLong(0)},"estimate":${hRow.getDouble(2)}},""" +
+          s""""countmin_err":{"sec":$tCms,"max_overcount":$maxOver},""" +
+          s""""typo_recovery":{"sec":$tTypo,"rows":$nTypo},""" +
+          s""""bootstrap_ci":{"sec":$tBoot,"rows":$nBoot}}""")
+        docs.unpersist()
+        graft.CacheTracker.drainAll(spark)
       } else if (sections.contains("r14b")) {
         // the nano-unit partial-agg rewrite (docEmbedHash / topicLabels
         // token mass): under m-way duplication the exploded contribution
