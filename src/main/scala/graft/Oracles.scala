@@ -2275,6 +2275,12 @@ object Oracles {
          |FROM events GROUP BY event_type""".stripMargin
     },
 
+    // DSv2 generator-table ingest: the same md5 formula over range()
+    "hashgen_ingest" ->
+      """SELECT i AS id, md5(CAST(i AS VARCHAR)) AS doc,
+        |  (['aa', 'bb', 'cc', 'dd', 'ee'])[CAST(i % 5 AS INT) + 1] AS lang
+        |FROM range(100, 900) t(i)""".stripMargin,
+
     // plain BETWEEN join — the declarative twin of Relational.rangeJoin's
     // two-bin bucketed shape; same pairs by construction
     "range_join" ->

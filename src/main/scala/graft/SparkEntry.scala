@@ -919,6 +919,15 @@ object SparkEntry {
       Similarity.mmrRerank(t(s, d, "embeddings"))),
     "props_variant" -> ((s, d) =>
       Relational.propsVariant(events(s, d))),
+    // C207: DataSource V2 generator table — the id-range filter pushes
+    // into the scan (partitions outside [100, 900) are never planned)
+    // and the projection prunes generation; values are md5-formula
+    // deterministic, so DuckDB reproduces them from range()
+    "hashgen_ingest" -> ((s, _) =>
+      s.read.format(classOf[graft.sources.HashGen].getName)
+        .option("rows", "1000").option("partitions", "8").load()
+        .filter(col("id") >= 100L && col("id") < 900L)
+        .select(col("id"), col("doc"), col("lang"))),
     // C194: schema-evolution ingest — two parquet generations (v2 adds
     // lang + stars) read in one pass with mergeSchema; late columns
     // null-fill for early files. The oracle is DuckDB's union_by_name

@@ -403,6 +403,31 @@ class Round14bSpec extends SparkSpec {
       s"MMR order must defer the twin: got $out")
   }
 
+  // ----------------------------------------------------------------- DSv2
+
+  test("HashGen DSv2 source: deterministic values, pushdown narrows the scan") {
+    val df = spark.read.format(classOf[graft.sources.HashGen].getName)
+      .option("rows", "1000").option("partitions", "8").load()
+    // values follow the shared formula
+    val r = df.filter(col("id") === 7L).head()
+    assert(r.getString(1) == graft.sources.HashGen.doc(7L))
+    assert(r.getString(2) == graft.sources.HashGen.lang(7L))
+    // id-range pushdown narrows the generated interval BEFORE planning:
+    // a 1-row range plans exactly one partition
+    val narrow = df.filter(col("id") >= 999L)
+    assert(narrow.count() == 1L)
+    assert(narrow.rdd.getNumPartitions == 1,
+      "pushed range must shrink planned partitions")
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(plan.contains("hashgen range [999, 1000)"), s"scan not narrowed:\n$plan")
+    // column pruning reaches the scan: a doc-free projection never
+    // generates doc
+    val pruned = df.select("id").queryExecution.executedPlan.toString
+    assert(pruned.contains("cols=id"), s"projection not pruned:\n$pruned")
+    // unpushable predicates are re-evaluated above the scan, not lost
+    assert(df.filter(col("lang") === "aa").count() == 200L)
+  }
+
   // ---------------------------------------------------------- observability
 
   test("Graft.observed reads metrics off the running job, matching a real agg") {
