@@ -71,12 +71,17 @@ object Sketches {
     * The bit array is an honest distributed set (distinct positions
     * frame), members and probes stream through the same md5 positions;
     * a probe false-positives iff all k of its positions are set. */
+  /** The k md5 bit positions per member token — shared with the
+    * streaming incremental twin so the two filters cannot drift. */
+  def bloomPositions(tokens: DataFrame, kHashes: Int, mBits: Int): DataFrame =
+    tokens
+      .select(col("token"), explode(expr(s"sequence(0, ${kHashes - 1})")).as("i"))
+      .withColumn("pos", h32(concat_ws(":", col("i"), col("token"))) % mBits)
+
   def bloomFpr(docs: DataFrame, kHashes: Int = 4, mBits: Int = 4096): DataFrame = {
     val members = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
       .distinct()
-    def positions(df: DataFrame) = df
-      .select(col("token"), explode(expr(s"sequence(0, ${kHashes - 1})")).as("i"))
-      .withColumn("pos", h32(concat_ws(":", col("i"), col("token"))) % mBits)
+    def positions(df: DataFrame) = bloomPositions(df, kHashes, mBits)
     val bits = positions(members).select("pos").distinct()
     val probeHits = positions(members.select(concat(col("token"), lit("_q")).as("token")))
       .join(bits, Seq("pos"), "left_semi")

@@ -586,6 +586,46 @@ object Events {
     checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** Streaming incremental Bloom filter (C209): the third merge algebra
+    * of the sketch family — CMS merges by SUM, HLL by MAX, Bloom by set
+    * UNION (distinct of the per-batch position sets). Each micro-batch
+    * writes its members' bit positions (the SAME md5 positions the batch
+    * [[graft.operators.Sketches.bloomFpr]] derives) into a batch_id-
+    * partitioned store; the published filter is the distinct position
+    * set. Union is associative, commutative and idempotent, so merge
+    * order and replays cannot matter; a probe against the merged filter
+    * answers exactly as against the batch-built filter over the union. */
+  def incrementalBloom(docs: DataFrame, storeDir: String, outDir: String,
+                       kHashes: Int = 4, mBits: Int = 4096,
+                       checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      bloomBatch(batch, batchId, storeDir, outDir, kHashes, mBits)
+    }
+    checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** The per-batch step, factored out so tests replay batches and assert
+    * bit-exact convergence with the batch-built bit set over the union. */
+  def bloomBatch(batch: DataFrame, batchId: Long, storeDir: String,
+                 outDir: String, kHashes: Int = 4, mBits: Int = 4096): Unit = {
+    val spark = batch.sparkSession
+    graft.operators.Sketches.bloomPositions(
+        batch.select(explode(graft.operators.TextOps.tokens(col("text"))).as("token"))
+          .distinct(), kHashes, mBits)
+      .select("pos").distinct()
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(storeDir)
+    spark.read.parquet(storeDir)
+      .select("pos").distinct()
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outDir)
+  }
+
   /** The per-batch step, factored out so tests replay batches and assert
     * bit-exact convergence with the batch sketch over the union. */
   def hllBatch(batch: DataFrame, batchId: Long,

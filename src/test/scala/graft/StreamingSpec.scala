@@ -496,6 +496,70 @@ class StreamingSpec extends SparkSpec {
     graft.CacheTracker.drainAll(spark)
   }
 
+  test("streaming native session_window agg equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")),
+      (1L, ts("2024-01-01 12:00:00")),                    // new session (gap > 30m)
+      (2L, ts("2024-01-01 10:05:00")))
+    val st = MemoryStream[(Long, Timestamp)]
+    st.addData(rows: _*)
+    val q = st.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+      .writeStream.format("memory").queryName("sw_native").outputMode("append").start()
+    q.processAllAvailable()
+    // sessions emit only once the watermark passes their close: push it
+    st.addData((9L, ts("2024-01-02 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sw_native").filter(col("user_id") < 9L)
+      .as[(Long, Timestamp, Long)].collect().toSet
+    val batch = rows.toDF("user_id", "ts")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+      .as[(Long, Timestamp, Long)].collect().toSet
+    assert(streamed === batch, "streaming session_window must equal the batch twin")
+    assert(batch.map(r => (r._1, r._3)) === Set((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("incremental Bloom: merged bit set equals the batch filter; replays converge") {
+    val base = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    val (store, out) = (s"$base/pos", s"$base/filter")
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    def lw(i: Int) = s"m${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    def mk(id: Long, text: String) = (id, text, "en", "s1", text.length.toLong)
+    val all = Seq(
+      mk(1L, (0 until 30).map(lw).mkString(" ")),
+      // --- batch boundary (overlapping vocab: union merge must dedup)
+      mk(2L, (15 until 50).map(lw).mkString(" ")))
+    val b0 = all.take(1).toDF(cols: _*)
+    val b1 = all.drop(1).toDF(cols: _*)
+    Events.bloomBatch(b0, 0L, store, out)
+    Events.bloomBatch(b1, 1L, store, out)
+    // replay batch 1: idempotent union, filter unchanged
+    Events.bloomBatch(b1, 1L, store, out)
+    val streamed = spark.read.parquet(out).filter(col("batch_id") === 1L)
+      .select("pos").as[Long].collect().toSet
+    val union = all.toDF(cols: _*)
+    val batchBits = graft.operators.Sketches.bloomPositions(
+        union.select(explode(graft.operators.TextOps.tokens(col("text"))).as("token"))
+          .distinct(), 4, 4096)
+      .select("pos").distinct().as[Long].collect().toSet
+    assert(streamed === batchBits,
+      "merged Bloom bit set must equal the batch filter over the union exactly")
+    // a member probes positive against the merged filter
+    val memberPos = graft.operators.Sketches.bloomPositions(
+        Seq(lw(20)).toDF("token"), 4, 4096)
+      .select("pos").as[Long].collect().toSet
+    assert(memberPos.subsetOf(streamed), "member token must probe positive")
+    graft.CacheTracker.drainAll(spark)
+  }
+
   test("incremental HLL: merged registers equal the batch sketch; replays converge") {
     val base = java.nio.file.Files.createTempDirectory("graft_hll").toString
     val (store, out) = (s"$base/regs", s"$base/sketch")
