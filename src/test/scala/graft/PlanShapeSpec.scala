@@ -276,6 +276,33 @@ class PlanShapeSpec extends SparkSpec {
     graft.CacheTracker.drainAll(spark)
   }
 
+  test("round-14b additions keep their scale shapes") {
+    // hilbert_key is a narrow projection: only the spread() round-robin
+    val hk = plan("hilbert_key")
+    assert("Exchange".r.findAllIn(hk).size <= 1,
+      s"hilbert_key must stay a narrow projection\n${hk.take(400)}")
+    // the sketch builds aggregate exploded tokens; no pair joins, no
+    // windows — their cell/register frames are bounded, so any sort-merge
+    // join appearing here would be a regression
+    for (key <- Seq("countmin_err", "hll_det")) {
+      val p = plan(key)
+      assert(!p.contains("SortMergeJoin"),
+        s"$key: bounded sketch frames must broadcast, not SMJ\n${p.take(400)}")
+      assert(!p.contains("CartesianProduct"), s"$key: no cartesian")
+    }
+    // knn_label_vote rides annTopK's broadcast nested loop (query side
+    // tiny) — the corpus must never shuffle for the scoring join
+    val knn = plan("knn_label_vote")
+    assert(knn.contains("BroadcastNestedLoopJoin"),
+      s"knn_label_vote must broadcast the query side\n${knn.take(400)}")
+    // gate_shapley is ONE corpus aggregate + a 3-row unpivot: the corpus
+    // contributes exactly one exchange (plus the spread round-robin)
+    val gs = plan("gate_shapley")
+    assert(exchanges(gs) <= 1,
+      s"gate_shapley must stay a single corpus aggregate\n${gs.take(400)}")
+    graft.CacheTracker.drainAll(spark)
+  }
+
   test("join hints are honored: broadcast vs merge on the same join") {
     val a = spark.read.parquet(s"$sf/orders.parquet")
     val b = spark.read.parquet(s"$sf/customer.parquet")
