@@ -6540,8 +6540,9 @@ object Oracles {
          |scored AS (SELECT t.token, t.typo, v.token AS cand,
          |  round(jaro_winkler_similarity(t.typo, v.token), 6) AS jw
          |  FROM typod t JOIN vocab v
-         |    ON substr(v.token, 1, 1) = substr(t.typo, 1, 1)
-         |    OR substr(v.token, 1, 1) = substr(t.typo, 2, 1)),
+         |    ON length(v.token) = length(t.typo)
+         |    AND (substr(v.token, 1, 1) = substr(t.typo, 1, 1)
+         |      OR substr(v.token, 1, 1) = substr(t.typo, 2, 1))),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY token, typo
          |       ORDER BY jw DESC, cand) AS rk FROM scored)
          |SELECT token, typo, cand AS best_match, jw, cand = token AS recovered

@@ -119,9 +119,11 @@ object Similarity {
     val pred = votes.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("q_id"), col("n_label").as("pred_label"))
+    // broadcast ONLY the query subset's labels — the full label frame is
+    // corpus-sized at scale and must never ship to the driver
     pred
-      .join(broadcast(labels.select(col("vec_id").as("q_id"), col("l").as("label"))),
-        "q_id")
+      .join(broadcast(labels.filter(col("vec_id") < maxQueryId)
+        .select(col("vec_id").as("q_id"), col("l").as("label"))), "q_id")
       .groupBy("label", "pred_label").agg(count(lit(1)).as("n"))
   }
 

@@ -3068,10 +3068,15 @@ object TextOps {
           substring(col("token"), col("p") + 1, lit(1)),
           substring(col("token"), col("p"), lit(1)),
           substring(col("token"), col("p") + 2, length(col("token")))).as("typo"))
+    // blocking: same length (an adjacent swap preserves length EXACTLY,
+    // so the gate is lossless for recovering the original) and first
+    // char among the typo's first two — together the pair space is a
+    // per-(length, char) block, never the quadratic vocabulary square
     val scored = typod
       .join(vocab.select(col("token").as("cand")),
-        substring(col("cand"), 1, 1) === substring(col("typo"), 1, 1)
-          || substring(col("cand"), 1, 1) === substring(col("typo"), 2, 1))
+        length(col("cand")) === length(col("typo"))
+          && (substring(col("cand"), 1, 1) === substring(col("typo"), 1, 1)
+            || substring(col("cand"), 1, 1) === substring(col("typo"), 2, 1)))
       .select(col("token"), col("typo"), col("cand"),
         round(graft.functions.GraftFunctions.jaroWinkler(col("typo"), col("cand")), 6)
           .as("jw"))
