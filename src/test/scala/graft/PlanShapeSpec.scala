@@ -313,5 +313,9 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(mergePlan.contains("SortMergeJoin"),
       s"merge hint must force SMJ:\n${mergePlan.take(600)}")
+    val shPlan = a.join(b.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(shPlan.contains("ShuffledHashJoin"),
+      s"shuffle_hash hint must force SHJ:\n${shPlan.take(600)}")
   }
 }

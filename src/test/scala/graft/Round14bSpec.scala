@@ -428,6 +428,20 @@ class Round14bSpec extends SparkSpec {
     assert(df.filter(col("lang") === "aa").count() == 200L)
   }
 
+  test("CountingSink DSv2 writer: job commit aggregates task messages; checksum is partitioning-invariant") {
+    val cls = classOf[graft.sources.CountingSink].getName
+    spark.range(0, 1000, 1, 7).toDF("id")
+      .write.format(cls).option("run.id", "t7").mode("append").save()
+    val r7 = graft.sources.CountingSink.result("t7")
+    assert(r7.exists(_._1 == 1000L), s"expected 1000 committed rows, got $r7")
+    // same data, different parallelism: rows AND checksum must match —
+    // the per-task messages fold order-independently at commit
+    spark.range(0, 1000, 1, 3).toDF("id")
+      .write.format(cls).option("run.id", "t3").mode("append").save()
+    assert(graft.sources.CountingSink.result("t3") === r7)
+    assert(graft.sources.CountingSink.result("never-ran").isEmpty)
+  }
+
   // ---------------------------------------------------------- observability
 
   test("Graft.observed reads metrics off the running job, matching a real agg") {
