@@ -6736,6 +6736,29 @@ object Oracles {
         |ORDER BY n_shared DESC, s_a, s_b
         |LIMIT 20""".stripMargin,
 
+    // Wald SPRT boundary walk over the treatment arm's conversions
+    "sprt_boundary" ->
+      """WITH arm AS (SELECT user_id,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+        |  FROM events WHERE user_id % 2 = 1 GROUP BY 1),
+        |wk AS (SELECT user_id, x, row_number() OVER (ORDER BY user_id) AS n,
+        |  sum(x) OVER (ORDER BY user_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv
+        |  FROM arm),
+        |lr AS (SELECT n, CAST(conv AS DOUBLE) * ln(0.6 / 0.4)
+        |  + CAST(n - conv AS DOUBLE) * ln((1.0 - 0.6) / (1.0 - 0.4)) AS llr FROM wk),
+        |cr AS (SELECT n, llr,
+        |  CASE WHEN llr >= ln((1.0 - 0.05) / 0.05) THEN 'accept_h1'
+        |       WHEN llr <= ln(0.05 / (1.0 - 0.05)) THEN 'accept_h0' END AS crossed
+        |  FROM lr),
+        |fst AS (SELECT crossed AS decision, CAST(n AS BIGINT) AS n_at_decision,
+        |  round(llr, 6) AS llr_at_decision FROM cr
+        |  WHERE crossed IS NOT NULL ORDER BY n LIMIT 1),
+        |tot AS (SELECT count(*) AS n_users, CAST(sum(x) AS BIGINT) AS n_conversions
+        |        FROM arm)
+        |SELECT CAST(n_users AS BIGINT) AS n_users, n_conversions,
+        |  coalesce(decision, 'continue') AS decision, n_at_decision, llr_at_decision
+        |FROM tot LEFT JOIN fst ON true""".stripMargin,
+
     // Newman degree assortativity over the df/pair-gated token graph
     "token_assortativity" ->
       s"""WITH d AS (SELECT DISTINCT doc_id, token FROM $tokTable),

@@ -919,6 +919,8 @@ object SparkEntry {
       Similarity.mmrRerank(t(s, d, "embeddings"))),
     "props_variant" -> ((s, d) =>
       Relational.propsVariant(events(s, d))),
+    "sprt_boundary" -> ((s, d) =>
+      Relational.sprtBoundary(events(s, d))),
     // C207: DataSource V2 generator table — the id-range filter pushes
     // into the scan (partitions outside [100, 900) are never planned)
     // and the projection prunes generation; values are md5-formula

@@ -3379,6 +3379,53 @@ object Relational {
         sum(col("c")).over(w).as("cents_trailing_1h"))
   }
 
+  /** Sequential probability ratio test walk (B232, Wald 1945): the
+    * always-monitoring sibling of [[abTtest]]/[[permutationTest]] — the
+    * treatment arm's conversion indicators stream in user_id order, the
+    * cumulative log-likelihood ratio between H1 (p = p1) and H0 (p = p0)
+    * walks with them, and the readout is the FIRST boundary crossing:
+    * ln((1−β)/α) above accepts H1, ln(β/(1−α)) below accepts H0,
+    * neither means keep collecting. What a "stop the experiment early?"
+    * dashboard computes on every refresh.
+    *
+    * LLR_n = conv_n·ln(p1/p0) + (n − conv_n)·ln((1−p1)/(1−p0)) off
+    * exact cumulative integer sums, evaluated in one fixed order, so
+    * both engines walk bit-identical doubles; the crossing row is the
+    * min user-rank satisfying either predicate (deterministic). One
+    * per-user aggregate + one ordered window over the arm. */
+  def sprtBoundary(events: DataFrame, p0: Double = 0.4, p1: Double = 0.6,
+                   alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    val arm = events
+      .filter(col("user_id") % 2 === 1) // the treatment arm
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("user_id")
+    val up = math.log((1.0 - beta) / alpha)
+    val lo = math.log(beta / (1.0 - alpha))
+    val walked = arm
+      .withColumn("n", row_number().over(w).cast("long"))
+      .withColumn("conv", sum(col("x")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("llr",
+        col("conv").cast("double") * math.log(p1 / p0)
+          + (col("n") - col("conv")).cast("double") * math.log((1.0 - p1) / (1.0 - p0)))
+      .withColumn("crossed",
+        when(col("llr") >= up, lit("accept_h1"))
+          .when(col("llr") <= lo, lit("accept_h0")))
+    val first = walked.filter(col("crossed").isNotNull)
+      .orderBy(col("n").asc).limit(1)
+      .select(col("crossed").as("decision"), col("n").as("n_at_decision"),
+        round(col("llr"), 6).as("llr_at_decision"))
+    val tot = arm.agg(count(lit(1)).as("n_users"),
+      sum(col("x")).as("n_conversions"))
+    // left join against the 0-or-1-row crossing: no crossing -> continue
+    tot.withColumn("_k", lit(1))
+      .join(broadcast(first.withColumn("_k", lit(1))), Seq("_k"), "left")
+      .select(col("n_users"), col("n_conversions"),
+        coalesce(col("decision"), lit("continue")).as("decision"),
+        col("n_at_decision"), col("llr_at_decision"))
+  }
+
   /** Deterministic permutation test (B224): the nonparametric sibling of
     * [[abTtest]] — is the observed variant difference in per-user spend
     * larger than chance relabelings produce? Each of `nPerms` permutations

@@ -324,6 +324,37 @@ class Round14bSpec extends SparkSpec {
     out.values.foreach { case (n, c, _) => assert(c <= n + 1e-9) }
   }
 
+  // -------------------------------------------------------------------- SPRT
+
+  test("sprtBoundary: an all-converting arm crosses the upper boundary at n=8") {
+    // ln((1-0.05)/0.05) = 2.944; each conversion adds ln(1.5) = 0.405;
+    // ceil(2.944/0.405) = 8 straight conversions accept H1
+    val evs = (0 until 20).map { i =>
+      val u = i * 2 + 1 // odd ids: the treatment arm
+      (i.toLong, u.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        "purchase", 1.0, "{}")
+    }.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = graft.operators.Relational.sprtBoundary(evs).head()
+    assert(r.getString(2) == "accept_h1")
+    assert(r.getLong(3) == 8L, s"expected crossing at n=8, got ${r.getLong(3)}")
+    // a no-conversion arm walks DOWN and accepts H0 (same 8-step bound)
+    val none = evs.withColumn("event_type", lit("view"))
+    val r0 = graft.operators.Relational.sprtBoundary(none).head()
+    assert(r0.getString(2) == "accept_h0" && r0.getLong(3) == 8L)
+  }
+
+  test("sprtBoundary: a boundary never crossed reports continue with nulls") {
+    // alternate convert / not-convert: LLR oscillates around 0
+    val evs = (0 until 12).map { i =>
+      val u = i * 2 + 1
+      (i.toLong, u.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        if (i % 2 == 0) "purchase" else "view", 1.0, "{}")
+    }.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = graft.operators.Relational.sprtBoundary(evs).head()
+    assert(r.getString(2) == "continue")
+    assert(r.isNullAt(3) && r.isNullAt(4))
+  }
+
   // ------------------------------------------------------ supplier co-parts
 
   // ------------------------------------------------------------ JaroWinkler
