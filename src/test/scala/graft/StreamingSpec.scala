@@ -162,6 +162,32 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("Trigger.AvailableNow drains a bounded file source in capped batches, then stops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_availnow").toString
+    val batchDf = (0 until 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "click" else "view", i.toDouble))
+      .toDF("id", "event_type", "value")
+    // many small files so maxFilesPerTrigger actually caps micro-batches
+    batchDf.repartition(8).write.mode("overwrite").parquet(dir)
+    val counted = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", "2").parquet(dir)
+      .groupBy("event_type").count()
+    val q = counted.writeStream
+      .format("memory").queryName("avail_now").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // AvailableNow PLANS a finite run: the query processes everything
+    // present at start in rate-capped batches and terminates on its own
+    // — the batch-shaped operational mode for "catch up the backlog,
+    // then exit" jobs, with the source cap still respected
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    val streamed = spark.table("avail_now").as[(String, Long)].collect().toSet
+    val batch = batchDf.groupBy("event_type").count()
+      .as[(String, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(batch === Set(("click", 20L), ("view", 20L)))
+  }
+
   test("streaming exact distinct users per window equals the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, Long, String)]
