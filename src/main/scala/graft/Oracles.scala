@@ -6736,6 +6736,29 @@ object Oracles {
         |ORDER BY n_shared DESC, s_a, s_b
         |LIMIT 20""".stripMargin,
 
+    // code-switch segmentation: per-window marker votes, islands merge
+    "lang_segments" ->
+      """WITH lw AS (SELECT doc_id,
+        |  unnest(list_transform(list_filter(string_split(lower(text), ' '), x -> x <> ''),
+        |    (t, i) -> {'w': (CAST(i AS BIGINT) - 1) // 16, 'tok': t})) AS u
+        |  FROM documents),
+        |tk AS (SELECT doc_id, u.w AS win_idx, u.tok AS token FROM lw),
+        |voted AS (SELECT doc_id, win_idx,
+        |  sum(CASE WHEN token IN ('the','a','of','and','is','query','join') THEN 1 ELSE 0 END) AS s_en,
+        |  sum(CASE WHEN token IN ('le','la','et','est','de','scan','batch') THEN 1 ELSE 0 END) AS s_fr,
+        |  sum(CASE WHEN token IN ('der','die','das','und','ist','merge','sort') THEN 1 ELSE 0 END) AS s_de
+        |  FROM tk GROUP BY 1, 2),
+        |wl AS (SELECT doc_id, win_idx,
+        |  CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+        |       WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+        |       WHEN s_de > 0 THEN 'de' ELSE 'und' END AS win_lang FROM voted),
+        |isl AS (SELECT doc_id, win_lang, win_idx,
+        |  win_idx - row_number() OVER (PARTITION BY doc_id, win_lang ORDER BY win_idx) AS isl
+        |  FROM wl)
+        |SELECT doc_id, CAST(min(win_idx) AS BIGINT) AS seg_start_win,
+        |  win_lang AS lang, count(*) AS n_windows
+        |FROM isl GROUP BY doc_id, win_lang, isl""".stripMargin,
+
     // Wald SPRT boundary walk over the treatment arm's conversions
     "sprt_boundary" ->
       """WITH arm AS (SELECT user_id,

@@ -921,6 +921,8 @@ object SparkEntry {
       Relational.propsVariant(events(s, d))),
     "sprt_boundary" -> ((s, d) =>
       Relational.sprtBoundary(events(s, d))),
+    "lang_segments" -> ((s, d) =>
+      TextOps.langSegments(spread(t(s, d, "documents")))),
     // C207: DataSource V2 generator table — the id-range filter pushes
     // into the scan (partitions outside [100, 900) are never planned)
     // and the projection prunes generation; values are md5-formula

@@ -221,6 +221,46 @@ object TextOps {
         .otherwise("und").as("pred_lang"))
   }
 
+  /** Code-switch segmentation (B233): [[langId]]'s marker votes applied
+    * per fixed-width token WINDOW, consecutive same-language windows
+    * merged into runs — the span-level language map a multilingual
+    * curation pass needs (doc-level lang-ID hides a French half inside
+    * an English doc; [[langId]] says "en", this says "en then fr").
+    * One row per (doc, segment): window span, language, window count.
+    *
+    * Shape: one posexplode shuffle to (doc, window) votes (conditional
+    * sums, no per-window arrays), then the classic gaps-and-islands
+    * merge (win_idx − rank within (doc, lang) is constant per run) on
+    * the window-bounded frame. Ties and zero-vote windows follow
+    * langId's deterministic rules ('und' never merges with a language). */
+  def langSegments(docs: DataFrame, win: Int = 16): DataFrame = {
+    val toked = docs.select(col("doc_id"),
+        posexplode(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+          .as(Seq("pos", "token")))
+      .select(col("doc_id"),
+        expr(s"CAST(pos AS BIGINT) div $win").as("win_idx"), col("token"))
+    def score(markers: Seq[String]) =
+      sum(when(col("token").isInCollection(markers), 1L).otherwise(0L))
+    val voted = toked.groupBy("doc_id", "win_idx")
+      .agg(score(EnMarkers).as("s_en"), score(FrMarkers).as("s_fr"),
+        score(DeMarkers).as("s_de"))
+      .select(col("doc_id"), col("win_idx"),
+        when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_de")
+          && col("s_en") > 0L, "en")
+          .when(col("s_fr") >= col("s_de") && col("s_fr") > 0L, "fr")
+          .when(col("s_de") > 0L, "de")
+          .otherwise("und").as("win_lang"))
+    val wDl = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "win_lang").orderBy("win_idx")
+    voted
+      .withColumn("isl", col("win_idx") - row_number().over(wDl))
+      .groupBy("doc_id", "win_lang", "isl")
+      .agg(min(col("win_idx")).as("seg_start_win"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("seg_start_win"),
+        col("win_lang").as("lang"), col("n_windows"))
+  }
+
   /** Position-weighted polynomial fingerprint over token md5s (B11): a
     * rolling-hash-style content fingerprint that is order-sensitive yet
     * exactly reproducible in SQL. Each token contributes

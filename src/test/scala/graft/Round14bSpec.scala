@@ -324,6 +324,23 @@ class Round14bSpec extends SparkSpec {
     out.values.foreach { case (n, c, _) => assert(c <= n + 1e-9) }
   }
 
+  test("langSegments merges same-language windows and splits on switches") {
+    // 48 tokens = 3 windows: en, fr, en -> 3 segments (en never merges
+    // across the fr window); a doc of pure filler -> one 'und' segment
+    val en = ("the query join " * 6).trim   // 18 tokens, but use 16-slices
+    val text = (Seq.fill(16)("the") ++ Seq.fill(16)("le") ++ Seq.fill(16)("the"))
+      .mkString(" ")
+    val d = docs((1L, "en", "s", text), (2L, "en", "s", ("filler " * 20).trim))
+    val out = graft.operators.TextOps.langSegments(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    assert(out(1L -> 0L) == (("en", 1L)))
+    assert(out(1L -> 1L) == (("fr", 1L)))
+    assert(out(1L -> 2L) == (("en", 1L)))
+    assert(out(2L -> 0L) == (("und", 2L)), "pure filler merges into one und run")
+    assert(en.nonEmpty)
+  }
+
   // -------------------------------------------------------------------- SPRT
 
   test("sprtBoundary: an all-converting arm crosses the upper boundary at n=8") {
