@@ -6759,6 +6759,63 @@ object Oracles {
         |  win_lang AS lang, count(*) AS n_windows
         |FROM isl GROUP BY doc_id, win_lang, isl""".stripMargin,
 
+    // BH step-up across per-event-type md5-permutation p-values
+    "bh_fdr" ->
+      """WITH per AS (SELECT event_type, user_id,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS tot
+        |  FROM events GROUP BY 1, 2),
+        |obs AS (SELECT event_type,
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN tot ELSE 0 END) AS DOUBLE)
+        |    / sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |  - CAST(sum(CASE WHEN user_id % 2 = 1 THEN tot ELSE 0 END) AS DOUBLE)
+        |    / sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS obs_diff
+        |  FROM per GROUP BY 1),
+        |sides AS (SELECT event_type, user_id, tot, p.p,
+        |  ('0x' || substr(md5(event_type || ':' || p.p || ':' || user_id), 1, 8))::BIGINT % 2 AS side
+        |  FROM per CROSS JOIN (SELECT unnest(range(1, 101)) AS p) p),
+        |perms AS (SELECT event_type, p,
+        |  CAST(sum(CASE WHEN side = 0 THEN tot ELSE 0 END) AS DOUBLE)
+        |    / sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+        |  - CAST(sum(CASE WHEN side = 1 THEN tot ELSE 0 END) AS DOUBLE)
+        |    / sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS pdiff
+        |  FROM sides GROUP BY 1, 2),
+        |pv AS (SELECT perms.event_type, round(obs.obs_diff, 6) AS obs_diff,
+        |  round(CAST(sum(CASE WHEN abs(pdiff) >= abs(obs.obs_diff) THEN 1 ELSE 0 END) + 1
+        |        AS DOUBLE) / 101, 6) AS p_value
+        |  FROM perms JOIN obs ON perms.event_type = obs.event_type
+        |  GROUP BY 1, obs.obs_diff),
+        |m AS (SELECT count(*) AS m FROM pv),
+        |ranked AS (SELECT pv.*, m.m,
+        |  CAST(row_number() OVER (ORDER BY p_value ASC, event_type) AS BIGINT) AS rnk
+        |  FROM pv CROSS JOIN m),
+        |r2 AS (SELECT *, round(CAST(rnk AS DOUBLE) * 0.1 / m, 6) AS bh_thresh FROM ranked),
+        |ks AS (SELECT coalesce(max(CASE WHEN p_value <= bh_thresh THEN rnk END), 0) AS k_star
+        |       FROM r2)
+        |SELECT event_type, obs_diff, p_value, rnk, bh_thresh,
+        |  rnk <= k_star AS rejected
+        |FROM r2 CROSS JOIN ks""".stripMargin,
+
+    // exact Mann-Kendall S over calendar-bounded daily revenue
+    "mann_kendall" ->
+      """WITH daily AS (SELECT epoch_ns(o_orderdate) // 1000 // 86400000000 AS day_idx,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+        |             WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b ON a.day_idx < b.day_idx),
+        |n AS (SELECT count(*) AS n_days FROM daily),
+        |ties AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+        |  FROM (SELECT count(*) AS t FROM daily GROUP BY cents) WHERE t > 1),
+        |v AS (SELECT CAST(n_days AS BIGINT) AS n_days, s_stat,
+        |  CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS DOUBLE) / 18.0 AS var_s
+        |  FROM s CROSS JOIN n CROSS JOIN ties)
+        |SELECT n_days, s_stat, round(var_s, 2) AS var_s,
+        |  round(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+        |             WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+        |             ELSE 0.0 END, 6) AS z,
+        |  CAST(CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END AS BIGINT) AS trend
+        |FROM v""".stripMargin,
+
     // Wald SPRT boundary walk over the treatment arm's conversions
     "sprt_boundary" ->
       """WITH arm AS (SELECT user_id,

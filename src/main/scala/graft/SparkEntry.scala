@@ -923,6 +923,8 @@ object SparkEntry {
       Relational.sprtBoundary(events(s, d))),
     "lang_segments" -> ((s, d) =>
       TextOps.langSegments(spread(t(s, d, "documents")))),
+    "bh_fdr" -> ((s, d) => Relational.bhFdr(events(s, d))),
+    "mann_kendall" -> ((s, d) => Relational.mannKendall(t(s, d, "orders"))),
     // C207: DataSource V2 generator table — the id-range filter pushes
     // into the scan (partitions outside [100, 900) are never planned)
     // and the projection prunes generation; values are md5-formula

@@ -3379,6 +3379,99 @@ object Relational {
         sum(col("c")).over(w).as("cents_trailing_1h"))
   }
 
+  /** Benjamini-Hochberg FDR over per-metric permutation p-values (B234):
+    * one md5-deterministic permutation test PER EVENT TYPE (does the
+    * variant split move this type's per-user spend?), then the BH
+    * step-up at level `q` across the family — the multiple-testing
+    * guard every metrics dashboard needs once it watches more than one
+    * metric. p-values are add-one permutation p's (exact integer
+    * comparisons of identically-computed doubles); the BH threshold
+    * k*·q/m and the rejection set are pure integer/rank logic, so the
+    * whole readout is engine-exact.
+    *
+    * Scale shape: one (type, user) aggregate; the permutation frame is
+    * rows × nPerms spread across the cluster with a single (type, p)
+    * conditional-agg groupBy; the BH pass runs on the m-row family. */
+  def bhFdr(events: DataFrame, nPerms: Int = 100, q: Double = 0.10): DataFrame = {
+    val per = events
+      .select(col("event_type"), col("user_id"), cents(col("value")).as("c"))
+      .groupBy("event_type", "user_id").agg(sum(col("c")).as("tot"))
+    def meanDiff(side: Column) = {
+      val s0 = sum(when(side === 0L, col("tot")).otherwise(0L))
+      val n0 = sum(when(side === 0L, 1L).otherwise(0L))
+      val s1 = sum(when(side === 1L, col("tot")).otherwise(0L))
+      val n1 = sum(when(side === 1L, 1L).otherwise(0L))
+      s0.cast("double") / n0 - s1.cast("double") / n1
+    }
+    val obs = per.groupBy("event_type")
+      .agg(meanDiff(col("user_id") % 2).as("obs_diff"))
+    val perms = per
+      .select(col("event_type"), col("user_id"), col("tot"),
+        explode(expr(s"sequence(1, $nPerms)")).as("p"))
+      .withColumn("side",
+        conv(substring(md5(concat_ws(":", col("event_type"), col("p"),
+          col("user_id"))), 1, 8), 16, 10).cast("long") % 2)
+      .groupBy("event_type", "p").agg(meanDiff(col("side")).as("pdiff"))
+    val pvals = perms.join(broadcast(obs), "event_type")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.first(col("obs_diff")).as("obs_diff"),
+        sum(when(abs(col("pdiff")) >= abs(col("obs_diff")), 1L).otherwise(0L))
+          .as("n_ge"))
+      .select(col("event_type"), round(col("obs_diff"), 6).as("obs_diff"),
+        round((col("n_ge") + 1L).cast("double") / (nPerms + 1), 6).as("p_value"))
+    val m = pvals.agg(count(lit(1)).as("m"))
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("p_value").asc, col("event_type"))
+    val ranked = pvals.crossJoin(broadcast(m))
+      .withColumn("rnk", row_number().over(wAsc).cast("long"))
+      .withColumn("bh_thresh", round(col("rnk").cast("double") * q / col("m"), 6))
+    // k* = the largest rank whose p clears its threshold; every rank
+    // <= k* rejects (step-up)
+    val kStar = ranked.agg(coalesce(max(when(col("p_value") <= col("bh_thresh"),
+      col("rnk"))), lit(0L)).as("k_star"))
+    ranked.crossJoin(broadcast(kStar))
+      .select(col("event_type"), col("obs_diff"), col("p_value"), col("rnk"),
+        col("bh_thresh"), (col("rnk") <= col("k_star")).as("rejected"))
+  }
+
+  /** Mann-Kendall trend test on daily revenue (B235): the exact
+    * nonparametric "is there a monotone trend" statistic — S = Σ_{i<j}
+    * sign(c_j − c_i) over day-ordered daily cents, tie-corrected
+    * variance, and the continuity-corrected z. Theil-Sen
+    * ([[theilSenTrend]]'s slope) says how steep; this says how sure.
+    * S and every tie count are exact integers off the calendar-bounded
+    * daily frame (the day×day pair space is bounded by the calendar²,
+    * never by data volume); z is one fixed-order double expression
+    * rounded at 6 dp. */
+  def mannKendall(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          .as("day_idx"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy("day_idx").agg(sum(col("c")).as("cents"))
+    val s = daily.select(col("day_idx").as("i"), col("cents").as("ci"))
+      .join(daily.select(col("day_idx").as("j"), col("cents").as("cj")),
+        col("i") < col("j"))
+      .agg(sum(signum(col("cj") - col("ci")).cast("long")).as("s_stat"))
+    val n = daily.agg(count(lit(1)).as("n_days"))
+    val ties = daily.groupBy("cents").agg(count(lit(1)).as("t"))
+      .filter(col("t") > 1L)
+      .agg(coalesce(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)),
+        lit(0L)).as("tie_term"))
+    s.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .withColumn("var_s",
+        (col("n_days") * (col("n_days") - 1L) * (lit(2L) * col("n_days") + 5L)
+          - col("tie_term")).cast("double") / 18.0)
+      // var_s is ~1e9: 6 dp would be sub-ulp (the round() seam), 2 dp is
+      // ~10^5 ulps wide — the seasonal_decompose discipline
+      .select(col("n_days"), col("s_stat"), round(col("var_s"), 2).as("var_s"),
+        round(
+          when(col("s_stat") > 0L, (col("s_stat") - 1L).cast("double") / sqrt(col("var_s")))
+            .when(col("s_stat") < 0L, (col("s_stat") + 1L).cast("double") / sqrt(col("var_s")))
+            .otherwise(lit(0.0)), 6).as("z"),
+        signum(col("s_stat")).cast("long").as("trend"))
+  }
+
   /** Sequential probability ratio test walk (B232, Wald 1945): the
     * always-monitoring sibling of [[abTtest]]/[[permutationTest]] — the
     * treatment arm's conversion indicators stream in user_id order, the

@@ -372,6 +372,40 @@ class Round14bSpec extends SparkSpec {
     assert(r.isNullAt(3) && r.isNullAt(4))
   }
 
+  test("bhFdr: a huge single-type effect is rejected; thresholds step k*q/m") {
+    val evs = (0 until 40).flatMap { u =>
+      val big = if (u % 2 == 0) 10000.0 else 1.0 // massive effect on 'purchase'
+      Seq((u.toLong * 10, u.toLong, "purchase", big),
+        (u.toLong * 10 + 1, u.toLong, "view", 5.0)) // no effect on 'view'
+    }.map { case (e, u, ty, v) =>
+      (e, u, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), ty, v, "{}")
+    }.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val out = graft.operators.Relational.bhFdr(evs).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getLong(3), r.getBoolean(5)))
+      .toMap
+    val (pP, rkP, rejP) = out("purchase")
+    assert(pP <= 0.01 && rkP == 1L && rejP, s"purchase must reject: $pP")
+    val (pV, _, rejV) = out("view")
+    assert(pV > 0.1 && !rejV, s"constant view metric must not reject: $pV")
+  }
+
+  test("mannKendall: a strictly increasing series scores S = n(n-1)/2, z > 0") {
+    val rows = (0 until 30).map { i =>
+      val day = f"1995-01-${i % 28 + 1}%02d"
+      (i.toLong, i.toLong, "O", 100.0 + i * 10.0,
+        java.sql.Timestamp.valueOf(s"$day 00:00:00"), "1-URGENT")
+    }
+    // 28 distinct days; days 1,2 get two orders (i=28,29 wrap) so the
+    // daily series is still strictly increasing in day order? No — the
+    // wrapped orders ADD to early days; use 28 rows to keep it strict.
+    val orders = rows.take(28).toDF("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val r = graft.operators.Relational.mannKendall(orders).head()
+    assert(r.getLong(0) == 28L)
+    assert(r.getLong(1) == 28L * 27L / 2L, "strictly increasing -> all pairs +1")
+    assert(r.getDouble(3) > 0 && r.getLong(4) == 1L)
+  }
+
   // ------------------------------------------------------ supplier co-parts
 
   // ------------------------------------------------------------ JaroWinkler
