@@ -6759,6 +6759,30 @@ object Oracles {
         |  win_lang AS lang, count(*) AS n_windows
         |FROM isl GROUP BY doc_id, win_lang, isl""".stripMargin,
 
+    // split-conformal half-width: order statistic of calibration residuals
+    "conformal_interval" ->
+      s"""WITH base AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS y, n_chars AS x
+         |  FROM documents),
+         |tr AS (SELECT * FROM base WHERE doc_id % 2 = 0),
+         |cal AS (SELECT * FROM base WHERE doc_id % 2 = 1),
+         |fit AS (SELECT CAST(count(*) AS BIGINT) AS n_train,
+         |  CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+         |    / CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE) AS b,
+         |  CAST(sum(y) * sum(x * x) - sum(x) * sum(x * y) AS DOUBLE)
+         |    / CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE) AS a
+         |  FROM tr),
+         |resid AS (SELECT doc_id, n_train, a, b,
+         |  abs(CAST(y AS DOUBLE) - (a + b * x)) AS r FROM cal CROSS JOIN fit),
+         |ranked AS (SELECT *, CAST(row_number() OVER (ORDER BY r ASC, doc_id) AS BIGINT) AS rk,
+         |  CAST(count(*) OVER () AS BIGINT) AS n_cal FROM resid),
+         |qh AS (SELECT n_train, n_cal, round(a, 6) AS intercept, round(b, 6) AS slope,
+         |  round(r, 6) AS q_hat, r AS q_raw FROM ranked
+         |  WHERE rk = least(CAST(ceil((n_cal + 1) * 0.9) AS BIGINT), n_cal))
+         |SELECT n_train, n_cal, intercept, slope, q_hat,
+         |  round(CAST((SELECT sum(CASE WHEN r <= qh.q_raw THEN 1 ELSE 0 END) FROM resid)
+         |    AS DOUBLE) / n_cal, 6) AS cover_rate
+         |FROM qh""".stripMargin,
+
     // BH step-up across per-event-type md5-permutation p-values
     "bh_fdr" ->
       """WITH per AS (SELECT event_type, user_id,

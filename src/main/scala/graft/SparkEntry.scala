@@ -924,6 +924,8 @@ object SparkEntry {
     "lang_segments" -> ((s, d) =>
       TextOps.langSegments(spread(t(s, d, "documents")))),
     "bh_fdr" -> ((s, d) => Relational.bhFdr(events(s, d))),
+    "conformal_interval" -> ((s, d) =>
+      TextOps.conformalInterval(spread(t(s, d, "documents")))),
     "mann_kendall" -> ((s, d) => Relational.mannKendall(t(s, d, "orders"))),
     // C207: DataSource V2 generator table — the id-range filter pushes
     // into the scan (partitions outside [100, 900) are never planned)

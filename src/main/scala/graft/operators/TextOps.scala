@@ -1179,6 +1179,63 @@ object TextOps {
           .as("intercept"))
   }
 
+  /** Split-conformal prediction interval (B236, Vovk/Papadopoulos): fit
+    * tokens ~ chars on the even-id half, take the ⌈(n+1)(1−α)⌉-th
+    * smallest absolute residual on the odd-id calibration half — the
+    * DISTRIBUTION-FREE interval half-width q̂ such that "predicted ±
+    * q̂" covers a fresh doc with probability ≥ 1−α, no normality
+    * assumption. What a pipeline quotes as the error bar on any
+    * regression-derived field without trusting the model's own
+    * variance.
+    *
+    * Determinism: slope/intercept stay unrounded doubles from exact
+    * BIGINT moments (the charTokenRegression discipline) so both
+    * engines score identical residuals; q̂ is an order statistic
+    * (rank by |resid| with a doc_id tie-break); the cover_rate check
+    * divides exact counts. One moments aggregate + one rank window on
+    * the calibration half. */
+  def conformalInterval(docs: DataFrame, alpha: Double = 0.1): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("y"),
+      col("n_chars").cast("long").as("x"))
+    val train = base.filter(col("doc_id") % 2 === 0)
+    val cal = base.filter(col("doc_id") % 2 === 1)
+    val fit = train.agg(
+        count(lit(1)).as("n_train"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_train"),
+        ((col("n_train") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n_train") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("b"),
+        ((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+          / (col("n_train") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("a"))
+    val resid = cal.crossJoin(broadcast(fit))
+      .select(col("doc_id"), col("n_train"), col("a"), col("b"),
+        abs(col("y").cast("double") - (col("a") + col("b") * col("x"))).as("r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("r").asc, col("doc_id"))
+    val ranked = resid
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_cal", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    // k = ceil((n_cal + 1)(1 - alpha)), capped at n_cal
+    val k = least(ceil((col("n_cal") + 1L) * (1.0 - alpha)).cast("long"), col("n_cal"))
+    val qhat = ranked.filter(col("rk") === k)
+      .select(col("n_train"), col("n_cal"),
+        round(col("a"), 6).as("intercept"), round(col("b"), 6).as("slope"),
+        round(col("r"), 6).as("q_hat"), col("r").as("_q"))
+    // the 1-row q̂ broadcasts; the calibration stream is never collected
+    resid.select(col("r").as("r2")).crossJoin(broadcast(qhat))
+      .groupBy("n_train", "n_cal", "intercept", "slope", "q_hat", "_q")
+      .agg(sum(when(col("r2") <= col("_q"), 1L).otherwise(0L)).as("n_covered"))
+      .select(col("n_train"), col("n_cal"), col("intercept"), col("slope"),
+        col("q_hat"),
+        round(col("n_covered").cast("double") / col("n_cal"), 6).as("cover_rate"))
+  }
+
   /** Largest regression residuals of the per-language n_chars ~ n_tokens
     * fit (B203): the documents that DON'T follow their language's
     * character/token scaling law — ID dumps, minified blobs, and

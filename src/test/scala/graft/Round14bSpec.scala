@@ -389,6 +389,21 @@ class Round14bSpec extends SparkSpec {
     assert(pV > 0.1 && !rejV, s"constant view metric must not reject: $pV")
   }
 
+  test("conformalInterval: q_hat is the ceil((n+1)(1-a))-th residual and covers ~90%") {
+    // exact linear relation y = x/5 tokens (5-char words + space): the
+    // fit recovers it, residuals are near zero, q_hat tiny, coverage
+    // >= 0.9 by the order-statistic construction
+    val rows = (0 until 60).map { i =>
+      val words = 5 + (i % 20)
+      (i.toLong, "aa", "s", Seq.fill(words)("abcde").mkString(" "))
+    }
+    val r = graft.operators.TextOps.conformalInterval(docs(rows: _*)).head()
+    assert(r.getLong(0) == 30L && r.getLong(1) == 30L)
+    assert(math.abs(r.getDouble(3)) < 1.0, "slope is finite and small")
+    assert(r.getDouble(4) >= 0.0)
+    assert(r.getDouble(5) >= 0.9, s"coverage ${r.getDouble(5)} below 1 - alpha")
+  }
+
   test("mannKendall: a strictly increasing series scores S = n(n-1)/2, z > 0") {
     val rows = (0 until 30).map { i =>
       val day = f"1995-01-${i % 28 + 1}%02d"
