@@ -62,12 +62,15 @@ private[sources] class HashGenTable(rows: Long, partitions: Int)
   override def name(): String = s"hashgen($rows)"
   override def schema(): StructType = HashGen.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new HashGenScanBuilder(rows, partitions)
+    new HashGenScanBuilder(rows, partitions,
+      options.getLong("rowsPerBatch", 100L))
 }
 
-private[sources] class HashGenScanBuilder(rows: Long, partitions: Int)
+private[sources] class HashGenScanBuilder(rows: Long, partitions: Int,
+                                          rowsPerBatch: Long = 100L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -99,11 +102,14 @@ private[sources] class HashGenScanBuilder(rows: Long, partitions: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new HashGenScan(lo, hi, partitions, required)
+  override def build(): Scan =
+    new HashGenScan(lo, hi, partitions, required, rowsPerBatch)
 }
 
 private[sources] class HashGenScan(lo: Long, hi: Long, partitions: Int,
-                                   required: StructType) extends Scan with Batch {
+                                   required: StructType,
+                                   rowsPerBatch: Long = 100L)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -117,6 +123,69 @@ private[sources] class HashGenScan(lo: Long, hi: Long, partitions: Int,
       val a = lo + n * i / p
       val b = lo + n * (i + 1) / p
       HashGenPartition(a, b): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new HashGenReaderFactory(required)
+
+  /** The STREAMING face of the same table (C212): the generator as a
+    * rate-limited MicroBatchStream — offsets are plain row ids, each
+    * micro-batch covers [start, min(start + rowsPerBatch, hi)), and the
+    * per-batch partition planning / reader factory are shared with the
+    * batch scan, so the two faces cannot drift. Restart semantics come
+    * free: offsets serialize as the row id, so a checkpointed query
+    * resumes exactly where the last committed batch ended. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new HashGenMicroBatchStream(lo, hi, partitions, required, rowsPerBatch)
+}
+
+private[sources] case class HashGenOffset(pos: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pos.toString
+}
+
+private[sources] class HashGenMicroBatchStream(lo: Long, hi: Long,
+    partitions: Int, required: StructType, rowsPerBatch: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
+
+  override def initialOffset(): Offset = HashGenOffset(lo)
+
+  // admission control is the honest rate-limit contract: the engine asks
+  // "given this start offset and this limit, how far may the next batch
+  // go" — so Trigger.AvailableNow (which snapshots ONE target offset and
+  // then drains toward it in limit-sized batches) still respects the cap
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[HashGenOffset].pos
+    limit match {
+      case mr: ReadMaxRows => HashGenOffset(math.min(hi, s + mr.maxRows))
+      case _ => HashGenOffset(hi)
+    }
+  }
+  // the un-limited horizon of this finite generator is simply its end
+  override def latestOffset(): Offset = HashGenOffset(hi)
+  override def reportLatestOffset(): Offset = HashGenOffset(hi)
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def deserializeOffset(json: String): Offset =
+    HashGenOffset(java.lang.Long.parseLong(json))
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[HashGenOffset].pos
+    val b = end.asInstanceOf[HashGenOffset].pos
+    val n = math.max(0L, b - a)
+    if (n == 0L) return Array.empty
+    val p = math.max(1, math.min(partitions.toLong, n).toInt)
+    (0 until p).map { i =>
+      HashGenPartition(a + n * i / p, a + n * (i + 1) / p): InputPartition
     }.toArray
   }
 

@@ -188,6 +188,28 @@ class StreamingSpec extends SparkSpec {
     assert(batch === Set(("click", 20L), ("view", 20L)))
   }
 
+  test("HashGen streams as a rate-limited MicroBatchStream, equal to its batch face") {
+    val cls = classOf[graft.sources.HashGen].getName
+    val stream = spark.readStream.format(cls)
+      .option("rows", "500").option("partitions", "4")
+      .option("rowsPerBatch", "120").load()
+    val q = stream.writeStream.format("memory").queryName("hashgen_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "finite generator must drain and stop")
+    val streamed = spark.table("hashgen_stream")
+      .as[(Long, String, String)].collect().toSet
+    val batch = spark.read.format(cls)
+      .option("rows", "500").option("partitions", "4").load()
+      .as[(Long, String, String)].collect().toSet
+    assert(streamed === batch, "streaming face must emit exactly the batch rows")
+    assert(streamed.size == 500)
+    // the rate cap held: >= ceil(500/120) = 5 micro-batches ran
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      s"expected rate-capped batches, got ${q.recentProgress.map(_.numInputRows).mkString(",")}")
+  }
+
   test("streaming exact distinct users per window equals the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, Long, String)]
