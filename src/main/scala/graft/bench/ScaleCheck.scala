@@ -3,7 +3,7 @@ package graft.bench
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Dedup, Folds, LangModel, Similarity}
+import graft.operators.{AsOf, Dedup, Folds, LangModel, Relational, Similarity}
 
 /** Output-sensitivity scaling check (BASELINE.md "Scaling check" table):
   * the corpus is multiplied m-way IN MEMORY with shifted ids, so every
@@ -190,6 +190,25 @@ object ScaleCheck {
           s""""typo_recovery":{"sec":$tTypo,"rows":$nTypo},""" +
           s""""bootstrap_ci":{"sec":$tBoot,"rows":$nBoot}}""")
         docs.unpersist()
+        graft.CacheTracker.drainAll(spark)
+      } else if (sections.contains("r14d")) {
+        // resampling-stats rows: under m-way event duplication the USER
+        // population grows m-fold (ids shift), so the permutation frames
+        // (users × perms) must scale linearly in m — the honest cost
+        // model both tests document. The per-(type, p) / per-p groupBys
+        // are conditional partial aggregates: nothing data-sized crosses
+        // the shuffle beyond those keyed partials.
+        val events = multiplyEvents(events0, m)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        events.count()
+        val (tPt, _) = timedForce(Relational.permutationTest(events))
+        graft.CacheTracker.releaseAll()
+        val (tBh, _) = timedForce(Relational.bhFdr(events))
+        graft.CacheTracker.releaseAll()
+        val nUsers = events.select("user_id").distinct().count()
+        println(s"""{"m":$m,"users":$nUsers,""" +
+          s""""permutation_test":{"sec":$tPt},"bh_fdr":{"sec":$tBh}}""")
+        events.unpersist()
         graft.CacheTracker.drainAll(spark)
       } else if (sections.contains("r14b")) {
         // the nano-unit partial-agg rewrite (docEmbedHash / topicLabels
