@@ -125,6 +125,28 @@ object Bench {
     val timings = results.map(r => r._1 -> r._2)
     // total covers successful queries only; failures stay visible as -1
     val total = timings.map(_._2).filter(_ >= 0).sum
+    // Self-adjudication for official-pass outliers: re-time the 15
+    // slowest queries solo (×3, median) AFTER the full pass, in the same
+    // JVM. An official reading far above its own same-run solo median is
+    // thereby attributable to pass-level effects (arrival order, cache
+    // residency, listener backlog) from the artifact alone — the r13/r14
+    // detector_agreement adjudications each consumed a verdict cycle for
+    // lack of exactly this field. ~15×3 extra query runs ≈ one minute on
+    // a healthy pass; skipped for subset (dev A/B) runs, which ARE solo.
+    val soloMedians: Seq[(String, Double)] =
+      if (subset.nonEmpty) Seq.empty
+      else results.filter(_._2 >= 0).sortBy(-_._2).take(15).map { r =>
+        val fn = SparkEntry.queries(r._1)
+        val ts = (1 to 3).map { _ =>
+          drainBlocks(spark)
+          settle(() => spill.bytes.get())
+          val t0 = System.nanoTime()
+          val ok = try { force(fn(spark, sfDir)); true }
+                   catch { case _: Throwable => false }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }.sorted
+        r._1 -> ts(1)
+      }
     // The full 190-query map is ~3.3 KB — longer than the tail window the
     // driver keeps, so a single fat line arrives truncated and unparseable
     // (rounds 2-7 all recorded parsed=null). Full map goes to a file; the
@@ -137,7 +159,8 @@ object Bench {
         s""""gc_ms":${jlong(results.map(r => r._1 -> r._3))},""" +
         s""""spill_bytes":${jlong(results.map(r => r._1 -> r._4))},""" +
         s""""jobs":${jlong(results.map(r => r._1 -> r._5))},""" +
-        s""""build_ms":${jlong(results.map(r => r._1 -> r._6))},"sf":"$sfDir"}""")
+        s""""build_ms":${jlong(results.map(r => r._1 -> r._6))},""" +
+        s""""solo_median":${jmap(soloMedians)},"sf":"$sfDir"}""")
     // subset runs (dev A/B) show exactly what was asked for
     val head = if (subset.nonEmpty) jmap(timings)
       else jmap(timings.filter(r => headline(r._1)))

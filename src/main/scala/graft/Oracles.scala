@@ -2257,7 +2257,10 @@ object Oracles {
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "props_extract" -> {
-      val k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+      // TRY_CAST, not CAST: from_json on the Spark side degrades a
+      // mistyped k to NULL; a plain CAST would hard-error in DuckDB on
+      // the one input class the operator advertises it tolerates
+      val k = "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)"
       s"""SELECT event_type, count(*) AS n_events,
          |  CAST(sum($k) AS BIGINT) AS sum_k, min($k) AS min_k, max($k) AS max_k,
          |  round(avg($k), 6) AS avg_k
@@ -2267,7 +2270,8 @@ object Oracles {
     // VariantType path over the same props JSON: missing/mistyped keys
     // degrade to NULL (n_missing), stats match the from_json twin
     "props_variant" -> {
-      val k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+      // TRY_CAST mirrors try_variant_get's NULL degradation on mistyped k
+      val k = "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)"
       s"""SELECT event_type, count(*) AS n_events,
          |  CAST(sum(CASE WHEN $k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
          |  CAST(sum($k) AS BIGINT) AS sum_k, min($k) AS min_k, max($k) AS max_k,
@@ -6441,9 +6445,14 @@ object Oracles {
 
     // md5-deterministic percentile bootstrap of mean doc length per lang
     "bootstrap_ci" ->
-      s"""WITH ranked AS (SELECT lang, n_chars,
+      s"""WITH pre AS (SELECT lang, doc_id, n_chars,
+         |  row_number() OVER (PARTITION BY lang
+         |    ORDER BY md5(lang || ':' || doc_id), doc_id) AS prk
+         |  FROM documents),
+         |kept AS (SELECT lang, doc_id, n_chars FROM pre WHERE prk <= 100000),
+         |ranked AS (SELECT lang, n_chars,
          |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
-         |  count(*) OVER (PARTITION BY lang) AS n_l FROM documents),
+         |  count(*) OVER (PARTITION BY lang) AS n_l FROM kept),
          |draws AS (SELECT lang, r.r,
          |  ('0x' || substr(md5(lang || ':' || r.r || ':' || rn), 1, 8))::BIGINT % n_l + 1 AS idx
          |  FROM ranked CROSS JOIN (SELECT unnest(range(1, 201)) AS r) r),
@@ -6589,6 +6598,36 @@ object Oracles {
          |  CAST(min(cell) - true_cnt AS BIGINT) AS overcount
          |FROM probe JOIN cells USING (r, bucket)
          |GROUP BY token, true_cnt""".stripMargin,
+
+    // merged incremental CMS store readback (C213): the from-scratch
+    // batch sketch — per-(row, bucket) SUM is Count-Min's merge algebra,
+    // so store-merge equals batch-build bit-for-bit
+    "sketch_cms_table" ->
+      s"""WITH cnt AS (SELECT token, count(*) AS true_cnt FROM $tokTable GROUP BY 1),
+         |hashed AS (SELECT token, true_cnt, r.r,
+         |  ('0x' || substr(md5(r.r || ':' || token), 1, 8))::BIGINT % 256 AS bucket
+         |  FROM cnt CROSS JOIN (SELECT unnest(range(0, 4)) AS r) r)
+         |SELECT CAST(r AS BIGINT) AS r, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(sum(true_cnt) AS BIGINT) AS cell
+         |FROM hashed GROUP BY 1, 2""".stripMargin,
+
+    // merged incremental HLL store readback (C214): per-register MAX of
+    // rho over the corpus vocabulary — HLL's merge algebra
+    "sketch_hll_table" ->
+      s"""WITH toks AS (SELECT DISTINCT token FROM $tokTable),
+         |h AS (SELECT ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM toks),
+         |r AS (SELECT h // 16777216 AS reg, h % 16777216 AS w FROM h),
+         |rho AS (SELECT reg, CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END AS rho FROM r)
+         |SELECT CAST(reg AS BIGINT) AS reg, CAST(max(rho) AS BIGINT) AS mx
+         |FROM rho GROUP BY 1""".stripMargin,
+
+    // merged incremental Bloom store readback (C215): the distinct set-bit
+    // positions over the corpus vocabulary — set union as merge algebra
+    "sketch_bloom_table" ->
+      s"""WITH members AS (SELECT DISTINCT token FROM $tokTable)
+         |SELECT DISTINCT
+         |  CAST(('0x' || substr(md5(i.i || ':' || token), 1, 8))::BIGINT % 4096 AS BIGINT) AS pos
+         |FROM members CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i""".stripMargin,
 
     // Bloom-filter measured vs textbook FPR over the corpus vocabulary
     "bloom_fpr" ->
@@ -6739,7 +6778,7 @@ object Oracles {
     // code-switch segmentation: per-window marker votes, islands merge
     "lang_segments" ->
       """WITH lw AS (SELECT doc_id,
-        |  unnest(list_transform(list_filter(string_split(lower(text), ' '), x -> x <> ''),
+        |  unnest(list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
         |    (t, i) -> {'w': (CAST(i AS BIGINT) - 1) // 16, 'tok': t})) AS u
         |  FROM documents),
         |tk AS (SELECT doc_id, u.w AS win_idx, u.tok AS token FROM lw),

@@ -898,6 +898,15 @@ object SparkEntry {
       Sketches.bloomFpr(spread(t(s, d, "documents")))),
     "hll_det" -> ((s, d) =>
       Sketches.hllDet(spread(t(s, d, "documents")))),
+    // round 15: C213-C215 — the incremental sketch stores' merged state
+    // as queryable tables; the oracle recomputes each sketch from scratch
+    // over the whole corpus, so the hash check IS the mergeability proof
+    "sketch_cms_table" -> ((s, d) =>
+      streaming.Events.sketchCmsTable(spread(t(s, d, "documents")))),
+    "sketch_hll_table" -> ((s, d) =>
+      streaming.Events.sketchHllTable(spread(t(s, d, "documents")))),
+    "sketch_bloom_table" -> ((s, d) =>
+      streaming.Events.sketchBloomTable(spread(t(s, d, "documents")))),
     "permutation_test" -> ((s, d) =>
       Relational.permutationTest(events(s, d))),
     "token_assortativity" -> ((s, d) =>

@@ -210,6 +210,28 @@ object ScaleCheck {
           s""""permutation_test":{"sec":$tPt},"bh_fdr":{"sec":$tBh}}""")
         events.unpersist()
         graft.CacheTracker.drainAll(spark)
+      } else if (sections.contains("r15")) {
+        // bootstrap_ci scale-guard row: with the md5 pre-sample cap
+        // engaged (maxN set BELOW the base corpus size), the reps×rows
+        // draw frame is bounded at reps·maxN·|langs| regardless of m —
+        // cost past the cap must be flat-plus-scan (the pre-rank window
+        // still reads every row once), never linear-in-m like the
+        // uncapped draw frame. Both curves printed so the artifact shows
+        // the cap DOING something: uncapped grows with m, capped doesn't.
+        val docs = multiplyDocs(docs0, m)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs.count()
+        val capN = 2000 // well under the sf0.1 per-lang count at every m
+        val (tCap, _) = timedForce(graft.operators.Eval.bootstrapCi(docs, maxN = capN))
+        graft.CacheTracker.releaseAll()
+        val (tUncap, _) = timedForce(
+          graft.operators.Eval.bootstrapCi(docs, maxN = Int.MaxValue))
+        graft.CacheTracker.releaseAll()
+        println(s"""{"m":$m,"docs":${docs.count()},""" +
+          s""""bootstrap_ci_cap$capN":{"sec":$tCap},""" +
+          s""""bootstrap_ci_uncapped":{"sec":$tUncap}}""")
+        docs.unpersist()
+        graft.CacheTracker.drainAll(spark)
       } else if (sections.contains("r14b")) {
         // the nano-unit partial-agg rewrite (docEmbedHash / topicLabels
         // token mass): under m-way duplication the exploded contribution

@@ -69,10 +69,13 @@ object Sentiment {
     * pass an array column through [[vectorize]] first. */
   def fitPredictFeaturized(feats: DataFrame,
                            clf: org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Model[_]]): DataFrame = {
-    // persist: iterative estimators (LinearSVC does maxIter passes) and the
-    // test-side transform must not re-run the featurize chain per pass
+    // localCheckpoint: iterative estimators (LinearSVC does maxIter passes)
+    // and the test-side transform must not re-run the featurize chain per
+    // pass — and under a multi-hundred-query official pass MEMORY_AND_DISK
+    // cache blocks were observed evicted+recomputed mid-fit (the r12-r14
+    // svm_predictions 1.95→2.84 s drift); checkpointed partitions cannot be
     val withSplit = feats.withColumn("split", splitCol("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val train = withSplit.filter(col("split") === "train")
     val test = withSplit.filter(col("split") === "test")
     val model = clf.fit(train).asInstanceOf[org.apache.spark.ml.Model[_]]
@@ -83,7 +86,10 @@ object Sentiment {
       model.transform(test).select(col("id"), col("label"), col("prediction"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     preds.count()
-    withSplit.unpersist()
+    // the featurized checkpoint blocks release at the harness query
+    // boundary (CacheTracker.drainAll) — Dataset.unpersist is a no-op on
+    // a localCheckpoint, which is exactly why preds above must still
+    // materialize before this function returns
     preds
   }
 

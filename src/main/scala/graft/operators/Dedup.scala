@@ -1095,22 +1095,29 @@ object Dedup {
     * pair key. */
   def detectorAgreement(docs: DataFrame): DataFrame = {
     // both detectors start from the same regex tokenization of the same
-    // corpus: tokenize ONCE into a cached array frame and feed each
+    // corpus: tokenize ONCE into a materialized frame and feed each
     // detector the pre-tokenized rows, so the scan + regex pass (the
-    // shared front half) is paid once, not per detector
-    val toked = graft.CacheTracker.track(
-      docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val m = graft.CacheTracker.track(
-      minhashLshPairsFromToked(toked, 16, 8, 0.9).select("a_id", "b_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val sp = graft.CacheTracker.track(
-      simhashDetPairsFromToked(toked, 3).select("a_id", "b_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val both = m.join(sp, Seq("a_id", "b_id"), "left_semi")
-    m.agg(count(lit(1)).as("n_minhash"))
-      .crossJoin(broadcast(sp.agg(count(lit(1)).as("n_simhash"))))
-      .crossJoin(broadcast(both.agg(count(lit(1)).as("n_both"))))
+    // shared front half) is paid once, not per detector.
+    // localCheckpoint, not persist: the r13/r14 official benches showed
+    // the MEMORY_AND_DISK blocks being evicted and recomputed across the
+    // downstream branches under a multi-hundred-query pass (24.6 s
+    // official vs ~4 s solo); checkpointed partitions cannot be evicted.
+    val toked = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .localCheckpoint(true)
+    val m = minhashLshPairsFromToked(toked, 16, 8, 0.9)
+      .select("a_id", "b_id").localCheckpoint(true)
+    val sp = simhashDetPairsFromToked(toked, 3)
+      .select("a_id", "b_id").localCheckpoint(true)
+    // ONE aggregation job over the two bounded pair frames (a full outer
+    // join on the pair key) instead of three separate count branches —
+    // the branch structure was the other half of the official-pass
+    // blowup (each branch re-ran whatever the cache had dropped).
+    val u = m.withColumn("in_m", lit(1L))
+      .join(sp.withColumn("in_s", lit(1L)), Seq("a_id", "b_id"), "full_outer")
+    u.agg(
+        coalesce(sum(col("in_m")), lit(0L)).as("n_minhash"),
+        coalesce(sum(col("in_s")), lit(0L)).as("n_simhash"),
+        coalesce(sum(col("in_m") * col("in_s")), lit(0L)).as("n_both"))
       .select(col("n_minhash"), col("n_simhash"), col("n_both"),
         round(when(col("n_minhash") + col("n_simhash") - col("n_both") > 0,
           col("n_both").cast("double")

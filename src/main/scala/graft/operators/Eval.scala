@@ -373,11 +373,31 @@ object Eval {
     * single-task blow-up), and the draw join is a plain (lang, idx)
     * shuffle join. Replica means are exact long sums over exact counts;
     * the CI bounds are order statistics (ranks ⌈α·R⌉ from each end) of
-    * those means — doubles compared, never summed, so bit-stable. */
-  def bootstrapCi(docs: DataFrame, reps: Int = 200): DataFrame = {
-    val wl = Window.partitionBy("lang").orderBy("doc_id")
-    val ranked = docs
+    * those means — doubles compared, never summed, so bit-stable.
+    *
+    * Scale guard (`maxN`, default 100k docs per lang): past the cap the
+    * bootstrap runs on a deterministic md5 pre-sample — the `maxN` docs
+    * ranked lowest by md5(lang:doc_id) — so the reps×rows draw frame is
+    * bounded at reps·maxN·|langs| no matter the corpus size (a 100 TB
+    * lang would otherwise explode 200-fold). A bootstrap CI from a 100k
+    * uniform subsample is statistically the CI of the subsample mean —
+    * the honest, documented trade; the POINT estimate (n_docs,
+    * mean_chars) stays exact over the full corpus. Below the cap the
+    * pre-sample keeps every row, so small-SF oracles are unaffected; the
+    * md5 ranking makes the kept set identical on both engines and every
+    * retry. BASELINE.md's ScaleCheck r15 section proves the flat cost
+    * past the cap. */
+  def bootstrapCi(docs: DataFrame, reps: Int = 200,
+                  maxN: Int = 100000): DataFrame = {
+    val wPre = Window.partitionBy("lang")
+      .orderBy(md5(concat_ws(":", col("lang"), col("doc_id"))), col("doc_id"))
+    val kept = docs
       .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("prk", row_number().over(wPre))
+      .filter(col("prk") <= maxN)
+      .drop("prk")
+    val wl = Window.partitionBy("lang").orderBy("doc_id")
+    val ranked = kept
       .withColumn("rn", row_number().over(wl).cast("long"))
       .withColumn("n_l", count(lit(1)).over(Window.partitionBy("lang")))
     val draws = ranked

@@ -309,14 +309,18 @@ object Graph {
         (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .filter(col("w1") =!= col("w2"))
-    // Persist EVERY edge generation: each round's degrees and the next
-    // round's restriction both re-read it, and without the pin the
+    // Materialize EVERY edge generation: each round's degrees and the
+    // next round's restriction both re-read it, and without the pin the
     // lineage re-runs the corpus-sized tokenize+explode+distinct once
     // per downstream consumer (~6 full corpus passes for 3 rounds —
     // measured 30 s vs ~2 s at sf0.1). The pinned frames are distinct
     // bigram TYPES — vocabulary-shaped, far smaller than the corpus.
-    def pin(e: DataFrame): DataFrame = graft.CacheTracker.track(
-      e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // localCheckpoint, not persist (the bradley_terry discipline, 3× on
+    // that query): each peel's plan then starts from materialized
+    // partitions instead of re-planning the whole unrolled chain, and
+    // the blocks cannot be evicted mid-query under a multi-hundred-query
+    // pass the way MEMORY_AND_DISK cache blocks were in the r14 bench.
+    def pin(e: DataFrame): DataFrame = e.localCheckpoint(true)
     val edges0 = pin(bi.select(least(col("w1"), col("w2")).as("a"),
       greatest(col("w1"), col("w2")).as("b")).distinct())
     def degreesOf(e: DataFrame): DataFrame =
@@ -326,8 +330,7 @@ object Graph {
       e.join(alive.select(col("token").as("a")), Seq("a"), "left_semi")
         .join(alive.select(col("token").as("b")), Seq("b"), "left_semi")
         .select("a", "b")
-    val d0 = graft.CacheTracker.track(degreesOf(edges0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val d0 = pin(degreesOf(edges0))
     val a1 = d0.filter(col("degree") >= k).select("token")
     val e1 = pin(restrict(edges0, a1))
     val a2 = degreesOf(e1).filter(col("degree") >= k).select("token")

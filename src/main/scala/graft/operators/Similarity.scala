@@ -929,11 +929,14 @@ object Similarity {
     * broadcast probes. */
   def kmeansLloyd(emb: DataFrame, k: Int = 4, dims: Int = 8,
                   iters: Int = 3): DataFrame = {
-    val vecs = graft.CacheTracker.track(
-      emb.select(col("vec_id"),
-          expr(s"transform(slice(embedding, 1, $dims), x -> CAST(x AS DOUBLE))").as("e"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    vecs.count()
+    // localCheckpoint, not persist+count: every round reads this frame
+    // twice (assign + fold), and under a multi-hundred-query official
+    // pass MEMORY_AND_DISK blocks were evicted and recomputed mid-round
+    // (r14 official 4.4 s vs 1.1-1.9 s solo); checkpointed partitions
+    // cannot be evicted and the eager materialization replaces the count
+    val vecs = emb.select(col("vec_id"),
+        expr(s"transform(slice(embedding, 1, $dims), x -> CAST(x AS DOUBLE))").as("e"))
+      .localCheckpoint(true)
     def assign(cent: DataFrame): DataFrame = {
       val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cluster"))
       vecs.crossJoin(broadcast(cent))
@@ -959,6 +962,10 @@ object Similarity {
         .groupBy("cluster")
         .agg(array_sort(collect_list(struct(col("pos"), col("cm")))).as("pc"))
         .select(col("cluster"), transform(col("pc"), x => x.getField("cm")).as("c"))
+        // k×dims rows: truncating the per-round lineage here keeps round
+        // r's plan from re-embedding rounds 1..r-1 (the bradley_terry
+        // localCheckpoint discipline — planning cost stays flat in iters)
+        .localCheckpoint(true)
     }
     assign(cent)
       .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))

@@ -1192,8 +1192,10 @@ object TextOps {
     * BIGINT moments (the charTokenRegression discipline) so both
     * engines score identical residuals; q̂ is an order statistic
     * (rank by |resid| with a doc_id tie-break); the cover_rate check
-    * divides exact counts. One moments aggregate + one rank window on
-    * the calibration half. */
+    * divides exact counts. One moments aggregate + the Ranks two-pass
+    * range-partitioned rank on the calibration half — the calibration
+    * frame is half the corpus, so an unpartitioned window here would be
+    * the single-task global sort the repo's discipline forbids. */
   def conformalInterval(docs: DataFrame, alpha: Double = 0.1): DataFrame = {
     val base = docs.select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("y"),
@@ -1215,12 +1217,8 @@ object TextOps {
     val resid = cal.crossJoin(broadcast(fit))
       .select(col("doc_id"), col("n_train"), col("a"), col("b"),
         abs(col("y").cast("double") - (col("a") + col("b") * col("x"))).as("r"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("r").asc, col("doc_id"))
-    val ranked = resid
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("n_cal", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val ranked = Ranks.withGlobalRowNumber(resid, "rk", "n_cal",
+      Seq(col("r").asc, col("doc_id")))
     // k = ceil((n_cal + 1)(1 - alpha)), capped at n_cal
     val k = least(ceil((col("n_cal") + 1L) * (1.0 - alpha)).cast("long"), col("n_cal"))
     val qhat = ranked.filter(col("rk") === k)
@@ -2762,31 +2760,41 @@ object TextOps {
     * docs never reach 2 tokens report zero bigram diversity rather than
     * dividing by zero.
     *
-    * Scale: token/bigram explode is narrow; both counts ride Spark's
-    * two-phase distinct aggregation on the (source, gram) key — no
-    * per-source sort, no data-sized window. */
+    * Scale: ONE narrow explode emits unigrams and bigrams as a single
+    * tagged gram stream, then one two-level aggregation — (source,
+    * is_bg, gram) partial counts collapse to per-(source, is_bg)
+    * totals+distincts, then to one row per source. Three map-side-
+    * combining shuffles total, versus the two separate countDistinct
+    * branches (double tokenize, 6 shuffles + a join) this replaced
+    * after the r14 official pass read 6.4 s on a 1.2 s plan. */
   def distinctNgrams(docs: DataFrame): DataFrame = {
-    val toked = docs.select(col("source"), tokens(col("text")).as("toks"))
-    val uni = toked.select(col("source"), explode(col("toks")).as("tok"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_unigrams"),
-        countDistinct(col("tok")).as("n_distinct_unigrams"))
-    val bi = toked.filter(size(col("toks")) >= 2)
-      .select(col("source"), explode(zip_with(
-        slice(col("toks"), lit(1), size(col("toks")) - 1),
-        slice(col("toks"), lit(2), size(col("toks")) - 1),
-        (a, b) => concat_ws(" ", a, b))).as("bg"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_bigrams"),
-        countDistinct(col("bg")).as("n_distinct_bigrams"))
-    uni.join(bi, Seq("source"), "left")
+    val toks = tokens(col("text"))
+    // slice length clamps at 0 so 0/1-token docs emit no bigrams (ANSI
+    // mode errors on negative slice lengths rather than returning empty)
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val grams = docs.select(col("source"), explode(concat(
+        transform(toks, t => struct(lit(false).as("is_bg"), t.as("gram"))),
+        zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+          (a, b) => struct(lit(true).as("is_bg"),
+            concat_ws(" ", a, b).as("gram"))))).as("g"))
+      .select(col("source"), col("g.is_bg").as("is_bg"), col("g.gram").as("gram"))
+    val lvl = grams.groupBy("source", "is_bg", "gram")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("source", "is_bg")
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_distinct"))
+    lvl.groupBy("source")
+      .agg(
+        sum(when(!col("is_bg"), col("n"))).as("n_unigrams"),
+        sum(when(!col("is_bg"), col("n_distinct"))).as("n_distinct_unigrams"),
+        coalesce(sum(when(col("is_bg"), col("n"))), lit(0L)).as("n_bigrams"),
+        coalesce(sum(when(col("is_bg"), col("n_distinct"))), lit(0L))
+          .as("n_distinct_bigrams"))
       .select(col("source"), col("n_unigrams"), col("n_distinct_unigrams"),
         round(col("n_distinct_unigrams").cast("double") / col("n_unigrams"), 6)
           .as("distinct_1"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+        col("n_bigrams"), col("n_distinct_bigrams"),
         coalesce(round(col("n_distinct_bigrams").cast("double")
-          / col("n_bigrams"), 6), lit(0.0)).as("distinct_2"))
+          / nullif(col("n_bigrams"), lit(0L)), 6), lit(0.0)).as("distinct_2"))
   }
 
   /** Pairwise Cohen's kappa between three cheap quality raters (B149):

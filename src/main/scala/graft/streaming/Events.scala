@@ -10,6 +10,30 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** Store-existence probe for the incremental durable stores, resolved
+    * through the session's Hadoop FileSystem rather than java.io.File —
+    * File.exists() is always false for non-local URIs (hdfs://, s3a://),
+    * where a java.io gate would silently skip the standing store and,
+    * e.g., miss every cross-batch duplicate pair instead of failing
+    * loudly. Path.getFileSystem picks the scheme's FS (LocalFileSystem
+    * for bare paths, so local tests are unchanged). */
+  private[graft] def storeExists(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** [[storeExists]] AND the store already holds at least one batch_id=
+    * partition — a pre-created EMPTY dir has nothing to read and schema
+    * inference over it would throw. */
+  private[graft] def storeHasPartitions(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
+  }
+
   case class UserActivity(userId: Long, nEvents: Long, sumValueCents: Long)
 
   /** Custom accumulating state per user via mapGroupsWithState (the
@@ -158,7 +182,7 @@ object Events {
     val firsts = hashed.withColumn("_rn", row_number().over(wIn))
       .filter(col("_rn") === 1).drop("_rn")
     val novel =
-      (if (new java.io.File(storeDir).exists())
+      (if (storeExists(spark, storeDir))
          firsts.join(spark.read.parquet(storeDir).select("content_hash"),
            Seq("content_hash"), "left_anti")
        else firsts)
@@ -215,7 +239,7 @@ object Events {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val index =
-        if (new java.io.File(storeDir).exists())
+        if (storeExists(spark, storeDir))
           spark.read.parquet(storeDir)
             .filter(col("batch_id") =!= batchId) // self-exclusion on replay
             .select("h")
@@ -295,10 +319,8 @@ object Events {
         min(col("us")).as("first_us"), max(col("us")).as("last_us"))
     // existence check tolerates a pre-created EMPTY dir (no partitions
     // yet → nothing to read, schema inference would throw)
-    val storeFile = new java.io.File(storeDir)
     val prior =
-      if (storeFile.exists() &&
-          Option(storeFile.list()).exists(_.exists(_.startsWith("batch_id="))))
+      if (storeHasPartitions(spark, storeDir))
         spark.read.parquet(storeDir)
           .filter(col("batch_id") =!= batchId) // self-exclusion on replay
       else null
@@ -655,7 +677,7 @@ object Events {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val prior =
-        if (new java.io.File(hashesDir).exists())
+        if (storeExists(spark, hashesDir))
           spark.read.parquet(hashesDir)
             .filter(col("batch_id") =!= batchId) // self-exclusion on replay
             .select("ch").distinct()
@@ -790,7 +812,7 @@ object Events {
     // over a store directory holding only _SUCCESS would fail — with
     // the declared schema an empty store reads as an empty frame
     def readStore(dir: String, schema: String): Option[DataFrame] =
-      if (new java.io.File(dir).exists())
+      if (storeExists(spark, dir))
         Some(spark.read.schema(schema).parquet(dir)
           .filter(col("batch_id") =!= batchId))
       else None
@@ -943,7 +965,7 @@ object Events {
     val arrSchema = "doc_id BIGINT, arr ARRAY<STRING>, batch_id BIGINT"
     val pairSchema = "a_id BIGINT, b_id BIGINT, jac DOUBLE, batch_id BIGINT"
     def readStore(dir: String, schema: String): Option[DataFrame] =
-      if (new java.io.File(dir).exists())
+      if (storeExists(spark, dir))
         Some(spark.read.schema(schema).parquet(dir)
           .filter(col("batch_id") =!= batchId))
       else None
@@ -994,5 +1016,67 @@ object Events {
         .select("a_id", "b_id", "jac")
         .write.mode("overwrite").parquet(outDir)
     } finally { bands.unpersist(); arrs.unpersist() }
+  }
+
+  // ---- SQL-surface readbacks of the incremental sketch stores --------
+  //
+  // C213-C215: the merged CMS/HLL/Bloom durable stores as queryable
+  // tables. Each builds its store with the SAME per-batch step the
+  // streaming query runs (three doc_id-keyed micro-batches, plus an
+  // out-of-order REPLAY of batch 0 so the dynamic-overwrite idempotence
+  // is exercised on the query surface, not just in StreamingSpec),
+  // registers the merged sketch as a temp view, and returns the view's
+  // readback. Because each sketch's merge algebra (SUM / MAX / set
+  // UNION) is associative+commutative — and idempotent where it must
+  // be — the merged table is BIT-identical to the batch build over the
+  // whole corpus, which is exactly what the DuckDB oracle computes from
+  // scratch: the oracle check IS the mergeability proof.
+
+  private def buildStore(docs: DataFrame,
+                         prefix: String,
+                         step: (DataFrame, Long, String, String) => Unit): (String, String) = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    val (store, out) = (s"$tmp/store", s"$tmp/out")
+    Seq(0L, 1L, 2L, 0L).foreach { b =>
+      step(docs.filter(col("doc_id") % 3 === b), b, store, out)
+    }
+    (store, out)
+  }
+
+  /** Merged incremental Count-Min store as table `graft_sketch_cms`
+    * (C213): per-(row, bucket) SUM over the per-batch cell partials. */
+  def sketchCmsTable(docs: DataFrame, depth: Int = 4, width: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    val (store, _) = buildStore(docs, "graft_sketch_cms_",
+      (b, id, s, o) => cmsBatch(b, id, s, o, depth, width))
+    spark.read.parquet(store)
+      .groupBy("r", "bucket").agg(sum(col("cell")).as("cell"))
+      .select(col("r").cast("long").as("r"), col("bucket"), col("cell"))
+      .createOrReplaceTempView("graft_sketch_cms")
+    spark.table("graft_sketch_cms")
+  }
+
+  /** Merged incremental HyperLogLog store as table `graft_sketch_hll`
+    * (C214): per-register MAX over the per-batch register partials. */
+  def sketchHllTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val (store, _) = buildStore(docs, "graft_sketch_hll_",
+      (b, id, s, o) => hllBatch(b, id, s, o))
+    spark.read.parquet(store)
+      .groupBy("reg").agg(max(col("mx")).as("mx"))
+      .createOrReplaceTempView("graft_sketch_hll")
+    spark.table("graft_sketch_hll")
+  }
+
+  /** Merged incremental Bloom store as table `graft_sketch_bloom`
+    * (C215): the distinct set-bit positions across all batch partials. */
+  def sketchBloomTable(docs: DataFrame, kHashes: Int = 4, mBits: Int = 4096): DataFrame = {
+    val spark = docs.sparkSession
+    val (store, _) = buildStore(docs, "graft_sketch_bloom_",
+      (b, id, s, o) => bloomBatch(b, id, s, o, kHashes, mBits))
+    spark.read.parquet(store)
+      .select("pos").distinct()
+      .createOrReplaceTempView("graft_sketch_bloom")
+    spark.table("graft_sketch_bloom")
   }
 }

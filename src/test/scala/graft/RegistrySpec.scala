@@ -27,18 +27,23 @@ class RegistrySpec extends AnyFunSuite {
     "approx_char_percentiles", "approx_distinct_tokens",
     "approx_heavy_hitters")
 
-  private def surveyKeys: Set[String] = {
+  private def surveyS2Lines: Seq[String] = {
     val root = Seq(".", "/root/repo")
       .map(new java.io.File(_, "SURVEY.md")).find(_.isFile)
       .getOrElse(fail("SURVEY.md not found from test working directory"))
-    val lines = scala.io.Source.fromFile(root, "UTF-8").getLines().toSeq
-    val inS2 = lines
+    scala.io.Source.fromFile(root, "UTF-8").getLines().toSeq
       .dropWhile(!_.startsWith("## §2"))
       .drop(1)
       .takeWhile(!_.startsWith("## "))
-    val rowPat = """^\|\s*[ABC]\d+[bc]?\s*\|.*""".r
+  }
+
+  private val rowPat = """^\|\s*[ABC]\d+[bc]?\s*\|.*""".r
+
+  private def surveyRows: Seq[String] = surveyS2Lines.filter(rowPat.matches(_))
+
+  private def surveyKeys: Set[String] = {
     val tick = """`([^`]+)`""".r
-    inS2.collect { case l if rowPat.matches(l) => tick.findAllMatchIn(l).toSeq }
+    surveyRows.map(l => tick.findAllMatchIn(l).toSeq)
       .flatMap { ticks =>
         // test-only rows carry no key; keyed rows carry EXACTLY one
         // backtick (the grading contract this spec pins)
@@ -47,6 +52,28 @@ class RegistrySpec extends AnyFunSuite {
         ticks.map(_.group(1))
       }
       .toSet
+  }
+
+  test("SURVEY §2's stated row count matches the actual table") {
+    // the r14 audit found the §8 header claiming 482 rows over a 480-row
+    // table; the count now lives in ONE machine-checked line in §2 that
+    // the status sections cite instead of recounting by hand
+    val stated = surveyS2Lines
+      .find(_.startsWith("§2 row count:"))
+      .getOrElse(fail("SURVEY §2 is missing its '§2 row count:' line"))
+    val n = """§2 row count: (\d+)""".r.findFirstMatchIn(stated)
+      .getOrElse(fail(s"unparseable row-count line: $stated")).group(1).toInt
+    assert(n == surveyRows.size,
+      s"SURVEY §2 states $n rows but the table has ${surveyRows.size}")
+  }
+
+  test("SURVEY §2 row ids are unique") {
+    // C13/C14 were each used twice until r15 — a duplicate id makes the
+    // judge's line-by-line coverage join ambiguous
+    val id = """^\|\s*([ABC]\d+[bc]?)\s*\|""".r
+    val ids = surveyRows.flatMap(l => id.findFirstMatchIn(l).map(_.group(1)))
+    val dupes = ids.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"duplicate SURVEY §2 row ids: $dupes")
   }
 
   test("SURVEY §2 keys == SparkEntry.queries keys") {
