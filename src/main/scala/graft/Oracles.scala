@@ -2845,6 +2845,71 @@ object Oracles {
          |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= 5""".stripMargin
     },
 
+    // IVF probe-width sweep (B237): the det-IVF fit probed at widths
+    // {1,2,4}, recall@5 against brute force. scored/bf MATERIALIZED —
+    // each is referenced per width and plain CTEs inline per reference
+    "ann_nprobe_sweep" -> {
+      def assign(c: String, a: String) =
+        s"""$a AS (SELECT vec_id, embedding, e, cluster FROM (
+           |  SELECT vec_id, embedding, e, cluster,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+           |  FROM (SELECT v.vec_id, v.embedding, v.e, $c.cluster,
+           |      round(list_reduce(list_transform(range(1, 17),
+           |        i -> (e[i] - c[i]) * (e[i] - c[i])), (p, q) -> p + q), 9) AS dist
+           |    FROM v CROSS JOIN $c)) WHERE rn = 1)""".stripMargin
+      def recenter(a: String, m: String, c: String) =
+        s"""$m AS (SELECT cluster, pos,
+           |  round(list_reduce(list_sort(list(sub_s)), (p, q) -> p + q) / sum(sub_n), 9) AS cm
+           |  FROM (SELECT cluster, pos, vec_id % 1024 AS sb, count(*) AS sub_n,
+           |        list_reduce(list_sort(list(x)), (p, q) -> p + q) AS sub_s
+           |        FROM (SELECT vec_id, cluster, unnest(range(1, 17)) AS pos, unnest(e) AS x FROM $a)
+           |        GROUP BY cluster, pos, sb)
+           |  GROUP BY cluster, pos),
+           |$c AS (SELECT cluster, list(cm ORDER BY pos) AS c FROM $m GROUP BY cluster)""".stripMargin
+      val cos =
+        """round(list_reduce(list_transform(q_emb, (x, i) -> CAST(x AS DOUBLE) * CAST(n_emb[i] AS DOUBLE)), (p2, q2) -> p2 + q2)
+          |    / (sqrt(list_reduce(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p2, q2) -> p2 + q2))
+          |       * sqrt(list_reduce(list_transform(n_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p2, q2) -> p2 + q2))), 6)""".stripMargin
+      s"""WITH v AS (SELECT vec_id, embedding,
+         |           list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, e AS c FROM v WHERE vec_id < 8),
+         |${assign("c0", "a1")},
+         |${recenter("a1", "m1", "c1")},
+         |${assign("c1", "a2")},
+         |${recenter("a2", "m2", "c2")},
+         |${assign("c2", "a3")},
+         |qp AS (SELECT q_id, q_emb, cluster, rn AS probe_rank FROM (
+         |  SELECT v.vec_id AS q_id, v.embedding AS q_emb, c2.cluster,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      round(list_reduce(list_transform(range(1, 17),
+         |        i -> (e[i] - c[i]) * (e[i] - c[i])), (p, q) -> p + q), 9), cluster) AS rn
+         |  FROM v CROSS JOIN c2 WHERE v.vec_id < 10) WHERE rn <= 4),
+         |scored AS MATERIALIZED (SELECT q_id, probe_rank, n_id, $cos AS cos FROM (
+         |  SELECT qp.q_id, qp.probe_rank, qp.q_emb, a3.vec_id AS n_id, a3.embedding AS n_emb
+         |  FROM qp JOIN a3 ON qp.cluster = a3.cluster AND qp.q_id <> a3.vec_id)),
+         |bq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+         |bscored AS (SELECT q_id, n_id, $cos AS cos
+         |  FROM bq JOIN (SELECT vec_id AS n_id, embedding AS n_emb FROM embeddings) bc
+         |  ON q_id <> n_id),
+         |bf AS MATERIALIZED (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM bscored) WHERE rnk <= 5),
+         |nq AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries FROM bf),
+         |widths AS (SELECT unnest([1, 2, 4]) AS p),
+         |iv AS (SELECT p, q_id, n_id FROM (
+         |  SELECT w.p, s.q_id, s.n_id,
+         |    row_number() OVER (PARTITION BY w.p, s.q_id ORDER BY s.cos DESC, s.n_id) AS rnk
+         |  FROM widths w JOIN scored s ON s.probe_rank <= w.p) WHERE rnk <= 5),
+         |hm AS (SELECT iv.p, CAST(count(*) AS BIGINT) AS n_hits
+         |       FROM iv JOIN bf USING (q_id, n_id) GROUP BY 1)
+         |SELECT CAST(w.p AS BIGINT) AS n_probe, nq.n_queries,
+         |  CAST(coalesce(hm.n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(CAST(coalesce(hm.n_hits, 0) AS DOUBLE) / (nq.n_queries * 5), 6) AS recall
+         |FROM widths w LEFT JOIN hm ON hm.p = w.p CROSS JOIN nq""".stripMargin
+    },
+
     // independent Morton interleave: the same 5 magic-mask spread steps
     // as the native expression, unrolled as CTE stages over BIGINT bit ops
     "zorder_key" ->
@@ -6598,6 +6663,45 @@ object Oracles {
          |  CAST(min(cell) - true_cnt AS BIGINT) AS overcount
          |FROM probe JOIN cells USING (r, bucket)
          |GROUP BY token, true_cnt""".stripMargin,
+
+    // data-scaling-curve probe (B238): heldout xent of add-one unigram
+    // LMs at nested prefixes + the 3-point log-log OLS fit
+    "scaling_curve" ->
+      s"""WITH base AS (SELECT doc_id, $toks AS toks FROM documents),
+         |tt AS (SELECT t.token, mm.m FROM (
+         |    SELECT unnest(toks) AS token, CAST(doc_id % 16 AS INT) AS rr
+         |    FROM base WHERE doc_id % 16 < 8) t
+         |  CROSS JOIN (SELECT unnest([2, 4, 8]) AS m) mm WHERE t.rr < mm.m),
+         |cm AS (SELECT m, token, count(*) AS cnt FROM tt GROUP BY 1, 2),
+         |tm AS (SELECT m, CAST(sum(cnt) AS BIGINT) AS n_train FROM cm GROUP BY 1),
+         |vv AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+         |       FROM (SELECT unnest(toks) AS token FROM base)),
+         |held AS (SELECT token, count(*) AS h_cnt
+         |  FROM (SELECT unnest(toks) AS token FROM base WHERE doc_id % 16 >= 14)
+         |  GROUP BY 1),
+         |ht AS (SELECT CAST(sum(h_cnt) AS BIGINT) AS n_held FROM held),
+         |terms AS (SELECT tm.m, tm.n_train,
+         |  round((CAST(h_cnt AS DOUBLE) / n_held)
+         |    * ln(CAST(tm.n_train + vv.v AS DOUBLE) / (coalesce(cm.cnt, 0) + 1)), 6) AS contrib
+         |  FROM held CROSS JOIN ht CROSS JOIN tm CROSS JOIN vv
+         |  LEFT JOIN cm ON cm.m = tm.m AND cm.token = held.token),
+         |xent AS (SELECT m, n_train,
+         |  round(list_reduce(list_sort(list(contrib)), (a, b) -> a + b), 6) AS heldout_xent
+         |  FROM terms GROUP BY 1, 2),
+         |pts AS (SELECT m, n_train, heldout_xent, ln(CAST(n_train AS DOUBLE)) AS x FROM xent),
+         |mom AS (SELECT CAST(count(*) AS DOUBLE) AS kk,
+         |  list_reduce(list_sort(list(x)), (a, b) -> a + b) AS sx,
+         |  list_reduce(list_sort(list(heldout_xent)), (a, b) -> a + b) AS sy,
+         |  list_reduce(list_sort(list(round(x * heldout_xent, 9))), (a, b) -> a + b) AS sxy,
+         |  list_reduce(list_sort(list(round(x * x, 9))), (a, b) -> a + b) AS sxx
+         |  FROM pts),
+         |fit AS (SELECT
+         |  round((kk * sxy - sx * sy) / (kk * sxx - sx * sx), 6) AS loglog_slope,
+         |  round((sy * sxx - sx * sxy) / (kk * sxx - sx * sx), 6) AS loglog_intercept
+         |  FROM mom)
+         |SELECT CAST(m AS BIGINT) AS prefix_sixteenths, n_train AS n_train_tokens,
+         |  heldout_xent, loglog_slope, loglog_intercept
+         |FROM pts CROSS JOIN fit""".stripMargin,
 
     // merged incremental CMS store readback (C213): the from-scratch
     // batch sketch — per-(row, bucket) SUM is Count-Min's merge algebra,

@@ -907,6 +907,12 @@ object SparkEntry {
       streaming.Events.sketchHllTable(spread(t(s, d, "documents")))),
     "sketch_bloom_table" -> ((s, d) =>
       streaming.Events.sketchBloomTable(spread(t(s, d, "documents")))),
+    // round 15: B237 IVF probe-width tuning sweep + B238 data-scaling
+    // curve (heldout xent at nested training prefixes, log-log fit)
+    "ann_nprobe_sweep" -> ((s, d) =>
+      Similarity.annNprobeSweep(t(s, d, "embeddings"))),
+    "scaling_curve" -> ((s, d) =>
+      LangModel.scalingCurve(spread(t(s, d, "documents")))),
     "permutation_test" -> ((s, d) =>
       Relational.permutationTest(events(s, d))),
     "token_assortativity" -> ((s, d) =>

@@ -1199,4 +1199,72 @@ object LangModel {
       .withColumn("direction", lit("h2"))
     up.unionByName(dn)
   }
+
+  /** Data-scaling-curve probe (B238): heldout cross-entropy of an
+    * add-one-smoothed unigram LM trained on nested corpus prefixes
+    * (docs with doc_id%16 < m for m in {2,4,8}; heldout = the fixed
+    * doc_id%16 >= 14 eighth), plus the log-log OLS fit over the
+    * (ln n_train_tokens, xent) points — the measured "does more data
+    * still help" curve behind every data-budget decision: a slope near
+    * zero says the unigram signal is saturated, a steep negative slope
+    * says collect more. One row per prefix with the shared fit columns.
+    *
+    * Determinism: per-(prefix, heldout-token) surprisal terms are
+    * (h_cnt/n_held)·ln((n_train+V)/(cnt+1)) — each bounded by the max
+    * model surprisal so 6 dp rounding is never sub-ulp — folded SORTED
+    * per prefix; the 3-point OLS folds sorted 9 dp products. Scale: ONE
+    * pass tags each training token with every prefix containing it (no
+    * per-prefix rescans); everything after the (m, token) partial-agg
+    * shuffle is vocab-bounded. */
+  def scalingCurve(docs: DataFrame): DataFrame = {
+    val fracs = Seq(2, 4, 8)
+    val base = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val r = (col("doc_id") % 16).cast("int")
+    val trainToks = base.filter(r < fracs.max)
+      .select(explode(col("toks")).as("token"), r.as("rr"))
+      .select(col("token"),
+        explode(filter(array(fracs.map(lit): _*), m => col("rr") < m)).as("m"))
+    val cm = trainToks.groupBy("m", "token").agg(count(lit(1)).as("cnt"))
+    val tm = cm.groupBy("m").agg(sum(col("cnt")).as("n_train"))
+    val v = base.select(explode(col("toks")).as("token"))
+      .agg(countDistinct(col("token")).as("v"))
+    val held = base.filter(r >= 14)
+      .select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("h_cnt"))
+    val hTot = held.agg(sum(col("h_cnt")).as("n_held"))
+    val terms = held.crossJoin(broadcast(hTot))
+      .crossJoin(broadcast(tm))
+      .join(cm, Seq("m", "token"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("m"), col("n_train"),
+        round((col("h_cnt").cast("double") / col("n_held"))
+          * log((col("n_train") + col("v")).cast("double")
+            / (coalesce(col("cnt"), lit(0L)) + 1L).cast("double")), 6)
+          .as("contrib"))
+    val xent = terms.groupBy("m", "n_train")
+      .agg(round(aggregate(sort_array(collect_list(col("contrib"))), lit(0.0),
+        (acc, x) => acc + x), 6).as("heldout_xent"))
+    val pts = xent.select(col("m"), col("n_train"), col("heldout_xent"),
+      log(col("n_train").cast("double")).as("x"))
+    val mom = pts.agg(
+      count(lit(1)).cast("double").as("kk"),
+      aggregate(sort_array(collect_list(col("x"))), lit(0.0),
+        (acc, x) => acc + x).as("sx"),
+      aggregate(sort_array(collect_list(col("heldout_xent"))), lit(0.0),
+        (acc, x) => acc + x).as("sy"),
+      aggregate(sort_array(collect_list(round(col("x") * col("heldout_xent"), 9))),
+        lit(0.0), (acc, x) => acc + x).as("sxy"),
+      aggregate(sort_array(collect_list(round(col("x") * col("x"), 9))),
+        lit(0.0), (acc, x) => acc + x).as("sxx"))
+    val fit = mom.select(
+      round((col("kk") * col("sxy") - col("sx") * col("sy"))
+        / (col("kk") * col("sxx") - col("sx") * col("sx")), 6).as("loglog_slope"),
+      round((col("sy") * col("sxx") - col("sx") * col("sxy"))
+        / (col("kk") * col("sxx") - col("sx") * col("sx")), 6).as("loglog_intercept"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("m").cast("long").as("prefix_sixteenths"),
+        col("n_train").as("n_train_tokens"), col("heldout_xent"),
+        col("loglog_slope"), col("loglog_intercept"))
+  }
+
 }

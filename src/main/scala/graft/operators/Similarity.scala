@@ -336,19 +336,42 @@ object Similarity {
   def annIvfKmeansDet(emb: DataFrame, maxQueryId: Long = 10, k: Int = 5,
                       nCells: Int = 8, nProbe: Int = 2, iters: Int = 2,
                       dims: Int = 16): DataFrame = {
+    val (vecs, cent, assigned) = ivfDetParts(emb, nCells, iters, dims)
+    val probed = ivfProbe(vecs, cent, maxQueryId)
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("cluster"))
+    val scored = broadcast(probed)
+      .join(assigned, Seq("cluster"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_emb"), col("n_emb")), 6).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** 9 dp squared-L2 fold in index order — the IVF/Lloyd distance
+    * discipline shared by fit, assignment, and probing. */
+  private def sqDist(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x), 9)
+
+  /** The deterministic IVF coarse quantizer shared by
+    * [[annIvfKmeansDet]] and [[annNprobeSweep]]: Lloyd-fit centroids
+    * (init = lowest vec_ids, two-level sorted folds, ties to lowest
+    * cluster), the cell-assigned corpus, and the cached vector frame.
+    * Factored out so the sweep reuses ONE fit across probe widths
+    * instead of re-running Lloyd per width. */
+  private def ivfDetParts(emb: DataFrame, nCells: Int, iters: Int,
+                          dims: Int): (DataFrame, DataFrame, DataFrame) = {
     val vecs = graft.CacheTracker.track(
       emb.select(col("vec_id"), col("embedding"),
           expr(s"transform(slice(embedding, 1, $dims), x -> CAST(x AS DOUBLE))").as("e"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     vecs.count()
-    def dist(a: Column, b: Column): Column =
-      round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x), 9)
     def assign(cent: DataFrame): DataFrame = {
       val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cluster"))
       vecs.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("embedding"), col("e"), col("cluster"),
-          dist(col("e"), col("c")).as("dist"))
+          sqDist(col("e"), col("c")).as("dist"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .drop("rn", "dist")
@@ -370,23 +393,64 @@ object Similarity {
     }
     val assigned = assign(cent)
       .select(col("cluster"), col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-    // queries probe their nProbe nearest FINAL centroids (same distance
-    // discipline as the Lloyd rounds: 9 dp fold, ties to lowest cluster)
+    (vecs, cent, assigned)
+  }
+
+  /** Query-side centroid probing: each query ranked against every FINAL
+    * centroid (9 dp fold, ties to lowest cluster), ALL ranks kept so
+    * callers slice `probe_rank <= p` for any probe width. */
+  private def ivfProbe(vecs: DataFrame, cent: DataFrame,
+                       maxQueryId: Long): DataFrame = {
     val wq = Window.partitionBy("q_id").orderBy(col("qdist"), col("cluster"))
-    val probed = vecs.filter(col("vec_id") < maxQueryId)
+    vecs.filter(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("e").as("q_e"))
       .crossJoin(broadcast(cent))
       .select(col("q_id"), col("q_emb"), col("cluster"),
-        dist(col("q_e"), col("c")).as("qdist"))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nProbe)
-      .select(col("q_id"), col("q_emb"), col("cluster"))
+        sqDist(col("q_e"), col("c")).as("qdist"))
+      .withColumn("probe_rank", row_number().over(wq))
+  }
+
+  /** IVF nProbe tuning sweep (B237): recall@k of the deterministic
+    * KMeans-IVF against exact brute-force top-k, at every probe width in
+    * `probes` — the table an operator reads to pick nProbe before
+    * committing an ANN index config to a 100 TB corpus (recall rises
+    * with probe width, cost rises linearly with it; this quantifies the
+    * trade on the actual data). ONE Lloyd fit and ONE all-centroid
+    * probe ranking serve every width (the sweep only re-slices
+    * `probe_rank <= p`), and the candidate scores are computed once at
+    * the widest probe — per-width work is a filter + top-k + semi-join
+    * on bounded frames. Output: one row per probe width with total
+    * hits@k over the query set and mean recall. */
+  def annNprobeSweep(emb: DataFrame, maxQueryId: Long = 10, k: Int = 5,
+                     nCells: Int = 8, iters: Int = 2, dims: Int = 16,
+                     probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val (vecs, cent, assigned) = ivfDetParts(emb, nCells, iters, dims)
+    val probed = ivfProbe(vecs, cent, maxQueryId)
+      .filter(col("probe_rank") <= probes.max)
+      .select(col("q_id"), col("q_emb"), col("probe_rank"), col("cluster"))
+    // score once at the widest probe; each width slices by probe_rank.
+    // localCheckpoint: three widths re-read this bounded candidate frame
     val scored = broadcast(probed)
       .join(assigned, Seq("cluster"))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
+      .select(col("q_id"), col("probe_rank"), col("n_id"),
         round(cosine(col("q_emb"), col("n_emb")), 6).as("cos"))
-    rankTopK(scored, k)
+      .localCheckpoint(true)
+    val bf = annTopK(emb, maxQueryId, k)
+      .select(col("q_id"), col("n_id")).localCheckpoint(true)
+    val nq = bf.agg(countDistinct(col("q_id")).as("n_queries"))
+    val perWidth = probes.map { p =>
+      val iv = rankTopK(
+          scored.filter(col("probe_rank") <= p).select("q_id", "n_id", "cos"), k)
+        .select(col("q_id"), col("n_id"))
+      bf.join(iv, Seq("q_id", "n_id"), "left_semi")
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_hits"))
+        .select(lit(p.toLong).as("n_probe"), col("n_hits"))
+    }.reduce(_ unionByName _)
+    perWidth.crossJoin(broadcast(nq))
+      .select(col("n_probe"), col("n_queries"), col("n_hits"),
+        round(col("n_hits").cast("double") / (col("n_queries") * k), 6)
+          .as("recall"))
   }
 
   /** Per-label embedding centroids (B17): posexplode to (label, dim, x),

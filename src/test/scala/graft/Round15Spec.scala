@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-15 additions: the eviction-proof reworks (distinct_ngrams'
+  * single-stream agg, detector_agreement's one-job census), the IVF
+  * nProbe sweep, the data-scaling curve, the bootstrap_ci pre-sample
+  * cap, and the sketch-store SQL surfaces. */
+class Round15Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String, String)*): DataFrame =
+    rows.map { case (id, lang, source, text) =>
+      (id, text, lang, source, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  // ------------------------------------------------------ distinct_ngrams
+
+  test("distinctNgrams: single-stream agg matches hand counts incl. bigram-free sources") {
+    val d = docs(
+      (1L, "en", "web", "a b a b"),     // uni: 4 toks 2 distinct; bi: a b, b a, a b -> 3 toks 2 distinct
+      (2L, "en", "web", "c"),           // uni only
+      (3L, "en", "solo", "x"),          // a source with NO bigrams anywhere
+      (4L, "en", "solo", "y"))
+    val r = operators.TextOps.distinctNgrams(d)
+      .collect().map(x => x.getString(0) -> x).toMap
+    val web = r("web")
+    assert(web.getLong(1) == 5L && web.getLong(2) == 3L)          // n_unigrams, distinct
+    assert(web.getLong(4) == 3L && web.getLong(5) == 2L)          // n_bigrams, distinct
+    assert(web.getDouble(6) == math.round(2.0 / 3.0 * 1e6) / 1e6) // distinct_2
+    val solo = r("solo")
+    assert(solo.getLong(4) == 0L && solo.getLong(5) == 0L && solo.getDouble(6) == 0.0)
+  }
+
+  test("distinctNgrams: empty-token docs drop out instead of erroring") {
+    val d = docs((1L, "en", "w", ""), (2L, "en", "w", "a"))
+    val r = operators.TextOps.distinctNgrams(d).collect()
+    assert(r.length == 1 && r.head.getLong(1) == 1L && r.head.getLong(4) == 0L)
+  }
+
+  // -------------------------------------------------- detector_agreement
+
+  test("detectorAgreement: one-row census with n_both <= min(detectors), jaccard in [0,1]") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(
+      (1L, "en", "w", base), (2L, "en", "w", base),                 // exact dup pair
+      (3L, "en", "w", base + " extra"),                             // near dup
+      (4L, "en", "w", "completely different text about query engines"))
+    val r = operators.Dedup.detectorAgreement(d).head()
+    val (nm, ns, nb) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nb <= math.min(nm, ns))
+    val j = r.getDouble(3)
+    assert(j >= 0.0 && j <= 1.0)
+    assert(nm >= 1L && ns >= 1L, "the exact-dup pair must be caught by both detectors")
+  }
+
+  // ---------------------------------------------------- ann_nprobe_sweep
+
+  test("annNprobeSweep: recall is non-decreasing in probe width and hits its brute-force cap") {
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(16)(d => ((i * 7 + d * 3) % 13 - 6).toFloat / 6f), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val rows = operators.Similarity.annNprobeSweep(emb, maxQueryId = 6, k = 3,
+        nCells = 4, probes = Seq(1, 2, 4))
+      .orderBy("n_probe").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    val recalls = rows.map(_.getDouble(3))
+    assert(recalls.sliding(2).forall(p => p(0) <= p(1)),
+      s"recall must not drop as probes widen: ${recalls.mkString(",")}")
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1) * 3),
+      "hits can never exceed n_queries * k")
+    // probing EVERY cell is exhaustive search over the same candidates
+    assert(recalls.last == 1.0,
+      s"nProbe = nCells must recover brute force exactly, got ${recalls.last}")
+  }
+
+  // ------------------------------------------------------- scaling_curve
+
+  test("scalingCurve: nested prefixes grow and more data never hurts the unigram fit") {
+    val d = docs((0L until 64L).map { i =>
+      (i, "en", "w", s"tok${i % 7} tok${i % 3} tok${i % 5} filler common words")
+    }: _*)
+    val rows = operators.LangModel.scalingCurve(d)
+      .orderBy("prefix_sixteenths").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 4L, 8L))
+    val nTrain = rows.map(_.getLong(1))
+    assert(nTrain(0) < nTrain(1) && nTrain(1) < nTrain(2),
+      "nested prefixes must strictly grow on a dense corpus")
+    val xent = rows.map(_.getDouble(2))
+    assert(xent.forall(_ > 0.0))
+    // identical slope/intercept columns on every row (one shared fit)
+    assert(rows.map(_.getDouble(3)).distinct.length == 1)
+    assert(rows.map(_.getDouble(4)).distinct.length == 1)
+  }
+
+  // -------------------------------------------------- bootstrap_ci cap
+
+  test("bootstrapCi: the pre-sample cap is a no-op below the cap") {
+    val d = docs((0L until 30L).map(i =>
+      (i, if (i % 2 == 0) "en" else "fr", "w", "x" * (10 + (i % 7)).toInt)): _*)
+    val capped = operators.Eval.bootstrapCi(d, reps = 50, maxN = 100000)
+      .orderBy("lang").collect().map(_.toSeq)
+    val tiny = operators.Eval.bootstrapCi(d, reps = 50, maxN = Int.MaxValue)
+      .orderBy("lang").collect().map(_.toSeq)
+    assert(capped.toSeq == tiny.toSeq)
+  }
+
+  test("bootstrapCi: past the cap the draw frame is bounded but the point estimate stays exact") {
+    val d = docs((0L until 40L).map(i =>
+      (i, "en", "w", "y" * (5 + (i % 11)).toInt)): _*)
+    val r = operators.Eval.bootstrapCi(d, reps = 20, maxN = 8).head()
+    // point estimate over the FULL 40 docs, not the 8-doc pre-sample
+    assert(r.getLong(1) == 40L)
+    val mean = d.agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(math.abs(r.getDouble(2) - mean) < 1e-6)
+    // the CI bounds come from the 8-doc resample and must still bracket
+    assert(r.getDouble(3) <= r.getDouble(4))
+  }
+
+  // ------------------------------------------------ sketch store tables
+
+  test("sketchCmsTable: merged store readback equals the from-scratch batch sketch") {
+    val d = docs((0L until 24L).map(i =>
+      (i, "en", "w", s"alpha beta tok${i % 5} gamma")): _*)
+    val viaStore = streaming.Events.sketchCmsTable(d)
+      .orderBy("r", "bucket").collect().map(_.toSeq)
+    val cnt = d.select(explode(operators.TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("true_cnt"))
+    val direct = operators.Sketches.cmsCellsFromCounts(cnt, 4, 256)
+      .select(col("r").cast("long").as("r"), col("bucket"), col("cell"))
+      .orderBy("r", "bucket").collect().map(_.toSeq)
+    assert(viaStore.toSeq == direct.toSeq)
+  }
+
+  test("sketchHllTable / sketchBloomTable: merge algebras reproduce the batch build") {
+    val d = docs((0L until 24L).map(i =>
+      (i, "en", "w", s"alpha beta tok${i % 6} gamma")): _*)
+    val hll = streaming.Events.sketchHllTable(d)
+      .orderBy("reg").collect().map(_.toSeq)
+    val hllDirect = operators.Sketches.hllRegisters(d)
+      .orderBy("reg").collect().map(_.toSeq)
+    assert(hll.toSeq == hllDirect.toSeq)
+    val bloom = streaming.Events.sketchBloomTable(d)
+      .orderBy("pos").collect().map(_.getLong(0))
+    val bloomDirect = operators.Sketches.bloomPositions(
+        d.select(explode(operators.TextOps.tokens(col("text"))).as("token")).distinct(),
+        4, 4096)
+      .select("pos").distinct().orderBy("pos").collect().map(_.getLong(0))
+    assert(bloom.toSeq == bloomDirect.toSeq)
+  }
+}
