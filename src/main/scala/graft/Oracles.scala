@@ -6777,6 +6777,75 @@ object Oracles {
          |  round((round(estimate, 6) - n_true) / n_true, 6) AS rel_err
          |FROM e3""".stripMargin,
 
+    // rolling 7-day distinct users via per-day HLL register partials
+    // merged by MAX (C216) vs the exact windowed distinct
+    "hll_window_distinct" ->
+      """WITH du AS (SELECT DISTINCT epoch_ns(ts) // 1000 // 86400000000 AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |h AS (SELECT day, ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h FROM du),
+        |r AS (SELECT day, h // 16777216 AS reg, h % 16777216 AS w FROM h),
+        |rho AS (SELECT day, reg, CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END AS rho FROM r),
+        |daily AS (SELECT day, reg, max(rho) AS mx FROM rho GROUP BY 1, 2),
+        |wd AS (SELECT win_day, reg, max(mx) AS mx FROM (
+        |  SELECT unnest(range(day, day + 7)) AS win_day, reg, mx FROM daily)
+        |  WHERE win_day IN (SELECT day FROM days) GROUP BY 1, 2),
+        |z AS (SELECT win_day, count(*) AS n_used, sum(pow(2.0, -mx)) AS z_used FROM wd GROUP BY 1),
+        |e2 AS (SELECT win_day, n_used, 256 - n_used AS v,
+        |  (((0.7213 / (1.0 + 1.079 / 256)) * 256) * 256)
+        |    / (z_used + CAST(256 - n_used AS DOUBLE)) AS e_raw FROM z),
+        |e3 AS (SELECT win_day, n_used,
+        |  CASE WHEN e_raw <= 2.5 * 256 AND v > 0
+        |       THEN 256.0 * ln(256.0 / v) ELSE e_raw END AS estimate FROM e2),
+        |ex AS (SELECT win_day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_true FROM (
+        |  SELECT unnest(range(day, day + 7)) AS win_day, user_id FROM du)
+        |  WHERE win_day IN (SELECT day FROM days) GROUP BY 1)
+        |SELECT e3.win_day, ex.n_true, CAST(n_used AS BIGINT) AS n_registers_used,
+        |  round(estimate, 6) AS estimate,
+        |  round((round(estimate, 6) - n_true) / n_true, 6) AS rel_err
+        |FROM e3 JOIN ex USING (win_day)""".stripMargin,
+
+    // new users per day by HLL inclusion-exclusion (C217): est(prior ∪
+    // today) − est(prior), register merges of the same daily partials
+    "hll_new_users" ->
+      """WITH du AS (SELECT DISTINCT epoch_ns(ts) // 1000 // 86400000000 AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |h AS (SELECT day, ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h FROM du),
+        |r AS (SELECT day, h // 16777216 AS reg, h % 16777216 AS w FROM h),
+        |rho AS (SELECT day, reg, CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END AS rho FROM r),
+        |daily AS (SELECT day, reg, max(rho) AS mx FROM rho GROUP BY 1, 2),
+        |pw AS (SELECT anchor, reg, max(mx) AS mx FROM (
+        |  SELECT unnest(range(day + 1, day + 8)) AS anchor, reg, mx FROM daily)
+        |  WHERE anchor IN (SELECT day FROM days) GROUP BY 1, 2),
+        |bw AS (SELECT anchor, reg, max(mx) AS mx FROM (
+        |  SELECT unnest(range(day, day + 8)) AS anchor, reg, mx FROM daily)
+        |  WHERE anchor IN (SELECT day FROM days) GROUP BY 1, 2),
+        |zp AS (SELECT anchor, count(*) AS n_used, sum(pow(2.0, -mx)) AS z_used FROM pw GROUP BY 1),
+        |ep AS (SELECT anchor,
+        |  CASE WHEN e_raw <= 2.5 * 256 AND v > 0 THEN 256.0 * ln(256.0 / v) ELSE e_raw END AS est_prior
+        |  FROM (SELECT anchor, 256 - n_used AS v,
+        |    (((0.7213 / (1.0 + 1.079 / 256)) * 256) * 256)
+        |      / (z_used + CAST(256 - n_used AS DOUBLE)) AS e_raw FROM zp)),
+        |zb AS (SELECT anchor, count(*) AS n_used, sum(pow(2.0, -mx)) AS z_used FROM bw GROUP BY 1),
+        |eb AS (SELECT anchor,
+        |  CASE WHEN e_raw <= 2.5 * 256 AND v > 0 THEN 256.0 * ln(256.0 / v) ELSE e_raw END AS est_both
+        |  FROM (SELECT anchor, 256 - n_used AS v,
+        |    (((0.7213 / (1.0 + 1.079 / 256)) * 256) * 256)
+        |      / (z_used + CAST(256 - n_used AS DOUBLE)) AS e_raw FROM zb)),
+        |pu AS (SELECT DISTINCT anchor, user_id FROM (
+        |  SELECT unnest(range(day + 1, day + 8)) AS anchor, user_id FROM du)
+        |  WHERE anchor IN (SELECT day FROM days)),
+        |ex AS (SELECT d.day AS anchor, CAST(count(*) AS BIGINT) AS n_true_new
+        |  FROM du d LEFT JOIN pu ON pu.anchor = d.day AND pu.user_id = d.user_id
+        |  WHERE pu.user_id IS NULL GROUP BY 1)
+        |SELECT eb.anchor AS day,
+        |  CAST(coalesce(ex.n_true_new, 0) AS BIGINT) AS n_true_new,
+        |  round(est_prior, 6) AS est_prior, round(est_both, 6) AS est_both,
+        |  round(est_both - est_prior, 6) AS est_new,
+        |  CASE WHEN coalesce(ex.n_true_new, 0) > 0
+        |       THEN round((round(est_both - est_prior, 6) - ex.n_true_new)
+        |                  / ex.n_true_new, 6) END AS rel_err
+        |FROM eb JOIN ep USING (anchor) LEFT JOIN ex USING (anchor)""".stripMargin,
+
     // md5-relabelled permutation test on per-user spend (add-one p-value)
     "permutation_test" ->
       """WITH per AS (SELECT user_id,

@@ -913,6 +913,13 @@ object SparkEntry {
       Similarity.annNprobeSweep(t(s, d, "embeddings"))),
     "scaling_curve" -> ((s, d) =>
       LangModel.scalingCurve(spread(t(s, d, "documents")))),
+    // C216/C217: rolling uniques + new-user estimation via per-day
+    // mergeable HLL partials (window = register MAX; new = est(prior ∪
+    // today) − est(prior), the sketch set-difference trick)
+    "hll_window_distinct" -> ((s, d) =>
+      Sketches.hllWindowDistinct(events(s, d))),
+    "hll_new_users" -> ((s, d) =>
+      Sketches.hllNewUsers(events(s, d))),
     "permutation_test" -> ((s, d) =>
       Relational.permutationTest(events(s, d))),
     "token_assortativity" -> ((s, d) =>

@@ -158,4 +158,130 @@ object Sketches {
           .otherwise(col("e_raw")))
       .select(col("n_used"), col("estimate"))
   }
+
+  /** Sliding-window distinct users via mergeable HLL registers (C216):
+    * per-day (reg, mx) partials off md5(user_id) merged by register MAX
+    * across each trailing `window`-day span, estimated with the same
+    * p=8 raw-harmonic + linear-counting math as [[hllDet]], and checked
+    * against the exact windowed distinct — the 100 TB shape for rolling
+    * uniques. The point at scale: daily partials are ≤256 rows each, a
+    * window merges by MAX over ≤256·window rows instead of re-scanning
+    * `window` days of raw events, the SAME partials serve any window
+    * length, and a late day re-materializes only its own partial. The
+    * exact comparator (user×window explode + countDistinct, a
+    * window-fold of the raw stream) is the cost this replaces.
+    *
+    * Determinism: rho terms are md5-derived integers; each 2^(−rho)
+    * addend is a power of two and a window's ≤256-term Z spans < 53
+    * mantissa bits, so the sum is EXACT in double at any fold order —
+    * no seed, no aggregation seam. Windows are trailing: day d's
+    * partial feeds windows ending at d..d+window−1, gated to days that
+    * exist in the data. */
+  def hllWindowDistinct(events: DataFrame, window: Int = 7): DataFrame = {
+    val m = 256
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val du = events.select(
+        expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    val days = du.select("day").distinct()
+    val daily = du
+      .select(col("day"), h32(col("user_id").cast("string")).as("h"))
+      .select(col("day"), expr("h div 16777216").as("reg"), (col("h") % 16777216L).as("w"))
+      .select(col("day"), col("reg"),
+        when(col("w") === 0L, lit(25L))
+          .otherwise(lit(25L) - length(bin(col("w")))).as("rho"))
+      .groupBy("day", "reg").agg(max(col("rho")).as("mx"))
+    def windowed(df: DataFrame): DataFrame = df
+      .withColumn("win_day",
+        explode(sequence(col("day"), col("day") + (window - 1))))
+      .join(days.select(col("day").as("win_day")), Seq("win_day"), "left_semi")
+    val est = windowed(daily)
+      .groupBy("win_day", "reg").agg(max(col("mx")).as("mx"))
+      .groupBy("win_day")
+      .agg(count(lit(1)).as("n_used"),
+        sum(pow(lit(2.0), -col("mx"))).as("z_used"))
+      .withColumn("e_raw",
+        lit(alpha * m * m)
+          / (col("z_used") + (lit(m.toLong) - col("n_used")).cast("double")))
+      .withColumn("v", lit(m.toLong) - col("n_used"))
+      .withColumn("estimate",
+        when(col("e_raw") <= 2.5 * m && col("v") > 0L,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(col("e_raw")))
+    val exact = windowed(du)
+      .groupBy("win_day")
+      .agg(countDistinct(col("user_id")).as("n_true"))
+    est.join(exact, "win_day")
+      .select(col("win_day"), col("n_true"),
+        col("n_used").as("n_registers_used"),
+        round(col("estimate"), 6).as("estimate"),
+        round((round(col("estimate"), 6) - col("n_true")) / col("n_true"), 6)
+          .as("rel_err"))
+  }
+
+  /** New-user estimation by HLL inclusion-exclusion (C217): per day d,
+    * estimated new users = est(prior 7 days ∪ day d) − est(prior 7
+    * days), both estimates off register-MAX merges of the SAME per-day
+    * partials [[hllWindowDistinct]] builds — the sketch-algebra answer
+    * to "how many of today's users are actually new" that never
+    * re-touches raw history (HLL supports union natively; the
+    * difference comes from two union estimates, the standard retention
+    * trick). Checked against the exact anti-join count. Days with no
+    * prior day in range are skipped (no baseline to subtract).
+    *
+    * Same determinism as the window sketch: md5 registers, power-of-two
+    * Z sums exact at any fold order, one rounding at the published
+    * columns. The estimate CAN be noisy or negative at small deltas —
+    * that is the honest sketch trade the rel_err column quantifies. */
+  def hllNewUsers(events: DataFrame, window: Int = 7): DataFrame = {
+    val m = 256
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val du = events.select(
+        expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    val days = du.select("day").distinct()
+    val daily = du
+      .select(col("day"), h32(col("user_id").cast("string")).as("h"))
+      .select(col("day"), expr("h div 16777216").as("reg"), (col("h") % 16777216L).as("w"))
+      .select(col("day"), col("reg"),
+        when(col("w") === 0L, lit(25L))
+          .otherwise(lit(25L) - length(bin(col("w")))).as("rho"))
+      .groupBy("day", "reg").agg(max(col("rho")).as("mx"))
+    // day e's partial reaches anchors d where e ∈ [d−window, d−lo]
+    def anchored(df: DataFrame, lo: Int): DataFrame = df
+      .withColumn("anchor",
+        explode(sequence(col("day") + lo, col("day") + window)))
+      .join(days.select(col("day").as("anchor")), Seq("anchor"), "left_semi")
+    def estOf(regs: DataFrame, name: String): DataFrame = regs
+      .groupBy("anchor", "reg").agg(max(col("mx")).as("mx"))
+      .groupBy("anchor")
+      .agg(count(lit(1)).as("n_used"),
+        sum(pow(lit(2.0), -col("mx"))).as("z_used"))
+      .withColumn("e_raw",
+        lit(alpha * m * m)
+          / (col("z_used") + (lit(m.toLong) - col("n_used")).cast("double")))
+      .withColumn("v", lit(m.toLong) - col("n_used"))
+      .select(col("anchor"),
+        when(col("e_raw") <= 2.5 * m && col("v") > 0L,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(col("e_raw")).as(name))
+    val estPrior = estOf(anchored(daily, 1), "est_prior")
+    val estBoth = estOf(anchored(daily, 0), "est_both")
+    // exact: today's users never seen in the prior window
+    val priorUsers = anchored(du, 1).select(col("anchor"), col("user_id"))
+    val exact = du.select(col("day").as("anchor"), col("user_id"))
+      .join(priorUsers, Seq("anchor", "user_id"), "left_anti")
+      .groupBy("anchor").agg(count(lit(1)).as("n_true_new"))
+    // inner join on est_prior: the first day has no baseline to subtract
+    estBoth.join(estPrior, "anchor")
+      .join(exact, Seq("anchor"), "left")
+      .select(col("anchor").as("day"),
+        coalesce(col("n_true_new"), lit(0L)).as("n_true_new"),
+        round(col("est_prior"), 6).as("est_prior"),
+        round(col("est_both"), 6).as("est_both"),
+        round(col("est_both") - col("est_prior"), 6).as("est_new"),
+        when(coalesce(col("n_true_new"), lit(0L)) > 0L,
+          round((round(col("est_both") - col("est_prior"), 6)
+            - col("n_true_new")) / col("n_true_new"), 6)).as("rel_err"))
+  }
 }

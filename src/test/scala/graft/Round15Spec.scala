@@ -118,6 +118,50 @@ class Round15Spec extends SparkSpec {
     assert(r.getDouble(3) <= r.getDouble(4))
   }
 
+  // ------------------------------------------------ windowed HLL family
+
+  test("hllWindowDistinct: window merge equals one sketch over the union, exact count exact") {
+    val events = (0L until 200L).map { i =>
+      (i, i % 37, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z")
+          .plusSeconds((i % 10) * 86400 + i)), "click", 1.0)
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val r = operators.Sketches.hllWindowDistinct(events)
+      .orderBy("win_day").collect()
+    assert(r.length == 10)
+    // day 9's trailing-7 window covers days 3..9: users are i%37 over a
+    // contiguous id stretch -> the exact count is computable by hand
+    val exactLast = (0L until 200L)
+      .filter(i => (i % 10) >= 3).map(_ % 37).distinct.size
+    assert(r.last.getLong(1) == exactLast)
+    // the p=8 estimate at ~37 uniques rides linear counting: tight
+    r.foreach(row =>
+      assert(math.abs(row.getDouble(4)) < 0.15,
+        s"rel_err too large: $row"))
+  }
+
+  test("hllNewUsers: inclusion-exclusion baseline day is skipped, exact anti-join is right") {
+    val events = (0L until 60L).map { i =>
+      // day 0: users 0..9; day 1: users 5..14 (5 new); day 2: users 0..4 (0 new)
+      val day = i / 20
+      val u = day match {
+        case 0 => i % 10
+        case 1 => 5 + (i % 10)
+        case _ => i % 5
+      }
+      (i, u, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z")
+          .plusSeconds(day * 86400 + i)), "click", 1.0)
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val r = operators.Sketches.hllNewUsers(events)
+      .orderBy("day").collect()
+    // day 0 has no prior window -> dropped; days 1 and 2 report
+    assert(r.length == 2)
+    assert(r(0).getLong(1) == 5L, s"day 1 should have 5 new users: ${r(0)}")
+    assert(r(1).getLong(1) == 0L, s"day 2 should have 0 new users: ${r(1)}")
+    assert(r(1).isNullAt(5), "rel_err must be NULL when n_true_new = 0")
+  }
+
   // ------------------------------------------------ sketch store tables
 
   test("sketchCmsTable: merged store readback equals the from-scratch batch sketch") {
