@@ -83,6 +83,10 @@ object LogRegSql {
       w = w.join(grad, Seq("i"), "left")
         .select(col("i"),
           round(col("w") - lit(lr) * coalesce(col("g"), lit(0.0)), 9).as("w"))
+      // NO per-round localCheckpoint here: an r15 ×3 A/B read medians
+      // 2.93/3.35/2.71 s WITH the checkpoint vs 3.17 s in-pass without —
+      // the cost is the two per-round corpus shuffles (already persisted
+      // input), not plan depth, so the extra checkpoint jobs buy nothing
     }
     w.select(col("i"), round(col("w"), 6).as("w"))
   }

@@ -36,6 +36,24 @@ object Events {
 
   case class UserActivity(userId: Long, nEvents: Long, sumValueCents: Long)
 
+  /** Per-user running totals on Spark 4's transformWithState (C218) —
+    * the arbitrary-stateful successor of mapGroupsWithState: explicit
+    * typed state handles (ValueState here; ListState/MapState/timers
+    * live on the same handle), per-state TTL, and the RocksDB state
+    * store (transformWithState refuses the HDFS-backed provider — set
+    * spark.sql.streaming.stateStore.providerClass to
+    * RocksDBStateStoreProvider before starting the query). Identical
+    * HALF_UP cents discipline to [[runningUserActivity]], so
+    * StreamingSpec pins the two APIs equal on the same stream. */
+  def runningUserActivityTws(events: org.apache.spark.sql.Dataset[(Long, Double)])
+  : org.apache.spark.sql.Dataset[UserActivity] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_._1)
+      .transformWithState(new RunningActivityProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Custom accumulating state per user via mapGroupsWithState (the
     * KeyValueGroupedDataset path for logic window aggregates can't
     * express). Emits the running total after every micro-batch; state is
@@ -1078,5 +1096,45 @@ object Events {
       .select("pos").distinct()
       .createOrReplaceTempView("graft_sketch_bloom")
     spark.table("graft_sketch_bloom")
+  }
+}
+
+/** The [[Events.runningUserActivityTws]] processor: one ValueState record
+  * per user, updated per micro-batch — the minimal but complete
+  * StatefulProcessor lifecycle (init acquires the typed handle,
+  * handleInputRows folds the batch's rows into state and emits the
+  * running record). Top-level class: processor instances serialize to
+  * the executors with the query. */
+class RunningActivityProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), Events.UserActivity] {
+  @transient private var state:
+    org.apache.spark.sql.streaming.ValueState[Events.UserActivity] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    state = getHandle.getValueState[Events.UserActivity]("activity",
+      org.apache.spark.sql.Encoders.product[Events.UserActivity],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      user: Long, rows: Iterator[(Long, Double)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+  : Iterator[Events.UserActivity] = {
+    val prev =
+      if (state.exists()) state.get()
+      else Events.UserActivity(user, 0L, 0L)
+    var n = prev.nEvents
+    var cents = prev.sumValueCents
+    rows.foreach { case (_, v) =>
+      n += 1
+      // HALF_UP away from zero, matching the batch side's
+      // functions.round (java Math.round would differ at -x.5)
+      cents += BigDecimal(v * 100)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val next = Events.UserActivity(user, n, cents)
+    state.update(next)
+    Iterator.single(next)
   }
 }

@@ -811,4 +811,33 @@ class StreamingSpec extends SparkSpec {
       "a replayed batch must replace its pair partition, not append to it")
     graft.CacheTracker.drainAll(spark)
   }
+
+  test("transformWithState (C218) matches mapGroupsWithState on the same stream") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState only admits the RocksDB state store provider;
+    // scope the conf to this test and restore the default after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(Long, Double)]
+      val q = Events.runningUserActivityTws(stream.toDS())
+        .writeStream.format("memory").queryName("user_state_tws")
+        .outputMode("update").start()
+      stream.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+      q.processAllAvailable()
+      stream.addData((1L, 3.0), (3L, -0.005)) // -x.5 cents: HALF_UP seam
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table("user_state_tws")
+        .groupBy("userId").agg(max("nEvents").as("n"), max("sumValueCents").as("cents"))
+        .as[(Long, Long, Long)].collect().toSet
+      // identical to the mapGroupsWithState expectation on this stream,
+      // plus the rounding-seam user: BigDecimal HALF_UP takes -0.5 to -1
+      assert(last === Set((1L, 3L, 600L), (2L, 1L, 500L), (3L, 1L, -1L)))
+    } finally {
+      prior.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
+  }
 }
