@@ -1261,6 +1261,25 @@ object Oracles {
          |SELECT * FROM v0 UNION ALL SELECT * FROM n1
          |UNION ALL SELECT * FROM n2 UNION ALL SELECT * FROM n3""".stripMargin,
 
+    // the SAME BFS as a recursive CTE on BOTH engines (C219): bounded
+    // UNION ALL walk enumeration, min(dist) = BFS distance within budget
+    "token_bfs_rcte" ->
+      s"""WITH RECURSIVE d AS (SELECT DISTINCT doc_id, token FROM $tokTable),
+         |c AS (SELECT token, count(*) AS df FROM d GROUP BY 1),
+         |q AS (SELECT token FROM c WHERE df >= 5),
+         |dq AS (SELECT d.doc_id, d.token FROM d JOIN q USING (token)),
+         |e AS (SELECT x.token AS a, y.token AS b FROM dq x JOIN dq y
+         |      ON x.doc_id = y.doc_id AND x.token < y.token
+         |      GROUP BY 1, 2 HAVING count(*) >= 5),
+         |eb AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+         |seed AS (SELECT token FROM c ORDER BY df DESC, token LIMIT 1),
+         |walk (token, dist) AS (
+         |  SELECT token, CAST(0 AS BIGINT) AS dist FROM seed
+         |  UNION ALL
+         |  SELECT eb.b AS token, w.dist + 1 FROM walk w JOIN eb ON eb.a = w.token
+         |  WHERE w.dist < 3)
+         |SELECT token, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY token""".stripMargin,
+
     // corpus conditional bigram entropy: exact counts, 6 dp contribs,
     // md5-bucketed two-level folds
     "bigram_cond_entropy" ->

@@ -920,6 +920,10 @@ object SparkEntry {
       Sketches.hllWindowDistinct(events(s, d))),
     "hll_new_users" -> ((s, d) =>
       Sketches.hllNewUsers(events(s, d))),
+    // C219: engine-driven recursive CTE (UnionLoopExec) BFS, parity with
+    // the unrolled token_bfs and DuckDB's own recursion
+    "token_bfs_rcte" -> ((s, d) =>
+      Graph.tokenBfsRcte(spread(t(s, d, "documents")))),
     "permutation_test" -> ((s, d) =>
       Relational.permutationTest(events(s, d))),
     "token_assortativity" -> ((s, d) =>

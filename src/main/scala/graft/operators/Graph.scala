@@ -247,6 +247,53 @@ object Graph {
     visited
   }
 
+  /** [[tokenBfs]] expressed as a Spark 4 RECURSIVE CTE (C219): the same
+    * df/pair-gated edges and argmax-df seed, but the hop loop runs in
+    * the ENGINE (UnionLoopExec) instead of an unrolled driver loop —
+    * `WITH RECURSIVE walk AS (seed UNION ALL step WHERE dist < maxHops)`
+    * then min(dist) per reached token, which equals BFS distance for
+    * every token within the hop budget. Value-identical to [[tokenBfs]]
+    * by construction, and the DuckDB oracle runs the recursion too —
+    * recursive-CTE parity across engines.
+    *
+    * Scale caveat, stated plainly: Spark's recursive CTEs support only
+    * UNION ALL recursion (no fixpoint dedup), so this enumerates WALKS
+    * and the row count grows with path multiplicity (~degree^hops per
+    * seed). On the vocab-bounded co-occurrence graph at 3 hops that is
+    * fine; for unbounded graphs the anti-join-per-hop [[tokenBfs]]
+    * remains the scale path — this row is the engine-capability face.
+    * Edges/seed are localCheckpointed BEFORE the view registration so
+    * each engine-driven iteration re-reads a LogicalRDD, not the whole
+    * tokenize+gate prefix. */
+  def tokenBfsRcte(docs: DataFrame, minPairDocs: Int = 5, maxHops: Int = 3): DataFrame = {
+    val d0 = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .distinct()
+      .localCheckpoint(true)
+    val counts = d0.groupBy("token").agg(count(lit(1)).as("df"))
+    val qualified = counts.filter(col("df") >= minPairDocs).select("token")
+    val d = d0.join(qualified, Seq("token"), "left_semi")
+    val half = d.select(col("doc_id"), col("token").as("a"))
+      .join(d.select(col("doc_id"), col("token").as("b")), "doc_id")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairDocs)
+      .select("a", "b")
+    val edges = half.union(half.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    val seed = counts.orderBy(col("df").desc, col("token")).limit(1)
+      .select("token").localCheckpoint(true)
+    edges.createOrReplaceTempView("graft_bfs_edges")
+    seed.createOrReplaceTempView("graft_bfs_seed")
+    docs.sparkSession.sql(
+      s"""WITH RECURSIVE walk (token, dist) AS (
+         |  SELECT token, CAST(0 AS BIGINT) AS dist FROM graft_bfs_seed
+         |  UNION ALL
+         |  SELECT e.b AS token, w.dist + CAST(1 AS BIGINT) AS dist
+         |  FROM walk w JOIN graft_bfs_edges e ON e.a = w.token
+         |  WHERE w.dist < $maxHops)
+         |SELECT token, min(dist) AS dist FROM walk GROUP BY token""".stripMargin)
+  }
+
   /** Label-propagation communities over the token adjacency graph
     * (B183): 3 unrolled min-label rounds — each token adopts the
     * lexicographic minimum of its own and its neighbors' labels — the
