@@ -1261,6 +1261,17 @@ object Oracles {
          |SELECT * FROM v0 UNION ALL SELECT * FROM n1
          |UNION ALL SELECT * FROM n2 UNION ALL SELECT * FROM n3""".stripMargin,
 
+    // splice detection (B239): a's last-3 tokens == b's first-3 tokens
+    // (win=3 on the query surface — see the SparkEntry note)
+    "head_tail_overlap" ->
+      s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),
+         |b8 AS (SELECT doc_id, t FROM base WHERE len(t) >= 3),
+         |hd AS (SELECT doc_id AS b_id, md5(array_to_string(t[1:3], ' ')) AS h FROM b8),
+         |tl AS (SELECT doc_id AS a_id,
+         |       md5(array_to_string(t[len(t) - 2:len(t)], ' ')) AS h FROM b8)
+         |SELECT DISTINCT a_id, b_id, substr(h, 1, 16) AS boundary_hash16
+         |FROM tl JOIN hd USING (h) WHERE a_id <> b_id""".stripMargin,
+
     // the SAME BFS as a recursive CTE on BOTH engines (C219): bounded
     // UNION ALL walk enumeration, min(dist) = BFS distance within budget
     "token_bfs_rcte" ->

@@ -924,6 +924,12 @@ object SparkEntry {
     // the unrolled token_bfs and DuckDB's own recursion
     "token_bfs_rcte" -> ((s, d) =>
       Graph.tokenBfsRcte(spread(t(s, d, "documents")))),
+    // B239: boundary-splice detection (a's tail shingle == b's head).
+    // win=3 here, not the production default 8: the synthetic corpus has
+    // no real splice artifacts, and a 0-row result would verify nothing —
+    // at win=3 the natural boundary collisions exercise the join for real
+    "head_tail_overlap" -> ((s, d) =>
+      Dedup.headTailOverlap(spread(t(s, d, "documents")), win = 3)),
     "permutation_test" -> ((s, d) =>
       Relational.permutationTest(events(s, d))),
     "token_assortativity" -> ((s, d) =>

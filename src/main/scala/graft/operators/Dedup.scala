@@ -1124,4 +1124,30 @@ object Dedup {
             / (col("n_minhash") + col("n_simhash") - col("n_both")))
           .otherwise(lit(0.0)), 6).as("pair_jaccard"))
   }
+
+  /** Splice detection (B239): pairs where document a's LAST `win` tokens
+    * equal document b's FIRST `win` tokens — the signature of one source
+    * document split across two rows (or two rows concatenated from one),
+    * the boundary artifact crawl pipelines produce that none of the
+    * whole-doc detectors (exact/minhash/simhash) and none of the
+    * interior-span detectors (span_dedup looks at all shingles, this
+    * ONLY at the two boundary shingles) are tuned to catch cheaply.
+    * Each doc contributes exactly one head hash and one tail hash — two
+    * narrow md5s per row, one equi-join on the hash, no explode, no
+    * all-shingle frame; at 100 TB this is two corpus scans' worth of
+    * 16-byte keys meeting in one shuffle. */
+  def headTailOverlap(docs: DataFrame, win: Int = 8): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= win)
+    val head = base.select(col("doc_id").as("b_id"),
+      md5(concat_ws(" ", slice(col("t"), 1, win))).as("h"))
+    val tail = base.select(col("doc_id").as("a_id"),
+      md5(concat_ws(" ", slice(col("t"), -win, win))).as("h"))
+    tail.join(head, "h")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        substring(col("h"), 1, 16).as("boundary_hash16"))
+      .distinct()
+  }
 }

@@ -118,6 +118,21 @@ class Round15Spec extends SparkSpec {
     assert(r.getDouble(3) <= r.getDouble(4))
   }
 
+  // ---------------------------------------------------- head_tail_overlap
+
+  test("headTailOverlap: detects the splice boundary and nothing else") {
+    val shared = "one two three four five six seven eight"
+    val d = docs(
+      (1L, "en", "w", s"first half of the source document ends with $shared"),
+      (2L, "en", "w", s"$shared and then the second half continues onward here"),
+      (3L, "en", "w", "a completely unrelated document with plenty of tokens inside"),
+      (4L, "en", "w", "short"))
+    val pairs = operators.Dedup.headTailOverlap(d) // production win = 8
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      s"doc 1's tail is doc 2's head, nothing else should pair: $pairs")
+  }
+
   // ------------------------------------------------ windowed HLL family
 
   test("hllWindowDistinct: window merge equals one sketch over the union, exact count exact") {
