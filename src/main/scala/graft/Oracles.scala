@@ -1261,6 +1261,33 @@ object Oracles {
          |SELECT * FROM v0 UNION ALL SELECT * FROM n1
          |UNION ALL SELECT * FROM n2 UNION ALL SELECT * FROM n3""".stripMargin,
 
+    // tf-weighted MinHash (B240): exponential-race signatures off md5
+    // uniforms; agreement fraction estimates weighted Jaccard
+    "dedup_wminhash" ->
+      s"""WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM $tokTable GROUP BY 1, 2),
+         |race AS (SELECT doc_id, token, tf, h.h,
+         |  round(-ln((('0x' || substr(md5(h.h || ':' || token), 1, 6))::BIGINT + 1)
+         |    / 16777216.0) / tf, 9) AS p
+         |  FROM tf CROSS JOIN (SELECT unnest(range(0, 16)) AS h) h),
+         |sw AS (SELECT doc_id, h, token AS tok FROM (
+         |  SELECT doc_id, h, token,
+         |    row_number() OVER (PARTITION BY doc_id, h ORDER BY p, token) AS rn
+         |  FROM race) WHERE rn = 1),
+         |sig AS (SELECT doc_id, list(tok ORDER BY h) AS sig FROM sw GROUP BY 1),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band, md5(array_to_string(sig[1:8], ' ')) AS bh FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, md5(array_to_string(sig[9:16], ' ')) AS bh FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |vg AS (SELECT a_id, b_id,
+         |  CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS n_match
+         |  FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id)
+         |SELECT a_id, b_id, n_match,
+         |  round(CAST(n_match AS DOUBLE) / 16, 6) AS est_wjac
+         |FROM vg WHERE n_match >= 15""".stripMargin,
+
     // splice detection (B239): a's last-3 tokens == b's first-3 tokens
     // (win=3 on the query surface — see the SparkEntry note)
     "head_tail_overlap" ->

@@ -930,6 +930,9 @@ object SparkEntry {
     // at win=3 the natural boundary collisions exercise the join for real
     "head_tail_overlap" -> ((s, d) =>
       Dedup.headTailOverlap(spread(t(s, d, "documents")), win = 3)),
+    // B240: tf-weighted MinHash (exponential race, md5 uniforms)
+    "dedup_wminhash" -> ((s, d) =>
+      Dedup.weightedMinhashPairs(spread(t(s, d, "documents")))),
     "permutation_test" -> ((s, d) =>
       Relational.permutationTest(events(s, d))),
     "token_assortativity" -> ((s, d) =>
