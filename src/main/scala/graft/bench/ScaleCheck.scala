@@ -232,6 +232,25 @@ object ScaleCheck {
           s""""bootstrap_ci_uncapped":{"sec":$tUncap}}""")
         docs.unpersist()
         graft.CacheTracker.drainAll(spark)
+      } else if (sections.contains("r15b")) {
+        // round-15 detector rows: under m-way duplication every base
+        // near-dup cluster inflates its TRUE pair count ~m² (the
+        // standard output-sensitivity worst case) — both new detectors
+        // must track the PAIR count, not input²: dedup_wminhash's banded
+        // candidates are exactly the near-dup buckets, and
+        // head_tail_overlap's candidates are the boundary-hash buckets.
+        val docs = multiplyDocs(docs0, m)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs.count()
+        val (tWmh, nWmh) = timedForce(Dedup.weightedMinhashPairs(docs))
+        graft.CacheTracker.releaseAll()
+        val (tHt, nHt) = timedForce(Dedup.headTailOverlap(docs, win = 3))
+        graft.CacheTracker.releaseAll()
+        println(s"""{"m":$m,"docs":${docs.count()},""" +
+          s""""dedup_wminhash":{"sec":$tWmh,"pairs":$nWmh},""" +
+          s""""head_tail_overlap":{"sec":$tHt,"pairs":$nHt}}""")
+        docs.unpersist()
+        graft.CacheTracker.drainAll(spark)
       } else if (sections.contains("r14b")) {
         // the nano-unit partial-agg rewrite (docEmbedHash / topicLabels
         // token mass): under m-way duplication the exploded contribution
