@@ -331,6 +331,19 @@ object Oracles {
         |  $qualitySql AS quality
         |FROM documents""".stripMargin,
 
+    // C220: the SAME output through SQL-defined scalar functions
+    // (macro-expanded at analysis, so the oracle is the Column twin's)
+    "quality_score_sqludf" ->
+      s"""SELECT doc_id,
+        |  length(text)::BIGINT AS n_chars_text,
+        |  len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))::BIGINT AS n_tokens,
+        |  round(CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text) ELSE 0.0 END, 6) AS punct_ratio,
+        |  round(CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) > 0
+        |    THEN CAST(len(list_filter(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |         / len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) ELSE 0.0 END, 6) AS stop_ratio,
+        |  $qualitySql AS quality
+        |FROM documents""".stripMargin,
+
     "token_stats" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))::BIGINT AS ws_tokens,

@@ -933,6 +933,10 @@ object SparkEntry {
     // B240: tf-weighted MinHash (exponential race, md5 uniforms)
     "dedup_wminhash" -> ((s, d) =>
       Dedup.weightedMinhashPairs(spread(t(s, d, "documents")))),
+    // C220: Spark 4 SQL-defined scalar functions (macro-expanded, not
+    // black-box UDFs) computing quality_score bit-identically
+    "quality_score_sqludf" -> ((s, d) =>
+      TextOps.qualityScoreSqlUdf(spread(t(s, d, "documents")))),
     "permutation_test" -> ((s, d) =>
       Relational.permutationTest(events(s, d))),
     "token_assortativity" -> ((s, d) =>

@@ -98,6 +98,53 @@ object TextOps {
       qualityComposite.as("quality"))
   }
 
+  /** [[qualityScore]] re-expressed through Spark 4 SQL-DEFINED scalar
+    * functions (C220): the tokenizer and both ratio formulas are
+    * declared ONCE as `CREATE TEMPORARY FUNCTION ... RETURN <expr>` and
+    * invoked from plain SQL. The engine point: SQL UDFs macro-expand
+    * into the plan at analysis — they are NOT black-box lambdas — so
+    * the query whole-stage-codegens exactly like the Column twin and
+    * Catalyst sees through every ratio for pushdown/pruning: the
+    * shareable-function story without the UDF serialization tax (the
+    * measured 5.7× cosine A/B in BASELINE.md is what black-box UDFs
+    * cost). Output bit-identical to [[qualityScore]]; the oracle is
+    * quality_score's oracle verbatim. */
+  def qualityScoreSqlUdf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_toks(s STRING)
+            |RETURNS ARRAY<STRING>
+            |RETURN filter(split(s, '\\s+'), t -> t <> '')""".stripMargin)
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_punct_ratio(s STRING)
+            |RETURNS DOUBLE
+            |RETURN CASE WHEN length(s) > 0
+            |  THEN CAST(size(regexp_extract_all(s, '[^a-zA-Z0-9\\s]', 0)) AS DOUBLE) / length(s)
+            |  ELSE 0.0D END""".stripMargin)
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_stop_ratio(s STRING)
+            |RETURNS DOUBLE
+            |RETURN CASE WHEN size(graft_toks(s)) > 0
+            |  THEN CAST(size(filter(graft_toks(s),
+            |    t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+            |    / size(graft_toks(s))
+            |  ELSE 0.0D END""".stripMargin)
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_quality(s STRING)
+            |RETURNS DOUBLE
+            |RETURN round(
+            |  (CASE WHEN length(s) >= 20 THEN 1.0D
+            |        ELSE CAST(length(s) AS DOUBLE) / 20.0D END)
+            |  * (1.0D - graft_punct_ratio(s))
+            |  * (CASE WHEN size(graft_toks(s)) > 0
+            |     THEN least(1.0D, graft_stop_ratio(s) * 5.0D + 0.5D)
+            |     ELSE 0.0D END), 6)""".stripMargin)
+    docs.createOrReplaceTempView("graft_quality_docs")
+    s.sql("""SELECT doc_id,
+            |  CAST(length(text) AS BIGINT) AS n_chars_text,
+            |  CAST(size(graft_toks(text)) AS BIGINT) AS n_tokens,
+            |  round(graft_punct_ratio(text), 6) AS punct_ratio,
+            |  round(graft_stop_ratio(text), 6) AS stop_ratio,
+            |  graft_quality(text) AS quality
+            |FROM graft_quality_docs""".stripMargin)
+  }
+
   /** Rank-uniform quantile normalization of the quality score (B134):
     * q_uniform = (rank − 0.5)/n under (quality, doc_id) total order —
     * the feature transform that makes any downstream threshold or
