@@ -1301,6 +1301,20 @@ object Oracles {
          |  round(CAST(n_match AS DOUBLE) / 16, 6) AS est_wjac
          |FROM vg WHERE n_match >= 15""".stripMargin,
 
+    // per-doc shingle census via the SQL table function (C221); the
+    // set-hash fingerprint pins the exact shingle SET, not just counts
+    "shingle_tvf" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        |g AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+        |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        |            FROM t WHERE len(toks) >= 3))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct_shingles,
+        |  substr(md5(array_to_string(list_sort(list(DISTINCT gram)), '|')), 1, 16)
+        |    AS shingle_set_hash16
+        |FROM g GROUP BY doc_id""".stripMargin,
+
     // splice detection (B239): a's last-3 tokens == b's first-3 tokens
     // (win=3 on the query surface — see the SparkEntry note)
     "head_tail_overlap" ->

@@ -937,6 +937,9 @@ object SparkEntry {
     // black-box UDFs) computing quality_score bit-identically
     "quality_score_sqludf" -> ((s, d) =>
       TextOps.qualityScoreSqlUdf(spread(t(s, d, "documents")))),
+    // C221: SQL TABLE function + correlated LATERAL join
+    "shingle_tvf" -> ((s, d) =>
+      TextOps.shingleTvf(spread(t(s, d, "documents")))),
     "permutation_test" -> ((s, d) =>
       Relational.permutationTest(events(s, d))),
     "token_assortativity" -> ((s, d) =>

@@ -145,6 +145,44 @@ object TextOps {
             |FROM graft_quality_docs""".stripMargin)
   }
 
+  /** Per-doc shingle census through a Spark 4 SQL TABLE function (C221):
+    * the shingle generator is declared once as `CREATE TEMPORARY
+    * FUNCTION ... RETURNS TABLE (...) RETURN SELECT ...` and invoked
+    * per row with a correlated LATERAL join — the set-returning-function
+    * shape (one input row → w-gram rows) that previously required a
+    * Dataset flatMap or an explode pipeline per call site. Like scalar
+    * SQL UDFs the body inlines into the plan, so the LATERAL expands to
+    * a plain generator — no black-box boundary. Docs shorter than the
+    * window emit nothing on both engines (the sequence guard filters
+    * BEFORE the slice projects, so no short gram ever materializes). */
+  def shingleTvf(docs: DataFrame, win: Int = 3): DataFrame = {
+    val s = docs.sparkSession
+    // the tokenizer runs ONCE in the innermost derived table and rides
+    // up as a column — an inline re-tokenize per emitted gram row read
+    // 6.2 s at sf0.1 vs 2.0 s hoisted. (Function parameters DO resolve
+    // through plain nested subqueries; they do not resolve through a
+    // projection over a nested LATERAL join, which is why the derived
+    // table carries toks instead of a lateral carrying pos.) The WHERE
+    // guard keeps short docs from reaching the slice — Filter runs
+    // before Project — and sequence(0, negative) merely yields rows the
+    // guard drops; it does not error
+    s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_shingles(s STRING, w INT)
+             |RETURNS TABLE (i INT, gram STRING)
+             |RETURN SELECT CAST(pos AS INT) AS i,
+             |  array_join(slice(toks, pos + 1, w), ' ') AS gram
+             |FROM (SELECT toks, explode(sequence(0, size(toks) - w)) AS pos
+             |      FROM (SELECT filter(split(s, '\\\\s+'), t -> t <> '') AS toks))
+             |WHERE size(toks) >= w""".stripMargin)
+    docs.createOrReplaceTempView("graft_tvf_docs")
+    s.sql(s"""SELECT d.doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_shingles,
+             |  CAST(count(DISTINCT g.gram) AS BIGINT) AS n_distinct_shingles,
+             |  substring(md5(array_join(array_sort(collect_set(g.gram)), '|')), 1, 16)
+             |    AS shingle_set_hash16
+             |FROM graft_tvf_docs d, LATERAL graft_shingles(d.text, $win) g
+             |GROUP BY d.doc_id""".stripMargin)
+  }
+
   /** Rank-uniform quantile normalization of the quality score (B134):
     * q_uniform = (rank − 0.5)/n under (quality, doc_id) total order —
     * the feature transform that makes any downstream threshold or
