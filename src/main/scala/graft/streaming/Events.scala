@@ -471,6 +471,27 @@ object Events {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** [[completedSessions]] on transformWithState (C223): the timer-based
+    * variant of the gap sessionizer — open-session state is a typed
+    * ValueState, and session expiry rides an explicit EVENT-TIME TIMER
+    * (registerTimer at end+gap; handleExpiredTimer emits and clears)
+    * instead of GroupStateTimeout. Timers are the new API's headline
+    * capability over the legacy one: many per key and individually
+    * deletable, so EXTENDING a session deletes its old horizon and
+    * registers the new one rather than overwriting a single implicit
+    * timeout. Same closure semantics as [[completedSessions]];
+    * StreamingSpec drives both through the identical batch sequence. */
+  def completedSessionsTws(
+      events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
+      gapMinutes: Int = 30)
+  : org.apache.spark.sql.Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_._1)
+      .transformWithState(new SessionizeTwsProcessor(gapMinutes),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Exact distinct users per tumbling hour on a streaming OR batch
     * frame (C86, the streaming twin of Relational.windowActiveUsers):
     * watermark-bounded dedup on (user, hour, type) keeps one row per
@@ -1136,5 +1157,69 @@ class RunningActivityProcessor
     val next = Events.UserActivity(user, n, cents)
     state.update(next)
     Iterator.single(next)
+  }
+}
+
+/** The [[Events.completedSessionsTws]] processor: ValueState for the open
+  * session, an event-time timer per key for the gap horizon. Extending a
+  * session deletes the superseded timer before registering the new one —
+  * the timer-hygiene discipline that keeps exactly one live horizon per
+  * key regardless of how many batches extend the session. */
+class SessionizeTwsProcessor(gapMinutes: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, java.sql.Timestamp), Events.SessionSummary] {
+  private val gapUs = gapMinutes.toLong * 60L * 1000000L
+  private val gapMs = gapMinutes.toLong * 60L * 1000L
+  @transient private var open:
+    org.apache.spark.sql.streaming.ValueState[Events.OpenSession] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    open = getHandle.getValueState[Events.OpenSession]("open",
+      org.apache.spark.sql.Encoders.product[Events.OpenSession],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  private def horizonMs(s: Events.OpenSession): Long = s.endUs / 1000L + gapMs
+
+  override def handleInputRows(
+      user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+  : Iterator[Events.SessionSummary] = {
+    val closed = scala.collection.mutable.ArrayBuffer.empty[Events.SessionSummary]
+    var cur = if (open.exists()) Some(open.get()) else None
+    val staleTimer = cur.map(horizonMs)
+    rows.map { case (_, ts) => ts.getTime * 1000L }.toSeq.sorted.foreach { us =>
+      cur match {
+        case Some(s) if us - s.endUs <= gapUs =>
+          cur = Some(Events.OpenSession(s.startUs, math.max(s.endUs, us), s.n + 1))
+        case Some(s) =>
+          closed += Events.SessionSummary(user, s.startUs, s.endUs, s.n)
+          cur = Some(Events.OpenSession(us, us, 1L))
+        case None =>
+          cur = Some(Events.OpenSession(us, us, 1L))
+      }
+    }
+    cur.foreach { s =>
+      open.update(s)
+      staleTimer.filter(_ != horizonMs(s)).foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(horizonMs(s))
+    }
+    closed.iterator
+  }
+
+  override def handleExpiredTimer(
+      user: Long,
+      timerValues: org.apache.spark.sql.streaming.TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+  : Iterator[Events.SessionSummary] = {
+    if (open.exists()) {
+      val s = open.get()
+      // only the CURRENT horizon closes the session; an already-deleted
+      // timer cannot reach here, but a belt against engine replay
+      if (expiredTimerInfo.getExpiryTimeInMs() >= horizonMs(s)) {
+        open.clear()
+        Iterator.single(Events.SessionSummary(user, s.startUs, s.endUs, s.n))
+      } else Iterator.empty
+    } else Iterator.empty
   }
 }

@@ -357,6 +357,45 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("sessions").count() >= 2, "timeout-closed session emitted")
   }
 
+  test("transformWithState sessionizer (C223): event-time timers close sessions like the legacy API") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(Long, Timestamp)]
+      val withWm = stream.toDS().toDF("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, Timestamp)]
+      val q = Events.completedSessionsTws(withWm, gapMinutes = 30)
+        .writeStream.format("memory").queryName("sessions_tws")
+        .outputMode("append").start()
+      // same batch sequence as the flatMapGroupsWithState test (C38)
+      stream.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+        (1L, Timestamp.valueOf("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      assert(spark.table("sessions_tws").count() === 0, "open session must not emit")
+      stream.addData((1L, Timestamp.valueOf("2024-01-01 12:10:00")))
+      q.processAllAvailable()
+      val afterGap = spark.table("sessions_tws").as[(Long, Long, Long, Long)].collect().toSet
+      assert(afterGap === Set((1L,
+        Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000L,
+        Timestamp.valueOf("2024-01-01 10:10:00").getTime * 1000L, 2L)))
+      // watermark passes user 1's horizon -> the TIMER closes the session
+      stream.addData((2L, Timestamp.valueOf("2024-01-02 09:00:00")))
+      q.processAllAvailable()
+      stream.addData((2L, Timestamp.valueOf("2024-01-02 09:00:01")))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("sessions_tws").as[(Long, Long, Long, Long)].collect()
+      assert(rows.map(_._1).toSet.contains(1L))
+      assert(rows.length >= 2, "timer-closed session emitted")
+    } finally {
+      prior.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
+  }
+
   test("foreachBatch sink: a retried micro-batch replaces its partition, not appends") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_fb_sink").toString
