@@ -118,6 +118,41 @@ class Round15Spec extends SparkSpec {
     assert(r.getDouble(3) <= r.getDouble(4))
   }
 
+  // ------------------------------------------- SQL-defined function twins
+
+  test("qualityScoreSqlUdf equals the Column-expression twin row for row") {
+    val d = docs(
+      (1L, "en", "w", "the quick brown fox, and a lazy dog of it!"),
+      (2L, "en", "w", "short"),
+      (3L, "en", "w", ""),
+      (4L, "en", "w", "!!! ??? ,,, ..."))
+    val a = operators.TextOps.qualityScore(d).orderBy("doc_id").collect().map(_.toSeq)
+    val b = operators.TextOps.qualityScoreSqlUdf(d).orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("shingleTvf: LATERAL table function emits exactly the w-gram census") {
+    val d = docs(
+      (1L, "en", "w", "a b c d"),   // 2 trigram positions, both distinct
+      (2L, "en", "w", "x x x x x"), // 3 positions, ONE distinct gram
+      (3L, "en", "w", "too short"))
+    val r = operators.TextOps.shingleTvf(d).orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L), "short docs emit nothing")
+    assert(r(0).getLong(1) == 2L && r(0).getLong(2) == 2L)
+    assert(r(1).getLong(1) == 3L && r(1).getLong(2) == 1L)
+  }
+
+  test("tokenBfsRcte: the engine-driven recursion equals the unrolled BFS") {
+    val d = docs((0L until 40L).map { i =>
+      (i, "en", "w", s"hub tok${i % 6} tok${(i + 1) % 6} leaf${i % 9}")
+    }: _*)
+    val unrolled = operators.Graph.tokenBfs(d).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val rcte = operators.Graph.tokenBfsRcte(d).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rcte == unrolled)
+  }
+
   // ---------------------------------------------------- head_tail_overlap
 
   test("headTailOverlap: detects the splice boundary and nothing else") {
