@@ -1301,6 +1301,37 @@ object Oracles {
          |  round(CAST(n_match AS DOUBLE) / 16, 6) AS est_wjac
          |FROM vg WHERE n_match >= 15""".stripMargin,
 
+    // Neyman-optimal stratified allocation (B241): quotas by N_h·σ_h
+    // with largest-remainder rounding; md5-rank draw fingerprinted
+    "neyman_allocation" ->
+      """WITH m AS (SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sx,
+        |  sum(CAST(n_chars AS HUGEINT) * n_chars) AS sxx FROM documents GROUP BY 1),
+        |s AS (SELECT lang, n_docs,
+        |  sqrt(CAST(sxx AS DOUBLE) / n_docs
+        |    - (CAST(sx AS DOUBLE) / n_docs) * (CAST(sx AS DOUBLE) / n_docs)) AS sd_raw FROM m),
+        |w AS (SELECT lang, n_docs, sd_raw, round(n_docs * sd_raw, 9) AS w FROM s),
+        |t AS (SELECT list_reduce(list_sort(list(w)), (a, b) -> a + b) AS w_tot FROM w),
+        |e AS (SELECT lang, n_docs, sd_raw, w, w_tot,
+        |  CAST(floor(100.0 * w / w_tot) AS BIGINT) AS base,
+        |  100.0 * w / w_tot - floor(100.0 * w / w_tot) AS rem
+        |  FROM w CROSS JOIN t),
+        |a AS (SELECT *, 100 - sum(base) OVER () AS leftover,
+        |  row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM e),
+        |q2 AS (SELECT lang, n_docs, sd_raw, w, w_tot,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota,
+        |  CAST(least(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END, n_docs) AS BIGINT) AS n_drawn
+        |  FROM a),
+        |pre AS (SELECT lang, doc_id,
+        |  row_number() OVER (PARTITION BY lang ORDER BY md5(lang || ':' || doc_id), doc_id) AS prk
+        |  FROM documents),
+        |d AS (SELECT pre.lang,
+        |  substr(md5(array_to_string(list_sort(list(pre.doc_id)), ',')), 1, 16) AS sample_hash16
+        |  FROM pre JOIN q2 ON q2.lang = pre.lang AND pre.prk <= q2.n_drawn GROUP BY 1)
+        |SELECT q2.lang, CAST(n_docs AS BIGINT) AS n_docs, round(sd_raw, 6) AS sd_chars,
+        |  round(w / w_tot, 6) AS neyman_share, quota, n_drawn,
+        |  coalesce(d.sample_hash16, '') AS sample_hash16
+        |FROM q2 LEFT JOIN d USING (lang)""".stripMargin,
+
     // per-doc shingle census via the SQL table function (C221); the
     // set-hash fingerprint pins the exact shingle SET, not just counts
     "shingle_tvf" ->

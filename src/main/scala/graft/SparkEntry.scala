@@ -940,6 +940,9 @@ object SparkEntry {
     // C221: SQL TABLE function + correlated LATERAL join
     "shingle_tvf" -> ((s, d) =>
       TextOps.shingleTvf(spread(t(s, d, "documents")))),
+    // B241: Neyman-optimal stratified allocation + fingerprinted draw
+    "neyman_allocation" -> ((s, d) =>
+      Eval.neymanAllocation(t(s, d, "documents"))),
     "permutation_test" -> ((s, d) =>
       Relational.permutationTest(events(s, d))),
     "token_assortativity" -> ((s, d) =>

@@ -429,4 +429,68 @@ object Eval {
       .select(col("lang"), col("n_docs"), col("mean_chars"),
         round(col("ci_lo"), 6).as("ci_lo"), round(col("ci_hi"), 6).as("ci_hi"))
   }
+
+  /** Neyman-optimal stratified allocation (B241, the survey-sampling
+    * allocation rule): for a total sample budget, allocate n_h ∝ N_h·σ_h
+    * across language strata — the minimum-variance allocation for
+    * estimating the corpus mean of n_chars, i.e. where a curation team
+    * should spend its labeling/eval budget: big AND internally-diverse
+    * strata get more than proportional share, uniform strata less. The
+    * integer quotas come from largest-remainder rounding (they sum to
+    * the budget exactly), and each stratum's quota is then DRAWN
+    * deterministically — the lowest md5(lang:doc_id) ranks, the
+    * [[bootstrapCi]] pre-sample discipline — with the drawn id set
+    * fingerprinted so the oracle pins the SAMPLE itself, not just its
+    * size.
+    *
+    * Determinism: σ_h comes from exact integer moments in one fixed
+    * closed form; Neyman weights round at 9 dp and their normalizer
+    * folds SORTED over the strata-bounded list; remainder ranking and
+    * the all-strata windows run on the |langs|-bounded frame only. The
+    * md5 pre-rank is the one data-sized window (per-lang, the accepted
+    * bootstrapCi shape); the drawn set per stratum is ≤ budget rows, so
+    * the fingerprint's collect_list is budget-bounded. */
+  def neymanAllocation(docs: DataFrame, budget: Int = 100): DataFrame = {
+    val m = docs.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sx"),
+        sum(col("n_chars").cast("decimal(38,0)") * col("n_chars")).as("sxx"))
+      .select(col("lang"), col("n_docs"),
+        sqrt(col("sxx").cast("double") / col("n_docs")
+          - (col("sx").cast("double") / col("n_docs"))
+            * (col("sx").cast("double") / col("n_docs"))).as("sd_raw"))
+      .withColumn("w", round(col("n_docs") * col("sd_raw"), 9))
+    val tot = m.agg(
+      aggregate(sort_array(collect_list(col("w"))), lit(0.0),
+        (acc, x) => acc + x).as("w_tot"))
+    val exact = m.crossJoin(broadcast(tot))
+      .withColumn("n_exact", lit(budget.toDouble) * col("w") / col("w_tot"))
+      .withColumn("base", floor(col("n_exact")))
+      .withColumn("rem", col("n_exact") - col("base"))
+    // |langs|-bounded frame: the global window and sum are config-sized
+    val wRem = Window.orderBy(col("rem").desc, col("lang"))
+    val alloc = exact
+      .withColumn("leftover", lit(budget.toLong) - sum(col("base")).over(
+        Window.partitionBy()))
+      .withColumn("rk", row_number().over(wRem))
+      .withColumn("quota", (col("base") + when(col("rk") <= col("leftover"), 1L)
+        .otherwise(0L)).cast("long"))
+      .withColumn("n_drawn", least(col("quota"), col("n_docs")))
+    val wPre = Window.partitionBy("lang")
+      .orderBy(md5(concat_ws(":", col("lang"), col("doc_id"))), col("doc_id"))
+    val drawn = docs.select(col("lang"), col("doc_id"))
+      .withColumn("prk", row_number().over(wPre).cast("long"))
+      .join(broadcast(alloc.select(col("lang"), col("n_drawn"))), "lang")
+      .filter(col("prk") <= col("n_drawn"))
+      .groupBy("lang")
+      .agg(substring(md5(array_join(
+        transform(sort_array(collect_list(col("doc_id"))), x => x.cast("string")),
+        ",")), 1, 16).as("sample_hash16"))
+    alloc.join(drawn, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        round(col("sd_raw"), 6).as("sd_chars"),
+        round(col("w") / col("w_tot"), 6).as("neyman_share"),
+        col("quota"), col("n_drawn"),
+        coalesce(col("sample_hash16"), lit("")).as("sample_hash16"))
+  }
 }
