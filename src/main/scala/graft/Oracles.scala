@@ -1301,6 +1301,36 @@ object Oracles {
          |  round(CAST(n_match AS DOUBLE) / 16, 6) AS est_wjac
          |FROM vg WHERE n_match >= 15""".stripMargin,
 
+    // margin-criterion pair mining (B242): ratio margin over sign-LSH
+    // gated cross-side candidates; scored MATERIALIZED (3 consumers)
+    "margin_pairs" ->
+      """WITH b AS (SELECT vec_id, embedding, CAST(label AS BIGINT) % 2 = 0 AS side_a,
+        |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+        |  FROM embeddings),
+        |scored AS MATERIALIZED (SELECT a.vec_id AS a_id, bb.vec_id AS b_id,
+        |  round(list_reduce(list_transform(a.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(bb.embedding[i] AS DOUBLE)), (p2, q2) -> p2 + q2)
+        |    / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p2, q2) -> p2 + q2))
+        |       * sqrt(list_reduce(list_transform(bb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p2, q2) -> p2 + q2))), 6) AS cos
+        |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.side_a AND NOT bb.side_a),
+        |sc2 AS (SELECT a_id, b_id, cos, CAST(round(cos * 1000000) AS BIGINT) AS cm FROM scored),
+        |mua AS (SELECT a_id, CAST(sum(cm) AS BIGINT) AS sa, count(*) AS ca
+        |  FROM (SELECT a_id, b_id, cm,
+        |    row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn FROM sc2)
+        |  WHERE rn <= 4 GROUP BY a_id),
+        |mub AS (SELECT b_id, CAST(sum(cm) AS BIGINT) AS sb, count(*) AS cb
+        |  FROM (SELECT a_id, b_id, cm,
+        |    row_number() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id) AS rn FROM sc2)
+        |  WHERE rn <= 4 GROUP BY b_id),
+        |mg AS (SELECT a_id, b_id, cos,
+        |  round(CAST(2 * cm * ca * cb AS DOUBLE)
+        |    / CAST(sa * cb + sb * ca AS DOUBLE), 6) AS margin
+        |  FROM sc2 JOIN mua USING (a_id) JOIN mub USING (b_id)),
+        |best AS (SELECT a_id, b_id, cos, margin,
+        |  row_number() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS rn FROM mg)
+        |SELECT a_id, b_id, cos, margin FROM best
+        |WHERE rn = 1 AND margin >= 1.02""".stripMargin,
+
     // Neyman-optimal stratified allocation (B241): quotas by N_h·σ_h
     // with largest-remainder rounding; md5-rank draw fingerprinted
     "neyman_allocation" ->

@@ -943,6 +943,9 @@ object SparkEntry {
     // B241: Neyman-optimal stratified allocation + fingerprinted draw
     "neyman_allocation" -> ((s, d) =>
       Eval.neymanAllocation(t(s, d, "documents"))),
+    // B242: Artetxe-Schwenk ratio-margin pair mining over LSH buckets
+    "margin_pairs" -> ((s, d) =>
+      Similarity.marginPairs(t(s, d, "embeddings"))),
     "permutation_test" -> ((s, d) =>
       Relational.permutationTest(events(s, d))),
     "token_assortativity" -> ((s, d) =>

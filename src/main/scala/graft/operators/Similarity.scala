@@ -185,6 +185,69 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Margin-criterion pair mining (B242, the Artetxe-Schwenk ratio
+    * margin): cross-side candidate pairs (side = label parity, standing
+    * in for two languages) gated by sign-LSH buckets, scored by
+    * cos(x, y) / ((μ_k(x) + μ_k(y)) / 2) where μ_k is the mean cosine
+    * of the vector's k best candidates — the normalization that kills
+    * hubness: a pair survives only if it is much closer than each
+    * side's TYPICAL neighborhood, which absolute-threshold mining
+    * cannot express. Emits each left vector's best right match by
+    * margin (ties to the lower right id) above `marginMin` — the
+    * embedding-retrieval stage of bitext mining, downstream of the
+    * [[bitextCandidates]] shared-rare-shingle prefilter.
+    *
+    * Scale: candidates come from the bucket join (never all-pairs); the
+    * per-vector windows rank only that vector's bucket-bounded
+    * candidate set; the scored frame is localCheckpointed because three
+    * consumers (two μ sides + the final scorer) re-read it.
+    *
+    * Exactness: the margin is computed entirely in MICRO-UNIT integer
+    * space — 6 dp cosines become exact ×1e6 longs, the μ means stay as
+    * (Σ, count) integer pairs, and the ratio collapses algebraically to
+    * 2·cm·ca·cb / (sa·cb + sb·ca), ONE division of exact integers
+    * rounded once at 6 dp. The first cut rounded each μ at 6 dp and
+    * divided rounded values: a μ = Σ(6 dp)/4 lands EXACTLY on .5e-6
+    * boundaries, where Spark's BigDecimal HALF_UP and DuckDB's
+    * multiply-based round disagree (2/223 rows flipped at sf0.01). */
+  def marginPairs(emb: DataFrame, bits: Int = 4, k: Int = 4,
+                  marginMin: Double = 1.02): DataFrame = {
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      (col("label") % 2 === 0).as("side_a"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    val a = bucketed.filter(col("side_a"))
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("bucket"))
+    val b = bucketed.filter(!col("side_a"))
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("bucket"))
+    val scored = a.join(b, Seq("bucket"))
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("a_emb"), col("b_emb")), 6).as("cos"))
+      .withColumn("cm", round(col("cos") * 1e6).cast("long"))
+      .localCheckpoint(true)
+    def muK(key: String, tie: String, sName: String, cName: String): DataFrame = {
+      val w = Window.partitionBy(key).orderBy(col("cos").desc, col(tie))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .groupBy(key)
+        .agg(sum(col("cm")).as(sName), count(lit(1)).as(cName))
+    }
+    val muA = muK("a_id", "b_id", "sa", "ca")
+    val muB = muK("b_id", "a_id", "sb", "cb")
+    // plain shuffle joins: the μ frames are vector-count-sized (one row
+    // per vector with candidates) — corpus-shaped, never broadcast
+    val margined = scored
+      .join(muA, "a_id")
+      .join(muB, "b_id")
+      .withColumn("margin", round(
+        (lit(2L) * col("cm") * col("ca") * col("cb")).cast("double")
+          / (col("sa") * col("cb") + col("sb") * col("ca")).cast("double"), 6))
+    val wBest = Window.partitionBy("a_id")
+      .orderBy(col("margin").desc, col("b_id"))
+    margined.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1 && col("margin") >= marginMin)
+      .select(col("a_id"), col("b_id"), col("cos"), col("margin"))
+  }
+
   /** Cross-language bitext candidates (B187): pairs of docs in
     * DIFFERENT languages sharing ≥ `minShared` corpus-rare BIGRAM
     * shingles — rare phrases are overwhelmingly names, numbers and
