@@ -1301,6 +1301,28 @@ object Oracles {
          |  round(CAST(n_match AS DOUBLE) / 16, 6) AS est_wjac
          |FROM vg WHERE n_match >= 15""".stripMargin,
 
+    // ingest-rate spike detector (B243): count vs exact-binary-weight
+    // EWMA of the prior 8 present days, per event_type
+    "ingest_anomaly" -> {
+      val lags = (1 to 8).map(j => s"lag(n_events, $j) OVER w AS l$j").mkString(",\n        |  ")
+      val num = (1 to 8).map(j => s"coalesce(CAST(l$j AS DOUBLE), 0.0) * pow(0.5, $j)").mkString(" + ")
+      val den = (1 to 8).map(j => s"CASE WHEN l$j IS NOT NULL THEN pow(0.5, $j) ELSE 0.0 END").mkString(" + ")
+      s"""WITH daily AS (SELECT event_type, epoch_ns(ts) // 1000 // 86400000000 AS day_idx,
+         |  count(*) AS n_events FROM events GROUP BY 1, 2),
+         |lagged AS (SELECT event_type, day_idx, n_events,
+         |  $lags
+         |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)),
+         |e AS (SELECT event_type, day_idx, n_events,
+         |  ($num) AS num, ($den) AS den FROM lagged),
+         |f AS (SELECT event_type, day_idx, CAST(n_events AS BIGINT) AS n_events,
+         |  CASE WHEN den > 0 THEN round(num / den, 6) END AS ewma_prev FROM e)
+         |SELECT event_type, day_idx, n_events, ewma_prev,
+         |  round(n_events / ewma_prev, 6) AS ratio,
+         |  CASE WHEN ewma_prev IS NOT NULL
+         |       THEN round(n_events / ewma_prev, 6) >= 2.0 ELSE FALSE END AS spike
+         |FROM f""".stripMargin
+    },
+
     // margin-criterion pair mining (B242): ratio margin over sign-LSH
     // gated cross-side candidates; scored MATERIALIZED (3 consumers)
     "margin_pairs" ->

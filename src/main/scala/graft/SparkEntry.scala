@@ -946,6 +946,9 @@ object SparkEntry {
     // B242: Artetxe-Schwenk ratio-margin pair mining over LSH buckets
     "margin_pairs" -> ((s, d) =>
       Similarity.marginPairs(t(s, d, "embeddings"))),
+    // B243: ingest-rate spike detector (exact-binary-weight EWMA)
+    "ingest_anomaly" -> ((s, d) =>
+      Relational.ingestAnomaly(events(s, d))),
     "permutation_test" -> ((s, d) =>
       Relational.permutationTest(events(s, d))),
     "token_assortativity" -> ((s, d) =>

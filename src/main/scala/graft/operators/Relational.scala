@@ -3666,4 +3666,45 @@ object Relational {
         round((col("d7").cast("double")
           - col("sd7").cast("double") / col("nd")) / 7.0, 2).as("resid_cents"))
   }
+
+  /** Ingest-rate spike detector (B243): per (event_type, day), the
+    * current event count against an EWMA of the PRIOR days' counts —
+    * the anomaly gate an ingestion pipeline puts in front of its
+    * downstream consumers (a source that suddenly floods usually means
+    * a crawler loop or a replayed feed, and the day it happens is the
+    * day dedup costs explode). EWMA weights are α(1−α)^j with α = 1/2
+    * over the last 8 PRESENT days, renormalized over the lags that
+    * exist — every weight is an exact binary fraction and each term is
+    * count·2^(−j), so the weighted sum is EXACT in double at any
+    * evaluation order: no smoothing-state recursion, no float seam.
+    * The fixed 8-lag unroll keeps the plan static and the oracle a
+    * plain lag chain; day gaps are treated as consecutive observations
+    * (documented — a calendar-gridded variant would zero-fill).
+    * Shape: one partial-agg shuffle to (type, day), then lag windows
+    * partitioned per type — day-bounded frames, nothing data-sized in
+    * a single partition. */
+  def ingestAnomaly(events: DataFrame, spikeRatio: Double = 2.0): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day_idx"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day_idx")
+    val lagged = (1 to 8).foldLeft(daily) { (df, j) =>
+      df.withColumn(s"l$j", lag(col("n_events"), j).over(w))
+    }
+    val num = (1 to 8).map(j =>
+      coalesce(col(s"l$j").cast("double"), lit(0.0)) * math.pow(0.5, j))
+      .reduce(_ + _)
+    val den = (1 to 8).map(j =>
+      when(col(s"l$j").isNotNull, math.pow(0.5, j)).otherwise(lit(0.0)))
+      .reduce(_ + _)
+    lagged
+      .withColumn("ewma_prev", when(den > 0, round(num / den, 6)))
+      .select(col("event_type"), col("day_idx"), col("n_events"),
+        col("ewma_prev"),
+        round(col("n_events") / col("ewma_prev"), 6).as("ratio"))
+      .withColumn("spike",
+        col("ratio").isNotNull && col("ratio") >= spikeRatio)
+  }
 }

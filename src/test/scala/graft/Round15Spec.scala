@@ -118,6 +118,35 @@ class Round15Spec extends SparkSpec {
     assert(r.getDouble(3) <= r.getDouble(4))
   }
 
+  // --------------------------------------------- allocation + pair mining
+
+  test("neymanAllocation: quotas sum to the budget and diverse strata outweigh uniform ones") {
+    val d = docs(((0L until 60L).map { i =>
+      // en: high variance (lengths spread), fr: uniform short
+      if (i % 2 == 0) (i, "en", "w", "x" * (10 + (i.toInt % 30) * 7))
+      else (i, "fr", "w", "y" * 12)
+    }): _*)
+    val r = operators.Eval.neymanAllocation(d, budget = 20)
+      .orderBy("lang").collect()
+    assert(r.map(_.getLong(4)).sum == 20L, "largest-remainder quotas must sum to budget")
+    val byLang = r.map(x => x.getString(0) -> x).toMap
+    assert(byLang("en").getLong(4) > byLang("fr").getLong(4),
+      "the high-variance stratum must receive the larger quota")
+    assert(byLang("fr").getDouble(2) == 0.0, "uniform stratum has zero sd")
+    r.foreach(x => assert(x.getLong(5) <= x.getLong(1), "cannot draw more than N_h"))
+  }
+
+  test("marginPairs: one best match per left vector, margins above the floor") {
+    val emb = (0L until 30L).map { i =>
+      (i, Array.tabulate(16)(dd => (((i % 5) + 1) * (dd + 1) % 7 - 3).toFloat / 3f), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val r = operators.Similarity.marginPairs(emb).collect()
+    assert(r.nonEmpty)
+    val lefts = r.map(_.getLong(0))
+    assert(lefts.distinct.length == lefts.length, "one row per left vector")
+    r.foreach(x => assert(x.getDouble(3) >= 1.02, s"margin below floor: $x"))
+  }
+
   // ------------------------------------------- SQL-defined function twins
 
   test("qualityScoreSqlUdf equals the Column-expression twin row for row") {
