@@ -1301,18 +1301,6 @@ object Oracles {
          |  round(CAST(n_match AS DOUBLE) / 16, 6) AS est_wjac
          |FROM vg WHERE n_match >= 15""".stripMargin,
 
-    // Hill tail-index over the top-20 token counts (B244)
-    "tail_index" ->
-      s"""WITH cnt AS (SELECT token, count(*) AS cnt FROM $tokTable GROUP BY 1),
-         |top AS (SELECT token, cnt FROM cnt ORDER BY cnt DESC, token LIMIT 20),
-         |a AS (SELECT cnt AS c_k FROM top ORDER BY cnt ASC, token DESC LIMIT 1),
-         |x AS (SELECT c_k, round(ln(CAST(cnt AS DOUBLE) / c_k), 9) AS lr
-         |      FROM top CROSS JOIN a WHERE cnt > c_k)
-         |SELECT CAST(20 AS BIGINT) AS k, CAST(c_k AS BIGINT) AS c_k,
-         |  CAST(count(*) AS BIGINT) AS n_terms,
-         |  round(count(*) / list_reduce(list_sort(list(lr)), (p, q) -> p + q), 6) AS hill_alpha
-         |FROM x GROUP BY c_k""".stripMargin,
-
     // ingest-rate spike detector (B243): count vs exact-binary-weight
     // EWMA of the prior 8 present days, per event_type
     "ingest_anomaly" -> {

@@ -949,9 +949,6 @@ object SparkEntry {
     // B243: ingest-rate spike detector (exact-binary-weight EWMA)
     "ingest_anomaly" -> ((s, d) =>
       Relational.ingestAnomaly(events(s, d))),
-    // B244: Hill MLE tail index (the estimator-vs-OLS bracket with B89)
-    "tail_index" -> ((s, d) =>
-      LangModel.tailIndex(spread(t(s, d, "documents")))),
     "permutation_test" -> ((s, d) =>
       Relational.permutationTest(events(s, d))),
     "token_assortativity" -> ((s, d) =>

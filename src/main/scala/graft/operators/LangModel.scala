@@ -687,39 +687,6 @@ object LangModel {
           / (col("n_tokens") * col("sxx") - col("sx") * col("sx")), 6).as("intercept"))
   }
 
-  /** Hill tail-index estimate of the token-frequency distribution
-    * (B244): the MLE power-law exponent over the top-`k` counts,
-    * α̂ = 1 / mean(ln(c_i / c_k), i < k) — the maximum-likelihood
-    * counterpart of [[zipfSlope]]'s OLS fit, and the estimator the
-    * heavy-tail literature actually recommends (OLS on log-log ranks is
-    * biased). The two together bracket the tail: agreement says the
-    * power law is real; divergence says the "tail" is an artifact of
-    * binning or a mixed regime — the vocab-size-planning readout.
-    *
-    * Determinism: the top-k counts come off one TakeOrdered-style limit
-    * (cnt desc, token ties); each ln ratio is a single fixed-order
-    * expression over exact BIGINT counts rounded at 9 dp and the ≤k-1
-    * terms fold SORTED. Output also carries the raw anchor counts so a
-    * reader can judge whether c_k is deep enough in the tail. */
-  def tailIndex(docs: DataFrame, k: Int = 20): DataFrame = {
-    val cnt = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val top = cnt.orderBy(col("cnt").desc, col("token")).limit(k)
-      .localCheckpoint(true)
-    val anchor = top.orderBy(col("cnt").asc, col("token").desc).limit(1)
-      .select(col("cnt").as("c_k"))
-    top.crossJoin(broadcast(anchor))
-      .filter(col("cnt") > col("c_k"))
-      .select(col("c_k"),
-        round(log(col("cnt").cast("double") / col("c_k")), 9).as("lr"))
-      .groupBy("c_k")
-      .agg(count(lit(1)).as("n_terms"),
-        aggregate(sort_array(collect_list(col("lr"))), lit(0.0),
-          (acc, x) => acc + x).as("s"))
-      .select(lit(k.toLong).as("k"), col("c_k"), col("n_terms"),
-        round(col("n_terms") / col("s"), 6).as("hill_alpha"))
-  }
-
   /** Per-source language-diversity entropy (B88): H = −Σ p·ln p over
     * the source's language mix — the corpus-composition monitor next to
     * [[langKl]]'s distribution drift. Counts are exact longs off one
