@@ -251,6 +251,26 @@ object ScaleCheck {
           s""""head_tail_overlap":{"sec":$tHt,"pairs":$nHt}}""")
         docs.unpersist()
         graft.CacheTracker.drainAll(spark)
+      } else if (sections.contains("r15c")) {
+        // windowed-HLL family rows: multiplyEvents shifts user ids, so
+        // the user POPULATION grows m-fold on the same days — exactly
+        // the stress the register cap is for: the DAILY PARTIALS stay
+        // ≤256 rows/day at every m, so the sketch half is scan-bound,
+        // while the exact comparator (user×window explode + distinct)
+        // honestly grows with the duplicated population.
+        val events = multiplyEvents(events0, m)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        events.count()
+        val (tWd, nWd) = timedForce(
+          graft.operators.Sketches.hllWindowDistinct(events))
+        graft.CacheTracker.releaseAll()
+        val (tNu, nNu) = timedForce(graft.operators.Sketches.hllNewUsers(events))
+        graft.CacheTracker.releaseAll()
+        println(s"""{"m":$m,"events":${events.count()},""" +
+          s""""hll_window_distinct":{"sec":$tWd,"rows":$nWd},""" +
+          s""""hll_new_users":{"sec":$tNu,"rows":$nNu}}""")
+        events.unpersist()
+        graft.CacheTracker.drainAll(spark)
       } else if (sections.contains("r14b")) {
         // the nano-unit partial-agg rewrite (docEmbedHash / topicLabels
         // token mass): under m-way duplication the exploded contribution
