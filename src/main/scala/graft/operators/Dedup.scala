@@ -1151,43 +1151,59 @@ object Dedup {
     * whole-band buckets stay near-dup-selective. */
   def weightedMinhashPairs(docs: DataFrame, numHashes: Int = 16,
                            simMin: Double = 0.9): DataFrame = {
-    val nMin = math.ceil(simMin * numHashes).toLong
-    val half = numHashes / 2
+    val sigArr = wminhashSigArr(docs, numHashes).localCheckpoint(true)
+    val banded = wminhashBanded(sigArr, numHashes)
+    val cand = banded.select(col("doc_id").as("a_id"), col("band"), col("bh"))
+      .join(banded.select(col("doc_id").as("b_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    wminhashVerify(cand, sigArr, numHashes, simMin)
+  }
+
+  /** The (doc_id, sig) H-winner signature frame — the associative
+    * per-doc partial the streaming incremental twin stores per
+    * micro-batch (shared so batch and streaming cannot drift). The race
+    * uniform u depends ONLY on (hash, token): the vocab×H prior table
+    * is computed once and joined in, instead of evaluating an md5 per
+    * (doc, token, hash) row — at web scale corpus×H ≫ vocab×H, and the
+    * join rides the token key the tf frame is already grouped on. */
+  private[graft] def wminhashSigArr(docs: DataFrame, numHashes: Int): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    // the race uniform u depends ONLY on (hash, token): compute the
-    // vocab×H prior table once and join it in, instead of evaluating an
-    // md5 per (doc, token, hash) row — corpus×H md5s collapse to
-    // vocab×H. At sf0.1 this is worth only ~0.2 s (the cost there is
-    // the signature materialization, 3.7 s of build per the bench
-    // attribution), but at web scale corpus×H ≫ vocab×H and the join
-    // rides the token key the tf frame is already grouped on
     val pri = tf.select("token").distinct()
       .withColumn("h", explode(expr(s"sequence(0, ${numHashes - 1})")))
       .withColumn("nlu", -log(
         (conv(substring(md5(concat_ws(":", col("h"), col("token"))), 1, 6), 16, 10)
           .cast("long") + 1L).cast("double") / (1 << 24)))
-    val race = tf.join(pri, "token")
+    tf.join(pri, "token")
       .withColumn("p", round(col("nlu") / col("tf"), 9))
-    val sigArr = race.groupBy("doc_id", "h")
+      .groupBy("doc_id", "h")
       .agg(min(struct(col("p"), col("token"))).getField("token").as("tok"))
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("h"), col("tok")))).as("hw"))
       .select(col("doc_id"), transform(col("hw"), x => x.getField("tok")).as("sig"))
-      .localCheckpoint(true)
-    val banded = sigArr.select(col("doc_id"),
+  }
+
+  /** The (doc_id, band, bh) half-signature bucket rows off a signature
+    * frame — the band index the streaming twin stores (shared). */
+  private[graft] def wminhashBanded(sigArr: DataFrame, numHashes: Int): DataFrame = {
+    val half = numHashes / 2
+    sigArr.select(col("doc_id"),
       explode(array(
         struct(lit(0).as("band"),
           md5(concat_ws(" ", slice(col("sig"), 1, half))).as("bh")),
         struct(lit(1).as("band"),
           md5(concat_ws(" ", slice(col("sig"), half + 1, half))).as("bh")))).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val cand = banded.select(col("doc_id").as("a_id"), col("band"), col("bh"))
-      .join(banded.select(col("doc_id").as("b_id"), col("band"), col("bh")),
-        Seq("band", "bh"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+  }
+
+  /** Verify banded candidates against the ≤H-element signature arrays
+    * (shared by the batch operator and the streaming twin). */
+  private[graft] def wminhashVerify(cand: DataFrame, sigArr: DataFrame,
+                                    numHashes: Int, simMin: Double): DataFrame = {
+    val nMin = math.ceil(simMin * numHashes).toLong
     cand
       .join(sigArr.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
       .join(sigArr.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")

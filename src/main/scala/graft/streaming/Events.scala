@@ -1057,6 +1057,84 @@ object Events {
     } finally { bands.unpersist(); arrs.unpersist() }
   }
 
+  /** Streaming incremental WEIGHTED-MinHash pairs (C224): the
+    * foreachBatch twin of [[graft.operators.Dedup.weightedMinhashPairs]],
+    * completing the incremental-store family's weighted member next to
+    * the unweighted [[incrementalMinhashPairs]]. Each micro-batch
+    * computes its docs' H-winner signatures with the SAME
+    * wminhashSigArr/wminhashBanded frames as the batch path (the race
+    * uniform is a pure function of (hash, token), so per-batch
+    * signatures are bit-identical to whole-corpus ones — perfectly
+    * incremental); candidates are batch-internal band-bucket pairs plus
+    * batch × the standing band index, verified against the union of
+    * stored and batch signature arrays by the shared wminhashVerify.
+    * Replay discipline as the unweighted twin: every store half is
+    * dynamic-partition-overwritten by batch_id and reads exclude the
+    * current batch_id, so retries converge. */
+  def incrementalWminhashPairs(docs: DataFrame, storeDir: String, outDir: String,
+                               checkpointDir: Option[String] = None,
+                               numHashes: Int = 16, simMin: Double = 0.9)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      wminhashPairsBatch(batch, batchId, storeDir, outDir, numHashes, simMin)
+    }
+    checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** The per-batch step, factored out so tests replay batches and assert
+    * convergence against Dedup.weightedMinhashPairs over the union. */
+  def wminhashPairsBatch(batch: DataFrame, batchId: Long, storeDir: String,
+                         outDir: String, numHashes: Int = 16,
+                         simMin: Double = 0.9): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val (bandsDir, sigsDir, pairsDir) =
+      (s"$storeDir/bands", s"$storeDir/sigs", s"$storeDir/pairs")
+    val bandSchema = "doc_id BIGINT, band INT, bh STRING, batch_id BIGINT"
+    val sigSchema = "doc_id BIGINT, sig ARRAY<STRING>, batch_id BIGINT"
+    val pairSchema = "a_id BIGINT, b_id BIGINT, n_match BIGINT, est_wjac DOUBLE, batch_id BIGINT"
+    def readStore(dir: String, schema: String): Option[DataFrame] =
+      if (storeExists(spark, dir))
+        Some(spark.read.schema(schema).parquet(dir)
+          .filter(col("batch_id") =!= batchId))
+      else None
+    def writePartition(df: DataFrame, dir: String): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(dir)
+
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sig = Dedup.wminhashSigArr(batch, numHashes).persist(lvl)
+    val bands = Dedup.wminhashBanded(sig, numHashes).persist(lvl)
+    try {
+      val internal = bands.select(col("band"), col("bh"), col("doc_id").as("a_id"))
+        .join(bands.select(col("band"), col("bh"), col("doc_id").as("b_id")),
+          Seq("band", "bh"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+      val cross = readStore(bandsDir, bandSchema).map { idx =>
+        bands.select(col("band"), col("bh"), col("doc_id").as("n_id"))
+          .join(idx.select(col("band"), col("bh"), col("doc_id").as("o_id")),
+            Seq("band", "bh"))
+          .select(least(col("n_id"), col("o_id")).as("a_id"),
+            greatest(col("n_id"), col("o_id")).as("b_id"))
+      }
+      val cand = cross.fold(internal)(internal.unionByName(_)).distinct()
+      val allSigs = readStore(sigsDir, sigSchema)
+        .map(_.select("doc_id", "sig").unionByName(sig))
+        .getOrElse(sig)
+      val pairs = Dedup.wminhashVerify(cand, allSigs, numHashes, simMin)
+      writePartition(bands, bandsDir)
+      writePartition(sig, sigsDir)
+      writePartition(pairs, pairsDir)
+      // publish the cumulative verified pair set (latest-wins overwrite)
+      spark.read.schema(pairSchema).parquet(pairsDir)
+        .select("a_id", "b_id", "n_match", "est_wjac")
+        .write.mode("overwrite").parquet(outDir)
+    } finally { sig.unpersist(); bands.unpersist() }
+  }
+
   // ---- SQL-surface readbacks of the incremental sketch stores --------
   //
   // C213-C215: the merged CMS/HLL/Bloom durable stores as queryable

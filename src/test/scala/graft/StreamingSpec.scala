@@ -851,6 +851,47 @@ class StreamingSpec extends SparkSpec {
     graft.CacheTracker.drainAll(spark)
   }
 
+  test("incremental WEIGHTED minhash pairs (C224): cumulative pairs equal the batch " +
+      "operator over the union; replays converge") {
+    val base = java.nio.file.Files.createTempDirectory("graft_incwmh").toString
+    val (store, out) = (s"$base/store", s"$base/pairs")
+    val a = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val b = "completely different text about machine learning models training on large datasets here"
+    val c = "yet another unrelated document describing database systems and storage engines design"
+    val b0 = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val b1 = Seq((10L, a), (11L, b), (12L, c)).toDF("doc_id", "text")
+    def batchTruth(dfs: DataFrame*): Set[(Long, Long, Long, Double)] = {
+      val r = graft.operators.Dedup.weightedMinhashPairs(dfs.reduce(_ unionByName _))
+        .as[(Long, Long, Long, Double)].collect().toSet
+      graft.CacheTracker.drainAll(spark) // release the sigArr checkpoint blocks
+      r
+    }
+    def snapshot(): Set[(Long, Long, Long, Double)] =
+      spark.read.parquet(out).as[(Long, Long, Long, Double)].collect().toSet
+
+    Events.wminhashPairsBatch(b0, 0L, store, out)
+    assert(snapshot() === batchTruth(b0))
+    assert(snapshot().contains((1L, 2L, 16L, 1.0)),
+      "batch 0 must find its internal exact duplicate at full agreement")
+
+    Events.wminhashPairsBatch(b1, 1L, store, out)
+    assert(snapshot() === batchTruth(b0, b1),
+      "after batch 1 the cumulative pairs must equal the batch operator over the union")
+    assert(snapshot().exists(p => p._1 == 1L && p._2 == 10L),
+      "cross-batch duplicates must be found via the standing band index")
+
+    Events.wminhashPairsBatch(b1.limit(0), 2L, store, out)
+    assert(snapshot() === batchTruth(b0, b1), "an empty batch must change nothing")
+
+    Events.wminhashPairsBatch(b1, 1L, store, out)
+    assert(snapshot() === batchTruth(b0, b1), "replaying batch 1 must not change the result")
+    val pairStore = spark.read.parquet(s"$store/pairs")
+    assert(pairStore.count() ===
+      pairStore.select("a_id", "b_id", "batch_id").distinct().count(),
+      "a replayed batch must replace its pair partition, not append to it")
+    graft.CacheTracker.drainAll(spark)
+  }
+
   test("state store reader (C222): checkpointed aggregation state reads back as a DataFrame") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ss_read").toString
