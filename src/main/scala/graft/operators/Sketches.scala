@@ -178,24 +178,52 @@ object Sketches {
     * partial feeds windows ending at d..d+window−1, gated to days that
     * exist in the data. */
   def hllWindowDistinct(events: DataFrame, window: Int = 7): DataFrame = {
-    val m = 256
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
     val du = events.select(
         expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
       .distinct()
     val days = du.select("day").distinct()
-    val daily = du
+    val est = windowEstimate(dailyUserRegisters(events), days, window)
+    val exact = du
+      .withColumn("win_day",
+        explode(sequence(col("day"), col("day") + (window - 1))))
+      .join(days.select(col("day").as("win_day")), Seq("win_day"), "left_semi")
+      .groupBy("win_day")
+      .agg(countDistinct(col("user_id")).as("n_true"))
+    est.join(exact, "win_day")
+      .select(col("win_day"), col("n_true"),
+        col("n_used").as("n_registers_used"),
+        round(col("estimate"), 6).as("estimate"),
+        round((round(col("estimate"), 6) - col("n_true")) / col("n_true"), 6)
+          .as("rel_err"))
+  }
+
+  /** The per-day (day, reg, mx) user-register partials — the associative
+    * frame the streaming incremental windowed-HLL store persists per
+    * micro-batch and merges by per-(day, reg) MAX (shared so batch and
+    * streaming cannot drift). */
+  private[graft] def dailyUserRegisters(events: DataFrame): DataFrame =
+    events.select(
+        expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .distinct()
       .select(col("day"), h32(col("user_id").cast("string")).as("h"))
       .select(col("day"), expr("h div 16777216").as("reg"), (col("h") % 16777216L).as("w"))
       .select(col("day"), col("reg"),
         when(col("w") === 0L, lit(25L))
           .otherwise(lit(25L) - length(bin(col("w")))).as("rho"))
       .groupBy("day", "reg").agg(max(col("rho")).as("mx"))
-    def windowed(df: DataFrame): DataFrame = df
+
+  /** The rolling-window estimate off a (day, reg, mx) partial frame:
+    * trailing `window`-day register MAX merge gated to `days`, then the
+    * p=8 estimator (shared by the batch query and the streaming store's
+    * published report). */
+  private[graft] def windowEstimate(daily: DataFrame, days: DataFrame,
+                                    window: Int): DataFrame = {
+    val m = 256
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    daily
       .withColumn("win_day",
         explode(sequence(col("day"), col("day") + (window - 1))))
       .join(days.select(col("day").as("win_day")), Seq("win_day"), "left_semi")
-    val est = windowed(daily)
       .groupBy("win_day", "reg").agg(max(col("mx")).as("mx"))
       .groupBy("win_day")
       .agg(count(lit(1)).as("n_used"),
@@ -208,15 +236,6 @@ object Sketches {
         when(col("e_raw") <= 2.5 * m && col("v") > 0L,
           lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
           .otherwise(col("e_raw")))
-    val exact = windowed(du)
-      .groupBy("win_day")
-      .agg(countDistinct(col("user_id")).as("n_true"))
-    est.join(exact, "win_day")
-      .select(col("win_day"), col("n_true"),
-        col("n_used").as("n_registers_used"),
-        round(col("estimate"), 6).as("estimate"),
-        round((round(col("estimate"), 6) - col("n_true")) / col("n_true"), 6)
-          .as("rel_err"))
   }
 
   /** New-user estimation by HLL inclusion-exclusion (C217): per day d,

@@ -1135,6 +1135,51 @@ object Events {
     } finally { sig.unpersist(); bands.unpersist() }
   }
 
+  /** Streaming incremental WINDOWED-HLL store (C225): each micro-batch
+    * writes its per-day (day, reg, mx) user-register partials — the
+    * SAME [[graft.operators.Sketches.dailyUserRegisters]] frame the
+    * batch query derives — into a batch_id-partitioned durable store;
+    * the published report is the rolling-window estimate off the
+    * per-(day, reg) MAX merge of ALL partials. Max-merge is
+    * associative, commutative AND idempotent, so batches may overlap
+    * days, arrive out of order, or replay — the merged registers are
+    * bit-identical to the batch build over the union regardless. The
+    * published report carries NO exact comparator (that is the raw
+    * history the store exists to avoid re-scanning; the batch query
+    * keeps it for the rel_err audit). */
+  def incrementalHllWindow(events: DataFrame, storeDir: String, outDir: String,
+                           window: Int = 7,
+                           checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      hllWindowBatch(batch, batchId, storeDir, outDir, window)
+    }
+    checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** The per-batch step, factored out so tests replay batches and assert
+    * bit-exact convergence with the batch estimate over the union. */
+  def hllWindowBatch(batch: DataFrame, batchId: Long, storeDir: String,
+                     outDir: String, window: Int = 7): Unit = {
+    val spark = batch.sparkSession
+    graft.operators.Sketches.dailyUserRegisters(batch)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(storeDir)
+    val merged = spark.read.parquet(storeDir)
+      .groupBy("day", "reg").agg(max(col("mx")).as("mx"))
+      .localCheckpoint(true) // two consumers: the day gate + the estimate
+    val days = merged.select("day").distinct()
+    graft.operators.Sketches.windowEstimate(merged, days, window)
+      .select(col("win_day"), col("n_used").as("n_registers_used"),
+        round(col("estimate"), 6).as("estimate"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outDir)
+  }
+
   // ---- SQL-surface readbacks of the incremental sketch stores --------
   //
   // C213-C215: the merged CMS/HLL/Bloom durable stores as queryable

@@ -892,6 +892,40 @@ class StreamingSpec extends SparkSpec {
     graft.CacheTracker.drainAll(spark)
   }
 
+  test("incremental windowed-HLL store (C225): merged rolling estimate equals the batch query; replays converge") {
+    val base = java.nio.file.Files.createTempDirectory("graft_inchllw").toString
+    val (store, out) = (s"$base/store", s"$base/est")
+    def ev(ids: Seq[Long]): DataFrame = ids.map { i =>
+      (i, i % 23, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z")
+          .plusSeconds((i % 6) * 86400 + i)), "click", 1.0)
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val b0 = ev(0L until 60L)
+    val b1 = ev(60L until 120L) // overlapping days, new users — max-merge must absorb
+    def published(): Set[(Long, Long, Double)] = {
+      // partition-column inference reads batch_id back as INT
+      val latest = spark.read.parquet(out)
+        .agg(max(col("batch_id")).cast("long")).head().getLong(0)
+      spark.read.parquet(out).filter(col("batch_id") === latest)
+        .select("win_day", "n_registers_used", "estimate")
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    def batchTruth(dfs: DataFrame*): Set[(Long, Long, Double)] =
+      graft.operators.Sketches.hllWindowDistinct(dfs.reduce(_ unionByName _))
+        .select(col("win_day"), col("n_registers_used"), col("estimate"))
+        .as[(Long, Long, Double)].collect().toSet
+
+    Events.hllWindowBatch(b0, 0L, store, out)
+    assert(published() === batchTruth(b0))
+    Events.hllWindowBatch(b1, 1L, store, out)
+    assert(published() === batchTruth(b0, b1),
+      "max-merged store must reproduce the batch estimate over the union")
+    // replay batch 1: idempotent max-merge + dynamic overwrite converge
+    Events.hllWindowBatch(b1, 1L, store, out)
+    assert(published() === batchTruth(b0, b1), "replay must not change the estimate")
+    graft.CacheTracker.drainAll(spark)
+  }
+
   test("state store reader (C222): checkpointed aggregation state reads back as a DataFrame") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ss_read").toString
