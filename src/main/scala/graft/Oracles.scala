@@ -1274,6 +1274,44 @@ object Oracles {
          |SELECT * FROM v0 UNION ALL SELECT * FROM n1
          |UNION ALL SELECT * FROM n2 UNION ALL SELECT * FROM n3""".stripMargin,
 
+    // planted-duplicate recall (B245): type-dropped mutants at three
+    // severities, the banded detector over originals ∪ plants, recall
+    // per severity against the planted ground truth
+    "planted_dup_recall" ->
+      s"""WITH ks AS (SELECT unnest([2, 8, 32]) AS k),
+         |bases AS (SELECT doc_id, text FROM documents WHERE doc_id % 8 = 0),
+         |plants AS (SELECT d.doc_id + ks.k * 10000000 AS doc_id,
+         |  array_to_string(list_filter($toks,
+         |    t -> ('0x' || substr(md5(t), 1, 4))::BIGINT % ks.k <> 0), ' ') AS text
+         |  FROM bases d CROSS JOIN ks),
+         |alld AS (SELECT doc_id, text FROM bases
+         |         UNION ALL SELECT doc_id, text FROM plants),
+         |tk AS (SELECT doc_id, $toks AS toks FROM alld WHERE len($toks) >= 3),
+         |dt AS (SELECT DISTINCT doc_id,
+         |       toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS token
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tk)),
+         |sig AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || token)) AS sig
+         |        FROM dt CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+         |band AS (SELECT doc_id, i // 8 AS band, md5(string_agg(sig, '|' ORDER BY i)) AS bh
+         |         FROM sig GROUP BY doc_id, i // 8),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM band a
+         |         JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |da AS (SELECT doc_id, list_sort(list(token)) AS arr, count(*) AS n FROM dt GROUP BY 1),
+         |pairs AS (SELECT a_id, b_id FROM (
+         |  SELECT c.a_id, c.b_id,
+         |    round(CAST(len(list_intersect(sa.arr, sb.arr)) AS DOUBLE)
+         |      / CAST(sa.n + sb.n - len(list_intersect(sa.arr, sb.arr)) AS DOUBLE), 6) AS jac
+         |  FROM cand c JOIN da sa ON sa.doc_id = c.a_id JOIN da sb ON sb.doc_id = c.b_id)
+         |  WHERE jac >= 0.5),
+         |planted AS (SELECT d.doc_id AS a_id, d.doc_id + ks.k * 10000000 AS b_id,
+         |  CAST(ks.k AS BIGINT) AS severity FROM bases d CROSS JOIN ks),
+         |hits AS (SELECT severity, CAST(count(*) AS BIGINT) AS n_found
+         |  FROM planted JOIN pairs USING (a_id, b_id) GROUP BY 1)
+         |SELECT p.severity, CAST(count(*) AS BIGINT) AS n_planted,
+         |  coalesce(max(h.n_found), 0) AS n_found,
+         |  round(CAST(coalesce(max(h.n_found), 0) AS DOUBLE) / count(*), 6) AS recall
+         |FROM planted p LEFT JOIN hits h USING (severity) GROUP BY p.severity""".stripMargin,
+
     // tf-weighted MinHash (B240): exponential-race signatures off md5
     // uniforms; agreement fraction estimates weighted Jaccard
     "dedup_wminhash" ->

@@ -949,6 +949,9 @@ object SparkEntry {
     // B243: ingest-rate spike detector (exact-binary-weight EWMA)
     "ingest_anomaly" -> ((s, d) =>
       Relational.ingestAnomaly(events(s, d))),
+    // B245: planted-duplicate recall (detector commissioning test)
+    "planted_dup_recall" -> ((s, d) =>
+      Dedup.plantedDupRecall(spread(t(s, d, "documents")))),
     "permutation_test" -> ((s, d) =>
       Relational.permutationTest(events(s, d))),
     "token_assortativity" -> ((s, d) =>

