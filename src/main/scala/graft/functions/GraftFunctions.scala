@@ -61,6 +61,25 @@ object GraftFunctions {
   private val jaccardInfo = new ExpressionInfo(
     classOf[SortedArrayJaccard].getCanonicalName, "graft_jaccard")
 
+  /** Exponential-race weighted-MinHash signature as a typed Column. */
+  def wminhashSig(tokens: Column, numHashes: Int): Column =
+    ExpressionUtils.column(
+      WeightedMinHashSig(ExpressionUtils.expression(tokens), numHashes))
+
+  private val wminhashSigInfo = new ExpressionInfo(
+    classOf[WeightedMinHashSig].getCanonicalName, "graft_wminhash_sig")
+
+  private def wminhashSigBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      "graft_wminhash_sig expects (tokens, numHashes)")
+    val h = children(1) match {
+      case e if e.foldable => e.eval().asInstanceOf[Int]
+      case _ => throw new IllegalArgumentException(
+        "graft_wminhash_sig numHashes must be a literal int")
+    }
+    WeightedMinHashSig(children.head, h)
+  }
+
   /** Imperative registration so `spark.sql("SELECT graft_cosine(a, b)")`
     * works on an existing session (e.g. the driver-created one). */
   def register(spark: SparkSession): Unit = {
@@ -96,6 +115,9 @@ object GraftFunctions {
         require(children.length == 2, "graft_jaccard expects exactly 2 arguments")
         SortedArrayJaccard(children.head, children(1))
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_wminhash_sig"), wminhashSigInfo,
+      wminhashSigBuilder _)
   }
 }
 
@@ -145,6 +167,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_jaccard expects exactly 2 arguments")
         SortedArrayJaccard(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_wminhash_sig"),
+      new ExpressionInfo(classOf[WeightedMinHashSig].getCanonicalName, "graft_wminhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_wminhash_sig expects (tokens, numHashes)")
+        val h = children(1) match {
+          case e if e.foldable => e.eval().asInstanceOf[Int]
+          case _ => throw new IllegalArgumentException(
+            "graft_wminhash_sig numHashes must be a literal int")
+        }
+        WeightedMinHashSig(children.head, h)
       }))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)

@@ -1168,7 +1168,20 @@ object Dedup {
     * is computed once and joined in, instead of evaluating an md5 per
     * (doc, token, hash) row — at web scale corpus×H ≫ vocab×H, and the
     * join rides the token key the tf frame is already grouped on. */
-  private[graft] def wminhashSigArr(docs: DataFrame, numHashes: Int): DataFrame = {
+  private[graft] def wminhashSigArr(docs: DataFrame, numHashes: Int): DataFrame =
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.wminhashSig(col("t"), numHashes).as("sig"))
+
+  /** The former declarative race frame (explode → vocab×H prior join →
+    * per-(doc, h) min-struct → collect), kept as the independently-derived
+    * twin the native expression is pinned bit-equal against in tests.
+    * The expression path above replaced it for the operator because the
+    * race frame was the repo's slowest bench floor: tokens×H rows through
+    * two shuffled aggregations vs zero shuffles. */
+  private[graft] def wminhashSigArrDeclarative(docs: DataFrame, numHashes: Int): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
