@@ -61,6 +61,14 @@ object GraftFunctions {
   private val jaccardInfo = new ExpressionInfo(
     classOf[SortedArrayJaccard].getCanonicalName, "graft_jaccard")
 
+  /** Sorted-entry-array sparse dot product as a typed Column. */
+  def sortedDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      SortedDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  private val sortedDotInfo = new ExpressionInfo(
+    classOf[SortedDot].getCanonicalName, "graft_sorted_dot")
+
   /** Exponential-race weighted-MinHash signature as a typed Column. */
   def wminhashSig(tokens: Column, numHashes: Int): Column =
     ExpressionUtils.column(
@@ -118,6 +126,12 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_wminhash_sig"), wminhashSigInfo,
       wminhashSigBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_sorted_dot"), sortedDotInfo,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_sorted_dot expects exactly 2 arguments")
+        SortedDot(children.head, children(1))
+      })
   }
 }
 
@@ -167,6 +181,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_jaccard expects exactly 2 arguments")
         SortedArrayJaccard(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_dot"),
+      new ExpressionInfo(classOf[SortedDot].getCanonicalName, "graft_sorted_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_sorted_dot expects exactly 2 arguments")
+        SortedDot(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_wminhash_sig"),

@@ -619,27 +619,26 @@ object Similarity {
 
   /** Exact cosine rescore of candidate (a_id, b_id) pairs against the
     * (doc_id, token, tfidf) weight frame. Each doc's weights collapse to
-    * one token-sorted map; the dot is a left fold over a's entries in
-    * token order with b looked up per entry (an absent token contributes
-    * an exact +0.0, which never perturbs the sum — so the fold equals the
-    * oracle's shared-token fold in the same token order, bit for bit).
-    * The shuffle carries only narrow pair keys plus one bounded map per
-    * doc — never the exploded per-(pair, token) product stream, whose
-    * ObjectHashAggregate was the dominant cost of the previous shape. */
+    * one token-sorted entry array; the dot is graft_sorted_dot's native
+    * merge scan — matched products summed in ascending token order,
+    * bit-identical to the previous interpreted map fold (an absent token
+    * contributed an exact ±0.0 there, an IEEE no-op) and therefore to
+    * the oracle's shared-token fold. The shuffle carries only narrow
+    * pair keys plus one bounded array per doc — never the exploded
+    * per-(pair, token) product stream, whose ObjectHashAggregate was the
+    * dominant cost of the original shape; the native expression then
+    * removes the per-entry lambda interpretation + map probe that
+    * dominated the second. */
   private def scorePairs(cands: DataFrame, w: DataFrame, norms: DataFrame,
                          simMin: Double): DataFrame = {
-    val docMap = w.groupBy("doc_id")
-      .agg(map_from_entries(sort_array(collect_list(struct(col("token"), col("tfidf")))))
-        .as("wmap"))
+    val docArr = w.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("token"), col("tfidf"))))
+        .as("warr"))
     val dots = cands
-      .join(docMap.select(col("doc_id").as("a_id"), col("wmap").as("a_map")), "a_id")
-      .join(docMap.select(col("doc_id").as("b_id"), col("wmap").as("b_map")), "b_id")
+      .join(docArr.select(col("doc_id").as("a_id"), col("warr").as("a_arr")), "a_id")
+      .join(docArr.select(col("doc_id").as("b_id"), col("warr").as("b_arr")), "b_id")
       .select(col("a_id"), col("b_id"),
-        aggregate(
-          transform(map_entries(col("a_map")),
-            e => e.getField("value") *
-              coalesce(element_at(col("b_map"), e.getField("key")), lit(0.0))),
-          lit(0.0), (acc, x) => acc + x).as("dot"))
+        graft.functions.GraftFunctions.sortedDot(col("a_arr"), col("b_arr")).as("dot"))
     dots
       .join(norms.select(col("doc_id").as("a_id"), col("nrm").as("a_nrm")), "a_id")
       .join(norms.select(col("doc_id").as("b_id"), col("nrm").as("b_nrm")), "b_id")

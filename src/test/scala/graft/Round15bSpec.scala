@@ -76,6 +76,52 @@ class Round15bSpec extends SparkSpec {
     assert(r.forall(row => row.getLong(0) == 1L && row.getLong(1) == 2L))
   }
 
+  test("graft_sorted_dot equals the declarative map fold bit-for-bit") {
+    // entries with shared, disjoint, and prefix-overlapping tokens, plus
+    // irrational weights whose products exercise the low mantissa bits
+    val rows = Seq(
+      (1L, 2L,
+        Seq(("alpha", math.Pi), ("beta", 0.1), ("gamma", 1e-9)),
+        Seq(("alpha", math.E), ("gamma", 3.3), ("zeta", 9.9))),
+      (3L, 4L, Seq(("a", 1.5)), Seq(("b", 2.5))),               // disjoint
+      (5L, 6L, Seq.empty[(String, Double)], Seq(("a", 1.0))),   // empty side
+      (7L, 8L,
+        Seq(("ab", 2.0), ("abc", 3.0)),
+        Seq(("ab", 5.0), ("abcd", 7.0))))                       // prefix tokens
+    val df = rows.toDF("a_id", "b_id", "a_raw", "b_raw")
+      .select(col("a_id"), col("b_id"),
+        sort_array(transform(col("a_raw"),
+          e => struct(e.getField("_1").as("token"), e.getField("_2").as("tfidf")))).as("a_arr"),
+        sort_array(transform(col("b_raw"),
+          e => struct(e.getField("_1").as("token"), e.getField("_2").as("tfidf")))).as("b_arr"))
+    val native = df.select(col("a_id"),
+      functions.GraftFunctions.sortedDot(col("a_arr"), col("b_arr")).as("dot"))
+    val declarative = df.select(col("a_id"),
+      aggregate(
+        transform(col("a_arr"),
+          e => e.getField("tfidf") *
+            coalesce(element_at(map_from_entries(col("b_arr")), e.getField("token")),
+              lit(0.0))),
+        lit(0.0), (acc, x) => acc + x).as("dot"))
+    val n = native.orderBy("a_id").collect().map(_.getDouble(1))
+    val d = declarative.orderBy("a_id").collect().map(_.getDouble(1))
+    assert(n.length == 4)
+    n.zip(d).foreach { case (x, y) =>
+      assert(java.lang.Double.doubleToRawLongBits(x) ==
+        java.lang.Double.doubleToRawLongBits(y), s"$x != $y bitwise")
+    }
+  }
+
+  test("graft_sorted_dot SQL registration works") {
+    functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_sorted_dot(
+        |  array(struct('a', 2.0d), struct('b', 3.0d)),
+        |  array(struct('b', 5.0d), struct('c', 7.0d))) AS dot""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(r == 15.0)
+  }
+
   test("wminhash signature plan is shuffle-free") {
     val plan = operators.Dedup.wminhashSigArr(corpus, 16)
       .queryExecution.executedPlan.toString
