@@ -7304,7 +7304,170 @@ object Oracles {
          |         / sqrt((CAST(sxx AS DOUBLE) / mm - (CAST(sx AS DOUBLE) / mm) * (CAST(sx AS DOUBLE) / mm))
          |              * (CAST(syy AS DOUBLE) / mm - (CAST(sy AS DOUBLE) / mm) * (CAST(sy AS DOUBLE) / mm))), 6)
          |       ELSE NULL END AS assortativity
-         |FROM m""".stripMargin
+         |FROM m""".stripMargin,
+
+    // maximum drawdown of daily revenue: running peak, worst
+    // peak-to-trough ratio, peak day back-resolved
+    "revenue_drawdown" ->
+      """WITH daily AS (SELECT epoch_ns(o_orderdate) // 1000 // 86400000000 AS day_idx,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |dd AS (SELECT day_idx, cents,
+        |  max(cents) OVER (ORDER BY day_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM daily),
+        |tr AS (SELECT day_idx AS trough_day, peak AS peak_cents, cents AS trough_cents,
+        |  CAST(peak - cents AS DOUBLE) / peak AS dd
+        |  FROM dd ORDER BY dd DESC, trough_day ASC LIMIT 1)
+        |SELECT min(d.day_idx) AS peak_day, tr.trough_day, tr.peak_cents,
+        |  tr.trough_cents, round(tr.dd, 6) AS max_drawdown
+        |FROM tr JOIN daily d ON d.cents = tr.peak_cents AND d.day_idx <= tr.trough_day
+        |GROUP BY tr.trough_day, tr.peak_cents, tr.trough_cents, tr.dd""".stripMargin,
+
+    // Hampel filter: positional medians in x2 / x4 integer space over
+    // the +-3-day neighborhood, one double compare for the outlier gate
+    "hampel_filter" ->
+      """WITH daily AS (SELECT epoch_ns(o_orderdate) // 1000 // 86400000000 AS day_idx,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |contrib AS (SELECT cents AS cj,
+        |  unnest(range(day_idx - 3, day_idx + 4)) AS day_idx FROM daily),
+        |wins AS (SELECT c.day_idx, list_sort(list(c.cj)) AS vals
+        |  FROM contrib c JOIN (SELECT day_idx FROM daily) p USING (day_idx)
+        |  GROUP BY 1),
+        |sc AS (SELECT w.day_idx, d.cents, len(vals) AS n, vals
+        |  FROM wins w JOIN daily d USING (day_idx)),
+        |m1 AS (SELECT day_idx, cents, n, vals,
+        |  CASE WHEN n % 2 = 1 THEN 2 * vals[(n + 1) // 2]
+        |       ELSE vals[n // 2] + vals[n // 2 + 1] END AS med2 FROM sc),
+        |m2 AS (SELECT day_idx, cents, n, med2,
+        |  list_sort(list_transform(vals, v -> abs(2 * v - med2))) AS dev2s FROM m1),
+        |m3 AS (SELECT day_idx, cents, med2,
+        |  CASE WHEN n % 2 = 1 THEN 2 * dev2s[(n + 1) // 2]
+        |       ELSE dev2s[n // 2] + dev2s[n // 2 + 1] END AS mad4 FROM m2),
+        |f AS (SELECT day_idx, cents, med2, mad4,
+        |  2.0 * CAST(abs(2 * cents - med2) AS DOUBLE)
+        |    > (3.0 * 1.4826) * CAST(mad4 AS DOUBLE) AS is_outlier FROM m3)
+        |SELECT day_idx, cents, CAST(med2 AS DOUBLE) / 2.0 AS med_cents,
+        |  CAST(mad4 AS DOUBLE) / 4.0 AS mad_cents, is_outlier,
+        |  CASE WHEN is_outlier THEN CAST(med2 AS DOUBLE) / 2.0
+        |       ELSE CAST(cents AS DOUBLE) END AS repaired_cents
+        |FROM f""".stripMargin,
+
+    // two-proportion power analysis off the observed parity experiment
+    "power_analysis" ->
+      """WITH pu AS (SELECT user_id,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END) AS BIGINT) AS c_a,
+        |  CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN user_id % 2 <> 0 THEN x ELSE 0 END) AS BIGINT) AS c_b
+        |  FROM pu),
+        |p AS (SELECT n_a, n_b,
+        |  CAST(c_a AS DOUBLE) / n_a AS p1, CAST(c_b AS DOUBLE) / n_b AS p2,
+        |  CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS pbar FROM m),
+        |s AS (SELECT n_a, n_b, p1, p2,
+        |  abs(p2 - p1) AS delta,
+        |  1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+        |    + 0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)) AS zsum FROM p)
+        |SELECT n_a, n_b, round(p1, 6) AS p_a, round(p2, 6) AS p_b,
+        |  round(delta, 6) AS delta,
+        |  CASE WHEN delta > 0.0
+        |       THEN CAST(ceil((zsum * zsum) / (delta * delta)) AS BIGINT)
+        |       END AS n_per_arm_req
+        |FROM s""".stripMargin,
+
+    // caliper matching: bucket-gated 1-NN on pre-period spend, ATT over
+    // matched post-period differences
+    "caliper_match" ->
+      """WITH base AS (SELECT user_id,
+        |  epoch_ns(ts) // 1000 // 86400000000 AS day_idx,
+        |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |d0 AS (SELECT min(day_idx) AS d0 FROM base),
+        |sp AS (SELECT user_id,
+        |  CAST(sum(CASE WHEN day_idx < d0 + 15 THEN c ELSE 0 END) AS BIGINT) AS pre,
+        |  CAST(sum(CASE WHEN day_idx >= d0 + 15 THEN c ELSE 0 END) AS BIGINT) AS post
+        |  FROM base CROSS JOIN d0 GROUP BY 1),
+        |tr AS (SELECT user_id AS t_id, pre AS t_pre, post AS t_post FROM sp
+        |  WHERE user_id % 2 = 1),
+        |ct AS (SELECT user_id AS c_id, pre AS c_pre, post AS c_post,
+        |  pre // 20000 AS bucket FROM sp WHERE user_id % 2 = 0),
+        |cand AS (SELECT t.t_id, c.c_id, abs(t.t_pre - c.c_pre) AS dist,
+        |  t.t_post, c.c_post
+        |  FROM tr t JOIN ct c
+        |    ON c.bucket IN (t.t_pre // 20000 - 1, t.t_pre // 20000, t.t_pre // 20000 + 1)
+        |  WHERE abs(t.t_pre - c.c_pre) <= 20000),
+        |mt AS (SELECT t_id, dist, t_post - c_post AS diff FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY t_id ORDER BY dist, c_id) AS rn
+        |  FROM cand) WHERE rn = 1),
+        |nt AS (SELECT count(*) AS n_treated FROM sp WHERE user_id % 2 = 1)
+        |SELECT CAST(n_treated AS BIGINT) AS n_treated,
+        |  CAST(count(*) AS BIGINT) AS n_matched,
+        |  round(CAST(sum(diff) AS DOUBLE) / count(*) / 100.0, 6) AS att_dollars,
+        |  round(CAST(sum(dist) AS DOUBLE) / count(*) / 100.0, 6) AS avg_match_dist_dollars
+        |FROM mt CROSS JOIN nt GROUP BY n_treated""".stripMargin,
+
+    // Kruskal-Wallis H across languages: tie-averaged ranks in x2
+    // integer space, HUGEINT squares, sorted-language term fold
+    "kruskal_wallis" ->
+      """WITH vals AS (SELECT n_chars, count(*) AS t FROM documents GROUP BY 1),
+        |sw AS (SELECT n_chars, t,
+        |  sum(t) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_t,
+        |  sum(t) OVER () AS n_total FROM vals),
+        |r AS (SELECT n_chars, CAST(2 * cum_t - t + 1 AS BIGINT) AS r2,
+        |  CAST(n_total AS BIGINT) AS n_total FROM sw),
+        |pl AS (SELECT lang, n_chars, count(*) AS n_lv FROM documents GROUP BY 1, 2),
+        |ph AS (SELECT lang, CAST(sum(n_lv) AS BIGINT) AS n_h,
+        |  CAST(sum(n_lv * r2) AS BIGINT) AS rr2, max(n_total) AS n_total
+        |  FROM pl JOIN r USING (n_chars) GROUP BY 1),
+        |terms AS (SELECT n_total, lang,
+        |  CAST(CAST(rr2 AS HUGEINT) * rr2 AS DOUBLE) / (4.0 * n_h) AS term FROM ph),
+        |sf AS (SELECT max(n_total) AS n_total, CAST(count(*) AS BIGINT) AS n_groups,
+        |  list_reduce(list_prepend(0.0, list(term ORDER BY lang)), (a, b) -> a + b) AS s_sum
+        |  FROM terms),
+        |ties AS (SELECT coalesce(sum(CAST(t AS HUGEINT) * t * t - t), 0) AS tie_term
+        |  FROM vals WHERE t > 1),
+        |h AS (SELECT n_total, n_groups,
+        |  12.0 / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0)) * s_sum
+        |    - 3.0 * (CAST(n_total AS DOUBLE) + 1.0) AS h_stat,
+        |  1.0 - CAST(tie_term AS DOUBLE)
+        |    / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+        |       - CAST(n_total AS DOUBLE)) AS c_corr
+        |  FROM sf CROSS JOIN ties)
+        |SELECT n_total AS n_docs, n_groups, n_groups - 1 AS df,
+        |  round(h_stat, 6) AS h_stat,
+        |  round(CASE WHEN c_corr > 0.0 THEN h_stat / c_corr END, 6) AS h_corrected
+        |FROM h""".stripMargin,
+
+    // Adamic-Adar link prediction over the bigram-adjacency graph:
+    // nano-unit neighbor weights summed per open wedge, existing edges
+    // anti-joined away; relative edge gate (count >= 0.005 * n_docs)
+    "adamic_adar" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+         |big AS (SELECT toks[i] AS a0, toks[i + 1] AS b0
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tk
+         |        WHERE len(toks) >= 2)),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |e AS (SELECT least(a0, b0) AS a, greatest(a0, b0) AS b
+         |  FROM big, nd WHERE a0 <> b0
+         |  GROUP BY 1, 2, nd.n_docs
+         |  HAVING CAST(count(*) AS DOUBLE) >= 0.005 * nd.n_docs),
+         |deg AS (SELECT token, count(*) AS degree FROM
+         |        (SELECT a AS token FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         |wz AS (SELECT token AS z,
+         |  CAST(round(round(1.0 / ln(degree), 9) * 1e9) AS BIGINT) AS w_nano
+         |  FROM deg WHERE degree >= 2),
+         |dir AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+         |wedge AS (SELECT x.a, y.b, w.w_nano
+         |  FROM dir x JOIN wz w ON x.b = w.z
+         |  JOIN dir y ON y.a = x.b AND x.a < y.b),
+         |g AS (SELECT a, b, count(*) AS n_common, CAST(sum(w_nano) AS BIGINT) AS aa_nano
+         |  FROM wedge GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT g.a, g.b, CAST(g.n_common AS BIGINT) AS n_common,
+         |  round(CAST(aa_nano AS DOUBLE) / 1e9, 6) AS aa_score
+         |FROM g LEFT JOIN e ON g.a = e.a AND g.b = e.b
+         |WHERE e.a IS NULL""".stripMargin
   )
 
   /** Rounded cosine between two list columns (the annTopkSql fold shape,

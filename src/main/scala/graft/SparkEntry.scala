@@ -998,7 +998,23 @@ object SparkEntry {
       s.read.option("mergeSchema", "true")
         .parquet(s"$resourceDir/docs_schema_v1.parquet",
           s"$resourceDir/docs_schema_v2.parquet")
-        .select(col("doc_id"), col("text"), col("lang"), col("stars")))
+        .select(col("doc_id"), col("text"), col("lang"), col("stars"))),
+    // round-15 continuation: risk/robustness statistics over the daily
+    // revenue series, experiment-design readouts, observational
+    // matching, the nonparametric k-group length test, and token-graph
+    // link prediction
+    "revenue_drawdown" -> ((s, d) =>
+      Relational.revenueDrawdown(t(s, d, "orders"))),
+    "hampel_filter" -> ((s, d) =>
+      Relational.hampelFilter(t(s, d, "orders"))),
+    "power_analysis" -> ((s, d) =>
+      Relational.powerAnalysis(events(s, d))),
+    "caliper_match" -> ((s, d) =>
+      Relational.caliperMatch(events(s, d))),
+    "kruskal_wallis" -> ((s, d) =>
+      TextOps.kruskalWallis(t(s, d, "documents"))),
+    "adamic_adar" -> ((s, d) =>
+      Graph.adamicAdar(spread(t(s, d, "documents"))))
   )
 
   /** DuckDB twins for the SQL-expressible queries (SURVEY.md §5). */

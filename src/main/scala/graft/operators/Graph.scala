@@ -442,4 +442,70 @@ object Graph {
       round(when(vx > 0.0 && vy > 0.0, cov / sqrt(vx * vy)), 6)
         .as("assortativity"))
   }
+
+  /** Adamic-Adar link prediction over the token ADJACENCY graph
+    * (B247): for token pairs NOT already linked, the classic
+    * common-neighbor score Σ_z 1/ln(deg z) over shared neighbors z —
+    * rare shared neighbors count more than hubs. The "which vocabulary
+    * pairs are one bigram away from attested" signal used for query
+    * expansion and embedding-evaluation probes; the prediction dual of
+    * [[tokenTriangles]] (which counts CLOSED wedges, this scores the
+    * open ones). The graph is bigram adjacency, not whole-doc
+    * co-occurrence — the doc-level graph is COMPLETE on template-heavy
+    * corpora, leaving nothing to predict.
+    *
+    * Determinism: each neighbor's weight is 1/ln(deg) rounded at 9 dp
+    * and scaled to exact NANO-unit longs, so the per-pair sum is an
+    * order-independent integer sum (map-side combining, no sorted
+    * fold); degree-1 neighbors (ln = 0) are excluded by the deg ≥ 2
+    * gate before any divide. Scale: the bigram stream is corpus-linear
+    * with map-side combine onto the (a, b) key; the relative edge gate
+    * bounds degree, so the wedge join's Σ deg(z)² stays
+    * vocabulary-shaped; the existing-edge anti-join rides the pair
+    * key. */
+  def adamicAdar(docs: DataFrame, minEdgeFrac: Double = 0.005,
+                 minCommon: Long = 2L): DataFrame = {
+    val toked = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    // ADJACENCY co-occurrence, not whole-doc: on template-heavy corpora
+    // the doc-level graph is complete (every token meets every other
+    // somewhere), so only the bigram graph has open wedges to score;
+    // the edge gate is RELATIVE (count >= minEdgeFrac * corpus docs) so
+    // the same sparsity survives any scale factor
+    val pairs = toked.select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (x, y) => struct(x.as("a0"), y.as("b0")))).as("p"))
+      .select(col("p.a0").as("a0"), col("p.b0").as("b0"))
+      .filter(col("a0") =!= col("b0"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val half = pairs
+      .select(least(col("a0"), col("b0")).as("a"),
+        greatest(col("a0"), col("b0")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("n_ab").cast("double") >= lit(minEdgeFrac) * col("n_docs"))
+      .select("a", "b")
+    val deg = half.select(col("a").as("token"))
+      .union(half.select(col("b").as("token")))
+      .groupBy("token").agg(count(lit(1)).as("degree"))
+    // neighbor weight in exact nano-units; deg >= 2 so ln > 0
+    val wz = deg.filter(col("degree") >= 2L)
+      .select(col("token").as("z"),
+        round(round(lit(1.0) / log(col("degree").cast("double")), 9) * 1e9)
+          .cast("long").as("w_nano"))
+    val dir = half.union(half.select(col("b").as("a"), col("a").as("b")))
+    val wedges = dir.select(col("a"), col("b").as("z"))
+      .join(wz, "z")
+      .join(dir.select(col("a").as("z2"), col("b").as("b2")),
+        col("z") === col("z2") && col("a") < col("b2"))
+      .groupBy(col("a"), col("b2").as("b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("w_nano")).as("aa_nano"))
+      .filter(col("n_common") >= minCommon)
+    wedges
+      .join(half.withColumn("is_edge", lit(1)), Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"), col("n_common"),
+        round(col("aa_nano").cast("double") / 1e9, 6).as("aa_score"))
+  }
 }

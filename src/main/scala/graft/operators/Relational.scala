@@ -3707,4 +3707,201 @@ object Relational {
       .withColumn("spike",
         col("ratio").isNotNull && col("ratio") >= spikeRatio)
   }
+
+  /** Maximum drawdown of daily revenue (C226): the largest
+    * peak-to-trough loss of the cumulative daily series — the risk
+    * statistic every revenue/financial dashboard carries next to the
+    * trend line ([[mannKendall]] says whether it trends; this says how
+    * bad the worst slide was). Running peak = max(cents) over prior
+    * days, drawdown_d = (peak − c_d)/peak; the reported row is the
+    * worst drawdown (ties → earliest day), with the peak day
+    * back-resolved as the EARLIEST day at or before the trough that
+    * carries the peak value. Everything is exact integer cents off the
+    * calendar-bounded daily frame (the mann_kendall discipline: the
+    * ordered window runs over ≤ days rows, never data-sized), with one
+    * rounded double division at the end. */
+  def revenueDrawdown(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          .as("day_idx"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy("day_idx").agg(sum(col("c")).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("day_idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val dd = daily
+      .withColumn("peak", max(col("cents")).over(w))
+      .withColumn("dd_num", col("peak") - col("cents"))
+    // worst drawdown as exact-integer argmax: maximize dd_num/peak ⇔
+    // lexicographic on the cross-multiplied longs is wrong in general,
+    // so order on the double ratio but break ties on (day) — the ratio
+    // is one fixed-order divide of exact longs, identical on both engines
+    val trough = dd
+      .select(col("day_idx").as("trough_day"), col("peak").as("peak_cents"),
+        col("cents").as("trough_cents"),
+        (col("dd_num").cast("double") / col("peak")).as("dd"))
+      .orderBy(col("dd").desc, col("trough_day").asc)
+      .limit(1)
+    trough
+      .join(daily.select(col("day_idx"), col("cents").as("pc")),
+        col("pc") === col("peak_cents") && col("day_idx") <= col("trough_day"))
+      .groupBy("trough_day", "peak_cents", "trough_cents", "dd")
+      .agg(min(col("day_idx")).as("peak_day"))
+      .select(col("peak_day"), col("trough_day"), col("peak_cents"),
+        col("trough_cents"), round(col("dd"), 6).as("max_drawdown"))
+  }
+
+  /** Hampel filter over daily revenue (C227): per day, the median and
+    * MAD of the ±`halfWin`-day neighborhood; a day whose deviation
+    * exceeds 3·1.4826·MAD is an outlier and is repaired to the window
+    * median — the standard robust spike cleaner telemetry pipelines run
+    * before any trend fit (unlike [[ingestAnomaly]]'s one-sided EWMA
+    * gate, this is symmetric, uses future context, and repairs).
+    *
+    * Exactness: medians of ≤(2·halfWin+1) exact cent values are
+    * computed positionally on the sorted list — ×2 units for the value
+    * median (even windows average two middles) and ×4 for the MAD — so
+    * every median is an exact binary fraction and the single outlier
+    * test is one fixed-order double compare both engines evaluate
+    * identically. Scale: each day contributes to its ≤(2·halfWin+1)
+    * neighbors via a bounded explode (the dau_mau trick — no range
+    * join, no window over a data-sized frame), and the per-day state is
+    * a ≤(2·halfWin+1)-element list: calendar-bounded everywhere. */
+  def hampelFilter(orders: DataFrame, halfWin: Int = 3): DataFrame = {
+    val daily = orders
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          .as("day_idx"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy("day_idx").agg(sum(col("c")).as("cents"))
+    val contrib = daily
+      .select(col("cents").as("cj"),
+        explode(sequence(col("day_idx") - halfWin, col("day_idx") + halfWin))
+          .as("day_idx"))
+    val wins = contrib
+      .join(daily.select(col("day_idx")), Seq("day_idx"), "left_semi")
+      .groupBy("day_idx")
+      .agg(sort_array(collect_list(col("cj"))).as("vals"))
+    // positional medians in scaled-integer space: med2 = 2·median of
+    // vals, dev2_j = |2·c_j − med2| (exact long), mad4 = 2·median of
+    // the dev2 list = 4·MAD
+    def med2Of(vals: Column, n: Column): Column =
+      when(n % 2 === 1, lit(2L) * element_at(vals, ((n + 1) / 2).cast("int")))
+        .otherwise(element_at(vals, (n / 2).cast("int"))
+          + element_at(vals, (n / 2 + 1).cast("int")))
+    val scored = wins
+      .join(daily, "day_idx")
+      .withColumn("n", size(col("vals")))
+      .withColumn("med2", med2Of(col("vals"), col("n")))
+      .withColumn("dev2s",
+        sort_array(transform(col("vals"), v => abs(lit(2L) * v - col("med2")))))
+      .withColumn("mad4", med2Of(col("dev2s"), col("n")))
+      .withColumn("is_outlier",
+        lit(2.0) * abs(lit(2L) * col("cents") - col("med2")).cast("double")
+          > lit(3.0 * 1.4826) * col("mad4").cast("double"))
+    scored.select(col("day_idx"), col("cents"),
+      (col("med2").cast("double") / 2.0).as("med_cents"),
+      (col("mad4").cast("double") / 4.0).as("mad_cents"),
+      col("is_outlier"),
+      when(col("is_outlier"), col("med2").cast("double") / 2.0)
+        .otherwise(col("cents").cast("double")).as("repaired_cents"))
+  }
+
+  /** Two-proportion power analysis off the observed experiment (C228):
+    * given the running A/B assignment (user parity, the [[abTtest]] /
+    * permutationTest convention) and the observed conversion rates,
+    * the required users PER ARM to detect the observed delta at
+    * α = 0.05 (two-sided) with 80% power —
+    * n = (z_{α/2}·√(2p̄(1−p̄)) + z_β·√(p₁(1−p₁)+p₂(1−p₂)))² / δ².
+    * The "how much longer must this experiment run" readout every
+    * experimentation platform publishes next to the p-value.
+    * Conversion counts are exact longs; the formula is one fixed-order
+    * double expression with literal z constants; δ = 0 yields NULL
+    * (infinite n), not a crash. */
+  def powerAnalysis(events: DataFrame): DataFrame = {
+    val perUser = events
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"))
+      .select((col("user_id") % 2 === 0).as("is_a"), col("x"))
+    val m = perUser.agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("is_a"), col("x")).otherwise(0L)).as("c_a"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("is_a"), col("x")).otherwise(0L)).as("c_b"))
+    val p1 = col("c_a").cast("double") / col("n_a")
+    val p2 = col("c_b").cast("double") / col("n_b")
+    val pBar = (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b"))
+    val delta = abs(p2 - p1)
+    val zA = lit(1.959964) // z_{0.025}
+    val zB = lit(0.841621) // z_{0.20}
+    // squared by MULTIPLICATION, not pow(x, 2.0): libm pow need not be
+    // correctly rounded, so the two engines could drift a ulp there
+    val zSum = zA * sqrt(lit(2.0) * pBar * (lit(1.0) - pBar)) +
+      zB * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+    val nReq = (zSum * zSum) / (delta * delta)
+    m.select(col("n_a"), col("n_b"),
+      round(p1, 6).as("p_a"), round(p2, 6).as("p_b"),
+      round(delta, 6).as("delta"),
+      when(delta > 0.0, ceil(nReq).cast("long")).as("n_per_arm_req"))
+  }
+
+  /** Nearest-neighbor caliper matching (C229): the observational-causal
+    * estimator the A/B family (abTtest/cuped/diffInDiff) cannot give you
+    * when assignment wasn't randomized. Treated users (odd parity, the
+    * complement of the experiment convention) match with replacement to
+    * the control user nearest in PRE-period spend, within a `caliper`
+    * (cents); ATT = mean over matched pairs of the POST-period spend
+    * difference. Pre/post split at `splitDays` after the first event
+    * day; ties in match distance break on the smaller control id, so
+    * the matching is total and deterministic.
+    *
+    * Scale posture: candidate pairs materialize ONLY through
+    * caliper-bucket co-location (bucket = pre div caliper, each treated
+    * probes its own and both adjacent buckets — a bounded ×3 explode,
+    * the spatial-grid join idiom), never a treated×control cross join;
+    * per-treated argmin is min(struct(dist, id)), a map-side-combining
+    * aggregate. Everything is exact integer cents until the final
+    * rounded ATT divide. */
+  def caliperMatch(events: DataFrame, caliper: Long = 20000L,
+                   splitDays: Int = 15): DataFrame = {
+    val base = events
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day_idx"),
+        cents(col("value")).as("c"))
+    val d0 = base.agg(min(col("day_idx")).as("d0"))
+    val spends = base.crossJoin(broadcast(d0))
+      .groupBy("user_id")
+      .agg(sum(when(col("day_idx") < col("d0") + splitDays, col("c"))
+          .otherwise(0L)).as("pre"),
+        sum(when(col("day_idx") >= col("d0") + splitDays, col("c"))
+          .otherwise(0L)).as("post"))
+    val treated = spends.filter(col("user_id") % 2 === 1)
+      .select(col("user_id").as("t_id"), col("pre").as("t_pre"),
+        col("post").as("t_post"),
+        explode(array((col("pre") / caliper - 1).cast("long"),
+          (col("pre") / caliper).cast("long"),
+          (col("pre") / caliper + 1).cast("long"))).as("bucket"))
+    val control = spends.filter(col("user_id") % 2 === 0)
+      .select(col("user_id").as("c_id"), col("pre").as("c_pre"),
+        col("post").as("c_post"),
+        (col("pre") / caliper).cast("long").as("bucket"))
+    val matched = treated.join(control, "bucket")
+      .filter(abs(col("t_pre") - col("c_pre")) <= caliper)
+      .groupBy("t_id")
+      .agg(min(struct(abs(col("t_pre") - col("c_pre")).as("dist"),
+        col("c_id"), col("t_post"), col("c_post"))).as("m"))
+      .select(col("t_id"), col("m.dist").as("dist"),
+        (col("m.t_post") - col("m.c_post")).as("diff"))
+    val nT = spends.filter(col("user_id") % 2 === 1)
+      .agg(count(lit(1)).as("n_treated"))
+    matched
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("diff")).as("sum_diff"),
+        sum(col("dist")).as("sum_dist"))
+      .crossJoin(broadcast(nT))
+      .select(col("n_treated"), col("n_matched"),
+        round(col("sum_diff").cast("double") / col("n_matched") / 100.0, 6)
+          .as("att_dollars"),
+        round(col("sum_dist").cast("double") / col("n_matched") / 100.0, 6)
+          .as("avg_match_dist_dollars"))
+  }
 }

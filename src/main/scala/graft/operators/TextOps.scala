@@ -3352,4 +3352,58 @@ object TextOps {
         round(aggregate(col("ts"), lit(0.0), (a, t) =>
           a + (t.getField("ent_t") - t.getField("xent_t"))), 6).as("kl"))
   }
+
+  /** Kruskal-Wallis H test of document length across languages (B246):
+    * the nonparametric k-group ANOVA — "do the language subcorpora have
+    * the same length distribution?" — the distribution-free sibling of
+    * lang_source_chi2 (counts) and seasonality_anova (means), and the
+    * test of record when lengths are heavy-tailed enough that the
+    * F-test's normality assumption is junk (they always are).
+    *
+    * Exactness: tie-averaged ranks live in ×2 integer space (avg rank
+    * of a tie run of t starting after c values is (2c + t + 1)/2, so
+    * 2·rank is the exact long 2c + t + 1); per-language rank sums stay
+    * long, their squares widen to DECIMAL(38,0) before the one double
+    * divide per language, and the language-term sum folds in sorted
+    * language order (bounded list). H = 12/(N(N+1))·ΣR²_h/n_h − 3(N+1),
+    * tie-corrected by C = 1 − Σ(t³−t)/(N³−N). Scale: the rank sweep is
+    * [[Ranks.withGlobalCumSum]]'s two-pass range-partitioned machinery
+    * over the DISTINCT-length frame (value-bounded, never a data-sized
+    * single-task window); everything after is (lang × length)-bounded. */
+  def kruskalWallis(docs: DataFrame): DataFrame = {
+    val vals = docs.groupBy("n_chars").agg(count(lit(1)).as("t"))
+    val swept = Ranks.withGlobalCumSum(vals, "t", "cum_t", "n_total",
+      Seq(col("n_chars")))
+      .select(col("n_chars"), col("t"), col("n_total"),
+        (lit(2L) * col("cum_t") - col("t") + 1L).as("r2"))
+    val perLang = docs.groupBy("lang", "n_chars").agg(count(lit(1)).as("n_lv"))
+      .join(swept, "n_chars")
+      .groupBy("lang")
+      .agg(sum(col("n_lv")).as("n_h"),
+        sum(col("n_lv") * col("r2")).as("rr2"),
+        max(col("n_total")).as("n_total"))
+    val terms = perLang.select(col("n_total"),
+      struct(col("lang"),
+        ((col("rr2").cast("decimal(38,0)") * col("rr2")).cast("double")
+          / (lit(4.0) * col("n_h"))).as("term")).as("s"))
+    val sFold = terms.groupBy("n_total")
+      .agg(count(lit(1)).as("n_groups"),
+        array_sort(collect_list(col("s"))).as("ss"))
+      .select(col("n_total"), col("n_groups"),
+        aggregate(col("ss"), lit(0.0), (a, s) => a + s.getField("term")).as("s_sum"))
+    val ties = vals.filter(col("t") > 1L)
+      .agg(coalesce(sum(col("t").cast("decimal(38,0)") * col("t") * col("t")
+        - col("t")), lit(0L).cast("decimal(38,0)")).as("tie_term"))
+    val n = col("n_total").cast("double")
+    sFold.crossJoin(broadcast(ties))
+      .withColumn("h_stat", lit(12.0) / (n * (n + 1.0)) * col("s_sum")
+        - lit(3.0) * (n + 1.0))
+      .withColumn("c_corr", lit(1.0) - col("tie_term").cast("double")
+        / (n * n * n - n))
+      .select(col("n_total").as("n_docs"), col("n_groups"),
+        (col("n_groups") - 1L).as("df"),
+        round(col("h_stat"), 6).as("h_stat"),
+        round(when(col("c_corr") > 0.0, col("h_stat") / col("c_corr")), 6)
+          .as("h_corrected"))
+  }
 }

@@ -122,6 +122,97 @@ class Round15bSpec extends SparkSpec {
     assert(r == 15.0)
   }
 
+  // ------------------------------------------- round-15 continuation ops
+
+  private def orders(rows: (Long, String, Double)*): DataFrame =
+    rows.map { case (k, d, p) => (k, java.sql.Date.valueOf(d), p) }
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+
+  test("revenueDrawdown finds the worst peak-to-trough slide") {
+    // revenue 100, 200, 50, 180, 40: worst dd is 200 -> 40 (0.8)
+    val r = operators.Relational.revenueDrawdown(orders(
+      (1L, "2024-01-01", 100.0), (2L, "2024-01-02", 200.0),
+      (3L, "2024-01-03", 50.0), (4L, "2024-01-04", 180.0),
+      (5L, "2024-01-05", 40.0))).collect().head
+    assert(r.getAs[Long]("peak_cents") == 20000L)
+    assert(r.getAs[Long]("trough_cents") == 4000L)
+    assert(r.getAs[Double]("max_drawdown") == 0.8)
+    assert(r.getAs[Long]("trough_day") - r.getAs[Long]("peak_day") == 3L)
+  }
+
+  test("hampelFilter flags the spike and repairs it to the window median") {
+    val base = (1 to 11).map(i => (i.toLong, f"2024-01-$i%02d", 100.0))
+    val spiked = base.updated(5, (6L, "2024-01-06", 5000.0))
+    val r = operators.Relational.hampelFilter(orders(spiked: _*))
+      .orderBy("day_idx").collect()
+    assert(r.length == 11)
+    val flagged = r.filter(_.getAs[Boolean]("is_outlier"))
+    assert(flagged.length == 1)
+    assert(flagged.head.getAs[Long]("cents") == 500000L)
+    assert(flagged.head.getAs[Double]("repaired_cents") == 10000.0)
+    // constant neighborhoods: MAD 0, non-spike days not flagged
+    assert(r.count(x => !x.getAs[Boolean]("is_outlier")) == 10)
+  }
+
+  test("powerAnalysis: hand-checked n for p=0.4 vs 0.6") {
+    import org.apache.spark.sql.functions.{lit => l}
+    // 10 users per arm: A (even ids) converts 4/10, B converts 6/10
+    val evs = (0L until 20L).flatMap { u =>
+      val conv = if (u % 2 == 0) (u / 2) < 4 else (u / 2) < 6
+      Seq((u, "2024-01-01 00:00:00", if (conv) "purchase" else "click"))
+    }.toDF("user_id", "ts_s", "event_type")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("event_type"), l(1.0).as("value"))
+    val r = operators.Relational.powerAnalysis(evs).collect().head
+    assert(r.getAs[Double]("p_a") == 0.4 && r.getAs[Double]("p_b") == 0.6)
+    // n = (1.959964*sqrt(2*.5*.5) + 0.841621*sqrt(.24+.24))^2 / .04 = ~96.2
+    assert(r.getAs[Long]("n_per_arm_req") == 97L)
+  }
+
+  test("kruskalWallis: identical groups give H ~ 0 and correct tie correction") {
+    val d = docs(
+      (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"), (6L, "f"))
+      .withColumn("lang", when(col("doc_id") % 2 === 0, "en").otherwise("de"))
+      .withColumn("n_chars", col("doc_id") % 3) // values 1,2,0,1,2,0 - full ties across groups
+    val r = operators.TextOps.kruskalWallis(d).collect().head
+    assert(r.getAs[Long]("n_docs") == 6L && r.getAs[Long]("n_groups") == 2L)
+    // both groups hold {0,1,2}: rank sums equal, H == 0 exactly
+    assert(r.getAs[Double]("h_stat") == 0.0)
+  }
+
+  test("adamicAdar scores open wedges only, nano-exact") {
+    // adjacency chain "x y", "y z" repeated: edges x-y, y-z; open pair
+    // (x, z) with common neighbor y of degree 2 -> score = 1/ln(2)
+    val d = docs(
+      (1L, "x y"), (2L, "y z"), (3L, "x y"), (4L, "y z"))
+    val r = operators.Graph.adamicAdar(d, minEdgeFrac = 0.25, minCommon = 1L)
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getString(0) == "x" && r.head.getString(1) == "z")
+    assert(r.head.getAs[Long]("n_common") == 1L)
+    assert(r.head.getAs[Double]("aa_score") ==
+      math.round(math.rint(1.0 / math.log(2.0) * 1e9) / 1e3) / 1e6)
+  }
+
+  test("caliperMatch: nearest control within caliper, with-replacement ATT") {
+    // day0 = 0; pre = days 0-14, post = days 15+. treated 1 (pre 100.00)
+    // matches control 2 (pre 101.00, dist 100) over control 4 (pre 150.00);
+    // treated 3 (pre 900.00) has no control within 200.00 caliper
+    val evs = Seq(
+      (1L, "2024-01-01 00:00:00", 100.0), (1L, "2024-01-20 00:00:00", 50.0),
+      (2L, "2024-01-01 00:00:00", 101.0), (2L, "2024-01-20 00:00:00", 30.0),
+      (4L, "2024-01-01 00:00:00", 150.0), (4L, "2024-01-20 00:00:00", 99.0),
+      (3L, "2024-01-01 00:00:00", 900.0), (3L, "2024-01-20 00:00:00", 10.0))
+      .toDF("user_id", "ts_s", "value")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"),
+        lit("click").as("event_type"), col("value"))
+    val r = operators.Relational.caliperMatch(evs).collect().head
+    assert(r.getAs[Long]("n_treated") == 2L)
+    assert(r.getAs[Long]("n_matched") == 1L)
+    assert(r.getAs[Double]("att_dollars") == 20.0)  // 50 - 30
+    assert(r.getAs[Double]("avg_match_dist_dollars") == 1.0)
+  }
+
   test("wminhash signature plan is shuffle-free") {
     val plan = operators.Dedup.wminhashSigArr(corpus, 16)
       .queryExecution.executedPlan.toString
