@@ -113,6 +113,39 @@ object Oracles {
       |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM scored)
       |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= 5""".stripMargin
 
+  /** The PQ fit chain (shared by embed_pq and pq_ann_recall so the
+    * audited codebook can never drift from the published one): subvector
+    * frame v, seed codebook c0, two assign/recenter rounds, final
+    * assignment a3 against the final centroids c2. */
+  private lazy val pqChainCtes: String = {
+    def assign(c: String, a: String) =
+      s"""$a AS (SELECT vec_id, sub, e, code, dist FROM (
+         |  SELECT vec_id, sub, e, code, dist,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+         |  FROM (SELECT v.vec_id, v.sub, v.e, $c.code,
+         |      round(list_reduce(list_transform(range(1, 9),
+         |        i -> (e[i] - c[i]) * (e[i] - c[i])), (p, q) -> p + q), 9) AS dist
+         |    FROM v JOIN $c USING (sub))) WHERE rn = 1)""".stripMargin
+    def recenter(a: String, m: String, c: String) =
+      s"""$m AS (SELECT sub, code, pos,
+         |  round(list_reduce(list_sort(list(sub_s)), (p, q) -> p + q) / sum(sub_n), 9) AS cm
+         |  FROM (SELECT sub, code, pos, vec_id % 1024 AS sb, count(*) AS sub_n,
+         |        list_reduce(list_sort(list(x)), (p, q) -> p + q) AS sub_s
+         |        FROM (SELECT vec_id, sub, code, unnest(range(1, 9)) AS pos, unnest(e) AS x FROM $a)
+         |        GROUP BY sub, code, pos, sb)
+         |  GROUP BY sub, code, pos),
+         |$c AS (SELECT sub, code, list(cm ORDER BY pos) AS c FROM $m GROUP BY sub, code)""".stripMargin
+    s"""v AS (SELECT vec_id, CAST(s AS BIGINT) AS sub,
+       |    list_transform(embedding[(s * 8 + 1):(s * 8 + 8)], x -> CAST(x AS DOUBLE)) AS e
+       |  FROM (SELECT vec_id, embedding, unnest(range(0, 8)) AS s FROM embeddings)),
+       |c0 AS (SELECT sub, CAST(vec_id AS BIGINT) AS code, e AS c FROM v WHERE vec_id < 4),
+       |${assign("c0", "a1")},
+       |${recenter("a1", "m1", "c1")},
+       |${assign("c1", "a2")},
+       |${recenter("a2", "m2", "c2")},
+       |${assign("c2", "a3")}""".stripMargin
+  }
+
   /** Sign-LSH bucketed ANN top-5 (shared by ann_ivf and ann_recall). */
   private val annIvfSql: String =
     """WITH b AS (SELECT vec_id, embedding,
@@ -3408,35 +3441,31 @@ object Oracles {
 
     // PQ: per-subspace deterministic Lloyd rounds, same machinery as
     // kmeans_lloyd with a sub key threaded through every stage
-    "embed_pq" -> {
-      def assign(c: String, a: String) =
-        s"""$a AS (SELECT vec_id, sub, e, code, dist FROM (
-           |  SELECT vec_id, sub, e, code, dist,
-           |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
-           |  FROM (SELECT v.vec_id, v.sub, v.e, $c.code,
-           |      round(list_reduce(list_transform(range(1, 9),
-           |        i -> (e[i] - c[i]) * (e[i] - c[i])), (p, q) -> p + q), 9) AS dist
-           |    FROM v JOIN $c USING (sub))) WHERE rn = 1)""".stripMargin
-      def recenter(a: String, m: String, c: String) =
-        s"""$m AS (SELECT sub, code, pos,
-           |  round(list_reduce(list_sort(list(sub_s)), (p, q) -> p + q) / sum(sub_n), 9) AS cm
-           |  FROM (SELECT sub, code, pos, vec_id % 1024 AS sb, count(*) AS sub_n,
-           |        list_reduce(list_sort(list(x)), (p, q) -> p + q) AS sub_s
-           |        FROM (SELECT vec_id, sub, code, unnest(range(1, 9)) AS pos, unnest(e) AS x FROM $a)
-           |        GROUP BY sub, code, pos, sb)
-           |  GROUP BY sub, code, pos),
-           |$c AS (SELECT sub, code, list(cm ORDER BY pos) AS c FROM $m GROUP BY sub, code)""".stripMargin
-      s"""WITH v AS (SELECT vec_id, CAST(s AS BIGINT) AS sub,
-         |    list_transform(embedding[(s * 8 + 1):(s * 8 + 8)], x -> CAST(x AS DOUBLE)) AS e
-         |  FROM (SELECT vec_id, embedding, unnest(range(0, 8)) AS s FROM embeddings)),
-         |c0 AS (SELECT sub, CAST(vec_id AS BIGINT) AS code, e AS c FROM v WHERE vec_id < 4),
-         |${assign("c0", "a1")},
-         |${recenter("a1", "m1", "c1")},
-         |${assign("c1", "a2")},
-         |${recenter("a2", "m2", "c2")},
-         |${assign("c2", "a3")}
-         |SELECT vec_id, sub, code, round(dist, 6) AS err FROM a3""".stripMargin
-    },
+    "embed_pq" ->
+      s"""WITH $pqChainCtes
+         |SELECT vec_id, sub, code, round(dist, 6) AS err FROM a3""".stripMargin,
+
+    // PQ asymmetric-distance recall@5 vs the exact cosine top-5: LUT
+    // distances in nano-unit longs off the shared codebook chain
+    "pq_ann_recall" ->
+      s"""WITH $pqChainCtes,
+         |qs AS (SELECT vec_id AS q_id, sub, e AS qe FROM v WHERE vec_id < 10),
+         |lut AS (SELECT q_id, qs.sub, c2.code,
+         |  CAST(round(round(list_reduce(list_transform(range(1, 9),
+         |    i -> (qe[i] - c[i]) * (qe[i] - c[i])), (p, q) -> p + q), 9) * 1e9) AS BIGINT) AS d_nano
+         |  FROM qs JOIN c2 USING (sub)),
+         |adc AS (SELECT q_id, a3.vec_id AS n_id, CAST(sum(d_nano) AS BIGINT) AS adc_nano
+         |  FROM (SELECT vec_id, sub, code FROM a3) a3 JOIN lut USING (sub, code)
+         |  WHERE a3.vec_id <> q_id GROUP BY 1, 2),
+         |pq AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc_nano, n_id) AS rnk
+         |  FROM adc) WHERE rnk <= 5),
+         |bf AS ($annTopkSql),
+         |hits AS (SELECT bf.q_id, count(*) AS n_hits FROM bf
+         |  JOIN pq ON bf.q_id = pq.q_id AND bf.n_id = pq.n_id GROUP BY 1)
+         |SELECT q.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5, 6) AS recall
+         |FROM (SELECT DISTINCT q_id FROM bf) q LEFT JOIN hits h USING (q_id)""".stripMargin,
 
     // mean 6dp composite quality per ntile(10) length decile; two-level
     // fold (Folds.scala): sorted fold per doc_id%1024 sub-bucket, then of

@@ -1014,7 +1014,9 @@ object SparkEntry {
     "kruskal_wallis" -> ((s, d) =>
       TextOps.kruskalWallis(t(s, d, "documents"))),
     "adamic_adar" -> ((s, d) =>
-      Graph.adamicAdar(spread(t(s, d, "documents"))))
+      Graph.adamicAdar(spread(t(s, d, "documents")))),
+    "pq_ann_recall" -> ((s, d) =>
+      Similarity.pqAnnRecall(t(s, d, "embeddings")))
   )
 
   /** DuckDB twins for the SQL-expressible queries (SURVEY.md §5). */

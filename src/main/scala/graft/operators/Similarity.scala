@@ -1271,6 +1271,18 @@ object Similarity {
     * replays the identical rounds as a DuckDB CTE chain. */
   def embedPq(emb: DataFrame, m: Int = 8, k: Int = 4, iters: Int = 2,
               dims: Int = 64): DataFrame = {
+    val (codes, _) = pqCodes(emb, m, k, iters, dims)
+    codes.select(col("vec_id"), col("sub"), col("code"),
+      round(col("dist"), 6).as("err"))
+  }
+
+  /** The shared PQ fit: (final per-(vec, sub) code assignments with raw
+    * 9 dp distances, final codebook centroids) — split out so
+    * [[pqAnnRecall]] scores asymmetric distances against the SAME
+    * codebook [[embedPq]] publishes (codebook drift between the two
+    * would make the recall audit meaningless). */
+  private[graft] def pqCodes(emb: DataFrame, m: Int, k: Int, iters: Int,
+                             dims: Int): (DataFrame, DataFrame) = {
     require(dims % m == 0, "dims must split evenly into m subvectors")
     val sub = dims / m
     val vecs = graft.CacheTracker.track(
@@ -1307,8 +1319,56 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("cm")))).as("pc"))
         .select(col("sub"), col("code"), transform(col("pc"), x => x.getField("cm")).as("c"))
     }
-    assign(cent)
-      .select(col("vec_id"), col("sub"), col("code"), round(col("dist"), 6).as("err"))
+    (assign(cent), cent)
+  }
+
+  /** PQ-ANN recall audit (B248): recall@k of asymmetric-distance search
+    * over the [[embedPq]] codebook against the exact cosine top-k — the
+    * "how much accuracy did 4× compression cost" gate that decides
+    * whether the quantized index may replace the exact path, completing
+    * the B86 (build) / B76 (bucketed-ANN recall) family. ADC = per
+    * (query, sub, code) lookup-table distances (queries × m × k rows,
+    * broadcast — the classic LUT trick, so the corpus-sized side does
+    * ZERO float math, one integer sum per vector) with each per-sub
+    * distance rounded at 9 dp and scaled to exact NANO-unit longs, so
+    * the per-vector sum is order-independent and tie-ranking on
+    * (adc, n_id) is total over integers. Top-k rides TopKPerKey's
+    * bounded per-key heaps. */
+  def pqAnnRecall(emb: DataFrame, maxQueryId: Long = 10, k: Int = 5,
+                  m: Int = 8, codebook: Int = 4, iters: Int = 2,
+                  dims: Int = 64): DataFrame = {
+    val subLen = dims / m
+    val (codes, cent) = pqCodes(emb, m, codebook, iters, dims)
+    val qsubs = emb.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), explode(expr(
+          s"transform(sequence(0, ${m - 1}), s -> struct(CAST(s AS BIGINT) AS sub, " +
+            s"transform(slice(embedding, s * $subLen + 1, $subLen), x -> CAST(x AS DOUBLE)) AS e))"))
+        .as("p"))
+      .select(col("q_id"), col("p.sub").as("sub"), col("p.e").as("qe"))
+    val lut = qsubs.join(cent, "sub")
+      .select(col("q_id"), col("sub"), col("code"),
+        round(round(aggregate(zip_with(col("qe"), col("c"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x), 9) * 1e9).cast("long").as("d_nano"))
+    val adc = codes.select(col("vec_id").as("n_id"), col("sub"), col("code"))
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("n_id") =!= col("q_id"))
+      .groupBy("q_id", "n_id")
+      .agg(sum(col("d_nano")).as("adc_nano"))
+    graft.plans.TopK.register(emb.sparkSession)
+    val pruned = graft.plans.TopK.topKPerKey(
+      adc, Seq("q_id"), Seq("adc_nano" -> true, "n_id" -> true), k)
+    val w = Window.partitionBy("q_id").orderBy(col("adc_nano").asc, col("n_id").asc)
+    val pq = pruned.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id").as("pq_q"), col("n_id").as("pq_n"))
+    val bf = annTopK(emb, maxQueryId, k).select("q_id", "n_id")
+    val hits = bf.join(pq,
+        bf("q_id") === pq("pq_q") && bf("n_id") === pq("pq_n"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    bf.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 6).as("recall"))
   }
 
   /** ANN recall evaluation (B76): recall@k of the sign-LSH bucketed ANN

@@ -213,6 +213,26 @@ class Round15bSpec extends SparkSpec {
     assert(r.getAs[Double]("avg_match_dist_dollars") == 1.0)
   }
 
+  test("pqAnnRecall: perfect codebook gives recall 1, degenerate corpus shapes hold") {
+    // 8 orthogonal-ish 64-dim vectors in 2 tight clusters: PQ with k=4
+    // codes per sub easily separates them, so ADC ranking ~= exact
+    val emb = (0L until 8L).map { i =>
+      val base = Array.fill(64)(0.001f)
+      base((i % 2).toInt) = if (i < 4) 1.0f else -1.0f
+      base(2 + (i % 2).toInt) = i.toFloat / 10
+      (i, base.toSeq, (i % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        col("label"))
+    val r = operators.Similarity.pqAnnRecall(emb, maxQueryId = 4, k = 3)
+      .orderBy("q_id").collect()
+    assert(r.length == 4)
+    assert(r.forall(x => x.getAs[Double]("recall") >= 0.0 &&
+      x.getAs[Double]("recall") <= 1.0))
+    assert(r.forall(x => x.getAs[Long]("n_hits") ==
+      math.round(x.getAs[Double]("recall") * 3)))
+  }
+
   test("wminhash signature plan is shuffle-free") {
     val plan = operators.Dedup.wminhashSigArr(corpus, 16)
       .queryExecution.executedPlan.toString
