@@ -7335,6 +7335,105 @@ object Oracles {
          |       ELSE NULL END AS assortativity
          |FROM m""".stripMargin,
 
+    // ROUGE-L over the shared MinHash band candidates: token LCS via a
+    // recursive-CTE row sweep (prefix-max reformulation: new[j] =
+    // max_{k<=j} greatest(old[k], old[k-1] + eq_k), valid because the
+    // DP row is non-decreasing), exact integers end to end
+    "rouge_l_pairs" ->
+      s"""WITH RECURSIVE tk AS (SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) >= 3),
+         |dt AS (SELECT DISTINCT doc_id,
+         |       toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS token
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tk)),
+         |sig AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || token)) AS sig
+         |        FROM dt CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+         |band AS (SELECT doc_id, i // 8 AS band, md5(string_agg(sig, '|' ORDER BY i)) AS bh
+         |         FROM sig GROUP BY doc_id, i // 8),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM band a
+         |         JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |tp AS (SELECT a_id, b_id, ta.toks AS a_toks, tb.toks AS b_toks
+         |       FROM cand JOIN tk ta ON ta.doc_id = a_id JOIN tk tb ON tb.doc_id = b_id),
+         |dp AS (
+         |  SELECT a_id, b_id, a_toks, b_toks, 0 AS i,
+         |    list_transform(range(0, len(b_toks) + 1), x -> CAST(0 AS BIGINT)) AS r
+         |  FROM tp
+         |  UNION ALL
+         |  SELECT a_id, b_id, a_toks, b_toks, i + 1,
+         |    list_transform(range(1, len(b_toks) + 2), j ->
+         |      CASE WHEN j = 1 THEN CAST(0 AS BIGINT)
+         |      ELSE list_max(list_transform(range(2, j + 1), k ->
+         |        greatest(r[k], r[k - 1]
+         |          + CASE WHEN a_toks[i + 1] = b_toks[k - 1] THEN 1 ELSE 0 END)))
+         |      END)
+         |  FROM dp WHERE i < len(a_toks)),
+         |lc AS (SELECT a_id, b_id, CAST(len(a_toks) AS BIGINT) AS len_a,
+         |       CAST(len(b_toks) AS BIGINT) AS len_b, r[len(b_toks) + 1] AS lcs
+         |       FROM dp WHERE i = len(a_toks))
+         |SELECT a_id, b_id, len_a, len_b, lcs,
+         |  round(CAST(lcs AS DOUBLE) / len_a, 6) AS rouge_p,
+         |  round(CAST(lcs AS DOUBLE) / len_b, 6) AS rouge_r,
+         |  round(2.0 * lcs / (len_a + len_b), 6) AS rouge_f
+         |FROM lc""".stripMargin,
+
+    // external cluster validity off the shared deterministic Lloyd fit:
+    // purity + NMI from one (cluster x label) contingency
+    "cluster_purity" -> {
+      def assign(c: String, a: String) =
+        s"""$a AS MATERIALIZED (SELECT vec_id, e, cluster, dist FROM (
+           |  SELECT vec_id, e, cluster, dist,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+           |  FROM (SELECT v.vec_id, v.e, $c.cluster,
+           |      round(list_reduce(list_transform(range(1, 9),
+           |        i -> (e[i] - c[i]) * (e[i] - c[i])), (p, q) -> p + q), 9) AS dist
+           |    FROM v CROSS JOIN $c)) WHERE rn = 1)""".stripMargin
+      def recenter(a: String, m: String, c: String) =
+        s"""$m AS MATERIALIZED (SELECT cluster, pos,
+           |  round(list_reduce(list_sort(list(sub_s)), (p, q) -> p + q) / sum(sub_n), 9) AS cm
+           |  FROM (SELECT cluster, pos, vec_id % 1024 AS sb, count(*) AS sub_n,
+           |        list_reduce(list_sort(list(x)), (p, q) -> p + q) AS sub_s
+           |        FROM (SELECT vec_id, cluster, unnest(range(1, 9)) AS pos, unnest(e) AS x FROM $a)
+           |        GROUP BY cluster, pos, sb)
+           |  GROUP BY cluster, pos),
+           |$c AS MATERIALIZED (SELECT cluster, list(cm ORDER BY pos) AS c FROM $m GROUP BY cluster)""".stripMargin
+      s"""WITH v AS MATERIALIZED (SELECT vec_id, list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |c0 AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS cluster, e AS c FROM v WHERE vec_id < 4),
+         |${assign("c0", "a1")},
+         |${recenter("a1", "m1", "c1")},
+         |${assign("c1", "a2")},
+         |${recenter("a2", "m2", "c2")},
+         |${assign("c2", "a3")},
+         |${recenter("a3", "m3", "c3")},
+         |${assign("c3", "a4")},
+         |cells AS MATERIALIZED (SELECT a4.cluster, CAST(e2.label AS BIGINT) AS label,
+         |  count(*) AS n_cl FROM a4 JOIN embeddings e2 ON e2.vec_id = a4.vec_id
+         |  GROUP BY 1, 2),
+         |nn AS (SELECT CAST(sum(n_cl) AS BIGINT) AS n FROM cells),
+         |best AS (SELECT CAST(sum(nb) AS BIGINT) AS sum_best FROM
+         |  (SELECT cluster, max(n_cl) AS nb FROM cells GROUP BY 1)),
+         |hc AS (SELECT list_reduce(list(term ORDER BY cluster), (a, b) -> a + b) AS h_cluster
+         |  FROM (SELECT cluster,
+         |    round(-(CAST(n_k AS DOUBLE) / n) * ln(CAST(n_k AS DOUBLE) / n), 6) AS term
+         |    FROM (SELECT cluster, CAST(sum(n_cl) AS BIGINT) AS n_k FROM cells GROUP BY 1)
+         |    CROSS JOIN nn)),
+         |hl AS (SELECT list_reduce(list(term ORDER BY label), (a, b) -> a + b) AS h_label
+         |  FROM (SELECT label,
+         |    round(-(CAST(n_k AS DOUBLE) / n) * ln(CAST(n_k AS DOUBLE) / n), 6) AS term
+         |    FROM (SELECT label, CAST(sum(n_cl) AS BIGINT) AS n_k FROM cells GROUP BY 1)
+         |    CROSS JOIN nn)),
+         |mi AS (SELECT list_reduce(list(term ORDER BY cluster, label), (a, b) -> a + b) AS mi
+         |  FROM (SELECT c.cluster, c.label,
+         |    round((CAST(n_cl AS DOUBLE) / n)
+         |      * ln(CAST(n AS DOUBLE) * n_cl / (CAST(n_c AS DOUBLE) * n_l)), 6) AS term
+         |    FROM cells c
+         |    JOIN (SELECT cluster, CAST(sum(n_cl) AS BIGINT) AS n_c FROM cells GROUP BY 1) cc USING (cluster)
+         |    JOIN (SELECT label, CAST(sum(n_cl) AS BIGINT) AS n_l FROM cells GROUP BY 1) ll USING (label)
+         |    CROSS JOIN nn))
+         |SELECT n AS n_vecs, round(CAST(sum_best AS DOUBLE) / n, 6) AS purity,
+         |  round(CASE WHEN h_cluster > 0.0 AND h_label > 0.0
+         |        THEN mi / sqrt(h_cluster * h_label) END, 6) AS nmi
+         |FROM best CROSS JOIN nn CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl""".stripMargin
+    },
+
     // maximum drawdown of daily revenue: running peak, worst
     // peak-to-trough ratio, peak day back-resolved
     "revenue_drawdown" ->

@@ -1016,7 +1016,11 @@ object SparkEntry {
     "adamic_adar" -> ((s, d) =>
       Graph.adamicAdar(spread(t(s, d, "documents")))),
     "pq_ann_recall" -> ((s, d) =>
-      Similarity.pqAnnRecall(t(s, d, "embeddings")))
+      Similarity.pqAnnRecall(t(s, d, "embeddings"))),
+    "rouge_l_pairs" -> ((s, d) =>
+      Dedup.rougeLPairs(spread(t(s, d, "documents")))),
+    "cluster_purity" -> ((s, d) =>
+      Similarity.clusterPurity(t(s, d, "embeddings")))
   )
 
   /** DuckDB twins for the SQL-expressible queries (SURVEY.md §5). */

@@ -69,6 +69,14 @@ object GraftFunctions {
   private val sortedDotInfo = new ExpressionInfo(
     classOf[SortedDot].getCanonicalName, "graft_sorted_dot")
 
+  /** Token-array LCS length as a typed Column. */
+  def lcsLen(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      LcsLength(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  private val lcsLenInfo = new ExpressionInfo(
+    classOf[LcsLength].getCanonicalName, "graft_lcs_len")
+
   /** Exponential-race weighted-MinHash signature as a typed Column. */
   def wminhashSig(tokens: Column, numHashes: Int): Column =
     ExpressionUtils.column(
@@ -127,6 +135,12 @@ object GraftFunctions {
       FunctionIdentifier("graft_wminhash_sig"), wminhashSigInfo,
       wminhashSigBuilder _)
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_lcs_len"), lcsLenInfo,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_lcs_len expects exactly 2 arguments")
+        LcsLength(children.head, children(1))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_sorted_dot"), sortedDotInfo,
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_sorted_dot expects exactly 2 arguments")
@@ -181,6 +195,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_jaccard expects exactly 2 arguments")
         SortedArrayJaccard(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lcs_len"),
+      new ExpressionInfo(classOf[LcsLength].getCanonicalName, "graft_lcs_len"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_lcs_len expects exactly 2 arguments")
+        LcsLength(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_sorted_dot"),

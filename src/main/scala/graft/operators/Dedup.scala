@@ -363,6 +363,33 @@ object Dedup {
       .filter(col("norm_lev") <= maxNorm)
   }
 
+  /** ROUGE-L over MinHash band candidates (B249): token-level
+    * longest-common-subsequence precision/recall/F for each candidate
+    * pair — the ORDER-sensitive near-dup verdict that completes the MT
+    * metric family (bleu_pairs counts n-gram overlap, chrf_pairs
+    * character n-grams; ROUGE-L rewards long in-order runs, so a
+    * shuffled bag of the same tokens scores low here and high there).
+    * LCS runs in graft_lcs_len's native O(n·m) DP — one static call per
+    * pair, exact integers — and F1 = 2·LCS/(len_a+len_b), one rounded
+    * divide. Candidates come from the shared LSH banding, never
+    * all-pairs. */
+  def rougeLPairs(docs: DataFrame): DataFrame = {
+    val (cand, _, _) = lshCandidates(docs, numHashes = 16, bandSize = 8)
+    val toked = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    cand
+      .join(toked.select(col("doc_id").as("a_id"), col("toks").as("a_toks")), "a_id")
+      .join(toked.select(col("doc_id").as("b_id"), col("toks").as("b_toks")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(col("a_toks")).cast("long").as("len_a"),
+        size(col("b_toks")).cast("long").as("len_b"),
+        graft.functions.GraftFunctions.lcsLen(col("a_toks"), col("b_toks")).as("lcs"))
+      .select(col("a_id"), col("b_id"), col("len_a"), col("len_b"), col("lcs"),
+        round(col("lcs").cast("double") / col("len_a"), 6).as("rouge_p"),
+        round(col("lcs").cast("double") / col("len_b"), 6).as("rouge_r"),
+        round(lit(2.0) * col("lcs") / (col("len_a") + col("len_b")), 6)
+          .as("rouge_f"))
+  }
+
   /** Token n-gram shingles of the cleaned text, distinct, as stable longs.
     *
     * Shape matters: each token is hashed once (xxhash64, seed 42), then the

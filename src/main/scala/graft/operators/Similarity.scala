@@ -1097,6 +1097,56 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
   }
 
+  /** External cluster validity (B250): purity and NMI of the
+    * deterministic Lloyd assignment against the embeddings' ground-truth
+    * labels — where [[kmeansSilhouette]] grades geometry (internal
+    * validity), this grades AGREEMENT with the labels the clustering is
+    * supposed to recover; the pair is the standard before/after readout
+    * of any embedding or clustering change. Purity = Σ_c max_l n_cl / N;
+    * NMI = I(C;L)/√(H(C)·H(L)). Every count is exact off one
+    * (cluster × label) contingency aggregate (k·|labels|-bounded);
+    * entropies and MI fold 6 dp-rounded terms in sorted cell order
+    * (bounded lists); degenerate entropies (one cluster or one label)
+    * yield NULL NMI, not NaN. */
+  def clusterPurity(emb: DataFrame, k: Int = 4, dims: Int = 8,
+                    iters: Int = 3): DataFrame = {
+    val assigns = kmeansLloyd(emb, k, dims, iters).select("vec_id", "cluster")
+    val cells = assigns
+      .join(emb.select(col("vec_id"), col("label").cast("long").as("label")), "vec_id")
+      .groupBy("cluster", "label").agg(count(lit(1)).as("n_cl"))
+    val n = cells.agg(sum(col("n_cl")).as("n")).select(col("n"))
+    val best = cells.groupBy("cluster").agg(max(col("n_cl")).as("n_best"))
+      .agg(sum(col("n_best")).as("sum_best"))
+    def entropyOf(key: String): DataFrame = cells
+      .groupBy(key).agg(sum(col("n_cl")).as("n_k"))
+      .crossJoin(broadcast(n))
+      .select(col(key),
+        round(-(col("n_k").cast("double") / col("n"))
+          * log(col("n_k").cast("double") / col("n")), 6).as("term"))
+      .agg(array_sort(collect_list(struct(col(key), col("term")))).as("ts"))
+      .select(aggregate(col("ts"), lit(0.0), (a, t) => a + t.getField("term"))
+        .as(s"h_$key"))
+    val mi = cells.crossJoin(broadcast(n))
+      .join(broadcast(cells.groupBy("cluster").agg(sum(col("n_cl")).as("n_c"))),
+        "cluster")
+      .join(broadcast(cells.groupBy("label").agg(sum(col("n_cl")).as("n_l"))),
+        "label")
+      .select(struct(col("cluster"), col("label"),
+        round((col("n_cl").cast("double") / col("n"))
+          * log(col("n").cast("double") * col("n_cl")
+            / (col("n_c").cast("double") * col("n_l"))), 6).as("term")).as("t"))
+      .agg(array_sort(collect_list(col("t"))).as("ts"))
+      .select(aggregate(col("ts"), lit(0.0), (a, t) => a + t.getField("term"))
+        .as("mi"))
+    best.crossJoin(broadcast(n)).crossJoin(broadcast(mi))
+      .crossJoin(broadcast(entropyOf("cluster")))
+      .crossJoin(broadcast(entropyOf("label")))
+      .select(col("n").as("n_vecs"),
+        round(col("sum_best").cast("double") / col("n"), 6).as("purity"),
+        round(when(col("h_cluster") > 0.0 && col("h_label") > 0.0,
+          col("mi") / sqrt(col("h_cluster") * col("h_label"))), 6).as("nmi"))
+  }
+
   /** Embedding-dimension correlation audit (B198): the full Pearson
     * correlation matrix over the first `dims` dims (normalized
     * [[embedCovariance]]), flagging |corr| ≥ `redundant` pairs — the

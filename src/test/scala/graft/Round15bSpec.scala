@@ -233,6 +233,51 @@ class Round15bSpec extends SparkSpec {
       math.round(x.getAs[Double]("recall") * 3)))
   }
 
+  test("graft_lcs_len: hand-checked LCS values incl. empty and repeated tokens") {
+    functions.GraftFunctions.register(spark)
+    val cases = Seq(
+      ("a b c d", "a x c y", 2L),        // a, c
+      ("x y", "y x", 1L),                // either single token
+      ("a a b a", "a b a a", 3L),        // a b a (or a a a)
+      ("q", "z", 0L),
+      ("same same", "same same", 2L))
+    cases.foreach { case (a, b, want) =>
+      val got = spark.sql(
+        s"SELECT graft_lcs_len(split('$a', ' '), split('$b', ' ')) AS l")
+        .collect().head.getLong(0)
+      assert(got == want, s"lcs($a, $b) = $got, want $want")
+    }
+  }
+
+  test("rougeLPairs: identical docs in a band score F1 = 1") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val r = operators.Dedup.rougeLPairs(docs((1L, text), (2L, text)))
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("lcs") == 12L)
+    assert(r.head.getAs[Double]("rouge_f") == 1.0)
+    assert(r.head.getAs[Double]("rouge_p") == 1.0 &&
+      r.head.getAs[Double]("rouge_r") == 1.0)
+  }
+
+  test("clusterPurity: label-aligned clusters give purity 1 and NMI 1") {
+    // 8 vectors in 2 crisp clusters whose labels match the clusters;
+    // k=2 over 8 dims, seeds vec_id<2 land one in each cluster
+    val emb = (0L until 8L).map { i =>
+      val e = Array.fill(8)(0.0f)
+      e(0) = if (i % 2 == 0) 10.0f else -10.0f
+      e(1) = i.toFloat / 100
+      (i, e.toSeq, (i % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"), col("label"))
+    val r = operators.Similarity.clusterPurity(emb, k = 2, dims = 8, iters = 2)
+      .collect().head
+    assert(r.getAs[Long]("n_vecs") == 8L)
+    assert(r.getAs[Double]("purity") == 1.0)
+    assert(r.getAs[Double]("nmi") == 1.0)
+  }
+
   test("wminhash signature plan is shuffle-free") {
     val plan = operators.Dedup.wminhashSigArr(corpus, 16)
       .queryExecution.executedPlan.toString
