@@ -271,6 +271,34 @@ object ScaleCheck {
           s""""hll_new_users":{"sec":$tNu,"rows":$nNu}}""")
         events.unpersist()
         graft.CacheTracker.drainAll(spark)
+      } else if (sections.contains("r15d")) {
+        // round-15 continuation rows. adamic_adar: m-way duplication
+        // multiplies the bigram STREAM m-fold but the (a, b) edge space
+        // not at all (same vocabulary), so cost must flatten to the
+        // scan+combine floor while scores stay IDENTICAL (counts scale,
+        // ratios don't — n_pairs must be constant in m). rouge_l_pairs:
+        // every doc gains m-1 exact duplicates, so band candidates grow
+        // ~m² — the DP cost must track the PAIR count (output), never
+        // input². caliper_match: user population grows m-fold, bucket
+        // co-location keeps candidate pairs ~linear in users.
+        val docs = multiplyDocs(docs0, m)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs.count()
+        val events = multiplyEvents(events0, m)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        events.count()
+        val (tAa, nAa) = timedForce(graft.operators.Graph.adamicAdar(docs))
+        graft.CacheTracker.releaseAll()
+        val (tRl, nRl) = timedForce(Dedup.rougeLPairs(docs))
+        graft.CacheTracker.releaseAll()
+        val (tCm, nCm) = timedForce(Relational.caliperMatch(events))
+        graft.CacheTracker.releaseAll()
+        println(s"""{"m":$m,"docs":${docs.count()},"events":${events.count()},""" +
+          s""""adamic_adar":{"sec":$tAa,"pairs":$nAa},""" +
+          s""""rouge_l_pairs":{"sec":$tRl,"pairs":$nRl},""" +
+          s""""caliper_match":{"sec":$tCm,"rows":$nCm}}""")
+        docs.unpersist(); events.unpersist()
+        graft.CacheTracker.drainAll(spark)
       } else if (sections.contains("r14b")) {
         // the nano-unit partial-agg rewrite (docEmbedHash / topicLabels
         // token mass): under m-way duplication the exploded contribution
