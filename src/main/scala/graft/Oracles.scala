@@ -7335,6 +7335,37 @@ object Oracles {
          |       ELSE NULL END AS assortativity
          |FROM m""".stripMargin,
 
+    // null-safe equality join: the NULL bucket row exists only under
+    // IS NOT DISTINCT FROM matching
+    "null_safe_join" ->
+      """WITH b AS (SELECT event_id,
+        |  CASE WHEN value >= 100 THEN CAST(floor(value / 100) AS BIGINT) END AS bucket
+        |  FROM events),
+        |a AS (SELECT bucket, count(*) AS n_a FROM b WHERE event_id % 2 = 0 GROUP BY bucket),
+        |c AS (SELECT bucket, count(*) AS n_b FROM b WHERE event_id % 2 = 1 GROUP BY bucket)
+        |SELECT a.bucket, CAST(a.n_a AS BIGINT) AS n_a, CAST(c.n_b AS BIGINT) AS n_b,
+        |  a.bucket IS NULL AS is_null_bucket
+        |FROM a JOIN c ON a.bucket IS NOT DISTINCT FROM c.bucket""".stripMargin,
+
+    // NOT IN vs NOT EXISTS under a NULL-bearing subquery: the
+    // tri-valued-logic pin (any NULL annihilates NOT IN)
+    "not_in_semantics" ->
+      """WITH sub AS (SELECT CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN NULL ELSE o_custkey END AS k FROM orders)
+        |SELECT
+        |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT k FROM sub))
+        |    AS n_not_in,
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM sub WHERE sub.k = c.c_custkey)) AS n_not_exists,
+        |  (SELECT count(*) FROM customer) AS n_customers""".stripMargin,
+
+    // group-aware k-fold: fold = md5(source) mod 5, per-fold census
+    "group_kfold" ->
+      """SELECT ('0x' || substr(md5(source), 1, 8))::BIGINT % 5 AS fold,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+
     // ROUGE-L over the shared MinHash band candidates: token LCS via a
     // recursive-CTE row sweep (prefix-max reformulation: new[j] =
     // max_{k<=j} greatest(old[k], old[k-1] + eq_k), valid because the

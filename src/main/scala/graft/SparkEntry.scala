@@ -1020,7 +1020,37 @@ object SparkEntry {
     "rouge_l_pairs" -> ((s, d) =>
       Dedup.rougeLPairs(spread(t(s, d, "documents")))),
     "cluster_purity" -> ((s, d) =>
-      Similarity.clusterPurity(t(s, d, "embeddings")))
+      Similarity.clusterPurity(t(s, d, "embeddings"))),
+    // C230: null-safe equality (<=>) join semantics — the NULL bucket
+    // row exists ONLY under IS-NOT-DISTINCT-FROM matching, so the
+    // result hash pins tri-valued join behavior between engines
+    "null_safe_join" -> ((s, d) => {
+      Graft.registerTables(s, d)
+      s.sql("""WITH b AS (SELECT event_id,
+          CASE WHEN value >= 100 THEN CAST(floor(value / 100) AS BIGINT) END AS bucket
+          FROM events),
+        a AS (SELECT bucket, count(*) AS n_a FROM b WHERE event_id % 2 = 0 GROUP BY bucket),
+        c AS (SELECT bucket, count(*) AS n_b FROM b WHERE event_id % 2 = 1 GROUP BY bucket)
+        SELECT a.bucket, a.n_a, c.n_b, a.bucket IS NULL AS is_null_bucket
+        FROM a JOIN c ON a.bucket <=> c.bucket""")
+    }),
+    // C231: NOT IN vs NOT EXISTS vs anti-join under a NULL-bearing
+    // subquery — the classic tri-valued-logic trap: ANY NULL in the
+    // NOT IN list annihilates every row; NOT EXISTS and the anti-join
+    // count correctly. One row pins all three counts.
+    "not_in_semantics" -> ((s, d) => {
+      Graft.registerTables(s, d)
+      s.sql("""WITH sub AS (SELECT CASE WHEN o_orderpriority = '1-URGENT'
+            THEN NULL ELSE o_custkey END AS k FROM orders)
+        SELECT
+          (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT k FROM sub))
+            AS n_not_in,
+          (SELECT count(*) FROM customer c WHERE NOT EXISTS
+            (SELECT 1 FROM sub WHERE sub.k = c.c_custkey)) AS n_not_exists,
+          (SELECT count(*) FROM customer) AS n_customers""")
+    }),
+    "group_kfold" -> ((s, d) =>
+      TextOps.groupKfold(t(s, d, "documents")))
   )
 
   /** DuckDB twins for the SQL-expressible queries (SURVEY.md §5). */

@@ -3353,6 +3353,23 @@ object TextOps {
           a + (t.getField("ent_t") - t.getField("xent_t"))), 6).as("kl"))
   }
 
+  /** Group-aware k-fold assignment (B251): every SOURCE lands wholly in
+    * one fold (fold = md5(source) mod k), so near-duplicates and
+    * templates that cluster within a source can never leak across a
+    * train/eval boundary — the GroupKFold constructor whose absence
+    * B188 (split_leakage) audits for after the fact. Deterministic,
+    * engine-reproducible, and one narrow pass + one bounded aggregate;
+    * the per-fold census is what a data curator checks before accepting
+    * the split (fold balance is only as good as source-size balance —
+    * by design, not a bug). */
+  def groupKfold(docs: DataFrame, k: Int = 5): DataFrame =
+    docs.select(col("source"),
+        (conv(substring(md5(col("source")), 1, 8), 16, 10).cast("long") % k)
+          .as("fold"))
+      .groupBy("fold")
+      .agg(countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_docs"))
+
   /** Kruskal-Wallis H test of document length across languages (B246):
     * the nonparametric k-group ANOVA — "do the language subcorpora have
     * the same length distribution?" — the distribution-free sibling of

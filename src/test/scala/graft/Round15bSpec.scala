@@ -278,6 +278,15 @@ class Round15bSpec extends SparkSpec {
     assert(r.getAs[Double]("nmi") == 1.0)
   }
 
+  test("groupKfold: folds partition sources, counts add up") {
+    val d = (1L to 40L).map(i => (i, s"text $i", "en", s"src${i % 8}", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = operators.TextOps.groupKfold(d, k = 3).collect()
+    assert(r.map(_.getAs[Long]("n_docs")).sum == 40L)
+    assert(r.map(_.getAs[Long]("n_sources")).sum == 8L) // no source in 2 folds
+    assert(r.forall(x => x.getAs[Long]("fold") >= 0 && x.getAs[Long]("fold") < 3))
+  }
+
   test("wminhash signature plan is shuffle-free") {
     val plan = operators.Dedup.wminhashSigArr(corpus, 16)
       .queryExecution.executedPlan.toString
