@@ -4609,6 +4609,28 @@ object Oracles {
          |    / count(*) / 1000000000000.0, 6) AS brier
          |FROM b GROUP BY 1""".stripMargin,
 
+    // isotonic (PAV) calibration fit via the exact minimax closed form
+    // over the bins^3 triple frame; range sums off integer prefix sums
+    "isotonic_calibration" ->
+      s"""WITH p AS (SELECT
+         |  CAST(round(round(1.0 / (1.0 + exp(2.0 - 4.0 * $qualitySql)), 6) * 1000000, 0) AS BIGINT) AS p_micro,
+         |  CASE WHEN coalesce(lang = 'en', false) THEN 1 ELSE 0 END AS y FROM documents),
+         |b AS (SELECT CAST(least(p_micro * 10 // 1000000, 9) AS BIGINT) AS bin, y FROM p),
+         |g AS (SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos FROM b GROUP BY 1),
+         |c AS (SELECT bin, n, n_pos,
+         |  CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+         |  CAST(sum(n_pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+         |  FROM g),
+         |pref AS (SELECT bin AS pj, cum_n - n AS pn, cum_pos - n_pos AS pp FROM c),
+         |suff AS (SELECT bin AS k, cum_n AS kn, cum_pos AS kp FROM c),
+         |mn AS (SELECT c.bin, c.n, c.n_pos, pref.pj,
+         |  min(CAST(kp - pp AS DOUBLE) / (kn - pn)) AS mn
+         |  FROM c JOIN pref ON pref.pj <= c.bin JOIN suff ON suff.k >= c.bin
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT bin, n, round(CAST(n_pos AS DOUBLE) / n, 6) AS frac_pos,
+         |  round(max(mn), 6) AS iso_fit
+         |FROM mn GROUP BY bin, n, n_pos""".stripMargin,
+
     // GloVe X_ij: forward-window pairs weighted 1/d in exact micro-units
     "glove_cooc" ->
       s"""WITH t0 AS (SELECT $toks AS toks FROM documents),

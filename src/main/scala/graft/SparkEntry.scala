@@ -1050,7 +1050,9 @@ object SparkEntry {
           (SELECT count(*) FROM customer) AS n_customers""")
     }),
     "group_kfold" -> ((s, d) =>
-      TextOps.groupKfold(t(s, d, "documents")))
+      TextOps.groupKfold(t(s, d, "documents"))),
+    "isotonic_calibration" -> ((s, d) =>
+      Eval.isotonicCalibration(spread(t(s, d, "documents"))))
   )
 
   /** DuckDB twins for the SQL-expressible queries (SURVEY.md §5). */

@@ -156,6 +156,43 @@ object Eval {
           .as("sum_sq"))
   }
 
+  /** Isotonic (PAV) calibration fit over the 10 bins (B252): the
+    * monotone non-decreasing curve closest in weighted least squares to
+    * the observed per-bin positive rates — what you recalibrate scores
+    * THROUGH once calibration_bins shows the raw curve is non-monotone.
+    * Computed via the exact minimax closed form instead of sequential
+    * pooling: iso[i] = max_{j≤i} min_{k≥i} wavg(frac_pos[j..k]) — the
+    * unique PAV solution, but expressible as two bounded aggregates
+    * over the (i, j, k) triple frame, which is bins³ ≤ 1000 rows
+    * regardless of corpus size (the DP-free formulation an engine can
+    * plan). Range sums come off exact integer prefix sums; each
+    * candidate average is ONE double divide of exact longs; min/max
+    * over doubles is order-free. */
+  def isotonicCalibration(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // ≤10 rows: the ordered window is bin-bounded, not data-sized
+    val c = binnedExact(docs)
+      .select(col("bin"), col("n"), col("n_pos"))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+    val pref = c.select(col("bin").as("pj"),
+      (col("cum_n") - col("n")).as("pn"), (col("cum_pos") - col("n_pos")).as("pp"))
+    val suff = c.select(col("bin").as("k"),
+      col("cum_n").as("kn"), col("cum_pos").as("kp"))
+    val fits = c.select(col("bin"), col("n"), col("n_pos"))
+      .join(broadcast(pref), col("pj") <= col("bin"))
+      .join(broadcast(suff), col("k") >= col("bin"))
+      .select(col("bin"), col("n"), col("n_pos"), col("pj"),
+        ((col("kp") - col("pp")).cast("double") / (col("kn") - col("pn")))
+          .as("r"))
+      .groupBy("bin", "n", "n_pos", "pj").agg(min(col("r")).as("mn"))
+      .groupBy("bin", "n", "n_pos").agg(max(col("mn")).as("iso"))
+    fits.select(col("bin"), col("n"),
+      round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos"),
+      round(col("iso"), 6).as("iso_fit"))
+  }
+
   /** Murphy decomposition of the Brier score over the 10 calibration
     * bins (B204): brier = reliability − resolution + uncertainty (up to
     * within-bin variance of p̂, which the emitted exact `brier` makes

@@ -287,6 +287,20 @@ class Round15bSpec extends SparkSpec {
     assert(r.forall(x => x.getAs[Long]("fold") >= 0 && x.getAs[Long]("fold") < 3))
   }
 
+  test("isotonicCalibration: fit is monotone and pools violating bins") {
+    val r = operators.Eval.isotonicCalibration(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .orderBy("bin").collect()
+    assume(r.nonEmpty)
+    val fits = r.map(_.getAs[Double]("iso_fit"))
+    assert(fits.zip(fits.tail).forall { case (a, b) => a <= b }, "fit not monotone")
+    // weighted mean is preserved by PAV pooling (up to 6dp rounding of members)
+    val n = r.map(_.getAs[Long]("n"))
+    val wfit = fits.zip(n).map { case (f, c) => f * c }.sum / n.sum
+    val wobs = r.map(x => x.getAs[Double]("frac_pos") * x.getAs[Long]("n")).sum / n.sum
+    assert(math.abs(wfit - wobs) < 1e-4)
+  }
+
   test("wminhash signature plan is shuffle-free") {
     val plan = operators.Dedup.wminhashSigArr(corpus, 16)
       .queryExecution.executedPlan.toString
