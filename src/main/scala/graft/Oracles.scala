@@ -4631,6 +4631,27 @@ object Oracles {
          |  round(max(mn), 6) AS iso_fit
          |FROM mn GROUP BY bin, n, n_pos""".stripMargin,
 
+    // SQL PIVOT syntax twin: same cells as pivot_events, parser-declared
+    "sql_pivot_events" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      "SELECT user_id, " + types.map { t =>
+        s"CAST(count(*) FILTER (event_type = '$t') AS BIGINT) AS ${t}_n, " +
+          s"CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)) FILTER (event_type = '$t'), 0) AS BIGINT) AS ${t}_cents"
+      }.mkString(", ") + " FROM events GROUP BY user_id"
+    },
+
+    // SQL UNPIVOT syntax twin: wide per-lang stats melted to rows
+    "sql_unpivot_stats" ->
+      """WITH w AS (SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, 'n_docs' AS metric, n_docs AS val FROM w
+        |UNION ALL SELECT lang, 'sum_chars', sum_chars FROM w
+        |UNION ALL SELECT lang, 'min_chars', min_chars FROM w
+        |UNION ALL SELECT lang, 'max_chars', max_chars FROM w""".stripMargin,
+
     // GloVe X_ij: forward-window pairs weighted 1/d in exact micro-units
     "glove_cooc" ->
       s"""WITH t0 AS (SELECT $toks AS toks FROM documents),

@@ -1052,7 +1052,35 @@ object SparkEntry {
     "group_kfold" -> ((s, d) =>
       TextOps.groupKfold(t(s, d, "documents"))),
     "isotonic_calibration" -> ((s, d) =>
-      Eval.isotonicCalibration(spread(t(s, d, "documents"))))
+      Eval.isotonicCalibration(spread(t(s, d, "documents")))),
+    // C232: SQL PIVOT syntax (parser/analyzer breadth) — the relational
+    // pivot declared in SQL, value-identical to pivot_events' DataFrame
+    // .pivot path; empty cells coalesce in the outer projection because
+    // PIVOT aggregates must be bare aggregate calls
+    "sql_pivot_events" -> ((s, d) => {
+      Graft.registerTables(s, d)
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      s.sql("SELECT user_id, " + types.map { ty =>
+        s"coalesce(${ty}_n, 0L) AS ${ty}_n, coalesce(${ty}_cents, 0L) AS ${ty}_cents"
+      }.mkString(", ") +
+        """ FROM (SELECT user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+           PIVOT (count(cents) AS n, sum(cents) AS cents
+                  FOR event_type IN ('click' AS click, 'error' AS error,
+                    'purchase' AS purchase, 'signup' AS signup, 'view' AS view))""")
+    }),
+    // C233: SQL UNPIVOT syntax — wide per-lang stats melted back to
+    // (lang, metric, val) rows in the parser, the inverse face of C232
+    "sql_unpivot_stats" -> ((s, d) => {
+      Graft.registerTables(s, d)
+      s.sql("""SELECT lang, metric, val FROM (
+          SELECT lang, count(*) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            CAST(min(n_chars) AS BIGINT) AS min_chars,
+            CAST(max(n_chars) AS BIGINT) AS max_chars
+          FROM documents GROUP BY lang)
+        UNPIVOT (val FOR metric IN (n_docs, sum_chars, min_chars, max_chars))""")
+    })
   )
 
   /** DuckDB twins for the SQL-expressible queries (SURVEY.md §5). */
