@@ -4652,6 +4652,85 @@ object Oracles {
         |UNION ALL SELECT lang, 'min_chars', min_chars FROM w
         |UNION ALL SELECT lang, 'max_chars', max_chars FROM w""".stripMargin,
 
+    // stationary distribution of the event-type Markov chain: 12
+    // unrolled power steps, 9dp products folded in from-state order
+    "markov_stationary" -> {
+      val rounds = (1 to 12).map { i =>
+        s"""pi$i AS (SELECT m.t AS s,
+           |  round(list_reduce(list(round(pi${i - 1}.pi * m.p, 9) ORDER BY m.f),
+           |    (a, b) -> a + b), 9) AS pi
+           |  FROM pi${i - 1} JOIN m ON pi${i - 1}.s = m.f GROUP BY m.t)""".stripMargin
+      }
+      s"""WITH tr AS (SELECT event_type AS f,
+         |  lead(event_type) OVER (PARTITION BY user_id
+         |    ORDER BY epoch_ns(ts) // 1000, event_id) AS t FROM events),
+         |tr2 AS (SELECT f, t FROM tr WHERE t IS NOT NULL),
+         |counts AS (SELECT f, t, count(*) AS n FROM tr2 GROUP BY 1, 2),
+         |m AS (SELECT c.f, c.t, round(CAST(c.n AS DOUBLE) / s.nf, 9) AS p
+         |  FROM counts c JOIN (SELECT f, CAST(sum(n) AS BIGINT) AS nf
+         |    FROM counts GROUP BY 1) s USING (f)),
+         |states AS (SELECT DISTINCT f AS s FROM m),
+         |k AS (SELECT count(*) AS k FROM states),
+         |pi0 AS (SELECT s, round(1.0 / k, 9) AS pi FROM states CROSS JOIN k),
+         |${rounds.mkString(",\n")}
+         |SELECT s AS event_type, round(pi, 6) AS stationary_p FROM pi12""".stripMargin
+    },
+
+    // repeated-span profile: longest dyadic shingle length repeating
+    // within a document, 5 tagged shingle streams
+    "repeat_span_profile" -> {
+      val blocks = Seq(2, 4, 8, 16, 32).map { n =>
+        s"""SELECT DISTINCT doc_id, CAST($n AS BIGINT) AS span FROM (
+           |  SELECT doc_id, array_to_string(toks[i:(i + ${n - 1})], ' ') AS sh
+           |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - ${n - 2})) AS i
+           |        FROM tk WHERE len(toks) >= ${n + 1}))
+           |GROUP BY doc_id, span, sh HAVING count(*) >= 2""".stripMargin
+      }
+      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+         |rep AS (${blocks.mkString("\nUNION ALL\n")})
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  coalesce(max(r.span), 0) AS max_rep_span
+         |FROM tk t LEFT JOIN rep r ON r.doc_id = t.doc_id
+         |GROUP BY 1, 2""".stripMargin
+    },
+
+    // shard rebalance plan: proportional binning by cumulative size
+    "shard_rebalance_plan" ->
+      """WITH sh AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1),
+        |sw AS (SELECT source, bytes,
+        |  CAST(sum(bytes) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(sum(bytes) OVER () AS BIGINT) AS total FROM sh),
+        |a AS (SELECT source, bytes, total,
+        |  least(((cum - bytes) * 4) // total, 3) AS target_file FROM sw)
+        |SELECT CAST(target_file AS BIGINT) AS target_file, count(*) AS n_shards,
+        |  CAST(sum(bytes) AS BIGINT) AS n_bytes,
+        |  round(CAST(sum(bytes) AS DOUBLE) * 4 / max(total), 6) AS balance_ratio
+        |FROM a GROUP BY 1""".stripMargin,
+
+    // split-half embedding stability: per-label parity-half centroids,
+    // 9dp sorted-fold means, dim-ordered cosine terms
+    "embed_label_drift" ->
+      """WITH base AS (SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS half,
+        |  vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS x
+        |  FROM (SELECT label, vec_id, embedding, unnest(range(1, 9)) AS pos
+        |        FROM embeddings)),
+        |cent AS (SELECT label, half, pos, count(*) AS n,
+        |  round(list_reduce(list_sort(list(x)), (a, b) -> a + b) / count(*), 9) AS c
+        |  FROM base GROUP BY 1, 2, 3),
+        |j AS (SELECT c0.label, c0.pos, c0.n AS rows0, c1.n AS rows1,
+        |  round(c0.c * c1.c, 9) AS td, round(c0.c * c0.c, 9) AS t0,
+        |  round(c1.c * c1.c, 9) AS t1
+        |  FROM (SELECT * FROM cent WHERE half = 0) c0
+        |  JOIN (SELECT * FROM cent WHERE half = 1) c1 USING (label, pos))
+        |SELECT label, CAST(max(rows0) AS BIGINT) AS n_half0,
+        |  CAST(max(rows1) AS BIGINT) AS n_half1,
+        |  round(list_reduce(list(td ORDER BY pos), (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list(t0 ORDER BY pos), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list(t1 ORDER BY pos), (a, b) -> a + b))), 6)
+        |    AS drift_cos
+        |FROM j GROUP BY label""".stripMargin,
+
     // GloVe X_ij: forward-window pairs weighted 1/d in exact micro-units
     "glove_cooc" ->
       s"""WITH t0 AS (SELECT $toks AS toks FROM documents),

@@ -1069,6 +1069,14 @@ object SparkEntry {
                   FOR event_type IN ('click' AS click, 'error' AS error,
                     'purchase' AS purchase, 'signup' AS signup, 'view' AS view))""")
     }),
+    "markov_stationary" -> ((s, d) =>
+      Sessionize.markovStationary(events(s, d))),
+    "repeat_span_profile" -> ((s, d) =>
+      TextOps.repeatSpanProfile(spread(t(s, d, "documents")))),
+    "shard_rebalance_plan" -> ((s, d) =>
+      Relational.shardRebalancePlan(t(s, d, "documents"))),
+    "embed_label_drift" -> ((s, d) =>
+      Similarity.embedLabelDrift(t(s, d, "embeddings"))),
     // C233: SQL UNPIVOT syntax — wide per-lang stats melted back to
     // (lang, metric, val) rows in the parser, the inverse face of C232
     "sql_unpivot_stats" -> ((s, d) => {

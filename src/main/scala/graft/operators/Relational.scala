@@ -3708,6 +3708,33 @@ object Relational {
         col("ratio").isNotNull && col("ratio") >= spikeRatio)
   }
 
+  /** Shard rebalance plan (C234): proportional binning of the per-source
+    * shards into `nTarget` output files by cumulative size — the
+    * compaction/rebalance planner a table-maintenance job runs off the
+    * B144 manifest before rewriting small files. Each shard's target is
+    * floor(cum_before · nTarget / total) (order-deterministic, sums to
+    * a contiguous assignment), computed off [[graft.operators.Ranks]]'
+    * two-pass range-partitioned cumulative sum, so the plan scales to
+    * any shard count without a single-task window. The per-target
+    * balance ratio (1.0 = ideal) is the skew readout that decides
+    * whether proportional binning suffices or a bin-packing pass is
+    * worth it. */
+  def shardRebalancePlan(docs: DataFrame, nTarget: Int = 4): DataFrame = {
+    val sh = docs.groupBy("source").agg(sum(col("n_chars")).as("bytes"))
+    val swept = Ranks.withGlobalCumSum(sh, "bytes", "cum", "total",
+      Seq(col("source")))
+    swept
+      .select(col("source"), col("bytes"), col("total"),
+        least(expr(s"((cum - bytes) * $nTarget) div total"),
+          lit(nTarget - 1L)).as("target_file"))
+      .groupBy("target_file")
+      .agg(count(lit(1)).as("n_shards"), sum(col("bytes")).as("n_bytes"),
+        max(col("total")).as("total"))
+      .select(col("target_file"), col("n_shards"), col("n_bytes"),
+        round(col("n_bytes").cast("double") * nTarget / col("total"), 6)
+          .as("balance_ratio"))
+  }
+
   /** Maximum drawdown of daily revenue (C226): the largest
     * peak-to-trough loss of the cumulative daily series — the risk
     * statistic every revenue/financial dashboard carries next to the

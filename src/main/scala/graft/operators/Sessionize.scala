@@ -652,6 +652,48 @@ object Sessionize {
           .as("accuracy"))
   }
 
+  /** Stationary distribution of the event-type Markov chain (C235):
+    * where [[transitionPredict]] reads ONE step ahead, this is the
+    * long-run occupancy π = πP — "which state does the product
+    * actually live in", the fixed point marketing/ops compare against
+    * the raw event mix to see flow concentration. Computed by `iters`
+    * unrolled power steps from the uniform vector: the transition
+    * matrix is states²-bounded (broadcast, localCheckpointed so the
+    * plan stays flat in iterations — the bpe_train discipline), each
+    * step's products round at 9 dp and fold in from-state order
+    * (bounded sorted list), so both engines walk identical doubles. */
+  def markovStationary(events: DataFrame, iters: Int = 12): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val tr = events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(order))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("f"), col("next_type").as("t"))
+    val counts = tr.groupBy("f", "t").agg(count(lit(1)).as("n"))
+    val m = counts
+      .join(counts.groupBy("f").agg(sum(col("n")).as("nf")), "f")
+      .select(col("f"), col("t"), round(col("n").cast("double") / col("nf"), 9).as("p"))
+      .localCheckpoint(true)
+    val states = m.select(col("f").as("s")).distinct()
+    var pi = states
+      .crossJoin(broadcast(states.agg(count(lit(1)).as("k"))))
+      .select(col("s"), round(lit(1.0) / col("k"), 9).as("pi"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      pi = pi.join(m, col("s") === col("f"))
+        .select(col("t"),
+          struct(col("f"), round(col("pi") * col("p"), 9).as("x")).as("u"))
+        .groupBy("t")
+        .agg(array_sort(collect_list(col("u"))).as("us"))
+        .select(col("t").as("s"),
+          round(aggregate(col("us"), lit(0.0), (a, x) => a + x.getField("x")), 9)
+            .as("pi"))
+        .localCheckpoint(true)
+    }
+    pi.select(col("s").as("event_type"), round(col("pi"), 6).as("stationary_p"))
+  }
+
   /** Inter-arrival regularity bot score (C104): per user, the
     * coefficient of variation of inter-event gaps — humans arrive
     * bursty (CV ≳ 1), schedulers and scrapers arrive metronomically

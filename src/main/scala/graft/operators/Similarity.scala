@@ -1147,6 +1147,45 @@ object Similarity {
           col("mi") / sqrt(col("h_cluster") * col("h_label"))), 6).as("nmi"))
   }
 
+  /** Embedding stability audit (B254): per label, the cosine between
+    * the centroids of the two vec_id-parity halves — a split-half
+    * reliability check: if re-embedding half the data moves a label's
+    * centroid (cos ≪ 1), downstream centroid classifiers and IVF cells
+    * are unstable and any drift alarm keyed on centroids will be
+    * noisy. Centroids are 9 dp sorted-fold means per (label, half,
+    * dim); the cosine folds dim-ordered 9 dp terms — all bounded
+    * frames after one corpus aggregate. */
+  def embedLabelDrift(emb: DataFrame, dims: Int = 8): DataFrame = {
+    val base = emb.select(col("label").cast("long").as("label"),
+        (col("vec_id") % 2).as("half"), col("vec_id"),
+        posexplode(expr(
+          s"transform(slice(embedding, 1, $dims), x -> CAST(x AS DOUBLE))"))
+          .as(Seq("pos", "x")))
+    val cent = base.groupBy("label", "half", "pos")
+      .agg(count(lit(1)).as("n"),
+        round(aggregate(sort_array(collect_list(col("x"))), lit(0.0),
+          (a, b) => a + b) / count(lit(1)), 9).as("c"))
+    val c0 = cent.filter(col("half") === 0)
+      .select(col("label"), col("pos"), col("c").as("c0"), col("n").as("rows0"))
+    val c1 = cent.filter(col("half") === 1)
+      .select(col("label"), col("pos"), col("c").as("c1"), col("n").as("rows1"))
+    c0.join(c1, Seq("label", "pos"))
+      .select(col("label"), col("rows0"), col("rows1"),
+        struct(col("pos"),
+          round(col("c0") * col("c1"), 9).as("td"),
+          round(col("c0") * col("c0"), 9).as("t0"),
+          round(col("c1") * col("c1"), 9).as("t1")).as("t"))
+      .groupBy("label")
+      .agg(max(col("rows0")).as("n_half0"), max(col("rows1")).as("n_half1"),
+        array_sort(collect_list(col("t"))).as("ts"))
+      .select(col("label"), col("n_half0"), col("n_half1"),
+        round(
+          aggregate(col("ts"), lit(0.0), (a, t) => a + t.getField("td"))
+            / (sqrt(aggregate(col("ts"), lit(0.0), (a, t) => a + t.getField("t0")))
+              * sqrt(aggregate(col("ts"), lit(0.0), (a, t) => a + t.getField("t1")))),
+          6).as("drift_cos"))
+  }
+
   /** Embedding-dimension correlation audit (B198): the full Pearson
     * correlation matrix over the first `dims` dims (normalized
     * [[embedCovariance]]), flagging |corr| ≥ `redundant` pairs — the

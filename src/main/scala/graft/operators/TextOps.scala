@@ -3353,6 +3353,36 @@ object TextOps {
           a + (t.getField("ent_t") - t.getField("xent_t"))), 6).as("kl"))
   }
 
+  /** Repeated-span profile (B253): per document, the LONGEST dyadic
+    * shingle length n ∈ {2,4,8,16,32} at which some n-token span occurs
+    * twice — the "internal boilerplate loop" detector that grades how
+    * LONG a document's self-repetition runs, where [[repetitionStats]]
+    * only counts how OFTEN its top bigram repeats. A doc whose 32-token
+    * span repeats is a template/generation loop regardless of its
+    * distinct-token ratio. Dyadic probes bound the work at 5 tagged
+    * shingle streams (each corpus-linear with map-side combine onto the
+    * (doc, span, shingle) key); the exact longest would pay one stream
+    * per candidate length for the same verdict class. */
+  def repeatSpanProfile(docs: DataFrame,
+                        spans: Seq[Int] = Seq(2, 4, 8, 16, 32)): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val repeated = spans.map { n =>
+      base.filter(size(col("toks")) >= n + 1)
+        .select(col("doc_id"), lit(n.toLong).as("span"),
+          explode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("sh"))
+        .groupBy("doc_id", "span", "sh").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2L)
+        .select(col("doc_id"), col("span"))
+        .distinct()
+    }.reduce(_ unionByName _)
+    base.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(repeated.groupBy("doc_id").agg(max(col("span")).as("mx")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("mx"), lit(0L)).as("max_rep_span"))
+  }
+
   /** Group-aware k-fold assignment (B251): every SOURCE lands wholly in
     * one fold (fold = md5(source) mod k), so near-duplicates and
     * templates that cluster within a source can never leak across a

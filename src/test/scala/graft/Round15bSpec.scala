@@ -301,6 +301,53 @@ class Round15bSpec extends SparkSpec {
     assert(math.abs(wfit - wobs) < 1e-4)
   }
 
+  test("repeatSpanProfile: hand-built repeats at each dyadic length") {
+    val d = docs(
+      (1L, "a b a b x"),                        // "a b" repeats -> span 2
+      (2L, "p q r s p q r s tail"),             // 4-span repeats
+      (3L, "all distinct tokens here now"),     // none
+      (4L, "w w w w w w w w w w"))              // 8-span repeats (all same)
+    val r = operators.TextOps.repeatSpanProfile(d)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r(1L) == 2L && r(2L) == 4L && r(3L) == 0L && r(4L) == 8L)
+  }
+
+  test("shardRebalancePlan: bins are contiguous and cover all bytes") {
+    val d = (1L to 90L).map(i => (i, "t", "en", s"s${i % 9}", i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = operators.Relational.shardRebalancePlan(d, nTarget = 3).collect()
+    assert(r.map(_.getAs[Long]("n_shards")).sum == 9L)
+    assert(r.map(_.getAs[Long]("n_bytes")).sum == (1L to 90L).sum)
+    assert(r.forall(x => x.getAs[Long]("target_file") >= 0 &&
+      x.getAs[Long]("target_file") < 3))
+  }
+
+  test("markovStationary: two-state deterministic cycle converges to uniform") {
+    val evs = (0 until 40).map { i =>
+      (i.toLong, f"2024-01-01 00:${i}%02d:00",
+        1L, if (i % 2 == 0) "click" else "view", 1.0)
+    }.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val r = operators.Sessionize.markovStationary(evs)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // click -> view -> click ... : stationary = (0.5, 0.5)
+    assert(r("click") == 0.5 && r("view") == 0.5)
+  }
+
+  test("embedLabelDrift: identical halves give drift_cos 1") {
+    val emb = (0L until 8L).map { i =>
+      // halves mirror each other: vec 2j and 2j+1 identical
+      val e = Array.tabulate(8)(d => ((i / 2) + d + 1).toFloat)
+      (i, e.toSeq, (i % 2).toInt * 0 + (i / 4).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        col("label"))
+    val r = operators.Similarity.embedLabelDrift(emb).collect()
+    assert(r.nonEmpty)
+    r.foreach(x => assert(x.getAs[Double]("drift_cos") > 0.999))
+  }
+
   test("wminhash signature plan is shuffle-free") {
     val plan = operators.Dedup.wminhashSigArr(corpus, 16)
       .queryExecution.executedPlan.toString
