@@ -353,6 +353,61 @@ object Oracles {
          |SELECT d.doc_id, d.lang AS label, p.predicted
          |FROM documents d JOIN pred p USING (doc_id) WHERE NOT (d.doc_id % 4 < 3)""".stripMargin,
 
+    // group-aware k-fold NB cross-validation: k models via complement
+    // counts (total - fold), scoring/argmax/rounding = nb_scratch's
+    "cv_accuracy" ->
+      s"""WITH base AS (SELECT doc_id, lang AS label,
+         |  ('0x' || substr(md5(source), 1, 8))::BIGINT % 5 AS fold, $toks AS toks
+         |  FROM documents),
+         |toks AS (SELECT doc_id, label, fold, unnest(toks) AS token FROM base),
+         |cntf AS (SELECT fold, label, token, count(*) AS c FROM toks GROUP BY 1, 2, 3),
+         |cnta AS (SELECT label, token, CAST(sum(c) AS BIGINT) AS ca FROM cntf GROUP BY 1, 2),
+         |folds AS (SELECT DISTINCT fold FROM base),
+         |comp AS (SELECT f.fold, a.label, a.token, a.ca - coalesce(cf.c, 0) AS cnt
+         |  FROM folds f CROSS JOIN cnta a
+         |  LEFT JOIN cntf cf ON cf.fold = f.fold AND cf.label = a.label AND cf.token = a.token
+         |  WHERE a.ca - coalesce(cf.c, 0) > 0),
+         |ct AS (SELECT fold, label, CAST(sum(cnt) AS BIGINT) AS ct FROM comp GROUP BY 1, 2),
+         |voc AS (SELECT fold, count(DISTINCT token) AS v FROM comp GROUP BY 1),
+         |ndf AS (SELECT fold, label, count(*) AS nd FROM base GROUP BY 1, 2),
+         |pri AS (SELECT f.fold, a.label, a.nda - coalesce(n.nd, 0) AS n_docs
+         |  FROM folds f CROSS JOIN (SELECT label, CAST(sum(nd) AS BIGINT) AS nda FROM ndf GROUP BY 1) a
+         |  LEFT JOIN ndf n ON n.fold = f.fold AND n.label = a.label
+         |  WHERE a.nda - coalesce(n.nd, 0) > 0),
+         |ntr AS (SELECT fold, CAST(sum(n_docs) AS BIGINT) AS n_train FROM pri GROUP BY 1),
+         |ttf AS (SELECT fold, doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+         |dlen AS (SELECT fold, doc_id, count(*) AS n_d FROM toks GROUP BY 1, 2),
+         |sc AS (SELECT t.fold, t.doc_id, l.label AS cand,
+         |  sum(t.tf * ln(CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE))) AS s
+         |  FROM ttf t JOIN (SELECT fold, label FROM pri) l ON l.fold = t.fold
+         |  LEFT JOIN comp c ON c.fold = t.fold AND c.label = l.label AND c.token = t.token
+         |  GROUP BY 1, 2, 3),
+         |scored AS (SELECT sc.fold, sc.doc_id, sc.cand,
+         |  round(sc.s - d.n_d * ln(CAST(ct.ct + voc.v AS DOUBLE))
+         |        + ln(CAST(p.n_docs AS DOUBLE) / ntr.n_train), 6) AS score
+         |  FROM sc JOIN dlen d ON d.fold = sc.fold AND d.doc_id = sc.doc_id
+         |  JOIN ct ON ct.fold = sc.fold AND ct.label = sc.cand
+         |  JOIN voc ON voc.fold = sc.fold
+         |  JOIN pri p ON p.fold = sc.fold AND p.label = sc.cand
+         |  JOIN ntr ON ntr.fold = sc.fold),
+         |pred AS (SELECT fold, doc_id, cand AS predicted FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY fold, doc_id ORDER BY score DESC, cand) AS rk
+         |   FROM scored) WHERE rk = 1)
+         |SELECT b.fold, count(*) AS n_test,
+         |  CAST(sum(CASE WHEN b.label = p.predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  round(CAST(sum(CASE WHEN b.label = p.predicted THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS accuracy
+         |FROM base b JOIN pred p ON p.fold = b.fold AND p.doc_id = b.doc_id
+         |GROUP BY 1""".stripMargin,
+
+    // l-diversity over the k-anonymity grid: distinct sensitive values
+    // (source) per (lang, length-bucket) quasi-identifier group
+    "l_diversity" ->
+      """SELECT lang, n_chars // 100 AS len_bucket, count(*) AS n_docs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sensitive,
+        |  count(DISTINCT source) < 3 AS violates_l
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
     "quality_score" ->
       s"""SELECT doc_id,
         |  length(text)::BIGINT AS n_chars_text,

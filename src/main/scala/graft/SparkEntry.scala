@@ -1077,6 +1077,10 @@ object SparkEntry {
       Relational.shardRebalancePlan(t(s, d, "documents"))),
     "embed_label_drift" -> ((s, d) =>
       Similarity.embedLabelDrift(t(s, d, "embeddings"))),
+    "cv_accuracy" -> ((s, d) =>
+      graft.ml.NaiveBayesSql.cvAccuracy(spread(t(s, d, "documents")))),
+    "l_diversity" -> ((s, d) =>
+      TextOps.lDiversity(t(s, d, "documents"))),
     // C233: SQL UNPIVOT syntax — wide per-lang stats melted back to
     // (lang, metric, val) rows in the parser, the inverse face of C232
     "sql_unpivot_stats" -> ((s, d) => {

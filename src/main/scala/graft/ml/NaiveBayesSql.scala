@@ -70,4 +70,73 @@ object NaiveBayesSql {
 
     docs.filter(!isTrain).select(col("doc_id"), col("label")).join(pred, "doc_id")
   }
+
+  /** Group-aware k-fold cross-validated NB accuracy (B256): k models
+    * trained and evaluated in ONE pass over the corpus via COMPLEMENT
+    * counts — per-fold token counts aggregate once, and fold f's model
+    * is (total − fold_f) for every statistic (word counts, class
+    * totals, priors, vocabulary), so "train k models" costs one extra
+    * group key instead of k corpus scans. Folds assign by SOURCE
+    * (md5 mod k, the [[graft.operators.TextOps.groupKfold]] rule), so
+    * within-source templates can't inflate the estimate by straddling
+    * a boundary — the honest generalization readout where the fixed
+    * doc_id%4 split of [[predictions]] gives one point estimate.
+    * Scoring, argmax and rounding mirror [[predictions]] exactly. */
+  def cvAccuracy(docs: DataFrame, k: Int = 5): DataFrame = {
+    val foldOf = conv(substring(md5(col("source")), 1, 8), 16, 10)
+      .cast("long") % k
+    val base = docs.select(col("doc_id"), col("text"),
+      col("lang").as("label"), foldOf.as("fold"))
+    val toks = base.select(col("doc_id"), col("label"), col("fold"),
+      explode(TextOps.tokens(col("text"))).as("token"))
+    val cntF = toks.groupBy("fold", "label", "token").agg(count(lit(1)).as("c"))
+    val cntAll = cntF.groupBy("label", "token").agg(sum(col("c")).as("ca"))
+    val folds = base.select("fold").distinct()
+    val comp = folds.crossJoin(cntAll)
+      .join(cntF, Seq("fold", "label", "token"), "left")
+      .select(col("fold"), col("label"), col("token"),
+        (col("ca") - coalesce(col("c"), lit(0L))).as("cnt"))
+      .filter(col("cnt") > 0)
+    val classTot = comp.groupBy("fold", "label").agg(sum(col("cnt")).as("ct"))
+    val vocab = comp.select("fold", "token").distinct()
+      .groupBy("fold").agg(count(lit(1)).as("v"))
+    val nDocsF = base.groupBy("fold", "label").agg(count(lit(1)).as("nd"))
+    val priors = folds.crossJoin(nDocsF.groupBy("label").agg(sum(col("nd")).as("nda")))
+      .join(nDocsF, Seq("fold", "label"), "left")
+      .select(col("fold"), col("label"),
+        (col("nda") - coalesce(col("nd"), lit(0L))).as("n_docs"))
+      .filter(col("n_docs") > 0)
+    val nTrain = priors.groupBy("fold").agg(sum(col("n_docs")).as("n_train"))
+    val testTf = toks.groupBy("fold", "doc_id", "token").agg(count(lit(1)).as("tf"))
+    val docLen = toks.groupBy("fold", "doc_id").agg(count(lit(1)).as("n_d"))
+    val labels = priors.select(col("fold"), col("label").as("cand"))
+    val scored = testTf
+      .join(labels, Seq("fold"))
+      .join(comp.select(col("fold"), col("label").as("cand"), col("token"),
+        col("cnt")), Seq("fold", "cand", "token"), "left")
+      .withColumn("part",
+        col("tf") * log((coalesce(col("cnt"), lit(0L)) + 1).cast("double")))
+      .groupBy("fold", "doc_id", "cand").agg(sum(col("part")).as("s"))
+      .join(docLen, Seq("fold", "doc_id"))
+      .join(classTot.withColumnRenamed("label", "cand"), Seq("fold", "cand"))
+      .join(vocab, Seq("fold"))
+      .join(priors.withColumnRenamed("label", "cand"), Seq("fold", "cand"))
+      .join(nTrain, Seq("fold"))
+      .withColumn("score", round(
+        col("s") - col("n_d") * log((col("ct") + col("v")).cast("double"))
+          + log(col("n_docs").cast("double") / col("n_train")), 6))
+    val w = Window.partitionBy("fold", "doc_id")
+      .orderBy(col("score").desc, col("cand"))
+    val pred = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("fold"), col("doc_id"), col("cand").as("predicted"))
+    base.select(col("fold"), col("doc_id"), col("label"))
+      .join(pred, Seq("fold", "doc_id"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("label") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("fold"), col("n_test"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_test"), 6).as("accuracy"))
+  }
 }

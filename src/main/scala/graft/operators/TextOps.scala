@@ -2256,6 +2256,23 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") < k)
 
+  /** l-diversity audit (B255): for each quasi-identifier group — the
+    * same (lang, length-bucket) grid [[kAnonymity]] checks, minus the
+    * attribute under protection — the count of DISTINCT sensitive
+    * values (source). k-anonymity says a group is big enough to hide
+    * in; l-diversity says the group doesn't give the secret away anyway
+    * (a group of 50 docs all from ONE source leaks the source despite
+    * k=50). One aggregate; the violating groups are the re-bucketing
+    * worklist. */
+  def lDiversity(docs: DataFrame, l: Int = 3): DataFrame =
+    docs.select(col("lang"), expr("n_chars div 100").as("len_bucket"),
+        col("source"))
+      .groupBy("lang", "len_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sensitive"))
+      .select(col("lang"), col("len_bucket"), col("n_docs"),
+        col("n_sensitive"), (col("n_sensitive") < l).as("violates_l"))
+
   /** Filter-cascade attrition table (B125): for each curation filter —
     * too-short, low-quality, repetition-soup, exact-duplicate — how many
     * documents it rejects, how many it ALONE rejects (its marginal value:

@@ -348,6 +348,31 @@ class Round15bSpec extends SparkSpec {
     r.foreach(x => assert(x.getAs[Double]("drift_cos") > 0.999))
   }
 
+  test("cvAccuracy: separable vocabulary per label scores ~perfectly") {
+    // 3 sources per fold-ish; label-exclusive vocab => complement models
+    // always classify the held-out fold right
+    val d = (1L to 60L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      val text = if (lang == "en") "alpha beta gamma alpha" else "uno dos tres uno"
+      (i, text, lang, s"src${i % 6}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.ml.NaiveBayesSql.cvAccuracy(d, k = 3).collect()
+    assert(r.map(_.getAs[Long]("n_test")).sum == 60L)
+    r.foreach(x => assert(x.getAs[Double]("accuracy") == 1.0))
+  }
+
+  test("lDiversity flags sensitive-homogeneous groups") {
+    val d = (1L to 20L).map { i =>
+      // lang 'de' groups all come from ONE source -> violate l=3
+      val lang = if (i <= 10) "en" else "de"
+      val src = if (lang == "en") s"s${i % 5}" else "lonesource"
+      (i, "t", lang, src, 150L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = operators.TextOps.lDiversity(d).collect()
+      .map(x => x.getString(0) -> x.getAs[Boolean]("violates_l")).toMap
+    assert(!r("en") && r("de"))
+  }
+
   test("wminhash signature plan is shuffle-free") {
     val plan = operators.Dedup.wminhashSigArr(corpus, 16)
       .queryExecution.executedPlan.toString
