@@ -303,6 +303,31 @@ class PlanShapeSpec extends SparkSpec {
     graft.CacheTracker.drainAll(spark)
   }
 
+  test("round-15 continuation operators keep their scale shapes") {
+    // kruskal_wallis: the rank sweep is Ranks' two-pass machinery — no
+    // unpartitioned data-sized window; everything after is value-bounded
+    val kw = plan("kruskal_wallis")
+    assert(!kw.contains("CartesianProduct"))
+    // caliper_match: candidates only via the bucket hash join — no
+    // cartesian between treated and control
+    val cm = plan("caliper_match")
+    assert(!cm.contains("CartesianProduct"),
+      s"caliper_match must bucket-gate its candidates\n${cm.take(400)}")
+    // pq_ann_recall: the LUT side must broadcast (queries x m x k rows),
+    // keeping the corpus side free of float math
+    val pq = plan("pq_ann_recall")
+    assert(pq.contains("BroadcastExchange") || pq.contains("BroadcastHashJoin"),
+      s"pq_ann_recall must broadcast the LUT\n${pq.take(400)}")
+    // wminhash signatures are a narrow plan: banding is the FIRST
+    // exchange the operator pays
+    val ws = operators.Dedup.wminhashSigArr(
+      spark.read.parquet(s"$sf/documents.parquet"), 16)
+      .queryExecution.executedPlan.toString
+    assert(!ws.contains("Exchange"),
+      s"wminhash signature computation must stay shuffle-free\n${ws.take(400)}")
+    graft.CacheTracker.drainAll(spark)
+  }
+
   test("join hints are honored: broadcast vs merge on the same join") {
     val a = spark.read.parquet(s"$sf/orders.parquet")
     val b = spark.read.parquet(s"$sf/customer.parquet")
