@@ -400,6 +400,20 @@ object Oracles {
          |FROM base b JOIN pred p ON p.fold = b.fold AND p.doc_id = b.doc_id
          |GROUP BY 1""".stripMargin,
 
+    // inverse-propensity offline eval of the uniform policy: per-arm
+    // closed-form decomposition from exact counts
+    "ips_eval" ->
+      """WITH per AS (SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, count(*) AS k FROM per)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE) / nn, 6) AS p_logged,
+        |  round(CAST(nn AS DOUBLE) / (k * n), 6) AS ips_weight,
+        |  round(CAST(sc AS DOUBLE) / n / 100.0, 6) AS logged_mean_dollars,
+        |  round(CAST(sc AS DOUBLE) / (k * n) / 100.0, 6) AS ips_term_dollars
+        |FROM per CROSS JOIN tot""".stripMargin,
+
     // l-diversity over the k-anonymity grid: distinct sensitive values
     // (source) per (lang, length-bucket) quasi-identifier group
     "l_diversity" ->

@@ -1081,6 +1081,7 @@ object SparkEntry {
       graft.ml.NaiveBayesSql.cvAccuracy(spread(t(s, d, "documents")))),
     "l_diversity" -> ((s, d) =>
       TextOps.lDiversity(t(s, d, "documents"))),
+    "ips_eval" -> ((s, d) => Relational.ipsEval(events(s, d))),
     // C233: SQL UNPIVOT syntax — wide per-lang stats melted back to
     // (lang, metric, val) rows in the parser, the inverse face of C232
     "sql_unpivot_stats" -> ((s, d) => {

@@ -3708,6 +3708,31 @@ object Relational {
         col("ratio").isNotNull && col("ratio") >= spikeRatio)
   }
 
+  /** Inverse-propensity offline policy evaluation (B257): what would a
+    * UNIFORM action policy have earned, estimated from logs of the
+    * current (empirical) policy — the counterfactual-eval family member
+    * beside the experimental (abTtest) and observational (caliperMatch)
+    * estimators, usable when you can neither randomize nor match. Each
+    * logged event's reward reweights by π(a)/p̂(a) = (1/K)/(n_a/N); the
+    * per-arm decomposition is closed-form from exact per-arm counts
+    * (Σ_i∈a r_i·w_a = sc_a·N/(K·n_a)), so the whole estimate is one
+    * aggregate + a broadcast total — no per-event weighting pass.
+    * Degenerate-arm safety: an arm with zero logged events simply has
+    * no row (its counterfactual is unidentified — reported by absence,
+    * not by a fake 0). */
+  def ipsEval(events: DataFrame): DataFrame = {
+    val per = events.select(col("event_type"), cents(col("value")).as("c"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+    val tot = per.agg(sum(col("n")).as("nn"), count(lit(1)).as("k"))
+    per.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n"),
+        round(col("n").cast("double") / col("nn"), 6).as("p_logged"),
+        round(col("nn").cast("double") / (col("k") * col("n")), 6).as("ips_weight"),
+        round(col("sc").cast("double") / col("n") / 100.0, 6).as("logged_mean_dollars"),
+        round(col("sc").cast("double") / (col("k") * col("n")) / 100.0, 6)
+          .as("ips_term_dollars"))
+  }
+
   /** Shard rebalance plan (C234): proportional binning of the per-source
     * shards into `nTarget` output files by cumulative size — the
     * compaction/rebalance planner a table-maintenance job runs off the
