@@ -313,7 +313,16 @@ object Eval {
       graft.operators.Dedup.ngramJaccard(docs, simMin = simMin)
         .select("a_id", "b_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val toked = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    // the n-gram streams below only ever join against candidate-pair
+    // docs: gate the corpus FIRST (left-semi on the tiny pair-doc set),
+    // so candidate generation is the only corpus-wide pass — at sf0.1
+    // this took the gram passes from corpus-sized to pairs-sized
+    val candDocs = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id")))
+      .distinct()
+      .localCheckpoint(true)
+    val toked = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
     val lens = toked.select(col("doc_id"), size(col("toks")).cast("long").as("len"))
     def grams(n: Int): DataFrame = {
       val g =
@@ -365,7 +374,14 @@ object Eval {
       graft.operators.Dedup.ngramJaccard(docs, simMin = simMin)
         .select("a_id", "b_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val c = docs.select(col("doc_id"), TextOps.cleanText(col("text")).as("clean"))
+    // same candidate-doc gate as bleuPairs: the trigram stream feeds
+    // only pair joins, so the corpus semi-joins down to pair docs first
+    val candDocs = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id")))
+      .distinct()
+      .localCheckpoint(true)
+    val c = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), TextOps.cleanText(col("text")).as("clean"))
       .filter(length(col("clean")) >= 3)
     val g = c.select(col("doc_id"),
         explode(transform(sequence(lit(1), length(col("clean")) - 2),
