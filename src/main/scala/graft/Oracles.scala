@@ -400,6 +400,25 @@ object Oracles {
          |FROM base b JOIN pred p ON p.fold = b.fold AND p.doc_id = b.doc_id
          |GROUP BY 1""".stripMargin,
 
+    // Theil T inequality of per-customer spend: 9dp terms, two-level
+    // sub-bucketed sorted folds
+    "spend_theil" ->
+      """WITH pc AS (SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM orders GROUP BY 1),
+        |mu AS (SELECT count(*) AS n, CAST(sum(sc) AS BIGINT) AS tot FROM pc),
+        |terms AS (SELECT o_custkey, n,
+        |  CASE WHEN sc > 0 THEN
+        |    round((CAST(sc AS DOUBLE) * n / tot) * ln(CAST(sc AS DOUBLE) * n / tot), 9)
+        |  ELSE 0.0 END AS t
+        |  FROM pc CROSS JOIN mu),
+        |sub AS (SELECT n, o_custkey % 1024 AS sb,
+        |  list_reduce(list_sort(list(t)), (a, b) -> a + b) AS sub_s
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT CAST(n AS BIGINT) AS n_customers,
+        |  round(list_reduce(list_sort(list(sub_s)), (a, b) -> a + b) / n, 6) AS theil_t
+        |FROM sub GROUP BY n""".stripMargin,
+
     // inverse-propensity offline eval of the uniform policy: per-arm
     // closed-form decomposition from exact counts
     "ips_eval" ->

@@ -1082,6 +1082,7 @@ object SparkEntry {
     "l_diversity" -> ((s, d) =>
       TextOps.lDiversity(t(s, d, "documents"))),
     "ips_eval" -> ((s, d) => Relational.ipsEval(events(s, d))),
+    "spend_theil" -> ((s, d) => Relational.spendTheil(t(s, d, "orders"))),
     // C233: SQL UNPIVOT syntax — wide per-lang stats melted back to
     // (lang, metric, val) rows in the parser, the inverse face of C232
     "sql_unpivot_stats" -> ((s, d) => {

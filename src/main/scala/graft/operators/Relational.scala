@@ -3708,6 +3708,35 @@ object Relational {
         col("ratio").isNotNull && col("ratio") >= spikeRatio)
   }
 
+  /** Theil T index of customer spend (C236): the entropy member of the
+    * inequality family — additively DECOMPOSABLE across groups, which
+    * Gini (C81) and Lorenz (C151) are not, so it's the one you use when
+    * "how much inequality lives within vs between segments" is the next
+    * question. T = (1/N)·Σ (x/μ)·ln(x/μ) over per-customer spend; μ is
+    * one broadcast aggregate, each term rounds at 9 dp at creation, and
+    * the sum is the two-level sub-bucketed sorted fold (Folds) — no
+    * buffer ever holds the customer population. Zero-spend customers
+    * contribute an exact 0 (lim x→0 x·ln x = 0, taken by CASE, not by
+    * NaN). */
+  def spendTheil(orders: DataFrame): DataFrame = {
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("spend_cents"))
+    val mu = perCust.agg(count(lit(1)).as("n"), sum(col("spend_cents")).as("tot"))
+    val terms = perCust.crossJoin(broadcast(mu))
+      .select(col("o_custkey"), col("n"),
+        when(col("spend_cents") > 0L,
+          round((col("spend_cents").cast("double") * col("n") / col("tot"))
+            * log(col("spend_cents").cast("double") * col("n") / col("tot")), 9))
+          .otherwise(lit(0.0)).as("t"))
+    terms
+      .groupBy(col("n"), Folds.subBucket(col("o_custkey")))
+      .agg(Folds.sortedSum(col("t")).as("sub_s"))
+      .groupBy("n")
+      .agg(Folds.sortedSum(col("sub_s")).as("s"))
+      .select(col("n").as("n_customers"),
+        round(col("s") / col("n"), 6).as("theil_t"))
+  }
+
   /** Inverse-propensity offline policy evaluation (B257): what would a
     * UNIFORM action policy have earned, estimated from logs of the
     * current (empirical) policy — the counterfactual-eval family member
