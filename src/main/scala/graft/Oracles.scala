@@ -419,6 +419,36 @@ object Oracles {
         |  round(list_reduce(list_sort(list(sub_s)), (a, b) -> a + b) / n, 6) AS theil_t
         |FROM sub GROUP BY n""".stripMargin,
 
+    // Theil within/between decomposition by market segment
+    "spend_theil_decomp" ->
+      """WITH pc AS (SELECT o.o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sc,
+        |  max(c.c_mktsegment) AS segment
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1),
+        |seg AS (SELECT segment, count(*) AS n_g, CAST(sum(sc) AS BIGINT) AS tot_g
+        |  FROM pc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(tot_g) AS BIGINT) AS tot FROM seg),
+        |terms AS (SELECT pc.segment, pc.o_custkey,
+        |  CASE WHEN sc > 0 THEN
+        |    round((CAST(sc AS DOUBLE) * n_g / tot_g)
+        |      * ln(CAST(sc AS DOUBLE) * n_g / tot_g), 9)
+        |  ELSE 0.0 END AS t
+        |  FROM pc JOIN seg USING (segment)),
+        |sub AS (SELECT segment, o_custkey % 1024 AS sb,
+        |  list_reduce(list_sort(list(t)), (a, b) -> a + b) AS sub_s
+        |  FROM terms GROUP BY 1, 2),
+        |w AS (SELECT segment,
+        |  list_reduce(list_sort(list(sub_s)), (a, b) -> a + b) AS s
+        |  FROM sub GROUP BY 1)
+        |SELECT w.segment, CAST(seg.n_g AS BIGINT) AS n_customers,
+        |  round(CAST(tot_g AS DOUBLE) / tot, 6) AS spend_share,
+        |  round(s / n_g, 6) AS theil_within,
+        |  round((CAST(tot_g AS DOUBLE) / tot)
+        |    * ln((CAST(tot_g AS DOUBLE) / n_g) / (CAST(tot AS DOUBLE) / n)), 6)
+        |    AS between_term
+        |FROM w JOIN seg USING (segment) CROSS JOIN tot""".stripMargin,
+
     // inverse-propensity offline eval of the uniform policy: per-arm
     // closed-form decomposition from exact counts
     "ips_eval" ->

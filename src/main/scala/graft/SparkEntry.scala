@@ -1083,6 +1083,8 @@ object SparkEntry {
       TextOps.lDiversity(t(s, d, "documents"))),
     "ips_eval" -> ((s, d) => Relational.ipsEval(events(s, d))),
     "spend_theil" -> ((s, d) => Relational.spendTheil(t(s, d, "orders"))),
+    "spend_theil_decomp" -> ((s, d) =>
+      Relational.spendTheilDecomp(t(s, d, "orders"), t(s, d, "customer"))),
     // C233: SQL UNPIVOT syntax — wide per-lang stats melted back to
     // (lang, metric, val) rows in the parser, the inverse face of C232
     "sql_unpivot_stats" -> ((s, d) => {

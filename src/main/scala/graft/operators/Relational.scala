@@ -3737,6 +3737,41 @@ object Relational {
         round(col("s") / col("n"), 6).as("theil_t"))
   }
 
+  /** Theil within/between decomposition by market segment (C237): the
+    * reason [[spendTheil]] exists — T = Σ s_g·T_g + Σ s_g·ln(μ_g/μ)
+    * exactly, so "is spend inequality a segment story or a
+    * within-segment story" is one table. Per-segment inner folds are
+    * the same two-level sub-bucketed sorted sums; the between terms are
+    * segment-bounded one-liners; every ratio is a fixed-order double
+    * expression off exact cents. */
+  def spendTheilDecomp(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val pc = orders.groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("sc"))
+      .join(customer.select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("segment")), "o_custkey")
+    val segAgg = pc.groupBy("segment")
+      .agg(count(lit(1)).as("n_g"), sum(col("sc")).as("tot_g"))
+    val tot = segAgg.agg(sum(col("n_g")).as("n"), sum(col("tot_g")).as("tot"))
+    val terms = pc.join(broadcast(segAgg), "segment")
+      .select(col("segment"), col("o_custkey"),
+        when(col("sc") > 0L,
+          round((col("sc").cast("double") * col("n_g") / col("tot_g"))
+            * log(col("sc").cast("double") * col("n_g") / col("tot_g")), 9))
+          .otherwise(lit(0.0)).as("t"))
+    val within = terms
+      .groupBy(col("segment"), Folds.subBucket(col("o_custkey")))
+      .agg(Folds.sortedSum(col("t")).as("sub_s"))
+      .groupBy("segment")
+      .agg(Folds.sortedSum(col("sub_s")).as("s"))
+    within.join(broadcast(segAgg), "segment").crossJoin(broadcast(tot))
+      .select(col("segment"), col("n_g").as("n_customers"),
+        round(col("tot_g").cast("double") / col("tot"), 6).as("spend_share"),
+        round(col("s") / col("n_g"), 6).as("theil_within"),
+        round((col("tot_g").cast("double") / col("tot"))
+          * log((col("tot_g").cast("double") / col("n_g"))
+            / (col("tot").cast("double") / col("n"))), 6).as("between_term"))
+  }
+
   /** Inverse-propensity offline policy evaluation (B257): what would a
     * UNIFORM action policy have earned, estimated from logs of the
     * current (empirical) policy — the counterfactual-eval family member

@@ -373,6 +373,20 @@ class Round15bSpec extends SparkSpec {
     assert(!r("en") && r("de"))
   }
 
+  test("Theil decomposition identity: sum of parts equals the global index") {
+    assumeTestdata("/root/testdata/sf0.01")
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    val customer = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    val global = operators.Relational.spendTheil(orders)
+      .collect().head.getAs[Double]("theil_t")
+    val parts = operators.Relational.spendTheilDecomp(orders, customer).collect()
+    val reassembled = parts.map(p =>
+      p.getAs[Double]("spend_share") * p.getAs[Double]("theil_within")
+        + p.getAs[Double]("between_term")).sum
+    assert(math.abs(global - reassembled) < 1e-4,
+      s"decomposition broke: $global vs $reassembled")
+  }
+
   test("wminhash signature plan is shuffle-free") {
     val plan = operators.Dedup.wminhashSigArr(corpus, 16)
       .queryExecution.executedPlan.toString
