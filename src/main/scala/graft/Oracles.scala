@@ -1375,6 +1375,32 @@ object Oracles {
          |WHERE ch.pair_rank <= least(5, n.n_grp // 2)
          |  AND round(ch.quality - rj.quality, 6) >= 0.05""".stripMargin,
 
+    // preference length-bias audit over the dpo_pairs set: chosen-longer
+    // share, mean length gap, mean margin (micro-unit exact sums)
+    "preference_length_bias" ->
+      s"""WITH q AS (SELECT doc_id, lang, source, $qualitySql AS quality FROM documents),
+         |n AS (SELECT lang, source, count(*) AS n_grp FROM q GROUP BY 1, 2),
+         |ch AS (SELECT lang, source, doc_id, quality,
+         |   CAST(row_number() OVER (PARTITION BY lang, source ORDER BY quality DESC, doc_id) AS BIGINT) AS pair_rank FROM q),
+         |rj AS (SELECT lang, source, doc_id, quality,
+         |   CAST(row_number() OVER (PARTITION BY lang, source ORDER BY quality ASC, doc_id DESC) AS BIGINT) AS pair_rank FROM q),
+         |p AS (SELECT ch.doc_id AS chosen_doc_id, rj.doc_id AS rejected_doc_id,
+         |  round(ch.quality - rj.quality, 6) AS margin
+         |  FROM ch JOIN rj ON ch.lang = rj.lang AND ch.source = rj.source
+         |    AND ch.pair_rank = rj.pair_rank
+         |  JOIN n ON n.lang = ch.lang AND n.source = ch.source
+         |  WHERE ch.pair_rank <= least(5, n.n_grp // 2)
+         |    AND round(ch.quality - rj.quality, 6) >= 0.05),
+         |j AS (SELECT p.margin, dc.n_chars AS len_c, dr.n_chars AS len_r
+         |  FROM p JOIN documents dc ON dc.doc_id = p.chosen_doc_id
+         |  JOIN documents dr ON dr.doc_id = p.rejected_doc_id)
+         |SELECT count(*) AS n_pairs,
+         |  CAST(sum(CASE WHEN len_c > len_r THEN 1 ELSE 0 END) AS BIGINT) AS n_chosen_longer,
+         |  round(CAST(sum(CASE WHEN len_c > len_r THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS frac_chosen_longer,
+         |  round(CAST(sum(len_c - len_r) AS DOUBLE) / count(*), 6) AS mean_len_gap,
+         |  round(CAST(sum(CAST(round(margin * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6) AS mean_margin
+         |FROM j""".stripMargin,
+
     // GRPO-style group z-score of quality per (lang, source): two-level
     // sub-bucketed sorted folds for mean and population variance
     "reward_normalize" ->

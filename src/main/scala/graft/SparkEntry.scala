@@ -1085,6 +1085,8 @@ object SparkEntry {
     "spend_theil" -> ((s, d) => Relational.spendTheil(t(s, d, "orders"))),
     "spend_theil_decomp" -> ((s, d) =>
       Relational.spendTheilDecomp(t(s, d, "orders"), t(s, d, "customer"))),
+    "preference_length_bias" -> ((s, d) =>
+      TextOps.preferenceLengthBias(spread(t(s, d, "documents")))),
     // C233: SQL UNPIVOT syntax — wide per-lang stats melted back to
     // (lang, metric, val) rows in the parser, the inverse face of C232
     "sql_unpivot_stats" -> ((s, d) => {

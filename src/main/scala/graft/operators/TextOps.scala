@@ -2692,6 +2692,35 @@ object TextOps {
         "rejected_doc_id", "chosen_q", "rejected_q", "margin")
   }
 
+  /** Preference length-bias audit (B258): over the [[dpoPairs]]
+    * preference set, how often the CHOSEN side is simply the LONGER
+    * side, the mean length gap, and the mean margin — the canonical
+    * reward-hacking check run before any DPO/RLHF fit (a reward or
+    * quality score correlated with length teaches the model to pad).
+    * Exact integer counts and length sums over the bounded pair set;
+    * two rounded divides. */
+  def preferenceLengthBias(docs: DataFrame): DataFrame = {
+    val pairs = dpoPairs(docs)
+    val lens = docs.select(col("doc_id"), col("n_chars"))
+    pairs
+      .join(lens.select(col("doc_id").as("chosen_doc_id"),
+        col("n_chars").as("len_c")), "chosen_doc_id")
+      .join(lens.select(col("doc_id").as("rejected_doc_id"),
+        col("n_chars").as("len_r")), "rejected_doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("len_c") > col("len_r"), 1L).otherwise(0L))
+          .as("n_chosen_longer"),
+        sum(col("len_c") - col("len_r")).as("gap_sum"),
+        sum(round(col("margin") * 1e6).cast("long")).as("margin_micro"))
+      .select(col("n_pairs"), col("n_chosen_longer"),
+        round(col("n_chosen_longer").cast("double") / col("n_pairs"), 6)
+          .as("frac_chosen_longer"),
+        round(col("gap_sum").cast("double") / col("n_pairs"), 6)
+          .as("mean_len_gap"),
+        round(col("margin_micro").cast("double") / col("n_pairs") / 1e6, 6)
+          .as("mean_margin"))
+  }
+
   /** Group-relative reward normalization (B141): z-score each document's
     * quality within its (lang, source) stratum — the GRPO-style
     * advantage transform that removes per-group reward offsets before
