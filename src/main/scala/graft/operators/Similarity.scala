@@ -154,17 +154,27 @@ object Similarity {
     * a dims-bounded fold; query side broadcasts; corpus streams. */
   def textAnn(docs: DataFrame, maxQueryId: Long = 10, k: Int = 5,
               dims: Int = 16): DataFrame = {
+    // localCheckpoint: the embedding frame feeds BOTH join sides (the
+    // broadcast query subtree and the corpus stream) — unpinned, the
+    // whole tfidf + dims-fold pipeline ran twice, and under a
+    // multi-hundred-query pass the duplicated subtree was also the one
+    // the r13/r14 eviction weather hit (9.2 s in-pass vs 4.5 s solo in
+    // the r15-continuation close); checkpointed partitions can't be
+    // evicted and the plan builds each once
     val emb = TfIdf.docEmbedHash(docs, dims)
       .groupBy("doc_id")
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("v")))),
         s => s.getField("v")).as("e"))
       .filter(aggregate(col("e"), lit(0.0), (a, x) => a + x * x) > 0)
+      .localCheckpoint(true)
     val q = broadcast(emb.filter(col("doc_id") < maxQueryId)
       .select(col("doc_id").as("q_id"), col("e").as("q_e")))
     val scored = q.join(emb.select(col("doc_id").as("n_id"), col("e").as("n_e")),
         col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(cosineDeclarative(col("q_e"), col("n_e")), 6).as("cos"))
+        // native codegen'd cosine — same bits as the declarative fold
+        // (the graft_cosine A/B), one primitive loop per pair
+        round(cosine(col("q_e"), col("n_e")), 6).as("cos"))
     rankTopK(scored, k)
   }
 
