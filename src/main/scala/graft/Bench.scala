@@ -125,17 +125,27 @@ object Bench {
     val timings = results.map(r => r._1 -> r._2)
     // total covers successful queries only; failures stay visible as -1
     val total = timings.map(_._2).filter(_ >= 0).sum
-    // Self-adjudication for official-pass outliers: re-time the 15
-    // slowest queries solo (×3, median) AFTER the full pass, in the same
-    // JVM. An official reading far above its own same-run solo median is
-    // thereby attributable to pass-level effects (arrival order, cache
-    // residency, listener backlog) from the artifact alone — the r13/r14
-    // detector_agreement adjudications each consumed a verdict cycle for
-    // lack of exactly this field. ~15×3 extra query runs ≈ one minute on
-    // a healthy pass; skipped for subset (dev A/B) runs, which ARE solo.
+    // Self-adjudication for official-pass outliers: re-time solo (×3,
+    // median) AFTER the full pass, in the same JVM, every query that is
+    // either among the 15 slowest OR >2.5× the pass median — the r15
+    // discount_elasticity lesson: a 8.9 s reading on a 0.8 s plan sat
+    // outside the top-15 net and consumed a verdict cycle that this wider
+    // net would have self-adjudicated. An official reading far above its
+    // own same-run solo median is thereby attributable to pass-level
+    // effects (arrival order, cache residency, listener backlog) from the
+    // artifact alone. Skipped for subset (dev A/B) runs, which ARE solo.
+    val okResults = results.filter(_._2 >= 0)
+    val passMedian =
+      if (okResults.isEmpty) 0.0
+      else okResults.map(_._2).sorted.apply(okResults.size / 2)
+    val soloSet: Seq[(String, Double, Long, Long, Long, Long)] = {
+      val top15 = okResults.sortBy(-_._2).take(15)
+      val outliers = okResults.filter(_._2 > 2.5 * passMedian)
+      (top15 ++ outliers).distinctBy(_._1)
+    }
     val soloMedians: Seq[(String, Double)] =
       if (subset.nonEmpty) Seq.empty
-      else results.filter(_._2 >= 0).sortBy(-_._2).take(15).map { r =>
+      else soloSet.map { r =>
         val fn = SparkEntry.queries(r._1)
         val ts = (1 to 3).map { _ =>
           drainBlocks(spark)

@@ -1065,7 +1065,7 @@ object SparkEntry {
       }.mkString(", ") +
         """ FROM (SELECT user_id, event_type,
              CAST(round(value * 100) AS BIGINT) AS cents FROM events)
-           PIVOT (count(cents) AS n, sum(cents) AS cents
+           PIVOT (count(1) AS n, sum(cents) AS cents
                   FOR event_type IN ('click' AS click, 'error' AS error,
                     'purchase' AS purchase, 'signup' AS signup, 'view' AS view))""")
     }),

@@ -85,15 +85,26 @@ object GraftFunctions {
   private val wminhashSigInfo = new ExpressionInfo(
     classOf[WeightedMinHashSig].getCanonicalName, "graft_wminhash_sig")
 
+  /** Fold the numHashes argument to Int with a clear error: a foldable
+    * non-INT literal (CAST(16 AS BIGINT), a smallint) must raise the
+    * documented IllegalArgumentException, not a ClassCastException from a
+    * blind asInstanceOf at analysis time. */
+  private[functions] def evalNumHashes(e: Expression): Int = {
+    val v = if (e.foldable) e.eval() else null
+    v match {
+      case i: Int => i
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+      case _ => throw new IllegalArgumentException(
+        "graft_wminhash_sig numHashes must be a literal integer")
+    }
+  }
+
   private def wminhashSigBuilder(children: Seq[Expression]): Expression = {
     require(children.length == 2,
       "graft_wminhash_sig expects (tokens, numHashes)")
-    val h = children(1) match {
-      case e if e.foldable => e.eval().asInstanceOf[Int]
-      case _ => throw new IllegalArgumentException(
-        "graft_wminhash_sig numHashes must be a literal int")
-    }
-    WeightedMinHashSig(children.head, h)
+    WeightedMinHashSig(children.head, evalNumHashes(children(1)))
   }
 
   /** Imperative registration so `spark.sql("SELECT graft_cosine(a, b)")`
@@ -215,12 +226,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WeightedMinHashSig].getCanonicalName, "graft_wminhash_sig"),
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_wminhash_sig expects (tokens, numHashes)")
-        val h = children(1) match {
-          case e if e.foldable => e.eval().asInstanceOf[Int]
-          case _ => throw new IllegalArgumentException(
-            "graft_wminhash_sig numHashes must be a literal int")
-        }
-        WeightedMinHashSig(children.head, h)
+        WeightedMinHashSig(children.head, GraftFunctions.evalNumHashes(children(1)))
       }))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)

@@ -65,7 +65,12 @@ object WeightedMinHashSig {
     * vocabulary entry serves every document on the executor. Bounded so
     * an adversarial unbounded vocabulary degrades to recompute-per-doc
     * instead of OOM. */
-  private final val MaxMemo = 1 << 20
+  // The budget bounds RETAINED DOUBLES, not entries: each entry holds
+  // numHashes doubles (up to 1024 allowed), so a fixed entry cap would
+  // retain up to ~8 GB per executor JVM at high H. 2^23 doubles = 64 MB
+  // worst case; at the default H=16 that still memoizes ~512k tokens.
+  private final val MaxMemoDoubles = 1L << 23
+  private val memoDoubles = new java.util.concurrent.atomic.AtomicLong(0L)
   private val memo = new ConcurrentHashMap[UTF8String, Array[Double]]()
 
   private val md5Local = new ThreadLocal[MessageDigest] {
@@ -95,7 +100,15 @@ object WeightedMinHashSig {
     val cached = memo.get(token)
     if (cached != null && cached.length >= h) return cached
     val fresh = nluArray(token, h)
-    if (memo.size() < MaxMemo) memo.put(token.clone(), fresh)
+    // reserve-then-store keeps the retained-bytes bound exact even under
+    // concurrent puts; a replaced shorter array's doubles are released.
+    // Past the budget the function degrades to recompute-per-doc, not OOM.
+    if (memoDoubles.addAndGet(h.toLong) <= MaxMemoDoubles) {
+      val prev = memo.put(token.clone(), fresh)
+      if (prev != null) memoDoubles.addAndGet(-prev.length.toLong)
+    } else {
+      memoDoubles.addAndGet(-h.toLong)
+    }
     fresh
   }
 

@@ -313,10 +313,18 @@ object Dedup {
   def minhashCalibration(docs: DataFrame, numHashes: Int = 16,
                          bandSize: Int = 8): DataFrame = {
     val (cand, dt, sigs) = lshCandidates(docs, numHashes, bandSize)
+    // localCheckpoint: each frame feeds TWO joins below (a_id and b_id
+    // sides). Unpinned, every consumer re-derived the whole lshCandidates
+    // chain when the tracked shingle cache was evicted mid-pass — the
+    // text_ann r15 signature, here ×4 (official 41.0 s vs 2.6 s solo).
+    // Both frames are corpus-row-bounded and narrow; checkpointed
+    // partitions cannot be evicted, so each builds exactly once.
     val sigArr = sigs.select(col("doc_id"),
       array((0 until numHashes).map(i => col(s"sig$i")): _*).as("sig"))
+      .localCheckpoint(true)
     val docArr = dt.groupBy("doc_id")
       .agg(sort_array(collect_list(col("token"))).as("arr"))
+      .localCheckpoint(true)
     cand
       .join(sigArr.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
       .join(sigArr.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")

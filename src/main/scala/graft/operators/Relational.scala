@@ -3993,13 +3993,16 @@ object Relational {
     val treated = spends.filter(col("user_id") % 2 === 1)
       .select(col("user_id").as("t_id"), col("pre").as("t_pre"),
         col("post").as("t_post"),
-        explode(array((col("pre") / caliper - 1).cast("long"),
-          (col("pre") / caliper).cast("long"),
-          (col("pre") / caliper + 1).cast("long"))).as("bucket"))
+        // floor(), not double-divide + cast: cast truncates toward zero,
+        // which diverges from the oracle's integral floor division (`//`)
+        // the moment a pre-period spend is negative (refund-heavy user)
+        explode(array(floor(col("pre") / caliper).cast("long") - 1,
+          floor(col("pre") / caliper).cast("long"),
+          floor(col("pre") / caliper).cast("long") + 1)).as("bucket"))
     val control = spends.filter(col("user_id") % 2 === 0)
       .select(col("user_id").as("c_id"), col("pre").as("c_pre"),
         col("post").as("c_post"),
-        (col("pre") / caliper).cast("long").as("bucket"))
+        floor(col("pre") / caliper).cast("long").as("bucket"))
     val matched = treated.join(control, "bucket")
       .filter(abs(col("t_pre") - col("c_pre")) <= caliper)
       .groupBy("t_id")

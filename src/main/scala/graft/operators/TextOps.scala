@@ -1153,6 +1153,13 @@ object TextOps {
         concat_ws(" ", slice(col("toks"), (col("chunk_id") * win + 1).cast("int"), lit(win)))
           .as("chunk_text"))
       .withColumn("h", md5(col("chunk_text")))
+      // localCheckpoint: `chunks` feeds BOTH sides of the df-join below
+      // (the frequency census and the reassembly stream). Unpinned, the
+      // tokenize+explode chain built twice and was exposed to mid-pass
+      // eviction recompute (official 4.6 s vs 1.6 s solo at r15) — the
+      // minhash_calibration/text_ann class. Corpus-linear (one row per
+      // win-token window), narrow, builds once pinned.
+      .localCheckpoint(true)
     val common = chunks.select(col("h"), col("doc_id")).distinct()
       .groupBy("h").agg(count(lit(1)).as("df_docs"))
       .filter(col("df_docs") >= minDocs)
@@ -1764,11 +1771,21 @@ object TextOps {
     * ranks by a salted hash so the draw is unbiased w.r.t. doc order
     * yet fully deterministic. */
   def balancedSample(docs: DataFrame, perGroup: Int = 20): DataFrame = {
+    // The output carries `rn`, which blocks the TopKRewriteRule (the rank
+    // values are observable), so take the heap path explicitly: TopKPerKey
+    // bounds each partition to perGroup rows per lang BEFORE the shuffle
+    // (the domainCap discipline — no per-lang full sort on one task), and
+    // the residual window ranks only the ≤ perGroup·|langs| survivors.
+    graft.plans.TopK.register(docs.sparkSession)
+    val keyed = docs.select(col("doc_id"), col("lang"),
+      md5(concat(lit("bs:"), col("doc_id").cast("string"))).as("h"))
+    val pruned = graft.plans.TopK.topKPerKey(
+      keyed, Seq("lang"), Seq("h" -> true, "doc_id" -> true), perGroup)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
-      .orderBy(md5(concat(lit("bs:"), col("doc_id").cast("string"))), col("doc_id"))
-    docs.select(col("doc_id"), col("lang"))
-      .withColumn("rn", row_number().over(w).cast("long"))
+      .orderBy(col("h"), col("doc_id"))
+    pruned.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= perGroup)
+      .select(col("doc_id"), col("lang"), col("rn"))
   }
 
   /** One-pass table profiler (B73): per-column row/non-null/distinct

@@ -328,6 +328,27 @@ class PlanShapeSpec extends SparkSpec {
     graft.CacheTracker.drainAll(spark)
   }
 
+  test("round-16 heap replans: neyman_allocation and balanced_sample") {
+    // neyman_allocation: the corpus-sized md5 pre-rank must take the
+    // literal-k bounded-heap path (no stratum is ever sorted whole on one
+    // task); any per-lang Window left in the plan may rank only the heap's
+    // budget-bounded output — i.e. must have a TopKPerKeyPlan beneath it
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = SparkEntry.queries("neyman_allocation")(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(lp.collectFirst { case t: graft.plans.TopKPerKeyPlan => t }.isDefined,
+      "neyman's md5 pre-rank must replan as TopKPerKey")
+    for (w <- lp.collect { case w: LWindow if w.partitionSpec.nonEmpty => w })
+      assert(w.child.collectFirst {
+          case t: graft.plans.TopKPerKeyPlan => t }.isDefined,
+        s"data-sized partitioned window survived the heap replan:\n$w")
+    // balanced_sample keeps `rn` observable, so it routes through the heap
+    // operator explicitly (the domainCap discipline)
+    assert(plan("balanced_sample").contains("TopKPerKey"),
+      "balanced_sample must prune through the TopKPerKey heap")
+    graft.CacheTracker.drainAll(spark)
+  }
+
   test("join hints are honored: broadcast vs merge on the same join") {
     val a = spark.read.parquet(s"$sf/orders.parquet")
     val b = spark.read.parquet(s"$sf/customer.parquet")
