@@ -299,6 +299,42 @@ object ScaleCheck {
           s""""caliper_match":{"sec":$tCm,"rows":$nCm}}""")
         docs.unpersist(); events.unpersist()
         graft.CacheTracker.drainAll(spark)
+      } else if (sections.contains("r16")) {
+        // exact-percentile scale-guard rows: Spark's exact `percentile`
+        // aggregate buffers each GROUP's values on one executor, so the
+        // peak buffer (maxGroupRows, measured at the data level — the
+        // TypedImperativeAggregate buffer is invisible to TaskMetrics)
+        // grows ×m under duplication with NO cap, while the
+        // approx_percentile twin's mergeable sketch state stays bounded.
+        // Buffer sizes + both time curves printed so the artifact shows
+        // the documented guard's reason: at 100 TB the exact names OOM
+        // an executor, the approx path cannot.
+        val docs = multiplyDocs(docs0, m)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs.count()
+        val events = multiplyEvents(events0, m)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        events.count()
+        val bufChar = maxGroupRows(docs, col("lang"))
+        val (tCp, _) = timedForce(graft.operators.TextOps.charPercentiles(docs))
+        graft.CacheTracker.releaseAll()
+        val (tCpA, _) =
+          timedForce(graft.operators.TextOps.approxCharPercentiles(docs))
+        graft.CacheTracker.releaseAll()
+        val bufVal = maxGroupRows(events, col("event_type"))
+        val (tVp, _) =
+          timedForce(Relational.valuePercentilesByType(events))
+        graft.CacheTracker.releaseAll()
+        val (tIa, _) = timedForce(Relational.interarrivalStats(events))
+        graft.CacheTracker.releaseAll()
+        println(s"""{"m":$m,"docs":${docs.count()},"events":${events.count()},""" +
+          s""""max_group_rows":{"char_percentiles":$bufChar,"value_percentiles_by_type":$bufVal},""" +
+          s""""char_percentiles":{"sec":$tCp},""" +
+          s""""approx_char_percentiles":{"sec":$tCpA},""" +
+          s""""value_percentiles_by_type":{"sec":$tVp},""" +
+          s""""interarrival_stats":{"sec":$tIa}}""")
+        docs.unpersist(); events.unpersist()
+        graft.CacheTracker.drainAll(spark)
       } else if (sections.contains("r14b")) {
         // the nano-unit partial-agg rewrite (docEmbedHash / topicLabels
         // token mass): under m-way duplication the exploded contribution

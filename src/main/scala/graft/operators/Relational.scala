@@ -1262,7 +1262,15 @@ object Relational {
     * as charPercentiles) plus an exact mean. The latency/frequency
     * profile behind retention and anomaly baselines. One shuffle on
     * (user_id, event_type) for the lag, one partial-agg shuffle onto the
-    * tiny event_type key. */
+    * tiny event_type key.
+    *
+    * SCALE GUARD: the exact `percentile` buffers each event_type group's
+    * gaps on one executor — |types| is tiny, so each group is
+    * corpus-sized/|types| and WILL exceed executor memory at 100 TB. The
+    * 100 TB path is approx_percentile over the same lag frame (the
+    * [[graft.operators.TextOps.approxCharPercentiles]] discipline —
+    * mergeable sketch, bounded state); this exact name is the small-SF
+    * oracle. BASELINE.md ScaleCheck r16 pins the growth. */
   def interarrivalStats(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id", "event_type").orderBy(col("us"), col("event_id"))
@@ -2365,7 +2373,15 @@ object Relational {
     * event type via the exact interpolated `percentile` (≡ DuckDB
     * quantile_cont) — the tail-latency/ticket-size readout every ops
     * dashboard leads with, complementing [[eventsWinsorize]]'s
-    * clip-bounds. One aggregate; per-type groups bound the sort. */
+    * clip-bounds. One aggregate; per-type groups bound the sort.
+    *
+    * SCALE GUARD: "per-type groups bound the sort" bounds WIDTH, not
+    * size — each of the ~5 types buffers corpus/|types| values on one
+    * executor in the exact `percentile`, an OOM at 100 TB. The 100 TB
+    * path swaps in approx_percentile (mergeable sketch, bounded state,
+    * the [[graft.operators.TextOps.approxCharPercentiles]] discipline);
+    * this exact name is the small-SF oracle. BASELINE.md ScaleCheck r16
+    * pins the growth. */
   def valuePercentilesByType(events: DataFrame): DataFrame =
     events.select(col("event_type"), cents(col("value")).as("c"))
       .groupBy("event_type")

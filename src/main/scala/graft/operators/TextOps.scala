@@ -368,7 +368,15 @@ object TextOps {
   }
 
   /** Per-lang char-length percentiles (B12b): exact linear-interpolation
-    * percentiles, the distribution profile a corpus curation pass reads. */
+    * percentiles, the distribution profile a corpus curation pass reads.
+    *
+    * SCALE GUARD: Spark's exact `percentile` aggregate buffers every
+    * value of a group on one executor — fine at oracle SFs, an executor
+    * OOM once a single lang holds billions of docs. The 100 TB path is
+    * the mergeable-sketch twin [[approxCharPercentiles]]
+    * (approx_percentile, bounded state, same schema); this exact name is
+    * the small-SF oracle and audit surface. BASELINE.md ScaleCheck r16
+    * pins the growth. */
   def charPercentiles(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang"))
       .agg(
