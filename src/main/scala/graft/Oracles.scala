@@ -4796,6 +4796,76 @@ object Oracles {
         |UNION ALL SELECT lang, 'min_chars', min_chars FROM w
         |UNION ALL SELECT lang, 'max_chars', max_chars FROM w""".stripMargin,
 
+    // exact rolling distinct via bitmap word partials (C238): bit_or is
+    // idempotent, so the raw event stream needs no pre-distinct
+    "bitmap_window_distinct" ->
+      """WITH w AS (SELECT epoch_ns(ts) // 1000 // 86400000000 AS day,
+        |    user_id // 32 AS word,
+        |    CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER) AS bit FROM events),
+        |days AS (SELECT DISTINCT day FROM w),
+        |daily AS (SELECT day, word, bit_or(bit) AS bits FROM w GROUP BY 1, 2),
+        |m AS (SELECT win_day, word, bit_or(bits) AS bits FROM (
+        |    SELECT unnest(range(day, day + 7)) AS win_day, word, bits FROM daily)
+        |  WHERE win_day IN (SELECT day FROM days) GROUP BY 1, 2),
+        |agg AS (SELECT win_day, CAST(sum(bit_count(bits)) AS BIGINT) AS n_distinct,
+        |    CAST(count(*) AS BIGINT) AS n_words FROM m GROUP BY 1),
+        |ex AS (SELECT win_day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_true FROM (
+        |    SELECT unnest(range(day, day + 7)) AS win_day, user_id
+        |    FROM (SELECT DISTINCT epoch_ns(ts) // 1000 // 86400000000 AS day, user_id
+        |          FROM events))
+        |  WHERE win_day IN (SELECT day FROM days) GROUP BY 1)
+        |SELECT agg.win_day, n_distinct, n_true, n_words
+        |FROM agg JOIN ex USING (win_day)""".stripMargin,
+
+    // discrete per-type percentiles (C239): value AT rank ceil(p*n) under
+    // the total (cents, event_id) order — self-defined, engine-agnostic
+    "value_percentiles_disc" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |r AS (SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c, event_id) AS rnk,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM e)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+        |  CAST(min(CASE WHEN rnk = (n + 1) // 2 THEN c END) AS BIGINT) AS p50_cents,
+        |  CAST(min(CASE WHEN rnk = (9 * n + 9) // 10 THEN c END) AS BIGINT) AS p90_cents,
+        |  CAST(min(CASE WHEN rnk = (99 * n + 99) // 100 THEN c END) AS BIGINT) AS p99_cents
+        |FROM r GROUP BY event_type""".stripMargin,
+
+    // join-view IVM (C240): the oracle is the from-scratch join+agg the
+    // four-term delta union must equal
+    "ivm_join" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey""".stripMargin,
+
+    // skew/kurtosis from exact integer power sums (C241): HUGEINT mirrors
+    // decimal(38,0); every emitted statistic is an O(1) ratio
+    "price_moments" ->
+      """WITH s AS (SELECT c_mktsegment, count(*) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s1,
+        |    sum(c::HUGEINT * c) AS s2,
+        |    sum(c::HUGEINT * c * c) AS s3,
+        |    sum(c::HUGEINT * c * c * c) AS s4
+        |  FROM (SELECT c_mktsegment, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |        FROM orders JOIN customer ON o_custkey = c_custkey)
+        |  GROUP BY c_mktsegment),
+        |d AS (SELECT c_mktsegment, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4 FROM s),
+        |mm AS (SELECT c_mktsegment, n, mu,
+        |    e2 - mu * mu AS m2,
+        |    e3 - 3.0 * mu * e2 + 2.0 * mu * mu * mu AS m3,
+        |    e4 - 4.0 * mu * e3 + 6.0 * mu * mu * e2 - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM d)
+        |SELECT c_mktsegment, CAST(n AS BIGINT) AS n_orders,
+        |  round(mu / 100.0, 6) AS mean_dollars,
+        |  round(m3 / sqrt(m2 * m2 * m2), 6) AS skewness,
+        |  round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+        |FROM mm""".stripMargin,
+
     // stationary distribution of the event-type Markov chain: 12
     // unrolled power steps, 9dp products folded in from-state order
     "markov_stationary" -> {

@@ -1087,6 +1087,20 @@ object SparkEntry {
       Relational.spendTheilDecomp(t(s, d, "orders"), t(s, d, "customer"))),
     "preference_length_bias" -> ((s, d) =>
       TextOps.preferenceLengthBias(spread(t(s, d, "documents")))),
+    // C238: exact mergeable rolling distinct via bitmap word partials
+    "bitmap_window_distinct" -> ((s, d) =>
+      Sketches.bitmapWindowDistinct(events(s, d))),
+    // C239: discrete percentiles via the grouped two-pass rank — the
+    // scale-safe exact alternative to the buffering `percentile` agg
+    "value_percentiles_disc" -> ((s, d) =>
+      Relational.valuePercentilesDisc(events(s, d))),
+    // C240: delta-join algebra (join-view IVM), four-term union pinned
+    // equal to the from-scratch join by the oracle
+    "ivm_join" -> ((s, d) =>
+      Relational.ivmJoin(t(s, d, "orders"), t(s, d, "customer"))),
+    // C241: skewness/kurtosis from exact integer power sums
+    "price_moments" -> ((s, d) =>
+      Relational.priceMoments(t(s, d, "orders"), t(s, d, "customer"))),
     // C233: SQL UNPIVOT syntax — wide per-lang stats melted back to
     // (lang, metric, val) rows in the parser, the inverse face of C232
     "sql_unpivot_stats" -> ((s, d) => {

@@ -4039,4 +4039,90 @@ object Relational {
         round(col("sum_dist").cast("double") / col("n_matched") / 100.0, 6)
           .as("avg_match_dist_dollars"))
   }
+
+  /** DISCRETE per-type value percentiles (C239): the value AT global rank
+    * ⌈p·n⌉ under the total (cents, event_id) order — the scale-safe exact
+    * alternative to [[valuePercentilesByType]]'s interpolating `percentile`
+    * aggregate, which buffers each group's values on one executor (the r16
+    * scale guard). Ranks come from Ranks' grouped two-pass range-partitioned
+    * machinery, so no task ever holds more than a range slice of one type;
+    * the percentile readout is a conditional aggregate on three
+    * integer-exact rank targets (⌈n/2⌉, ⌈9n/10⌉, ⌈99n/100⌉). Discrete
+    * (a value that OCCURRED) rather than interpolated — the honest
+    * distinction stated in the name. */
+  def valuePercentilesDisc(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_type"), col("event_id"),
+      cents(col("value")).as("c"), lit(1L).as("one"))
+    val ranked = Ranks.withGroupedRankCumSum(e, Seq("event_type"), "one",
+      "rnk", "_cum", "n", Seq(col("c"), col("event_id")))
+    ranked.groupBy("event_type")
+      .agg(
+        max(col("n")).as("n_events"),
+        min(when(col("rnk") === expr("(n + 1) div 2"), col("c"))).as("p50_cents"),
+        min(when(col("rnk") === expr("(9 * n + 9) div 10"), col("c"))).as("p90_cents"),
+        min(when(col("rnk") === expr("(99 * n + 99) div 100"), col("c"))).as("p99_cents"))
+  }
+
+  /** Incremental view maintenance for a JOIN view (C240): the delta-join
+    * algebra Δ(A ⋈ B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB, demonstrated end-to-end —
+    * orders and customers each split into a standing 80/70% and a delta
+    * 20/30% slice, the per-nation revenue view computed as the UNION OF
+    * THE FOUR DELTA TERMS and pinned (by the oracle's plain join+agg)
+    * value-identical to recomputing the view from scratch. The C116
+    * aggregate-IVM row's join-sided sibling: at 100 TB the three
+    * delta-sided terms touch only delta-sized frames; A₀⋈B₀ is the
+    * standing view a real pipeline already holds. Customer slices
+    * broadcast (dimension-sized); the fact side never re-shuffles per
+    * term beyond its one hash partitioning. */
+  def ivmJoin(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val o = orders.select(col("o_orderkey"), col("o_custkey"),
+      cents(col("o_totalprice")).as("pc"))
+    val c = customer.select(col("c_custkey"), col("c_nationkey"))
+    val oStand = o.filter(col("o_orderkey") % 10 < 8)
+    val oDelta = o.filter(col("o_orderkey") % 10 >= 8)
+    val cStand = c.filter(col("c_custkey") % 10 < 7)
+    val cDelta = c.filter(col("c_custkey") % 10 >= 7)
+    def term(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(broadcast(b), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("pc"))
+    term(oStand, cStand)
+      .unionByName(term(oStand, cDelta))
+      .unionByName(term(oDelta, cStand))
+      .unionByName(term(oDelta, cDelta))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"), sum(col("pc")).as("revenue_cents"))
+  }
+
+  /** Higher-order price moments per market segment (C241): skewness and
+    * excess kurtosis of order totals from EXACT integer power sums — Σc,
+    * Σc², Σc³, Σc⁴ ride as decimal(38,0) (c ≤ ~5e7 cents ⇒ Σc⁴ ≤ ~1e37,
+    * inside 38 digits; DuckDB mirrors in HUGEINT), so the one double
+    * conversion happens on exact integers and every emitted statistic is
+    * an O(1) ratio (the dispersion_index discipline — never a 6-dp round
+    * of a 1e30 magnitude). Central moments expand algebraically from the
+    * raw sums in ONE mirrored expression per statistic. One broadcast of
+    * customer, one partial-agg shuffle onto the 5-segment key. */
+  def priceMoments(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val cd = col("c").cast("decimal(38,0)")
+    val m = orders.select(col("o_custkey"), cents(col("o_totalprice")).as("c"))
+      .join(broadcast(customer.select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment"))), "o_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).as("s1"),
+        sum(cd * cd).as("s2"),
+        sum(cd * cd * cd).as("s3"),
+        sum(cd * cd * cd * cd).as("s4"))
+    val n = col("n").cast("double")
+    val mu = col("s1").cast("double") / n
+    val m2 = col("s2").cast("double") / n - mu * mu
+    val m3 = (col("s3").cast("double") / n - lit(3.0) * mu * (col("s2").cast("double") / n)) +
+      lit(2.0) * mu * mu * mu
+    val m4 = ((col("s4").cast("double") / n - lit(4.0) * mu * (col("s3").cast("double") / n)) +
+      lit(6.0) * mu * mu * (col("s2").cast("double") / n)) - lit(3.0) * mu * mu * mu * mu
+    m.select(col("c_mktsegment"), col("n").as("n_orders"),
+      round(mu / 100.0, 6).as("mean_dollars"),
+      round(m3 / sqrt(m2 * m2 * m2), 6).as("skewness"),
+      round(m4 / (m2 * m2) - lit(3.0), 6).as("excess_kurtosis"))
+  }
 }

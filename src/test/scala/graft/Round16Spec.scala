@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-16 operators: bitmap windowed distinct, discrete percentiles,
+  * join-view IVM, exact-integer higher moments. */
+class Round16Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def eventsDf = {
+    assumeTestdata(sf)
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    SparkEntry.normalizeEventTs(iso.read.parquet(s"$sf/events.parquet"))
+  }
+
+  test("bitmap_window_distinct is EXACT: n_distinct equals the raw windowed countDistinct") {
+    val out = operators.Sketches.bitmapWindowDistinct(eventsDf).collect()
+    assert(out.nonEmpty)
+    for (r <- out)
+      assert(r.getAs[Long]("n_distinct") === r.getAs[Long]("n_true"),
+        s"bitmap count diverged on win_day ${r.getAs[Long]("win_day")}")
+    CacheTracker.drainAll(spark)
+  }
+
+  test("bitmap word partials merge like the window: single-day window equals daily count") {
+    val one = operators.Sketches.bitmapWindowDistinct(eventsDf, window = 1)
+    val daily = eventsDf
+      .select(expr("unix_micros(ts) div 86400000000").as("win_day"), col("user_id"))
+      .groupBy("win_day").agg(countDistinct(col("user_id")).as("d"))
+    val joined = one.join(daily, "win_day")
+      .filter(col("n_distinct") =!= col("d")).count()
+    assert(joined === 0)
+    CacheTracker.drainAll(spark)
+  }
+
+  test("value_percentiles_disc picks values that occurred, bracketing the exact interpolated percentile") {
+    val e = eventsDf
+    val disc = operators.Relational.valuePercentilesDisc(e).collect()
+    assert(disc.nonEmpty)
+    val allVals = e.select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy("event_type")
+      .agg(expr("percentile(c, 0.5)").as("p50x"), max(col("c")).as("mx"),
+        min(col("c")).as("mn"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (r <- disc) {
+      val ty = r.getAs[String]("event_type")
+      val x = allVals(ty)
+      val p50 = r.getAs[Long]("p50_cents")
+      // a discrete median sits within one value of the interpolated one
+      assert(math.abs(p50 - x.getAs[Double]("p50x")) <= math.max(1.0, x.getAs[Double]("p50x").abs),
+        s"$ty: discrete median $p50 far from interpolated ${x.getAs[Double]("p50x")}")
+      assert(r.getAs[Long]("p90_cents") >= p50)
+      assert(r.getAs[Long]("p99_cents") >= r.getAs[Long]("p90_cents"))
+      assert(r.getAs[Long]("p99_cents") <= x.getAs[Long]("mx"))
+      assert(r.getAs[Long]("n_events") === x.getAs[Long]("n"))
+    }
+    CacheTracker.drainAll(spark)
+  }
+
+  test("value_percentiles_disc plans no data-sized single-task window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = operators.Relational.valuePercentilesDisc(eventsDf)
+      .queryExecution.optimizedPlan
+    val unpartitioned = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    for (w <- unpartitioned) {
+      val cols = w.child.output.map(_.name).toSet
+      assert(cols.subsetOf(Set("_pid", "_cnt", "_off", "_psum", "_roff", "_coff",
+          "event_type")),
+        s"data-sized unpartitioned window over $cols")
+    }
+    // every partitioned window must be bounded: either the local rank
+    // (partitioned by _pid — a range slice, never a whole group) or the
+    // offsets roll-up over the (partitions × groups)-sized counts frame
+    val partitioned = lp.collect { case w: LWindow if w.partitionSpec.nonEmpty => w }
+    assert(partitioned.nonEmpty, "expected the two-pass rank windows")
+    for (w <- partitioned) {
+      val byPid = w.partitionSpec.exists(_.references.exists(_.name == "_pid"))
+      val countsFrame = w.child.output.map(_.name).toSet.subsetOf(
+        Set("_pid", "event_type", "_cnt", "_psum", "_roff", "_coff", "n"))
+      assert(byPid || countsFrame,
+        s"unbounded partitioned window over ${w.child.output.map(_.name)}")
+    }
+    CacheTracker.drainAll(spark)
+  }
+
+  test("ivm_join four-term delta union equals the from-scratch join") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val ivm = operators.Relational.ivmJoin(o, c)
+    val scratch = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("revenue_cents"))
+    assert(ivm.exceptAll(scratch).count() === 0)
+    assert(scratch.exceptAll(ivm).count() === 0)
+    CacheTracker.drainAll(spark)
+  }
+
+  test("price_moments matches Spark's own skewness/kurtosis to 1e-6") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val ours = operators.Relational.priceMoments(o, c).collect()
+      .map(r => r.getAs[String]("c_mktsegment") ->
+        (r.getAs[Double]("skewness"), r.getAs[Double]("excess_kurtosis"))).toMap
+    // Spark's skewness/kurtosis aggregates are the population (biased)
+    // definitions — the same m3/m2^1.5 and m4/m2^2 - 3 we expand from the
+    // raw power sums, so the two must agree to rounding
+    val ref = o.select(col("o_custkey"), expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .join(c.select(col("c_custkey").as("o_custkey"), col("c_mktsegment")), "o_custkey")
+      .groupBy("c_mktsegment")
+      .agg(skewness(col("cents").cast("double")).as("sk"),
+        kurtosis(col("cents").cast("double")).as("ku"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for ((seg, (sk, ku)) <- ours) {
+      assert(math.abs(sk - ref(seg)._1) < 1e-5, s"$seg skewness: $sk vs ${ref(seg)._1}")
+      assert(math.abs(ku - ref(seg)._2) < 1e-5, s"$seg kurtosis: $ku vs ${ref(seg)._2}")
+    }
+    CacheTracker.drainAll(spark)
+  }
+}
