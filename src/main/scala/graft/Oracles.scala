@@ -4796,6 +4796,104 @@ object Oracles {
         |UNION ALL SELECT lang, 'min_chars', min_chars FROM w
         |UNION ALL SELECT lang, 'max_chars', max_chars FROM w""".stripMargin,
 
+    // Gini over token frequencies (B259): the spend_gini rank formula
+    // over the vocabulary
+    "vocab_gini" ->
+      s"""WITH c AS (SELECT token, count(*) AS c
+         |  FROM (SELECT unnest($toks) AS token FROM documents) GROUP BY token),
+         |r AS (SELECT c, row_number() OVER (ORDER BY c, token) AS i FROM c),
+         |s AS (SELECT count(*) AS n_types, CAST(sum(c) AS BIGINT) AS total_tokens,
+         |  sum(i::HUGEINT * c) AS rank_sum FROM r)
+         |SELECT CAST(n_types AS BIGINT) AS n_types, total_tokens,
+         |  round(2.0 * CAST(rank_sum AS DOUBLE) / (CAST(n_types AS DOUBLE) * total_tokens)
+         |        - CAST(n_types + 1 AS DOUBLE) / n_types, 6) AS gini
+         |FROM s""".stripMargin,
+
+    // pairwise source win-rate matrix (B260): top-10 quality reps per
+    // (lang, source), head-to-head within lang; quality ties score neither
+    "pairwise_win_matrix" ->
+      s"""WITH q AS (SELECT doc_id, lang, source, $qualitySql AS q FROM documents),
+         |r AS (SELECT lang, source, q,
+         |  row_number() OVER (PARTITION BY lang, source ORDER BY q DESC, doc_id) AS rnk FROM q),
+         |top AS (SELECT lang, source, q FROM r WHERE rnk <= 10)
+         |SELECT a.lang, a.source AS src_a, b.source AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN a.q > b.q THEN 1 ELSE 0 END) AS BIGINT) AS wins_a,
+         |  CAST(sum(CASE WHEN b.q > a.q THEN 1 ELSE 0 END) AS BIGINT) AS wins_b,
+         |  round(CAST(sum(CASE WHEN a.q > b.q THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         |    AS win_rate_a
+         |FROM top a JOIN top b ON a.lang = b.lang AND a.source < b.source
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // Burrows's Delta (B261): z-scored top-20 token relative frequencies,
+    // sorted folds throughout, var > 0 gate (no NaN comparisons)
+    "burrows_delta" ->
+      s"""WITH tk AS (SELECT source, unnest($toks) AS token FROM documents),
+         |cnt AS (SELECT source, token, count(*) AS c FROM tk GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+         |top AS (SELECT token FROM (SELECT token, sum(c) AS gc FROM cnt GROUP BY 1)
+         |        ORDER BY gc DESC, token LIMIT 20),
+         |grid AS (SELECT t.source, p.token,
+         |    round(CAST(coalesce(c.c, 0) AS DOUBLE) / t.tot, 9) AS f
+         |  FROM tot t CROSS JOIN top p
+         |  LEFT JOIN cnt c ON c.source = t.source AND c.token = p.token),
+         |st AS (SELECT token, count(*) AS ns,
+         |    list_reduce(list_sort(list(f)), (a, b) -> a + b) AS sf,
+         |    list_reduce(list_sort(list(f * f)), (a, b) -> a + b) AS sf2
+         |  FROM grid GROUP BY 1),
+         |sv AS (SELECT token, sf / ns AS mu,
+         |    sf2 / ns - (sf / ns) * (sf / ns) AS variance FROM st
+         |  WHERE sf2 / ns - (sf / ns) * (sf / ns) > 0.0),
+         |z AS (SELECT g.source, g.token, round((g.f - s.mu) / sqrt(s.variance), 6) AS z
+         |  FROM grid g JOIN sv s ON g.token = s.token),
+         |d AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(round(abs(a.z - b.z) * 1000000) AS BIGINT) AS dzm
+         |  FROM z a JOIN z b ON a.token = b.token AND a.source < b.source),
+         |g AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_tokens_used,
+         |  CAST(sum(dzm) AS BIGINT) AS s FROM d GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_tokens_used,
+         |  CAST((2 * s + n_tokens_used) // (2 * n_tokens_used) AS DOUBLE) / 1000000.0 AS delta
+         |FROM g""".stripMargin,
+
+    // simhash hamming histogram (B262): the simhash_det fingerprint at
+    // radius 6 (7 pigeonhole chunks of 32//7 bits), pair counts by distance
+    "simhash_hamming_hist" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM t),
+         |bs AS (SELECT doc_id, j,
+         |  sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS j) GROUP BY doc_id, j),
+         |fp AS (SELECT doc_id,
+         |  CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bs GROUP BY doc_id),
+         |blk AS (SELECT doc_id, simhash, q,
+         |  (simhash >> (q * 32 // 7)) & ((1::BIGINT << ((q + 1) * 32 // 7 - q * 32 // 7)) - 1) AS key
+         |  FROM fp CROSS JOIN (SELECT unnest(range(0, 7)) AS q)),
+         |p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  a.simhash AS afp, b.simhash AS bfp
+         |  FROM blk a JOIN blk b ON a.q = b.q AND a.key = b.key AND a.doc_id < b.doc_id),
+         |hd AS (SELECT CAST(bit_count(xor(afp, bfp)) AS BIGINT) AS hamming FROM p
+         |  WHERE bit_count(xor(afp, bfp)) <= 6)
+         |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs FROM hd GROUP BY 1""".stripMargin,
+
+    // Spearman rho with average ranks in exact 2x-rank integer space
+    // (B263): HUGEINT moments mirror decimal(38,0)
+    "spearman_quality_length" ->
+      s"""WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS len, $qualitySql AS q FROM documents),
+         |lv AS (SELECT len, count(*) AS cnt FROM s GROUP BY 1),
+         |lr AS (SELECT len, 2 * sum(cnt) OVER (ORDER BY len) - cnt + 1 AS rx FROM lv),
+         |qv AS (SELECT q, count(*) AS cnt FROM s GROUP BY 1),
+         |qr AS (SELECT q, 2 * sum(cnt) OVER (ORDER BY q) - cnt + 1 AS ry FROM qv),
+         |b AS (SELECT rx, ry FROM s JOIN lr USING (len) JOIN qr USING (q)),
+         |m AS (SELECT count(*) AS n, sum(rx::HUGEINT) AS sx, sum(ry::HUGEINT) AS sy,
+         |  sum(rx::HUGEINT * ry) AS sxy, sum(rx::HUGEINT * rx) AS sxx,
+         |  sum(ry::HUGEINT * ry) AS syy FROM b)
+         |SELECT CAST(n AS BIGINT) AS n_docs,
+         |  round(CAST(n::HUGEINT * sxy - sx * sy AS DOUBLE)
+         |    / (sqrt(CAST(n::HUGEINT * sxx - sx * sx AS DOUBLE))
+         |       * sqrt(CAST(n::HUGEINT * syy - sy * sy AS DOUBLE))), 6) AS rho_spearman
+         |FROM m""".stripMargin,
+
     // exact rolling distinct via bitmap word partials (C238): bit_or is
     // idempotent, so the raw event stream needs no pre-distinct
     "bitmap_window_distinct" ->

@@ -1087,6 +1087,21 @@ object SparkEntry {
       Relational.spendTheilDecomp(t(s, d, "orders"), t(s, d, "customer"))),
     "preference_length_bias" -> ((s, d) =>
       TextOps.preferenceLengthBias(spread(t(s, d, "documents")))),
+    // B259: Gini over the token frequency distribution (two-pass rank)
+    "vocab_gini" -> ((s, d) =>
+      TextOps.vocabGini(spread(t(s, d, "documents")))),
+    // B260: per-lang pairwise source win-rate matrix over top-k quality
+    "pairwise_win_matrix" -> ((s, d) =>
+      TextOps.pairwiseWinMatrix(spread(t(s, d, "documents")))),
+    // B261: Burrows's Delta stylometric distance between sources
+    "burrows_delta" -> ((s, d) =>
+      LangModel.burrowsDelta(spread(t(s, d, "documents")))),
+    // B262: hamming-distance histogram over simhash block candidates
+    "simhash_hamming_hist" -> ((s, d) =>
+      Dedup.simhashHammingHist(spread(t(s, d, "documents")))),
+    // B263: Spearman rank correlation (average ranks, exact 2x-rank ints)
+    "spearman_quality_length" -> ((s, d) =>
+      Eval.spearmanQualityLength(spread(t(s, d, "documents")))),
     // C238: exact mergeable rolling distinct via bitmap word partials
     "bitmap_window_distinct" -> ((s, d) =>
       Sketches.bitmapWindowDistinct(events(s, d))),

@@ -338,6 +338,20 @@ object Dedup {
       .withColumn("abs_err", round(abs(col("minhash_est") - col("jaccard")), 6))
   }
 
+  /** SimHash hamming-distance histogram (B262): pair counts by exact
+    * hamming distance over the pigeonhole-blocked candidate set at a
+    * widened radius — the sketch-resolution audit for the SimHash side of
+    * the detector family, next to [[minhashCalibration]]'s per-pair
+    * estimate error on the MinHash side. The distance distribution tells
+    * you where to place the dedup radius BEFORE trusting `maxHamming=3`
+    * at corpus scale: a mass bump just past the production radius means
+    * near-misses, a clean gap means the radius is safe. Candidates stay
+    * block-bounded (7 chunks at radius 6), never all-pairs. */
+  def simhashHammingHist(docs: DataFrame, maxHamming: Int = 6): DataFrame =
+    simhashDetPairs(docs, maxHamming)
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"))
+
   /** MinHash-banded candidates verified by exact edit distance (B63):
     * the LSH band join proposes pairs (bounded by band-bucket sizes,
     * never all-pairs; the edit distance is the only gate), then

@@ -566,4 +566,44 @@ object Eval {
         col("quota"), col("n_drawn"),
         coalesce(col("sample_hash16"), lit("")).as("sample_hash16"))
   }
+  /** Spearman rank correlation between document length and quality
+    * (B263): the monotone-association answer where
+    * [[TextOps]]' quality_length_corr gives the linear one — rank-based,
+    * so a heavy-tailed length distribution cannot dominate, and the
+    * standard audit for "does the quality score secretly just measure
+    * length" (complementing preference_length_bias on the pair side).
+    *
+    * Ties get AVERAGE ranks (the textbook tie treatment), carried in
+    * exact 2×-rank integer space: avg_rank·2 = 2·cum − cnt + 1 off a
+    * per-distinct-value cumulative count, so every rank is an integer
+    * and the Pearson-over-ranks moments are EXACT decimal(38,0) sums
+    * with one final double expression. The distinct-value frames are
+    * data-sized, so their cumulative counts ride Ranks' two-pass
+    * range-partitioned cumsum, never a single-task window. */
+  def spearmanQualityLength(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("n_chars").cast("long").as("len"),
+      graft.operators.TextOps.qualityComposite.as("q"))
+    def ranks2(df: DataFrame, v: String, out: String): DataFrame = {
+      val vals = df.groupBy(col(v)).agg(count(lit(1)).as("cnt"))
+      Ranks.withGlobalCumSum(vals, "cnt", "_cum", "_tot", Seq(col(v)))
+        .select(col(v), (lit(2L) * col("_cum") - col("cnt") + 1L).as(out))
+    }
+    val withLen = scored.join(ranks2(scored, "len", "rx"), "len")
+    val both = withLen.join(ranks2(scored, "q", "ry"), "q")
+      .select(col("rx"), col("ry"))
+    val m = both.agg(
+      count(lit(1)).as("n"),
+      sum(col("rx").cast("decimal(38,0)")).as("sx"),
+      sum(col("ry").cast("decimal(38,0)")).as("sy"),
+      sum(col("rx").cast("decimal(38,0)") * col("ry")).as("sxy"),
+      sum(col("rx").cast("decimal(38,0)") * col("rx")).as("sxx"),
+      sum(col("ry").cast("decimal(38,0)") * col("ry")).as("syy"))
+    val nD = col("n").cast("decimal(38,0)")
+    m.select(col("n").as("n_docs"),
+      round(
+        (nD * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((nD * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((nD * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+        .as("rho_spearman"))
+  }
 }

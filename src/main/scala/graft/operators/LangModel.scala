@@ -1267,4 +1267,65 @@ object LangModel {
         col("loglog_slope"), col("loglog_intercept"))
   }
 
+  /** Burrows's Delta stylometric distance between sources (B261,
+    * Burrows 2002): the standard authorship-attribution measure — for
+    * the top-`topK` corpus tokens (Burrows's "most frequent words", the
+    * function-word band where style lives), each source's relative
+    * frequency is z-scored against the across-source distribution, and
+    * delta(a, b) = mean |z_a − z_b| over those tokens. Close pairs share
+    * a function-word profile (same boilerplate/register/author pool);
+    * far pairs differ stylistically even when topically similar — the
+    * "which crawl sources are secretly the same publisher" probe next to
+    * [[TextOps.sourceOverlap]]'s shingle view.
+    *
+    * Scale + determinism: one corpus token-count pass; everything after
+    * runs on the (sources × topK)-bounded grid (absent cells coalesce to
+    * 0 — the grid is a crossJoin of two tiny frames). Relative
+    * frequencies are exact-long divides rounded at 9 dp; μ/σ fold over
+    * SORTED per-token lists (sources-bounded); z rounds at 6 dp; the
+    * per-pair mean folds over the SORTED ≤topK |Δz| list. Zero-variance
+    * tokens are dropped by a `var > 0` gate on the plain double (never a
+    * NaN comparison — engines disagree on NaN ordering). */
+  def burrowsDelta(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val tok = docs.select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+    val cnt = graft.CacheTracker.track(
+      tok.groupBy("source", "token").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val totals = cnt.groupBy("source").agg(sum(col("c")).as("tot"))
+    val top = cnt.groupBy("token").agg(sum(col("c")).as("gc"))
+      .orderBy(col("gc").desc, col("token")).limit(topK)
+      .select("token")
+    val grid = totals.crossJoin(broadcast(top))
+      .join(cnt, Seq("source", "token"), "left")
+      .select(col("source"), col("token"),
+        round(coalesce(col("c"), lit(0L)).cast("double") / col("tot"), 9).as("f"))
+    val stats = grid.groupBy("token")
+      .agg(count(lit(1)).as("ns"),
+        aggregate(sort_array(collect_list(col("f"))), lit(0.0),
+          (a, x) => a + x).as("sf"),
+        aggregate(sort_array(collect_list(col("f") * col("f"))), lit(0.0),
+          (a, x) => a + x).as("sf2"))
+      .select(col("token"), (col("sf") / col("ns")).as("mu"),
+        (col("sf2") / col("ns") - (col("sf") / col("ns")) * (col("sf") / col("ns")))
+          .as("variance"))
+      .filter(col("variance") > 0.0)
+    val z = grid.join(broadcast(stats), "token")
+      .select(col("source"), col("token"),
+        round((col("f") - col("mu")) / sqrt(col("variance")), 6).as("z"))
+    val za = z.select(col("token"), col("source").as("src_a"), col("z").as("z_a"))
+    val zb = z.select(col("token"), col("source").as("src_b"), col("z").as("z_b"))
+    // |Δz| terms land in exact MICRO-unit longs (z is 6-dp quantized), so
+    // the mean is one integer-exact half-up divide — a double mean of
+    // 6-dp terms sits ON .5e-6 boundaries where the engines' round()
+    // disagree (1/190 rows flipped at sf0.01 before this)
+    za.join(zb, Seq("token"))
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(abs(col("z_a") - col("z_b")) * 1e6).cast("long").as("dzm"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_tokens_used"), sum(col("dzm")).as("s"))
+      .select(col("src_a"), col("src_b"), col("n_tokens_used"),
+        (expr("(2 * s + n_tokens_used) div (2 * n_tokens_used)")
+          .cast("double") / 1e6).as("delta"))
+  }
 }

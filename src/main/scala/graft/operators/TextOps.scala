@@ -3524,4 +3524,56 @@ object TextOps {
         round(when(col("c_corr") > 0.0, col("h_stat") / col("c_corr")), 6)
           .as("h_corrected"))
   }
+  /** Gini coefficient of the token frequency distribution (B259): how
+    * unequally the corpus's token mass is spread over its vocabulary —
+    * the single-number companion to [[zipfSlope]]'s power-law fit and
+    * renyi_efficiency's entropy view (Gini ≈ 1: a few tokens carry
+    * everything; ≈ 0: uniform). Same rank formula and exact-integer
+    * discipline as spend_gini (C81), but over the DATA-SIZED vocabulary,
+    * so the rank comes from Ranks' two-pass range-partitioned machinery,
+    * never a single-task global sort. */
+  def vocabGini(docs: DataFrame): DataFrame = {
+    val counts = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    Ranks.withGlobalRowNumber(counts, "i", "_n", Seq(col("c"), col("token")))
+      .select(col("c"), col("i").cast("long").as("i"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("c")).as("total_tokens"),
+        sum(col("i").cast("decimal(38,0)") * col("c")).as("rank_sum"))
+      .select(col("n_types"), col("total_tokens"),
+        round(
+          lit(2.0) * col("rank_sum").cast("double")
+            / (col("n_types").cast("double") * col("total_tokens"))
+            - (col("n_types") + 1).cast("double") / col("n_types"), 6)
+          .as("gini"))
+  }
+
+  /** Pairwise source win-rate matrix (B260): for every (lang, src_a,
+    * src_b) pair, how often src_a's top-k documents beat src_b's on the
+    * composite quality score — the head-to-head readout BEHIND
+    * bradley_terry's fitted strengths (BT compresses these counts into
+    * one scalar per source; this is the raw matrix a data-mixing review
+    * actually reads, where intransitivities BT smooths over are
+    * visible). Representatives are each (lang, source)'s top-k by
+    * (quality desc, doc_id) through the TopKPerKey heap, so the pair
+    * join is (langs * sources * k)^2-bounded regardless of corpus size —
+    * never corpus x corpus. Ties in quality count for neither side. */
+  def pairwiseWinMatrix(docs: DataFrame, k: Int = 10): DataFrame = {
+    graft.plans.TopK.register(docs.sparkSession)
+    val scored = docs.select(col("doc_id"), col("lang"), col("source"),
+      qualityComposite.as("q"))
+    val top = graft.plans.TopK.topKPerKey(scored, Seq("lang", "source"),
+      Seq("q" -> false, "doc_id" -> true), k)
+    val a = top.select(col("lang"), col("source").as("src_a"), col("q").as("q_a"))
+    val b = top.select(col("lang"), col("source").as("src_b"), col("q").as("q_b"))
+    a.join(b, Seq("lang"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("lang", "src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("q_a") > col("q_b"), 1L).otherwise(0L)).as("wins_a"),
+        sum(when(col("q_b") > col("q_a"), 1L).otherwise(0L)).as("wins_b"))
+      .withColumn("win_rate_a",
+        round(col("wins_a").cast("double") / col("n_pairs"), 6))
+  }
 }

@@ -99,6 +99,91 @@ class Round16Spec extends SparkSpec {
     CacheTracker.drainAll(spark)
   }
 
+  test("vocab_gini matches the single-window brute force on the tiny SF") {
+    assumeTestdata(sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val ours = operators.TextOps.vocabGini(docs).head()
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(explode(operators.TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val brute = counts
+      .withColumn("i", row_number().over(Window.orderBy(col("c"), col("token"))).cast("long"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("tot"),
+        sum(col("i") * col("c")).as("rs"))
+      .select(round(lit(2.0) * col("rs").cast("double")
+        / (col("n").cast("double") * col("tot"))
+        - (col("n") + 1).cast("double") / col("n"), 6).as("g"))
+      .head().getDouble(0)
+    assert(ours.getAs[Double]("gini") === brute)
+    assert(ours.getAs[Double]("gini") >= 0.0 && ours.getAs[Double]("gini") <= 1.0)
+    CacheTracker.drainAll(spark)
+  }
+
+  test("pairwise_win_matrix: wins partition the pairs and sides are k-bounded") {
+    assumeTestdata(sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val m = operators.TextOps.pairwiseWinMatrix(docs, k = 5).collect()
+    assert(m.nonEmpty)
+    for (r <- m) {
+      val (n, wa, wb) = (r.getAs[Long]("n_pairs"), r.getAs[Long]("wins_a"),
+        r.getAs[Long]("wins_b"))
+      assert(wa + wb <= n, "ties must count for neither side")
+      assert(n <= 25L, "pair count must be k*k-bounded")
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+    }
+    CacheTracker.drainAll(spark)
+  }
+
+  test("burrows_delta: nonnegative, symmetric-by-construction, identical sources are close") {
+    assumeTestdata(sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // duplicate one source under a new name: its delta to the original
+    // must be 0 (identical relative frequencies -> identical z-scores)
+    val twin = docs.filter(col("source") === "src1")
+      .withColumn("source", lit("zztwin"))
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val out = operators.LangModel.burrowsDelta(docs.unionByName(twin)).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      assert(r.getAs[Double]("delta") >= 0.0)
+      assert(r.getAs[Long]("n_tokens_used") <= 20L)
+    }
+    val self = out.find(r => r.getAs[String]("src_a") == "src1"
+      && r.getAs[String]("src_b") == "zztwin").get
+    assert(self.getAs[Double]("delta") === 0.0,
+      s"identical sources must have delta 0, got ${self.getAs[Double]("delta")}")
+    CacheTracker.drainAll(spark)
+  }
+
+  test("simhash_hamming_hist totals the radius-6 candidate pairs") {
+    assumeTestdata(sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val hist = operators.Dedup.simhashHammingHist(docs).collect()
+    val total = hist.map(_.getAs[Long]("n_pairs")).sum
+    val pairs = operators.Dedup.simhashDetPairs(docs, maxHamming = 6).count()
+    assert(total === pairs)
+    assert(hist.forall(r => r.getAs[Long]("hamming") <= 6L))
+    CacheTracker.drainAll(spark)
+  }
+
+  test("spearman_quality_length matches the window-ranked brute force and is bounded") {
+    assumeTestdata(sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rho = operators.Eval.spearmanQualityLength(docs).head()
+      .getAs[Double]("rho_spearman")
+    assert(rho >= -1.0 && rho <= 1.0)
+    // brute force: average ranks via rank()+(cnt-1)/2 in one window pass
+    import org.apache.spark.sql.expressions.Window
+    val s = docs.select(col("n_chars").cast("double").as("x"),
+      operators.TextOps.qualityComposite.cast("double").as("y"))
+    def avgRank(c: String) = (rank().over(Window.orderBy(col(c))).cast("double")
+      + (count(lit(1)).over(Window.partitionBy(col(c))).cast("double") - 1.0) / 2.0)
+    val ranked = s.withColumn("rx", avgRank("x")).withColumn("ry", avgRank("y"))
+    val brute = ranked.agg(corr(col("rx"), col("ry"))).head().getDouble(0)
+    assert(math.abs(rho - brute) < 1e-6, s"$rho vs $brute")
+    CacheTracker.drainAll(spark)
+  }
+
   test("price_moments matches Spark's own skewness/kurtosis to 1e-6") {
     val o = spark.read.parquet(s"$sf/orders.parquet")
     val c = spark.read.parquet(s"$sf/customer.parquet")
