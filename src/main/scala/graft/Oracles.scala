@@ -4796,6 +4796,78 @@ object Oracles {
         |UNION ALL SELECT lang, 'min_chars', min_chars FROM w
         |UNION ALL SELECT lang, 'max_chars', max_chars FROM w""".stripMargin,
 
+    // MCC + balanced accuracy per rule classifier (B264): the mcnemar
+    // rule predicates, confusion cells exact, marginal products as doubles
+    "mcc_score" ->
+      """WITH r AS (SELECT
+        |  coalesce(len(list_filter(list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+        |    t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','it'))) >= 2, false) AS pred_a,
+        |  coalesce(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''),
+        |    t -> t IN ('the','a','of','and','is','query','join'))) >= 1, false) AS pred_b,
+        |  coalesce(lang = 'en', false) AS truth FROM documents),
+        |c AS (SELECT 'stopword_rule' AS classifier, pred_a AS p, truth AS t FROM r
+        |      UNION ALL SELECT 'marker_rule', pred_b, truth FROM r),
+        |m AS (SELECT classifier, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN p AND t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(sum(CASE WHEN p AND NOT t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(sum(CASE WHEN NOT p AND t THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |  CAST(sum(CASE WHEN NOT p AND NOT t THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM c GROUP BY 1)
+        |SELECT classifier, n, tp, fp, fn, tn,
+        |  round(CASE WHEN (tp + fp) * (tp + fn) = 0 OR (tn + fp) * (tn + fn) = 0 THEN 0.0
+        |    ELSE (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+        |      / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+        |             * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) END, 6) AS mcc,
+        |  round((CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END
+        |       + CASE WHEN tn + fp > 0 THEN CAST(tn AS DOUBLE) / (tn + fp) ELSE 0.0 END)
+        |       / 2.0, 6) AS balanced_acc
+        |FROM m""".stripMargin,
+
+    // Wilson 95% CI per lang (B265): z*z spelled as 1.96 * 1.96 so both
+    // engines compute the SAME double (the decimal literal 3.8416 parses
+    // to a different ulp than the runtime product)
+    "quality_wilson_ci" ->
+      s"""WITH q AS (SELECT lang,
+         |    CASE WHEN $qualitySql >= 0.5 THEN 1 ELSE 0 END AS pass FROM documents),
+         |m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(pass) AS BIGINT) AS n_pass FROM q GROUP BY 1),
+         |d AS (SELECT lang, n_docs, n_pass, CAST(n_docs AS DOUBLE) AS n,
+         |    CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p FROM m)
+         |SELECT lang, n_docs, n_pass, round(p, 6) AS p_hat,
+         |  round((p + (1.96 * 1.96) / (2.0 * n)
+         |    - 1.96 * sqrt(p * (1.0 - p) / n + (1.96 * 1.96) / (4.0 * n * n)))
+         |    / (1.0 + (1.96 * 1.96) / n), 6) AS ci_lo,
+         |  round((p + (1.96 * 1.96) / (2.0 * n)
+         |    + 1.96 * sqrt(p * (1.0 - p) / n + (1.96 * 1.96) / (4.0 * n * n)))
+         |    / (1.0 + (1.96 * 1.96) / n), 6) AS ci_hi
+         |FROM d""".stripMargin,
+
+    // XML ingest (C242): JSONL twin — cross-format consistency, the
+    // orc_ingest discipline (DuckDB has no XML reader)
+    "xml_ingest" ->
+      s"""SELECT doc_id, lang, text, meta.author AS author, meta.year AS year,
+        |  coalesce(array_to_string(tags, ','), '') AS tags_csv, len(tags)::BIGINT AS n_tags
+        |FROM read_json('${graft.SparkEntry.resourceDir}/docs_sample.jsonl',
+        |  format = 'newline_delimited',
+        |  columns = {doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
+        |             meta: 'STRUCT(author VARCHAR, year BIGINT)', tags: 'VARCHAR[]'})""".stripMargin,
+
+    // collation semantics (C243): lower() is the oracle's spelling of
+    // UTF8_LCASE (the fixture alphabet is pure ASCII)
+    "collation_semantics" ->
+      """WITH s AS (SELECT CASE WHEN (doc_id // 20) % 2 = 0 THEN upper(source) ELSE source END AS src
+        |           FROM documents)
+        |SELECT CAST(count(DISTINCT lower(src)) AS BIGINT) AS n_sources_ci,
+        |  CAST(count(DISTINCT src) AS BIGINT) AS n_sources_cs,
+        |  CAST(sum(CASE WHEN lower(src) = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n_src1_ci
+        |FROM s""".stripMargin,
+
+    // GROUP BY ALL (C244): DuckDB runs the same inferred-grouping syntax
+    "sql_groupby_all" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY ALL""".stripMargin,
+
     // Gini over token frequencies (B259): the spend_gini rank formula
     // over the vocabulary
     "vocab_gini" ->

@@ -1087,6 +1087,48 @@ object SparkEntry {
       Relational.spendTheilDecomp(t(s, d, "orders"), t(s, d, "customer"))),
     "preference_length_bias" -> ((s, d) =>
       TextOps.preferenceLengthBias(spread(t(s, d, "documents")))),
+    // B264: Matthews correlation + balanced accuracy per rule classifier
+    "mcc_score" -> ((s, d) => Eval.mccScore(spread(t(s, d, "documents")))),
+    // B265: Wilson 95% CI for the per-lang quality pass rate
+    "quality_wilson_ci" -> ((s, d) =>
+      Eval.qualityWilsonCi(spread(t(s, d, "documents")))),
+    // C242: Spark 4 NATIVE XML source (rowTag rows, repeated elements as
+    // arrays, explicit schema — no inference pass); oracle reads the
+    // JSONL twin of the same fixture (DuckDB has no XML reader)
+    "xml_ingest" -> ((s, _) =>
+      s.read.format("xml").option("rowTag", "doc")
+        .schema("doc_id BIGINT, text STRING, lang STRING, " +
+          "meta STRUCT<author: STRING, year: BIGINT>, tags ARRAY<STRING>")
+        .load(s"$resourceDir/docs_sample.xml")
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("meta.author").as("author"), col("meta.year").as("year"),
+          concat_ws(",", col("tags")).as("tags_csv"),
+          // absent repeated elements read as NULL array (vs jsonl's []):
+          // coalesce pins the two representations to the same census
+          coalesce(size(col("tags")).cast("long"), lit(0L)).as("n_tags"))),
+    // C243: Spark 4 COLLATION semantics — UTF8_LCASE distinct/equality
+    // pinned value-equal to the lower() twin the oracle runs
+    "collation_semantics" -> ((s, d) => {
+      // div-20 parity, NOT doc_id parity: source = src(doc_id % 20), so a
+      // plain parity flag would case EVERY row of a source the same way
+      // and never create a cross-case duplicate
+      val src = when(expr("doc_id div 20") % 2 === 0, upper(col("source")))
+        .otherwise(col("source"))
+      t(s, d, "documents").select(src.as("src"))
+        .agg(
+          countDistinct(expr("collate(src, 'UTF8_LCASE')")).as("n_sources_ci"),
+          countDistinct(col("src")).as("n_sources_cs"),
+          sum(when(expr("collate(src, 'UTF8_LCASE')") === "SRC1", 1L)
+            .otherwise(0L)).as("n_src1_ci"))
+    }),
+    // C244: GROUP BY ALL parser breadth — grouping keys inferred from
+    // the non-aggregate select list on both engines
+    "sql_groupby_all" -> ((s, d) => {
+      Graft.registerTables(s, d)
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                 CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+               FROM lineitem GROUP BY ALL""")
+    }),
     // B259: Gini over the token frequency distribution (two-pass rank)
     "vocab_gini" -> ((s, d) =>
       TextOps.vocabGini(spread(t(s, d, "documents")))),

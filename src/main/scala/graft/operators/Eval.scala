@@ -606,4 +606,77 @@ object Eval {
             * sqrt((nD * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
         .as("rho_spearman"))
   }
+
+  /** Matthews correlation coefficient per rule classifier (B264): the
+    * single-number confusion summary that stays honest under class
+    * imbalance (accuracy and even F1 degenerate when one class
+    * dominates — exactly the situation of any filter tuned on a mostly-
+    * clean corpus), plus balanced accuracy, for the SAME two rule
+    * classifiers [[mcnemarTest]] compares: MCC answers "how good is each
+    * one", McNemar answers "do they differ". Confusion cells are exact
+    * integer counts from ONE narrow pass; MCC's denominator multiplies
+    * the four marginals as doubles (a 100 TB marginal⁴ overflows any
+    * integer type; doubles carry it exactly enough for a 6 dp ratio),
+    * zero marginals → 0 by convention. */
+  def mccScore(docs: DataFrame): DataFrame = {
+    val rawToks = filter(split(col("text"), "\\s+"), t => t =!= "")
+    val nStop = size(filter(rawToks, t => lower(t).isInCollection(TextOps.Stopwords)))
+    val lowToks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val nMark = size(filter(lowToks, t => t.isInCollection(TextOps.EnMarkers)))
+    val preds = Seq(
+      ("stopword_rule", coalesce(nStop >= 2, lit(false))),
+      ("marker_rule", coalesce(nMark >= 1, lit(false))))
+    val truth = coalesce(col("lang") === "en", lit(false))
+    preds.map { case (name, pred) =>
+      docs.select(pred.as("p"), truth.as("t"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("p") && col("t"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("p") && !col("t"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("p") && col("t"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("p") && !col("t"), 1L).otherwise(0L)).as("tn"))
+        .select(lit(name).as("classifier"), col("n"), col("tp"), col("fp"),
+          col("fn"), col("tn"),
+          round(when(
+            (col("tp") + col("fp")) * (col("tp") + col("fn")) === 0L ||
+              (col("tn") + col("fp")) * (col("tn") + col("fn")) === 0L, lit(0.0))
+            .otherwise(
+              (col("tp").cast("double") * col("tn") - col("fp").cast("double") * col("fn"))
+                / sqrt((col("tp") + col("fp")).cast("double")
+                  * (col("tp") + col("fn")).cast("double")
+                  * (col("tn") + col("fp")).cast("double")
+                  * (col("tn") + col("fn")).cast("double"))), 6).as("mcc"),
+          round((when(col("tp") + col("fn") > 0,
+            col("tp").cast("double") / (col("tp") + col("fn"))).otherwise(lit(0.0))
+            + when(col("tn") + col("fp") > 0,
+              col("tn").cast("double") / (col("tn") + col("fp"))).otherwise(lit(0.0)))
+            / 2.0, 6).as("balanced_acc"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Wilson 95% score interval for the per-lang quality pass rate
+    * (B265): the binomial CI that behaves at the extremes (a Wald
+    * interval at p̂ = 0 or 1 collapses to zero width — exactly where a
+    * curation dashboard most needs honest error bars on "what fraction
+    * of this lang survives the filter"). k = docs with composite
+    * quality ≥ 0.5. Closed form in ONE mirrored double expression off
+    * exact (n, k) integer counts; z = 1.96 literal. One partial-agg
+    * shuffle onto the langs-bounded key. */
+  def qualityWilsonCi(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val z = 1.96
+    val m = docs.select(col("lang"),
+        (TextOps.qualityComposite >= threshold).cast("long").as("pass"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("pass")).as("n_pass"))
+    val n = col("n_docs").cast("double")
+    val p = col("n_pass").cast("double") / n
+    val z2 = lit(z * z)
+    val center = p + z2 / (lit(2.0) * n)
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))
+    val denom = lit(1.0) + z2 / n
+    m.select(col("lang"), col("n_docs"), col("n_pass"),
+      round(p, 6).as("p_hat"),
+      round((center - half) / denom, 6).as("ci_lo"),
+      round((center + half) / denom, 6).as("ci_hi"))
+  }
 }

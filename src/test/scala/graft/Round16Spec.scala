@@ -184,6 +184,49 @@ class Round16Spec extends SparkSpec {
     CacheTracker.drainAll(spark)
   }
 
+  test("mcc_score: perfect classifier sanity and cell partition") {
+    assumeTestdata(sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = operators.Eval.mccScore(docs).collect()
+    assert(out.length === 2)
+    for (r <- out) {
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fp")
+        + r.getAs[Long]("fn") + r.getAs[Long]("tn") === r.getAs[Long]("n"))
+      val mcc = r.getAs[Double]("mcc")
+      assert(mcc >= -1.0 && mcc <= 1.0)
+    }
+    CacheTracker.drainAll(spark)
+  }
+
+  test("quality_wilson_ci brackets p_hat and stays inside [0, 1]") {
+    assumeTestdata(sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for (r <- operators.Eval.qualityWilsonCi(docs).collect()) {
+      val (p, lo, hi) = (r.getAs[Double]("p_hat"), r.getAs[Double]("ci_lo"),
+        r.getAs[Double]("ci_hi"))
+      assert(lo <= p && p <= hi, s"CI [$lo, $hi] must bracket $p")
+      assert(lo >= 0.0 && hi <= 1.0, "Wilson CI is always inside [0, 1]")
+    }
+    CacheTracker.drainAll(spark)
+  }
+
+  test("xml_ingest reads the fixture identically to the jsonl twin") {
+    val xml = SparkEntry.queries("xml_ingest")(spark, sf)
+    val jsonl = SparkEntry.queries("json_ingest")(spark, sf)
+      .withColumn("n_tags", coalesce(col("n_tags"), lit(0L)))
+    assert(xml.count() === 5)
+    assert(xml.exceptAll(jsonl).count() === 0)
+    assert(jsonl.exceptAll(xml).count() === 0)
+  }
+
+  test("collation_semantics: case-insensitive distinct halves the case-varied key space") {
+    assumeTestdata(sf)
+    val r = SparkEntry.queries("collation_semantics")(spark, sf).head()
+    assert(r.getAs[Long]("n_sources_cs") === 2 * r.getAs[Long]("n_sources_ci"),
+      "upper-casing half the rows must double the case-sensitive distinct count")
+    assert(r.getAs[Long]("n_src1_ci") > 0)
+  }
+
   test("price_moments matches Spark's own skewness/kurtosis to 1e-6") {
     val o = spark.read.parquet(s"$sf/orders.parquet")
     val c = spark.read.parquet(s"$sf/customer.parquet")
