@@ -4796,6 +4796,41 @@ object Oracles {
         |UNION ALL SELECT lang, 'min_chars', min_chars FROM w
         |UNION ALL SELECT lang, 'max_chars', max_chars FROM w""".stripMargin,
 
+    // embedding isotropy (B266): mean pairwise unit cosine off the
+    // sum-vector identity; 9dp units, two-level sorted folds throughout
+    "embed_isotropy" ->
+      """WITH u AS (SELECT vec_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE)
+        |      / sqrt(list_reduce(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), (a, b) -> a + b)), 9)) AS u
+        |  FROM embeddings
+        |  WHERE list_reduce(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), (a, b) -> a + b) > 0),
+        |pd AS (SELECT CAST(d AS BIGINT) AS dim, vec_id % 1024 AS sb, u[d] AS x
+        |  FROM u, range(1, 65) r(d)),
+        |l1 AS (SELECT dim, sb, list_reduce(list_sort(list(x)), (a, b) -> a + b) AS ss
+        |  FROM pd GROUP BY 1, 2),
+        |l2 AS (SELECT dim, list_reduce(list_sort(list(ss)), (a, b) -> a + b) AS s
+        |  FROM l1 GROUP BY 1),
+        |s2 AS (SELECT list_reduce(list_sort(list(s * s)), (a, b) -> a + b) AS norm_s2 FROM l2),
+        |dg1 AS (SELECT vec_id % 1024 AS sb,
+        |    list_reduce(list_transform(u, x -> x * x), (a, b) -> a + b) AS uu FROM u),
+        |dg2 AS (SELECT sb, list_reduce(list_sort(list(uu)), (a, b) -> a + b) AS ss
+        |  FROM dg1 GROUP BY 1),
+        |dg AS (SELECT list_reduce(list_sort(list(ss)), (a, b) -> a + b) AS q FROM dg2),
+        |n AS (SELECT count(*) AS n_vecs FROM u)
+        |SELECT CAST(n_vecs AS BIGINT) AS n_vecs, round(norm_s2, 6) AS norm_s2,
+        |  round((norm_s2 - q) / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE)), 6)
+        |    AS mean_pairwise_cos
+        |FROM n, s2, dg""".stripMargin,
+
+    // lateral column alias (C245): same aliased-reference syntax on DuckDB
+    "sql_lateral_alias" ->
+      """SELECT lang, n_docs, sum_chars,
+        |  round(CAST(sum_chars AS DOUBLE) / n_docs, 6) AS avg_chars,
+        |  round(round(CAST(sum_chars AS DOUBLE) / n_docs, 6) / 100.0, 6) AS avg_hundreds
+        |FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |      FROM documents GROUP BY lang)""".stripMargin,
+
     // MCC + balanced accuracy per rule classifier (B264): the mcnemar
     // rule predicates, confusion cells exact, marginal products as doubles
     "mcc_score" ->

@@ -1087,6 +1087,20 @@ object SparkEntry {
       Relational.spendTheilDecomp(t(s, d, "orders"), t(s, d, "customer"))),
     "preference_length_bias" -> ((s, d) =>
       TextOps.preferenceLengthBias(spread(t(s, d, "documents")))),
+    // B266: embedding isotropy from the sum-vector identity (no pair join)
+    "embed_isotropy" -> ((s, d) =>
+      Similarity.embedIsotropy(t(s, d, "embeddings"))),
+    // C245: lateral column alias — a select-list alias referenced by a
+    // later expression in the SAME select, on both engines
+    "sql_lateral_alias" -> ((s, d) => {
+      Graft.registerTables(s, d)
+      s.sql("""SELECT lang, n_docs, sum_chars,
+                 round(CAST(sum_chars AS DOUBLE) / n_docs, 6) AS avg_chars,
+                 round(avg_chars / 100.0, 6) AS avg_hundreds
+               FROM (SELECT lang, count(*) AS n_docs,
+                       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                     FROM documents GROUP BY lang)""")
+    }),
     // B264: Matthews correlation + balanced accuracy per rule classifier
     "mcc_score" -> ((s, d) => Eval.mccScore(spread(t(s, d, "documents")))),
     // B265: Wilson 95% CI for the per-lang quality pass rate

@@ -1719,4 +1719,50 @@ object Similarity {
           col("n_closed_wedges").cast("double") / col("n_wedges"))
           .otherwise(lit(0.0)), 6).as("closure_rate"))
   }
+
+  /** Embedding-space isotropy (B266): the mean pairwise cosine between
+    * UNIT vectors, computed WITHOUT any pair join from the sum-vector
+    * identity Σ_{i≠j} u_i·u_j = ‖Σu‖² − Σ‖u_i‖² — one corpus pass, a
+    * dims-bounded per-dim sum frame, zero candidate generation. Near-0
+    * means directions spread isotropically (healthy for retrieval);
+    * near-1 means the space has collapsed onto a dominant direction (the
+    * anisotropy pathology contextual encoders are known for — Ethayarajh
+    * 2019) and cosine similarity stops discriminating. Complements
+    * [[embedOutliers]] (per-vector) and pca_explained (spectrum mass)
+    * with the single corpus-level health number.
+    *
+    * Determinism: unit components round at 9 dp; per-dim sums ride the
+    * two-level sub-bucketed sorted fold (Folds — bounded buffers at any
+    * corpus size); ‖S‖² folds the 64 per-dim sums sorted; the diagonal
+    * Σ‖u_i‖² rides its own two-level fold rather than assuming exactly
+    * n (9 dp units are not bit-exactly unit). */
+  def embedIsotropy(emb: DataFrame): DataFrame = {
+    val nrm = sqrt(aggregate(col("embedding"), lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double")))
+    val unit = emb
+      .filter(aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double")) > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") / nrm, 9)).as("u"))
+    val perDim = unit
+      .select(col("vec_id"), posexplode(col("u")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("x"),
+        Folds.subBucket(col("vec_id")))
+      .groupBy("dim", "sb").agg(Folds.sortedSum(col("x")).as("ss"))
+      .groupBy("dim").agg(Folds.sortedSum(col("ss")).as("s"))
+    val s2 = perDim.agg(Folds.sortedSum(col("s") * col("s")).as("norm_s2"))
+    val diag = unit
+      .select(col("vec_id"),
+        aggregate(col("u"), lit(0.0), (a, x) => a + x * x).as("uu"),
+        Folds.subBucket(col("vec_id")))
+      .groupBy("sb").agg(Folds.sortedSum(col("uu")).as("ss"))
+      .agg(Folds.sortedSum(col("ss")).as("q"))
+    val n = unit.agg(count(lit(1)).as("n_vecs"))
+    n.crossJoin(broadcast(s2)).crossJoin(broadcast(diag))
+      .select(col("n_vecs"),
+        round(col("norm_s2"), 6).as("norm_s2"),
+        round((col("norm_s2") - col("q"))
+          / (col("n_vecs").cast("double") * (col("n_vecs") - 1).cast("double")), 6)
+          .as("mean_pairwise_cos"))
+  }
 }

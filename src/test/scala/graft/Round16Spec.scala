@@ -184,6 +184,25 @@ class Round16Spec extends SparkSpec {
     CacheTracker.drainAll(spark)
   }
 
+  test("embed_isotropy equals the brute-force pair mean on the tiny SF") {
+    assumeTestdata(sf)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val ours = operators.Similarity.embedIsotropy(emb).head()
+    val unit = emb.select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") /
+        sqrt(aggregate(col("embedding"), lit(0.0),
+          (a, y) => a + y.cast("double") * y.cast("double"))), 9)).as("u"))
+    val pairs = unit.select(col("vec_id").as("a_id"), col("u").as("a"))
+      .join(unit.select(col("vec_id").as("b_id"), col("u").as("b")),
+        col("a_id") < col("b_id"))
+      .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("dot"))
+      .agg(avg(col("dot")).as("m")).head().getDouble(0)
+    assert(math.abs(ours.getAs[Double]("mean_pairwise_cos") - pairs) < 2e-6,
+      s"${ours.getAs[Double]("mean_pairwise_cos")} vs brute $pairs")
+    CacheTracker.drainAll(spark)
+  }
+
   test("mcc_score: perfect classifier sanity and cell partition") {
     assumeTestdata(sf)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
