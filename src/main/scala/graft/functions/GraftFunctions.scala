@@ -101,6 +101,13 @@ object GraftFunctions {
     }
   }
 
+  /** Single-pass 32-bit SimHash fingerprint as a typed Column. */
+  def simhash(tokens: Column): Column =
+    ExpressionUtils.column(SimHash32(ExpressionUtils.expression(tokens)))
+
+  private val simhashInfo = new ExpressionInfo(
+    classOf[SimHash32].getCanonicalName, "graft_simhash")
+
   private def wminhashSigBuilder(children: Seq[Expression]): Expression = {
     require(children.length == 2,
       "graft_wminhash_sig expects (tokens, numHashes)")
@@ -156,6 +163,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_sorted_dot expects exactly 2 arguments")
         SortedDot(children.head, children(1))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_simhash"), simhashInfo,
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_simhash expects exactly 1 argument")
+        SimHash32(children.head)
       })
   }
 }
@@ -227,6 +240,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_wminhash_sig expects (tokens, numHashes)")
         WeightedMinHashSig(children.head, GraftFunctions.evalNumHashes(children(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash32].getCanonicalName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_simhash expects exactly 1 argument")
+        SimHash32(children.head)
       }))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)

@@ -530,19 +530,14 @@ object Dedup {
                                        maxHamming: Int): DataFrame = {
     val bits = 32
     require(maxHamming >= 0 && maxHamming < bits, "maxHamming must be in [0, 32)")
-    val perTok = toked
-      .select(col("doc_id"), explode(col("toks")).as("token"))
+    // native single-pass fingerprint: one codegen'd call per doc instead
+    // of a corpus-sized explode + 32-column aggregate shuffle. The
+    // size(toks) > 0 gate matches the explode twin (empty docs vanished
+    // through explode; fingerprint-0 ghosts would otherwise pair up).
+    // Bit parity with [[simhashFpDeclarative]] pinned by DedupSpec.
+    val fp = toked.filter(size(col("toks")) > 0)
       .select(col("doc_id"),
-        conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long").as("h"))
-    val bitSums = (0 until bits).map { k =>
-      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k")
-    }
-    val fpExpr = (0 until bits).map { k =>
-      when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L)
-    }.reduce(_ + _)
-    val fp = perTok.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fpExpr.as("simhash"))
+        graft.functions.GraftFunctions.simhash(col("toks")).as("simhash"))
     val nChunks = maxHamming + 1
     val bounds = (0 to nChunks).map(i => i * bits / nChunks)
     val blocked = fp.select(col("doc_id"), col("simhash"),
@@ -561,6 +556,26 @@ object Dedup {
         bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The PRE-r16 declarative fingerprint (explode → 32 conditional sums
+    * → bit reassembly) — kept as the parity twin for the native
+    * graft_simhash expression; DedupSpec pins raw-bit equality. */
+  private[graft] def simhashFpDeclarative(toked: DataFrame): DataFrame = {
+    val bits = 32
+    val perTok = toked
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long").as("h"))
+    val bitSums = (0 until bits).map { k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k")
+    }
+    val fpExpr = (0 until bits).map { k =>
+      when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L)
+    }.reduce(_ + _)
+    perTok.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fpExpr.as("simhash"))
   }
 
   /** SimHash near-dup pairs: block on (maxHamming + 1) contiguous bit

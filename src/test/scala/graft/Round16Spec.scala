@@ -184,6 +184,48 @@ class Round16Spec extends SparkSpec {
     CacheTracker.drainAll(spark)
   }
 
+  test("native graft_simhash equals the declarative fingerprint bit-for-bit") {
+    assumeTestdata(sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val toked = docs.select(col("doc_id"),
+      operators.TextOps.tokens(col("text")).as("toks"))
+    val native = toked.filter(size(col("toks")) > 0)
+      .select(col("doc_id"), functions.GraftFunctions.simhash(col("toks")).as("fp"))
+    val decl = operators.Dedup.simhashFpDeclarative(toked)
+      .select(col("doc_id"), col("simhash").as("fp"))
+    assert(native.exceptAll(decl).count() === 0)
+    assert(decl.exceptAll(native).count() === 0)
+    // the SQL face resolves and matches the Column face
+    functions.GraftFunctions.register(spark)
+    toked.filter(size(col("toks")) > 0).createOrReplaceTempView("r16_toked")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_simhash(toks) AS fp FROM r16_toked")
+    assert(viaSql.exceptAll(native).count() === 0)
+    CacheTracker.drainAll(spark)
+  }
+
+  test("graft_simhash: empty array -> 0, null element matches the -1 branch") {
+    functions.GraftFunctions.register(spark)
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("toks ARRAY<STRING>")
+    val rows = Seq(
+      org.apache.spark.sql.Row(Seq.empty[String]),
+      org.apache.spark.sql.Row(Seq("alpha", null)),
+      org.apache.spark.sql.Row(Seq("alpha", "alpha", "beta")))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val out = df.select(functions.GraftFunctions.simhash(col("toks")).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(out(0) === 0L, "empty token array must fingerprint to 0")
+    // the null element shifts every counter by -1: with one real token the
+    // ties (counter 0) flip to negative, so fp(alpha,null) has no bit that
+    // fp(alpha) lacks
+    val alphaOnly = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(Seq("alpha"))).asJava, schema)
+      .select(functions.GraftFunctions.simhash(col("toks")).as("fp"))
+      .head().getLong(0)
+    assert((out(1) & ~alphaOnly) === 0L)
+  }
+
   test("embed_isotropy equals the brute-force pair mean on the tiny SF") {
     assumeTestdata(sf)
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
