@@ -4796,6 +4796,71 @@ object Oracles {
         |UNION ALL SELECT lang, 'min_chars', min_chars FROM w
         |UNION ALL SELECT lang, 'max_chars', max_chars FROM w""".stripMargin,
 
+    // Platt scaling (B267): 8 unrolled Newton steps over per-distinct-
+    // score counts; two-level sorted folds, (a, b) rounds 9dp per step
+    "platt_scaling" -> {
+      val steps = (1 to 8).map { i =>
+        s"""tp$i AS (SELECT sb, score, n_pos, n_neg, n,
+           |  1.0 / (1.0 + exp(-(ab${i - 1}.a * score + ab${i - 1}.b))) AS p
+           |  FROM scb, ab${i - 1}),
+           |l1_$i AS (SELECT sb,
+           |  list_reduce(list_sort(list(score * (n * p - n_pos))), (x, y) -> x + y) AS ga,
+           |  list_reduce(list_sort(list(n * p - n_pos)), (x, y) -> x + y) AS gb,
+           |  list_reduce(list_sort(list(n * p * (1.0 - p) * score * score)), (x, y) -> x + y) AS haa,
+           |  list_reduce(list_sort(list(n * p * (1.0 - p) * score)), (x, y) -> x + y) AS hab,
+           |  list_reduce(list_sort(list(n * p * (1.0 - p))), (x, y) -> x + y) AS hbb
+           |  FROM tp$i GROUP BY sb),
+           |l2_$i AS (SELECT
+           |  list_reduce(list_sort(list(ga)), (x, y) -> x + y) AS ga,
+           |  list_reduce(list_sort(list(gb)), (x, y) -> x + y) AS gb,
+           |  list_reduce(list_sort(list(haa)), (x, y) -> x + y) AS haa,
+           |  list_reduce(list_sort(list(hab)), (x, y) -> x + y) AS hab,
+           |  list_reduce(list_sort(list(hbb)), (x, y) -> x + y) AS hbb
+           |  FROM l1_$i),
+           |ab$i AS (SELECT
+           |  round(ab${i - 1}.a - (l.hbb * l.ga - l.hab * l.gb)
+           |    / (l.haa * l.hbb - l.hab * l.hab), 9) AS a,
+           |  round(ab${i - 1}.b - (l.haa * l.gb - l.hab * l.ga)
+           |    / (l.haa * l.hbb - l.hab * l.hab), 9) AS b
+           |  FROM l2_$i l, ab${i - 1})""".stripMargin
+      }
+      s"""WITH sc AS (SELECT $qualitySql AS score,
+         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+         |  FROM documents GROUP BY 1),
+         |scb AS (SELECT score, n_pos, n_neg, n_pos + n_neg AS n,
+         |  CAST(round(score * 1000000) AS BIGINT) % 1024 AS sb FROM sc),
+         |ab0 AS (SELECT 0.0 AS a, 0.0 AS b),
+         |${steps.mkString(",\n")},
+         |nt AS (SELECT sb,
+         |  -(n_pos * ln(1.0 / (1.0 + exp(-(ab8.a * score + ab8.b))))
+         |    + n_neg * ln(1.0 - 1.0 / (1.0 + exp(-(ab8.a * score + ab8.b))))) AS t
+         |  FROM scb, ab8),
+         |n1 AS (SELECT sb, list_reduce(list_sort(list(t)), (x, y) -> x + y) AS s
+         |  FROM nt GROUP BY sb),
+         |n2 AS (SELECT list_reduce(list_sort(list(s)), (x, y) -> x + y) AS nll FROM n1)
+         |SELECT CAST(8 AS BIGINT) AS n_steps, round(ab8.a, 6) AS a,
+         |  round(ab8.b, 6) AS b, round(n2.nll, 6) AS nll
+         |FROM ab8, n2""".stripMargin
+    },
+
+    // ABC classification (C247): window cumsum under the same total order,
+    // HUGEINT boundary products mirror decimal(38,0)
+    "orders_abc" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT l_partkey, revenue_cents,
+        |    sum(revenue_cents) OVER (ORDER BY revenue_cents DESC, l_partkey) AS cum,
+        |    sum(revenue_cents) OVER () AS total FROM pp),
+        |c AS (SELECT CASE WHEN cum::HUGEINT * 100 <= total::HUGEINT * 80 THEN 'A'
+        |                  WHEN cum::HUGEINT * 100 <= total::HUGEINT * 95 THEN 'B'
+        |                  ELSE 'C' END AS abc_class, revenue_cents, total FROM r)
+        |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(revenue_cents) AS BIGINT) AS revenue_cents,
+        |  round(CAST(CAST(sum(revenue_cents) AS BIGINT) AS DOUBLE) / max(total), 6) AS revenue_share
+        |FROM c GROUP BY 1""".stripMargin,
+
     // embedding isotropy (B266): mean pairwise unit cosine off the
     // sum-vector identity; 9dp units, two-level sorted folds throughout
     "embed_isotropy" ->

@@ -1087,6 +1087,11 @@ object SparkEntry {
       Relational.spendTheilDecomp(t(s, d, "orders"), t(s, d, "customer"))),
     "preference_length_bias" -> ((s, d) =>
       TextOps.preferenceLengthBias(spread(t(s, d, "documents")))),
+    // B267: Platt scaling — 8 unrolled Newton steps on distinct-score stats
+    "platt_scaling" -> ((s, d) =>
+      Eval.plattScaling(spread(t(s, d, "documents")))),
+    // C247: ABC revenue classification via the fused two-pass rank+cumsum
+    "orders_abc" -> ((s, d) => Relational.ordersAbc(t(s, d, "lineitem"))),
     // B266: embedding isotropy from the sum-vector identity (no pair join)
     "embed_isotropy" -> ((s, d) =>
       Similarity.embedIsotropy(t(s, d, "embeddings"))),

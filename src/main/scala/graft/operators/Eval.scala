@@ -607,6 +607,59 @@ object Eval {
         .as("rho_spearman"))
   }
 
+  /** Platt scaling of the quality score (B267, Platt 1999): fit the
+    * 2-parameter logistic calibrator p = σ(a·q + b) to the is-English
+    * label by `steps` unrolled NEWTON-RAPHSON iterations — the
+    * calibration FIT next to [[isotonicCalibration]]'s non-parametric
+    * one and [[calibrationBins]]' fixed-link diagnosis. The engine
+    * story: a full second-order optimizer runs distributed and
+    * DETERMINISTIC because the sufficient statistics aggregate over the
+    * per-DISTINCT-SCORE count frame (≤ 1e6+1 rows — the rocAuc
+    * discipline), every gradient/Hessian sum rides the two-level
+    * sub-bucketed sorted fold, the 2×2 Newton solve is closed-form on
+    * the driver-free one-row frame, and (a, b) round at 9 dp per step
+    * (the power-iteration discipline). Each step's one-row (a, b) is
+    * localCheckpointed so plan depth stays flat in `steps`. */
+  def plattScaling(docs: DataFrame, steps: Int = 8): DataFrame = {
+    val sc = scoreCounts(docs)
+      .withColumn("n", col("n_pos") + col("n_neg"))
+      .withColumn("sb", round(col("score") * 1e6).cast("long") % 1024)
+      .localCheckpoint(true)
+    def fold2(df: DataFrame, terms: Seq[(String, Column)]): DataFrame = {
+      val l1 = df.groupBy("sb")
+        .agg(Folds.sortedSum(terms.head._2).as(terms.head._1),
+          terms.tail.map { case (nm, c) => Folds.sortedSum(c).as(nm) }: _*)
+      l1.agg(Folds.sortedSum(col(terms.head._1)).as(terms.head._1),
+        terms.tail.map { case (nm, _) => Folds.sortedSum(col(nm)).as(nm) }: _*)
+    }
+    val spark = docs.sparkSession
+    var ab = spark.range(1).select(lit(0.0).as("a"), lit(0.0).as("b"))
+      .localCheckpoint(true)
+    for (_ <- 1 to steps) {
+      val p = lit(1.0) / (lit(1.0) + exp(-(col("a") * col("score") + col("b"))))
+      val withP = sc.crossJoin(broadcast(ab)).withColumn("p", p)
+      val s = fold2(withP, Seq(
+        ("ga", col("score") * (col("n") * col("p") - col("n_pos"))),
+        ("gb", col("n") * col("p") - col("n_pos")),
+        ("haa", col("n") * col("p") * (lit(1.0) - col("p")) * col("score") * col("score")),
+        ("hab", col("n") * col("p") * (lit(1.0) - col("p")) * col("score")),
+        ("hbb", col("n") * col("p") * (lit(1.0) - col("p")))))
+      val det = col("haa") * col("hbb") - col("hab") * col("hab")
+      ab = s.crossJoin(broadcast(ab))
+        .select(
+          round(col("a") - (col("hbb") * col("ga") - col("hab") * col("gb")) / det, 9).as("a"),
+          round(col("b") - (col("haa") * col("gb") - col("hab") * col("ga")) / det, 9).as("b"))
+        .localCheckpoint(true)
+    }
+    val pF = lit(1.0) / (lit(1.0) + exp(-(col("a") * col("score") + col("b"))))
+    val nll = fold2(sc.crossJoin(broadcast(ab)).withColumn("p", pF), Seq(
+      ("nll", -(col("n_pos") * log(col("p")) + col("n_neg") * log(lit(1.0) - col("p"))))))
+    ab.crossJoin(broadcast(nll))
+      .select(lit(steps.toLong).as("n_steps"),
+        round(col("a"), 6).as("a"), round(col("b"), 6).as("b"),
+        round(col("nll"), 6).as("nll"))
+  }
+
   /** Matthews correlation coefficient per rule classifier (B264): the
     * single-number confusion summary that stays honest under class
     * imbalance (accuracy and even F1 degenerate when one class

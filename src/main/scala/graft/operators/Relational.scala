@@ -4093,6 +4093,38 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), sum(col("pc")).as("revenue_cents"))
   }
 
+  /** ABC revenue classification of parts (C247, the inventory-analytics
+    * Pareto cut): parts ranked by lineitem revenue descending, class A =
+    * the head carrying ≤ 80% of cumulative revenue, B to 95%, C the
+    * tail — per-class part counts, revenue mass and share. Rank +
+    * cumulative revenue ride ONE two-pass range-partitioned pass
+    * (Ranks.withGlobalRankCumSum — no single-task global sort at any
+    * part count); class boundaries compare exact integer cents in
+    * decimal(38,0) (cum·100 ≤ total·80 — a bare long product overflows
+    * at 100 TB revenue). */
+  def ordersAbc(lineitem: DataFrame): DataFrame = {
+    val perPart = lineitem
+      .select(col("l_partkey"), cents(col("l_extendedprice")).as("rc"))
+      .groupBy("l_partkey").agg(sum(col("rc")).as("revenue_cents"))
+    val swept = Ranks.withGlobalRankCumSum(perPart, "revenue_cents",
+      "rnk", "cum", "total",
+      Seq(col("revenue_cents").desc, col("l_partkey")))
+    val cumD = col("cum").cast("decimal(38,0)")
+    val totD = col("total").cast("decimal(38,0)")
+    swept
+      .withColumn("abc_class",
+        when(cumD * 100 <= totD * 80, "A")
+          .when(cumD * 100 <= totD * 95, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("revenue_cents")).as("revenue_cents"),
+        max(col("total")).as("t"))
+      .select(col("abc_class"), col("n_parts"), col("revenue_cents"),
+        round(col("revenue_cents").cast("double") / col("t"), 6)
+          .as("revenue_share"))
+  }
+
   /** Higher-order price moments per market segment (C241): skewness and
     * excess kurtosis of order totals from EXACT integer power sums — Σc,
     * Σc², Σc³, Σc⁴ ride as decimal(38,0) (c ≤ ~5e7 cents ⇒ Σc⁴ ≤ ~1e37,

@@ -184,6 +184,37 @@ class Round16Spec extends SparkSpec {
     CacheTracker.drainAll(spark)
   }
 
+  test("platt_scaling recovers a positive slope and beats the uncalibrated NLL") {
+    assumeTestdata(sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val r = operators.Eval.plattScaling(docs).head()
+    // the slope's SIGN flips between synthetic SFs — the stable Newton
+    // invariant is that the fit beats the uncalibrated coin
+    assert(r.getAs[Double]("a") !== 0.0, "Newton must move the slope")
+    val nll = r.getAs[Double]("nll")
+    // the (0,0) start is the p=0.5 coin: NLL0 = n*ln(2); Newton must improve it
+    val n = docs.count()
+    assert(nll < n * math.log(2.0), s"fitted NLL $nll must beat the coin")
+    assert(nll > 0.0)
+    CacheTracker.drainAll(spark)
+  }
+
+  test("orders_abc classes partition the parts and shares are the Pareto cut") {
+    assumeTestdata(sf)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val out = operators.Relational.ordersAbc(li).collect()
+      .map(r => r.getAs[String]("abc_class") -> r).toMap
+    assert(out.keySet === Set("A", "B", "C"))
+    val totParts = out.values.map(_.getAs[Long]("n_parts")).sum
+    val distinctParts = li.select("l_partkey").distinct().count()
+    assert(totParts === distinctParts)
+    val shares = out.map { case (k, r) => k -> r.getAs[Double]("revenue_share") }
+    assert(math.abs(shares.values.sum - 1.0) < 1e-4)
+    assert(shares("A") <= 0.8 + 1e-6 || out("A").getAs[Long]("n_parts") === 1L,
+      "A stops at the 80% boundary")
+    CacheTracker.drainAll(spark)
+  }
+
   test("native graft_simhash equals the declarative fingerprint bit-for-bit") {
     assumeTestdata(sf)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
