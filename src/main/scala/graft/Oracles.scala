@@ -4796,6 +4796,46 @@ object Oracles {
         |UNION ALL SELECT lang, 'min_chars', min_chars FROM w
         |UNION ALL SELECT lang, 'max_chars', max_chars FROM w""".stripMargin,
 
+    // rank-biased overlap (B268): BM25 top-10 vs plain-TF top-10,
+    // truncated RBO@10 at p=0.9; everything past the two top-k's bounded
+    "rbo_rankers" ->
+      s"""WITH b AS ($bm25Sql),
+         |sa AS (SELECT doc_id,
+         |    round(list_reduce(list_sort(list(bm25)), (p, r) -> p + r), 6) AS score
+         |  FROM b WHERE token IN ('query', 'join', 'scan')
+         |  GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10),
+         |ra AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS ra FROM sa),
+         |tfq AS (SELECT doc_id,
+         |    len(list_filter($toks, t -> t IN ('query', 'join', 'scan')))::BIGINT AS tf
+         |  FROM documents),
+         |sb AS (SELECT doc_id, tf FROM tfq WHERE tf > 0 ORDER BY tf DESC, doc_id LIMIT 10),
+         |rb AS (SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS rb FROM sb),
+         |j AS (SELECT coalesce(ra.ra, 9223372036854775807) AS ra2,
+         |    coalesce(rb.rb, 9223372036854775807) AS rb2
+         |  FROM ra FULL OUTER JOIN rb USING (doc_id)),
+         |ds AS (SELECT unnest(range(1, 11)) AS d),
+         |xd AS (SELECT d, count(*) AS x FROM j, ds WHERE ra2 <= d AND rb2 <= d GROUP BY 1),
+         |ad AS (SELECT ds.d, coalesce(x, 0) AS x,
+         |    round(pow(0.9, ds.d - 1) * CAST(coalesce(x, 0) AS DOUBLE) / ds.d, 9) AS term
+         |  FROM ds LEFT JOIN xd USING (d))
+         |SELECT CAST(10 AS BIGINT) AS k,
+         |  CAST(max(CASE WHEN d = 10 THEN x END) AS BIGINT) AS overlap_at_k,
+         |  round((1.0 - 0.9) * list_reduce(list_sort(list(term)), (a, b) -> a + b), 6) AS rbo_trunc
+         |FROM ad""".stripMargin,
+
+    // bag set ops (C248): identical syntax both engines
+    "sql_bag_set_ops" ->
+      """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |     v AS (SELECT user_id FROM events WHERE event_type = 'view')
+        |SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT * FROM c INTERSECT ALL SELECT * FROM v)
+        |UNION ALL
+        |SELECT 'except_all', CAST(count(*) AS BIGINT)
+        |FROM (SELECT * FROM c EXCEPT ALL SELECT * FROM v)
+        |UNION ALL
+        |SELECT 'intersect_distinct', CAST(count(*) AS BIGINT)
+        |FROM (SELECT * FROM c INTERSECT SELECT * FROM v)""".stripMargin,
+
     // Platt scaling (B267): 8 unrolled Newton steps over per-distinct-
     // score counts; two-level sorted folds, (a, b) rounds 9dp per step
     "platt_scaling" -> {

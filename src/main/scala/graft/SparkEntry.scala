@@ -1087,6 +1087,25 @@ object SparkEntry {
       Relational.spendTheilDecomp(t(s, d, "orders"), t(s, d, "customer"))),
     "preference_length_bias" -> ((s, d) =>
       TextOps.preferenceLengthBias(spread(t(s, d, "documents")))),
+    // B268: rank-biased overlap between the BM25 and plain-TF rankers
+    "rbo_rankers" -> ((s, d) =>
+      LangModel.rboRankers(spread(t(s, d, "documents")))),
+    // C248: INTERSECT ALL / EXCEPT ALL bag semantics — multiset counts
+    // (min / clamped difference of per-key multiplicities) pinned
+    // identical across engines, beside C36's distinct set ops
+    "sql_bag_set_ops" -> ((s, d) => {
+      Graft.registerTables(s, d)
+      s.sql("""WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+                    v AS (SELECT user_id FROM events WHERE event_type = 'view')
+               SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n
+               FROM (SELECT * FROM c INTERSECT ALL SELECT * FROM v)
+               UNION ALL
+               SELECT 'except_all', CAST(count(*) AS BIGINT)
+               FROM (SELECT * FROM c EXCEPT ALL SELECT * FROM v)
+               UNION ALL
+               SELECT 'intersect_distinct', CAST(count(*) AS BIGINT)
+               FROM (SELECT * FROM c INTERSECT SELECT * FROM v)""")
+    }),
     // B267: Platt scaling — 8 unrolled Newton steps on distinct-score stats
     "platt_scaling" -> ((s, d) =>
       Eval.plattScaling(spread(t(s, d, "documents")))),

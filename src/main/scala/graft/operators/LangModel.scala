@@ -400,6 +400,52 @@ object LangModel {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
 
+  /** Rank-biased overlap between two retrieval rankings (B268, Webber
+    * et al. 2010): the top-weighted list-similarity measure IR uses to
+    * compare rankers where Kendall/Spearman mis-weight the tail — here
+    * the BM25 top-k against a plain term-frequency top-k for the same
+    * query, truncated RBO@k with persistence `p` (each depth d
+    * contributes (1−p)·p^(d−1)·|prefix∩|/d). High RBO says the idf
+    * weighting isn't changing what the user actually sees; the
+    * complement of [[queryExpansion]]'s recall lever. Everything after
+    * the two top-k's (TakeOrdered heaps) is ≤ 2k rows — the depth
+    * explode, prefix-overlap counts and the k-term weighted fold are
+    * all constant-bounded. */
+  def rboRankers(docs: DataFrame, query: Seq[String] = Seq("query", "join", "scan"),
+                 k: Int = 10, p: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ra = bm25Search(docs, query, k)
+      .withColumn("ra", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "ra")
+    val rb = docs
+      .select(col("doc_id"),
+        size(filter(TextOps.tokens(col("text")), t => t.isInCollection(query)))
+          .cast("long").as("tf"))
+      .filter(col("tf") > 0)
+      .orderBy(col("tf").desc, col("doc_id")).limit(k)
+      .withColumn("rb", row_number()
+        .over(Window.orderBy(col("tf").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rb")
+    val joined = ra.join(rb, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("ra"), lit(Long.MaxValue)).as("ra2"),
+        coalesce(col("rb"), lit(Long.MaxValue)).as("rb2"))
+    val dseq = docs.sparkSession.range(1, k + 1).select(col("id").as("d"))
+    val xd = joined.crossJoin(broadcast(dseq))
+      .filter(col("ra2") <= col("d") && col("rb2") <= col("d"))
+      .groupBy("d").agg(count(lit(1)).as("x"))
+    val ad = dseq.join(xd, Seq("d"), "left")
+      .select(col("d"), coalesce(col("x"), lit(0L)).as("x"))
+      .select(col("d"), col("x"),
+        round(pow(lit(p), col("d") - 1) * col("x").cast("double") / col("d"), 9)
+          .as("term"))
+    ad.agg(
+        max(when(col("d") === k, col("x"))).as("overlap_at_k"),
+        round(lit(1.0 - p) * aggregate(sort_array(collect_list(col("term"))),
+          lit(0.0), (acc, t) => acc + t), 6).as("rbo_trunc"))
+      .select(lit(k.toLong).as("k"), col("overlap_at_k"), col("rbo_trunc"))
+  }
+
   /** Pseudo-relevance-feedback query expansion (B133): run the fixed
     * query through BM25, take the top `fb` feedback documents, and score
     * every non-query term by its summed BM25 weight ACROSS the feedback

@@ -184,6 +184,32 @@ class Round16Spec extends SparkSpec {
     CacheTracker.drainAll(spark)
   }
 
+  test("rbo_rankers is bounded by the truncated weight mass") {
+    assumeTestdata(sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val r = operators.LangModel.rboRankers(docs).head()
+    val rbo = r.getAs[Double]("rbo_trunc")
+    // truncated RBO@k is bounded by the truncated weight mass (1 - p^k)
+    assert(rbo >= 0.0 && rbo <= 1.0 - math.pow(0.9, 10) + 1e-9)
+    assert(r.getAs[Long]("overlap_at_k") <= 10L)
+    CacheTracker.drainAll(spark)
+  }
+
+  test("sql_bag_set_ops: multiset identities hold") {
+    assumeTestdata(sf)
+    val out = SparkEntry.queries("sql_bag_set_ops")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = SparkEntry.normalizeEventTs(iso.read.parquet(s"$sf/events.parquet"))
+    val nClick = ev.filter(col("event_type") === "click").count()
+    // |c| = INTERSECT ALL + EXCEPT ALL (each click row either matches a
+    // view multiplicity slot or survives the clamped difference)
+    assert(out("intersect_all") + out("except_all") === nClick)
+    assert(out("intersect_distinct") <= out("intersect_all"))
+    CacheTracker.drainAll(spark)
+  }
+
   test("platt_scaling recovers a positive slope and beats the uncalibrated NLL") {
     assumeTestdata(sf)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
