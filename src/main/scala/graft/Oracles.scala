@@ -4796,6 +4796,42 @@ object Oracles {
         |UNION ALL SELECT lang, 'min_chars', min_chars FROM w
         |UNION ALL SELECT lang, 'max_chars', max_chars FROM w""".stripMargin,
 
+    // slop-phrase census (B269): top-20 5-grams by doc spread
+    "slop_phrases" ->
+      s"""WITH g AS (SELECT doc_id, unnest(list_transform(range(1, len($toks) - 3),
+         |    i -> array_to_string(($toks)[i:i+4], ' '))) AS phrase
+         |  FROM documents WHERE len($toks) >= 5),
+         |st AS (SELECT phrase, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_occurrences
+         |  FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         |top AS (SELECT * FROM st
+         |  ORDER BY n_docs DESC, n_occurrences DESC, phrase LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY n_docs DESC, n_occurrences DESC, phrase) AS BIGINT) AS rank,
+         |  phrase, n_docs, n_occurrences
+         |FROM top""".stripMargin,
+
+    // ANSI safety valves (C249): each hazard through DuckDB's own valve
+    "ansi_safety_valves" ->
+      """SELECT
+        |  CAST((10 / nullif(0, 0)) IS NULL AS BIGINT) AS div_by_zero_null,
+        |  CAST(TRY_CAST('not a number' AS INTEGER) IS NULL AS BIGINT) AS bad_cast_null,
+        |  CAST(TRY_CAST('9223372036854775808' AS BIGINT) IS NULL AS BIGINT) AS overflow_null,
+        |  CAST(([1, 2, 3])[9] IS NULL AS BIGINT) AS oob_index_null""".stripMargin,
+
+    // as-of with tolerance (C250): ASOF LEFT JOIN + CASE on the gap
+    "asof_join_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ns(ts) // 1000 AS click_us,
+        |             min(event_id) AS click_event_id
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.user_id, p.event_id, p.us,
+        |  CASE WHEN p.us - c.click_us <= 3600000000 THEN c.click_event_id END AS click_event_id,
+        |  CASE WHEN p.us - c.click_us <= 3600000000 THEN c.click_us END AS click_us,
+        |  CASE WHEN p.us - c.click_us <= 3600000000 THEN p.us - c.click_us END AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.us >= c.click_us""".stripMargin,
+
     // rank-biased overlap (B268): BM25 top-10 vs plain-TF top-10,
     // truncated RBO@10 at p=0.9; everything past the two top-k's bounded
     "rbo_rankers" ->

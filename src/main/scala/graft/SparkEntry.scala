@@ -1087,6 +1087,33 @@ object SparkEntry {
       Relational.spendTheilDecomp(t(s, d, "orders"), t(s, d, "customer"))),
     "preference_length_bias" -> ((s, d) =>
       TextOps.preferenceLengthBias(spread(t(s, d, "documents")))),
+    // B269: cross-document slop-phrase census (top-k by doc spread)
+    "slop_phrases" -> ((s, d) =>
+      TextOps.slopPhrases(spread(t(s, d, "documents")))),
+    // C249: ANSI safety valves — try_* error-to-NULL semantics, each
+    // pinned against DuckDB's own safety valve for the same hazard
+    "ansi_safety_valves" -> ((s, _) =>
+      s.sql("""SELECT
+          CAST(try_divide(10, 0) IS NULL AS BIGINT) AS div_by_zero_null,
+          CAST(try_cast('not a number' AS INT) IS NULL AS BIGINT) AS bad_cast_null,
+          CAST(try_add(9223372036854775807L, 1L) IS NULL AS BIGINT) AS overflow_null,
+          CAST(try_element_at(array(1, 2, 3), 9) IS NULL AS BIGINT) AS oob_index_null""")),
+    // C250: as-of join with a freshness TOLERANCE (pandas merge_asof
+    // semantics): stale matches null out, left rows survive
+    "asof_join_tolerance" -> ((s, d) => {
+      val e = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "us")
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("us").as("click_us"))
+        .agg(min("event_id").as("click_event_id"))
+      AsOf.asofJoinTolerance(purchases, clicks, "user_id", "us", "click_us",
+          tolerance = 3600000000L)
+        .select(col("user_id"), col("event_id"), col("us"),
+          col("click_event_id"), col("click_us"),
+          (col("us") - col("click_us")).as("gap_us"))
+    }),
     // B268: rank-biased overlap between the BM25 and plain-TF rankers
     "rbo_rankers" -> ((s, d) =>
       LangModel.rboRankers(spread(t(s, d, "documents")))),

@@ -50,4 +50,23 @@ object AsOf {
         (lCols.filterNot(_ == key).map(c => col(s"_l.$c").as(c)) ++
           rCols.map(c => col(s"_m.$c").as(c))): _*)
   }
+
+  /** [[asofJoin]] with a match TOLERANCE (pandas merge_asof semantics):
+    * the latest right row still matches only when leftTs − rightTs ≤
+    * `tolerance`; a staler match is DISCARDED (right columns null) while
+    * the left row survives — the feature-store rule that a feature older
+    * than its freshness SLA must not silently join. Same one-shuffle
+    * window plan as the base join; the tolerance is one post-projection,
+    * so the scale shape is unchanged. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+                        leftTs: String, rightTs: String,
+                        tolerance: Long): DataFrame = {
+    val rCols = right.columns.toSeq.filterNot(_ == key)
+    val joined = asofJoin(left, right, key, leftTs, rightTs)
+      .withColumn("_keep",
+        col(rightTs).isNotNull && col(leftTs) - col(rightTs) <= tolerance)
+    rCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(col("_keep"), col(c)))
+    }.drop("_keep")
+  }
 }

@@ -3549,6 +3549,33 @@ object TextOps {
           .as("gini"))
   }
 
+  /** Cross-document "slop phrase" census (B269): the top-k `n`-gram
+    * phrases ranked by DOCUMENT SPREAD (then occurrence count) among
+    * phrases appearing in ≥ 2 docs — the readable census of what
+    * boilerplate/cliché actually dominates a corpus, upstream of
+    * [[lineFreqFilter]]'s removal decision (that op DROPS windows past a
+    * threshold; this one shows a ranked list a human reviews to SET the
+    * threshold). One exploded-gram pass with map-side partial counts;
+    * the top-k is a TakeOrdered heap, never a phrase-table sort. */
+  def slopPhrases(docs: DataFrame, n: Int = 5, k: Int = 20): DataFrame = {
+    val grams = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))"))
+        .as("phrase"))
+    val top = grams.groupBy("phrase")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("phrase"))
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("phrase")))
+        .cast("long"))
+      .select("rank", "phrase", "n_docs", "n_occurrences")
+  }
+
   /** Pairwise source win-rate matrix (B260): for every (lang, src_a,
     * src_b) pair, how often src_a's top-k documents beat src_b's on the
     * composite quality score — the head-to-head readout BEHIND

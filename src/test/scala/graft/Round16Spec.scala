@@ -184,6 +184,41 @@ class Round16Spec extends SparkSpec {
     CacheTracker.drainAll(spark)
   }
 
+  test("asof_join_tolerance: left rows survive, stale matches null out") {
+    assumeTestdata(sf)
+    val tol = 3600000000L
+    val out = SparkEntry.queries("asof_join_tolerance")(spark, sf)
+    val base = SparkEntry.queries("asof_join")(spark, sf) // inner as-of
+    val e = eventsDf
+    val nPurch = e.filter(col("event_type") === "purchase").count()
+    assert(out.count() === nPurch, "tolerance join must keep every left row")
+    assert(out.filter(col("gap_us") > tol).count() === 0)
+    // every within-tolerance base match survives with the same payload
+    val keptBase = base.filter(col("us") - col("click_us") <= tol)
+      .select("user_id", "event_id", "us", "click_event_id", "click_us")
+    val keptOut = out.filter(col("click_event_id").isNotNull)
+      .select("user_id", "event_id", "us", "click_event_id", "click_us")
+    assert(keptOut.exceptAll(keptBase).count() === 0)
+    assert(keptBase.exceptAll(keptOut).count() === 0)
+    CacheTracker.drainAll(spark)
+  }
+
+  test("slop_phrases ranks by spread then occurrences, all phrases multi-doc") {
+    assumeTestdata(sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = operators.TextOps.slopPhrases(docs).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val ordered = rows.sortBy(_.getAs[Long]("rank"))
+    for (Array(a, b) <- ordered.sliding(2)) {
+      val ka = (a.getAs[Long]("n_docs"), a.getAs[Long]("n_occurrences"))
+      val kb = (b.getAs[Long]("n_docs"), b.getAs[Long]("n_occurrences"))
+      assert(ka._1 > kb._1 || (ka._1 == kb._1 && ka._2 >= kb._2),
+        "rank order must be (n_docs desc, n_occurrences desc)")
+    }
+    assert(rows.forall(_.getAs[Long]("n_docs") >= 2L))
+    CacheTracker.drainAll(spark)
+  }
+
   test("rbo_rankers is bounded by the truncated weight mass") {
     assumeTestdata(sf)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
