@@ -4796,6 +4796,47 @@ object Oracles {
         |UNION ALL SELECT lang, 'min_chars', min_chars FROM w
         |UNION ALL SELECT lang, 'max_chars', max_chars FROM w""".stripMargin,
 
+    // filtered vector search (B270): label equality rides the probe join
+    "ann_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS n_id, embedding AS n_emb, label AS n_label FROM embeddings),
+         |scored AS (SELECT q_id, n_id, ${cosSql("q_emb", "n_emb")} AS cos
+         |  FROM q JOIN c ON q_id <> n_id AND q_label = n_label),
+         |ranked AS (SELECT q_id, n_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM scored)
+         |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, cos FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    // post-filter recall (B271): unfiltered top-20 -> label filter ->
+    // keep 5, measured against the true pre-filtered top-5
+    "ann_postfilter_recall" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS n_id, embedding AS n_emb, label AS n_label FROM embeddings),
+         |su AS (SELECT q_id, n_id, ${cosSql("q_emb", "n_emb")} AS cos
+         |  FROM q JOIN c ON q_id <> n_id),
+         |ru AS (SELECT q_id, n_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM su),
+         |post AS (SELECT ru.q_id, ru.n_id, ru.cos FROM ru
+         |  JOIN q ON ru.q_id = q.q_id
+         |  JOIN c ON ru.n_id = c.n_id
+         |  WHERE ru.rnk <= 20 AND c.n_label = q.q_label),
+         |pr AS (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM post),
+         |ptop AS (SELECT q_id, n_id FROM pr WHERE rnk <= 5),
+         |sf AS (SELECT q_id, n_id, ${cosSql("q_emb", "n_emb")} AS cos
+         |  FROM q JOIN c ON q_id <> n_id AND q_label = n_label),
+         |rf AS (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM sf),
+         |truth AS (SELECT q_id, n_id FROM rf WHERE rnk <= 5),
+         |h AS (SELECT t.q_id, count(*) AS n_hits FROM truth t
+         |  JOIN ptop p ON t.q_id = p.q_id AND t.n_id = p.n_id GROUP BY 1),
+         |nt AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth FROM truth GROUP BY 1)
+         |SELECT nt.q_id, nt.n_truth,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / nt.n_truth, 6) AS recall
+         |FROM nt LEFT JOIN h ON nt.q_id = h.q_id""".stripMargin,
+
     // slop-phrase census (B269): top-20 5-grams by doc spread
     "slop_phrases" ->
       s"""WITH g AS (SELECT doc_id, unnest(list_transform(range(1, len($toks) - 3),

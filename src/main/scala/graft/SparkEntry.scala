@@ -1087,6 +1087,12 @@ object SparkEntry {
       Relational.spendTheilDecomp(t(s, d, "orders"), t(s, d, "customer"))),
     "preference_length_bias" -> ((s, d) =>
       TextOps.preferenceLengthBias(spread(t(s, d, "documents")))),
+    // B270: metadata-filtered exact vector search (pre-filter semantics)
+    "ann_filtered" -> ((s, d) =>
+      Similarity.annFiltered(t(s, d, "embeddings"))),
+    // B271: post-filter shortcut recall vs the true pre-filtered top-k
+    "ann_postfilter_recall" -> ((s, d) =>
+      Similarity.annPostfilterRecall(t(s, d, "embeddings"))),
     // B269: cross-document slop-phrase census (top-k by doc spread)
     "slop_phrases" -> ((s, d) =>
       TextOps.slopPhrases(spread(t(s, d, "documents")))),

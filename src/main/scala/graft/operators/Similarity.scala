@@ -56,6 +56,58 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** FILTERED vector search (B270): exact cosine top-k restricted to
+    * neighbors sharing the query's label — the metadata-filtered ANN
+    * every retrieval stack needs the moment vectors carry attributes
+    * (tenant, language, date-range). PRE-filter semantics: the predicate
+    * applies before ranking, so the top-k is the true filtered answer —
+    * the reference against which [[annPostfilterRecall]] measures the
+    * cheaper post-filter shortcut. Same broadcast-query + TopKPerKey
+    * shape as [[annTopK]]; the filter rides the join condition, so
+    * Catalyst pushes the label equality into the probe. */
+  def annFiltered(emb: DataFrame, maxQueryId: Long = 10, k: Int = 5): DataFrame = {
+    val q = broadcast(
+      emb.filter(col("vec_id") < maxQueryId)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label")))
+    val scored = q.join(
+        emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+          col("label").as("n_label")),
+        col("q_id") =!= col("n_id") && col("q_label") === col("n_label"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_emb"), col("n_emb")), 6).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** Post-filter recall audit (B271): the cheap filtered-search shortcut
+    * — take the UNFILTERED top-(k·overfetch), drop non-matching labels,
+    * keep k — measured against [[annFiltered]]'s true pre-filtered
+    * top-k. Recall < 1 quantifies exactly what the shortcut loses when
+    * the filter is selective (the candidate list exhausts before k
+    * same-label hits); the overfetch factor is the knob this row sizes.
+    * Both sides are broadcast-query exact scans; the audit join is
+    * queries×k-bounded. */
+  def annPostfilterRecall(emb: DataFrame, maxQueryId: Long = 10, k: Int = 5,
+                          overfetch: Int = 4): DataFrame = {
+    val labels = broadcast(emb.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label")))
+    val post = annTopK(emb, maxQueryId, k * overfetch)
+      .join(labels, "q_id")
+      .join(emb.select(col("vec_id").as("n_id"), col("label").as("n_label")), "n_id")
+      .filter(col("n_label") === col("q_label"))
+    val postTop = rankTopK(post.select("q_id", "n_id", "cos"), k)
+      .select(col("q_id"), col("n_id"))
+    val truth = annFiltered(emb, maxQueryId, k).select(col("q_id"), col("n_id"))
+    val hits = truth.join(postTop, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / col("n_truth"), 6))
+  }
+
   /** Maximal Marginal Relevance re-ranking (B231, Carbonell & Goldstein
     * 1998): the diversified top-k every retrieval stack bolts onto its
     * ANN results — greedily pick the candidate maximizing

@@ -184,6 +184,26 @@ class Round16Spec extends SparkSpec {
     CacheTracker.drainAll(spark)
   }
 
+  test("ann_filtered respects the label predicate; postfilter recall is bounded") {
+    assumeTestdata(sf)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val labels = emb.select(col("vec_id"), col("label"))
+    val out = operators.Similarity.annFiltered(emb)
+    val mismatched = out
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("ql")), "q_id")
+      .join(labels.select(col("vec_id").as("n_id"), col("label").as("nl")), "n_id")
+      .filter(col("ql") =!= col("nl")).count()
+    assert(mismatched === 0, "every filtered neighbor must share the query label")
+    val rec = operators.Similarity.annPostfilterRecall(emb).collect()
+    assert(rec.nonEmpty)
+    for (r <- rec) {
+      val v = r.getAs[Double]("recall")
+      assert(v >= 0.0 && v <= 1.0)
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_truth"))
+    }
+    CacheTracker.drainAll(spark)
+  }
+
   test("asof_join_tolerance: left rows survive, stale matches null out") {
     assumeTestdata(sf)
     val tol = 3600000000L
