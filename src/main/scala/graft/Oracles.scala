@@ -4796,6 +4796,72 @@ object Oracles {
         |UNION ALL SELECT lang, 'min_chars', min_chars FROM w
         |UNION ALL SELECT lang, 'max_chars', max_chars FROM w""".stripMargin,
 
+    // decontam width sweep (B272): the contamination_check chain at
+    // n = 4 / 8 / 13, one summary row per width
+    "decontam_ngram_sweep" -> {
+      def block(n: Int): String = {
+        val gram = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+        s"""SELECT CAST($n AS BIGINT) AS n,
+           |  CAST(count(*) AS BIGINT) AS n_flagged_docs,
+           |  CAST(coalesce(sum(n_shared), 0) AS BIGINT) AS total_shared_grams
+           |FROM (
+           |  WITH sh AS (SELECT doc_id,
+           |      unnest(list_distinct(list_transform(range(1, len(toks) - ${n - 2}),
+           |        i -> $gram))) AS g
+           |    FROM t WHERE len(toks) >= $n),
+           |  b AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % 50 = 0),
+           |  c AS (SELECT doc_id, g FROM sh WHERE doc_id % 50 <> 0)
+           |  SELECT doc_id, count(DISTINCT g) AS n_shared
+           |  FROM c JOIN b USING (g) GROUP BY doc_id)""".stripMargin
+      }
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
+         |${block(4)}
+         |UNION ALL
+         |${block(8)}
+         |UNION ALL
+         |${block(13)}""".stripMargin
+    },
+
+    // lognormal length fit (B273): ln terms 9dp, two-level sorted folds
+    "length_lognormal_fit" ->
+      """WITH terms AS (SELECT lang, n_chars, doc_id % 1024 AS sb,
+        |    round(ln(CAST(n_chars AS DOUBLE)), 9) AS l
+        |  FROM documents WHERE n_chars > 0),
+        |l1 AS (SELECT lang, sb, count(*) AS c, CAST(sum(n_chars) AS BIGINT) AS sc,
+        |    list_reduce(list_sort(list(l)), (a, b) -> a + b) AS sl,
+        |    list_reduce(list_sort(list(l * l)), (a, b) -> a + b) AS sl2
+        |  FROM terms GROUP BY 1, 2),
+        |m AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(sum(sc) AS BIGINT) AS sum_chars,
+        |    list_reduce(list_sort(list(sl)), (a, b) -> a + b) AS sl,
+        |    list_reduce(list_sort(list(sl2)), (a, b) -> a + b) AS sl2
+        |  FROM l1 GROUP BY 1),
+        |d AS (SELECT lang, n_docs, sum_chars, CAST(n_docs AS DOUBLE) AS n,
+        |    sl / CAST(n_docs AS DOUBLE) AS mu,
+        |    sqrt(sl2 / CAST(n_docs AS DOUBLE)
+        |      - (sl / CAST(n_docs AS DOUBLE)) * (sl / CAST(n_docs AS DOUBLE))) AS sigma
+        |  FROM m)
+        |SELECT lang, n_docs, round(mu, 6) AS mu_ln, round(sigma, 6) AS sigma_ln,
+        |  round(exp(mu), 6) AS fitted_median,
+        |  round(exp(mu + sigma * sigma / 2.0), 6) AS fitted_mean,
+        |  round(CAST(sum_chars AS DOUBLE) / n, 6) AS actual_mean,
+        |  round((CAST(sum_chars AS DOUBLE) / n) / exp(mu + sigma * sigma / 2.0), 6)
+        |    AS mean_ratio
+        |FROM d""".stripMargin,
+
+    // inline VALUES dim join (C251): same literal table both engines
+    "sql_values_inline" ->
+      """SELECT w.category, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(e.value * 100) AS BIGINT) * w.weight) AS BIGINT)
+        |    AS weighted_cents
+        |FROM events e
+        |JOIN (VALUES ('click', 1, 'engage'), ('view', 1, 'engage'),
+        |             ('purchase', 5, 'convert'), ('signup', 3, 'convert'),
+        |             ('error', 0, 'noise'))
+        |  AS w(event_type, weight, category)
+        |  ON e.event_type = w.event_type
+        |GROUP BY w.category""".stripMargin,
+
     // filtered vector search (B270): label equality rides the probe join
     "ann_filtered" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label

@@ -1087,6 +1087,28 @@ object SparkEntry {
       Relational.spendTheilDecomp(t(s, d, "orders"), t(s, d, "customer"))),
     "preference_length_bias" -> ((s, d) =>
       TextOps.preferenceLengthBias(spread(t(s, d, "documents")))),
+    // B272: decontamination n-gram width sweep (4 / 8 / 13)
+    "decontam_ngram_sweep" -> ((s, d) =>
+      TextOps.decontamNgramSweep(spread(t(s, d, "documents")))),
+    // B273: per-lang lognormal length fit (method of moments, ln terms
+    // through the two-level sorted fold)
+    "length_lognormal_fit" -> ((s, d) =>
+      TextOps.lengthLognormalFit(spread(t(s, d, "documents")))),
+    // C251: inline VALUES dimension join — literal lookup tables in the
+    // query text, the no-catalog enrichment idiom, identical both engines
+    "sql_values_inline" -> ((s, d) => {
+      Graft.registerTables(s, d)
+      s.sql("""SELECT w.category, CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(CAST(round(e.value * 100) AS BIGINT) * w.weight) AS BIGINT)
+                   AS weighted_cents
+               FROM events e
+               JOIN (VALUES ('click', 1, 'engage'), ('view', 1, 'engage'),
+                            ('purchase', 5, 'convert'), ('signup', 3, 'convert'),
+                            ('error', 0, 'noise'))
+                 AS w(event_type, weight, category)
+                 ON e.event_type = w.event_type
+               GROUP BY w.category""")
+    }),
     // B270: metadata-filtered exact vector search (pre-filter semantics)
     "ann_filtered" -> ((s, d) =>
       Similarity.annFiltered(t(s, d, "embeddings"))),

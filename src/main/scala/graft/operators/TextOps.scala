@@ -287,6 +287,59 @@ object TextOps {
   }
 
 
+  /** Decontamination n-gram sweep (B272): [[contamination]] run at the
+    * three canonical shingle widths — 4 (aggressive, catches phrases),
+    * 8 (the common overlap filter), 13 (exact-substring decontam à la
+    * GPT-3's 13-gram rule) — summarized as flagged-doc and shared-gram
+    * counts per width. The tuning table a decontam pass reads before
+    * committing to a width: too small flags idiom, too large misses
+    * paraphrased leakage. Each width is one broadcast inverted join
+    * (the benchmark side is tiny by construction); widths are
+    * independent branches of one union. */
+  def decontamNgramSweep(docs: DataFrame,
+                         ns: Seq[Int] = Seq(4, 8, 13)): DataFrame =
+    ns.map { n =>
+      contamination(docs, n)
+        .agg(count(lit(1)).as("n_flagged_docs"),
+          coalesce(sum(col("n_shared")), lit(0L)).as("total_shared_grams"))
+        .select(lit(n.toLong).as("n"), col("n_flagged_docs"),
+          col("total_shared_grams"))
+    }.reduce(_ unionByName _)
+
+  /** Per-lang lognormal fit of document length (B273): method-of-moments
+    * μ, σ of ln(n_chars) with the fitted median e^μ and mean
+    * e^(μ+σ²/2) next to the ACTUAL mean — the mean/fitted ratio reads
+    * directly as fit quality (≈1: lognormal holds; ≫1: the tail is
+    * heavier, see hill_tail_index). The distribution-fitting row beside
+    * heaps_law_fit (vocab growth) and zipf_slope (rank-frequency). ln
+    * terms round at 9 dp and ride the two-level sub-bucketed sorted
+    * fold — bounded buffers at any corpus size. */
+  def lengthLognormalFit(docs: DataFrame): DataFrame = {
+    val terms = docs.filter(col("n_chars") > 0)
+      .select(col("lang"), col("n_chars"),
+        round(log(col("n_chars").cast("double")), 9).as("l"),
+        Folds.subBucket(col("doc_id")))
+    val l1 = terms.groupBy("lang", "sb")
+      .agg(count(lit(1)).as("c"), sum(col("n_chars")).as("sc"),
+        Folds.sortedSum(col("l")).as("sl"),
+        Folds.sortedSum(col("l") * col("l")).as("sl2"))
+    val m = l1.groupBy("lang")
+      .agg(sum(col("c")).as("n_docs"), sum(col("sc")).as("sum_chars"),
+        Folds.sortedSum(col("sl")).as("sl"),
+        Folds.sortedSum(col("sl2")).as("sl2"))
+    val n = col("n_docs").cast("double")
+    val mu = col("sl") / n
+    val sigma = sqrt(col("sl2") / n - mu * mu)
+    m.select(col("lang"), col("n_docs"),
+      round(mu, 6).as("mu_ln"),
+      round(sigma, 6).as("sigma_ln"),
+      round(exp(mu), 6).as("fitted_median"),
+      round(exp(mu + sigma * sigma / 2.0), 6).as("fitted_mean"),
+      round(col("sum_chars").cast("double") / n, 6).as("actual_mean"),
+      round((col("sum_chars").cast("double") / n)
+        / exp(mu + sigma * sigma / 2.0), 6).as("mean_ratio"))
+  }
+
   /** Marker-token language-ID heuristic (B8): count hits against small
     * per-language marker sets over lowercase whitespace tokens; argmax with
     * a deterministic tie-break (en > fr > de), 'und' when no marker hits. */
