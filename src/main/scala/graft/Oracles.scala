@@ -8194,6 +8194,49 @@ object Oracles {
          |  round(2.0 * lcs / (len_a + len_b), 6) AS rouge_f
          |FROM lc""".stripMargin,
 
+    // word error rate over the same band candidates: token-level
+    // Levenshtein as a recursive-CTE row sweep with the prefix-MIN
+    // reformulation (dp[i][j] = min_{k<=j} (c_k + (j-k)) where
+    // c_0 = i and c_k = least(old[k]+1, old[k-1]+sub_k) — valid because
+    // the within-row dependency is a +1-per-step chain). NOT DuckDB's
+    // built-in levenshtein: that one is BYTE-level (substituting one
+    // 2-byte codepoint costs 2), so a token→codepoint encoding cannot
+    // reproduce token-level distances. Exact integers end to end.
+    "wer_pairs" ->
+      s"""WITH RECURSIVE tk AS (SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) >= 3),
+         |dt AS (SELECT DISTINCT doc_id,
+         |       toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS token
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tk)),
+         |sig AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || token)) AS sig
+         |        FROM dt CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+         |band AS (SELECT doc_id, i // 8 AS band, md5(string_agg(sig, '|' ORDER BY i)) AS bh
+         |         FROM sig GROUP BY doc_id, i // 8),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM band a
+         |         JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |tp AS (SELECT a_id, b_id, ta.toks AS a_toks, tb.toks AS b_toks
+         |       FROM cand JOIN tk ta ON ta.doc_id = a_id JOIN tk tb ON tb.doc_id = b_id),
+         |dp AS (
+         |  SELECT a_id, b_id, a_toks, b_toks, 0 AS i,
+         |    list_transform(range(0, len(b_toks) + 1), x -> CAST(x AS BIGINT)) AS r
+         |  FROM tp
+         |  UNION ALL
+         |  SELECT a_id, b_id, a_toks, b_toks, i + 1,
+         |    list_transform(range(1, len(b_toks) + 2), l ->
+         |      CASE WHEN l = 1 THEN CAST(i + 1 AS BIGINT)
+         |      ELSE list_min(list_transform(range(1, l + 1), k ->
+         |        (CASE WHEN k = 1 THEN CAST(i + 1 AS BIGINT)
+         |         ELSE least(r[k] + 1, r[k - 1]
+         |           + CASE WHEN a_toks[i + 1] = b_toks[k - 1] THEN 0 ELSE 1 END)
+         |         END) + (l - k)))
+         |      END)
+         |  FROM dp WHERE i < len(a_toks)),
+         |lv AS (SELECT a_id, b_id, CAST(len(a_toks) AS BIGINT) AS len_a,
+         |       CAST(len(b_toks) AS BIGINT) AS len_b, r[len(b_toks) + 1] AS word_dist
+         |       FROM dp WHERE i = len(a_toks))
+         |SELECT a_id, b_id, len_a, len_b, word_dist,
+         |  round(CAST(word_dist AS DOUBLE) / len_a, 6) AS wer
+         |FROM lv""".stripMargin,
+
     // external cluster validity off the shared deterministic Lloyd fit:
     // purity + NMI from one (cluster x label) contingency
     "cluster_purity" -> {

@@ -1019,6 +1019,10 @@ object SparkEntry {
       Similarity.pqAnnRecall(t(s, d, "embeddings"))),
     "rouge_l_pairs" -> ((s, d) =>
       Dedup.rougeLPairs(spread(t(s, d, "documents")))),
+    // B274: word error rate over the same LSH band candidates — the
+    // substitution-aware token edit distance (native graft_word_lev DP)
+    "wer_pairs" -> ((s, d) =>
+      Dedup.werPairs(spread(t(s, d, "documents")))),
     "cluster_purity" -> ((s, d) =>
       Similarity.clusterPurity(t(s, d, "embeddings"))),
     // C230: null-safe equality (<=>) join semantics — the NULL bucket

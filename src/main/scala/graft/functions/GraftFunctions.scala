@@ -77,6 +77,14 @@ object GraftFunctions {
   private val lcsLenInfo = new ExpressionInfo(
     classOf[LcsLength].getCanonicalName, "graft_lcs_len")
 
+  /** Token-array word-level Levenshtein distance as a typed Column. */
+  def wordLev(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      WordLevenshtein(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  private val wordLevInfo = new ExpressionInfo(
+    classOf[WordLevenshtein].getCanonicalName, "graft_word_lev")
+
   /** Exponential-race weighted-MinHash signature as a typed Column. */
   def wminhashSig(tokens: Column, numHashes: Int): Column =
     ExpressionUtils.column(
@@ -165,6 +173,12 @@ object GraftFunctions {
         SortedDot(children.head, children(1))
       })
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_word_lev"), wordLevInfo,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_word_lev expects exactly 2 arguments")
+        WordLevenshtein(children.head, children(1))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_simhash"), simhashInfo,
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_simhash expects exactly 1 argument")
@@ -233,6 +247,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_sorted_dot expects exactly 2 arguments")
         SortedDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_lev"),
+      new ExpressionInfo(classOf[WordLevenshtein].getCanonicalName, "graft_word_lev"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_word_lev expects exactly 2 arguments")
+        WordLevenshtein(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_wminhash_sig"),
