@@ -8297,6 +8297,157 @@ object Oracles {
          |FROM best CROSS JOIN nn CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl""".stripMargin
     },
 
+    // adjusted Rand index off the same deterministic Lloyd chain as
+    // cluster_purity: all pair counts exact (HUGEINT cross product),
+    // one double ratio at the end
+    "adjusted_rand" -> {
+      def assign(c: String, a: String) =
+        s"""$a AS MATERIALIZED (SELECT vec_id, e, cluster, dist FROM (
+           |  SELECT vec_id, e, cluster, dist,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+           |  FROM (SELECT v.vec_id, v.e, $c.cluster,
+           |      round(list_reduce(list_transform(range(1, 9),
+           |        i -> (e[i] - c[i]) * (e[i] - c[i])), (p, q) -> p + q), 9) AS dist
+           |    FROM v CROSS JOIN $c)) WHERE rn = 1)""".stripMargin
+      def recenter(a: String, m: String, c: String) =
+        s"""$m AS MATERIALIZED (SELECT cluster, pos,
+           |  round(list_reduce(list_sort(list(sub_s)), (p, q) -> p + q) / sum(sub_n), 9) AS cm
+           |  FROM (SELECT cluster, pos, vec_id % 1024 AS sb, count(*) AS sub_n,
+           |        list_reduce(list_sort(list(x)), (p, q) -> p + q) AS sub_s
+           |        FROM (SELECT vec_id, cluster, unnest(range(1, 9)) AS pos, unnest(e) AS x FROM $a)
+           |        GROUP BY cluster, pos, sb)
+           |  GROUP BY cluster, pos),
+           |$c AS MATERIALIZED (SELECT cluster, list(cm ORDER BY pos) AS c FROM $m GROUP BY cluster)""".stripMargin
+      s"""WITH v AS MATERIALIZED (SELECT vec_id, list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |c0 AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS cluster, e AS c FROM v WHERE vec_id < 4),
+         |${assign("c0", "a1")},
+         |${recenter("a1", "m1", "c1")},
+         |${assign("c1", "a2")},
+         |${recenter("a2", "m2", "c2")},
+         |${assign("c2", "a3")},
+         |${recenter("a3", "m3", "c3")},
+         |${assign("c3", "a4")},
+         |cells AS MATERIALIZED (SELECT a4.cluster, CAST(e2.label AS BIGINT) AS label,
+         |  count(*) AS n_cl FROM a4 JOIN embeddings e2 ON e2.vec_id = a4.vec_id
+         |  GROUP BY 1, 2),
+         |nn AS (SELECT CAST(sum(n_cl) AS BIGINT) AS n FROM cells),
+         |idx AS (SELECT CAST(sum(n_cl * (n_cl - 1) // 2) AS BIGINT) AS index_sum FROM cells),
+         |ca AS (SELECT CAST(sum(n_c * (n_c - 1) // 2) AS BIGINT) AS comb_a
+         |  FROM (SELECT CAST(sum(n_cl) AS BIGINT) AS n_c FROM cells GROUP BY cluster)),
+         |cb AS (SELECT CAST(sum(n_l * (n_l - 1) // 2) AS BIGINT) AS comb_b
+         |  FROM (SELECT CAST(sum(n_cl) AS BIGINT) AS n_l FROM cells GROUP BY label)),
+         |fin AS (SELECT n, index_sum, comb_a, comb_b,
+         |  CAST(CAST(comb_a AS HUGEINT) * comb_b AS DOUBLE)
+         |    / CAST(n * (n - 1) // 2 AS DOUBLE) AS expected,
+         |  CAST(comb_a + comb_b AS DOUBLE) / 2.0 AS max_idx
+         |  FROM idx CROSS JOIN nn CROSS JOIN ca CROSS JOIN cb)
+         |SELECT n AS n_vecs, index_sum, comb_a, comb_b,
+         |  round(expected, 6) AS expected_index,
+         |  round(CASE WHEN max_idx <> expected
+         |    THEN (CAST(index_sum AS DOUBLE) - expected) / (max_idx - expected) END, 6) AS ari
+         |FROM fin""".stripMargin
+    },
+
+    // exact tau-b of the decile-bucketed (quality, length) pair: both
+    // ntiles over (value, doc_id) total orders, concordant/discordant
+    // off the 10x10 grid self-join, tie terms from the margins
+    "kendall_tau" ->
+      s"""WITH q AS (SELECT doc_id, n_chars, $qualitySql AS quality FROM documents),
+         |d AS (SELECT ntile(10) OVER (ORDER BY quality, doc_id) AS dq,
+         |             ntile(10) OVER (ORDER BY n_chars, doc_id) AS dl FROM q),
+         |cells AS MATERIALIZED (SELECT dq, dl, count(*) AS o FROM d GROUP BY 1, 2),
+         |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n_docs FROM cells),
+         |cd AS (SELECT
+         |  CAST(coalesce(sum(CASE WHEN b.dl > a.dl THEN a.o * b.o END), 0) AS BIGINT) AS concordant,
+         |  CAST(coalesce(sum(CASE WHEN b.dl < a.dl THEN a.o * b.o END), 0) AS BIGINT) AS discordant
+         |  FROM cells a JOIN cells b ON b.dq > a.dq),
+         |tq AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS t_q
+         |  FROM (SELECT CAST(sum(o) AS BIGINT) AS m FROM cells GROUP BY dq)),
+         |tl AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS t_l
+         |  FROM (SELECT CAST(sum(o) AS BIGINT) AS m FROM cells GROUP BY dl))
+         |SELECT n_docs, concordant, discordant, t_q, t_l,
+         |  round(CAST(concordant - discordant AS DOUBLE)
+         |    / sqrt(CAST(n_docs * (n_docs - 1) // 2 - t_q AS DOUBLE)
+         |         * CAST(n_docs * (n_docs - 1) // 2 - t_l AS DOUBLE)), 6) AS tau_b
+         |FROM cd CROSS JOIN nn CROSS JOIN tq CROSS JOIN tl""".stripMargin,
+
+    // Theil's U both directions from the lang x source contingency;
+    // 6dp entropy terms folded in sorted key order
+    "theil_u" ->
+      """WITH cells AS MATERIALIZED (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n_docs FROM cells),
+        |hl AS (SELECT list_reduce(list(term ORDER BY lang), (a, b) -> a + b) AS h_lang
+        |  FROM (SELECT lang, round(-(CAST(n_k AS DOUBLE) / n_docs) * ln(CAST(n_k AS DOUBLE) / n_docs), 6) AS term
+        |        FROM (SELECT lang, CAST(sum(o) AS BIGINT) AS n_k FROM cells GROUP BY 1) CROSS JOIN nn)),
+        |hs AS (SELECT list_reduce(list(term ORDER BY source), (a, b) -> a + b) AS h_source
+        |  FROM (SELECT source, round(-(CAST(n_k AS DOUBLE) / n_docs) * ln(CAST(n_k AS DOUBLE) / n_docs), 6) AS term
+        |        FROM (SELECT source, CAST(sum(o) AS BIGINT) AS n_k FROM cells GROUP BY 1) CROSS JOIN nn)),
+        |hj AS (SELECT list_reduce(list(term ORDER BY lang, source), (a, b) -> a + b) AS h_joint
+        |  FROM (SELECT lang, source,
+        |        round(-(CAST(o AS DOUBLE) / n_docs) * ln(CAST(o AS DOUBLE) / n_docs), 6) AS term
+        |        FROM cells CROSS JOIN nn))
+        |SELECT n_docs, round(h_lang, 6) AS h_lang, round(h_source, 6) AS h_source,
+        |  round(h_joint, 6) AS h_joint,
+        |  round(CASE WHEN h_lang > 0.0 THEN (h_lang + h_source - h_joint) / h_lang END, 6)
+        |    AS u_lang_given_source,
+        |  round(CASE WHEN h_source > 0.0 THEN (h_lang + h_source - h_joint) / h_source END, 6)
+        |    AS u_source_given_lang
+        |FROM nn CROSS JOIN hl CROSS JOIN hs CROSS JOIN hj""".stripMargin,
+
+    // Brown-Forsythe: abs deviations from group medians in x2 integer
+    // space, per-source 9dp ANOVA terms folded in source order
+    "brown_forsythe" ->
+      """WITH m AS (SELECT source, CAST(quantile_cont(n_chars, 0.5) * 2 AS BIGINT) AS med2
+        |           FROM documents GROUP BY source),
+        |per AS MATERIALIZED (SELECT d.source, count(*) AS n_i,
+        |  CAST(sum(abs(d.n_chars * 2 - m.med2)) AS BIGINT) AS s1,
+        |  sum(CAST(abs(d.n_chars * 2 - m.med2) AS HUGEINT) * abs(d.n_chars * 2 - m.med2)) AS s2
+        |  FROM documents d JOIN m USING (source) GROUP BY d.source),
+        |g AS (SELECT CAST(sum(n_i) AS BIGINT) AS n_docs, CAST(sum(s1) AS BIGINT) AS s1t,
+        |      count(*) AS k_groups FROM per),
+        |t AS (SELECT
+        |  list_reduce(list(ssb_i ORDER BY source), (a, b) -> a + b) AS ssb,
+        |  list_reduce(list(ssw_i ORDER BY source), (a, b) -> a + b) AS ssw
+        |  FROM (SELECT source,
+        |    round(n_i * (CAST(s1 AS DOUBLE) / (n_i * 2) - CAST(s1t AS DOUBLE) / (n_docs * 2))
+        |              * (CAST(s1 AS DOUBLE) / (n_i * 2) - CAST(s1t AS DOUBLE) / (n_docs * 2)), 9) AS ssb_i,
+        |    round((CAST(s2 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_i AS DOUBLE)) / 4.0, 9) AS ssw_i
+        |    FROM per CROSS JOIN g))
+        |SELECT k_groups, n_docs, round(ssb, 6) AS ssb, round(ssw, 6) AS ssw,
+        |  round(CASE WHEN k_groups > 1 AND ssw > 0.0
+        |    THEN (ssb / CAST(k_groups - 1 AS DOUBLE)) / (ssw / CAST(n_docs - k_groups AS DOUBLE)) END, 6)
+        |    AS f_stat
+        |FROM t CROSS JOIN g""".stripMargin,
+
+    // Cochran's Q across the three binary raters: sufficient statistics
+    // only, squares through HUGEINT, one double ratio
+    "cochran_q" ->
+      s"""WITH r AS (SELECT
+         |  CASE WHEN $qualitySql >= 0.5 THEN 1 ELSE 0 END AS r_quality,
+         |  CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END AS r_length,
+         |  CASE WHEN (CASE WHEN length(text) > 0
+         |        THEN CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE) / length(text)
+         |        ELSE 0.0 END) >= 0.6 THEN 1 ELSE 0 END AS r_alpha
+         |  FROM documents),
+         |a AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(r_quality) AS BIGINT) AS c_quality,
+         |  CAST(sum(r_length) AS BIGINT) AS c_length,
+         |  CAST(sum(r_alpha) AS BIGINT) AS c_alpha,
+         |  CAST(sum((r_quality + r_length + r_alpha) * (r_quality + r_length + r_alpha)) AS BIGINT) AS sr2
+         |  FROM r)
+         |SELECT n_docs, c_quality, c_length, c_alpha,
+         |  round(CASE WHEN 3 * (c_quality + c_length + c_alpha) - sr2 > 0
+         |    THEN CAST(2 * (3 * (CAST(c_quality AS HUGEINT) * c_quality
+         |            + CAST(c_length AS HUGEINT) * c_length
+         |            + CAST(c_alpha AS HUGEINT) * c_alpha)
+         |          - CAST(c_quality + c_length + c_alpha AS HUGEINT)
+         |            * (c_quality + c_length + c_alpha)) AS DOUBLE)
+         |      / CAST(3 * (c_quality + c_length + c_alpha) - sr2 AS DOUBLE) END, 6) AS q_stat,
+         |  CAST(2 AS BIGINT) AS dof
+         |FROM a""".stripMargin,
+
     // maximum drawdown of daily revenue: running peak, worst
     // peak-to-trough ratio, peak day back-resolved
     "revenue_drawdown" ->

@@ -1025,6 +1025,18 @@ object SparkEntry {
       Dedup.werPairs(spread(t(s, d, "documents")))),
     "cluster_purity" -> ((s, d) =>
       Similarity.clusterPurity(t(s, d, "embeddings"))),
+    // B275: chance-corrected pair-counting validity off the same Lloyd fit
+    "adjusted_rand" -> ((s, d) =>
+      Similarity.adjustedRand(t(s, d, "embeddings"))),
+    // B276: exact tau-b of the decile-bucketed (quality, length) pair
+    "kendall_tau" -> ((s, d) =>
+      TextOps.kendallTau(spread(t(s, d, "documents")))),
+    // B277: entropy-based asymmetric lang<->source association
+    "theil_u" -> ((s, d) => TextOps.theilU(t(s, d, "documents"))),
+    // B278: robust equality-of-spread of lengths across sources
+    "brown_forsythe" -> ((s, d) => TextOps.brownForsythe(t(s, d, "documents"))),
+    // B279: k-sample McNemar across the three binary quality raters
+    "cochran_q" -> ((s, d) => TextOps.cochranQ(spread(t(s, d, "documents")))),
     // C230: null-safe equality (<=>) join semantics — the NULL bucket
     // row exists ONLY under IS-NOT-DISTINCT-FROM matching, so the
     // result hash pins tri-valued join behavior between engines

@@ -244,7 +244,7 @@ object Ranks {
 
   /** True integer division — Spark's `/` on integral columns is DOUBLE
     * division, which silently shifts ntile bucket boundaries. */
-  private def idiv(a: Column, b: Column): Column = {
+  private[operators] def idiv(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftshim.ColumnShim
     import org.apache.spark.sql.catalyst.expressions.IntegralDivide
     ColumnShim.column(IntegralDivide(

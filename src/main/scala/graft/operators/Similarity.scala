@@ -1209,6 +1209,48 @@ object Similarity {
           col("mi") / sqrt(col("h_cluster") * col("h_label"))), 6).as("nmi"))
   }
 
+  /** Adjusted Rand index (B275, Hubert & Arabie 1985): chance-corrected
+    * pair-counting agreement between the deterministic Lloyd assignment
+    * and the ground-truth labels — the third leg of the external-validity
+    * readout next to [[clusterPurity]]'s purity (majority overlap) and
+    * NMI (information): purity rewards many tiny clusters and NMI is
+    * entropy-scaled, while ARI is exactly 0 in expectation under random
+    * labeling and 1 only on a perfect match, so it is the number to
+    * compare ACROSS k. Every term is a pair count off the one
+    * (cluster × label) contingency aggregate: index = Σ_ij C(n_ij,2),
+    * expected = Σ_i C(a_i,2)·Σ_j C(b_j,2)/C(n,2), max = their mean —
+    * all exact BIGINTs (the a·b cross product goes through
+    * DECIMAL(38,0): at n=10⁹ each factor is ~5·10¹⁷, so the long
+    * product would overflow); the only float is the final ratio.
+    * Degenerate partitions (max = expected, e.g. one cluster AND one
+    * label) yield NULL, not NaN. */
+  def adjustedRand(emb: DataFrame, k: Int = 4, dims: Int = 8,
+                   iters: Int = 3): DataFrame = {
+    val assigns = kmeansLloyd(emb, k, dims, iters).select("vec_id", "cluster")
+    val cells = assigns
+      .join(emb.select(col("vec_id"), col("label").cast("long").as("label")), "vec_id")
+      .groupBy("cluster", "label").agg(count(lit(1)).as("n_cl"))
+    // true integral divide (Spark's / on longs is double division, which
+    // both changes the schema to DOUBLE and goes inexact past 2^53)
+    def comb2(c: Column): Column = Ranks.idiv(c * (c - 1), lit(2L))
+    val n = cells.agg(sum(col("n_cl")).as("n"))
+    val idx = cells.agg(sum(comb2(col("n_cl"))).as("index_sum"))
+    val a = cells.groupBy("cluster").agg(sum(col("n_cl")).as("n_c"))
+      .agg(sum(comb2(col("n_c"))).as("comb_a"))
+    val b = cells.groupBy("label").agg(sum(col("n_cl")).as("n_l"))
+      .agg(sum(comb2(col("n_l"))).as("comb_b"))
+    val expected = (col("comb_a").cast("decimal(38,0)")
+      * col("comb_b").cast("decimal(38,0)")).cast("double") /
+      comb2(col("n")).cast("double")
+    val maxIdx = (col("comb_a") + col("comb_b")).cast("double") / 2.0
+    idx.crossJoin(broadcast(n)).crossJoin(broadcast(a)).crossJoin(broadcast(b))
+      .select(col("n").as("n_vecs"), col("index_sum"), col("comb_a"),
+        col("comb_b"), round(expected, 6).as("expected_index"),
+        round(when(maxIdx =!= expected,
+          (col("index_sum").cast("double") - expected) / (maxIdx - expected)), 6)
+          .as("ari"))
+  }
+
   /** Embedding stability audit (B254): per label, the cosine between
     * the centroids of the two vec_id-parity halves — a split-half
     * reliability check: if re-embedding half the data moves a label's

@@ -1304,6 +1304,53 @@ object TextOps {
       .select(col("lang"), col("n_docs"), col("med_chars"), col("mad_chars"))
   }
 
+  /** Brown–Forsythe test of equal length spread across sources (B278):
+    * the robust Levene variant — a one-way ANOVA on absolute deviations
+    * from each source's MEDIAN (not mean, so heavy-tailed lengths don't
+    * fake a variance difference) answering "do sources differ in length
+    * SPREAD", the scale complement of [[kruskalWallis]]'s location test.
+    * Deviations live in exact ×2 integer space (2·median of integers is
+    * a whole long, the [[lengthMad]] trick), per-source sufficient
+    * stats are exact (n, Σz₂ as long, Σz₂² as DECIMAL(38,0) — squared
+    * deviations overflow a long at ~10⁹ docs), and the F statistic
+    * assembles from 9 dp per-source terms folded in sorted source
+    * order over the |sources|-bounded frame. One broadcast of the
+    * median table, one partial-agg shuffle — corpus involvement ends
+    * there. */
+  def brownForsythe(docs: DataFrame): DataFrame = {
+    val med = docs.groupBy("source")
+      .agg((expr("percentile(n_chars, 0.5)") * 2).cast("long").as("med2"))
+    val per = docs.join(broadcast(med), "source")
+      .select(col("source"),
+        abs(col("n_chars") * 2 - col("med2")).as("z2"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_i"), sum(col("z2")).as("s1"),
+        sum(col("z2").cast("decimal(38,0)") * col("z2")).as("s2"))
+    val grand = per.agg(sum(col("n_i")).as("n_docs"),
+      sum(col("s1")).as("s1t"), count(lit(1)).as("k_groups"))
+    // per-source 9 dp terms: ssb_i = n_i(z̄_i − z̄)², ssw_i = Σ(z_ij − z̄_i)²
+    // via Σz² − (Σz)²/n, both descaled out of the ×2 space (÷4)
+    val zbarI = col("s1").cast("double") / (col("n_i") * 2).cast("double")
+    val zbar = col("s1t").cast("double") / (col("n_docs") * 2).cast("double")
+    val terms = per.crossJoin(broadcast(grand))
+      .select(struct(col("source"),
+        round(col("n_i") * (zbarI - zbar) * (zbarI - zbar), 9).as("ssb_i"),
+        round((col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double")
+            / col("n_i").cast("double")) / 4.0, 9).as("ssw_i")).as("t"))
+      .agg(array_sort(collect_list(col("t"))).as("ts"))
+      .select(
+        aggregate(col("ts"), lit(0.0), (a, t) => a + t.getField("ssb_i")).as("ssb"),
+        aggregate(col("ts"), lit(0.0), (a, t) => a + t.getField("ssw_i")).as("ssw"))
+    terms.crossJoin(broadcast(grand))
+      .select(col("k_groups"), col("n_docs"),
+        round(col("ssb"), 6).as("ssb"), round(col("ssw"), 6).as("ssw"),
+        round(when(col("k_groups") > 1 && col("ssw") > 0.0,
+          (col("ssb") / (col("k_groups") - 1).cast("double"))
+            / (col("ssw") / (col("n_docs") - col("k_groups")).cast("double"))), 6)
+          .as("f_stat"))
+  }
+
   /** Per-language OLS of n_chars on token count (B53): the scaling-law
     * fit between two corpus measures, computed from exact integer
     * moment sums (n, Σx, Σy, Σxy, Σx²) so both engines do the identical
@@ -1926,6 +1973,58 @@ object TextOps {
           .as("spearman_rho"))
   }
 
+  /** Kendall tau-b between quality and length deciles (B276): the
+    * concordance companion to [[qualityLengthCorr]]'s Spearman — tau
+    * counts pair ORDER agreements rather than rank displacement, so it
+    * is the robust one under heavy ties and the one with the direct
+    * probabilistic read (tau = P(concordant) − P(discordant)). Exact
+    * tau over raw values is inherently all-pairs (O(n²) or a
+    * merge-sort inversion count — sequential either way), so this
+    * computes the EXACT tau-b of the decile-bucketed pair: both
+    * variables cut into 10 global buckets by the range-partitioned
+    * two-pass rank (no single-task window), then every pair count
+    * falls out of the 10×10 contingency grid — concordant/discordant
+    * from a bounded 100×100 grid self-join (broadcast BNLJ, never a
+    * data-sized cross), tie terms from the decile margins, all exact
+    * BIGINTs; tau-b's denominator is the only float. Bucketing loses
+    * within-decile orderings by construction (documented; the decile
+    * tau is what a mixing policy actually thresholds on). */
+  def kendallTau(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("n_chars"),
+      qualityComposite.as("quality"))
+    val dq = Ranks.withGlobalRowNumber(scored, "_rq", "_n",
+        Seq(col("quality"), col("doc_id")))
+      .withColumn("dq", Ranks.ntileFromRank(col("_rq"), col("_n"), 10).cast("long"))
+      .select(col("doc_id"), col("n_chars"), col("dq"))
+    val cells = Ranks.withGlobalRowNumber(dq, "_rl", "_n2",
+        Seq(col("n_chars"), col("doc_id")))
+      .withColumn("dl", Ranks.ntileFromRank(col("_rl"), col("_n2"), 10).cast("long"))
+      .groupBy("dq", "dl").agg(count(lit(1)).as("o"))
+    // true integral divide — / on longs is double division (see Ranks.idiv)
+    def comb2(c: Column): Column = Ranks.idiv(c * (c - 1), lit(2L))
+    val n = cells.agg(sum(col("o")).as("n_docs"))
+    val cd = cells.join(
+        broadcast(cells.select(col("dq").as("dq2"), col("dl").as("dl2"),
+          col("o").as("o2"))),
+        col("dq2") > col("dq"))
+      .agg(
+        coalesce(sum(when(col("dl2") > col("dl"), col("o") * col("o2"))), lit(0L))
+          .as("concordant"),
+        coalesce(sum(when(col("dl2") < col("dl"), col("o") * col("o2"))), lit(0L))
+          .as("discordant"))
+    val tq = cells.groupBy("dq").agg(sum(col("o")).as("m"))
+      .agg(sum(comb2(col("m"))).as("t_q"))
+    val tl = cells.groupBy("dl").agg(sum(col("o")).as("m"))
+      .agg(sum(comb2(col("m"))).as("t_l"))
+    cd.crossJoin(broadcast(n)).crossJoin(broadcast(tq)).crossJoin(broadcast(tl))
+      .select(col("n_docs"), col("concordant"), col("discordant"),
+        col("t_q"), col("t_l"),
+        round((col("concordant") - col("discordant")).cast("double")
+          / sqrt((comb2(col("n_docs")) - col("t_q")).cast("double")
+            * (comb2(col("n_docs")) - col("t_l")).cast("double")), 6)
+          .as("tau_b"))
+  }
+
   /** Quality-by-length-decile profile (B95): mean composite quality per
     * length decile — the bias SURFACE behind [[qualityLengthCorr]]'s
     * single rho (a filter can be rank-uncorrelated overall yet cliff at
@@ -1990,6 +2089,46 @@ object TextOps {
           (a, b) => a + b), 6).as("chi2"),
         ((count_distinct(col("lang")) - 1) * (count_distinct(col("source")) - 1))
           .as("dof"))
+  }
+
+  /** Theil's uncertainty coefficient U between lang and source (B277):
+    * the entropy-based, ASYMMETRIC association readout beside
+    * [[langSourceChi2]] — chi² says "dependent or not" but scales with
+    * n; U(lang|source) = I(lang;source)/H(lang) says what FRACTION of
+    * language uncertainty provenance removes (0 = useless, 1 = source
+    * determines lang), and U(source|lang) the reverse — the pair tells
+    * which direction the metadata actually predicts. All three
+    * entropies fold 6 dp terms in sorted key order over bounded frames
+    * (margins and the |langs|·|sources| cell grid); counts are exact
+    * longs off the one corpus aggregate; degenerate margins (single
+    * lang or single source → H = 0) yield NULL for that direction. */
+  def theilU(docs: DataFrame): DataFrame = {
+    val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val n = cells.agg(sum(col("o")).as("n_docs"))
+    def entropy(keys: Seq[String], out: String): DataFrame = cells
+      .groupBy(keys.map(col): _*).agg(sum(col("o")).as("n_k"))
+      .crossJoin(broadcast(n))
+      .select(struct(keys.map(col) :+
+        round(-(col("n_k").cast("double") / col("n_docs"))
+          * log(col("n_k").cast("double") / col("n_docs")), 6).as("term"): _*)
+        .as("t"))
+      .agg(array_sort(collect_list(col("t"))).as("ts"))
+      .select(aggregate(col("ts"), lit(0.0), (a, t) => a + t.getField("term"))
+        .as(out))
+    val hl = entropy(Seq("lang"), "h_lang")
+    val hs = entropy(Seq("source"), "h_source")
+    val hj = entropy(Seq("lang", "source"), "h_joint")
+    val mi = col("h_lang") + col("h_source") - col("h_joint")
+    broadcast(n).crossJoin(broadcast(hl)).crossJoin(broadcast(hs))
+      .crossJoin(broadcast(hj))
+      .select(col("n_docs"),
+        round(col("h_lang"), 6).as("h_lang"),
+        round(col("h_source"), 6).as("h_source"),
+        round(col("h_joint"), 6).as("h_joint"),
+        round(when(col("h_lang") > 0.0, mi / col("h_lang")), 6)
+          .as("u_lang_given_source"),
+        round(when(col("h_source") > 0.0, mi / col("h_source")), 6)
+          .as("u_source_given_lang"))
   }
 
   /** Skip-gram training pairs (B91): the word2vec data pass —
@@ -3057,6 +3196,44 @@ object TextOps {
         "'length_vs_alpha', po_la, pe_la, kappa_la" +
         ") AS (pair, po, pe, kappa)",
       "n")
+  }
+
+  /** Cochran's Q across the three binary quality raters (B279): do the
+    * [[raterAgreement]] filters have the SAME keep rate, accounting for
+    * the fact that they judge the same documents? The k-sample
+    * McNemar — the right test for k matched BINARY raters, where a
+    * Friedman rank test degenerates (every block is a tie pattern over
+    * {0,1}). Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²) with C_j the
+    * per-rater keep counts, R_i the per-doc keep counts (0..3), T their
+    * common total — sufficient statistics only, all exact BIGINTs off
+    * ONE partial-agg pass over narrow per-row flags (squares cross
+    * through DECIMAL(38,0): T² overflows a long past ~3·10⁹ kept
+    * flags); χ²(k−1) under H₀. Degenerate denominator (every doc kept
+    * by all three or none — no discordant blocks) yields NULL. */
+  def cochranQ(docs: DataFrame): DataFrame = {
+    val len = length(col("text"))
+    val nAlpha = size(regexp_extract_all(col("text"), lit("[a-zA-Z]"), lit(0)))
+    val rated = docs.select(
+      (qualityComposite >= 0.5).cast("long").as("r_quality"),
+      (len >= 100).cast("long").as("r_length"),
+      (when(len > 0, nAlpha.cast("double") / len).otherwise(lit(0.0)) >= 0.6)
+        .cast("long").as("r_alpha"))
+    val ri = col("r_quality") + col("r_length") + col("r_alpha")
+    val agg = rated.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("r_quality")).as("c_quality"),
+      sum(col("r_length")).as("c_length"),
+      sum(col("r_alpha")).as("c_alpha"),
+      sum(ri * ri).as("sr2"))
+    def sq(c: Column): Column = c.cast("decimal(38,0)") * c.cast("decimal(38,0)")
+    val t = col("c_quality") + col("c_length") + col("c_alpha")
+    val num = lit(2) * (lit(3) * (sq(col("c_quality")) + sq(col("c_length"))
+      + sq(col("c_alpha"))) - sq(t))
+    val den = lit(3) * t - col("sr2")
+    agg.select(col("n_docs"), col("c_quality"), col("c_length"), col("c_alpha"),
+      round(when(den > 0, num.cast("double") / den.cast("double")), 6)
+        .as("q_stat"),
+      lit(2L).as("dof"))
   }
 
   /** Best-of-n rejection sampling (B150): per (source, lang) pool, keep

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-16 third-session operators: the classical-statistics batch
+  * (ARI, decile tau-b, Theil's U, Brown–Forsythe, Cochran's Q). */
+class Round16cSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String, String)*): DataFrame =
+    rows.map { case (id, text, lang, source) =>
+      (id, text, lang, source, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("adjustedRand: hand-checked contingency on two separable clusters") {
+    // k=2 init = vec_ids 0,1 -> one per true cluster; labels corrupt one doc
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f), 0),
+      (1L, Array(10.0f, 10.0f), 1),
+      (2L, Array(0.1f, 0.0f), 0),
+      (3L, Array(0.0f, 0.1f), 1), // the corrupted label
+      (4L, Array(10.1f, 10.0f), 1),
+      (5L, Array(10.0f, 10.1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = operators.Similarity.adjustedRand(emb, k = 2, dims = 2).collect().head
+    // cells: (c0,l0)=2 (c0,l1)=1 (c1,l1)=3 -> index=1+0+3=4, a=6, b=1+6=7
+    // expected=6*7/15=2.8, max=6.5, ari=1.2/3.7
+    assert(r.getAs[Long]("index_sum") == 4L)
+    assert(r.getAs[Long]("comb_a") == 6L)
+    assert(r.getAs[Long]("comb_b") == 7L)
+    assert(math.abs(r.getAs[Double]("ari") - 1.2 / 3.7) < 1e-6)
+    CacheTracker.drainAll(spark)
+  }
+
+  test("adjustedRand: perfect label agreement scores exactly 1") {
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f), 0),
+      (1L, Array(10.0f, 10.0f), 1),
+      (2L, Array(0.1f, 0.0f), 0),
+      (3L, Array(10.1f, 10.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = operators.Similarity.adjustedRand(emb, k = 2, dims = 2).collect().head
+    assert(r.getAs[Double]("ari") == 1.0)
+    CacheTracker.drainAll(spark)
+  }
+
+  test("kendallTau matches a brute-force decile tau-b on real docs") {
+    assumeTestdata()
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = operators.TextOps.kendallTau(d).collect().head
+    // brute force: replicate ntile-by-(value, doc_id) locally, count pairs
+    val rows = d.select(col("doc_id").cast("long"), col("n_chars").cast("long"),
+        expr("""round(
+          (CASE WHEN length(text) >= 20 THEN 1.0 ELSE length(text) / 20.0 END)
+          * (1.0 - CASE WHEN length(text) > 0
+              THEN size(regexp_extract_all(text, '[^a-zA-Z0-9\\s]', 0)) / CAST(length(text) AS DOUBLE)
+              ELSE 0.0 END)
+          * (CASE WHEN size(filter(split(text, '\\s+'), t -> t <> '')) > 0
+              THEN least(1.0,
+                size(filter(split(text, '\\s+'), t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','it')))
+                / CAST(size(filter(split(text, '\\s+'), t -> t <> '')) AS DOUBLE) * 5.0 + 0.5)
+              ELSE 0.0 END), 6)"""))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val n = rows.length
+    def ntile10(order: Array[Long]): Map[Long, Int] = {
+      val q = n / 10; val rem = n % 10
+      order.zipWithIndex.map { case (id, i) =>
+        val bucket = if (i < (q + 1) * rem) i / (q + 1) else rem + (i - (q + 1) * rem) / q
+        id -> (bucket + 1)
+      }.toMap
+    }
+    val dq = ntile10(rows.sortBy(r => (r._3, r._1)).map(_._1))
+    val dl = ntile10(rows.sortBy(r => (r._2, r._1)).map(_._1))
+    var conc = 0L; var disc = 0L
+    val ids = rows.map(_._1)
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val (a, b) = (ids(i), ids(j))
+      val sq = Integer.compare(dq(a), dq(b)); val sl = Integer.compare(dl(a), dl(b))
+      if (sq * sl > 0) conc += 1 else if (sq * sl < 0) disc += 1
+    }
+    assert(got.getAs[Long]("n_docs") == n.toLong)
+    assert(got.getAs[Long]("concordant") == conc,
+      s"concordant ${got.getAs[Long]("concordant")} want $conc")
+    assert(got.getAs[Long]("discordant") == disc)
+    val tau = got.getAs[Double]("tau_b")
+    assert(tau >= -1.0 && tau <= 1.0)
+    CacheTracker.drainAll(spark)
+  }
+
+  test("theilU: perfect association scores 1 both ways, independence 0") {
+    val perfect = docs(
+      (1L, "aa", "en", "web"), (2L, "bb", "en", "web"),
+      (3L, "cc", "de", "book"), (4L, "dd", "de", "book"))
+    val p = operators.TextOps.theilU(perfect).collect().head
+    assert(p.getAs[Double]("u_lang_given_source") == 1.0)
+    assert(p.getAs[Double]("u_source_given_lang") == 1.0)
+    val indep = docs(
+      (1L, "aa", "en", "web"), (2L, "bb", "en", "book"),
+      (3L, "cc", "de", "web"), (4L, "dd", "de", "book"))
+    val i = operators.TextOps.theilU(indep).collect().head
+    assert(math.abs(i.getAs[Double]("u_lang_given_source")) < 1e-5)
+    assert(math.abs(i.getAs[Double]("u_source_given_lang")) < 1e-5)
+  }
+
+  test("brownForsythe: hand-checked F on same-median different-spread groups") {
+    val d = Seq(
+      (1L, "a", "en", "flat", 10L), (2L, "b", "en", "flat", 10L),
+      (3L, "c", "en", "flat", 10L),
+      (4L, "d", "en", "spread", 5L), (5L, "e", "en", "spread", 10L),
+      (6L, "f", "en", "spread", 15L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = operators.TextOps.brownForsythe(d).collect().head
+    // z: flat (0,0,0), spread (5,0,5); ssb=2*(25/9*3)=50/3, ssw=50/3
+    // F = (50/3 / 1) / (50/3 / 4) = 4
+    assert(r.getAs[Long]("k_groups") == 2L)
+    assert(r.getAs[Long]("n_docs") == 6L)
+    assert(math.abs(r.getAs[Double]("f_stat") - 4.0) < 1e-4)
+  }
+
+  test("cochranQ matches the textbook block formula on real docs") {
+    assumeTestdata()
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = operators.TextOps.cochranQ(d).collect().head
+    val flags = d.selectExpr(
+      """CASE WHEN round(
+          (CASE WHEN length(text) >= 20 THEN 1.0 ELSE length(text) / 20.0 END)
+          * (1.0 - CASE WHEN length(text) > 0
+              THEN size(regexp_extract_all(text, '[^a-zA-Z0-9\\s]', 0)) / CAST(length(text) AS DOUBLE)
+              ELSE 0.0 END)
+          * (CASE WHEN size(filter(split(text, '\\s+'), t -> t <> '')) > 0
+              THEN least(1.0,
+                size(filter(split(text, '\\s+'), t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','it')))
+                / CAST(size(filter(split(text, '\\s+'), t -> t <> '')) AS DOUBLE) * 5.0 + 0.5)
+              ELSE 0.0 END), 6) >= 0.5 THEN 1 ELSE 0 END""",
+      "CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END",
+      """CASE WHEN (CASE WHEN length(text) > 0
+           THEN size(regexp_extract_all(text, '[a-zA-Z]', 0)) / CAST(length(text) AS DOUBLE)
+           ELSE 0.0 END) >= 0.6 THEN 1 ELSE 0 END""")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    val k = 3.0
+    val cj = Seq(flags.map(_._1).sum.toDouble, flags.map(_._2).sum.toDouble,
+      flags.map(_._3).sum.toDouble)
+    val t = cj.sum
+    val sr2 = flags.map(f => { val r = f._1 + f._2 + f._3; (r * r).toDouble }).sum
+    val want = k * (k - 1) * cj.map(c => (c - t / k) * (c - t / k)).sum / (k * t - sr2)
+    assert(got.getAs[Long]("n_docs") == flags.length.toLong)
+    assert(math.abs(got.getAs[Double]("q_stat") - want) < 1e-3,
+      s"q ${got.getAs[Double]("q_stat")} want $want")
+  }
+}
