@@ -8448,6 +8448,81 @@ object Oracles {
          |  CAST(2 AS BIGINT) AS dof
          |FROM a""".stripMargin,
 
+    // bitmap word-algebra overlap matrix: the oracle is SET semantics —
+    // the bitmap BIT_OR/AND/popcount path must reproduce it exactly
+    "bitmap_overlap_matrix" ->
+      """WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
+        |s AS (SELECT event_type, count(*) AS n_users FROM du GROUP BY 1),
+        |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+        |      FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT i.type_a, i.type_b,
+        |  CAST(sa.n_users AS BIGINT) AS n_a, CAST(sb.n_users AS BIGINT) AS n_b,
+        |  CAST(i.n_both AS BIGINT) AS n_both,
+        |  round(CAST(i.n_both AS DOUBLE) / (sa.n_users + sb.n_users - i.n_both), 6) AS jaccard
+        |FROM i JOIN s sa ON sa.event_type = i.type_a
+        |JOIN s sb ON sb.event_type = i.type_b""".stripMargin,
+
+    // self-BLEU over the per-lang 16-doc sample: full ordered pair grid
+    // (zero-overlap pairs included), bleu_pairs' exact clipped-count
+    // machinery, per-lang mean of sorted 6dp terms
+    "self_bleu" ->
+      s"""WITH tk AS MATERIALIZED (SELECT lang, doc_id, $toks AS toks FROM documents
+         |  WHERE len($toks) >= 2),
+         |sm AS MATERIALIZED (SELECT lang, doc_id, toks FROM (
+         |  SELECT lang, doc_id, toks,
+         |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM tk)
+         |  WHERE rn <= 16),
+         |lens AS MATERIALIZED (SELECT lang, doc_id, CAST(len(toks) AS BIGINT) AS len FROM sm),
+         |g1 AS MATERIALIZED (SELECT lang, doc_id, g, count(*) AS c FROM
+         |  (SELECT lang, doc_id, unnest(toks) AS g FROM sm) GROUP BY 1, 2, 3),
+         |g2 AS MATERIALIZED (SELECT lang, doc_id, g, count(*) AS c FROM
+         |  (SELECT lang, doc_id, toks[i] || ' ' || toks[i + 1] AS g
+         |   FROM (SELECT lang, doc_id, toks, unnest(range(1, len(toks))) AS i FROM sm))
+         |  GROUP BY 1, 2, 3),
+         |cl1 AS (SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(sum(least(a.c, b.c)) AS BIGINT) AS clip1
+         |  FROM g1 a JOIN g1 b ON a.lang = b.lang AND a.g = b.g AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2, 3),
+         |cl2 AS (SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(sum(least(a.c, b.c)) AS BIGINT) AS clip2
+         |  FROM g2 a JOIN g2 b ON a.lang = b.lang AND a.g = b.g AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2, 3),
+         |grid AS (SELECT la.lang, la.doc_id AS a_id, lb.doc_id AS b_id,
+         |  la.len AS len_a, lb.len AS len_b
+         |  FROM lens la JOIN lens lb ON la.lang = lb.lang AND la.doc_id <> lb.doc_id),
+         |p AS (SELECT grid.lang, a_id, b_id, len_a, len_b,
+         |  round(CAST(coalesce(clip1, 0) AS DOUBLE) / len_a, 9) AS p1,
+         |  round(CAST(coalesce(clip2, 0) AS DOUBLE) / greatest(len_a - 1, 1), 9) AS p2
+         |  FROM grid LEFT JOIN cl1 USING (lang, a_id, b_id)
+         |  LEFT JOIN cl2 USING (lang, a_id, b_id)),
+         |bl AS (SELECT lang, a_id, b_id,
+         |  round((CASE WHEN len_a >= len_b THEN 1.0
+         |    ELSE round(exp(1.0 - CAST(len_b AS DOUBLE) / len_a), 9) END)
+         |    * sqrt(p1 * p2), 6) AS bleu2 FROM p)
+         |SELECT lang, count(*) AS n_pairs,
+         |  round(list_reduce(list(bleu2 ORDER BY a_id, b_id, bleu2), (a, b) -> a + b)
+         |    / count(*), 6) AS self_bleu
+         |FROM bl GROUP BY lang""".stripMargin,
+
+    // stride frame sampling over the hex spelling of the media bytes
+    // (DuckDB substring rejects BLOB; md5 takes VARCHAR only — the hash
+    // is of the lowercase hex on both engines)
+    "mm_video_frames" ->
+      """WITH m AS (SELECT doc_id, lower(hex(encode(text))) AS mhex FROM documents
+        |           WHERE octet_length(encode(text)) > 0),
+        |n AS (SELECT doc_id, mhex,
+        |      CAST(ceil((length(mhex) / 2) / 32.0) AS BIGINT) AS nf FROM m),
+        |n2 AS (SELECT doc_id, mhex, nf,
+        |      least(CAST(ceil(nf / 2.0) AS BIGINT), 4) AS ns FROM n),
+        |e AS (SELECT doc_id, mhex, nf, unnest(range(0, ns)) AS s FROM n2),
+        |f AS (SELECT doc_id, CAST(s * 2 AS BIGINT) AS frame_idx, nf,
+        |      substring(mhex, CAST(s * 2 * 64 + 1 AS BIGINT), 64) AS fhex FROM e)
+        |SELECT doc_id, frame_idx, nf AS n_frames_total,
+        |  (length(fhex) / 2)::BIGINT AS frame_bytes,
+        |  md5(fhex) AS frame_hash
+        |FROM f""".stripMargin,
+
     // maximum drawdown of daily revenue: running peak, worst
     // peak-to-trough ratio, peak day back-resolved
     "revenue_drawdown" ->

@@ -247,6 +247,15 @@ object SparkEntry {
     "trigram_topk" -> ((s, d) => LangModel.trigramTopk(spread(t(s, d, "documents")))),
     "hill_tail_index" -> ((s, d) => LangModel.hillTailIndex(spread(t(s, d, "documents")))),
     "user_overlap_jaccard" -> ((s, d) => Relational.userOverlapJaccard(events(s, d))),
+    // C240: the same overlap matrix by bitmap word algebra (no per-user
+    // pair rows); oracle = the set-semantics SQL, so algebra is pinned
+    "bitmap_overlap_matrix" -> ((s, d) =>
+      Sketches.bitmapOverlapMatrix(events(s, d))),
+    // B280: mean pairwise BLEU-2 over a per-lang bounded sample
+    "self_bleu" -> ((s, d) => Eval.selfBleu(spread(t(s, d, "documents")))),
+    // B281: stride keyframe sampling as an oracled query surface
+    "mm_video_frames" -> ((s, d) =>
+      Multimodal.videoFrames(spread(t(s, d, "documents")))),
     "bigram_cond_entropy" -> ((s, d) => LangModel.bigramCondEntropy(spread(t(s, d, "documents")))),
     "benford_check" -> ((s, d) => Relational.benfordCheck(t(s, d, "orders"))),
     "pareto_users" -> ((s, d) => Relational.paretoUsers(events(s, d))),

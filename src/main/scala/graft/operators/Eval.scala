@@ -362,6 +362,78 @@ object Eval {
             * sqrt(col("p1") * col("p2")), 6).as("bleu2"))
   }
 
+  /** Self-BLEU corpus diversity (B280, Zhu et al. 2018): mean pairwise
+    * BLEU-2 of each sampled document against every other sampled
+    * document of its language — the standard "is this corpus (or
+    * generator output) collapsing onto itself" diversity readout: high
+    * self-BLEU = low diversity. Exact self-BLEU is all-pairs over the
+    * corpus, so this computes it over a deterministic per-language
+    * sample (the k lowest doc_ids via the bounded-heap TopKPerKey — no
+    * per-lang sort), full ordered k·(k−1) pair grid including
+    * zero-overlap pairs; per-pair BLEU-2 reuses [[bleuPairs]]'s exact
+    * clipped-count machinery (9 dp precisions, 9 dp brevity penalty,
+    * 6 dp geometric mean), and the per-lang mean folds the ≤k·(k−1)
+    * 6 dp terms in sorted pair order. Gram joins fan out ≤ k² per
+    * (lang, gram) — sample-bounded, never corpus-paired. */
+  def selfBleu(docs: DataFrame, k: Int = 16): DataFrame = {
+    graft.plans.TopK.register(docs.sparkSession)
+    val sample = graft.CacheTracker.track(
+      graft.plans.TopK.topKPerKey(
+          docs.select(col("lang"), col("doc_id"),
+            graft.operators.TextOps.tokens(col("text")).as("toks"))
+            .filter(size(col("toks")) >= 2),
+          Seq("lang"), Seq("doc_id" -> true), k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val lens = sample.select(col("lang"), col("doc_id"),
+      size(col("toks")).cast("long").as("len"))
+    def grams(n: Int): DataFrame = {
+      val g =
+        if (n == 1) sample.select(col("lang"), col("doc_id"), explode(col("toks")).as("g"))
+        else sample.filter(size(col("toks")) >= n)
+          .select(col("lang"), col("doc_id"), explode(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - (n - 1)),
+            slice(col("toks"), lit(2), size(col("toks")) - (n - 1)),
+            (a, b) => concat(a, lit(" "), b))).as("g"))
+      g.groupBy("lang", "doc_id", "g").agg(count(lit(1)).as("c"))
+    }
+    def clipped(n: Int, name: String): DataFrame = {
+      val gr = grams(n)
+      gr.select(col("lang"), col("doc_id").as("a_id"), col("g"), col("c").as("ca"))
+        .join(gr.select(col("lang"), col("doc_id").as("b_id"), col("g"),
+          col("c").as("cb")), Seq("lang", "g"))
+        .filter(col("a_id") =!= col("b_id"))
+        .groupBy("lang", "a_id", "b_id")
+        .agg(sum(least(col("ca"), col("cb"))).as(name))
+    }
+    val grid = lens.select(col("lang"), col("doc_id").as("a_id"), col("len").as("len_a"))
+      .join(broadcast(lens.select(col("lang"), col("doc_id").as("b_id"),
+        col("len").as("len_b"))), "lang")
+      .filter(col("a_id") =!= col("b_id"))
+    val perPair = grid
+      .join(clipped(1, "clip1"), Seq("lang", "a_id", "b_id"), "left")
+      .join(clipped(2, "clip2"), Seq("lang", "a_id", "b_id"), "left")
+      .select(col("lang"), col("a_id"), col("b_id"),
+        round(coalesce(col("clip1"), lit(0L)).cast("double") / col("len_a"), 9)
+          .as("p1"),
+        round(coalesce(col("clip2"), lit(0L)).cast("double")
+          / greatest(col("len_a") - 1, lit(1L)), 9).as("p2"),
+        col("len_a"), col("len_b"))
+      .select(col("lang"), col("a_id"), col("b_id"),
+        round(
+          when(col("len_a") >= col("len_b"), lit(1.0))
+            .otherwise(round(exp(lit(1.0)
+              - col("len_b").cast("double") / col("len_a")), 9))
+            * sqrt(col("p1") * col("p2")), 6).as("bleu2"))
+    perPair
+      .select(col("lang"), struct(col("a_id"), col("b_id"), col("bleu2")).as("t"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_pairs"),
+        array_sort(collect_list(col("t"))).as("ts"))
+      .select(col("lang"), col("n_pairs"),
+        round(aggregate(col("ts"), lit(0.0), (a, t) => a + t.getField("bleu2"))
+          / col("n_pairs"), 6).as("self_bleu"))
+  }
+
   /** chrF2 between the same near-duplicate candidate pairs (B209): the
     * character-3-gram F-score (beta = 2, recall-weighted) that catches
     * paraphrase-level copying BLEU's exact-token n-grams miss —

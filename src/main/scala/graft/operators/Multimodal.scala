@@ -97,6 +97,40 @@ object Multimodal {
         round(sqrt(col("sq").cast("double") / col("n_samples")), 6).as("rms"))
   }
 
+  /** Video-style stride frame sampling as a QUERY surface (B281): every
+    * `everyNth`-th fixed-size "frame" of the media payload, capped at
+    * `maxFrames` sampled frames per row — the keyframe-extraction shape
+    * ([[frameSampleStub]]'s mapPartitions seam re-expressed as pure
+    * codegen'd expressions so it oracles and plans like [[patches]]).
+    * The decode is the stub seam (byte slices stand in for container
+    * frames; a real deployment swaps the substr for a demuxer call);
+    * what is real at scale: the bounded 1 → ≤maxFrames expansion
+    * partition sizing plans around, stride arithmetic on the frame
+    * INDEX (so unsampled frames are never materialized), and the
+    * content hash per frame for downstream frame-level dedup. */
+  def videoFrames(docs: DataFrame, frameBytes: Int = 32, everyNth: Int = 2,
+                  maxFrames: Int = 4): DataFrame = {
+    val media = asMedia(docs).filter(octet_length(col("media")) > 0)
+    val nFrames = ceil(octet_length(col("media")) / lit(frameBytes.toDouble))
+      .cast("long")
+    val nSampled = least(
+      ceil(nFrames / lit(everyNth.toDouble)).cast("long"), lit(maxFrames.toLong))
+    media
+      .select(col("doc_id"), col("media"), nFrames.as("nf"), nSampled.as("ns"))
+      .select(col("doc_id"), col("media"), col("nf"),
+        explode(sequence(lit(0L), col("ns") - 1)).as("s"))
+      .select(col("doc_id"), (col("s") * everyNth).as("frame_idx"), col("nf"),
+        col("media").substr(
+          (col("s") * everyNth * frameBytes + 1).cast("int"), lit(frameBytes))
+          .as("frame"))
+      .select(col("doc_id"), col("frame_idx"), col("nf").as("n_frames_total"),
+        octet_length(col("frame")).cast("long").as("frame_bytes"),
+        // md5 of the LOWERCASE HEX, not of the raw bytes: DuckDB's md5
+        // only takes VARCHAR and a byte slice of UTF-8 text need not be
+        // valid UTF-8 — hex is the engine-neutral byte spelling
+        md5(lower(hex(col("frame")))).as("frame_hash"))
+  }
+
   private val decodedSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("n_bytes", IntegerType),

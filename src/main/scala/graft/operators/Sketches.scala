@@ -254,6 +254,43 @@ object Sketches {
       .select(col("win_day"), col("n_distinct"), col("n_true"), col("n_words"))
   }
 
+  /** EXACT audience-overlap matrix via bitmap word algebra (C240): the
+    * same numbers as the set-join [[graft.operators.Relational.userOverlapJaccard]]
+    * (C122) computed WITHOUT ever forming a per-user pair row — user u
+    * sets bit (u mod 32) of word (u div 32), per-(type, word) partials
+    * fold with BIT_OR (idempotent: duplicate events are free at the
+    * map side), marginals are Σ bit_count(word), and every pairwise
+    * intersection is Σ bit_count(a AND b) over the word-aligned join.
+    * The roaring-bitmap pattern for dense id spaces: corpus involvement
+    * ends at ONE (type, word) partial agg; the pair space is
+    * |id-space|/32 words × C(types, 2) — independent of event count,
+    * where C122's self-join carries one row per (user, pair). Same
+    * output schema as C122 so the two are interchangeable (and the
+    * oracle is the set-semantics SQL — the bitmap algebra must
+    * reproduce it bit-exactly). */
+  def bitmapOverlapMatrix(events: DataFrame): DataFrame = {
+    val words = events.select(col("event_type"),
+        expr("user_id div 32").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").as("bit"))
+      .groupBy("event_type", "word").agg(expr("bit_or(bit)").as("bits"))
+    val sizes = words.groupBy("event_type")
+      .agg(sum(bit_count(col("bits")).cast("long")).as("n_users"))
+    words.select(col("event_type").as("type_a"), col("word"), col("bits").as("ba"))
+      .join(words.select(col("event_type").as("type_b"), col("word"),
+        col("bits").as("bb")), "word")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(sum(bit_count(col("ba").bitwiseAND(col("bb"))).cast("long")).as("n_both"))
+      .filter(col("n_both") > 0)
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n_users").as("n_a"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n_users").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        round(col("n_both").cast("double")
+          / (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
+  }
+
   /** The rolling-window estimate off a (day, reg, mx) partial frame:
     * trailing `window`-day register MAX merge gated to `days`, then the
     * p=8 estimator (shared by the batch query and the streaming store's

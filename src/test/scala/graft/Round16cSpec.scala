@@ -119,6 +119,65 @@ class Round16cSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("f_stat") - 4.0) < 1e-4)
   }
 
+  test("selfBleu: identical docs score 1, disjoint docs score 0") {
+    val same = docs(
+      (1L, "the cat sat on the mat", "en", "web"),
+      (2L, "the cat sat on the mat", "en", "web"))
+    val s = operators.Eval.selfBleu(same).collect().head
+    assert(s.getAs[Long]("n_pairs") == 2L)
+    assert(s.getAs[Double]("self_bleu") == 1.0)
+    val disjoint = docs(
+      (1L, "alpha beta gamma delta", "en", "web"),
+      (2L, "epsilon zeta eta theta", "en", "web"))
+    val d = operators.Eval.selfBleu(disjoint).collect().head
+    assert(d.getAs[Double]("self_bleu") == 0.0)
+    CacheTracker.drainAll(spark)
+  }
+
+  test("selfBleu: one-word substitution pair is penalized but nonzero") {
+    val r = operators.Eval.selfBleu(docs(
+      (1L, "the cat sat on the mat today", "en", "web"),
+      (2L, "the dog sat on the mat today", "en", "web"))).collect().head
+    // p1 = 6/7, p2 = 4/6 per direction (symmetric lengths -> BP = 1)
+    val want = math.sqrt((6.0 / 7) * (4.0 / 6))
+    assert(math.abs(r.getAs[Double]("self_bleu") - want) < 1e-5)
+    CacheTracker.drainAll(spark)
+  }
+
+  test("bitmapOverlapMatrix reproduces the set-join overlap matrix exactly") {
+    assumeTestdata()
+    val ev = SparkEntry.normalizeEventTs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val key = Seq("type_a", "type_b")
+    val bm = operators.Sketches.bitmapOverlapMatrix(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_both"),
+          r.getAs[Double]("jaccard"))).toMap
+    val sj = operators.Relational.userOverlapJaccard(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_both"),
+          r.getAs[Double]("jaccard"))).toMap
+    assert(bm.keySet == sj.keySet)
+    assert(bm == sj)
+    assert(bm.nonEmpty)
+  }
+
+  test("videoFrames: stride and cap arithmetic on a crafted payload") {
+    // 300 ASCII bytes -> 10 frames of 32B (last short), sampled 0,2,4,6
+    val d = docs((1L, "x" * 300, "en", "web"))
+    val rows = operators.Multimodal.videoFrames(d).collect()
+      .sortBy(_.getAs[Long]("frame_idx"))
+    assert(rows.map(_.getAs[Long]("frame_idx")).toSeq == Seq(0L, 2L, 4L, 6L))
+    assert(rows.forall(_.getAs[Long]("n_frames_total") == 10L))
+    assert(rows.forall(_.getAs[Long]("frame_bytes") == 32L))
+    // identical content -> identical frame hash
+    assert(rows.map(_.getAs[String]("frame_hash")).distinct.length == 1)
+    // short payload: 40 bytes -> 2 frames, sample frame 0 only
+    val short = operators.Multimodal.videoFrames(docs((2L, "y" * 40, "en", "web")))
+      .collect()
+    assert(short.length == 1 && short.head.getAs[Long]("frame_idx") == 0L)
+  }
+
   test("cochranQ matches the textbook block formula on real docs") {
     assumeTestdata()
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
