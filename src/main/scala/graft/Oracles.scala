@@ -8448,6 +8448,110 @@ object Oracles {
          |  CAST(2 AS BIGINT) AS dof
          |FROM a""".stripMargin,
 
+    // V-measure off the same deterministic Lloyd chain: homogeneity =
+    // MI/H(label), completeness = MI/H(cluster), V their harmonic mean
+    "v_measure" -> {
+      def assign(c: String, a: String) =
+        s"""$a AS MATERIALIZED (SELECT vec_id, e, cluster, dist FROM (
+           |  SELECT vec_id, e, cluster, dist,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+           |  FROM (SELECT v.vec_id, v.e, $c.cluster,
+           |      round(list_reduce(list_transform(range(1, 9),
+           |        i -> (e[i] - c[i]) * (e[i] - c[i])), (p, q) -> p + q), 9) AS dist
+           |    FROM v CROSS JOIN $c)) WHERE rn = 1)""".stripMargin
+      def recenter(a: String, m: String, c: String) =
+        s"""$m AS MATERIALIZED (SELECT cluster, pos,
+           |  round(list_reduce(list_sort(list(sub_s)), (p, q) -> p + q) / sum(sub_n), 9) AS cm
+           |  FROM (SELECT cluster, pos, vec_id % 1024 AS sb, count(*) AS sub_n,
+           |        list_reduce(list_sort(list(x)), (p, q) -> p + q) AS sub_s
+           |        FROM (SELECT vec_id, cluster, unnest(range(1, 9)) AS pos, unnest(e) AS x FROM $a)
+           |        GROUP BY cluster, pos, sb)
+           |  GROUP BY cluster, pos),
+           |$c AS MATERIALIZED (SELECT cluster, list(cm ORDER BY pos) AS c FROM $m GROUP BY cluster)""".stripMargin
+      s"""WITH v AS MATERIALIZED (SELECT vec_id, list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |c0 AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS cluster, e AS c FROM v WHERE vec_id < 4),
+         |${assign("c0", "a1")},
+         |${recenter("a1", "m1", "c1")},
+         |${assign("c1", "a2")},
+         |${recenter("a2", "m2", "c2")},
+         |${assign("c2", "a3")},
+         |${recenter("a3", "m3", "c3")},
+         |${assign("c3", "a4")},
+         |cells AS MATERIALIZED (SELECT a4.cluster, CAST(e2.label AS BIGINT) AS label,
+         |  count(*) AS n_cl FROM a4 JOIN embeddings e2 ON e2.vec_id = a4.vec_id
+         |  GROUP BY 1, 2),
+         |nn AS (SELECT CAST(sum(n_cl) AS BIGINT) AS n FROM cells),
+         |hc AS (SELECT list_reduce(list(term ORDER BY cluster), (a, b) -> a + b) AS h_cluster
+         |  FROM (SELECT cluster,
+         |    round(-(CAST(n_k AS DOUBLE) / n) * ln(CAST(n_k AS DOUBLE) / n), 6) AS term
+         |    FROM (SELECT cluster, CAST(sum(n_cl) AS BIGINT) AS n_k FROM cells GROUP BY 1)
+         |    CROSS JOIN nn)),
+         |hl AS (SELECT list_reduce(list(term ORDER BY label), (a, b) -> a + b) AS h_label
+         |  FROM (SELECT label,
+         |    round(-(CAST(n_k AS DOUBLE) / n) * ln(CAST(n_k AS DOUBLE) / n), 6) AS term
+         |    FROM (SELECT label, CAST(sum(n_cl) AS BIGINT) AS n_k FROM cells GROUP BY 1)
+         |    CROSS JOIN nn)),
+         |mi AS (SELECT list_reduce(list(term ORDER BY cluster, label), (a, b) -> a + b) AS mi
+         |  FROM (SELECT c.cluster, c.label,
+         |    round((CAST(n_cl AS DOUBLE) / n)
+         |      * ln(CAST(n AS DOUBLE) * n_cl / (CAST(n_c AS DOUBLE) * n_l)), 6) AS term
+         |    FROM cells c
+         |    JOIN (SELECT cluster, CAST(sum(n_cl) AS BIGINT) AS n_c FROM cells GROUP BY 1) cc USING (cluster)
+         |    JOIN (SELECT label, CAST(sum(n_cl) AS BIGINT) AS n_l FROM cells GROUP BY 1) ll USING (label)
+         |    CROSS JOIN nn)),
+         |fin AS (SELECT n, mi,
+         |  CASE WHEN h_label > 0.0 THEN mi / h_label END AS homog,
+         |  CASE WHEN h_cluster > 0.0 THEN mi / h_cluster END AS compl
+         |  FROM nn CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl)
+         |SELECT n AS n_vecs, round(mi, 6) AS mi,
+         |  round(homog, 6) AS homogeneity, round(compl, 6) AS completeness,
+         |  round(CASE WHEN homog + compl > 0.0
+         |    THEN 2.0 * homog * compl / (homog + compl) END, 6) AS v_measure
+         |FROM fin""".stripMargin
+    },
+
+    // Wald-Wolfowitz runs test over the md5-keyed shuffle order;
+    // boundaries by rank-aligned self-join, mu/sigma closed forms
+    "runs_test" ->
+      """WITH sh AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS skey FROM documents),
+        |o AS (SELECT doc_id, row_number() OVER (ORDER BY skey, doc_id) AS ord FROM sh),
+        |mj AS (SELECT source AS major FROM
+        |  (SELECT source, count(*) AS c FROM documents GROUP BY 1 ORDER BY c DESC, source LIMIT 1)),
+        |f AS MATERIALIZED (SELECT ord, CAST(d.source = mj.major AS BIGINT) AS m
+        |     FROM o JOIN documents d USING (doc_id) CROSS JOIN mj),
+        |sw AS (SELECT CAST(coalesce(sum(CASE WHEN a.m <> b.m_next THEN 1 ELSE 0 END), 0) AS BIGINT) AS switches
+        |       FROM f a JOIN (SELECT ord - 1 AS ord, m AS m_next FROM f) b USING (ord)),
+        |c AS (SELECT count(*) AS n_docs, CAST(sum(m) AS BIGINT) AS n_major FROM f),
+        |fin AS (SELECT n_docs, n_major, switches,
+        |  2.0 * CAST(n_major AS DOUBLE) * CAST(n_docs - n_major AS DOUBLE) / n_docs + 1.0 AS mu
+        |  FROM sw CROSS JOIN c)
+        |SELECT n_docs, n_major, switches + 1 AS n_runs,
+        |  round(CASE WHEN (mu - 1.0) * (mu - 2.0) / CAST(n_docs - 1 AS DOUBLE) > 0.0
+        |    THEN (CAST(switches + 1 AS DOUBLE) - mu)
+        |      / sqrt((mu - 1.0) * (mu - 2.0) / CAST(n_docs - 1 AS DOUBLE)) END, 6) AS z_stat
+        |FROM fin""".stripMargin,
+
+    // Hill diversity ladder per source: exact integer Simpson, 9dp
+    // Shannon terms through the md5-bucketed two-level fold
+    "hill_numbers" ->
+      s"""WITH cnt AS MATERIALIZED (SELECT source, token, count(*) AS c
+         |  FROM (SELECT source, unnest($toks) AS token FROM documents) GROUP BY 1, 2),
+         |t AS MATERIALIZED (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  count(*) AS q0, sum(CAST(c AS HUGEINT) * c) AS sc2 FROM cnt GROUP BY 1),
+         |h AS (SELECT source, list_reduce(list_sort(list(sub_s)), (a, b) -> a + b) AS h
+         |  FROM (SELECT source, ('0x' || substr(md5(token), 1, 4))::BIGINT % 1024 AS sb,
+         |        list_reduce(list_sort(list(term)), (a, b) -> a + b) AS sub_s
+         |        FROM (SELECT cnt.source, token,
+         |          round((CAST(c AS DOUBLE) / n_tokens) * ln(CAST(n_tokens AS DOUBLE) / c), 9) AS term
+         |          FROM cnt JOIN t USING (source))
+         |        GROUP BY 1, 2)
+         |  GROUP BY 1)
+         |SELECT source, n_tokens, q0, round(exp(h), 6) AS hill1,
+         |  round(CAST(CAST(n_tokens AS HUGEINT) * n_tokens AS DOUBLE) / CAST(sc2 AS DOUBLE), 6) AS hill2,
+         |  round(CASE WHEN q0 > 1 THEN h / ln(CAST(q0 AS DOUBLE)) END, 6) AS pielou_evenness
+         |FROM t JOIN h USING (source)""".stripMargin,
+
     // bitmap word-algebra overlap matrix: the oracle is SET semantics —
     // the bitmap BIT_OR/AND/popcount path must reproduce it exactly
     "bitmap_overlap_matrix" ->

@@ -1037,6 +1037,12 @@ object SparkEntry {
     // B275: chance-corrected pair-counting validity off the same Lloyd fit
     "adjusted_rand" -> ((s, d) =>
       Similarity.adjustedRand(t(s, d, "embeddings"))),
+    // B282: homogeneity/completeness split of NMI off the same fit
+    "v_measure" -> ((s, d) => Similarity.vMeasure(t(s, d, "embeddings"))),
+    // B283: Wald-Wolfowitz runs test over the shuffled corpus order
+    "runs_test" -> ((s, d) => TextOps.runsTest(t(s, d, "documents"))),
+    // B284: Hill-number diversity ladder per source
+    "hill_numbers" -> ((s, d) => TextOps.hillNumbers(spread(t(s, d, "documents")))),
     // B276: exact tau-b of the decile-bucketed (quality, length) pair
     "kendall_tau" -> ((s, d) =>
       TextOps.kendallTau(spread(t(s, d, "documents")))),

@@ -1209,6 +1209,57 @@ object Similarity {
           col("mi") / sqrt(col("h_cluster") * col("h_label"))), 6).as("nmi"))
   }
 
+  /** V-measure (B282, Rosenberg & Hirschberg 2007): homogeneity /
+    * completeness / their harmonic mean over the deterministic Lloyd
+    * assignment vs labels — the DIAGNOSTIC split [[clusterPurity]]'s
+    * single NMI hides: homogeneity = MI/H(label) falls when a cluster
+    * mixes labels, completeness = MI/H(cluster) falls when a label
+    * splits across clusters, and which one is low says whether k is too
+    * small or too large. Same exact contingency + 6 dp sorted-fold
+    * entropy/MI machinery as clusterPurity (cells are k·|labels|-
+    * bounded); degenerate entropies yield NULL for that component and
+    * for V. */
+  def vMeasure(emb: DataFrame, k: Int = 4, dims: Int = 8,
+               iters: Int = 3): DataFrame = {
+    val assigns = kmeansLloyd(emb, k, dims, iters).select("vec_id", "cluster")
+    val cells = assigns
+      .join(emb.select(col("vec_id"), col("label").cast("long").as("label")), "vec_id")
+      .groupBy("cluster", "label").agg(count(lit(1)).as("n_cl"))
+    val n = cells.agg(sum(col("n_cl")).as("n"))
+    def entropyOf(key: String): DataFrame = cells
+      .groupBy(key).agg(sum(col("n_cl")).as("n_k"))
+      .crossJoin(broadcast(n))
+      .select(col(key),
+        round(-(col("n_k").cast("double") / col("n"))
+          * log(col("n_k").cast("double") / col("n")), 6).as("term"))
+      .agg(array_sort(collect_list(struct(col(key), col("term")))).as("ts"))
+      .select(aggregate(col("ts"), lit(0.0), (a, t) => a + t.getField("term"))
+        .as(s"h_$key"))
+    val mi = cells.crossJoin(broadcast(n))
+      .join(broadcast(cells.groupBy("cluster").agg(sum(col("n_cl")).as("n_c"))),
+        "cluster")
+      .join(broadcast(cells.groupBy("label").agg(sum(col("n_cl")).as("n_l"))),
+        "label")
+      .select(struct(col("cluster"), col("label"),
+        round((col("n_cl").cast("double") / col("n"))
+          * log(col("n").cast("double") * col("n_cl")
+            / (col("n_c").cast("double") * col("n_l"))), 6).as("term")).as("t"))
+      .agg(array_sort(collect_list(col("t"))).as("ts"))
+      .select(aggregate(col("ts"), lit(0.0), (a, t) => a + t.getField("term"))
+        .as("mi"))
+    val homog = when(col("h_label") > 0.0, col("mi") / col("h_label"))
+    val compl = when(col("h_cluster") > 0.0, col("mi") / col("h_cluster"))
+    broadcast(n).crossJoin(broadcast(mi))
+      .crossJoin(broadcast(entropyOf("cluster")))
+      .crossJoin(broadcast(entropyOf("label")))
+      .select(col("n").as("n_vecs"),
+        round(col("mi"), 6).as("mi"),
+        round(homog, 6).as("homogeneity"),
+        round(compl, 6).as("completeness"),
+        round(when(homog + compl > 0.0, lit(2.0) * homog * compl / (homog + compl)), 6)
+          .as("v_measure"))
+  }
+
   /** Adjusted Rand index (B275, Hubert & Arabie 1985): chance-corrected
     * pair-counting agreement between the deterministic Lloyd assignment
     * and the ground-truth labels — the third leg of the external-validity

@@ -558,6 +558,81 @@ object TextOps {
         "ord", "_n", Seq(col("skey"), col("doc_id")))
       .select(col("ord"), col("doc_id"), col("skey"))
 
+  /** Wald–Wolfowitz runs test over the shuffled corpus order (B283):
+    * does [[corpusShuffle]]'s order actually decorrelate provenance?
+    * The shuffled stream is encoded binary (majority source vs rest),
+    * runs R = 1 + boundary switches, and z = (R − μ)/σ with the
+    * closed-form identities μ − 1 = 2n₁n₂/n and σ² = (μ−1)(μ−2)/(n−1)
+    * — |z| ≫ 2 means the "shuffle" still clumps (a curriculum leak any
+    * LM trainer pays for in gradient correlation). Boundaries come
+    * from the rank-aligned self-join on the two-pass global row number
+    * (ord ↔ ord+1 is ONE equi-join shuffle, never a data-sized window);
+    * counts are exact longs, μ/σ are assembled from them with the same
+    * double expression on both engines; degenerate single-source
+    * corpora yield NULL z. */
+  def runsTest(docs: DataFrame, seed: Int = 42): DataFrame = {
+    val shuf = corpusShuffle(docs, seed).select(col("ord"), col("doc_id"))
+    val major = docs.groupBy("source").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("source")).limit(1)
+      .select(col("source").as("major"))
+    val flagged = graft.CacheTracker.track(
+      shuf.join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .crossJoin(broadcast(major))
+        .select(col("ord"), (col("source") === col("major")).cast("long").as("m"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val switches = flagged
+      .join(flagged.select((col("ord") - 1).as("ord"), col("m").as("m_next")), "ord")
+      .agg(coalesce(sum(when(col("m") =!= col("m_next"), 1L).otherwise(0L)), lit(0L))
+        .as("switches"))
+    val counts = flagged.agg(count(lit(1)).as("n_docs"), sum(col("m")).as("n_major"))
+    val mu = lit(2.0) * col("n_major").cast("double") *
+      (col("n_docs") - col("n_major")).cast("double") / col("n_docs") + 1.0
+    val sigma2 = (mu - 1.0) * (mu - 2.0) / (col("n_docs") - 1).cast("double")
+    switches.crossJoin(broadcast(counts))
+      .select(col("n_docs"), col("n_major"), (col("switches") + 1).as("n_runs"),
+        round(when(sigma2 > 0.0,
+          ((col("switches") + 1).cast("double") - mu) / sqrt(sigma2)), 6)
+          .as("z_stat"))
+  }
+
+  /** Hill-number diversity profile of each source's token distribution
+    * (B284): richness q0 = |vocab|, Shannon diversity q1 = e^H, inverse
+    * Simpson q2 = N²/Σc² — the ecology ladder (each q discounts rare
+    * tokens harder), read next to [[renyiEfficiency]]: a source whose
+    * q1 ≪ q0 runs on a tiny effective vocabulary however long its tail,
+    * and q2 names the head concentration outright. Σc² stays EXACT
+    * through DECIMAL(38,0) so inverse Simpson is one double division of
+    * exact integers; Shannon terms are 9 dp over the vocabulary-sized
+    * type frame through the two-level token-bucketed fold (no buffer
+    * holds a source's whole vocabulary); Pielou evenness H/ln(q0)
+    * rides along. */
+  def hillNumbers(docs: DataFrame): DataFrame = {
+    val counts = docs.select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("source")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("q0"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("sc2"))
+    val h = counts.join(broadcast(totals.select(col("source"), col("n_tokens"))), "source")
+      .select(col("source"),
+        // md5 sub-bucket (the bigramCondEntropy discipline — DuckDB has
+        // no xxhash64); term is the all-non-negative p·ln(n/c) form so a
+        // singleton vocabulary can never emit IEEE -0.0
+        expr("CAST(conv(substr(md5(token), 1, 4), 16, 10) AS BIGINT) % 1024").as("sb"),
+        round((col("c").cast("double") / col("n_tokens"))
+          * log(col("n_tokens").cast("double") / col("c")), 9).as("term"))
+      .groupBy("source", "sb")
+      .agg(Folds.sortedSum(col("term")).as("sub_s"))
+      .groupBy("source")
+      .agg(Folds.sortedSum(col("sub_s")).as("h"))
+    totals.join(h, "source")
+      .select(col("source"), col("n_tokens"), col("q0"),
+        round(exp(col("h")), 6).as("hill1"),
+        round((col("n_tokens").cast("decimal(38,0)") * col("n_tokens"))
+          .cast("double") / col("sc2").cast("double"), 6).as("hill2"),
+        round(when(col("q0") > 1, col("h") / log(col("q0").cast("double"))), 6)
+          .as("pielou_evenness"))
+  }
+
   /** Tokenizer fertility per language (B104): BPE-ish tokens per
     * whitespace word and chars per token — THE go/no-go statistic for a
     * tokenizer across a multilingual corpus (a language at 2× fertility

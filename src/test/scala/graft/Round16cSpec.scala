@@ -178,6 +178,62 @@ class Round16cSpec extends SparkSpec {
     assert(short.length == 1 && short.head.getAs[Long]("frame_idx") == 0L)
   }
 
+  test("vMeasure: perfect clustering scores 1/1/1; merging labels drops completeness only") {
+    val perfect = Seq(
+      (0L, Array(0.0f, 0.0f), 0), (1L, Array(10.0f, 10.0f), 1),
+      (2L, Array(0.1f, 0.0f), 0), (3L, Array(10.1f, 10.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val p = operators.Similarity.vMeasure(perfect, k = 2, dims = 2).collect().head
+    assert(p.getAs[Double]("homogeneity") == 1.0)
+    assert(p.getAs[Double]("completeness") == 1.0)
+    assert(p.getAs[Double]("v_measure") == 1.0)
+    // k=2 clusters but 4 labels: every cluster is pure-impossible to
+    // split, so homogeneity < 1 is impossible... labels finer than
+    // clusters => homogeneity falls, completeness stays 1
+    val fine = Seq(
+      (0L, Array(0.0f, 0.0f), 0), (1L, Array(10.0f, 10.0f), 2),
+      (2L, Array(0.1f, 0.0f), 1), (3L, Array(10.1f, 10.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val f = operators.Similarity.vMeasure(fine, k = 2, dims = 2).collect().head
+    assert(f.getAs[Double]("homogeneity") < 1.0)
+    assert(f.getAs[Double]("completeness") == 1.0)
+    CacheTracker.drainAll(spark)
+  }
+
+  test("runsTest matches a local recomputation of runs and z on real docs") {
+    assumeTestdata()
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = operators.TextOps.runsTest(d).collect().head
+    val rows = d.select(col("doc_id").cast("long"), col("source"),
+        md5(concat(col("doc_id").cast("string"), lit(":42"))).as("skey"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val major = rows.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy { case (s, c) => (-c, s) }.head._1
+    val seq = rows.sortBy(r => (r._3, r._1)).map(r => r._2 == major)
+    val runs = 1 + seq.sliding(2).count(w => w(0) != w(1))
+    val n = seq.length.toDouble; val n1 = seq.count(identity).toDouble
+    val mu = 2.0 * n1 * (n - n1) / n + 1.0
+    val z = (runs - mu) / math.sqrt((mu - 1.0) * (mu - 2.0) / (n - 1.0))
+    assert(got.getAs[Long]("n_runs") == runs.toLong)
+    assert(math.abs(got.getAs[Double]("z_stat") - z) < 1e-4)
+    CacheTracker.drainAll(spark)
+  }
+
+  test("hillNumbers: uniform vocabulary hits q0 = hill1 = hill2, evenness 1") {
+    // 4 distinct tokens, once each: H = ln 4, Simpson = 16/4 = 4
+    val d = docs((1L, "alpha beta gamma delta", "en", "uni"))
+    val r = operators.TextOps.hillNumbers(d).collect().head
+    assert(r.getAs[Long]("q0") == 4L)
+    assert(math.abs(r.getAs[Double]("hill1") - 4.0) < 1e-4)
+    assert(r.getAs[Double]("hill2") == 4.0)
+    assert(r.getAs[Double]("pielou_evenness") == 1.0)
+    // skewed: 3x one token + 1 other -> hill2 = 16/10 = 1.6
+    val s = operators.TextOps.hillNumbers(
+      docs((1L, "foo foo foo bar", "en", "skew"))).collect().head
+    assert(s.getAs[Double]("hill2") == 1.6)
+    assert(s.getAs[Double]("hill1") < 2.0 && s.getAs[Double]("hill1") > 1.0)
+  }
+
   test("cochranQ matches the textbook block formula on real docs") {
     assumeTestdata()
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
