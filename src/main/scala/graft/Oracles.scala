@@ -8552,6 +8552,72 @@ object Oracles {
          |  round(CASE WHEN q0 > 1 THEN h / ln(CAST(q0 AS DOUBLE)) END, 6) AS pielou_evenness
          |FROM t JOIN h USING (source)""".stripMargin,
 
+    // token-mass-weighted length percentiles: window cumsum over the
+    // (n_chars, doc_id) total order, integer cross-multiplied crossing
+    "token_mass_percentiles" ->
+      s"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         |  CAST(len($toks) AS BIGINT) AS toks FROM documents),
+         |r AS (SELECT n_chars, sum(toks) OVER (ORDER BY n_chars, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks,
+         |      sum(toks) OVER () AS tot_toks FROM d),
+         |t AS (SELECT count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens FROM d),
+         |x AS (SELECT n_chars, cum_toks, tot_toks,
+         |      unnest([25, 50, 75, 90, 99]) AS pct FROM r)
+         |SELECT CAST(pct AS BIGINT) AS pct, min(n_chars) AS chars_at_pct,
+         |  n_docs, n_tokens
+         |FROM x CROSS JOIN t WHERE cum_toks * 100 >= pct * tot_toks
+         |GROUP BY 1, 3, 4""".stripMargin,
+
+    // 2-D skyline: per-quality max length, frontier by exclusive running
+    // max over quality DESC (the distinct-quality frame is value-bounded)
+    "skyline_docs" ->
+      s"""WITH q AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         |  $qualitySql AS quality FROM documents),
+         |g AS (SELECT quality, max(n_chars) AS glen FROM q GROUP BY 1),
+         |p AS (SELECT quality, glen, max(glen) OVER (ORDER BY quality DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax FROM g),
+         |f AS (SELECT quality, glen FROM p WHERE prevmax IS NULL OR glen > prevmax)
+         |SELECT doc_id, q.quality, n_chars
+         |FROM q JOIN f ON q.quality = f.quality AND q.n_chars = f.glen""".stripMargin,
+
+    // Newman modularity over the label-prop partition: exact long edge /
+    // degree counts off the same unrolled chain, 9dp bucketed fold
+    "community_modularity" ->
+      s"""WITH t0 AS (SELECT $toks AS toks FROM documents),
+         |bi AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+         |      FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t0)
+         |      WHERE toks[i] <> toks[i + 1]),
+         |half AS MATERIALIZED (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b FROM bi),
+         |e AS MATERIALIZED (SELECT a, b FROM half UNION ALL SELECT b, a FROM half),
+         |l0 AS MATERIALIZED (SELECT DISTINCT a AS token, a AS label FROM e),
+         |l1 AS MATERIALIZED (SELECT l.token, least(l.label, coalesce(m.nb, l.label)) AS label
+         |       FROM l0 l LEFT JOIN (SELECT e.a AS token, min(l0.label) AS nb
+         |                            FROM e JOIN l0 ON l0.token = e.b GROUP BY 1) m USING (token)),
+         |l2 AS MATERIALIZED (SELECT l.token, least(l.label, coalesce(m.nb, l.label)) AS label
+         |       FROM l1 l LEFT JOIN (SELECT e.a AS token, min(l1.label) AS nb
+         |                            FROM e JOIN l1 ON l1.token = e.b GROUP BY 1) m USING (token)),
+         |l3 AS MATERIALIZED (SELECT l.token, least(l.label, coalesce(m.nb, l.label)) AS label
+         |       FROM l2 l LEFT JOIN (SELECT e.a AS token, min(l2.label) AS nb
+         |                            FROM e JOIN l2 ON l2.token = e.b GROUP BY 1) m USING (token)),
+         |mm AS (SELECT count(*) AS m FROM half),
+         |dc AS (SELECT l3.label, CAST(sum(deg) AS BIGINT) AS d_c
+         |  FROM (SELECT a, count(*) AS deg FROM e GROUP BY 1) d
+         |  JOIN l3 ON l3.token = d.a GROUP BY 1),
+         |ec AS (SELECT la.label, count(*) AS e_c FROM half h
+         |  JOIN l3 la ON la.token = h.a JOIN l3 lb ON lb.token = h.b
+         |  WHERE la.label = lb.label GROUP BY 1),
+         |terms AS (SELECT ('0x' || substr(md5(dc.label), 1, 4))::BIGINT % 1024 AS sb,
+         |  round(CAST(coalesce(e_c, 0) AS DOUBLE) / m
+         |    - (CAST(d_c AS DOUBLE) / (m * 2)) * (CAST(d_c AS DOUBLE) / (m * 2)), 9) AS term
+         |  FROM dc LEFT JOIN ec USING (label) CROSS JOIN mm),
+         |qq AS (SELECT round(list_reduce(list_sort(list(sub_s)), (a, b) -> a + b), 6) AS modularity
+         |  FROM (SELECT sb, list_reduce(list_sort(list(term)), (a, b) -> a + b) AS sub_s
+         |        FROM terms GROUP BY 1)),
+         |c AS (SELECT count(*) AS n_nodes,
+         |  CAST(count(DISTINCT label) AS BIGINT) AS n_communities FROM l3)
+         |SELECT n_nodes, m AS n_edges, n_communities, modularity
+         |FROM qq CROSS JOIN mm CROSS JOIN c""".stripMargin,
+
     // bitmap word-algebra overlap matrix: the oracle is SET semantics —
     // the bitmap BIT_OR/AND/popcount path must reproduce it exactly
     "bitmap_overlap_matrix" ->

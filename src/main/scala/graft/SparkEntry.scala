@@ -1043,6 +1043,14 @@ object SparkEntry {
     "runs_test" -> ((s, d) => TextOps.runsTest(t(s, d, "documents"))),
     // B284: Hill-number diversity ladder per source
     "hill_numbers" -> ((s, d) => TextOps.hillNumbers(spread(t(s, d, "documents")))),
+    // B285: token-mass-weighted length percentiles (where the MASS is)
+    "token_mass_percentiles" -> ((s, d) =>
+      TextOps.tokenMassPercentiles(spread(t(s, d, "documents")))),
+    // B286: 2-D skyline (Pareto frontier) of (quality, length)
+    "skyline_docs" -> ((s, d) => TextOps.skylineDocs(spread(t(s, d, "documents")))),
+    // B287: Newman modularity scoring the label-prop communities
+    "community_modularity" -> ((s, d) =>
+      Graph.communityModularity(spread(t(s, d, "documents")))),
     // B276: exact tau-b of the decile-bucketed (quality, length) pair
     "kendall_tau" -> ((s, d) =>
       TextOps.kendallTau(spread(t(s, d, "documents")))),

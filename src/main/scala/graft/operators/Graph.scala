@@ -335,6 +335,68 @@ object Graph {
         min(col("token")).as("min_token"), max(col("token")).as("max_token"))
   }
 
+  /** Newman modularity of the label-propagation partition (B287): Q =
+    * Σ_c (e_c/m − (d_c/2m)²) over [[tokenLabelProp]]'s communities on
+    * the SAME adjacency edge set — the score that says whether the
+    * cheap 3-round min-label partition found real structure (Q ≈ 0 =
+    * no better than random wiring; Q ≳ 0.3 = genuine modules), i.e.
+    * the external-validity audit for the community detector, exactly
+    * as B250/B282 audit the clusterer. Every count is an exact long
+    * (m undirected edges, within-community edges e_c, degree sums
+    * d_c); per-community 9 dp terms fold through the md5-bucketed
+    * two-level fold (the community frame is vocabulary-bounded — a
+    * one-level fold would buffer it whole). */
+  def communityModularity(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val toked = docs.select(TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bi = toked.select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    def pin(e: DataFrame): DataFrame = graft.CacheTracker.track(
+      e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val half = pin(bi.select(least(col("w1"), col("w2")).as("a"),
+      greatest(col("w1"), col("w2")).as("b")).distinct())
+    val edges = pin(half.union(
+      half.select(col("b").as("a"), col("a").as("b"))))
+    var labels = pin(edges.select(col("a").as("token")).distinct()
+      .withColumn("label", col("token")))
+    for (_ <- 1 to rounds) {
+      val nbMin = edges.join(labels.withColumnRenamed("token", "b"), "b")
+        .groupBy(col("a").as("token")).agg(min(col("label")).as("nb_label"))
+      labels = pin(labels.join(nbMin, Seq("token"), "left")
+        .select(col("token"),
+          least(col("label"), coalesce(col("nb_label"), col("label")))
+            .as("label")))
+    }
+    val m = half.agg(count(lit(1)).as("m"))
+    val dC = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+      .join(labels.withColumnRenamed("token", "a"), "a")
+      .groupBy("label").agg(sum(col("deg")).as("d_c"))
+    val eC = half
+      .join(labels.select(col("token").as("a"), col("label").as("la")), "a")
+      .join(labels.select(col("token").as("b"), col("label").as("lb")), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_c"))
+    val terms = dC.join(eC, Seq("label"), "left")
+      .withColumn("e_c", coalesce(col("e_c"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .select(
+        expr("CAST(conv(substr(md5(label), 1, 4), 16, 10) AS BIGINT) % 1024").as("sb"),
+        round(col("e_c").cast("double") / col("m")
+          - (col("d_c").cast("double") / (col("m") * 2))
+            * (col("d_c").cast("double") / (col("m") * 2)), 9).as("term"))
+    val q = terms.groupBy("sb").agg(Folds.sortedSum(col("term")).as("sub_s"))
+      .agg(round(Folds.sortedSum(col("sub_s")), 6).as("modularity"))
+    val counts = labels.agg(count(lit(1)).as("n_nodes"),
+      countDistinct(col("label")).as("n_communities"))
+    q.crossJoin(broadcast(m)).crossJoin(broadcast(counts))
+      .select(col("n_nodes"), col("m").as("n_edges"), col("n_communities"),
+        col("modularity"))
+  }
+
   /** k-core peeling of the token adjacency graph (C146): 3 unrolled
     * rounds of "drop every node with degree < k over the surviving
     * subgraph" — the dense-core extractor that separates the

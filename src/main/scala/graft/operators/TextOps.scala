@@ -558,6 +558,60 @@ object TextOps {
         "ord", "_n", Seq(col("skey"), col("doc_id")))
       .select(col("ord"), col("doc_id"), col("skey"))
 
+  /** Token-mass-weighted length percentiles (B285): the smallest doc
+    * length below which p% of the corpus's TOKENS (not documents) sit —
+    * the statistic a max-sequence-length policy actually needs: length
+    * deciles over documents ([[charPercentiles]]) say where the docs
+    * are, this says where the TRAINING MASS is (one 100k-token doc
+    * outweighs a thousand tweets), and its complement at each cut is
+    * exactly what [[truncationLoss]] reports for one fixed cut. Exact
+    * long token counts ride the two-pass range-partitioned global
+    * cumulative sum (no single-task window); each percentile is the
+    * crossing row's length via an integer cross-multiplied filter
+    * (cum·100 ≥ pct·total — no float quantile arithmetic). */
+  def tokenMassPercentiles(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+      size(tokens(col("text"))).cast("long").as("toks"))
+    val ranked = Ranks.withGlobalCumSum(d, "toks", "cum_toks", "tot_toks",
+      Seq(col("n_chars"), col("doc_id")))
+    val totals = d.agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    ranked
+      .select(col("n_chars"), col("cum_toks"), col("tot_toks"),
+        explode(array(lit(25L), lit(50L), lit(75L), lit(90L), lit(99L))).as("pct"))
+      .filter(col("cum_toks") * 100 >= col("pct") * col("tot_toks"))
+      .groupBy("pct")
+      .agg(min(col("n_chars")).as("chars_at_pct"))
+      .crossJoin(broadcast(totals))
+      .select(col("pct"), col("chars_at_pct"), col("n_docs"), col("n_tokens"))
+  }
+
+  /** 2-D skyline / Pareto frontier of (quality, length) (B286): every
+    * document no other document dominates (≥ in both dimensions, > in
+    * at least one) — the SKYLINE operator of the preference-query
+    * literature, and concretely the set of "best document at each
+    * quality level" a curation UI plots as its frontier. The sweep
+    * never sorts the corpus: per-quality max lengths collapse to the
+    * DISTINCT-quality frame, which is BOUNDED BY VALUE SPACE (the 6 dp
+    * composite has ≤ 10⁶+1 possible values regardless of corpus size,
+    * so its one ordered window is config-sized, not data-sized); the
+    * frontier filter (glen > max over strictly-higher quality) and the
+    * equality join back to docs are broadcast-sized. Ties on both
+    * dimensions all survive, per the standard skyline definition. */
+  def skylineDocs(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("n_chars").cast("long").as("len"),
+      qualityComposite.as("quality"))
+    val byQ = scored.groupBy("quality").agg(max(col("len")).as("glen"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val front = byQ.withColumn("prevmax", max(col("glen")).over(w))
+      .filter(col("prevmax").isNull || col("glen") > col("prevmax"))
+      .select(col("quality"), col("glen"))
+    scored.join(broadcast(front), "quality")
+      .filter(col("len") === col("glen"))
+      .select(col("doc_id"), col("quality"), col("len").as("n_chars"))
+  }
+
   /** Wald–Wolfowitz runs test over the shuffled corpus order (B283):
     * does [[corpusShuffle]]'s order actually decorrelate provenance?
     * The shuffled stream is encoded binary (majority source vs rest),

@@ -234,6 +234,58 @@ class Round16cSpec extends SparkSpec {
     assert(s.getAs[Double]("hill1") < 2.0 && s.getAs[Double]("hill1") > 1.0)
   }
 
+  test("tokenMassPercentiles: hand-checked crossings on a skewed fixture") {
+    // docs 1-3: 4 chars / 2 tokens each; doc 4: 28 chars / 7 tokens.
+    // total 13 tokens; cum by (n_chars, doc_id): 2, 4, 6, 13
+    val d = docs(
+      (1L, "a bb", "en", "web"),
+      (2L, "c dd", "en", "web"),
+      (3L, "e ff", "en", "web"),
+      (4L, "g h i j k l mmmmmmmmmmmmmmmm", "en", "web"))
+    val r = operators.TextOps.tokenMassPercentiles(d).collect()
+      .map(x => x.getAs[Long]("pct") -> x.getAs[Long]("chars_at_pct")).toMap
+    assert(r(25L) == 4L)  // cum 4 ≥ 25% of 13 (3.25) -> a 4-char doc
+    assert(r(50L) == 28L) // cum 6 < 6.5: only the 28-char doc crosses
+    assert(r(90L) == 28L)
+    CacheTracker.drainAll(spark)
+  }
+
+  test("skylineDocs: no result row is dominated and all dominators survive") {
+    assumeTestdata()
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sky = operators.TextOps.skylineDocs(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality"),
+        r.getAs[Long]("n_chars")))
+    assert(sky.nonEmpty)
+    val all = operators.TextOps.qualityScore(d)
+      .join(d.select(col("doc_id"), col("n_chars")), "doc_id")
+      .select(col("doc_id").cast("long"), col("quality"), col("n_chars").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def dominates(p: (Long, Double, Long), q: (Long, Double, Long)): Boolean =
+      p._2 >= q._2 && p._3 >= q._3 && (p._2 > q._2 || p._3 > q._3)
+    // brute-force skyline over the full corpus == operator output (as sets)
+    val want = all.filter(q => !all.exists(p => dominates(p, q))).map(_._1).toSet
+    assert(sky.map(_._1).toSet == want)
+    CacheTracker.drainAll(spark)
+  }
+
+  test("communityModularity: two disconnected cliques score high Q, one clique scores 0") {
+    // two 3-cliques via adjacent bigrams: docs walk each clique's edges
+    val twoCliques = docs(
+      (1L, "aa bb cc aa cc bb aa", "en", "web"),
+      (2L, "xx yy zz xx zz yy xx", "en", "web"))
+    val r = operators.Graph.communityModularity(twoCliques).collect().head
+    assert(r.getAs[Long]("n_communities") == 2L)
+    assert(r.getAs[Long]("n_edges") == 6L)
+    // perfect 2-community split of 2 cliques: Q = 1/2
+    assert(math.abs(r.getAs[Double]("modularity") - 0.5) < 1e-6)
+    val oneClique = operators.Graph.communityModularity(
+      docs((1L, "aa bb cc aa cc bb aa", "en", "web"))).collect().head
+    assert(oneClique.getAs[Long]("n_communities") == 1L)
+    assert(math.abs(oneClique.getAs[Double]("modularity")) < 1e-6)
+    CacheTracker.drainAll(spark)
+  }
+
   test("cochranQ matches the textbook block formula on real docs") {
     assumeTestdata()
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
