@@ -6030,6 +6030,40 @@ object Oracles {
         |  round(list_reduce(list_sort(list(round(t.cents * t.w / d.denom, 4))), (a, b) -> a + b), 4) AS attributed_value
         |FROM t JOIN d USING (event_id) GROUP BY 1""".stripMargin,
 
+    // U-shaped position attribution: 40/20/40 with rank/count windows
+    // over the same lookback pairing as time-decay
+    "attribution_position" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_ns(ts) // 1000 AS us FROM events),
+        |p AS (SELECT event_id, user_id, us, CAST(round(value * 100) AS BIGINT) AS cents
+        |      FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, us AS click_us FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        |t AS (SELECT p.event_id, p.cents, c.click_us,
+        |      row_number() OVER (PARTITION BY p.event_id ORDER BY c.click_us) AS rn,
+        |      count(*) OVER (PARTITION BY p.event_id) AS n
+        |      FROM p JOIN c ON c.user_id = p.user_id
+        |       AND c.click_us > p.us - 86400000000 AND c.click_us <= p.us),
+        |w AS (SELECT event_id, cents, click_us,
+        |      CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
+        |           WHEN rn = 1 OR rn = n THEN 0.4
+        |           ELSE round(0.2 / (n - 2), 9) END AS w FROM t)
+        |SELECT (click_us // 3600000000) % 24 AS click_hour, count(*) AS n_touches,
+        |  round(list_reduce(list_sort(list(round(cents * w, 4))), (a, b) -> a + b), 4) AS attributed_value
+        |FROM w GROUP BY 1""".stripMargin,
+
+    // piecewise-linear interpolation of the daily revenue series at
+    // each event's exact timestamp; NULL past the last day mark
+    "interp_join" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |d AS (SELECT epoch_ns(ts) // 1000 // 86400000000 AS day_idx,
+        |      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents FROM events GROUP BY 1),
+        |x AS (SELECT event_id, event_type, us // 86400000000 AS day_idx,
+        |      CAST(us % 86400000000 AS DOUBLE) / 86400000000.0 AS frac FROM e)
+        |SELECT event_id, event_type, day_idx, round(frac, 9) AS frac,
+        |  round(CAST(d0.cents AS DOUBLE)
+        |    + (CAST(d1.cents AS DOUBLE) - CAST(d0.cents AS DOUBLE)) * frac, 6) AS interp_cents
+        |FROM x LEFT JOIN d d0 USING (day_idx)
+        |LEFT JOIN d d1 ON d1.day_idx = x.day_idx + 1""".stripMargin,
+
     // calendar-lag autocorrelation of daily revenue, lags 1..7
     "revenue_acf" ->
       """WITH days AS (SELECT epoch_ns(ts) // 1000 // 86400000000 AS day_idx,

@@ -251,6 +251,11 @@ object SparkEntry {
     // pair rows); oracle = the set-semantics SQL, so algebra is pinned
     "bitmap_overlap_matrix" -> ((s, d) =>
       Sketches.bitmapOverlapMatrix(events(s, d))),
+    // C253: U-shaped (position-based) attribution, fifth family member
+    "attribution_position" -> ((s, d) =>
+      Sessionize.attributionPosition(events(s, d))),
+    // C254: piecewise-linear interpolation join between day marks
+    "interp_join" -> ((s, d) => AsOf.interpJoin(events(s, d))),
     // B280: mean pairwise BLEU-2 over a per-lang bounded sample
     "self_bleu" -> ((s, d) => Eval.selfBleu(spread(t(s, d, "documents")))),
     // B281: stride keyframe sampling as an oracled query surface

@@ -69,4 +69,35 @@ object AsOf {
       df.withColumn(c, when(col("_keep"), col(c)))
     }.drop("_keep")
   }
+
+  /** Piecewise-LINEAR interpolation join (C254): each event reads the
+    * daily revenue series at its exact timestamp, linearly interpolated
+    * between the bracketing day marks — where the as-of family carries
+    * the LAST value forward (a step function), this is the
+    * time-weighted read a TWAP/financial pipeline wants between marks.
+    * y = r_d + (r_{d+1} − r_d) · frac with frac the exact
+    * micros-into-day fraction; events whose bracketing day is absent
+    * yield NULL (no extrapolation — the honest edge). The day series is
+    * calendar-bounded and broadcast twice (floor + ceil marks), so the
+    * event stream is never shuffled at all. */
+  def interpJoin(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_id"), unix_micros(col("ts")).as("us"),
+      col("event_type"))
+    val daily = events
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day_idx"))
+      .agg(expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+        .as("cents"))
+    e.select(col("event_id"), col("event_type"), col("us"),
+        expr("us div 86400000000").as("day_idx"),
+        (expr("us % 86400000000").cast("double") / 86400000000.0).as("frac"))
+      .join(broadcast(daily.select(col("day_idx"), col("cents").as("r0"))),
+        Seq("day_idx"), "left")
+      .join(broadcast(daily.select((col("day_idx") - 1).as("day_idx"),
+        col("cents").as("r1"))), Seq("day_idx"), "left")
+      .select(col("event_id"), col("event_type"), col("day_idx"),
+        round(col("frac"), 9).as("frac"),
+        round(col("r0").cast("double")
+          + (col("r1").cast("double") - col("r0").cast("double")) * col("frac"), 6)
+          .as("interp_cents"))
+  }
 }

@@ -522,6 +522,44 @@ object Sessionize {
         round(Folds.sortedSum(col("att")), 4).as("attributed_value"))
   }
 
+  /** Position-based (U-shaped) attribution (C253) — the fifth member of
+    * the attribution family: 40% of each purchase's value to the FIRST
+    * touch in the 24 h lookback, 40% to the LAST, the remaining 20%
+    * split evenly across the middles (single touch takes 100%, a pair
+    * 50/50) — the standard position-based model between last-touch's
+    * recency bias and linear's flat split. Same binned range-join
+    * pairing and per-purchase lookback-bounded windows as
+    * [[attributionTimeDecay]]; position weights are exact rationals
+    * except the middle share (9 dp), attributions fold at 4 dp. */
+  def attributionPosition(events: DataFrame): DataFrame = {
+    val lookbackUs = 24L * 3600L * 1000000L
+    val e = events.select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("us").as("click_us"))
+      .agg(min("event_id").as("click_event_id"))
+    val touches = Relational.rangeJoin(purchases, clicks, "user_id",
+        "us", "click_us", lookbackUs)
+      .filter(col("click_us") > col("us") - lit(lookbackUs))
+    val perPurchase = Window.partitionBy("event_id")
+    val byTime = perPurchase.orderBy(col("click_us"))
+    val w = touches
+      .withColumn("rn", row_number().over(byTime))
+      .withColumn("n", count(lit(1)).over(perPurchase))
+      .withColumn("w",
+        when(col("n") === 1, lit(1.0))
+          .when(col("n") === 2, lit(0.5))
+          .when(col("rn") === 1 || col("rn") === col("n"), lit(0.4))
+          .otherwise(round(lit(0.2) / (col("n") - 2), 9)))
+    w.withColumn("att", round(col("cents") * col("w"), 4))
+      .groupBy(expr("pmod(click_us div 3600000000, 24)").as("click_hour"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(Folds.sortedSum(col("att")), 4).as("attributed_value"))
+  }
+
   /** Touches-to-convert distribution (C173): for converting users, how
     * many pre-purchase touch events the journey took — the histogram
     * behind "how long is our funnel really" (the attribution family

@@ -286,6 +286,51 @@ class Round16cSpec extends SparkSpec {
     CacheTracker.drainAll(spark)
   }
 
+  test("attributionPosition: weights are U-shaped and credit sums to the purchase") {
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    // one purchase at t=100min, clicks at 10/20/30/40 min: 4 touches
+    val ev = Seq(
+      (1L, ts(10), 7L, "click", 0.0, "{}"),
+      (2L, ts(20), 7L, "click", 0.0, "{}"),
+      (3L, ts(30), 7L, "click", 0.0, "{}"),
+      (4L, ts(40), 7L, "click", 0.0, "{}"),
+      (5L, ts(100), 7L, "purchase", 10.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Sessionize.attributionPosition(ev).collect()
+    // first (40%) and last (40%) get 400 cents, two middles 100 each
+    val total = r.map(_.getAs[Double]("attributed_value")).sum
+    assert(math.abs(total - 1000.0) < 0.01)
+    assert(r.map(_.getAs[Long]("n_touches")).sum == 4L)
+    CacheTracker.drainAll(spark)
+  }
+
+  test("interpJoin: midnight event reads the day mark exactly, last day is NULL") {
+    assumeTestdata()
+    val ev = SparkEntry.normalizeEventTs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val r = operators.AsOf.interpJoin(ev)
+    val daily = ev.groupBy(expr("unix_micros(ts) div 86400000000").as("day_idx"))
+      .agg(expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)").as("cents"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    val lastDay = daily.keys.max
+    rows.foreach { x =>
+      val d = x.getAs[Long]("day_idx"); val f = x.getAs[Double]("frac")
+      (daily.get(d), daily.get(d + 1)) match {
+        case (Some(r0), Some(r1)) =>
+          val want = r0 + (r1 - r0).toDouble * f
+          // frac in output is 9dp-rounded; recompute bound loosely
+          assert(math.abs(x.getAs[Double]("interp_cents") - want) < 1.0)
+        case _ =>
+          assert(x.isNullAt(x.fieldIndex("interp_cents")),
+            s"day $d (last=$lastDay) should be NULL without both marks")
+      }
+    }
+    CacheTracker.drainAll(spark)
+  }
+
   test("cochranQ matches the textbook block formula on real docs") {
     assumeTestdata()
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
