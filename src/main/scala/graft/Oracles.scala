@@ -5787,6 +5787,75 @@ object Oracles {
         |SELECT m AS n_a, n AS n_b, u_stat, z, abs(z) > 1.959964 AS significant
         |FROM z""".stripMargin,
 
+    // Cliff's delta off the same tie-exact doubled-U sweep; Romano
+    // magnitude bands ride along
+    "cliffs_delta" ->
+      """WITH sp AS (SELECT user_id,
+        |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend
+        |      FROM events GROUP BY 1),
+        |v AS (SELECT spend, CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_a FROM sp),
+        |c AS (SELECT spend, CAST(sum(is_a) AS BIGINT) AS n_a,
+        |      CAST(count(*) - sum(is_a) AS BIGINT) AS n_b FROM v GROUP BY 1),
+        |w AS (SELECT *, CAST(sum(n_b) OVER (ORDER BY spend) AS BIGINT) AS cum_b FROM c),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS m, CAST(sum(n_b) AS BIGINT) AS n,
+        |      sum(n_a * (2 * (cum_b - n_b) + n_b)) AS u2 FROM w),
+        |d AS (SELECT m, n,
+        |      CAST(u2 - CAST(m AS HUGEINT) * n AS DOUBLE)
+        |        / CAST(CAST(m AS HUGEINT) * n AS DOUBLE) AS delta FROM t)
+        |SELECT m AS n_a, n AS n_b, round(delta, 6) AS delta,
+        |  CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+        |       WHEN abs(delta) < 0.33 THEN 'small'
+        |       WHEN abs(delta) < 0.474 THEN 'medium'
+        |       ELSE 'large' END AS magnitude
+        |FROM d""".stripMargin,
+
+    // Durbin-Watson on the daily-revenue OLS residuals: 9dp rounded
+    // slope/intercept from exact moments so residuals match bit-exactly
+    "durbin_watson" ->
+      """WITH daily AS (SELECT epoch_ns(ts) // 1000 // 86400000000 AS day_idx,
+        |      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |      FROM events GROUP BY 1),
+        |m AS (SELECT count(*) AS n, CAST(sum(day_idx) AS BIGINT) AS sx,
+        |      CAST(sum(cents) AS BIGINT) AS sy,
+        |      sum(CAST(day_idx AS HUGEINT) * cents) AS sxy,
+        |      sum(CAST(day_idx AS HUGEINT) * day_idx) AS sxx FROM daily),
+        |fit AS (SELECT n, slope,
+        |      round(CAST(sy AS DOUBLE) / n - slope * (CAST(sx AS DOUBLE) / n), 9) AS intercept
+        |      FROM (SELECT n, sx, sy,
+        |        round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |          / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 9) AS slope
+        |        FROM m)),
+        |r AS (SELECT day_idx,
+        |      round(CAST(cents AS DOUBLE) - intercept - slope * day_idx, 6) AS e
+        |      FROM daily CROSS JOIN fit),
+        |r2 AS (SELECT day_idx, e,
+        |      lag(e) OVER (ORDER BY day_idx) AS e_prev FROM r),
+        |terms AS (SELECT day_idx, round(e * e, 6) AS e2,
+        |      CASE WHEN e_prev IS NOT NULL
+        |           THEN round((e - e_prev) * (e - e_prev), 6) ELSE 0.0 END AS d2 FROM r2)
+        |SELECT n AS n_days, slope, intercept,
+        |  round(list_reduce(list(d2 ORDER BY day_idx, e2, d2), (a, b) -> a + b)
+        |    / list_reduce(list(e2 ORDER BY day_idx, e2, d2), (a, b) -> a + b), 6) AS dw
+        |FROM terms CROSS JOIN fit GROUP BY n, slope, intercept""".stripMargin,
+
+    // Gumbel method-of-moments over daily max purchase, exact moments,
+    // 30-day return level closed form
+    "gumbel_max" ->
+      """WITH mx AS (SELECT epoch_ns(ts) // 1000 // 86400000000 AS day_idx,
+        |      CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mx
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |m AS (SELECT count(*) AS n, CAST(sum(mx) AS BIGINT) AS s1,
+        |      sum(CAST(mx AS HUGEINT) * mx) AS s2 FROM mx),
+        |f AS (SELECT n, CAST(s1 AS DOUBLE) / n AS mean,
+        |      sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+        |        / (n - 1)) AS sd FROM m WHERE n > 1),
+        |g AS (SELECT n, mean, sd * sqrt(6.0) / pi() AS beta FROM f),
+        |h AS (SELECT n, mean, beta, mean - 0.5772156649015329 * beta AS mu FROM g)
+        |SELECT n AS n_days, round(mean, 6) AS mean_max, round(mu, 6) AS gumbel_loc,
+        |  round(beta, 6) AS gumbel_scale,
+        |  round(mu - beta * ln(-ln(1.0 - 1.0 / 30.0)), 6) AS return_level_30d
+        |FROM h""".stripMargin,
+
     // ln(quantity) on discount least squares, micro/nano exact moments,
     // mean-form intercept with the rounded slope
     "discount_elasticity" ->

@@ -256,6 +256,12 @@ object SparkEntry {
       Sessionize.attributionPosition(events(s, d))),
     // C254: piecewise-linear interpolation join between day marks
     "interp_join" -> ((s, d) => AsOf.interpJoin(events(s, d))),
+    // C255: nonparametric effect size for the A/B spend comparison
+    "cliffs_delta" -> ((s, d) => Relational.cliffsDelta(events(s, d))),
+    // C256: serial-correlation check on the revenue trend residuals
+    "durbin_watson" -> ((s, d) => Relational.durbinWatson(events(s, d))),
+    // C257: extreme-value (Gumbel) fit of daily max purchase
+    "gumbel_max" -> ((s, d) => Relational.gumbelMax(events(s, d))),
     // B280: mean pairwise BLEU-2 over a per-lang bounded sample
     "self_bleu" -> ((s, d) => Eval.selfBleu(spread(t(s, d, "documents")))),
     // B281: stride keyframe sampling as an oracled query surface

@@ -2313,6 +2313,125 @@ object Relational {
       .withColumn("significant", abs(col("z")) > 1.959964)
   }
 
+  /** Cliff's delta between the A/B variants on per-user spend (C255):
+    * the nonparametric EFFECT SIZE [[mannwhitneyU]]'s z lacks — z says
+    * "detectable", delta = P(a > b) − P(a < b) says "how big", stays in
+    * [−1, 1], and is what a skewed-metric experiment report quotes next
+    * to the U test. Identity delta = 2U/(mn) − 1 with the tie-exact
+    * doubled-U from the same one-cumsum sweep (ties count half), so
+    * every quantity before the final division is an exact
+    * DECIMAL(38,0); the Romano et al. magnitude bands
+    * (0.147/0.33/0.474) ride along as the standard reading. */
+  def cliffsDelta(events: DataFrame): DataFrame = {
+    val spend = events
+      .select(col("user_id"), cents(col("value")).as("c"))
+      .groupBy("user_id").agg(sum(col("c")).as("spend"))
+      .select(col("spend"), (col("user_id") % 2 === 0).cast("long").as("is_a"))
+    val byV = spend.groupBy("spend")
+      .agg(sum(col("is_a")).as("n_a"),
+        (count(lit(1)) - sum(col("is_a"))).as("n_b"))
+    val swept = Ranks.withGlobalCumSum(byV, "n_b", "cum_b", "total_b",
+      Seq(col("spend")))
+    val agg = swept
+      .select(col("n_a"), col("total_b"),
+        (col("n_a").cast("decimal(38,0)")
+          * (lit(2L) * (col("cum_b") - col("n_b")) + col("n_b"))).as("u2"))
+      .agg(sum(col("n_a")).as("m"), max(col("total_b")).as("n"),
+        sum(col("u2")).as("u2"))
+    val delta = (col("u2") - col("m").cast("decimal(38,0)") * col("n"))
+      .cast("double") /
+      (col("m").cast("decimal(38,0)") * col("n")).cast("double")
+    agg.select(col("m").as("n_a"), col("n").as("n_b"),
+        round(delta, 6).as("delta"),
+        when(abs(delta) < 0.147, "negligible")
+          .when(abs(delta) < 0.33, "small")
+          .when(abs(delta) < 0.474, "medium")
+          .otherwise("large").as("magnitude"))
+  }
+
+  /** Durbin–Watson serial-correlation test on the daily-revenue trend
+    * residuals (C256): fit cents ~ day by OLS from exact DECIMAL(38,0)
+    * moments (the discountElasticity discipline — slope/intercept are
+    * each one rounded division, so both engines score IDENTICAL
+    * residuals), then DW = Σ(e_t − e_{t−1})² / Σe_t² over the calendar
+    * order — DW ≈ 2 means the trend line left white noise, DW → 0
+    * means the "trend" is hiding autocorrelation and every CI computed
+    * from these residuals is too narrow (the assumption check behind
+    * theil_sen_trend / retention fits). The day frame is
+    * calendar-bounded, so its one ordered window and 6 dp sorted folds
+    * are config-sized, not data-sized. */
+  def durbinWatson(events: DataFrame): DataFrame = {
+    val dailyCents = events
+      .select(expr("unix_micros(ts) div 86400000000").as("day_idx"),
+        cents(col("value")).as("c"))
+      .groupBy("day_idx").agg(sum(col("c")).as("cents"))
+    val m = dailyCents.agg(count(lit(1)).as("n"),
+      sum(col("day_idx")).as("sx"), sum(col("cents")).as("sy"),
+      sum(col("day_idx").cast("decimal(38,0)") * col("cents")).as("sxy"),
+      sum(col("day_idx").cast("decimal(38,0)") * col("day_idx")).as("sxx"))
+    val denom = (col("n").cast("decimal(38,0)") * col("sxx") -
+      col("sx").cast("decimal(38,0)") * col("sx")).cast("double")
+    val fit = m.select(col("n"),
+      round((col("n").cast("decimal(38,0)") * col("sxy") -
+        col("sx").cast("decimal(38,0)") * col("sy")).cast("double") / denom, 9)
+        .as("slope"),
+      col("sx"), col("sy"))
+      .select(col("n"), col("slope"),
+        round(col("sy").cast("double") / col("n")
+          - col("slope") * (col("sx").cast("double") / col("n")), 9)
+          .as("intercept"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day_idx"))
+    val resid = dailyCents.crossJoin(broadcast(fit))
+      .select(col("day_idx"), col("n"), col("slope"), col("intercept"),
+        round(col("cents").cast("double") - col("intercept")
+          - col("slope") * col("day_idx"), 6).as("e"))
+      .withColumn("e_prev", lag(col("e"), 1).over(w))
+    resid
+      .select(col("n"), col("slope"), col("intercept"),
+        struct(col("day_idx"),
+          round(col("e") * col("e"), 6).as("e2"),
+          when(col("e_prev").isNotNull,
+            round((col("e") - col("e_prev")) * (col("e") - col("e_prev")), 6))
+            .otherwise(lit(0.0)).as("d2")).as("t"))
+      .groupBy("n", "slope", "intercept")
+      .agg(array_sort(collect_list(col("t"))).as("ts"))
+      .select(col("n").as("n_days"), col("slope"), col("intercept"),
+        round(aggregate(col("ts"), lit(0.0), (a, t) => a + t.getField("d2"))
+          / aggregate(col("ts"), lit(0.0), (a, t) => a + t.getField("e2")), 6)
+          .as("dw"))
+  }
+
+  /** Gumbel extreme-value fit of the daily maximum purchase (C257):
+    * method-of-moments location/scale (β = s√6/π, μ = x̄ − γβ) over the
+    * per-day MAX purchase cents, plus the 30-day return level
+    * μ − β·ln(−ln(1 − 1/30)) — "how big a single purchase should we
+    * provision for in a month", the capacity question mean-based stats
+    * can't answer (the Fisher–Tippett domain of daily maxima). Daily
+    * maxima are exact longs; mean and the (n−1)-denominator variance
+    * come from exact DECIMAL(38,0) moments; the closed forms are the
+    * only float arithmetic, written identically on both engines. */
+  def gumbelMax(events: DataFrame): DataFrame = {
+    val maxima = events.filter(col("event_type") === "purchase")
+      .select(expr("unix_micros(ts) div 86400000000").as("day_idx"),
+        cents(col("value")).as("c"))
+      .groupBy("day_idx").agg(max(col("c")).as("mx"))
+    val m = maxima.agg(count(lit(1)).as("n"), sum(col("mx")).as("s1"),
+      sum(col("mx").cast("decimal(38,0)") * col("mx")).as("s2"))
+    val mean = col("s1").cast("double") / col("n")
+    val sd = sqrt((col("s2").cast("double")
+      - col("s1").cast("double") * col("s1").cast("double") / col("n"))
+      / (col("n") - 1))
+    val beta = sd * math.sqrt(6.0) / math.Pi
+    val mu = mean - lit(0.5772156649015329) * beta
+    m.filter(col("n") > 1)
+      .select(col("n").as("n_days"),
+        round(mean, 6).as("mean_max"),
+        round(mu, 6).as("gumbel_loc"),
+        round(beta, 6).as("gumbel_scale"),
+        round(mu - beta * math.log(-math.log(1.0 - 1.0 / 30.0)), 6)
+          .as("return_level_30d"))
+  }
+
   /** Discount elasticity of demand (C148): least squares of
     * ln(quantity) on the discount rate over lineitem — "does a deeper
     * discount move volume?", the pricing regression every retail

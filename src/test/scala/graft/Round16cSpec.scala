@@ -331,6 +331,45 @@ class Round16cSpec extends SparkSpec {
     CacheTracker.drainAll(spark)
   }
 
+  test("cliffsDelta: consistent with mannwhitneyU's U and bounded in [-1, 1]") {
+    assumeTestdata()
+    val ev = SparkEntry.normalizeEventTs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val cd = operators.Relational.cliffsDelta(ev).collect().head
+    val mw = operators.Relational.mannwhitneyU(ev).collect().head
+    val m = cd.getAs[Long]("n_a").toDouble; val n = cd.getAs[Long]("n_b").toDouble
+    val fromU = 2.0 * mw.getAs[Double]("u_stat") / (m * n) - 1.0
+    assert(math.abs(cd.getAs[Double]("delta") - fromU) < 1e-5)
+    assert(math.abs(cd.getAs[Double]("delta")) <= 1.0)
+    CacheTracker.drainAll(spark)
+  }
+
+  test("durbinWatson: alternating residuals push DW toward 4, trend toward 2-ish") {
+    import java.sql.Timestamp
+    def ev(day: Int, v: Double) =
+      (day.toLong, new Timestamp(1700000000000L + day * 86400000L), day.toLong,
+        "purchase", v, "{}")
+    // perfectly alternating around a flat trend: e_t = ±c, DW -> 4
+    val alt = (0 until 40).map(d => ev(d, if (d % 2 == 0) 10.0 else 20.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Relational.durbinWatson(alt).collect().head
+    assert(r.getAs[Long]("n_days") == 40L)
+    assert(r.getAs[Double]("dw") > 3.5, s"dw = ${r.getAs[Double]("dw")}")
+    CacheTracker.drainAll(spark)
+  }
+
+  test("gumbelMax: location below mean, return level above all but extremes") {
+    assumeTestdata()
+    val ev = SparkEntry.normalizeEventTs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val r = operators.Relational.gumbelMax(ev).collect().head
+    val mean = r.getAs[Double]("mean_max")
+    assert(r.getAs[Double]("gumbel_loc") < mean)
+    assert(r.getAs[Double]("return_level_30d") > mean)
+    assert(r.getAs[Double]("gumbel_scale") > 0.0)
+    CacheTracker.drainAll(spark)
+  }
+
   test("cochranQ matches the textbook block formula on real docs") {
     assumeTestdata()
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
