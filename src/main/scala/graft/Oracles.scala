@@ -8655,6 +8655,44 @@ object Oracles {
          |  round(CASE WHEN q0 > 1 THEN h / ln(CAST(q0 AS DOUBLE)) END, 6) AS pielou_evenness
          |FROM t JOIN h USING (source)""".stripMargin,
 
+    // NB method-of-moments per source: exact integer moments, NULL on
+    // underdispersion
+    "negbin_fit" ->
+      s"""WITH m AS (SELECT source, count(*) AS n_docs,
+         |  CAST(sum(x) AS BIGINT) AS s1, sum(CAST(x AS HUGEINT) * x) AS s2
+         |  FROM (SELECT source, CAST(len($toks) AS BIGINT) AS x FROM documents)
+         |  GROUP BY 1 HAVING count(*) > 1),
+         |f AS (SELECT source, n_docs, CAST(s1 AS DOUBLE) / n_docs AS mean,
+         |  (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_docs)
+         |    / (n_docs - 1) AS variance FROM m)
+         |SELECT source, n_docs, round(mean, 6) AS mean_tokens,
+         |  round(variance, 6) AS var_tokens,
+         |  round(variance / mean, 6) AS dispersion_ratio,
+         |  round(CASE WHEN variance > mean THEN mean * mean / (variance - mean) END, 6) AS nb_r,
+         |  round(CASE WHEN variance > mean THEN mean / variance END, 6) AS nb_p
+         |FROM f""".stripMargin,
+
+    // Mood's median test: grand median in x2 integer space, 2xk grid
+    // with 6dp (o-e)^2/e terms folded in (source, side) order
+    "mood_median" ->
+      """WITH md AS (SELECT CAST(quantile_cont(n_chars, 0.5) * 2 AS BIGINT) AS med2 FROM documents),
+        |cells AS (SELECT source, count(*) AS n_i,
+        |  CAST(sum(CASE WHEN n_chars * 2 > med2 THEN 1 ELSE 0 END) AS BIGINT) AS a_i
+        |  FROM documents CROSS JOIN md GROUP BY 1),
+        |g AS (SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(sum(a_i) AS BIGINT) AS a,
+        |      count(*) AS k_groups FROM cells),
+        |t AS (SELECT source, side, o, e FROM (
+        |  SELECT source, 1 AS side, a_i AS o,
+        |    CAST(n_i AS DOUBLE) * a / n AS e FROM cells CROSS JOIN g
+        |  UNION ALL
+        |  SELECT source, 0 AS side, n_i - a_i AS o,
+        |    CAST(n_i AS DOUBLE) * (n - a) / n AS e FROM cells CROSS JOIN g)),
+        |s AS (SELECT round(list_reduce(
+        |  list(round(pow(CAST(o AS DOUBLE) - e, 2.0) / e, 6) ORDER BY source, side),
+        |  (x, y) -> x + y), 6) AS chi2 FROM t)
+        |SELECT n AS n_docs, k_groups, chi2, k_groups - 1 AS dof
+        |FROM s CROSS JOIN g""".stripMargin,
+
     // token-mass-weighted length percentiles: window cumsum over the
     // (n_chars, doc_id) total order, integer cross-multiplied crossing
     "token_mass_percentiles" ->

@@ -1054,6 +1054,10 @@ object SparkEntry {
     "runs_test" -> ((s, d) => TextOps.runsTest(t(s, d, "documents"))),
     // B284: Hill-number diversity ladder per source
     "hill_numbers" -> ((s, d) => TextOps.hillNumbers(spread(t(s, d, "documents")))),
+    // B288: overdispersed count model of per-doc token counts
+    "negbin_fit" -> ((s, d) => TextOps.negbinFit(spread(t(s, d, "documents")))),
+    // B289: Mood's median test of lengths across sources
+    "mood_median" -> ((s, d) => TextOps.moodMedian(t(s, d, "documents"))),
     // B285: token-mass-weighted length percentiles (where the MASS is)
     "token_mass_percentiles" -> ((s, d) =>
       TextOps.tokenMassPercentiles(spread(t(s, d, "documents")))),

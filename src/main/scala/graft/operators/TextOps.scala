@@ -1480,6 +1480,74 @@ object TextOps {
           .as("f_stat"))
   }
 
+  /** Negative-binomial fit of per-doc token counts by source (B288):
+    * method-of-moments r = μ²/(s²−μ), p = μ/s² — the overdispersed
+    * count model token counts actually follow (a Poisson fit would
+    * claim s² = μ; the dispersion ratio s²/μ quantifies how wrong).
+    * The distribution-fitting row for COUNTS beside
+    * [[lengthLognormalFit]]'s continuous lengths: r/p feed synthetic-
+    * data generators and length-bucket capacity planning. Exact
+    * integer moments (Σx long, Σx² DECIMAL(38,0)); underdispersed
+    * sources (s² ≤ μ, where NB degenerates) yield NULL r/p, not a
+    * negative shape. */
+  def negbinFit(docs: DataFrame): DataFrame = {
+    val m = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("x"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("s1"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("s2"))
+      .filter(col("n_docs") > 1)
+    val mean = col("s1").cast("double") / col("n_docs")
+    val variance = (col("s2").cast("double")
+      - col("s1").cast("double") * col("s1").cast("double") / col("n_docs")) /
+      (col("n_docs") - 1)
+    m.select(col("source"), col("n_docs"),
+      round(mean, 6).as("mean_tokens"),
+      round(variance, 6).as("var_tokens"),
+      round(variance / mean, 6).as("dispersion_ratio"),
+      round(when(variance > mean, mean * mean / (variance - mean)), 6).as("nb_r"),
+      round(when(variance > mean, mean / variance), 6).as("nb_p"))
+  }
+
+  /** Mood's median test of document length across sources (B289): the
+    * 2×k chi-square of above-vs-at-or-below the GRAND median — the
+    * bluntest, most outlier-proof of the k-sample location tests (it
+    * only reads each length's side of one cut), read beside
+    * [[kruskalWallis]] (ranks) and [[brownForsythe]] (spread): when
+    * Mood and Kruskal disagree, the difference is in the tails, not
+    * the centers. Grand median in exact ×2 integer space; the 2×k
+    * contingency and its margins are exact longs; expected counts and
+    * (o−e)²/e terms are 6 dp folded in sorted (source, side) order
+    * over the 2k-bounded grid. */
+  def moodMedian(docs: DataFrame): DataFrame = {
+    val med = docs.agg((expr("percentile(n_chars, 0.5)") * 2).cast("long").as("med2"))
+    val cells = docs.crossJoin(broadcast(med))
+      .select(col("source"),
+        (col("n_chars") * 2 > col("med2")).cast("long").as("above"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_i"), sum(col("above")).as("a_i"))
+    val grand = cells.agg(sum(col("n_i")).as("n"), sum(col("a_i")).as("a"),
+      count(lit(1)).as("k_groups"))
+    val terms = cells.crossJoin(broadcast(grand))
+      .select(col("source"), col("k_groups"), col("n"),
+        explode(array(
+          struct(lit(1L).as("side"), col("a_i").as("o"),
+            (col("n_i").cast("double") * col("a") / col("n")).as("e")),
+          struct(lit(0L).as("side"), (col("n_i") - col("a_i")).as("o"),
+            (col("n_i").cast("double") * (col("n") - col("a")) / col("n")).as("e"))))
+          .as("t"))
+      .select(col("k_groups"), col("n"),
+        struct(col("source"), col("t.side").as("side"),
+          round(pow(col("t.o").cast("double") - col("t.e"), 2.0) / col("t.e"), 6)
+            .as("term")).as("u"))
+      .groupBy("k_groups", "n")
+      .agg(array_sort(collect_list(col("u"))).as("ts"))
+    terms.select(col("n").as("n_docs"), col("k_groups"),
+      round(aggregate(col("ts"), lit(0.0), (a, t) => a + t.getField("term")), 6)
+        .as("chi2"),
+      (col("k_groups") - 1).as("dof"))
+  }
+
   /** Per-language OLS of n_chars on token count (B53): the scaling-law
     * fit between two corpus measures, computed from exact integer
     * moment sums (n, Σx, Σy, Σxy, Σx²) so both engines do the identical

@@ -370,6 +370,39 @@ class Round16cSpec extends SparkSpec {
     CacheTracker.drainAll(spark)
   }
 
+  test("negbinFit: hand-checked moments and Poisson degenerate case") {
+    // source 'od': counts 1, 5 -> mean 3, var 8, ratio 8/3, r = 9/5, p = 3/8
+    val d = docs(
+      (1L, "one", "en", "od"), (2L, "a b c d e", "en", "od"),
+      // source 'ud': counts 2, 2 -> var 0 -> NULL r/p
+      (3L, "a b", "en", "ud"), (4L, "c d", "en", "ud"))
+    val r = operators.TextOps.negbinFit(d).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    val od = r("od")
+    assert(od.getAs[Double]("mean_tokens") == 3.0)
+    assert(od.getAs[Double]("var_tokens") == 8.0)
+    assert(math.abs(od.getAs[Double]("nb_r") - 1.8) < 1e-6)
+    assert(math.abs(od.getAs[Double]("nb_p") - 0.375) < 1e-6)
+    val ud = r("ud")
+    assert(ud.isNullAt(ud.fieldIndex("nb_r")))
+    assert(ud.isNullAt(ud.fieldIndex("nb_p")))
+  }
+
+  test("moodMedian: identical length distributions give chi2 ~ 0, split gives large chi2") {
+    val same = docs(
+      (1L, "aaaa", "en", "s1"), (2L, "bbbbbbbb", "en", "s1"),
+      (3L, "cccc", "en", "s2"), (4L, "dddddddd", "en", "s2"))
+    val r = operators.TextOps.moodMedian(same).collect().head
+    assert(r.getAs[Double]("chi2") == 0.0)
+    assert(r.getAs[Long]("dof") == 1L)
+    // s1 all short, s2 all long -> maximal separation: chi2 = n = 4
+    val split = docs(
+      (1L, "aa", "en", "s1"), (2L, "bb", "en", "s1"),
+      (3L, "cccccccc", "en", "s2"), (4L, "dddddddd", "en", "s2"))
+    val s = operators.TextOps.moodMedian(split).collect().head
+    assert(s.getAs[Double]("chi2") == 4.0)
+  }
+
   test("cochranQ matches the textbook block formula on real docs") {
     assumeTestdata()
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
