@@ -8655,6 +8655,70 @@ object Oracles {
          |  round(CASE WHEN q0 > 1 THEN h / ln(CAST(q0 AS DOUBLE)) END, 6) AS pielou_evenness
          |FROM t JOIN h USING (source)""".stripMargin,
 
+    // Jarque-Bera over 9dp ln terms, two-level doc_id-bucketed folds,
+    // central-moment algebra written identically to the Spark side
+    "jarque_bera" ->
+      """WITH t AS (SELECT lang, round(ln(CAST(n_chars AS DOUBLE)), 9) AS l,
+        |  doc_id % 1024 AS sb FROM documents WHERE n_chars > 0),
+        |l1 AS (SELECT lang, sb, count(*) AS c,
+        |  list_reduce(list_sort(list(l)), (a, b) -> a + b) AS s1,
+        |  list_reduce(list_sort(list(l * l)), (a, b) -> a + b) AS s2,
+        |  list_reduce(list_sort(list(l * l * l)), (a, b) -> a + b) AS s3,
+        |  list_reduce(list_sort(list(l * l * l * l)), (a, b) -> a + b) AS s4
+        |  FROM t GROUP BY 1, 2),
+        |m AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs,
+        |  list_reduce(list_sort(list(s1)), (a, b) -> a + b) AS s1,
+        |  list_reduce(list_sort(list(s2)), (a, b) -> a + b) AS s2,
+        |  list_reduce(list_sort(list(s3)), (a, b) -> a + b) AS s3,
+        |  list_reduce(list_sort(list(s4)), (a, b) -> a + b) AS s4
+        |  FROM l1 GROUP BY 1 HAVING sum(c) > 3),
+        |f AS (SELECT lang, n_docs, CAST(n_docs AS DOUBLE) AS n,
+        |  s1 / CAST(n_docs AS DOUBLE) AS mu, s2, s3, s4 FROM m),
+        |g AS (SELECT lang, n_docs, n, mu,
+        |  s2 / n - mu * mu AS m2,
+        |  s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu AS m3,
+        |  s4 / n - 4.0 * mu * (s3 / n) + 6.0 * mu * mu * (s2 / n)
+        |    - 3.0 * mu * mu * mu * mu AS m4 FROM f),
+        |h AS (SELECT lang, n_docs, n, m2,
+        |  m3 / sqrt(m2 * m2 * m2) AS skew, m4 / (m2 * m2) - 3.0 AS exk FROM g)
+        |SELECT lang, n_docs, round(skew, 6) AS skewness,
+        |  round(exk, 6) AS ex_kurtosis,
+        |  round(CASE WHEN m2 > 0.0
+        |    THEN n / 6.0 * (skew * skew + exk * exk / 4.0) END, 6) AS jb_stat
+        |FROM h""".stripMargin,
+
+    // unbiased linear-kernel MMD^2: per-label vector sums / norm sums
+    // via 9dp two-level folds, closed form assembled identically
+    "embed_mmd" ->
+      """WITH base AS MATERIALIZED (SELECT CAST(label AS BIGINT) AS label, vec_id,
+        |  unnest(range(1, 9)) AS pos,
+        |  unnest(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))) AS x
+        |  FROM embeddings),
+        |sums AS MATERIALIZED (SELECT label, pos,
+        |  round(list_reduce(list_sort(list(sub_s)), (a, b) -> a + b), 9) AS s
+        |  FROM (SELECT label, pos, vec_id % 1024 AS sb,
+        |        list_reduce(list_sort(list(round(x, 9))), (a, b) -> a + b) AS sub_s
+        |        FROM base GROUP BY 1, 2, 3) GROUP BY 1, 2),
+        |qn AS (SELECT label, round(list_reduce(list_sort(list(sub_q)), (a, b) -> a + b), 9) AS q
+        |  FROM (SELECT label, vec_id % 1024 AS sb,
+        |        list_reduce(list_sort(list(round(x * x, 9))), (a, b) -> a + b) AS sub_q
+        |        FROM base GROUP BY 1, 2) GROUP BY 1),
+        |counts AS (SELECT CAST(label AS BIGINT) AS label, count(*) AS n FROM embeddings GROUP BY 1),
+        |dots AS MATERIALIZED (SELECT a.label AS label_a, b.label AS label_b,
+        |  list_reduce(list(round(a.s * b.s, 9) ORDER BY a.pos), (x, y) -> x + y) AS dot
+        |  FROM sums a JOIN sums b ON a.pos = b.pos AND a.label <= b.label
+        |  GROUP BY 1, 2),
+        |slf AS (SELECT label_a AS label, dot AS s2 FROM dots WHERE label_a = label_b),
+        |st AS MATERIALIZED (SELECT label, n, q, s2
+        |  FROM counts JOIN qn USING (label) JOIN slf USING (label))
+        |SELECT d.label_a, d.label_b, sa.n AS n_a, sb2.n AS n_b,
+        |  round((sa.s2 - sa.q) / (CAST(sa.n AS DOUBLE) * (sa.n - 1.0))
+        |      + (sb2.s2 - sb2.q) / (CAST(sb2.n AS DOUBLE) * (sb2.n - 1.0))
+        |      - 2.0 * d.dot / (CAST(sa.n AS DOUBLE) * sb2.n), 6) AS mmd2
+        |FROM dots d JOIN st sa ON sa.label = d.label_a
+        |JOIN st sb2 ON sb2.label = d.label_b
+        |WHERE d.label_a < d.label_b""".stripMargin,
+
     // NB method-of-moments per source: exact integer moments, NULL on
     // underdispersion
     "negbin_fit" ->

@@ -1050,6 +1050,10 @@ object SparkEntry {
       Similarity.adjustedRand(t(s, d, "embeddings"))),
     // B282: homogeneity/completeness split of NMI off the same fit
     "v_measure" -> ((s, d) => Similarity.vMeasure(t(s, d, "embeddings"))),
+    // B291: unbiased linear-kernel MMD^2 between label groups
+    "embed_mmd" -> ((s, d) => Similarity.embedMmd(t(s, d, "embeddings"))),
+    // B290: Jarque-Bera normality audit of the lognormal length fit
+    "jarque_bera" -> ((s, d) => TextOps.jarqueBera(t(s, d, "documents"))),
     // B283: Wald-Wolfowitz runs test over the shuffled corpus order
     "runs_test" -> ((s, d) => TextOps.runsTest(t(s, d, "documents"))),
     // B284: Hill-number diversity ladder per source

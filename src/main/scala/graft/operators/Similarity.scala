@@ -1302,6 +1302,62 @@ object Similarity {
           .as("ari"))
   }
 
+  /** Unbiased linear-kernel MMD² between label groups (B291): the
+    * two-sample "did the embedding distribution move" test — for the
+    * linear kernel, MMD² reduces to closed form over per-group vector
+    * sums S and squared-norm sums Q:
+    * (|Sa|²−Qa)/(nₐ(nₐ−1)) + (|Sb|²−Qb)/(n_b(n_b−1)) − 2·Sa·Sb/(nₐn_b)
+    * — i.e. an UNBIASED ||μa − μb||² (the naive mean-distance² is
+    * biased upward by within-group variance/n, which this subtracts
+    * exactly). Reads beside [[embedLabelDrift]]'s split-half cosine:
+    * that one grades stability of ONE group, this one distance BETWEEN
+    * groups. Per-(label, dim) sums and per-label norm sums are 9 dp
+    * two-level vec_id-bucketed folds; the pair grid and dot products
+    * are (labels × dims)-bounded. */
+  def embedMmd(emb: DataFrame, dims: Int = 8): DataFrame = {
+    val base = emb.select(col("label").cast("long").as("label"), col("vec_id"),
+      posexplode(expr(
+        s"transform(slice(embedding, 1, $dims), x -> CAST(x AS DOUBLE))"))
+        .as(Seq("pos", "x")))
+    val sums = base
+      .select(col("label"), col("pos"), Folds.subBucket(col("vec_id")), col("x"))
+      .groupBy("label", "pos", "sb")
+      .agg(Folds.sortedSum(round(col("x"), 9)).as("sub_s"))
+      .groupBy("label", "pos")
+      .agg(round(Folds.sortedSum(col("sub_s")), 9).as("s"))
+    val qn = base
+      .select(col("label"), Folds.subBucket(col("vec_id")),
+        round(col("x") * col("x"), 9).as("x2"))
+      .groupBy("label", "sb")
+      .agg(Folds.sortedSum(col("x2")).as("sub_q"))
+      .groupBy("label")
+      .agg(round(Folds.sortedSum(col("sub_q")), 9).as("q"))
+    val counts = emb.select(col("label").cast("long").as("label"))
+      .groupBy("label").agg(count(lit(1)).as("n"))
+    val perLabel = counts.join(qn, "label")
+    val dots = sums.select(col("label").as("label_a"), col("pos"), col("s").as("sa"))
+      .join(sums.select(col("label").as("label_b"), col("pos"), col("s").as("sb_")),
+        "pos")
+      .filter(col("label_a") <= col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(aggregate(array_sort(collect_list(
+        struct(col("pos"), round(col("sa") * col("sb_"), 9).as("t")))),
+        lit(0.0), (a, t) => a + t.getField("t")).as("dot"))
+    val self = dots.filter(col("label_a") === col("label_b"))
+      .select(col("label_a").as("label"), col("dot").as("s2"))
+    val stats = perLabel.join(self, "label")
+    val pairs = dots.filter(col("label_a") < col("label_b"))
+      .join(broadcast(stats.select(col("label").as("label_a"), col("n").as("n_a"),
+        col("q").as("q_a"), col("s2").as("s2_a"))), "label_a")
+      .join(broadcast(stats.select(col("label").as("label_b"), col("n").as("n_b"),
+        col("q").as("q_b"), col("s2").as("s2_b"))), "label_b")
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    pairs.select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+      round((col("s2_a") - col("q_a")) / (na * (na - 1.0))
+        + (col("s2_b") - col("q_b")) / (nb * (nb - 1.0))
+        - lit(2.0) * col("dot") / (na * nb), 6).as("mmd2"))
+  }
+
   /** Embedding stability audit (B254): per label, the cosine between
     * the centroids of the two vec_id-parity halves — a split-half
     * reliability check: if re-embedding half the data moves a label's

@@ -340,6 +340,45 @@ object TextOps {
         / exp(mu + sigma * sigma / 2.0), 6).as("mean_ratio"))
   }
 
+  /** Jarque–Bera normality test of ln(n_chars) per language (B290): the
+    * moment-based audit OF [[lengthLognormalFit]] — that row fits μ, σ
+    * assuming ln-lengths are normal; this one tests the assumption
+    * (JB = n/6·(S² + (K−3)²/4) ~ χ²(2); large JB = the fitted μ/σ are
+    * summarizing a distribution they don't describe). Skewness and
+    * excess kurtosis come from raw ln-moments up to the 4th, each a
+    * two-level doc_id-bucketed fold of 9 dp terms (the lognormal-fit
+    * discipline, two moments deeper); the central-moment algebra and
+    * the two divisions are the only float steps after the folds. */
+  def jarqueBera(docs: DataFrame): DataFrame = {
+    val terms = docs.filter(col("n_chars") > 0)
+      .select(col("lang"), round(log(col("n_chars").cast("double")), 9).as("l"),
+        Folds.subBucket(col("doc_id")))
+    val l1 = terms.groupBy("lang", "sb")
+      .agg(count(lit(1)).as("c"),
+        Folds.sortedSum(col("l")).as("s1"),
+        Folds.sortedSum(col("l") * col("l")).as("s2"),
+        Folds.sortedSum(col("l") * col("l") * col("l")).as("s3"),
+        Folds.sortedSum(col("l") * col("l") * col("l") * col("l")).as("s4"))
+    val m = l1.groupBy("lang")
+      .agg(sum(col("c")).as("n_docs"),
+        Folds.sortedSum(col("s1")).as("s1"), Folds.sortedSum(col("s2")).as("s2"),
+        Folds.sortedSum(col("s3")).as("s3"), Folds.sortedSum(col("s4")).as("s4"))
+      .filter(col("n_docs") > 3)
+    val n = col("n_docs").cast("double")
+    val mu = col("s1") / n
+    val m2 = col("s2") / n - mu * mu
+    val m3 = col("s3") / n - lit(3.0) * mu * (col("s2") / n) + lit(2.0) * mu * mu * mu
+    val m4 = col("s4") / n - lit(4.0) * mu * (col("s3") / n) +
+      lit(6.0) * mu * mu * (col("s2") / n) - lit(3.0) * mu * mu * mu * mu
+    val skew = m3 / sqrt(m2 * m2 * m2)
+    val exkurt = m4 / (m2 * m2) - 3.0
+    m.select(col("lang"), col("n_docs"),
+      round(skew, 6).as("skewness"),
+      round(exkurt, 6).as("ex_kurtosis"),
+      round(when(m2 > 0.0,
+        n / 6.0 * (skew * skew + exkurt * exkurt / 4.0)), 6).as("jb_stat"))
+  }
+
   /** Marker-token language-ID heuristic (B8): count hits against small
     * per-language marker sets over lowercase whitespace tokens; argmax with
     * a deterministic tie-break (en > fr > de), 'und' when no marker hits. */

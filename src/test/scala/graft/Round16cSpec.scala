@@ -403,6 +403,54 @@ class Round16cSpec extends SparkSpec {
     assert(s.getAs[Double]("chi2") == 4.0)
   }
 
+  test("jarqueBera matches a local moment recomputation on real docs") {
+    assumeTestdata()
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = operators.TextOps.jarqueBera(d).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val rows = d.filter(col("n_chars") > 0)
+      .select(col("lang"), col("n_chars").cast("double"))
+      .collect().map(r => (r.getString(0), math.log(r.getDouble(1))))
+    rows.groupBy(_._1).foreach { case (lang, xs0) =>
+      val xs = xs0.map(x => BigDecimal(x._2).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val n = xs.length.toDouble
+      if (n > 3) {
+        val mu = xs.sum / n
+        val m2 = xs.map(x => x * x).sum / n - mu * mu
+        val m3 = xs.map(x => x * x * x).sum / n - 3 * mu * (xs.map(x => x * x).sum / n) + 2 * mu * mu * mu
+        val m4 = xs.map(x => x * x * x * x).sum / n - 4 * mu * (xs.map(x => x * x * x).sum / n) +
+          6 * mu * mu * (xs.map(x => x * x).sum / n) - 3 * mu * mu * mu * mu
+        val skew = m3 / math.sqrt(m2 * m2 * m2)
+        val exk = m4 / (m2 * m2) - 3.0
+        val jb = n / 6.0 * (skew * skew + exk * exk / 4.0)
+        val g = got(lang)
+        assert(math.abs(g.getAs[Double]("skewness") - skew) < 1e-4, s"$lang skew")
+        assert(math.abs(g.getAs[Double]("jb_stat") - jb) < 1e-3, s"$lang jb")
+      }
+    }
+    CacheTracker.drainAll(spark)
+  }
+
+  test("embedMmd: identical groups score ~0, shifted groups score the shift") {
+    // labels 0/1 identical distributions (paired vectors), label 2 shifted
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.0f, 1.0f), 0),
+      (2L, Array(1.0f, 0.0f), 1), (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(11.0f, 10.0f), 2), (5L, Array(10.0f, 11.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val r = operators.Similarity.embedMmd(emb, dims = 2).collect()
+      .map(x => (x.getAs[Long]("label_a"), x.getAs[Long]("label_b")) ->
+        x.getAs[Double]("mmd2")).toMap
+    // identical empirical distributions: unbiased MMD^2 = -within-var bias
+    // For {e1, e2} vs {e1, e2}: |S|^2 - Q = (1+1)... hand: S=(1,1), |S|^2=2,
+    // Q=2 -> per-group term 0; dot=2 -> mmd2 = 0 + 0 - 2*2/4 = -1
+    assert(math.abs(r((0L, 1L)) - (-1.0)) < 1e-6)
+    // shifted group: large positive
+    assert(r((0L, 2L)) > 100.0)
+    assert(r((1L, 2L)) > 100.0)
+  }
+
   test("cochranQ matches the textbook block formula on real docs") {
     assumeTestdata()
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
