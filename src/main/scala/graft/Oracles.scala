@@ -8655,6 +8655,47 @@ object Oracles {
          |  round(CASE WHEN q0 > 1 THEN h / ln(CAST(q0 AS DOUBLE)) END, 6) AS pielou_evenness
          |FROM t JOIN h USING (source)""".stripMargin,
 
+    // pooled vs per-lang OLS slope sign flips (the aggregation trap)
+    "simpsons_paradox" ->
+      s"""WITH pts AS MATERIALIZED (SELECT lang, CAST(n_chars AS BIGINT) AS x,
+         |  CAST(round(($qualitySql) * 1000000, 0) AS BIGINT) AS q FROM documents),
+         |o AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |  CAST(sum(q) AS BIGINT) AS sq, sum(CAST(x AS HUGEINT) * q) AS sxq,
+         |  sum(CAST(x AS HUGEINT) * x) AS sxx FROM pts),
+         |po AS (SELECT n AS n_docs,
+         |  round(CAST(CAST(n AS HUGEINT) * sxq - CAST(sx AS HUGEINT) * sq AS DOUBLE)
+         |    / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+         |    / 1000000.0, 9) AS pooled_slope FROM o),
+         |pg AS (SELECT lang, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |  CAST(sum(q) AS BIGINT) AS sq, sum(CAST(x AS HUGEINT) * q) AS sxq,
+         |  sum(CAST(x AS HUGEINT) * x) AS sxx FROM pts GROUP BY 1 HAVING count(*) > 1),
+         |pl AS (SELECT lang,
+         |  round(CAST(CAST(n AS HUGEINT) * sxq - CAST(sx AS HUGEINT) * sq AS DOUBLE)
+         |    / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+         |    / 1000000.0, 9) AS g_slope FROM pg)
+         |SELECT n_docs, count(*) AS n_groups, pooled_slope,
+         |  CAST(sum(CASE WHEN sign(g_slope) <> sign(pooled_slope) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sign_flips,
+         |  sum(CASE WHEN sign(g_slope) <> sign(pooled_slope) THEN 1 ELSE 0 END) = count(*)
+         |    AS full_paradox
+         |FROM pl CROSS JOIN po GROUP BY n_docs, pooled_slope""".stripMargin,
+
+    // VaR/CVaR of day-over-day revenue deltas: explicit rank-based
+    // lower-empirical quantile, exact-integer tail mean
+    "revenue_var" ->
+      """WITH daily AS (SELECT epoch_ns(ts) // 1000 // 86400000000 AS day_idx,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |d2 AS (SELECT day_idx, cents, lag(cents) OVER (ORDER BY day_idx) AS prev FROM daily),
+        |dl AS (SELECT CAST(cents - prev AS BIGINT) AS delta FROM d2 WHERE prev IS NOT NULL),
+        |r AS (SELECT delta, row_number() OVER (ORDER BY delta) AS rn FROM dl),
+        |nn AS (SELECT count(*) AS n_deltas FROM dl),
+        |v AS (SELECT n_deltas, delta AS var95 FROM r CROSS JOIN nn
+        |      WHERE rn = CAST(ceil(n_deltas * 0.05) AS BIGINT))
+        |SELECT n_deltas, var95, CAST(count(*) AS BIGINT) AS n_tail_days,
+        |  round(CAST(sum(delta) AS DOUBLE) / count(*), 6) AS cvar95
+        |FROM dl CROSS JOIN v WHERE delta <= var95 GROUP BY 1, 2""".stripMargin,
+
     // Jarque-Bera over 9dp ln terms, two-level doc_id-bucketed folds,
     // central-moment algebra written identically to the Spark side
     "jarque_bera" ->

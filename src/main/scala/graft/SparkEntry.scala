@@ -262,6 +262,11 @@ object SparkEntry {
     "durbin_watson" -> ((s, d) => Relational.durbinWatson(events(s, d))),
     // C257: extreme-value (Gumbel) fit of daily max purchase
     "gumbel_max" -> ((s, d) => Relational.gumbelMax(events(s, d))),
+    // C258: VaR95/CVaR95 of day-over-day revenue changes
+    "revenue_var" -> ((s, d) => Relational.revenueVar(events(s, d))),
+    // B292: pooled-vs-per-lang slope sign-flip audit
+    "simpsons_paradox" -> ((s, d) =>
+      TextOps.simpsonsParadox(spread(t(s, d, "documents")))),
     // B280: mean pairwise BLEU-2 over a per-lang bounded sample
     "self_bleu" -> ((s, d) => Eval.selfBleu(spread(t(s, d, "documents")))),
     // B281: stride keyframe sampling as an oracled query surface

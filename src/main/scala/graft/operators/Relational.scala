@@ -2432,6 +2432,43 @@ object Relational {
           .as("return_level_30d"))
   }
 
+  /** Value-at-Risk / CVaR of day-over-day revenue changes (C258): the
+    * empirical 5% quantile of daily deltas (VaR95 — "a 1-in-20 bad day
+    * loses at least this much") and the mean of the deltas at or below
+    * it (CVaR95 — how bad those tail days are ON AVERAGE, the coherent
+    * risk measure VaR isn't). Deltas are exact long cents off the
+    * calendar-bounded day frame's one lag window; the quantile is
+    * DISCRETE (lower empirical — an actual observed delta, no
+    * interpolation) so the tail mean is an exact-integer average over
+    * the ≤ n/20 tail days. */
+  def revenueVar(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day_idx"))
+    val deltas = events
+      .select(expr("unix_micros(ts) div 86400000000").as("day_idx"),
+        cents(col("value")).as("c"))
+      .groupBy("day_idx").agg(sum(col("c")).as("cents"))
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select((col("cents") - col("prev")).as("delta"))
+    // explicit lower-empirical quantile (the ⌈0.05n⌉-th smallest delta by
+    // row_number — the VALUE at that rank is tie-order independent):
+    // engines disagree on percentile_disc edge conventions, rank doesn't
+    val ranked = deltas
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("delta"))))
+      .crossJoin(broadcast(deltas.agg(count(lit(1)).as("n_deltas"))))
+    val varq = ranked
+      .filter(col("rn") === ceil(col("n_deltas") * 0.05).cast("long"))
+      .select(col("n_deltas"), col("delta").as("var95"))
+    deltas.crossJoin(broadcast(varq))
+      .filter(col("delta") <= col("var95"))
+      .groupBy("n_deltas", "var95")
+      .agg(count(lit(1)).as("n_tail_days"), sum(col("delta")).as("tail_sum"))
+      .select(col("n_deltas"), col("var95"), col("n_tail_days"),
+        round(col("tail_sum").cast("double") / col("n_tail_days"), 6)
+          .as("cvar95"))
+  }
+
   /** Discount elasticity of demand (C148): least squares of
     * ln(quantity) on the discount rate over lineitem — "does a deeper
     * discount move volume?", the pricing regression every retail

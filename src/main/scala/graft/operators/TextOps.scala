@@ -379,6 +379,48 @@ object TextOps {
         n / 6.0 * (skew * skew + exkurt * exkurt / 4.0)), 6).as("jb_stat"))
   }
 
+  /** Simpson's-paradox audit of the quality↔length relationship (B292):
+    * the OLS slope of quality on n_chars computed overall AND within
+    * each language, flagging sign flips — the textbook aggregation trap
+    * (pooled data can show a positive relationship every subgroup
+    * contradicts when group means differ), and the audit that decides
+    * whether [[qualityLengthCorr]]'s per-lang rho or a pooled number is
+    * the one to act on. Slopes come from exact integer/9 dp-quality
+    * moment sums (quality is the 6 dp composite scaled to micro-units,
+    * so Σq and Σq·x stay exact longs/DECIMALs); the group frame is
+    * |langs|-bounded, the flip count is one fold over it. */
+  def simpsonsParadox(docs: DataFrame): DataFrame = {
+    val pts = docs.select(col("lang"), col("n_chars").cast("long").as("x"),
+      // explicit round before the cast: Spark's double→long cast
+      // truncates while DuckDB's rounds, and 6 dp × 1e6 floats sit
+      // exactly on those boundaries
+      round(qualityComposite * 1e6, 0).cast("long").as("q"))
+    def moments(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val g = if (keys.isEmpty) df.groupBy() else df.groupBy(keys.map(col): _*)
+      g.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("q")).as("sq"),
+        sum(col("x").cast("decimal(38,0)") * col("q")).as("sxq"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+    }
+    def slope: Column = round(
+      (col("n").cast("decimal(38,0)") * col("sxq")
+        - col("sx").cast("decimal(38,0)") * col("sq")).cast("double") /
+        (col("n").cast("decimal(38,0)") * col("sxx")
+          - col("sx").cast("decimal(38,0)") * col("sx")).cast("double") / 1e6, 9)
+    val overall = moments(pts, Seq.empty).select(col("n").as("n_docs"),
+      slope.as("pooled_slope"))
+    val perLang = moments(pts, Seq("lang")).filter(col("n") > 1)
+      .select(col("lang"), slope.as("g_slope"))
+    perLang.crossJoin(broadcast(overall))
+      .select(col("n_docs"), col("pooled_slope"),
+        (signum(col("g_slope")) =!= signum(col("pooled_slope")))
+          .cast("long").as("flip"))
+      .groupBy("n_docs", "pooled_slope")
+      .agg(count(lit(1)).as("n_groups"), sum(col("flip")).as("n_sign_flips"))
+      .select(col("n_docs"), col("n_groups"), col("pooled_slope"),
+        col("n_sign_flips"),
+        (col("n_sign_flips") === col("n_groups")).as("full_paradox"))
+  }
+
   /** Marker-token language-ID heuristic (B8): count hits against small
     * per-language marker sets over lowercase whitespace tokens; argmax with
     * a deterministic tie-break (en > fr > de), 'und' when no marker hits. */

