@@ -8655,6 +8655,64 @@ object Oracles {
          |  round(CASE WHEN q0 > 1 THEN h / ln(CAST(q0 AS DOUBLE)) END, 6) AS pielou_evenness
          |FROM t JOIN h USING (source)""".stripMargin,
 
+    // HITS: 3 unrolled mutual-reinforcement rounds with max-normalized
+    // half-steps on the directed weighted bigram graph
+    "token_hits" -> {
+      def aStep(hPrev: String, raw: String, out: String) =
+        s"""$raw AS MATERIALIZED (SELECT dst AS token,
+           |  round(list_reduce(list_sort(list(round(w * h, 9))), (p, q) -> p + q), 9) AS a
+           |  FROM ew JOIN $hPrev ON $hPrev.token = ew.src GROUP BY dst),
+           |$out AS MATERIALIZED (SELECT token, round(a / (SELECT max(a) FROM $raw), 9) AS a FROM $raw)""".stripMargin
+      def hStep(aPrev: String, raw: String, out: String) =
+        s"""$raw AS MATERIALIZED (SELECT src AS token,
+           |  round(list_reduce(list_sort(list(round(w * a, 9))), (p, q) -> p + q), 9) AS h
+           |  FROM ew JOIN $aPrev ON $aPrev.token = ew.dst GROUP BY src),
+           |$out AS MATERIALIZED (SELECT token, round(h / (SELECT max(h) FROM $raw), 9) AS h FROM $raw)""".stripMargin
+      s"""WITH t0 AS (SELECT $toks AS toks FROM documents WHERE len($toks) >= 2),
+         |bi AS (SELECT toks[i] AS src, toks[i + 1] AS dst
+         |      FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t0)),
+         |ew AS MATERIALIZED (SELECT src, dst, count(*) AS w FROM bi GROUP BY 1, 2),
+         |nodes AS MATERIALIZED (SELECT DISTINCT token FROM
+         |  (SELECT src AS token FROM ew UNION ALL SELECT dst FROM ew)),
+         |h0 AS (SELECT token, 1.0 AS h FROM nodes),
+         |${aStep("h0", "a1r", "a1")},
+         |${hStep("a1", "h1r", "h1")},
+         |${aStep("h1", "a2r", "a2")},
+         |${hStep("a2", "h2r", "h2")},
+         |${aStep("h2", "a3r", "a3")},
+         |${hStep("a3", "h3r", "h3")}
+         |SELECT n.token, coalesce(round(h3.h, 6), 0.0) AS hub,
+         |  coalesce(round(a3.a, 6), 0.0) AS authority
+         |FROM nodes n LEFT JOIN h3 ON h3.token = n.token
+         |LEFT JOIN a3 ON a3.token = n.token""".stripMargin
+    },
+
+    // Poisson GLM trend: 4 unrolled Newton steps, 9dp sorted-fold
+    // sufficient statistics over the calendar-bounded day frame
+    "poisson_trend" -> {
+      def step(pPrev: String, s: String, out: String) =
+        s"""$s AS (SELECT n_days, b0, b1,
+           |  list_reduce(list_sort(list(round(y - exp(b0 + b1 * t), 9))), (a, b) -> a + b) AS g0,
+           |  list_reduce(list_sort(list(round(t * (y - exp(b0 + b1 * t)), 9))), (a, b) -> a + b) AS g1,
+           |  list_reduce(list_sort(list(round(exp(b0 + b1 * t), 9))), (a, b) -> a + b) AS h00,
+           |  list_reduce(list_sort(list(round(t * exp(b0 + b1 * t), 9))), (a, b) -> a + b) AS h01,
+           |  list_reduce(list_sort(list(round(t * t * exp(b0 + b1 * t), 9))), (a, b) -> a + b) AS h11
+           |  FROM daily CROSS JOIN $pPrev GROUP BY 1, 2, 3),
+           |$out AS (SELECT n_days,
+           |  round(b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01), 9) AS b0,
+           |  round(b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01), 9) AS b1 FROM $s)""".stripMargin
+      s"""WITH d0 AS (SELECT epoch_ns(ts) // 1000 // 86400000000 AS d, count(*) AS y
+         |      FROM events GROUP BY 1),
+         |daily AS MATERIALIZED (SELECT d - (SELECT min(d) FROM d0) AS t, y FROM d0),
+         |p0 AS (SELECT count(*) AS n_days,
+         |  round(ln(CAST(sum(y) AS DOUBLE) / count(*)), 9) AS b0, 0.0 AS b1 FROM daily),
+         |${step("p0", "s1", "p1")},
+         |${step("p1", "s2", "p2")},
+         |${step("p2", "s3", "p3")},
+         |${step("p3", "s4", "p4")}
+         |SELECT n_days, b0, b1, round(exp(b1), 6) AS daily_growth FROM p4""".stripMargin
+    },
+
     // pooled vs per-lang OLS slope sign flips (the aggregation trap)
     "simpsons_paradox" ->
       s"""WITH pts AS MATERIALIZED (SELECT lang, CAST(n_chars AS BIGINT) AS x,

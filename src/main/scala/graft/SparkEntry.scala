@@ -1075,6 +1075,10 @@ object SparkEntry {
     // B287: Newman modularity scoring the label-prop communities
     "community_modularity" -> ((s, d) =>
       Graph.communityModularity(spread(t(s, d, "documents")))),
+    // B293: HITS hubs/authorities on the directed bigram graph
+    "token_hits" -> ((s, d) => Graph.tokenHits(spread(t(s, d, "documents")))),
+    // C259: Poisson GLM trend of daily event counts (unrolled Newton)
+    "poisson_trend" -> ((s, d) => Relational.poissonTrend(events(s, d))),
     // B276: exact tau-b of the decile-bucketed (quality, length) pair
     "kendall_tau" -> ((s, d) =>
       TextOps.kendallTau(spread(t(s, d, "documents")))),

@@ -335,6 +335,63 @@ object Graph {
         min(col("token")).as("min_token"), max(col("token")).as("max_token"))
   }
 
+  /** HITS hubs and authorities on the DIRECTED token-bigram graph
+    * (B293, Kleinberg): a(v) = Σ_{u→v} w·h(u), h(u) = Σ_{u→v} w·a(v),
+    * 3 unrolled mutual-reinforcement rounds — the directional reading
+    * [[tokenPagerank]] symmetrizes away: in token order, a high-hub
+    * token INTRODUCES (left contexts, determiners/preps), a
+    * high-authority token IS INTRODUCED (right contexts, heads) — the
+    * syntactic role split, per edge direction. Normalization is by the
+    * MAX score each half-step (one exact max over 9 dp values — the
+    * L2 norm would add a √Σx² fold for no semantic gain; documented
+    * deviation from the L2 original). Edge frame aggregates once to
+    * the vocabulary²-bounded weighted adjacency and is pinned; each
+    * round is two joins against it (the pagerank discipline), so the
+    * plan is static in iters. Tokens with no out-edges carry hub 0,
+    * no in-edges authority 0. */
+  def tokenHits(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val toked = docs.select(TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val dir = toked.select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("src"), b.as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val ew = graft.CacheTracker.track(
+      dir.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    ew.count()
+    val nodes = graft.CacheTracker.track(
+      ew.select(col("src").as("token"))
+        .unionByName(ew.select(col("dst").as("token"))).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    def maxNorm(df: DataFrame, v: String): DataFrame = {
+      val mx = df.agg(max(col(v)).as("mx"))
+      df.crossJoin(broadcast(mx))
+        .select(col("token"), round(col(v) / col("mx"), 9).as(v))
+    }
+    var h = nodes.select(col("token"), lit(1.0).as("h"))
+    var a = nodes.select(col("token"), lit(0.0).as("a"))
+    for (_ <- 1 to iters) {
+      a = maxNorm(ew.join(h, ew("src") === h("token"))
+        .select(col("dst"), round(col("w") * col("h"), 9).as("c"))
+        .groupBy(col("dst").as("token"))
+        .agg(round(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
+          (acc, v) => acc + v), 9).as("a")), "a")
+      h = maxNorm(ew.join(a, ew("dst") === a("token"))
+        .select(col("src"), round(col("w") * col("a"), 9).as("c"))
+        .groupBy(col("src").as("token"))
+        .agg(round(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
+          (acc, v) => acc + v), 9).as("h")), "h")
+    }
+    nodes
+      .join(h.withColumnRenamed("h", "hub"), Seq("token"), "left")
+      .join(a.withColumnRenamed("a", "authority"), Seq("token"), "left")
+      .select(col("token"),
+        coalesce(round(col("hub"), 6), lit(0.0)).as("hub"),
+        coalesce(round(col("authority"), 6), lit(0.0)).as("authority"))
+  }
+
   /** Newman modularity of the label-propagation partition (B287): Q =
     * Σ_c (e_c/m − (d_c/2m)²) over [[tokenLabelProp]]'s communities on
     * the SAME adjacency edge set — the score that says whether the

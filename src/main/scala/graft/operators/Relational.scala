@@ -2313,6 +2313,58 @@ object Relational {
       .withColumn("significant", abs(col("z")) > 1.959964)
   }
 
+  /** Poisson GLM of daily event counts on a time trend (C259): the
+    * log-linear rate model log λ_t = b₀ + b₁·t fit by 4 unrolled
+    * NEWTON-RAPHSON steps — the COUNT-model sibling of platt_scaling's
+    * logistic calibrator (same distributed-second-order-optimizer
+    * discipline: per-step sufficient statistics as 9 dp sorted folds
+    * over the calendar-bounded day frame, closed-form 2×2 solve,
+    * parameters re-rounded 9 dp per step so both engines walk the
+    * identical trajectory). exp(b₁) is the daily growth multiplier —
+    * the statistically right trend readout for COUNTS, where the OLS
+    * line under [[durbinWatson]] assumes Gaussian errors counts don't
+    * have. Day index is rebased to min-day so exp stays in range. */
+  def poissonTrend(events: DataFrame, iters: Int = 4): DataFrame = {
+    val daily0 = events
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("y"))
+    val minD = daily0.agg(min(col("d")).as("d0"))
+    val daily = graft.CacheTracker.track(
+      daily0.crossJoin(broadcast(minD))
+        .select((col("d") - col("d0")).as("t"), col("y"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val init = daily.agg(count(lit(1)).as("n_days"),
+        sum(col("y")).as("sy"))
+      .select(col("n_days"),
+        round(log(col("sy").cast("double") / col("n_days")), 9).as("b0"),
+        lit(0.0).as("b1"))
+    var params = init
+    for (_ <- 1 to iters) {
+      val lam = exp(col("b0") + col("b1") * col("t"))
+      val terms = daily.crossJoin(broadcast(params))
+        .select(col("n_days"), col("b0"), col("b1"),
+          round(col("y") - lam, 9).as("r"),
+          round(col("t") * (col("y") - lam), 9).as("tr"),
+          round(lam, 9).as("l"),
+          round(col("t") * lam, 9).as("tl"),
+          round(col("t") * col("t") * lam, 9).as("ttl"))
+      val sums = terms.groupBy("n_days", "b0", "b1")
+        .agg(Folds.sortedSum(col("r")).as("g0"),
+          Folds.sortedSum(col("tr")).as("g1"),
+          Folds.sortedSum(col("l")).as("h00"),
+          Folds.sortedSum(col("tl")).as("h01"),
+          Folds.sortedSum(col("ttl")).as("h11"))
+      val det = col("h00") * col("h11") - col("h01") * col("h01")
+      params = sums.select(col("n_days"),
+        round(col("b0") + (col("h11") * col("g0") - col("h01") * col("g1")) / det, 9)
+          .as("b0"),
+        round(col("b1") + (col("h00") * col("g1") - col("h01") * col("g0")) / det, 9)
+          .as("b1"))
+    }
+    params.select(col("n_days"), col("b0"), col("b1"),
+      round(exp(col("b1")), 6).as("daily_growth"))
+  }
+
   /** Cliff's delta between the A/B variants on per-user spend (C255):
     * the nonparametric EFFECT SIZE [[mannwhitneyU]]'s z lacks — z says
     * "detectable", delta = P(a > b) − P(a < b) says "how big", stays in

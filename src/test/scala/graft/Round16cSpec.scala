@@ -493,6 +493,44 @@ class Round16cSpec extends SparkSpec {
     CacheTracker.drainAll(spark)
   }
 
+  test("tokenHits: chain graph separates introducers from heads") {
+    // "a b", "a c": a is the only hub (all out-edges), b/c pure authorities
+    val d = docs(
+      (1L, "aa bb", "en", "web"),
+      (2L, "aa cc", "en", "web"),
+      (3L, "aa bb", "en", "web"))
+    val r = operators.Graph.tokenHits(d).collect()
+      .map(x => x.getAs[String]("token") ->
+        (x.getAs[Double]("hub"), x.getAs[Double]("authority"))).toMap
+    assert(r("aa")._1 == 1.0) // sole hub, max-normalized to 1
+    assert(r("aa")._2 == 0.0) // no in-edges
+    assert(r("bb")._2 == 1.0) // strongest authority (w=2)
+    assert(r("cc")._2 == 0.5) // half bb's weight
+    assert(r("bb")._1 == 0.0 && r("cc")._1 == 0.0) // no out-edges
+    CacheTracker.drainAll(spark)
+  }
+
+  test("poissonTrend: flat counts fit b1 ~ 0, geometric growth fits its rate") {
+    import java.sql.Timestamp
+    def events(counts: Seq[Int]): DataFrame =
+      counts.zipWithIndex.flatMap { case (c, day) =>
+        (0 until c).map(i => ((day * 1000 + i).toLong,
+          new Timestamp(1700000000000L + day * 86400000L + i * 1000L),
+          1L, "view", 1.0, "{}"))
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val flat = operators.Relational.poissonTrend(events(Seq.fill(20)(50)))
+      .collect().head
+    assert(math.abs(flat.getAs[Double]("b1")) < 1e-6)
+    assert(math.abs(flat.getAs[Double]("b0") - math.log(50.0)) < 1e-6)
+    // 5% daily growth: counts round(40 * 1.05^d)
+    val grow = operators.Relational.poissonTrend(
+      events((0 until 20).map(d => math.round(40 * math.pow(1.05, d)).toInt)))
+      .collect().head
+    assert(math.abs(grow.getAs[Double]("daily_growth") - 1.05) < 0.005,
+      s"growth ${grow.getAs[Double]("daily_growth")}")
+    CacheTracker.drainAll(spark)
+  }
+
   test("cochranQ matches the textbook block formula on real docs") {
     assumeTestdata()
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
