@@ -8713,6 +8713,67 @@ object Oracles {
          |SELECT n_days, b0, b1, round(exp(b1), 6) AS daily_growth FROM p4""".stripMargin
     },
 
+    // Huber IRLS trend: 3 unrolled steps, scale re-estimated per step as
+    // 1.4826 x the rank-based lower median of |residuals|, 9dp weighted
+    // folds, full 2x2 re-solve
+    "huber_trend" -> {
+      def step(pPrev: String, i: Int) =
+        s"""r$i AS MATERIALIZED (SELECT n, day_idx, cents,
+           |  abs(round(CAST(cents AS DOUBLE) - b0 - b1 * day_idx, 6)) AS ae
+           |  FROM daily CROSS JOIN $pPrev),
+           |sc$i AS MATERIALIZED (SELECT round(ae * 1.4826, 9) AS s FROM
+           |  (SELECT ae, n, row_number() OVER (ORDER BY ae, day_idx) AS rn FROM r$i)
+           |  WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)),
+           |s$i AS (SELECT n, s,
+           |  list_reduce(list_sort(list(w)), (a, b) -> a + b) AS sw,
+           |  list_reduce(list_sort(list(round(w * day_idx, 9))), (a, b) -> a + b) AS swx,
+           |  list_reduce(list_sort(list(round(w * day_idx * day_idx, 9))), (a, b) -> a + b) AS swxx,
+           |  list_reduce(list_sort(list(round(w * cents, 9))), (a, b) -> a + b) AS swy,
+           |  list_reduce(list_sort(list(round(w * day_idx * cents, 9))), (a, b) -> a + b) AS swxy
+           |  FROM (SELECT n, s, day_idx, cents,
+           |        round(CASE WHEN ae <= 1.345 * s THEN 1.0
+           |              ELSE 1.345 * s / ae END, 9) AS w
+           |        FROM r$i CROSS JOIN sc$i)
+           |  GROUP BY 1, 2),
+           |p$i AS (SELECT n,
+           |  round((swxx * swy - swx * swxy) / (sw * swxx - swx * swx), 9) AS b0,
+           |  round((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 9) AS b1
+           |  FROM s$i)""".stripMargin
+      s"""WITH daily AS MATERIALIZED (SELECT epoch_ns(ts) // 1000 // 86400000000 AS day_idx,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM events GROUP BY 1),
+         |m AS (SELECT count(*) AS n, CAST(sum(day_idx) AS BIGINT) AS sx,
+         |  CAST(sum(cents) AS BIGINT) AS sy,
+         |  sum(CAST(day_idx AS HUGEINT) * cents) AS sxy,
+         |  sum(CAST(day_idx AS HUGEINT) * day_idx) AS sxx FROM daily),
+         |p0 AS (SELECT n, b1,
+         |  round(CAST(sy AS DOUBLE) / n - b1 * (CAST(sx AS DOUBLE) / n), 9) AS b0
+         |  FROM (SELECT n, sx, sy,
+         |    round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         |      / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 9) AS b1
+         |    FROM m)),
+         |${step("p0", 1)},
+         |${step("p1", 2)},
+         |${step("p2", 3)}
+         |SELECT n AS n_days, round(s, 6) AS robust_scale,
+         |  b0 AS huber_intercept, b1 AS huber_slope
+         |FROM p3 CROSS JOIN sc3""".stripMargin
+    },
+
+    // Chao1-bc richness + Good-Turing unseen mass from the type counts
+    "vocab_coverage_est" ->
+      s"""WITH c AS (SELECT source, token, count(*) AS c
+         |  FROM (SELECT source, unnest($toks) AS token FROM documents) GROUP BY 1, 2),
+         |a AS (SELECT source, count(*) AS q0, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+         |  FROM c GROUP BY 1)
+         |SELECT source, n_tokens, q0, f1, f2,
+         |  round(q0 + CAST(f1 * (f1 - 1) AS DOUBLE) / (2.0 * (f2 + 1)), 6) AS chao1,
+         |  round(CAST(f1 AS DOUBLE) / n_tokens, 6) AS unseen_mass,
+         |  round(1.0 - CAST(f1 AS DOUBLE) / n_tokens, 6) AS coverage
+         |FROM a""".stripMargin,
+
     // pooled vs per-lang OLS slope sign flips (the aggregation trap)
     "simpsons_paradox" ->
       s"""WITH pts AS MATERIALIZED (SELECT lang, CAST(n_chars AS BIGINT) AS x,

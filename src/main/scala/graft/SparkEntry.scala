@@ -1079,6 +1079,11 @@ object SparkEntry {
     "token_hits" -> ((s, d) => Graph.tokenHits(spread(t(s, d, "documents")))),
     // C259: Poisson GLM trend of daily event counts (unrolled Newton)
     "poisson_trend" -> ((s, d) => Relational.poissonTrend(events(s, d))),
+    // C260: Huber robust trend of daily revenue (unrolled IRLS)
+    "huber_trend" -> ((s, d) => Relational.huberTrend(events(s, d))),
+    // B294: Chao1 richness + Good-Turing unseen mass per source
+    "vocab_coverage_est" -> ((s, d) =>
+      TextOps.vocabCoverageEst(spread(t(s, d, "documents")))),
     // B276: exact tau-b of the decile-bucketed (quality, length) pair
     "kendall_tau" -> ((s, d) =>
       TextOps.kendallTau(spread(t(s, d, "documents")))),

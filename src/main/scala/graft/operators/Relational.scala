@@ -2365,6 +2365,83 @@ object Relational {
       round(exp(col("b1")), 6).as("daily_growth"))
   }
 
+  /** Huber robust regression of daily revenue on a time trend (C260):
+    * 3 unrolled IRLS steps with Huber weights w = min(1, k·s/|e|),
+    * k = 1.345 and s RE-ESTIMATED each step as 1.4826 × the lower
+    * median of the current |residuals| (rank-based — no interpolation,
+    * so both engines pick the identical observed value; re-estimating
+    * per step is what lets the fit escape a spike-contaminated initial
+    * OLS, where a frozen scale would keep the spike's weight too
+    * high) — the middle ground between [[durbinWatson]]'s
+    * outlier-hostage OLS line and theil_sen's median slope: 95%
+    * Gaussian efficiency AND bounded outlier influence, the trend a
+    * revenue series with promo spikes actually wants. Initial fit from
+    * exact DECIMAL(38,0) moments; per-step weighted sums are 9 dp
+    * sorted folds over the calendar-bounded day frame (its windows are
+    * config-sized); parameters re-round 9 dp per step so both engines
+    * walk the identical trajectory. */
+  def huberTrend(events: DataFrame, iters: Int = 3): DataFrame = {
+    val daily = graft.CacheTracker.track(events
+      .select(expr("unix_micros(ts) div 86400000000").as("day_idx"),
+        cents(col("value")).as("c"))
+      .groupBy("day_idx").agg(sum(col("c")).as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val m = daily.agg(count(lit(1)).as("n"),
+      sum(col("day_idx")).as("sx"), sum(col("cents")).as("sy"),
+      sum(col("day_idx").cast("decimal(38,0)") * col("cents")).as("sxy"),
+      sum(col("day_idx").cast("decimal(38,0)") * col("day_idx")).as("sxx"))
+    val denom0 = (col("n").cast("decimal(38,0)") * col("sxx") -
+      col("sx").cast("decimal(38,0)") * col("sx")).cast("double")
+    val ols = m.select(col("n"),
+      round((col("n").cast("decimal(38,0)") * col("sxy") -
+        col("sx").cast("decimal(38,0)") * col("sy")).cast("double") / denom0, 9)
+        .as("b1"), col("sx"), col("sy"))
+      .select(col("n"), col("b1"),
+        round(col("sy").cast("double") / col("n")
+          - col("b1") * (col("sx").cast("double") / col("n")), 9).as("b0"))
+    var params = ols.select(col("n"), col("b0"), col("b1"))
+    var lastScale: DataFrame = null
+    for (_ <- 1 to iters) {
+      val e = round(col("cents").cast("double") - col("b0")
+        - col("b1") * col("day_idx"), 6)
+      val resid = daily.crossJoin(broadcast(params))
+        .select(col("n"), col("day_idx"), col("cents"), abs(e).as("ae"))
+      // rank-based lower median of |e|: the ⌈n/2⌉-th smallest — an
+      // observed value, immune to interpolation-convention drift
+      val wMed = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ae"), col("day_idx"))
+      val scale = resid
+        .withColumn("rn", row_number().over(wMed))
+        .filter(col("rn") === ceil(col("n") / 2.0).cast("long"))
+        .select(round(col("ae") * 1.4826, 9).as("s"))
+      lastScale = scale
+      val w = round(when(col("ae") <= lit(1.345) * col("s"), lit(1.0))
+        .otherwise(lit(1.345) * col("s") / col("ae")), 9)
+      val terms = resid.crossJoin(broadcast(scale))
+        .select(col("n"), col("s"),
+          w.as("w"),
+          round(w * col("day_idx"), 9).as("wx"),
+          round(w * col("day_idx") * col("day_idx"), 9).as("wxx"),
+          round(w * col("cents"), 9).as("wy"),
+          round(w * col("day_idx") * col("cents"), 9).as("wxy"))
+      val sums = terms.groupBy("n", "s")
+        .agg(Folds.sortedSum(col("w")).as("sw"),
+          Folds.sortedSum(col("wx")).as("swx"),
+          Folds.sortedSum(col("wxx")).as("swxx"),
+          Folds.sortedSum(col("wy")).as("swy"),
+          Folds.sortedSum(col("wxy")).as("swxy"))
+      val det = col("sw") * col("swxx") - col("swx") * col("swx")
+      params = sums.select(col("n"),
+        round((col("swxx") * col("swy") - col("swx") * col("swxy")) / det, 9)
+          .as("b0"),
+        round((col("sw") * col("swxy") - col("swx") * col("swy")) / det, 9)
+          .as("b1"))
+    }
+    params.crossJoin(broadcast(lastScale))
+      .select(col("n").as("n_days"), round(col("s"), 6).as("robust_scale"),
+        col("b0").as("huber_intercept"), col("b1").as("huber_slope"))
+  }
+
   /** Cliff's delta between the A/B variants on per-user spend (C255):
     * the nonparametric EFFECT SIZE [[mannwhitneyU]]'s z lacks — z says
     * "detectable", delta = P(a > b) − P(a < b) says "how big", stays in

@@ -421,6 +421,30 @@ object TextOps {
         (col("n_sign_flips") === col("n_groups")).as("full_paradox"))
   }
 
+  /** Chao1 richness and Good–Turing coverage per source (B294): how
+    * much vocabulary the sample has NOT seen yet — Chao1-bc estimates
+    * total richness q0 + f₁(f₁−1)/(2(f₂+1)) from singleton/doubleton
+    * type counts (the bias-corrected form, defined at f₂ = 0), and the
+    * Good–Turing unseen mass f₁/N is the probability the NEXT token is
+    * a new type — the "is this source mined out" pair behind a crawl-
+    * more-or-stop decision, and the sample-completeness caveat on
+    * every [[hillNumbers]]/B170 richness readout. All exact longs off
+    * the one type-count aggregate; two 6 dp ratios at the end. */
+  def vocabCoverageEst(docs: DataFrame): DataFrame = {
+    docs.select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("q0"), sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("n_tokens"), col("q0"), col("f1"), col("f2"),
+        round(col("q0") + (col("f1") * (col("f1") - 1)).cast("double")
+          / (lit(2.0) * (col("f2") + 1)), 6).as("chao1"),
+        round(col("f1").cast("double") / col("n_tokens"), 6).as("unseen_mass"),
+        round(lit(1.0) - col("f1").cast("double") / col("n_tokens"), 6)
+          .as("coverage"))
+  }
+
   /** Marker-token language-ID heuristic (B8): count hits against small
     * per-language marker sets over lowercase whitespace tokens; argmax with
     * a deterministic tie-break (en > fr > de), 'und' when no marker hits. */

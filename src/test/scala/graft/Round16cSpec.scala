@@ -531,6 +531,38 @@ class Round16cSpec extends SparkSpec {
     CacheTracker.drainAll(spark)
   }
 
+  test("huberTrend: outlier day barely moves the robust slope") {
+    import java.sql.Timestamp
+    def ev(day: Int, v: Double) =
+      (day.toLong, new Timestamp(1700000000000L + day * 86400000L), 1L,
+        "purchase", v, "{}")
+    // clean rising trend +1/day with one massive spike at day 10
+    val base = (0 until 30).map(d => ev(d, 100.0 + d))
+    val spiked = base.updated(10, ev(10, 100000.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Relational.huberTrend(spiked).collect().head
+    // true underlying slope: 100 cents/day (value*100); huber should be
+    // near it while plain OLS would be pulled far off by the spike
+    assert(math.abs(r.getAs[Double]("huber_slope") - 100.0) < 15.0,
+      s"slope ${r.getAs[Double]("huber_slope")}")
+    assert(r.getAs[Long]("n_days") == 30L)
+    CacheTracker.drainAll(spark)
+  }
+
+  test("vocabCoverageEst: hand-checked chao1 and unseen mass") {
+    // tokens: aa x3, bb x2, cc x1, dd x1 -> q0=4, N=7, f1=2, f2=1
+    val d = docs((1L, "aa aa aa bb bb cc dd", "en", "s"))
+    val r = operators.TextOps.vocabCoverageEst(d).collect().head
+    assert(r.getAs[Long]("q0") == 4L)
+    assert(r.getAs[Long]("n_tokens") == 7L)
+    assert(r.getAs[Long]("f1") == 2L)
+    assert(r.getAs[Long]("f2") == 1L)
+    // chao1-bc = 4 + 2*1/(2*2) = 4.5
+    assert(r.getAs[Double]("chao1") == 4.5)
+    assert(math.abs(r.getAs[Double]("unseen_mass") - 2.0 / 7) < 1e-6)
+    CacheTracker.drainAll(spark)
+  }
+
   test("cochranQ matches the textbook block formula on real docs") {
     assumeTestdata()
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
