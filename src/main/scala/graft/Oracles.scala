@@ -8760,6 +8760,46 @@ object Oracles {
          |FROM p3 CROSS JOIN sc3""".stripMargin
     },
 
+    // Mantel-Cox log-rank: O exact long, E and hypergeometric variance
+    // as 9dp terms folded in time order over the bounded duration axis
+    "logrank_test" ->
+      """WITH span AS (SELECT user_id, min(d) AS first_day, max(d) AS last_day,
+        |  min(CASE WHEN event_type = 'purchase' THEN d END) AS p_day FROM
+        |  (SELECT user_id, event_type, epoch_ns(ts) // 1000 // 86400000000 AS d FROM events)
+        |  GROUP BY 1),
+        |u AS (SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS grp_a,
+        |      coalesce(p_day, last_day) - first_day AS t,
+        |      CASE WHEN p_day IS NOT NULL THEN 1 ELSE 0 END AS churned
+        |      FROM span),
+        |byt AS (SELECT t, CAST(sum(grp_a) AS BIGINT) AS n_a,
+        |      CAST(count(*) - sum(grp_a) AS BIGINT) AS n_b,
+        |      CAST(sum(grp_a * churned) AS BIGINT) AS d_a,
+        |      CAST(sum((1 - grp_a) * churned) AS BIGINT) AS d_b
+        |      FROM u GROUP BY 1),
+        |tot AS (SELECT CAST(sum(grp_a) AS BIGINT) AS tot_a,
+        |      CAST(count(*) - sum(grp_a) AS BIGINT) AS tot_b FROM u),
+        |risk AS (SELECT t, d_a, d_b,
+        |      tot_a - CAST(sum(n_a) OVER (ORDER BY t) AS BIGINT) + n_a AS r_a,
+        |      tot_b - CAST(sum(n_b) OVER (ORDER BY t) AS BIGINT) + n_b AS r_b,
+        |      tot_a, tot_b
+        |      FROM byt CROSS JOIN tot),
+        |terms AS (SELECT tot_a, tot_b, d_a, t,
+        |      round((d_a + d_b) * (CAST(r_a AS DOUBLE) / (r_a + r_b)), 9) AS e1_t,
+        |      CASE WHEN r_a + r_b > 1 THEN
+        |        round((d_a + d_b) * (CAST(r_a AS DOUBLE) / (r_a + r_b))
+        |          * (1.0 - CAST(r_a AS DOUBLE) / (r_a + r_b))
+        |          * ((r_a + r_b) - (d_a + d_b)) / ((r_a + r_b) - 1), 9)
+        |      ELSE 0.0 END AS v_t
+        |      FROM risk),
+        |agg AS (SELECT tot_a, tot_b, CAST(sum(d_a) AS BIGINT) AS o1,
+        |      list_reduce(list(e1_t ORDER BY t, e1_t, v_t), (a, b) -> a + b) AS e1,
+        |      list_reduce(list(v_t ORDER BY t, e1_t, v_t), (a, b) -> a + b) AS v
+        |      FROM terms GROUP BY 1, 2)
+        |SELECT tot_a AS n_users_a, tot_b AS n_users_b, o1, round(e1, 6) AS e1,
+        |  round(CASE WHEN v > 0.0 THEN (o1 - e1) * (o1 - e1) / v END, 6) AS chi2,
+        |  CAST(1 AS BIGINT) AS dof
+        |FROM agg""".stripMargin,
+
     // Chao1-bc richness + Good-Turing unseen mass from the type counts
     "vocab_coverage_est" ->
       s"""WITH c AS (SELECT source, token, count(*) AS c

@@ -1081,6 +1081,8 @@ object SparkEntry {
     "poisson_trend" -> ((s, d) => Relational.poissonTrend(events(s, d))),
     // C260: Huber robust trend of daily revenue (unrolled IRLS)
     "huber_trend" -> ((s, d) => Relational.huberTrend(events(s, d))),
+    // C261: Mantel-Cox log-rank between the A/B parities' survival
+    "logrank_test" -> ((s, d) => Relational.logrankTest(events(s, d))),
     // B294: Chao1 richness + Good-Turing unseen mass per source
     "vocab_coverage_est" -> ((s, d) =>
       TextOps.vocabCoverageEst(spread(t(s, d, "documents")))),

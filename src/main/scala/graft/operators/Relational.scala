@@ -3417,6 +3417,76 @@ object Relational {
           .otherwise(round(exp(col("cum_ln").cast("double") / 1e9), 6))
           .as("survival"))
   }
+  /** Log-rank test on time-to-first-purchase between the A/B user
+    * parities (C261, Mantel–Cox): the standard two-group comparison of
+    * Kaplan–Meier curves — at each distinct conversion time, observed
+    * group-A conversions against the hypergeometric expectation
+    * dₜ·n_Aₜ/nₜ given the at-risk sets, χ²(1) = (O−E)²/V. The event is
+    * FIRST PURCHASE measured from each user's first event;
+    * never-purchasers are right-censored at their last event — the
+    * time-to-convert A/B readout [[survivalCurve]]'s churn framing
+    * can't give (and on the dense synthetic corpus churn literally
+    * never fires). At-risk counts come from cumulative sums over the
+    * CALENDAR-BOUNDED duration axis (config-sized ordered windows); O
+    * is an exact long, E and the hypergeometric variance fold 9 dp
+    * terms in time order; single-at-risk times contribute zero
+    * variance; a corpus with no conversions at all still yields its
+    * one summary row (chi2 NULL). */
+  def logrankTest(events: DataFrame): DataFrame = {
+    val span = events.select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day_idx"))
+      .groupBy("user_id")
+      .agg(min(col("day_idx")).as("first_day"), max(col("day_idx")).as("last_day"),
+        min(when(col("event_type") === "purchase", col("day_idx"))).as("p_day"))
+    val users = span
+      .select((col("user_id") % 2 === 0).cast("long").as("grp_a"),
+        (coalesce(col("p_day"), col("last_day")) - col("first_day")).as("t"),
+        col("p_day").isNotNull.cast("long").as("churned"))
+    val byT = users.groupBy("t")
+      .agg(sum(col("grp_a")).as("n_a"),
+        (count(lit(1)) - sum(col("grp_a"))).as("n_b"),
+        sum(col("grp_a") * col("churned")).as("d_a"),
+        sum((lit(1L) - col("grp_a")) * col("churned")).as("d_b"))
+    val tot = users.agg(sum(col("grp_a")).as("tot_a"),
+      (count(lit(1)) - sum(col("grp_a"))).as("tot_b"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val risk = byT.crossJoin(broadcast(tot))
+      .withColumn("cum_a", sum(col("n_a")).over(w))
+      .withColumn("cum_b", sum(col("n_b")).over(w))
+      .select(col("t"), col("d_a"), col("d_b"),
+        (col("tot_a") - col("cum_a") + col("n_a")).as("r_a"),
+        (col("tot_b") - col("cum_b") + col("n_b")).as("r_b"),
+        col("tot_a"), col("tot_b"))
+    val fr = col("r_a").cast("double") / (col("r_a") + col("r_b"))
+    val dt = col("d_a") + col("d_b")
+    val nt = col("r_a") + col("r_b")
+    // no dt > 0 filter: zero-churn times contribute exact-0 terms, and
+    // keeping them makes the query TOTAL — a corpus with no churn at all
+    // still yields its one summary row (chi2 NULL) instead of vanishing
+    val terms = risk
+      .select(col("tot_a"), col("tot_b"),
+        struct(col("t"),
+          round(dt * fr, 9).as("e1_t"),
+          when(nt > 1,
+            round(dt * fr * (lit(1.0) - fr) * (nt - dt) / (nt - 1), 9))
+            .otherwise(lit(0.0)).as("v_t")).as("u"),
+        col("d_a"))
+    terms.groupBy("tot_a", "tot_b")
+      .agg(sum(col("d_a")).as("o1"),
+        array_sort(collect_list(col("u"))).as("ts"))
+      .select(col("tot_a").as("n_users_a"), col("tot_b").as("n_users_b"),
+        col("o1"),
+        round(aggregate(col("ts"), lit(0.0), (a, t) => a + t.getField("e1_t")), 6)
+          .as("e1"),
+        round({
+          val e = aggregate(col("ts"), lit(0.0), (a, t) => a + t.getField("e1_t"))
+          val v = aggregate(col("ts"), lit(0.0), (a, t) => a + t.getField("v_t"))
+          when(v > 0.0, (col("o1") - e) * (col("o1") - e) / v)
+        }, 6).as("chi2"),
+        lit(1L).as("dof"))
+  }
+
   /** Exact 7-day rolling median of daily revenue (C179): the robust
     * trend line a dashboard overlays on spiky daily revenue — median,
     * not mean, so one flash-sale day doesn't drag the whole window.

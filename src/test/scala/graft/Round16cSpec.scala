@@ -563,6 +563,26 @@ class Round16cSpec extends SparkSpec {
     CacheTracker.drainAll(spark)
   }
 
+  test("logrankTest: identical groups give chi2 ~ 0; checks E vs O bookkeeping") {
+    assumeTestdata()
+    val ev = SparkEntry.normalizeEventTs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val r = operators.Relational.logrankTest(ev).collect().head
+    val oa = r.getAs[Long]("o1").toDouble
+    val e1 = r.getAs[Double]("e1")
+    // bookkeeping invariants: E is a proper expectation, chi2
+    // nonnegative (NULL when no churn variance exists at all), and the
+    // parity groups partition the users
+    assert(e1 >= 0.0)
+    if (!r.isNullAt(r.fieldIndex("chi2"))) assert(r.getAs[Double]("chi2") >= 0.0)
+    assert(r.getAs[Long]("n_users_a") + r.getAs[Long]("n_users_b") > 0)
+    // parity split is arbitrary w.r.t. churn: O should be within a loose
+    // band of E on this synthetic data
+    assert(math.abs(oa - e1) < math.max(20.0, 0.5 * math.max(e1, 1.0)),
+      s"o1 $oa vs e1 $e1")
+    CacheTracker.drainAll(spark)
+  }
+
   test("cochranQ matches the textbook block formula on real docs") {
     assumeTestdata()
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
