@@ -8760,6 +8760,28 @@ object Oracles {
          |FROM p3 CROSS JOIN sc3""".stripMargin
     },
 
+    // odds ratio + Woolf CI over the parity conversion 2x2; HUGEINT
+    // cross products, NULL on any empty cell
+    "odds_ratio" ->
+      """WITH pu AS (SELECT user_id,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 - x ELSE 0 END) AS BIGINT) AS b,
+        |  CAST(sum(CASE WHEN user_id % 2 <> 0 THEN x ELSE 0 END) AS BIGINT) AS c,
+        |  CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 - x ELSE 0 END) AS BIGINT) AS d
+        |  FROM pu),
+        |f AS (SELECT a, b, c, d,
+        |  CAST(CAST(a AS HUGEINT) * d AS DOUBLE) / CAST(CAST(b AS HUGEINT) * c AS DOUBLE) AS orr,
+        |  sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) AS se,
+        |  a > 0 AND b > 0 AND c > 0 AND d > 0 AS ok FROM m)
+        |SELECT a AS n_conv_a, b AS n_noconv_a, c AS n_conv_b, d AS n_noconv_b,
+        |  round(CASE WHEN ok THEN orr END, 6) AS odds_ratio,
+        |  round(CASE WHEN ok THEN exp(ln(orr) - 1.959964 * se) END, 6) AS ci_lo,
+        |  round(CASE WHEN ok THEN exp(ln(orr) + 1.959964 * se) END, 6) AS ci_hi
+        |FROM f""".stripMargin,
+
     // Mantel-Cox log-rank: O exact long, E and hypergeometric variance
     // as 9dp terms folded in time order over the bounded duration axis
     "logrank_test" ->
@@ -8799,6 +8821,20 @@ object Oracles {
         |  round(CASE WHEN v > 0.0 THEN (o1 - e1) * (o1 - e1) / v END, 6) AS chi2,
         |  CAST(1 AS BIGINT) AS dof
         |FROM agg""".stripMargin,
+
+    // Ruzicka via the min-only identity: sum(max) = Na + Nb - sum(min)
+    "source_ruzicka" ->
+      s"""WITH c AS MATERIALIZED (SELECT source, token, count(*) AS c
+         |  FROM (SELECT source, unnest($toks) AS token FROM documents) GROUP BY 1, 2),
+         |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tok FROM c GROUP BY 1),
+         |i AS (SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(sum(least(a.c, b.c)) AS BIGINT) AS s_min
+         |  FROM c a JOIN c b ON a.token = b.token AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, ta.n_tok AS n_a, tb.n_tok AS n_b, s_min,
+         |  round(CAST(s_min AS DOUBLE) / (ta.n_tok + tb.n_tok - s_min), 6) AS ruzicka
+         |FROM i JOIN t ta ON ta.source = source_a
+         |JOIN t tb ON tb.source = source_b""".stripMargin,
 
     // Chao1-bc richness + Good-Turing unseen mass from the type counts
     "vocab_coverage_est" ->

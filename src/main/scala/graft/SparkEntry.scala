@@ -1083,6 +1083,11 @@ object SparkEntry {
     "huber_trend" -> ((s, d) => Relational.huberTrend(events(s, d))),
     // C261: Mantel-Cox log-rank between the A/B parities' survival
     "logrank_test" -> ((s, d) => Relational.logrankTest(events(s, d))),
+    // C262: odds ratio + Woolf CI for the parity conversion 2x2
+    "odds_ratio" -> ((s, d) => Relational.oddsRatio(events(s, d))),
+    // B295: weighted Jaccard (Ruzicka) between source token histograms
+    "source_ruzicka" -> ((s, d) =>
+      TextOps.sourceRuzicka(spread(t(s, d, "documents")))),
     // B294: Chao1 richness + Good-Turing unseen mass per source
     "vocab_coverage_est" -> ((s, d) =>
       TextOps.vocabCoverageEst(spread(t(s, d, "documents")))),

@@ -2442,6 +2442,37 @@ object Relational {
         col("b0").as("huber_intercept"), col("b1").as("huber_slope"))
   }
 
+  /** Odds ratio with Woolf CI for the parity conversion table (C262):
+    * OR = (a·d)/(b·c) over the same 2×2 (variant × converted) table
+    * powerAnalysis sizes — the effect measure a case-control reading
+    * wants where ab_ttest gives a difference: ln OR ± 1.96·√(Σ1/nᵢⱼ)
+    * exponentiates to the CI, and "CI excludes 1" is the significance
+    * read. Cell counts exact longs; the cross products go through
+    * DECIMAL(38,0) (a·d at 10⁹ users would overflow a long); NULL OR
+    * on any empty cell (the Haldane +0.5 correction is a CHOICE, not a
+    * default — left to the caller, documented). */
+  def oddsRatio(events: DataFrame): DataFrame = {
+    val perUser = events
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"))
+      .select((col("user_id") % 2 === 0).as("is_a"), col("x"))
+    val m = perUser.agg(
+      sum(when(col("is_a"), col("x")).otherwise(0L)).as("a"),
+      sum(when(col("is_a"), lit(1L) - col("x")).otherwise(0L)).as("b"),
+      sum(when(!col("is_a"), col("x")).otherwise(0L)).as("c"),
+      sum(when(!col("is_a"), lit(1L) - col("x")).otherwise(0L)).as("d"))
+    val orr = (col("a").cast("decimal(38,0)") * col("d")).cast("double") /
+      (col("b").cast("decimal(38,0)") * col("c")).cast("double")
+    val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b")
+      + lit(1.0) / col("c") + lit(1.0) / col("d"))
+    val ok = col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0
+    m.select(col("a").as("n_conv_a"), col("b").as("n_noconv_a"),
+      col("c").as("n_conv_b"), col("d").as("n_noconv_b"),
+      round(when(ok, orr), 6).as("odds_ratio"),
+      round(when(ok, exp(log(orr) - lit(1.959964) * se)), 6).as("ci_lo"),
+      round(when(ok, exp(log(orr) + lit(1.959964) * se)), 6).as("ci_hi"))
+  }
+
   /** Cliff's delta between the A/B variants on per-user spend (C255):
     * the nonparametric EFFECT SIZE [[mannwhitneyU]]'s z lacks — z says
     * "detectable", delta = P(a > b) − P(a < b) says "how big", stays in

@@ -445,6 +445,38 @@ object TextOps {
           .as("coverage"))
   }
 
+  /** Ruzicka (weighted Jaccard) similarity between sources' token
+    * histograms (B295): Σ min(cₐ, c_b) / Σ max(cₐ, c_b) over the full
+    * vocabulary — the COUNT-aware overlap beside B174's cosine (cosine
+    * rewards shape, Ruzicka charges for every token one source has and
+    * the other lacks; it is also exactly what weighted MinHash
+    * estimates, so this row is the exact ground truth under
+    * B240/dedup_wminhash). Never materializes the union axis: per
+    * token min + max = cₐ + c_b, so Σmax = Nₐ + N_b − Σmin and the
+    * only pair work is Σmin over SHARED tokens (an inner join — absent
+    * tokens contribute min 0 by construction); all counts exact longs,
+    * one 6 dp division per pair. Pair fanout per token is
+    * |sources|-bounded; the token axis is one partial-agg pass. */
+  def sourceRuzicka(docs: DataFrame): DataFrame = {
+    val counts = docs.select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("source").agg(sum(col("c")).as("n_tok"))
+    counts.select(col("source").as("source_a"), col("token"), col("c").as("ca"))
+      .join(counts.select(col("source").as("source_b"), col("token"),
+        col("c").as("cb")), "token")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(sum(least(col("ca"), col("cb"))).as("s_min"))
+      .join(broadcast(totals.select(col("source").as("source_a"),
+        col("n_tok").as("n_a"))), "source_a")
+      .join(broadcast(totals.select(col("source").as("source_b"),
+        col("n_tok").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("s_min"),
+        round(col("s_min").cast("double")
+          / (col("n_a") + col("n_b") - col("s_min")), 6).as("ruzicka"))
+  }
+
   /** Marker-token language-ID heuristic (B8): count hits against small
     * per-language marker sets over lowercase whitespace tokens; argmax with
     * a deterministic tie-break (en > fr > de), 'und' when no marker hits. */

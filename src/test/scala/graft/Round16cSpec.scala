@@ -583,6 +583,41 @@ class Round16cSpec extends SparkSpec {
     CacheTracker.drainAll(spark)
   }
 
+  test("oddsRatio: hand-checked 2x2 and CI direction") {
+    import java.sql.Timestamp
+    def ev(id: Long, user: Long, typ: String) =
+      (id, new Timestamp(1700000000000L + id * 1000), user, typ, 1.0, "{}")
+    // group A (even users): 3 of 4 convert; group B (odd): 1 of 4
+    val rows = (0L until 8L).map { u =>
+      ev(u * 2, u, "view")
+    } ++ Seq(0L, 2L, 4L, 1L).map(u => ev(100 + u, u, "purchase"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Relational.oddsRatio(df).collect().head
+    // a=3 b=1 c=1 d=3 -> OR = 9
+    assert(r.getAs[Long]("n_conv_a") == 3L)
+    assert(r.getAs[Long]("n_noconv_a") == 1L)
+    assert(r.getAs[Long]("n_conv_b") == 1L)
+    assert(r.getAs[Long]("n_noconv_b") == 3L)
+    assert(r.getAs[Double]("odds_ratio") == 9.0)
+    assert(r.getAs[Double]("ci_lo") < 9.0 && r.getAs[Double]("ci_hi") > 9.0)
+    CacheTracker.drainAll(spark)
+  }
+
+  test("sourceRuzicka: hand-checked min/max identity") {
+    // s1: aa aa bb ; s2: aa bb bb cc -> shared min: aa 1, bb 1 => s_min 2
+    // ruzicka = 2 / (3 + 4 - 2) = 0.4
+    val d = docs(
+      (1L, "aa aa bb", "en", "s1"),
+      (2L, "aa bb bb cc", "en", "s2"))
+    val r = operators.TextOps.sourceRuzicka(d).collect().head
+    assert(r.getAs[Long]("s_min") == 2L)
+    assert(r.getAs[Double]("ruzicka") == 0.4)
+    // identical histograms -> 1.0
+    val same = operators.TextOps.sourceRuzicka(docs(
+      (1L, "aa bb cc", "en", "x"), (2L, "aa bb cc", "en", "y"))).collect().head
+    assert(same.getAs[Double]("ruzicka") == 1.0)
+  }
+
   test("cochranQ matches the textbook block formula on real docs") {
     assumeTestdata()
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
