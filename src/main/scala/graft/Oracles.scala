@@ -7859,6 +7859,15 @@ object Oracles {
          |  CAST(('0x' || substr(md5(i.i || ':' || token), 1, 8))::BIGINT % 4096 AS BIGINT) AS pos
          |FROM members CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i""".stripMargin,
 
+    // C263: the committed streaming-agg state read back via the State
+    // Data Source must equal the from-scratch batch aggregate — the
+    // hash check proves checkpoint-state merge across micro-batches
+    "statestore_read" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY event_type""".stripMargin,
+
     // Bloom-filter measured vs textbook FPR over the corpus vocabulary
     "bloom_fpr" ->
       s"""WITH members AS (SELECT DISTINCT token FROM $tokTable),

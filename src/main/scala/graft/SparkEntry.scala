@@ -932,6 +932,10 @@ object SparkEntry {
       streaming.Events.sketchHllTable(spread(t(s, d, "documents")))),
     "sketch_bloom_table" -> ((s, d) =>
       streaming.Events.sketchBloomTable(spread(t(s, d, "documents")))),
+    // round 17: C263 — the C222 State-Data-Source reader as an oracled
+    // query: committed streaming-agg checkpoint state == the batch agg
+    "statestore_read" -> ((s, d) =>
+      streaming.Events.stateStoreRead(events(s, d))),
     // round 15: B237 IVF probe-width tuning sweep + B238 data-scaling
     // curve (heldout xent at nested training prefixes, log-log fit)
     "ann_nprobe_sweep" -> ((s, d) =>

@@ -299,6 +299,44 @@ object ScaleCheck {
           s""""caliper_match":{"sec":$tCm,"rows":$nCm}}""")
         docs.unpersist(); events.unpersist()
         graft.CacheTracker.drainAll(spark)
+      } else if (sections.contains("r17")) {
+        // r16 graph/stat family (verdict r17 task 6): under m-way DOC
+        // duplication the token VOCABULARY and the distinct bigram-edge
+        // set are UNCHANGED (only edge weights inflate ×m), so every
+        // per-round frame in the HITS / label-prop / modularity loops is
+        // vocab-bounded — cost past the one token-explode aggregate must
+        // stay near-flat in m, NOT grow with it. edge_rows is printed as
+        // the bound's witness. embed_mmd / v_measure ride the EMBEDDING
+        // multiplier: closed-form MMD² and the Lloyd fit are one-pass
+        // linear-in-m with dims²/k-bounded state.
+        val docs = multiplyDocs(docs0, m)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs.count()
+        val edgeRows = docs
+          .select(explode(graft.operators.TextOps.tokens(col("text"))).as("t"))
+          .distinct().count()
+        val (tHits, nHits) = timedForce(graft.operators.Graph.tokenHits(docs))
+        graft.CacheTracker.releaseAll()
+        val (tLp, nLp) = timedForce(graft.operators.Graph.tokenLabelProp(docs))
+        graft.CacheTracker.releaseAll()
+        val (tMod, _) =
+          timedForce(graft.operators.Graph.communityModularity(docs))
+        graft.CacheTracker.releaseAll()
+        val emb = multiplyEmb(emb0, m)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        emb.count()
+        val (tMmd, _) = timedForce(Similarity.embedMmd(emb))
+        graft.CacheTracker.releaseAll()
+        val (tVm, _) = timedForce(Similarity.vMeasure(emb))
+        graft.CacheTracker.releaseAll()
+        println(s"""{"m":$m,"docs":${docs.count()},"vocab":$edgeRows,""" +
+          s""""token_hits":{"sec":$tHits,"rows":$nHits},""" +
+          s""""token_label_prop":{"sec":$tLp,"rows":$nLp},""" +
+          s""""community_modularity":{"sec":$tMod},""" +
+          s""""embed_mmd":{"sec":$tMmd},""" +
+          s""""v_measure":{"sec":$tVm}}""")
+        docs.unpersist(); emb.unpersist()
+        graft.CacheTracker.drainAll(spark)
       } else if (sections.contains("r16")) {
         // exact-percentile scale-guard rows: Spark's exact `percentile`
         // aggregate buffers each GROUP's values on one executor, so the

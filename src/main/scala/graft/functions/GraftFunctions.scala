@@ -116,6 +116,13 @@ object GraftFunctions {
   private val simhashInfo = new ExpressionInfo(
     classOf[SimHash32].getCanonicalName, "graft_simhash")
 
+  /** Single-pass L2 unit-normalize (9-dp components) as a typed Column. */
+  def unitNorm(embedding: Column): Column =
+    ExpressionUtils.column(UnitNormalize(ExpressionUtils.expression(embedding)))
+
+  private val unitNormInfo = new ExpressionInfo(
+    classOf[UnitNormalize].getCanonicalName, "graft_unit_norm")
+
   private def wminhashSigBuilder(children: Seq[Expression]): Expression = {
     require(children.length == 2,
       "graft_wminhash_sig expects (tokens, numHashes)")
@@ -183,6 +190,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_simhash expects exactly 1 argument")
         SimHash32(children.head)
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_unit_norm"), unitNormInfo,
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_unit_norm expects exactly 1 argument")
+        UnitNormalize(children.head)
       })
   }
 }
@@ -268,6 +281,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_simhash expects exactly 1 argument")
         SimHash32(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_unit_norm"),
+      new ExpressionInfo(classOf[UnitNormalize].getCanonicalName, "graft_unit_norm"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_unit_norm expects exactly 1 argument")
+        UnitNormalize(children.head)
       }))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)

@@ -62,13 +62,17 @@ object WordLevenshtein {
     while (j <= m) { row(j) = j; j += 1 }
     var i = 1
     while (i <= n) {
-      val ai = a.getUTF8String(i - 1)
+      // isNullAt first: UnsafeArrayData.getUTF8String returns an EMPTY
+      // string for a null slot (GenericArrayData returns null), so a
+      // direct get would make the same logical input distance-diverge
+      // by physical representation when called from SQL.
+      val ai = if (a.isNullAt(i - 1)) null else a.getUTF8String(i - 1)
       var prevDiag = row(0) // dp[i-1][j-1]
       row(0) = i
       j = 1
       while (j <= m) {
         val up = row(j) // dp[i-1][j]
-        val bj = b.getUTF8String(j - 1)
+        val bj = if (b.isNullAt(j - 1)) null else b.getUTF8String(j - 1)
         val eq = if (ai == null) bj == null else ai.equals(bj)
         val cand =
           if (eq) prevDiag

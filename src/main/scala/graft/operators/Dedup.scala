@@ -414,8 +414,11 @@ object Dedup {
 
   /** Word error rate over MinHash band candidates (B274): token-level
     * Levenshtein distance (substitution + insertion + deletion, unit
-    * costs) for each candidate pair, normalized by the a-side (kept /
-    * reference doc) length — the transcript-style verdict the MT family
+    * costs) for each candidate pair, normalized by the a-side length.
+    * The a-side is the LOWER doc_id of the LSH candidate pair — the
+    * reference BY CONVENTION only (WER is asymmetric; swap the ids to
+    * get the other reading, or use len_b/word_dist yourself for
+    * wer_ba) — the transcript-style verdict the MT family
     * lacks: rouge_l_pairs' LCS has no substitution arm, so a one-word
     * swap costs 2 there but 1 here, and edit_distance_pairs works at
     * char level where a long-word typo outweighs a whole-word swap.

@@ -372,17 +372,23 @@ object Graph {
     }
     var h = nodes.select(col("token"), lit(1.0).as("h"))
     var a = nodes.select(col("token"), lit(0.0).as("a"))
+    // localCheckpoint each half-step: maxNorm references its input frame
+    // twice (max aggregate + crossJoin), so an unpinned h/a doubles the
+    // logical plan per half-step — the bradley_terry lineage pathology
+    // (r12c, measured 5.8×). Both frames are vocab-bounded one-column.
     for (_ <- 1 to iters) {
       a = maxNorm(ew.join(h, ew("src") === h("token"))
         .select(col("dst"), round(col("w") * col("h"), 9).as("c"))
         .groupBy(col("dst").as("token"))
         .agg(round(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
           (acc, v) => acc + v), 9).as("a")), "a")
+        .localCheckpoint(true)
       h = maxNorm(ew.join(a, ew("dst") === a("token"))
         .select(col("src"), round(col("w") * col("a"), 9).as("c"))
         .groupBy(col("src").as("token"))
         .agg(round(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
           (acc, v) => acc + v), 9).as("h")), "h")
+        .localCheckpoint(true)
     }
     nodes
       .join(h.withColumnRenamed("h", "hub"), Seq("token"), "left")

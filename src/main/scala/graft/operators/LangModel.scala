@@ -585,10 +585,18 @@ object LangModel {
     * (ties lexicographic), emitting (step, token, count). Degenerate
     * loops ("the → of → the …") are the EXPECTED reading: they show
     * what greedy decoding does to an order-2 model, and the emitted
-    * chain is the fixture for decoder tests. Each step is one
-    * broadcast probe of the bigram table + a TakeOrdered(1) — never a
-    * global sort; the chain is a fixed unroll so the plan is static
-    * and the DuckDB twin a linear CTE chain. */
+    * chain is the fixture for decoder tests. The chain state is ≤
+    * steps+1 (step, token, cnt) rows — definitionally bounded at ANY
+    * corpus size — so it rides driver-side under the markov_attribution
+    * license (Sessionize.markovAttribution's states²-bounded collect):
+    * each step is ONE filter probe of the pinned bigram table planned
+    * as TakeOrderedAndProject(1) with a literal predicate — no
+    * broadcast build, no per-step localCheckpoint job. This replaces
+    * the r16 shape (11 eager checkpoints + a broadcast per step, 30
+    * scheduler jobs, 14.6 s solo for a 1-row-per-step chain — verdict
+    * r16 #4) with steps+2 minimal jobs; values are unchanged because
+    * each probe runs the same (cnt DESC, w2 ASC) argmax on the same
+    * pinned table. */
   def bigramGreedyGen(docs: DataFrame, steps: Int = 10): DataFrame = {
     val toked = docs.select(TextOps.tokens(col("text")).as("toks"))
     val uni = toked.select(explode(col("toks")).as("token"))
@@ -602,27 +610,23 @@ object LangModel {
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     bi.count()
-    // every step's 1-row frame is localCheckpoint'd (the bradley_terry
-    // discipline, TextOps.bradleyTerry): step k's plan references step
-    // k-1 once in the probe AND once in the final union, so unpinned the
-    // union re-executes each step's whole prefix — Σk broadcast
-    // exchanges for `steps` steps (55 at steps=10, the round-12
-    // PLAN_AUDIT signature). Truncating each step to a LogicalRDD keeps
-    // the full chain at one broadcast per step.
-    var cur = uni.orderBy(col("cnt").desc, col("token")).limit(1)
-      .select(lit(0).as("step"), col("token"), col("cnt"))
-      .localCheckpoint(true)
-    val parts = List.newBuilder[DataFrame]
-    parts += cur
-    for (k <- 1 to steps) {
-      cur = bi.join(broadcast(cur.select(col("token").as("w1"))), "w1")
-        .orderBy(col("cnt").desc, col("w2"))
-        .limit(1)
-        .select(lit(k).as("step"), col("w2").as("token"), col("cnt"))
-        .localCheckpoint(true)
-      parts += cur
+    val chain = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    uni.orderBy(col("cnt").desc, col("token")).limit(1)
+      .collect().foreach(r => chain += ((0, r.getString(0), r.getLong(1))))
+    var k = 1
+    while (k <= steps && chain.length == k) {
+      // literal-predicate probe: a narrow filter over the cached bigram
+      // table + TakeOrdered(1) — a dead end (no out-edges) ends the
+      // chain exactly like the old empty-join-empty-union shape did.
+      bi.filter(col("w1") === lit(chain(k - 1)._2))
+        .orderBy(col("cnt").desc, col("w2")).limit(1)
+        .select(col("w2"), col("cnt"))
+        .collect().foreach(r => chain += ((k, r.getString(0), r.getLong(1))))
+      k += 1
     }
-    parts.result().reduce(_ unionByName _)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    spark.createDataset(chain.toSeq).toDF("step", "token", "cnt")
   }
 
   /** Jensen–Shannon divergence matrix between language pairs (B194):

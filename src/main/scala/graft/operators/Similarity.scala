@@ -1938,13 +1938,16 @@ object Similarity {
     * Σ‖u_i‖² rides its own two-level fold rather than assuming exactly
     * n (9 dp units are not bit-exactly unit). */
   def embedIsotropy(emb: DataFrame): DataFrame = {
-    val nrm = sqrt(aggregate(col("embedding"), lit(0.0),
-      (a, x) => a + x.cast("double") * x.cast("double")))
+    // graft_unit_norm: one native O(dims) pass per row. The HOF form it
+    // replaces re-evaluated the squared-norm fold inside the transform
+    // lambda — O(dims²) interpreted work per row (r16 verdict #3) — and
+    // a second time in the prefilter. NULL out == the zero-norm/empty
+    // rows the old aggregate(...)>0 filter dropped; component values are
+    // bit-identical (same fold order, same Round-on-double semantics).
     val unit = emb
-      .filter(aggregate(col("embedding"), lit(0.0),
-        (a, x) => a + x.cast("double") * x.cast("double")) > 0)
       .select(col("vec_id"),
-        transform(col("embedding"), x => round(x.cast("double") / nrm, 9)).as("u"))
+        graft.functions.GraftFunctions.unitNorm(col("embedding")).as("u"))
+      .filter(col("u").isNotNull)
     val perDim = unit
       .select(col("vec_id"), posexplode(col("u")).as(Seq("pos", "x")))
       .select((col("pos") + 1).cast("long").as("dim"), col("x"),

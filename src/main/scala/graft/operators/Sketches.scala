@@ -257,7 +257,8 @@ object Sketches {
   /** EXACT audience-overlap matrix via bitmap word algebra (C240): the
     * same numbers as the set-join [[graft.operators.Relational.userOverlapJaccard]]
     * (C122) computed WITHOUT ever forming a per-user pair row — user u
-    * sets bit (u mod 32) of word (u div 32), per-(type, word) partials
+    * sets bit pmod(u, 32) of word u >> 5 (floor semantics, so negative
+    * ids map to distinct bits too), per-(type, word) partials
     * fold with BIT_OR (idempotent: duplicate events are free at the
     * map side), marginals are Σ bit_count(word), and every pairwise
     * intersection is Σ bit_count(a AND b) over the word-aligned join.
@@ -269,9 +270,12 @@ object Sketches {
     * oracle is the set-semantics SQL — the bitmap algebra must
     * reproduce it bit-exactly). */
   def bitmapOverlapMatrix(events: DataFrame): DataFrame = {
+    // floor-div (shiftright) + pmod, NOT div/%: those truncate toward
+    // zero, so negative user_ids -31..31 would collide into word 0 with
+    // wrong bits and silently diverge from the set-semantics oracle.
     val words = events.select(col("event_type"),
-        expr("user_id div 32").as("word"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").as("bit"))
+        expr("shiftright(CAST(user_id AS BIGINT), 5)").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 32) AS INT))").as("bit"))
       .groupBy("event_type", "word").agg(expr("bit_or(bit)").as("bits"))
     val sizes = words.groupBy("event_type")
       .agg(sum(bit_count(col("bits")).cast("long")).as("n_users"))

@@ -412,8 +412,11 @@ object TextOps {
       .select(col("lang"), slope.as("g_slope"))
     perLang.crossJoin(broadcast(overall))
       .select(col("n_docs"), col("pooled_slope"),
-        (signum(col("g_slope")) =!= signum(col("pooled_slope")))
-          .cast("long").as("flip"))
+        // coalesce to 0 row-wise (the oracle's CASE ... ELSE 0): a NULL
+        // per-lang slope (degenerate constant-x group) must count as
+        // "no flip", not poison sum() into NULL on all-NULL corpora.
+        coalesce((signum(col("g_slope")) =!= signum(col("pooled_slope")))
+          .cast("long"), lit(0L)).as("flip"))
       .groupBy("n_docs", "pooled_slope")
       .agg(count(lit(1)).as("n_groups"), sum(col("flip")).as("n_sign_flips"))
       .select(col("n_docs"), col("n_groups"), col("pooled_slope"),

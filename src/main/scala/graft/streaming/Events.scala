@@ -1241,6 +1241,52 @@ object Events {
       .createOrReplaceTempView("graft_sketch_bloom")
     spark.table("graft_sketch_bloom")
   }
+
+  /** Committed streaming-aggregation state as a QUERY surface (C263):
+    * the C222 State-Data-Source reader upgraded from test-only to an
+    * oracled query, the way the sketch stores (C213–C215) became
+    * queryable in r15. A REAL micro-batched streaming aggregation runs
+    * over the events table — file source, maxFilesPerTrigger=1 over a
+    * 3-file spill of (event_type, value), Trigger.AvailableNow so the
+    * bounded drain self-terminates — then the query's CHECKPOINT is
+    * read back with `spark.read.format("statestore")` and the PHYSICAL
+    * agg-buffer fields (key.event_type, value.count, value.sum) are
+    * projected. The DuckDB oracle computes the same per-type
+    * (n_events, cents) GROUP BY from scratch, so the hash check proves
+    * the committed state IS the aggregate — HDFSBackedStateStore
+    * merge-correct across micro-batches, exact integer cents via the
+    * established HALF_UP round(value*100) seam. State is
+    * |event_types|-bounded; the only materialization is the one
+    * distributed parquet spill that feeds the file source. */
+  def stateStoreRead(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val base = java.nio.file.Files.createTempDirectory("graft_ss_query_").toString
+    val (src, ckpt) = (s"$base/src", s"$base/ckpt")
+    events.select(col("event_type"), col("value"))
+      .repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.format("statestore").load(ckpt)
+      .select(col("key.event_type").as("event_type"),
+        col("value.count").cast("long").as("n_events"),
+        col("value.sum").cast("long").as("cents"))
+  }
 }
 
 /** The [[Events.runningUserActivityTws]] processor: one ValueState record

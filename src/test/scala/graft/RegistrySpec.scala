@@ -67,6 +67,25 @@ class RegistrySpec extends AnyFunSuite {
       s"SURVEY §2 states $n rows but the table has ${surveyRows.size}")
   }
 
+  test("SURVEY §2's stated keyed/test-only split matches the actual table") {
+    // a row that silently loses (or gains) its query key must fail the
+    // build, not surface as a coverage-join surprise in the judge's audit
+    val stated = surveyS2Lines
+      .find(_.startsWith("§2 keyed/test-only split:"))
+      .getOrElse(fail("SURVEY §2 is missing its '§2 keyed/test-only split:' line"))
+    val m = """§2 keyed/test-only split: (\d+) keyed / (\d+) test-only""".r
+      .findFirstMatchIn(stated)
+      .getOrElse(fail(s"unparseable split line: $stated"))
+    val (statedKeyed, statedTestOnly) = (m.group(1).toInt, m.group(2).toInt)
+    val tick = """`([^`]+)`""".r
+    val keyed = surveyRows.count(l => tick.findFirstIn(l).isDefined)
+    assert(statedKeyed == keyed,
+      s"SURVEY §2 states $statedKeyed keyed rows but the table has $keyed")
+    assert(statedTestOnly == surveyRows.size - keyed,
+      s"SURVEY §2 states $statedTestOnly test-only rows but the table has " +
+        s"${surveyRows.size - keyed}")
+  }
+
   test("SURVEY §2 row ids are unique") {
     // C13/C14 were each used twice until r15 — a duplicate id makes the
     // judge's line-by-line coverage join ambiguous
