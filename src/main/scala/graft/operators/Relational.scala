@@ -2338,7 +2338,10 @@ object Relational {
       .select(col("n_days"),
         round(log(col("sy").cast("double") / col("n_days")), 9).as("b0"),
         lit(0.0).as("b1"))
-    var params = init
+    // the huberTrend pin discipline: params is a ONE-ROW frame consumed
+    // by a broadcast each step — checkpoint so step k's broadcast build
+    // executes a shallow plan, not the whole k-step Newton prefix
+    var params = init.localCheckpoint(true)
     for (_ <- 1 to iters) {
       val lam = exp(col("b0") + col("b1") * col("t"))
       val terms = daily.crossJoin(broadcast(params))
@@ -2360,6 +2363,7 @@ object Relational {
           .as("b0"),
         round(col("b1") + (col("h00") * col("g1") - col("h01") * col("g0")) / det, 9)
           .as("b1"))
+        .localCheckpoint(true)
     }
     params.select(col("n_days"), col("b0"), col("b1"),
       round(exp(col("b1")), 6).as("daily_growth"))
@@ -2399,7 +2403,13 @@ object Relational {
       .select(col("n"), col("b1"),
         round(col("sy").cast("double") / col("n")
           - col("b1") * (col("sx").cast("double") / col("n")), 9).as("b0"))
+    // params and scale are ONE-ROW frames: localCheckpoint each step so
+    // every broadcast build executes a shallow plan (daily + pinned
+    // params), not the whole k-step prefix — the bradley_terry lineage
+    // discipline; this query read 101 scheduler jobs for 3 IRLS steps
+    // on a calendar-bounded frame before the pins (r17).
     var params = ols.select(col("n"), col("b0"), col("b1"))
+      .localCheckpoint(true)
     var lastScale: DataFrame = null
     for (_ <- 1 to iters) {
       val e = round(col("cents").cast("double") - col("b0")
@@ -2414,6 +2424,7 @@ object Relational {
         .withColumn("rn", row_number().over(wMed))
         .filter(col("rn") === ceil(col("n") / 2.0).cast("long"))
         .select(round(col("ae") * 1.4826, 9).as("s"))
+        .localCheckpoint(true)
       lastScale = scale
       val w = round(when(col("ae") <= lit(1.345) * col("s"), lit(1.0))
         .otherwise(lit(1.345) * col("s") / col("ae")), 9)
@@ -2436,6 +2447,7 @@ object Relational {
           .as("b0"),
         round((col("sw") * col("swxy") - col("swx") * col("swy")) / det, 9)
           .as("b1"))
+        .localCheckpoint(true)
     }
     params.crossJoin(broadcast(lastScale))
       .select(col("n").as("n_days"), round(col("s"), 6).as("robust_scale"),
