@@ -401,11 +401,18 @@ object TextOps {
         sum(col("x").cast("decimal(38,0)") * col("q")).as("sxq"),
         sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
     }
-    def slope: Column = round(
-      (col("n").cast("decimal(38,0)") * col("sxq")
-        - col("sx").cast("decimal(38,0)") * col("sq")).cast("double") /
-        (col("n").cast("decimal(38,0)") * col("sxx")
-          - col("sx").cast("decimal(38,0)") * col("sx")).cast("double") / 1e6, 9)
+    // NULL (not an ANSI divide-by-zero throw) on a constant-x group —
+    // a degenerate lang whose n_chars never varies has no slope; the
+    // coalesced flip below then counts it as "no flip", matching the
+    // oracle's CASE ... ELSE 0 reading
+    def slope: Column = {
+      val den = (col("n").cast("decimal(38,0)") * col("sxx")
+        - col("sx").cast("decimal(38,0)") * col("sx")).cast("double")
+      round(when(den =!= 0.0,
+        (col("n").cast("decimal(38,0)") * col("sxq")
+          - col("sx").cast("decimal(38,0)") * col("sq")).cast("double")
+          / den / 1e6), 9)
+    }
     val overall = moments(pts, Seq.empty).select(col("n").as("n_docs"),
       slope.as("pooled_slope"))
     val perLang = moments(pts, Seq("lang")).filter(col("n") > 1)
