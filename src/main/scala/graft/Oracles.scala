@@ -5066,8 +5066,9 @@ object Oracles {
         |dg AS (SELECT list_reduce(list_sort(list(ss)), (a, b) -> a + b) AS q FROM dg2),
         |n AS (SELECT count(*) AS n_vecs FROM u)
         |SELECT CAST(n_vecs AS BIGINT) AS n_vecs, round(norm_s2, 6) AS norm_s2,
-        |  round((norm_s2 - q) / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE)), 6)
-        |    AS mean_pairwise_cos
+        |  CASE WHEN n_vecs > 1 THEN
+        |    round((norm_s2 - q) / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE)), 6)
+        |  END AS mean_pairwise_cos
         |FROM n, s2, dg""".stripMargin,
 
     // lateral column alias (C245): same aliased-reference syntax on DuckDB
@@ -8962,7 +8963,7 @@ object Oracles {
         |      - 2.0 * d.dot / (CAST(sa.n AS DOUBLE) * sb2.n), 6) AS mmd2
         |FROM dots d JOIN st sa ON sa.label = d.label_a
         |JOIN st sb2 ON sb2.label = d.label_b
-        |WHERE d.label_a < d.label_b""".stripMargin,
+        |WHERE d.label_a < d.label_b AND sa.n > 1 AND sb2.n > 1""".stripMargin,
 
     // NB method-of-moments per source: exact integer moments, NULL on
     // underdispersion

@@ -1352,7 +1352,12 @@ object Similarity {
       .join(broadcast(stats.select(col("label").as("label_b"), col("n").as("n_b"),
         col("q").as("q_b"), col("s2").as("s2_b"))), "label_b")
     val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
-    pairs.select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+    // the unbiased estimator's n(n-1) divisor is undefined for a
+    // singleton label: drop the pair (never an ANSI divide-by-zero
+    // throw); real corpora never have one-member labels, so the oracle
+    // mirrors the same n > 1 guard with no hash effect
+    pairs.filter(col("n_a") > 1 && col("n_b") > 1)
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
       round((col("s2_a") - col("q_a")) / (na * (na - 1.0))
         + (col("s2_b") - col("q_b")) / (nb * (nb - 1.0))
         - lit(2.0) * col("dot") / (na * nb), 6).as("mmd2"))
@@ -1965,8 +1970,9 @@ object Similarity {
     n.crossJoin(broadcast(s2)).crossJoin(broadcast(diag))
       .select(col("n_vecs"),
         round(col("norm_s2"), 6).as("norm_s2"),
-        round((col("norm_s2") - col("q"))
-          / (col("n_vecs").cast("double") * (col("n_vecs") - 1).cast("double")), 6)
+        // n ≤ 1 has no pairs: NULL, not an ANSI divide-by-zero throw
+        round(when(col("n_vecs") > 1, (col("norm_s2") - col("q"))
+          / (col("n_vecs").cast("double") * (col("n_vecs") - 1).cast("double"))), 6)
           .as("mean_pairwise_cos"))
   }
 }

@@ -246,4 +246,80 @@ class EmptyInputSpec extends SparkSpec {
       assert(out.collect().length <= 1, s"order op #$i wrong on empty input")
     }
   }
+
+  private lazy val noEmb: DataFrame =
+    Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+
+  test("round-16/17 graph and statistics operators are total on an empty corpus") {
+    // global-aggregate shapes emit at most one NULL-stat summary row on
+    // empty input (the spendGini posture); pair/row shapes emit zero.
+    // Under ANSI mode the risk class is divide-by-zero on a degenerate
+    // denominator, which THROWS instead of yielding NULL — each op here
+    // must guard it
+    val ops: Seq[DataFrame => DataFrame] = Seq(
+      d => Graph.tokenHits(d), d => Graph.tokenLabelProp(d),
+      d => Graph.communityModularity(d), d => LangModel.bigramGreedyGen(d),
+      d => TextOps.simpsonsParadox(d), d => TextOps.vocabCoverageEst(d),
+      d => TextOps.sourceRuzicka(d), d => TextOps.tokenMassPercentiles(d),
+      d => TextOps.skylineDocs(d), d => TextOps.hillNumbers(d),
+      d => TextOps.moodMedian(d), d => TextOps.negbinFit(d),
+      d => TextOps.brownForsythe(d), d => TextOps.kruskalWallis(d),
+      d => TextOps.kendallTau(d), d => TextOps.theilU(d),
+      d => TextOps.cochranQ(d), d => TextOps.jarqueBera(d),
+      d => TextOps.runsTest(d), d => Eval.selfBleu(d), d => Dedup.werPairs(d))
+    for ((op, i) <- ops.zipWithIndex) {
+      assert(op(noDocs).collect().length <= 1,
+        s"round-16/17 text op #$i wrong on empty input")
+      graft.CacheTracker.releaseAll()
+    }
+  }
+
+  test("round-16/17 event operators are total on an empty stream") {
+    val ops: Seq[DataFrame => DataFrame] = Seq(
+      d => Relational.huberTrend(d), d => Relational.poissonTrend(d),
+      d => Relational.oddsRatio(d), d => Relational.logrankTest(d),
+      d => Relational.revenueVar(d), d => Sketches.bitmapOverlapMatrix(d),
+      d => Sessionize.markovStationary(d))
+    for ((op, i) <- ops.zipWithIndex) {
+      assert(op(noEvents).collect().length <= 1,
+        s"round-16/17 event op #$i wrong on empty input")
+      graft.CacheTracker.releaseAll()
+    }
+  }
+
+  test("embedding operators are total on empty / single-vector / singleton-label input") {
+    val embOps: Seq[DataFrame => DataFrame] = Seq(
+      d => Similarity.embedIsotropy(d), d => Similarity.embedMmd(d),
+      d => Similarity.vMeasure(d), d => Similarity.adjustedRand(d))
+    for ((op, i) <- embOps.zipWithIndex) {
+      assert(op(noEmb).collect().length <= 1,
+        s"emb op #$i wrong on empty input")
+      graft.CacheTracker.releaseAll()
+    }
+    // ONE vector: embed_isotropy's mean-pairwise divisor is n(n-1) = 0 —
+    // must yield a NULL stat, not an ANSI divide-by-zero throw
+    val one = Seq((1L, Array(1.0f, 2.0f), 0)).toDF("vec_id", "embedding", "label")
+    val iso = Similarity.embedIsotropy(one).collect()
+    assert(iso.length == 1 && iso.head.getAs[Long]("n_vecs") == 1L
+      && iso.head.isNullAt(iso.head.fieldIndex("mean_pairwise_cos")))
+    // a SINGLETON label: the unbiased MMD² per-group divisor n(n-1) = 0 —
+    // the undefined pair drops instead of throwing
+    val singleton = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(0.8f, 0.2f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    assert(Similarity.embedMmd(singleton).count() == 0L)
+    graft.CacheTracker.releaseAll()
+    // two vectors, one label, k=4 clustering: the validity scores must
+    // survive degenerate entropies without throwing
+    val twoOneLabel = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    assert(Similarity.vMeasure(twoOneLabel).collect().length <= 1)
+    graft.CacheTracker.releaseAll()
+    assert(Similarity.adjustedRand(twoOneLabel).collect().length <= 1)
+    graft.CacheTracker.releaseAll()
+  }
 }

@@ -238,19 +238,26 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("round-13 pinned iterative chains collapse to checkpointed leaves") {
-    // bigram_greedy_gen: every step is localCheckpoint'd, so the FINAL
-    // plan is a union over steps+1 LogicalRDD scans — zero broadcasts,
-    // zero shuffles (the round-12 unpinned plan carried Σk = 55
-    // broadcast exchanges). Same discipline for token_bfs's frontier.
+    // bigram_greedy_gen (r17): the ≤ steps+1-row chain is carried
+    // driver-side (one literal-predicate probe job per step), so the
+    // FINAL plan is a single LocalTableScan — zero broadcasts, zero
+    // shuffles, no RDD leaves at all (the round-12 unpinned plan
+    // carried Σk = 55 broadcast exchanges; the r13-r16 checkpointed
+    // unroll still paid an eager checkpoint + broadcast per step).
+    // token_bfs keeps the checkpointed-frontier shape: LogicalRDD
+    // leaves, zero exchanges.
     for (key <- Seq("bigram_greedy_gen", "token_bfs")) {
       val p = plan(key)
       assert(!p.contains("BroadcastExchange"),
         s"$key: pinned chain must not replay broadcast probes\n${p.take(400)}")
       assert("Exchange".r.findAllIn(p).size === 0,
         s"$key: pinned chain must not replay shuffles")
-      assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
-        s"$key: expected checkpointed leaves")
     }
+    assert(plan("bigram_greedy_gen").contains("LocalTableScan"),
+      "bigram_greedy_gen: expected the driver-side chain's LocalTableScan")
+    val bfs = plan("token_bfs")
+    assert(bfs.contains("Scan ExistingRDD") || bfs.contains("LogicalRDD"),
+      "token_bfs: expected checkpointed leaves")
     graft.CacheTracker.drainAll(spark)
   }
 
