@@ -671,11 +671,14 @@ object Eval {
       sum(col("rx").cast("decimal(38,0)") * col("rx")).as("sxx"),
       sum(col("ry").cast("decimal(38,0)") * col("ry")).as("syy"))
     val nD = col("n").cast("decimal(38,0)")
+    // NULL rho when either rank variance is 0 (constant column — e.g.
+    // every doc the same length): undefined, never an ANSI throw
     m.select(col("n").as("n_docs"),
-      round(
+      round(when(nD * col("sxx") - col("sx") * col("sx") =!= 0
+          && nD * col("syy") - col("sy") * col("sy") =!= 0,
         (nD * col("sxy") - col("sx") * col("sy")).cast("double")
           / (sqrt((nD * col("sxx") - col("sx") * col("sx")).cast("double"))
-            * sqrt((nD * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+            * sqrt((nD * col("syy") - col("sy") * col("sy")).cast("double")))), 6)
         .as("rho_spearman"))
   }
 
@@ -716,11 +719,18 @@ object Eval {
         ("haa", col("n") * col("p") * (lit(1.0) - col("p")) * col("score") * col("score")),
         ("hab", col("n") * col("p") * (lit(1.0) - col("p")) * col("score")),
         ("hbb", col("n") * col("p") * (lit(1.0) - col("p")))))
+      // a singular Hessian (ONE distinct score — e.g. a constant
+      // corpus) has no Newton step: keep (a, b) unchanged rather than
+      // ANSI-throwing on the zero determinant
       val det = col("haa") * col("hbb") - col("hab") * col("hab")
       ab = s.crossJoin(broadcast(ab))
         .select(
-          round(col("a") - (col("hbb") * col("ga") - col("hab") * col("gb")) / det, 9).as("a"),
-          round(col("b") - (col("haa") * col("gb") - col("hab") * col("ga")) / det, 9).as("b"))
+          round(when(det =!= 0.0,
+            col("a") - (col("hbb") * col("ga") - col("hab") * col("gb")) / det)
+            .otherwise(col("a")), 9).as("a"),
+          round(when(det =!= 0.0,
+            col("b") - (col("haa") * col("gb") - col("hab") * col("ga")) / det)
+            .otherwise(col("b")), 9).as("b"))
         .localCheckpoint(true)
     }
     val pF = lit(1.0) / (lit(1.0) + exp(-(col("a") * col("score") + col("b"))))

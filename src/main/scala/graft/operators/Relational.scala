@@ -2357,11 +2357,15 @@ object Relational {
           Folds.sortedSum(col("l")).as("h00"),
           Folds.sortedSum(col("tl")).as("h01"),
           Folds.sortedSum(col("ttl")).as("h11"))
+      // singular Hessian on a zero-variance day axis (single-day
+      // stream): NULL params, never an ANSI divide-by-zero throw
       val det = col("h00") * col("h11") - col("h01") * col("h01")
       params = sums.select(col("n_days"),
-        round(col("b0") + (col("h11") * col("g0") - col("h01") * col("g1")) / det, 9)
+        round(when(det =!= 0.0,
+          col("b0") + (col("h11") * col("g0") - col("h01") * col("g1")) / det), 9)
           .as("b0"),
-        round(col("b1") + (col("h00") * col("g1") - col("h01") * col("g0")) / det, 9)
+        round(when(det =!= 0.0,
+          col("b1") + (col("h00") * col("g1") - col("h01") * col("g0")) / det), 9)
           .as("b1"))
         .localCheckpoint(true)
     }
@@ -2396,9 +2400,13 @@ object Relational {
       sum(col("day_idx").cast("decimal(38,0)") * col("day_idx")).as("sxx"))
     val denom0 = (col("n").cast("decimal(38,0)") * col("sxx") -
       col("sx").cast("decimal(38,0)") * col("sx")).cast("double")
+    // NULL fit on a zero-variance day axis (single-day stream) — the
+    // ANSI divide-by-zero guard; NULLs then flow through every IRLS
+    // step's null-short-circuiting arithmetic
     val ols = m.select(col("n"),
-      round((col("n").cast("decimal(38,0)") * col("sxy") -
-        col("sx").cast("decimal(38,0)") * col("sy")).cast("double") / denom0, 9)
+      round(when(denom0 =!= 0.0,
+        (col("n").cast("decimal(38,0)") * col("sxy") -
+          col("sx").cast("decimal(38,0)") * col("sy")).cast("double") / denom0), 9)
         .as("b1"), col("sx"), col("sy"))
       .select(col("n"), col("b1"),
         round(col("sy").cast("double") / col("n")
@@ -2443,9 +2451,11 @@ object Relational {
           Folds.sortedSum(col("wxy")).as("swxy"))
       val det = col("sw") * col("swxx") - col("swx") * col("swx")
       params = sums.select(col("n"),
-        round((col("swxx") * col("swy") - col("swx") * col("swxy")) / det, 9)
+        round(when(det =!= 0.0,
+          (col("swxx") * col("swy") - col("swx") * col("swxy")) / det), 9)
           .as("b0"),
-        round((col("sw") * col("swxy") - col("swx") * col("swy")) / det, 9)
+        round(when(det =!= 0.0,
+          (col("sw") * col("swxy") - col("swx") * col("swy")) / det), 9)
           .as("b1"))
         .localCheckpoint(true)
     }
@@ -2543,9 +2553,12 @@ object Relational {
       sum(col("day_idx").cast("decimal(38,0)") * col("day_idx")).as("sxx"))
     val denom = (col("n").cast("decimal(38,0)") * col("sxx") -
       col("sx").cast("decimal(38,0)") * col("sx")).cast("double")
+    // NULL fit on a single-day stream (zero day variance): the DW
+    // statistic is undefined there, never an ANSI divide-by-zero throw
     val fit = m.select(col("n"),
-      round((col("n").cast("decimal(38,0)") * col("sxy") -
-        col("sx").cast("decimal(38,0)") * col("sy")).cast("double") / denom, 9)
+      round(when(denom =!= 0.0,
+        (col("n").cast("decimal(38,0)") * col("sxy") -
+          col("sx").cast("decimal(38,0)") * col("sy")).cast("double") / denom), 9)
         .as("slope"),
       col("sx"), col("sy"))
       .select(col("n"), col("slope"),
@@ -2568,8 +2581,11 @@ object Relational {
       .groupBy("n", "slope", "intercept")
       .agg(array_sort(collect_list(col("t"))).as("ts"))
       .select(col("n").as("n_days"), col("slope"), col("intercept"),
-        round(aggregate(col("ts"), lit(0.0), (a, t) => a + t.getField("d2"))
-          / aggregate(col("ts"), lit(0.0), (a, t) => a + t.getField("e2")), 6)
+        // a perfect fit (Σe² = 0) leaves DW undefined: NULL, not a throw
+        round(when(
+          aggregate(col("ts"), lit(0.0), (a, t) => a + t.getField("e2")) =!= 0.0,
+          aggregate(col("ts"), lit(0.0), (a, t) => a + t.getField("d2"))
+            / aggregate(col("ts"), lit(0.0), (a, t) => a + t.getField("e2"))), 6)
           .as("dw"))
   }
 

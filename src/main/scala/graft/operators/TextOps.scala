@@ -372,9 +372,12 @@ object TextOps {
       lit(6.0) * mu * mu * (col("s2") / n) - lit(3.0) * mu * mu * mu * mu
     val skew = m3 / sqrt(m2 * m2 * m2)
     val exkurt = m4 / (m2 * m2) - 3.0
+    // m2 = 0 (a constant-length lang) leaves every moment ratio
+    // undefined: NULL columns, never an ANSI divide-by-zero throw —
+    // jb_stat already carried the guard, the raw ratios must too
     m.select(col("lang"), col("n_docs"),
-      round(skew, 6).as("skewness"),
-      round(exkurt, 6).as("ex_kurtosis"),
+      round(when(m2 > 0.0, skew), 6).as("skewness"),
+      round(when(m2 > 0.0, exkurt), 6).as("ex_kurtosis"),
       round(when(m2 > 0.0,
         n / 6.0 * (skew * skew + exkurt * exkurt / 4.0)), 6).as("jb_stat"))
   }
@@ -1685,7 +1688,11 @@ object TextOps {
           .as("t"))
       .select(col("k_groups"), col("n"),
         struct(col("source"), col("t.side").as("side"),
-          round(pow(col("t.o").cast("double") - col("t.e"), 2.0) / col("t.e"), 6)
+          // a zero expected cell (every doc at/below the grand median —
+          // a constant corpus) leaves Pearson's term undefined: NULL
+          // poisons the fold into a NULL chi2, never an ANSI throw
+          round(when(col("t.e") > 0.0,
+            pow(col("t.o").cast("double") - col("t.e"), 2.0) / col("t.e")), 6)
             .as("term")).as("u"))
       .groupBy("k_groups", "n")
       .agg(array_sort(collect_list(col("u"))).as("ts"))
@@ -1715,11 +1722,15 @@ object TextOps {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
       .select(col("lang"), col("n_docs"),
-        round((col("n_docs") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / (col("n_docs") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+        // NULL slope/intercept on a zero-variance lang (all docs the
+        // same token count) — never an ANSI divide-by-zero throw
+        round(when(col("n_docs") * col("sxx") - col("sx") * col("sx") =!= 0,
+          (col("n_docs") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n_docs") * col("sxx") - col("sx") * col("sx")).cast("double")), 6)
           .as("slope"),
-        round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
-          / (col("n_docs") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+        round(when(col("n_docs") * col("sxx") - col("sx") * col("sx") =!= 0,
+          (col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+            / (col("n_docs") * col("sxx") - col("sx") * col("sx")).cast("double")), 6)
           .as("intercept"))
   }
 
@@ -1752,11 +1763,15 @@ object TextOps {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
       .select(col("n_train"),
-        ((col("n_train") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / (col("n_train") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        // NULL fit on a zero-variance train half (charTokenRegression's
+        // guard): the interval is undefined, not an ANSI throw
+        when(col("n_train") * col("sxx") - col("sx") * col("sx") =!= 0,
+          (col("n_train") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n_train") * col("sxx") - col("sx") * col("sx")).cast("double"))
           .as("b"),
-        ((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
-          / (col("n_train") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        when(col("n_train") * col("sxx") - col("sx") * col("sx") =!= 0,
+          (col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+            / (col("n_train") * col("sxx") - col("sx") * col("sx")).cast("double"))
           .as("a"))
     val resid = cal.crossJoin(broadcast(fit))
       .select(col("doc_id"), col("n_train"), col("a"), col("b"),

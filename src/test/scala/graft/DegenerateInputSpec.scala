@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import graft.operators._
+
+/** Zero-variance totality: the regression/correlation/trend family's
+  * denominators (n·Σx² − (Σx)², rank variances, residual sums) all hit
+  * exactly 0 on a constant corpus or a single-day stream — inputs a
+  * 100 TB pipeline's per-partition slices produce constantly. Under
+  * ANSI mode an unguarded division THROWS (divide-by-zero) instead of
+  * yielding the no-signal NULL, so every op here must either guard the
+  * divisor or demonstrably never divide by it. The assertion is
+  * totality (collect without throwing, ≤ a summary row per group), not
+  * specific stats — degenerate inputs never reach the DuckDB oracles. */
+class DegenerateInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** four IDENTICAL docs, one lang/source: every x-variance is 0 */
+  private lazy val constDocs: DataFrame = (1L to 4L)
+    .map(i => (i, "the same words again", "en", "web", 20L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  /** one day, one value: time variance 0, delta stream empty */
+  private lazy val oneDayEvents: DataFrame = (1L to 4L)
+    .map(i => (i, i % 2, "click",
+      Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")), 1.0))
+    .toDF("event_id", "user_id", "event_type", "ts", "value")
+
+  private lazy val oneDayOrders: DataFrame = (1L to 4L)
+    .map(i => (i, i % 2,
+      Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")), 10.0))
+    .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+
+  test("regression/correlation text operators are total on a constant corpus") {
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "char_token_regression" -> (d => TextOps.charTokenRegression(d)),
+      "zipf_slope" -> (d => LangModel.zipfSlope(d)),
+      "zipf_abbreviation" -> (d => LangModel.zipfAbbreviation(d)),
+      "heaps_law_fit" -> (d => LangModel.heapsLawFit(d)),
+      "quality_length_corr" -> (d => TextOps.qualityLengthCorr(d)),
+      "spearman_quality_length" -> (d => Eval.spearmanQualityLength(d)),
+      "kendall_tau" -> (d => TextOps.kendallTau(d)),
+      "theil_u" -> (d => TextOps.theilU(d)),
+      "length_lognormal_fit" -> (d => TextOps.lengthLognormalFit(d)),
+      "hill_tail_index" -> (d => LangModel.hillTailIndex(d)),
+      "length_mad" -> (d => TextOps.lengthMad(d)),
+      "jarque_bera" -> (d => TextOps.jarqueBera(d)),
+      "negbin_fit" -> (d => TextOps.negbinFit(d)),
+      "mood_median" -> (d => TextOps.moodMedian(d)),
+      "brown_forsythe" -> (d => TextOps.brownForsythe(d)),
+      "kruskal_wallis" -> (d => TextOps.kruskalWallis(d)),
+      "quality_calibration" -> (d => TextOps.qualityCalibration(d)),
+      "simpsons_paradox" -> (d => TextOps.simpsonsParadox(d)),
+      "scaling_curve" -> (d => LangModel.scalingCurve(d)),
+      "platt_scaling" -> (d => Eval.plattScaling(d)))
+    for ((name, op) <- ops) {
+      val n = try op(constDocs).collect().length
+        catch { case e: Throwable => fail(s"$name threw on constant corpus: $e") }
+      assert(n <= 8, s"$name: unexpected fan-out on a 4-doc constant corpus")
+      graft.CacheTracker.releaseAll()
+    }
+  }
+
+  test("trend/event operators are total on a single-day stream") {
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "huber_trend" -> (d => Relational.huberTrend(d)),
+      "poisson_trend" -> (d => Relational.poissonTrend(d)),
+      "durbin_watson" -> (d => Relational.durbinWatson(d)),
+      "revenue_var" -> (d => Relational.revenueVar(d)),
+      "odds_ratio" -> (d => Relational.oddsRatio(d)),
+      "logrank_test" -> (d => Relational.logrankTest(d)),
+      "markov_stationary" -> (d => Sessionize.markovStationary(d)),
+      "cusum_changepoint" -> (d => Relational.cusumChangepoint(d)),
+      "ab_ttest" -> (d => Relational.abTtest(d)))
+    for ((name, op) <- ops) {
+      val n = try op(oneDayEvents).collect().length
+        catch { case e: Throwable => fail(s"$name threw on single-day events: $e") }
+      assert(n <= 8, s"$name: unexpected fan-out on single-day events")
+      graft.CacheTracker.releaseAll()
+    }
+  }
+
+  test("order trend operators are total on a single-day fact table") {
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "mann_kendall" -> (d => Relational.mannKendall(d)),
+      "seasonal_decompose" -> (d => Relational.seasonalDecompose(d)))
+    for ((name, op) <- ops) {
+      val n = try op(oneDayOrders).collect().length
+        catch { case e: Throwable => fail(s"$name threw on single-day orders: $e") }
+      assert(n <= 8, s"$name: unexpected fan-out on single-day orders")
+      graft.CacheTracker.releaseAll()
+    }
+  }
+}
