@@ -55,8 +55,11 @@ object Eval {
         count(lit(1)).as("n_scores"),
         sum(col("numer2")).as("numer2"))
       .select(col("n_pos"), col("n_neg"), col("n_scores"),
-        round(col("numer2").cast("double") /
-          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+        // a single-class corpus has no ranking to score: NULL AUC
+        // (pos·neg = 0), never an ANSI divide-by-zero throw
+        round(when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("numer2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg"))), 6).as("auc"))
   }
 
   /** Precision/recall sweep over every distinct score threshold (B162):

@@ -1026,7 +1026,11 @@ object Similarity {
       val nrm = round(sqrt(aggregate(
         sort_array(collect_list(col("w") * col("w")).over(wFull)), lit(0.0),
         (a, b) => a + b)), 9)
-      v = w.select(col("dim_i").as("dim"), round(col("w") / nrm, 9).as("v"),
+      // a zero iterate (all-constant embeddings → zero covariance)
+      // normalizes to the zero vector with eig 0 — never an ANSI
+      // divide-by-zero throw
+      v = w.select(col("dim_i").as("dim"),
+        when(nrm =!= 0.0, round(col("w") / nrm, 9)).otherwise(lit(0.0)).as("v"),
         nrm.as("eig"))
         .localCheckpoint(true)
     }

@@ -81,6 +81,58 @@ class DegenerateInputSpec extends SparkSpec {
     }
   }
 
+  test("classifier-eval operators are total on a single-class corpus") {
+    // every doc English: negatives = 0, rater marginals saturate, one
+    // quality score — the zero-denominator cases for AUC (pos·neg),
+    // kappa (1 − pe), McNemar (b + c), per-class precision/recall
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "roc_auc" -> (d => Eval.rocAuc(d)),
+      "pr_curve" -> (d => Eval.prCurve(d)),
+      "mcnemar_test" -> (d => Eval.mcnemarTest(d)),
+      "calibration_bins" -> (d => Eval.calibrationBins(d)),
+      "isotonic_calibration" -> (d => Eval.isotonicCalibration(d)),
+      "brier_decomposition" -> (d => Eval.brierDecomposition(d)),
+      "lift_deciles" -> (d => Eval.liftDeciles(d)),
+      "class_report" -> (d => Eval.classReport(d)),
+      "quality_wilson_ci" -> (d => Eval.qualityWilsonCi(d)),
+      "rater_agreement" -> (d => TextOps.raterAgreement(d)),
+      "chi2_features" -> (d => TfIdf.chi2Features(d, minDf = 1)),
+      "mutual_info_features" -> (d => TfIdf.mutualInfoFeatures(d, minDf = 1)),
+      "gini_stump" -> (d => TfIdf.giniStump(d, minDf = 1)))
+    for ((name, op) <- ops) {
+      val n = try op(constDocs).collect().length
+        catch { case e: Throwable => fail(s"$name threw on single-class corpus: $e") }
+      assert(n <= 24, s"$name: unexpected fan-out on a 4-doc constant corpus")
+      graft.CacheTracker.releaseAll()
+    }
+  }
+
+  /** four vectors, every one IDENTICAL: per-dim std 0, one k-means
+    * cluster, zero-variance correlations */
+  private lazy val constEmb: DataFrame = (1L to 4L)
+    .map(i => (i, Array(1.0f, 2.0f, 3.0f, 4.0f, 1.0f, 2.0f, 3.0f, 4.0f), (i % 2).toInt))
+    .toDF("vec_id", "embedding", "label")
+
+  test("embedding operators are total on constant (dead-dimension) embeddings") {
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "embed_standardize" -> (d => Similarity.embedStandardize(d)),
+      "embed_outliers" -> (d => Similarity.embedOutliers(d)),
+      "embed_dim_corr" -> (d => Similarity.embedDimCorr(d)),
+      "pca_explained" -> (d => Similarity.pcaExplained(d)),
+      "kmeans_silhouette" -> (d => Similarity.kmeansSilhouette(d)),
+      "label_noise" -> (d => Similarity.labelNoise(d)),
+      "embed_isotropy" -> (d => Similarity.embedIsotropy(d)),
+      "embed_mmd" -> (d => Similarity.embedMmd(d)),
+      "v_measure" -> (d => Similarity.vMeasure(d)),
+      "adjusted_rand" -> (d => Similarity.adjustedRand(d)))
+    for ((name, op) <- ops) {
+      val n = try op(constEmb).collect().length
+        catch { case e: Throwable => fail(s"$name threw on constant embeddings: $e") }
+      assert(n <= 64, s"$name: unexpected fan-out on 4 constant vectors")
+      graft.CacheTracker.releaseAll()
+    }
+  }
+
   test("order trend operators are total on a single-day fact table") {
     val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
       "mann_kendall" -> (d => Relational.mannKendall(d)),
