@@ -56,6 +56,10 @@ object Graph {
     // same values, oracle unchanged.
     val nodes = ew.select(col("src").as("token")).distinct()
     val n = nodes.count()
+    // an empty graph (no doc carries two tokens) has no ranks — and the
+    // inlined 1/n literal would constant-fold into an ANSI
+    // divide-by-zero; return the empty typed frame instead
+    if (n == 0) return nodes.select(col("token"), lit(0.0).as("rank"))
     var ranks = nodes.select(col("token"), (lit(1.0) / lit(n)).as("r"))
     for (_ <- 1 to iters) {
       val contrib = ew.join(ranks, ew("src") === ranks("token"))

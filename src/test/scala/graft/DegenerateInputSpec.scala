@@ -133,6 +133,36 @@ class DegenerateInputSpec extends SparkSpec {
     }
   }
 
+  /** four SINGLE-TOKEN docs: the bigram stream is EMPTY (every LM's
+    * n-1 window vanishes) while unigrams exist */
+  private lazy val singleTokenDocs: DataFrame = (1L to 4L)
+    .map(i => (i, "word", "en", "web", 4L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("language-model operators are total when the bigram stream is empty") {
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "bigram_lm" -> (d => LangModel.bigramLm(d)),
+      "kn_bigram" -> (d => LangModel.knBigram(d)),
+      "jm_bigram" -> (d => LangModel.jmBigram(d)),
+      "stupid_backoff" -> (d => LangModel.stupidBackoff(d)),
+      "bigram_cond_entropy" -> (d => LangModel.bigramCondEntropy(d)),
+      "doc_perplexity" -> (d => LangModel.docPerplexity(d)),
+      "heldout_perplexity" -> (d => LangModel.heldoutPerplexity(d)),
+      "bigram_greedy_gen" -> (d => LangModel.bigramGreedyGen(d)),
+      "token_pagerank" -> (d => Graph.tokenPagerank(d)),
+      "token_hits" -> (d => Graph.tokenHits(d)),
+      "glove_cooc" -> (d => TextOps.gloveCooc(d)),
+      "cv_accuracy" -> (d => graft.ml.NaiveBayesSql.cvAccuracy(d)),
+      "stratified_kfold" -> (d => TextOps.stratifiedKfold(d)),
+      "group_kfold" -> (d => TextOps.groupKfold(d)))
+    for ((name, op) <- ops) {
+      val n = try op(singleTokenDocs).collect().length
+        catch { case e: Throwable => fail(s"$name threw on single-token docs: $e") }
+      assert(n <= 24, s"$name: unexpected fan-out on 4 single-token docs")
+      graft.CacheTracker.releaseAll()
+    }
+  }
+
   test("order trend operators are total on a single-day fact table") {
     val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
       "mann_kendall" -> (d => Relational.mannKendall(d)),
