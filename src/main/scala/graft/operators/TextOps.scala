@@ -1382,10 +1382,16 @@ object TextOps {
         (sum(col("n")) - sum(col("nl")) - sum(col("nd")) - sum(col("ns")))
           .as("n_other"))
       .select(col("lang"), col("n_chars"),
-        round(col("n_letters").cast("double") / col("n_chars"), 6).as("letter_share"),
-        round(col("n_digits").cast("double") / col("n_chars"), 6).as("digit_share"),
-        round(col("n_spaces").cast("double") / col("n_chars"), 6).as("space_share"),
-        round(col("n_other").cast("double") / col("n_chars"), 6).as("other_share"))
+        // NULL shares on a zero-char lang (all-empty texts) — never an
+        // ANSI divide-by-zero throw
+        round(when(col("n_chars") > 0,
+          col("n_letters").cast("double") / col("n_chars")), 6).as("letter_share"),
+        round(when(col("n_chars") > 0,
+          col("n_digits").cast("double") / col("n_chars")), 6).as("digit_share"),
+        round(when(col("n_chars") > 0,
+          col("n_spaces").cast("double") / col("n_chars")), 6).as("space_share"),
+        round(when(col("n_chars") > 0,
+          col("n_other").cast("double") / col("n_chars")), 6).as("other_share"))
   }
 
   /** Approximate char-length percentiles via the KLL-style sketch (B40):

@@ -163,6 +163,39 @@ class DegenerateInputSpec extends SparkSpec {
     }
   }
 
+  /** four EMPTY-TEXT docs: zero tokens, zero chars — the per-doc ratio
+    * divisors (words/sentence, compressed/raw, per-class char shares) */
+  private lazy val emptyTextDocs: DataFrame = (1L to 4L)
+    .map(i => (i, "", "en", "web", 0L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("per-doc text operators are total on empty-text docs") {
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "token_stats" -> (d => TextOps.tokenStats(d)),
+      "text_stats" -> (d => TextOps.textStats(d)),
+      "quality_score" -> (d => TextOps.qualityScore(d)),
+      "compression_ratio" -> (d => TextOps.compressionRatio(d)),
+      "char_entropy" -> (d => TextOps.charEntropy(d)),
+      "repetition_stats" -> (d => TextOps.repetitionStats(d)),
+      "gopher_filter" -> (d => TextOps.gopherFilter(d)),
+      "casing_profile" -> (d => TextOps.casingProfile(d)),
+      "char_class_profile" -> (d => TextOps.charClassProfile(d)),
+      "suffix_profile" -> (d => TextOps.suffixProfile(d)),
+      "sentence_stats" -> (d => TextOps.sentenceStats(d)),
+      "readability" -> (d => TextOps.readability(d)),
+      "token_entropy" -> (d => LangModel.tokenEntropy(d)),
+      "unigram_logprob" -> (d => LangModel.unigramLogprob(d)),
+      "token_fertility" -> (d => TextOps.tokenFertility(d)),
+      "truncation_loss" -> (d => TextOps.truncationLoss(d)),
+      "typo_recovery" -> (d => TextOps.typoRecovery(d)))
+    for ((name, op) <- ops) {
+      val n = try op(emptyTextDocs).collect().length
+        catch { case e: Throwable => fail(s"$name threw on empty-text docs: $e") }
+      assert(n <= 24, s"$name: unexpected fan-out on 4 empty-text docs")
+      graft.CacheTracker.releaseAll()
+    }
+  }
+
   test("order trend operators are total on a single-day fact table") {
     val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
       "mann_kendall" -> (d => Relational.mannKendall(d)),
