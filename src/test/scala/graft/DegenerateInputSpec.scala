@@ -196,6 +196,25 @@ class DegenerateInputSpec extends SparkSpec {
     }
   }
 
+  test("sessionize/attribution operators are total on a zero-conversion stream") {
+    // every user exactly ONE click, nobody converts: zero gaps, zero
+    // sessions beyond singletons, zero purchase cents to attribute
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "session_paths" -> (d => Sessionize.sessionPaths(d)),
+      "window_funnel" -> (d => Sessionize.windowFunnel(d)),
+      "conversion_latency" -> (d => Sessionize.conversionLatency(d)),
+      "attribution_position" -> (d => Sessionize.attributionPosition(d)),
+      "markov_attribution" -> (d => Sessionize.markovAttribution(d)),
+      "path_entropy" -> (d => Sessionize.pathEntropy(d)),
+      "srm_check" -> (d => Relational.srmCheck(d)))
+    for ((name, op) <- ops) {
+      val n = try op(oneDayEvents).collect().length
+        catch { case e: Throwable => fail(s"$name threw on zero-conversion stream: $e") }
+      assert(n <= 24, s"$name: unexpected fan-out on a 4-event stream")
+      graft.CacheTracker.releaseAll()
+    }
+  }
+
   test("order trend operators are total on a single-day fact table") {
     val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
       "mann_kendall" -> (d => Relational.mannKendall(d)),
