@@ -96,6 +96,19 @@ object Bench {
     // their warmup). Steady-state is warm-then-time back to back.
     val spill = new SpillListener
     spark.sparkContext.addSparkListener(spill)
+    // JVM warm-in before the FIRST timed slot: position 1 otherwise runs
+    // on a one-warmup-old JVM whose C2 tiers haven't compiled the scan/
+    // agg hot paths the rest of the pass enjoys — the r16/r17 artifacts
+    // both show whichever query sorts first (ab_ttest) reading ~5× its
+    // own solo median with gc 0 / spill 0 / identical jobs. Three extra
+    // forced runs of the first query cost ~1 s once and put slot 1 on
+    // the same steady-state footing as slots 2..n.
+    ordered.headOption.foreach { case (_, fn) =>
+      (1 to 3).foreach { _ =>
+        try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+        drainBlocks(spark)
+      }
+    }
     val results = ordered.map { case (name, fn) =>
       try force(fn(spark, sfDir)) catch { case _: Throwable => () }
       drainBlocks(spark)
