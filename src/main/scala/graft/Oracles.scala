@@ -463,6 +463,49 @@ object Oracles {
         |  round(CAST(sc AS DOUBLE) / (k * n) / 100.0, 6) AS ips_term_dollars
         |FROM per CROSS JOIN tot""".stripMargin,
 
+    // B296: doubly-robust value of the uniform policy — reward model +
+    // propensities fit on even event_ids, evaluated on odd; cell folds
+    // sorted by (g, arm), all 9 dp terms mirrored from the Spark side
+    "doubly_robust_eval" ->
+      """WITH base AS MATERIALIZED (SELECT CAST(user_id % 2 = 0 AS BIGINT) AS g,
+        |  event_type AS arm, CAST(round(value * 100) AS BIGINT) AS c,
+        |  event_id % 2 = 0 AS is_model FROM events),
+        |model AS MATERIALIZED (SELECT g, arm, count(*) AS nm,
+        |  CAST(sum(c) AS BIGINT) AS scm FROM base WHERE is_model GROUP BY 1, 2),
+        |mg AS (SELECT g, CAST(sum(nm) AS BIGINT) AS nmg FROM model GROUP BY 1),
+        |kk AS (SELECT count(DISTINCT arm) AS k FROM model),
+        |ev0 AS (SELECT g, arm, count(*) AS ne, CAST(sum(c) AS BIGINT) AS sce
+        |  FROM base WHERE NOT is_model GROUP BY 1, 2),
+        |ev AS MATERIALIZED (SELECT e.g, e.arm, e.ne, e.sce, m.nm, m.scm, mg.nmg
+        |  FROM ev0 e JOIN model m USING (g, arm) JOIN mg USING (g)),
+        |neg AS (SELECT g, CAST(sum(ne) AS BIGINT) AS neg FROM ev GROUP BY 1),
+        |dmg AS (SELECT m.g, round(neg.neg * list_reduce(
+        |    list(round(CAST(m.scm AS DOUBLE) / m.nm, 9) ORDER BY m.arm),
+        |    (a, b) -> a + b) / kk.k, 9) AS dm_g
+        |  FROM model m JOIN neg ON neg.g = m.g CROSS JOIN kk
+        |  GROUP BY m.g, neg.neg, kk.k),
+        |gtot AS (SELECT list_reduce(list(dm_g ORDER BY g), (a, b) -> a + b)
+        |  AS dm_sum FROM dmg),
+        |cells AS (SELECT ev.g, ev.arm,
+        |    round((CAST(ev.sce AS DOUBLE)
+        |      - ev.ne * round(CAST(ev.scm AS DOUBLE) / ev.nm, 9))
+        |      / (kk.k * round(CAST(ev.nm AS DOUBLE) / ev.nmg, 9)), 9) AS corr,
+        |    round(CAST(ev.sce AS DOUBLE)
+        |      / (kk.k * round(CAST(ev.nm AS DOUBLE) / ev.nmg, 9)), 9) AS ips_t
+        |  FROM ev CROSS JOIN kk),
+        |ctot AS (SELECT
+        |  list_reduce(list(corr ORDER BY g, arm), (a, b) -> a + b) AS corr_sum,
+        |  list_reduce(list(ips_t ORDER BY g, arm), (a, b) -> a + b) AS ips_sum
+        |  FROM cells),
+        |ne AS (SELECT CAST(coalesce(sum(ne), 0) AS BIGINT) AS n_eval FROM ev),
+        |nm AS (SELECT count(*) AS n_model FROM base WHERE is_model)
+        |SELECT CAST(n_model AS BIGINT) AS n_model, n_eval, CAST(k AS BIGINT) AS k_arms,
+        |  round(CASE WHEN n_eval > 0 THEN dm_sum / n_eval / 100.0 END, 6) AS dm_dollars,
+        |  round(CASE WHEN n_eval > 0 THEN ips_sum / n_eval / 100.0 END, 6) AS ips_dollars,
+        |  round(CASE WHEN n_eval > 0 THEN (dm_sum + corr_sum) / n_eval / 100.0 END, 6)
+        |    AS dr_dollars
+        |FROM ne CROSS JOIN nm CROSS JOIN kk CROSS JOIN gtot CROSS JOIN ctot""".stripMargin,
+
     // l-diversity over the k-anonymity grid: distinct sensitive values
     // (source) per (lang, length-bucket) quasi-identifier group
     "l_diversity" ->

@@ -936,6 +936,10 @@ object SparkEntry {
     // query: committed streaming-agg checkpoint state == the batch agg
     "statestore_read" -> ((s, d) =>
       streaming.Events.stateStoreRead(events(s, d))),
+    // round 17: B296 — doubly-robust off-policy value (DM + IPS
+    // correction, split-fit reward model) beside ips_eval
+    "doubly_robust_eval" -> ((s, d) =>
+      Relational.doublyRobustEval(events(s, d))),
     // round 15: B237 IVF probe-width tuning sweep + B238 data-scaling
     // curve (heldout xent at nested training prefixes, log-log fit)
     "ann_nprobe_sweep" -> ((s, d) =>

@@ -4227,6 +4227,82 @@ object Relational {
           .as("ips_term_dollars"))
   }
 
+  /** Doubly-robust offline policy evaluation (B296, Dudík/Langford/Li
+    * 2011): the uniform target policy's value estimated by DIRECT MODEL
+    * + IPS CORRECTION — the third counterfactual estimator beside
+    * [[ipsEval]] (pure reweighting: unbiased, high variance) and a pure
+    * direct method (low variance, model-biased); DR stays unbiased if
+    * EITHER the reward model or the propensities are right. The split
+    * discipline makes the correction non-trivial: the reward model
+    * q̂(g, a) (per user-parity context g and arm a) and the logged
+    * propensities p̂(a|g) fit on the EVEN-event_id half, the estimator
+    * evaluates on the ODD half — in-sample q̂ would make the residual
+    * term vanish identically. Eval cells without model support drop
+    * (their counterfactual is unidentified — absence, not a fake 0,
+    * the ipsEval convention). Everything reduces to the ≤ |g|·|arms|
+    * cell frame: exact integer cents sums, q̂/p̂/terms rounded 9 dp,
+    * cell folds sorted by (g, arm), one global row out — no per-event
+    * weighting pass at any scale. */
+  def doublyRobustEval(events: DataFrame): DataFrame = {
+    val base = events.select(
+      (col("user_id") % 2 === 0).cast("long").as("g"),
+      col("event_type").as("arm"),
+      cents(col("value")).as("c"),
+      (col("event_id") % 2 === 0).as("is_model"))
+    // model and evalC are |g|·|arms|-bounded cell frames with 4 and 3
+    // consumers each — localCheckpoint so the corpus scan + partial agg
+    // behind each runs ONCE, not once per consumer
+    val model = base.filter(col("is_model"))
+      .groupBy("g", "arm").agg(count(lit(1)).as("nm"), sum(col("c")).as("scm"))
+      .localCheckpoint(true)
+    val mg = model.groupBy("g").agg(sum(col("nm")).as("nmg"))
+    val karms = model.select(col("arm")).distinct().agg(count(lit(1)).as("k"))
+    val evalC = base.filter(!col("is_model"))
+      .groupBy("g", "arm").agg(count(lit(1)).as("ne"), sum(col("c")).as("sce"))
+      .join(model, Seq("g", "arm"))
+      .join(mg, "g")
+      .localCheckpoint(true)
+    val qhat = round(col("scm").cast("double") / col("nm"), 9)
+    val phat = round(col("nm").cast("double") / col("nmg"), 9)
+    val nEvalG = evalC.groupBy("g").agg(sum(col("ne")).as("neg"))
+    // per-context direct-method mass: n_eval_g · (Σ_a q̂(g, a))/K, the
+    // arm fold sorted (arms-bounded)
+    val dmG = model.join(nEvalG, "g").crossJoin(broadcast(karms))
+      .select(col("g"), col("neg"), col("k"),
+        struct(col("arm"), qhat.as("q")).as("u"))
+      .groupBy("g", "neg", "k")
+      .agg(aggregate(array_sort(collect_list(col("u"))), lit(0.0),
+        (a, u) => a + u.getField("q")).as("sum_q"))
+      .select(col("g"), round(col("neg") * col("sum_q") / col("k"), 9).as("dm_g"))
+    val cellTerms = evalC.crossJoin(broadcast(karms))
+      .select(
+        struct(col("g"), col("arm"),
+          round((col("sce").cast("double") - col("ne") * qhat)
+            / (col("k") * phat), 9).as("corr"),
+          round(col("sce").cast("double") / (col("k") * phat), 9).as("ips_t"))
+          .as("u"))
+    val gTot = dmG.select(struct(col("g"), col("dm_g")).as("u"))
+      .agg(aggregate(array_sort(collect_list(col("u"))), lit(0.0),
+        (a, u) => a + u.getField("dm_g")).as("dm_sum"))
+    val cTot = cellTerms
+      .agg(aggregate(array_sort(collect_list(col("u"))), lit(0.0),
+          (a, u) => a + u.getField("corr")).as("corr_sum"),
+        aggregate(array_sort(collect_list(col("u"))), lit(0.0),
+          (a, u) => a + u.getField("ips_t")).as("ips_sum"))
+    val nE = evalC.agg(coalesce(sum(col("ne")), lit(0L)).as("n_eval"))
+    val nM = base.filter(col("is_model")).agg(count(lit(1)).as("n_model"))
+    nE.crossJoin(broadcast(nM)).crossJoin(broadcast(karms))
+      .crossJoin(broadcast(gTot)).crossJoin(broadcast(cTot))
+      .select(col("n_model"), col("n_eval"), col("k").as("k_arms"),
+        round(when(col("n_eval") > 0,
+          col("dm_sum") / col("n_eval") / 100.0), 6).as("dm_dollars"),
+        round(when(col("n_eval") > 0,
+          col("ips_sum") / col("n_eval") / 100.0), 6).as("ips_dollars"),
+        round(when(col("n_eval") > 0,
+          (col("dm_sum") + col("corr_sum")) / col("n_eval") / 100.0), 6)
+          .as("dr_dollars"))
+  }
+
   /** Shard rebalance plan (C234): proportional binning of the per-source
     * shards into `nTarget` output files by cumulative size — the
     * compaction/rebalance planner a table-maintenance job runs off the

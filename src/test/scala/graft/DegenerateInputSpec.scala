@@ -72,6 +72,7 @@ class DegenerateInputSpec extends SparkSpec {
       "logrank_test" -> (d => Relational.logrankTest(d)),
       "markov_stationary" -> (d => Sessionize.markovStationary(d)),
       "cusum_changepoint" -> (d => Relational.cusumChangepoint(d)),
+      "doubly_robust_eval" -> (d => Relational.doublyRobustEval(d)),
       "ab_ttest" -> (d => Relational.abTtest(d)))
     for ((name, op) <- ops) {
       val n = try op(oneDayEvents).collect().length
