@@ -705,7 +705,12 @@ object Similarity {
       .join(norms.select(col("doc_id").as("a_id"), col("nrm").as("a_nrm")), "a_id")
       .join(norms.select(col("doc_id").as("b_id"), col("nrm").as("b_nrm")), "b_id")
       .select(col("a_id"), col("b_id"),
-        round(col("dot") / (col("a_nrm") * col("b_nrm")), 6).as("cos"))
+        // a zero-norm doc has no direction (an all-identical corpus
+        // zeroes every IDF, hence every tfidf): NULL cosine — the pair
+        // then fails the >= simMin filter — never an ANSI
+        // divide-by-zero throw
+        round(when(col("a_nrm") * col("b_nrm") > 0,
+          col("dot") / (col("a_nrm") * col("b_nrm"))), 6).as("cos"))
       .filter(col("cos") >= simMin)
   }
 

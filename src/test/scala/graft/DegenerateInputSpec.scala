@@ -216,6 +216,35 @@ class DegenerateInputSpec extends SparkSpec {
     }
   }
 
+  test("dedup/MT-metric operators are total on an all-identical corpus") {
+    // every doc IDENTICAL: the maximal-duplication case — every pair a
+    // perfect match (jaccard 1, distance 0), every cluster the whole
+    // corpus; ratios like containment and brevity penalties sit at
+    // their boundary values
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "dedup_exact" -> (d => Dedup.exact(d)),
+      "dedup_keep_best" -> (d => TextOps.dedupKeepBest(d)),
+      "dedup_survivorship" -> (d => Dedup.survivorship(d)),
+      "dedup_threshold_sweep" -> (d => Dedup.thresholdSweep(d)),
+      "minhash_pr_eval" -> (d => Dedup.minhashPrEval(d)),
+      "simhash_hamming_hist" -> (d => Dedup.simhashHammingHist(d)),
+      "edit_distance_pairs" -> (d => Dedup.editDistancePairs(d)),
+      "rouge_l_pairs" -> (d => Dedup.rougeLPairs(d)),
+      "wer_pairs" -> (d => Dedup.werPairs(d)),
+      "ngram_jaccard" -> (d => Dedup.ngramJaccard(d)),
+      "containment_pairs" -> (d => Dedup.containmentPairs(d)),
+      "bleu_pairs" -> (d => Eval.bleuPairs(d)),
+      "chrf_pairs" -> (d => Eval.chrfPairs(d)),
+      "doc_similarity" -> (d => Similarity.docSimilarity(d)),
+      "winnow_pairs" -> (d => TextOps.winnowPairs(d)))
+    for ((name, op) <- ops) {
+      val n = try op(constDocs).collect().length
+        catch { case e: Throwable => fail(s"$name threw on identical corpus: $e") }
+      assert(n <= 24, s"$name: unexpected fan-out on 4 identical docs")
+      graft.CacheTracker.releaseAll()
+    }
+  }
+
   test("order trend operators are total on a single-day fact table") {
     val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
       "mann_kendall" -> (d => Relational.mannKendall(d)),
