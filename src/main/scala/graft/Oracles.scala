@@ -7912,6 +7912,47 @@ object Oracles {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // C264: the C94 seen-hash store's kept-corpus decision set — first
+    // micro-batch (doc_id % 3, processed in order) to see a hash wins,
+    // lowest doc_id within the batch
+    "dedup_store_read" ->
+      s"""WITH h AS (SELECT doc_id, doc_id % 3 AS b, md5($clean) AS content_hash
+         |           FROM documents),
+         |r AS (SELECT doc_id, b, content_hash,
+         |        row_number() OVER (PARTITION BY content_hash ORDER BY b, doc_id) AS rn
+         |      FROM h)
+         |SELECT doc_id, content_hash, CAST(b AS BIGINT) AS batch_id
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    // C265: the C121 durable aggregate-view store's published view must
+    // equal the from-scratch per-(user, day) recompute — same SQL as
+    // ivm_agg (C116), which is the point: store-merge ≡ recompute
+    "ivm_store_read" ->
+      """SELECT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day_idx,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(min(epoch_ns(ts) // 1000) AS BIGINT) AS first_us,
+        |  CAST(max(epoch_ns(ts) // 1000) AS BIGINT) AS last_us
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // C266: the C143 DQ-partials store's cumulative report vs the batch
+    // eventDqReport recompute
+    "dq_store_read" ->
+      """SELECT 'events_nonneg_value' AS rule, count(*) AS n_checked,
+        |  CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |  round(CASE WHEN count(*) > 0 THEN CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) ELSE 0.0 END, 6) AS violation_rate
+        |FROM events
+        |UNION ALL
+        |SELECT 'events_user_present', count(*),
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  round(CASE WHEN count(*) > 0 THEN CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) ELSE 0.0 END, 6)
+        |FROM events
+        |UNION ALL
+        |SELECT 'events_ts_present', count(*),
+        |  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  round(CASE WHEN count(*) > 0 THEN CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) ELSE 0.0 END, 6)
+        |FROM events""".stripMargin,
+
     // Bloom-filter measured vs textbook FPR over the corpus vocabulary
     "bloom_fpr" ->
       s"""WITH members AS (SELECT DISTINCT token FROM $tokTable),

@@ -936,6 +936,15 @@ object SparkEntry {
     // query: committed streaming-agg checkpoint state == the batch agg
     "statestore_read" -> ((s, d) =>
       streaming.Events.stateStoreRead(events(s, d))),
+    // round 18: C264-C266 — the three remaining test-only foreachBatch
+    // stores (C94/C121/C143) read back as oracled batch frames; the
+    // hash check vs the from-scratch recompute IS the merge proof
+    "dedup_store_read" -> ((s, d) =>
+      streaming.Events.dedupStoreRead(t(s, d, "documents"))),
+    "ivm_store_read" -> ((s, d) =>
+      streaming.Events.ivmStoreRead(events(s, d))),
+    "dq_store_read" -> ((s, d) =>
+      streaming.Events.dqStoreRead(events(s, d))),
     // round 17: B296 — doubly-robust off-policy value (DM + IPS
     // correction, split-fit reward model) beside ips_eval
     "doubly_robust_eval" -> ((s, d) =>

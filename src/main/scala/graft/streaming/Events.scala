@@ -1196,24 +1196,60 @@ object Events {
 
   private def buildStore(docs: DataFrame,
                          prefix: String,
-                         step: (DataFrame, Long, String, String) => Unit): (String, String) = {
+                         step: (DataFrame, Long, String, String) => Unit)
+      : (String, String, String) = {
     val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
     val (store, out) = (s"$tmp/store", s"$tmp/out")
     Seq(0L, 1L, 2L, 0L).foreach { b =>
       step(docs.filter(col("doc_id") % 3 === b), b, store, out)
     }
-    (store, out)
+    (tmp, store, out)
+  }
+
+  /** Materialize a BOUNDED store projection to a driver-local relation,
+    * then recursively delete `baseDir`. Every store-backed query surface
+    * in this file spills a temp store/checkpoint under java.io.tmpdir;
+    * returning a lazy reader over it means the dir can never be deleted
+    * (the r17 ADVICE leak: each bench warmup + timed + solo re-time left
+    * a full parquet copy behind, accumulating over multi-hundred-query
+    * passes and growing with SF). The frames localized here are all
+    * DIMENSION-bounded, never corpus/stream-bounded — sketch cells
+    * (depth×width / registers / mBits), per-rule DQ counts, per-type agg
+    * state, the (user × day) view, the distinct-hash corpus keeps — so
+    * the collect is a bounded license, documented per call site. At
+    * 100 TB the store is a permanent table, not a temp dir, and this
+    * seam disappears; eager cleanup is the single-JVM-harness hygiene. */
+  private def localizeAndDelete(df: DataFrame, baseDir: String): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.collect()
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+    deleteRecursively(baseDir)
+    local
+  }
+
+  private def deleteRecursively(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   /** Merged incremental Count-Min store as table `graft_sketch_cms`
     * (C213): per-(row, bucket) SUM over the per-batch cell partials. */
   def sketchCmsTable(docs: DataFrame, depth: Int = 4, width: Int = 256): DataFrame = {
     val spark = docs.sparkSession
-    val (store, _) = buildStore(docs, "graft_sketch_cms_",
+    val (base, store, _) = buildStore(docs, "graft_sketch_cms_",
       (b, id, s, o) => cmsBatch(b, id, s, o, depth, width))
-    spark.read.parquet(store)
-      .groupBy("r", "bucket").agg(sum(col("cell")).as("cell"))
-      .select(col("r").cast("long").as("r"), col("bucket"), col("cell"))
+    // depth×width-bounded cells: localize, then drop the temp store
+    localizeAndDelete(
+      spark.read.parquet(store)
+        .groupBy("r", "bucket").agg(sum(col("cell")).as("cell"))
+        .select(col("r").cast("long").as("r"), col("bucket"), col("cell")),
+      base)
       .createOrReplaceTempView("graft_sketch_cms")
     spark.table("graft_sketch_cms")
   }
@@ -1222,10 +1258,13 @@ object Events {
     * (C214): per-register MAX over the per-batch register partials. */
   def sketchHllTable(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val (store, _) = buildStore(docs, "graft_sketch_hll_",
+    val (base, store, _) = buildStore(docs, "graft_sketch_hll_",
       (b, id, s, o) => hllBatch(b, id, s, o))
-    spark.read.parquet(store)
-      .groupBy("reg").agg(max(col("mx")).as("mx"))
+    // register-count-bounded: localize, then drop the temp store
+    localizeAndDelete(
+      spark.read.parquet(store)
+        .groupBy("reg").agg(max(col("mx")).as("mx")),
+      base)
       .createOrReplaceTempView("graft_sketch_hll")
     spark.table("graft_sketch_hll")
   }
@@ -1234,10 +1273,12 @@ object Events {
     * (C215): the distinct set-bit positions across all batch partials. */
   def sketchBloomTable(docs: DataFrame, kHashes: Int = 4, mBits: Int = 4096): DataFrame = {
     val spark = docs.sparkSession
-    val (store, _) = buildStore(docs, "graft_sketch_bloom_",
+    val (base, store, _) = buildStore(docs, "graft_sketch_bloom_",
       (b, id, s, o) => bloomBatch(b, id, s, o, kHashes, mBits))
-    spark.read.parquet(store)
-      .select("pos").distinct()
+    // ≤ mBits set positions: localize, then drop the temp store
+    localizeAndDelete(
+      spark.read.parquet(store).select("pos").distinct(),
+      base)
       .createOrReplaceTempView("graft_sketch_bloom")
     spark.table("graft_sketch_bloom")
   }
@@ -1281,11 +1322,93 @@ object Events {
       .outputMode("update")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    spark.read.format("statestore").load(ckpt)
-      .select(col("key.event_type").as("event_type"),
-        col("value.count").cast("long").as("n_events"),
-        col("value.sum").cast("long").as("cents"))
+    // Bounded wait: a wedged micro-batch (checkpoint FS trouble) must
+    // surface as this query's -1 in the harness, not hang the whole
+    // bench/verify pass inside awaitTermination(). 10 min is ~100× the
+    // drain's observed cost at sf0.1.
+    if (!q.awaitTermination(600000L)) {
+      q.stop()
+      throw new IllegalStateException(
+        "stateStoreRead: AvailableNow drain did not terminate within 10 min")
+    }
+    // |event_types|-bounded state: localize, then drop src + checkpoint
+    localizeAndDelete(
+      spark.read.format("statestore").load(ckpt)
+        .select(col("key.event_type").as("event_type"),
+          col("value.count").cast("long").as("n_events"),
+          col("value.sum").cast("long").as("cents")),
+      base)
+  }
+
+  // ---- Durable incremental STORES as oracled query surfaces ----------
+  //
+  // C264-C266 (r18): the three remaining test-only foreachBatch stores
+  // (C94 seen-hash corpus dedup, C121 aggregate-view partials, C143 DQ
+  // rule partials) read back as batch frames and DuckDB-oracled against
+  // the from-scratch recompute — the statestore_read (C263) upgrade
+  // path applied to the foreachBatch family. Each surface drives the
+  // SAME factored per-batch step the streaming sink executes (so the
+  // query surface and the stream cannot drift), over three
+  // deterministic key-ranged micro-batches PLUS a replay of the final
+  // batch — the only replay the AvailableNow commit protocol produces —
+  // so dynamic-overwrite idempotence is exercised on the oracled
+  // surface itself, not just in StreamingSpec. The oracle hash check IS
+  // the merge proof: store-merge ≡ batch recompute, bit for bit.
+
+  /** C94's seen-hash store as an oracled query (C264): the kept-corpus
+    * decision set (doc_id, content_hash, batch_id) after three
+    * doc_id-keyed micro-batches + a final-batch replay. First-seen
+    * batch wins, lowest doc_id within a batch — so the oracle is
+    * row_number() over (hash ORDER BY doc_id % 3, doc_id) = 1. Result
+    * is distinct-hash-bounded (≤ |documents|), projected to the three
+    * decision columns, never the text. */
+  def dedupStoreRead(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val base = java.nio.file.Files.createTempDirectory("graft_dedup_store_").toString
+    val (store, out) = (s"$base/store", s"$base/out")
+    Seq(0L, 1L, 2L, 2L).foreach { b =>
+      dedupCorpusBatch(docs.filter(col("doc_id") % 3 === b), b, store, out)
+    }
+    localizeAndDelete(
+      spark.read.parquet(out)
+        .select(col("doc_id"), col("content_hash"),
+          col("batch_id").cast("long").as("batch_id")),
+      base)
+  }
+
+  /** C121's durable aggregate-view store as an oracled query (C265):
+    * the published per-(user, day) view after three event_id-keyed
+    * micro-batches + a final-batch replay. Splitting on event_id (not
+    * user_id) spreads every (user, day) group across batches, so the
+    * oracle hash check proves the associative partial MERGE, not just
+    * batch disjointness. Result is (users × days)-bounded — the view's
+    * own dimensionality, never the stream's. */
+  def ivmStoreRead(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val base = java.nio.file.Files.createTempDirectory("graft_ivm_store_").toString
+    val (store, out) = (s"$base/store", s"$base/out")
+    Seq(0L, 1L, 2L, 2L).foreach { b =>
+      aggViewBatch(events.filter(col("event_id") % 3 === b), b, store, out)
+    }
+    localizeAndDelete(
+      spark.read.parquet(out).filter(col("batch_id") === 2)
+        .select("user_id", "day_idx", "n_events", "sum_cents",
+          "first_us", "last_us"),
+      base)
+  }
+
+  /** C143's durable DQ-partials store as an oracled query (C266): the
+    * cumulative per-rule report after three event_id-keyed
+    * micro-batches + a final-batch replay, vs the from-scratch
+    * eventDqReport recompute in DuckDB. Three rules, three rows. */
+  def dqStoreRead(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val base = java.nio.file.Files.createTempDirectory("graft_dq_store_").toString
+    val (store, out) = (s"$base/store", s"$base/out")
+    Seq(0L, 1L, 2L, 2L).foreach { b =>
+      dqMonitorBatch(events.filter(col("event_id") % 3 === b), b, store, out)
+    }
+    localizeAndDelete(spark.read.parquet(out), base)
   }
 }
 

@@ -95,6 +95,23 @@ class RegistrySpec extends AnyFunSuite {
     assert(dupes.isEmpty, s"duplicate SURVEY §2 row ids: $dupes")
   }
 
+  test("SURVEY §2's stated distinct-key count matches table and registry") {
+    // the r17 §8p prose quoted the keyed-ROW count (542) as the key count
+    // (539): rows exceed keys because `clean_text` covers A2-A5. Pinning
+    // the distinct-key count to one machine-checked §2 line stops the
+    // prose from conflating the two again.
+    val stated = surveyS2Lines
+      .find(_.startsWith("§2 distinct query keys:"))
+      .getOrElse(fail("SURVEY §2 is missing its '§2 distinct query keys:' line"))
+    val n = """§2 distinct query keys: (\d+)""".r.findFirstMatchIn(stated)
+      .getOrElse(fail(s"unparseable distinct-key line: $stated")).group(1).toInt
+    assert(n == surveyKeys.size,
+      s"SURVEY §2 states $n distinct keys but the table has ${surveyKeys.size}")
+    assert(n == SparkEntry.queries.keySet.size,
+      s"SURVEY §2 states $n distinct keys but the registry holds " +
+        s"${SparkEntry.queries.keySet.size}")
+  }
+
   test("SURVEY §2 keys == SparkEntry.queries keys") {
     val survey = surveyKeys
     val registered = SparkEntry.queries.keySet
