@@ -13,7 +13,7 @@ class BenchContractSpec extends AnyFunSuite {
   private val worstCase = Bench.headline.toSeq.sorted.map(_ -> 9999.999)
 
   test("headline line stays under the driver's tail window at worst-case widths") {
-    val line = Bench.headlineLine(99999.999999999, 999,
+    val line = Bench.headlineLine(99999.999999999, 99999.999999999, 999, 999,
       Bench.jmap(worstCase), "/root/testdata/sf0.1")
     assert(!line.contains("\n"))
     assert(line.length < 1500,
@@ -21,14 +21,22 @@ class BenchContractSpec extends AnyFunSuite {
   }
 
   test("headline line is valid JSON shape with the fields the driver reads") {
-    val line = Bench.headlineLine(1.5, 2, Bench.jmap(Seq("a" -> 0.1234, "b" -> -1.0)), "/x")
+    val line = Bench.headlineLine(1.5, 1.2345, 0, 2,
+      Bench.jmap(Seq("a" -> 0.1234, "b" -> -1.0)), "/x")
     assert(line.startsWith("{") && line.endsWith("}"))
     for (field <- Seq("\"metric\":\"total\"", "\"value\":", "\"unit\":\"sec\"",
+        "\"steady_total\":", "\"n_unadjudicated\":",
         "\"n_queries\":", "\"queries\":{", "\"sf\":"))
       assert(line.contains(field), s"missing $field in $line")
     // 3dp rounding and the -1 crashed-query sentinel survive the format
     assert(line.contains("\"a\":0.123"))
     assert(line.contains("\"b\":-1"))
+    assert(line.contains("\"steady_total\":1.235"))
+  }
+
+  test("unadjudicated-outliers array formats as valid JSON") {
+    assert(Bench.jarr(Seq.empty) == "[]")
+    assert(Bench.jarr(Seq("x", "y")) == """["x","y"]""")
   }
 
   test("every headline key names a registered query") {

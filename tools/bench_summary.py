@@ -32,17 +32,36 @@ def main() -> None:
         ((k, q[k], solo[k]) for k in solo
          if solo[k] > 0 and q.get(k, -1) > 2.5 * solo[k]),
         key=lambda t: -t[1] / t[2])
+    steady = b.get("steady_total",
+                   sum(min(v, solo[k]) if solo.get(k, -1) > 0 else v
+                       for k, v in q.items()))
+    unadj = b.get("unadjudicated_outliers", None)
     print(f"file: {path} (sf={b.get('sf', '?')})")
     print(f"total: {total:.1f} s / {n} queries "
           f"({total / n:.2f} s/q, median {median:.2f} s, p90 {p90:.2f} s)")
+    print(f"steady_total (self-adjudicated, = sum of min(in-pass, solo)): "
+          f"{steady:.1f} s")
+    print(f"unadjudicated_outliers: "
+          f"{unadj if unadj is not None else 'not in artifact (pre-r18)'}")
     print(f"spill_bytes total: {spill}")
     print(f"failed (-1): {failed if failed else 'none'}")
     print(f"solo_median coverage: {len(solo)} queries")
+    cpu = b.get("cpu_ms", {})
+    cached = b.get("cached_delta_kb", {})
+    rd = b.get("disk_read_bytes", {})
     if outliers:
         print(f"in-pass outliers >2.5x their own solo median: {len(outliers)}")
         for k, official, s in outliers:
+            extra = ""
+            if k in cpu and cpu[k] >= 0:
+                # wall >> own-JVM CPU with small disk reads = starved by
+                # load outside this JVM; big negative cached delta =
+                # page-cache eviction under the query
+                extra = (f" [cpu {cpu[k] / 1000:.1f}s"
+                         f", cached_delta {cached.get(k, 0) / 1024:.0f}MB"
+                         f", disk_read {rd.get(k, 0) / 1e6:.0f}MB]")
             print(f"  {k}: {official:.1f} s official vs {s:.1f} s solo "
-                  f"({official / s:.1f}x)")
+                  f"({official / s:.1f}x){extra}")
     else:
         print("in-pass outliers >2.5x their own solo median: none")
 
