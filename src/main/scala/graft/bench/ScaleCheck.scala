@@ -304,17 +304,32 @@ object ScaleCheck {
         // duplication the token VOCABULARY and the distinct bigram-edge
         // set are UNCHANGED (only edge weights inflate ×m), so every
         // per-round frame in the HITS / label-prop / modularity loops is
-        // vocab-bounded — cost past the one token-explode aggregate must
-        // stay near-flat in m, NOT grow with it. edge_rows is printed as
-        // the bound's witness. embed_mmd / v_measure ride the EMBEDDING
-        // multiplier: closed-form MMD² and the Lloyd fit are one-pass
-        // linear-in-m with dims²/k-bounded state.
+        // edge-set-bounded — cost past the one token-explode aggregate
+        // must stay near-flat in m, NOT grow with it. edge_rows (the
+        // distinct undirected consecutive-bigram pairs, the exact frame
+        // the label-prop/modularity loops iterate) is printed as the
+        // bound's witness — the r18 ADVICE fix: the r17 build printed
+        // distinct TOKENS here while claiming the edge-set bound.
+        // embed_mmd / v_measure ride the EMBEDDING multiplier:
+        // closed-form MMD² and the Lloyd fit are one-pass linear-in-m
+        // with dims²/k-bounded state.
         val docs = multiplyDocs(docs0, m)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         docs.count()
-        val edgeRows = docs
-          .select(explode(graft.operators.TextOps.tokens(col("text"))).as("t"))
-          .distinct().count()
+        val edgeRows = {
+          val toked = docs
+            .select(graft.operators.TextOps.tokens(col("text")).as("toks"))
+            .filter(size(col("toks")) >= 2)
+          toked.select(explode(zip_with(
+              slice(col("toks"), lit(1), size(col("toks")) - 1),
+              slice(col("toks"), lit(2), size(col("toks")) - 1),
+              (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
+            .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+            .filter(col("w1") =!= col("w2"))
+            .select(least(col("w1"), col("w2")).as("a"),
+              greatest(col("w1"), col("w2")).as("b"))
+            .distinct().count()
+        }
         val (tHits, nHits) = timedForce(graft.operators.Graph.tokenHits(docs))
         graft.CacheTracker.releaseAll()
         val (tLp, nLp) = timedForce(graft.operators.Graph.tokenLabelProp(docs))
@@ -329,7 +344,7 @@ object ScaleCheck {
         graft.CacheTracker.releaseAll()
         val (tVm, _) = timedForce(Similarity.vMeasure(emb))
         graft.CacheTracker.releaseAll()
-        println(s"""{"m":$m,"docs":${docs.count()},"vocab":$edgeRows,""" +
+        println(s"""{"m":$m,"docs":${docs.count()},"edge_rows":$edgeRows,""" +
           s""""token_hits":{"sec":$tHits,"rows":$nHits},""" +
           s""""token_label_prop":{"sec":$tLp,"rows":$nLp},""" +
           s""""community_modularity":{"sec":$tMod},""" +
