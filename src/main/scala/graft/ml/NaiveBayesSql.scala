@@ -87,16 +87,31 @@ object NaiveBayesSql {
       .cast("long") % k
     val base = docs.select(col("doc_id"), col("text"),
       col("lang").as("label"), foldOf.as("fold"))
-    val toks = base.select(col("doc_id"), col("label"), col("fold"),
-      explode(TextOps.tokens(col("text"))).as("token"))
-    val cntF = toks.groupBy("fold", "label", "token").agg(count(lit(1)).as("c"))
+    // ONE corpus tokenize+explode (r18): the per-doc tf frame feeds
+    // BOTH the per-fold count model (summing tf over docs ≡ counting
+    // token occurrences) and the scoring side, and doc lengths are
+    // Σ tf — the old shape re-exploded the corpus three times (cntF /
+    // testTf / docLen each re-ran the regex tokenizer end to end).
+    // The pinned frame is the per-(doc, token) tf table — the same
+    // persisted-featurize-frame discipline as the NB/SVM pipelines.
+    val testTf = graft.CacheTracker.track(
+      base.select(col("doc_id"), col("label"), col("fold"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("fold", "label", "doc_id", "token")
+        .agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cntF = testTf.groupBy("fold", "label", "token")
+      .agg(sum(col("tf")).as("c"))
     val cntAll = cntF.groupBy("label", "token").agg(sum(col("c")).as("ca"))
     val folds = base.select("fold").distinct()
-    val comp = folds.crossJoin(cntAll)
+    // fold × vocab × label-bounded and consumed three times (classTot,
+    // vocab, the scoring join): pin it
+    val comp = graft.CacheTracker.track(folds.crossJoin(cntAll)
       .join(cntF, Seq("fold", "label", "token"), "left")
       .select(col("fold"), col("label"), col("token"),
         (col("ca") - coalesce(col("c"), lit(0L))).as("cnt"))
       .filter(col("cnt") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val classTot = comp.groupBy("fold", "label").agg(sum(col("cnt")).as("ct"))
     val vocab = comp.select("fold", "token").distinct()
       .groupBy("fold").agg(count(lit(1)).as("v"))
@@ -107,21 +122,26 @@ object NaiveBayesSql {
         (col("nda") - coalesce(col("nd"), lit(0L))).as("n_docs"))
       .filter(col("n_docs") > 0)
     val nTrain = priors.groupBy("fold").agg(sum(col("n_docs")).as("n_train"))
-    val testTf = toks.groupBy("fold", "doc_id", "token").agg(count(lit(1)).as("tf"))
-    val docLen = toks.groupBy("fold", "doc_id").agg(count(lit(1)).as("n_d"))
+    val docLen = testTf.groupBy("fold", "doc_id").agg(sum(col("tf")).as("n_d"))
     val labels = priors.select(col("fold"), col("label").as("cand"))
-    val scored = testTf
-      .join(labels, Seq("fold"))
+    // every model-side frame here is fold × label-bounded (k·|langs| ≤
+    // ~30 rows at ANY corpus scale) — broadcast them explicitly so the
+    // scoring chain shuffles only on its data-sized keys; comp is
+    // fold × vocab × label-bounded and stays a shuffle join by design
+    val scored = testTf.drop("label")
+      .join(broadcast(labels), Seq("fold"))
       .join(comp.select(col("fold"), col("label").as("cand"), col("token"),
         col("cnt")), Seq("fold", "cand", "token"), "left")
       .withColumn("part",
         col("tf") * log((coalesce(col("cnt"), lit(0L)) + 1).cast("double")))
       .groupBy("fold", "doc_id", "cand").agg(sum(col("part")).as("s"))
       .join(docLen, Seq("fold", "doc_id"))
-      .join(classTot.withColumnRenamed("label", "cand"), Seq("fold", "cand"))
-      .join(vocab, Seq("fold"))
-      .join(priors.withColumnRenamed("label", "cand"), Seq("fold", "cand"))
-      .join(nTrain, Seq("fold"))
+      .join(broadcast(classTot.withColumnRenamed("label", "cand")),
+        Seq("fold", "cand"))
+      .join(broadcast(vocab), Seq("fold"))
+      .join(broadcast(priors.withColumnRenamed("label", "cand")),
+        Seq("fold", "cand"))
+      .join(broadcast(nTrain), Seq("fold"))
       .withColumn("score", round(
         col("s") - col("n_d") * log((col("ct") + col("v")).cast("double"))
           + log(col("n_docs").cast("double") / col("n_train")), 6))

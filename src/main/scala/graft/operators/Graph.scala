@@ -438,17 +438,43 @@ object Graph {
           least(col("label"), coalesce(col("nb_label"), col("label")))
             .as("label")))
     }
-    val m = half.agg(count(lit(1)).as("m"))
-    val dC = edges.groupBy("a").agg(count(lit(1)).as("deg"))
-      .join(labels.withColumnRenamed("token", "a"), "a")
-      .groupBy("label").agg(sum(col("deg")).as("d_c"))
-    val eC = half
+    // ONE label-annotated edge frame feeds m, d_c AND e_c (r18): the
+    // old shape computed them from three separate join/agg chains over
+    // edges/half (~6 stages of the query's measured 3.3 s final phase);
+    // deriving all three from `labeled` halves the stage count. Values
+    // are identical by construction: every half row carries both
+    // endpoint labels (labels covers the full edge vocabulary), so
+    //   m   = |half| = |labeled|,
+    //   d_c = Σ_token∈C deg(token) = per-half-row +1 to BOTH endpoint
+    //         labels (edges is half ∪ swap, so deg(t) = #half rows
+    //         containing t) = the label explode count,
+    //   e_c = same intra-community filter+count as before.
+    // localCheckpoint, NOT persist: this plan SELF-JOINS labels (a and b
+    // sides), and Spark's self-join attribute dedup re-aliases with
+    // fresh exprIds at each analysis, so the persisted plan never
+    // matches the consumers' lookups — every consumer silently
+    // re-executed the joins (measured: 1.2-1.7 s per consumer vs 0.09 s
+    // for a clean cache hit). A LogicalRDD is referenced directly by
+    // the derived frames, so reuse cannot miss.
+    val labeled = half
       .join(labels.select(col("token").as("a"), col("label").as("la")), "a")
       .join(labels.select(col("token").as("b"), col("label").as("lb")), "b")
-      .filter(col("la") === col("lb"))
-      .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_c"))
-    val terms = dC.join(eC, Seq("label"), "left")
-      .withColumn("e_c", coalesce(col("e_c"), lit(0L)))
+      .localCheckpoint(true)
+    val m = labeled.agg(count(lit(1)).as("m"))
+    // d_c and e_c in ONE aggregate pass: each half row contributes +1
+    // degree to BOTH endpoint labels (the explode), and +1 intra-
+    // community edge to la's label iff la = lb — tagged on the first
+    // exploded struct only, so it counts once per edge. Replaces the
+    // old dC-chain ⋈ eC-chain left join (values identical: e_c of a
+    // label with no intra edges is sum(0) = the old coalesce(0)).
+    val byLabel = labeled
+      .select(explode(array(
+        struct(col("la").as("label"),
+          (col("la") === col("lb")).cast("long").as("intra")),
+        struct(col("lb").as("label"), lit(0L).as("intra")))).as("x"))
+      .groupBy(col("x.label").as("label"))
+      .agg(count(lit(1)).as("d_c"), sum(col("x.intra")).as("e_c"))
+    val terms = byLabel
       .crossJoin(broadcast(m))
       .select(
         expr("CAST(conv(substr(md5(label), 1, 4), 16, 10) AS BIGINT) % 1024").as("sb"),

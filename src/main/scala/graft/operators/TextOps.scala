@@ -1164,25 +1164,56 @@ object TextOps {
   }
 
   /** The trainer loop behind [[bpeTrain]]/[[bpeApply]], returning the
-    * driver-bounded merges list itself. */
+    * driver-bounded merges list itself.
+    *
+    * FUSED super-rounds (r18): one argmax pass costs a full corpus
+    * explode + shuffle (~0.4 s of the ~0.55 s/round at sf0.1, 2.9 s of
+    * the query's 4.5 s over 8 rounds), so each pass now collects the
+    * top-K pair counts and accepts the maximal PREFIX of ranks that the
+    * sequential chain provably picks unchanged, applying them as one
+    * folded replace + one checkpoint. Soundness of accepting rank j+1
+    * after ranks 1..j (all from the same pre-merge count table):
+    *
+    *   (1) pairwise token-disjoint with ranks 1..j → its own count is
+    *       unchanged by those merges (no occurrence destroyed/created);
+    *   (2) every OTHER existing pair's count can only DECREASE under
+    *       the merges, and the list order already encodes the
+    *       (cnt DESC, pair ASC) tie-break, so no old pair can overtake
+    *       it;
+    *   (3) a NEW pair created by merging (a,b) — (x,a_b) or (a_b,y) —
+    *       occurs at most as often as the pre-merge pair (x,a)/(b,y)
+    *       it extends, so requiring cnt_{j+1} STRICTLY greater than
+    *       the max pre-count among pairs sharing a token with any
+    *       accepted pair (conservatively the K-th count for pairs
+    *       outside the collected top-K) guarantees no new pair can
+    *       reach rank 1 before it.
+    *
+    * The DuckDB oracle stays the plain sequential chain — the fusion is
+    * a pure execution-strategy change, proven value-identical by the
+    * hash compare at both SFs (and by a python replay of both
+    * strategies over the cleaned corpus). On the driver sit ≤ K rows
+    * per pass — config-bounded state, never data-bounded.
+    *
+    * localCheckpoint, not persist: a persisted corpus caches the DATA
+    * but its logical plan still chains every prior round's replace over
+    * the fat cleanText regex tree, so Catalyst re-analyzes an O(round)-
+    * deep plan per argmax (measured: build_ms ≈ 4.7 s of a 4.8 s
+    * query). Truncating to a LogicalRDD makes each round's analyzed
+    * plan constant-size. Stats loss is harmless here — the corpus is
+    * only aggregated and narrowly rewritten, never join-planned — and
+    * the eager checkpoint materializes exactly what the old persist +
+    * argmax pass did. Blocks free via CacheTracker.drainAll at the
+    * harness query boundary (checkpoint RDDs are untracked by design). */
   private[graft] def bpeTrainMerges(docs: DataFrame, nMerges: Int)
       : Seq[(Long, String, String, Long)] = {
-    // localCheckpoint, not persist: a persisted corpus caches the DATA
-    // but its logical plan still chains every prior round's replace over
-    // the fat cleanText regex tree, so Catalyst re-analyzes an O(round)-
-    // deep plan per argmax (measured: build_ms ≈ 4.7 s of a 4.8 s
-    // query). Truncating to a LogicalRDD makes each round's analyzed
-    // plan constant-size. Stats loss is harmless here — the corpus is
-    // only aggregated and narrowly rewritten, never join-planned — and
-    // the eager checkpoint materializes exactly what the old persist +
-    // argmax pass did. Blocks free via CacheTracker.drainAll at the
-    // harness query boundary (checkpoint RDDs are untracked by design).
     def persisted(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    val topK = 64
     var corpus = persisted(
       docs.select(col("doc_id"), cleanText(col("text")).as("txt")))
     val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var done = 0
     var exhausted = false
-    for (i <- 1 to nMerges if !exhausted) {
+    while (done < nMerges && !exhausted) {
       val toks = filter(split(col("txt"), " "), t => t =!= "")
       val bigrams = corpus.select(toks.as("toks"))
         .select(explode(when(size(col("toks")) > 1,
@@ -1191,15 +1222,42 @@ object TextOps {
               element_at(col("toks"), j + 1))))
           .otherwise(array().cast("array<string>"))).as("pair"))
       val top = bigrams.groupBy("pair").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair")).limit(1)
-        .take(1) // one (pair, cnt) row — config-bounded driver state
+        .orderBy(col("cnt").desc, col("pair")).limit(topK)
+        .collect() // ≤ K (pair, cnt) rows — config-bounded driver state
       if (top.isEmpty) exhausted = true
       else {
-        val (pair, cnt) = (top(0).getString(0), top(0).getLong(1))
-        val Array(a, b) = pair.split(" ", 2)
-        merges += ((i.toLong, pair, s"${a}_$b", cnt))
-        corpus = persisted(corpus.select(col("doc_id"),
-          regexp_replace(col("txt"), s"\\b$a $b\\b", s"${a}_$b").as("txt")))
+        val pairs = top.map(r => (r.getString(0), r.getLong(1)))
+        // pairs outside the collected top-K have count ≤ the K-th
+        val kth = if (pairs.length == topK) pairs.last._2 else 0L
+        val accepted = scala.collection.mutable.ArrayBuffer(pairs(0))
+        var acceptedToks = pairs(0)._1.split(" ", 2).toSet
+        var stop = false
+        for (j <- 1 until pairs.length
+             if !stop && done + accepted.size < nMerges) {
+          val (p, cnt) = pairs(j)
+          val pt = p.split(" ", 2).toSet
+          if ((pt & acceptedToks).nonEmpty) stop = true
+          else {
+            val acceptedSet = accepted.map(_._1).toSet
+            val neighborMax = pairs.iterator
+              .filter { case (pp, _) => !acceptedSet.contains(pp) &&
+                (pp.split(" ", 2).toSet & acceptedToks).nonEmpty }
+              .map(_._2).maxOption.getOrElse(0L)
+            if (cnt > math.max(neighborMax, kth)) {
+              accepted += ((p, cnt)); acceptedToks ++= pt
+            } else stop = true
+          }
+        }
+        // apply the accepted prefix IN RANK ORDER as one folded
+        // projection — sequential replace semantics preserved exactly
+        var txt: org.apache.spark.sql.Column = col("txt")
+        accepted.foreach { case (p, cnt) =>
+          done += 1
+          val Array(a, b) = p.split(" ", 2)
+          merges += ((done.toLong, p, s"${a}_$b", cnt))
+          txt = regexp_replace(txt, s"\\b$a $b\\b", s"${a}_$b")
+        }
+        corpus = persisted(corpus.select(col("doc_id"), txt.as("txt")))
       }
     }
     merges.result()
