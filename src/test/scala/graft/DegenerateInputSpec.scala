@@ -256,4 +256,100 @@ class DegenerateInputSpec extends SparkSpec {
       graft.CacheTracker.releaseAll()
     }
   }
+
+  // ---- r18 sweeps: the C-family sessionize/attribution/time-series ----
+  // operators under the degenerate slices a 100 TB partition produces
+  // constantly (verdict r17 task 7): single-event users (zero gaps, no
+  // transitions), a zero-revenue day (purchases exist, cents all 0),
+  // and a single-source corpus (one fold, one mixture component).
+
+  /** four users, exactly ONE event each: every per-user gap/transition
+    * frame is empty, every session a singleton */
+  private lazy val singleEventUsers: DataFrame = Seq(
+    (1L, 1L, "click", Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")), 1.0),
+    (2L, 2L, "view", Timestamp.from(java.time.Instant.parse("2024-01-02T01:00:00Z")), 2.0),
+    (3L, 3L, "purchase", Timestamp.from(java.time.Instant.parse("2024-01-03T02:00:00Z")), 3.0),
+    (4L, 4L, "signup", Timestamp.from(java.time.Instant.parse("2024-01-04T03:00:00Z")), 4.0))
+    .toDF("event_id", "user_id", "event_type", "ts", "value")
+
+  /** a calendar with purchases whose value is all 0.0: revenue sums,
+    * LTV curves, and revenue shares all hit 0/0-shaped denominators */
+  private lazy val zeroRevenueEvents: DataFrame = (1L to 8L).map(i =>
+    (i, i % 2, if (i % 2 == 0) "purchase" else "click",
+      Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(i * 3600)), 0.0))
+    .toDF("event_id", "user_id", "event_type", "ts", "value")
+
+  /** varied text, ONE source: source-keyed folds/mixtures/caps collapse
+    * to a single group (k-fold trains on an EMPTY complement) */
+  private lazy val singleSourceDocs: DataFrame = Seq(
+    (1L, "alpha beta gamma delta", "en", "src0", 22L),
+    (2L, "epsilon zeta eta theta", "en", "src0", 22L),
+    (3L, "iota kappa lambda mu", "fr", "src0", 20L),
+    (4L, "nu xi omicron pi rho", "de", "src0", 20L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("sessionize/attribution operators are total on single-event users") {
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "events_sessionize" -> (d => Sessionize.byLag(d)),
+      "session_histogram" -> (d => Sessionize.sessionHistogram(d)),
+      "events_funnel" -> (d => Sessionize.funnel(d)),
+      "session_paths" -> (d => Sessionize.sessionPaths(d)),
+      "window_funnel" -> (d => Sessionize.windowFunnel(d)),
+      "frequent_paths3" -> (d => Sessionize.frequentPaths3(d)),
+      "transition_latency" -> (d => Sessionize.transitionLatency(d)),
+      "session_event_pairs" -> (d => Sessionize.sessionEventPairs(d)),
+      "session_gap_sweep" -> (d => Sessionize.sessionGapSweep(d)),
+      "attribution_time_decay" -> (d => Sessionize.attributionTimeDecay(d)),
+      "attribution_window_sweep" -> (d => Sessionize.attributionWindowSweep(d)),
+      "touches_to_convert" -> (d => Sessionize.touchesToConvert(d)),
+      "shapley_attribution" -> (d => Sessionize.shapleyAttribution(d)),
+      "transition_predict" -> (d => Sessionize.transitionPredict(d)),
+      "markov_attribution" -> (d => Sessionize.markovAttribution(d)),
+      "markov_stationary" -> (d => Sessionize.markovStationary(d)),
+      "path_pattern_match" -> (d => Sessionize.pathPatternMatch(d)),
+      "session_concurrency" -> (d => Sessionize.sessionConcurrency(d)),
+      "bot_score" -> (d => Sessionize.botScore(d)),
+      "conversion_latency" -> (d => Sessionize.conversionLatency(d)),
+      "interarrival_stats" -> (d => Relational.interarrivalStats(d)))
+    for ((name, op) <- ops) {
+      val n = try op(singleEventUsers).collect().length
+        catch { case e: Throwable => fail(s"$name threw on single-event users: $e") }
+      assert(n <= 32, s"$name: unexpected fan-out on a 4-event stream")
+      graft.CacheTracker.releaseAll()
+    }
+  }
+
+  test("calendar/revenue operators are total on a zero-revenue day") {
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "daily_kpis" -> (d => Relational.dailyKpis(d)),
+      "survival_curve" -> (d => Relational.survivalCurve(d)),
+      "dau_mau" -> (d => Relational.dauMau(d)),
+      "churn_rate" -> (d => Relational.churnRate(d)),
+      "diff_in_diff" -> (d => Relational.diffInDiff(d)),
+      "retention_decay_fit" -> (d => Relational.retentionDecayFit(d)),
+      "attribution_time_decay" -> (d => Sessionize.attributionTimeDecay(d)),
+      "touches_to_convert" -> (d => Sessionize.touchesToConvert(d)),
+      "shapley_attribution" -> (d => Sessionize.shapleyAttribution(d)),
+      "markov_attribution" -> (d => Sessionize.markovAttribution(d)))
+    for ((name, op) <- ops) {
+      val n = try op(zeroRevenueEvents).collect().length
+        catch { case e: Throwable => fail(s"$name threw on a zero-revenue day: $e") }
+      assert(n <= 64, s"$name: unexpected fan-out on an 8-event stream")
+      graft.CacheTracker.releaseAll()
+    }
+  }
+
+  test("source-keyed operators are total on a single-source corpus") {
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "mixture_sample" -> (d => TextOps.mixtureSample(d)),
+      "domain_cap" -> (d => TextOps.domainCap(d)),
+      "cv_accuracy" -> (d => graft.ml.NaiveBayesSql.cvAccuracy(d)))
+    for ((name, op) <- ops) {
+      val n = try op(singleSourceDocs).collect().length
+        catch { case e: Throwable => fail(s"$name threw on a single-source corpus: $e") }
+      assert(n <= 16, s"$name: unexpected fan-out on a 4-doc corpus")
+      graft.CacheTracker.releaseAll()
+    }
+  }
 }
