@@ -7953,6 +7953,66 @@ object Oracles {
         |  round(CASE WHEN count(*) > 0 THEN CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) ELSE 0.0 END, 6)
         |FROM events""".stripMargin,
 
+    // C267: the C99 durable shingle store's per-doc span report — a doc's
+    // duplicated positions are covered by shingles seen in an EARLIER
+    // micro-batch (doc_id % 3, processed in order; singletons included —
+    // the store keeps every distinct batch shingle) or shared by another
+    // doc of the SAME batch
+    "span_store_read" ->
+      s"""WITH b AS (SELECT doc_id, doc_id % 3 AS bid,
+         |           CAST(len(toks) AS BIGINT) AS n_tokens, toks
+         |      FROM (SELECT doc_id, $toks AS toks FROM documents)),
+         |sh AS (SELECT doc_id, bid, i,
+         |       md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')) AS h
+         |       FROM (SELECT doc_id, bid, toks, unnest(range(0, len(toks) - 7)) AS i
+         |             FROM b WHERE n_tokens >= 8)),
+         |agg AS (SELECT h, min(bid) AS minb,
+         |        count(DISTINCT CASE WHEN bid = 0 THEN doc_id END) AS nd0,
+         |        count(DISTINCT CASE WHEN bid = 1 THEN doc_id END) AS nd1,
+         |        count(DISTINCT CASE WHEN bid = 2 THEN doc_id END) AS nd2
+         |        FROM sh GROUP BY 1),
+         |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_tokens FROM
+         |        (SELECT DISTINCT s.doc_id, s.i + r.u AS pos
+         |         FROM sh s JOIN agg a USING (h) CROSS JOIN range(0, 8) r(u)
+         |         WHERE a.minb < s.bid
+         |            OR (CASE s.bid WHEN 0 THEN a.nd0 WHEN 1 THEN a.nd1
+         |                ELSE a.nd2 END) > 1)
+         |        GROUP BY 1)
+         |SELECT b.doc_id, b.n_tokens,
+         |  CASE WHEN b.n_tokens >= 8 THEN b.n_tokens - 7
+         |       WHEN b.n_tokens IS NOT NULL THEN CAST(0 AS BIGINT) END AS n_shingles,
+         |  CASE WHEN b.n_tokens IS NOT NULL
+         |       THEN CAST(coalesce(c.n_dup_tokens, 0) AS BIGINT) END AS n_dup_tokens,
+         |  CASE WHEN b.n_tokens > 0
+         |       THEN round(CAST(coalesce(c.n_dup_tokens, 0) AS DOUBLE) / b.n_tokens, 6)
+         |       WHEN b.n_tokens IS NOT NULL THEN 0.0 END AS dup_token_frac,
+         |  CAST(b.bid AS BIGINT) AS batch_id
+         |FROM b LEFT JOIN cov c USING (doc_id)""".stripMargin,
+
+    // C268: the C107 durable moment store's cumulative report — the
+    // batches are time-range slices so per-user event-time order holds
+    // and the bridging-gap merge must equal the batch operator exactly:
+    // the oracle IS bot_score's SQL, store-merge ≡ batch recompute
+    "botscore_store_read" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |g AS (SELECT user_id,
+        |      (us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)) // 1000000 AS gap_s
+        |      FROM e QUALIFY gap_s IS NOT NULL),
+        |m AS (SELECT user_id, count(*) AS n_gaps, CAST(sum(gap_s) AS BIGINT) AS s,
+        |      CAST(sum(gap_s * gap_s) AS BIGINT) AS ss FROM g GROUP BY 1),
+        |v AS (SELECT user_id, n_gaps,
+        |    round(CAST(s AS DOUBLE) / n_gaps, 9) AS mean_gap_s,
+        |    greatest(round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_gaps) / n_gaps, 9),
+        |             CAST(0.0 AS DOUBLE)) AS var_gap_s
+        |  FROM m),
+        |c AS (SELECT user_id, n_gaps, mean_gap_s,
+        |    CASE WHEN mean_gap_s > 0 THEN round(sqrt(var_gap_s) / mean_gap_s, 6)
+        |         ELSE 0.0 END AS cv_gap
+        |  FROM v)
+        |SELECT user_id, n_gaps, mean_gap_s, cv_gap,
+        |  (n_gaps >= 5 AND cv_gap < 0.3) AS is_regular
+        |FROM c""".stripMargin,
+
     // Bloom-filter measured vs textbook FPR over the corpus vocabulary
     "bloom_fpr" ->
       s"""WITH members AS (SELECT DISTINCT token FROM $tokTable),

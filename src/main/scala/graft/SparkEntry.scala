@@ -945,6 +945,14 @@ object SparkEntry {
       streaming.Events.ivmStoreRead(events(s, d))),
     "dq_store_read" -> ((s, d) =>
       streaming.Events.dqStoreRead(events(s, d))),
+    // round 18 cont.: C267-C268 — the last two test-only foreachBatch
+    // stores (C99 shingle store, C107 moment store) read back as
+    // oracled batch frames; botscore's time-range batching makes the
+    // bridging-gap merge answerable by the batch operator's own SQL
+    "span_store_read" -> ((s, d) =>
+      streaming.Events.spanStoreRead(t(s, d, "documents"))),
+    "botscore_store_read" -> ((s, d) =>
+      streaming.Events.botScoreStoreRead(events(s, d))),
     // round 17: B296 — doubly-robust off-policy value (DM + IPS
     // correction, split-fit reward model) beside ips_eval
     "doubly_robust_eval" -> ((s, d) =>

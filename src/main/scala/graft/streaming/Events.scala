@@ -1410,6 +1410,76 @@ object Events {
     }
     localizeAndDelete(spark.read.parquet(out), base)
   }
+
+  /** C99's durable shingle store as an oracled query (C267): the per-doc
+    * span-dup report after three doc_id-keyed micro-batches + a
+    * final-batch replay of the probe-vs-durable-store step
+    * ([[spanDedupBatch]]). A doc's duplicated positions are those covered
+    * by a win-8 shingle already in the store — any doc of an EARLIER
+    * batch, singletons included: the store keeps every distinct batch
+    * shingle, which is exactly standing-corpus semantics — or shared by
+    * another doc of its OWN batch; the self-exclusion +
+    * dynamic-overwrite replay discipline is exercised on the oracled
+    * surface itself. Each doc is reported exactly once (by its own
+    * batch), so the union of report partitions is corpus-keyed — the
+    * same bounded-localize license as [[dedupStoreRead]]'s keep set. */
+  def spanStoreRead(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    if (docs.isEmpty)
+      // degenerate empty corpus: an all-empty store has no partitions to
+      // read back — answer with the probe shape's (empty) report instead
+      return graft.operators.Dedup
+        .spanDedupIncremental(docs.limit(0), docs.limit(0))
+        .withColumn("batch_id", lit(0L))
+    val base = java.nio.file.Files.createTempDirectory("graft_span_store_").toString
+    val (store, out) = (s"$base/store", s"$base/out")
+    Seq(0L, 1L, 2L, 2L).foreach { b =>
+      spanDedupBatch(docs.filter(col("doc_id") % 3 === b), b, store, out)
+    }
+    localizeAndDelete(
+      spark.read.parquet(out)
+        .select(col("doc_id"), col("n_tokens"), col("n_shingles"),
+          col("n_dup_tokens"), col("dup_token_frac"),
+          col("batch_id").cast("long").as("batch_id")),
+      base)
+  }
+
+  /** C107's durable moment store as an oracled query (C268): the
+    * cumulative per-user bot-score report after three TIME-RANGE
+    * micro-batches + a final-batch replay of [[botScoreBatch]]. Batches
+    * split the stream on thirds of the global [min, max] event-time
+    * span (two scalar bounds — the one driver read, a bounded license),
+    * so per-user event-time order holds across batches and the
+    * bridging-gap merge must reproduce the batch operator BIT-exactly:
+    * the oracle is bot_score's own SQL, which is the point —
+    * store-merge ≡ batch recompute, gap for gap. Events sharing a
+    * timestamp land in one batch by construction (the bucket is a pure
+    * function of us), so no boundary tie can reorder a user's
+    * sequence. Result is user-bounded. */
+  def botScoreStoreRead(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val bounds = events
+      .agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head()
+    if (bounds.isNullAt(0))
+      // degenerate empty stream: no gaps, empty report — skip the store
+      // path entirely (an all-empty store has no partitions to read)
+      return graft.operators.Sessionize.botScoreFromMoments(
+        spark.range(0).select(col("id").as("user_id"),
+          col("id").as("n_gaps"), col("id").as("s"), col("id").as("ss")))
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = hi - lo + 1 // (us-lo)*3 div span ∈ [0, 2] with no clamp
+    val base = java.nio.file.Files.createTempDirectory("graft_bot_store_").toString
+    val (store, out) = (s"$base/store", s"$base/out")
+    val bucket = expr(s"((unix_micros(ts) - ${lo}L) * 3) div ${span}L")
+    Seq(0L, 1L, 2L, 2L).foreach { b =>
+      botScoreBatch(events.filter(bucket === b), b, store, out)
+    }
+    localizeAndDelete(
+      spark.read.parquet(out).filter(col("batch_id") === 2)
+        .select("user_id", "n_gaps", "mean_gap_s", "cv_gap", "is_regular"),
+      base)
+  }
 }
 
 /** The [[Events.runningUserActivityTws]] processor: one ValueState record

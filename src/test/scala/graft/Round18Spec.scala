@@ -69,6 +69,42 @@ class Round18Spec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("spanStoreRead: store-probe reports == per-batch incremental probe " +
+    "vs the earlier batches' corpus, spill deleted") {
+    assumeTestdata()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val before = tmpEntries("graft_span_store_")
+    val got = streaming.Events.spanStoreRead(docs).orderBy("doc_id").collect()
+    assert(tmpEntries("graft_span_store_") == before,
+      "spanStoreRead left its temp store behind")
+    // the durable-store path must equal the BATCH incremental probe run
+    // per micro-batch: newDocs = batch b, standing corpus = batches < b
+    // (the store keeps every distinct batch shingle, singletons included)
+    val want = Seq(0, 1, 2).map { b =>
+      operators.Dedup.spanDedupIncremental(
+        docs.filter(col("doc_id") % 3 === b),
+        docs.filter(col("doc_id") % 3 < b))
+        .withColumn("batch_id", lit(b.toLong))
+    }.reduce(_ unionByName _).orderBy("doc_id").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("botScoreStoreRead: time-range batched moment merge == batch operator, " +
+    "spill deleted") {
+    assumeTestdata()
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val norm = SparkEntry.normalizeEventTs(events)
+    val before = tmpEntries("graft_bot_store_")
+    val got = streaming.Events.botScoreStoreRead(norm)
+      .orderBy("user_id").collect()
+    assert(tmpEntries("graft_bot_store_") == before,
+      "botScoreStoreRead left its temp store behind")
+    val want = operators.Sessionize.botScore(norm).orderBy("user_id").collect()
+    assert(got.toSeq == want.toSeq)
+    // degenerate empty stream short-circuits the store path entirely
+    assert(streaming.Events.botScoreStoreRead(norm.limit(0)).count() === 0)
+  }
+
   test("stateStoreRead deletes its src+checkpoint spill eagerly") {
     assumeTestdata()
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
