@@ -340,6 +340,38 @@ class DegenerateInputSpec extends SparkSpec {
     }
   }
 
+  /** four docs of ONE REPEATED token: every bigram edge is a SELF-LOOP
+    * — degree/triangle/assortativity math meets src == dst rows, and
+    * community/k-core folds see a graph whose only structure is loops */
+  private lazy val selfLoopDocs: DataFrame = (1L to 4L)
+    .map(i => (i, "word word word word word word", "en", "web", 29L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("token-graph operators are total on empty and all-self-loop edge sets") {
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "token_walks" -> (d => Graph.tokenWalks(d)),
+      "token_triangles" -> (d => Graph.tokenTriangles(d, minPairDocs = 1)),
+      "token_degree_stats" -> (d => Graph.tokenDegreeStats(d, minPairDocs = 1)),
+      "token_bfs" -> (d => Graph.tokenBfs(d, minPairDocs = 1)),
+      "token_bfs_rcte" -> (d => Graph.tokenBfsRcte(d, minPairDocs = 1)),
+      "token_label_prop" -> (d => Graph.tokenLabelProp(d)),
+      "community_modularity" -> (d => Graph.communityModularity(d)),
+      "token_kcore" -> (d => Graph.tokenKcore(d)),
+      "token_assortativity" -> (d => Graph.tokenAssortativity(d, minPairDocs = 1)),
+      "adamic_adar" -> (d => Graph.adamicAdar(d)),
+      "bpe_train" -> (d => TextOps.bpeTrain(d)),
+      "bpe_apply" -> (d => TextOps.bpeApply(d)),
+      "bpe_merge_step" -> (d => TextOps.bpeMergeStep(d)))
+    for ((name, op) <- ops; (label, docs) <-
+           Seq("single-token (empty edge set)" -> singleTokenDocs,
+             "self-loop-only" -> selfLoopDocs)) {
+      val n = try op(docs).collect().length
+        catch { case e: Throwable => fail(s"$name threw on $label docs: $e") }
+      assert(n <= 32, s"$name: unexpected fan-out on 4 $label docs")
+      graft.CacheTracker.releaseAll()
+    }
+  }
+
   test("source-keyed operators are total on a single-source corpus") {
     val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
       "mixture_sample" -> (d => TextOps.mixtureSample(d)),
