@@ -2745,6 +2745,37 @@ object Oracles {
          |      FROM q)
          |SELECT doc_id, lang, quality, pct_rank FROM r WHERE pct_rank <= 0.5""".stripMargin,
 
+    // B297: greedy-by-quality prefix under a 10k-token budget; the
+    // running sum is monotone in rank, so cum <= budget IS the prefix
+    "token_budget_select" ->
+      s"""WITH s AS (SELECT doc_id, $qualitySql AS quality,
+         |           CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         |r AS (SELECT doc_id, quality, n_tokens,
+         |      row_number() OVER (ORDER BY quality DESC, doc_id) AS sel_rank,
+         |      sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |        ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM s)
+         |SELECT doc_id, quality, n_tokens, CAST(sel_rank AS BIGINT) AS sel_rank,
+         |  CAST(cum AS BIGINT) AS cum_tokens
+         |FROM r WHERE cum <= 10000""".stripMargin,
+
+    // B298: the knapsack-density order — quality per token, 9 dp, zero-
+    // token docs at density 0
+    "token_budget_density" ->
+      s"""WITH s AS (SELECT doc_id, $qualitySql AS quality,
+         |           CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         |d AS (SELECT doc_id, quality, n_tokens,
+         |      CASE WHEN n_tokens > 0 THEN round(quality / n_tokens, 9)
+         |           ELSE 0.0 END AS density FROM s),
+         |r AS (SELECT doc_id, quality, n_tokens, density,
+         |      row_number() OVER (ORDER BY density DESC, doc_id) AS sel_rank,
+         |      sum(n_tokens) OVER (ORDER BY density DESC, doc_id
+         |        ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM d)
+         |SELECT doc_id, quality, n_tokens, density,
+         |  CAST(sel_rank AS BIGINT) AS sel_rank, CAST(cum AS BIGINT) AS cum_tokens
+         |FROM r WHERE cum <= 10000""".stripMargin,
+
     "mixture_sample" ->
       """SELECT doc_id, source, bucket, rate FROM (
         |  SELECT doc_id, source,

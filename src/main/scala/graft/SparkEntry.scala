@@ -203,6 +203,12 @@ object SparkEntry {
     "curation_pipeline" -> ((s, d) => TextOps.curate(spread(t(s, d, "documents")))),
     "dedup_filtered" -> ((s, d) => TextOps.dedupFiltered(t(s, d, "documents"))),
     "quality_filter" -> ((s, d) => TextOps.qualityFilter(spread(t(s, d, "documents")))),
+    // round 18 cont.: B297-B298 — token-budget corpus selection, the
+    // budget-bounded-output "select N tokens from the corpus" step
+    "token_budget_select" -> ((s, d) =>
+      TextOps.tokenBudgetSelect(spread(t(s, d, "documents")))),
+    "token_budget_density" -> ((s, d) =>
+      TextOps.tokenBudgetDensity(spread(t(s, d, "documents")))),
     "mixture_sample" -> ((s, d) => TextOps.mixtureSample(t(s, d, "documents"))),
     "token_histogram" -> ((s, d) => TextOps.tokenHistogram(spread(t(s, d, "documents")))),
     "pii_redact" -> ((s, d) => TextOps.piiRedact(spread(t(s, d, "documents")))),

