@@ -299,6 +299,30 @@ object ScaleCheck {
           s""""caliper_match":{"sec":$tCm,"rows":$nCm}}""")
         docs.unpersist(); events.unpersist()
         graft.CacheTracker.drainAll(spark)
+      } else if (sections.contains("r18")) {
+        // token-budget corpus selection (B297/B298): selecting a FIXED
+        // token budget from an m× corpus must keep the OUTPUT
+        // budget-bounded (kept rows / kept tokens do not grow with m —
+        // they can only shrink toward higher-quality prefixes as the
+        // candidate pool widens), while the cost is the one
+        // rank+running-sum pass, linear in m. kept_tokens <= 10000 is
+        // the invariant; kept_rows is printed as the bound's witness.
+        val docs = multiplyDocs(docs0, m)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs.count()
+        val (tSel, nSel) = timedForce(
+          graft.operators.TextOps.tokenBudgetSelect(docs))
+        val keptSel = graft.operators.TextOps.tokenBudgetSelect(docs)
+          .agg(max(col("cum_tokens"))).head().getLong(0)
+        graft.CacheTracker.releaseAll()
+        val (tDen, nDen) = timedForce(
+          graft.operators.TextOps.tokenBudgetDensity(docs))
+        graft.CacheTracker.releaseAll()
+        println(s"""{"m":$m,"docs":${docs.count()},""" +
+          s""""token_budget_select":{"sec":$tSel,"kept_rows":$nSel,"kept_tokens":$keptSel},""" +
+          s""""token_budget_density":{"sec":$tDen,"kept_rows":$nDen}}""")
+        docs.unpersist()
+        graft.CacheTracker.drainAll(spark)
       } else if (sections.contains("r17")) {
         // r16 graph/stat family (verdict r17 task 6): under m-way DOC
         // duplication the token VOCABULARY and the distinct bigram-edge
