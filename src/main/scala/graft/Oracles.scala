@@ -2776,6 +2776,24 @@ object Oracles {
          |  CAST(sel_rank AS BIGINT) AS sel_rank, CAST(cum AS BIGINT) AS cum_tokens
          |FROM r WHERE cum <= 10000""".stripMargin,
 
+    // B299: MRL truncation fidelity — cosine over the deterministic
+    // (even, successor) pairs at full vs 32-dim prefix width; list_reduce
+    // replays the native expression's array-order double accumulation;
+    // DuckDB x/0 → NULL matches the Spark NaN→NULL guard
+    "embed_truncation_fidelity" ->
+      """WITH a AS (SELECT vec_id AS a_id, embedding AS ea FROM embeddings WHERE vec_id % 2 = 0),
+        |b AS (SELECT vec_id - 1 AS a_id, embedding AS eb FROM embeddings),
+        |p AS (SELECT a_id, a_id + 1 AS b_id,
+        |  round(list_reduce(list_transform(ea, (x, i) -> CAST(x AS DOUBLE) * CAST(eb[i] AS DOUBLE)), (s, q) -> s + q)
+        |    / (sqrt(list_reduce(list_transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, q) -> s + q))
+        |       * sqrt(list_reduce(list_transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, q) -> s + q))), 6) AS cos_full,
+        |  round(list_reduce(list_transform(list_slice(ea, 1, 32), (x, i) -> CAST(x AS DOUBLE) * CAST(list_slice(eb, 1, 32)[i] AS DOUBLE)), (s, q) -> s + q)
+        |    / (sqrt(list_reduce(list_transform(list_slice(ea, 1, 32), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, q) -> s + q))
+        |       * sqrt(list_reduce(list_transform(list_slice(eb, 1, 32), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, q) -> s + q))), 6) AS cos_prefix
+        |  FROM a JOIN b USING (a_id))
+        |SELECT a_id, b_id, cos_full, cos_prefix,
+        |  round(abs(cos_full - cos_prefix), 6) AS abs_delta FROM p""".stripMargin,
+
     "mixture_sample" ->
       """SELECT doc_id, source, bucket, rate FROM (
         |  SELECT doc_id, source,

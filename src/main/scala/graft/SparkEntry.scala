@@ -209,6 +209,9 @@ object SparkEntry {
       TextOps.tokenBudgetSelect(spread(t(s, d, "documents")))),
     "token_budget_density" -> ((s, d) =>
       TextOps.tokenBudgetDensity(spread(t(s, d, "documents")))),
+    // round 18 cont.: B299 — MRL truncation-fidelity audit
+    "embed_truncation_fidelity" -> ((s, d) =>
+      Similarity.embedTruncationFidelity(t(s, d, "embeddings"))),
     "mixture_sample" -> ((s, d) => TextOps.mixtureSample(t(s, d, "documents"))),
     "token_histogram" -> ((s, d) => TextOps.tokenHistogram(spread(t(s, d, "documents")))),
     "pii_redact" -> ((s, d) => TextOps.piiRedact(spread(t(s, d, "documents")))),

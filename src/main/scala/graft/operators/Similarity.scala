@@ -714,6 +714,32 @@ object Similarity {
       .filter(col("cos") >= simMin)
   }
 
+  /** Matryoshka truncation-fidelity audit (B299): for the deterministic
+    * (even vec, successor) pair set — one equi-join on vec_id+1, never a
+    * bucketed self-join — the pairwise cosine at FULL dimensionality vs
+    * at the first `prefixDims` prefix (re-normalized, which is what
+    * serving a truncated MRL embedding does), plus |delta|. The audit
+    * answers "can this index serve half-width vectors" BEFORE a 100 TB
+    * re-embed: if abs_delta concentrates near 0 the prefix preserves
+    * geometry. Cosines go through the codegen'd [[graft.functions
+    * .GraftFunctions.cosine]] native expression (array-order double
+    * accumulation — the same fold order DuckDB's list_reduce replays);
+    * a zero-norm side (dead prefix) yields NULL, never NaN, matching
+    * DuckDB's non-IEEE x/0 → NULL. */
+  def embedTruncationFidelity(emb: DataFrame, prefixDims: Int = 32): DataFrame = {
+    val nativeCos = graft.functions.GraftFunctions.cosine _
+    val a = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = emb.select((col("vec_id") - 1).as("a_id"), col("embedding").as("eb"))
+    val cf = nativeCos(col("ea"), col("eb"))
+    val cp = nativeCos(slice(col("ea"), 1, prefixDims), slice(col("eb"), 1, prefixDims))
+    a.join(b, "a_id")
+      .select(col("a_id"), (col("a_id") + 1).as("b_id"),
+        round(when(isnan(cf), lit(null)).otherwise(cf), 6).as("cos_full"),
+        round(when(isnan(cp), lit(null)).otherwise(cp), 6).as("cos_prefix"))
+      .withColumn("abs_delta", round(abs(col("cos_full") - col("cos_prefix")), 6))
+  }
+
   /** Int8 scalar quantization (B30): per-vector symmetric quantization to
     * [-127, 127] — the 4× memory/bandwidth reduction an ANN index applies
     * before distance computation at scale. scale = 127/max|x|;

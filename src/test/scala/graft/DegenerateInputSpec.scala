@@ -125,13 +125,25 @@ class DegenerateInputSpec extends SparkSpec {
       "embed_isotropy" -> (d => Similarity.embedIsotropy(d)),
       "embed_mmd" -> (d => Similarity.embedMmd(d)),
       "v_measure" -> (d => Similarity.vMeasure(d)),
-      "adjusted_rand" -> (d => Similarity.adjustedRand(d)))
+      "adjusted_rand" -> (d => Similarity.adjustedRand(d)),
+      "embed_truncation_fidelity" ->
+        (d => Similarity.embedTruncationFidelity(d, prefixDims = 4)))
     for ((name, op) <- ops) {
       val n = try op(constEmb).collect().length
         catch { case e: Throwable => fail(s"$name threw on constant embeddings: $e") }
       assert(n <= 64, s"$name: unexpected fan-out on 4 constant vectors")
       graft.CacheTracker.releaseAll()
     }
+    // ALL-ZERO vectors: both cosines hit the 0/0 path — the NaN→NULL
+    // guard must answer NULL rows, never NaN and never a throw
+    import spark.implicits._
+    val zeroEmb = (1L to 4L)
+      .map(i => (i, Array.fill(8)(0.0f), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val z = Similarity.embedTruncationFidelity(zeroEmb, prefixDims = 4)
+      .collect()
+    assert(z.nonEmpty && z.forall(r => r.isNullAt(r.fieldIndex("cos_full"))),
+      "zero-norm pairs must yield NULL cosines")
   }
 
   /** four SINGLE-TOKEN docs: the bigram stream is EMPTY (every LM's
