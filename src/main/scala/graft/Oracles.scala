@@ -2794,6 +2794,90 @@ object Oracles {
         |SELECT a_id, b_id, cos_full, cos_prefix,
         |  round(abs(cos_full - cos_prefix), 6) AS abs_delta FROM p""".stripMargin,
 
+    // B300: the four richness statistics from integer spectrum aggregates;
+    // Honoré's R is NULL where V1 = V (log-divergent), zero-token docs
+    // keep zeroed rows via the left join
+    "lexical_richness" ->
+      s"""WITH tf AS (SELECT doc_id, tok, count(*) AS m
+         |  FROM (SELECT doc_id, unnest($toks) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |sp AS (SELECT doc_id,
+         |  CAST(sum(m) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS vocab,
+         |  CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1_hapax,
+         |  CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2_dis,
+         |  CAST(sum(m * m) AS BIGINT) AS m2_sum
+         |  FROM tf GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(n_tokens, 0) AS n_tokens,
+         |  coalesce(vocab, 0) AS vocab,
+         |  coalesce(v1_hapax, 0) AS v1_hapax,
+         |  coalesce(v2_dis, 0) AS v2_dis,
+         |  CASE WHEN coalesce(n_tokens, 0) > 0
+         |    THEN round(CAST(vocab AS DOUBLE) / n_tokens, 6) ELSE 0.0 END AS ttr,
+         |  CASE WHEN coalesce(n_tokens, 0) > 0
+         |    THEN round(10000.0 * (m2_sum - n_tokens) / (n_tokens * n_tokens), 6)
+         |    ELSE 0.0 END AS yule_k,
+         |  CASE WHEN coalesce(n_tokens, 0) > 0 AND v1_hapax < vocab
+         |    THEN round(100.0 * ln(CAST(n_tokens AS DOUBLE))
+         |         / (1.0 - CAST(v1_hapax AS DOUBLE) / vocab), 6)
+         |    ELSE NULL END AS honore_r,
+         |  CASE WHEN coalesce(vocab, 0) > 0
+         |    THEN round(CAST(v2_dis AS DOUBLE) / vocab, 6) ELSE 0.0 END AS sichel_s
+         |FROM documents d LEFT JOIN sp USING (doc_id)""".stripMargin,
+
+    // B301: each token joins its <=25 covering windows, exact distinct
+    // per (doc, window), 9 dp per-window TTR, sorted-fold mean
+    "mattr" ->
+      s"""WITH g AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+         |  FROM (SELECT doc_id, $toks AS toks FROM documents)
+         |  WHERE len(toks) >= 25),
+         |p AS (SELECT doc_id, n, i, toks[i] AS tok
+         |      FROM (SELECT doc_id, toks, n, unnest(range(1, n + 1)) AS i FROM g)),
+         |cv AS (SELECT doc_id, tok,
+         |       unnest(range(greatest(1, i - 24), least(i, n - 24) + 1)) AS s
+         |       FROM p),
+         |pw AS (SELECT doc_id, s,
+         |       round(CAST(count(DISTINCT tok) AS DOUBLE) / 25, 9) AS ttr_w
+         |       FROM cv GROUP BY 1, 2),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |       round(list_reduce(list_sort(list(ttr_w)), (a, b) -> a + b), 9) AS sum_ttr
+         |       FROM pw GROUP BY 1),
+         |v AS (SELECT doc_id, n AS n_tokens,
+         |      CAST(len(list_distinct(toks)) AS BIGINT) AS vocab FROM g)
+         |SELECT doc_id, n_tokens, n_windows,
+         |  round(sum_ttr / n_windows, 6) AS mattr,
+         |  round(CAST(vocab AS DOUBLE) / n_tokens, 6) AS ttr
+         |FROM pd JOIN v USING (doc_id)""".stripMargin,
+
+    // B302: 3 HITS rounds on the DIRECTED bigram graph, L-inf normalized
+    // (max of 9 dp-rounded values — exactly partial-aggregatable);
+    // per-edge products round 9 dp, per-node sums fold sorted
+    "hits_scores" -> {
+      val iters = (1 to 3).map { k =>
+        s"""ar$k AS (SELECT dst AS token,
+           |  round(list_reduce(list_sort(list(round(w * h, 9))), (x, y) -> x + y), 9) AS ar
+           |  FROM e JOIN h${k - 1} ON e.src = h${k - 1}.token GROUP BY dst),
+           |am$k AS (SELECT max(ar) AS m FROM ar$k),
+           |a$k AS (SELECT token, round(ar / m, 9) AS a FROM ar$k CROSS JOIN am$k),
+           |hr$k AS (SELECT src AS token,
+           |  round(list_reduce(list_sort(list(round(w * a, 9))), (x, y) -> x + y), 9) AS hr
+           |  FROM e JOIN a$k ON e.dst = a$k.token GROUP BY src),
+           |hm$k AS (SELECT max(hr) AS m FROM hr$k),
+           |h$k AS (SELECT token, round(hr / m, 9) AS h FROM hr$k CROSS JOIN hm$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT $toks AS toks FROM documents WHERE len($toks) >= 2),
+         |b AS (SELECT toks[i] AS src, toks[i + 1] AS dst
+         |      FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)),
+         |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM b GROUP BY 1, 2),
+         |nodes AS (SELECT src AS token FROM e UNION SELECT dst FROM e),
+         |h0 AS (SELECT token, CAST(1.0 AS DOUBLE) AS h FROM nodes),
+         |$iters
+         |SELECT n.token, coalesce(h3.h, 0.0) AS hub, coalesce(a3.a, 0.0) AS authority
+         |FROM nodes n LEFT JOIN h3 ON n.token = h3.token
+         |LEFT JOIN a3 ON n.token = a3.token""".stripMargin
+    },
+
     "mixture_sample" ->
       """SELECT doc_id, source, bucket, rate FROM (
         |  SELECT doc_id, source,

@@ -212,6 +212,11 @@ object SparkEntry {
     // round 18 cont.: B299 — MRL truncation-fidelity audit
     "embed_truncation_fidelity" -> ((s, d) =>
       Similarity.embedTruncationFidelity(t(s, d, "embeddings"))),
+    // round 18 cont.: B300-B302 — lexical-diversity panel, MATTR, HITS
+    "lexical_richness" -> ((s, d) =>
+      TextOps.lexicalRichness(spread(t(s, d, "documents")))),
+    "mattr" -> ((s, d) => TextOps.mattr(spread(t(s, d, "documents")))),
+    "hits_scores" -> ((s, d) => Graph.hitsScores(spread(t(s, d, "documents")))),
     "mixture_sample" -> ((s, d) => TextOps.mixtureSample(t(s, d, "documents"))),
     "token_histogram" -> ((s, d) => TextOps.tokenHistogram(spread(t(s, d, "documents")))),
     "pii_redact" -> ((s, d) => TextOps.piiRedact(spread(t(s, d, "documents")))),

@@ -663,4 +663,66 @@ object Graph {
       .select(col("a"), col("b"), col("n_common"),
         round(col("aa_nano").cast("double") / 1e9, 6).as("aa_score"))
   }
+
+  /** HITS hub/authority scores over the DIRECTED token bigram graph
+    * (B302) — Kleinberg's mutual-reinforcement pair: a token is a good
+    * authority when good hubs precede it, a good hub when good
+    * authorities follow it. On text this separates "lead-in" tokens
+    * from "payload" tokens, which PageRank's symmetrized walk (B62)
+    * cannot — direction is the whole signal here, so unlike
+    * [[tokenPagerank]] the edge frame is NOT symmetrized.
+    *
+    * Fixed `iters` rounds of a(v) = Σ_{u→v} w·h(u), h(u) = Σ_{u→v} w·a(v),
+    * each normalized by its max (L∞ — max of 9 dp-rounded values is
+    * exactly partial-aggregatable, unlike an L1/L2 normalizer which
+    * would need a global float fold). Per-edge products round to 9 dp
+    * and per-node sums fold sorted, so results are partition-count
+    * independent. Scale posture: the directed edge frame is
+    * vocab²-bounded, persisted once, and re-joined per iteration (two
+    * key-shuffles + two one-row max broadcasts each); nothing
+    * driver-side beyond the guard count. Source-only tokens carry
+    * authority 0, sink-only tokens hub 0. */
+  def hitsScores(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val toked = docs.select(TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bi = toked.select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("src"), b.as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+    val e = graft.CacheTracker.track(
+      bi.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    if (e.isEmpty) {
+      return e.select(col("src").as("token"), lit(0.0).as("hub"),
+        lit(0.0).as("authority"))
+    }
+    val nodes = e.select(col("src").as("token"))
+      .unionByName(e.select(col("dst").as("token"))).distinct()
+    var h = nodes.select(col("token"), lit(1.0).as("h"))
+    var a = nodes.limit(0).select(col("token"), lit(0.0).as("a"))
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(h, e("src") === h("token"))
+        .select(col("dst"), round(col("w") * col("h"), 9).as("c"))
+        .groupBy("dst")
+        .agg(round(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
+          (acc, v) => acc + v), 9).as("ar"))
+      val aMax = aRaw.agg(max(col("ar")).as("am"))
+      a = aRaw.crossJoin(broadcast(aMax))
+        .select(col("dst").as("token"), round(col("ar") / col("am"), 9).as("a"))
+      val hRaw = e.join(a, e("dst") === a("token"))
+        .select(col("src"), round(col("w") * col("a"), 9).as("c"))
+        .groupBy("src")
+        .agg(round(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
+          (acc, v) => acc + v), 9).as("hr"))
+      val hMax = hRaw.agg(max(col("hr")).as("hm"))
+      h = hRaw.crossJoin(broadcast(hMax))
+        .select(col("src").as("token"), round(col("hr") / col("hm"), 9).as("h"))
+    }
+    nodes
+      .join(h, Seq("token"), "left")
+      .join(a, Seq("token"), "left")
+      .select(col("token"), coalesce(col("h"), lit(0.0)).as("hub"),
+        coalesce(col("a"), lit(0.0)).as("authority"))
+  }
 }

@@ -4304,4 +4304,90 @@ object TextOps {
       .withColumn("win_rate_a",
         round(col("wins_a").cast("double") / col("n_pairs"), 6))
   }
+
+  /** Per-document lexical-richness panel (B300): TTR, Yule's K, Honoré's
+    * R and Sichel's S from the token-frequency spectrum — the classic
+    * vocabulary-diversity statistics a corpus-quality pass computes per
+    * document (template/spam text scores high K, low R).
+    *
+    * All four derive from integer aggregates of the (doc, token, m)
+    * frequency frame — N = Σm, V, V1 (hapax), V2 (dis), Σm² — so the
+    * only floats are final single divides, bit-identical in both
+    * engines. Honoré's R = 100·ln N / (1 − V1/V) is NULL where
+    * undefined (V1 = V, every token a hapax); zero-token docs keep a
+    * row with zeroed stats. Cost: one (doc,token) partial-agg shuffle
+    * + one doc-keyed partial agg + one co-partitioned join back to the
+    * corpus — no data-sized window, no driver state. */
+  def lexicalRichness(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("m"))
+    val spectrum = tf.groupBy("doc_id").agg(
+      sum(col("m")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("m") === 1, 1L).otherwise(0L)).as("v1_hapax"),
+      sum(when(col("m") === 2, 1L).otherwise(0L)).as("v2_dis"),
+      sum(col("m") * col("m")).as("m2_sum"))
+    docs.select(col("doc_id"))
+      .join(spectrum, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"),
+        coalesce(col("v1_hapax"), lit(0L)).as("v1_hapax"),
+        coalesce(col("v2_dis"), lit(0L)).as("v2_dis"),
+        when(col("n_tokens") > 0,
+          round(col("vocab").cast("double") / col("n_tokens"), 6))
+          .otherwise(lit(0.0)).as("ttr"),
+        when(col("n_tokens") > 0,
+          round(lit(10000.0) * (col("m2_sum") - col("n_tokens"))
+            / (col("n_tokens") * col("n_tokens")), 6))
+          .otherwise(lit(0.0)).as("yule_k"),
+        when(col("n_tokens") > 0 && col("v1_hapax") < col("vocab"),
+          round(lit(100.0) * log(col("n_tokens").cast("double"))
+            / (lit(1.0) - col("v1_hapax").cast("double") / col("vocab")), 6))
+          .otherwise(lit(null).cast("double")).as("honore_r"),
+        when(col("vocab") > 0,
+          round(col("v2_dis").cast("double") / col("vocab"), 6))
+          .otherwise(lit(0.0)).as("sichel_s"))
+  }
+
+  /** Moving-average type-token ratio (B301): mean distinct-token share
+    * over every length-`w` sliding window of the token sequence — the
+    * length-invariant diversity measure (plain TTR falls with doc
+    * length, MATTR does not), used to flag loops/boilerplate that only
+    * repeat at window scale.
+    *
+    * Shape: each token joins only its ≤w covering windows via an
+    * exploded position range (intermediate is N·w rows, w = 25 — linear
+    * in the corpus, never quadratic), then one (doc, window) exact
+    * distinct count and one doc-keyed fold. Per-window TTRs round to
+    * 9 dp before the doc-bounded sorted-fold mean, so partitioning
+    * never shows in the result. Docs shorter than `w` are excluded (no
+    * full window exists; their plain TTR is in [[lexicalRichness]]). */
+  def mattr(docs: DataFrame, w: Int = 25): DataFrame = {
+    val toked = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= w)
+    val pos = toked
+      .select(col("doc_id"), col("n"),
+        posexplode(col("toks")).as(Seq("p0", "tok")))
+      .withColumn("i", col("p0").cast("long") + 1L)
+    val cover = pos.select(col("doc_id"), col("tok"),
+      explode(sequence(
+        greatest(lit(1L), col("i") - (w - 1)),
+        least(col("i"), col("n") - (w - 1)))).as("s"))
+    val perWin = cover.groupBy("doc_id", "s")
+      .agg(count_distinct(col("tok")).as("dct"))
+      .withColumn("ttr_w", round(col("dct").cast("double") / w, 9))
+    val perDoc = perWin.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        round(Folds.sortedSum(col("ttr_w")), 9).as("sum_ttr"))
+    perDoc
+      .join(toked.select(col("doc_id"), col("n").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("vocab")), "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        round(col("sum_ttr") / col("n_windows"), 6).as("mattr"),
+        round(col("vocab").cast("double") / col("n_tokens"), 6).as("ttr"))
+  }
 }

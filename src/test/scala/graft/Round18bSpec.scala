@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round 18 cont.: lexical-diversity panel (B300), MATTR (B301) and HITS
+  * hub/authority scores (B302) — hand-computed fixtures plus the
+  * degenerate shapes (zero-token docs, sub-window docs, edgeless and
+  * empty graphs) that 100 TB partition slices inevitably contain. */
+class Round18bSpec extends SparkSpec {
+
+  test("lexicalRichness: spectrum statistics match hand computation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b b c", "en", "web", 11L),
+      (2L, "x y z", "en", "web", 5L),
+      (3L, "", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = operators.TextOps.lexicalRichness(docs)
+      .orderBy("doc_id").collect()
+    // doc 1: N=6 V=3 V1=1 V2=1 m2=14
+    val r1 = got(0)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3), r1.getLong(4)) ==
+      ((6L, 3L, 1L, 1L)))
+    assert(r1.getDouble(5) == 0.5) // ttr
+    assert(r1.getDouble(6) == math.rint(1e4 * 8.0 / 36.0 * 1e6) / 1e6) // yule_k
+    assert(r1.getDouble(7) ==
+      math.rint(100.0 * math.log(6.0) / (1.0 - 1.0 / 3.0) * 1e6) / 1e6)
+    assert(r1.getDouble(8) == math.rint(1.0 / 3.0 * 1e6) / 1e6) // sichel
+    // doc 2: all hapax -> honore_r undefined (NULL), yule_k = 10^4*(3-3)/9 = 0
+    val r2 = got(1)
+    assert(r2.getLong(3) == 3L && r2.isNullAt(7) && r2.getDouble(6) == 0.0)
+    // doc 3: zero tokens -> zeroed row retained
+    val r3 = got(2)
+    assert(r3.getLong(1) == 0L && r3.getDouble(5) == 0.0 && r3.isNullAt(7))
+  }
+
+  test("mattr: sliding-window mean matches brute force; short docs excluded") {
+    import spark.implicits._
+    // letter-only tokens: the clean chain strips digits, so "t1".."t30"
+    // would all collapse to "t"
+    val types = Seq("ta", "tb", "tc", "td", "te", "tf", "tg")
+    val t1 = (0 until 30).map(i => types(i % 7)).mkString(" ") // 30 toks, 7 types
+    val t2 = Seq.fill(25)("same").mkString(" ")                // one window
+    val t3 = ('a' to 'x').map(c => s"u$c").mkString(" ")       // 24 toks, short
+    val docs = Seq(
+      (1L, t1, "en", "web", t1.length.toLong),
+      (2L, t2, "en", "web", t2.length.toLong),
+      (3L, t3, "en", "web", t3.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = operators.TextOps.mattr(docs).orderBy("doc_id").collect()
+    assert(got.length == 2, "the 24-token doc has no full window")
+    // brute force doc 1: windows s=0..5 over the token sequence
+    val toks = t1.split(" ")
+    val ttrs = (0 to 5).map(s =>
+      math.rint(toks.slice(s, s + 25).distinct.length / 25.0 * 1e9) / 1e9)
+    val want = math.rint(
+      math.rint(ttrs.sorted.sum * 1e9) / 1e9 / 6.0 * 1e6) / 1e6
+    val r1 = got(0)
+    assert(r1.getLong(2) == 6L && r1.getDouble(3) == want)
+    assert(r1.getDouble(4) ==
+      math.rint(toks.distinct.length.toDouble / 30.0 * 1e6) / 1e6)
+    // all-same-token doc: every window TTR = 1/25
+    val r2 = got(1)
+    assert(r2.getLong(2) == 1L && r2.getDouble(3) == math.rint(0.04 * 1e9) / 1e9)
+  }
+
+  test("hitsScores: hand-iterated hub/authority values on a 3-node graph") {
+    import spark.implicits._
+    // edges: a->b (w=2), c->b (w=1); b is the sole authority
+    val docs = Seq(
+      (1L, "a b", "en", "web", 3L),
+      (2L, "a b", "en", "web", 3L),
+      (3L, "c b", "en", "web", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = operators.Graph.hitsScores(docs)
+      .orderBy("token").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // converges after one round: a(b)=1; h(a)=2/2=1, h(c)=1/2
+    assert(got.toSeq == Seq(("a", 1.0, 0.0), ("b", 0.0, 1.0), ("c", 0.5, 0.0)))
+  }
+
+  test("hitsScores: empty and edgeless graphs yield empty typed frames") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(operators.Graph.hitsScores(empty).count() == 0)
+    val oneTok = Seq((1L, "solo", "en", "web", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.Graph.hitsScores(oneTok)
+    assert(out.columns.toSeq == Seq("token", "hub", "authority"))
+    assert(out.count() == 0)
+  }
+
+  test("hitsScores: self-loop-only graph stays finite and normalized") {
+    import spark.implicits._
+    val docs = Seq((1L, "z z z", "en", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = operators.Graph.hitsScores(docs).collect()
+    assert(got.length == 1)
+    assert(got(0).getString(0) == "z" && got(0).getDouble(1) == 1.0 &&
+      got(0).getDouble(2) == 1.0)
+  }
+}
