@@ -2878,6 +2878,57 @@ object Oracles {
          |LEFT JOIN a3 ON n.token = a3.token""".stripMargin
     },
 
+    // B303: bigram-draft vs trigram-target greedy agreement on held-out
+    // trigram contexts; both argmax tables tie-break (count desc, token
+    // asc) so the window rank replays exactly
+    "speculative_accept" ->
+      s"""WITH tk AS (SELECT doc_id, lang,
+         |  CASE WHEN doc_id % 4 < 3 THEN 'train' ELSE 'test' END AS split,
+         |  $toks AS toks FROM documents),
+         |bi AS (SELECT doc_id, lang, split, toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM (SELECT doc_id, lang, split, toks, unnest(range(1, len(toks))) AS i
+         |        FROM tk WHERE len(toks) >= 2)),
+         |tri AS (SELECT doc_id, lang, split,
+         |  toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+         |  FROM (SELECT doc_id, lang, split, toks, unnest(range(1, len(toks) - 1)) AS i
+         |        FROM tk WHERE len(toks) >= 3)),
+         |draft AS (SELECT w2, nxt AS draft_next FROM (
+         |  SELECT w1 AS w2, w2 AS nxt, count(*) AS c,
+         |    row_number() OVER (PARTITION BY w1 ORDER BY count(*) DESC, w2) AS rn
+         |  FROM bi WHERE split = 'train' GROUP BY w1, w2) WHERE rn = 1),
+         |tgt AS (SELECT w1, w2, w3 AS target_next FROM (
+         |  SELECT w1, w2, w3, count(*) AS c,
+         |    row_number() OVER (PARTITION BY w1, w2 ORDER BY count(*) DESC, w3) AS rn
+         |  FROM tri WHERE split = 'train' GROUP BY w1, w2, w3) WHERE rn = 1)
+         |SELECT lang,
+         |  CAST(count(*) AS BIGINT) AS n_positions,
+         |  CAST(sum(CASE WHEN target_next IS NOT NULL AND draft_next IS NOT NULL
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+         |  CAST(sum(CASE WHEN target_next IS NOT NULL AND draft_next = target_next
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+         |  CASE WHEN sum(CASE WHEN target_next IS NOT NULL AND draft_next IS NOT NULL
+         |                     THEN 1 ELSE 0 END) > 0
+         |    THEN round(CAST(sum(CASE WHEN target_next IS NOT NULL
+         |                             AND draft_next = target_next
+         |                             THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / sum(CASE WHEN target_next IS NOT NULL AND draft_next IS NOT NULL
+         |               THEN 1 ELSE 0 END), 6)
+         |    ELSE 0.0 END AS accept_rate
+         |FROM tri LEFT JOIN tgt USING (w1, w2) LEFT JOIN draft USING (w2)
+         |WHERE split = 'test' GROUP BY lang""".stripMargin,
+
+    // C269: the observe side-channel replays as one plain aggregate scan
+    "observed_metrics" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN length(text) >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pass_len,
+        |  CAST(sum(n_chars) AS BIGINT) AS tot_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  CASE WHEN count(*) > 0 THEN
+        |    round(CAST(sum(CASE WHEN length(text) >= 20 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*), 6) ELSE 0.0 END AS pass_ratio
+        |FROM documents""".stripMargin,
+
     "mixture_sample" ->
       """SELECT doc_id, source, bucket, rate FROM (
         |  SELECT doc_id, source,

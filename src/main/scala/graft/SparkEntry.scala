@@ -217,6 +217,12 @@ object SparkEntry {
       TextOps.lexicalRichness(spread(t(s, d, "documents")))),
     "mattr" -> ((s, d) => TextOps.mattr(spread(t(s, d, "documents")))),
     "hits_scores" -> ((s, d) => Graph.hitsScores(spread(t(s, d, "documents")))),
+    // round 18 cont.: B303 speculative-decoding acceptance audit,
+    // C269 Dataset.observe single-pass audit counters
+    "speculative_accept" -> ((s, d) =>
+      LangModel.speculativeAccept(spread(t(s, d, "documents")))),
+    "observed_metrics" -> ((s, d) =>
+      TextOps.observedMetrics(spread(t(s, d, "documents")))),
     "mixture_sample" -> ((s, d) => TextOps.mixtureSample(t(s, d, "documents"))),
     "token_histogram" -> ((s, d) => TextOps.tokenHistogram(spread(t(s, d, "documents")))),
     "pii_redact" -> ((s, d) => TextOps.piiRedact(spread(t(s, d, "documents")))),

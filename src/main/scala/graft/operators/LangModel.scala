@@ -1378,4 +1378,72 @@ object LangModel {
         (expr("(2 * s + n_tokens_used) div (2 * n_tokens_used)")
           .cast("double") / 1e6).as("delta"))
   }
+
+  /** Speculative-decoding acceptance audit (B303): at each held-out
+    * trigram context (w1, w2), would a cheap bigram DRAFT model's
+    * greedy proposal (argmax successor of w2) match the trigram TARGET
+    * model's greedy choice (argmax successor of (w1, w2))? The per-
+    * language acceptance rate is the number that sizes speculative
+    * decoding's speedup before anyone serves a model — a corpus whose
+    * draft/target agreement is 30% gains nothing from speculation.
+    *
+    * Both models are count-argmax tables from the TRAIN split
+    * (doc_id % 4 < 3, the house split), tie-broken lexicographically so
+    * any engine reproduces them. Test positions whose trigram context
+    * or draft head is unseen in train score as unscorable (`n_scored`
+    * vs `n_positions` is the coverage column). Scale: argmax tables are
+    * vocab²-bounded window ranks over count frames (successor groups,
+    * never corpus-sized partitions); the test stream joins them
+    * hash-partitioned, then one partial-agg rollup per lang. */
+  def speculativeAccept(docs: DataFrame): DataFrame = {
+    val toked = docs.select(col("doc_id"), col("lang"),
+        when(pmod(col("doc_id"), lit(4)) < 3, lit("train")).otherwise(lit("test"))
+          .as("split"),
+        TextOps.tokens(col("text")).as("toks"))
+    def bigrams(t: DataFrame) = t.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    def trigrams(t: DataFrame) = t.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"), explode(zip_with(
+          zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 2),
+            slice(col("toks"), lit(2), size(col("toks")) - 2),
+            (a, b) => struct(a.as("w1"), b.as("w2"))),
+          slice(col("toks"), lit(3), size(col("toks")) - 2),
+          (ab, c) => struct(ab.getField("w1").as("w1"),
+            ab.getField("w2").as("w2"), c.as("w3")))).as("p"))
+      .select(col("doc_id"), col("lang"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
+    val train = toked.filter(col("split") === "train")
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("w2").orderBy(col("c").desc, col("nxt"))
+    val draft = bigrams(train)
+      .groupBy(col("w1").as("w2"), col("w2").as("nxt"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("_rn", row_number().over(wB)).filter(col("_rn") === 1)
+      .select(col("w2"), col("nxt").as("draft_next"))
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy("w1", "w2").orderBy(col("c").desc, col("w3"))
+    val target = trigrams(train)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c"))
+      .withColumn("_rn", row_number().over(wT)).filter(col("_rn") === 1)
+      .select(col("w1"), col("w2"), col("w3").as("target_next"))
+    trigrams(toked.filter(col("split") === "test"))
+      .join(target, Seq("w1", "w2"), "left")
+      .join(draft, Seq("w2"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_positions"),
+        sum(when(col("target_next").isNotNull && col("draft_next").isNotNull, 1L)
+          .otherwise(0L)).as("n_scored"),
+        sum(when(col("target_next").isNotNull
+            && col("draft_next") === col("target_next"), 1L)
+          .otherwise(0L)).as("n_accept"))
+      .withColumn("accept_rate",
+        when(col("n_scored") > 0,
+          round(col("n_accept").cast("double") / col("n_scored"), 6))
+          .otherwise(lit(0.0)))
+  }
 }

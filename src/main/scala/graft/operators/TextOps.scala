@@ -4305,6 +4305,41 @@ object TextOps {
         round(col("wins_a").cast("double") / col("n_pairs"), 6))
   }
 
+  /** Single-pass audit counters via `Dataset.observe` (C269): the
+    * CollectMetrics side-channel — aggregates computed on the rows
+    * FLOWING THROUGH a pipeline, not by a second scan. At 100 TB this
+    * is the difference between "write the curated shard AND its audit
+    * counters in one pass" and paying the corpus read twice; here the
+    * driven action is a count so the query surface stays bounded, but
+    * the observe node rides any terminal sink unchanged.
+    *
+    * All metrics are exact integer aggregates (plus one final divide),
+    * so the side-channel is bit-reproducible and DuckDB replays it as
+    * plain SQL. The blocking `Observation.get` handshake is the public
+    * API over the listener bus — no driver-side row iteration. */
+  def observedMetrics(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    val gated = docs.observe(obs,
+      count(lit(1)).as("n_docs"),
+      sum(when(length(col("text")) >= 20, 1L).otherwise(0L)).as("n_pass_len"),
+      sum(col("n_chars")).as("tot_chars"),
+      max(col("n_chars")).as("max_chars"))
+    gated.count()
+    val m = obs.get
+    // sums/max are NULL on an empty corpus; the audit row still exists
+    def l(k: String): Long = m(k) match { case x: Long => x; case _ => 0L }
+    Seq((l("n_docs"), l("n_pass_len"), l("tot_chars"), l("max_chars")))
+      .toDF("n_docs", "n_pass_len", "tot_chars", "max_chars")
+      // ratio through the engine's own round, not driver math, so the
+      // 6 dp digits match the oracle's round() bit-for-bit
+      .withColumn("pass_ratio",
+        when(col("n_docs") > 0,
+          round(col("n_pass_len").cast("double") / col("n_docs"), 6))
+          .otherwise(lit(0.0)))
+  }
+
   /** Per-document lexical-richness panel (B300): TTR, Yule's K, Honoré's
     * R and Sichel's S from the token-frequency spectrum — the classic
     * vocabulary-diversity statistics a corpus-quality pass computes per

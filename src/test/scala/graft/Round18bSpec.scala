@@ -91,6 +91,49 @@ class Round18bSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("speculativeAccept: draft/target agreement matches hand computation") {
+    import spark.implicits._
+    // train docs (doc_id%4<3) give draft argmaxes b->c, c->d and target
+    // argmaxes (a,b)->c, (b,c)->d; test doc 3 exercises accept, accept,
+    // and unscorable (unseen context) in one pass
+    val docs = Seq(
+      (0L, "a b c a b c", "en", "web", 11L),  // train
+      (1L, "a b c b c d", "en", "web", 11L),  // train
+      (2L, "b c d", "en", "web", 5L),         // train
+      (3L, "a b c q z", "en", "web", 9L))     // test
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = operators.LangModel.speculativeAccept(docs).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    // test trigram contexts: (a,b) tgt=c (c(abc)=3), draft(b)=c (c(bc)=4)
+    //   -> accept; (b,c) tgt: argmax over {a:1,b:1,d:2}=d, draft(c)=d
+    //   (c(cd)=2 > c(ca)=1, c(cb)=1) -> accept; (c,q), (q,z) unseen -> n/a
+    // positions: "a b c q z" has 3 trigram contexts: (a,b),(b,c),(c,q)
+    assert(r.getAs[Long]("n_positions") == 3L)
+    assert(r.getAs[Long]("n_scored") == 2L)
+    assert(r.getAs[Long]("n_accept") == 2L)
+    assert(r.getAs[Double]("accept_rate") == 1.0)
+  }
+
+  test("observedMetrics: side-channel counters equal a direct aggregate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a short one", "en", "web", 11L),
+      (2L, "this one is definitely long enough to pass", "en", "web", 42L),
+      (3L, "tiny", "en", "web", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = operators.TextOps.observedMetrics(docs).collect()(0)
+    assert(got.getAs[Long]("n_docs") == 3L)
+    assert(got.getAs[Long]("n_pass_len") == 1L)
+    assert(got.getAs[Long]("tot_chars") == 57L)
+    assert(got.getAs[Long]("max_chars") == 42L)
+    assert(got.getAs[Double]("pass_ratio") == 0.333333)
+    // empty corpus: the audit row still exists, zeroed
+    val empty = operators.TextOps.observedMetrics(docs.limit(0)).collect()(0)
+    assert(empty.getAs[Long]("n_docs") == 0L &&
+      empty.getAs[Double]("pass_ratio") == 0.0)
+  }
+
   test("hitsScores: self-loop-only graph stays finite and normalized") {
     import spark.implicits._
     val docs = Seq((1L, "z z z", "en", "web", 5L))
