@@ -2929,6 +2929,94 @@ object Oracles {
         |      / count(*), 6) ELSE 0.0 END AS pass_ratio
         |FROM documents""".stripMargin,
 
+    // B304: 5 Sinkhorn rounds; every divide rounds 9 dp, every marginal
+    // folds sorted, so the SQL replay is bit-exact
+    "sinkhorn_balance" -> {
+      val steps = (1 to 5).map { k =>
+        s"""rs$k AS (SELECT lang,
+           |  round(list_reduce(list_sort(list(w)), (a, b) -> a + b), 9) AS rs
+           |  FROM w${k - 1} GROUP BY lang),
+           |rn$k AS (SELECT lang, source, n_docs, bb, kk, round(w / rs / bb, 9) AS w
+           |  FROM w${k - 1} JOIN rs$k USING (lang)),
+           |cs$k AS (SELECT source,
+           |  round(list_reduce(list_sort(list(w)), (a, b) -> a + b), 9) AS cs
+           |  FROM rn$k GROUP BY source),
+           |w$k AS (SELECT lang, source, n_docs, bb, kk, round(w / cs / kk, 9) AS w
+           |  FROM rn$k JOIN cs$k USING (source))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1, 2),
+         |dims AS (SELECT count(DISTINCT lang) AS bb, count(DISTINCT source) AS kk
+         |  FROM cells),
+         |w0 AS (SELECT lang, source, n_docs, bb, kk, CAST(n_docs AS DOUBLE) AS w
+         |  FROM cells CROSS JOIN dims),
+         |$steps
+         |SELECT lang, source, n_docs, round(w, 6) AS balanced_w FROM w5""".stripMargin
+    },
+
+    // B305: |ECDF_lang - ECDF_corpus| summed over the bounded bucket
+    // grid — exact-integer cumsums divided once, 9 dp terms, sorted fold
+    "wasserstein_length" ->
+      """WITH b AS (SELECT lang, least(n_chars // 100, 100) AS bucket FROM documents),
+        |cnt AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_l FROM cnt GROUP BY 1),
+        |corp AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS c_all FROM cnt GROUP BY 1),
+        |na AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_all FROM corp),
+        |fc AS (SELECT bucket,
+        |  round(CAST(sum(c_all) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |    AS DOUBLE) / n_all, 9) AS f_all FROM corp CROSS JOIN na),
+        |grid AS (SELECT l.lang, k.bucket
+        |  FROM (SELECT DISTINCT lang FROM cnt) l
+        |  CROSS JOIN (SELECT DISTINCT bucket FROM cnt) k),
+        |e AS (SELECT g.lang, g.bucket, coalesce(c, 0) AS c FROM grid g
+        |  LEFT JOIN cnt ON g.lang = cnt.lang AND g.bucket = cnt.bucket),
+        |f AS (SELECT e.lang, e.bucket,
+        |  round(CAST(sum(c) OVER (PARTITION BY e.lang ORDER BY e.bucket
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / n_l, 9) AS f_l, n_l
+        |  FROM e JOIN tot ON e.lang = tot.lang)
+        |SELECT f.lang, max(n_l) AS n_docs,
+        |  round(list_reduce(list_sort(list(round(abs(f_l - f_all), 9))),
+        |    (a, b) -> a + b), 6) AS w1_buckets,
+        |  CAST(100 AS BIGINT) AS bucket_width
+        |FROM f JOIN fc ON f.bucket = fc.bucket GROUP BY f.lang""".stripMargin,
+
+    // B306: complete-block Friedman over (lang block, source treatment)
+    // cell mean quality; average ranks on ties, tie-corrected statistic
+    "friedman_test" ->
+      s"""WITH cm AS (SELECT lang, source,
+         |  round(list_reduce(list_sort(list(sub_s)), (a, b) -> a + b)
+         |    / sum(sub_n), 6) AS mean_q
+         |  FROM (SELECT lang, source, doc_id % 1024 AS sb,
+         |        CAST(count(*) AS BIGINT) AS sub_n,
+         |        round(list_reduce(list_sort(list(q)), (a, b) -> a + b), 9) AS sub_s
+         |        FROM (SELECT lang, source, doc_id, $qualitySql AS q FROM documents)
+         |        GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2),
+         |nl AS (SELECT count(DISTINCT lang) AS b FROM cm),
+         |comp AS (SELECT source FROM cm CROSS JOIN nl
+         |         GROUP BY source, b HAVING count(*) = b),
+         |kept AS (SELECT cm.* FROM cm JOIN comp USING (source)),
+         |rk AS (SELECT lang, source, mean_q,
+         |  rank() OVER (PARTITION BY lang ORDER BY mean_q DESC) AS min_rank,
+         |  count(*) OVER (PARTITION BY lang, mean_q) AS ties
+         |  FROM kept),
+         |ar AS (SELECT lang, source, mean_q,
+         |  CAST(min_rank AS DOUBLE) + (ties - 1) / 2.0 AS avg_rank, ties FROM rk),
+         |rj AS (SELECT source, sum(avg_rank) AS r_j, CAST(count(*) AS BIGINT) AS b
+         |       FROM ar GROUP BY source),
+         |tt AS (SELECT coalesce(CAST(sum(ties * ties * ties - ties) AS BIGINT), 0)
+         |         AS tie_sum
+         |       FROM (SELECT DISTINCT lang, mean_q, ties FROM ar)),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS k, max(b) AS b,
+         |       sum(r_j * r_j) AS r2_sum FROM rj)
+         |SELECT b AS b_blocks, k AS k_treatments, k - 1 AS df,
+         |  round(12.0 / (b * k * (k + 1)) * r2_sum - 3.0 * b * (k + 1), 6) AS chi2_f,
+         |  round(CASE WHEN 1.0 - CAST(tie_sum AS DOUBLE) / (b * k * (k * k - 1)) > 0
+         |    THEN (12.0 / (b * k * (k + 1)) * r2_sum - 3.0 * b * (k + 1))
+         |         / (1.0 - CAST(tie_sum AS DOUBLE) / (b * k * (k * k - 1)))
+         |    ELSE NULL END, 6) AS chi2_corrected
+         |FROM st CROSS JOIN tt WHERE k >= 2""".stripMargin,
+
     "mixture_sample" ->
       """SELECT doc_id, source, bucket, rate FROM (
         |  SELECT doc_id, source,

@@ -223,6 +223,12 @@ object SparkEntry {
       LangModel.speculativeAccept(spread(t(s, d, "documents")))),
     "observed_metrics" -> ((s, d) =>
       TextOps.observedMetrics(spread(t(s, d, "documents")))),
+    // round 18 cont.: B304-B306 — Sinkhorn balancing, W1 length drift,
+    // Friedman blocked rank test
+    "sinkhorn_balance" -> ((s, d) => TextOps.sinkhornBalance(t(s, d, "documents"))),
+    "wasserstein_length" -> ((s, d) =>
+      TextOps.wassersteinLength(t(s, d, "documents"))),
+    "friedman_test" -> ((s, d) => TextOps.friedmanTest(spread(t(s, d, "documents")))),
     "mixture_sample" -> ((s, d) => TextOps.mixtureSample(t(s, d, "documents"))),
     "token_histogram" -> ((s, d) => TextOps.tokenHistogram(spread(t(s, d, "documents")))),
     "pii_redact" -> ((s, d) => TextOps.piiRedact(spread(t(s, d, "documents")))),

@@ -4305,6 +4305,157 @@ object TextOps {
         round(col("wins_a").cast("double") / col("n_pairs"), 6))
   }
 
+  /** Sinkhorn-Knopp matrix balancing over the lang × source count grid
+    * (B304): 5 alternating row/column normalizations push the document-
+    * count matrix toward doubly-stochastic — the balanced-mixture
+    * targeting step ("every language AND every source gets equal
+    * share") that one-axis temperature reweighting (B160/B47) cannot
+    * express, and the entropic-OT workhorse in its simplest form.
+    *
+    * A non-square grid cannot be doubly-stochastic (row sums 1 and col
+    * sums 1 imply total = b AND total = k), so the consistent uniform
+    * targets are row marginal 1/b and column marginal 1/k — the matrix
+    * converges to total mass 1 with every language holding an equal
+    * 1/b share and every source an equal 1/k share.
+    *
+    * Every frame is (langs × sources)-bounded, so iterations are
+    * broadcast joins against marginal-sum frames; each divide rounds to
+    * 9 dp and each marginal folds sorted, making all 5 rounds
+    * bit-replayable in SQL. Output keeps the raw count next to the
+    * balanced weight so the sampler can derive per-cell rates. */
+  def sinkhornBalance(docs: DataFrame, iters: Int = 5): DataFrame = {
+    val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
+    val dims = broadcast(cells
+      .agg(count_distinct(col("lang")).as("b"),
+        count_distinct(col("source")).as("k")))
+    var w = cells.crossJoin(dims)
+      .select(col("lang"), col("source"), col("n_docs"), col("b"), col("k"),
+        col("n_docs").cast("double").as("w"))
+    for (_ <- 1 to iters) {
+      val rs = w.groupBy("lang")
+        .agg(round(Folds.sortedSum(col("w")), 9).as("rs"))
+      val rowNorm = w.join(broadcast(rs), "lang")
+        .select(col("lang"), col("source"), col("n_docs"), col("b"), col("k"),
+          round(col("w") / col("rs") / col("b"), 9).as("w"))
+      val cs = rowNorm.groupBy("source")
+        .agg(round(Folds.sortedSum(col("w")), 9).as("cs"))
+      w = rowNorm.join(broadcast(cs), "source")
+        .select(col("lang"), col("source"), col("n_docs"), col("b"), col("k"),
+          round(col("w") / col("cs") / col("k"), 9).as("w"))
+    }
+    w.select(col("lang"), col("source"), col("n_docs"),
+      round(col("w"), 6).as("balanced_w"))
+  }
+
+  /** Wasserstein-1 length drift per language (B305): earth-mover's
+    * distance between each language's bucketed doc-length distribution
+    * and the corpus's, in bucket units — the integral companion to
+    * [[ksSourceDrift]]'s supremum (KS sees the worst point, W1 sees the
+    * total transported mass; a long thin drift is invisible to KS and
+    * obvious to W1).
+    *
+    * Same bounded-grid discipline as the KS operator: lengths truncate
+    * into ≤`maxBucket`+1 buckets, ECDFs are exact-integer window
+    * cumsums over the (langs × buckets) grid divided once and rounded
+    * 9 dp, and the per-lang sum of |ΔF| folds sorted. Nothing is
+    * corpus-sized after the first aggregation. */
+  def wassersteinLength(docs: DataFrame, bucketWidth: Int = 100,
+                        maxBucket: Int = 100): DataFrame = {
+    val b = docs.select(col("lang"),
+      least(expr(s"n_chars div $bucketWidth"), lit(maxBucket.toLong)).as("bucket"))
+    val cnt = b.groupBy("lang", "bucket").agg(count(lit(1)).as("c"))
+    val totals = cnt.groupBy("lang").agg(sum(col("c")).as("n_l"))
+    val corp = cnt.groupBy("bucket").agg(sum(col("c")).as("c_all"))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wc = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val corpEcdf = corp
+      .withColumn("cum_all", sum(col("c_all")).over(wc))
+      .crossJoin(broadcast(corp.agg(sum(col("c_all")).as("n_all"))))
+      .select(col("bucket"),
+        round(col("cum_all").cast("double") / col("n_all"), 9).as("f_all"))
+    val grid = cnt.select("lang").distinct()
+      .crossJoin(cnt.select("bucket").distinct())
+    grid.join(cnt, Seq("lang", "bucket"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum", sum(col("c")).over(wl))
+      .join(broadcast(totals), "lang")
+      .withColumn("f_l", round(col("cum").cast("double") / col("n_l"), 9))
+      .join(broadcast(corpEcdf), "bucket")
+      .withColumn("term", round(abs(col("f_l") - col("f_all")), 9))
+      .groupBy("lang")
+      .agg(max(col("n_l")).as("n_docs"),
+        round(Folds.sortedSum(col("term")), 6).as("w1_buckets"))
+      .withColumn("bucket_width", lit(bucketWidth.toLong))
+  }
+
+  /** Friedman test over the lang-blocked source-quality design (B306):
+    * are sources consistently ordered by mean quality ACROSS languages?
+    * Kruskal-Wallis (C138 family) pools all docs; Friedman blocks by
+    * language first — each language ranks its sources by cell mean
+    * quality (average ranks on ties), so one dominant language cannot
+    * fake a global source ordering. Incomplete treatments (a source
+    * absent from some language) are dropped to keep the design
+    * complete-block, and the tie-corrected statistic divides out
+    * within-block rank ties.
+    *
+    * Cell means fold through the two-level sub-bucket pattern (cells
+    * are data-sized); everything after is (langs × sources)-bounded.
+    * Rank sums are exact multiples of 0.5, so Σ R_j² is exact and the
+    * statistic's only float work is the mirrored final expression. */
+  def friedmanTest(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("lang"), col("source"), col("doc_id"),
+      qualityComposite.as("q"))
+    val cellMeans = scored
+      .groupBy(col("lang"), col("source"), Folds.subBucket(col("doc_id")))
+      .agg(count(lit(1)).as("sub_n"),
+        round(Folds.sortedSum(col("q")), 9).as("sub_s"))
+      .groupBy("lang", "source")
+      .agg(round(Folds.sortedSum(col("sub_s")) / sum(col("sub_n")), 6)
+        .as("mean_q"))
+    val nLangs = cellMeans.select("lang").distinct()
+      .agg(count(lit(1)).as("b"))
+    val complete = cellMeans.groupBy("source")
+      .agg(count(lit(1)).as("n_blocks"))
+      .crossJoin(broadcast(nLangs))
+      .filter(col("n_blocks") === col("b"))
+      .select("source")
+    val kept = cellMeans.join(broadcast(complete), "source")
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("mean_q").desc)
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "mean_q")
+    val ranked = kept
+      .withColumn("min_rank", rank().over(wR))
+      .withColumn("ties", count(lit(1)).over(wT))
+      .withColumn("avg_rank",
+        col("min_rank").cast("double") + (col("ties") - 1L) / lit(2.0))
+    val rj = ranked.groupBy("source")
+      .agg(sum(col("avg_rank")).as("r_j"), count(lit(1)).as("b"))
+    val tieTerm = ranked.select(col("lang"), col("mean_q"), col("ties"))
+      .distinct()
+      .agg(coalesce(sum(col("ties") * col("ties") * col("ties") - col("ties")),
+        lit(0L)).as("tie_sum"))
+    rj.agg(count(lit(1)).as("k"), max(col("b")).as("b"),
+        sum(col("r_j") * col("r_j")).as("r2_sum"))
+      .crossJoin(broadcast(tieTerm))
+      .filter(col("k") >= 2)
+      .withColumn("chi2_raw",
+        lit(12.0) / (col("b") * col("k") * (col("k") + 1L)) * col("r2_sum")
+          - lit(3.0) * col("b") * (col("k") + 1L))
+      .withColumn("c_corr",
+        lit(1.0) - col("tie_sum").cast("double")
+          / (col("b") * col("k") * (col("k") * col("k") - 1L)))
+      .select(col("b").as("b_blocks"), col("k").as("k_treatments"),
+        (col("k") - 1L).as("df"),
+        round(col("chi2_raw"), 6).as("chi2_f"),
+        // every block fully tied -> correction degenerates to 0/0; NULL
+        round(when(col("c_corr") > 0.0, col("chi2_raw") / col("c_corr")), 6)
+          .as("chi2_corrected"))
+  }
+
   /** Single-pass audit counters via `Dataset.observe` (C269): the
     * CollectMetrics side-channel — aggregates computed on the rows
     * FLOWING THROUGH a pipeline, not by a second scan. At 100 TB this

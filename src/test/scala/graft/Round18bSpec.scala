@@ -134,6 +134,72 @@ class Round18bSpec extends SparkSpec {
       empty.getAs[Double]("pass_ratio") == 0.0)
   }
 
+  test("sinkhornBalance: marginals converge toward uniform, count preserved") {
+    import spark.implicits._
+    val docs = (1L to 60L).map { i =>
+      val lang = if (i % 3 == 0) "en" else if (i % 3 == 1) "fr" else "es"
+      val src = if (i % 10 < 7) "web" else "book" // skewed 7:3 per lang
+      (i, "some text here", lang, src, 14L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = operators.TextOps.sinkhornBalance(docs).collect()
+    assert(got.length == 6)
+    assert(got.map(_.getAs[Long]("n_docs")).sum == 60L)
+    // after 5 rounds: every lang holds ~1/3 of the mass, every source
+    // ~1/2 (the column step ran last, so columns are tight)
+    val rows = got.groupBy(_.getString(0)).values
+      .map(_.map(_.getAs[Double]("balanced_w")).sum)
+    rows.foreach(r => assert(math.abs(r - 1.0 / 3) < 1e-3, s"row marginal $r"))
+    val cols = got.groupBy(_.getString(1)).values
+      .map(_.map(_.getAs[Double]("balanced_w")).sum)
+    // 6 dp output rounding alone can move a 3-cell column sum by 1.5e-6
+    cols.foreach(c => assert(math.abs(c - 0.5) < 5e-6, s"col marginal $c"))
+  }
+
+  test("wassersteinLength: identical distributions give W1 = 0, shift gives mass") {
+    import spark.implicits._
+    // pair ids so both langs see the same length profile {0,100,200,300}
+    val same = (1L to 40L).map(i =>
+      (i, "t", (if (i % 2 == 0) "en" else "fr"), "web", ((i - 1) / 2 % 4) * 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val g1 = operators.TextOps.wassersteinLength(same).collect()
+    // en and fr see the same length profile -> both ECDFs equal the corpus
+    g1.foreach(r => assert(r.getAs[Double]("w1_buckets") == 0.0))
+    // en shifted one full bucket up: |dF| = 0.5 at the straddled bucket
+    val shifted = (1L to 40L).map(i =>
+      (i, "t", (if (i % 2 == 0) "en" else "fr"), "web",
+        if (i % 2 == 0) 100L else 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val g2 = operators.TextOps.wassersteinLength(shifted)
+      .orderBy("lang").collect()
+    assert(g2.map(_.getAs[Double]("w1_buckets")).toSeq == Seq(0.5, 0.5))
+  }
+
+  test("friedmanTest: perfectly consistent source ordering maximizes chi2") {
+    import spark.implicits._
+    // srcA docs are long (quality 1-ish), srcB short, in EVERY lang ->
+    // ranks (1,2) in each block, chi2 = b*(k-1) ... for k=2: chi2 = b
+    val docs = (for {
+      (lang, base) <- Seq(("en", 0L), ("fr", 100L), ("es", 200L))
+      i <- 1L to 10L
+    } yield {
+      val id = base + i
+      if (i % 2 == 0)
+        (id, "this is a long enough document to score well on quality", lang, "srcA", 56L)
+      else (id, "x.", lang, "srcB", 2L)
+    }).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = operators.TextOps.friedmanTest(docs).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[Long]("b_blocks") == 3L && r.getAs[Long]("k_treatments") == 2L)
+    // perfect consistency, k=2: chi2_F = b = 3
+    assert(r.getAs[Double]("chi2_f") == 3.0)
+    assert(r.getAs[Double]("chi2_corrected") == 3.0)
+    // a source missing from one lang is dropped (complete-block design)
+    val holey = docs.filter(!(col("lang") === "es" && col("source") === "srcB"))
+    val g2 = operators.TextOps.friedmanTest(holey).collect()
+    assert(g2.isEmpty, "k drops to 1 after completeness filter -> empty")
+  }
+
   test("hitsScores: self-loop-only graph stays finite and normalized") {
     import spark.implicits._
     val docs = Seq((1L, "z z z", "en", "web", 5L))
