@@ -95,8 +95,22 @@ object Graft {
   def observed(df: DataFrame, metrics: (String, org.apache.spark.sql.Column)*)
       : (DataFrame, org.apache.spark.sql.Observation) = {
     require(metrics.nonEmpty, "observed() needs at least one metric")
+    // The observe node is attached to a frame rebound onto a throwaway
+    // child session (plan handover via global temp view — same
+    // SparkContext, no data movement): Dataset.observe initializes the
+    // session's lazy ObservationManager, which is not java-serializable,
+    // and a session carrying one breaks any later task closure that
+    // captures the session (Spark ML training summaries do). The caller
+    // acts on the returned frame exactly as before — same rows, same
+    // metrics — while the caller's own session stays serializable.
+    val view = "graft_obs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    df.createOrReplaceGlobalTempView(view)
+    val iso = df.sparkSession.newSession()
+    val rebound =
+      try iso.table(s"global_temp.$view")
+      finally df.sparkSession.catalog.dropGlobalTempView(view)
     val obs = org.apache.spark.sql.Observation("graft_obs")
     val cols = metrics.map { case (n, c) => c.as(n) }
-    (df.observe(obs, cols.head, cols.tail: _*), obs)
+    (rebound.observe(obs, cols.head, cols.tail: _*), obs)
   }
 }

@@ -78,7 +78,20 @@ object Sentiment {
       .localCheckpoint(true)
     val train = withSplit.filter(col("split") === "train")
     val test = withSplit.filter(col("split") === "test")
-    val model = clf.fit(train).asInstanceOf[org.apache.spark.ml.Model[_]]
+    val fitted = clf.fit(train).asInstanceOf[org.apache.spark.ml.Model[_]]
+    // Transform serializes the MODEL into the task closure, and
+    // HasTrainingSummary models (LinearSVCModel here) pin a training
+    // summary holding a live SparkSession reference onto the instance.
+    // A session whose lazy ObservationManager has been initialized (any
+    // Dataset.observe use in the session's lifetime) is not
+    // java-serializable, so transform() would throw Task not serializable
+    // depending on which queries ran earlier in the JVM — an
+    // order-dependent landmine in a multi-hundred-query pass. copy()
+    // rebuilds the model from its learned params WITHOUT the summary
+    // (verified against the Spark 4.1 bytecode), making the closure
+    // session-free regardless of session history.
+    val model = fitted.copy(org.apache.spark.ml.param.ParamMap.empty)
+      .asInstanceOf[org.apache.spark.ml.Model[_]]
     // materialize the small prediction frame so the big featurized cache
     // can be released instead of pinning executor memory for the session;
     // the result cache itself is CacheTracker-scoped (harness releases it)

@@ -4471,14 +4471,28 @@ object TextOps {
   def observedMetrics(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val obs = org.apache.spark.sql.Observation()
-    val gated = docs.observe(obs,
-      count(lit(1)).as("n_docs"),
-      sum(when(length(col("text")) >= 20, 1L).otherwise(0L)).as("n_pass_len"),
-      sum(col("n_chars")).as("tot_chars"),
-      max(col("n_chars")).as("max_chars"))
-    gated.count()
-    val m = obs.get
+    // Run the observe action on a THROWAWAY child session: Dataset.observe
+    // initializes the session's lazy ObservationManager, and a session
+    // carrying one is no longer java-serializable — which breaks any later
+    // query in the same session whose task closure captures the session
+    // (Spark ML training summaries do; see Sentiment.fitPredictFeaturized).
+    // The child shares the SparkContext (the plan is handed over via a
+    // global temp view, no data movement) and is discarded with its
+    // poisoned manager; the caller's session never observes anything.
+    val view = "graft_obs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    docs.createOrReplaceGlobalTempView(view)
+    val m =
+      try {
+        val iso = spark.newSession()
+        val obs = org.apache.spark.sql.Observation()
+        val gated = iso.table(s"global_temp.$view").observe(obs,
+          count(lit(1)).as("n_docs"),
+          sum(when(length(col("text")) >= 20, 1L).otherwise(0L)).as("n_pass_len"),
+          sum(col("n_chars")).as("tot_chars"),
+          max(col("n_chars")).as("max_chars"))
+        gated.count()
+        obs.get
+      } finally spark.catalog.dropGlobalTempView(view)
     // sums/max are NULL on an empty corpus; the audit row still exists
     def l(k: String): Long = m(k) match { case x: Long => x; case _ => 0L }
     Seq((l("n_docs"), l("n_pass_len"), l("tot_chars"), l("max_chars")))

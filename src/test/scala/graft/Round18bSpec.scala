@@ -209,4 +209,28 @@ class Round18bSpec extends SparkSpec {
     assert(got(0).getString(0) == "z" && got(0).getDouble(1) == 1.0 &&
       got(0).getDouble(2) == 1.0)
   }
+
+  test("observe surfaces never poison the shared session's serializability") {
+    // Dataset.observe initializes the session's lazy ObservationManager,
+    // which is NOT java-serializable; a poisoned session then breaks any
+    // later query whose task closure captures the session — Spark ML
+    // training summaries do, so svm_predictions threw Task not
+    // serializable whenever observed_metrics had run earlier in the same
+    // JVM (order-dependent: Verify's Map hash order dodged it, the
+    // drift spec's sorted order hit it). Both observe surfaces now run
+    // the observe on a throwaway child session; the pin is the crisp
+    // invariant itself: the shared session still java-serializes after
+    // BOTH surfaces have executed with real actions.
+    import spark.implicits._
+    val docs = Seq((1L, "some reasonably long document text here ok", "en", "web", 42L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val audited = operators.TextOps.observedMetrics(docs).collect()
+    assert(audited.length == 1 && audited(0).getAs[Long]("n_docs") == 1L)
+    val (framed, obs) = Graft.observed(docs, "n" -> count(lit(1)))
+    assert(framed.count() == 1L)
+    assert(obs.get("n") == 1L)
+    val out = new java.io.ObjectOutputStream(new java.io.ByteArrayOutputStream())
+    out.writeObject(spark) // throws NotSerializableException if poisoned
+    out.close()
+  }
 }
