@@ -266,8 +266,15 @@ object Bench {
     // interference window is identifiable from the artifact (wall >> own
     // CPU with small reads = starved by outside load; Cached: drop =
     // page-cache eviction) instead of consuming a verdict cycle.
+    // Harden the artifact write: a pass pointed at a fresh directory must
+    // not run 47 minutes and then throw away every measurement because
+    // the parent dir does not exist (reproduced in r18; ADVICE item).
+    val outPath =
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
+    Option(outPath.toAbsolutePath.getParent)
+      .foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
+      outPath,
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(timings)},""" +
         s""""steady_total":${math.round(steadyTotal * 1000) / 1000.0},""" +
         s""""unadjudicated_outliers":${jarr(unadjudicated)},""" +

@@ -676,10 +676,13 @@ object Graph {
     * each normalized by its max (L∞ — max of 9 dp-rounded values is
     * exactly partial-aggregatable, unlike an L1/L2 normalizer which
     * would need a global float fold). Per-edge products round to 9 dp
-    * and per-node sums fold sorted, so results are partition-count
-    * independent. Scale posture: the directed edge frame is
-    * vocab²-bounded, persisted once, and re-joined per iteration (two
-    * key-shuffles + two one-row max broadcasts each); nothing
+    * and per-node sums fold in exact BIGINT nano-units (order-free, so
+    * results are partition-count independent and bit-equal to the
+    * oracle's sorted double fold). Scale posture: the directed edge
+    * frame is vocab²-bounded, persisted once, and re-joined per
+    * iteration (two key-shuffles + two one-row max broadcasts each);
+    * per-round aRaw/hRaw are vocab-bounded and localCheckpoint'd so the
+    * iteration lineage never re-executes the corpus joins; nothing
     * driver-side beyond the guard count. Source-only tokens carry
     * authority 0, sink-only tokens hub 0. */
   def hitsScores(docs: DataFrame, iters: Int = 3): DataFrame = {
@@ -701,20 +704,36 @@ object Graph {
       .unionByName(e.select(col("dst").as("token"))).distinct()
     var h = nodes.select(col("token"), lit(1.0).as("h"))
     var a = nodes.limit(0).select(col("token"), lit(0.0).as("a"))
+    // Per-node sums fold in EXACT BIGINT nano-units (the docEmbedHash /
+    // topicLabels pattern): each addend round(w·x, 9) is the nearest
+    // double of a 9 dp decimal, so ·1e9 recovers its integer nanos
+    // exactly and one codegen'd long sum with map-side partial
+    // aggregation replaces the collect_list fold — whose per-node buffer
+    // grew unboundedly on hub tokens (a stopword collects millions of
+    // elements in ONE aggregation buffer at scale) and shipped every
+    // element through the shuffle. nanos div-back by 1e9 is one exact
+    // long→double cast + correctly-rounded divide = the same nearest
+    // double the sorted fold produced.
+    // localCheckpoint discipline: aRaw/hRaw are vocab-bounded and each
+    // is referenced twice (max + normalize join) while the next round
+    // references the result again — unpinned, the r18 plan re-executed
+    // the corpus joins ~4^iters times (669 jobs, 28.4 s).
     for (_ <- 1 to iters) {
       val aRaw = e.join(h, e("src") === h("token"))
-        .select(col("dst"), round(col("w") * col("h"), 9).as("c"))
+        .select(col("dst"),
+          round(round(col("w") * col("h"), 9) * lit(1e9)).cast("long").as("cn"))
         .groupBy("dst")
-        .agg(round(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
-          (acc, v) => acc + v), 9).as("ar"))
+        .agg((sum(col("cn")).cast("double") / lit(1e9)).as("ar"))
+        .localCheckpoint(true)
       val aMax = aRaw.agg(max(col("ar")).as("am"))
       a = aRaw.crossJoin(broadcast(aMax))
         .select(col("dst").as("token"), round(col("ar") / col("am"), 9).as("a"))
       val hRaw = e.join(a, e("dst") === a("token"))
-        .select(col("src"), round(col("w") * col("a"), 9).as("c"))
+        .select(col("src"),
+          round(round(col("w") * col("a"), 9) * lit(1e9)).cast("long").as("cn"))
         .groupBy("src")
-        .agg(round(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
-          (acc, v) => acc + v), 9).as("hr"))
+        .agg((sum(col("cn")).cast("double") / lit(1e9)).as("hr"))
+        .localCheckpoint(true)
       val hMax = hRaw.agg(max(col("hr")).as("hm"))
       h = hRaw.crossJoin(broadcast(hMax))
         .select(col("src").as("token"), round(col("hr") / col("hm"), 9).as("h"))

@@ -4324,7 +4324,16 @@ object TextOps {
     * bit-replayable in SQL. Output keeps the raw count next to the
     * balanced weight so the sampler can derive per-cell rates. */
   def sinkhornBalance(docs: DataFrame, iters: Int = 5): DataFrame = {
+    // localCheckpoint discipline (the repo's "never leave an iterative
+    // self-referencing plan unpinned" rule, topic_coherence/token_hits
+    // precedent): each iteration references `w` twice (marginal agg +
+    // join) and `rowNorm` twice, so an unpinned loop re-executes the
+    // base corpus aggregation ~4^iters times (r18: 121 jobs, 93.6 s for
+    // a ≤(langs×sources)-cell matrix). Every pinned frame is
+    // cell-grid-bounded, so the checkpoints are O(cells) local writes;
+    // the corpus aggregates exactly once, ever.
     val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(true)
     val dims = broadcast(cells
       .agg(count_distinct(col("lang")).as("b"),
         count_distinct(col("source")).as("k")))
@@ -4337,11 +4346,13 @@ object TextOps {
       val rowNorm = w.join(broadcast(rs), "lang")
         .select(col("lang"), col("source"), col("n_docs"), col("b"), col("k"),
           round(col("w") / col("rs") / col("b"), 9).as("w"))
+        .localCheckpoint(true)
       val cs = rowNorm.groupBy("source")
         .agg(round(Folds.sortedSum(col("w")), 9).as("cs"))
       w = rowNorm.join(broadcast(cs), "source")
         .select(col("lang"), col("source"), col("n_docs"), col("b"), col("k"),
           round(col("w") / col("cs") / col("k"), 9).as("w"))
+        .localCheckpoint(true)
     }
     w.select(col("lang"), col("source"), col("n_docs"),
       round(col("w"), 6).as("balanced_w"))

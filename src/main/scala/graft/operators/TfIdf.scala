@@ -46,13 +46,37 @@ object TfIdf {
   }
 
   /** (doc_id, token, tf, tfidf) (A11). Join on token: the IDF side is tiny
-    * (bounded vocabulary) so it is broadcast — no shuffle of the corpus. */
-  def tfidf(docs: DataFrame, minDocFreq: Int = 0): DataFrame =
-    termFreq(docs)
-      .join(broadcast(idf(docs, minDocFreq)), "token")
+    * (bounded vocabulary) so it is broadcast — no shuffle of the corpus.
+    *
+    * The IDF side derives its df from the SAME termFreq aggregate the TF
+    * side uses (termFreq has exactly one row per (doc, token), so
+    * count-per-token over it IS document frequency — identical value by
+    * construction), not from a second [[docFreq]] pass: both branches
+    * share the termFreq subtree up to its (doc_id, token) exchange, which
+    * ReuseExchange unifies, so the corpus clean+tokenize+explode chain —
+    * the most expensive per-row expression in the engine — runs ONCE per
+    * tfidf consumer instead of twice (guide §2.4). n_docs stays a raw
+    * parquet count (column-pruned scan, no tokenize). */
+  def tfidf(docs: DataFrame, minDocFreq: Int = 0): DataFrame = {
+    val tf = termFreq(docs)
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    // the tf >= 1 filter is a tautology (count(1) of a group is ≥ 1) whose
+    // only job is to keep `tf` REFERENCED on this branch: without it,
+    // column pruning rewrites this subtree's termFreq aggregate into a
+    // plain distinct, the two Exchange subtrees stop being canonically
+    // identical, and exchange reuse cannot fire — re-tokenizing the corpus
+    val idfFromTf = tf.filter(col("tf") >= 1).groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .crossJoin(broadcast(n))
+      .select(
+        col("token"), col("df"),
+        round(log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6).as("idf"))
+    tf.join(broadcast(idfFromTf), "token")
       .select(
         col("doc_id"), col("token"), col("tf"),
         round(col("tf") * col("idf"), 6).as("tfidf"))
+  }
 
   /** Per-document top-75%-by-TF-IDF feature selection (A17), the Spark-first
     * restatement of the Hadoop job chain in reference
